@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Derived
+import graft.sources.Tables
+
+/** Reconciliation / monitoring operator catalog — the analytics core of the
+  * reference's `monitor_DBB_stagein.py` (SURVEY.md §2.2-§2.7, E2),
+  * re-expressed over the testdata tables:
+  *
+  *  - nite derivation + per-nite rollups (P10, A2, A4)
+  *  - duplicate-skip window marking (W1, monitor:922-942)
+  *  - nested group collect (A5/A6, monitor:913-917, 968-981)
+  *  - last-by-timestamp (A7, monitor:991-994) and first-wins dedup (A9)
+  *  - interval-validity join (S8/J9, monitor:868-877)
+  *  - bucketed range join — the 100 TB-safe rewrite of a non-equi time join
+  *  - exposure-state classification (J12, monitor:338-366)
+  *  - key=value record parsing (S4, save:49-56)
+  *  - nite-list generation (P22, monitor:1147-1150)
+  */
+object ReconOps {
+
+  private def dec(cn: String) = col(cn).cast("decimal(12,4)")
+
+  /** Per-nite rollup — P10 + A2: the 15:00-cutoff calendar key as a derived
+    * column, then a hash aggregate. At scale the registry would be
+    * partitioned by this key (SURVEY §4 partition pruning). */
+  def niteRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("nite", Derived.niteOf(col("ts")))
+      .groupBy(col("nite"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec("value")).cast("double").as("sum_value"))
+
+  /** Error counts per nite — A4 (monitor:848-853): filtered group count. */
+  def errorsPerNite(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .where(col("event_type") === "error")
+      .withColumn("nite", Derived.niteOf(col("ts")))
+      .groupBy(col("nite")).agg(count(lit(1)).as("n_errors"))
+
+  /** Duplicate-skip marking — W1 (monitor:922-942): within each
+    * (user_id, event_type) group every occurrence except the latest is
+    * marked skip. Single window, no self-join. */
+  def skipDuplicates(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (col("rn") > 1).as("skip"))
+  }
+
+  /** Last event per user — A7 (monitor:991-994): arg-max by (ts, id) via
+    * max_by over a struct ordering key; one shuffle, no window. */
+  def lastEventPerUser(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(col("event_id"), struct(col("ts"), col("event_id"))).as("last_event_id"),
+        max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_event_type"))
+
+  /** First-wins dedup — A9 (monitor:812-816): deterministic
+    * `dropDuplicates` via min_by on (ts, id), per (user_id, event_type). */
+  def firstPerUserType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min_by(col("event_id"), struct(col("ts"), col("event_id")))
+        .as("first_event_id"))
+
+  /** Nested group collect — A5 (monitor:913-917): the leaf set becomes a
+    * sorted, comma-joined `collect_set` (string form keeps the oracle
+    * comparison canonical). */
+  def eventTypeSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+        .as("event_types"))
+
+  /** Group collect-list — A6 (monitor:968-981): doc ids per lang, sorted. */
+  def docIdsPerLang(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .where(col("n_chars") > 400)
+      .groupBy(col("lang"))
+      .agg(array_join(
+        transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
+        ",").as("doc_ids"))
+
+  /** Interval-validity join — S8/J9 (monitor:868-877): a tiny validity-
+    * window dimension joined on containment. The dimension is broadcast;
+    * the plan is BroadcastNestedLoopJoin, which is the *right* plan when
+    * one side is 5 rows — never a shuffle of the fact side. */
+  def validityJoin(spark: SparkSession, dir: String): DataFrame = {
+    val wins = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(min(col("o_orderdate")).as("win_start"),
+        max(col("o_orderdate")).as("win_end"))
+    val days = Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("ship_day"))
+      .agg(count(lit(1)).as("n_lines"))
+    days.join(broadcast(wins),
+        col("ship_day").between(to_date(col("win_start")), to_date(col("win_end"))))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n_lines")).as("n_lines_total"))
+  }
+
+  /** Bucketed range join — the scale-safe rewrite of "events within N days
+    * after each anchor": pre-aggregate the fact to day grain, explode each
+    * anchor's window into day buckets, equi-join on the bucket. Turns an
+    * O(|A|·|B|) nested-loop non-equi join into a shuffle-free-ish equi join
+    * that survives 100×. */
+  def rangeJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val dayCounts = Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("ship_day"))
+      .agg(count(lit(1)).as("n_lines"))
+    val anchorDays = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        explode(sequence(to_date(col("o_orderdate")),
+          date_add(to_date(col("o_orderdate")), 6))).as("ship_day"))
+    anchorDays.join(dayCounts, Seq("ship_day"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n_lines")).as("n_shipped_weekly"))
+  }
+
+  /** Exposure-state classification — J12 (monitor:338-366): each order is
+    * classified ok / missing / extra / not-delivered by joining the
+    * "delivered" claim against the "received" evidence set. */
+  def expstate(spark: SparkSession, dir: String): DataFrame = {
+    val received = Tables.lineitem(spark, dir)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey")).distinct()
+    Tables.orders(spark, dir)
+      .withColumn("delivered", col("o_orderstatus") === "F")
+      .join(received, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .withColumn("expstate",
+        when(col("delivered") && col("l_orderkey").isNotNull, "ok")
+          .when(col("delivered") && col("l_orderkey").isNull, "missing")
+          .when(!col("delivered") && col("l_orderkey").isNotNull, "extra")
+          .otherwise("not delivered"))
+      .groupBy(col("expstate")).agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** key=value record parse — S4 (save:49-56): extract a typed field out of
+    * a semi-structured string column, then aggregate. */
+  def kvParse(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k",
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+
+  /** Nite-list generation — P22 (monitor:1147-1150): the last-14-nites
+    * driver table, generated from the max event time. */
+  def niteList(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .agg(max(col("ts")).as("max_ts"))
+      .select(explode(sequence(lit(0), lit(13))).as("i"), col("max_ts"))
+      .select(col("i"),
+        date_format(date_sub(to_date(col("max_ts")), col("i")), "yyyyMMdd")
+          .as("nite"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nite_rollup"     -> niteRollup _,
+    "q_errors_per_nite" -> errorsPerNite _,
+    "q_skip_dups"       -> skipDuplicates _,
+    "q_last_event"      -> lastEventPerUser _,
+    "q_first_event"     -> firstPerUserType _,
+    "q_event_type_sets" -> eventTypeSets _,
+    "q_docids_per_lang" -> docIdsPerLang _,
+    "q_validity_join"   -> validityJoin _,
+    "q_range_bucketed"  -> rangeJoinBucketed _,
+    "q_expstate"        -> expstate _,
+    "q_kv_parse"        -> kvParse _,
+    "q_nite_list"       -> niteList _,
+  )
+
+  private val niteSql =
+    "strftime(CASE WHEN extract(hour FROM ts) < 15 THEN ts - INTERVAL 1 DAY ELSE ts END, '%Y%m%d')"
+
+  val oracles: Map[String, String] = Map(
+    "q_nite_rollup" ->
+      s"""SELECT $niteSql AS nite, count(*) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1""".stripMargin,
+    "q_errors_per_nite" ->
+      s"""SELECT $niteSql AS nite, count(*) AS n_errors
+         |FROM events WHERE event_type = 'error' GROUP BY 1""".stripMargin,
+    "q_skip_dups" ->
+      """SELECT event_id, user_id, event_type, rn > 1 AS skip FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)""".stripMargin,
+    "q_last_event" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+        |FROM (SELECT user_id, event_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
+    "q_first_event" ->
+      """SELECT user_id, event_type, event_id AS first_event_id
+        |FROM (SELECT user_id, event_type, event_id,
+        |        row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts ASC, event_id ASC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
+    "q_event_type_sets" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_docids_per_lang" ->
+      """SELECT lang,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+        |FROM documents WHERE n_chars > 400 GROUP BY lang""".stripMargin,
+    "q_validity_join" ->
+      """WITH wins AS (
+        |  SELECT o_orderpriority, min(o_orderdate) AS s, max(o_orderdate) AS e
+        |  FROM orders GROUP BY 1),
+        |days AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS c
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderpriority, count(*) AS n_days,
+        |  CAST(sum(c) AS BIGINT) AS n_lines_total
+        |FROM days JOIN wins ON d BETWEEN CAST(s AS DATE) AND CAST(e AS DATE)
+        |GROUP BY 1""".stripMargin,
+    "q_range_bucketed" ->
+      """WITH days AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS c
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderpriority, CAST(sum(c) AS BIGINT) AS n_shipped_weekly
+        |FROM orders JOIN days
+        |  ON d BETWEEN CAST(o_orderdate AS DATE)
+        |           AND CAST(o_orderdate AS DATE) + INTERVAL 6 DAY
+        |GROUP BY 1""".stripMargin,
+    "q_expstate" ->
+      """SELECT CASE
+        |    WHEN o_orderstatus = 'F' AND l_orderkey IS NOT NULL THEN 'ok'
+        |    WHEN o_orderstatus = 'F' AND l_orderkey IS NULL THEN 'missing'
+        |    WHEN o_orderstatus <> 'F' AND l_orderkey IS NOT NULL THEN 'extra'
+        |    ELSE 'not delivered' END AS expstate,
+        |  count(*) AS n_orders
+        |FROM orders LEFT JOIN
+        |  (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R') r
+        |  ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q_kv_parse" ->
+      """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
+        |  count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_nite_list" ->
+      """WITH m AS (SELECT max(ts) AS max_ts FROM events)
+        |SELECT CAST(i AS INT) AS i,
+        |  strftime(CAST(max_ts AS DATE) - i * INTERVAL 1 DAY, '%Y%m%d') AS nite
+        |FROM m, range(14) t(i)""".stripMargin,
+  )
+}

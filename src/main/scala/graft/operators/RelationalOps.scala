@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational operator catalog: scans with pushed predicates, the full
+  * join menu (inner/left/semi/anti/full-outer), aggregations, set ops.
+  *
+  * Each entry mirrors an operator row in SURVEY.md §2 (reference file:line in
+  * each scaladoc) re-expressed on the driver testdata tables. Numeric
+  * aggregates are computed in DECIMAL (exact) and cast to double at the end
+  * so the DuckDB oracle matches bit-for-bit regardless of FP summation
+  * order — at 100 TB the partial-aggregation tree shape is nondeterministic,
+  * so exactness must come from the type, not the plan.
+  */
+object RelationalOps {
+
+  private def dec(cn: String) = col(cn).cast("decimal(12,4)")
+
+  /** Q1-style pricing summary — SURVEY §2.4 (A2/A3 count-&-sum per group);
+    * scan+filter+hash-agg spine. Filter is pushed to parquet. */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,4)") - dec("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Predicate-pushdown scan — SURVEY §2.1 S5 (monitor:738-741): range +
+    * IN-list predicates reach the parquet reader; projection prunes columns. */
+  def pushdownScan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate").between(
+          lit("1995-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
+        && col("l_returnflag").isin("R", "A")
+        && col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+  }
+
+  /** Inner equi-join + agg — SURVEY §2.3 J1/J8: fact-fact join on key,
+    * grouped rollup. Catalyst picks SMJ/BHJ; AQE handles skew. */
+  def joinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val orders = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"))
+  }
+
+  /** Left-outer join, null-filled right side — SURVEY §2.3 J5
+    * (monitor:62-75): every left row survives; right columns null when
+    * absent. Aggregated per customer segment to keep output small. */
+  def leftJoinFill(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val cust = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    cust.join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        count(col("o_orderkey")).as("n_orders"),
+        sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("n_orderless_rows"))
+  }
+
+  /** Left-semi join (EXISTS) — SURVEY §2.3 J2 duplicate check
+    * (save:155-157): orders that have at least one high-quantity line. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val orders = Tables.orders(spark, dir)
+    val big = Tables.lineitem(spark, dir).where(col("l_quantity") > 48)
+    orders.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+  }
+
+  /** Anti-join ("missing") — SURVEY §2.3 J10/J11 (monitor:1022-1030):
+    * customers with no high-value order — the reconciliation difference. */
+  def antiJoinMissing(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val cust = Tables.customer(spark, dir)
+    val big = Tables.orders(spark, dir).where(col("o_totalprice") > 250000)
+    cust.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** Union + distinct — SURVEY §2.7 U1 (monitor:338): key-set union of two
+    * sources. */
+  def unionKeys(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val fromOrders = Tables.orders(spark, dir)
+      .where(col("o_totalprice") > 400000).select(col("o_custkey").as("custkey"))
+    val fromCust = Tables.customer(spark, dir)
+      .where(col("c_acctbal") < 0).select(col("c_custkey").as("custkey"))
+    fromOrders.union(fromCust).distinct()
+  }
+
+  /** Except (difference) — SURVEY §2.7 U2: part keys with a >40-quantity
+    * line but never a >48-quantity line. */
+  def exceptKeys(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val li = Tables.lineitem(spark, dir)
+    li.where(col("l_quantity") > 40).select(col("l_partkey").as("partkey"))
+      .except(li.where(col("l_quantity") > 48)
+        .select(col("l_partkey").as("partkey")))
+  }
+
+  /** Top-k with deterministic tiebreak — SURVEY §2.6 T3 (monitor:660-672):
+    * top-20 error events, newest first. Spark plans TakeOrderedAndProject —
+    * no global sort at scale. Timestamps are emitted at second precision
+    * (testdata carries nanoseconds; engines differ below microseconds). */
+  def topkErrors(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    Tables.events(spark, dir)
+      .where(col("event_type") === "error")
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(20)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_sec"),
+        col("value"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing"     -> q1Pricing _,
+    "q_pushdown"     -> pushdownScan _,
+    "q_join_agg"     -> joinAgg _,
+    "q_left_join"    -> leftJoinFill _,
+    "q_semi_join"    -> semiJoin _,
+    "q_anti_missing" -> antiJoinMissing _,
+    "q_union_keys"   -> unionKeys _,
+    "q_except_keys"  -> exceptKeys _,
+    "q_topk_errors"  -> topkErrors _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND l_returnflag IN ('R','A') AND l_quantity > 45""".stripMargin,
+    "q_join_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_left_join" ->
+      """SELECT c_mktsegment,
+        |  count(DISTINCT c_custkey) AS n_customers,
+        |  count(o_orderkey) AS n_orders,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless_rows
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity > 48)""".stripMargin,
+    "q_anti_missing" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 250000)""".stripMargin,
+    "q_union_keys" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |UNION
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0""".stripMargin,
+    "q_except_keys" ->
+      """SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity > 40
+        |EXCEPT
+        |SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity > 48""".stripMargin,
+    "q_topk_errors" ->
+      """SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_sec, value
+        |FROM events WHERE event_type = 'error'
+        |ORDER BY ts DESC, event_id DESC LIMIT 20""".stripMargin,
+  )
+}
