@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** [EXT] Text-analysis operators for large-scale training-data pipelines
+  * (SURVEY.md §2.2 P23, §2.4 A11): token/quality statistics, heuristic
+  * language ID, document fingerprinting, exact dedup, and word-set Jaccard
+  * near-dup. Everything is built-in-function compositions — no UDFs — so
+  * the whole pipeline stays inside whole-stage codegen and scales linearly.
+  *
+  * Near-dup uses the explode + equi-join + group pattern (token-blocked),
+  * which is the shuffle-friendly shape; the quadratic-free MinHash/LSH and
+  * SimHash variants live in [[DedupOps]].
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties dropped (engine-portable). */
+  private def toks(c: Column): Column =
+    filter(split(c, " "), t => t =!= "")
+
+  /** Per-document token statistics — token counting + shape stats. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(toks(col("text"))).as("n_tokens"),
+        size(array_distinct(toks(col("text")))).as("n_uniq_tokens"),
+        length(col("text")).as("len"))
+      .withColumn("avg_token_len",
+        round((col("len") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 4))
+      .drop("len")
+
+  /** BPE-ish token estimate: regex word pieces + the chars/4 heuristic. */
+  def tokenEstimate(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "[^a-zA-Z0-9]+"), t => t =!= ""))
+          .as("n_words"),
+        ceil(length(col("text")).cast("double") / 4).cast("long")
+          .as("n_tokens_est"))
+
+  /** Heuristic language ID: stopword-marker counts per language, argmax
+    * with a deterministic precedence. Cross-tabbed against the labeled
+    * lang — the reconciliation-report shape of monitor:338-366. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val en = regexp_count(col("text"), lit("\\b(the|a|of|and)\\b"))
+    val de = regexp_count(col("text"), lit("\\b(der|die|das|und)\\b"))
+    val es = regexp_count(col("text"), lit("\\b(el|la|los|que)\\b"))
+    val fr = regexp_count(col("text"), lit("\\b(le|les|des|est)\\b"))
+    Tables.documents(spark, dir)
+      .withColumn("lang_pred",
+        when(en >= de && en >= es && en >= fr && en > 0, "en")
+          .when(de >= es && de >= fr && de > 0, "de")
+          .when(es >= fr && es > 0, "es")
+          .when(fr > 0, "fr")
+          .otherwise("unk"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Quality score: length saturation, lexical diversity, punctuation and
+    * stopword ratios folded into one [0,1]-ish score with buckets. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks(col("text")))
+    val nUniq = size(array_distinct(toks(col("text"))))
+    val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val nStop = regexp_count(col("text"), lit("\\b(the|a|of|and|in|to)\\b"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        round(
+          least(nTok.cast("double") / 100, lit(1.0)) * 0.3
+            + (nUniq.cast("double") / nTok) * 0.4
+            + (lit(1.0) - least(nPunct.cast("double") / greatest(nTok, lit(1)), lit(1.0))) * 0.2
+            + least(nStop.cast("double") / greatest(nTok, lit(1)), lit(0.5)) * 0.2,
+          4).as("quality"))
+      .withColumn("bucket",
+        when(col("quality") >= 0.7, "high")
+          .when(col("quality") >= 0.5, "mid")
+          .otherwise("low"))
+  }
+
+  /** Document fingerprinting: content hash of the normalized text plus a
+    * bag-of-words canonical hash (order-insensitive). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(lower(trim(col("text"))).cast("binary")).as("content_fp"),
+        md5(array_join(array_sort(array_distinct(toks(col("text")))), " ")
+          .cast("binary")).as("bag_fp"))
+
+  /** Exact-dedup summary — A11: total vs distinct by full text, normalized
+    * fingerprint, and 40-char prefix (cheap candidate key). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_uniq_text"),
+        countDistinct(md5(lower(trim(col("text"))).cast("binary")))
+          .as("n_uniq_fp"),
+        countDistinct(substring(col("text"), 1, 40)).as("n_uniq_prefix40"))
+
+  /** Word-set Jaccard best-match per document — n-gram Jaccard near-dup in
+    * its exact form. Shape: explode distinct tokens → equi-join on
+    * (lang, token) → group per pair counting shared tokens → Jaccard from
+    * integer set sizes (exact rational, engine-portable) → arg-max per doc.
+    * The token equi-join is the blocked/shuffle-friendly formulation; LSH
+    * replaces it beyond ~10^7 docs (see DedupOps). */
+  def jaccardBestMatch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(toks(col("text"))).as("tset"))
+      .withColumn("n_tok", size(col("tset")))
+    val exploded = docs.select(col("doc_id"), col("lang"), col("n_tok"),
+      explode(col("tset")).as("tok"))
+    val a = exploded.select(col("doc_id").as("id_a"), col("lang"),
+      col("n_tok").as("n_a"), col("tok"))
+    val b = exploded.select(col("doc_id").as("id_b"), col("lang"),
+      col("n_tok").as("n_b"), col("tok"))
+    val pairs = a.join(b, Seq("lang", "tok"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"), first(col("n_a")).as("n_a"),
+        first(col("n_b")).as("n_b"))
+      .withColumn("jac", col("shared").cast("double")
+        / (col("n_a") + col("n_b") - col("shared")))
+    // symmetrize so every doc gets a best match from either side
+    val sym = pairs.select(col("id_a").as("doc_id"), col("id_b").as("cand"), col("jac"))
+      .union(pairs.select(col("id_b").as("doc_id"), col("id_a").as("cand"), col("jac")))
+    sym.groupBy(col("doc_id"))
+      .agg(max_by(col("cand"), struct(col("jac"), -col("cand"))).as("best_match"),
+        round(max(col("jac")), 4).as("best_jac"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats"     -> textStats _,
+    "q_token_estimate" -> tokenEstimate _,
+    "q_langid"         -> langId _,
+    "q_quality_score"  -> qualityScore _,
+    "q_fingerprint"    -> fingerprint _,
+    "q_dedup_exact"    -> dedupExact _,
+    "q_jaccard_best"   -> jaccardBestMatch _,
+  )
+
+  private val toksSql =
+    "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id, lang,
+         |  length($toksSql) AS n_tokens,
+         |  length(list_distinct($toksSql)) AS n_uniq_tokens,
+         |  round(CAST(length(text) - (length($toksSql) - 1) AS DOUBLE)
+         |        / length($toksSql), 4) AS avg_token_len
+         |FROM documents""".stripMargin,
+    "q_token_estimate" ->
+      """SELECT doc_id,
+        |  length(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+        |                     t -> t <> '')) AS n_words,
+        |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS n_tokens_est
+        |FROM documents""".stripMargin,
+    "q_langid" ->
+      """WITH scored AS (SELECT lang,
+        |  length(regexp_extract_all(text, '\b(the|a|of|and)\b')) AS en,
+        |  length(regexp_extract_all(text, '\b(der|die|das|und)\b')) AS de,
+        |  length(regexp_extract_all(text, '\b(el|la|los|que)\b')) AS es,
+        |  length(regexp_extract_all(text, '\b(le|les|des|est)\b')) AS fr
+        |FROM documents)
+        |SELECT lang, CASE
+        |    WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+        |    WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+        |    WHEN es >= fr AND es > 0 THEN 'es'
+        |    WHEN fr > 0 THEN 'fr'
+        |    ELSE 'unk' END AS lang_pred,
+        |  count(*) AS n_docs
+        |FROM scored GROUP BY 1, 2""".stripMargin,
+    "q_quality_score" ->
+      s"""WITH f AS (SELECT doc_id,
+         |  length($toksSql) AS n_tok,
+         |  length(list_distinct($toksSql)) AS n_uniq,
+         |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         |  length(regexp_extract_all(text, '\\b(the|a|of|and|in|to)\\b')) AS n_stop
+         |FROM documents)
+         |SELECT doc_id, quality,
+         |  CASE WHEN quality >= 0.7 THEN 'high'
+         |       WHEN quality >= 0.5 THEN 'mid' ELSE 'low' END AS bucket
+         |FROM (SELECT doc_id, round(
+         |    least(CAST(n_tok AS DOUBLE) / 100, 1.0) * 0.3
+         |    + (CAST(n_uniq AS DOUBLE) / n_tok) * 0.4
+         |    + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_tok, 1), 1.0)) * 0.2
+         |    + least(CAST(n_stop AS DOUBLE) / greatest(n_tok, 1), 0.5) * 0.2,
+         |  4) AS quality FROM f)""".stripMargin,
+    "q_fingerprint" ->
+      s"""SELECT doc_id, md5(lower(trim(text))) AS content_fp,
+         |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS bag_fp
+         |FROM documents""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT count(*) AS n_docs,
+        |  count(DISTINCT text) AS n_uniq_text,
+        |  count(DISTINCT md5(lower(trim(text)))) AS n_uniq_fp,
+        |  count(DISTINCT substr(text, 1, 40)) AS n_uniq_prefix40
+        |FROM documents""".stripMargin,
+    "q_jaccard_best" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, list_distinct($toksSql) AS tset
+         |  FROM documents),
+         |ex AS (
+         |  SELECT doc_id, lang, length(tset) AS n_tok, unnest(tset) AS tok
+         |  FROM docs),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+         |    any_value(a.n_tok) AS n_a, any_value(b.n_tok) AS n_b
+         |  FROM ex a JOIN ex b ON a.lang = b.lang AND a.tok = b.tok
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sym AS (
+         |  SELECT id_a AS doc_id, id_b AS cand,
+         |    CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jac FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS doc_id, id_a AS cand,
+         |    CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jac FROM pairs)
+         |SELECT doc_id, cand AS best_match, round(max_jac, 4) AS best_jac
+         |FROM (SELECT doc_id, cand, jac, max(jac) OVER (PARTITION BY doc_id) AS max_jac,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY jac DESC, cand ASC) AS rn
+         |      FROM sym)
+         |WHERE rn = 1""".stripMargin,
+  )
+}

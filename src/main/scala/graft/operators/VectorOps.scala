@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** [EXT] Similarity-search operators over the embeddings table
+  * (SURVEY.md §2.3 J14, §2.6 T5): brute-force cosine top-k as the exact
+  * baseline, centroid aggregation, and nearest-neighbor within a blocking
+  * key. All vector math is expression-level (`zip_with`/`aggregate` —
+  * codegen-capable, no UDFs).
+  *
+  * Oracle-parity note: cross-engine float summation order is not
+  * guaranteed, so oracled queries quantize elements to integer
+  * milli-units first — dot products and norms become exact integer
+  * arithmetic, and the final cosine is one deterministic double division.
+  * Full-precision variants (same plans, float math) are used in the
+  * benchmark path where no cross-engine hash match is required.
+  */
+object VectorOps {
+
+  /** Elementwise quantization to integer milli-units (exact cross-engine). */
+  private def quantize(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 1000).cast("long"))
+
+  private val dot: (Column, Column) => Column = (a, b) =>
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine over quantized vectors: exact integer dot / double norms. */
+  private def cosineQ(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** Brute-force cosine top-k — J14/T5 baseline: a small query set is
+    * broadcast against the full corpus; per-query top-k via window rank.
+    * At cluster scale the corpus side stays partitioned and only the
+    * queries move — no shuffle of the big side. */
+  def knnBruteForce(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .withColumn("nrm", dot(col("qe"), col("qe")))
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"),
+        col("nrm").as("q_nrm"))
+    val scored = emb.where(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(queries))
+      .withColumn("sim",
+        round(cosineQ(col("q_qe"), col("qe"), col("q_nrm"), col("nrm")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("sim"))
+  }
+
+  /** Nearest neighbor within a blocking key (label) — the "embedding
+    * near-dup" shape: per-label self-join instead of a global cross
+    * product; each block is independent and parallel. */
+  def nnWithinLabel(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qe"))
+      .withColumn("nrm", dot(col("qe"), col("qe")))
+    val a = emb.select(col("label"), col("vec_id").as("id_a"),
+      col("qe").as("qe_a"), col("nrm").as("nrm_a"))
+    val b = emb.select(col("label"), col("vec_id").as("id_b"),
+      col("qe").as("qe_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("label"))
+      .where(col("id_a") =!= col("id_b"))
+      .withColumn("sim",
+        round(cosineQ(col("qe_a"), col("qe_b"), col("nrm_a"), col("nrm_b")), 4))
+      .groupBy(col("label"), col("id_a"))
+      .agg(max_by(col("id_b"), struct(col("sim"), -col("id_b"))).as("nn_id"),
+        max(col("sim")).as("nn_sim"))
+      .select(col("label"), col("id_a").as("vec_id"), col("nn_id"),
+        col("nn_sim"))
+  }
+
+  /** Per-label centroid in exact milli-units: posexplode to (dim, value),
+    * integer sums per (label, dim). The partial-aggregation tree is
+    * shuffle-efficient (combine on map side) and exact at any scale. */
+  def centroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(quantize(col("embedding"))))
+      .where(col("pos") < 8)
+      .groupBy(col("label"), col("pos").as("dim"))
+      .agg(sum(col("col")).as("sum_milli"), count(lit(1)).as("n"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_cosine"   -> ((s: SparkSession, d: String) => knnBruteForce(s, d)),
+    "q_nn_per_label" -> nnWithinLabel _,
+    "q_centroids"    -> centroids _,
+  )
+
+  private val qSql = "list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
+
+  val oracles: Map[String, String] = Map(
+    "q_knn_cosine" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, $qSql AS qe FROM embeddings),
+         |n AS (SELECT vec_id, qe, list_dot_product(qe, qe) AS nrm FROM emb),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    round(CAST(list_dot_product(q.qe, e.qe) AS DOUBLE)
+         |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(e.nrm AS DOUBLE))), 4) AS sim
+         |  FROM n q JOIN n e ON q.vec_id < 5 AND e.vec_id >= 5)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin,
+    "q_nn_per_label" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, label, $qSql AS qe FROM embeddings),
+         |n AS (SELECT vec_id, label, qe, list_dot_product(qe, qe) AS nrm FROM emb),
+         |scored AS (
+         |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(CAST(list_dot_product(a.qe, b.qe) AS DOUBLE)
+         |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))), 4) AS sim
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id)
+         |SELECT label, id_a AS vec_id, id_b AS nn_id, max_sim AS nn_sim FROM (
+         |  SELECT label, id_a, id_b, sim,
+         |    max(sim) OVER (PARTITION BY label, id_a) AS max_sim,
+         |    row_number() OVER (PARTITION BY label, id_a
+         |                       ORDER BY sim DESC, id_b ASC) AS rn
+         |  FROM scored)
+         |WHERE rn = 1""".stripMargin,
+    "q_centroids" ->
+      s"""SELECT label, CAST(i AS INT) AS dim,
+         |  CAST(sum(qe[CAST(i + 1 AS INT)]) AS BIGINT) AS sum_milli,
+         |  count(*) AS n
+         |FROM (SELECT label, $qSql AS qe FROM embeddings), range(8) t(i)
+         |GROUP BY 1, 2""".stripMargin,
+  )
+}
