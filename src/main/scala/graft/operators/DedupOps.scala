@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** [EXT] Near-duplicate detection at scale (SURVEY.md §2.4 A11):
+  * MinHash + LSH banding, SimHash, and an LSH-bucketed ANN — the
+  * sub-quadratic paths that replace exact pairwise comparison beyond
+  * ~10^7 documents.
+  *
+  * Portability design: every hash is derived from `md5` hex strings
+  * (identical in any engine) rather than engine-native hash functions, so
+  * the *entire* LSH pipeline — signatures, band keys, candidate pairs,
+  * verified duplicates — is reproducible in the DuckDB oracle. MinHash
+  * "values" are md5 strings compared lexicographically; min over a uniform
+  * hash is order-statistics-equivalent to integer MinHash.
+  *
+  * Scale shape: shingle explode → per-(doc, seed) min — a map-side-combine
+  * aggregation; band-key grouping is an equi-shuffle on short strings; only
+  * LSH *candidates* (a tiny fraction) reach the exact-Jaccard verifier.
+  */
+object DedupOps {
+
+  val NumHashes = 12
+  val BandSize  = 3   // → 4 bands; P(candidate) = 1-(1-j^3)^4
+
+  private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
+
+  /** doc_id, lang, tok (distinct word shingles). */
+  private def exploded(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(toks(col("text"))).as("tset"))
+      .withColumn("n_tok", size(col("tset")))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        explode(col("tset")).as("tok"))
+
+  /** Per-(doc, band) LSH key: md5 of the seed-ordered minhash signature
+    * slice. */
+  private def bandKeys(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = explode(sequence(lit(0), lit(NumHashes - 1))).as("seed")
+    exploded(spark, dir)
+      .select(col("doc_id"), col("lang"), col("tok"), seeds)
+      .withColumn("h",
+        md5(concat(col("seed").cast("string"), lit("|"), col("tok")).cast("binary")))
+      .groupBy(col("doc_id"), col("lang"), col("seed"))
+      .agg(min(col("h")).as("minh"))
+      .withColumn("band", expr(s"seed div $BandSize"))
+      .groupBy(col("doc_id"), col("lang"), col("band"))
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
+          x => x.getField("minh")), ",").cast("binary")).as("band_key"))
+  }
+
+  /** MinHash-LSH near-dup: candidate pairs from shared band keys, verified
+    * with exact Jaccard; summarized per lang (candidate count, verified
+    * duplicate count at j >= 0.85). */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bk = bandKeys(spark, dir)
+    // LSH buckets ignore language, so candidates may cross languages;
+    // label same-lang pairs with the language and the rest 'cross' so the
+    // per-lang numbers are directly comparable to an exact per-lang dedup.
+    val cand = bk.as("a").join(bk.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        when(col("a.lang") === col("b.lang"), col("a.lang")).otherwise("cross")
+          .as("lang"),
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val ex = exploded(spark, dir)
+    val shared = cand
+      .join(ex.select(col("doc_id").as("id_a"), col("n_tok").as("n_a"),
+        col("tok")), Seq("id_a"))
+      .join(ex.select(col("doc_id").as("id_b"), col("n_tok").as("n_b"),
+        col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("lang"), col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"), first(col("n_a")).as("n_a"),
+        first(col("n_b")).as("n_b"))
+      .withColumn("jac", col("shared").cast("double")
+        / (col("n_a") + col("n_b") - col("shared")))
+    shared.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_candidate_pairs"),
+        sum(when(col("jac") >= 0.85, 1L).otherwise(0L)).as("n_dup_pairs"))
+  }
+
+  /** SimHash signatures: per-token md5 hex digits vote per bit position;
+    * the signature is the 16-bit sign vector. Grouped into a histogram
+    * (signature → doc count) — collisions are near-dup candidates. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val bits = explode(sequence(lit(1), lit(16))).as("pos")
+    exploded(spark, dir)
+      .select(col("doc_id"), col("tok"), bits)
+      .withColumn("vote",
+        when(md5(col("tok").cast("binary")).substr(col("pos"), lit(1))
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(sum(col("vote")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          x => when(x.getField("v") > 0, "1").otherwise("0")), "")
+        .as("simhash"))
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"))
+  }
+
+  /** LSH-bucketed ANN: sign-pattern of the leading dims is the bucket key
+    * (axis-aligned random-projection LSH); nearest neighbor is searched
+    * within the bucket only. The bucket join replaces the full cross
+    * product — this is the 100 TB path, with knnBruteForce as the exact
+    * baseline. */
+  def annBucketed(spark: SparkSession, dir: String, signDims: Int = 6): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))
+          .as("qe"))
+      .withColumn("bucket", array_join(
+        transform(slice(col("qe"), 1, signDims),
+          x => when(x >= 0, "1").otherwise("0")), ""))
+      .withColumn("nrm",
+        aggregate(zip_with(col("qe"), col("qe"), (x, y) => x * y), lit(0L),
+          (acc, x) => acc + x))
+    val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
+      col("qe").as("qe_a"), col("nrm").as("nrm_a"))
+    val b = emb.select(col("bucket"), col("vec_id").as("id_b"),
+      col("qe").as("qe_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") =!= col("id_b"))
+      .withColumn("sim", round(
+        aggregate(zip_with(col("qe_a"), col("qe_b"), (x, y) => x * y), lit(0L),
+          (acc, x) => acc + x).cast("double")
+          / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))), 4))
+      .groupBy(col("bucket"), col("id_a"))
+      .agg(max_by(col("id_b"), struct(col("sim"), -col("id_b"))).as("ann_id"),
+        max(col("sim")).as("ann_sim"))
+      .select(col("bucket"), col("id_a").as("vec_id"), col("ann_id"),
+        col("ann_sim"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_minhash_lsh"  -> minhashLsh _,
+    "q_simhash"      -> simhash _,
+    "q_ann_bucketed" -> ((s: SparkSession, d: String) => annBucketed(s, d)),
+  )
+
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "q_minhash_lsh" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, lang, length(tset) AS n_tok, unnest(tset) AS tok
+         |  FROM (SELECT doc_id, lang, list_distinct($toksSql) AS tset
+         |        FROM documents)),
+         |mh AS (
+         |  SELECT doc_id, lang, seed, min(md5(seed || '|' || tok)) AS minh
+         |  FROM ex, range($NumHashes) s(seed)
+         |  GROUP BY 1, 2, 3),
+         |bk AS (
+         |  SELECT doc_id, lang, seed // $BandSize AS band,
+         |    md5(string_agg(minh, ',' ORDER BY seed)) AS band_key
+         |  FROM mh GROUP BY 1, 2, 3),
+         |cand AS (
+         |  SELECT DISTINCT
+         |    CASE WHEN a.lang = b.lang THEN a.lang ELSE 'cross' END AS lang,
+         |    a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id),
+         |shared AS (
+         |  SELECT c.lang, c.id_a, c.id_b, count(*) AS shared,
+         |    any_value(ea.n_tok) AS n_a, any_value(eb.n_tok) AS n_b
+         |  FROM cand c
+         |  JOIN ex ea ON ea.doc_id = c.id_a
+         |  JOIN ex eb ON eb.doc_id = c.id_b AND eb.tok = ea.tok
+         |  GROUP BY 1, 2, 3)
+         |SELECT lang, count(*) AS n_candidate_pairs,
+         |  CAST(sum(CASE WHEN CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.85
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs
+         |FROM shared GROUP BY lang""".stripMargin,
+    "q_simhash" ->
+      s"""WITH ex AS (
+         |  SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
+         |    FROM documents)),
+         |votes AS (
+         |  SELECT doc_id, pos + 1 AS pos,
+         |    CAST(sum(CASE WHEN substr(md5(tok), CAST(pos + 1 AS INT), 1)
+         |         IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS BIGINT) AS v
+         |  FROM ex, range(16) p(pos)
+         |  GROUP BY 1, 2),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY pos)
+         |      AS simhash
+         |  FROM votes GROUP BY doc_id)
+         |SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+         |FROM sigs GROUP BY simhash""".stripMargin,
+    "q_ann_bucketed" ->
+      """WITH emb AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |kb AS (
+        |  SELECT vec_id, qe, list_dot_product(qe, qe) AS nrm,
+        |    array_to_string(list_transform(qe[1:6],
+        |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM emb),
+        |scored AS (
+        |  SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(CAST(list_dot_product(a.qe, b.qe) AS DOUBLE)
+        |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))), 4) AS sim
+        |  FROM kb a JOIN kb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+        |SELECT bucket, id_a AS vec_id, id_b AS ann_id, max_sim AS ann_sim FROM (
+        |  SELECT bucket, id_a, id_b, sim,
+        |    max(sim) OVER (PARTITION BY bucket, id_a) AS max_sim,
+        |    row_number() OVER (PARTITION BY bucket, id_a
+        |                       ORDER BY sim DESC, id_b ASC) AS rn
+        |  FROM scored)
+        |WHERE rn = 1""".stripMargin,
+  )
+}
