@@ -1,0 +1,231 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.functions.{Derived, FitsHeader}
+
+/** The ingest pipeline — reference E1 (`save_DBB_stagein_to_DBB.py`,
+  * SURVEY.md §3.E1) re-expressed as a set-oriented Spark program.
+  *
+  * The reference processes one file at a time in a Python loop with
+  * exception-driven routing (save:120-217). Here each per-file step is a
+  * whole-DataFrame stage that *emits an error column instead of throwing*
+  * (SURVEY §7.4.3); rows route to the archive branch or the dead-letter
+  * branch at the end. Replays are no-ops because the duplicate check is an
+  * anti-join against the registry (J2, save:155-157) — this is what makes
+  * `foreachBatch` idempotent and the pipeline exactly-once from the
+  * reader's perspective (SURVEY §2.8).
+  *
+  * Stages (reference lines in parens):
+  *  1. pair notify ↔ payload by stripped `.dbb` name (save:318-319)
+  *  2. parse `key = value` notify records (save:49-56)
+  *  3. classify filetype (save:36-45); unknown → reject
+  *  4. duplicate anti-join vs registry (save:155-157)
+  *  5. md5 verify payload vs declared (save:100-109, 170-177)
+  *  6. FITS keyword-contract validation (save:158; etc/decam_src_keywords.txt)
+  *  7. route: good → archive copy + registry append (save:73-116, 160, 193)
+  *            bad  → quarantine move + bad_file append (save:221-293)
+  */
+object IngestPipeline {
+
+  /** Columns: path, name, content, mtime, declared md5/filesize, filetype,
+    * reject_msg (null = good so far). */
+  case class Config(
+      stageDir: String,
+      archiveDir: String,
+      quarantineDir: String,
+      registryDir: String,
+      badFileDir: String,
+      taskId: Long = 1L,
+      requiredKeywords: Seq[String] = Seq("DATE-OBS", "FILTER", "RA"))
+
+  /** Pure planning core — testable without any filesystem writes.
+    * Input: binaryFile-shaped DataFrames of notify files (`*.dbb`,
+    * key=value text) and payload files, plus the current registry
+    * (column `filename`). Output columns include `status`
+    * ('archive' | 'quarantine'), `reject_msg`, `archive_path`. */
+  def plan(spark: SparkSession, notifyDf: DataFrame, payloads: DataFrame,
+      registry: DataFrame, cfg: Config): DataFrame = {
+    import spark.implicits._
+
+    // stage 1-2: pairing + notify record parse (key = value lines)
+    val parsed = notifyDf
+      .withColumn("notify_name", Derived.basenameOf(col("path")))
+      .withColumn("delivery_name", Derived.payloadNameOf(col("notify_name")))
+      .withColumn("kv", expr(
+        "str_to_map(regexp_replace(cast(content as string), '\\\\s*=\\\\s*', '='), '\n', '=')"))
+      .withColumn("declared_md5", lower(trim(element_at(col("kv"), "md5sum"))))
+      .withColumn("declared_size",
+        trim(element_at(col("kv"), "filesize")).cast("long"))
+      .select(col("path").as("notify_path"), col("notify_name"),
+        col("delivery_name"), col("declared_md5"), col("declared_size"),
+        col("modificationTime").as("delivered_at"))
+
+    val pay = payloads
+      .withColumn("delivery_name", Derived.basenameOf(col("path")))
+      .select(col("delivery_name"), col("path").as("payload_path"),
+        col("content"), length(col("content")).as("actual_size"))
+
+    // existence check (P2): notify without payload → reject
+    val paired = parsed.join(pay, Seq("delivery_name"), "left_outer")
+
+    // stage 3: classify; stage 4: duplicate anti-join; stage 5: md5
+    val checked = paired
+      .withColumn("filetype", Derived.filetypeOf(col("delivery_name")))
+      .join(broadcast(registry.select(col("filename").as("delivery_name"))
+        .withColumn("dup", lit(true))), Seq("delivery_name"), "left_outer")
+      .withColumn("actual_md5", md5(col("content")))
+      .withColumn("reject_msg",
+        when(col("payload_path").isNull, "payload file missing")
+          .when(col("filetype").isNull, "unknown filetype")
+          .when(col("dup"), "duplicate file")
+          .when(col("declared_md5").isNotNull
+            && col("actual_md5") =!= col("declared_md5"), "md5 mismatch")
+          .when(col("declared_size").isNotNull
+            && col("actual_size") =!= col("declared_size"), "filesize mismatch"))
+
+    // stage 6: FITS keyword contract — pure JVM kernel in a map, then the
+    // required-keyword check as a set difference per row
+    val required = cfg.requiredKeywords
+    val validated = checked.withColumn("header_keys",
+      when(col("filetype") === "raw" && col("reject_msg").isNull,
+        udfHeaderKeys(col("content"))))
+      .withColumn("missing_keywords",
+        when(col("header_keys").isNotNull,
+          array_except(
+            lit(required.toArray).cast("array<string>"), col("header_keys"))))
+      .withColumn("reject_msg",
+        when(col("reject_msg").isNotNull, col("reject_msg"))
+          .when(col("missing_keywords").isNotNull && size(col("missing_keywords")) > 0,
+            concat(lit("missing required keywords: "),
+              array_join(col("missing_keywords"), ","))))
+
+    // stage 7: routing + target paths
+    validated
+      .withColumn("status",
+        when(col("reject_msg").isNull, "archive").otherwise("quarantine"))
+      .withColumn("archive_path",
+        when(col("reject_msg").isNull, concat(lit(cfg.archiveDir + "/"),
+          coalesce(col("filetype"), lit("unknown")), lit("/"),
+          col("delivery_name"))))
+      .withColumn("quarantine_path",
+        when(col("reject_msg").isNotNull, concat(lit(cfg.quarantineDir + "/"),
+          Derived.yearMonthOf(col("delivered_at")), lit("/"),
+          Derived.uniqName(col("delivery_name"), col("delivered_at")))))
+      .withColumn("task_id", lit(cfg.taskId))
+  }
+
+  /** FITS header keyword extraction as a UDF over the binary payload —
+    * the per-row kernel; everything around it stays relational. */
+  private val udfHeaderKeys =
+    udf((bytes: Array[Byte]) =>
+      if (bytes == null) null else FitsHeader.parse(bytes).keys.toArray)
+
+  /** Execute one micro-batch: route, perform distributed file moves, and
+    * append the registry / bad-file tables. Safe to re-run (duplicate
+    * anti-join turns replays into quarantine rows only if the notify file
+    * still exists). */
+  def runBatch(spark: SparkSession, cfg: Config): IngestReport = {
+    // Invalidate Spark's shared file-status cache for the stage dir: files
+    // are moved/deleted/re-created between micro-batches, and stale
+    // listings (old size/mtime) would poison this batch's scan.
+    spark.catalog.refreshByPath(cfg.stageDir)
+    // One scan of the stage dir serves both sides of the pairing join.
+    val allFiles = spark.read.format("binaryFile").load(cfg.stageDir)
+    val notifyFiles = allFiles.where(col("path").endsWith(".dbb"))
+    val payloads = allFiles.where(!col("path").endsWith(".dbb"))
+    val registry = loadRegistry(spark, cfg)
+    // Write the routing decision (a write-ahead manifest, content dropped)
+    // to scratch parquet BEFORE any destructive move: downstream appends
+    // and the move loop read the durable manifest, never the source files,
+    // so deletion cannot race a lazy re-scan — and a crash mid-move leaves
+    // a replayable manifest rather than half-vanished inputs.
+    val batchDir = cfg.registryDir + "_batch"
+    plan(spark, notifyFiles, payloads, registry, cfg)
+      .drop("content", "kv", "header_keys")
+      .write.mode(SaveMode.Overwrite).parquet(batchDir)
+    val routed = spark.read.parquet(batchDir)
+
+    // distributed file moves — per partition on the executors via the
+    // Hadoop FS API (local FS here; HDFS/object stores on a cluster).
+    // No driver-side loop: the move manifest never leaves the executors.
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    routed.select("status", "payload_path", "notify_path", "archive_path",
+        "quarantine_path")
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val fs = FileSystem.get(hadoopConf.value)
+        rows.foreach { row =>
+          val status = row.getString(0)
+          val payload = Option(row.getString(1))
+          val notifyP = row.getString(2)
+          val target = if (status == "archive") row.getString(3) else row.getString(4)
+          payload.foreach { p =>
+            val src = new Path(new java.net.URI(p).getPath)
+            val dst = new Path(target)
+            fs.mkdirs(dst.getParent)
+            org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, true, true,
+              hadoopConf.value)
+          }
+          fs.delete(new Path(new java.net.URI(notifyP).getPath), false)
+        }
+      }
+
+    val good = routed.where(col("status") === "archive")
+    val bad = routed.where(col("status") === "quarantine")
+    good.select(col("delivery_name").as("filename"), col("filetype"),
+        col("actual_md5").as("md5sum"), col("actual_size").as("filesize"),
+        col("archive_path"), col("delivered_at"), col("task_id"))
+      .write.mode(SaveMode.Append).parquet(cfg.registryDir)
+    bad.select(col("task_id"), col("delivered_at").as("delivery_date"),
+        col("delivery_name").as("orig_filename"),
+        Derived.basenameOf(col("quarantine_path")).as("uniq_fullname"),
+        current_timestamp().as("rejected_date"), col("reject_msg").as("rejected_msg"),
+        col("actual_size").as("filesize"), col("filetype"))
+      .write.mode(SaveMode.Append).parquet(cfg.badFileDir)
+
+    IngestReport(good.count(), bad.count())
+  }
+
+  private def loadRegistry(spark: SparkSession, cfg: Config): DataFrame = {
+    val p = new java.io.File(cfg.registryDir)
+    if (p.exists && p.listFiles != null && p.listFiles.nonEmpty)
+      spark.read.parquet(cfg.registryDir)
+    else {
+      import spark.implicits._
+      Seq.empty[String].toDF("filename")
+    }
+  }
+
+  /** Structured-streaming wrapper: file source over the stage dir,
+    * micro-batches via Trigger.AvailableNow, each batch handled by the
+    * same batch core (SURVEY §2.8 — cron ≙ trigger, notify deletion ≙
+    * offset commit). */
+  def runStream(spark: SparkSession, cfg: Config, checkpoint: String): Unit = {
+    // streaming sources require an explicit schema — binaryFile's is fixed
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val stream = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.dbb").load(cfg.stageDir)
+    val query = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        runBatch(spark, cfg); ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
+  case class IngestReport(archived: Long, quarantined: Long)
+}

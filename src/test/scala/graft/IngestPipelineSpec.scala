@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.security.MessageDigest
+import graft.functions.FitsHeader
+import graft.streaming.IngestPipeline
+import graft.streaming.IngestPipeline.Config
+import org.apache.spark.sql.functions._
+
+/** End-to-end ingest (reference E1): temp stage-in dir with notify/payload
+  * pairs exercising every routing branch, then conservation + idempotence
+  * invariants (SURVEY §5.2). */
+class IngestPipelineSpec extends SparkSpec {
+
+  private def md5hex(b: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+
+  private def writeFixtures(stage: Path): Unit = {
+    def put(name: String, bytes: Array[Byte]): Unit =
+      Files.write(stage.resolve(name), bytes)
+    def notifyFor(name: String, bytes: Array[Byte], md5: Option[String] = None)
+        : Unit =
+      put(name + ".dbb",
+        s"md5sum = ${md5.getOrElse(md5hex(bytes))}\nfilesize = ${bytes.length}\n"
+          .getBytes)
+
+    // good FITS with all required keywords
+    val good = FitsHeader.render(Seq("SIMPLE" -> "T",
+      "DATE-OBS" -> "2024-01-15T03:21:00", "FILTER" -> "g DECam",
+      "RA" -> "54.2"))
+    put("DECam_00000001.fits.fz", good); notifyFor("DECam_00000001.fits.fz", good)
+    // manifest (no keyword contract)
+    val man = """{"nite": "20240115"}""".getBytes
+    put("manifest_SN1.json", man); notifyFor("manifest_SN1.json", man)
+    // bad md5
+    val badMd5 = FitsHeader.render(Seq("DATE-OBS" -> "x", "FILTER" -> "r",
+      "RA" -> "1"))
+    put("DECam_00000002.fits.fz", badMd5)
+    notifyFor("DECam_00000002.fits.fz", badMd5, Some("0" * 32))
+    // missing required keyword (no RA)
+    val noRa = FitsHeader.render(Seq("DATE-OBS" -> "x", "FILTER" -> "r"))
+    put("DECam_00000003.fits.fz", noRa); notifyFor("DECam_00000003.fits.fz", noRa)
+    // unknown filetype
+    val junk = "hello".getBytes
+    put("junk.txt", junk); notifyFor("junk.txt", junk)
+    // notify without payload
+    Files.write(stage.resolve("DECam_00000009.fits.fz.dbb"),
+      "md5sum = abc\n".getBytes)
+  }
+
+  private def mkConfig(): (Path, Config) = {
+    val root = Files.createTempDirectory("ingest")
+    val stage = Files.createDirectory(root.resolve("stage"))
+    (stage, Config(
+      stageDir = stage.toString,
+      archiveDir = root.resolve("archive").toString,
+      quarantineDir = root.resolve("bad").toString,
+      registryDir = root.resolve("registry").toString,
+      badFileDir = root.resolve("bad_file").toString))
+  }
+
+  test("routing: good files archived, bad files quarantined, conservation") {
+    val (stage, cfg) = mkConfig()
+    writeFixtures(stage)
+    val report = IngestPipeline.runBatch(spark, cfg)
+    assert(report.archived == 2, "good FITS + manifest")
+    assert(report.quarantined == 4, "bad md5, missing keyword, junk, no payload")
+
+    // conservation: every notify consumed, each payload in exactly one place
+    assert(stage.toFile.listFiles().isEmpty, "stage dir fully drained")
+    val registry = spark.read.parquet(cfg.registryDir)
+    assert(registry.count() == 2)
+    val reg = registry.collect().map(_.getAs[String]("filename")).toSet
+    assert(reg == Set("DECam_00000001.fits.fz", "manifest_SN1.json"))
+    assert(Files.exists(
+      Paths.get(cfg.archiveDir, "raw", "DECam_00000001.fits.fz")))
+    assert(Files.exists(
+      Paths.get(cfg.archiveDir, "snmanifest", "manifest_SN1.json")))
+
+    val bad = spark.read.parquet(cfg.badFileDir)
+    val msgs = bad.collect().map(r => r.getAs[String]("orig_filename") ->
+      r.getAs[String]("rejected_msg")).toMap
+    assert(msgs("DECam_00000002.fits.fz") == "md5 mismatch")
+    assert(msgs("DECam_00000003.fits.fz").contains("missing required keywords"))
+    assert(msgs("DECam_00000003.fits.fz").contains("RA"))
+    assert(msgs("junk.txt") == "unknown filetype")
+    assert(msgs("DECam_00000009.fits.fz") == "payload file missing")
+  }
+
+  test("idempotence: replaying an already-registered file is a duplicate") {
+    val (stage, cfg) = mkConfig()
+    writeFixtures(stage)
+    IngestPipeline.runBatch(spark, cfg)
+    // redeliver the same good file
+    val good = FitsHeader.render(Seq("SIMPLE" -> "T", "DATE-OBS" -> "x",
+      "FILTER" -> "g", "RA" -> "5"))
+    Files.write(stage.resolve("DECam_00000001.fits.fz"), good)
+    Files.write(stage.resolve("DECam_00000001.fits.fz.dbb"),
+      s"md5sum = ${md5hex(good)}\nfilesize = ${good.length}\n".getBytes)
+    val second = IngestPipeline.runBatch(spark, cfg)
+    assert(second.archived == 0)
+    assert(second.quarantined == 1)
+    val registry = spark.read.parquet(cfg.registryDir)
+    assert(registry.where(col("filename") === "DECam_00000001.fits.fz").count() == 1)
+    val dupMsgs = spark.read.parquet(cfg.badFileDir)
+      .where(col("rejected_msg") === "duplicate file").count()
+    assert(dupMsgs == 1)
+  }
+
+  test("streaming wrapper drains the stage dir via AvailableNow") {
+    val (stage, cfg) = mkConfig()
+    writeFixtures(stage)
+    val checkpoint = Files.createTempDirectory("ckpt").toString
+    IngestPipeline.runStream(spark, cfg, checkpoint)
+    assert(stage.toFile.listFiles().isEmpty)
+    assert(spark.read.parquet(cfg.registryDir).count() == 2)
+  }
+}
