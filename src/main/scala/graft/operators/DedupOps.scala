@@ -27,21 +27,24 @@ object DedupOps {
 
   private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
 
-  /** doc_id, lang, tok (distinct word shingles). */
+  /** doc_id, lang, tok (distinct 3-gram shingles — see
+    * [[TextOps.shingles3]]; word-level sets degenerate on small
+    * vocabularies and defeat LSH pruning). */
   private def exploded(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        array_distinct(toks(col("text"))).as("tset"))
+        TextOps.shingles3(col("text")).as("tset"))
       .withColumn("n_tok", size(col("tset")))
       .select(col("doc_id"), col("lang"), col("n_tok"),
         explode(col("tset")).as("tok"))
 
   /** Per-(doc, band) LSH key: md5 of the seed-ordered minhash signature
-    * slice. */
-  private def bandKeys(spark: SparkSession, dir: String): DataFrame = {
+    * slice. One md5 per (shingle, seed): measured faster than deriving
+    * several hash windows from fewer digests — the array-building HOFs run
+    * interpreted and their allocation cost exceeds the digest savings. */
+  private def bandKeys(spark: SparkSession, ex: DataFrame): DataFrame = {
     val seeds = explode(sequence(lit(0), lit(NumHashes - 1))).as("seed")
-    exploded(spark, dir)
-      .select(col("doc_id"), col("lang"), col("tok"), seeds)
+    ex.select(col("doc_id"), col("lang"), col("tok"), seeds)
       .withColumn("h",
         md5(concat(col("seed").cast("string"), lit("|"), col("tok")).cast("binary")))
       .groupBy(col("doc_id"), col("lang"), col("seed"))
@@ -57,7 +60,12 @@ object DedupOps {
     * with exact Jaccard; summarized per lang (candidate count, verified
     * duplicate count at j >= 0.85). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val bk = bandKeys(spark, dir)
+    // The shingle relation feeds four plan branches (both sides of the
+    // band-key self-join, both sides of the verify join). Persist it so
+    // the zip_with shingle expression is evaluated — and its generated
+    // code compiled — exactly once instead of per branch.
+    val ex = exploded(spark, dir).persist()
+    val bk = bandKeys(spark, ex)
     // LSH buckets ignore language, so candidates may cross languages;
     // label same-lang pairs with the language and the rest 'cross' so the
     // per-lang numbers are directly comparable to an exact per-lang dedup.
@@ -69,7 +77,6 @@ object DedupOps {
           .as("lang"),
         col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val ex = exploded(spark, dir)
     val shared = cand
       .join(ex.select(col("doc_id").as("id_a"), col("n_tok").as("n_a"),
         col("tok")), Seq("id_a"))
@@ -113,6 +120,7 @@ object DedupOps {
     * product — this is the 100 TB path, with knnBruteForce as the exact
     * baseline. */
   def annBucketed(spark: SparkSession, dir: String, signDims: Int = 6): DataFrame = {
+    val dot = graft.plans.DotProductLong.dotLong(spark) _
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))
@@ -120,18 +128,14 @@ object DedupOps {
       .withColumn("bucket", array_join(
         transform(slice(col("qe"), 1, signDims),
           x => when(x >= 0, "1").otherwise("0")), ""))
-      .withColumn("nrm",
-        aggregate(zip_with(col("qe"), col("qe"), (x, y) => x * y), lit(0L),
-          (acc, x) => acc + x))
+      .withColumn("nrm", dot(col("qe"), col("qe")))
     val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
       col("qe").as("qe_a"), col("nrm").as("nrm_a"))
     val b = emb.select(col("bucket"), col("vec_id").as("id_b"),
       col("qe").as("qe_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("bucket"))
       .where(col("id_a") =!= col("id_b"))
-      .withColumn("sim", round(
-        aggregate(zip_with(col("qe_a"), col("qe_b"), (x, y) => x * y), lit(0L),
-          (acc, x) => acc + x).cast("double")
+      .withColumn("sim", round(dot(col("qe_a"), col("qe_b")).cast("double")
           / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))), 4))
       .groupBy(col("bucket"), col("id_a"))
       .agg(max_by(col("id_b"), struct(col("sim"), -col("id_b"))).as("ann_id"),
@@ -152,7 +156,7 @@ object DedupOps {
     "q_minhash_lsh" ->
       s"""WITH ex AS (
          |  SELECT doc_id, lang, length(tset) AS n_tok, unnest(tset) AS tok
-         |  FROM (SELECT doc_id, lang, list_distinct($toksSql) AS tset
+         |  FROM (SELECT doc_id, lang, ${TextOps.shingles3Sql} AS tset
          |        FROM documents)),
          |mh AS (
          |  SELECT doc_id, lang, seed, min(md5(seed || '|' || tok)) AS minh
@@ -182,7 +186,7 @@ object DedupOps {
     "q_simhash" ->
       s"""WITH ex AS (
          |  SELECT DISTINCT doc_id, tok FROM (
-         |    SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
+         |    SELECT doc_id, unnest(${TextOps.shingles3Sql}) AS tok
          |    FROM documents)),
          |votes AS (
          |  SELECT doc_id, pos + 1 AS pos,

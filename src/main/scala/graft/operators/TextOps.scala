@@ -20,6 +20,39 @@ object TextOps {
   private def toks(c: Column): Column =
     filter(split(c, " "), t => t =!= "")
 
+  /** Distinct 3-gram word shingles (the MinHash/Jaccard unit). Word-level
+    * sets degenerate on small vocabularies — every doc looks like every
+    * other; 3-grams carry word order, so similarity concentrates on real
+    * near-dups and shingle-blocked joins stop exploding. Docs shorter than
+    * 3 tokens fall back to one whole-text shingle. */
+  def shingles3(text: Column): Column = {
+    val t = toks(text)
+    // zip the token array against its 1- and 2-shifted slices instead of
+    // indexing with element_at inside a transform lambda: element_at(t, i)
+    // re-evaluates the whole split() subtree per ELEMENT (Catalyst does
+    // not CSE into lambda bodies), which turned this into O(len²) string
+    // splitting. zip_with evaluates each input array once per ROW.
+    // zip_with pads the shorter side with null and concat propagates null,
+    // so the 2 trailing partial shingles drop out in the filter.
+    val shifted1 = slice(t, 2, Int.MaxValue - 8)
+    val shifted2 = slice(t, 3, Int.MaxValue - 8)
+    val grams = filter(
+      zip_with(zip_with(t, shifted1, (x, y) => concat(x, lit(" "), y)),
+        shifted2, (xy, z) => concat(xy, lit(" "), z)),
+      g => g.isNotNull)
+    array_distinct(
+      when(size(t) >= 3, grams).otherwise(array(array_join(t, " "))))
+  }
+
+  /** DuckDB rendering of [[shingles3]] — must stay semantically identical. */
+  val shingles3Sql: String = {
+    val t = "list_filter(string_split(text, ' '), t -> t <> '')"
+    s"""list_distinct(CASE WHEN len($t) >= 3
+       |    THEN list_transform(range(1, len($t) - 1),
+       |           i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2])
+       |    ELSE [array_to_string($t, ' ')] END)""".stripMargin
+  }
+
   /** Per-document token statistics — token counting + shape stats. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -99,19 +132,22 @@ object TextOps {
           .as("n_uniq_fp"),
         countDistinct(substring(col("text"), 1, 40)).as("n_uniq_prefix40"))
 
-  /** Word-set Jaccard best-match per document — n-gram Jaccard near-dup in
-    * its exact form. Shape: explode distinct tokens → equi-join on
-    * (lang, token) → group per pair counting shared tokens → Jaccard from
-    * integer set sizes (exact rational, engine-portable) → arg-max per doc.
-    * The token equi-join is the blocked/shuffle-friendly formulation; LSH
-    * replaces it beyond ~10^7 docs (see DedupOps). */
+  /** 3-gram Jaccard best-match per document — n-gram Jaccard near-dup in
+    * its exact form. Shape: explode distinct shingles → equi-join on
+    * (lang, shingle) → group per pair counting shared shingles → Jaccard
+    * from integer set sizes (exact rational, engine-portable) → arg-max
+    * per doc. The shingle equi-join is the blocked/shuffle-friendly
+    * formulation; LSH replaces it beyond ~10^7 docs (see DedupOps).
+    * Docs sharing no shingle with anyone have no best match (dropped) —
+    * identical in the oracle. */
   def jaccardBestMatch(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        array_distinct(toks(col("text"))).as("tset"))
+      .select(col("doc_id"), col("lang"), shingles3(col("text")).as("tset"))
       .withColumn("n_tok", size(col("tset")))
+    // persisted: feeds both sides of the self-join (single evaluation +
+    // single codegen of the shingle expression)
     val exploded = docs.select(col("doc_id"), col("lang"), col("n_tok"),
-      explode(col("tset")).as("tok"))
+      explode(col("tset")).as("tok")).persist()
     val a = exploded.select(col("doc_id").as("id_a"), col("lang"),
       col("n_tok").as("n_a"), col("tok"))
     val b = exploded.select(col("doc_id").as("id_b"), col("lang"),
@@ -201,7 +237,7 @@ object TextOps {
         |FROM documents""".stripMargin,
     "q_jaccard_best" ->
       s"""WITH docs AS (
-         |  SELECT doc_id, lang, list_distinct($toksSql) AS tset
+         |  SELECT doc_id, lang, $shingles3Sql AS tset
          |  FROM documents),
          |ex AS (
          |  SELECT doc_id, lang, length(tset) AS n_tok, unnest(tset) AS tok

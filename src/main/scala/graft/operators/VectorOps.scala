@@ -2,20 +2,20 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.plans.DotProductLong
 import graft.sources.Tables
 
 /** [EXT] Similarity-search operators over the embeddings table
   * (SURVEY.md §2.3 J14, §2.6 T5): brute-force cosine top-k as the exact
   * baseline, centroid aggregation, and nearest-neighbor within a blocking
-  * key. All vector math is expression-level (`zip_with`/`aggregate` —
-  * codegen-capable, no UDFs).
+  * key. The dot-product kernel is a native codegen'd Catalyst expression
+  * ([[graft.plans.DotProductLong]]); everything else is built-in
+  * expressions.
   *
   * Oracle-parity note: cross-engine float summation order is not
   * guaranteed, so oracled queries quantize elements to integer
   * milli-units first — dot products and norms become exact integer
   * arithmetic, and the final cosine is one deterministic double division.
-  * Full-precision variants (same plans, float math) are used in the
-  * benchmark path where no cross-engine hash match is required.
   */
 object VectorOps {
 
@@ -23,12 +23,18 @@ object VectorOps {
   private def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * 1000).cast("long"))
 
-  private val dot: (Column, Column) => Column = (a, b) =>
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-
   /** Cosine over quantized vectors: exact integer dot / double norms. */
-  private def cosineQ(a: Column, b: Column, na: Column, nb: Column): Column =
+  private def cosineQ(dot: (Column, Column) => Column)
+      (a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** vec_id, label, quantized embedding + its norm. */
+  private def quantized(spark: SparkSession, dir: String): DataFrame = {
+    val dot = DotProductLong.dotLong(spark) _
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qe"))
+      .withColumn("nrm", dot(col("qe"), col("qe")))
+  }
 
   /** Brute-force cosine top-k — J14/T5 baseline: a small query set is
     * broadcast against the full corpus; per-query top-k via window rank.
@@ -36,16 +42,15 @@ object VectorOps {
     * queries move — no shuffle of the big side. */
   def knnBruteForce(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 5): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
-      .withColumn("nrm", dot(col("qe"), col("qe")))
+    val dot = DotProductLong.dotLong(spark) _
+    val emb = quantized(spark, dir)
     val queries = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qe").as("q_qe"),
         col("nrm").as("q_nrm"))
     val scored = emb.where(col("vec_id") >= nQueries)
       .crossJoin(broadcast(queries))
       .withColumn("sim",
-        round(cosineQ(col("q_qe"), col("qe"), col("q_nrm"), col("nrm")), 4))
+        round(cosineQ(dot)(col("q_qe"), col("qe"), col("q_nrm"), col("nrm")), 4))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
@@ -59,9 +64,8 @@ object VectorOps {
     * near-dup" shape: per-label self-join instead of a global cross
     * product; each block is independent and parallel. */
   def nnWithinLabel(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qe"))
-      .withColumn("nrm", dot(col("qe"), col("qe")))
+    val dot = DotProductLong.dotLong(spark) _
+    val emb = quantized(spark, dir)
     val a = emb.select(col("label"), col("vec_id").as("id_a"),
       col("qe").as("qe_a"), col("nrm").as("nrm_a"))
     val b = emb.select(col("label"), col("vec_id").as("id_b"),
@@ -69,7 +73,7 @@ object VectorOps {
     a.join(b, Seq("label"))
       .where(col("id_a") =!= col("id_b"))
       .withColumn("sim",
-        round(cosineQ(col("qe_a"), col("qe_b"), col("nrm_a"), col("nrm_b")), 4))
+        round(cosineQ(dot)(col("qe_a"), col("qe_b"), col("nrm_a"), col("nrm_b")), 4))
       .groupBy(col("label"), col("id_a"))
       .agg(max_by(col("id_b"), struct(col("sim"), -col("id_b"))).as("nn_id"),
         max(col("sim")).as("nn_sim"))
