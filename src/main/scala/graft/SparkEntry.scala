@@ -16,11 +16,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ ReconOps.queries ++ TextOps.queries ++
-      VectorOps.queries ++ DedupOps.queries ++ IngestOps.queries
+      VectorOps.queries ++ DedupOps.queries ++ IngestOps.queries ++
+      MultimodalOps.queries ++ MonitorOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalOps.oracles ++ ReconOps.oracles ++ TextOps.oracles ++
-      VectorOps.oracles ++ DedupOps.oracles ++ IngestOps.oracles
+      VectorOps.oracles ++ DedupOps.oracles ++ IngestOps.oracles ++
+      MultimodalOps.oracles ++ MonitorOps.oracles
 }
