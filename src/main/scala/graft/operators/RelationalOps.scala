@@ -129,7 +129,22 @@ object RelationalOps {
         col("value"))
   }
 
+  /** Approximate distinct — SURVEY §2.4 A11 (HLL path for 100 TB dedup
+    * accounting): approx_count_distinct next to the exact count. No SQL
+    * oracle (sketch results are engine-specific) → rows-only check; the
+    * relative-error contract is asserted in tests. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    Tables.lineitem(spark, dir)
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_distinct" -> approxDistinct _,
     "q1_pricing"     -> q1Pricing _,
     "q_pushdown"     -> pushdownScan _,
     "q_join_agg"     -> joinAgg _,
