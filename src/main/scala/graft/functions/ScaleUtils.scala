@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities (SURVEY.md §7.4.5, README scale notes): bucketed
+  * co-located joins and salt-based skew mitigation — the two manual
+  * levers that matter at 100 TB when AQE alone is not enough.
+  */
+object ScaleUtils {
+
+  /** Write a DataFrame as a bucketed table: rows are hash-bucketed by the
+    * join key at write time, so future equi-joins between tables bucketed
+    * the same way need NO shuffle (Exchange disappears from the plan —
+    * asserted in ScaleUtilsSpec). Bucket metadata requires the catalog, so
+    * this goes through `saveAsTable`. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a stale managed-table location from a previous session (catalog is
+    // per-JVM, the warehouse dir is not) blocks CREATE — clear it
+    val warehouse = new java.net.URI(
+      spark.sessionState.conf.getConfString("spark.sql.warehouse.dir")).getPath
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
+  /** Salted join for skewed keys: the big side's rows get a deterministic
+    * salt derived from the full row (stable under task retries — never
+    * rand()), the small side is exploded across all salt values, and the
+    * join key becomes (key, salt). Hot keys spread over `saltFactor`
+    * reducers; results are identical to the unsalted join. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    val bigSalted = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(saltFactor))
+        .cast("int"))
+    val smallExploded = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    bigSalted.join(smallExploded, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+
+  /** Repartition a fact table by its dominant join/group key with a
+    * partition count sized from data volume (bytes per partition target),
+    * so downstream joins/aggs on that key reuse the partitioning without
+    * a second shuffle. */
+  def repartitionForKey(df: DataFrame, key: String,
+      targetPartitionBytes: Long = 128L * 1024 * 1024,
+      estimatedBytes: Option[Long] = None): DataFrame = {
+    val bytes = estimatedBytes.getOrElse(
+      df.sparkSession.sessionState.executePlan(df.queryExecution.logical)
+        .optimizedPlan.stats.sizeInBytes.toLong)
+    val parts = math.max(1, (bytes / targetPartitionBytes).toInt)
+    df.repartition(parts, col(key))
+  }
+}

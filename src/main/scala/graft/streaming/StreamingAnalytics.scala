@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Streaming analytics over the events stream (SURVEY.md §2.8): the
+  * reference's only "window" is the calendar nite (a derived grouping
+  * column, see Derived.niteOf); these are the Spark-native generalizations
+  * a continuously-running deployment needs — watermarked tumbling/sliding
+  * windows and gap-based sessionization with explicit state.
+  *
+  * All transforms are source-agnostic (take a DataFrame/Dataset): the same
+  * code runs on `spark.read` (batch backfill) and `spark.readStream`
+  * (incremental) inputs — the streaming/batch unification is the point.
+  */
+object StreamingAnalytics {
+
+  /** Watermarked tumbling-window rollup: event counts + value sums per
+    * (window, event_type). Late data beyond the watermark is dropped;
+    * state is bounded by watermark horizon — safe for unbounded streams. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,4)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(start: Long, last: Long, n: Int, sumValue: Double)
+
+  case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Int, sum_value: Double,
+      closed: Boolean)
+
+  /** Pure sessionization fold: split a user's time-sorted events into
+    * gap-bounded sessions. Kept pure so the state logic is unit-testable
+    * without a streaming harness; the stateful wrapper below reuses it. */
+  def foldSessions(sorted: Seq[Ev], gapMs: Long,
+      carryIn: Option[SessionState]): (Seq[SessionState], Option[SessionState]) = {
+    val all = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+    var cur = carryIn
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur = cur match {
+        case Some(s) if t - s.last <= gapMs =>
+          Some(s.copy(last = t, n = s.n + 1, sumValue = s.sumValue + e.value))
+        case Some(s) =>
+          all += s
+          Some(SessionState(t, t, 1, e.value))
+        case None =>
+          Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    (all.toSeq, cur)
+  }
+
+  /** Gap-based sessionization with `flatMapGroupsWithState` (Update
+    * mode): closed sessions emit `closed=true`; the in-flight session
+    * emits a snapshot each batch. State per user is one small struct —
+    * bounded.
+    *
+    * `timeoutMs = Some(ms)` additionally finalizes idle sessions via
+    * processing-time timeout — for long-running production queries only:
+    * pending timeouts keep the micro-batch loop alive, so drive such
+    * queries with a real trigger, never `processAllAvailable`. The
+    * default (no timeout) is fully deterministic: the gap logic closes
+    * sessions as later events arrive. */
+  def sessionize(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000L,
+      timeoutMs: Option[Long] = None): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (timeoutMs.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Update(), timeoutConf) {
+        (userId: Long, it: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (timeoutMs.isDefined && state.hasTimedOut) {
+            val out = state.getOption.map(s => Session(userId,
+              new Timestamp(s.start), new Timestamp(s.last), s.n, s.sumValue,
+              closed = true))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val (closed, open) = foldSessions(sorted, gapMs, state.getOption)
+            open match {
+              case Some(s) =>
+                state.update(s)
+                timeoutMs.foreach(state.setTimeoutDuration)
+              case None => state.remove()
+            }
+            (closed.map(s => Session(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.sumValue, closed = true)) ++
+              open.map(s => Session(userId, new Timestamp(s.start),
+                new Timestamp(s.last), s.n, s.sumValue, closed = false)))
+              .iterator
+          }
+      }
+  }
+
+  /** Run a streaming query over parquet files into a memory sink and
+    * return the result table (test/backfill aid).
+    *
+    * Append-mode queries use `Trigger.AvailableNow` + awaitTermination —
+    * the terminal batch advances the watermark so windowed aggregates
+    * flush. Update-mode stateful queries instead use the default trigger
+    * with `processAllAvailable()` + `stop()`: under AvailableNow a
+    * pending processing-time timeout keeps the MultiBatchExecutor alive
+    * and awaitTermination never returns. */
+  def runToMemory(spark: SparkSession, streaming: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append()): DataFrame = {
+    val writer = streaming.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+    if (mode == OutputMode.Update()) {
+      val q = writer.start()
+      q.processAllAvailable()
+      q.stop()
+    } else {
+      val q = writer
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.functions.ScaleUtils
+import graft.streaming.StreamingAnalytics
+import graft.streaming.StreamingAnalytics.Ev
+
+/** Usage example / smoke driver for streaming analytics + scale utils.
+  * Run: sbt "runMain graft.tools.StreamDemo [sfDir]" */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // windowed streaming over the events table as a file stream
+    val batch = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("sdemo").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val win = StreamingAnalytics.runToMemory(spark,
+      StreamingAnalytics.windowedCounts(stream), "sdemo_win")
+    println(s"[demo] windowed rows emitted: ${win.count()}")
+    win.orderBy(col("win_start")).show(3, false)
+
+    // stateful sessionization
+    val sess = StreamingAnalytics.runToMemory(spark,
+      StreamingAnalytics.sessionize(
+        spark.readStream.schema(batch.schema).parquet(dir).as[Ev],
+        gapMs = 3600 * 1000L).toDF(),
+      "sdemo_sess", OutputMode.Update())
+    println(s"[demo] sessions: ${sess.count()} " +
+      s"(closed=${sess.where(col("closed")).count()})")
+
+    // salted join — probe saltFactor=1 degenerate case
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val n8 = ScaleUtils.saltedJoin(li, orders, "l_orderkey", 8).count()
+    val n1 = ScaleUtils.saltedJoin(li, orders, "l_orderkey", 1).count()
+    val plain = li.join(orders, Seq("l_orderkey")).count()
+    println(s"[demo] salted8=$n8 salted1=$n1 plain=$plain")
+
+    // bucketed co-located join plan
+    ScaleUtils.writeBucketed(orders, "sdemo_orders_b", "l_orderkey", 4)
+    ScaleUtils.writeBucketed(li, "sdemo_li_b", "l_orderkey", 4)
+    val j = spark.table("sdemo_orders_b").join(spark.table("sdemo_li_b"), Seq("l_orderkey"))
+    val shuffles = j.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    println(s"[demo] bucketed-join shuffle exchanges: $shuffles (rows=${j.count()})")
+    spark.stop()
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.StreamingAnalytics
+import graft.streaming.StreamingAnalytics.{Ev, SessionState}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+
+class StreamingAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("foldSessions: gap splitting, carry-in continuation") {
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0),
+      Ev(3, ts("2024-01-01 11:30:00"), 1, "click", 3.0))
+    val (closed, open) = StreamingAnalytics.foldSessions(evs, 30 * 60 * 1000L, None)
+    assert(closed.length == 1)
+    assert(closed.head.n == 2 && closed.head.sumValue == 3.0)
+    assert(open.exists(_.n == 1))
+    // carry-in merges with first event when within gap
+    val (closed2, open2) = StreamingAnalytics.foldSessions(
+      evs.take(1), 30 * 60 * 1000L,
+      Some(SessionState(ts("2024-01-01 09:45:00").getTime,
+        ts("2024-01-01 09:45:00").getTime, 1, 5.0)))
+    assert(closed2.isEmpty && open2.exists(s => s.n == 2 && s.sumValue == 6.0))
+  }
+
+  test("windowed counts: streaming over files == batch groupBy(window)") {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val batch = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val got = StreamingAnalytics.runToMemory(spark,
+      StreamingAnalytics.windowedCounts(stream), "win_counts")
+    val want = StreamingAnalytics.windowedCounts(spark.read.schema(schema).parquet(dir))
+    assert(got.count() > 0)
+    // streaming (append mode) can only emit windows the final watermark
+    // has passed — it must be a subset of batch, and every batch row
+    // missing from streaming must be inside the final watermark horizon
+    // (watermark 2h + window 1h from the max event time)
+    assert(got.exceptAll(want).count() == 0)
+    val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
+    val horizon = new java.sql.Timestamp(maxTs.getTime - 3L * 3600 * 1000)
+    val missing = want.exceptAll(got)
+    assert(missing.where(col("win_end") <= horizon).count() == 0)
+  }
+
+  test("sessionize: per-user sessions with gap splitting (streaming)") {
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(3, ts("2024-01-01 12:00:00"), 1, "click", 1.0),
+      Ev(4, ts("2024-01-01 10:00:00"), 2, "view", 2.0))
+    val dir = java.nio.file.Files.createTempDirectory("sess").toString
+    evs.toDS().write.mode("overwrite").parquet(dir)
+    val schema = implicitly[org.apache.spark.sql.Encoder[Ev]].schema
+    val stream = spark.readStream.schema(schema).parquet(dir).as[Ev]
+    val got = StreamingAnalytics.runToMemory(spark,
+      StreamingAnalytics.sessionize(stream).toDF(), "sessions",
+      OutputMode.Update())
+    // user 1: one closed session (2 events), one open singleton; user 2: open singleton
+    val u1 = got.where($"user_id" === 1).collect()
+    assert(u1.exists(r => r.getAs[Boolean]("closed") && r.getAs[Int]("n_events") == 2))
+    assert(u1.exists(r => !r.getAs[Boolean]("closed") && r.getAs[Int]("n_events") == 1))
+    assert(got.where($"user_id" === 2 && !$"closed").count() == 1)
+  }
+}
