@@ -39,21 +39,26 @@ object DedupOps {
         explode(col("tset")).as("tok"))
 
   /** Per-(doc, band) LSH key: md5 of the seed-ordered minhash signature
-    * slice. One md5 per (shingle, seed): measured faster than deriving
-    * several hash windows from fewer digests — the array-building HOFs run
-    * interpreted and their allocation cost exceeds the digest savings. */
+    * slice. The 12 minhashes are 12 min-aggregates in ONE groupBy — the
+    * partial (map-side) aggregation collapses the shuffle to one row per
+    * doc instead of exploding 12 seed rows per shingle; band keys are
+    * column-wise md5s unpivoted with `stack`. Semantics identical to the
+    * explode formulation (and to the SQL oracle): per-seed lexicographic
+    * min over md5("seed|tok"). */
   private def bandKeys(spark: SparkSession, ex: DataFrame): DataFrame = {
-    val seeds = explode(sequence(lit(0), lit(NumHashes - 1))).as("seed")
-    ex.select(col("doc_id"), col("lang"), col("tok"), seeds)
-      .withColumn("h",
-        md5(concat(col("seed").cast("string"), lit("|"), col("tok")).cast("binary")))
-      .groupBy(col("doc_id"), col("lang"), col("seed"))
-      .agg(min(col("h")).as("minh"))
-      .withColumn("band", expr(s"seed div $BandSize"))
-      .groupBy(col("doc_id"), col("lang"), col("band"))
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
-          x => x.getField("minh")), ",").cast("binary")).as("band_key"))
+    val minExprs = (0 until NumHashes).map(s =>
+      min(md5(concat(lit(s"$s|"), col("tok")).cast("binary"))).as(s"m$s"))
+    val mh = ex.groupBy(col("doc_id"), col("lang"))
+      .agg(minExprs.head, minExprs.tail: _*)
+    val nBands = NumHashes / BandSize
+    val bandCols = (0 until nBands).map { b =>
+      val slice = (0 until BandSize).map(i => col(s"m${b * BandSize + i}"))
+      md5(concat_ws(",", slice: _*).cast("binary")).as(s"bk$b")
+    }
+    val stackArgs = (0 until nBands).map(b => s"$b, bk$b").mkString(", ")
+    mh.select(col("doc_id") +: col("lang") +: bandCols: _*)
+      .select(col("doc_id"), col("lang"),
+        expr(s"stack($nBands, $stackArgs) as (band, band_key)"))
   }
 
   /** MinHash-LSH near-dup: candidate pairs from shared band keys, verified

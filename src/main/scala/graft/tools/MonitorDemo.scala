@@ -1,0 +1,45 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{MonitorOps, ReconOps, RelationalOps}
+import graft.report.HtmlReport
+
+/** E2 end-to-end: the monitor job as one composition — gather (scans +
+  * derived nite), summarize (anti-joins, rollups, state classification),
+  * render (HTML report with recency highlighting). Writes report.html.
+  *
+  * Run: sbt "runMain graft.tools.MonitorDemo [sfDir] [outFile]"
+  */
+object MonitorDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.lift(1).getOrElse("/tmp/report.html")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+
+    val sections = Seq(
+      "Per-nite event rollup" ->
+        ReconOps.niteRollup(spark, sfDir).orderBy(col("nite").desc),
+      "Errors per nite" ->
+        ReconOps.errorsPerNite(spark, sfDir).orderBy(col("nite").desc),
+      "Order state reconciliation" -> ReconOps.expstate(spark, sfDir),
+      "Flagged users per nite (union accumulate)" ->
+        MonitorOps.unionAccumulate(spark, sfDir).orderBy(col("nite").desc),
+      "Top-20 recent errors" -> RelationalOps.topkErrors(spark, sfDir))
+
+    val html = HtmlReport.render("DBB stage-in monitor", sections,
+      (System.nanoTime() - t0) / 1e9)
+    Files.writeString(Paths.get(out), html)
+    println(s"[demo] wrote $out (${html.length} chars, " +
+      s"${sections.size} sections)")
+    spark.stop()
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+import graft.functions.FitsHeader
+import graft.streaming.StreamingAnalytics
+import graft.streaming.StreamingAnalytics.Ev
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY §5.2): reference-documented contracts
+  * checked over generated inputs. (Raw scalacheck runner — the
+  * scalatestplus bridge is not on the classpath.) */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("FitsHeader render/parse round-trips arbitrary keyword maps") {
+    val keyGen = Gen.nonEmptyListOf(Gen.alphaUpperChar).map(_.mkString.take(8))
+    val valGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(40))
+    val kvGen = Gen.mapOf(Gen.zip(keyGen, valGen)).map(_.toSeq.take(20))
+    check(Prop.forAll(kvGen) { kv =>
+      val parsed = FitsHeader.parse(FitsHeader.render(kv))
+      kv.toMap.forall { case (k, v) => parsed.get(k).contains(v) }
+    })
+  }
+
+  test("foldSessions conserves events and orders sessions") {
+    val evGen = Gen.listOf(Gen.chooseNum(0L, 100000L)).map { ts =>
+      ts.sorted.zipWithIndex.map { case (t, i) =>
+        Ev(i.toLong, new Timestamp(t), 1L, "e", 1.0)
+      }
+    }
+    check(Prop.forAll(evGen, Gen.chooseNum(1L, 5000L)) { (evs, gap) =>
+      val (closed, open) = StreamingAnalytics.foldSessions(evs, gap, None)
+      val total = closed.map(_.n).sum + open.map(_.n).sum
+      val conserved = total == evs.length
+      // sessions are disjoint and time-ordered; intra-session span respects gap chain
+      val allSessions = closed ++ open.toSeq
+      val ordered = allSessions.sortBy(_.start).sliding(2).forall {
+        case Seq(a, b) => a.last < b.start && (b.start - a.last) > gap
+        case _ => true
+      }
+      conserved && ordered
+    })
+  }
+
+  test("nite cutoff: every timestamp maps to exactly one nite, monotone") {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tsGen = Gen.listOfN(50, Gen.chooseNum(1704067200000L, 1706745600000L))
+    check(Prop.forAll(tsGen) { ms =>
+      val df = ms.map(new Timestamp(_)).toDF("ts")
+        .withColumn("nite", graft.functions.Derived.niteOf(col("ts")))
+      val rows = df.select("ts", "nite").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1)))
+      // monotone: later timestamp never maps to an earlier nite
+      rows.sortBy(_._1).map(_._2).sliding(2).forall {
+        case Array(a, b) => a <= b
+        case _ => true
+      }
+    })
+  }
+}
