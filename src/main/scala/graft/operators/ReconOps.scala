@@ -160,7 +160,20 @@ object ReconOps {
         date_format(date_sub(to_date(col("max_ts")), col("i")), "yyyyMMdd")
           .as("nite"))
 
+  /** Hourly tumbling-window rollup in batch mode — the `window()` grouping
+    * the streaming path uses (StreamingAnalytics.windowedCounts), oracled
+    * against DuckDB's time_bucket. */
+  def hourlyWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec("value")).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_hourly"   -> hourlyWindow _,
     "q_nite_rollup"     -> niteRollup _,
     "q_errors_per_nite" -> errorsPerNite _,
     "q_skip_dups"       -> skipDuplicates _,
@@ -179,6 +192,12 @@ object ReconOps {
     "strftime(CASE WHEN extract(hour FROM ts) < 15 THEN ts - INTERVAL 1 DAY ELSE ts END, '%Y%m%d')"
 
   val oracles: Map[String, String] = Map(
+    "q_window_hourly" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS win_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_nite_rollup" ->
       s"""SELECT $niteSql AS nite, count(*) AS n_events,
          |  CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
