@@ -91,10 +91,69 @@ object VectorOps {
       .groupBy(col("label"), col("pos").as("dim"))
       .agg(sum(col("col")).as("sum_milli"), count(lit(1)).as("n"))
 
+  /** IVF-style ANN: the label centroids act as the coarse quantizer
+    * (inverted-file cells). Each query scores all centroids (tiny), keeps
+    * its `nprobe` nearest cells, and searches only vectors in those cells
+    * — the corpus-side scan shrinks by ~nprobe/ncells. Exact integer
+    * arithmetic end-to-end (milli-quantized), so fully oracled.
+    *
+    * At cluster scale: centroids are broadcast, the corpus stays
+    * partitioned by cell, and only (query × probed-cell) pairs shuffle.
+    *
+    * Measured recall@5 vs knnBruteForce at nprobe=3/10 cells on the
+    * sf0.01 testdata: ~2.8/5 average — the synthetic embeddings are
+    * unclustered (random labels → centroids near zero), the worst case
+    * for any IVF. On clustered corpora the coarse quantizer is k-means
+    * and recall at the same probe ratio is far higher; recall→100% as
+    * nprobe→ncells by construction. */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5,
+      nprobe: Int = 3): DataFrame = {
+    val dot = DotProductLong.dotLong(spark) _
+    val emb = quantized(spark, dir)
+    // coarse quantizer: per-label centroid in milli-units (sum div count)
+    val cents = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(quantize(col("embedding"))))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr("s div n"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label").as("cell"),
+        transform(col("pc"), x => x.getField("c")).as("centroid"))
+      .withColumn("c_nrm", dot(col("centroid"), col("centroid")))
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"),
+        col("nrm").as("q_nrm"))
+    // probe assignment: nprobe nearest cells per query by centroid cosine
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cell_sim").desc, col("cell").asc)
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("cell_sim",
+        round(cosineQ(dot)(col("q_qe"), col("centroid"), col("q_nrm"), col("c_nrm")), 4))
+      .withColumn("cell_rank", row_number().over(wProbe))
+      .where(col("cell_rank") <= nprobe)
+      .select(col("query_id"), col("q_qe"), col("q_nrm"), col("cell"))
+    // search only the probed cells
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    probed.join(emb.where(col("vec_id") >= nQueries)
+        .select(col("label").as("cell"), col("vec_id").as("neighbor_id"),
+          col("qe"), col("nrm")), Seq("cell"))
+      .withColumn("sim",
+        round(cosineQ(dot)(col("q_qe"), col("qe"), col("q_nrm"), col("nrm")), 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("sim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_cosine"   -> ((s: SparkSession, d: String) => knnBruteForce(s, d)),
     "q_nn_per_label" -> nnWithinLabel _,
     "q_centroids"    -> centroids _,
+    "q_ann_ivf"      -> ((s: SparkSession, d: String) => annIvf(s, d)),
   )
 
   private val qSql = "list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
@@ -137,5 +196,47 @@ object VectorOps {
          |  count(*) AS n
          |FROM (SELECT label, $qSql AS qe FROM embeddings), range(8) t(i)
          |GROUP BY 1, 2""".stripMargin,
+    // integer division in the centroid is trunc-toward-zero on both sides:
+    // Spark `div` truncates; the oracle uses trunc() explicitly because
+    // engine-native integer division semantics differ on negatives.
+    "q_ann_ivf" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, label, $qSql AS qe FROM embeddings),
+         |n AS (SELECT vec_id, label, qe, list_dot_product(qe, qe) AS nrm FROM emb),
+         |cd AS (
+         |  SELECT label, i,
+         |    CAST(trunc(CAST(sum(qe[CAST(i + 1 AS INT)]) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |  FROM n, range(64) t(i)
+         |  GROUP BY label, i),
+         |cents AS (
+         |  SELECT label AS cell, list(c ORDER BY i) AS centroid
+         |  FROM cd GROUP BY label),
+         |cn AS (SELECT cell, centroid, list_dot_product(centroid, centroid) AS c_nrm
+         |       FROM cents),
+         |q AS (SELECT vec_id AS query_id, qe AS q_qe, nrm AS q_nrm
+         |      FROM n WHERE vec_id < 5),
+         |probe AS (
+         |  SELECT query_id, q_qe, q_nrm, cell FROM (
+         |    SELECT query_id, q_qe, q_nrm, cell,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY cell_sim DESC, cell ASC) AS cr
+         |    FROM (
+         |      SELECT q.query_id, q.q_qe, q.q_nrm, cn.cell,
+         |        round(CAST(list_dot_product(q.q_qe, cn.centroid) AS DOUBLE)
+         |          / (sqrt(CAST(q.q_nrm AS DOUBLE)) * sqrt(CAST(cn.c_nrm AS DOUBLE))), 4)
+         |          AS cell_sim
+         |      FROM q, cn))
+         |  WHERE cr <= 3),
+         |scored AS (
+         |  SELECT p.query_id, e.vec_id AS neighbor_id,
+         |    round(CAST(list_dot_product(p.q_qe, e.qe) AS DOUBLE)
+         |      / (sqrt(CAST(p.q_nrm AS DOUBLE)) * sqrt(CAST(e.nrm AS DOUBLE))), 4) AS sim
+         |  FROM probe p JOIN n e ON e.label = p.cell AND e.vec_id >= 5)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin,
   )
 }
