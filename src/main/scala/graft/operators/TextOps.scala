@@ -152,18 +152,18 @@ object TextOps {
       col("n_tok").as("n_a"), col("tok"))
     val b = exploded.select(col("doc_id").as("id_b"), col("lang"),
       col("n_tok").as("n_b"), col("tok"))
+    // full (asymmetric) self-join: each unordered pair appears once per
+    // direction, so the per-doc arg-max needs no union — a union of two
+    // selects over the pair aggregate would run the join+agg twice.
     val pairs = a.join(b, Seq("lang", "tok"))
-      .where(col("id_a") < col("id_b"))
+      .where(col("id_a") =!= col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"), first(col("n_a")).as("n_a"),
         first(col("n_b")).as("n_b"))
       .withColumn("jac", col("shared").cast("double")
         / (col("n_a") + col("n_b") - col("shared")))
-    // symmetrize so every doc gets a best match from either side
-    val sym = pairs.select(col("id_a").as("doc_id"), col("id_b").as("cand"), col("jac"))
-      .union(pairs.select(col("id_b").as("doc_id"), col("id_a").as("cand"), col("jac")))
-    sym.groupBy(col("doc_id"))
-      .agg(max_by(col("cand"), struct(col("jac"), -col("cand"))).as("best_match"),
+    pairs.groupBy(col("id_a").as("doc_id"))
+      .agg(max_by(col("id_b"), struct(col("jac"), -col("id_b"))).as("best_match"),
         round(max(col("jac")), 4).as("best_jac"))
   }
 

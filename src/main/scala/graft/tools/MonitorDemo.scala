@@ -25,9 +25,17 @@ object MonitorDemo {
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
 
+    // nightsum index (S14): fetch is driver-side — here a canned page, in
+    // production the HTTP client's response body
+    val indexHtml = (20240101 to 20240105)
+      .map(n => s"""<a href="nightsum-$n/index.html">$n</a>""").mkString("\n")
+    val nightsums = graft.sources.NightsumIndex.parse(spark, indexHtml)
+
     val sections = Seq(
-      "Per-nite event rollup" ->
-        ReconOps.niteRollup(spark, sfDir).orderBy(col("nite").desc),
+      "Per-nite event rollup (with nightsum links)" ->
+        ReconOps.niteRollup(spark, sfDir)
+          .join(nightsums, Seq("nite"), "left_outer")
+          .orderBy(col("nite").desc),
       "Errors per nite" ->
         ReconOps.errorsPerNite(spark, sfDir).orderBy(col("nite").desc),
       "Order state reconciliation" -> ReconOps.expstate(spark, sfDir),
