@@ -148,20 +148,22 @@ object IngestPipeline {
       .write.mode(SaveMode.Overwrite).parquet(batchDir)
     val routed = spark.read.parquet(batchDir)
 
-    // distributed file moves — per partition on the executors via the
-    // Hadoop FS API (local FS here; HDFS/object stores on a cluster).
-    // No driver-side loop: the move manifest never leaves the executors.
+    // Commit order mirrors the reference (save:189-198): 1) move files,
+    // 2) append registry / bad-file tables, 3) delete notify files LAST —
+    // the notify file is the offset token, so any crash before step 3
+    // leaves it in place and the batch retries. A retried half-done batch
+    // degrades safely: an already-moved payload re-scans as "payload file
+    // missing" with the notify preserved in the audit trail (same edge
+    // behavior as the reference), never a silent registration loss.
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    routed.select("status", "payload_path", "notify_path", "archive_path",
-        "quarantine_path")
+    routed.select("status", "payload_path", "archive_path", "quarantine_path")
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         val fs = FileSystem.get(hadoopConf.value)
         rows.foreach { row =>
           val status = row.getString(0)
           val payload = Option(row.getString(1))
-          val notifyP = row.getString(2)
-          val target = if (status == "archive") row.getString(3) else row.getString(4)
+          val target = if (status == "archive") row.getString(2) else row.getString(3)
           payload.foreach { p =>
             val src = new Path(new java.net.URI(p).getPath)
             val dst = new Path(target)
@@ -169,7 +171,6 @@ object IngestPipeline {
             org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, true, true,
               hadoopConf.value)
           }
-          fs.delete(new Path(new java.net.URI(notifyP).getPath), false)
         }
       }
 
@@ -185,6 +186,15 @@ object IngestPipeline {
         current_timestamp().as("rejected_date"), col("reject_msg").as("rejected_msg"),
         col("actual_size").as("filesize"), col("filetype"))
       .write.mode(SaveMode.Append).parquet(cfg.badFileDir)
+
+    // offset commit: notify files removed only after tables are durable
+    routed.select("notify_path")
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val fs = FileSystem.get(hadoopConf.value)
+        rows.foreach { row =>
+          fs.delete(new Path(new java.net.URI(row.getString(0)).getPath), false)
+        }
+      }
 
     IngestReport(good.count(), bad.count())
   }

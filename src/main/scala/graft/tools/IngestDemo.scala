@@ -35,7 +35,12 @@ object IngestDemo {
         s"md5sum = ${declaredMd5.getOrElse(md5hex(bytes))}\nfilesize = ${bytes.length}\n"
           .getBytes)
     }
-    if (!args.contains("--empty")) {
+    if (args.contains("--retry")) {
+      // simulate a crash window: payload was already moved in a previous
+      // attempt, the notify file (the offset token) survived
+      Files.write(stage.resolve("DECam_00000050.fits.fz.dbb"),
+        "md5sum = abc\nfilesize = 10\n".getBytes)
+    } else if (!args.contains("--empty")) {
       put("DECam_00000042.fits.fz", FitsHeader.render(Seq("SIMPLE" -> "T",
         "DATE-OBS" -> "2024-01-15T03:21:00", "FILTER" -> "g DECam", "RA" -> "54.2")))
       put("manifest_SN7.json", """{"nite":"20240115"}""".getBytes)
