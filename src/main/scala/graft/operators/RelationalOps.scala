@@ -130,17 +130,23 @@ object RelationalOps {
   }
 
   /** Approximate distinct — SURVEY §2.4 A11 (HLL path for 100 TB dedup
-    * accounting): approx_count_distinct next to the exact count. No SQL
-    * oracle (sketch results are engine-specific) → rows-only check; the
-    * relative-error contract is asserted in tests.
+    * accounting): approx_count_distinct next to the exact count. The raw
+    * sketch estimate is engine-specific, so what the oracle checks is the
+    * deterministic part: the exact counts plus a boolean error-bound
+    * contract `|approx - exact| <= 3 * rsd * exact` (guaranteed-true at
+    * 3 sigma for HLL++ at rsd 0.02; the oracle asserts TRUE literals).
     *
     * The exact and approximate counts are two separate aggregations joined
     * on their 1-row results, NOT one agg: mixing countDistinct with an
     * ImperativeAggregate triggers Catalyst's multi-distinct Expand rewrite,
     * where the partial hash-aggregate keys on the expanded distinct values
     * — one HLL++ buffer (~5 KB at rsd 0.02) per partial GROUP, i.e. per
-    * distinct key, gigabytes of garbage at 600k rows (measured 6 s warm vs
-    * 0.5 s split). Split, each pass is a plain column-pruned scan. */
+    * distinct key, gigabytes of garbage at 600k rows (6.11 s → 2.02 s per
+    * BENCH_r02 after the split; host variance makes finer figures
+    * unreliable). The cost is scanning lineitem twice, but each pass is
+    * column-pruned to the two key columns, so the incremental I/O at
+    * 100 TB is bounded to those columns — still cheaper than the Expand
+    * blowup, whose garbage grows with distinct-key count. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Tables
     val li = Tables.lineitem(spark, dir)
@@ -150,9 +156,13 @@ object RelationalOps {
     val approx = li.agg(
       approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
       approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+    val bound = lit(3 * 0.02)
     exact.crossJoin(approx)
-      .select(col("exact_parts"), col("approx_parts"),
-        col("exact_orders"), col("approx_orders"))
+      .select(col("exact_parts"), col("exact_orders"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double")
+          <= bound * col("exact_parts")).as("parts_within_bounds"),
+        (abs(col("approx_orders") - col("exact_orders")).cast("double")
+          <= bound * col("exact_orders")).as("orders_within_bounds"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -216,5 +226,13 @@ object RelationalOps {
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_sec, value
         |FROM events WHERE event_type = 'error'
         |ORDER BY ts DESC, event_id DESC LIMIT 20""".stripMargin,
+    // The sketch estimate itself is engine-specific; the oracle pins the
+    // exact counts and asserts the 3-sigma error-bound booleans are TRUE.
+    "q_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS parts_within_bounds,
+        |  TRUE AS orders_within_bounds
+        |FROM lineitem""".stripMargin,
   )
 }

@@ -71,11 +71,17 @@ object IngestPipeline {
     // existence check (P2): notify without payload → reject
     val paired = parsed.join(pay, Seq("delivery_name"), "left_outer")
 
-    // stage 3: classify; stage 4: duplicate anti-join; stage 5: md5
+    // stage 3: classify; stage 4: duplicate check; stage 5: md5.
+    // The registry join carries NO broadcast hint on purpose: the registry
+    // is the one table that grows without bound (every file ever ingested),
+    // so forcing a broadcast would eventually OOM the driver. Left to AQE,
+    // small registries still broadcast; large ones shuffle on
+    // delivery_name — and a registry written bucketed by filename
+    // (ScaleUtils.writeBucketed) makes that shuffle one-sided.
     val checked = paired
       .withColumn("filetype", Derived.filetypeOf(col("delivery_name")))
-      .join(broadcast(registry.select(col("filename").as("delivery_name"))
-        .withColumn("dup", lit(true))), Seq("delivery_name"), "left_outer")
+      .join(registry.select(col("filename").as("delivery_name"))
+        .withColumn("dup", lit(true)), Seq("delivery_name"), "left_outer")
       .withColumn("actual_md5", md5(col("content")))
       .withColumn("reject_msg",
         when(col("payload_path").isNull, "payload file missing")
@@ -196,12 +202,19 @@ object IngestPipeline {
         }
       }
 
-    IngestReport(good.count(), bad.count())
+    // one job for both tallies (not a count() per branch)
+    val counts = routed.groupBy(col("status")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    IngestReport(counts.getOrElse("archive", 0L),
+      counts.getOrElse("quarantine", 0L))
   }
 
   private def loadRegistry(spark: SparkSession, cfg: Config): DataFrame = {
-    val p = new java.io.File(cfg.registryDir)
-    if (p.exists && p.listFiles != null && p.listFiles.nonEmpty)
+    // Hadoop FS probe (not java.io.File): the registry may live on
+    // HDFS/S3 in a cluster deployment; only the scheme-resolved FS knows.
+    val p = new Path(cfg.registryDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
       spark.read.parquet(cfg.registryDir)
     else {
       import spark.implicits._

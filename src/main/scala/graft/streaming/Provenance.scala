@@ -18,7 +18,12 @@ object Provenance {
 
   /** Append a new task row (id = max+1) and return its id. Mirrors
     * create_task + FILE_REGISTRATION insert; the "registration" here is
-    * the task row itself plus the prov message. */
+    * the task row itself plus the prov message.
+    *
+    * NOT concurrency-safe: max+1 is computed on the driver with no lock,
+    * matching the reference's single-operator cadence (tasks are created
+    * by hand, once per campaign). Concurrent task creation would need a
+    * transactional table (Delta/Iceberg) or an external sequence. */
   def createTask(spark: SparkSession, tasksDir: String, name: String,
       provMsg: String): Long = {
     val existing = loadTasks(spark, tasksDir)

@@ -107,6 +107,34 @@ class IngestPipelineSpec extends SparkSpec {
     assert(dupMsgs == 1)
   }
 
+  test("registry dup-check is not a forced broadcast (unbounded table)") {
+    // With auto-broadcast disabled, no BroadcastExchange may appear in the
+    // plan: the registry grows without bound, so the only acceptable
+    // broadcasts are the ones AQE itself chooses from observed sizes.
+    import spark.implicits._
+    withAutoBroadcastOff {
+      val notify = Seq(("file:///s/a.fits.fz.dbb",
+        "md5sum = 0\nfilesize = 1\n".getBytes,
+        new java.sql.Timestamp(1000L)))
+        .toDF("path", "content", "modificationTime")
+      val pay = Seq(("file:///s/a.fits.fz", "x".getBytes))
+        .toDF("path", "content")
+      val registry = Seq("b.fits.fz").toDF("filename")
+      val (_, cfg) = mkConfig()
+      val planStr = IngestPipeline.plan(spark, notify, pay, registry, cfg)
+        .queryExecution.executedPlan.toString
+      assert(!planStr.contains("BroadcastExchange"),
+        s"registry side must not be hint-broadcast:\n$planStr")
+    }
+  }
+
+  private def withAutoBroadcastOff[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, prev)
+  }
+
   test("streaming wrapper drains the stage dir via AvailableNow") {
     val (stage, cfg) = mkConfig()
     writeFixtures(stage)
