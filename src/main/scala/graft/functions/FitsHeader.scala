@@ -17,14 +17,43 @@ object FitsHeader {
 
   val CardLen = 80
 
+  val BlockLen = 2880
+
   /** Parse header cards from the leading bytes of a FITS file into an
     * ordered keyword → value map. Stops at the END card or when bytes run
     * out. Values keep their raw text form; quoted strings are unquoted,
     * trailing comments (`/ ...`) stripped. Comment-ish cards (COMMENT,
     * HISTORY, blank keyword) are skipped. */
-  def parse(bytes: Array[Byte]): Map[String, String] = {
-    var out = ListMap.empty[String, String]
+  def parse(bytes: Array[Byte]): Map[String, String] = parseFrom(bytes, 0)._1
+
+  /** Parse EVERY HDU header — primary plus extensions. Data blocks between
+    * headers are skipped using the FITS size rule
+    * |BITPIX|/8 × GCOUNT × (PCOUNT + Π NAXISn), rounded up to the 2880-byte
+    * block. Extension HDUs are recognized by their mandatory leading
+    * XTENSION card (the primary by SIMPLE); anything else ends the scan.
+    * This is what lets the keyword contract's extension-flag column
+    * (etc/decam_src_keywords.txt, `R` in the third field) be validated
+    * per extension HDU, as the reference's filetype plugins do. */
+  def parseAll(bytes: Array[Byte]): Seq[Map[String, String]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
     var off = 0
+    var done = false
+    while (!done && off + CardLen <= bytes.length) {
+      val lead = new String(bytes, off, CardLen, "US-ASCII")
+        .substring(0, 8).trim
+      if (lead == "SIMPLE" || lead == "XTENSION") {
+        val (hdr, next) = parseFrom(bytes, off)
+        out += hdr
+        off = next + dataBlockBytes(hdr, isPrimary = out.size == 1)
+      } else done = true
+    }
+    out.toSeq
+  }
+
+  private def parseFrom(bytes: Array[Byte], start: Int)
+      : (Map[String, String], Int) = {
+    var out = ListMap.empty[String, String]
+    var off = start
     var done = false
     while (!done && off + CardLen <= bytes.length) {
       val card = new String(bytes, off, CardLen, "US-ASCII")
@@ -36,7 +65,29 @@ object FitsHeader {
       }
       off += CardLen
     }
-    out
+    // header occupies whole 2880-byte blocks (incl. the END card's block)
+    val blocks = (off - start + BlockLen - 1) / BlockLen
+    (out, start + blocks * BlockLen)
+  }
+
+  private def dataBlockBytes(hdr: Map[String, String], isPrimary: Boolean)
+      : Int = {
+    def num(k: String, dflt: Long): Long =
+      hdr.get(k).flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+        .getOrElse(dflt)
+    val naxis = num("NAXIS", 0L)
+    if (naxis == 0L) 0
+    else {
+      val shape = (1L to naxis).map(i => num(s"NAXIS$i", 0L))
+      if (shape.contains(0L)) 0
+      else {
+        val gcount = if (isPrimary) 1L else num("GCOUNT", 1L)
+        val pcount = if (isPrimary) 0L else num("PCOUNT", 0L)
+        val bits = math.abs(num("BITPIX", 8L))
+        val bytes = bits / 8 * gcount * (pcount + shape.product)
+        (((bytes + BlockLen - 1) / BlockLen) * BlockLen).toInt
+      }
+    }
   }
 
   private def parseValue(raw: String): String = {
@@ -60,6 +111,20 @@ object FitsHeader {
       (if (slash >= 0) s.substring(0, slash) else s).trim
     }
   }
+
+  /** Render a multi-HDU FITS byte stream (for tests and fixtures): the
+    * first HDU gets a leading SIMPLE card, the rest a leading XTENSION
+    * card, unless the caller already supplied one. No data blocks
+    * (NAXIS defaults absent → 0). */
+  def renderMulti(hdus: Seq[Seq[(String, String)]]): Array[Byte] =
+    hdus.zipWithIndex.map { case (kv, i) =>
+      val lead =
+        if (i == 0 && !kv.exists(_._1 == "SIMPLE")) Seq("SIMPLE" -> "T")
+        else if (i > 0 && !kv.exists(_._1 == "XTENSION"))
+          Seq("XTENSION" -> "IMAGE")
+        else Seq.empty
+      render(lead ++ kv)
+    }.reduce(_ ++ _)
 
   /** Render a keyword→value map as a FITS header byte block (for tests and
     * fixtures): 80-byte cards + END, padded to a 2880-byte block. */

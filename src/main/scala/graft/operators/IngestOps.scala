@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Derived
-import graft.sources.Tables
+import graft.sources.{KeywordContract, Tables}
 
 /** Ingest-side projection/derivation operators (SURVEY.md §2.2) exercised
   * as batch queries over the testdata: filename synthesis and parsing,
@@ -43,9 +43,53 @@ object IngestOps {
           regexp_replace(col("p_type"), " ", "_"),
           col("p_partkey")).as("archive_path"))
 
+  /** Keyword-contract validation — P4 (save:158,212-215 driven by
+    * etc/decam_src_keywords.txt): the 264-row contract table
+    * ([[KeywordContract]]) supplies the per-HDU required sets; the check
+    * is a LEFT ANTI join of contract-required keys vs parsed header keys,
+    * per HDU flag (hdu 0 ⇒ primary R-flags, hdus 1-2 ⇒ extension
+    * R-flags). Header parses are synthesized deterministically from
+    * events — keyword k is present in HDU h of event e unless
+    * md5(e|h|k) begins with '0' (~1/16 dropout) — so the whole pipeline
+    * is oracle-able; the ingest pipeline runs the identical anti-join
+    * row-locally over real FITS bytes (IngestPipeline stage 6).
+    * Scale shape: both contract sides are broadcast dims; the anti-join
+    * shuffles only (event, hdu, keyword) triples, linear in events. */
+  def keywordContract(spark: SparkSession, dir: String): DataFrame = {
+    val contract = KeywordContract.df(spark)
+    val reqP = contract.where(col("primary_flag") === "R")
+      .select(col("keyword")).distinct()
+    val reqE = contract.where(col("extension_flag") === "R")
+      .select(col("keyword")).distinct()
+    val ev = Tables.events(spark, dir).select(col("event_id"))
+    val extHdus = reqE.crossJoin(
+      spark.range(1, 3).select(col("id").cast("int").as("hdu")))
+    val expected = ev.crossJoin(broadcast(reqP))
+      .select(col("event_id"), lit(0).as("hdu"), col("keyword"))
+      .unionAll(ev.crossJoin(broadcast(extHdus))
+        .select(col("event_id"), col("hdu"), col("keyword")))
+    val present = expected.where(
+      substring(md5(concat_ws("|", col("event_id"), col("hdu"),
+        col("keyword")).cast("binary")), 1, 1) =!= "0")
+    val missing = expected
+      .join(present, Seq("event_id", "hdu", "keyword"), "left_anti")
+    val agg = missing.groupBy(col("event_id")).agg(
+      sum(when(col("hdu") === 0, 1L).otherwise(0L)).as("n_missing_primary"),
+      sum(when(col("hdu") > 0, 1L).otherwise(0L)).as("n_missing_ext"),
+      array_join(array_sort(collect_set(col("keyword"))), ",")
+        .as("missing_keywords"))
+    ev.join(agg, Seq("event_id"), "left_outer")
+      .select(col("event_id"),
+        coalesce(col("n_missing_primary"), lit(0L)).as("n_missing_primary"),
+        coalesce(col("n_missing_ext"), lit(0L)).as("n_missing_ext"),
+        coalesce(col("missing_keywords"), lit("")).as("missing_keywords"),
+        col("missing_keywords").isNull.as("valid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ingest_names"  -> ingestNames _,
-    "q_path_template" -> pathTemplate _,
+    "q_ingest_names"     -> ingestNames _,
+    "q_path_template"    -> pathTemplate _,
+    "q_keyword_contract" -> keywordContract _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -76,5 +120,35 @@ object IngestOps {
         |    replace(p_brand, ' ', '_'), replace(p_type, ' ', '_'),
         |    p_partkey) AS archive_path
         |FROM part""".stripMargin,
+    "q_keyword_contract" ->
+      s"""WITH contract(keyword, primary_flag, extension_flag) AS (VALUES
+         |    ${KeywordContract.valuesSql}),
+         |req_p AS (SELECT DISTINCT keyword FROM contract WHERE primary_flag = 'R'),
+         |req_e AS (SELECT DISTINCT keyword FROM contract WHERE extension_flag = 'R'),
+         |expected AS (
+         |  SELECT e.event_id, 0 AS hdu, k.keyword FROM events e CROSS JOIN req_p k
+         |  UNION ALL
+         |  SELECT e.event_id, h.hdu, k.keyword
+         |  FROM events e CROSS JOIN req_e k CROSS JOIN (VALUES (1),(2)) h(hdu)),
+         |present AS (
+         |  SELECT * FROM expected
+         |  WHERE substr(md5(CAST(event_id AS VARCHAR) || '|'
+         |    || CAST(hdu AS VARCHAR) || '|' || keyword), 1, 1) <> '0'),
+         |missing AS (
+         |  SELECT * FROM expected ex WHERE NOT EXISTS (
+         |    SELECT 1 FROM present p WHERE p.event_id = ex.event_id
+         |      AND p.hdu = ex.hdu AND p.keyword = ex.keyword)),
+         |agg AS (
+         |  SELECT event_id,
+         |    CAST(sum(CASE WHEN hdu = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_primary,
+         |    CAST(sum(CASE WHEN hdu > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_ext,
+         |    array_to_string(list_sort(list_distinct(list(keyword))), ',') AS missing_keywords
+         |  FROM missing GROUP BY event_id)
+         |SELECT e.event_id,
+         |  coalesce(a.n_missing_primary, 0) AS n_missing_primary,
+         |  coalesce(a.n_missing_ext, 0) AS n_missing_ext,
+         |  coalesce(a.missing_keywords, '') AS missing_keywords,
+         |  a.missing_keywords IS NULL AS valid
+         |FROM events e LEFT JOIN agg a ON e.event_id = a.event_id""".stripMargin,
   )
 }

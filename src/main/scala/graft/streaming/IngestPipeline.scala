@@ -31,7 +31,9 @@ import graft.functions.{Derived, FitsHeader}
 object IngestPipeline {
 
   /** Columns: path, name, content, mtime, declared md5/filesize, filetype,
-    * reject_msg (null = good so far). */
+    * reject_msg (null = good so far). The keyword contract defaults to the
+    * full 264-row table (ref etc/decam_src_keywords.txt); deployments with
+    * a different instrument swap the rows, not the code. */
   case class Config(
       stageDir: String,
       archiveDir: String,
@@ -39,7 +41,8 @@ object IngestPipeline {
       registryDir: String,
       badFileDir: String,
       taskId: Long = 1L,
-      requiredKeywords: Seq[String] = Seq("DATE-OBS", "FILTER", "RA"))
+      contract: Seq[graft.sources.KeywordContract.Entry] =
+        graft.sources.KeywordContract.entries)
 
   /** Pure planning core — testable without any filesystem writes.
     * Input: binaryFile-shaped DataFrames of notify files (`*.dbb`,
@@ -92,16 +95,33 @@ object IngestPipeline {
           .when(col("declared_size").isNotNull
             && col("actual_size") =!= col("declared_size"), "filesize mismatch"))
 
-    // stage 6: FITS keyword contract — pure JVM kernel in a map, then the
-    // required-keyword check as a set difference per row
-    val required = cfg.requiredKeywords
-    val validated = checked.withColumn("header_keys",
+    // stage 6: FITS keyword-contract validation, driven from the contract
+    // TABLE (KeywordContract, ref etc/decam_src_keywords.txt consumed at
+    // save:158,212-215) — the R-flagged slices per HDU kind become literal
+    // arrays in the plan (the broadcast form of a 264-row dim), and
+    // array_except is the per-HDU anti-join (contract-required MINUS
+    // parsed keys) evaluated row-locally, so validation adds no shuffle.
+    // The oracled q_keyword_contract exercises the same anti-join as an
+    // explicit join-based plan.
+    val reqPrimary = cfg.contract.filter(_.primary == "R").map(_.keyword).distinct
+    val reqExt = cfg.contract.filter(_.extension == "R").map(_.keyword).distinct
+    val validated = checked.withColumn("hdu_keys",
       when(col("filetype") === "raw" && col("reject_msg").isNull,
-        udfHeaderKeys(col("content"))))
+        udfHduKeys(col("content"))))
       .withColumn("missing_keywords",
-        when(col("header_keys").isNotNull,
-          array_except(
-            lit(required.toArray).cast("array<string>"), col("header_keys"))))
+        when(col("hdu_keys").isNotNull,
+          concat(
+            // primary HDU: required-primary minus parsed primary keys;
+            // an unparseable payload (no HDUs) is missing all of them
+            when(size(col("hdu_keys")) >= 1,
+              array_except(lit(reqPrimary.toArray).cast("array<string>"),
+                element_at(col("hdu_keys"), 1)))
+              .otherwise(lit(reqPrimary.toArray).cast("array<string>")),
+            // each extension HDU: required-extension minus its keys
+            array_distinct(flatten(transform(
+              slice(col("hdu_keys"), 2, Int.MaxValue - 8),
+              ks => array_except(
+                lit(reqExt.toArray).cast("array<string>"), ks)))))))
       .withColumn("reject_msg",
         when(col("reject_msg").isNotNull, col("reject_msg"))
           .when(col("missing_keywords").isNotNull && size(col("missing_keywords")) > 0,
@@ -123,11 +143,13 @@ object IngestPipeline {
       .withColumn("task_id", lit(cfg.taskId))
   }
 
-  /** FITS header keyword extraction as a UDF over the binary payload —
-    * the per-row kernel; everything around it stays relational. */
-  private val udfHeaderKeys =
+  /** Per-HDU header keyword extraction as a UDF over the binary payload —
+    * the one per-row kernel; everything around it stays relational.
+    * Element 0 = primary header keys, elements 1+ = extension HDU keys. */
+  private val udfHduKeys =
     udf((bytes: Array[Byte]) =>
-      if (bytes == null) null else FitsHeader.parse(bytes).keys.toArray)
+      if (bytes == null) null
+      else FitsHeader.parseAll(bytes).map(_.keys.toArray).toArray)
 
   /** Execute one micro-batch: route, perform distributed file moves, and
     * append the registry / bad-file tables. Safe to re-run (duplicate
@@ -150,7 +172,7 @@ object IngestPipeline {
     // a replayable manifest rather than half-vanished inputs.
     val batchDir = cfg.registryDir + "_batch"
     plan(spark, notifyFiles, payloads, registry, cfg)
-      .drop("content", "kv", "header_keys")
+      .drop("content", "kv", "hdu_keys")
       .write.mode(SaveMode.Overwrite).parquet(batchDir)
     val routed = spark.read.parquet(batchDir)
 

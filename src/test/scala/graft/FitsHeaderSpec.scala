@@ -35,4 +35,28 @@ class FitsHeaderSpec extends AnyFunSuite {
     assert(FitsHeader.parse(Array.emptyByteArray).isEmpty)
     assert(FitsHeader.parse("SHORT".getBytes).isEmpty)
   }
+
+  test("parseAll walks primary + extension HDUs") {
+    val bytes = FitsHeader.renderMulti(Seq(
+      Seq("DATE-OBS" -> "x", "RA" -> "1.5"),
+      Seq("GAINA" -> "4.2", "CCDNUM" -> "7"),
+      Seq("GAINB" -> "4.0")))
+    val hdus = FitsHeader.parseAll(bytes)
+    assert(hdus.size == 3)
+    assert(hdus(0).contains("SIMPLE") && hdus(0)("RA") == "1.5")
+    assert(hdus(1)("XTENSION") == "IMAGE" && hdus(1)("GAINA") == "4.2")
+    assert(hdus(2)("GAINB") == "4.0")
+  }
+
+  test("parseAll skips data blocks sized by BITPIX/NAXIS/GCOUNT/PCOUNT") {
+    // primary with a 100x3 16-bit image: 600 bytes -> one 2880 block
+    val primary = FitsHeader.render(Seq("SIMPLE" -> "T", "BITPIX" -> "16",
+      "NAXIS" -> "2", "NAXIS1" -> "100", "NAXIS2" -> "3", "RA" -> "9"))
+    val data = Array.fill(2880)(0.toByte)
+    val ext = FitsHeader.render(Seq("XTENSION" -> "IMAGE", "GAINA" -> "1"))
+    val hdus = FitsHeader.parseAll(primary ++ data ++ ext)
+    assert(hdus.size == 2)
+    assert(hdus(0)("RA") == "9")
+    assert(hdus(1)("GAINA") == "1")
+  }
 }

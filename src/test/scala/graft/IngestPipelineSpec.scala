@@ -15,6 +15,14 @@ class IngestPipelineSpec extends SparkSpec {
   private def md5hex(b: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
 
+  /** Full required-primary card set per the keyword contract table. */
+  private def primaryCards: Seq[(String, String)] =
+    graft.sources.KeywordContract.requiredPrimary.map(_ -> "v")
+
+  /** Full required-extension card set per the keyword contract table. */
+  private def extCards: Seq[(String, String)] =
+    graft.sources.KeywordContract.requiredExtension.map(_ -> "1")
+
   private def writeFixtures(stage: Path): Unit = {
     def put(name: String, bytes: Array[Byte]): Unit =
       Files.write(stage.resolve(name), bytes)
@@ -24,21 +32,19 @@ class IngestPipelineSpec extends SparkSpec {
         s"md5sum = ${md5.getOrElse(md5hex(bytes))}\nfilesize = ${bytes.length}\n"
           .getBytes)
 
-    // good FITS with all required keywords
-    val good = FitsHeader.render(Seq("SIMPLE" -> "T",
-      "DATE-OBS" -> "2024-01-15T03:21:00", "FILTER" -> "g DECam",
-      "RA" -> "54.2"))
+    // good FITS with every contract-required primary keyword
+    val good = FitsHeader.render(Seq("SIMPLE" -> "T") ++ primaryCards)
     put("DECam_00000001.fits.fz", good); notifyFor("DECam_00000001.fits.fz", good)
     // manifest (no keyword contract)
     val man = """{"nite": "20240115"}""".getBytes
     put("manifest_SN1.json", man); notifyFor("manifest_SN1.json", man)
     // bad md5
-    val badMd5 = FitsHeader.render(Seq("DATE-OBS" -> "x", "FILTER" -> "r",
-      "RA" -> "1"))
+    val badMd5 = FitsHeader.render(Seq("SIMPLE" -> "T") ++ primaryCards)
     put("DECam_00000002.fits.fz", badMd5)
     notifyFor("DECam_00000002.fits.fz", badMd5, Some("0" * 32))
     // missing required keyword (no RA)
-    val noRa = FitsHeader.render(Seq("DATE-OBS" -> "x", "FILTER" -> "r"))
+    val noRa = FitsHeader.render(
+      Seq("SIMPLE" -> "T") ++ primaryCards.filterNot(_._1 == "RA"))
     put("DECam_00000003.fits.fz", noRa); notifyFor("DECam_00000003.fits.fz", noRa)
     // unknown filetype
     val junk = "hello".getBytes
@@ -105,6 +111,31 @@ class IngestPipelineSpec extends SparkSpec {
     val dupMsgs = spark.read.parquet(cfg.badFileDir)
       .where(col("rejected_msg") === "duplicate file").count()
     assert(dupMsgs == 1)
+  }
+
+  test("keyword contract: extension HDUs validated against the R-ext flags") {
+    val (stage, cfg) = mkConfig()
+    // multi-HDU file: complete primary + one complete extension → archive
+    val goodMulti = FitsHeader.renderMulti(Seq(primaryCards, extCards))
+    Files.write(stage.resolve("DECam_00000010.fits.fz"), goodMulti)
+    Files.write(stage.resolve("DECam_00000010.fits.fz.dbb"),
+      s"md5sum = ${md5hex(goodMulti)}\nfilesize = ${goodMulti.length}\n".getBytes)
+    // multi-HDU file: complete primary, extension 2 missing GAINA/GAINB
+    val badExt = FitsHeader.renderMulti(Seq(primaryCards, extCards,
+      extCards.filterNot(c => c._1 == "GAINA" || c._1 == "GAINB")))
+    Files.write(stage.resolve("DECam_00000011.fits.fz"), badExt)
+    Files.write(stage.resolve("DECam_00000011.fits.fz.dbb"),
+      s"md5sum = ${md5hex(badExt)}\nfilesize = ${badExt.length}\n".getBytes)
+
+    val report = IngestPipeline.runBatch(spark, cfg)
+    assert(report.archived == 1)
+    assert(report.quarantined == 1)
+    val msg = spark.read.parquet(cfg.badFileDir)
+      .where(col("orig_filename") === "DECam_00000011.fits.fz")
+      .head().getAs[String]("rejected_msg")
+    assert(msg.contains("missing required keywords"))
+    assert(msg.contains("GAINA") && msg.contains("GAINB"))
+    assert(!msg.contains("RA,"), "primary keys all present")
   }
 
   test("registry dup-check is not a forced broadcast (unbounded table)") {
