@@ -87,4 +87,18 @@ object Derived {
   /** Basename (last path component). */
   def basenameOf(path: Column): Column =
     element_at(split(path, "/"), -1)
+
+  /** Generic `${var}` template interpolation over a metadata map — the
+    * reference's `replfuncs.replace_vars_single(dirpat, metadata)`
+    * (save_DBB_stagein_to_DBB.py:184) with patterns sourced from the
+    * OPS_DIRECTORY_PATTERN dim table (save:342-343). Expression-only:
+    * a fold over map_entries that rewrites each `${key}` occurrence, so
+    * a layout change is a dim-table edit, not a recompile. Unknown
+    * `${...}` tokens are left intact (same as the reference). Entries
+    * apply in map order; values must not themselves contain `${`. */
+  def interpolate(pattern: Column, meta: Column): Column =
+    aggregate(map_entries(meta), pattern,
+      (acc, e) => org.apache.spark.sql.functions.replace(acc,
+        concat(lit("$" + "{"), e.getField("key"), lit("}")),
+        e.getField("value")))
 }

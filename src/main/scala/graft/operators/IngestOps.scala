@@ -33,15 +33,32 @@ object IngestOps {
         Derived.uniqName(col("delivery_name"), col("ts")).as("quarantine_name"),
         Derived.yearMonthOf(col("ts")).as("year_month"))
 
-  /** Path templating — P5 (save:180-184): substitute metadata columns into
-    * an archive directory pattern. */
-  def pathTemplate(spark: SparkSession, dir: String): DataFrame =
+  /** Path templating — P5/J3 (save:180-184, 342-343): archive directory
+    * patterns live in a DIM TABLE keyed by type (the reference's
+    * OPS_DIRECTORY_PATTERN keyed by `dirpat_<filetype>`), broadcast-joined
+    * to the facts; `${var}` tokens are substituted from a per-row metadata
+    * map by the generic [[Derived.interpolate]] fold. Changing an archive
+    * layout is now a table edit, not a recompile. */
+  def pathTemplate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val patterns = Seq(
+      "ECONOMY"  -> "/archive/${type}/${brand}/part_${key6}.parquet",
+      "STANDARD" -> "/archive/${type}/${brand}/part_${key6}.parquet",
+      "MEDIUM"   -> "/archive/${type}/${brand}/part_${key6}.parquet",
+      "PROMO"    -> "/promo/${brand}/part_${key6}.parquet",
+      "LARGE"    -> "/archive/sized/${type}/part_${key6}.parquet",
+      "SMALL"    -> "/archive/sized/${type}/part_${key6}.parquet",
+    ).toDF("p_type", "pattern")
+    val meta = map(
+      lit("type"), col("p_type"),
+      lit("brand"), regexp_replace(col("p_brand"), "#", "_"),
+      lit("key6"), format_string("%06d", col("p_partkey")))
     Tables.part(spark, dir)
+      .join(broadcast(patterns), Seq("p_type"))
       .select(col("p_partkey"),
-        format_string("/archive/%s/%s/part_%06d.parquet",
-          regexp_replace(col("p_brand"), " ", "_"),
-          regexp_replace(col("p_type"), " ", "_"),
-          col("p_partkey")).as("archive_path"))
+        graft.functions.Derived.interpolate(col("pattern"), meta)
+          .as("archive_path"))
+  }
 
   /** Keyword-contract validation — P4 (save:158,212-215 driven by
     * etc/decam_src_keywords.txt): the 264-row contract table
@@ -114,12 +131,23 @@ object IngestOps {
         |    || left(strftime(ts, '%f'), 3) AS quarantine_name,
         |  strftime(ts, '%Y/%m') AS year_month
         |FROM named""".stripMargin,
+    // chained replace over the (known) metadata keys is the SQL rendering
+    // of the generic map-fold interpolation; a ${var} absent from the
+    // pattern makes that replace a no-op in both engines.
     "q_path_template" ->
-      """SELECT p_partkey,
-        |  printf('/archive/%s/%s/part_%06d.parquet',
-        |    replace(p_brand, ' ', '_'), replace(p_type, ' ', '_'),
-        |    p_partkey) AS archive_path
-        |FROM part""".stripMargin,
+      """WITH patterns(p_type, pattern) AS (VALUES
+        |  ('ECONOMY',  '/archive/${type}/${brand}/part_${key6}.parquet'),
+        |  ('STANDARD', '/archive/${type}/${brand}/part_${key6}.parquet'),
+        |  ('MEDIUM',   '/archive/${type}/${brand}/part_${key6}.parquet'),
+        |  ('PROMO',    '/promo/${brand}/part_${key6}.parquet'),
+        |  ('LARGE',    '/archive/sized/${type}/part_${key6}.parquet'),
+        |  ('SMALL',    '/archive/sized/${type}/part_${key6}.parquet'))
+        |SELECT p_partkey,
+        |  replace(replace(replace(pattern,
+        |    '${type}', p_type),
+        |    '${brand}', replace(p_brand, '#', '_')),
+        |    '${key6}', printf('%06d', p_partkey)) AS archive_path
+        |FROM part JOIN patterns USING (p_type)""".stripMargin,
     "q_keyword_contract" ->
       s"""WITH contract(keyword, primary_flag, extension_flag) AS (VALUES
          |    ${KeywordContract.valuesSql}),

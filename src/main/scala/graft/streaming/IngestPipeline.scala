@@ -42,7 +42,13 @@ object IngestPipeline {
       badFileDir: String,
       taskId: Long = 1L,
       contract: Seq[graft.sources.KeywordContract.Entry] =
-        graft.sources.KeywordContract.entries)
+        graft.sources.KeywordContract.entries,
+      // archive layout per filetype — the OPS_DIRECTORY_PATTERN dim
+      // (save:342-343); ${var}s resolve against the per-file metadata
+      // map. Data, not code: a layout change is a config edit.
+      dirPatterns: Map[String, String] = Map(
+        "raw"        -> "${filetype}/${name}",
+        "snmanifest" -> "${filetype}/${name}"))
 
   /** Pure planning core — testable without any filesystem writes.
     * Input: binaryFile-shaped DataFrames of notify files (`*.dbb`,
@@ -128,14 +134,23 @@ object IngestPipeline {
             concat(lit("missing required keywords: "),
               array_join(col("missing_keywords"), ","))))
 
-    // stage 7: routing + target paths
+    // stage 7: routing + target paths. The archive path comes from the
+    // dirPatterns dim (filetype → ${var} template, ref save:180-184)
+    // joined on filetype — tiny config dim, left to AQE/size-estimation
+    // to broadcast — and interpolated against the per-file metadata map.
+    val patternsDf = cfg.dirPatterns.toSeq.toDF("filetype", "dirpat")
+    val meta = map(
+      lit("filetype"), coalesce(col("filetype"), lit("unknown")),
+      lit("name"), col("delivery_name"),
+      lit("yearmon"), Derived.yearMonthOf(col("delivered_at")))
     validated
+      .join(patternsDf, Seq("filetype"), "left_outer")
       .withColumn("status",
         when(col("reject_msg").isNull, "archive").otherwise("quarantine"))
       .withColumn("archive_path",
         when(col("reject_msg").isNull, concat(lit(cfg.archiveDir + "/"),
-          coalesce(col("filetype"), lit("unknown")), lit("/"),
-          col("delivery_name"))))
+          Derived.interpolate(
+            coalesce(col("dirpat"), lit("${filetype}/${name}")), meta))))
       .withColumn("quarantine_path",
         when(col("reject_msg").isNotNull, concat(lit(cfg.quarantineDir + "/"),
           Derived.yearMonthOf(col("delivered_at")), lit("/"),

@@ -138,6 +138,26 @@ class IngestPipelineSpec extends SparkSpec {
     assert(!msg.contains("RA,"), "primary keys all present")
   }
 
+  test("archive layout is data-driven via the dirPatterns dim") {
+    val (stage, cfg0) = mkConfig()
+    val cfg = cfg0.copy(dirPatterns = Map(
+      "raw"        -> "exp/${yearmon}/${name}",
+      "snmanifest" -> "${filetype}/${name}"))
+    val good = FitsHeader.render(Seq("SIMPLE" -> "T") ++ primaryCards)
+    Files.write(stage.resolve("DECam_00000021.fits.fz"), good)
+    Files.write(stage.resolve("DECam_00000021.fits.fz.dbb"),
+      s"md5sum = ${md5hex(good)}\nfilesize = ${good.length}\n".getBytes)
+    val report = IngestPipeline.runBatch(spark, cfg)
+    assert(report.archived == 1)
+    val archived = spark.read.parquet(cfg.registryDir)
+      .head().getAs[String]("archive_path")
+    // layout changed by config alone: exp/<yyyy>/<MM>/<name>
+    assert(archived.matches(
+      s"${cfg.archiveDir}/exp/\\d{4}/\\d{2}/DECam_00000021\\.fits\\.fz"),
+      archived)
+    assert(Files.exists(Paths.get(archived)))
+  }
+
   test("registry dup-check is not a forced broadcast (unbounded table)") {
     // With auto-broadcast disabled, no BroadcastExchange may appear in the
     // plan: the registry grows without bound, so the only acceptable
