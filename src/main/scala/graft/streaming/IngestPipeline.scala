@@ -44,11 +44,24 @@ object IngestPipeline {
       contract: Seq[graft.sources.KeywordContract.Entry] =
         graft.sources.KeywordContract.entries,
       // archive layout per filetype — the OPS_DIRECTORY_PATTERN dim
-      // (save:342-343); ${var}s resolve against the per-file metadata
+      // (save:342-343); ${var}s resolve against the per-row metadata
       // map. Data, not code: a layout change is a config edit.
       dirPatterns: Map[String, String] = Map(
         "raw"        -> "${filetype}/${name}",
-        "snmanifest" -> "${filetype}/${name}"))
+        "snmanifest" -> "${filetype}/${name}"),
+      // post-copy verification (save:84-112): re-md5 the destination,
+      // retry a torn copy up to maxCopyTries with a sleep between tries
+      maxCopyTries: Int = 5,
+      copyRetrySleepMs: Long = 5000L,
+      // test instrumentation: corrupts the destination between copy and
+      // verify, simulating the torn copy the reference's loop defends
+      // against (no production use)
+      copyFault: Option[CopyFault] = None)
+
+  /** Test hook: invoked as (attempt, fs, dst) after each copy attempt. */
+  trait CopyFault extends Serializable {
+    def apply(attempt: Int, fs: FileSystem, dst: Path): Unit
+  }
 
   /** Pure planning core — testable without any filesystem writes.
     * Input: binaryFile-shaped DataFrames of notify files (`*.dbb`,
@@ -72,13 +85,31 @@ object IngestPipeline {
         col("delivery_name"), col("declared_md5"), col("declared_size"),
         col("modificationTime").as("delivered_at"))
 
+    // S2/T1 (save:315-316): files are handled in notify-mtime order, so
+    // when one batch carries the same delivery_name twice (e.g. recursive
+    // stage layouts), the EARLIEST delivery wins and later ones are
+    // duplicates. Set-oriented rendering of "process in mtime order":
+    // a keyed first-wins rank — global sorting would serialize the batch
+    // at scale and ordering only matters within a name collision anyway.
+    val seqW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("delivery_name"))
+      .orderBy(col("delivered_at"), col("notify_path"))
+    val ranked = parsed.withColumn("delivery_seq", row_number().over(seqW))
+
+    val payW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("delivery_name")).orderBy(col("path"))
     val pay = payloads
       .withColumn("delivery_name", Derived.basenameOf(col("path")))
+      // one payload per name (deterministic min-path) keeps pairing 1:1
+      .withColumn("pseq", row_number().over(payW))
+      .where(col("pseq") === 1)
       .select(col("delivery_name"), col("path").as("payload_path"),
         col("content"), length(col("content")).as("actual_size"))
 
-    // existence check (P2): notify without payload → reject
-    val paired = parsed.join(pay, Seq("delivery_name"), "left_outer")
+    // existence check (P2): notify without payload → reject.
+    // Both windows and this join key on delivery_name, so the rows are
+    // already co-partitioned — one shuffle serves all three.
+    val paired = ranked.join(pay, Seq("delivery_name"), "left_outer")
 
     // stage 3: classify; stage 4: duplicate check; stage 5: md5.
     // The registry join carries NO broadcast hint on purpose: the registry
@@ -96,6 +127,7 @@ object IngestPipeline {
         when(col("payload_path").isNull, "payload file missing")
           .when(col("filetype").isNull, "unknown filetype")
           .when(col("dup"), "duplicate file")
+          .when(col("delivery_seq") > 1, "duplicate file")
           .when(col("declared_md5").isNotNull
             && col("actual_md5") =!= col("declared_md5"), "md5 mismatch")
           .when(col("declared_size").isNotNull
@@ -151,10 +183,12 @@ object IngestPipeline {
         when(col("reject_msg").isNull, concat(lit(cfg.archiveDir + "/"),
           Derived.interpolate(
             coalesce(col("dirpat"), lit("${filetype}/${name}")), meta))))
+      // computed for every row (not just rejects): a verified-copy
+      // failure re-routes an 'archive' row here at move time
       .withColumn("quarantine_path",
-        when(col("reject_msg").isNotNull, concat(lit(cfg.quarantineDir + "/"),
+        concat(lit(cfg.quarantineDir + "/"),
           Derived.yearMonthOf(col("delivered_at")), lit("/"),
-          Derived.uniqName(col("delivery_name"), col("delivered_at")))))
+          Derived.uniqName(col("delivery_name"), col("delivered_at"))))
       .withColumn("task_id", lit(cfg.taskId))
   }
 
@@ -200,30 +234,74 @@ object IngestPipeline {
     // behavior as the reference), never a silent registration loss.
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    routed.select("status", "payload_path", "archive_path", "quarantine_path")
-      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+
+    // Distributed move WITH post-copy verification (S15, save:84-112):
+    // archive copies are re-md5'd against the payload's md5; a torn copy
+    // is deleted and retried ≤ maxCopyTries; on exhaustion the source is
+    // moved to quarantine instead and the row re-routes to the bad-file
+    // table. The per-file outcome is materialized to parquet (the move
+    // log) so this side-effecting stage executes exactly once — the
+    // downstream appends re-read the log, never re-run the moves.
+    import spark.implicits._
+    val maxTries = cfg.maxCopyTries
+    val sleepMs = cfg.copyRetrySleepMs
+    val fault = cfg.copyFault
+    val movesDir = batchDir + "_moves"
+    routed.select("notify_path", "status", "payload_path", "archive_path",
+        "quarantine_path", "actual_md5")
+      .as[(String, String, Option[String], Option[String], Option[String],
+        Option[String])]
+      .mapPartitions { rows =>
         val fs = FileSystem.get(hadoopConf.value)
-        rows.foreach { row =>
-          val status = row.getString(0)
-          val payload = Option(row.getString(1))
-          val target = if (status == "archive") row.getString(2) else row.getString(3)
-          payload.foreach { p =>
-            val src = new Path(new java.net.URI(p).getPath)
-            val dst = new Path(target)
-            fs.mkdirs(dst.getParent)
-            org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, true, true,
-              hadoopConf.value)
+        rows.map { case (notifyPath, status, payloadOpt, archiveOpt, quarOpt,
+            md5Opt) =>
+          payloadOpt match {
+            case None => (notifyPath, "no_payload", 0)
+            case Some(p) =>
+              val src = new Path(new java.net.URI(p).getPath)
+              if (status == "archive") {
+                val dst = new Path(archiveOpt.get)
+                // expected md5 = the scan-time payload digest from the
+                // manifest — no second read of the source
+                val tries = copyVerify(fs, src, dst, md5Opt,
+                  maxTries, sleepMs, hadoopConf.value, fault)
+                if (tries > 0) {
+                  fs.delete(src, false)
+                  (notifyPath, "archive_ok", tries)
+                } else {
+                  moveTo(fs, src, new Path(quarOpt.get), hadoopConf.value)
+                  (notifyPath, "copy_failed", maxTries)
+                }
+              } else {
+                moveTo(fs, src, new Path(quarOpt.get), hadoopConf.value)
+                (notifyPath, "quarantined", 1)
+              }
           }
         }
-      }
+      }.toDF("notify_path", "outcome", "attempts")
+      .write.mode(SaveMode.Overwrite).parquet(movesDir)
+    val moves = spark.read.parquet(movesDir)
 
-    val good = routed.where(col("status") === "archive")
-    val bad = routed.where(col("status") === "quarantine")
-    good.select(col("delivery_name").as("filename"), col("filetype"),
+    // final routing folds the move outcomes back in: a verified-copy
+    // failure turns an 'archive' row into a quarantine row. Joined on
+    // notify_path — the unique per-row key (delivery_name may collide
+    // within a batch).
+    val finalRouted = routed.join(moves, Seq("notify_path"), "left_outer")
+      .withColumn("final_status",
+        when(col("outcome") === "archive_ok", "archive")
+          .otherwise("quarantine"))
+      .withColumn("reject_msg", coalesce(col("reject_msg"),
+        when(col("outcome") === "copy_failed",
+          concat(lit("copy verification failed after "), col("attempts"),
+            lit(" tries")))))
+
+    finalRouted.where(col("final_status") === "archive")
+      .select(col("delivery_name").as("filename"), col("filetype"),
         col("actual_md5").as("md5sum"), col("actual_size").as("filesize"),
         col("archive_path"), col("delivered_at"), col("task_id"))
       .write.mode(SaveMode.Append).parquet(cfg.registryDir)
-    bad.select(col("task_id"), col("delivered_at").as("delivery_date"),
+    finalRouted.where(col("final_status") === "quarantine")
+      .select(col("task_id"), col("delivered_at").as("delivery_date"),
         col("delivery_name").as("orig_filename"),
         Derived.basenameOf(col("quarantine_path")).as("uniq_fullname"),
         current_timestamp().as("rejected_date"), col("reject_msg").as("rejected_msg"),
@@ -240,10 +318,55 @@ object IngestPipeline {
       }
 
     // one job for both tallies (not a count() per branch)
-    val counts = routed.groupBy(col("status")).count().collect()
+    val counts = finalRouted.groupBy(col("final_status")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     IngestReport(counts.getOrElse("archive", 0L),
       counts.getOrElse("quarantine", 0L))
+  }
+
+  /** Copy src→dst, then re-read dst and compare its md5 to the expected
+    * digest — the reference's torn-copy defense (save:84-112). Up to
+    * maxTries attempts with a sleep between them; a mismatching
+    * destination is deleted before the retry. Returns the attempt number
+    * that verified, or 0 when every attempt failed (dst left absent).
+    * With no expected md5 the first copy is trusted (ref save:100-101). */
+  private[graft] def copyVerify(fs: FileSystem, src: Path, dst: Path,
+      expectedMd5: Option[String], maxTries: Int, sleepMs: Long,
+      conf: org.apache.hadoop.conf.Configuration,
+      fault: Option[CopyFault] = None): Int = {
+    var attempt = 1
+    while (attempt <= maxTries) {
+      fs.mkdirs(dst.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, true, conf)
+      fault.foreach(f => f(attempt, fs, dst))
+      expectedMd5 match {
+        case None => return attempt
+        case Some(md5) =>
+          if (md5Of(fs, dst) == md5) return attempt
+          fs.delete(dst, false)
+          if (attempt < maxTries && sleepMs > 0) Thread.sleep(sleepMs)
+      }
+      attempt += 1
+    }
+    0
+  }
+
+  /** Streaming md5 of a file's bytes (hex, lowercase). */
+  private[graft] def md5Of(fs: FileSystem, p: Path): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { digest.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    digest.digest().map("%02x".format(_)).mkString
+  }
+
+  private def moveTo(fs: FileSystem, src: Path, dst: Path,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    fs.mkdirs(dst.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, true, true, conf)
   }
 
   private def loadRegistry(spark: SparkSession, cfg: Config): DataFrame = {

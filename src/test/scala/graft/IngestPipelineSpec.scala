@@ -158,6 +158,106 @@ class IngestPipelineSpec extends SparkSpec {
     assert(Files.exists(Paths.get(archived)))
   }
 
+  test("copyVerify: clean copy verifies on attempt 1; torn copy retries") {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(conf)
+    val dir = Files.createTempDirectory("cv")
+    val src = dir.resolve("src.bin")
+    val bytes = "payload-bytes".getBytes
+    Files.write(src, bytes)
+    val expected = md5hex(bytes)
+
+    // clean: one attempt
+    val dst1 = new HPath(dir.resolve("out1").toString)
+    assert(IngestPipeline.copyVerify(fs, new HPath(src.toString), dst1,
+      Some(expected), 5, 0L, conf) == 1)
+    assert(Files.exists(dir.resolve("out1")))
+
+    // torn on attempts 1-2, clean on 3
+    val tornTwice = new IngestPipeline.CopyFault {
+      def apply(attempt: Int, fs: FileSystem, dst: HPath): Unit =
+        if (attempt <= 2) {
+          val out = fs.create(dst, true)
+          out.write("garbage".getBytes); out.close()
+        }
+    }
+    val dst2 = new HPath(dir.resolve("out2").toString)
+    assert(IngestPipeline.copyVerify(fs, new HPath(src.toString), dst2,
+      Some(expected), 5, 0L, conf, Some(tornTwice)) == 3)
+
+    // torn every time: fails after maxTries, destination removed
+    val tornAlways = new IngestPipeline.CopyFault {
+      def apply(attempt: Int, fs: FileSystem, dst: HPath): Unit = {
+        val out = fs.create(dst, true)
+        out.write("garbage".getBytes); out.close()
+      }
+    }
+    val dst3 = new HPath(dir.resolve("out3").toString)
+    assert(IngestPipeline.copyVerify(fs, new HPath(src.toString), dst3,
+      Some(expected), 4, 0L, conf, Some(tornAlways)) == 0)
+    assert(!Files.exists(dir.resolve("out3")), "failed copy cleaned up")
+  }
+
+  test("copy-verify exhaustion re-routes the file to quarantine") {
+    val (stage, cfg0) = mkConfig()
+    val alwaysTorn = new IngestPipeline.CopyFault {
+      def apply(attempt: Int, fs: org.apache.hadoop.fs.FileSystem,
+          dst: org.apache.hadoop.fs.Path): Unit =
+        if (dst.getName.contains("00000031")) {
+          val out = fs.create(dst, true)
+          out.write("garbage".getBytes); out.close()
+        }
+    }
+    val cfg = cfg0.copy(maxCopyTries = 3, copyRetrySleepMs = 0L,
+      copyFault = Some(alwaysTorn))
+    val good = FitsHeader.render(Seq("SIMPLE" -> "T") ++ primaryCards)
+    for (n <- Seq("DECam_00000030.fits.fz", "DECam_00000031.fits.fz")) {
+      Files.write(stage.resolve(n), good)
+      Files.write(stage.resolve(n + ".dbb"),
+        s"md5sum = ${md5hex(good)}\nfilesize = ${good.length}\n".getBytes)
+    }
+    val report = IngestPipeline.runBatch(spark, cfg)
+    assert(report.archived == 1, "untouched file archives")
+    assert(report.quarantined == 1, "torn file quarantined")
+    val reg = spark.read.parquet(cfg.registryDir)
+      .collect().map(_.getAs[String]("filename")).toSet
+    assert(reg == Set("DECam_00000030.fits.fz"))
+    val badRow = spark.read.parquet(cfg.badFileDir)
+      .where(col("orig_filename") === "DECam_00000031.fits.fz").head()
+    assert(badRow.getAs[String]("rejected_msg")
+      == "copy verification failed after 3 tries")
+    // source preserved in quarantine, not lost
+    val uniq = badRow.getAs[String]("uniq_fullname")
+    val quarFiles = new java.io.File(cfg.quarantineDir).listFiles
+    assert(uniq.startsWith("DECam_00000031.fits.fz."))
+    assert(stage.toFile.listFiles().isEmpty, "stage drained")
+  }
+
+  test("intra-batch duplicates: earliest delivery wins, later quarantined") {
+    import spark.implicits._
+    val good = FitsHeader.render(Seq("SIMPLE" -> "T") ++ primaryCards)
+    val notifyBytes =
+      s"md5sum = ${md5hex(good)}\nfilesize = ${good.length}\n".getBytes
+    val notify = Seq(
+      ("file:///s/a/x.fits.fz.dbb", notifyBytes,
+        new java.sql.Timestamp(2000L)),
+      ("file:///s/b/x.fits.fz.dbb", notifyBytes,
+        new java.sql.Timestamp(1000L)))
+      .toDF("path", "content", "modificationTime")
+    val pays = Seq(("file:///s/a/x.fits.fz", good),
+      ("file:///s/b/x.fits.fz", good)).toDF("path", "content")
+    val registry = Seq.empty[String].toDF("filename")
+    val (_, cfg) = mkConfig()
+    val planned = IngestPipeline.plan(spark, notify, pays, registry, cfg)
+      .select("notify_path", "status", "reject_msg").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    // mtime 1000 (delivered first) wins; mtime 2000 is the duplicate
+    assert(planned("file:///s/b/x.fits.fz.dbb") == ("archive", null))
+    assert(planned("file:///s/a/x.fits.fz.dbb") ==
+      ("quarantine", "duplicate file"))
+  }
+
   test("registry dup-check is not a forced broadcast (unbounded table)") {
     // With auto-broadcast disabled, no BroadcastExchange may appear in the
     // plan: the registry grows without bound, so the only acceptable
