@@ -48,6 +48,22 @@ object ScaleUtils {
       .drop("__salt")
   }
 
+  /** Column-intersection projection — P9/J4 (save:274-278): project a
+    * row set onto whatever columns the TARGET table currently has, the
+    * reference's defense against schema drift of the bad-file table
+    * ("for bcol in badcols: if bcol in metadata"). Shared columns are
+    * cast to the target's type; target columns the source lacks become
+    * typed nulls; source columns the target lacks are dropped. Output
+    * column order is the target's, so appends line up positionally too. */
+  def projectOnto(df: DataFrame,
+      target: org.apache.spark.sql.types.StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(target.fields.toIndexedSeq.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
   /** Repartition a fact table by its dominant join/group key with a
     * partition count sized from data volume (bytes per partition target),
     * so downstream joins/aggs on that key reuse the partitioning without

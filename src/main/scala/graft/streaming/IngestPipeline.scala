@@ -300,13 +300,22 @@ object IngestPipeline {
         col("actual_md5").as("md5sum"), col("actual_size").as("filesize"),
         col("archive_path"), col("delivered_at"), col("task_id"))
       .write.mode(SaveMode.Append).parquet(cfg.registryDir)
-    finalRouted.where(col("final_status") === "quarantine")
+    val badRows = finalRouted.where(col("final_status") === "quarantine")
       .select(col("task_id"), col("delivered_at").as("delivery_date"),
         col("delivery_name").as("orig_filename"),
         Derived.basenameOf(col("quarantine_path")).as("uniq_fullname"),
         current_timestamp().as("rejected_date"), col("reject_msg").as("rejected_msg"),
         col("actual_size").as("filesize"), col("filetype"))
-      .write.mode(SaveMode.Append).parquet(cfg.badFileDir)
+    // P9/J4 (save:274-278): the bad-file table's schema may drift over
+    // time (columns added or retired operationally); append whatever
+    // intersects the table's CURRENT columns instead of failing
+    existingSchema(spark, cfg.badFileDir) match {
+      case Some(schema) =>
+        graft.functions.ScaleUtils.projectOnto(badRows, schema)
+          .write.mode(SaveMode.Append).parquet(cfg.badFileDir)
+      case None =>
+        badRows.write.mode(SaveMode.Append).parquet(cfg.badFileDir)
+    }
 
     // offset commit: notify files removed only after tables are durable
     routed.select("notify_path")
@@ -367,6 +376,16 @@ object IngestPipeline {
       conf: org.apache.hadoop.conf.Configuration): Unit = {
     fs.mkdirs(dst.getParent)
     org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, true, true, conf)
+  }
+
+  /** Schema of an existing non-empty parquet dir, None when absent. */
+  private def existingSchema(spark: SparkSession, dir: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+      Some(spark.read.parquet(dir).schema)
+    else None
   }
 
   private def loadRegistry(spark: SparkSession, cfg: Config): DataFrame = {

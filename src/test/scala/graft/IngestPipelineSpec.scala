@@ -258,6 +258,29 @@ class IngestPipelineSpec extends SparkSpec {
       ("quarantine", "duplicate file"))
   }
 
+  test("bad-file appends survive target-table schema drift (projectOnto)") {
+    import spark.implicits._
+    val (stage, cfg) = mkConfig()
+    // the operational bad-file table drifted: gained operator_note,
+    // lost filesize/delivery_date/rejected_date/filetype
+    Seq((0L, "seed.txt", "seed.txt.0", "seed msg", "checked"))
+      .toDF("task_id", "orig_filename", "uniq_fullname", "rejected_msg",
+        "operator_note")
+      .write.parquet(cfg.badFileDir)
+    Files.write(stage.resolve("junk.txt"), "x".getBytes)
+    Files.write(stage.resolve("junk.txt.dbb"),
+      "md5sum = 9dd4e461268c8034f5c8564e155c67a6\nfilesize = 1\n".getBytes)
+    val report = IngestPipeline.runBatch(spark, cfg)
+    assert(report.quarantined == 1)
+    val bad = spark.read.parquet(cfg.badFileDir)
+    assert(bad.columns.toSet == Set("task_id", "orig_filename",
+      "uniq_fullname", "rejected_msg", "operator_note"))
+    val row = bad.where(col("orig_filename") === "junk.txt").head()
+    assert(row.getAs[String]("rejected_msg") == "unknown filetype")
+    assert(row.isNullAt(row.fieldIndex("operator_note")),
+      "target-only column null-filled")
+  }
+
   test("registry dup-check is not a forced broadcast (unbounded table)") {
     // With auto-broadcast disabled, no BroadcastExchange may appear in the
     // plan: the registry grows without bound, so the only acceptable

@@ -36,6 +36,21 @@ class ScaleUtilsSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("projectOnto: intersect, cast, null-fill, target column order") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val src = Seq((1, "a", 2.5)).toDF("id", "name", "extra")
+    val target = StructType(Seq(
+      StructField("name", StringType),       // shared, same type
+      StructField("id", LongType),           // shared, needs cast int->long
+      StructField("added", StringType)))     // target-only -> typed null
+    val out = ScaleUtils.projectOnto(src, target)
+    assert(out.columns.toSeq == Seq("name", "id", "added"), "target order")
+    assert(out.schema("id").dataType == LongType, "cast to target type")
+    val row = out.head()
+    assert(row.getString(0) == "a" && row.getLong(1) == 1L && row.isNullAt(2))
+  }
+
   test("repartitionForKey sizes partition count from stats") {
     val li = graft.sources.Tables.lineitem(spark, sfDir)
     val small = ScaleUtils.repartitionForKey(li, "l_orderkey",
