@@ -110,6 +110,88 @@ object MonitorOps {
         count(lit(1)).as("n_events"))
   }
 
+  /** S10 (monitor:1084-1097) — the DB-down degraded mode: walk the
+    * archive tree on disk and recover the exposure inventory from
+    * filenames alone. Real-FS form: a recursive binaryFile listing
+    * (content column pruned away — only paths are read) with the nite
+    * taken from the directory level and expnum from the DECam name. */
+  def diskWalkExposures(spark: SparkSession, archiveRoot: String): DataFrame = {
+    val root = archiveRoot.stripSuffix("/")
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(col("path"))
+      .withColumn("nite",
+        regexp_extract(col("path"),
+          java.util.regex.Pattern.quote(root) + "/([^/]+)/", 1))
+      .withColumn("expnum", Derived.expnumOf(Derived.basenameOf(col("path"))))
+      .where(col("expnum").isNotNull)
+      .groupBy(col("nite"))
+      .agg(count(lit(1)).as("n_files"),
+        min(col("expnum")).as("min_expnum"),
+        max(col("expnum")).as("max_expnum"))
+  }
+
+  /** S12 (monitor:166-186) — latest-file-by-name descent: the reference
+    * walks year → month → filename taking the string-max at each level.
+    * Per-level string max equals ONE lexicographic max over the
+    * (year, month, filename) struct, so the whole descent is a single
+    * aggregation over the recursive listing — no driver-side walking. */
+  def latestLogFile(spark: SparkSession, logRoot: String): DataFrame = {
+    val root = logRoot.stripSuffix("/")
+    // listing paths are URIs (file:///...); strip scheme + root prefix
+    val seg = split(regexp_replace(col("path"),
+      ".*" + java.util.regex.Pattern.quote(root) + "/", ""), "/")
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(col("path"))
+      .select(seg.getItem(0).as("year"), seg.getItem(1).as("month"),
+        seg.getItem(2).as("fname"))
+      .agg(max(struct(col("year"), col("month"), col("fname"))).as("m"))
+      .select(concat_ws("/", lit(root), col("m.year"), col("m.month"),
+        col("m.fname")).as("latest_log"))
+  }
+
+  /** Oracled rendering of S10: the disk listing is synthesized from
+    * events (nite dir + a hash subdir level + DECam/manifest names), the
+    * operator under test is the regexp filter-and-extract + per-nite
+    * rollup — identical to what [[diskWalkExposures]] runs on a real
+    * tree. */
+  def diskWalkQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("nite", Derived.niteOf(col("ts")))
+    val fname = when(col("event_type") === "purchase",
+      concat(lit("manifest_SN"), col("event_id"), lit(".json")))
+      .otherwise(Derived.decamNameOf(col("event_id")))
+    ev.select(col("nite"),
+        concat(lit("/dts/"), col("nite"), lit("/c"),
+          pmod(col("user_id"), lit(4)), lit("/"), fname).as("path"))
+      .withColumn("expnum", Derived.expnumOf(col("path")))
+      .where(col("expnum").isNotNull)
+      .groupBy(col("nite"))
+      .agg(count(lit(1)).as("n_files"),
+        min(col("expnum")).as("min_expnum"),
+        max(col("expnum")).as("max_expnum"))
+  }
+
+  /** Oracled rendering of S12: per-nite latest file over a synthesized
+    * (year, month, name) listing — the arg-max by per-level string
+    * ordering, the window form of [[latestLogFile]]'s struct max. */
+  def latestFileQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("nite", Derived.niteOf(col("ts")))
+      .select(col("nite"),
+        date_format(col("ts"), "yyyy").as("year"),
+        date_format(col("ts"), "MM").as("month"),
+        format_string("log_%08d.txt", col("event_id")).as("fname"))
+    ev.groupBy(col("nite"))
+      .agg(max(struct(col("year"), col("month"), col("fname"))).as("m"))
+      .select(col("nite"),
+        concat_ws("/", col("m.year"), col("m.month"), col("m.fname"))
+          .as("latest_log"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_log_ts_parse"  -> logTimestampParse _,
     "q_log_tail"      -> logTail _,
@@ -117,6 +199,8 @@ object MonitorOps {
     "q_union_accum"   -> unionAccumulate _,
     "q_report_rows"   -> reportRows _,
     "q_multikey_recon" -> multikeyRecon _,
+    "q_disk_walk"     -> diskWalkQuery _,
+    "q_latest_file"   -> latestFileQuery _,
   )
 
   private val niteSql =
@@ -173,6 +257,31 @@ object MonitorOps {
         |  coalesce(nullif(event_type, 'error'), '&nbsp;') AS type_disp,
         |  ts >= (SELECT max(ts) FROM events) - INTERVAL 3 DAY AS recent
         |FROM events WHERE event_type = 'error'""".stripMargin,
+    "q_disk_walk" ->
+      s"""WITH listing AS (
+         |  SELECT nite, '/dts/' || nite || '/c' || (user_id % 4) || '/' ||
+         |    CASE WHEN event_type = 'purchase'
+         |      THEN 'manifest_SN' || event_id || '.json'
+         |      ELSE printf('DECam_%08d.fits.fz', event_id) END AS path
+         |  FROM (SELECT *, $niteSql AS nite FROM events)),
+         |m AS (
+         |  SELECT nite, CAST(nullif(regexp_extract(path,
+         |    'DECam_(\\d+)\\.fits\\.fz', 1), '') AS BIGINT) AS expnum
+         |  FROM listing)
+         |SELECT nite, count(*) AS n_files,
+         |  min(expnum) AS min_expnum, max(expnum) AS max_expnum
+         |FROM m WHERE expnum IS NOT NULL GROUP BY nite""".stripMargin,
+    "q_latest_file" ->
+      s"""WITH listing AS (
+         |  SELECT $niteSql AS nite,
+         |    strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+         |    printf('log_%08d.txt', event_id) AS fname
+         |  FROM events)
+         |SELECT nite, year || '/' || month || '/' || fname AS latest_log
+         |FROM (SELECT *, row_number() OVER (PARTITION BY nite
+         |        ORDER BY year DESC, month DESC, fname DESC) AS rn
+         |      FROM listing)
+         |WHERE rn = 1""".stripMargin,
     "q_multikey_recon" ->
       s"""WITH ev AS (
          |  SELECT *, $niteSql AS nite FROM events),
