@@ -119,13 +119,38 @@ object DedupOps {
         min(col("doc_id")).as("min_doc_id"))
   }
 
+  /** Per-bucket candidate target for the bucketed ANN: buckets ∝ n. */
+  val AnnTargetPerBucket = 64L
+
+  /** n→signDims policy: enough sign dims that the expected bucket
+    * occupancy is ≤ [[AnnTargetPerBucket]], floored at 6 (64 buckets) and
+    * capped at 16 (embedding dim is 64; 2^16 buckets is plenty before
+    * IVF takes over as the scale path). Integer-exact:
+    * ceil(log2(ceil(n / target))) computed via bit length, so the Spark
+    * and DuckDB sides can never disagree on an FP boundary. */
+  def annSignDims(n: Long): Int = {
+    val bucketsNeeded = (n + AnnTargetPerBucket - 1) / AnnTargetPerBucket
+    val dims =
+      if (bucketsNeeded <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(bucketsNeeded - 1)
+    math.max(6, math.min(16, dims))
+  }
+
   /** LSH-bucketed ANN: sign-pattern of the leading dims is the bucket key
     * (axis-aligned random-projection LSH); nearest neighbor is searched
     * within the bucket only. The bucket join replaces the full cross
-    * product — this is the 100 TB path, with knnBruteForce as the exact
-    * baseline. */
-  def annBucketed(spark: SparkSession, dir: String, signDims: Int = 6): DataFrame = {
+    * product — with [[annSignDims]] the bucket count GROWS with the
+    * corpus (buckets ∝ n), so per-bucket all-pairs work stays
+    * O(n · AnnTargetPerBucket) ≈ linear instead of O(n²/constant).
+    * The corpus count is one metadata-only parquet job. Beyond ~2^16
+    * buckets, the IVF path (VectorOps.annIvf) with its trained coarse
+    * quantizer is the better recall/cost trade — this operator is the
+    * cheap untrained variant. */
+  def annBucketed(spark: SparkSession, dir: String,
+      signDimsOverride: Option[Int] = None): DataFrame = {
     val dot = graft.plans.DotProductLong.dotLong(spark) _
+    val signDims = signDimsOverride.getOrElse(
+      annSignDims(Tables.embeddings(spark, dir).count()))
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))
@@ -206,14 +231,22 @@ object DedupOps {
          |  FROM votes GROUP BY doc_id)
          |SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
          |FROM sigs GROUP BY simhash""".stripMargin,
+    // sign-dim count derives from count(*) with the same integer-exact
+    // bit-length formula as DedupOps.annSignDims
     "q_ann_bucketed" ->
-      """WITH emb AS (
+      s"""WITH d AS (
+        |  SELECT GREATEST(6, LEAST(16,
+        |    CASE WHEN (count(*) + ${AnnTargetPerBucket - 1}) // $AnnTargetPerBucket <= 1 THEN 0
+        |         ELSE CAST(length(bin(((count(*) + ${AnnTargetPerBucket - 1}) // $AnnTargetPerBucket) - 1)) AS INT)
+        |    END)) AS dims
+        |  FROM embeddings),
+        |emb AS (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qe
         |  FROM embeddings),
         |kb AS (
         |  SELECT vec_id, qe, list_dot_product(qe, qe) AS nrm,
-        |    array_to_string(list_transform(qe[1:6],
+        |    array_to_string(list_transform(qe[1:(SELECT dims FROM d)],
         |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
         |  FROM emb),
         |scored AS (

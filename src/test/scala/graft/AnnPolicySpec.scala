@@ -1,0 +1,29 @@
+package graft
+
+import graft.operators.DedupOps
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The n→signDims bucketing policy: buckets ∝ corpus size, so per-bucket
+  * all-pairs work stays ~linear overall. */
+class AnnPolicySpec extends AnyFunSuite {
+
+  test("annSignDims grows with corpus size, floored at 6, capped at 16") {
+    assert(DedupOps.annSignDims(1L) == 6)
+    assert(DedupOps.annSignDims(500L) == 6)       // sf0.01
+    assert(DedupOps.annSignDims(4096L) == 6)      // 64 buckets x 64 docs
+    assert(DedupOps.annSignDims(4097L) == 7)      // first step up
+    assert(DedupOps.annSignDims(1000000L) == 14)
+    assert(DedupOps.annSignDims(100000000000L) == 16) // cap
+  }
+
+  test("expected bucket occupancy stays bounded under the policy") {
+    for (n <- Seq(100L, 10000L, 1000000L, 50000000L)) {
+      val buckets = 1L << DedupOps.annSignDims(n)
+      val occupancy = n.toDouble / buckets
+      // ≤ target (up to the 2x ceil rounding) until the 16-dim cap binds
+      if (DedupOps.annSignDims(n) < 16)
+        assert(occupancy <= DedupOps.AnnTargetPerBucket * 2,
+          s"n=$n occupancy=$occupancy")
+    }
+  }
+}
