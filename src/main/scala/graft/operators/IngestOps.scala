@@ -68,39 +68,35 @@ object IngestOps {
     * R-flags). Header parses are synthesized deterministically from
     * events — keyword k is present in HDU h of event e unless
     * md5(e|h|k) begins with '0' (~1/16 dropout) — so the whole pipeline
-    * is oracle-able; the ingest pipeline runs the identical anti-join
-    * row-locally over real FITS bytes (IngestPipeline stage 6).
-    * Scale shape: both contract sides are broadcast dims; the anti-join
-    * shuffles only (event, hdu, keyword) triples, linear in events. */
+    * is oracle-able; the ingest pipeline runs the identical set
+    * difference row-locally over real FITS bytes (IngestPipeline stage 6).
+    *
+    * Scale shape: the required-keyword sets are driver-side constants
+    * (the degenerate-but-optimal broadcast of a 264-row dim), so the
+    * whole validation is a per-row `filter` over a literal array —
+    * ZERO shuffles, linear in events. An earlier formulation expanded an
+    * `expected` relation (events x 59 required keywords) and anti-joined
+    * it against its own filtered copy: two exchanges of ~59x the fact
+    * rows, 5.4 s at sf0.01 vs sub-second row-local; at 100 TB that
+    * expansion is the difference between a map-only job and shuffling
+    * 59x the table. The anti-join SHAPE still matters when the present
+    * set comes from a separate relation (real parsed headers) — that is
+    * IngestPipeline stage 6's job, not this query's. */
   def keywordContract(spark: SparkSession, dir: String): DataFrame = {
-    val contract = KeywordContract.df(spark)
-    val reqP = contract.where(col("primary_flag") === "R")
-      .select(col("keyword")).distinct()
-    val reqE = contract.where(col("extension_flag") === "R")
-      .select(col("keyword")).distinct()
-    val ev = Tables.events(spark, dir).select(col("event_id"))
-    val extHdus = reqE.crossJoin(
-      spark.range(1, 3).select(col("id").cast("int").as("hdu")))
-    val expected = ev.crossJoin(broadcast(reqP))
-      .select(col("event_id"), lit(0).as("hdu"), col("keyword"))
-      .unionAll(ev.crossJoin(broadcast(extHdus))
-        .select(col("event_id"), col("hdu"), col("keyword")))
-    val present = expected.where(
-      substring(md5(concat_ws("|", col("event_id"), col("hdu"),
-        col("keyword")).cast("binary")), 1, 1) =!= "0")
-    val missing = expected
-      .join(present, Seq("event_id", "hdu", "keyword"), "left_anti")
-    val agg = missing.groupBy(col("event_id")).agg(
-      sum(when(col("hdu") === 0, 1L).otherwise(0L)).as("n_missing_primary"),
-      sum(when(col("hdu") > 0, 1L).otherwise(0L)).as("n_missing_ext"),
-      array_join(array_sort(collect_set(col("keyword"))), ",")
-        .as("missing_keywords"))
-    ev.join(agg, Seq("event_id"), "left_outer")
+    def missingIn(hdu: Int, req: Seq[String]) =
+      filter(array(req.map(lit): _*), k =>
+        substring(md5(concat_ws("|", col("event_id"), lit(hdu), k)
+          .cast("binary")), 1, 1) === "0")
+    Tables.events(spark, dir).select(col("event_id"))
+      .withColumn("mp", missingIn(0, KeywordContract.requiredPrimary))
+      .withColumn("me", concat(missingIn(1, KeywordContract.requiredExtension),
+        missingIn(2, KeywordContract.requiredExtension)))
       .select(col("event_id"),
-        coalesce(col("n_missing_primary"), lit(0L)).as("n_missing_primary"),
-        coalesce(col("n_missing_ext"), lit(0L)).as("n_missing_ext"),
-        coalesce(col("missing_keywords"), lit("")).as("missing_keywords"),
-        col("missing_keywords").isNull.as("valid"))
+        size(col("mp")).cast("long").as("n_missing_primary"),
+        size(col("me")).cast("long").as("n_missing_ext"),
+        array_join(array_sort(array_distinct(concat(col("mp"), col("me")))), ",")
+          .as("missing_keywords"),
+        (size(col("mp")) + size(col("me")) === 0).as("valid"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
