@@ -97,6 +97,42 @@ object DedupOps {
         sum(when(col("jac") >= 0.85, 1L).otherwise(0L)).as("n_dup_pairs"))
   }
 
+  /** LSH-fronted Jaccard best-match — the scale-safe form of
+    * [[TextOps.jaccardBestMatch]]: instead of the exact all-pairs shingle
+    * self-join (O(pairs-sharing-a-shingle), weak beyond ~10^7 docs), the
+    * candidate set comes from shared LSH band keys, and only candidates
+    * are verified with exact Jaccard before the per-doc arg-max. This IS
+    * the enforced cutover the exact query documents: same output schema
+    * (doc_id, best_match, best_jac), sub-quadratic work. Docs whose true
+    * best match shares no band key are absent or get a lower-jac match —
+    * the LSH recall trade, identical in the oracle because the minhash
+    * is md5-portable. Candidates ignore language (band keys hash shingle
+    * content only), unlike the exact query's same-lang blocking. */
+  def jaccardLshBest(spark: SparkSession, dir: String): DataFrame = {
+    val ex = exploded(spark, dir).persist()
+    val bk = bandKeys(spark, ex)
+    // ordered pairs (both directions) so the per-doc arg-max needs no
+    // union — mirrors TextOps.jaccardBestMatch's asymmetric self-join
+    val cand = bk.as("a").join(bk.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(ex.select(col("doc_id").as("id_a"), col("n_tok").as("n_a"),
+        col("tok")), Seq("id_a"))
+      .join(ex.select(col("doc_id").as("id_b"), col("n_tok").as("n_b"),
+        col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"), first(col("n_a")).as("n_a"),
+        first(col("n_b")).as("n_b"))
+      .withColumn("jac", col("shared").cast("double")
+        / (col("n_a") + col("n_b") - col("shared")))
+      .groupBy(col("id_a").as("doc_id"))
+      .agg(max_by(col("id_b"), struct(col("jac"), -col("id_b"))).as("best_match"),
+        round(max(col("jac")), 4).as("best_jac"))
+  }
+
   /** SimHash signatures: per-token md5 hex digits vote per bit position;
     * the signature is the 16-bit sign vector. Grouped into a histogram
     * (signature → doc count) — collisions are near-dup candidates. */
@@ -176,6 +212,7 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_lsh"  -> minhashLsh _,
+    "q_jaccard_lsh"  -> jaccardLshBest _,
     "q_simhash"      -> simhash _,
     "q_ann_bucketed" -> ((s: SparkSession, d: String) => annBucketed(s, d)),
   )
@@ -213,6 +250,41 @@ object DedupOps {
          |  CAST(sum(CASE WHEN CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.85
          |       THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs
          |FROM shared GROUP BY lang""".stripMargin,
+    "q_jaccard_lsh" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, lang, length(tset) AS n_tok, unnest(tset) AS tok
+         |  FROM (SELECT doc_id, lang, ${TextOps.shingles3Sql} AS tset
+         |        FROM documents)),
+         |mh AS (
+         |  SELECT doc_id, lang, seed, min(md5(seed || '|' || tok)) AS minh
+         |  FROM ex, range($NumHashes) s(seed)
+         |  GROUP BY 1, 2, 3),
+         |bk AS (
+         |  SELECT doc_id, lang, seed // $BandSize AS band,
+         |    md5(string_agg(minh, ',' ORDER BY seed)) AS band_key
+         |  FROM mh GROUP BY 1, 2, 3),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+         |    AND a.doc_id <> b.doc_id),
+         |shared AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS shared,
+         |    any_value(ea.n_tok) AS n_a, any_value(eb.n_tok) AS n_b
+         |  FROM cand c
+         |  JOIN ex ea ON ea.doc_id = c.id_a
+         |  JOIN ex eb ON eb.doc_id = c.id_b AND eb.tok = ea.tok
+         |  GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT id_a, id_b,
+         |    CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jac
+         |  FROM shared)
+         |SELECT id_a AS doc_id, id_b AS best_match, round(max_jac, 4) AS best_jac
+         |FROM (
+         |  SELECT id_a, id_b, max(jac) OVER (PARTITION BY id_a) AS max_jac,
+         |    row_number() OVER (PARTITION BY id_a
+         |                       ORDER BY jac DESC, id_b ASC) AS rn
+         |  FROM jac)
+         |WHERE rn = 1""".stripMargin,
     "q_simhash" ->
       s"""WITH ex AS (
          |  SELECT DISTINCT doc_id, tok FROM (

@@ -81,6 +81,41 @@ object VectorOps {
         col("nn_sim"))
   }
 
+  /** Scale-safe sibling of [[nnWithinLabel]]: blocks on (label,
+    * sign-bucket) instead of label alone. Label cardinality is a
+    * CONSTANT, so per-label blocks grow O(n²) with the corpus; the
+    * sign-bucket sub-key (axis-aligned random-projection LSH, same
+    * family as [[DedupOps.annBucketed]]) splits each label block into
+    * buckets whose count grows with the LARGEST label block
+    * ([[DedupOps.annSignDims]] of max per-label count), holding expected
+    * per-block pair work ≈ O(n · target). Approximate: the nearest
+    * neighbor is found within the same (label, bucket) only — the
+    * standard ANN recall trade, deterministic and fully oracled. */
+  def nnLabelBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val dot = DotProductLong.dotLong(spark) _
+    val maxBlock = Tables.embeddings(spark, dir)
+      .groupBy(col("label")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val dims = DedupOps.annSignDims(maxBlock)
+    val emb = quantized(spark, dir)
+      .withColumn("bucket", array_join(
+        transform(slice(col("qe"), 1, dims),
+          x => when(x >= 0, "1").otherwise("0")), ""))
+    val a = emb.select(col("label"), col("bucket"), col("vec_id").as("id_a"),
+      col("qe").as("qe_a"), col("nrm").as("nrm_a"))
+    val b = emb.select(col("label"), col("bucket"), col("vec_id").as("id_b"),
+      col("qe").as("qe_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("label", "bucket"))
+      .where(col("id_a") =!= col("id_b"))
+      .withColumn("sim",
+        round(cosineQ(dot)(col("qe_a"), col("qe_b"), col("nrm_a"), col("nrm_b")), 4))
+      .groupBy(col("label"), col("bucket"), col("id_a"))
+      .agg(max_by(col("id_b"), struct(col("sim"), -col("id_b"))).as("nn_id"),
+        max(col("sim")).as("nn_sim"))
+      .select(col("label"), col("bucket"), col("id_a").as("vec_id"),
+        col("nn_id"), col("nn_sim"))
+  }
+
   /** Per-label centroid in exact milli-units: posexplode to (dim, value),
     * integer sums per (label, dim). The partial-aggregation tree is
     * shuffle-efficient (combine on map side) and exact at any scale. */
@@ -152,6 +187,7 @@ object VectorOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_cosine"   -> ((s: SparkSession, d: String) => knnBruteForce(s, d)),
     "q_nn_per_label" -> nnWithinLabel _,
+    "q_nn_label_ann" -> nnLabelBucketed _,
     "q_centroids"    -> centroids _,
     "q_ann_ivf"      -> ((s: SparkSession, d: String) => annIvf(s, d)),
   )
@@ -185,6 +221,36 @@ object VectorOps {
          |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id)
          |SELECT label, id_a AS vec_id, id_b AS nn_id, max_sim AS nn_sim FROM (
          |  SELECT label, id_a, id_b, sim,
+         |    max(sim) OVER (PARTITION BY label, id_a) AS max_sim,
+         |    row_number() OVER (PARTITION BY label, id_a
+         |                       ORDER BY sim DESC, id_b ASC) AS rn
+         |  FROM scored)
+         |WHERE rn = 1""".stripMargin,
+    // dims derive from the max per-label block via the same integer-exact
+    // bit-length formula as DedupOps.annSignDims
+    "q_nn_label_ann" ->
+      s"""WITH d AS (
+         |  SELECT GREATEST(6, LEAST(16,
+         |    CASE WHEN (mx + ${DedupOps.AnnTargetPerBucket - 1}) // ${DedupOps.AnnTargetPerBucket} <= 1 THEN 0
+         |         ELSE CAST(length(bin(((mx + ${DedupOps.AnnTargetPerBucket - 1}) // ${DedupOps.AnnTargetPerBucket}) - 1)) AS INT)
+         |    END)) AS dims
+         |  FROM (SELECT max(c) AS mx FROM
+         |        (SELECT count(*) AS c FROM embeddings GROUP BY label))),
+         |emb AS (SELECT vec_id, label, $qSql AS qe FROM embeddings),
+         |kb AS (
+         |  SELECT vec_id, label, qe, list_dot_product(qe, qe) AS nrm,
+         |    array_to_string(list_transform(qe[1:(SELECT dims FROM d)],
+         |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM emb),
+         |scored AS (
+         |  SELECT a.label, a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(CAST(list_dot_product(a.qe, b.qe) AS DOUBLE)
+         |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))), 4) AS sim
+         |  FROM kb a JOIN kb b ON a.label = b.label AND a.bucket = b.bucket
+         |    AND a.vec_id <> b.vec_id)
+         |SELECT label, bucket, id_a AS vec_id, id_b AS nn_id, max_sim AS nn_sim
+         |FROM (
+         |  SELECT label, bucket, id_a, id_b, sim,
          |    max(sim) OVER (PARTITION BY label, id_a) AS max_sim,
          |    row_number() OVER (PARTITION BY label, id_a
          |                       ORDER BY sim DESC, id_b ASC) AS rn
