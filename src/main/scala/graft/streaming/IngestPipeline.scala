@@ -295,11 +295,21 @@ object IngestPipeline {
           concat(lit("copy verification failed after "), col("attempts"),
             lit(" tries")))))
 
+    // S6: the registry is laid out partitioned by nite, mirroring the
+    // reference monitor's per-nite registry queries (monitor:259-266 loops
+    // nites issuing one query each). A per-nite or nite-IN-list scan then
+    // prunes to the matching directories (PartitionFilters) instead of
+    // reading the full history — the layout that makes "scan this night"
+    // O(night) on a registry that grows forever. The dup anti-join is NOT
+    // nite-pruned on purpose: a duplicate may arrive any number of nites
+    // after the original, so it must see the whole registry.
     finalRouted.where(col("final_status") === "archive")
       .select(col("delivery_name").as("filename"), col("filetype"),
         col("actual_md5").as("md5sum"), col("actual_size").as("filesize"),
-        col("archive_path"), col("delivered_at"), col("task_id"))
-      .write.mode(SaveMode.Append).parquet(cfg.registryDir)
+        col("archive_path"), col("delivered_at"), col("task_id"),
+        Derived.niteOf(col("delivered_at")).as("nite"))
+      .write.mode(SaveMode.Append).partitionBy("nite")
+      .parquet(cfg.registryDir)
     val badRows = finalRouted.where(col("final_status") === "quarantine")
       .select(col("task_id"), col("delivered_at").as("delivery_date"),
         col("delivery_name").as("orig_filename"),

@@ -113,6 +113,28 @@ class IngestPipelineSpec extends SparkSpec {
     assert(dupMsgs == 1)
   }
 
+  test("registry layout: nite-partitioned, per-nite scans prune (S6)") {
+    val (stage, cfg) = mkConfig()
+    writeFixtures(stage)
+    IngestPipeline.runBatch(spark, cfg)
+    // layout on disk: hive-style nite= directories
+    assert(new java.io.File(cfg.registryDir).listFiles()
+      .exists(_.getName.startsWith("nite=")), "registry must be nite-partitioned")
+    val reg = spark.read.parquet(cfg.registryDir)
+    // partition-type inference may surface nite as int or string —
+    // compare through a cast, which references only the partition column
+    // and therefore still prunes
+    val nites = reg.select(col("nite").cast("string")).distinct().collect()
+      .map(_.getString(0))
+    assert(nites.nonEmpty && nites.forall(_.matches("\\d{8}")))
+    // the monitor-style per-nite IN-list scan must reach the scan as a
+    // PARTITION filter (directory pruning), not a data filter
+    val planStr = reg.where(col("nite").cast("string").isin(nites.toSeq: _*))
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [") && planStr.contains("nite"),
+      s"nite filter must prune partitions:\n$planStr")
+  }
+
   test("keyword contract: extension HDUs validated against the R-ext flags") {
     val (stage, cfg) = mkConfig()
     // multi-HDU file: complete primary + one complete extension → archive
