@@ -67,30 +67,42 @@ object IngestOps {
     * per HDU flag (hdu 0 ⇒ primary R-flags, hdus 1-2 ⇒ extension
     * R-flags). Header parses are synthesized deterministically from
     * events — keyword k is present in HDU h of event e unless
-    * md5(e|h|k) begins with '0' (~1/16 dropout) — so the whole pipeline
-    * is oracle-able; the ingest pipeline runs the identical set
-    * difference row-locally over real FITS bytes (IngestPipeline stage 6).
+    * hex digit `i` of md5(e|h) is '0', where `i` is the keyword's index
+    * in the required list (~1/16 dropout; the lists fit the 32-digit
+    * md5) — so the whole pipeline is oracle-able; the ingest pipeline
+    * runs the identical set difference row-locally over real FITS bytes
+    * (IngestPipeline stage 6).
     *
     * Scale shape: the required-keyword sets are driver-side constants
     * (the degenerate-but-optimal broadcast of a 264-row dim), so the
     * whole validation is a per-row `filter` over a literal array —
-    * ZERO shuffles, linear in events. An earlier formulation expanded an
-    * `expected` relation (events x 59 required keywords) and anti-joined
-    * it against its own filtered copy: two exchanges of ~59x the fact
-    * rows, 5.4 s at sf0.01 vs sub-second row-local; at 100 TB that
-    * expansion is the difference between a map-only job and shuffling
-    * 59x the table. The anti-join SHAPE still matters when the present
-    * set comes from a separate relation (real parsed headers) — that is
+    * ZERO shuffles, linear in events, ONE md5 per (event, hdu). Two
+    * earlier formulations were each an order slower: an events x 59
+    * expected relation anti-joined against its own filtered copy (two
+    * exchanges of 59x the fact rows, 5.4 s at sf0.01), then a row-local
+    * variant hashing per (event, hdu, KEYWORD) — 59 md5s/row, ~6 s at
+    * sf0.1. The anti-join SHAPE still matters when the present set comes
+    * from a separate relation (real parsed headers) — that is
     * IngestPipeline stage 6's job, not this query's. */
   def keywordContract(spark: SparkSession, dir: String): DataFrame = {
-    def missingIn(hdu: Int, req: Seq[String]) =
-      filter(array(req.map(lit): _*), k =>
-        substring(md5(concat_ws("|", col("event_id"), lit(hdu), k)
-          .cast("binary")), 1, 1) === "0")
+    // the per-HDU hash is a named column so it is computed ONCE per row:
+    // inlining it into the 59 keyword probes would re-evaluate the md5
+    // per probe (no CSE inside the interpreted array tree; CollapseProject
+    // keeps a multiply-referenced non-cheap alias materialized)
+    def hduHash(hdu: Int) =
+      md5(concat_ws("|", col("event_id"), lit(hdu)).cast("binary"))
+    def missingIn(h: org.apache.spark.sql.Column, req: Seq[String]) =
+      filter(array(req.zipWithIndex.map { case (k, i) =>
+        when(substring(h, i + 1, 1) === "0", lit(k))
+      }: _*), x => x.isNotNull)
     Tables.events(spark, dir).select(col("event_id"))
-      .withColumn("mp", missingIn(0, KeywordContract.requiredPrimary))
-      .withColumn("me", concat(missingIn(1, KeywordContract.requiredExtension),
-        missingIn(2, KeywordContract.requiredExtension)))
+      .withColumn("h0", hduHash(0))
+      .withColumn("h1", hduHash(1))
+      .withColumn("h2", hduHash(2))
+      .withColumn("mp", missingIn(col("h0"), KeywordContract.requiredPrimary))
+      .withColumn("me",
+        concat(missingIn(col("h1"), KeywordContract.requiredExtension),
+          missingIn(col("h2"), KeywordContract.requiredExtension)))
       .select(col("event_id"),
         size(col("mp")).cast("long").as("n_missing_primary"),
         size(col("me")).cast("long").as("n_missing_ext"),
@@ -104,6 +116,11 @@ object IngestOps {
     "q_path_template"    -> pathTemplate _,
     "q_keyword_contract" -> keywordContract _,
   )
+
+  /** (index, keyword) VALUES rows for an indexed required-keyword list. */
+  private def indexedValues(req: Seq[String]): String =
+    req.zipWithIndex.map { case (k, i) => s"($i,'$k')" }
+      .grouped(8).map(_.mkString(",")).mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
     "q_ingest_names" ->
@@ -144,24 +161,28 @@ object IngestOps {
         |    '${brand}', replace(p_brand, '#', '_')),
         |    '${key6}', printf('%06d', p_partkey)) AS archive_path
         |FROM part JOIN patterns USING (p_type)""".stripMargin,
+    // indexed required lists share their single source of truth with the
+    // Spark side (KeywordContract.required*, file order, deduped)
     "q_keyword_contract" ->
-      s"""WITH contract(keyword, primary_flag, extension_flag) AS (VALUES
-         |    ${KeywordContract.valuesSql}),
-         |req_p AS (SELECT DISTINCT keyword FROM contract WHERE primary_flag = 'R'),
-         |req_e AS (SELECT DISTINCT keyword FROM contract WHERE extension_flag = 'R'),
-         |expected AS (
-         |  SELECT e.event_id, 0 AS hdu, k.keyword FROM events e CROSS JOIN req_p k
-         |  UNION ALL
-         |  SELECT e.event_id, h.hdu, k.keyword
-         |  FROM events e CROSS JOIN req_e k CROSS JOIN (VALUES (1),(2)) h(hdu)),
-         |present AS (
-         |  SELECT * FROM expected
-         |  WHERE substr(md5(CAST(event_id AS VARCHAR) || '|'
-         |    || CAST(hdu AS VARCHAR) || '|' || keyword), 1, 1) <> '0'),
+      s"""WITH reqp(i, keyword) AS (VALUES
+         |    ${indexedValues(KeywordContract.requiredPrimary)}),
+         |reqe(i, keyword) AS (VALUES
+         |    ${indexedValues(KeywordContract.requiredExtension)}),
+         |ev AS (
+         |  SELECT event_id,
+         |    md5(CAST(event_id AS VARCHAR) || '|0') AS h0,
+         |    md5(CAST(event_id AS VARCHAR) || '|1') AS h1,
+         |    md5(CAST(event_id AS VARCHAR) || '|2') AS h2
+         |  FROM events),
          |missing AS (
-         |  SELECT * FROM expected ex WHERE NOT EXISTS (
-         |    SELECT 1 FROM present p WHERE p.event_id = ex.event_id
-         |      AND p.hdu = ex.hdu AND p.keyword = ex.keyword)),
+         |  SELECT event_id, 0 AS hdu, keyword
+         |  FROM ev JOIN reqp ON substr(h0, CAST(i + 1 AS INT), 1) = '0'
+         |  UNION ALL
+         |  SELECT event_id, 1 AS hdu, keyword
+         |  FROM ev JOIN reqe ON substr(h1, CAST(i + 1 AS INT), 1) = '0'
+         |  UNION ALL
+         |  SELECT event_id, 2 AS hdu, keyword
+         |  FROM ev JOIN reqe ON substr(h2, CAST(i + 1 AS INT), 1) = '0'),
          |agg AS (
          |  SELECT event_id,
          |    CAST(sum(CASE WHEN hdu = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_primary,

@@ -128,17 +128,32 @@ object MultimodalOps {
       .withColumn("height", (lit(1) + expr("byte_len div 64") % 64).cast("int"))
       .withColumn("n_frames", (lit(1) + col("byte_len") % 8).cast("int"))
 
-  /** Rows-only query (not SQL-expressible — mapPartitions kernel): decoded
-    * feature summary per kind. */
+  /** Feature summary per kind, through the mapPartitions decode kernel but
+    * ORACLED: the stub's normalized float histogram is inverted back to
+    * exact integer bin counts — `round(hist_i * byte_len)` recovers the
+    * count exactly whenever count < 2^23 (float division error ≤ 2^-24
+    * relative, scaled back by len stays < 0.5) — so the aggregates are
+    * integer arithmetic plus one final deterministic double division.
+    * This both sidesteps cross-engine float-summation order AND asserts
+    * the kernel's normalization is bit-faithful: a wrong histogram breaks
+    * the hash. The oracle recomputes the byte histogram from the text
+    * (documents are ASCII, so DuckDB `ord` = the UTF-8 byte). */
   def mediaFeatureSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val feats = extractFeatures(mediaFromDocuments(spark, dir))
-    feats.groupBy(col("kind"))
+    feats
+      .withColumn("cnts", transform(col("feature"),
+        x => round(x.cast("double") * col("byte_len")).cast("long")))
+      .withColumn("energy", aggregate(col("cnts"), lit(0L), (a, x) => a + x * x))
+      .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_media"),
         sum(when(col("decode_ok"), 1L).otherwise(0L)).as("n_decoded"),
-        round(avg(col("byte_len")), 4).as("avg_bytes"),
-        round(avg(aggregate(col("feature"), lit(0.0d),
-          (acc, x) => acc + x * x)), 6).as("avg_feature_energy"))
+        sum(col("byte_len")).as("sum_bytes"),
+        sum(col("energy")).as("sum_sq_bin_counts"))
+      .withColumn("avg_bytes",
+        round(col("sum_bytes").cast("double") / col("n_media"), 4))
+      .withColumn("avg_energy",
+        round(col("sum_sq_bin_counts").cast("double") / col("n_media"), 4))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -155,7 +170,30 @@ object MultimodalOps {
         |  CAST(1 + (length(text) // 64) % 64 AS INT) AS height,
         |  CAST(1 + length(text) % 8 AS INT) AS n_frames
         |FROM documents""".stripMargin,
-    // q_media_features intentionally has no oracle: the decode kernel is a
-    // mapPartitions stub, not SQL-expressible — driver records rows>0.
+    // The decode kernel is mapPartitions, but its byte-histogram output is
+    // exactly invertible, so the oracle recomputes the histogram from the
+    // text characters (ASCII ⇒ char = byte) and matches integer-exactly.
+    "q_media_features" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    ord(substr(text, CAST(i + 1 AS INT), 1)) % 16 AS bin
+        |  FROM (SELECT doc_id, text, unnest(range(length(text))) AS i
+        |        FROM documents)),
+        |bins AS (SELECT doc_id, bin, count(*) AS cnt FROM ch GROUP BY 1, 2),
+        |perdoc AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |    CAST(length(d.text) AS BIGINT) AS byte_len,
+        |    coalesce(CAST(sum(b.cnt * b.cnt) AS BIGINT), 0) AS energy
+        |  FROM documents d LEFT JOIN bins b USING (doc_id)
+        |  GROUP BY 1, 2, 3)
+        |SELECT kind, count(*) AS n_media,
+        |  CAST(sum(CASE WHEN byte_len > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_decoded,
+        |  CAST(sum(byte_len) AS BIGINT) AS sum_bytes,
+        |  CAST(sum(energy) AS BIGINT) AS sum_sq_bin_counts,
+        |  round(CAST(sum(byte_len) AS DOUBLE) / count(*), 4) AS avg_bytes,
+        |  round(CAST(sum(energy) AS DOUBLE) / count(*), 4) AS avg_energy
+        |FROM perdoc GROUP BY kind""".stripMargin,
   )
 }
