@@ -135,21 +135,25 @@ object DedupOps {
 
   /** SimHash signatures: per-token md5 hex digits vote per bit position;
     * the signature is the 16-bit sign vector. Grouped into a histogram
-    * (signature → doc count) — collisions are near-dup candidates. */
+    * (signature → doc count) — collisions are near-dup candidates.
+    *
+    * The 16 bit positions are 16 sum-columns in ONE groupBy (the same
+    * no-explode trick as the minhash signature): an earlier form exploded
+    * (doc, tok) x 16 positions, multiplying the shuffled rows 16x and
+    * needing a second per-doc aggregation to reassemble the signature.
+    * Here map-side combine collapses to one 16-column row per doc. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val bits = explode(sequence(lit(1), lit(16))).as("pos")
+    val voteCols = (1 to 16).map { p =>
+      sum(when(substring(col("h"), p, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+        .as(s"v$p")
+    }
     exploded(spark, dir)
-      .select(col("doc_id"), col("tok"), bits)
-      .withColumn("vote",
-        when(md5(col("tok").cast("binary")).substr(col("pos"), lit(1))
-          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
-      .groupBy(col("doc_id"), col("pos"))
-      .agg(sum(col("vote")).as("v"))
+      .select(col("doc_id"), md5(col("tok").cast("binary")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-          x => when(x.getField("v") > 0, "1").otherwise("0")), "")
-        .as("simhash"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), concat((1 to 16).map(p =>
+        when(col(s"v$p") > 0, "1").otherwise("0")): _*).as("simhash"))
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("min_doc_id"))
