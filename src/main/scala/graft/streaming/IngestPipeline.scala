@@ -63,6 +63,33 @@ object IngestPipeline {
     def apply(attempt: Int, fs: FileSystem, dst: Path): Unit
   }
 
+  /** The reference's `read_config` (save:22-32, example
+    * etc/examples/mgower_save_DBB_stagein_to_DBB.cfg): `key = value`
+    * lines, `#` comments and blanks skipped. Reference key names map to
+    * [[Config]] fields (`delivery_notice_dir` → stage, `bad_file_dir` →
+    * quarantine, `dts_task_id` → task id); engine-specific dirs the
+    * reference kept in its DB (`archive_dir`, `registry_dir`,
+    * `bad_file_table_dir`) are plain keys here. Driver-side file read,
+    * like the reference — config is not data. */
+  def configFromFile(path: String): Config = {
+    val kv = scala.io.Source.fromFile(path).getLines()
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains("="))
+      .map { l =>
+        val Array(k, v) = l.split("=", 2)
+        k.trim -> v.trim
+      }.toMap
+    def req(k: String): String = kv.getOrElse(k,
+      throw new IllegalArgumentException(s"config $path: missing key $k"))
+    Config(
+      stageDir = req("delivery_notice_dir"),
+      archiveDir = req("archive_dir"),
+      quarantineDir = req("bad_file_dir"),
+      registryDir = req("registry_dir"),
+      badFileDir = req("bad_file_table_dir"),
+      taskId = kv.get("dts_task_id").map(_.toLong).getOrElse(1L))
+  }
+
   /** Pure planning core — testable without any filesystem writes.
     * Input: binaryFile-shaped DataFrames of notify files (`*.dbb`,
     * key=value text) and payload files, plus the current registry

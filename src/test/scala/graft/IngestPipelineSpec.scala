@@ -113,6 +113,35 @@ class IngestPipelineSpec extends SparkSpec {
     assert(dupMsgs == 1)
   }
 
+  test("configFromFile parses the reference's key = value format") {
+    val root = Files.createTempDirectory("cfg")
+    val cfgFile = root.resolve("save.cfg")
+    Files.write(cfgFile,
+      """# comment line
+        |delivery_notice_dir = /stage/in
+        |archive_dir = /archive
+        |bad_file_dir = /quarantine
+        |registry_dir = /registry
+        |bad_file_table_dir = /bad_file
+        |dts_task_id = 3001
+        |extraneous_key = ignored = with = equals
+        |""".stripMargin.getBytes)
+    val cfg = IngestPipeline.configFromFile(cfgFile.toString)
+    assert(cfg.stageDir == "/stage/in")
+    assert(cfg.archiveDir == "/archive")
+    assert(cfg.quarantineDir == "/quarantine")
+    assert(cfg.registryDir == "/registry")
+    assert(cfg.badFileDir == "/bad_file")
+    assert(cfg.taskId == 3001L)
+    val err = intercept[IllegalArgumentException] {
+      IngestPipeline.configFromFile {
+        val p = root.resolve("short.cfg")
+        Files.write(p, "delivery_notice_dir = /x\n".getBytes); p.toString
+      }
+    }
+    assert(err.getMessage.contains("archive_dir"))
+  }
+
   test("registry layout: nite-partitioned, per-nite scans prune (S6)") {
     val (stage, cfg) = mkConfig()
     writeFixtures(stage)
