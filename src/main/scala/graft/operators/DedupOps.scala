@@ -214,6 +214,25 @@ object DedupOps {
         col("ann_sim"))
   }
 
+  /** Docs-count threshold beyond which exact all-pairs formulations hand
+    * over to their LSH/bucketed siblings. ~10^6 keeps the exact shingle
+    * self-join's candidate set (O(pairs-sharing-a-shingle)) inside one
+    * stage's memory at typical shingle selectivity; beyond it the
+    * quadratic tail dominates and LSH recall is the right trade. */
+  val ExactPairsLimit = 1000000L
+
+  /** Product entry point for Jaccard best-match with the ENFORCED
+    * exact→LSH cutover: exact all-pairs ([[TextOps.jaccardBestMatch]])
+    * up to [[ExactPairsLimit]] docs, LSH-fronted ([[jaccardLshBest]])
+    * beyond. The two oracled queries pin each formulation's semantics at
+    * any scale; this chooses between them by corpus size (one
+    * metadata-cheap count). */
+  def jaccardBestAuto(spark: SparkSession, dir: String,
+      exactLimit: Long = ExactPairsLimit): DataFrame =
+    if (Tables.documents(spark, dir).count() <= exactLimit)
+      TextOps.jaccardBestMatch(spark, dir)
+    else jaccardLshBest(spark, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_lsh"  -> minhashLsh _,
     "q_jaccard_lsh"  -> jaccardLshBest _,

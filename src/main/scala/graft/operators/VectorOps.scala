@@ -184,6 +184,25 @@ object VectorOps {
         col("neighbor_id"), col("sim"))
   }
 
+  /** Max per-label block size for which the exact within-label self-join
+    * is still the right plan (b² pairs per block; 8192² ≈ 67M scored
+    * pairs is comfortably one stage on a cluster). Beyond it the
+    * sign-bucketed variant bounds the block size instead. */
+  val ExactBlockLimit = 8192L
+
+  /** Product entry point for within-label NN with the ENFORCED
+    * exact→bucketed cutover, decided by the LARGEST label block (the
+    * unit the quadratic cost actually grows on — total corpus size is
+    * the wrong signal when labels are skewed). */
+  def nnPerLabelAuto(spark: SparkSession, dir: String,
+      exactLimit: Long = ExactBlockLimit): DataFrame = {
+    val maxBlock = Tables.embeddings(spark, dir)
+      .groupBy(col("label")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    if (maxBlock <= exactLimit) nnWithinLabel(spark, dir)
+    else nnLabelBucketed(spark, dir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_cosine"   -> ((s: SparkSession, d: String) => knnBruteForce(s, d)),
     "q_nn_per_label" -> nnWithinLabel _,

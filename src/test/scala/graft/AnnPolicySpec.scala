@@ -1,11 +1,11 @@
 package graft
 
-import graft.operators.DedupOps
+import graft.operators.{DedupOps, TextOps, VectorOps}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The n→signDims bucketing policy: buckets ∝ corpus size, so per-bucket
   * all-pairs work stays ~linear overall. */
-class AnnPolicySpec extends AnyFunSuite {
+class AnnPolicySpec extends AnyFunSuite with SparkSpec {
 
   test("annSignDims grows with corpus size, floored at 6, capped at 16") {
     assert(DedupOps.annSignDims(1L) == 6)
@@ -14,6 +14,24 @@ class AnnPolicySpec extends AnyFunSuite {
     assert(DedupOps.annSignDims(4097L) == 7)      // first step up
     assert(DedupOps.annSignDims(1000000L) == 14)
     assert(DedupOps.annSignDims(100000000000L) == 16) // cap
+  }
+
+  test("exact→LSH cutovers dispatch by size (small corpus = exact plan)") {
+    val dir = sfDir
+    // below the limits both autos must return the EXACT formulation's rows
+    val exactJac = TextOps.jaccardBestMatch(spark, dir).collect().toSet
+    val autoJac = DedupOps.jaccardBestAuto(spark, dir).collect().toSet
+    assert(autoJac == exactJac, "small corpus must take the exact path")
+    val exactNn = VectorOps.nnWithinLabel(spark, dir).collect().toSet
+    val autoNn = VectorOps.nnPerLabelAuto(spark, dir).collect().toSet
+    assert(autoNn == exactNn, "small blocks must take the exact path")
+    // above the limits the LSH/bucketed siblings take over
+    val lshJac = DedupOps.jaccardBestAuto(spark, dir, exactLimit = 1L)
+      .collect().toSet
+    assert(lshJac == DedupOps.jaccardLshBest(spark, dir).collect().toSet)
+    val bucketedNn = VectorOps.nnPerLabelAuto(spark, dir, exactLimit = 1L)
+    assert(bucketedNn.columns.contains("bucket"),
+      "past the limit the sign-bucketed plan must be chosen")
   }
 
   test("expected bucket occupancy stays bounded under the policy") {
