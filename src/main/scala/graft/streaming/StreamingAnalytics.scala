@@ -31,6 +31,21 @@ object StreamingAnalytics {
         col("window.end").as("win_end"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Exact streaming dedup with BOUNDED state — the streaming analog of
+    * the batch hash-dedup family (TextOps.dedupExact) for at-least-once
+    * upstreams: the first arrival of each key passes, replays within the
+    * watermark horizon are dropped, and the key's state expires with the
+    * watermark instead of accumulating forever (the failure mode of plain
+    * `dropDuplicates` on an unbounded stream). A replay arriving LATER
+    * than the horizon is by definition indistinguishable from new data
+    * inside the engine — that tail belongs to the registry anti-join
+    * (IngestPipeline stage 4), which is exactly how the two layers split
+    * the work at scale. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -73,4 +73,22 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(u1.exists(r => !r.getAs[Boolean]("closed") && r.getAs[Int]("n_events") == 1))
     assert(got.where($"user_id" === 2 && !$"closed").count() == 1)
   }
+
+  test("dedupStream: replayed deliveries within the watermark are dropped") {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val base = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("dedupstream").toString
+    // simulate at-least-once delivery: every event arrives twice
+    base.unionAll(base).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val got = StreamingAnalytics.runToMemory(spark,
+      StreamingAnalytics.dedupStream(stream, Seq("event_id")), "dedup_stream")
+    assert(got.count() == base.select("event_id").distinct().count(),
+      "exactly one row per key must survive")
+    assert(got.groupBy("event_id").count().where($"count" > 1).count() == 0)
+  }
 }
