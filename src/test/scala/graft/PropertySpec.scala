@@ -47,6 +47,26 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("decode-stub histogram inversion is exact for arbitrary payloads") {
+    // q_media_features' oracle rests on round(hist_i * len) == count_i —
+    // exact while counts < 2^23 (float division error ≤ 2^-24 relative).
+    // Check over arbitrary byte payloads, including skewed ones.
+    import graft.operators.MultimodalOps.{DecodeStub, MediaFile}
+    val genBytes = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)),
+      Gen.chooseNum(1, 2000).flatMap(n =>
+        Gen.chooseNum(Byte.MinValue, Byte.MaxValue).map(b => List.fill(n)(b))))
+    check(Prop.forAll(genBytes) { bs =>
+      val bytes = bs.toArray
+      val want = new Array[Long](16)
+      bytes.foreach(b => want((b & 0xFF) % 16) += 1L)
+      val feats = DecodeStub.decode(MediaFile(1L, "image", bytes, Map.empty))
+      val got = feats.feature.map(h =>
+        math.round(h.toDouble * bytes.length))
+      got.sameElements(want)
+    })
+  }
+
   test("nite cutoff: every timestamp maps to exactly one nite, monotone") {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false")
