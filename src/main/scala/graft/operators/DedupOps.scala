@@ -38,17 +38,32 @@ object DedupOps {
       .select(col("doc_id"), col("lang"), col("n_tok"),
         explode(col("tset")).as("tok"))
 
+  /** Hash-family prefixes: seed s draws its value from an 8-hex-digit
+    * slice of md5(prefix(s/4) | tok) — 3 md5s fan out to 12 independent
+    * 32-bit uniform hashes (4x less hashing than one md5 per seed, the
+    * dominant cost of the signature pass), still engine-portable. */
+  private val HashPrefixes = Seq("", "x|", "y|")
+  private val SeedsPerDigest = 4 // 32 hex digits / 8-digit slices
+
   /** Per-(doc, band) LSH key: md5 of the seed-ordered minhash signature
     * slice. The 12 minhashes are 12 min-aggregates in ONE groupBy — the
     * partial (map-side) aggregation collapses the shuffle to one row per
     * doc instead of exploding 12 seed rows per shingle; band keys are
-    * column-wise md5s unpivoted with `stack`. Semantics identical to the
-    * explode formulation (and to the SQL oracle): per-seed lexicographic
-    * min over md5("seed|tok"). */
+    * column-wise md5s unpivoted with `stack`. The 3 family digests are
+    * named columns so they are computed once per shingle row (codegen'd
+    * project) and the aggregate inputs are plain substrings. Semantics
+    * identical to the SQL oracle: per-seed lexicographic min over an
+    * 8-hex slice (min over a uniform hash is order-statistics-equivalent
+    * at any width). */
   private def bandKeys(spark: SparkSession, ex: DataFrame): DataFrame = {
-    val minExprs = (0 until NumHashes).map(s =>
-      min(md5(concat(lit(s"$s|"), col("tok")).cast("binary"))).as(s"m$s"))
-    val mh = ex.groupBy(col("doc_id"), col("lang"))
+    val withH = HashPrefixes.zipWithIndex.foldLeft(ex) { case (df, (p, i)) =>
+      df.withColumn(s"h$i", md5(concat(lit(p), col("tok")).cast("binary")))
+    }
+    val minExprs = (0 until NumHashes).map { s =>
+      min(substring(col(s"h${s / SeedsPerDigest}"),
+        (s % SeedsPerDigest) * 8 + 1, 8)).as(s"m$s")
+    }
+    val mh = withH.groupBy(col("doc_id"), col("lang"))
       .agg(minExprs.head, minExprs.tail: _*)
     val nBands = NumHashes / BandSize
     val bandCols = (0 until nBands).map { b =>
@@ -242,6 +257,11 @@ object DedupOps {
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** seed → digest-family prefix as SQL, same table as [[HashPrefixes]]. */
+  private val prefixCaseSql: String =
+    "CASE seed // " + SeedsPerDigest + " " + HashPrefixes.zipWithIndex
+      .map { case (p, i) => s"WHEN $i THEN '$p'" }.mkString(" ") + " END"
+
   val oracles: Map[String, String] = Map(
     "q_minhash_lsh" ->
       s"""WITH ex AS (
@@ -249,7 +269,9 @@ object DedupOps {
          |  FROM (SELECT doc_id, lang, ${TextOps.shingles3Sql} AS tset
          |        FROM documents)),
          |mh AS (
-         |  SELECT doc_id, lang, seed, min(md5(seed || '|' || tok)) AS minh
+         |  SELECT doc_id, lang, seed,
+         |    min(substr(md5($prefixCaseSql || tok),
+         |        CAST((seed % $SeedsPerDigest) * 8 + 1 AS INT), 8)) AS minh
          |  FROM ex, range($NumHashes) s(seed)
          |  GROUP BY 1, 2, 3),
          |bk AS (
@@ -279,7 +301,9 @@ object DedupOps {
          |  FROM (SELECT doc_id, lang, ${TextOps.shingles3Sql} AS tset
          |        FROM documents)),
          |mh AS (
-         |  SELECT doc_id, lang, seed, min(md5(seed || '|' || tok)) AS minh
+         |  SELECT doc_id, lang, seed,
+         |    min(substr(md5($prefixCaseSql || tok),
+         |        CAST((seed % $SeedsPerDigest) * 8 + 1 AS INT), 8)) AS minh
          |  FROM ex, range($NumHashes) s(seed)
          |  GROUP BY 1, 2, 3),
          |bk AS (
