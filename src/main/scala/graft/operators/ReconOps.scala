@@ -79,14 +79,31 @@ object ReconOps {
       .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
         .as("event_types"))
 
-  /** Group collect-list — A6 (monitor:968-981): doc ids per lang, sorted. */
-  def docIdsPerLang(spark: SparkSession, dir: String): DataFrame =
+  /** Cap for [[docIdsPerLang]]'s per-group list — SURVEY §7.4.5: an
+    * uncapped collect_list is the one aggregate whose STATE grows with
+    * the corpus (a group's buffer must hold every member). */
+  val DocIdsCap = 100
+
+  /** Group collect-list — A6 (monitor:968-981): doc ids per lang, sorted,
+    * CAPPED at the [[DocIdsCap]] smallest ids with the full count kept as
+    * the overflow signal. The rank filter runs BEFORE the collect, so the
+    * aggregation buffer itself is bounded — capping after collecting
+    * would bound only the output, not the state. */
+  def docIdsPerLang(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
     Tables.documents(spark, dir)
       .where(col("n_chars") > 400)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("n_docs", count(lit(1)).over(byLang))
+      .withColumn("rn", row_number().over(byLang.orderBy(col("doc_id"))))
+      .where(col("rn") <= DocIdsCap)
       .groupBy(col("lang"))
-      .agg(array_join(
-        transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
-        ",").as("doc_ids"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        array_join(
+          transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
+          ",").as("doc_ids"))
+  }
 
   /** Interval-validity join — S8/J9 (monitor:868-877): a tiny validity-
     * window dimension joined on containment. The dimension is broadcast;
@@ -228,9 +245,14 @@ object ReconOps {
         |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types
         |FROM events GROUP BY user_id""".stripMargin,
     "q_docids_per_lang" ->
-      """SELECT lang,
-        |  array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
-        |FROM documents WHERE n_chars > 400 GROUP BY lang""".stripMargin,
+      s"""WITH r AS (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n_docs
+         |  FROM documents WHERE n_chars > 400)
+         |SELECT lang, CAST(any_value(n_docs) AS BIGINT) AS n_docs,
+         |  array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+         |FROM r WHERE rn <= $DocIdsCap GROUP BY lang""".stripMargin,
     "q_validity_join" ->
       """WITH wins AS (
         |  SELECT o_orderpriority, min(o_orderdate) AS s, max(o_orderdate) AS e
