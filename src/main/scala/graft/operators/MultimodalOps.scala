@@ -58,10 +58,16 @@ object MultimodalOps {
       MediaFeatures(m.media_id, m.kind, len, w, h, f, ok, hist)
     }
     def frameSig(m: MediaFile, idx: Int): Long = {
-      // rolling-hash "frame signature" over a stride of the payload
-      var s = 1125899906842597L
+      // rolling-hash "frame signature" over a stride of the payload.
+      // Modular (2^31 - 1) rather than wrapping i64: JVM overflow
+      // wraparound is not reproducible in SQL engines, the modular form
+      // is — which is what lets q_frame_sample carry a DuckDB oracle.
+      var s = 17L
       var i = idx
-      while (i < m.content.length) { s = 31 * s + (m.content(i) & 0xFF); i += 8 }
+      while (i < m.content.length) {
+        s = (31 * s + (m.content(i) & 0xFF)) % 2147483647L
+        i += 8
+      }
       s
     }
   }
@@ -156,9 +162,18 @@ object MultimodalOps {
         round(col("sum_sq_bin_counts").cast("double") / col("n_media"), 4))
   }
 
+  /** Frame samples through the flatMap generator, oracled: the modular
+    * rolling hash is engine-portable (see [[DecodeStub.frameSig]]), so
+    * even the per-frame path is hash-checked end to end. */
+  def frameSamples(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sampleFrames(mediaFromDocuments(spark, dir)).toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta"     -> mediaMeta _,
     "q_media_features" -> mediaFeatureSummary _,
+    "q_frame_sample"   -> frameSamples _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -195,5 +210,25 @@ object MultimodalOps {
         |  round(CAST(sum(byte_len) AS DOUBLE) / count(*), 4) AS avg_bytes,
         |  round(CAST(sum(energy) AS DOUBLE) / count(*), 4) AS avg_energy
         |FROM perdoc GROUP BY kind""".stripMargin,
+    // every-2nd frame of n_frames = 1 + len % 8; the signature folds the
+    // stride-8 byte codes through (31*s + b) mod 2^31-1 from seed 17 —
+    // list_reduce uses the first element as init, hence the prepend
+    "q_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(length(text) AS BIGINT) AS len
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, text, len,
+        |    unnest(range(1 + len % 8)) AS frame_idx
+        |  FROM d)
+        |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  list_reduce(
+        |    list_prepend(CAST(17 AS BIGINT),
+        |      list_transform(range((len - frame_idx + 7) // 8),
+        |        j -> CAST(ord(substr(text,
+        |               CAST(frame_idx + 1 + j * 8 AS INT), 1)) AS BIGINT))),
+        |    (acc, b) -> (31 * acc + b) % 2147483647) AS frame_sig
+        |FROM f WHERE frame_idx % 2 = 0""".stripMargin,
   )
 }
