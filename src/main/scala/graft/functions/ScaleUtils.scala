@@ -64,6 +64,61 @@ object ScaleUtils {
     }: _*)
   }
 
+  /** Compact an append-heavy parquet table's small files. Every ingest
+    * batch appends a file set (per nite partition for the registry), so
+    * file counts grow with batch count, not data volume — listing and
+    * scan overhead eventually dominate. Rewrites the table with
+    * ceil(bytes/target) files per partition directory (hive-style
+    * `col=val` layout preserved), then swaps directories. The swap is
+    * rename-based: a crash between renames leaves either the old or the
+    * compacted table plus a leftover dir, never a half-written table —
+    * run it from the single writer the registry already assumes.
+    * Returns (filesBefore, filesAfter). */
+  def compactParquet(spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) buf += st
+      }
+      buf.toSeq
+    }
+    val before = parquetFiles(root)
+    val df = spark.read.parquet(dir)
+    // partition columns = hive dirs on disk; they come back as data
+    // columns and partitionBy rebuilds the same layout
+    val partCols = before.headOption.toSeq.flatMap { st =>
+      st.getPath.toString.stripPrefix(root.toString)
+        .split("/").filter(_.contains("=")).map(_.split("=")(0))
+    }.distinct
+    val files = math.max(1, math.ceil(
+      before.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+    val tmp = new Path(dir + "_compacting")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // repartition BY the partition columns: each hive dir is then written
+    // by one task (one file) — a plain repartition(n) would scatter every
+    // partition value across all n tasks and re-create n small files per dir
+    val shaped =
+      if (partCols.nonEmpty) df.repartition(files, partCols.map(col): _*)
+      else df.repartition(files)
+    val writer = shaped.write.mode("overwrite")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(tmp.toString)
+    val old = new Path(dir + "_precompact")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(root, old)
+    fs.rename(tmp, root)
+    fs.delete(old, true)
+    spark.catalog.refreshByPath(dir)
+    (before.size, parquetFiles(root).size)
+  }
+
   /** Repartition a fact table by its dominant join/group key with a
     * partition count sized from data volume (bytes per partition target),
     * so downstream joins/aggs on that key reuse the partitioning without

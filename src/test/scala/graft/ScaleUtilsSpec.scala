@@ -51,6 +51,27 @@ class ScaleUtilsSpec extends SparkSpec {
     assert(row.getString(0) == "a" && row.getLong(1) == 1L && row.isNullAt(2))
   }
 
+  test("compactParquet merges append-accumulated small files, layout kept") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/reg"
+    // simulate 6 ingest batches, each appending its own file set per nite
+    (1 to 6).foreach { b =>
+      Seq((b.toLong, s"f$b.fits", "20240101"), (b.toLong, s"g$b.fits", "20240102"))
+        .toDF("task_id", "filename", "nite")
+        .repartition(2)
+        .write.mode("append").partitionBy("nite").parquet(dir)
+    }
+    val before = spark.read.parquet(dir)
+      .select($"task_id", $"filename", $"nite".cast("string")).collect().toSet
+    val (nBefore, nAfter) = ScaleUtils.compactParquet(spark, dir)
+    assert(nBefore > nAfter, s"expected fewer files, got $nBefore -> $nAfter")
+    // hive layout preserved, content identical
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("nite=")))
+    val after = spark.read.parquet(dir)
+      .select($"task_id", $"filename", $"nite".cast("string")).collect().toSet
+    assert(after == before)
+  }
+
   test("repartitionForKey sizes partition count from stats") {
     val li = graft.sources.Tables.lineitem(spark, sfDir)
     val small = ScaleUtils.repartitionForKey(li, "l_orderkey",
