@@ -184,17 +184,21 @@ object DedupOps {
   val AnnTargetPerBucket = 64L
 
   /** n→signDims policy: enough sign dims that the expected bucket
-    * occupancy is ≤ [[AnnTargetPerBucket]], floored at 6 (64 buckets) and
+    * occupancy is ≤ [[AnnTargetPerBucket]], floored at `floor` and
     * capped at 16 (embedding dim is 64; 2^16 buckets is plenty before
-    * IVF takes over as the scale path). Integer-exact:
+    * IVF takes over as the scale path). The default floor of 6 (64
+    * buckets) suits the GLOBAL corpus ANN; per-label sub-bucketing
+    * passes floor 0 so a block under the occupancy target keeps ONE
+    * bucket (degenerating to the exact within-block search) instead of
+    * scattering a handful of vectors across 64 buckets. Integer-exact:
     * ceil(log2(ceil(n / target))) computed via bit length, so the Spark
     * and DuckDB sides can never disagree on an FP boundary. */
-  def annSignDims(n: Long): Int = {
+  def annSignDims(n: Long, floor: Int = 6): Int = {
     val bucketsNeeded = (n + AnnTargetPerBucket - 1) / AnnTargetPerBucket
     val dims =
       if (bucketsNeeded <= 1L) 0
       else 64 - java.lang.Long.numberOfLeadingZeros(bucketsNeeded - 1)
-    math.max(6, math.min(16, dims))
+    math.max(floor, math.min(16, dims))
   }
 
   /** LSH-bucketed ANN: sign-pattern of the leading dims is the bucket key

@@ -87,16 +87,19 @@ object VectorOps {
     * sign-bucket sub-key (axis-aligned random-projection LSH, same
     * family as [[DedupOps.annBucketed]]) splits each label block into
     * buckets whose count grows with the LARGEST label block
-    * ([[DedupOps.annSignDims]] of max per-label count), holding expected
-    * per-block pair work ≈ O(n · target). Approximate: the nearest
-    * neighbor is found within the same (label, bucket) only — the
-    * standard ANN recall trade, deterministic and fully oracled. */
+    * ([[DedupOps.annSignDims]] of max per-label count, FLOOR 0: blocks
+    * under the occupancy target keep one bucket and the search stays
+    * exact — buckets only activate once a block outgrows the target),
+    * holding expected per-block pair work ≈ O(n · target). Approximate
+    * past the cutover: the nearest neighbor is found within the same
+    * (label, bucket) only — the standard ANN recall trade, deterministic
+    * and fully oracled. */
   def nnLabelBucketed(spark: SparkSession, dir: String): DataFrame = {
     val dot = DotProductLong.dotLong(spark) _
     val maxBlock = Tables.embeddings(spark, dir)
       .groupBy(col("label")).count()
       .agg(max(col("count"))).head().getLong(0)
-    val dims = DedupOps.annSignDims(maxBlock)
+    val dims = DedupOps.annSignDims(maxBlock, floor = 0)
     val emb = quantized(spark, dir)
       .withColumn("bucket", array_join(
         transform(slice(col("qe"), 1, dims),
@@ -249,7 +252,7 @@ object VectorOps {
     // bit-length formula as DedupOps.annSignDims
     "q_nn_label_ann" ->
       s"""WITH d AS (
-         |  SELECT GREATEST(6, LEAST(16,
+         |  SELECT GREATEST(0, LEAST(16,
          |    CASE WHEN (mx + ${DedupOps.AnnTargetPerBucket - 1}) // ${DedupOps.AnnTargetPerBucket} <= 1 THEN 0
          |         ELSE CAST(length(bin(((mx + ${DedupOps.AnnTargetPerBucket - 1}) // ${DedupOps.AnnTargetPerBucket}) - 1)) AS INT)
          |    END)) AS dims
@@ -258,8 +261,8 @@ object VectorOps {
          |emb AS (SELECT vec_id, label, $qSql AS qe FROM embeddings),
          |kb AS (
          |  SELECT vec_id, label, qe, list_dot_product(qe, qe) AS nrm,
-         |    array_to_string(list_transform(qe[1:(SELECT dims FROM d)],
-         |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+         |    coalesce(array_to_string(list_transform(qe[1:(SELECT dims FROM d)],
+         |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), ''), '') AS bucket
          |  FROM emb),
          |scored AS (
          |  SELECT a.label, a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
