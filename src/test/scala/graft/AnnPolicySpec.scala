@@ -14,6 +14,12 @@ class AnnPolicySpec extends AnyFunSuite with SparkSpec {
     assert(DedupOps.annSignDims(4097L) == 7)      // first step up
     assert(DedupOps.annSignDims(1000000L) == 14)
     assert(DedupOps.annSignDims(100000000000L) == 16) // cap
+    // floor 0 (per-label sub-bucketing): under the occupancy target the
+    // block keeps ONE bucket — the search degenerates to exact
+    assert(DedupOps.annSignDims(10L, floor = 0) == 0)
+    assert(DedupOps.annSignDims(64L, floor = 0) == 0)
+    assert(DedupOps.annSignDims(65L, floor = 0) == 1)
+    assert(DedupOps.annSignDims(4097L, floor = 0) == 7)
   }
 
   test("exact→LSH cutovers dispatch by size (small corpus = exact plan)") {
