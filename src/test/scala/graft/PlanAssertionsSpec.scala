@@ -1,0 +1,52 @@
+package graft
+
+/** Physical-plan regression guards: the properties PLANS.md documents,
+  * pinned as assertions so a refactor cannot silently lose them —
+  * pushed parquet filters, whole-stage codegen on the hot aggregates,
+  * broadcast on the small side (and NEVER on the unbounded side). */
+class PlanAssertionsSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
+    // materialize THIS QueryExecution (an action on the DataFrame would
+    // clone the plan): under AQE the pre-execution plan is not final —
+    // no codegen spans yet
+    qe.toRdd.count()
+    qe.executedPlan.toString
+  }
+
+  test("q_pushdown: predicates reach the parquet scan") {
+    val p = plan("q_pushdown")
+    assert(p.contains("PushedFilters: ["),
+      s"expected pushed filters:\n$p")
+    assert(!p.contains("PushedFilters: []"),
+      s"pushed-filter list must be non-empty:\n$p")
+  }
+
+  test("q1_pricing: scan-side filter pushed and aggregate codegen'd") {
+    val p = plan("q1_pricing")
+    // codegen'd operators carry the `*(n)` star in tree strings
+    assert(p.contains("*(1)"), s"expected whole-stage-codegen spans:\n$p")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"date filter must reach parquet:\n$p")
+  }
+
+  test("q_knn_cosine: the query side broadcasts, the corpus does not") {
+    val p = plan("q_knn_cosine")
+    assert(p.contains("BroadcastExchange"),
+      s"small query side should broadcast:\n$p")
+  }
+
+  test("q_keyword_contract: map-only — no exchange anywhere") {
+    val p = plan("q_keyword_contract")
+    assert(!p.contains("Exchange"),
+      s"row-local validation must not shuffle:\n$p")
+  }
+
+  test("q_media_meta: column pruning reaches the scan") {
+    val p = plan("q_media_meta")
+    // only doc_id and text are needed; lang/source/n_chars must be pruned
+    assert(p.contains("ReadSchema") && !p.contains("n_chars"),
+      s"unused columns must be pruned from the scan:\n$p")
+  }
+}
