@@ -51,19 +51,23 @@ object CurationOps {
          |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
          |  length(regexp_extract_all(text, '\\b(the|a|of|and|in|to)\\b')) AS n_stop
          |FROM documents),
-         |q AS (SELECT doc_id, lang, round(
-         |    least(CAST(n_tok AS DOUBLE) / 100, 1.0) * 0.3
-         |    + (CAST(n_uniq AS DOUBLE) / n_tok) * 0.4
-         |    + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_tok, 1), 1.0)) * 0.2
-         |    + least(CAST(n_stop AS DOUBLE) / greatest(n_tok, 1), 0.5) * 0.2,
-         |  4) AS quality FROM f),
+         |q AS (SELECT doc_id, lang,
+         |    CAST(q10k AS DOUBLE) / 10000.0 AS quality,
+         |    CASE WHEN q10k >= 7000 THEN 'high'
+         |         WHEN q10k >= 5000 THEN 'mid' ELSE 'low' END AS bucket
+         |  FROM (SELECT doc_id, lang,
+         |      (10 * (3 * least(n_tok, 100) * greatest(n_tok, 1)
+         |             + 400 * n_uniq
+         |             + 200 * (greatest(n_tok, 1) - least(n_punct, greatest(n_tok, 1)))
+         |             + 100 * least(2 * n_stop, greatest(n_tok, 1))))
+         |        // greatest(n_tok, 1) AS q10k
+         |    FROM f)),
          |e AS (SELECT vec_id AS doc_id,
          |  list_dot_product(
-         |    list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)),
-         |    list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))) AS nrm
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS nrm
          |FROM embeddings)
-         |SELECT CASE WHEN quality >= 0.7 THEN 'high'
-         |            WHEN quality >= 0.5 THEN 'mid' ELSE 'low' END AS bucket,
+         |SELECT bucket,
          |  count(*) AS n_docs,
          |  count(DISTINCT lang) AS n_langs,
          |  CAST(sum(nrm) AS BIGINT) AS sum_nrm_milli,

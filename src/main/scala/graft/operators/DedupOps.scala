@@ -371,7 +371,7 @@ object DedupOps {
         |  FROM embeddings),
         |emb AS (
         |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qe
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
         |  FROM embeddings),
         |kb AS (
         |  SELECT vec_id, qe, list_dot_product(qe, qe) AS nrm,

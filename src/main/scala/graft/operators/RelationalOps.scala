@@ -25,10 +25,19 @@ object RelationalOps {
       .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec("l_quantity")).cast("double").as("sum_qty"),
-        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
-        sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,4)") - dec("l_discount")))
-          .cast("double").as("sum_disc_price"),
+        // decimal→double via an exact integer rescale: BigDecimal
+        // .doubleValue() is 1 ulp off other engines' decimal→double for
+        // some values (seen on sum_disc_price at sf0.1); long→double
+        // conversion and the division are IEEE-correctly-rounded
+        // everywhere, so (sum * 10^scale).long / 10^scale.0 is
+        // bit-identical cross-engine
+        (sum(dec("l_quantity")) * 10000).cast("long")
+          .cast("double").divide(10000.0).as("sum_qty"),
+        (sum(dec("l_extendedprice")) * 10000).cast("long")
+          .cast("double").divide(10000.0).as("sum_base_price"),
+        (sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,4)") - dec("l_discount")))
+          * 100000000L).cast("long")
+          .cast("double").divide(100000000.0).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
   }
 
@@ -181,9 +190,9 @@ object RelationalOps {
   val oracles: Map[String, String] = Map(
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sum_base_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) * 100000000 AS BIGINT) AS DOUBLE) / 100000000.0 AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,

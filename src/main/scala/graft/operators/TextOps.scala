@@ -99,18 +99,26 @@ object TextOps {
     val nUniq = size(array_distinct(toks(col("text"))))
     val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))
     val nStop = regexp_count(col("text"), lit("\\b(the|a|of|and|in|to)\\b"))
+    // INTEGER-exact: the score is rational with denominator 1000*nTok
+    // (weights 0.3/0.4/0.2/0.2 over count ratios), so compute the exact
+    // numerator in longs and TRUNCATE to 1e-4 units with integer div.
+    // A double rendition hit a cross-engine rounding-mode edge at sf0.1:
+    // q = 0.53575 exactly — Spark's round() half-ups the shortest decimal
+    // repr (0.5358), DuckDB rounds the binary value just under the half
+    // (0.5357). Truncation of an exact integer has no such edge.
+    val tok = greatest(nTok, lit(1)).cast("long")
+    val numer = lit(3L) * least(nTok, lit(100)).cast("long") * tok +
+      lit(400L) * nUniq.cast("long") +
+      lit(200L) * (tok - least(nPunct.cast("long"), tok)) +
+      lit(100L) * least(lit(2L) * nStop.cast("long"), tok)
     Tables.documents(spark, dir)
+      .select(col("doc_id"), (numer * 10L).as("n10"), tok.as("tok"))
+      .withColumn("q10k", expr("n10 div tok"))
       .select(col("doc_id"),
-        round(
-          least(nTok.cast("double") / 100, lit(1.0)) * 0.3
-            + (nUniq.cast("double") / nTok) * 0.4
-            + (lit(1.0) - least(nPunct.cast("double") / greatest(nTok, lit(1)), lit(1.0))) * 0.2
-            + least(nStop.cast("double") / greatest(nTok, lit(1)), lit(0.5)) * 0.2,
-          4).as("quality"))
-      .withColumn("bucket",
-        when(col("quality") >= 0.7, "high")
-          .when(col("quality") >= 0.5, "mid")
-          .otherwise("low"))
+        (col("q10k").cast("double") / 10000.0).as("quality"),
+        when(col("q10k") >= 7000, "high")
+          .when(col("q10k") >= 5000, "mid")
+          .otherwise("low").as("bucket"))
   }
 
   /** Document fingerprinting: content hash of the normalized text plus a
@@ -216,15 +224,16 @@ object TextOps {
          |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
          |  length(regexp_extract_all(text, '\\b(the|a|of|and|in|to)\\b')) AS n_stop
          |FROM documents)
-         |SELECT doc_id, quality,
-         |  CASE WHEN quality >= 0.7 THEN 'high'
-         |       WHEN quality >= 0.5 THEN 'mid' ELSE 'low' END AS bucket
-         |FROM (SELECT doc_id, round(
-         |    least(CAST(n_tok AS DOUBLE) / 100, 1.0) * 0.3
-         |    + (CAST(n_uniq AS DOUBLE) / n_tok) * 0.4
-         |    + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_tok, 1), 1.0)) * 0.2
-         |    + least(CAST(n_stop AS DOUBLE) / greatest(n_tok, 1), 0.5) * 0.2,
-         |  4) AS quality FROM f)""".stripMargin,
+         |SELECT doc_id, CAST(q10k AS DOUBLE) / 10000.0 AS quality,
+         |  CASE WHEN q10k >= 7000 THEN 'high'
+         |       WHEN q10k >= 5000 THEN 'mid' ELSE 'low' END AS bucket
+         |FROM (SELECT doc_id,
+         |    (10 * (3 * least(n_tok, 100) * greatest(n_tok, 1)
+         |           + 400 * n_uniq
+         |           + 200 * (greatest(n_tok, 1) - least(n_punct, greatest(n_tok, 1)))
+         |           + 100 * least(2 * n_stop, greatest(n_tok, 1))))
+         |      // greatest(n_tok, 1) AS q10k
+         |  FROM f)""".stripMargin,
     "q_fingerprint" ->
       s"""SELECT doc_id, md5(lower(trim(text))) AS content_fp,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS bag_fp

@@ -214,7 +214,7 @@ object VectorOps {
     "q_ann_ivf"      -> ((s: SparkSession, d: String) => annIvf(s, d)),
   )
 
-  private val qSql = "list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
+  private val qSql = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
     "q_knn_cosine" ->
