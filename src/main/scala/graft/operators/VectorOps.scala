@@ -119,6 +119,59 @@ object VectorOps {
         col("nn_id"), col("nn_sim"))
   }
 
+  /** k-means (Lloyd) in exact integer milli-units — trains the coarse
+    * quantizer the IVF path wants on unlabeled corpora (label centroids
+    * are the untrained fallback; VERDICT r2 measured their recall cost on
+    * unclustered data). Everything stays integer-exact so the whole
+    * training loop is oracle-able: seeds are the first k vectors
+    * (deterministic), assignment minimizes L2² = nrm_a + nrm_c - 2·dot
+    * (integers; ties break on cluster id), new centroids are per-dim
+    * `sum div count` (truncating integer division). Each iteration is
+    * one broadcast of k centroids + one shuffle of (vector, cluster)
+    * assignments — the textbook scalable shape; iterations are a fixed
+    * small count, not driver loops over data. */
+  def kmeansAssign(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val dot = DotProductLong.dotLong(spark) _
+    val emb = quantized(spark, dir)
+    var cents = emb.where(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cluster"),
+        col("qe").as("centroid"), col("nrm").as("c_nrm"))
+    val wMin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("dist2").asc, col("cluster").asc)
+    def assign(cs: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cs))
+        .withColumn("dist2",
+          col("nrm") + col("c_nrm") - lit(2L) * dot(col("qe"), col("centroid")))
+        .withColumn("rk", row_number().over(wMin))
+        .where(col("rk") === 1)
+        .select(col("vec_id"), col("cluster"), col("qe"), col("dist2"))
+    var assigned = assign(cents)
+    for (_ <- 1 until iters) {
+      cents = assigned
+        .select(col("cluster"), posexplode(col("qe")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .withColumn("c", expr("s div n"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cluster"),
+          transform(col("pc"), x => x.getField("c")).as("centroid"))
+        .withColumn("c_nrm", dot(col("centroid"), col("centroid")))
+      assigned = assign(cents)
+    }
+    assigned
+  }
+
+  /** Training summary per cluster: size + inertia (sum of L2² in exact
+    * milli² units) — the numbers a quantizer-quality report shows. */
+  def kmeansSummary(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssign(spark, dir)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("dist2")).as("inertia_milli2"))
+
   /** Per-label centroid in exact milli-units: posexplode to (dim, value),
     * integer sums per (label, dim). The partial-aggregation tree is
     * shuffle-efficient (combine on map side) and exact at any scale. */
@@ -208,6 +261,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_cosine"   -> ((s: SparkSession, d: String) => knnBruteForce(s, d)),
+    "q_kmeans"       -> kmeansSummary _,
     "q_nn_per_label" -> nnWithinLabel _,
     "q_nn_label_ann" -> nnLabelBucketed _,
     "q_centroids"    -> centroids _,
@@ -248,6 +302,45 @@ object VectorOps {
          |                       ORDER BY sim DESC, id_b ASC) AS rn
          |  FROM scored)
          |WHERE rn = 1""".stripMargin,
+    // two unrolled Lloyd iterations; integer division in the centroid
+    // update is trunc-toward-zero to match Spark's `div` on negatives
+    "q_kmeans" ->
+      s"""WITH emb AS (SELECT vec_id, $qSql AS qe FROM embeddings),
+         |n AS (SELECT vec_id, qe, list_dot_product(qe, qe) AS nrm FROM emb),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, qe AS centroid,
+         |         nrm AS c_nrm FROM n WHERE vec_id < 8),
+         |a0 AS (
+         |  SELECT vec_id, cluster, qe, dist2 FROM (
+         |    SELECT v.vec_id, c.cluster, v.qe,
+         |      v.nrm + c.c_nrm - 2 * list_dot_product(v.qe, c.centroid) AS dist2,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY v.nrm + c.c_nrm - 2 * list_dot_product(v.qe, c.centroid) ASC,
+         |                 c.cluster ASC) AS rk
+         |    FROM n v CROSS JOIN c0 c)
+         |  WHERE rk = 1),
+         |g1 AS (
+         |  SELECT cluster, i,
+         |    CAST(sum(qe[CAST(i + 1 AS INT)]) AS BIGINT) AS s, count(*) AS cnt
+         |  FROM a0, range(64) t(i) GROUP BY cluster, i),
+         |c1 AS (
+         |  SELECT cluster,
+         |    list(CASE WHEN s >= 0 THEN s // cnt ELSE -((-s) // cnt) END
+         |         ORDER BY i) AS centroid
+         |  FROM g1 GROUP BY cluster),
+         |c1n AS (SELECT cluster, centroid,
+         |          list_dot_product(centroid, centroid) AS c_nrm FROM c1),
+         |a1 AS (
+         |  SELECT vec_id, cluster, dist2 FROM (
+         |    SELECT v.vec_id, c.cluster,
+         |      v.nrm + c.c_nrm - 2 * list_dot_product(v.qe, c.centroid) AS dist2,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY v.nrm + c.c_nrm - 2 * list_dot_product(v.qe, c.centroid) ASC,
+         |                 c.cluster ASC) AS rk
+         |    FROM n v CROSS JOIN c1n c)
+         |  WHERE rk = 1)
+         |SELECT cluster, count(*) AS n_vectors,
+         |  CAST(sum(dist2) AS BIGINT) AS inertia_milli2
+         |FROM a1 GROUP BY cluster""".stripMargin,
     // dims derive from the max per-label block via the same integer-exact
     // bit-length formula as DedupOps.annSignDims
     "q_nn_label_ann" ->
