@@ -40,6 +40,15 @@ class AnnPolicySpec extends AnyFunSuite with SparkSpec {
       "past the limit the sign-bucketed plan must be chosen")
   }
 
+  test("k-means: centroid update never increases inertia (Lloyd invariant)") {
+    def inertia(iters: Int): Long =
+      VectorOps.kmeansAssign(spark, sfDir, iters = iters)
+        .agg(org.apache.spark.sql.functions.sum("dist2")).head().getLong(0)
+    val i1 = inertia(1)
+    val i2 = inertia(2)
+    assert(i2 <= i1, s"inertia must not increase: iter1=$i1 iter2=$i2")
+  }
+
   test("expected bucket occupancy stays bounded under the policy") {
     for (n <- Seq(100L, 10000L, 1000000L, 50000000L)) {
       val buckets = 1L << DedupOps.annSignDims(n)
