@@ -19,7 +19,7 @@ import graft.functions.{Derived, FitsHeader}
   * reader's perspective (SURVEY §2.8).
   *
   * Stages (reference lines in parens):
-  *  1. pair notify ↔ payload by stripped `.dbb` name (save:318-319)
+  *  1. pair notify ↔ payload by stripped `.dbb` path (save:318-319)
   *  2. parse `key = value` notify records (save:49-56)
   *  3. classify filetype (save:36-45); unknown → reject
   *  4. duplicate anti-join vs registry (save:155-157)
@@ -99,17 +99,27 @@ object IngestPipeline {
       registry: DataFrame, cfg: Config): DataFrame = {
     import spark.implicits._
 
-    // stage 1-2: pairing + notify record parse (key = value lines)
+    // stage 1-2: pairing + notify record parse (key = value lines).
+    // The pairing key is the notify path with `.dbb` stripped — the
+    // reference's rule (save:318-319: notify and payload sit side by
+    // side; the payload IS the notify path minus the suffix). Pairing on
+    // the full path (not the basename) keeps the relationship 1:1 even
+    // when a recursive stage layout carries the same delivery_name in
+    // two directories: each notify row owns exactly its own payload
+    // file, so the move stage can never archive one file and then try
+    // to quarantine the same (already-consumed) path for the duplicate.
     val parsed = notifyDf
       .withColumn("notify_name", Derived.basenameOf(col("path")))
       .withColumn("delivery_name", Derived.payloadNameOf(col("notify_name")))
+      .withColumn("expected_payload", regexp_replace(col("path"), "\\.dbb$", ""))
       .withColumn("kv", expr(
         "str_to_map(regexp_replace(cast(content as string), '\\\\s*=\\\\s*', '='), '\n', '=')"))
       .withColumn("declared_md5", lower(trim(element_at(col("kv"), "md5sum"))))
       .withColumn("declared_size",
         trim(element_at(col("kv"), "filesize")).cast("long"))
       .select(col("path").as("notify_path"), col("notify_name"),
-        col("delivery_name"), col("declared_md5"), col("declared_size"),
+        col("delivery_name"), col("expected_payload"),
+        col("declared_md5"), col("declared_size"),
         col("modificationTime").as("delivered_at"))
 
     // S2/T1 (save:315-316): files are handled in notify-mtime order, so
@@ -123,20 +133,16 @@ object IngestPipeline {
       .orderBy(col("delivered_at"), col("notify_path"))
     val ranked = parsed.withColumn("delivery_seq", row_number().over(seqW))
 
-    val payW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("delivery_name")).orderBy(col("path"))
     val pay = payloads
-      .withColumn("delivery_name", Derived.basenameOf(col("path")))
-      // one payload per name (deterministic min-path) keeps pairing 1:1
-      .withColumn("pseq", row_number().over(payW))
-      .where(col("pseq") === 1)
-      .select(col("delivery_name"), col("path").as("payload_path"),
+      .select(col("path").as("payload_path"),
         col("content"), length(col("content")).as("actual_size"))
 
-    // existence check (P2): notify without payload → reject.
-    // Both windows and this join key on delivery_name, so the rows are
-    // already co-partitioned — one shuffle serves all three.
-    val paired = ranked.join(pay, Seq("delivery_name"), "left_outer")
+    // existence check (P2): notify without an adjacent payload → reject.
+    // Equi-join on the full expected path — unique on both sides by
+    // filesystem construction, so no dedup window is needed.
+    val paired = ranked
+      .join(pay, col("expected_payload") === col("payload_path"), "left_outer")
+      .drop("expected_payload")
 
     // stage 3: classify; stage 4: duplicate check; stage 5: md5.
     // The registry join carries NO broadcast hint on purpose: the registry
@@ -237,7 +243,10 @@ object IngestPipeline {
     // listings (old size/mtime) would poison this batch's scan.
     spark.catalog.refreshByPath(cfg.stageDir)
     // One scan of the stage dir serves both sides of the pairing join.
-    val allFiles = spark.read.format("binaryFile").load(cfg.stageDir)
+    // Recursive: delivery trees may nest (the same delivery_name can then
+    // legally appear in two subdirectories — the duplicate case).
+    val allFiles = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(cfg.stageDir)
     val notifyFiles = allFiles.where(col("path").endsWith(".dbb"))
     val payloads = allFiles.where(!col("path").endsWith(".dbb"))
     val registry = loadRegistry(spark, cfg)
@@ -286,7 +295,12 @@ object IngestPipeline {
             case None => (notifyPath, "no_payload", 0)
             case Some(p) =>
               val src = new Path(new java.net.URI(p).getPath)
-              if (status == "archive") {
+              // tolerate a source that vanished between scan and move
+              // (crash-retry of a half-moved batch): route to the
+              // bad-file table without throwing mid-batch — a throw here
+              // would abort AFTER some moves already happened.
+              if (!fs.exists(src)) (notifyPath, "src_missing", 0)
+              else if (status == "archive") {
                 val dst = new Path(archiveOpt.get)
                 // expected md5 = the scan-time payload digest from the
                 // manifest — no second read of the source
@@ -320,7 +334,9 @@ object IngestPipeline {
       .withColumn("reject_msg", coalesce(col("reject_msg"),
         when(col("outcome") === "copy_failed",
           concat(lit("copy verification failed after "), col("attempts"),
-            lit(" tries")))))
+            lit(" tries")))
+          .when(col("outcome") === "src_missing",
+            lit("payload file missing at move time"))))
 
     // S6: the registry is laid out partitioned by nite, mirroring the
     // reference monitor's per-nite registry queries (monitor:259-266 loops
@@ -455,7 +471,8 @@ object IngestPipeline {
         org.apache.spark.sql.types.BinaryType)))
     val stream = spark.readStream.format("binaryFile")
       .schema(binaryFileSchema)
-      .option("pathGlobFilter", "*.dbb").load(cfg.stageDir)
+      .option("pathGlobFilter", "*.dbb")
+      .option("recursiveFileLookup", "true").load(cfg.stageDir)
     val query = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)

@@ -309,6 +309,48 @@ class IngestPipelineSpec extends SparkSpec {
       ("quarantine", "duplicate file"))
   }
 
+  test("runBatch: recursive-stage duplicate drains BOTH payload files") {
+    // The same delivery_name staged in two subdirectories — each notify
+    // must pair with ITS OWN payload, the winner archives its file, the
+    // duplicate quarantines its file, and no move can throw because the
+    // other row already consumed the path (the r3-advice failure mode).
+    import java.nio.file.attribute.FileTime
+    val (stage, cfg) = mkConfig()
+    val good = FitsHeader.render(Seq("SIMPLE" -> "T") ++ primaryCards)
+    val dirA = Files.createDirectory(stage.resolve("a"))
+    val dirB = Files.createDirectory(stage.resolve("b"))
+    for (d <- Seq(dirA, dirB)) {
+      Files.write(d.resolve("DECam_00000040.fits.fz"), good)
+      Files.write(d.resolve("DECam_00000040.fits.fz.dbb"),
+        s"md5sum = ${md5hex(good)}\nfilesize = ${good.length}\n".getBytes)
+    }
+    // deterministic winner: a's notify delivered first (mtime order)
+    Files.setLastModifiedTime(dirA.resolve("DECam_00000040.fits.fz.dbb"),
+      FileTime.fromMillis(1000000000L))
+    Files.setLastModifiedTime(dirB.resolve("DECam_00000040.fits.fz.dbb"),
+      FileTime.fromMillis(2000000000L))
+
+    val report = IngestPipeline.runBatch(spark, cfg)
+    assert(report.archived == 1, "earliest delivery archives")
+    assert(report.quarantined == 1, "later same-name delivery quarantined")
+
+    // conservation: every physical file drained from the stage tree
+    val leftover = java.nio.file.Files.walk(stage)
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .toArray.toSeq
+    assert(leftover.isEmpty, s"stage tree fully drained, found $leftover")
+    assert(Files.exists(
+      Paths.get(cfg.archiveDir, "raw", "DECam_00000040.fits.fz")))
+    assert(spark.read.parquet(cfg.registryDir).count() == 1)
+    val badRow = spark.read.parquet(cfg.badFileDir).head()
+    assert(badRow.getAs[String]("rejected_msg") == "duplicate file")
+    // the duplicate's own payload was preserved in quarantine
+    val quar = java.nio.file.Files.walk(Paths.get(cfg.quarantineDir))
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .toArray.toSeq.filterNot(_.toString.contains("/.")) // hadoop .crc sidecars
+    assert(quar.size == 1, s"duplicate payload in quarantine, found $quar")
+  }
+
   test("bad-file appends survive target-table schema drift (projectOnto)") {
     import spark.implicits._
     val (stage, cfg) = mkConfig()
