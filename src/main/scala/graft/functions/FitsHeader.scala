@@ -44,7 +44,12 @@ object FitsHeader {
       if (lead == "SIMPLE" || lead == "XTENSION") {
         val (hdr, next) = parseFrom(bytes, off)
         out += hdr
-        off = next + dataBlockBytes(hdr, isPrimary = out.size == 1)
+        // clamp the declared data-block skip to the buffer: a corrupt or
+        // hostile NAXIS/BITPIX product must never move the offset past
+        // the end (or, via overflow, BACKWARDS — the parse would then
+        // loop or crash instead of the file being quarantined)
+        val skip = dataBlockBytes(hdr, isPrimary = out.size == 1)
+        off = next + math.min(skip, (bytes.length - next).toLong).toInt
       } else done = true
     }
     out.toSeq
@@ -70,22 +75,28 @@ object FitsHeader {
     (out, start + blocks * BlockLen)
   }
 
+  /** Declared data-block size in bytes (Long — header values are
+    * untrusted input, and a hostile product must saturate, not wrap). */
   private def dataBlockBytes(hdr: Map[String, String], isPrimary: Boolean)
-      : Int = {
+      : Long = {
     def num(k: String, dflt: Long): Long =
       hdr.get(k).flatMap(v => scala.util.Try(v.trim.toLong).toOption)
         .getOrElse(dflt)
     val naxis = num("NAXIS", 0L)
-    if (naxis == 0L) 0
+    if (naxis <= 0L || naxis > 999L) 0L
     else {
       val shape = (1L to naxis).map(i => num(s"NAXIS$i", 0L))
-      if (shape.contains(0L)) 0
+      if (shape.exists(_ <= 0L)) 0L
       else {
         val gcount = if (isPrimary) 1L else num("GCOUNT", 1L)
         val pcount = if (isPrimary) 0L else num("PCOUNT", 0L)
-        val bits = math.abs(num("BITPIX", 8L))
-        val bytes = bits / 8 * gcount * (pcount + shape.product)
-        (((bytes + BlockLen - 1) / BlockLen) * BlockLen).toInt
+        // exact product in BigInt: Long multiplication of hostile values
+        // wraps negative, which would move the parse offset backwards
+        val bytes = BigInt(math.abs(num("BITPIX", 8L)) / 8) *
+          BigInt(math.max(0L, gcount)) *
+          (BigInt(math.max(0L, pcount)) + shape.map(BigInt(_)).product)
+        val blocks = (bytes + (BlockLen - 1)) / BlockLen * BlockLen
+        blocks.min(BigInt(Long.MaxValue)).toLong
       }
     }
   }

@@ -17,6 +17,11 @@ object RelationalOps {
 
   private def dec(cn: String) = col(cn).cast("decimal(12,4)")
 
+  /** Exact decimal → bit-identical double: via the decimal's string form
+    * (exact), then a correctly-rounded string→double parse. */
+  private def decStr(c: org.apache.spark.sql.Column) =
+    c.cast("string").cast("double")
+
   /** Q1-style pricing summary — SURVEY §2.4 (A2/A3 count-&-sum per group);
     * scan+filter+hash-agg spine. Filter is pushed to parquet. */
   def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
@@ -25,19 +30,20 @@ object RelationalOps {
       .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        // decimal→double via an exact integer rescale: BigDecimal
+        // decimal→double via the decimal's STRING form: BigDecimal
         // .doubleValue() is 1 ulp off other engines' decimal→double for
-        // some values (seen on sum_disc_price at sf0.1); long→double
-        // conversion and the division are IEEE-correctly-rounded
-        // everywhere, so (sum * 10^scale).long / 10^scale.0 is
-        // bit-identical cross-engine
-        (sum(dec("l_quantity")) * 10000).cast("long")
-          .cast("double").divide(10000.0).as("sum_qty"),
-        (sum(dec("l_extendedprice")) * 10000).cast("long")
-          .cast("double").divide(10000.0).as("sum_base_price"),
-        (sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,4)") - dec("l_discount")))
-          * 100000000L).cast("long")
-          .cast("double").divide(100000000.0).as("sum_disc_price"),
+        // some values (seen on sum_disc_price at sf0.1), but decimal→
+        // string is exact in every engine and string→double parsing is
+        // IEEE-correctly-rounded everywhere — bit-identical cross-engine
+        // at ANY scale factor. (An earlier exact-integer rescale
+        // (sum*10^8).cast(long) overflowed Long around sf2: Spark
+        // non-ANSI nulls, DuckDB errors — the silent-break the r3 advice
+        // flagged.)
+        decStr(sum(dec("l_quantity"))).as("sum_qty"),
+        decStr(sum(dec("l_extendedprice"))).as("sum_base_price"),
+        decStr(sum(dec("l_extendedprice")
+          * (lit(1).cast("decimal(12,4)") - dec("l_discount"))))
+          .as("sum_disc_price"),
         count(lit(1)).as("count_order"))
   }
 
@@ -190,9 +196,9 @@ object RelationalOps {
   val oracles: Map[String, String] = Map(
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sum_qty,
-        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sum_base_price,
-        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) * 100000000 AS BIGINT) AS DOUBLE) / 100000000.0 AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,

@@ -48,6 +48,26 @@ class FitsHeaderSpec extends AnyFunSuite {
     assert(hdus(2)("GAINB") == "4.0")
   }
 
+  test("hostile NAXIS/BITPIX products saturate instead of wrapping negative") {
+    // declared data block of 2^31+ bytes (and a 64-bit-overflow variant):
+    // the skip must clamp to the end of the buffer — never move the parse
+    // offset backwards (crash) or loop. A second well-formed extension
+    // glued after the header must NOT be parsed (the declared data block
+    // swallows the rest of the buffer — correct, since a genuine file of
+    // this shape would carry that many data bytes).
+    for (dims <- Seq(Seq("2", "65536", "65536"),              // 2^32 * 8 bytes
+                     Seq("3", "3037000500", "3037000500", "4"))) { // Long overflow
+      val cards = Seq("SIMPLE" -> "T", "BITPIX" -> "64",
+        "NAXIS" -> dims.head) ++
+        dims.tail.zipWithIndex.map { case (v, i) => s"NAXIS${i + 1}" -> v } :+
+        ("RA" -> "1")
+      val ext = FitsHeader.render(Seq("XTENSION" -> "IMAGE", "GAINA" -> "1"))
+      val hdus = FitsHeader.parseAll(FitsHeader.render(cards) ++ ext)
+      assert(hdus.size == 1, s"dims=$dims")
+      assert(hdus(0)("RA") == "1")
+    }
+  }
+
   test("parseAll skips data blocks sized by BITPIX/NAXIS/GCOUNT/PCOUNT") {
     // primary with a 100x3 16-bit image: 600 bytes -> one 2880 block
     val primary = FitsHeader.render(Seq("SIMPLE" -> "T", "BITPIX" -> "16",
