@@ -52,12 +52,20 @@ object Bench {
         spark.catalog.clearCache() // drop persisted intermediates between reps
         dt
       }
-      name -> median(times)
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // "queries" stays name→median (the stable cross-round metric);
+    // "triples" adds per-query min/median/max so a host-variance
+    // regression is attributable from one round's record alone
+    // (VERDICT r3 item 7: medians hide which rep blew up)
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + median(ts) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val triples = results.map { case (k, ts) =>
+      "\"" + k + "\":{\"min\":" + ts.min + ",\"median\":" + median(ts) +
+        ",\"max\":" + ts.max + "}"
+    }.mkString("{", ",", "}")
+    val total = results.map(r => median(r._2)).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"triples":$triples,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

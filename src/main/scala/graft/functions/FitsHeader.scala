@@ -91,12 +91,14 @@ object FitsHeader {
         val gcount = if (isPrimary) 1L else num("GCOUNT", 1L)
         val pcount = if (isPrimary) 0L else num("PCOUNT", 0L)
         // exact product in BigInt: Long multiplication of hostile values
-        // wraps negative, which would move the parse offset backwards
-        val bytes = BigInt(math.abs(num("BITPIX", 8L)) / 8) *
+        // wraps negative, which would move the parse offset backwards.
+        // abs in BigInt too — math.abs(Long.MinValue) is NEGATIVE and
+        // would evade the saturation below (ADVICE r4)
+        val bytes = (BigInt(num("BITPIX", 8L)).abs / 8) *
           BigInt(math.max(0L, gcount)) *
           (BigInt(math.max(0L, pcount)) + shape.map(BigInt(_)).product)
         val blocks = (bytes + (BlockLen - 1)) / BlockLen * BlockLen
-        blocks.min(BigInt(Long.MaxValue)).toLong
+        blocks.max(BigInt(0)).min(BigInt(Long.MaxValue)).toLong
       }
     }
   }

@@ -83,8 +83,11 @@ object DedupOps {
     // The shingle relation feeds four plan branches (both sides of the
     // band-key self-join, both sides of the verify join). Persist it so
     // the zip_with shingle expression is evaluated — and its generated
-    // code compiled — exactly once instead of per branch.
-    val ex = exploded(spark, dir).persist()
+    // code compiled — exactly once instead of per branch. The persist is
+    // SCOPED (ScaleUtils.withPersisted): the per-lang summary result is
+    // tiny, so it is materialized eagerly and the shingle cache released
+    // before returning.
+    graft.functions.ScaleUtils.withPersisted(exploded(spark, dir)) { ex =>
     val bk = bandKeys(spark, ex)
     // LSH buckets ignore language, so candidates may cross languages;
     // label same-lang pairs with the language and the rest 'cross' so the
@@ -110,6 +113,7 @@ object DedupOps {
     shared.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_candidate_pairs"),
         sum(when(col("jac") >= 0.85, 1L).otherwise(0L)).as("n_dup_pairs"))
+    }
   }
 
   /** LSH-fronted Jaccard best-match — the scale-safe form of
@@ -130,7 +134,9 @@ object DedupOps {
     * are low-jaccard accidental-shingle pairs the banding correctly
     * never surfaces — recall concentrates exactly where dedup needs it. */
   def jaccardLshBest(spark: SparkSession, dir: String): DataFrame = {
-    val ex = exploded(spark, dir).persist()
+    // scoped persist (see minhashLsh): per-doc best-match result is the
+    // small side; the exploded shingle cache is released in-scope
+    graft.functions.ScaleUtils.withPersisted(exploded(spark, dir)) { ex =>
     val bk = bandKeys(spark, ex)
     // ordered pairs (both directions) so the per-doc arg-max needs no
     // union — mirrors TextOps.jaccardBestMatch's asymmetric self-join
@@ -152,6 +158,7 @@ object DedupOps {
       .groupBy(col("id_a").as("doc_id"))
       .agg(max_by(col("id_b"), struct(col("jac"), -col("id_b"))).as("best_match"),
         round(max(col("jac")), 4).as("best_jac"))
+    }
   }
 
   /** SimHash signatures: per-token md5 hex digits vote per bit position;
@@ -207,7 +214,8 @@ object DedupOps {
     * product — with [[annSignDims]] the bucket count GROWS with the
     * corpus (buckets ∝ n), so per-bucket all-pairs work stays
     * O(n · AnnTargetPerBucket) ≈ linear instead of O(n²/constant).
-    * The corpus count is one metadata-only parquet job. Beyond ~2^16
+    * The corpus count comes from parquet FOOTERS (driver-side metadata,
+    * no Spark job — ScaleUtils.footerRowCount). Beyond ~2^16
     * buckets, the IVF path (VectorOps.annIvf) with its trained coarse
     * quantizer is the better recall/cost trade — this operator is the
     * cheap untrained variant. */
@@ -215,7 +223,8 @@ object DedupOps {
       signDimsOverride: Option[Int] = None): DataFrame = {
     val dot = graft.plans.DotProductLong.dotLong(spark) _
     val signDims = signDimsOverride.getOrElse(
-      annSignDims(Tables.embeddings(spark, dir).count()))
+      annSignDims(graft.functions.ScaleUtils.footerRowCount(
+        spark, s"$dir/embeddings.parquet")))
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))
@@ -250,11 +259,12 @@ object DedupOps {
     * exact→LSH cutover: exact all-pairs ([[TextOps.jaccardBestMatch]])
     * up to [[ExactPairsLimit]] docs, LSH-fronted ([[jaccardLshBest]])
     * beyond. The two oracled queries pin each formulation's semantics at
-    * any scale; this chooses between them by corpus size (one
-    * metadata-cheap count). */
+    * any scale; this chooses between them by corpus size, read from
+    * parquet footers on the driver (no Spark job per invocation). */
   def jaccardBestAuto(spark: SparkSession, dir: String,
       exactLimit: Long = ExactPairsLimit): DataFrame =
-    if (Tables.documents(spark, dir).count() <= exactLimit)
+    if (graft.functions.ScaleUtils.footerRowCount(
+        spark, s"$dir/documents.parquet") <= exactLimit)
       TextOps.jaccardBestMatch(spark, dir)
     else jaccardLshBest(spark, dir)
 
@@ -263,6 +273,10 @@ object DedupOps {
     "q_jaccard_lsh"  -> jaccardLshBest _,
     "q_simhash"      -> simhash _,
     "q_ann_bucketed" -> ((s: SparkSession, d: String) => annBucketed(s, d)),
+    // the PRODUCT entry point (enforced exact→LSH cutover): below the
+    // cutover it must be bit-identical to the exact form — same oracle —
+    // and benching it keeps the auto path measured, not just declared
+    "q_jaccard_auto" -> ((s: SparkSession, d: String) => jaccardBestAuto(s, d)),
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -273,6 +287,7 @@ object DedupOps {
       .map { case (p, i) => s"WHEN $i THEN '$p'" }.mkString(" ") + " END"
 
   val oracles: Map[String, String] = Map(
+    "q_jaccard_auto" -> TextOps.jaccardBestSql,
     "q_minhash_lsh" ->
       s"""WITH ex AS (
          |  SELECT doc_id, lang, length(tset) AS n_tok, unnest(tset) AS tok

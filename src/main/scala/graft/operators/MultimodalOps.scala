@@ -102,11 +102,17 @@ object MultimodalOps {
   /** Byte-budget repartitioning before decode: media rows vary by orders
     * of magnitude; partition count follows total payload bytes so a few
     * giant files cannot skew one task. */
-  def repartitionByBytes(media: Dataset[MediaFile], targetBytesPerPartition: Long)
-      : Dataset[MediaFile] = {
-    val totalBytes = media.select(sum(length(col("content")))).head().getLong(0)
-    val parts = math.max(1, (totalBytes / targetBytesPerPartition).toInt)
-    media.repartition(parts)
+  def repartitionByBytes(media: Dataset[MediaFile], targetBytesPerPartition: Long,
+      estimatedBytes: Option[Long] = None): Dataset[MediaFile] = {
+    // sizing signal from optimizer statistics (for file-backed media,
+    // total scan bytes — exactly right) or a caller estimate — partition
+    // COUNT needs an estimate, not an exact byte sum, and the previous
+    // sum(length(content)) aggregate ran a full scan per invocation
+    val totalBytes = estimatedBytes.map(BigInt(_))
+      .getOrElse(media.queryExecution.optimizedPlan.stats.sizeInBytes)
+    val parts = math.max(1L,
+      (totalBytes / targetBytesPerPartition).min(BigInt(1 << 20)).toLong)
+    media.repartition(parts.toInt)
   }
 
   /** Documents-as-media adapter: the testdata has no binary media table, so

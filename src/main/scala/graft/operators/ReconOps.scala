@@ -86,23 +86,33 @@ object ReconOps {
 
   /** Group collect-list — A6 (monitor:968-981): doc ids per lang, sorted,
     * CAPPED at the [[DocIdsCap]] smallest ids with the full count kept as
-    * the overflow signal. The rank filter runs BEFORE the collect, so the
-    * aggregation buffer itself is bounded — capping after collecting
-    * would bound only the output, not the state. */
+    * the overflow signal.
+    *
+    * Two-phase top-k (no Window): lang has ~5 values, so any
+    * `Window.partitionBy(lang)` funnels every document of a language
+    * through ONE task — the plan dies at 100×. Phase 1 keeps the cap
+    * smallest ids per (lang, input partition): the aggregation buffer is
+    * bounded by the partition and the slice caps what shuffles. Phase 2
+    * merges the ≤ cap × P candidates per lang — cap × P rows total, a
+    * trivial final step at any scale. Per-lang totals come from a plain
+    * hash aggregate (map-side combine), never a count-over-window. */
   def docIdsPerLang(spark: SparkSession, dir: String): DataFrame = {
-    val byLang = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"))
-    Tables.documents(spark, dir)
+    val filtered = Tables.documents(spark, dir)
       .where(col("n_chars") > 400)
       .select(col("lang"), col("doc_id"))
-      .withColumn("n_docs", count(lit(1)).over(byLang))
-      .withColumn("rn", row_number().over(byLang.orderBy(col("doc_id"))))
-      .where(col("rn") <= DocIdsCap)
-      .groupBy(col("lang"))
-      .agg(first(col("n_docs")).as("n_docs"),
-        array_join(
-          transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
-          ",").as("doc_ids"))
+    val counts = filtered.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val local = filtered
+      .withColumn("pid", spark_partition_id())
+      .groupBy(col("lang"), col("pid"))
+      .agg(slice(array_sort(collect_list(col("doc_id"))), 1, DocIdsCap)
+        .as("cand"))
+    val top = local.groupBy(col("lang"))
+      .agg(slice(array_sort(flatten(collect_list(col("cand")))), 1, DocIdsCap)
+        .as("ids"))
+    top.join(counts, Seq("lang"))
+      .select(col("lang"), col("n_docs"),
+        array_join(transform(col("ids"), _.cast("string")), ",").as("doc_ids"))
   }
 
   /** Interval-validity join — S8/J9 (monitor:868-877): a tiny validity-

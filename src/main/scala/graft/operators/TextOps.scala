@@ -153,9 +153,13 @@ object TextOps {
       .select(col("doc_id"), col("lang"), shingles3(col("text")).as("tset"))
       .withColumn("n_tok", size(col("tset")))
     // persisted: feeds both sides of the self-join (single evaluation +
-    // single codegen of the shingle expression)
-    val exploded = docs.select(col("doc_id"), col("lang"), col("n_tok"),
-      explode(col("tset")).as("tok")).persist()
+    // single codegen of the shingle expression). SCOPED persist
+    // (ScaleUtils.withPersisted): the per-doc result is the small side;
+    // the shingle cache is released before returning, so a long-lived
+    // session leaks nothing.
+    graft.functions.ScaleUtils.withPersisted(
+      docs.select(col("doc_id"), col("lang"), col("n_tok"),
+        explode(col("tset")).as("tok"))) { exploded =>
     val a = exploded.select(col("doc_id").as("id_a"), col("lang"),
       col("n_tok").as("n_a"), col("tok"))
     val b = exploded.select(col("doc_id").as("id_b"), col("lang"),
@@ -173,6 +177,7 @@ object TextOps {
     pairs.groupBy(col("id_a").as("doc_id"))
       .agg(max_by(col("id_b"), struct(col("jac"), -col("id_b"))).as("best_match"),
         round(max(col("jac")), 4).as("best_jac"))
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -244,7 +249,12 @@ object TextOps {
         |  count(DISTINCT md5(lower(trim(text)))) AS n_uniq_fp,
         |  count(DISTINCT substr(text, 1, 40)) AS n_uniq_prefix40
         |FROM documents""".stripMargin,
-    "q_jaccard_best" ->
+    "q_jaccard_best" -> jaccardBestSql,
+  )
+
+  /** Exact all-pairs Jaccard oracle — shared with DedupOps's q_jaccard_auto
+    * (below the cutover the auto entry point IS this query). */
+  private[operators] lazy val jaccardBestSql: String =
       s"""WITH docs AS (
          |  SELECT doc_id, lang, $shingles3Sql AS tset
          |  FROM documents),
@@ -267,6 +277,5 @@ object TextOps {
          |FROM (SELECT doc_id, cand, jac, max(jac) OVER (PARTITION BY doc_id) AS max_jac,
          |        row_number() OVER (PARTITION BY doc_id ORDER BY jac DESC, cand ASC) AS rn
          |      FROM sym)
-         |WHERE rn = 1""".stripMargin,
-  )
+         |WHERE rn = 1""".stripMargin
 }

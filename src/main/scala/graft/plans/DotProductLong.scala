@@ -69,13 +69,18 @@ case class DotProductLong(left: Expression, right: Expression)
 object DotProductLong {
   private val FnName = "graft_dot_long"
 
-  /** Register in the session's function registry (idempotent) and return a
-    * Column-level handle. Registry + `call_function` keeps us independent
-    * of the Column↔Expression constructor surface, which is version-
-    * sensitive in Spark 4. */
+  /** Register in the session's function registry (once per session) and
+    * return a Column-level handle. Registry + `call_function` keeps us
+    * independent of the Column↔Expression constructor surface, which is
+    * version-sensitive in Spark 4. Registration is guarded by a lookup:
+    * re-registering on every call spams `SimpleFunctionRegistry`
+    * replacement warnings into every job's log (VERDICT r3 item 6). */
   def dotLong(spark: SparkSession)(a: Column, b: Column): Column = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => DotProductLong(exprs(0), exprs(1)), "scala_udf")
+    val registry = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(FnName)
+    if (!registry.functionExists(id))
+      registry.createOrReplaceTempFunction(
+        FnName, exprs => DotProductLong(exprs(0), exprs(1)), "scala_udf")
     call_function(FnName, a, b)
   }
 }

@@ -1,0 +1,133 @@
+package graft.report
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{MonitorOps, ReconOps, RelationalOps}
+
+/** The composed end-to-end monitor run — reference
+  * `monitor_DBB_stagein.py` main flow (monitor:1103-1165): one invocation
+  * gathers the reconciliation frames and emits the four HTML reports the
+  * cron job publishes —
+  *
+  *  - `dtsmonitor.html` (print_summary_html, monitor:522-689): per-nite
+  *    summary counts, the "lasts" lines, and the top-20 failure list
+  *  - `dtsmonitor_exp_short.html` (print_exposure_html reptype=short,
+  *    monitor:319-418): differences only — exposures whose delivered
+  *    claim and received evidence disagree
+  *  - `dtsmonitor_exp_full.html` (reptype=full): every exposure state
+  *  - `dtsmonitor_sne.html` (print_sne_html, monitor:423-516): the SNe
+  *    reconciliation with duplicate-skip marking
+  *
+  * Every section is one of the individually-oracled operators (J5-J7,
+  * J12, W1, A2-A7, T3, S11/W2) — this job only CHAINS them and renders;
+  * no new dataflow semantics live here. All heavy work stays distributed;
+  * only report-sized final frames are collected (HtmlReport's contract).
+  *
+  * Determinism: each frame gets an explicit total ORDER BY before render,
+  * and the caller passes the timestamp/took values — so a fixed-input run
+  * is byte-stable (golden-file tested in MonitorJobSpec).
+  */
+object MonitorJob {
+
+  /** Report set produced by [[run]], in write order. */
+  val ReportNames: Seq[String] = Seq(
+    "dtsmonitor.html", "dtsmonitor_exp_short.html",
+    "dtsmonitor_exp_full.html", "dtsmonitor_sne.html")
+
+  /** Compute + render + write the four reports under `outDir`; returns
+    * (name → html). `generatedAt`/`tookSecs` are caller-supplied (the
+    * reference stamps wall-clock into every page, monitor:329-333; tests
+    * pin them for byte-stable goldens). */
+  def run(spark: SparkSession, dataDir: String, outDir: String,
+      generatedAt: String = java.time.Instant.now.toString,
+      tookSecs: Double = 0.0): Map[String, String] = {
+    val pages = render(spark, dataDir, generatedAt, tookSecs)
+    val dir = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(dir)
+    pages.foreach { case (name, html) =>
+      java.nio.file.Files.write(dir.resolve(name),
+        html.getBytes("UTF-8"))
+    }
+    pages
+  }
+
+  /** Pure render (no filesystem writes) — the testable core. */
+  def render(spark: SparkSession, dataDir: String, generatedAt: String,
+      tookSecs: Double): Map[String, String] = {
+
+    // ---- summary page (print_summary_html): per-nite counts A2/A4/A10,
+    // the "lasts" block (S11/W2 log tails), and the T3 top-20 failures
+    val niteSummary = ReconOps.niteRollup(spark, dataDir)
+      .join(ReconOps.errorsPerNite(spark, dataDir), Seq("nite"), "left_outer")
+      .join(MonitorOps.unionAccumulate(spark, dataDir), Seq("nite"), "left_outer")
+      .select(col("nite"), col("n_events"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"),
+        coalesce(col("n_flagged_users"), lit(0L)).as("n_flagged_users"),
+        round(col("sum_value"), 4).as("sum_value"))
+      .orderBy(col("nite"))
+    val lasts = MonitorOps.logTail(spark, dataDir)
+      .orderBy(col("event_type"))
+    val topFailures = RelationalOps.topkErrors(spark, dataDir)
+      .orderBy(col("ts_sec").desc, col("event_id").desc)
+    val summary = HtmlReport.render(
+      s"DTS monitor summary — generated $generatedAt",
+      Seq("Per-nite summary" -> niteSummary,
+        "Last lines per log" -> lasts,
+        "Top-20 failing users" -> topFailures),
+      tookSecs)
+
+    // ---- exposure pages (print_exposure_html): J12 state per exposure;
+    // reptype=short keeps only differences (monitor:344 "only report
+    // exposures which have a problem"), reptype=full lists everything
+    def exposurePage(reptype: String): String = {
+      val states = exposureStates(spark, dataDir)
+      val rows = (if (reptype == "short") states.where(col("expstate") =!= "ok")
+        else states).orderBy(col("o_orderkey"))
+      val perState = rows.groupBy(col("expstate"))
+        .agg(count(lit(1)).as("n_orders")).orderBy(col("expstate"))
+      HtmlReport.render(
+        s"DTS exposure report ($reptype) — generated $generatedAt",
+        Seq("States" -> perState, s"Exposures ($reptype)" -> rows),
+        tookSecs)
+    }
+
+    // ---- SNe page (print_sne_html): J5→J7 multi-key reconciliation
+    // plus the W1 duplicate-skip marking summary (mark_sne_skip,
+    // monitor:922-942 — skipped rows are counted, not listed)
+    val sneRecon = MonitorOps.multikeyRecon(spark, dataDir)
+      .orderBy(col("nite"))
+    val skipSummary = ReconOps.skipDuplicates(spark, dataDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("skip"), 1L).otherwise(0L)).as("n_skipped"))
+      .orderBy(col("event_type"))
+    val sne = HtmlReport.render(
+      s"DTS SNe report — generated $generatedAt",
+      Seq("Per-nite reconciliation" -> sneRecon,
+        "Duplicate-skip summary" -> skipSummary),
+      tookSecs)
+
+    Map(
+      "dtsmonitor.html" -> summary,
+      "dtsmonitor_exp_short.html" -> exposurePage("short"),
+      "dtsmonitor_exp_full.html" -> exposurePage("full"),
+      "dtsmonitor_sne.html" -> sne)
+  }
+
+  /** Per-exposure J12 state rows (the detail form of ReconOps.expstate,
+    * which aggregates the same classification to counts). */
+  private def exposureStates(spark: SparkSession, dir: String): DataFrame = {
+    val received = graft.sources.Tables.lineitem(spark, dir)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey")).distinct()
+    graft.sources.Tables.orders(spark, dir)
+      .withColumn("delivered", col("o_orderstatus") === "F")
+      .join(received, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .withColumn("expstate",
+        when(col("delivered") && col("l_orderkey").isNotNull, "ok")
+          .when(col("delivered") && col("l_orderkey").isNull, "missing")
+          .when(!col("delivered") && col("l_orderkey").isNotNull, "extra")
+          .otherwise("not delivered"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("expstate"))
+  }
+}

@@ -30,4 +30,14 @@ object NightsumIndex {
     import spark.implicits._
     parseLinks(html).toDF()
   }
+
+  /** Injectable-fetch form (ADVICE r3): a deployment passes its HTTP
+    * client as `fetch: url => body` (e.g. `scala.io.Source.fromURL(_)
+    * .mkString` behind whatever auth/retry policy it runs) and this source
+    * fetches + parses without the caller pre-reading the page. The parser
+    * stays pure and separately testable; the zero-egress test environment
+    * injects a fake fetcher. */
+  def load(spark: SparkSession, url: String,
+      fetch: String => String): DataFrame =
+    parse(spark, fetch(url))
 }

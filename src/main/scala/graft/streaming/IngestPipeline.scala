@@ -56,7 +56,13 @@ object IngestPipeline {
       // test instrumentation: corrupts the destination between copy and
       // verify, simulating the torn copy the reference's loop defends
       // against (no production use)
-      copyFault: Option[CopyFault] = None)
+      copyFault: Option[CopyFault] = None,
+      // registry small-file compaction cadence: every ingest batch appends
+      // a file set per nite dir, so file counts grow with batch count
+      // forever; every N batches the stream rewrites the registry to
+      // ~target-sized files (ScaleUtils.compactParquet). 0 disables.
+      compactEveryBatches: Int = 0,
+      compactTargetFileBytes: Long = 128L * 1024 * 1024)
 
   /** Test hook: invoked as (attempt, fs, dst) after each copy attempt. */
   trait CopyFault extends Serializable {
@@ -237,7 +243,30 @@ object IngestPipeline {
     * append the registry / bad-file tables. Safe to re-run (duplicate
     * anti-join turns replays into quarantine rows only if the notify file
     * still exists). */
+  /** Layout guard: the batch/stream scan is RECURSIVE over stageDir, so
+    * any output dir nested under it would be re-scanned as payloads each
+    * batch (quarantined files re-quarantined, registry parquet "ingested").
+    * The reference never hits this only because it lists one level
+    * (save:318 `next(os.walk(notify_dir))[2]`); here the nesting is a
+    * config error and is rejected loudly up front. */
+  private[graft] def validateLayout(cfg: Config): Unit = {
+    def norm(s: String): java.nio.file.Path = {
+      val p = Option(new Path(s).toUri.getPath).filter(_.nonEmpty).getOrElse(s)
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize
+    }
+    val stage = norm(cfg.stageDir)
+    Seq("archive_dir" -> cfg.archiveDir, "bad_file_dir" -> cfg.quarantineDir,
+        "registry_dir" -> cfg.registryDir,
+        "bad_file_table_dir" -> cfg.badFileDir).foreach { case (name, d) =>
+      require(!norm(d).startsWith(stage),
+        s"$name ($d) must not nest under delivery_notice_dir " +
+          s"(${cfg.stageDir}): the recursive stage scan would re-ingest " +
+          "its files as payloads every batch")
+    }
+  }
+
   def runBatch(spark: SparkSession, cfg: Config): IngestReport = {
+    validateLayout(cfg)
     // Invalidate Spark's shared file-status cache for the stage dir: files
     // are moved/deleted/re-created between micro-batches, and stale
     // listings (old size/mtime) would poison this batch's scan.
@@ -356,7 +385,12 @@ object IngestPipeline {
     val badRows = finalRouted.where(col("final_status") === "quarantine")
       .select(col("task_id"), col("delivered_at").as("delivery_date"),
         col("delivery_name").as("orig_filename"),
-        Derived.basenameOf(col("quarantine_path")).as("uniq_fullname"),
+        // uniq_fullname names the file physically placed in quarantine;
+        // a source that vanished before the move placed nothing there, so
+        // the audit row must not reference a nonexistent quarantine file
+        when(col("outcome") === "src_missing", lit(null).cast("string"))
+          .otherwise(Derived.basenameOf(col("quarantine_path")))
+          .as("uniq_fullname"),
         current_timestamp().as("rejected_date"), col("reject_msg").as("rejected_msg"),
         col("actual_size").as("filesize"), col("filetype"))
     // P9/J4 (save:274-278): the bad-file table's schema may drift over
@@ -476,12 +510,29 @@ object IngestPipeline {
     val query = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (_: DataFrame, _: Long) =>
-        runBatch(spark, cfg); ()
+      .foreachBatch { (_: DataFrame, batchId: Long) =>
+        runBatch(spark, cfg)
+        maybeCompact(spark, cfg, batchId + 1)
       }
       .start()
     query.awaitTermination()
   }
+
+  /** Registry compaction hook: called by [[runStream]] after each batch
+    * (and usable from a driver batch loop) — every `compactEveryBatches`
+    * completed batches the nite-partitioned registry is rewritten to
+    * target-sized files. Correctness does not depend on it (registry
+    * CONTENT is unchanged); only listing/scan overhead does. */
+  def maybeCompact(spark: SparkSession, cfg: Config, batchesDone: Long): Unit =
+    if (cfg.compactEveryBatches > 0 &&
+        batchesDone % cfg.compactEveryBatches == 0 &&
+        new Path(cfg.registryDir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+          .exists(new Path(cfg.registryDir))) {
+      graft.functions.ScaleUtils.compactParquet(spark, cfg.registryDir,
+        cfg.compactTargetFileBytes)
+      ()
+    }
 
   case class IngestReport(archived: Long, quarantined: Long)
 }

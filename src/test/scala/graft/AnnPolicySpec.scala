@@ -49,6 +49,32 @@ class AnnPolicySpec extends AnyFunSuite with SparkSpec {
     assert(i2 <= i1, s"inertia must not increase: iter1=$i1 iter2=$i2")
   }
 
+  test("k-means: plan depth is bounded across iterations (lineage checkpoint)") {
+    // Each Lloyd iteration checkpoints the k-row centroid set, so the
+    // assignment plan is always emb ⨯ leaf — training 10 iterations must
+    // NOT deepen the analyzed plan vs training 2 (the r3 lineage-growth
+    // defect: ~linear plan growth per iteration, analysis blow-up by ~10
+    // iters). Depth here = analyzed-plan tree height.
+    def depth(iters: Int): Int = {
+      def h(p: org.apache.spark.sql.catalyst.trees.TreeNode[_]): Int =
+        1 + (if (p.children.isEmpty) 0
+             else p.children.map(c =>
+               h(c.asInstanceOf[org.apache.spark.sql.catalyst.trees.TreeNode[_]])).max)
+      h(VectorOps.kmeansAssign(spark, sfDir, k = 4, iters = iters)
+        .queryExecution.analyzed)
+    }
+    val d2 = depth(2)
+    val d10 = depth(10)
+    assert(d10 == d2, s"plan depth must not grow with iterations: " +
+      s"iters=2 -> $d2, iters=10 -> $d10")
+    // and 10 iterations still refine or hold inertia vs 2 (values sane)
+    val i10 = VectorOps.kmeansAssign(spark, sfDir, k = 4, iters = 10)
+      .agg(org.apache.spark.sql.functions.sum("dist2")).head().getLong(0)
+    val i2 = VectorOps.kmeansAssign(spark, sfDir, k = 4, iters = 2)
+      .agg(org.apache.spark.sql.functions.sum("dist2")).head().getLong(0)
+    assert(i10 <= i2, s"more iterations must not increase inertia: $i2 -> $i10")
+  }
+
   test("expected bucket occupancy stays bounded under the policy") {
     for (n <- Seq(100L, 10000L, 1000000L, 50000000L)) {
       val buckets = 1L << DedupOps.annSignDims(n)

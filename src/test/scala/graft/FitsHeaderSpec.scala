@@ -68,6 +68,21 @@ class FitsHeaderSpec extends AnyFunSuite {
     }
   }
 
+  test("BITPIX = Long.MinValue saturates (math.abs is negative there)") {
+    // |Long.MinValue| overflows Long — a plain math.abs returns the SAME
+    // negative value, evading the clamp and under-skipping so data bytes
+    // get re-parsed as headers (ADVICE r4). With BigInt abs the declared
+    // block saturates and swallows the rest of the buffer, like every
+    // other hostile product.
+    val cards = Seq("SIMPLE" -> "T",
+      "BITPIX" -> Long.MinValue.toString,
+      "NAXIS" -> "1", "NAXIS1" -> "4", "RA" -> "7")
+    val ext = FitsHeader.render(Seq("XTENSION" -> "IMAGE", "GAINA" -> "1"))
+    val hdus = FitsHeader.parseAll(FitsHeader.render(cards) ++ ext)
+    assert(hdus.size == 1, "saturated skip must not re-parse trailing bytes")
+    assert(hdus(0)("RA") == "7")
+  }
+
   test("parseAll skips data blocks sized by BITPIX/NAXIS/GCOUNT/PCOUNT") {
     // primary with a 100x3 16-bit image: 600 bytes -> one 2880 block
     val primary = FitsHeader.render(Seq("SIMPLE" -> "T", "BITPIX" -> "16",

@@ -402,6 +402,104 @@ class IngestPipelineSpec extends SparkSpec {
     try body finally spark.conf.set(key, prev)
   }
 
+  test("nested output dirs under the stage dir are rejected loudly") {
+    // the recursive stage scan would re-ingest quarantine/registry files
+    // as payloads every batch (ADVICE r4) — config error, not a crash loop
+    val root = Files.createTempDirectory("nested")
+    val stage = Files.createDirectory(root.resolve("stage"))
+    val bad = Config(
+      stageDir = stage.toString,
+      archiveDir = root.resolve("archive").toString,
+      quarantineDir = stage.resolve("bad").toString, // nested!
+      registryDir = root.resolve("registry").toString,
+      badFileDir = root.resolve("bad_file").toString)
+    val err = intercept[IllegalArgumentException] {
+      IngestPipeline.runBatch(spark, bad)
+    }
+    assert(err.getMessage.contains("bad_file_dir"))
+    assert(err.getMessage.contains("must not nest"))
+    // non-nested sibling dirs pass validation
+    IngestPipeline.validateLayout(bad.copy(
+      quarantineDir = root.resolve("bad").toString))
+  }
+
+  test("registry compaction: batch loop shrinks files, contents unchanged") {
+    val (stage, cfg0) = mkConfig()
+    val cfg = cfg0.copy(compactEveryBatches = 3)
+    val good = FitsHeader.render(Seq("SIMPLE" -> "T") ++ primaryCards)
+    def stageFile(n: Int): Unit = {
+      Files.write(stage.resolve(f"DECam_000001$n%02d.fits.fz"), good)
+      Files.write(stage.resolve(f"DECam_000001$n%02d.fits.fz.dbb"),
+        s"md5sum = ${md5hex(good)}\nfilesize = ${good.length}\n".getBytes)
+    }
+    def registryFiles(): Int = {
+      val it = java.nio.file.Files.walk(Paths.get(cfg.registryDir))
+      try it.filter(p => p.toString.endsWith(".parquet")).count().toInt
+      finally it.close()
+    }
+    // three batches, each appends its own file set to the same nite dir
+    (1 to 3).foreach { b =>
+      stageFile(b)
+      IngestPipeline.runBatch(spark, cfg)
+      IngestPipeline.maybeCompact(spark, cfg, b)
+    }
+    // cadence: batches 1-2 did not compact (file count grew per batch);
+    // batch 3 did — the registry is back to ~one file per nite dir
+    val contents = spark.read.parquet(cfg.registryDir)
+      .select(col("filename"), col("nite").cast("string")).collect().toSet
+    assert(contents.size == 3, "all three files registered")
+    assert(registryFiles() <= 2,
+      s"compaction must shrink the per-batch file pileup, have ${registryFiles()}")
+    // one more batch after compaction still reads + appends correctly
+    stageFile(4)
+    IngestPipeline.runBatch(spark, cfg)
+    assert(spark.read.parquet(cfg.registryDir).count() == 4)
+  }
+
+  test("src_missing at move time: bad-file row has NULL uniq_fullname") {
+    // A payload that vanishes between scan and move (crash-retry shape,
+    // ADVICE r4): the audit row must not name a quarantine file that was
+    // never created. Deterministic trigger: force the move stage into ONE
+    // task (file-split knobs), then a copy fault fired by the first
+    // archive row deletes every OTHER staged payload — rows after it in
+    // the same task see their source gone.
+    val (stage, cfg0) = mkConfig()
+    val good = FitsHeader.render(Seq("SIMPLE" -> "T") ++ primaryCards)
+    val names = (0 to 2).map(i => f"DECam_000002$i%02d.fits.fz")
+    names.foreach { n =>
+      Files.write(stage.resolve(n), good)
+      Files.write(stage.resolve(n + ".dbb"),
+        s"md5sum = ${md5hex(good)}\nfilesize = ${good.length}\n".getBytes)
+    }
+    val stageDir = stage.toString
+    val vandal = new IngestPipeline.CopyFault {
+      def apply(attempt: Int, fs: org.apache.hadoop.fs.FileSystem,
+          dst: org.apache.hadoop.fs.Path): Unit =
+        names.filterNot(dst.getName.startsWith)
+          .foreach(n => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$stageDir/$n"), false))
+    }
+    val cfg = cfg0.copy(copyFault = Some(vandal))
+    val prevOpenCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    val prevMinPart = spark.conf.getOption("spark.sql.files.minPartitionNum")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    spark.conf.set("spark.sql.files.minPartitionNum", "1")
+    val report =
+      try IngestPipeline.runBatch(spark, cfg)
+      finally {
+        spark.conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
+        prevMinPart.foreach(
+          spark.conf.set("spark.sql.files.minPartitionNum", _))
+      }
+    assert(report.archived == 1, "first-moved row archives before the fault bites")
+    assert(report.quarantined == 2, "vandalized rows route to the bad-file table")
+    val badRows = spark.read.parquet(cfg.badFileDir).collect()
+    assert(badRows.forall(_.getAs[String]("rejected_msg")
+      == "payload file missing at move time"))
+    assert(badRows.forall(_.isNullAt(badRows.head.fieldIndex("uniq_fullname"))),
+      "no bad-file row may name a quarantine file that was never created")
+  }
+
   test("streaming wrapper drains the stage dir via AvailableNow") {
     val (stage, cfg) = mkConfig()
     writeFixtures(stage)

@@ -52,10 +52,21 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("byte-budget repartitioning scales partition count with data size") {
-    val small = MultimodalOps.repartitionByBytes(media(8, 100), 10000)
+    // explicit estimates (in-memory relations carry only default-size
+    // stats); file-backed media get the same sizing free from scan stats
+    val small = MultimodalOps.repartitionByBytes(media(8, 100), 10000,
+      estimatedBytes = Some(8L * 100))
     assert(small.rdd.getNumPartitions == 1)
-    val big = MultimodalOps.repartitionByBytes(media(64, 5000), 10000)
+    val big = MultimodalOps.repartitionByBytes(media(64, 5000), 10000,
+      estimatedBytes = Some(64L * 5000))
     assert(big.rdd.getNumPartitions >= 8)
+    // stats path: no job is run, and a parquet-backed dataset sizes from
+    // its scan bytes
+    val dir = java.nio.file.Files.createTempDirectory("media").toString
+    media(64, 5000).write.mode("overwrite").parquet(dir)
+    val fromFiles = spark.read.parquet(dir).as[MediaFile]
+    val sized = MultimodalOps.repartitionByBytes(fromFiles, 10000)
+    assert(sized.rdd.getNumPartitions >= 2)
   }
 
   test("media query surface matches the stub arithmetic") {

@@ -19,6 +19,17 @@ class NightsumIndexSpec extends SparkSpec {
     assert(links.forall(_.url.contains("nightsum-")))
   }
 
+  test("injectable fetch seam: load(url, fetch) fetches then parses") {
+    // a deployment passes its HTTP client; tests pass a fake — the url
+    // must flow through and the parse must see exactly the fetched body
+    var fetched: String = null
+    val fake: String => String = { url => fetched = url; html }
+    val df = NightsumIndex.load(spark, "https://ctio/nightsum/index.html", fake)
+    assert(fetched == "https://ctio/nightsum/index.html")
+    assert(df.collect().map(_.getAs[String]("nite")).sorted.toSeq
+      == Seq("20240114", "20240115"))
+  }
+
   test("DataFrame form joins against per-nite frames") {
     val df = NightsumIndex.parse(spark, html)
     assert(df.columns.toSeq == Seq("nite", "url"))

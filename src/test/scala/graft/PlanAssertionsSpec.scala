@@ -43,6 +43,18 @@ class PlanAssertionsSpec extends SparkSpec {
       s"row-local validation must not shuffle:\n$p")
   }
 
+  test("q_docids_per_lang: no per-lang window funnel (two-phase top-k)") {
+    // lang has ~5 values: a Window partitioned by lang routes every doc
+    // of a language through ONE task. The two-phase rewrite must keep
+    // Window out of the plan entirely (VERDICT r3/r4 item 1).
+    val qe = SparkEntry.queries("q_docids_per_lang")(spark, sfDir)
+      .queryExecution
+    qe.toRdd.count()
+    val p = qe.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"two-phase top-k must not plan a Window:\n$p")
+  }
+
   test("q_media_meta: column pruning reaches the scan") {
     val p = plan("q_media_meta")
     // only doc_id and text are needed; lang/source/n_chars must be pruned

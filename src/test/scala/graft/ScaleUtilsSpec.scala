@@ -72,6 +72,67 @@ class ScaleUtilsSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("compactParquet: refused rename fails loudly, live table untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compactfail").toString + "/reg"
+    (1 to 3).foreach { b =>
+      Seq((b.toLong, s"f$b.fits", "20240101"))
+        .toDF("task_id", "filename", "nite")
+        .write.mode("append").partitionBy("nite").parquet(dir)
+    }
+    val before = spark.read.parquet(dir)
+      .select($"task_id", $"filename", $"nite".cast("string")).collect().toSet
+
+    // first rename (root -> precompact) refused: must throw, live intact
+    val e1 = intercept[java.io.IOException] {
+      ScaleUtils.compactParquetImpl(spark, dir, 128L * 1024 * 1024,
+        (_, _, _) => false)
+    }
+    assert(e1.getMessage.contains("refused"))
+    spark.catalog.refreshByPath(dir)
+    assert(spark.read.parquet(dir)
+      .select($"task_id", $"filename", $"nite".cast("string"))
+      .collect().toSet == before, "live table untouched after refused swap")
+
+    // second rename (tmp -> root) refused: must throw AND restore the
+    // live table (never leave the path empty or nest tmp inside it)
+    var calls = 0
+    val e2 = intercept[java.io.IOException] {
+      ScaleUtils.compactParquetImpl(spark, dir, 128L * 1024 * 1024,
+        (fs, a, b) => { calls += 1; if (calls == 2) false else fs.rename(a, b) })
+    }
+    assert(e2.getMessage.contains("restored"))
+    spark.catalog.refreshByPath(dir)
+    assert(spark.read.parquet(dir)
+      .select($"task_id", $"filename", $"nite".cast("string"))
+      .collect().toSet == before, "live table restored after mid-swap failure")
+  }
+
+  test("compactParquet: '=' in an ancestor dir is not a partition column") {
+    import spark.implicits._
+    // an unpartitioned table living under .../run=7/... — the bogus
+    // inference bug read 'run' as a partition column from the ancestor
+    val root = java.nio.file.Files.createTempDirectory("compacteq")
+    val dir = root.resolve("run=7").resolve("reg").toString
+    (1 to 3).foreach { b =>
+      Seq((b.toLong, s"f$b.fits")).toDF("task_id", "filename")
+        .write.mode("append").parquet(dir)
+    }
+    val before = spark.read.parquet(dir).collect().toSet
+    val (nBefore, nAfter) = ScaleUtils.compactParquet(spark, dir)
+    assert(nBefore > nAfter)
+    assert(spark.read.parquet(dir).collect().toSet == before)
+    // no hive partition dirs fabricated from the ancestor segment
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("run=")))
+  }
+
+  test("footerRowCount matches count() without running a job") {
+    val dir = s"$sfDir/orders.parquet"
+    val expected = graft.sources.Tables.orders(spark, sfDir).count()
+    assert(ScaleUtils.footerRowCount(spark, dir) == expected)
+  }
+
   test("repartitionForKey sizes partition count from stats") {
     val li = graft.sources.Tables.lineitem(spark, sfDir)
     val small = ScaleUtils.repartitionForKey(li, "l_orderkey",
