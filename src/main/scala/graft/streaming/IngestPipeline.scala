@@ -25,7 +25,9 @@ import graft.functions.{Derived, FitsHeader}
   *  4. duplicate anti-join vs registry (save:155-157)
   *  5. md5 verify payload vs declared (save:100-109, 170-177)
   *  6. FITS keyword-contract validation (save:158; etc/decam_src_keywords.txt)
-  *  7. route: good → archive copy + registry append (save:73-116, 160, 193)
+  *  7. route: good → archive copy + the TWO registration appends — file
+  *            metadata (save:160) and file location (save:193, the
+  *            dup-check table) — mirroring the reference's split
   *            bad  → quarantine move + bad_file append (save:221-293)
   */
 object IngestPipeline {
@@ -41,6 +43,13 @@ object IngestPipeline {
       registryDir: String,
       badFileDir: String,
       taskId: Long = 1L,
+      // the reference's archive_name (cfg:9): the logical archive a
+      // location row registers into (one deployment may host several)
+      archiveName: String = "graft_archive",
+      // file-location table dir — the reference registers file DATA and
+      // file LOCATION separately (save:160 register_file_data vs save:193
+      // register_file_in_archive); defaults next to the metadata registry
+      locationDir: Option[String] = None,
       contract: Seq[graft.sources.KeywordContract.Entry] =
         graft.sources.KeywordContract.entries,
       // archive layout per filetype — the OPS_DIRECTORY_PATTERN dim
@@ -62,7 +71,10 @@ object IngestPipeline {
       // forever; every N batches the stream rewrites the registry to
       // ~target-sized files (ScaleUtils.compactParquet). 0 disables.
       compactEveryBatches: Int = 0,
-      compactTargetFileBytes: Long = 128L * 1024 * 1024)
+      compactTargetFileBytes: Long = 128L * 1024 * 1024) {
+    /** Resolved file-location table dir (ref's FILE_ARCHIVE_INFO analog). */
+    def locationTableDir: String = locationDir.getOrElse(registryDir + "_location")
+  }
 
   /** Test hook: invoked as (attempt, fs, dst) after each copy attempt. */
   trait CopyFault extends Serializable {
@@ -93,7 +105,9 @@ object IngestPipeline {
       quarantineDir = req("bad_file_dir"),
       registryDir = req("registry_dir"),
       badFileDir = req("bad_file_table_dir"),
-      taskId = kv.get("dts_task_id").map(_.toLong).getOrElse(1L))
+      taskId = kv.get("dts_task_id").map(_.toLong).getOrElse(1L),
+      archiveName = kv.getOrElse("archive_name", "graft_archive"),
+      locationDir = kv.get("location_dir"))
   }
 
   /** Pure planning core — testable without any filesystem writes.
@@ -257,6 +271,7 @@ object IngestPipeline {
     val stage = norm(cfg.stageDir)
     Seq("archive_dir" -> cfg.archiveDir, "bad_file_dir" -> cfg.quarantineDir,
         "registry_dir" -> cfg.registryDir,
+        "location_dir" -> cfg.locationTableDir,
         "bad_file_table_dir" -> cfg.badFileDir).foreach { case (name, d) =>
       require(!norm(d).startsWith(stage),
         s"$name ($d) must not nest under delivery_notice_dir " +
@@ -367,21 +382,38 @@ object IngestPipeline {
           .when(col("outcome") === "src_missing",
             lit("payload file missing at move time"))))
 
-    // S6: the registry is laid out partitioned by nite, mirroring the
-    // reference monitor's per-nite registry queries (monitor:259-266 loops
-    // nites issuing one query each). A per-nite or nite-IN-list scan then
-    // prunes to the matching directories (PartitionFilters) instead of
-    // reading the full history — the layout that makes "scan this night"
-    // O(night) on a registry that grows forever. The dup anti-join is NOT
-    // nite-pruned on purpose: a duplicate may arrive any number of nites
-    // after the original, so it must see the whole registry.
-    finalRouted.where(col("final_status") === "archive")
+    // S6/S18: registration is SPLIT into the reference's two tables —
+    // file metadata (register_file_data, save:160: filetype, digests,
+    // sizes, provenance task) and file location (register_file_in_archive,
+    // save:193: where in WHICH archive the file physically sits). They
+    // evolve independently: a relocation/rebalance rewrites only the
+    // location table; a metadata backfill touches only the metadata table.
+    // Both are laid out partitioned by nite, mirroring the monitor's
+    // per-nite registry queries (monitor:259-266 loops nites issuing one
+    // query each) — a per-nite scan prunes to matching directories
+    // (PartitionFilters) instead of reading the full history. The dup
+    // anti-join is NOT nite-pruned on purpose: a duplicate may arrive any
+    // number of nites after the original, so it must see the whole table.
+    val archived = finalRouted.where(col("final_status") === "archive")
+    archived
       .select(col("delivery_name").as("filename"), col("filetype"),
         col("actual_md5").as("md5sum"), col("actual_size").as("filesize"),
-        col("archive_path"), col("delivered_at"), col("task_id"),
+        col("delivered_at"), col("task_id"),
         Derived.niteOf(col("delivered_at")).as("nite"))
       .write.mode(SaveMode.Append).partitionBy("nite")
       .parquet(cfg.registryDir)
+    // location LAST among registrations: it is what the duplicate check
+    // reads (ref save:155 is_file_in_archive), i.e. the per-file commit
+    // marker — a crash between the two appends leaves metadata without
+    // location, and the retry re-processes the file (degrading to the
+    // documented src_missing audit row) instead of silently dropping it
+    // or double-counting a duplicate.
+    archived
+      .select(col("delivery_name").as("filename"),
+        lit(cfg.archiveName).as("archive_name"), col("archive_path"),
+        Derived.niteOf(col("delivered_at")).as("nite"))
+      .write.mode(SaveMode.Append).partitionBy("nite")
+      .parquet(cfg.locationTableDir)
     val badRows = finalRouted.where(col("final_status") === "quarantine")
       .select(col("task_id"), col("delivered_at").as("delivery_date"),
         col("delivery_name").as("orig_filename"),
@@ -476,12 +508,15 @@ object IngestPipeline {
   }
 
   private def loadRegistry(spark: SparkSession, cfg: Config): DataFrame = {
-    // Hadoop FS probe (not java.io.File): the registry may live on
-    // HDFS/S3 in a cluster deployment; only the scheme-resolved FS knows.
-    val p = new Path(cfg.registryDir)
+    // Duplicate check reads the LOCATION table (ref save:155
+    // is_file_in_archive — "in the archive" is the duplicate criterion,
+    // not "has metadata"). Hadoop FS probe (not java.io.File): the table
+    // may live on HDFS/S3 in a cluster deployment; only the
+    // scheme-resolved FS knows.
+    val p = new Path(cfg.locationTableDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-      spark.read.parquet(cfg.registryDir)
+      spark.read.parquet(cfg.locationTableDir)
     else {
       import spark.implicits._
       Seq.empty[String].toDF("filename")
@@ -525,13 +560,15 @@ object IngestPipeline {
     * CONTENT is unchanged); only listing/scan overhead does. */
   def maybeCompact(spark: SparkSession, cfg: Config, batchesDone: Long): Unit =
     if (cfg.compactEveryBatches > 0 &&
-        batchesDone % cfg.compactEveryBatches == 0 &&
-        new Path(cfg.registryDir).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-          .exists(new Path(cfg.registryDir))) {
-      graft.functions.ScaleUtils.compactParquet(spark, cfg.registryDir,
-        cfg.compactTargetFileBytes)
-      ()
+        batchesDone % cfg.compactEveryBatches == 0) {
+      val fs = new Path(cfg.registryDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      // both per-batch-append tables accumulate small files
+      Seq(cfg.registryDir, cfg.locationTableDir).foreach { dir =>
+        if (fs.exists(new Path(dir)))
+          graft.functions.ScaleUtils.compactParquet(spark, dir,
+            cfg.compactTargetFileBytes)
+      }
     }
 
   case class IngestReport(archived: Long, quarantined: Long)

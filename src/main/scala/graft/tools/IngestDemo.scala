@@ -53,9 +53,12 @@ object IngestDemo {
       root.resolve("bad_file").toString)
     val report = IngestPipeline.runBatch(spark, cfg)
     println(s"[demo] archived=${report.archived} quarantined=${report.quarantined}")
-    println("[demo] registry:")
+    println("[demo] registry (file metadata):")
     spark.read.parquet(cfg.registryDir)
-      .select("filename", "filetype", "md5sum", "archive_path").show(false)
+      .select("filename", "filetype", "md5sum", "filesize").show(false)
+    println("[demo] file locations:")
+    spark.read.parquet(cfg.locationTableDir)
+      .select("filename", "archive_name", "archive_path").show(false)
     println("[demo] bad_file:")
     spark.read.parquet(cfg.badFileDir)
       .select("orig_filename", "rejected_msg", "uniq_fullname").show(false)

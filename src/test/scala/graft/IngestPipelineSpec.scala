@@ -78,6 +78,16 @@ class IngestPipelineSpec extends SparkSpec {
     assert(registry.count() == 2)
     val reg = registry.collect().map(_.getAs[String]("filename")).toSet
     assert(reg == Set("DECam_00000001.fits.fz", "manifest_SN1.json"))
+    // two-table registration (S18): metadata carries file data, the
+    // location table carries (archive_name, archive_path) — 1:1 rows
+    assert(!registry.columns.contains("archive_path"),
+      "metadata table must not carry location")
+    val loc = spark.read.parquet(cfg.locationTableDir)
+    assert(loc.collect().map(_.getAs[String]("filename")).toSet == reg)
+    assert(loc.collect().forall(_.getAs[String]("archive_name")
+      == cfg.archiveName))
+    loc.collect().foreach(r => assert(Files.exists(
+      Paths.get(r.getAs[String]("archive_path"))), "location rows point at real files"))
     assert(Files.exists(
       Paths.get(cfg.archiveDir, "raw", "DECam_00000001.fits.fz")))
     assert(Files.exists(
@@ -200,7 +210,7 @@ class IngestPipelineSpec extends SparkSpec {
       s"md5sum = ${md5hex(good)}\nfilesize = ${good.length}\n".getBytes)
     val report = IngestPipeline.runBatch(spark, cfg)
     assert(report.archived == 1)
-    val archived = spark.read.parquet(cfg.registryDir)
+    val archived = spark.read.parquet(cfg.locationTableDir)
       .head().getAs[String]("archive_path")
     // layout changed by config alone: exp/<yyyy>/<MM>/<name>
     assert(archived.matches(
@@ -450,6 +460,14 @@ class IngestPipelineSpec extends SparkSpec {
     assert(contents.size == 3, "all three files registered")
     assert(registryFiles() <= 2,
       s"compaction must shrink the per-batch file pileup, have ${registryFiles()}")
+    // the location table compacts on the same cadence, contents intact
+    val locFiles = {
+      val it = java.nio.file.Files.walk(Paths.get(cfg.locationTableDir))
+      try it.filter(p => p.toString.endsWith(".parquet")).count().toInt
+      finally it.close()
+    }
+    assert(locFiles <= 2, s"location table must compact too, have $locFiles")
+    assert(spark.read.parquet(cfg.locationTableDir).count() == 3)
     // one more batch after compaction still reads + appends correctly
     stageFile(4)
     IngestPipeline.runBatch(spark, cfg)
