@@ -36,9 +36,37 @@ object VectorOps {
       .withColumn("nrm", dot(col("qe"), col("qe")))
   }
 
+  /** Two-phase top-k by (sim desc, id asc) per query — the scale-safe
+    * replacement for `row_number().over(partitionBy(query_id))`: query_id
+    * has ~nQueries values, so the window shuffles EVERY scored corpus row
+    * of a query into one task (the docids-per-lang funnel in disguise).
+    * Phase 1 keeps the k best per (query, input partition) — bounded
+    * buffers, only k × P candidate rows shuffle; phase 2 merges per query.
+    *
+    * Ordering is exact: sims are rounded to 4 decimals, so
+    * `-round(sim·10⁴)` is an integer sort key strictly monotone in
+    * (sim desc), avoiding the −0.0 double-negation trap; ties break on
+    * neighbor id ascending — identical to the window form and the oracle.
+    * Expects columns (query_id, neighbor_id, sim); emits rank 1..k. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val key = struct((-round(col("sim") * 10000)).cast("long").as("neg"),
+      col("neighbor_id").as("id"), col("sim").as("sim"))
+    val local = scored
+      .withColumn("pid", spark_partition_id())
+      .groupBy(col("query_id"), col("pid"))
+      .agg(slice(array_sort(collect_list(key)), 1, k).as("cand"))
+    local.groupBy(col("query_id"))
+      .agg(slice(array_sort(flatten(collect_list(col("cand")))), 1, k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.sim").as("sim"))
+  }
+
   /** Brute-force cosine top-k — J14/T5 baseline: a small query set is
-    * broadcast against the full corpus; per-query top-k via window rank.
-    * At cluster scale the corpus side stays partitioned and only the
+    * broadcast against the full corpus; per-query top-k via the two-phase
+    * merge ([[topKPerQuery]] — never a per-query window funnel). At
+    * cluster scale the corpus side stays partitioned and only the
     * queries move — no shuffle of the big side. */
   def knnBruteForce(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 5): DataFrame = {
@@ -51,13 +79,8 @@ object VectorOps {
       .crossJoin(broadcast(queries))
       .withColumn("sim",
         round(cosineQ(dot)(col("q_qe"), col("qe"), col("q_nrm"), col("nrm")), 4))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        col("sim"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+    topKPerQuery(scored, k)
   }
 
   /** Nearest neighbor within a blocking key (label) — the "embedding
@@ -200,16 +223,10 @@ object VectorOps {
       .join(emb.select(col("vec_id"), col("nrm")), Seq("vec_id"))
       .select(col("cluster"), col("vec_id").as("neighbor_id"), col("qe"),
         col("nrm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    probed.join(members, Seq("cluster"))
+    topKPerQuery(probed.join(members, Seq("cluster"))
       .withColumn("sim",
         round(cosineQ(dot)(col("q_qe"), col("qe"), col("q_nrm"), col("nrm")), 4))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("neighbor_id"), col("sim"))
+      .select(col("query_id"), col("neighbor_id"), col("sim")), k)
   }
 
   /** Training summary per cluster: size + inertia (sum of L2² in exact
@@ -273,19 +290,13 @@ object VectorOps {
       .withColumn("cell_rank", row_number().over(wProbe))
       .where(col("cell_rank") <= nprobe)
       .select(col("query_id"), col("q_qe"), col("q_nrm"), col("cell"))
-    // search only the probed cells
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    probed.join(emb.where(col("vec_id") >= nQueries)
+    // search only the probed cells; two-phase top-k tail (no window funnel)
+    topKPerQuery(probed.join(emb.where(col("vec_id") >= nQueries)
         .select(col("label").as("cell"), col("vec_id").as("neighbor_id"),
           col("qe"), col("nrm")), Seq("cell"))
       .withColumn("sim",
         round(cosineQ(dot)(col("q_qe"), col("qe"), col("q_nrm"), col("nrm")), 4))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("neighbor_id"), col("sim"))
+      .select(col("query_id"), col("neighbor_id"), col("sim")), k)
   }
 
   /** Max per-label block size for which the exact within-label self-join

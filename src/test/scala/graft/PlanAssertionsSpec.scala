@@ -37,6 +37,26 @@ class PlanAssertionsSpec extends SparkSpec {
       s"small query side should broadcast:\n$p")
   }
 
+  test("top-k tails: no per-query window funnel over corpus-scale rows") {
+    // query_id has ~5 values — a rank window partitioned on it funnels
+    // every scored corpus row of a query through one task. The search
+    // TAILS must use the two-phase merge. Windows that remain operate on
+    // metadata-scale inputs only: the IVF probe ranks queries × cells
+    // rows, and the k-means assignment partitions by vec_id (full
+    // cardinality — parallel by construction).
+    def windows(q: String): Int =
+      SparkEntry.queries(q)(spark, sfDir).queryExecution.optimizedPlan
+        .collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }.size
+    assert(windows("q_knn_cosine") == 0,
+      "brute-force knn must have no window at all")
+    assert(windows("q_ann_ivf") == 1,
+      "ivf may rank probes (cells-scale) but not search results")
+    assert(windows("q_ann_ivf_kmeans") == 2,
+      "trained ivf: probe rank + per-vec_id assignment only")
+  }
+
   test("q_keyword_contract: map-only — no exchange anywhere") {
     val p = plan("q_keyword_contract")
     assert(!p.contains("Exchange"),
