@@ -48,6 +48,12 @@ object MonitorDemo {
     Files.writeString(Paths.get(out), html)
     println(s"[demo] wrote $out (${html.length} chars, " +
       s"${sections.size} sections)")
+
+    // the composed production run: all four reference reports in one call
+    val reportDir = Paths.get(out).getParent.resolve("dtsmonitor")
+    val pages = graft.report.MonitorJob.run(spark, sfDir, reportDir.toString)
+    println(s"[demo] MonitorJob wrote ${pages.size} reports under $reportDir: " +
+      pages.keys.toSeq.sorted.mkString(", "))
     spark.stop()
   }
 }
