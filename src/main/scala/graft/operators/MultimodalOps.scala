@@ -33,12 +33,25 @@ object MultimodalOps {
 
   case class FrameSample(media_id: Long, frame_idx: Int, frame_sig: Long)
 
+  /** Codec seam: a deployment with real image/audio libraries implements
+    * this and passes it to [[extractFeatures]]/[[sampleFrames]] — the
+    * engine's schema, micro-batching, and partitioning are codec-agnostic,
+    * so plugging a real decoder touches NO engine code (the same
+    * injectable-dependency shape as NightsumIndex's fetch seam).
+    * Serializable: instances ship to executors; initialize heavy decoder
+    * state lazily (per-JVM) inside the implementation. */
+  trait MediaCodec extends Serializable {
+    def decode(m: MediaFile): MediaFeatures
+    def frameCount(m: MediaFile): Int
+    def frameSig(m: MediaFile, idx: Int): Long
+  }
+
   /** STUB codec — stands in for a real image/audio decoder. Deterministic
     * pure function of the bytes so tests and oracles can reproduce it:
     * pretend dimensions come from the byte length and the "feature" is a
     * normalized byte histogram (16 bins). A real deployment swaps only
     * this object. */
-  object DecodeStub {
+  object DecodeStub extends MediaCodec {
     def dims(len: Long): (Int, Int, Int) = {
       val width = 1 + (len % 64).toInt
       val height = 1 + ((len / 64) % 64).toInt
@@ -57,6 +70,8 @@ object MultimodalOps {
       }
       MediaFeatures(m.media_id, m.kind, len, w, h, f, ok, hist)
     }
+    def frameCount(m: MediaFile): Int =
+      dims(if (m.content == null) 0L else m.content.length.toLong)._3
     def frameSig(m: MediaFile, idx: Int): Long = {
       // rolling-hash "frame signature" over a stride of the payload.
       // Modular (2^31 - 1) rather than wrapping i64: JVM overflow
@@ -75,27 +90,25 @@ object MultimodalOps {
   /** Decode + feature extraction: partition-local, explicit micro-batches.
     * `batchSize` bounds peak memory per task (batch of payloads decoded
     * together — the `mapInPandas` batch-shape analog). */
-  def extractFeatures(media: Dataset[MediaFile], batchSize: Int = 64)
-      : Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaFile], batchSize: Int = 64,
+      codec: MediaCodec = DecodeStub): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // a real codec would amortize decoder init across this batch
-        batch.iterator.map(DecodeStub.decode)
+        batch.iterator.map(codec.decode)
       }
     }
   }
 
   /** Frame sampling: every k-th frame of each payload becomes a row
     * (generator/flatMap shape; co-partitioned by media_id upstream). */
-  def sampleFrames(media: Dataset[MediaFile], everyK: Int = 2)
-      : Dataset[FrameSample] = {
+  def sampleFrames(media: Dataset[MediaFile], everyK: Int = 2,
+      codec: MediaCodec = DecodeStub): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      val len = if (m.content == null) 0L else m.content.length.toLong
-      val (_, _, frames) = DecodeStub.dims(len)
-      (0 until frames by everyK).map(i => FrameSample(m.media_id, i,
-        DecodeStub.frameSig(m, i)))
+      (0 until codec.frameCount(m) by everyK)
+        .map(i => FrameSample(m.media_id, i, codec.frameSig(m, i)))
     }
   }
 

@@ -51,6 +51,26 @@ class MultimodalSpec extends SparkSpec {
       again.map(f => (f.media_id, f.frame_idx, f.frame_sig)).toSet)
   }
 
+  test("codec seam: an injected codec replaces the stub end to end") {
+    // a fake "real" codec with fixed dims and a trivial signature — the
+    // engine plumbing (batching, flatMap sampling, schema) must route
+    // every row through it without touching DecodeStub
+    object FixedCodec extends MultimodalOps.MediaCodec {
+      def decode(m: MediaFile) = MultimodalOps.MediaFeatures(
+        m.media_id, m.kind, 0L, 320, 200, 4, decode_ok = true,
+        Array.fill(16)(0.0625f))
+      def frameCount(m: MediaFile) = 4
+      def frameSig(m: MediaFile, idx: Int) = 1000L + idx
+    }
+    val ds = media(5)
+    val feats = MultimodalOps.extractFeatures(ds, codec = FixedCodec).collect()
+    assert(feats.forall(f => f.width == 320 && f.height == 200))
+    val frames = MultimodalOps.sampleFrames(ds, everyK = 2, codec = FixedCodec)
+      .collect()
+    assert(frames.length == 5 * 2, "4 frames every 2 = 2 samples per media")
+    assert(frames.forall(f => f.frame_sig == 1000L + f.frame_idx))
+  }
+
   test("byte-budget repartitioning scales partition count with data size") {
     // explicit estimates (in-memory relations carry only default-size
     // stats); file-backed media get the same sizing free from scan stats
