@@ -101,6 +101,10 @@ object ScaleUtils {
       buf.toSeq
     }
     val before = parquetFiles(root)
+    // nothing to compact (dir may exist with only _SUCCESS markers when
+    // every batch so far quarantined) — and spark.read.parquet would
+    // throw on a parquet-less dir, killing the calling stream
+    if (before.isEmpty) return (0, 0)
     val df = spark.read.parquet(dir)
     // partition columns = hive dirs on disk; they come back as data
     // columns and partitionBy rebuilds the same layout. Relativize against
@@ -140,20 +144,6 @@ object ScaleUtils {
     fs.delete(old, true)
     spark.catalog.refreshByPath(dir)
     (before.size, parquetFiles(root).size)
-  }
-
-  /** Scoped persist: evaluate `build(persisted)` and eagerly materialize
-    * its (result-sized, much smaller than the intermediate) output via
-    * `localCheckpoint`, then unpersist the intermediate INSIDE the scope.
-    * The returned DataFrame no longer references the persisted plan, so a
-    * long-lived session leaks nothing and no caller needs `clearCache()`
-    * (VERDICT r3: `persist()` without `unpersist()`). The checkpoint
-    * blocks themselves are ContextCleaner-managed (freed when the RDD is
-    * garbage collected), unlike CacheManager entries which live forever. */
-  def withPersisted(df: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
-    val p = df.persist()
-    try build(p).localCheckpoint(true)
-    finally { p.unpersist(false); () }
   }
 
   /** Driver-side parquet row count from file footers — NO Spark job. The

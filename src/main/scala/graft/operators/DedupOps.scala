@@ -81,13 +81,14 @@ object DedupOps {
     * duplicate count at j >= 0.85). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     // The shingle relation feeds four plan branches (both sides of the
-    // band-key self-join, both sides of the verify join). Persist it so
-    // the zip_with shingle expression is evaluated — and its generated
-    // code compiled — exactly once instead of per branch. The persist is
-    // SCOPED (ScaleUtils.withPersisted): the per-lang summary result is
-    // tiny, so it is materialized eagerly and the shingle cache released
-    // before returning.
-    graft.functions.ScaleUtils.withPersisted(exploded(spark, dir)) { ex =>
+    // band-key self-join, both sides of the verify join). Deliberately NOT
+    // persisted: the band-key self-join's two sides share one Exchange
+    // (ReuseExchange), so the expensive signature pass runs once anyway;
+    // the verify branches re-derive shingles from the (pushdown-pruned)
+    // scan, which measures within noise of caching locally and beats
+    // materializing a ~10x exploded relation at 100 TB — and leaves no
+    // CacheManager entry to leak in a long-lived session.
+    val ex = exploded(spark, dir)
     val bk = bandKeys(spark, ex)
     // LSH buckets ignore language, so candidates may cross languages;
     // label same-lang pairs with the language and the rest 'cross' so the
@@ -113,7 +114,6 @@ object DedupOps {
     shared.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_candidate_pairs"),
         sum(when(col("jac") >= 0.85, 1L).otherwise(0L)).as("n_dup_pairs"))
-    }
   }
 
   /** LSH-fronted Jaccard best-match — the scale-safe form of
@@ -134,9 +134,8 @@ object DedupOps {
     * are low-jaccard accidental-shingle pairs the banding correctly
     * never surfaces — recall concentrates exactly where dedup needs it. */
   def jaccardLshBest(spark: SparkSession, dir: String): DataFrame = {
-    // scoped persist (see minhashLsh): per-doc best-match result is the
-    // small side; the exploded shingle cache is released in-scope
-    graft.functions.ScaleUtils.withPersisted(exploded(spark, dir)) { ex =>
+    // not persisted — see minhashLsh: ReuseExchange + cheap recompute
+    val ex = exploded(spark, dir)
     val bk = bandKeys(spark, ex)
     // ordered pairs (both directions) so the per-doc arg-max needs no
     // union — mirrors TextOps.jaccardBestMatch's asymmetric self-join
@@ -158,7 +157,6 @@ object DedupOps {
       .groupBy(col("id_a").as("doc_id"))
       .agg(max_by(col("id_b"), struct(col("jac"), -col("id_b"))).as("best_match"),
         round(max(col("jac")), 4).as("best_jac"))
-    }
   }
 
   /** SimHash signatures: per-token md5 hex digits vote per bit position;

@@ -119,10 +119,17 @@ object MultimodalOps {
       estimatedBytes: Option[Long] = None): Dataset[MediaFile] = {
     // sizing signal from optimizer statistics (for file-backed media,
     // total scan bytes — exactly right) or a caller estimate — partition
-    // COUNT needs an estimate, not an exact byte sum, and the previous
-    // sum(length(content)) aggregate ran a full scan per invocation
-    val totalBytes = estimatedBytes.map(BigInt(_))
-      .getOrElse(media.queryExecution.optimizedPlan.stats.sizeInBytes)
+    // COUNT needs an estimate, not an exact byte sum. Plans without real
+    // stats (RDD-backed, post-mapPartitions) report defaultSizeInBytes
+    // (~Long.MaxValue); trusting that would launch a pathological
+    // million-partition shuffle, so fall back to the exact aggregate —
+    // the one case where a sizing job is the honest signal.
+    val statBytes = media.queryExecution.optimizedPlan.stats.sizeInBytes
+    val totalBytes = estimatedBytes.map(BigInt(_)).getOrElse {
+      if (statBytes < (BigInt(1L) << 50)) statBytes
+      else BigInt(media.select(sum(length(col("content")))).head()
+        .getLong(0))
+    }
     val parts = math.max(1L,
       (totalBytes / targetBytesPerPartition).min(BigInt(1 << 20)).toLong)
     media.repartition(parts.toInt)

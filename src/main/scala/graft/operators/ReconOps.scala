@@ -88,12 +88,14 @@ object ReconOps {
     * CAPPED at the [[DocIdsCap]] smallest ids with the full count kept as
     * the overflow signal.
     *
-    * Two-phase top-k (no Window): lang has ~5 values, so any
+    * Two-phase top-k: lang has ~5 values, so any
     * `Window.partitionBy(lang)` funnels every document of a language
-    * through ONE task — the plan dies at 100×. Phase 1 keeps the cap
-    * smallest ids per (lang, input partition): the aggregation buffer is
-    * bounded by the partition and the slice caps what shuffles. Phase 2
-    * merges the ≤ cap × P candidates per lang — cap × P rows total, a
+    * through ONE task — the plan dies at 100×. Phase 1 ranks per (lang,
+    * input partition): because the rank filter sits directly on the
+    * window, Spark inserts a PARTIAL WindowGroupLimit below the exchange
+    * (pinned by PlanAssertionsSpec), so at most cap rows per lang leave
+    * each input partition — shuffle VOLUME is cap × langs × P rows, not
+    * the corpus. Phase 2 merges the ≤ cap × P candidates per lang — a
     * trivial final step at any scale. Per-lang totals come from a plain
     * hash aggregate (map-side combine), never a count-over-window. */
   def docIdsPerLang(spark: SparkSession, dir: String): DataFrame = {
@@ -102,13 +104,14 @@ object ReconOps {
       .select(col("lang"), col("doc_id"))
     val counts = filtered.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("pid")).orderBy(col("doc_id"))
     val local = filtered
       .withColumn("pid", spark_partition_id())
-      .groupBy(col("lang"), col("pid"))
-      .agg(slice(array_sort(collect_list(col("doc_id"))), 1, DocIdsCap)
-        .as("cand"))
+      .withColumn("rn", row_number().over(wLocal))
+      .where(col("rn") <= DocIdsCap)
     val top = local.groupBy(col("lang"))
-      .agg(slice(array_sort(flatten(collect_list(col("cand")))), 1, DocIdsCap)
+      .agg(slice(array_sort(collect_list(col("doc_id"))), 1, DocIdsCap)
         .as("ids"))
     top.join(counts, Seq("lang"))
       .select(col("lang"), col("n_docs"),

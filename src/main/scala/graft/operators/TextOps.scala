@@ -152,14 +152,13 @@ object TextOps {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), shingles3(col("text")).as("tset"))
       .withColumn("n_tok", size(col("tset")))
-    // persisted: feeds both sides of the self-join (single evaluation +
-    // single codegen of the shingle expression). SCOPED persist
-    // (ScaleUtils.withPersisted): the per-doc result is the small side;
-    // the shingle cache is released before returning, so a long-lived
-    // session leaks nothing.
-    graft.functions.ScaleUtils.withPersisted(
-      docs.select(col("doc_id"), col("lang"), col("n_tok"),
-        explode(col("tset")).as("tok"))) { exploded =>
+    // deliberately NOT persisted: the self-join's branches re-derive
+    // shingles from the column-pruned scan (2x compute of a cheap
+    // expression) — measured within host noise of caching locally, and
+    // recompute-from-scan beats materializing a ~10x exploded relation
+    // at 100 TB; no CacheManager entry can leak in a long-lived session.
+    val exploded = docs.select(col("doc_id"), col("lang"), col("n_tok"),
+      explode(col("tset")).as("tok"))
     val a = exploded.select(col("doc_id").as("id_a"), col("lang"),
       col("n_tok").as("n_a"), col("tok"))
     val b = exploded.select(col("doc_id").as("id_b"), col("lang"),
@@ -177,7 +176,6 @@ object TextOps {
     pairs.groupBy(col("id_a").as("doc_id"))
       .agg(max_by(col("id_b"), struct(col("jac"), -col("id_b"))).as("best_match"),
         round(max(col("jac")), 4).as("best_jac"))
-    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

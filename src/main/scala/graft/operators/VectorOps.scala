@@ -38,10 +38,14 @@ object VectorOps {
 
   /** Two-phase top-k by (sim desc, id asc) per query — the scale-safe
     * replacement for `row_number().over(partitionBy(query_id))`: query_id
-    * has ~nQueries values, so the window shuffles EVERY scored corpus row
-    * of a query into one task (the docids-per-lang funnel in disguise).
-    * Phase 1 keeps the k best per (query, input partition) — bounded
-    * buffers, only k × P candidate rows shuffle; phase 2 merges per query.
+    * has ~nQueries values, so that window shuffles EVERY scored corpus
+    * row of a query into one task (the docids-per-lang funnel in
+    * disguise). Phase 1 ranks per (query, input partition); the rank
+    * filter sits directly on the window, so Spark inserts a PARTIAL
+    * WindowGroupLimit below the exchange (pinned by PlanAssertionsSpec) —
+    * at most k rows per query leave each input partition, making shuffle
+    * VOLUME k × queries × P rows, not the corpus. Phase 2 merges the
+    * ≤ k × P candidates per query.
     *
     * Ordering is exact: sims are rounded to 4 decimals, so
     * `-round(sim·10⁴)` is an integer sort key strictly monotone in
@@ -49,14 +53,17 @@ object VectorOps {
     * neighbor id ascending — identical to the window form and the oracle.
     * Expects columns (query_id, neighbor_id, sim); emits rank 1..k. */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val key = struct((-round(col("sim") * 10000)).cast("long").as("neg"),
-      col("neighbor_id").as("id"), col("sim").as("sim"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("pid"))
+      .orderBy(col("neg"), col("neighbor_id"))
     val local = scored
       .withColumn("pid", spark_partition_id())
-      .groupBy(col("query_id"), col("pid"))
-      .agg(slice(array_sort(collect_list(key)), 1, k).as("cand"))
+      .withColumn("neg", (-round(col("sim") * 10000)).cast("long"))
+      .withColumn("rn", row_number().over(wLocal))
+      .where(col("rn") <= k)
     local.groupBy(col("query_id"))
-      .agg(slice(array_sort(flatten(collect_list(col("cand")))), 1, k)
+      .agg(slice(array_sort(collect_list(
+        struct(col("neg"), col("neighbor_id").as("id"), col("sim")))), 1, k)
         .as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
@@ -314,17 +321,23 @@ object VectorOps {
     if (maxLabelBlock(spark, dir) <= exactLimit) nnWithinLabel(spark, dir)
     else nnLabelBucketed(spark, dir)
 
-  /** Driver-side cache of the max per-label block size per data dir: the
-    * cutover signal is consulted on EVERY auto invocation, and the
-    * underlying groupBy is a real scan at 100 TB — run it once per dir
-    * (it needs per-group counts, which parquet footers cannot supply). */
+  /** Driver-side cache of the max per-label block size: the cutover
+    * signal is consulted on EVERY auto invocation, and the underlying
+    * groupBy is a real scan at 100 TB — run it once per table STATE (it
+    * needs per-group counts, which parquet footers cannot supply). The
+    * cache key includes the footer row count (a cheap driver metadata
+    * read), so appends/compactions invalidate the entry instead of the
+    * cutover decision going stale as the corpus grows. */
   private val maxBlockCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private[graft] def maxLabelBlock(spark: SparkSession, dir: String): Long =
-    maxBlockCache.computeIfAbsent(dir, _ =>
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+  private[graft] def maxLabelBlock(spark: SparkSession, dir: String): Long = {
+    val rows = graft.functions.ScaleUtils.footerRowCount(
+      spark, s"$dir/embeddings.parquet")
+    maxBlockCache.computeIfAbsent((dir, rows), _ =>
       Tables.embeddings(spark, dir)
         .groupBy(col("label")).count()
         .agg(max(col("count"))).head().getLong(0)).longValue()
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_cosine"   -> ((s: SparkSession, d: String) => knnBruteForce(s, d)),

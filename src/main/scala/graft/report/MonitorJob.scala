@@ -78,9 +78,13 @@ object MonitorJob {
 
     // ---- exposure pages (print_exposure_html): J12 state per exposure;
     // reptype=short keeps only differences (monitor:344 "only report
-    // exposures which have a problem"), reptype=full lists everything
+    // exposures which have a problem"), reptype=full lists everything.
+    // One shared states frame, persisted for the scope of this render:
+    // both pages (x2 sections each) collect inside render, so the
+    // orders⋈lineitem pipeline runs once, and the unpersist below fires
+    // after the terminal actions — no cache entry outlives the job.
+    val states = exposureStates(spark, dataDir).persist()
     def exposurePage(reptype: String): String = {
-      val states = exposureStates(spark, dataDir)
       val rows = (if (reptype == "short") states.where(col("expstate") =!= "ok")
         else states).orderBy(col("o_orderkey"))
       val perState = rows.groupBy(col("expstate"))
@@ -107,11 +111,12 @@ object MonitorJob {
         "Duplicate-skip summary" -> skipSummary),
       tookSecs)
 
-    Map(
+    try Map(
       "dtsmonitor.html" -> summary,
       "dtsmonitor_exp_short.html" -> exposurePage("short"),
       "dtsmonitor_exp_full.html" -> exposurePage("full"),
       "dtsmonitor_sne.html" -> sne)
+    finally { states.unpersist(false); () }
   }
 
   /** Per-exposure J12 state rows (the detail form of ReconOps.expstate,

@@ -264,16 +264,22 @@ object IngestPipeline {
     * (save:318 `next(os.walk(notify_dir))[2]`); here the nesting is a
     * config error and is rejected loudly up front. */
   private[graft] def validateLayout(cfg: Config): Unit = {
-    def norm(s: String): java.nio.file.Path = {
-      val p = Option(new Path(s).toUri.getPath).filter(_.nonEmpty).getOrElse(s)
-      java.nio.file.Paths.get(p).toAbsolutePath.normalize
+    // nesting is only possible on the SAME filesystem: compare
+    // (scheme, authority) first so s3://stage/dts never spuriously
+    // rejects hdfs://nn/dts/registry on path overlap alone
+    def parse(s: String): ((String, String), java.nio.file.Path) = {
+      val u = new Path(s).toUri
+      val p = Option(u.getPath).filter(_.nonEmpty).getOrElse(s)
+      ((Option(u.getScheme).getOrElse(""), Option(u.getAuthority).getOrElse("")),
+        java.nio.file.Paths.get(p).toAbsolutePath.normalize)
     }
-    val stage = norm(cfg.stageDir)
+    val (stageFs, stagePath) = parse(cfg.stageDir)
     Seq("archive_dir" -> cfg.archiveDir, "bad_file_dir" -> cfg.quarantineDir,
         "registry_dir" -> cfg.registryDir,
         "location_dir" -> cfg.locationTableDir,
         "bad_file_table_dir" -> cfg.badFileDir).foreach { case (name, d) =>
-      require(!norm(d).startsWith(stage),
+      val (fs, p) = parse(d)
+      require(fs != stageFs || !p.startsWith(stagePath),
         s"$name ($d) must not nest under delivery_notice_dir " +
           s"(${cfg.stageDir}): the recursive stage scan would re-ingest " +
           "its files as payloads every batch")
@@ -509,18 +515,28 @@ object IngestPipeline {
 
   private def loadRegistry(spark: SparkSession, cfg: Config): DataFrame = {
     // Duplicate check reads the LOCATION table (ref save:155
-    // is_file_in_archive — "in the archive" is the duplicate criterion,
-    // not "has metadata"). Hadoop FS probe (not java.io.File): the table
-    // may live on HDFS/S3 in a cluster deployment; only the
-    // scheme-resolved FS knows.
-    val p = new Path(cfg.locationTableDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-      spark.read.parquet(cfg.locationTableDir)
-    else {
-      import spark.implicits._
-      Seq.empty[String].toDF("filename")
+    // is_file_in_archive — "in the archive" is the duplicate criterion),
+    // UNIONED with the metadata table's filenames: pre-split deployments
+    // have only the metadata table (upgrade must not forget the entire
+    // dup history), and a crash between the two appends leaves metadata
+    // without location — conservative rule: any registration trace means
+    // never re-archive. Hadoop FS probe (not java.io.File): the tables
+    // may live on HDFS/S3; only the scheme-resolved FS knows.
+    def filenames(dir: String): Option[DataFrame] = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+        Some(spark.read.parquet(dir).select(col("filename")))
+      else None
     }
+    // distinct: a registered file appears in BOTH tables — without it the
+    // dup-check left join would multiply each paired row
+    (filenames(cfg.locationTableDir) ++ filenames(cfg.registryDir))
+      .reduceOption(_ union _).map(_.distinct())
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[String].toDF("filename")
+      }
   }
 
   /** Structured-streaming wrapper: file source over the stage dir,

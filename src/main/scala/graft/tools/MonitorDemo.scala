@@ -50,7 +50,8 @@ object MonitorDemo {
       s"${sections.size} sections)")
 
     // the composed production run: all four reference reports in one call
-    val reportDir = Paths.get(out).getParent.resolve("dtsmonitor")
+    val reportDir = Option(Paths.get(out).getParent)
+      .getOrElse(Paths.get(".")).resolve("dtsmonitor")
     val pages = graft.report.MonitorJob.run(spark, sfDir, reportDir.toString)
     println(s"[demo] MonitorJob wrote ${pages.size} reports under $reportDir: " +
       pages.keys.toSeq.sorted.mkString(", "))

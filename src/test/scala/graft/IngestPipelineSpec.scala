@@ -433,6 +433,42 @@ class IngestPipelineSpec extends SparkSpec {
       quarantineDir = root.resolve("bad").toString))
   }
 
+  test("upgrade path: a legacy metadata-only registry still catches dups") {
+    // pre-split deployments have only the metadata table; after upgrade
+    // the dup check must not forget that history (location table absent)
+    import spark.implicits._
+    val (stage, cfg) = mkConfig()
+    Seq(("DECam_00000050.fits.fz", "raw"))
+      .toDF("filename", "filetype")
+      .write.parquet(cfg.registryDir) // legacy table, no location dir
+    val good = FitsHeader.render(Seq("SIMPLE" -> "T") ++ primaryCards)
+    Files.write(stage.resolve("DECam_00000050.fits.fz"), good)
+    Files.write(stage.resolve("DECam_00000050.fits.fz.dbb"),
+      s"md5sum = ${md5hex(good)}\nfilesize = ${good.length}\n".getBytes)
+    val report = IngestPipeline.runBatch(spark, cfg)
+    assert(report.archived == 0 && report.quarantined == 1,
+      "historically-registered file must quarantine as a duplicate")
+    assert(spark.read.parquet(cfg.badFileDir).head()
+      .getAs[String]("rejected_msg") == "duplicate file")
+  }
+
+  test("cross-filesystem path overlap is not nesting") {
+    // same paths on DIFFERENT filesystems must pass validation; same
+    // filesystem nesting must still fail
+    val ok = Config(
+      stageDir = "s3a://stage-bucket/dts",
+      archiveDir = "s3a://data-bucket/dts/archive",
+      quarantineDir = "hdfs://nn/dts/bad",
+      registryDir = "hdfs://nn/dts/registry",
+      badFileDir = "hdfs://nn/dts/bad_file")
+    IngestPipeline.validateLayout(ok)
+    val bad = ok.copy(quarantineDir = "s3a://stage-bucket/dts/bad")
+    val err = intercept[IllegalArgumentException] {
+      IngestPipeline.validateLayout(bad)
+    }
+    assert(err.getMessage.contains("bad_file_dir"))
+  }
+
   test("registry compaction: batch loop shrinks files, contents unchanged") {
     val (stage, cfg0) = mkConfig()
     val cfg = cfg0.copy(compactEveryBatches = 3)

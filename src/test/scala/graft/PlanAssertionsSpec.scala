@@ -38,23 +38,26 @@ class PlanAssertionsSpec extends SparkSpec {
   }
 
   test("top-k tails: no per-query window funnel over corpus-scale rows") {
-    // query_id has ~5 values — a rank window partitioned on it funnels
-    // every scored corpus row of a query through one task. The search
-    // TAILS must use the two-phase merge. Windows that remain operate on
-    // metadata-scale inputs only: the IVF probe ranks queries × cells
-    // rows, and the k-means assignment partitions by vec_id (full
-    // cardinality — parallel by construction).
-    def windows(q: String): Int =
-      SparkEntry.queries(q)(spark, sfDir).queryExecution.optimizedPlan
-        .collect {
-          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
-        }.size
-    assert(windows("q_knn_cosine") == 0,
-      "brute-force knn must have no window at all")
-    assert(windows("q_ann_ivf") == 1,
-      "ivf may rank probes (cells-scale) but not search results")
-    assert(windows("q_ann_ivf_kmeans") == 2,
+    // query_id has ~5 values — a rank window partitioned on it alone
+    // funnels every scored corpus row of a query through one task. The
+    // search TAILS window on (query_id, pid) with a rank filter, which
+    // plans a PARTIAL WindowGroupLimit below the exchange (≤ k rows per
+    // query leave each input partition). Single-key windows that remain
+    // operate on metadata-scale inputs only: the IVF probe ranks
+    // queries × cells rows, and the k-means assignment partitions by
+    // vec_id (full cardinality — parallel by construction).
+    def oneKeyWindows(q: String): Int = windowKeyCounts(q).count(_ == 1)
+    assert(oneKeyWindows("q_knn_cosine") == 0,
+      "knn: the only window is the two-phase (query_id, pid) local rank")
+    assert(oneKeyWindows("q_ann_ivf") == 1,
+      "ivf: probe rank (cells-scale) is the only single-key window")
+    assert(oneKeyWindows("q_ann_ivf_kmeans") == 2,
       "trained ivf: probe rank + per-vec_id assignment only")
+    for (q <- Seq("q_knn_cosine", "q_ann_ivf", "q_ann_ivf_kmeans")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+        s"$q: search tail must push a partial group limit:\n$p")
+    }
   }
 
   test("q_keyword_contract: map-only — no exchange anywhere") {
@@ -63,16 +66,26 @@ class PlanAssertionsSpec extends SparkSpec {
       s"row-local validation must not shuffle:\n$p")
   }
 
+  /** Logical Windows in a query's optimized plan, as partition-key counts. */
+  private def windowKeyCounts(name: String): Seq[Int] =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+      .collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          w.partitionSpec.size
+      }
+
   test("q_docids_per_lang: no per-lang window funnel (two-phase top-k)") {
-    // lang has ~5 values: a Window partitioned by lang routes every doc
-    // of a language through ONE task. The two-phase rewrite must keep
-    // Window out of the plan entirely (VERDICT r3/r4 item 1).
-    val qe = SparkEntry.queries("q_docids_per_lang")(spark, sfDir)
-      .queryExecution
-    qe.toRdd.count()
-    val p = qe.executedPlan.toString
-    assert(!p.contains("Window"),
-      s"two-phase top-k must not plan a Window:\n$p")
+    // lang has ~5 values: a Window partitioned by lang alone routes every
+    // doc of a language through ONE task (VERDICT r3/r4 item 1). The
+    // two-phase rewrite windows on (lang, pid) — full parallelism — and
+    // its rank filter must plan a PARTIAL WindowGroupLimit below the
+    // exchange, capping shuffle VOLUME at cap rows per lang per input
+    // partition.
+    assert(windowKeyCounts("q_docids_per_lang").forall(_ >= 2),
+      "no window may partition on lang alone")
+    val p = plan("q_docids_per_lang")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"rank filter must push a partial group limit below the exchange:\n$p")
   }
 
   test("q_media_meta: column pruning reaches the scan") {

@@ -127,6 +127,14 @@ class ScaleUtilsSpec extends SparkSpec {
       .exists(_.getName.startsWith("run=")))
   }
 
+  test("compactParquet: a dir with no parquet files is a no-op, not a crash") {
+    // an all-quarantined run creates the table dir with only _SUCCESS;
+    // the stream's compaction hook must not die on it
+    val dir = java.nio.file.Files.createTempDirectory("compactempty")
+    java.nio.file.Files.createFile(dir.resolve("_SUCCESS"))
+    assert(ScaleUtils.compactParquet(spark, dir.toString) == (0, 0))
+  }
+
   test("footerRowCount matches count() without running a job") {
     val dir = s"$sfDir/orders.parquet"
     val expected = graft.sources.Tables.orders(spark, sfDir).count()
