@@ -67,7 +67,8 @@ case class DotProductLong(left: Expression, right: Expression)
 }
 
 object DotProductLong {
-  private val FnName = "graft_dot_long"
+  /** SQL-visible function name (also injected by [[graft.GraftExtensions]]). */
+  val FnName = "graft_dot_long"
 
   /** Register in the session's function registry (once per session) and
     * return a Column-level handle. Registry + `call_function` keeps us

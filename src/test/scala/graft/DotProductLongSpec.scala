@@ -24,6 +24,23 @@ class DotProductLongSpec extends SparkSpec {
     assert(withNull.select(dot($"a", $"b")).head().isNullAt(0))
   }
 
+  test("SQL surface: graft_dot_long callable from spark.sql") {
+    DotProductLong.dotLong(spark)($"x", $"x") // ensure registered
+    val got = spark.sql(
+      "SELECT graft_dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .head().getLong(0)
+    assert(got == 32L)
+  }
+
+  test("GraftExtensions injects the function at session build time") {
+    // the config-driven path (spark.sql.extensions=graft.GraftExtensions)
+    // applies at session creation, which a shared-session suite cannot
+    // exercise; pin the injection itself — it must register cleanly into
+    // a fresh extensions container
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext) // throws on malformed injection
+  }
+
   test("interpreted path (eval) matches codegen path") {
     val df = Seq((Array(7L, -9L, 11L), Array(2L, 3L, 5L))).toDF("a", "b")
     val viaCodegen = df.select(dot($"a", $"b")).head().getLong(0)
