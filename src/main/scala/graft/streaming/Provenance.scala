@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -38,8 +37,11 @@ object Provenance {
   }
 
   def loadTasks(spark: SparkSession, tasksDir: String): DataFrame = {
-    if (Files.exists(Paths.get(tasksDir)) &&
-        Files.list(Paths.get(tasksDir)).findFirst().isPresent)
+    // Hadoop FS probe, like loadRegistry: the tasks table may live on
+    // HDFS/S3 in a cluster deployment (java.nio only sees local paths)
+    val p = new org.apache.hadoop.fs.Path(tasksDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
       spark.read.parquet(tasksDir)
     else {
       import spark.implicits._
