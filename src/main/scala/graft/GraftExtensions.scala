@@ -27,5 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(DotProductLong.FnName),
       new ExpressionInfo(classOf[DotProductLong].getName,
         DotProductLong.FnName),
-      (exprs: Seq[Expression]) => DotProductLong(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"${DotProductLong.FnName} requires " +
+          s"exactly 2 arguments (array<bigint>, array<bigint>), " +
+          s"got ${exprs.length}")
+        DotProductLong(exprs.head, exprs(1))
+      }))
 }

@@ -127,8 +127,8 @@ object MultimodalOps {
     val statBytes = media.queryExecution.optimizedPlan.stats.sizeInBytes
     val totalBytes = estimatedBytes.map(BigInt(_)).getOrElse {
       if (statBytes < (BigInt(1L) << 50)) statBytes
-      else BigInt(media.select(sum(length(col("content")))).head()
-        .getLong(0))
+      else BigInt(media.select(coalesce(sum(length(col("content"))), lit(0L)))
+        .head().getLong(0))
     }
     val parts = math.max(1L,
       (totalBytes / targetBytesPerPartition).min(BigInt(1 << 20)).toLong)

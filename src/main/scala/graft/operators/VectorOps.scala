@@ -330,14 +330,17 @@ object VectorOps {
     * read), so appends/compactions invalidate the entry instead of the
     * cutover decision going stale as the corpus grows. */
   private val maxBlockCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
   private[graft] def maxLabelBlock(spark: SparkSession, dir: String): Long = {
     val rows = graft.functions.ScaleUtils.footerRowCount(
       spark, s"$dir/embeddings.parquet")
-    maxBlockCache.computeIfAbsent((dir, rows), _ =>
-      Tables.embeddings(spark, dir)
+    // one entry per dir, REPLACED when the row count moves — stale table
+    // states never pile up in a long-lived session
+    maxBlockCache.compute(dir, (_, prev) =>
+      if (prev != null && prev._1 == rows) prev
+      else (rows, Tables.embeddings(spark, dir)
         .groupBy(col("label")).count()
-        .agg(max(col("count"))).head().getLong(0)).longValue()
+        .agg(max(col("count"))).head().getLong(0)))._2
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -81,7 +81,11 @@ object DotProductLong {
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier(FnName)
     if (!registry.functionExists(id))
       registry.createOrReplaceTempFunction(
-        FnName, exprs => DotProductLong(exprs(0), exprs(1)), "scala_udf")
+        FnName, exprs => {
+          require(exprs.length == 2, s"$FnName requires exactly 2 " +
+            s"arguments (array<bigint>, array<bigint>), got ${exprs.length}")
+          DotProductLong(exprs.head, exprs(1))
+        }, "scala_udf")
     call_function(FnName, a, b)
   }
 }

@@ -266,11 +266,15 @@ object IngestPipeline {
   private[graft] def validateLayout(cfg: Config): Unit = {
     // nesting is only possible on the SAME filesystem: compare
     // (scheme, authority) first so s3://stage/dts never spuriously
-    // rejects hdfs://nn/dts/registry on path overlap alone
-    def parse(s: String): ((String, String), java.nio.file.Path) = {
+    // rejects hdfs://nn/dts/registry on path overlap alone. An
+    // UNQUALIFIED path resolves against fs.defaultFS at runtime, which
+    // may be any of the others — treat missing scheme as a wildcard
+    // (conservative: reject the overlap rather than silently allow the
+    // re-ingestion loop this guard exists to prevent).
+    def parse(s: String): (Option[(String, String)], java.nio.file.Path) = {
       val u = new Path(s).toUri
       val p = Option(u.getPath).filter(_.nonEmpty).getOrElse(s)
-      ((Option(u.getScheme).getOrElse(""), Option(u.getAuthority).getOrElse("")),
+      (Option(u.getScheme).map(sc => (sc, Option(u.getAuthority).getOrElse(""))),
         java.nio.file.Paths.get(p).toAbsolutePath.normalize)
     }
     val (stageFs, stagePath) = parse(cfg.stageDir)
@@ -278,8 +282,9 @@ object IngestPipeline {
         "registry_dir" -> cfg.registryDir,
         "location_dir" -> cfg.locationTableDir,
         "bad_file_table_dir" -> cfg.badFileDir).foreach { case (name, d) =>
-      val (fs, p) = parse(d)
-      require(fs != stageFs || !p.startsWith(stagePath),
+      val (dirFs, p) = parse(d)
+      val sameFsPossible = stageFs.isEmpty || dirFs.isEmpty || stageFs == dirFs
+      require(!sameFsPossible || !p.startsWith(stagePath),
         s"$name ($d) must not nest under delivery_notice_dir " +
           s"(${cfg.stageDir}): the recursive stage scan would re-ingest " +
           "its files as payloads every batch")
@@ -408,12 +413,13 @@ object IngestPipeline {
         Derived.niteOf(col("delivered_at")).as("nite"))
       .write.mode(SaveMode.Append).partitionBy("nite")
       .parquet(cfg.registryDir)
-    // location LAST among registrations: it is what the duplicate check
-    // reads (ref save:155 is_file_in_archive), i.e. the per-file commit
-    // marker — a crash between the two appends leaves metadata without
-    // location, and the retry re-processes the file (degrading to the
-    // documented src_missing audit row) instead of silently dropping it
-    // or double-counting a duplicate.
+    // location LAST among registrations, mirroring the reference's order
+    // (save:160 register_file_data before the move, save:193
+    // register_file_in_archive after). Crash-retry between the two
+    // appends is safe either way: the dup check unions BOTH tables'
+    // filenames (any registration trace ⇒ never re-archive), so the
+    // retry quarantines the half-registered file as a duplicate — an
+    // audit row, never a silent drop or a double archive.
     archived
       .select(col("delivery_name").as("filename"),
         lit(cfg.archiveName).as("archive_name"), col("archive_path"),
@@ -503,15 +509,27 @@ object IngestPipeline {
     org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, true, true, conf)
   }
 
-  /** Schema of an existing non-empty parquet dir, None when absent. */
-  private def existingSchema(spark: SparkSession, dir: String)
-      : Option[org.apache.spark.sql.types.StructType] = {
+  /** True when `dir` holds at least one parquet part file (recursively).
+    * A zero-row append creates the dir with only a _SUCCESS marker, and
+    * `spark.read.parquet` THROWS on such a dir — every read-back of an
+    * append-target table must gate on this, not on bare existence. */
+  private def hasParquetFiles(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-      Some(spark.read.parquet(dir).schema)
-    else None
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
   }
+
+  /** Schema of an existing non-empty parquet dir, None when absent. */
+  private def existingSchema(spark: SparkSession, dir: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    if (hasParquetFiles(spark, dir)) Some(spark.read.parquet(dir).schema)
+    else None
 
   private def loadRegistry(spark: SparkSession, cfg: Config): DataFrame = {
     // Duplicate check reads the LOCATION table (ref save:155
@@ -522,13 +540,10 @@ object IngestPipeline {
     // without location — conservative rule: any registration trace means
     // never re-archive. Hadoop FS probe (not java.io.File): the tables
     // may live on HDFS/S3; only the scheme-resolved FS knows.
-    def filenames(dir: String): Option[DataFrame] = {
-      val p = new Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+    def filenames(dir: String): Option[DataFrame] =
+      if (hasParquetFiles(spark, dir))
         Some(spark.read.parquet(dir).select(col("filename")))
       else None
-    }
     // distinct: a registered file appears in BOTH tables — without it the
     // dup-check left join would multiply each paired row
     (filenames(cfg.locationTableDir) ++ filenames(cfg.registryDir))

@@ -433,6 +433,27 @@ class IngestPipelineSpec extends SparkSpec {
       quarantineDir = root.resolve("bad").toString))
   }
 
+  test("an all-quarantined batch leaves readable state for the next batch") {
+    // batch 1 archives NOTHING: the zero-row appends create registry and
+    // location dirs holding only _SUCCESS, and a naive exists-check would
+    // make batch 2's spark.read.parquet throw (unable to infer schema),
+    // killing the stream. Batch 2 must run normally.
+    val (stage, cfg) = mkConfig()
+    Files.write(stage.resolve("junk1.txt"), "x".getBytes)
+    Files.write(stage.resolve("junk1.txt.dbb"),
+      "md5sum = 9dd4e461268c8034f5c8564e155c67a6\nfilesize = 1\n".getBytes)
+    val first = IngestPipeline.runBatch(spark, cfg)
+    assert(first.archived == 0 && first.quarantined == 1)
+    // compaction hook must also tolerate the parquet-less dirs
+    IngestPipeline.maybeCompact(spark, cfg.copy(compactEveryBatches = 1), 1)
+    val good = FitsHeader.render(Seq("SIMPLE" -> "T") ++ primaryCards)
+    Files.write(stage.resolve("DECam_00000060.fits.fz"), good)
+    Files.write(stage.resolve("DECam_00000060.fits.fz.dbb"),
+      s"md5sum = ${md5hex(good)}\nfilesize = ${good.length}\n".getBytes)
+    val second = IngestPipeline.runBatch(spark, cfg)
+    assert(second.archived == 1 && second.quarantined == 0)
+  }
+
   test("upgrade path: a legacy metadata-only registry still catches dups") {
     // pre-split deployments have only the metadata table; after upgrade
     // the dup check must not forget that history (location table absent)
