@@ -37,13 +37,67 @@ object CurationOps {
           / count(lit(1)), 4).as("avg_quality"))
   }
 
+  /** Sampling rate → 8-hex-digit threshold on the leading md5 digits:
+    * keep iff substr(md5(id), 1, 8) < threshold. The threshold is
+    * computed HERE (driver, once) and embedded as a literal in both the
+    * Spark plan and the oracle SQL — row selection is a lexicographic
+    * string compare, so no floating-point or hex-parse arithmetic can
+    * ever diverge between engines or runs. */
+  private[operators] def rateHex(r: Double): String =
+    f"${math.max(0L, math.min(4294967295L, (r * 4294967296.0).toLong))}%08x"
+
+  /** Deterministic stratified sampling — the corpus-mixture builder a
+    * training-data pipeline runs ("50% of en, 25% of de, 10% of the
+    * rest"): each row draws a stable uniform from the md5 of its id
+    * (NEVER rand(): stable under task retries, replays, and engines) and
+    * survives iff it clears its stratum's rate. A pure filter — no
+    * shuffle, linear at any scale, and the same physical row set is
+    * selected everywhere. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val threshold = rates.foldLeft(lit(rateHex(defaultRate))) {
+      case (acc, (k, r)) => when(col(stratumCol) === k, lit(rateHex(r)))
+        .otherwise(acc)
+    }
+    df.where(
+      substring(md5(col(idCol).cast("string").cast("binary")), 1, 8)
+        < threshold)
+  }
+
+  /** Mixture rates for the oracled sample query (en-heavy, de partial,
+    * long tail thin) — the classic pretraining language mixture shape. */
+  val SampleRates: Map[String, Double] = Map("en" -> 0.5, "de" -> 0.25)
+  val SampleDefaultRate: Double = 0.1
+
+  def stratifiedSampleSummary(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.documents(spark, dir), "doc_id", "lang",
+      SampleRates, SampleDefaultRate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("doc_id")).as("min_kept_id"),
+        max(col("doc_id")).as("max_kept_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation" -> curationSummary _,
+    "q_stratified_sample" -> stratifiedSampleSummary _,
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** CASE arm per stratum, generated from the SAME rate table as the
+    * Spark plan so the literals can never drift. */
+  private def sampleCaseSql: String =
+    "CASE lang " + SampleRates.toSeq.sortBy(_._1).map { case (k, r) =>
+      s"WHEN '$k' THEN '${rateHex(r)}'"
+    }.mkString(" ") + s" ELSE '${rateHex(SampleDefaultRate)}' END"
+
   val oracles: Map[String, String] = Map(
+    "q_stratified_sample" ->
+      s"""SELECT lang, count(*) AS n_kept,
+         |  min(doc_id) AS min_kept_id, max(doc_id) AS max_kept_id
+         |FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < $sampleCaseSql
+         |GROUP BY lang""".stripMargin,
     "q_curation" ->
       s"""WITH f AS (SELECT doc_id, lang,
          |  length($toksSql) AS n_tok,

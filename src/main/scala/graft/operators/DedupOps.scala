@@ -168,8 +168,19 @@ object DedupOps {
     * (doc, tok) x 16 positions, multiplying the shuffled rows 16x and
     * needing a second per-doc aggregation to reassemble the signature.
     * Here map-side combine collapses to one 16-column row per doc. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val voteCols = (1 to 16).map { p =>
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashSigs(spark, dir, 16)
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"))
+
+  /** (doc_id, simhash) with an `nBits`-wide signature (≤ 32 — one bit per
+    * md5 hex digit's top bit). The nBits bit positions are nBits
+    * sum-columns in ONE groupBy (map-side combine; see [[simhash]]). */
+  private def simhashSigs(spark: SparkSession, dir: String, nBits: Int)
+      : DataFrame = {
+    require(nBits >= 1 && nBits <= 32, s"simhash width 1..32, got $nBits")
+    val voteCols = (1 to nBits).map { p =>
       sum(when(substring(col("h"), p, 1)
         .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
         .as(s"v$p")
@@ -178,11 +189,51 @@ object DedupOps {
       .select(col("doc_id"), md5(col("tok").cast("binary")).as("h"))
       .groupBy(col("doc_id"))
       .agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"), concat((1 to 16).map(p =>
+      .select(col("doc_id"), concat((1 to nBits).map(p =>
         when(col(s"v$p") > 0, "1").otherwise("0")): _*).as("simhash"))
-      .groupBy(col("simhash"))
-      .agg(count(lit(1)).as("n_docs"),
-        min(col("doc_id")).as("min_doc_id"))
+  }
+
+  /** SimHash near-dup via bit-banding — [[simhash]]'s exact-collision
+    * histogram misses near duplicates that differ in a few bits; real
+    * SimHash dedup finds pairs within Hamming distance `maxHamming`.
+    * The signature is banded into `bands` contiguous blocks; by
+    * pigeonhole, any pair within Hamming distance (bands - 1) shares at
+    * least one INTACT block, so candidates come from per-(band, value)
+    * equi-joins — never all pairs — and only candidates get the exact
+    * Hamming verify. Summarized as (hamming → pair count, min id).
+    *
+    * Scale knob: block space is 2^bandLen per band (32-bit sig, 4 bands
+    * → 256 values); a larger corpus widens the signature (up to the 32
+    * bits one md5 provides — chain digest families as in [[bandKeys]]
+    * beyond that), the same buckets-grow-with-n policy as
+    * [[annSignDims]]. */
+  def simhashNearDup(spark: SparkSession, dir: String, sigBits: Int = 32,
+      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(sigBits % bands == 0, "bands must divide the signature width")
+    require(maxHamming < bands,
+      "pigeonhole guarantee needs maxHamming < bands")
+    val bandLen = sigBits / bands
+    val sigs = simhashSigs(spark, dir, sigBits)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("simhash"), b * bandLen + 1, bandLen).as("bv"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+    val hamming = (1 to sigBits).map(i =>
+      when(substring(col("sh_a"), i, 1) =!= substring(col("sh_b"), i, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    cand.withColumn("hamming", hamming.cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("id_a")).as("min_id_a"))
   }
 
   /** Per-bucket candidate target for the bucketed ANN: buckets ∝ n. */
@@ -275,6 +326,7 @@ object DedupOps {
     // cutover it must be bit-identical to the exact form — same oracle —
     // and benching it keeps the auto path measured, not just declared
     "q_jaccard_auto" -> ((s: SparkSession, d: String) => jaccardBestAuto(s, d)),
+    "q_simhash_neardup" -> ((s: SparkSession, d: String) => simhashNearDup(s, d)),
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -285,6 +337,39 @@ object DedupOps {
       .map { case (p, i) => s"WHEN $i THEN '$p'" }.mkString(" ") + " END"
 
   val oracles: Map[String, String] = Map(
+    "q_simhash_neardup" ->
+      s"""WITH ex AS (
+         |  SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(${TextOps.shingles3Sql}) AS tok
+         |    FROM documents)),
+         |votes AS (
+         |  SELECT doc_id, pos,
+         |    CAST(sum(CASE WHEN substr(md5(tok), CAST(pos + 1 AS INT), 1)
+         |         IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS BIGINT) AS v
+         |  FROM ex, range(32) p(pos)
+         |  GROUP BY 1, 2),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY pos)
+         |      AS simhash
+         |  FROM votes GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, simhash, b,
+         |    substr(simhash, CAST(b * 8 + 1 AS INT), 8) AS bv
+         |  FROM sigs, range(4) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |h AS (
+         |  SELECT id_a, id_b,
+         |    CAST(sum(CASE WHEN substr(sh_a, CAST(i + 1 AS INT), 1)
+         |         <> substr(sh_b, CAST(i + 1 AS INT), 1) THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS hamming
+         |  FROM cand, range(32) t(i) GROUP BY 1, 2)
+         |SELECT hamming, count(*) AS n_pairs, min(id_a) AS min_id_a
+         |FROM h WHERE hamming <= 3 GROUP BY hamming""".stripMargin,
     "q_jaccard_auto" -> TextOps.jaccardBestSql,
     "q_minhash_lsh" ->
       s"""WITH ex AS (

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.{CurationOps, DedupOps}
+import org.apache.spark.sql.functions._
+
+/** Properties of the round-5 [EXT] additions: deterministic stratified
+  * sampling (corpus mixture building) and SimHash banded near-dup. */
+class SamplingDedupSpec extends SparkSpec {
+
+  test("stratified sample: deterministic, rate-accurate, stratum-sensitive") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val total = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def kept(): Map[String, Long] =
+      CurationOps.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.25), 0.1)
+        .groupBy(col("lang")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k1 = kept()
+    assert(k1 == kept(), "hash-based selection must be replay-identical")
+    // rates hold within binomial noise (sf0.001 strata are small; 4 sigma)
+    for ((lang, n) <- total if n >= 20) {
+      val rate = Map("en" -> 0.5, "de" -> 0.25).getOrElse(lang, 0.1)
+      val got = k1.getOrElse(lang, 0L).toDouble / n
+      val sigma = math.sqrt(rate * (1 - rate) / n)
+      assert(math.abs(got - rate) <= 4 * sigma + 0.02,
+        s"$lang: kept $got of $n, wanted ~$rate")
+    }
+    // rate 0 keeps nothing; rate 1 keeps everything
+    assert(CurationOps.stratifiedSample(docs, "doc_id", "lang",
+      Map.empty, 0.0).count() == 0)
+    assert(CurationOps.stratifiedSample(docs, "doc_id", "lang",
+      Map.empty, 1.0).count() == docs.count())
+  }
+
+  test("simhash near-dup: candidates verified, params guarded") {
+    val pairs = DedupOps.simhashNearDup(spark, sfDir).collect()
+    assert(pairs.forall(_.getAs[Long]("hamming") <= 3),
+      "only pairs within the Hamming budget survive the verify")
+    // exact duplicate texts (dedupExact reports fewer uniques than docs
+    // on this testdata) must surface as hamming-0 pairs
+    val exact = graft.operators.TextOps.dedupExact(spark, sfDir).head()
+    if (exact.getAs[Long]("n_uniq_text") < exact.getAs[Long]("n_docs"))
+      assert(pairs.exists(_.getAs[Long]("hamming") == 0L),
+        "exact text dups must collide at hamming 0")
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashNearDup(spark, sfDir, sigBits = 30, bands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashNearDup(spark, sfDir, maxHamming = 4, bands = 4)
+    }
+  }
+}
