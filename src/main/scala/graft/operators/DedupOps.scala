@@ -213,24 +213,28 @@ object DedupOps {
     require(maxHamming < bands,
       "pigeonhole guarantee needs maxHamming < bands")
     val bandLen = sigBits / bands
+    // the bit-string renders the signature for banding; the integer form
+    // carries through the join so the verify is one XOR + bit_count per
+    // candidate (codegen'd) and the candidate shuffle moves 2 longs, not
+    // 2 × sigBits-char strings
     val sigs = simhashSigs(spark, dir, sigBits)
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+      .withColumn("sig", conv(col("simhash"), 2, 10).cast("long"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           substring(col("simhash"), b * bandLen + 1, bandLen).as("bv"))): _*))
         .as("bk"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col("sig"),
         col("bk.band").as("band"), col("bk.bv").as("bv"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()
-    val hamming = (1 to sigBits).map(i =>
-      when(substring(col("sh_a"), i, 1) =!= substring(col("sh_b"), i, 1), 1)
-        .otherwise(0)).reduce(_ + _)
-    cand.withColumn("hamming", hamming.cast("long"))
+    cand
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .where(col("hamming") <= maxHamming)
       .groupBy(col("hamming"))
       .agg(count(lit(1)).as("n_pairs"), min(col("id_a")).as("min_id_a"))
