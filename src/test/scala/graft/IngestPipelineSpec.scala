@@ -576,11 +576,14 @@ class IngestPipelineSpec extends SparkSpec {
   }
 
   test("streaming wrapper drains the stage dir via AvailableNow") {
-    val (stage, cfg) = mkConfig()
+    val (stage, cfg0) = mkConfig()
+    // compaction hook wired through the stream path (fires after batch 1)
+    val cfg = cfg0.copy(compactEveryBatches = 1)
     writeFixtures(stage)
     val checkpoint = Files.createTempDirectory("ckpt").toString
     IngestPipeline.runStream(spark, cfg, checkpoint)
     assert(stage.toFile.listFiles().isEmpty)
     assert(spark.read.parquet(cfg.registryDir).count() == 2)
+    assert(spark.read.parquet(cfg.locationTableDir).count() == 2)
   }
 }
