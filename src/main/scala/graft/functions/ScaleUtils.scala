@@ -64,6 +64,48 @@ object ScaleUtils {
     }: _*)
   }
 
+  /** THE shared definition of "table data file" — compaction, footer row
+    * counts, and every read-back gate use this one predicate so the rule
+    * cannot drift between call sites: a `*.parquet` part file with no
+    * hidden (`_`/`.`-prefixed) path segment under the table root.
+    * _SUCCESS markers and in-flight `_temporary` trees are NOT data
+    * (Spark's reader skips hidden paths, and `spark.read.parquet` THROWS
+    * on a dir containing nothing else). */
+  private def dataFileIter(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)
+      : Iterator[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(root)) Iterator.empty
+    else {
+      val qualRoot = fs.makeQualified(root).toString.stripSuffix("/") + "/"
+      val it = fs.listFiles(root, true)
+      new Iterator[org.apache.hadoop.fs.FileStatus] {
+        def hasNext: Boolean = it.hasNext
+        def next(): org.apache.hadoop.fs.FileStatus = it.next()
+      }.filter { st =>
+          st.getPath.getName.endsWith(".parquet") &&
+            st.getPath.toString.stripPrefix(qualRoot).split("/")
+              .forall(s => !s.startsWith("_") && !s.startsWith("."))
+        }
+    }
+
+  /** All parquet data files under a table root (recursive, hidden trees
+    * excluded) — see [[dataFileIter]] for the shared predicate. */
+  private[graft] def parquetDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    dataFileIter(fs, root).toSeq
+
+  /** True when `dir` holds at least one parquet data file. Every
+    * read-back of an append-target table must gate on THIS, not on bare
+    * dir existence: a zero-row append leaves only a _SUCCESS marker, a
+    * killed write leaves only `_temporary/`, and `spark.read.parquet`
+    * throws on both. Short-circuits on the first hit. */
+  def hasParquetData(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dataFileIter(fs, p).hasNext
+  }
+
   /** Compact an append-heavy parquet table's small files. Every ingest
     * batch appends a file set (per nite partition for the registry), so
     * file counts grow with batch count, not data volume — listing and
@@ -90,17 +132,7 @@ object ScaleUtils {
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def parquetFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val it = fs.listFiles(p, true)
-      val buf = scala.collection.mutable.ArrayBuffer
-        .empty[org.apache.hadoop.fs.FileStatus]
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.getPath.getName.endsWith(".parquet")) buf += st
-      }
-      buf.toSeq
-    }
-    val before = parquetFiles(root)
+    val before = parquetDataFiles(fs, root)
     // nothing to compact (dir may exist with only _SUCCESS markers when
     // every batch so far quarantined) — and spark.read.parquet would
     // throw on a parquet-less dir, killing the calling stream
@@ -143,7 +175,7 @@ object ScaleUtils {
     }
     fs.delete(old, true)
     spark.catalog.refreshByPath(dir)
-    (before.size, parquetFiles(root).size)
+    (before.size, parquetDataFiles(fs, root).size)
   }
 
   /** Driver-side parquet row count from file footers — NO Spark job. The
@@ -155,18 +187,12 @@ object ScaleUtils {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    val it = fs.listFiles(root, true)
-    var total = 0L
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.getPath.getName.endsWith(".parquet")) {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromStatus(st, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try total += r.getRecordCount finally r.close()
-      }
-    }
-    total
+    dataFileIter(fs, root).map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 
   /** Repartition a fact table by its dominant join/group key with a

@@ -42,9 +42,19 @@ object CurationOps {
     * computed HERE (driver, once) and embedded as a literal in both the
     * Spark plan and the oracle SQL — row selection is a lexicographic
     * string compare, so no floating-point or hex-parse arithmetic can
-    * ever diverge between engines or runs. */
-  private[operators] def rateHex(r: Double): String =
-    f"${math.max(0L, math.min(4294967295L, (r * 4294967296.0).toLong))}%08x"
+    * ever diverge between engines or runs.
+    *
+    * rate ≥ 1.0 returns the sentinel "g": every hex prefix ([0-9a-f]+)
+    * sorts strictly below it, so a 100% stratum keeps ALL rows — a
+    * clamped "ffffffff" threshold with the strict `<` would silently
+    * drop the 2^-32 tail whose md5 prefix is exactly ffffffff (real
+    * rows at the 10^11-doc scale this targets). The sentinel works
+    * identically in Spark and the SQL oracle (same string collation
+    * on ASCII). For r < 1.0, r·2^32 < 2^32 exactly in double
+    * arithmetic, so toLong never exceeds ffffffff. */
+  private[graft] def rateHex(r: Double): String =
+    if (r >= 1.0) "g"
+    else f"${math.max(0L, (r * 4294967296.0).toLong)}%08x"
 
   /** Deterministic stratified sampling — the corpus-mixture builder a
     * training-data pipeline runs ("50% of en, 25% of de, 10% of the

@@ -154,10 +154,13 @@ object ReconOps {
       .agg(sum(col("n_lines")).as("n_shipped_weekly"))
   }
 
-  /** Exposure-state classification — J12 (monitor:338-366): each order is
-    * classified ok / missing / extra / not-delivered by joining the
-    * "delivered" claim against the "received" evidence set. */
-  def expstate(spark: SparkSession, dir: String): DataFrame = {
+  /** Row-level exposure-state classification — J12 (monitor:338-366):
+    * each order classified ok / missing / extra / not-delivered by
+    * joining the "delivered" claim against the "received" evidence set.
+    * THE single definition of the state rule: [[expstate]] aggregates it
+    * to counts (the oracled form) and MonitorJob renders the detail
+    * pages from it — both derive from here so they cannot diverge. */
+  def exposureStates(spark: SparkSession, dir: String): DataFrame = {
     val received = Tables.lineitem(spark, dir)
       .where(col("l_returnflag") === "R")
       .select(col("l_orderkey")).distinct()
@@ -169,8 +172,13 @@ object ReconOps {
           .when(col("delivered") && col("l_orderkey").isNull, "missing")
           .when(!col("delivered") && col("l_orderkey").isNotNull, "extra")
           .otherwise("not delivered"))
-      .groupBy(col("expstate")).agg(count(lit(1)).as("n_orders"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("expstate"))
   }
+
+  /** Aggregate exposure-state counts — the oracled J12 form. */
+  def expstate(spark: SparkSession, dir: String): DataFrame =
+    exposureStates(spark, dir)
+      .groupBy(col("expstate")).agg(count(lit(1)).as("n_orders"))
 
   /** key=value record parse — S4 (save:49-56): extract a typed field out of
     * a semi-structured string column, then aggregate. */

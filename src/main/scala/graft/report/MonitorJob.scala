@@ -34,6 +34,12 @@ object MonitorJob {
     "dtsmonitor.html", "dtsmonitor_exp_short.html",
     "dtsmonitor_exp_full.html", "dtsmonitor_sne.html")
 
+  /** Per-exposure detail rows rendered into a page. The per-state counts
+    * section is always complete; only the row listing is capped, so the
+    * page stays human-sized and the collect stays driver-safe no matter
+    * how large the exposure table grows. */
+  val DetailRowCap: Int = 10000
+
   /** Compute + render + write the four reports under `outDir`; returns
     * (name → html). `generatedAt`/`tookSecs` are caller-supplied (the
     * reference stamps wall-clock into every page, monitor:329-333; tests
@@ -79,19 +85,29 @@ object MonitorJob {
     // ---- exposure pages (print_exposure_html): J12 state per exposure;
     // reptype=short keeps only differences (monitor:344 "only report
     // exposures which have a problem"), reptype=full lists everything.
-    // One shared states frame, persisted for the scope of this render:
-    // both pages (x2 sections each) collect inside render, so the
-    // orders⋈lineitem pipeline runs once, and the unpersist below fires
-    // after the terminal actions — no cache entry outlives the job.
-    val states = exposureStates(spark, dataDir).persist()
+    // One shared states frame — ReconOps.exposureStates, the SAME
+    // row-level classifier the oracled q_expstate aggregates — persisted
+    // for the scope of this render: both pages (x2 sections each)
+    // collect inside render, so the orders⋈lineitem pipeline runs once,
+    // and the unpersist below fires after the terminal actions — no
+    // cache entry outlives the job.
+    val states = ReconOps.exposureStates(spark, dataDir).persist()
     def exposurePage(reptype: String): String = {
-      val rows = (if (reptype == "short") states.where(col("expstate") =!= "ok")
-        else states).orderBy(col("o_orderkey"))
-      val perState = rows.groupBy(col("expstate"))
+      val selected =
+        if (reptype == "short") states.where(col("expstate") =!= "ok")
+        else states
+      // detail rows are capped (TakeOrderedAndProject — bounded driver
+      // memory at ANY corpus size; the full frame is one row per order,
+      // which at 100 TB would otherwise be a driver-OOM collect). The
+      // States section always carries the complete counts.
+      val rows = selected.orderBy(col("o_orderkey")).limit(DetailRowCap)
+      val perState = selected.groupBy(col("expstate"))
         .agg(count(lit(1)).as("n_orders")).orderBy(col("expstate"))
       HtmlReport.render(
         s"DTS exposure report ($reptype) — generated $generatedAt",
-        Seq("States" -> perState, s"Exposures ($reptype)" -> rows),
+        Seq("States" -> perState,
+          s"Exposures ($reptype, first $DetailRowCap by orderkey; " +
+            "complete counts above)" -> rows),
         tookSecs)
     }
 
@@ -117,22 +133,5 @@ object MonitorJob {
       "dtsmonitor_exp_full.html" -> exposurePage("full"),
       "dtsmonitor_sne.html" -> sne)
     finally { states.unpersist(false); () }
-  }
-
-  /** Per-exposure J12 state rows (the detail form of ReconOps.expstate,
-    * which aggregates the same classification to counts). */
-  private def exposureStates(spark: SparkSession, dir: String): DataFrame = {
-    val received = graft.sources.Tables.lineitem(spark, dir)
-      .where(col("l_returnflag") === "R")
-      .select(col("l_orderkey")).distinct()
-    graft.sources.Tables.orders(spark, dir)
-      .withColumn("delivered", col("o_orderstatus") === "F")
-      .join(received, col("o_orderkey") === col("l_orderkey"), "left_outer")
-      .withColumn("expstate",
-        when(col("delivered") && col("l_orderkey").isNotNull, "ok")
-          .when(col("delivered") && col("l_orderkey").isNull, "missing")
-          .when(!col("delivered") && col("l_orderkey").isNotNull, "extra")
-          .otherwise("not delivered"))
-      .select(col("o_orderkey"), col("o_orderpriority"), col("expstate"))
   }
 }

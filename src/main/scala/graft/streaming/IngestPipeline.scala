@@ -509,21 +509,11 @@ object IngestPipeline {
     org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, true, true, conf)
   }
 
-  /** True when `dir` holds at least one parquet part file (recursively).
-    * A zero-row append creates the dir with only a _SUCCESS marker, and
-    * `spark.read.parquet` THROWS on such a dir — every read-back of an
-    * append-target table must gate on this, not on bare existence. */
-  private def hasParquetFiles(spark: SparkSession, dir: String): Boolean = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && {
-      val it = fs.listFiles(p, true)
-      var found = false
-      while (!found && it.hasNext)
-        found = it.next().getPath.getName.endsWith(".parquet")
-      found
-    }
-  }
+  /** Read-back gate for append-target tables — the shared rule lives in
+    * [[graft.functions.ScaleUtils.hasParquetData]] (a zero-row append or
+    * killed write leaves a dir `spark.read.parquet` throws on). */
+  private def hasParquetFiles(spark: SparkSession, dir: String): Boolean =
+    graft.functions.ScaleUtils.hasParquetData(spark, dir)
 
   /** Schema of an existing non-empty parquet dir, None when absent. */
   private def existingSchema(spark: SparkSession, dir: String)
@@ -592,11 +582,14 @@ object IngestPipeline {
   def maybeCompact(spark: SparkSession, cfg: Config, batchesDone: Long): Unit =
     if (cfg.compactEveryBatches > 0 &&
         batchesDone % cfg.compactEveryBatches == 0) {
-      val fs = new Path(cfg.registryDir).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      // both per-batch-append tables accumulate small files
+      // both per-batch-append tables accumulate small files. Resolve the
+      // FileSystem PER dir — the two tables may live on different stores
+      // (validateLayout explicitly supports cross-filesystem layouts), and
+      // probing an hdfs:// path through an s3a:// FS throws "Wrong FS"
       Seq(cfg.registryDir, cfg.locationTableDir).foreach { dir =>
-        if (fs.exists(new Path(dir)))
+        val p = new Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p))
           graft.functions.ScaleUtils.compactParquet(spark, dir,
             cfg.compactTargetFileBytes)
       }

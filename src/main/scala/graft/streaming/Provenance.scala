@@ -37,11 +37,13 @@ object Provenance {
   }
 
   def loadTasks(spark: SparkSession, tasksDir: String): DataFrame = {
-    // Hadoop FS probe, like loadRegistry: the tasks table may live on
-    // HDFS/S3 in a cluster deployment (java.nio only sees local paths)
-    val p = new org.apache.hadoop.fs.Path(tasksDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+    // Gate on actual parquet data, not bare dir existence: a createTask
+    // killed mid-append leaves only `_temporary/` (or _SUCCESS), and
+    // spark.read.parquet on that dir throws — which would permanently
+    // brick task creation. Shared rule with every other append-target
+    // table (ScaleUtils.hasParquetData); Hadoop FS probe, so the tasks
+    // table may live on HDFS/S3 (java.nio only sees local paths).
+    if (graft.functions.ScaleUtils.hasParquetData(spark, tasksDir))
       spark.read.parquet(tasksDir)
     else {
       import spark.implicits._

@@ -31,6 +31,14 @@ class SamplingDedupSpec extends SparkSpec {
       Map.empty, 0.0).count() == 0)
     assert(CurationOps.stratifiedSample(docs, "doc_id", "lang",
       Map.empty, 1.0).count() == docs.count())
+    // a 100% threshold must sort ABOVE every possible md5 prefix — a
+    // clamped "ffffffff" with the strict < would drop the 2^-32 tail
+    // whose md5 prefix is exactly ffffffff (absent at this sf, but real
+    // at corpus scale — this pins the sentinel, not the luck)
+    assert(CurationOps.rateHex(1.0) > "ffffffff")
+    assert(CurationOps.rateHex(2.0) > "ffffffff")
+    assert(CurationOps.rateHex(math.nextAfter(1.0, 0.0)) == "ffffffff",
+      "just-below-1.0 still maps to the top hex threshold")
   }
 
   test("simhash near-dup: candidates verified, params guarded") {

@@ -135,6 +135,42 @@ class ScaleUtilsSpec extends SparkSpec {
     assert(ScaleUtils.compactParquet(spark, dir.toString) == (0, 0))
   }
 
+  test("hasParquetData / footerRowCount: one data-file rule, hidden trees excluded") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("datafiles")
+    val dir = root.resolve("tbl").toString
+
+    // absent dir and bare-dir-with-markers are both "no data" — the gate
+    // every append-target read-back relies on (spark.read.parquet throws
+    // on both layouts)
+    assert(!ScaleUtils.hasParquetData(spark, dir), "absent dir has no data")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_SUCCESS"))
+    assert(!ScaleUtils.hasParquetData(spark, dir), "_SUCCESS alone is not data")
+
+    // a killed write's in-flight _temporary tree contains *.parquet files
+    // that Spark's reader would never surface — the footer count and the
+    // gate must skip them identically, or footerRowCount over-reports
+    // vs the count() it stands in for
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write
+      .mode("append").parquet(dir)
+    val realCount = ScaleUtils.footerRowCount(spark, dir)
+    assert(realCount == 2L)
+    val tmp = java.nio.file.Paths.get(dir, "_temporary", "0")
+    java.nio.file.Files.createDirectories(tmp)
+    val stray = java.nio.file.Paths.get(
+      new java.net.URI(spark.read.parquet(dir).inputFiles.head))
+    java.nio.file.Files.copy(stray, tmp.resolve("part-inflight.parquet"))
+    assert(ScaleUtils.footerRowCount(spark, dir) == realCount,
+      "_temporary tree must not inflate the footer count")
+    assert(ScaleUtils.hasParquetData(spark, dir))
+    // and compaction sees the same file set (it would otherwise count the
+    // in-flight copy as a live file and duplicate its rows on rewrite)
+    ScaleUtils.compactParquet(spark, dir)
+    assert(spark.read.parquet(dir).count() == 2L,
+      "compaction must not absorb rows from the in-flight tree")
+  }
+
   test("footerRowCount matches count() without running a job") {
     val dir = s"$sfDir/orders.parquet"
     val expected = graft.sources.Tables.orders(spark, sfDir).count()
