@@ -301,6 +301,76 @@ object DedupOps {
         col("ann_sim"))
   }
 
+  /** Default cosine threshold for [[cosineNearDup]] — calibrated so the
+    * synthetic (near-orthogonal) test embeddings yield a non-trivial pair
+    * set at every sf; real corpora with planted duplicates run this at
+    * 0.9+ where banding recall is highest. */
+  val CosineDupThreshold = 0.45
+
+  /** Max sign-hash tables for [[cosineNearDup]] (OR-amplification width).
+    * Bounded by the 64 embedding dims: table t reads coordinate slice
+    * [t·r+1, t·r+r], so L·r ≤ 64 — as r grows with the corpus, fewer
+    * disjoint tables fit and recall narrows toward true duplicates. */
+  val CosineDupMaxTables = 8
+
+  /** [EXT] Embedding-cosine near-duplicate pairs — the vector-space
+    * sibling of [[minhashLsh]]: candidate pairs from BANDED sign-LSH
+    * (L hash tables, each keyed by the sign pattern of a disjoint
+    * r-coordinate slice — OR-amplification: colliding in ANY table makes
+    * a candidate, so recall for true near-dups (sign agreement → 1)
+    * approaches 1 - (1-p^r)^L ≈ 1 while random pairs stay ~L/2^r), then
+    * exact integer-quantized cosine on candidates only. r grows with the
+    * corpus via [[annSignDims]] (buckets ∝ n ⇒ per-table pair work stays
+    * ~O(n · target)); L = min(8, 64/r) tables over disjoint slices.
+    *
+    * The threshold compares the UNROUNDED cosine: integer dot and norms
+    * are exact, and IEEE sqrt/divide are correctly rounded, so the
+    * boundary is bit-identical cross-engine (the round-to-4 on the output
+    * column is display-only). Emits (id_a < id_b, sim) — the dedup drop
+    * list is `SELECT DISTINCT id_b`. */
+  def cosineNearDup(spark: SparkSession, dir: String,
+      threshold: Double = CosineDupThreshold): DataFrame = {
+    val r = annSignDims(graft.functions.ScaleUtils.footerRowCount(
+      spark, s"$dir/embeddings.parquet"))
+    cosineNearDupCore(spark, Tables.embeddings(spark, dir), r,
+      math.min(CosineDupMaxTables, 64 / r), threshold)
+  }
+
+  /** Banding + verify over any (vec_id, embedding) frame — split out so
+    * specs can plant a known near-duplicate and assert it is recovered. */
+  private[graft] def cosineNearDupCore(spark: SparkSession, embSrc: DataFrame,
+      r: Int, nTables: Int, threshold: Double): DataFrame = {
+    require(r >= 1 && nTables >= 1 && nTables * r <= 64,
+      s"need nTables*r <= 64 dims, got r=$r L=$nTables")
+    val dot = graft.plans.DotProductLong.dotLong(spark) _
+    val emb = embSrc
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))
+          .as("qe"))
+      .withColumn("nrm", dot(col("qe"), col("qe")))
+    val banded = emb.select(col("vec_id"),
+      explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("t"),
+          array_join(transform(slice(col("qe"), t * r + 1, r),
+            x => when(x >= 0, "1").otherwise("0")), "").as("bv"))
+      }: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bv").as("bv"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.t") === col("b.t") && col("a.bv") === col("b.bv")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("id_a"), col("qe").as("qe_a"),
+        col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("qe").as("qe_b"),
+        col("nrm").as("nrm_b")), Seq("id_b"))
+      .withColumn("sim_raw", dot(col("qe_a"), col("qe_b")).cast("double")
+        / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+      .where(col("sim_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim_raw"), 4).as("sim"))
+  }
+
   /** Docs-count threshold beyond which exact all-pairs formulations hand
     * over to their LSH/bucketed siblings. ~10^6 keeps the exact shingle
     * self-join's candidate set (O(pairs-sharing-a-shingle)) inside one
@@ -331,6 +401,7 @@ object DedupOps {
     // and benching it keeps the auto path measured, not just declared
     "q_jaccard_auto" -> ((s: SparkSession, d: String) => jaccardBestAuto(s, d)),
     "q_simhash_neardup" -> ((s: SparkSession, d: String) => simhashNearDup(s, d)),
+    "q_cosine_neardup" -> ((s: SparkSession, d: String) => cosineNearDup(s, d)),
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -341,6 +412,43 @@ object DedupOps {
       .map { case (p, i) => s"WHEN $i THEN '$p'" }.mkString(" ") + " END"
 
   val oracles: Map[String, String] = Map(
+    // r (slice width) derives from count(*) with the same integer-exact
+    // bit-length formula as annSignDims; L = min(8, 64 // r) disjoint
+    // tables. The threshold compares the unrounded cosine (exact integer
+    // dot/norms + correctly-rounded sqrt/divide = bit-identical boundary).
+    "q_cosine_neardup" ->
+      s"""WITH d AS (
+         |  SELECT GREATEST(6, LEAST(16,
+         |    CASE WHEN (count(*) + ${AnnTargetPerBucket - 1}) // $AnnTargetPerBucket <= 1 THEN 0
+         |         ELSE CAST(length(bin(((count(*) + ${AnnTargetPerBucket - 1}) // $AnnTargetPerBucket) - 1)) AS INT)
+         |    END)) AS r
+         |  FROM embeddings),
+         |p AS (SELECT r, LEAST($CosineDupMaxTables, 64 // r) AS L FROM d),
+         |emb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, qe, list_dot_product(qe, qe) AS nrm FROM emb),
+         |banded AS (
+         |  SELECT vec_id, t,
+         |    array_to_string(list_transform(
+         |      qe[CAST(t * (SELECT r FROM p) + 1 AS INT):CAST((t + 1) * (SELECT r FROM p) AS INT)],
+         |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bv
+         |  FROM n, range($CosineDupMaxTables) tt(t)
+         |  WHERE t < (SELECT L FROM p)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.t = b.t AND a.bv = b.bv AND a.vec_id < b.vec_id),
+         |s AS (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(list_dot_product(x.qe, y.qe) AS DOUBLE)
+         |      / (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE))) AS sim_raw
+         |  FROM cand c
+         |  JOIN n x ON x.vec_id = c.id_a
+         |  JOIN n y ON y.vec_id = c.id_b)
+         |SELECT id_a, id_b, round(sim_raw, 4) AS sim
+         |FROM s WHERE sim_raw >= $CosineDupThreshold""".stripMargin,
     "q_simhash_neardup" ->
       s"""WITH ex AS (
          |  SELECT DISTINCT doc_id, tok FROM (

@@ -41,6 +41,33 @@ class SamplingDedupSpec extends SparkSpec {
       "just-below-1.0 still maps to the top hex threshold")
   }
 
+  test("cosine near-dup: planted duplicate recovered, threshold enforced") {
+    import spark.implicits._
+    // 120 seeded random vectors + vec 1000 = vec 0 scaled by 1.05 (signs
+    // preserved -> collides with vec 0 in EVERY sign table; cosine = 1
+    // up to quantization). Deterministic seed: the spec pins banding
+    // behavior, not luck.
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 120).map { i =>
+      (i.toLong, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val planted = base :+ (1000L, base.head._2.map(x => x * 1.05f))
+    val df = planted.toDF("vec_id", "embedding")
+    val got = DedupOps.cosineNearDupCore(spark, df, r = 6, nTables = 8,
+      threshold = 0.9).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 0L
+      && got.head.getLong(1) == 1000L,
+      s"planted pair (0,1000) must be the only >=0.9 pair, got ${got.toSeq}")
+    assert(got.head.getAs[Double]("sim") >= 0.999)
+    // pair orientation invariant: id_a < id_b on the real table too
+    val real = DedupOps.cosineNearDup(spark, sfDir).collect()
+    assert(real.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(real.forall(_.getAs[Double]("sim") >= DedupOps.CosineDupThreshold - 1e-4))
+    intercept[IllegalArgumentException] {
+      DedupOps.cosineNearDupCore(spark, df, r = 16, nTables = 8, threshold = 0.9)
+    }
+  }
+
   test("simhash near-dup: candidates verified, params guarded") {
     val pairs = DedupOps.simhashNearDup(spark, sfDir).collect()
     assert(pairs.forall(_.getAs[Long]("hamming") <= 3),
