@@ -71,19 +71,34 @@ object ScaleUtils {
     * _SUCCESS markers and in-flight `_temporary` trees are NOT data
     * (Spark's reader skips hidden paths, and `spark.read.parquet` THROWS
     * on a dir containing nothing else). */
+  /** Prefix for relativizing listed file URIs against a table root —
+    * `listFiles` returns FS-QUALIFIED URIs, so stripping must use the
+    * qualified root too, or ancestor segments survive the strip (and any
+    * `=` in one would read as a partition column downstream). One
+    * definition, shared by the hidden-segment filter and the
+    * partition-column parse, so the two can never diverge. */
+  private def qualRootPrefix(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): String =
+    fs.makeQualified(root).toString.stripSuffix("/") + "/"
+
+  /** Path segments of `st` below `root` (qualified-relativized). */
+  private def segmentsBelow(st: org.apache.hadoop.fs.FileStatus,
+      qualRoot: String): Array[String] =
+    st.getPath.toString.stripPrefix(qualRoot).split("/")
+
   private def dataFileIter(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path)
       : Iterator[org.apache.hadoop.fs.FileStatus] =
     if (!fs.exists(root)) Iterator.empty
     else {
-      val qualRoot = fs.makeQualified(root).toString.stripSuffix("/") + "/"
+      val qualRoot = qualRootPrefix(fs, root)
       val it = fs.listFiles(root, true)
       new Iterator[org.apache.hadoop.fs.FileStatus] {
         def hasNext: Boolean = it.hasNext
         def next(): org.apache.hadoop.fs.FileStatus = it.next()
       }.filter { st =>
           st.getPath.getName.endsWith(".parquet") &&
-            st.getPath.toString.stripPrefix(qualRoot).split("/")
+            segmentsBelow(st, qualRoot)
               .forall(s => !s.startsWith("_") && !s.startsWith("."))
         }
     }
@@ -139,14 +154,12 @@ object ScaleUtils {
     if (before.isEmpty) return (0, 0)
     val df = spark.read.parquet(dir)
     // partition columns = hive dirs on disk; they come back as data
-    // columns and partitionBy rebuilds the same layout. Relativize against
-    // the QUALIFIED root (listFiles returns qualified URIs) — stripping
-    // the raw `dir` string would leave ancestor segments in place, and any
-    // `=` in one would be misread as a partition column.
-    val qualRoot = fs.makeQualified(root).toString.stripSuffix("/") + "/"
+    // columns and partitionBy rebuilds the same layout. Relativization
+    // shares [[qualRootPrefix]] with the hidden-segment filter.
+    val qualRoot = qualRootPrefix(fs, root)
     val partCols = before.headOption.toSeq.flatMap { st =>
-      st.getPath.toString.stripPrefix(qualRoot)
-        .split("/").filter(_.contains("=")).map(_.split("=")(0))
+      segmentsBelow(st, qualRoot).filter(_.contains("="))
+        .map(_.split("=")(0))
     }.distinct
     val files = math.max(1, math.ceil(
       before.map(_.getLen).sum.toDouble / targetFileBytes).toInt)

@@ -337,7 +337,14 @@ object DedupOps {
   }
 
   /** Banding + verify over any (vec_id, embedding) frame — split out so
-    * specs can plant a known near-duplicate and assert it is recovered. */
+    * specs can plant a known near-duplicate and assert it is recovered.
+    *
+    * The quantized frame feeds three plan branches (banding + both verify
+    * sides) and is deliberately NOT persisted — same trade as
+    * [[minhashLsh]]: each branch re-derives from a column-pruned parquet
+    * scan plus a codegen'd projection (cheap), while caching would pin a
+    * corpus-sized (qe, nrm) relation in executor memory and leak a
+    * CacheManager entry in a long-lived session. */
   private[graft] def cosineNearDupCore(spark: SparkSession, embSrc: DataFrame,
       r: Int, nTables: Int, threshold: Double): DataFrame = {
     require(r >= 1 && nTables >= 1 && nTables * r <= 64,

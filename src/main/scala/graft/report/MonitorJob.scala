@@ -14,7 +14,10 @@ import graft.operators.{MonitorOps, ReconOps, RelationalOps}
   *  - `dtsmonitor_exp_short.html` (print_exposure_html reptype=short,
   *    monitor:319-418): differences only — exposures whose delivered
   *    claim and received evidence disagree
-  *  - `dtsmonitor_exp_full.html` (reptype=full): every exposure state
+  *  - `dtsmonitor_exp_full.html` (reptype=full): all exposure states;
+  *    both exposure pages carry COMPLETE per-state counts, but the
+  *    row listing is capped at [[DetailRowCap]] (by orderkey) — not a
+  *    complete listing on corpora past the cap
   *  - `dtsmonitor_sne.html` (print_sne_html, monitor:423-516): the SNe
   *    reconciliation with duplicate-skip marking
   *

@@ -582,16 +582,13 @@ object IngestPipeline {
   def maybeCompact(spark: SparkSession, cfg: Config, batchesDone: Long): Unit =
     if (cfg.compactEveryBatches > 0 &&
         batchesDone % cfg.compactEveryBatches == 0) {
-      // both per-batch-append tables accumulate small files. Resolve the
-      // FileSystem PER dir — the two tables may live on different stores
-      // (validateLayout explicitly supports cross-filesystem layouts), and
-      // probing an hdfs:// path through an s3a:// FS throws "Wrong FS"
+      // both per-batch-append tables accumulate small files. No exists
+      // probe here: compactParquet resolves its own FileSystem per path
+      // (cross-filesystem layouts stay safe) and is a (0,0) no-op on an
+      // absent or parquet-less dir — one guard, owned by the callee
       Seq(cfg.registryDir, cfg.locationTableDir).foreach { dir =>
-        val p = new Path(dir)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(p))
-          graft.functions.ScaleUtils.compactParquet(spark, dir,
-            cfg.compactTargetFileBytes)
+        graft.functions.ScaleUtils.compactParquet(spark, dir,
+          cfg.compactTargetFileBytes)
       }
     }
 

@@ -59,8 +59,12 @@ class SamplingDedupSpec extends SparkSpec {
       && got.head.getLong(1) == 1000L,
       s"planted pair (0,1000) must be the only >=0.9 pair, got ${got.toSeq}")
     assert(got.head.getAs[Double]("sim") >= 0.999)
-    // pair orientation invariant: id_a < id_b on the real table too
+    // pair orientation invariant: id_a < id_b on the real table too.
+    // nonEmpty first — the threshold is calibrated to yield pairs at
+    // every sf (3 at sf0.001), and an empty result would make the two
+    // foralls below vacuously green
     val real = DedupOps.cosineNearDup(spark, sfDir).collect()
+    assert(real.nonEmpty, "calibrated threshold must yield pairs at this sf")
     assert(real.forall(r => r.getLong(0) < r.getLong(1)))
     assert(real.forall(_.getAs[Double]("sim") >= DedupOps.CosineDupThreshold - 1e-4))
     intercept[IllegalArgumentException] {
