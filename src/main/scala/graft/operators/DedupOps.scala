@@ -378,6 +378,58 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), round(col("sim_raw"), 4).as("sim"))
   }
 
+  /** Connected components over an undirected (id_a, id_b) edge list via
+    * min-label propagation — the duplicate-CLUSTER resolution step between
+    * pair detection ([[minhashLsh]]/[[simhashNearDup]]/[[cosineNearDup]])
+    * and the actual drop list: every member of a transitively-connected
+    * duplicate group maps to the group's minimum id (the canonical
+    * representative), so "drop all but the representative" is
+    * `WHERE vec_id <> rep_id`.
+    *
+    * Scale shape: the edge list is `localCheckpoint`ed ONCE up front (the
+    * detector's LSH pipeline must not re-run per iteration), then each
+    * iteration is one aggregate + one join on (id, comp) pairs — shuffle
+    * volume O(|edges|), lineage CONSTANT via per-iteration checkpoints
+    * (the [[VectorOps]] Lloyd-loop treatment). Iterations needed = graph
+    * diameter; duplicate clusters are shallow (pairs/triples, diameter
+    * ≤ ~3) so convergence is fast — `maxIters` is a loud upper bound, not
+    * a truncation: non-convergence throws rather than returning a wrong
+    * fixpoint. Emits (id, rep) for every node that appears in an edge. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val e = edges.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val adj = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = adj.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = adj
+        .join(labels.select(col("id").as("src"), col("comp").as("src_comp")),
+          Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("src_comp")).as("nbr_min"))
+      val stepped = labels
+        .join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"), col("comp").as("old_comp"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      converged = stepped.where(col("comp") =!= col("old_comp")).isEmpty
+      labels = stepped.select(col("id"), col("comp"))
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters iterations " +
+        "(diameter exceeds the bound — raise maxIters)")
+    labels
+  }
+
+  /** Duplicate groups over the embedding corpus: [[cosineNearDup]] pairs
+    * resolved to components. (vec_id, rep_id) per involved vector; the
+    * dedup drop list is every row with vec_id <> rep_id. */
+  def dedupGroups(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(cosineNearDup(spark, dir))
+      .select(col("id").as("vec_id"), col("comp").as("rep_id"))
+
   /** Docs-count threshold beyond which exact all-pairs formulations hand
     * over to their LSH/bucketed siblings. ~10^6 keeps the exact shingle
     * self-join's candidate set (O(pairs-sharing-a-shingle)) inside one
@@ -409,6 +461,7 @@ object DedupOps {
     "q_jaccard_auto" -> ((s: SparkSession, d: String) => jaccardBestAuto(s, d)),
     "q_simhash_neardup" -> ((s: SparkSession, d: String) => simhashNearDup(s, d)),
     "q_cosine_neardup" -> ((s: SparkSession, d: String) => cosineNearDup(s, d)),
+    "q_dedup_groups" -> dedupGroups _,
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -418,44 +471,64 @@ object DedupOps {
     "CASE seed // " + SeedsPerDigest + " " + HashPrefixes.zipWithIndex
       .map { case (p, i) => s"WHEN $i THEN '$p'" }.mkString(" ") + " END"
 
+  /** Shared banded-sign-LSH CTE chain (ends in `s(id_a, id_b, sim_raw)`),
+    * reused by the q_cosine_neardup and q_dedup_groups oracles — same
+    * pattern as [[graft.operators.VectorOps]]'s kmeans CTE reuse. r (slice
+    * width) derives from count(*) with the same integer-exact bit-length
+    * formula as [[annSignDims]]; L = min(8, 64 // r) disjoint tables. The
+    * threshold downstream compares the unrounded cosine (exact integer
+    * dot/norms + correctly-rounded sqrt/divide = bit-identical boundary). */
+  private lazy val cosinePairsCtes: String =
+    s"""d AS (
+       |  SELECT GREATEST(6, LEAST(16,
+       |    CASE WHEN (count(*) + ${AnnTargetPerBucket - 1}) // $AnnTargetPerBucket <= 1 THEN 0
+       |         ELSE CAST(length(bin(((count(*) + ${AnnTargetPerBucket - 1}) // $AnnTargetPerBucket) - 1)) AS INT)
+       |    END)) AS r
+       |  FROM embeddings),
+       |p AS (SELECT r, LEAST($CosineDupMaxTables, 64 // r) AS L FROM d),
+       |emb AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, qe, list_dot_product(qe, qe) AS nrm FROM emb),
+       |banded AS (
+       |  SELECT vec_id, t,
+       |    array_to_string(list_transform(
+       |      qe[CAST(t * (SELECT r FROM p) + 1 AS INT):CAST((t + 1) * (SELECT r FROM p) AS INT)],
+       |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bv
+       |  FROM n, range($CosineDupMaxTables) tt(t)
+       |  WHERE t < (SELECT L FROM p)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.t = b.t AND a.bv = b.bv AND a.vec_id < b.vec_id),
+       |s AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(list_dot_product(x.qe, y.qe) AS DOUBLE)
+       |      / (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE))) AS sim_raw
+       |  FROM cand c
+       |  JOIN n x ON x.vec_id = c.id_a
+       |  JOIN n y ON y.vec_id = c.id_b)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // r (slice width) derives from count(*) with the same integer-exact
-    // bit-length formula as annSignDims; L = min(8, 64 // r) disjoint
-    // tables. The threshold compares the unrounded cosine (exact integer
-    // dot/norms + correctly-rounded sqrt/divide = bit-identical boundary).
     "q_cosine_neardup" ->
-      s"""WITH d AS (
-         |  SELECT GREATEST(6, LEAST(16,
-         |    CASE WHEN (count(*) + ${AnnTargetPerBucket - 1}) // $AnnTargetPerBucket <= 1 THEN 0
-         |         ELSE CAST(length(bin(((count(*) + ${AnnTargetPerBucket - 1}) // $AnnTargetPerBucket) - 1)) AS INT)
-         |    END)) AS r
-         |  FROM embeddings),
-         |p AS (SELECT r, LEAST($CosineDupMaxTables, 64 // r) AS L FROM d),
-         |emb AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
-         |  FROM embeddings),
-         |n AS (SELECT vec_id, qe, list_dot_product(qe, qe) AS nrm FROM emb),
-         |banded AS (
-         |  SELECT vec_id, t,
-         |    array_to_string(list_transform(
-         |      qe[CAST(t * (SELECT r FROM p) + 1 AS INT):CAST((t + 1) * (SELECT r FROM p) AS INT)],
-         |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bv
-         |  FROM n, range($CosineDupMaxTables) tt(t)
-         |  WHERE t < (SELECT L FROM p)),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM banded a JOIN banded b
-         |    ON a.t = b.t AND a.bv = b.bv AND a.vec_id < b.vec_id),
-         |s AS (
-         |  SELECT c.id_a, c.id_b,
-         |    CAST(list_dot_product(x.qe, y.qe) AS DOUBLE)
-         |      / (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE))) AS sim_raw
-         |  FROM cand c
-         |  JOIN n x ON x.vec_id = c.id_a
-         |  JOIN n y ON y.vec_id = c.id_b)
+      s"""WITH $cosinePairsCtes
          |SELECT id_a, id_b, round(sim_raw, 4) AS sim
          |FROM s WHERE sim_raw >= $CosineDupThreshold""".stripMargin,
+    // connected components as a recursive CTE: walk(id, comp) holds every
+    // (reachable-node, origin) pair — UNION dedups so the recursion
+    // terminates; min(comp) per id is the component's min label, the
+    // same fixpoint the Spark min-label propagation converges to
+    "q_dedup_groups" ->
+      s"""WITH RECURSIVE $cosinePairsCtes,
+         |e AS (SELECT id_a, id_b FROM s WHERE sim_raw >= $CosineDupThreshold),
+         |adj AS (SELECT id_a AS src, id_b AS dst FROM e
+         |        UNION ALL SELECT id_b, id_a FROM e),
+         |walk(id, comp) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM adj)
+         |  UNION
+         |  SELECT a.dst, w.comp FROM walk w JOIN adj a ON a.src = w.id)
+         |SELECT id AS vec_id, min(comp) AS rep_id FROM walk GROUP BY id""".stripMargin,
     "q_simhash_neardup" ->
       s"""WITH ex AS (
          |  SELECT DISTINCT doc_id, tok FROM (

@@ -72,6 +72,31 @@ class SamplingDedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: chain resolves to min label, non-convergence loud") {
+    import spark.implicits._
+    // path 1-2-3-4-5 (diameter 4: min label must PROPAGATE, one hop per
+    // iteration — catches an off-by-one that only single-hop graphs hide)
+    // plus the disjoint pair (10, 11)
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // an iteration bound below the diameter must throw, never return a
+    // half-propagated labeling
+    intercept[IllegalStateException] {
+      DedupOps.connectedComponents(edges, maxIters = 2)
+    }
+    // real-table groups: every rep is a member of its own group and the
+    // minimum of the members mapped to it
+    val groups = DedupOps.dedupGroups(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(groups.nonEmpty)
+    val byRep = groups.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byRep.forall { case (rep, members) => members.min == rep })
+  }
+
   test("simhash near-dup: candidates verified, params guarded") {
     val pairs = DedupOps.simhashNearDup(spark, sfDir).collect()
     assert(pairs.forall(_.getAs[Long]("hamming") <= 3),
