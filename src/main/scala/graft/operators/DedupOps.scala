@@ -430,6 +430,44 @@ object DedupOps {
     connectedComponents(cosineNearDup(spark, dir))
       .select(col("id").as("vec_id"), col("comp").as("rep_id"))
 
+  /** Verified-duplicate Jaccard bar — the dup-grade threshold
+    * [[minhashLsh]] counts at (C4/RefinedWeb-style corpus dedup). */
+  val TextDupJaccard = 0.85
+
+  /** Text duplicate pairs: minhash-LSH candidates (id_a < id_b) verified
+    * at exact Jaccard ≥ [[TextDupJaccard]]. The threshold compares the
+    * unrounded ratio — one IEEE division of exact integers, bit-identical
+    * cross-engine. Same sub-quadratic shape as [[minhashLsh]] (which
+    * SUMMARIZES per lang; this emits the pairs a dedup acts on). */
+  private def textDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    // not persisted — see minhashLsh: ReuseExchange + cheap recompute
+    val ex = exploded(spark, dir)
+    val bk = bandKeys(spark, ex)
+    val cand = bk.as("a").join(bk.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(ex.select(col("doc_id").as("id_a"), col("n_tok").as("n_a"),
+        col("tok")), Seq("id_a"))
+      .join(ex.select(col("doc_id").as("id_b"), col("n_tok").as("n_b"),
+        col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"), first(col("n_a")).as("n_a"),
+        first(col("n_b")).as("n_b"))
+      .where(col("shared").cast("double")
+        / (col("n_a") + col("n_b") - col("shared")) >= TextDupJaccard)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Duplicate groups over the document corpus: [[textDupPairs]] resolved
+    * to components — detector → clusters → drop list, the full text-dedup
+    * chain a training pipeline runs. (doc_id, rep_id) per involved doc. */
+  def textDedupGroups(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(textDupPairs(spark, dir))
+      .select(col("id").as("doc_id"), col("comp").as("rep_id"))
+
   /** Docs-count threshold beyond which exact all-pairs formulations hand
     * over to their LSH/bucketed siblings. ~10^6 keeps the exact shingle
     * self-join's candidate set (O(pairs-sharing-a-shingle)) inside one
@@ -462,6 +500,7 @@ object DedupOps {
     "q_simhash_neardup" -> ((s: SparkSession, d: String) => simhashNearDup(s, d)),
     "q_cosine_neardup" -> ((s: SparkSession, d: String) => cosineNearDup(s, d)),
     "q_dedup_groups" -> dedupGroups _,
+    "q_text_dedup_groups" -> textDedupGroups _,
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -519,6 +558,45 @@ object DedupOps {
     // (reachable-node, origin) pair — UNION dedups so the recursion
     // terminates; min(comp) per id is the component's min label, the
     // same fixpoint the Spark min-label propagation converges to
+    // same reachability-fixpoint form over the minhash dup pairs: the
+    // full text-dedup chain (LSH candidates -> exact-Jaccard verify at
+    // the dup bar -> transitive groups)
+    "q_text_dedup_groups" ->
+      s"""WITH RECURSIVE ex AS (
+         |  SELECT doc_id, length(tset) AS n_tok, unnest(tset) AS tok
+         |  FROM (SELECT doc_id, ${TextOps.shingles3Sql} AS tset
+         |        FROM documents)),
+         |mh AS (
+         |  SELECT doc_id, seed,
+         |    min(substr(md5($prefixCaseSql || tok),
+         |        CAST((seed % $SeedsPerDigest) * 8 + 1 AS INT), 8)) AS minh
+         |  FROM ex, range($NumHashes) s(seed)
+         |  GROUP BY 1, 2),
+         |bk AS (
+         |  SELECT doc_id, seed // $BandSize AS band,
+         |    md5(string_agg(minh, ',' ORDER BY seed)) AS band_key
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id),
+         |shared AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS shared,
+         |    any_value(ea.n_tok) AS n_a, any_value(eb.n_tok) AS n_b
+         |  FROM cand c
+         |  JOIN ex ea ON ea.doc_id = c.id_a
+         |  JOIN ex eb ON eb.doc_id = c.id_b AND eb.tok = ea.tok
+         |  GROUP BY 1, 2),
+         |e AS (
+         |  SELECT id_a, id_b FROM shared
+         |  WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= $TextDupJaccard),
+         |adj AS (SELECT id_a AS src, id_b AS dst FROM e
+         |        UNION ALL SELECT id_b, id_a FROM e),
+         |walk(id, comp) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM adj)
+         |  UNION
+         |  SELECT a.dst, w.comp FROM walk w JOIN adj a ON a.src = w.id)
+         |SELECT id AS doc_id, min(comp) AS rep_id FROM walk GROUP BY id""".stripMargin,
     "q_dedup_groups" ->
       s"""WITH RECURSIVE $cosinePairsCtes,
          |e AS (SELECT id_a, id_b FROM s WHERE sim_raw >= $CosineDupThreshold),

@@ -95,6 +95,17 @@ class SamplingDedupSpec extends SparkSpec {
     assert(groups.nonEmpty)
     val byRep = groups.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
     assert(byRep.forall { case (rep, members) => members.min == rep })
+    // the text chain obeys the same invariant, and its groups agree with
+    // the exact-dup signal: this testdata contains exact text duplicates
+    // (dedupExact n_uniq < n_docs), which are jaccard-1 pairs, so the
+    // resolved groups must be non-empty with rep = member min
+    val tg = DedupOps.textDedupGroups(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val exact = graft.operators.TextOps.dedupExact(spark, sfDir).head()
+    if (exact.getAs[Long]("n_uniq_text") < exact.getAs[Long]("n_docs"))
+      assert(tg.nonEmpty, "exact text dups must resolve into groups")
+    val tgByRep = tg.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(tgByRep.forall { case (rep, members) => members.min == rep })
   }
 
   test("simhash near-dup: candidates verified, params guarded") {
