@@ -76,6 +76,42 @@ object DedupOps {
         expr(s"stack($nBands, $stackArgs) as (band, band_key)"))
   }
 
+  /** Per-ROW minhash band keys — the projection form of [[bandKeys]] for
+    * STREAMING inputs: one document's signature only needs its own
+    * shingles, so it is computed with array expressions (`transform` +
+    * `array_min`) instead of explode + groupBy — which would be a
+    * stateful streaming aggregation. Semantics are identical (min over an
+    * array of md5 slices is the same order statistic as the aggregated
+    * min; parity is spec-pinned via the gate-vs-batch-chain test), and
+    * docs with no shingles emit no rows, as the aggregated form drops
+    * them. The three family digests are materialized as named array
+    * columns FIRST — Catalyst does not CSE into higher-order-function
+    * lambdas, so the md5s must not live inside the per-seed transform.
+    * Emits (doc_id, band, band_key). */
+  private[graft] def bandKeysPerRow(docs: DataFrame): DataFrame = {
+    val withT = docs
+      .select(col("doc_id"), TextOps.shingles3(col("text")).as("tset"))
+      .where(size(col("tset")) > 0)
+    val withH = HashPrefixes.zipWithIndex.foldLeft(withT) { case (df, (p, i)) =>
+      df.withColumn(s"ha$i",
+        transform(col("tset"), t => md5(concat(lit(p), t).cast("binary"))))
+    }
+    val minCols = (0 until NumHashes).map { s =>
+      array_min(transform(col(s"ha${s / SeedsPerDigest}"),
+        h => substring(h, (s % SeedsPerDigest) * 8 + 1, 8))).as(s"m$s")
+    }
+    val mh = withH.select(col("doc_id") +: minCols: _*)
+    val nBands = NumHashes / BandSize
+    val bandCols = (0 until nBands).map { b =>
+      val slice = (0 until BandSize).map(i => col(s"m${b * BandSize + i}"))
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", slice: _*).cast("binary")).as("band_key"))
+    }
+    mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+  }
+
   /** MinHash-LSH near-dup: candidate pairs from shared band keys, verified
     * with exact Jaccard; summarized per lang (candidate count, verified
     * duplicate count at j >= 0.85). */
@@ -439,7 +475,7 @@ object DedupOps {
     * unrounded ratio — one IEEE division of exact integers, bit-identical
     * cross-engine. Same sub-quadratic shape as [[minhashLsh]] (which
     * SUMMARIZES per lang; this emits the pairs a dedup acts on). */
-  private def textDupPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def textDupPairs(spark: SparkSession, dir: String): DataFrame = {
     // not persisted — see minhashLsh: ReuseExchange + cheap recompute
     val ex = exploded(spark, dir)
     val bk = bandKeys(spark, ex)

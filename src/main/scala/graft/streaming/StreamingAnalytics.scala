@@ -46,6 +46,71 @@ object StreamingAnalytics {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Static-side index for [[gateAgainstCorpus]]: (band keys, shingle
+    * sets) of the existing corpus, computed ONCE and reused every batch —
+    * at scale, persist both and let the per-batch joins shuffle on
+    * (band, band_key) / doc id. Returns (corpusBandKeys, corpusShingles). */
+  def corpusIndex(corpus: DataFrame): (DataFrame, DataFrame) = (
+    graft.operators.DedupOps.bandKeysPerRow(corpus),
+    corpus.select(col("doc_id").as("dup_of"),
+      graft.operators.TextOps.shingles3(col("text")).as("ts_c")))
+
+  /** Dedup-on-ingest gate — the streaming face of the corpus-dedup chain
+    * (q_text_dedup_groups): each incoming document is minhash-banded
+    * PER ROW ([[graft.operators.DedupOps.bandKeysPerRow]] — projection
+    * only, no stateful aggregation), candidates come from the
+    * stream-static band-key join, and only candidates get the exact
+    * set-Jaccard verify (`array_intersect`/`array_union` over the
+    * already-distinct shingle sets — same set semantics as the batch
+    * chain's shared-shingle count). Returns the FLAGGED rows only:
+    * (doc_id, dup_of = best corpus match (ties → smallest id), jac);
+    * admission is the caller's anti-join against its batch.
+    *
+    * Batch-callable by design (this is also the backfill path); the
+    * streaming wrapper is [[runGate]], whose foreachBatch scope bounds
+    * the distinct/groupBy state to one micro-batch. */
+  def gateAgainstCorpus(batch: DataFrame, corpusBandKeys: DataFrame,
+      corpusShingles: DataFrame,
+      bar: Double = graft.operators.DedupOps.TextDupJaccard): DataFrame = {
+    val cand = graft.operators.DedupOps.bandKeysPerRow(batch)
+      .join(corpusBandKeys
+        .select(col("doc_id").as("dup_of"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .where(col("doc_id") =!= col("dup_of"))
+      .select(col("doc_id"), col("dup_of")).distinct()
+    cand
+      .join(batch.select(col("doc_id"),
+        graft.operators.TextOps.shingles3(col("text")).as("ts_new")),
+        Seq("doc_id"))
+      .join(corpusShingles, Seq("dup_of"))
+      .withColumn("jac",
+        size(array_intersect(col("ts_new"), col("ts_c"))).cast("double")
+          / size(array_union(col("ts_new"), col("ts_c"))))
+      .where(col("jac") >= bar)
+      .groupBy(col("doc_id"))
+      .agg(max_by(col("dup_of"), struct(col("jac"), -col("dup_of")))
+        .as("dup_of"),
+        round(max(col("jac")), 4).as("jac"))
+  }
+
+  /** Streaming wrapper for the ingest gate: AvailableNow foreachBatch —
+    * per-batch verdicts go to `onFlagged` (append to a quarantine table,
+    * metrics, ...). State is bounded: the gate's distinct/groupBy live
+    * inside one micro-batch; nothing accumulates across batches. */
+  def runGate(stream: DataFrame, corpusBandKeys: DataFrame,
+      corpusShingles: DataFrame,
+      bar: Double = graft.operators.DedupOps.TextDupJaccard)(
+      onFlagged: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onFlagged(
+          gateAgainstCorpus(batch, corpusBandKeys, corpusShingles, bar), id)
+      }
+      .start()
+
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -74,6 +74,44 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got.where($"user_id" === 2 && !$"closed").count() == 1)
   }
 
+  test("dedup-on-ingest gate: parity with the batch chain, streaming run") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val (cbk, csh) = StreamingAnalytics.corpusIndex(docs)
+
+    // 1. PARITY: gating the corpus against itself must flag exactly the
+    // docs that appear in the batch chain's dup pairs (per-row band keys
+    // == aggregated band keys; set-Jaccard == shared-shingle Jaccard)
+    val flagged = StreamingAnalytics.gateAgainstCorpus(docs, cbk, csh)
+      .collect()
+    val pairDocs = graft.operators.DedupOps.textDupPairs(spark, sfDir)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(flagged.map(_.getLong(0)).toSet == pairDocs,
+      "gate verdicts must match the batch LSH+verify chain")
+    assert(flagged.forall(_.getAs[Double]("jac") >= 0.85))
+
+    // 2. STREAMING: a replayed corpus text is flagged with jac 1.0
+    // against its original; a novel text passes
+    val dupText = docs.orderBy(col("doc_id")).select("doc_id", "text").head()
+    val inDir = java.nio.file.Files.createTempDirectory("gatestream").toString
+    Seq((9001L, dupText.getString(1)),
+        (9002L, "entirely novel zebra quartz text never in corpus"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(inDir)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double)]
+    val q = StreamingAnalytics.runGate(stream, cbk, csh) { (verdicts, _) =>
+      buf ++= verdicts.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getAs[Double]("jac"))); ()
+    }
+    q.awaitTermination()
+    assert(buf.exists { case (id, of, jac) =>
+      id == 9001L && of == dupText.getLong(0) && jac == 1.0 },
+      s"replayed text must be flagged against its original, got $buf")
+    assert(!buf.exists(_._1 == 9002L), "novel text must pass the gate")
+  }
+
   test("dedupStream: replayed deliveries within the watermark are dropped") {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", TimestampType),
