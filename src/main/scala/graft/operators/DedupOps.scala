@@ -432,31 +432,57 @@ object DedupOps {
     * a truncation: non-convergence throws rather than returning a wrong
     * fixpoint. Emits (id, rep) for every node that appears in an edge. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
-    val e = edges.select(col("id_a"), col("id_b")).localCheckpoint(true)
-    val adj = e.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(e.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = adj.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIters) {
-      val nbrMin = adj
-        .join(labels.select(col("id").as("src"), col("comp").as("src_comp")),
-          Seq("src"))
-        .groupBy(col("dst").as("id")).agg(min(col("src_comp")).as("nbr_min"))
-      val stepped = labels
-        .join(nbrMin, Seq("id"), "left_outer")
-        .select(col("id"), col("comp").as("old_comp"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      converged = stepped.where(col("comp") =!= col("old_comp")).isEmpty
-      labels = stepped.select(col("id"), col("comp"))
-      it += 1
+    val sc = edges.sparkSession.sparkContext
+    // eager localCheckpoint persists an internal RDD that CacheManager
+    // does not track — without explicit cleanup, every superseded
+    // iteration's blocks sit in executor storage until driver GC. Capture
+    // each checkpoint's RDDs by diffing getPersistentRDDs around the
+    // (eager, job-running) call and free them the moment they are
+    // superseded. The diff assumes no CONCURRENT persists on this driver —
+    // the same single-writer assumption compactParquet documents.
+    def checkpointed(df: DataFrame)
+        : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, sc.getPersistentRDDs.collect {
+        case (id, r) if !before(id) => r }.toSeq)
     }
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIters iterations " +
-        "(diameter exceeds the bound — raise maxIters)")
-    labels
+    val (e, eRdds) = checkpointed(edges.select(col("id_a"), col("id_b")))
+    try {
+      val adj = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+      var labels = adj.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id"))
+      var prevRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIters) {
+        val nbrMin = adj
+          .join(labels.select(col("id").as("src"), col("comp").as("src_comp")),
+            Seq("src"))
+          .groupBy(col("dst").as("id")).agg(min(col("src_comp")).as("nbr_min"))
+        val (stepped, newRdds) = checkpointed(labels
+          .join(nbrMin, Seq("id"), "left_outer")
+          .select(col("id"), col("comp").as("old_comp"),
+            least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp")))
+        converged = stepped.where(col("comp") =!= col("old_comp")).isEmpty
+        labels = stepped.select(col("id"), col("comp"))
+        // stepped is materialized (eager): the previous iteration's
+        // blocks are no longer reachable from any live frame — free now
+        prevRdds.foreach(_.unpersist(false))
+        prevRdds = newRdds
+        it += 1
+      }
+      if (!converged) {
+        prevRdds.foreach(_.unpersist(false))
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters iterations " +
+            "(diameter exceeds the bound — raise maxIters)")
+      }
+      // the returned frame reads ONLY the final iteration's checkpoint
+      // (kept); the edge list is freed by the finally below
+      labels
+    } finally eRdds.foreach(_.unpersist(false))
   }
 
   /** Duplicate groups over the embedding corpus: [[cosineNearDup]] pairs

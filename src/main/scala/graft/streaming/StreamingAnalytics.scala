@@ -47,24 +47,42 @@ object StreamingAnalytics {
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Static-side index for [[gateAgainstCorpus]]: (band keys, shingle
-    * sets) of the existing corpus, computed ONCE and reused every batch —
-    * at scale, persist both and let the per-batch joins shuffle on
-    * (band, band_key) / doc id. Returns (corpusBandKeys, corpusShingles). */
+    * sets) of the existing corpus, PERSISTED here so the per-batch joins
+    * reuse materialized blocks instead of re-running the corpus
+    * signature pass (shingles + 3 md5 families — the dominant cost)
+    * every micro-batch. Ownership: the caller unpersists both frames
+    * after the gate query stops (the pin is intentional for the query's
+    * lifetime — the MonitorJob persist/finally pattern stretched over a
+    * streaming run). Returns (corpusBandKeys, corpusShingles). */
   def corpusIndex(corpus: DataFrame): (DataFrame, DataFrame) = (
-    graft.operators.DedupOps.bandKeysPerRow(corpus),
+    graft.operators.DedupOps.bandKeysPerRow(corpus).persist(),
     corpus.select(col("doc_id").as("dup_of"),
-      graft.operators.TextOps.shingles3(col("text")).as("ts_c")))
+      graft.operators.TextOps.shingles3(col("text")).as("ts_c")).persist())
 
   /** Dedup-on-ingest gate — the streaming face of the corpus-dedup chain
     * (q_text_dedup_groups): each incoming document is minhash-banded
     * PER ROW ([[graft.operators.DedupOps.bandKeysPerRow]] — projection
     * only, no stateful aggregation), candidates come from the
-    * stream-static band-key join, and only candidates get the exact
-    * set-Jaccard verify (`array_intersect`/`array_union` over the
-    * already-distinct shingle sets — same set semantics as the batch
-    * chain's shared-shingle count). Returns the FLAGGED rows only:
-    * (doc_id, dup_of = best corpus match (ties → smallest id), jac);
-    * admission is the caller's anti-join against its batch.
+    * stream-static band-key join PLUS the batch banded against ITSELF
+    * (two copies of a novel text in one delivery must not both pass),
+    * and only candidates get the exact set-Jaccard verify
+    * (`array_intersect`/`array_union` over the already-distinct shingle
+    * sets — same set semantics as the batch chain's shared-shingle
+    * count). Returns the FLAGGED rows only: (doc_id, dup_of = best match
+    * (ties → smallest id), jac); admission is the caller's anti-join
+    * against its batch. Intra-batch pairs flag the LARGER id (first
+    * occurrence wins, matching the registry's first-wins rule).
+    *
+    * Identity contract: a row whose doc_id ALREADY EXISTS in the corpus
+    * is a REPLAY, not a duplicate admission — id-based replay belongs to
+    * the layers built for it ([[dedupStream]] inside the horizon, the
+    * registry anti-join beyond); this gate judges content novelty across
+    * DISTINCT identities, hence the self-id exclusion on the corpus join.
+    *
+    * Duplicates of docs ADMITTED IN EARLIER BATCHES are visible only
+    * after the corpus index is refreshed — between refreshes the batch
+    * chain (q_text_dedup_groups) is the safety net, the same
+    * gate-plus-periodic-compaction split the ingest registry uses.
     *
     * Batch-callable by design (this is also the backfill path); the
     * streaming wrapper is [[runGate]], whose foreachBatch scope bounds
@@ -72,17 +90,28 @@ object StreamingAnalytics {
   def gateAgainstCorpus(batch: DataFrame, corpusBandKeys: DataFrame,
       corpusShingles: DataFrame,
       bar: Double = graft.operators.DedupOps.TextDupJaccard): DataFrame = {
-    val cand = graft.operators.DedupOps.bandKeysPerRow(batch)
-      .join(corpusBandKeys
+    val bk = graft.operators.DedupOps.bandKeysPerRow(batch)
+    val corpusCand = bk.join(corpusBandKeys
         .select(col("doc_id").as("dup_of"), col("band"), col("band_key")),
         Seq("band", "band_key"))
       .where(col("doc_id") =!= col("dup_of"))
-      .select(col("doc_id"), col("dup_of")).distinct()
+      .select(col("doc_id"), col("dup_of"))
+    // batch vs itself: later id is the candidate dup of the earlier one
+    val selfCand = bk.as("a").join(bk.as("b"),
+        col("a.band") === col("b.band")
+          && col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("dup_of"))
+    val cand = corpusCand.union(selfCand).distinct()
+    val sets = batch.select(col("doc_id"),
+      graft.operators.TextOps.shingles3(col("text")).as("ts_new"))
+    // the reference side is the corpus index or, for intra-batch pairs,
+    // the batch's own shingle sets
+    val refSets = corpusShingles.union(
+      sets.select(col("doc_id").as("dup_of"), col("ts_new").as("ts_c")))
     cand
-      .join(batch.select(col("doc_id"),
-        graft.operators.TextOps.shingles3(col("text")).as("ts_new")),
-        Seq("doc_id"))
-      .join(corpusShingles, Seq("dup_of"))
+      .join(sets, Seq("doc_id"))
+      .join(refSets, Seq("dup_of"))
       .withColumn("jac",
         size(array_intersect(col("ts_new"), col("ts_c"))).cast("double")
           / size(array_union(col("ts_new"), col("ts_c"))))
@@ -96,20 +125,26 @@ object StreamingAnalytics {
   /** Streaming wrapper for the ingest gate: AvailableNow foreachBatch —
     * per-batch verdicts go to `onFlagged` (append to a quarantine table,
     * metrics, ...). State is bounded: the gate's distinct/groupBy live
-    * inside one micro-batch; nothing accumulates across batches. */
+    * inside one micro-batch; nothing accumulates across batches.
+    * `checkpoint` is REQUIRED (same contract as IngestPipeline.runStream):
+    * without it a restart replays the whole source and re-emits every
+    * historical verdict. */
   def runGate(stream: DataFrame, corpusBandKeys: DataFrame,
-      corpusShingles: DataFrame,
+      corpusShingles: DataFrame, checkpoint: String,
       bar: Double = graft.operators.DedupOps.TextDupJaccard)(
       onFlagged: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checkpoint.nonEmpty, "checkpoint location is required")
     stream.writeStream
       .outputMode("append")
+      .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         onFlagged(
           gateAgainstCorpus(batch, corpusBandKeys, corpusShingles, bar), id)
       }
       .start()
+  }
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -79,8 +79,17 @@ class SamplingDedupSpec extends SparkSpec {
     // plus the disjoint pair (10, 11)
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L), (10L, 11L))
       .toDF("id_a", "id_b")
+    // ~5 iterations run here; each eagerly localCheckpoints — superseded
+    // checkpoints must be FREED as the loop advances (only the final
+    // labels checkpoint may remain pinned), or executor storage grows
+    // with iteration count in a long-lived session
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     val got = DedupOps.connectedComponents(edges).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(persistedAfter - persistedBefore <= 1,
+      s"superseded iteration checkpoints must be unpersisted " +
+        s"($persistedBefore -> $persistedAfter persistent RDDs)")
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L))
     // an iteration bound below the diameter must throw, never return a

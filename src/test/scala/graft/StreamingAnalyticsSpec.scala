@@ -90,26 +90,35 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(flagged.forall(_.getAs[Double]("jac") >= 0.85))
 
     // 2. STREAMING: a replayed corpus text is flagged with jac 1.0
-    // against its original; a novel text passes
+    // against its original; a novel text passes; two copies of the SAME
+    // novel text in one delivery keep the first (smaller id) and flag
+    // the second against it (intra-batch self-check)
     val dupText = docs.orderBy(col("doc_id")).select("doc_id", "text").head()
+    val novel = "entirely novel zebra quartz text never in corpus " * 3
     val inDir = java.nio.file.Files.createTempDirectory("gatestream").toString
-    Seq((9001L, dupText.getString(1)),
-        (9002L, "entirely novel zebra quartz text never in corpus"))
+    Seq((9001L, dupText.getString(1)), (9002L, novel), (9003L, novel))
       .toDF("doc_id", "text").write.mode("overwrite").parquet(inDir)
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     val stream = spark.readStream.schema(schema).parquet(inDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("gateckpt").toString
     val buf = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Double)]
-    val q = StreamingAnalytics.runGate(stream, cbk, csh) { (verdicts, _) =>
-      buf ++= verdicts.collect().map(r =>
-        (r.getLong(0), r.getLong(1), r.getAs[Double]("jac"))); ()
+    val q = StreamingAnalytics.runGate(stream, cbk, csh, ckpt) {
+      (verdicts, _) =>
+        buf ++= verdicts.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getAs[Double]("jac"))); ()
     }
     q.awaitTermination()
     assert(buf.exists { case (id, of, jac) =>
       id == 9001L && of == dupText.getLong(0) && jac == 1.0 },
       s"replayed text must be flagged against its original, got $buf")
-    assert(!buf.exists(_._1 == 9002L), "novel text must pass the gate")
+    assert(buf.exists { case (id, of, jac) =>
+      id == 9003L && of == 9002L && jac == 1.0 },
+      s"second copy of a novel text must be flagged against the first, got $buf")
+    assert(!buf.exists(_._1 == 9002L),
+      "first occurrence of a novel text must pass the gate")
+    cbk.unpersist(); csh.unpersist(); ()
   }
 
   test("dedupStream: replayed deliveries within the watermark are dropped") {
