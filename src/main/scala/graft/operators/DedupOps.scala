@@ -530,6 +530,51 @@ object DedupOps {
     connectedComponents(textDupPairs(spark, dir))
       .select(col("id").as("doc_id"), col("comp").as("rep_id"))
 
+  /** Containment bar above which a corpus document counts as containing a
+    * benchmark document (the standard decontamination threshold family:
+    * ≥80% of the benchmark doc's shingles present). */
+  val ContaminationBar = 0.8
+
+  /** Benchmark id split for the declared query on the synthetic corpus
+    * (doc_id < 25 plays the benchmark; a deployment passes its real
+    * benchmark table to [[contaminationCore]]). */
+  val BenchmarkMaxId = 25L
+
+  /** Benchmark DECONTAMINATION — the train/test-overlap scan every
+    * training corpus needs before release: for each (corpus doc,
+    * benchmark doc) pair, the CONTAINMENT |shared shingles| / |benchmark
+    * shingles| — asymmetric by design (a benchmark question quoted inside
+    * a long document has high containment but low Jaccard, so the
+    * near-dup operators would miss it). Candidates come from the shingle
+    * equi-join itself (only pairs sharing ≥1 shingle are scored), with
+    * the benchmark side BROADCAST — benchmarks are small by nature, so
+    * the corpus is scanned once with no shuffle of the big side. The
+    * threshold compares the unrounded ratio (exact integers, one IEEE
+    * division — bit-identical cross-engine). */
+  private[graft] def contaminationCore(bench: DataFrame, corpus: DataFrame,
+      bar: Double): DataFrame = {
+    def ex(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), TextOps.shingles3(col("text")).as("tset"))
+      .withColumn("n_tok", size(col("tset")))
+      .select(col("doc_id"), col("n_tok"), explode(col("tset")).as("tok"))
+    val b = ex(bench).select(col("doc_id").as("bench_id"),
+      col("n_tok").as("n_b"), col("tok"))
+    val c = ex(corpus).select(col("doc_id"), col("tok"))
+    c.join(broadcast(b), Seq("tok"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared"), first(col("n_b")).as("n_b"))
+      .where(col("shared").cast("double") / col("n_b") >= bar)
+      .select(col("doc_id"), col("bench_id"),
+        round(col("shared").cast("double") / col("n_b"), 4).as("containment"))
+  }
+
+  /** Declared-query form over the synthetic benchmark split. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    contaminationCore(docs.where(col("doc_id") < BenchmarkMaxId),
+      docs.where(col("doc_id") >= BenchmarkMaxId), ContaminationBar)
+  }
+
   /** Docs-count threshold beyond which exact all-pairs formulations hand
     * over to their LSH/bucketed siblings. ~10^6 keeps the exact shingle
     * self-join's candidate set (O(pairs-sharing-a-shingle)) inside one
@@ -563,6 +608,7 @@ object DedupOps {
     "q_cosine_neardup" -> ((s: SparkSession, d: String) => cosineNearDup(s, d)),
     "q_dedup_groups" -> dedupGroups _,
     "q_text_dedup_groups" -> textDedupGroups _,
+    "q_contamination" -> contamination _,
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -612,6 +658,25 @@ object DedupOps {
        |  JOIN n y ON y.vec_id = c.id_b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // asymmetric containment: |shared| / |benchmark shingles| — the
+    // threshold compares the unrounded ratio, round-to-4 is display-only
+    "q_contamination" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, length(tset) AS n_tok, unnest(tset) AS tok
+         |  FROM (SELECT doc_id, ${TextOps.shingles3Sql} AS tset
+         |        FROM documents)),
+         |bench AS (SELECT doc_id AS bench_id, n_tok AS n_b, tok
+         |          FROM ex WHERE doc_id < $BenchmarkMaxId),
+         |corp AS (SELECT doc_id, tok FROM ex WHERE doc_id >= $BenchmarkMaxId),
+         |shared AS (
+         |  SELECT c.doc_id, b.bench_id, count(*) AS shared,
+         |    any_value(b.n_b) AS n_b
+         |  FROM corp c JOIN bench b ON b.tok = c.tok
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, bench_id,
+         |  round(CAST(shared AS DOUBLE) / n_b, 4) AS containment
+         |FROM shared
+         |WHERE CAST(shared AS DOUBLE) / n_b >= $ContaminationBar""".stripMargin,
     "q_cosine_neardup" ->
       s"""WITH $cosinePairsCtes
          |SELECT id_a, id_b, round(sim_raw, 4) AS sim

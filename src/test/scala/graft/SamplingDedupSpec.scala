@@ -117,6 +117,26 @@ class SamplingDedupSpec extends SparkSpec {
     assert(tgByRep.forall { case (rep, members) => members.min == rep })
   }
 
+  test("contamination: asymmetric containment flags quoted benchmark text") {
+    import spark.implicits._
+    // benchmark doc fully QUOTED inside a much longer corpus doc:
+    // containment = 1.0 (every benchmark shingle present) even though
+    // jaccard is low — the case the symmetric near-dup operators miss
+    val benchText = "alpha beta gamma delta epsilon zeta"
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, s"prefix words here $benchText and a long tail of other words " +
+        "padding padding padding padding padding padding"),
+      (101L, "wholly unrelated content with nothing shared at all"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.contaminationCore(bench, corpus, DedupOps.ContaminationBar)
+      .collect()
+    assert(got.length == 1 && got.head.getLong(0) == 100L
+      && got.head.getLong(1) == 1L
+      && got.head.getAs[Double]("containment") == 1.0,
+      s"quoted benchmark must flag doc 100 at containment 1.0, got ${got.toSeq}")
+  }
+
   test("simhash near-dup: candidates verified, params guarded") {
     val pairs = DedupOps.simhashNearDup(spark, sfDir).collect()
     assert(pairs.forall(_.getAs[Long]("hamming") <= 3),
