@@ -64,6 +64,27 @@ object TextOps {
         round((col("len") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 4))
       .drop("len")
 
+  /** Vocabulary rows kept by [[vocab]] — a corpus frequency table is
+    * top-k by construction (the tail is unbounded noise). */
+  val VocabTopK = 100
+
+  /** Corpus vocabulary/frequency table — the statistic a tokenizer
+    * trainer (BPE seed vocab) or corpus health check starts from: token →
+    * (total occurrences, containing docs), top-[[VocabTopK]] by a TOTAL
+    * order (count desc, token asc) so the cut boundary is deterministic
+    * in any engine. Scale shape: explode → one hash aggregation with
+    * map-side combine; the top-k is `orderBy.limit` →
+    * TakeOrderedAndProject (k rows per partition shuffle, never a global
+    * sort). */
+  def vocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(VocabTopK)
+
   /** BPE-ish token estimate: regex word pieces + the chars/4 heuristic. */
   def tokenEstimate(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -181,6 +202,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"     -> textStats _,
     "q_token_estimate" -> tokenEstimate _,
+    "q_vocab"          -> vocab _,
     "q_langid"         -> langId _,
     "q_quality_score"  -> qualityScore _,
     "q_fingerprint"    -> fingerprint _,
@@ -199,6 +221,15 @@ object TextOps {
          |  round(CAST(length(text) - (length($toksSql) - 1) AS DOUBLE)
          |        / length($toksSql), 4) AS avg_token_len
          |FROM documents""".stripMargin,
+    // the LIMIT boundary is safe cross-engine because the ORDER BY is a
+    // total order (count desc, token asc — no ties possible)
+    "q_vocab" ->
+      s"""SELECT token, count(*) AS n_occurrences,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+         |GROUP BY token
+         |ORDER BY n_occurrences DESC, token
+         |LIMIT $VocabTopK""".stripMargin,
     "q_token_estimate" ->
       """SELECT doc_id,
         |  length(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
