@@ -67,6 +67,21 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("rateHex: monotone in rate, sentinel exactly at >= 1") {
+    // stratifiedSample keeps a row iff md5-prefix < rateHex(rate): the
+    // threshold must be monotone (a higher rate never keeps fewer rows)
+    // and the above-every-hex sentinel must appear exactly at rate >= 1
+    val rGen = Gen.chooseNum(-0.5, 1.5)
+    check(Prop.forAll(rGen, rGen) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      val mono = graft.operators.CurationOps.rateHex(lo) <=
+        graft.operators.CurationOps.rateHex(hi)
+      val sentinel =
+        (graft.operators.CurationOps.rateHex(hi) == "g") == (hi >= 1.0)
+      mono && sentinel
+    })
+  }
+
   test("nite cutoff: every timestamp maps to exactly one nite, monotone") {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false")

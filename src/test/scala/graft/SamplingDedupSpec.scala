@@ -117,6 +117,36 @@ class SamplingDedupSpec extends SparkSpec {
     assert(tgByRep.forall { case (rep, members) => members.min == rep })
   }
 
+  test("connected components: matches a union-find reference on random graphs") {
+    import spark.implicits._
+    // fixed seeds (replay-identical): random multigraphs with self-loop-
+    // free edges, checked against a driver-side union-find that keeps the
+    // set MINIMUM as the root — the same canonical labeling CC promises
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val n = 10 + rnd.nextInt(10)
+      val edges = Seq.fill(8 + rnd.nextInt(8))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = nodes.map(x => x -> find(x)).toMap
+        val got = DedupOps.connectedComponents(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"seed $seed: $got vs $want")
+      }
+    }
+  }
+
   test("contamination: asymmetric containment flags quoted benchmark text") {
     import spark.implicits._
     // benchmark doc fully QUOTED inside a much longer corpus doc:
