@@ -530,6 +530,28 @@ object DedupOps {
     connectedComponents(textDupPairs(spark, dir))
       .select(col("id").as("doc_id"), col("comp").as("rep_id"))
 
+  /** Canonical-document selection — the dedup ACTION the group table
+    * exists for: per duplicate group, keep the highest-quality member
+    * ([[TextOps.qualityScore]]; ties broken by smallest doc_id, so the
+    * pick is a total order) and report the group size. Everything not in
+    * this table survives dedup untouched; of each group here, only
+    * `keep_id` does.
+    *
+    * Scale shape: group ids are high-cardinality (one per dup cluster),
+    * so the per-group argmax is an ordinary hash aggregation — no
+    * low-cardinality window funnel; the quality join is an equi-join on
+    * doc_id (both sides co-partitionable). */
+  def canonicalDocs(spark: SparkSession, dir: String): DataFrame =
+    textDedupGroups(spark, dir)
+      .join(TextOps.qualityScore(spark, dir)
+        .select(col("doc_id"), col("quality")), Seq("doc_id"))
+      .groupBy(col("rep_id"))
+      .agg(count(lit(1)).as("n_members"),
+        // argmax by (quality, -doc_id): struct ordering is lexicographic
+        max_by(col("doc_id"), struct(col("quality"), (-col("doc_id")).as("nd")))
+          .as("keep_id"),
+        max(col("quality")).as("keep_quality"))
+
   /** Containment bar above which a corpus document counts as containing a
     * benchmark document (the standard decontamination threshold family:
     * ≥80% of the benchmark doc's shingles present). */
@@ -608,6 +630,7 @@ object DedupOps {
     "q_cosine_neardup" -> ((s: SparkSession, d: String) => cosineNearDup(s, d)),
     "q_dedup_groups" -> dedupGroups _,
     "q_text_dedup_groups" -> textDedupGroups _,
+    "q_canonical_docs" -> canonicalDocs _,
     "q_contamination" -> contamination _,
   )
 
@@ -657,6 +680,45 @@ object DedupOps {
        |  JOIN n x ON x.vec_id = c.id_a
        |  JOIN n y ON y.vec_id = c.id_b)""".stripMargin
 
+  /** Shared minhash-LSH → verify → connected-components CTE chain (ends
+    * in `walk(id, comp)`), reused by the q_text_dedup_groups and
+    * q_canonical_docs oracles. Must follow a WITH RECURSIVE keyword. */
+  private lazy val textGroupsCtes: String =
+    s"""ex AS (
+       |  SELECT doc_id, length(tset) AS n_tok, unnest(tset) AS tok
+       |  FROM (SELECT doc_id, ${TextOps.shingles3Sql} AS tset
+       |        FROM documents)),
+       |mh AS (
+       |  SELECT doc_id, seed,
+       |    min(substr(md5($prefixCaseSql || tok),
+       |        CAST((seed % $SeedsPerDigest) * 8 + 1 AS INT), 8)) AS minh
+       |  FROM ex, range($NumHashes) s(seed)
+       |  GROUP BY 1, 2),
+       |bk AS (
+       |  SELECT doc_id, seed // $BandSize AS band,
+       |    md5(string_agg(minh, ',' ORDER BY seed)) AS band_key
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id),
+       |shared AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS shared,
+       |    any_value(ea.n_tok) AS n_a, any_value(eb.n_tok) AS n_b
+       |  FROM cand c
+       |  JOIN ex ea ON ea.doc_id = c.id_a
+       |  JOIN ex eb ON eb.doc_id = c.id_b AND eb.tok = ea.tok
+       |  GROUP BY 1, 2),
+       |e AS (
+       |  SELECT id_a, id_b FROM shared
+       |  WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= $TextDupJaccard),
+       |adj AS (SELECT id_a AS src, id_b AS dst FROM e
+       |        UNION ALL SELECT id_b, id_a FROM e),
+       |walk(id, comp) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM adj)
+       |  UNION
+       |  SELECT a.dst, w.comp FROM walk w JOIN adj a ON a.src = w.id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // asymmetric containment: |shared| / |benchmark shingles| — the
     // threshold compares the unrounded ratio, round-to-4 is display-only
@@ -689,41 +751,23 @@ object DedupOps {
     // full text-dedup chain (LSH candidates -> exact-Jaccard verify at
     // the dup bar -> transitive groups)
     "q_text_dedup_groups" ->
-      s"""WITH RECURSIVE ex AS (
-         |  SELECT doc_id, length(tset) AS n_tok, unnest(tset) AS tok
-         |  FROM (SELECT doc_id, ${TextOps.shingles3Sql} AS tset
-         |        FROM documents)),
-         |mh AS (
-         |  SELECT doc_id, seed,
-         |    min(substr(md5($prefixCaseSql || tok),
-         |        CAST((seed % $SeedsPerDigest) * 8 + 1 AS INT), 8)) AS minh
-         |  FROM ex, range($NumHashes) s(seed)
-         |  GROUP BY 1, 2),
-         |bk AS (
-         |  SELECT doc_id, seed // $BandSize AS band,
-         |    md5(string_agg(minh, ',' ORDER BY seed)) AS band_key
-         |  FROM mh GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
-         |    AND a.doc_id < b.doc_id),
-         |shared AS (
-         |  SELECT c.id_a, c.id_b, count(*) AS shared,
-         |    any_value(ea.n_tok) AS n_a, any_value(eb.n_tok) AS n_b
-         |  FROM cand c
-         |  JOIN ex ea ON ea.doc_id = c.id_a
-         |  JOIN ex eb ON eb.doc_id = c.id_b AND eb.tok = ea.tok
-         |  GROUP BY 1, 2),
-         |e AS (
-         |  SELECT id_a, id_b FROM shared
-         |  WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= $TextDupJaccard),
-         |adj AS (SELECT id_a AS src, id_b AS dst FROM e
-         |        UNION ALL SELECT id_b, id_a FROM e),
-         |walk(id, comp) AS (
-         |  SELECT src, src FROM (SELECT DISTINCT src FROM adj)
-         |  UNION
-         |  SELECT a.dst, w.comp FROM walk w JOIN adj a ON a.src = w.id)
+      s"""WITH RECURSIVE $textGroupsCtes
          |SELECT id AS doc_id, min(comp) AS rep_id FROM walk GROUP BY id""".stripMargin,
+    // dup groups → per-group best-quality member: the window form of the
+    // Spark argmax (rank over (quality desc, doc_id), one row per group)
+    "q_canonical_docs" ->
+      s"""WITH RECURSIVE $textGroupsCtes,
+         |groups AS (
+         |  SELECT id AS doc_id, min(comp) AS rep_id FROM walk GROUP BY id),
+         |q AS (${TextOps.qualityScoreSql}),
+         |ranked AS (
+         |  SELECT g.rep_id, g.doc_id, q.quality,
+         |    count(*) OVER (PARTITION BY g.rep_id) AS n_members,
+         |    row_number() OVER (PARTITION BY g.rep_id
+         |      ORDER BY q.quality DESC, g.doc_id) AS rn
+         |  FROM groups g JOIN q ON q.doc_id = g.doc_id)
+         |SELECT rep_id, n_members, doc_id AS keep_id, quality AS keep_quality
+         |FROM ranked WHERE rn = 1""".stripMargin,
     "q_dedup_groups" ->
       s"""WITH RECURSIVE $cosinePairsCtes,
          |e AS (SELECT id_a, id_b FROM s WHERE sim_raw >= $CosineDupThreshold),

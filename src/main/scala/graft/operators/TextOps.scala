@@ -142,6 +142,61 @@ object TextOps {
           .otherwise("low").as("bucket"))
   }
 
+  /** Repetition bars above which a document is flagged (the
+    * Gopher-rules neighborhood: a fifth of the mass in one token or in
+    * duplicated bigrams marks boilerplate/spam). In 1e-4 units — the
+    * flags compare exact integers, never doubles. */
+  val TopWordBar10k = 2000L
+  val Dup2gramBar10k = 2000L
+
+  /** Gopher-style repetition signals — the quality filter family that
+    * catches boilerplate and keyboard-mash spam: the fraction of tokens
+    * that are the single most frequent token, and the fraction of word
+    * bigrams that are duplicates of an earlier bigram in the same doc.
+    *
+    * Scale shape: every signal is a per-row array computation — NO
+    * shuffle anywhere (contrast the explode→groupBy formulation, which
+    * shuffles the full token stream). The most-frequent-token count is
+    * one pass over the sorted token array (max run length via
+    * `aggregate`); fractions are exact-integer truncations to 1e-4
+    * units, so both engines binary-agree (same trick as
+    * [[qualityScore]]). */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionCore(Tables.documents(spark, dir))
+
+  /** [[repetition]] over any (doc_id, lang, text) relation. */
+  def repetitionCore(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    // bigrams with duplicates preserved (zip against the 1-shifted
+    // slice; null pad from the shorter side drops in the filter)
+    val g2 = filter(
+      zip_with(t, slice(t, 2, Int.MaxValue - 8), (x, y) => concat(x, lit(" "), y)),
+      g => g.isNotNull)
+    // max run length over the SORTED tokens = count of the most
+    // frequent token. State: (prev token, current run, best run).
+    // toks() drops empties, so the "" init can never match a token.
+    val topCnt = aggregate(array_sort(t),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(t).cast("long").as("n_tok"), topCnt.as("top_cnt"),
+        size(g2).cast("long").as("n2"),
+        (size(g2) - size(array_distinct(g2))).cast("long").as("dup2"))
+      .withColumn("top10k", expr("top_cnt * 10000 div greatest(n_tok, 1)"))
+      .withColumn("dup10k", expr("dup2 * 10000 div greatest(n2, 1)"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        (col("top10k").cast("double") / 10000.0).as("top_word_frac"),
+        (col("dup10k").cast("double") / 10000.0).as("dup_2gram_frac"),
+        (col("top10k") > TopWordBar10k || col("dup10k") > Dup2gramBar10k)
+          .as("repetitive"))
+  }
+
   /** Document fingerprinting: content hash of the normalized text plus a
     * bag-of-words canonical hash (order-insensitive). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -205,6 +260,7 @@ object TextOps {
     "q_vocab"          -> vocab _,
     "q_langid"         -> langId _,
     "q_quality_score"  -> qualityScore _,
+    "q_repetition"     -> repetition _,
     "q_fingerprint"    -> fingerprint _,
     "q_dedup_exact"    -> dedupExact _,
     "q_jaccard_best"   -> jaccardBestMatch _,
@@ -251,23 +307,33 @@ object TextOps {
         |    ELSE 'unk' END AS lang_pred,
         |  count(*) AS n_docs
         |FROM scored GROUP BY 1, 2""".stripMargin,
-    "q_quality_score" ->
-      s"""WITH f AS (SELECT doc_id,
-         |  length($toksSql) AS n_tok,
-         |  length(list_distinct($toksSql)) AS n_uniq,
-         |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
-         |  length(regexp_extract_all(text, '\\b(the|a|of|and|in|to)\\b')) AS n_stop
-         |FROM documents)
-         |SELECT doc_id, CAST(q10k AS DOUBLE) / 10000.0 AS quality,
-         |  CASE WHEN q10k >= 7000 THEN 'high'
-         |       WHEN q10k >= 5000 THEN 'mid' ELSE 'low' END AS bucket
-         |FROM (SELECT doc_id,
-         |    (10 * (3 * least(n_tok, 100) * greatest(n_tok, 1)
-         |           + 400 * n_uniq
-         |           + 200 * (greatest(n_tok, 1) - least(n_punct, greatest(n_tok, 1)))
-         |           + 100 * least(2 * n_stop, greatest(n_tok, 1))))
-         |      // greatest(n_tok, 1) AS q10k
-         |  FROM f)""".stripMargin,
+    "q_quality_score" -> qualityScoreSql,
+    // the oracle computes the top-token count relationally (unnest →
+    // per-token counts → max) — same result as the Spark run-length
+    // pass; fractions use the identical integer-truncation arithmetic
+    "q_repetition" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |f AS (SELECT doc_id, tok, count(*) AS c
+         |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |      GROUP BY 1, 2),
+         |top AS (SELECT doc_id, max(c) AS top_cnt FROM f GROUP BY 1),
+         |g AS (SELECT doc_id, lang, len(toks) AS n_tok,
+         |    CASE WHEN len(toks) >= 2
+         |      THEN list_transform(range(1, len(toks)),
+         |             i -> toks[i] || ' ' || toks[i+1])
+         |      ELSE CAST([] AS VARCHAR[]) END AS g2
+         |  FROM t),
+         |m AS (SELECT g.doc_id, g.lang, CAST(g.n_tok AS BIGINT) AS n_tok,
+         |    coalesce(top.top_cnt, 0) * 10000
+         |      // greatest(g.n_tok, 1) AS top10k,
+         |    (len(g2) - len(list_distinct(g2))) * 10000
+         |      // greatest(len(g2), 1) AS dup10k
+         |  FROM g LEFT JOIN top ON g.doc_id = top.doc_id)
+         |SELECT doc_id, lang, n_tok,
+         |  CAST(top10k AS DOUBLE) / 10000.0 AS top_word_frac,
+         |  CAST(dup10k AS DOUBLE) / 10000.0 AS dup_2gram_frac,
+         |  (top10k > $TopWordBar10k OR dup10k > $Dup2gramBar10k) AS repetitive
+         |FROM m""".stripMargin,
     "q_fingerprint" ->
       s"""SELECT doc_id, md5(lower(trim(text))) AS content_fp,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS bag_fp
@@ -280,6 +346,27 @@ object TextOps {
         |FROM documents""".stripMargin,
     "q_jaccard_best" -> jaccardBestSql,
   )
+
+  /** DuckDB rendering of [[qualityScore]] (doc_id, quality, bucket) —
+    * shared with DedupOps's q_canonical_docs, which scores dup-group
+    * members with the same formula. */
+  private[operators] lazy val qualityScoreSql: String =
+    s"""WITH f AS (SELECT doc_id,
+       |  length($toksSql) AS n_tok,
+       |  length(list_distinct($toksSql)) AS n_uniq,
+       |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+       |  length(regexp_extract_all(text, '\\b(the|a|of|and|in|to)\\b')) AS n_stop
+       |FROM documents)
+       |SELECT doc_id, CAST(q10k AS DOUBLE) / 10000.0 AS quality,
+       |  CASE WHEN q10k >= 7000 THEN 'high'
+       |       WHEN q10k >= 5000 THEN 'mid' ELSE 'low' END AS bucket
+       |FROM (SELECT doc_id,
+       |    (10 * (3 * least(n_tok, 100) * greatest(n_tok, 1)
+       |           + 400 * n_uniq
+       |           + 200 * (greatest(n_tok, 1) - least(n_punct, greatest(n_tok, 1)))
+       |           + 100 * least(2 * n_stop, greatest(n_tok, 1))))
+       |      // greatest(n_tok, 1) AS q10k
+       |  FROM f)""".stripMargin
 
   /** Exact all-pairs Jaccard oracle — shared with DedupOps's q_jaccard_auto
     * (below the cutover the auto entry point IS this query). */

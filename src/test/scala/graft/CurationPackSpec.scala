@@ -1,0 +1,116 @@
+package graft
+
+import graft.operators.{CurationOps, DedupOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Round-5 curation additions: Gopher-style repetition signals, sequence
+  * packing, and canonical-document selection over dup groups. */
+class CurationPackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition: hand-computed fractions and flags") {
+    // "a a a a b": top token 4/5 = 0.8; bigrams [a a, a a, a a, a b]
+    // -> 2 distinct of 4 -> dup fraction 0.5. Both over the bar.
+    // "all words unique here now": top 1/5 = 0.2 (NOT > 0.2), dup 0.
+    val docs = Seq(
+      (1L, "en", "a a a a b"),
+      (2L, "en", "all words unique here now"),
+      (3L, "en", ""),
+      (4L, "en", "solo"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.repetitionCore(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Double]("top_word_frac") == 0.8)
+    assert(got(1L).getAs[Double]("dup_2gram_frac") == 0.5)
+    assert(got(1L).getAs[Boolean]("repetitive"))
+    assert(got(2L).getAs[Double]("top_word_frac") == 0.2)
+    assert(got(2L).getAs[Double]("dup_2gram_frac") == 0.0)
+    assert(!got(2L).getAs[Boolean]("repetitive"))
+    // empty doc: no tokens, no bigrams, not repetitive (no div-by-zero)
+    assert(got(3L).getAs[Long]("n_tok") == 0L
+      && !got(3L).getAs[Boolean]("repetitive"))
+    // single token: top fraction 1.0 (pure repetition), no bigrams
+    assert(got(4L).getAs[Double]("top_word_frac") == 1.0
+      && got(4L).getAs[Boolean]("repetitive"))
+  }
+
+  test("repetition: corpus-wide invariants at sf0.001") {
+    val rows = TextOps.repetition(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val top = r.getAs[Double]("top_word_frac")
+      val dup = r.getAs[Double]("dup_2gram_frac")
+      assert(top >= 0.0 && top <= 1.0 && dup >= 0.0 && dup <= 1.0,
+        s"fractions out of range: $r")
+    }
+  }
+
+  test("sequence packing: preservation, budget bound, determinism") {
+    val docs = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", "w " * (i % 37 + 1).toInt))
+      .toDF("doc_id", "lang", "text")
+    val tok = size(filter(split(col("text"), " "), t => t =!= ""))
+      .cast("long")
+    val packed = CurationOps.packSequences(docs, "doc_id", "lang", tok,
+      budget = 64L, shards = 4)
+    val rows = packed.collect()
+    // every doc lands in exactly one sequence; token totals preserved
+    assert(rows.length == 200)
+    assert(rows.map(_.getAs[Long]("tok")).sum ==
+      (1L to 200L).map(i => i % 37 + 1).sum)
+    // a sequence never overruns the budget by a full document: the
+    // member that closes it STARTED inside the budget
+    val bySeq = rows.groupBy(r => (r.getAs[String]("lang"),
+      r.getAs[Int]("shard"), r.getAs[Long]("seq_id")))
+    bySeq.foreach { case (k, ms) =>
+      val total = ms.map(_.getAs[Long]("tok")).sum
+      val maxDoc = ms.map(_.getAs[Long]("tok")).max
+      assert(total - maxDoc < 64L, s"seq $k: $total tokens, max doc $maxDoc")
+    }
+    // deterministic: identical assignment on re-run
+    val again = CurationOps.packSequences(docs, "doc_id", "lang", tok,
+      budget = 64L, shards = 4).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // an over-budget doc may close the sequence it lands in (first-fit:
+    // earlier docs can precede it) but pushes every LATER doc of its
+    // shard into a fresh sequence
+    val giant = Seq((101L, "de", "g " * 200)).toDF("doc_id", "lang", "text")
+    val withGiant = CurationOps.packSequences(
+      docs.where(col("doc_id") =!= 101L).union(giant), "doc_id",
+      "lang", tok, budget = 64L, shards = 4)
+    val g = withGiant.where(col("doc_id") === 101L).head()
+    val mates = withGiant
+      .where(col("lang") === g.getAs[String]("lang")
+        && col("shard") === g.getAs[Int]("shard")
+        && col("seq_id") === g.getAs[Long]("seq_id"))
+      .collect()
+    assert(mates.exists(_.getAs[Long]("doc_id") == 101L)
+      && mates.forall(_.getAs[Long]("doc_id") <= 101L),
+      s"no doc after the over-budget one may share its sequence: " +
+        mates.map(_.getAs[Long]("doc_id")).toSeq.sorted.mkString(","))
+  }
+
+  test("canonical docs: argmax member per dup group") {
+    val groups = DedupOps.textDedupGroups(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val canon = DedupOps.canonicalDocs(spark, sfDir).collect()
+    if (groups.nonEmpty) {
+      val quality = TextOps.qualityScore(spark, sfDir)
+        .select(col("doc_id"), col("quality")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val byRep = groups.groupBy(_._2)
+      assert(canon.length == byRep.size, "one row per dup group")
+      canon.foreach { r =>
+        val members = byRep(r.getAs[Long]("rep_id")).map(_._1)
+        val keep = r.getAs[Long]("keep_id")
+        assert(members.contains(keep), "canonical pick must be a member")
+        assert(r.getAs[Long]("n_members") == members.length)
+        val best = members.map(quality).max
+        assert(quality(keep) == best
+          && r.getAs[Double]("keep_quality") == best)
+        assert(members.filter(m => quality(m) == best).min == keep,
+          "quality ties must break to the smallest doc_id")
+      }
+    } else assert(canon.isEmpty)
+  }
+}
