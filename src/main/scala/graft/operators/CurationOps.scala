@@ -134,10 +134,31 @@ object CurationOps {
         sum(when(col("n_tok") > PackBudget, 1L).otherwise(0L))
           .as("n_overflow"))
 
+  /** Per-source corpus profile — the domain-level health dashboard a
+    * crawl curation pass reads before deciding source weights: doc and
+    * exact-duplicate counts (normalized fingerprint), token volume, and
+    * mean quality per source. One hash aggregation over the corpus plus
+    * an equi-join on doc_id for the quality signal; the decimal-exact
+    * average is the same engine-portable trick as [[curationSummary]]. */
+  def sourceProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(lower(trim(col("text"))).cast("binary")).as("fp"),
+        ceil(length(col("text")).cast("double") / 4).cast("long").as("tok"))
+      .join(TextOps.qualityScore(spark, dir)
+        .select(col("doc_id"), col("quality")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_uniq_fp"),
+        sum(col("tok")).as("n_tokens_est"),
+        round(sum(col("quality").cast("decimal(8,4)")).cast("double")
+          / count(lit(1)), 4).as("avg_quality"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation" -> curationSummary _,
     "q_stratified_sample" -> stratifiedSampleSummary _,
     "q_seq_pack" -> packSummary _,
+    "q_source_profile" -> sourceProfile _,
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -150,6 +171,18 @@ object CurationOps {
     }.mkString(" ") + s" ELSE '${rateHex(SampleDefaultRate)}' END"
 
   val oracles: Map[String, String] = Map(
+    "q_source_profile" ->
+      s"""WITH q AS (${TextOps.qualityScoreSql}),
+         |d AS (SELECT doc_id, source, md5(lower(trim(text))) AS fp,
+         |    CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS tok
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  count(DISTINCT fp) AS n_uniq_fp,
+         |  CAST(sum(tok) AS BIGINT) AS n_tokens_est,
+         |  round(CAST(sum(CAST(quality AS DECIMAL(8,4))) AS DOUBLE)
+         |    / count(*), 4) AS avg_quality
+         |FROM d JOIN q USING (doc_id)
+         |GROUP BY source""".stripMargin,
     // sums are CAST to BIGINT: DuckDB widens integer sum to HUGEINT
     "q_seq_pack" ->
       s"""WITH d AS (SELECT doc_id, lang,

@@ -197,6 +197,54 @@ object TextOps {
           .as("repetitive"))
   }
 
+  /** A shingle present in MORE than this many distinct documents counts
+    * as boilerplate (headers, footers, license blurbs — content that
+    * repeats across unrelated docs). */
+  val BoilerplateDocBar = 5L
+
+  /** A doc with more than this fraction (1e-4 units) of boilerplate
+    * shingles is flagged for scrubbing. */
+  val BoilerplateHeavyBar10k = 3000L
+
+  /** Cross-document BOILERPLATE scan — the shingle-granularity analogue
+    * of line-level dedup (CCNet/RefinedWeb scrub the lines shared across
+    * many pages; this corpus has no line structure, so the 3-gram
+    * shingle is the repetition unit): a shingle appearing in >
+    * [[BoilerplateDocBar]] distinct docs is boilerplate, and each doc
+    * reports what fraction of its shingles that covers.
+    *
+    * Scale shape: [[shingles3]] is distinct-per-doc, so the document
+    * frequency is a plain count over the exploded relation (no
+    * count-distinct shuffle); the boilerplate set is tiny by
+    * construction (high-frequency tail) and AQE turns the join back
+    * into a broadcast. Linear in corpus size end to end. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame =
+    boilerplateCore(Tables.documents(spark, dir), BoilerplateDocBar)
+
+  /** [[boilerplate]] over any (doc_id, lang, text) relation. */
+  def boilerplateCore(docs: DataFrame, docBar: Long): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), col("lang"),
+        explode(shingles3(col("text"))).as("sh"))
+    // shingles3 is array_distinct: one row per (doc, shingle) pair, so
+    // count(1) IS the document frequency
+    val boiler = ex.groupBy(col("sh"))
+      .agg(count(lit(1)).as("nd"))
+      .where(col("nd") > docBar)
+      .select(col("sh"))
+    val perDoc = ex.join(boiler, Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(shingles3(col("text"))).cast("long").as("n_sh"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+      .withColumn("b10k", expr("n_boiler * 10000 div greatest(n_sh, 1)"))
+      .select(col("doc_id"), col("lang"), col("n_sh"), col("n_boiler"),
+        (col("b10k").cast("double") / 10000.0).as("boiler_frac"),
+        (col("b10k") > BoilerplateHeavyBar10k).as("boiler_heavy"))
+  }
+
   /** Document fingerprinting: content hash of the normalized text plus a
     * bag-of-words canonical hash (order-insensitive). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -261,6 +309,7 @@ object TextOps {
     "q_langid"         -> langId _,
     "q_quality_score"  -> qualityScore _,
     "q_repetition"     -> repetition _,
+    "q_boilerplate"    -> boilerplate _,
     "q_fingerprint"    -> fingerprint _,
     "q_dedup_exact"    -> dedupExact _,
     "q_jaccard_best"   -> jaccardBestMatch _,
@@ -333,6 +382,28 @@ object TextOps {
          |  CAST(top10k AS DOUBLE) / 10000.0 AS top_word_frac,
          |  CAST(dup10k AS DOUBLE) / 10000.0 AS dup_2gram_frac,
          |  (top10k > $TopWordBar10k OR dup10k > $Dup2gramBar10k) AS repetitive
+         |FROM m""".stripMargin,
+    "q_boilerplate" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, lang, unnest(tset) AS sh
+         |  FROM (SELECT doc_id, lang, $shingles3Sql AS tset FROM documents)),
+         |boiler AS (
+         |  SELECT sh FROM ex GROUP BY sh
+         |  HAVING count(*) > $BoilerplateDocBar),
+         |per_doc AS (
+         |  SELECT doc_id, count(*) AS n_boiler
+         |  FROM ex JOIN boiler USING (sh) GROUP BY doc_id),
+         |base AS (
+         |  SELECT doc_id, lang, CAST(length($shingles3Sql) AS BIGINT) AS n_sh
+         |  FROM documents),
+         |m AS (
+         |  SELECT b.doc_id, b.lang, b.n_sh,
+         |    coalesce(p.n_boiler, 0) AS n_boiler,
+         |    coalesce(p.n_boiler, 0) * 10000 // greatest(b.n_sh, 1) AS b10k
+         |  FROM base b LEFT JOIN per_doc p ON p.doc_id = b.doc_id)
+         |SELECT doc_id, lang, n_sh, n_boiler,
+         |  CAST(b10k AS DOUBLE) / 10000.0 AS boiler_frac,
+         |  b10k > $BoilerplateHeavyBar10k AS boiler_heavy
          |FROM m""".stripMargin,
     "q_fingerprint" ->
       s"""SELECT doc_id, md5(lower(trim(text))) AS content_fp,

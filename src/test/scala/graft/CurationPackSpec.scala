@@ -90,6 +90,41 @@ class CurationPackSpec extends SparkSpec {
         mates.map(_.getAs[Long]("doc_id")).toSeq.sorted.mkString(","))
   }
 
+  test("boilerplate: cross-doc shingle frequency drives the flag") {
+    // shingle "x y z" appears in docs 1..3 (> bar 2); each doc also has
+    // a unique tail shingle, so boiler_frac is a real fraction
+    val docs = Seq(
+      (1L, "en", "x y z a1 b1"),
+      (2L, "en", "x y z a2 b2"),
+      (3L, "en", "x y z a3 b3"),
+      (4L, "en", "p q r s t"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.boilerplateCore(docs, docBar = 2L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // 5 tokens -> 3 shingles; exactly one ("x y z") is boilerplate
+    (1L to 3L).foreach { id =>
+      assert(got(id).getAs[Long]("n_sh") == 3L
+        && got(id).getAs[Long]("n_boiler") == 1L
+        && got(id).getAs[Double]("boiler_frac") == 0.3333
+        && got(id).getAs[Boolean]("boiler_heavy"),
+        s"doc $id: ${got(id)}")
+    }
+    assert(got(4L).getAs[Long]("n_boiler") == 0L
+      && got(4L).getAs[Double]("boiler_frac") == 0.0
+      && !got(4L).getAs[Boolean]("boiler_heavy"))
+  }
+
+  test("source profile: per-source counts reconcile with the corpus") {
+    val prof = CurationOps.sourceProfile(spark, sfDir).collect()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    assert(prof.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    prof.foreach { r =>
+      assert(r.getAs[Long]("n_uniq_fp") <= r.getAs[Long]("n_docs"))
+      val q = r.getAs[Double]("avg_quality")
+      assert(q >= 0.0 && q <= 1.2, s"quality out of range: $r")
+    }
+  }
+
   test("canonical docs: argmax member per dup group") {
     val groups = DedupOps.textDedupGroups(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
