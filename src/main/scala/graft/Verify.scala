@@ -9,6 +9,10 @@ object Verify {
     // optional trailing names: verify only that subset (iteration aid;
     // the driver passes exactly two args and gets the full suite)
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — a typo here " +
+        "would otherwise verify nothing and exit green")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -111,7 +111,11 @@ object CurationOps {
   def packSequences(df: DataFrame, idCol: String, langCol: String,
       tok: Column, budget: Long = PackBudget,
       shards: Int = PackShards): DataFrame = {
+    // ROWS frame, not the default RANGE: with duplicate ids in one
+    // (lang, shard), RANGE gives peers the SAME cumulative total and the
+    // first-fit invariant breaks; ROWS accumulates row-at-a-time
     val w = Window.partitionBy(col(langCol), col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol), col(langCol), tok.as("tok"),
         pmod(col(idCol), lit(shards)).cast("int").as("shard"))
       .withColumn("cum", sum(col("tok")).over(w))
@@ -123,7 +127,7 @@ object CurationOps {
     * many sequences overran the budget (all exact integers). */
   def packSummary(spark: SparkSession, dir: String): DataFrame =
     packSequences(Tables.documents(spark, dir), "doc_id", "lang",
-      ceil(length(col("text")).cast("double") / 4).cast("long"))
+      TextOps.tokEst(col("text")))
       .groupBy(col("lang"), col("shard"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tok"))
       .groupBy(col("lang"))
@@ -138,21 +142,27 @@ object CurationOps {
     * crawl curation pass reads before deciding source weights: doc and
     * exact-duplicate counts (normalized fingerprint), token volume, and
     * mean quality per source. One hash aggregation over the corpus plus
-    * an equi-join on doc_id for the quality signal; the decimal-exact
-    * average is the same engine-portable trick as [[curationSummary]]. */
+    * an equi-join on doc_id for the quality signal. The mean is the
+    * integer-TRUNCATED 1e-4 value (exact decimal sum → long → integer
+    * div), not round(double, 4) — round() half-ties split between
+    * engines (see [[TextOps.qualityScore]]'s sf0.1 war story). */
   def sourceProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
-        md5(lower(trim(col("text"))).cast("binary")).as("fp"),
-        ceil(length(col("text")).cast("double") / 4).cast("long").as("tok"))
+        TextOps.contentFp(col("text")).as("fp"),
+        TextOps.tokEst(col("text")).as("tok"))
       .join(TextOps.qualityScore(spark, dir)
         .select(col("doc_id"), col("quality")), Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("fp")).as("n_uniq_fp"),
         sum(col("tok")).as("n_tokens_est"),
-        round(sum(col("quality").cast("decimal(8,4)")).cast("double")
-          / count(lit(1)), 4).as("avg_quality"))
+        // quality has exactly 4 decimals, so sum*10000 is an exact long
+        (sum(col("quality").cast("decimal(8,4)")) * 10000).cast("long")
+          .as("q_sum10k"))
+      .withColumn("avg_quality",
+        expr("q_sum10k div n_docs").cast("double") / 10000.0)
+      .drop("q_sum10k")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation" -> curationSummary _,
@@ -173,21 +183,22 @@ object CurationOps {
   val oracles: Map[String, String] = Map(
     "q_source_profile" ->
       s"""WITH q AS (${TextOps.qualityScoreSql}),
-         |d AS (SELECT doc_id, source, md5(lower(trim(text))) AS fp,
-         |    CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS tok
+         |d AS (SELECT doc_id, source, ${TextOps.contentFpSql} AS fp,
+         |    ${TextOps.tokEstSql} AS tok
          |  FROM documents)
          |SELECT source, count(*) AS n_docs,
          |  count(DISTINCT fp) AS n_uniq_fp,
          |  CAST(sum(tok) AS BIGINT) AS n_tokens_est,
-         |  round(CAST(sum(CAST(quality AS DECIMAL(8,4))) AS DOUBLE)
-         |    / count(*), 4) AS avg_quality
+         |  CAST(CAST(sum(CAST(quality AS DECIMAL(8,4))) * 10000 AS BIGINT)
+         |    // count(*) AS DOUBLE) / 10000.0 AS avg_quality
          |FROM d JOIN q USING (doc_id)
          |GROUP BY source""".stripMargin,
     // sums are CAST to BIGINT: DuckDB widens integer sum to HUGEINT
     "q_seq_pack" ->
       s"""WITH d AS (SELECT doc_id, lang,
-         |    CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS tok,
-         |    CAST(doc_id % $PackShards AS INT) AS shard
+         |    ${TextOps.tokEstSql} AS tok,
+         |    CAST(((doc_id % $PackShards) + $PackShards) % $PackShards AS INT)
+         |      AS shard
          |  FROM documents),
          |c AS (SELECT *, sum(tok) OVER (PARTITION BY lang, shard
          |    ORDER BY doc_id

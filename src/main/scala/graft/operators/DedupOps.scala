@@ -538,9 +538,12 @@ object DedupOps {
     * `keep_id` does.
     *
     * Scale shape: group ids are high-cardinality (one per dup cluster),
-    * so the per-group argmax is an ordinary hash aggregation — no
-    * low-cardinality window funnel; the quality join is an equi-join on
-    * doc_id (both sides co-partitionable). */
+    * so the per-group argmax is a single-shuffle aggregation — no
+    * low-cardinality window funnel. (max_by over a struct ordering key
+    * has no mutable hash buffer, so Spark plans a SortAggregate; the
+    * sort is per-partition on the group key only — same shuffle count
+    * as a hash agg.) The quality join is an equi-join on doc_id (both
+    * sides co-partitionable). */
   def canonicalDocs(spark: SparkSession, dir: String): DataFrame =
     textDedupGroups(spark, dir)
       .join(TextOps.qualityScore(spark, dir)

@@ -20,6 +20,22 @@ object TextOps {
   private def toks(c: Column): Column =
     filter(split(c, " "), t => t =!= "")
 
+  /** chars/4 token estimate — the ONE definition every token-accounting
+    * query shares (tokenEstimate, seq packing, source profile); the SQL
+    * twin below must stay in lockstep. */
+  private[operators] def tokEst(c: Column): Column =
+    ceil(length(c).cast("double") / 4).cast("long")
+
+  private[operators] val tokEstSql: String =
+    "CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT)"
+
+  /** Normalized content fingerprint — shared by fingerprint, dedupExact
+    * and sourceProfile so their duplicate counts can never drift. */
+  private[operators] def contentFp(c: Column): Column =
+    md5(lower(trim(c)).cast("binary"))
+
+  private[operators] val contentFpSql: String = "md5(lower(trim(text)))"
+
   /** Distinct 3-gram word shingles (the MinHash/Jaccard unit). Word-level
     * sets degenerate on small vocabularies — every doc looks like every
     * other; 3-grams carry word order, so similarity concentrates on real
@@ -91,8 +107,7 @@ object TextOps {
       .select(col("doc_id"),
         size(filter(split(col("text"), "[^a-zA-Z0-9]+"), t => t =!= ""))
           .as("n_words"),
-        ceil(length(col("text")).cast("double") / 4).cast("long")
-          .as("n_tokens_est"))
+        tokEst(col("text")).as("n_tokens_est"))
 
   /** Heuristic language ID: stopword-marker counts per language, argmax
     * with a deterministic precedence. Cross-tabbed against the labeled
@@ -250,7 +265,7 @@ object TextOps {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        md5(lower(trim(col("text"))).cast("binary")).as("content_fp"),
+        contentFp(col("text")).as("content_fp"),
         md5(array_join(array_sort(array_distinct(toks(col("text")))), " ")
           .cast("binary")).as("bag_fp"))
 
@@ -260,7 +275,7 @@ object TextOps {
     Tables.documents(spark, dir)
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("text")).as("n_uniq_text"),
-        countDistinct(md5(lower(trim(col("text"))).cast("binary")))
+        countDistinct(contentFp(col("text")))
           .as("n_uniq_fp"),
         countDistinct(substring(col("text"), 1, 40)).as("n_uniq_prefix40"))
 
@@ -406,13 +421,13 @@ object TextOps {
          |  b10k > $BoilerplateHeavyBar10k AS boiler_heavy
          |FROM m""".stripMargin,
     "q_fingerprint" ->
-      s"""SELECT doc_id, md5(lower(trim(text))) AS content_fp,
+      s"""SELECT doc_id, $contentFpSql AS content_fp,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS bag_fp
          |FROM documents""".stripMargin,
     "q_dedup_exact" ->
-      """SELECT count(*) AS n_docs,
+      s"""SELECT count(*) AS n_docs,
         |  count(DISTINCT text) AS n_uniq_text,
-        |  count(DISTINCT md5(lower(trim(text)))) AS n_uniq_fp,
+        |  count(DISTINCT $contentFpSql) AS n_uniq_fp,
         |  count(DISTINCT substr(text, 1, 40)) AS n_uniq_prefix40
         |FROM documents""".stripMargin,
     "q_jaccard_best" -> jaccardBestSql,
