@@ -128,34 +128,47 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"))
   }
 
-  /** Quality score: length saturation, lexical diversity, punctuation and
-    * stopword ratios folded into one [0,1]-ish score with buckets. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val nTok = size(toks(col("text")))
-    val nUniq = size(array_distinct(toks(col("text"))))
-    val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))
-    val nStop = regexp_count(col("text"), lit("\\b(the|a|of|and|in|to)\\b"))
-    // INTEGER-exact: the score is rational with denominator 1000*nTok
-    // (weights 0.3/0.4/0.2/0.2 over count ratios), so compute the exact
-    // numerator in longs and TRUNCATE to 1e-4 units with integer div.
-    // A double rendition hit a cross-engine rounding-mode edge at sf0.1:
-    // q = 0.53575 exactly — Spark's round() half-ups the shortest decimal
-    // repr (0.5358), DuckDB rounds the binary value just under the half
-    // (0.5357). Truncation of an exact integer has no such edge.
+  /** Exact integer division for NON-NEGATIVE operands as a composable
+    * expression: (a - a%b)/b — a-a%b is a multiple of b, so the double
+    * division is exact. Lets per-row scores stay single expressions
+    * (`expr("a div b")` needs named columns). */
+  private def divPos(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** 1e-4-unit quality score of a text column as ONE per-row expression
+    * — [[qualityScore]] and the streaming admission gate share it, so
+    * the two can never drift.
+    *
+    * INTEGER-exact: the score is rational with denominator 1000*nTok
+    * (weights 0.3/0.4/0.2/0.2 over count ratios), so compute the exact
+    * numerator in longs and TRUNCATE to 1e-4 units with integer div.
+    * A double rendition hit a cross-engine rounding-mode edge at sf0.1:
+    * q = 0.53575 exactly — Spark's round() half-ups the shortest decimal
+    * repr (0.5358), DuckDB rounds the binary value just under the half
+    * (0.5357). Truncation of an exact integer has no such edge. */
+  private[graft] def quality10k(text: Column): Column = {
+    val nTok = size(toks(text))
+    val nUniq = size(array_distinct(toks(text)))
+    val nPunct = length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+    val nStop = regexp_count(text, lit("\\b(the|a|of|and|in|to)\\b"))
     val tok = greatest(nTok, lit(1)).cast("long")
     val numer = lit(3L) * least(nTok, lit(100)).cast("long") * tok +
       lit(400L) * nUniq.cast("long") +
       lit(200L) * (tok - least(nPunct.cast("long"), tok)) +
       lit(100L) * least(lit(2L) * nStop.cast("long"), tok)
+    divPos(numer * 10L, tok)
+  }
+
+  /** Quality score: length saturation, lexical diversity, punctuation and
+    * stopword ratios folded into one [0,1]-ish score with buckets. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), (numer * 10L).as("n10"), tok.as("tok"))
-      .withColumn("q10k", expr("n10 div tok"))
+      .select(col("doc_id"), quality10k(col("text")).as("q10k"))
       .select(col("doc_id"),
         (col("q10k").cast("double") / 10000.0).as("quality"),
         when(col("q10k") >= 7000, "high")
           .when(col("q10k") >= 5000, "mid")
           .otherwise("low").as("bucket"))
-  }
 
   /** Repetition bars above which a document is flagged (the
     * Gopher-rules neighborhood: a fifth of the mass in one token or in
@@ -179,17 +192,12 @@ object TextOps {
   def repetition(spark: SparkSession, dir: String): DataFrame =
     repetitionCore(Tables.documents(spark, dir))
 
-  /** [[repetition]] over any (doc_id, lang, text) relation. */
-  def repetitionCore(docs: DataFrame): DataFrame = {
-    val t = toks(col("text"))
-    // bigrams with duplicates preserved (zip against the 1-shifted
-    // slice; null pad from the shorter side drops in the filter)
-    val g2 = filter(
-      zip_with(t, slice(t, 2, Int.MaxValue - 8), (x, y) => concat(x, lit(" "), y)),
-      g => g.isNotNull)
-    // max run length over the SORTED tokens = count of the most
-    // frequent token. State: (prev token, current run, best run).
-    // toks() drops empties, so the "" init can never match a token.
+  /** Top-token fraction in 1e-4 units as one per-row expression: max run
+    * length over the SORTED tokens = count of the most frequent token.
+    * State: (prev token, current run, best run). toks() drops empties,
+    * so the "" init can never match a token. */
+  private[graft] def topWord10k(text: Column): Column = {
+    val t = toks(text)
     val topCnt = aggregate(array_sort(t),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, x) => {
@@ -198,19 +206,38 @@ object TextOps {
           greatest(acc("best"), run).as("best"))
       },
       acc => acc("best"))
+    divPos(topCnt * 10000L, greatest(size(t).cast("long"), lit(1L)))
+  }
+
+  /** Duplicate-bigram fraction in 1e-4 units as one per-row expression.
+    * Bigrams keep duplicates (zip against the 1-shifted slice; the null
+    * pad from the shorter side drops in the filter). */
+  private[graft] def dup2gram10k(text: Column): Column = {
+    val t = toks(text)
+    val g2 = filter(
+      zip_with(t, slice(t, 2, Int.MaxValue - 8), (x, y) => concat(x, lit(" "), y)),
+      g => g.isNotNull)
+    divPos((size(g2) - size(array_distinct(g2))).cast("long") * 10000L,
+      greatest(size(g2).cast("long"), lit(1L)))
+  }
+
+  /** The repetition admission flag as one boolean expression — shared by
+    * [[repetitionCore]] and the streaming admission gate. */
+  private[graft] def repetitiveFlag(text: Column): Column =
+    topWord10k(text) > TopWordBar10k || dup2gram10k(text) > Dup2gramBar10k
+
+  /** [[repetition]] over any (doc_id, lang, text) relation. */
+  def repetitionCore(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("lang"),
-        size(t).cast("long").as("n_tok"), topCnt.as("top_cnt"),
-        size(g2).cast("long").as("n2"),
-        (size(g2) - size(array_distinct(g2))).cast("long").as("dup2"))
-      .withColumn("top10k", expr("top_cnt * 10000 div greatest(n_tok, 1)"))
-      .withColumn("dup10k", expr("dup2 * 10000 div greatest(n2, 1)"))
+        size(toks(col("text"))).cast("long").as("n_tok"),
+        topWord10k(col("text")).as("top10k"),
+        dup2gram10k(col("text")).as("dup10k"))
       .select(col("doc_id"), col("lang"), col("n_tok"),
         (col("top10k").cast("double") / 10000.0).as("top_word_frac"),
         (col("dup10k").cast("double") / 10000.0).as("dup_2gram_frac"),
         (col("top10k") > TopWordBar10k || col("dup10k") > Dup2gramBar10k)
           .as("repetitive"))
-  }
 
   /** A shingle present in MORE than this many distinct documents counts
     * as boilerplate (headers, footers, license blurbs — content that

@@ -122,6 +122,61 @@ object StreamingAnalytics {
         round(max(col("jac")), 4).as("jac"))
   }
 
+  /** Quality floor for [[admitBatch]] in 1e-4 units — lenient (well
+    * below the "low" bucket bar at 5000): the admission gate screens
+    * garbage, the batch curation pass decides mixtures. */
+  val AdmitMinQuality10k = 3000L
+
+  /** Composed ADMISSION POLICY — the full per-document verdict a
+    * streaming curation ingest applies, in precedence order:
+    * near-duplicate of the corpus/batch ([[gateAgainstCorpus]]) →
+    * repetitive (Gopher bars, [[graft.operators.TextOps.repetitiveFlag]])
+    * → below the quality floor → admit.
+    *
+    * Scale shape: quality and repetition are single per-row expressions
+    * evaluated in ONE projection over the batch (no joins, no state);
+    * only the dup verdict needs the gate's candidate join. Returns every
+    * batch row with (verdict, dup_of, jac, quality); the caller admits
+    * `verdict = 'admit'` and routes the rest (quarantine table, metrics). */
+  def admitBatch(batch: DataFrame, corpusBandKeys: DataFrame,
+      corpusShingles: DataFrame,
+      bar: Double = graft.operators.DedupOps.TextDupJaccard,
+      minQuality10k: Long = AdmitMinQuality10k): DataFrame = {
+    val flagged = gateAgainstCorpus(batch, corpusBandKeys, corpusShingles, bar)
+    batch.select(col("doc_id"),
+        graft.operators.TextOps.quality10k(col("text")).as("q10k"),
+        graft.operators.TextOps.repetitiveFlag(col("text")).as("repetitive"))
+      .join(flagged, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("dup_of").isNotNull, lit("dup"))
+          .when(col("repetitive"), lit("repetitive"))
+          .when(col("q10k") < minQuality10k, lit("low_quality"))
+          .otherwise(lit("admit")))
+      .select(col("doc_id"), col("verdict"), col("dup_of"), col("jac"),
+        (col("q10k").cast("double") / 10000.0).as("quality"))
+  }
+
+  /** Streaming wrapper for [[admitBatch]] — same contract as [[runGate]]
+    * (AvailableNow foreachBatch, checkpoint REQUIRED, state bounded to
+    * one micro-batch); per-batch verdicts go to `onVerdicts`. */
+  def runAdmission(stream: DataFrame, corpusBandKeys: DataFrame,
+      corpusShingles: DataFrame, checkpoint: String,
+      bar: Double = graft.operators.DedupOps.TextDupJaccard,
+      minQuality10k: Long = AdmitMinQuality10k)(
+      onVerdicts: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checkpoint.nonEmpty, "checkpoint location is required")
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onVerdicts(admitBatch(batch, corpusBandKeys, corpusShingles, bar,
+          minQuality10k), id)
+      }
+      .start()
+  }
+
   /** Streaming wrapper for the ingest gate: AvailableNow foreachBatch —
     * per-batch verdicts go to `onFlagged` (append to a quarantine table,
     * metrics, ...). State is bounded: the gate's distinct/groupBy live

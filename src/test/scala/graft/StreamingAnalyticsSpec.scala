@@ -121,6 +121,39 @@ class StreamingAnalyticsSpec extends SparkSpec {
     cbk.unpersist(); csh.unpersist(); ()
   }
 
+  test("admission policy: dup > repetitive > low_quality > admit") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val (cbk, csh) = StreamingAnalytics.corpusIndex(docs)
+    val dupText = docs.orderBy(col("doc_id")).select("doc_id", "text").head()
+    // a corpus replay, a keyboard-mash doc, a thin junk doc, a good doc
+    val good = "the quick brown fox jumps over a lazy dog and then " +
+      "walks off to find the next interesting thing in the field"
+    val batch = Seq(
+      (9001L, dupText.getString(1)),
+      (9002L, "spam spam spam spam spam spam spam spam"),
+      // de Bruijn arrangement: 5 distinct tokens x5 each (top fraction
+      // exactly 0.2, NOT over the bar), all 24 bigrams distinct, every
+      // token punctuated -> q10k = 1550, under the 3000 floor
+      (9003L, "a, a, b, a, c, a, d, a, e, b, b, c, b, d, b, e, c, c, d, c, e, d, d, e, e,"),
+      (9004L, good))
+      .toDF("doc_id", "text")
+    val got = StreamingAnalytics.admitBatch(batch, cbk, csh)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("verdict")).toMap
+    assert(got(9001L) == "dup", s"corpus replay: $got")
+    assert(got(9002L) == "repetitive", s"mash: $got")
+    assert(got(9003L) == "low_quality", s"junk: $got")
+    assert(got(9004L) == "admit", s"good doc: $got")
+    // a doc that is BOTH a dup and repetitive resolves to dup (precedence)
+    val both = Seq((9005L, "spam spam spam spam spam spam spam spam"),
+      (9006L, "spam spam spam spam spam spam spam spam"))
+      .toDF("doc_id", "text")
+    val v2 = StreamingAnalytics.admitBatch(both, cbk, csh)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("verdict")).toMap
+    assert(v2(9005L) == "repetitive" && v2(9006L) == "dup",
+      s"intra-batch dup wins precedence on the second copy: $v2")
+    cbk.unpersist(); csh.unpersist(); ()
+  }
+
   test("dedupStream: replayed deliveries within the watermark are dropped") {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", TimestampType),
