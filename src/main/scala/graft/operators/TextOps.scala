@@ -287,6 +287,34 @@ object TextOps {
         (col("b10k") > BoilerplateHeavyBar10k).as("boiler_heavy"))
   }
 
+  /** Per-language EXACT token-length quantiles (p50/p90/p99) via the
+    * histogram trick: the corpus collapses to a (lang, n_tok) count
+    * histogram in one hash aggregation, and the quantile selection runs
+    * a window over the HISTOGRAM — thousands of rows at any corpus
+    * size, never the corpus itself (the naive per-lang rank window is
+    * the low-cardinality funnel; `percentile_approx` trades exactness
+    * for one pass — this keeps both, because the metric is
+    * integer-valued). Selection is pure integer arithmetic:
+    * pXX = min n_tok with 100·cum ≥ XX·total. */
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(spark, dir)
+      .select(col("lang"), size(toks(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("lang"), col("n_tok"))
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("n_tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("lang"))
+    def pick(p: Int): Column =
+      min(when(col("cum") * 100 >= col("total") * p, col("n_tok")))
+        .as(s"p$p")
+    hist
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .groupBy(col("lang"))
+      .agg(max(col("total")).as("n_docs"), pick(50), pick(90), pick(99))
+  }
+
   /** Document fingerprinting: content hash of the normalized text plus a
     * bag-of-words canonical hash (order-insensitive). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -352,6 +380,7 @@ object TextOps {
     "q_quality_score"  -> qualityScore _,
     "q_repetition"     -> repetition _,
     "q_boilerplate"    -> boilerplate _,
+    "q_length_quantiles" -> lengthQuantiles _,
     "q_fingerprint"    -> fingerprint _,
     "q_dedup_exact"    -> dedupExact _,
     "q_jaccard_best"   -> jaccardBestMatch _,
@@ -447,6 +476,22 @@ object TextOps {
          |  CAST(b10k AS DOUBLE) / 10000.0 AS boiler_frac,
          |  b10k > $BoilerplateHeavyBar10k AS boiler_heavy
          |FROM m""".stripMargin,
+    "q_length_quantiles" ->
+      s"""WITH hist AS (
+         |  SELECT lang, CAST(length($toksSql) AS BIGINT) AS n_tok,
+         |    count(*) AS n
+         |  FROM documents GROUP BY 1, 2),
+         |c AS (
+         |  SELECT lang, n_tok, n,
+         |    sum(n) OVER (PARTITION BY lang ORDER BY n_tok
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(n) OVER (PARTITION BY lang) AS total
+         |  FROM hist)
+         |SELECT lang, CAST(max(total) AS BIGINT) AS n_docs,
+         |  min(CASE WHEN cum * 100 >= total * 50 THEN n_tok END) AS p50,
+         |  min(CASE WHEN cum * 100 >= total * 90 THEN n_tok END) AS p90,
+         |  min(CASE WHEN cum * 100 >= total * 99 THEN n_tok END) AS p99
+         |FROM c GROUP BY lang""".stripMargin,
     "q_fingerprint" ->
       s"""SELECT doc_id, $contentFpSql AS content_fp,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS bag_fp

@@ -125,6 +125,26 @@ class CurationPackSpec extends SparkSpec {
     }
   }
 
+  test("length quantiles: histogram selection equals sorted-rank picks") {
+    val got = TextOps.lengthQuantiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // brute-force reference: sort each lang's token counts, pick the
+    // smallest value whose 1-based rank r satisfies 100r >= p*n
+    val byLang = TextOps.textStats(spark, sfDir)
+      .select(col("lang"), col("n_tokens")).collect()
+      .map(r => r.getString(0) -> r.getInt(1).toLong)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    def rank(v: Vector[Long], p: Int): Long =
+      v((math.ceil(v.size * p / 100.0) - 1).toInt.max(0))
+    byLang.foreach { case (lang, v) =>
+      val r = got(lang)
+      assert(r.getAs[Long]("n_docs") == v.size)
+      assert(r.getAs[Long]("p50") == rank(v, 50), s"$lang p50")
+      assert(r.getAs[Long]("p90") == rank(v, 90), s"$lang p90")
+      assert(r.getAs[Long]("p99") == rank(v, 99), s"$lang p99")
+    }
+  }
+
   test("canonical docs: argmax member per dup group") {
     val groups = DedupOps.textDedupGroups(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
