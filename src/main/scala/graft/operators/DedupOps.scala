@@ -555,6 +555,26 @@ object DedupOps {
           .as("keep_id"),
         max(col("quality")).as("keep_quality"))
 
+  /** Duplicate rate per source — joins the dup-group membership back to
+    * document provenance: which domains/feeds are producing the
+    * duplicates (the signal that turns a dedup pass into a crawl-policy
+    * fix). n_dup_docs counts docs that are a NON-CANONICAL member of
+    * some group (rep_id ≠ doc_id — the rows a dedup drops under
+    * min-id-keeps); rate in exact 1e-4 units. One equi-join on doc_id
+    * plus a per-source hash aggregation on top of the LSH chain. */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val dropped = textDedupGroups(spark, dir)
+      .where(col("rep_id") =!= col("doc_id"))
+      .select(col("doc_id"), lit(1L).as("is_dup"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+      .withColumn("dup_rate",
+        expr("n_dup_docs * 10000 div n_docs").cast("double") / 10000.0)
+  }
+
   /** Containment bar above which a corpus document counts as containing a
     * benchmark document (the standard decontamination threshold family:
     * ≥80% of the benchmark doc's shingles present). */
@@ -634,6 +654,7 @@ object DedupOps {
     "q_dedup_groups" -> dedupGroups _,
     "q_text_dedup_groups" -> textDedupGroups _,
     "q_canonical_docs" -> canonicalDocs _,
+    "q_dup_rate_by_source" -> dupRateBySource _,
     "q_contamination" -> contamination _,
   )
 
@@ -756,6 +777,20 @@ object DedupOps {
     "q_text_dedup_groups" ->
       s"""WITH RECURSIVE $textGroupsCtes
          |SELECT id AS doc_id, min(comp) AS rep_id FROM walk GROUP BY id""".stripMargin,
+    // dup groups → per-source drop counts under min-id-keeps dedup
+    "q_dup_rate_by_source" ->
+      s"""WITH RECURSIVE $textGroupsCtes,
+         |dropped AS (
+         |  SELECT id AS doc_id FROM (
+         |    SELECT id, min(comp) AS rep_id FROM walk GROUP BY id)
+         |  WHERE rep_id <> id)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_dup_docs,
+         |  CAST(CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END)
+         |      AS BIGINT) * 10000 // count(*) AS DOUBLE) / 10000.0 AS dup_rate
+         |FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+         |GROUP BY d.source""".stripMargin,
     // dup groups → per-group best-quality member: the window form of the
     // Spark argmax (rank over (quality desc, doc_id), one row per group)
     "q_canonical_docs" ->

@@ -145,6 +145,21 @@ class CurationPackSpec extends SparkSpec {
     }
   }
 
+  test("dup rate by source: reconciles with group membership") {
+    val rates = DedupOps.dupRateBySource(spark, sfDir).collect()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    assert(rates.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val dropped = DedupOps.textDedupGroups(spark, sfDir)
+      .where(col("rep_id") =!= col("doc_id")).count()
+    assert(rates.map(_.getAs[Long]("n_dup_docs")).sum == dropped,
+      "per-source drop counts must sum to the corpus-wide drop count")
+    rates.foreach { r =>
+      val rate = r.getAs[Double]("dup_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_dup_docs") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("canonical docs: argmax member per dup group") {
     val groups = DedupOps.textDedupGroups(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
