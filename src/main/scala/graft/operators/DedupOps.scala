@@ -545,9 +545,17 @@ object DedupOps {
     * as a hash agg.) The quality join is an equi-join on doc_id (both
     * sides co-partitionable). */
   def canonicalDocs(spark: SparkSession, dir: String): DataFrame =
-    textDedupGroups(spark, dir)
-      .join(TextOps.qualityScore(spark, dir)
-        .select(col("doc_id"), col("quality")), Seq("doc_id"))
+    canonicalDocsFrom(textDedupGroups(spark, dir),
+      TextOps.qualityScore(spark, dir).select(col("doc_id"), col("quality")))
+
+  /** [[canonicalDocs]] over a PRECOMPUTED (doc_id, rep_id) group table
+    * and (doc_id, quality) scores — the production entry point: a dedup
+    * run materializes the group table once (it is the expensive LSH +
+    * components pass) and derives canonical picks, drop lists and
+    * per-source rates from it without re-running the chain. */
+  def canonicalDocsFrom(groups: DataFrame, quality: DataFrame): DataFrame =
+    groups
+      .join(quality, Seq("doc_id"))
       .groupBy(col("rep_id"))
       .agg(count(lit(1)).as("n_members"),
         // argmax by (quality, -doc_id): struct ordering is lexicographic
@@ -562,11 +570,17 @@ object DedupOps {
     * some group (rep_id ≠ doc_id — the rows a dedup drops under
     * min-id-keeps); rate in exact 1e-4 units. One equi-join on doc_id
     * plus a per-source hash aggregation on top of the LSH chain. */
-  def dupRateBySource(spark: SparkSession, dir: String): DataFrame = {
-    val dropped = textDedupGroups(spark, dir)
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    dupRateBySourceFrom(textDedupGroups(spark, dir),
+      Tables.documents(spark, dir).select(col("doc_id"), col("source")))
+
+  /** [[dupRateBySource]] over a PRECOMPUTED group table (see
+    * [[canonicalDocsFrom]]) and a (doc_id, source) provenance relation. */
+  def dupRateBySourceFrom(groups: DataFrame, provenance: DataFrame): DataFrame = {
+    val dropped = groups
       .where(col("rep_id") =!= col("doc_id"))
       .select(col("doc_id"), lit(1L).as("is_dup"))
-    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    provenance
       .join(dropped, Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
