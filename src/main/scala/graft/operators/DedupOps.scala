@@ -566,19 +566,29 @@ object DedupOps {
   /** Duplicate rate per source — joins the dup-group membership back to
     * document provenance: which domains/feeds are producing the
     * duplicates (the signal that turns a dedup pass into a crawl-policy
-    * fix). n_dup_docs counts docs that are a NON-CANONICAL member of
-    * some group (rep_id ≠ doc_id — the rows a dedup drops under
-    * min-id-keeps); rate in exact 1e-4 units. One equi-join on doc_id
-    * plus a per-source hash aggregation on top of the LSH chain. */
-  def dupRateBySource(spark: SparkSession, dir: String): DataFrame =
-    dupRateBySourceFrom(textDedupGroups(spark, dir),
+    * fix). n_dup_docs counts the group members the dedup ACTUALLY drops
+    * — everyone but [[canonicalDocsFrom]]'s best-quality keep — so the
+    * rates and the canonical picks always agree on who survives (a
+    * min-id drop rule here would blame the wrong source whenever the
+    * best-quality member is not the min id). Rate in exact 1e-4 units;
+    * one equi-join on doc_id plus a per-source hash aggregation on top
+    * of the LSH chain. */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val groups = textDedupGroups(spark, dir)
+    dupRateBySourceFrom(groups,
+      canonicalDocsFrom(groups, TextOps.qualityScore(spark, dir)
+        .select(col("doc_id"), col("quality"))),
       Tables.documents(spark, dir).select(col("doc_id"), col("source")))
+  }
 
-  /** [[dupRateBySource]] over a PRECOMPUTED group table (see
-    * [[canonicalDocsFrom]]) and a (doc_id, source) provenance relation. */
-  def dupRateBySourceFrom(groups: DataFrame, provenance: DataFrame): DataFrame = {
+  /** [[dupRateBySource]] over a PRECOMPUTED group table + its canonical
+    * picks (see [[canonicalDocsFrom]]) and a (doc_id, source)
+    * provenance relation. */
+  def dupRateBySourceFrom(groups: DataFrame, keep: DataFrame,
+      provenance: DataFrame): DataFrame = {
     val dropped = groups
-      .where(col("rep_id") =!= col("doc_id"))
+      .join(keep.select(col("rep_id"), col("keep_id")), Seq("rep_id"))
+      .where(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"), lit(1L).as("is_dup"))
     provenance
       .join(dropped, Seq("doc_id"), "left")
@@ -791,13 +801,19 @@ object DedupOps {
     "q_text_dedup_groups" ->
       s"""WITH RECURSIVE $textGroupsCtes
          |SELECT id AS doc_id, min(comp) AS rep_id FROM walk GROUP BY id""".stripMargin,
-    // dup groups → per-source drop counts under min-id-keeps dedup
+    // dup groups → per-source drop counts under the SAME best-quality
+    // keep rule as q_canonical_docs (rn = 1 survives, the rest drop)
     "q_dup_rate_by_source" ->
       s"""WITH RECURSIVE $textGroupsCtes,
-         |dropped AS (
-         |  SELECT id AS doc_id FROM (
-         |    SELECT id, min(comp) AS rep_id FROM walk GROUP BY id)
-         |  WHERE rep_id <> id)
+         |groups AS (
+         |  SELECT id AS doc_id, min(comp) AS rep_id FROM walk GROUP BY id),
+         |q AS (${TextOps.qualityScoreSql}),
+         |ranked AS (
+         |  SELECT g.doc_id,
+         |    row_number() OVER (PARTITION BY g.rep_id
+         |      ORDER BY q.quality DESC, g.doc_id) AS rn
+         |  FROM groups g JOIN q ON q.doc_id = g.doc_id),
+         |dropped AS (SELECT doc_id FROM ranked WHERE rn <> 1)
          |SELECT d.source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
          |    AS n_dup_docs,

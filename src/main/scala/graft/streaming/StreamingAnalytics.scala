@@ -156,26 +156,34 @@ object StreamingAnalytics {
         (col("q10k").cast("double") / 10000.0).as("quality"))
   }
 
-  /** Streaming wrapper for [[admitBatch]] — same contract as [[runGate]]
-    * (AvailableNow foreachBatch, checkpoint REQUIRED, state bounded to
-    * one micro-batch); per-batch verdicts go to `onVerdicts`. */
-  def runAdmission(stream: DataFrame, corpusBandKeys: DataFrame,
-      corpusShingles: DataFrame, checkpoint: String,
-      bar: Double = graft.operators.DedupOps.TextDupJaccard,
-      minQuality10k: Long = AdmitMinQuality10k)(
-      onVerdicts: (DataFrame, Long) => Unit)
+  /** Shared streaming-wrapper contract for the per-batch operators:
+    * AvailableNow foreachBatch, checkpoint REQUIRED (without it a
+    * restart replays the whole source and re-emits every historical
+    * verdict), state bounded to one micro-batch. */
+  private def runPerBatch(stream: DataFrame, checkpoint: String)(
+      perBatch: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(checkpoint.nonEmpty, "checkpoint location is required")
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        onVerdicts(admitBatch(batch, corpusBandKeys, corpusShingles, bar,
-          minQuality10k), id)
-      }
+      .foreachBatch(perBatch)
       .start()
   }
+
+  /** Streaming wrapper for [[admitBatch]] — [[runPerBatch]] contract;
+    * per-batch verdicts go to `onVerdicts`. */
+  def runAdmission(stream: DataFrame, corpusBandKeys: DataFrame,
+      corpusShingles: DataFrame, checkpoint: String,
+      bar: Double = graft.operators.DedupOps.TextDupJaccard,
+      minQuality10k: Long = AdmitMinQuality10k)(
+      onVerdicts: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    runPerBatch(stream, checkpoint) { (batch, id) =>
+      onVerdicts(admitBatch(batch, corpusBandKeys, corpusShingles, bar,
+        minQuality10k), id)
+    }
 
   /** Streaming wrapper for the ingest gate: AvailableNow foreachBatch —
     * per-batch verdicts go to `onFlagged` (append to a quarantine table,
@@ -188,18 +196,11 @@ object StreamingAnalytics {
       corpusShingles: DataFrame, checkpoint: String,
       bar: Double = graft.operators.DedupOps.TextDupJaccard)(
       onFlagged: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    require(checkpoint.nonEmpty, "checkpoint location is required")
-    stream.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        onFlagged(
-          gateAgainstCorpus(batch, corpusBandKeys, corpusShingles, bar), id)
-      }
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    runPerBatch(stream, checkpoint) { (batch, id) =>
+      onFlagged(
+        gateAgainstCorpus(batch, corpusBandKeys, corpusShingles, bar), id)
+    }
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

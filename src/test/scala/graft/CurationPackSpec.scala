@@ -149,8 +149,10 @@ class CurationPackSpec extends SparkSpec {
     val rates = DedupOps.dupRateBySource(spark, sfDir).collect()
     val docs = graft.sources.Tables.documents(spark, sfDir)
     assert(rates.map(_.getAs[Long]("n_docs")).sum == docs.count())
-    val dropped = DedupOps.textDedupGroups(spark, sfDir)
-      .where(col("rep_id") =!= col("doc_id")).count()
+    // exactly one keep per group survives, so corpus-wide drops =
+    // group members - number of groups (consistent with canonicalDocs)
+    val dropped = DedupOps.textDedupGroups(spark, sfDir).count() -
+      DedupOps.canonicalDocs(spark, sfDir).count()
     assert(rates.map(_.getAs[Long]("n_dup_docs")).sum == dropped,
       "per-source drop counts must sum to the corpus-wide drop count")
     rates.foreach { r =>

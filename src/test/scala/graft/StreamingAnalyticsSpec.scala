@@ -133,7 +133,8 @@ class StreamingAnalyticsSpec extends SparkSpec {
       (9002L, "spam spam spam spam spam spam spam spam"),
       // de Bruijn arrangement: 5 distinct tokens x5 each (top fraction
       // exactly 0.2, NOT over the bar), all 24 bigrams distinct, every
-      // token punctuated -> q10k = 1550, under the 3000 floor
+      // token punctuated -> q10k = 1950 (the "a," tokens also match the
+      // \ba\b stopword), under the 3000 floor
       (9003L, "a, a, b, a, c, a, d, a, e, b, b, c, b, d, b, e, c, c, d, c, e, d, d, e, e,"),
       (9004L, good))
       .toDF("doc_id", "text")
