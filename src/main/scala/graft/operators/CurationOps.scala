@@ -164,11 +164,62 @@ object CurationOps {
         expr("q_sum10k div n_docs").cast("double") / 10000.0)
       .drop("q_sum10k")
 
+  /** Quality floor for the funnel's final stage, in 1e-4 units —
+    * matches the streaming admission gate's floor. */
+  val FunnelMinQuality10k = 3000L
+
+  /** Curation FUNNEL — the drop-reason breakdown a data team reads
+    * after a pipeline run: every document lands in exactly ONE stage,
+    * the first filter that would drop it (precedence mirrors
+    * [[graft.streaming.StreamingAnalytics.admitBatch]] and extends it
+    * with the corpus-level passes): near-dup dropped (non-canonical
+    * member of a text dup group, best-quality-keeps) → benchmark-
+    * contaminated → repetitive (Gopher bars) → boilerplate-heavy →
+    * below the quality floor → admitted.
+    *
+    * Scale shape: the per-row signals (repetition, quality) evaluate in
+    * the main projection; the three corpus-level signals (dup drops,
+    * contamination, boilerplate) arrive as left equi-joins on doc_id of
+    * relations that are each sub-linear in the corpus (drop list ≤ dup
+    * members, contaminated set ≤ corpus, boiler flags one row per doc
+    * but reduce to a boolean). Output is langs × stages. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val groups = DedupOps.textDedupGroups(spark, dir)
+    val keep = DedupOps.canonicalDocsFrom(groups,
+      TextOps.qualityScore(spark, dir).select(col("doc_id"), col("quality")))
+    val dupDropped = groups
+      .join(keep.select(col("rep_id"), col("keep_id")), Seq("rep_id"))
+      .where(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), lit(true).as("dup_dropped"))
+    val contaminated = DedupOps.contamination(spark, dir)
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    val boiler = TextOps.boilerplate(spark, dir)
+      .select(col("doc_id"), col("boiler_heavy"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.repetitiveFlag(col("text")).as("repetitive"),
+        TextOps.quality10k(col("text")).as("q10k"))
+      .join(dupDropped, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .join(boiler, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(coalesce(col("dup_dropped"), lit(false)), "1_dup_dropped")
+          .when(coalesce(col("contaminated"), lit(false)), "2_contaminated")
+          .when(col("repetitive"), "3_repetitive")
+          .when(coalesce(col("boiler_heavy"), lit(false)), "4_boilerplate")
+          .when(col("q10k") < FunnelMinQuality10k, "5_low_quality")
+          .otherwise("6_admitted"))
+      .groupBy(col("lang"), col("stage"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation" -> curationSummary _,
     "q_stratified_sample" -> stratifiedSampleSummary _,
     "q_seq_pack" -> packSummary _,
     "q_source_profile" -> sourceProfile _,
+    "q_curation_funnel" -> curationFunnel _,
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -181,6 +232,76 @@ object CurationOps {
     }.mkString(" ") + s" ELSE '${rateHex(SampleDefaultRate)}' END"
 
   val oracles: Map[String, String] = Map(
+    // the funnel reuses DedupOps's group chain (ex carries the distinct
+    // shingles), derives drops under the canonical keep rule, and folds
+    // the per-row signals in one precedence CASE — same shape as the
+    // Spark plan
+    "q_curation_funnel" ->
+      s"""WITH RECURSIVE ${DedupOps.textGroupsCtes},
+         |groups AS (
+         |  SELECT id AS doc_id, min(comp) AS rep_id FROM walk GROUP BY id),
+         |qual AS (${TextOps.qualityScoreSql}),
+         |rankedg AS (
+         |  SELECT g.doc_id,
+         |    row_number() OVER (PARTITION BY g.rep_id
+         |      ORDER BY q.quality DESC, g.doc_id) AS rn
+         |  FROM groups g JOIN qual q ON q.doc_id = g.doc_id),
+         |dropped AS (SELECT doc_id FROM rankedg WHERE rn <> 1),
+         |bench AS (SELECT doc_id AS bench_id, n_tok AS n_b, tok
+         |          FROM ex WHERE doc_id < ${DedupOps.BenchmarkMaxId}),
+         |contam AS (
+         |  SELECT DISTINCT c.doc_id
+         |  FROM (SELECT doc_id, tok FROM ex
+         |        WHERE doc_id >= ${DedupOps.BenchmarkMaxId}) c
+         |  JOIN bench b ON b.tok = c.tok
+         |  GROUP BY c.doc_id, b.bench_id, b.n_b
+         |  HAVING CAST(count(*) AS DOUBLE) / b.n_b
+         |    >= ${DedupOps.ContaminationBar}),
+         |toksrc AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |freq AS (SELECT doc_id, tok2, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(toks) AS tok2 FROM toksrc)
+         |  GROUP BY 1, 2),
+         |top AS (SELECT doc_id, max(c) AS top_cnt FROM freq GROUP BY 1),
+         |rep AS (
+         |  SELECT t.doc_id,
+         |    (coalesce(tp.top_cnt, 0) * 10000
+         |       // greatest(len(t.toks), 1) > ${TextOps.TopWordBar10k}
+         |     OR (len(g2) - len(list_distinct(g2))) * 10000
+         |       // greatest(len(g2), 1) > ${TextOps.Dup2gramBar10k})
+         |      AS repetitive
+         |  FROM (SELECT doc_id, toks,
+         |      CASE WHEN len(toks) >= 2
+         |        THEN list_transform(range(1, len(toks)),
+         |               i -> toks[i] || ' ' || toks[i+1])
+         |        ELSE CAST([] AS VARCHAR[]) END AS g2
+         |    FROM toksrc) t
+         |  LEFT JOIN top tp ON tp.doc_id = t.doc_id),
+         |boilset AS (
+         |  SELECT tok FROM ex GROUP BY tok
+         |  HAVING count(*) > greatest(${TextOps.BoilerplateDocBar},
+         |    (SELECT count(*) FROM documents) // ${TextOps.BoilerplateFracDiv})),
+         |boil AS (
+         |  SELECT e.doc_id,
+         |    count(b.tok) * 10000 // greatest(any_value(e.n_tok), 1)
+         |      > ${TextOps.BoilerplateHeavyBar10k} AS heavy
+         |  FROM ex e LEFT JOIN boilset b ON b.tok = e.tok
+         |  GROUP BY e.doc_id)
+         |SELECT d.lang,
+         |  CASE WHEN dr.doc_id IS NOT NULL THEN '1_dup_dropped'
+         |       WHEN ct.doc_id IS NOT NULL THEN '2_contaminated'
+         |       WHEN rep.repetitive THEN '3_repetitive'
+         |       WHEN coalesce(bo.heavy, FALSE) THEN '4_boilerplate'
+         |       WHEN CAST(round(q.quality * 10000) AS BIGINT)
+         |         < $FunnelMinQuality10k THEN '5_low_quality'
+         |       ELSE '6_admitted' END AS stage,
+         |  count(*) AS n_docs
+         |FROM documents d
+         |LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+         |LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+         |JOIN rep ON rep.doc_id = d.doc_id
+         |LEFT JOIN boil bo ON bo.doc_id = d.doc_id
+         |JOIN qual q ON q.doc_id = d.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     "q_source_profile" ->
       s"""WITH q AS (${TextOps.qualityScoreSql}),
          |d AS (SELECT doc_id, source, ${TextOps.contentFpSql} AS fp,

@@ -729,9 +729,11 @@ object DedupOps {
        |  JOIN n y ON y.vec_id = c.id_b)""".stripMargin
 
   /** Shared minhash-LSH → verify → connected-components CTE chain (ends
-    * in `walk(id, comp)`), reused by the q_text_dedup_groups and
-    * q_canonical_docs oracles. Must follow a WITH RECURSIVE keyword. */
-  private lazy val textGroupsCtes: String =
+    * in `walk(id, comp)`; the `ex` CTE carries every doc's distinct
+    * shingles + counts), reused by the q_text_dedup_groups /
+    * q_canonical_docs / q_dup_rate_by_source oracles and CurationOps's
+    * funnel. Must follow a WITH RECURSIVE keyword. */
+  private[operators] lazy val textGroupsCtes: String =
     s"""ex AS (
        |  SELECT doc_id, length(tset) AS n_tok, unnest(tset) AS tok
        |  FROM (SELECT doc_id, ${TextOps.shingles3Sql} AS tset

@@ -239,10 +239,16 @@ object TextOps {
         (col("top10k") > TopWordBar10k || col("dup10k") > Dup2gramBar10k)
           .as("repetitive"))
 
-  /** A shingle present in MORE than this many distinct documents counts
-    * as boilerplate (headers, footers, license blurbs — content that
-    * repeats across unrelated docs). */
+  /** A shingle counts as boilerplate when its document frequency
+    * exceeds max([[BoilerplateDocBar]], docs/[[BoilerplateFracDiv]]) —
+    * the RELATIVE part is what makes the bar scale-stable: an absolute
+    * bar alone flags ever more of a growing corpus (at web scale nearly
+    * every common phrase clears any constant), while "appears in > 1%
+    * of documents" keeps the boiler set the high-frequency tail at any
+    * size. The absolute floor guards tiny corpora where 1% < a handful
+    * of docs. */
   val BoilerplateDocBar = 5L
+  val BoilerplateFracDiv = 100L
 
   /** A doc with more than this fraction (1e-4 units) of boilerplate
     * shingles is flagged for scrubbing. */
@@ -263,16 +269,22 @@ object TextOps {
   def boilerplate(spark: SparkSession, dir: String): DataFrame =
     boilerplateCore(Tables.documents(spark, dir), BoilerplateDocBar)
 
-  /** [[boilerplate]] over any (doc_id, lang, text) relation. */
+  /** [[boilerplate]] over any (doc_id, lang, text) relation. The
+    * effective bar is max(docBar, n_docs/[[BoilerplateFracDiv]]), with
+    * the corpus size arriving as a broadcast 1-row aggregate — never a
+    * driver-side count job. */
   def boilerplateCore(docs: DataFrame, docBar: Long): DataFrame = {
     val ex = docs
       .select(col("doc_id"), col("lang"),
         explode(shingles3(col("text"))).as("sh"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
     // shingles3 is array_distinct: one row per (doc, shingle) pair, so
     // count(1) IS the document frequency
     val boiler = ex.groupBy(col("sh"))
       .agg(count(lit(1)).as("nd"))
-      .where(col("nd") > docBar)
+      .crossJoin(broadcast(total))
+      .where(col("nd") >
+        greatest(lit(docBar), expr(s"n_total div $BoilerplateFracDiv")))
       .select(col("sh"))
     val perDoc = ex.join(boiler, Seq("sh"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
@@ -460,7 +472,8 @@ object TextOps {
          |  FROM (SELECT doc_id, lang, $shingles3Sql AS tset FROM documents)),
          |boiler AS (
          |  SELECT sh FROM ex GROUP BY sh
-         |  HAVING count(*) > $BoilerplateDocBar),
+         |  HAVING count(*) > greatest($BoilerplateDocBar,
+         |    (SELECT count(*) FROM documents) // $BoilerplateFracDiv)),
          |per_doc AS (
          |  SELECT doc_id, count(*) AS n_boiler
          |  FROM ex JOIN boiler USING (sh) GROUP BY doc_id),
