@@ -164,9 +164,9 @@ object CurationOps {
         expr("q_sum10k div n_docs").cast("double") / 10000.0)
       .drop("q_sum10k")
 
-  /** Quality floor for the funnel's final stage, in 1e-4 units —
-    * matches the streaming admission gate's floor. */
-  val FunnelMinQuality10k = 3000L
+  /** Quality floor for the funnel's final stage — the shared
+    * [[TextOps.QualityFloor10k]] (same constant as the streaming gate). */
+  val FunnelMinQuality10k: Long = TextOps.QualityFloor10k
 
   /** Curation FUNNEL — the drop-reason breakdown a data team reads
     * after a pipeline run: every document lands in exactly ONE stage,
@@ -187,10 +187,8 @@ object CurationOps {
     val groups = DedupOps.textDedupGroups(spark, dir)
     val keep = DedupOps.canonicalDocsFrom(groups,
       TextOps.qualityScore(spark, dir).select(col("doc_id"), col("quality")))
-    val dupDropped = groups
-      .join(keep.select(col("rep_id"), col("keep_id")), Seq("rep_id"))
-      .where(col("doc_id") =!= col("keep_id"))
-      .select(col("doc_id"), lit(true).as("dup_dropped"))
+    val dupDropped = DedupOps.dropList(groups, keep)
+      .withColumn("dup_dropped", lit(true))
     val contaminated = DedupOps.contamination(spark, dir)
       .select(col("doc_id")).distinct()
       .withColumn("contaminated", lit(true))
@@ -240,11 +238,11 @@ object CurationOps {
       s"""WITH RECURSIVE ${DedupOps.textGroupsCtes},
          |groups AS (
          |  SELECT id AS doc_id, min(comp) AS rep_id FROM walk GROUP BY id),
-         |qual AS (${TextOps.qualityScoreSql}),
+         |qual AS (${TextOps.quality10kSql}),
          |rankedg AS (
          |  SELECT g.doc_id,
          |    row_number() OVER (PARTITION BY g.rep_id
-         |      ORDER BY q.quality DESC, g.doc_id) AS rn
+         |      ORDER BY q.q10k DESC, g.doc_id) AS rn
          |  FROM groups g JOIN qual q ON q.doc_id = g.doc_id),
          |dropped AS (SELECT doc_id FROM rankedg WHERE rn <> 1),
          |bench AS (SELECT doc_id AS bench_id, n_tok AS n_b, tok
@@ -291,8 +289,7 @@ object CurationOps {
          |       WHEN ct.doc_id IS NOT NULL THEN '2_contaminated'
          |       WHEN rep.repetitive THEN '3_repetitive'
          |       WHEN coalesce(bo.heavy, FALSE) THEN '4_boilerplate'
-         |       WHEN CAST(round(q.quality * 10000) AS BIGINT)
-         |         < $FunnelMinQuality10k THEN '5_low_quality'
+         |       WHEN q.q10k < $FunnelMinQuality10k THEN '5_low_quality'
          |       ELSE '6_admitted' END AS stage,
          |  count(*) AS n_docs
          |FROM documents d

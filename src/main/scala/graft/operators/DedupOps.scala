@@ -581,15 +581,22 @@ object DedupOps {
       Tables.documents(spark, dir).select(col("doc_id"), col("source")))
   }
 
+  /** THE drop-list derivation — (doc_id) of every group member except
+    * its canonical keep. The single definition both [[dupRateBySourceFrom]]
+    * and CurationOps's funnel build on, so "who survives" can never
+    * diverge between the dashboards and the funnel. */
+  def dropList(groups: DataFrame, keep: DataFrame): DataFrame =
+    groups
+      .join(keep.select(col("rep_id"), col("keep_id")), Seq("rep_id"))
+      .where(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"))
+
   /** [[dupRateBySource]] over a PRECOMPUTED group table + its canonical
     * picks (see [[canonicalDocsFrom]]) and a (doc_id, source)
     * provenance relation. */
   def dupRateBySourceFrom(groups: DataFrame, keep: DataFrame,
       provenance: DataFrame): DataFrame = {
-    val dropped = groups
-      .join(keep.select(col("rep_id"), col("keep_id")), Seq("rep_id"))
-      .where(col("doc_id") =!= col("keep_id"))
-      .select(col("doc_id"), lit(1L).as("is_dup"))
+    val dropped = dropList(groups, keep).withColumn("is_dup", lit(1L))
     provenance
       .join(dropped, Seq("doc_id"), "left")
       .groupBy(col("source"))

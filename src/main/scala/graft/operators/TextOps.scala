@@ -128,6 +128,14 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Quality floor (1e-4 units) below which a curation pass drops a
+    * document — THE shared constant: the streaming admission gate and
+    * the batch curation funnel both reference it, so the two can never
+    * silently classify the same document differently. Lenient (well
+    * below the "low" bucket bar at 5000): admission screens garbage,
+    * the curation pass decides mixtures. */
+  val QualityFloor10k = 3000L
+
   /** Exact integer division for NON-NEGATIVE operands as a composable
     * expression: (a - a%b)/b — a-a%b is a multiple of b, so the double
     * division is exact. Lets per-row scores stay single expressions
@@ -518,26 +526,32 @@ object TextOps {
     "q_jaccard_best" -> jaccardBestSql,
   )
 
-  /** DuckDB rendering of [[qualityScore]] (doc_id, quality, bucket) —
-    * shared with DedupOps's q_canonical_docs, which scores dup-group
-    * members with the same formula. */
-  private[operators] lazy val qualityScoreSql: String =
+  /** DuckDB rendering of [[quality10k]] — (doc_id, q10k) with the EXACT
+    * integer score; consumers that threshold or rank on quality use
+    * this directly (no double round-trip can ever sit on a boundary). */
+  private[operators] lazy val quality10kSql: String =
     s"""WITH f AS (SELECT doc_id,
        |  length($toksSql) AS n_tok,
        |  length(list_distinct($toksSql)) AS n_uniq,
        |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
        |  length(regexp_extract_all(text, '\\b(the|a|of|and|in|to)\\b')) AS n_stop
        |FROM documents)
-       |SELECT doc_id, CAST(q10k AS DOUBLE) / 10000.0 AS quality,
+       |SELECT doc_id,
+       |  (10 * (3 * least(n_tok, 100) * greatest(n_tok, 1)
+       |         + 400 * n_uniq
+       |         + 200 * (greatest(n_tok, 1) - least(n_punct, greatest(n_tok, 1)))
+       |         + 100 * least(2 * n_stop, greatest(n_tok, 1))))
+       |    // greatest(n_tok, 1) AS q10k
+       |FROM f""".stripMargin
+
+  /** DuckDB rendering of [[qualityScore]] (doc_id, quality, bucket) —
+    * shared with DedupOps's q_canonical_docs, which scores dup-group
+    * members with the same formula. */
+  private[operators] lazy val qualityScoreSql: String =
+    s"""SELECT doc_id, CAST(q10k AS DOUBLE) / 10000.0 AS quality,
        |  CASE WHEN q10k >= 7000 THEN 'high'
        |       WHEN q10k >= 5000 THEN 'mid' ELSE 'low' END AS bucket
-       |FROM (SELECT doc_id,
-       |    (10 * (3 * least(n_tok, 100) * greatest(n_tok, 1)
-       |           + 400 * n_uniq
-       |           + 200 * (greatest(n_tok, 1) - least(n_punct, greatest(n_tok, 1)))
-       |           + 100 * least(2 * n_stop, greatest(n_tok, 1))))
-       |      // greatest(n_tok, 1) AS q10k
-       |  FROM f)""".stripMargin
+       |FROM ($quality10kSql)""".stripMargin
 
   /** Exact all-pairs Jaccard oracle — shared with DedupOps's q_jaccard_auto
     * (below the cutover the auto entry point IS this query). */

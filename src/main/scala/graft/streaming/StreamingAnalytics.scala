@@ -122,10 +122,10 @@ object StreamingAnalytics {
         round(max(col("jac")), 4).as("jac"))
   }
 
-  /** Quality floor for [[admitBatch]] in 1e-4 units — lenient (well
-    * below the "low" bucket bar at 5000): the admission gate screens
-    * garbage, the batch curation pass decides mixtures. */
-  val AdmitMinQuality10k = 3000L
+  /** Quality floor for [[admitBatch]] — the shared
+    * [[graft.operators.TextOps.QualityFloor10k]], so the streaming gate
+    * and the batch funnel agree by construction. */
+  val AdmitMinQuality10k: Long = graft.operators.TextOps.QualityFloor10k
 
   /** Composed ADMISSION POLICY — the full per-document verdict a
     * streaming curation ingest applies, in precedence order:

@@ -162,6 +162,42 @@ class CurationPackSpec extends SparkSpec {
     }
   }
 
+  test("curation funnel: every stage reachable, precedence holds") {
+    // a synthetic corpus hitting EVERY funnel stage — the sf testdata
+    // never exercises 2_contaminated (shadowed by dups) or 5_low_quality
+    val bench = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 30).map(i => s"filler$i").mkString(" ")
+    val deBruijn =
+      "a, a, b, a, c, a, d, a, e, b, b, c, b, d, b, e, c, c, d, c, e, d, d, e, e,"
+    val good = "the quick brown fox jumps over a lazy dog and then " +
+      "walks off to find the next interesting thing in the field"
+    val boilerDocs = (80L to 85L).map(i =>
+      (i, "en", s"common filler phrase u${i}a u${i}b"))
+    val docs = (Seq(
+      (1L, "en", bench),                   // benchmark side (id < 25)
+      (30L, "en", s"$bench $filler"),      // quotes the benchmark verbatim
+      (40L, "en", s"twin text $filler"),   // exact-dup pair: 41 drops
+      (41L, "en", s"twin text $filler"),
+      (50L, "en", ("spam " * 20).trim),    // repetitive
+      (60L, "en", deBruijn),               // q10k = 1950 < floor
+      (70L, "en", good)) ++ boilerDocs)
+      .toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationOps.curationFunnel(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+    // 41 dropped (exact dup, quality tie -> min id keeps 40);
+    // 30 contaminated-but-not-dup; 50 repetitive (ALSO low quality:
+    // q10k = 2800 — stage 3 must win); 80-85 boilerplate ("common
+    // filler phrase" in 6 docs > bar 5); 60 low quality;
+    // admitted: 1 (bench doc), 40, 70
+    assert(got == Map(
+      "1_dup_dropped" -> 1L, "2_contaminated" -> 1L, "3_repetitive" -> 1L,
+      "4_boilerplate" -> 6L, "5_low_quality" -> 1L, "6_admitted" -> 3L),
+      s"funnel stages: $got")
+  }
+
   test("canonical docs: argmax member per dup group") {
     val groups = DedupOps.textDedupGroups(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
