@@ -70,6 +70,23 @@ object VectorOps {
         col("col.id").as("neighbor_id"), col("col.sim").as("sim"))
   }
 
+  /** Shared broadcast-queries × partitioned-corpus cosine search tail:
+    * split on vec_id, round-4 quantized cosine, two-phase top-k.
+    * Expects (vec_id, vec, nrm); used by [[knnBruteForce]] and
+    * [[annSq8]] so a scoring fix can never diverge between them. */
+  private def cosineTopKSplit(vecs: DataFrame,
+      dot: (Column, Column) => Column, k: Int, nQueries: Int): DataFrame = {
+    val queries = vecs.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("q_vec"),
+        col("nrm").as("q_nrm"))
+    val scored = vecs.where(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(queries))
+      .withColumn("sim",
+        round(cosineQ(dot)(col("q_vec"), col("vec"), col("q_nrm"), col("nrm")), 4))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** Brute-force cosine top-k — J14/T5 baseline: a small query set is
     * broadcast against the full corpus; per-query top-k via the two-phase
     * merge ([[topKPerQuery]] — never a per-query window funnel). At
@@ -78,16 +95,9 @@ object VectorOps {
   def knnBruteForce(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 5): DataFrame = {
     val dot = DotProductLong.dotLong(spark) _
-    val emb = quantized(spark, dir)
-    val queries = emb.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"),
-        col("nrm").as("q_nrm"))
-    val scored = emb.where(col("vec_id") >= nQueries)
-      .crossJoin(broadcast(queries))
-      .withColumn("sim",
-        round(cosineQ(dot)(col("q_qe"), col("qe"), col("q_nrm"), col("nrm")), 4))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
-    topKPerQuery(scored, k)
+    cosineTopKSplit(quantized(spark, dir)
+      .select(col("vec_id"), col("qe").as("vec"), col("nrm")),
+      dot, k, nQueries)
   }
 
   /** Scalar-quantization (int8) ANN — the standard first compression
@@ -103,13 +113,22 @@ object VectorOps {
     * top-k tail. Encoding uses floor (not round) so no half-tie can
     * split engines; a constant zero dimension encodes to 0.
     *
-    * Accuracy (measured, sf0.01): cosine error < 0.05 per pair; any
-    * exact top-1 whose margin clears the envelope survives — only
-    * statistically-tied tails reorder (this synthetic data has 3e-4
-    * neighbor gaps; real embeddings have far larger margins). */
+    * Accuracy (measured, sf0.01): max cosine error 0.072 over ALL
+    * query×corpus pairs; an exact twin still lands at sim 1.0 rank 1,
+    * and any top-1 whose margin clears the error envelope survives —
+    * only statistically-tied tails reorder (this synthetic data has
+    * 3e-4 neighbor gaps; real embeddings have far larger margins).
+    *
+    * A vector whose code quantizes to ALL ZEROS (possible when one
+    * outlier per dim stretches the scale) has no cosine — it is
+    * excluded from search on both sides rather than dividing by zero
+    * (a NULL sim would sort NULLS FIRST into rank 1). */
   def annSq8(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 5): DataFrame = {
     val dot = DotProductLong.dotLong(spark) _
+    // eager localCheckpoint: the 64-double scale row is computed ONCE —
+    // without it both the query and corpus branches re-instantiate the
+    // full posexplode + aggregate subtree (64×N exploded rows, twice)
     val scales = Tables.embeddings(spark, dir)
       .select(posexplode(col("embedding")).as(Seq("d", "x")))
       .groupBy(col("d"))
@@ -117,6 +136,7 @@ object VectorOps {
         .as("s"))
       .agg(array_sort(collect_list(struct(col("d"), col("s")))).as("ds"))
       .select(transform(col("ds"), e => e.getField("s")).as("scales"))
+      .localCheckpoint(true)
     val coded = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(scales))
@@ -126,20 +146,13 @@ object VectorOps {
             least(lit(127L), greatest(lit(-128L),
               floor(x.cast("double") / s * 128))))
             .otherwise(lit(0L))).as("code"))
-    val withNrm = coded.withColumn("nrm", dot(col("code"), col("code")))
-    val queries = withNrm.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("code").as("q_code"),
-        col("nrm").as("q_nrm"))
     // cosine over the CODES (same metric as the exact baseline, so the
-    // only approximation is the quantization itself): integer dot and
-    // norms, one double division, round-4 — the knnBruteForce treatment
-    val scored = withNrm.where(col("vec_id") >= nQueries)
-      .crossJoin(broadcast(queries))
-      .withColumn("sim",
-        round(cosineQ(dot)(col("q_code"), col("code"),
-          col("q_nrm"), col("nrm")), 4))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
-    topKPerQuery(scored, k)
+    // only approximation is the quantization itself)
+    cosineTopKSplit(coded
+      .withColumn("nrm", dot(col("code"), col("code")))
+      .where(col("nrm") > 0)
+      .select(col("vec_id"), col("code").as("vec"), col("nrm")),
+      dot, k, nQueries)
   }
 
   /** Nearest neighbor within a blocking key (label) — the "embedding
@@ -580,7 +593,8 @@ object VectorOps {
          |        ELSE 0 END) AS code
          |  FROM embeddings, sl),
          |n AS (SELECT vec_id, code,
-         |    CAST(list_dot_product(code, code) AS BIGINT) AS nrm FROM coded),
+         |    CAST(list_dot_product(code, code) AS BIGINT) AS nrm FROM coded
+         |  WHERE CAST(list_dot_product(code, code) AS BIGINT) > 0),
          |scored AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |    round(CAST(list_dot_product(a.code, b.code) AS DOUBLE)

@@ -207,11 +207,14 @@ class CurationPackSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getAs[Int]("rank"), r.getLong(2),
         r.getAs[Double]("sim")))
     // int8 noise can only flip ranks whose EXACT sims sit inside the
-    // quantization error envelope (±0.05 each side). Whenever the exact
+    // quantization error envelope (measured max 0.072 over all pairs
+    // at sf0.01; 0.1 is the conservative bound). Whenever the exact
     // rank-1/rank-2 gap clears 2× the envelope, the true nearest
     // neighbor must survive; near-ties are legitimately unstable (this
-    // synthetic data has 3e-4 gaps).
-    val Envelope = 0.05
+    // synthetic data has 3e-4 gaps, so the clear-margin branch may not
+    // fire here — the constructed-twin test below is the guaranteed
+    // non-vacuous top-1 check).
+    val Envelope = 0.1
     val exTop1 = exact.filter(_._2 == 1).map(t => t._1 -> (t._3, t._4)).toMap
     val exTop2 = exact.filter(_._2 == 2).map(t => t._1 -> t._4).toMap
     val sqTop1 = sq.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
@@ -229,9 +232,24 @@ class CurationPackSpec extends SparkSpec {
           s"sim error too large: q=$q n=$n $s vs $e")
       }
     }
-    // and a synthetic clear-margin case: a query with an exact twin in
-    // the corpus must rank it first at cosine ~1.0 under SQ8 too
-    assert(sq.nonEmpty && exact.nonEmpty)
+    // constructed clear-margin case: a corpus containing an EXACT TWIN
+    // of each query (plus orthogonal-ish noise vectors) must rank the
+    // twin first at sim 1.0 under SQ8 — the non-vacuous top-1 check
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val qs = (0L until 3L).map(i => (i, vec(), 0))
+    val twins = qs.map { case (i, v, _) => (100L + i, v.clone(), 0) }
+    val noise = (200L until 220L).map(i => (i, vec(), 0))
+    val dir = java.nio.file.Files.createTempDirectory("sq8twin").toString
+    (qs ++ twins ++ noise).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val twinTop1 = VectorOps.annSq8(spark, dir, k = 1, nQueries = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getAs[Double]("sim")))
+      .toMap
+    (0L until 3L).foreach { i =>
+      assert(twinTop1(i) == (100L + i, 1.0),
+        s"exact twin must win at sim 1.0: query $i got ${twinTop1(i)}")
+    }
   }
 
   test("canonical docs: argmax member per dup group") {

@@ -53,7 +53,10 @@ class PlanAssertionsSpec extends SparkSpec {
       "ivf: probe rank (cells-scale) is the only single-key window")
     assert(oneKeyWindows("q_ann_ivf_kmeans") == 2,
       "trained ivf: probe rank + per-vec_id assignment only")
-    for (q <- Seq("q_knn_cosine", "q_ann_ivf", "q_ann_ivf_kmeans")) {
+    assert(oneKeyWindows("q_ann_sq8") == 0,
+      "sq8: the only window is the two-phase (query_id, pid) local rank")
+    for (q <- Seq("q_knn_cosine", "q_ann_ivf", "q_ann_ivf_kmeans",
+        "q_ann_sq8")) {
       val p = plan(q)
       assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
         s"$q: search tail must push a partial group limit:\n$p")
