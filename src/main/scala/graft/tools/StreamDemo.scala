@@ -40,6 +40,28 @@ object StreamDemo {
     println(s"[demo] sessions: ${sess.count()} " +
       s"(closed=${sess.where(col("closed")).count()})")
 
+    // streaming admission policy: corpus index once, verdicts per batch
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val (cbk, csh) = StreamingAnalytics.corpusIndex(docs)
+    val inDir = java.nio.file.Files.createTempDirectory("sdemo_adm").toString
+    val firstDoc = docs.orderBy(col("doc_id")).select("doc_id", "text").head()
+    Seq((900001L, firstDoc.getString(1)),            // corpus replay -> dup
+      (900002L, ("lorem " * 30).trim),               // one token repeated
+      (900003L, "a brand new clean document with plenty of variety inside"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(inDir)
+    val admQ = StreamingAnalytics.runAdmission(
+      spark.readStream
+        .schema(spark.read.parquet(inDir).schema).parquet(inDir),
+      cbk, csh,
+      java.nio.file.Files.createTempDirectory("sdemo_admckpt").toString) {
+      (verdicts, id) =>
+        println(s"[demo] admission batch $id:")
+        verdicts.orderBy(col("doc_id")).show(false)
+    }
+    admQ.awaitTermination()
+    cbk.unpersist(); csh.unpersist()
+
     // salted join — probe saltFactor=1 degenerate case
     val li = graft.sources.Tables.lineitem(spark, sfDir)
     val orders = graft.sources.Tables.orders(spark, sfDir)
