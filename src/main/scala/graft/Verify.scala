@@ -47,7 +47,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Subset runs write a DISTINCTLY-NAMED manifest and remove the full
+    // one (and vice versa): overwriting oracle_sql.json with a subset
+    // while a prior full run's parquet outputs sit in the same outDir
+    // would let a later check pass gate only the subset yet read as a
+    // full green run (ADVICE r5).
+    val (manifest, stale) =
+      if (only.isEmpty) ("oracle_sql.json", "oracle_sql_subset.json")
+      else ("oracle_sql_subset.json", "oracle_sql.json")
+    Files.deleteIfExists(Paths.get(s"$outDir/$stale"))
+    Files.writeString(Paths.get(s"$outDir/$manifest"), json)
+    if (only.nonEmpty)
+      System.err.println(s"[verify] SUBSET run (${only.size} queries) — " +
+        s"manifest written to $manifest, not oracle_sql.json")
     spark.stop()
   }
 }

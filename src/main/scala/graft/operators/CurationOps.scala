@@ -107,7 +107,14 @@ object CurationOps {
     * funnel VERDICT r3 flagged on docIdsPerLang: ~5 langs = ~5 tasks at
     * any corpus size). Parallelism is langs × shards; size `shards` to
     * the cluster (the default matches local[32]) — resharding only
-    * renumbers sequences, it never changes their token math. */
+    * renumbers sequences, it never changes their token math.
+    *
+    * `idCol` MUST be unique (doc_id is): the window orders by idCol
+    * alone, so duplicate ids leave the intra-tie ROW ORDER unspecified
+    * and `cum`/`seq_id` would differ across runs — the ROWS frame only
+    * stops tied peers from SHARING one cumulative total, it cannot
+    * order them. Packing a relation with a non-unique key means adding
+    * a deterministic tiebreaker column to the orderBy first. */
   def packSequences(df: DataFrame, idCol: String, langCol: String,
       tok: Column, budget: Long = PackBudget,
       shards: Int = PackShards): DataFrame = {

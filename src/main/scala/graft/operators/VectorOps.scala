@@ -73,9 +73,16 @@ object VectorOps {
   /** Shared broadcast-queries × partitioned-corpus cosine search tail:
     * split on vec_id, round-4 quantized cosine, two-phase top-k.
     * Expects (vec_id, vec, nrm); used by [[knnBruteForce]] and
-    * [[annSq8]] so a scoring fix can never diverge between them. */
-  private def cosineTopKSplit(vecs: DataFrame,
+    * [[annSq8]] so a scoring fix can never diverge between them.
+    *
+    * Zero-norm guard lives HERE (not per caller): a vector whose
+    * quantized form is all zeros has no cosine — left in, its NULL sim
+    * would sort NULLS FIRST into rank 1 through topKPerQuery's neg key.
+    * Both engines exclude such rows (the oracles carry the same
+    * `nrm > 0` filter). */
+  private def cosineTopKSplit(vecs0: DataFrame,
       dot: (Column, Column) => Column, k: Int, nQueries: Int): DataFrame = {
+    val vecs = vecs0.where(col("nrm") > 0)
     val queries = vecs.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("q_vec"),
         col("nrm").as("q_nrm"))
@@ -122,7 +129,7 @@ object VectorOps {
     * A vector whose code quantizes to ALL ZEROS (possible when one
     * outlier per dim stretches the scale) has no cosine — it is
     * excluded from search on both sides rather than dividing by zero
-    * (a NULL sim would sort NULLS FIRST into rank 1). */
+    * (the shared [[cosineTopKSplit]] guard). */
   def annSq8(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 5): DataFrame = {
     val dot = DotProductLong.dotLong(spark) _
@@ -150,7 +157,6 @@ object VectorOps {
     // only approximation is the quantization itself)
     cosineTopKSplit(coded
       .withColumn("nrm", dot(col("code"), col("code")))
-      .where(col("nrm") > 0)
       .select(col("vec_id"), col("code").as("vec"), col("nrm")),
       dot, k, nQueries)
   }
@@ -487,7 +493,9 @@ object VectorOps {
     "q_knn_cosine" ->
       s"""WITH emb AS (
          |  SELECT vec_id, $qSql AS qe FROM embeddings),
-         |n AS (SELECT vec_id, qe, list_dot_product(qe, qe) AS nrm FROM emb),
+         |n AS (SELECT * FROM (
+         |    SELECT vec_id, qe, list_dot_product(qe, qe) AS nrm FROM emb)
+         |  WHERE nrm > 0),
          |scored AS (
          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
          |    round(CAST(list_dot_product(q.qe, e.qe) AS DOUBLE)

@@ -24,7 +24,15 @@ def main():
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = p.split("/")[-1].removesuffix(".parquet")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    import os
+    manifest = f"{out_dir}/oracle_sql.json"
+    if not os.path.exists(manifest):
+        subset = f"{out_dir}/oracle_sql_subset.json"
+        if os.path.exists(subset):
+            manifest = subset
+            print("== SUBSET verify dir: gating only the queries in "
+                  "oracle_sql_subset.json — NOT a full run ==")
+    oracle = json.load(open(manifest))
     n_pass = n_fail = 0
     for q, sql in sorted(oracle.items()):
         try:
