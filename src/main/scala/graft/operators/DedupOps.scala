@@ -399,6 +399,42 @@ object DedupOps {
         col("ann_sim"))
   }
 
+  /** Bucket-space size at which [[annSignDims]]'s 16-dim cap binds and
+    * the sign-bucket family stops scaling: past it, bucket occupancy
+    * grows linearly with the corpus again (VERDICT r5 #2 — a
+    * billion-vector corpus would silently degrade to ~15k-vector
+    * buckets). */
+  val AnnMaxBuckets: Long = 1L << 16
+
+  /** True once the corpus needs more than `maxBuckets` buckets at the
+    * occupancy target — the cutover signal for [[annAuto]]. Integer-exact
+    * (same ceil-divide as [[annSignDims]]), so the boundary can never
+    * sit on an FP edge. */
+  def annBucketSaturated(n: Long, maxBuckets: Long = AnnMaxBuckets): Boolean =
+    (n + AnnTargetPerBucket - 1) / AnnTargetPerBucket > maxBuckets
+
+  /** Product entry point for GLOBAL vector search with the ENFORCED
+    * bucketed→IVF cutover [[annBucketed]]'s scaladoc promises — the
+    * policy [[jaccardBestAuto]] applies to text, applied to vectors:
+    * below saturation the untrained sign-bucket plan answers (per-vector
+    * nearest sibling within bucket — cheap, no training pass); once the
+    * corpus outgrows the 2^16-bucket space, occupancy at the target is
+    * no longer holdable and the TRAINED IVF index ([[VectorOps
+    * .annIvfKmeans]]: Lloyd-trained coarse cells, probed search) takes
+    * over — the billion-vector regime stops materializing every
+    * vector's neighbor and serves query top-k against the index, which
+    * is also why the two branches answer with their own schemas (each
+    * is independently oracled; the auto's oracle pins the
+    * below-saturation branch, the regime every test SF sits in). The
+    * corpus size comes from parquet footers on the driver (no Spark
+    * job per invocation). */
+  def annAuto(spark: SparkSession, dir: String,
+      maxBuckets: Long = AnnMaxBuckets): DataFrame =
+    if (!annBucketSaturated(graft.functions.ScaleUtils.footerRowCount(
+        spark, s"$dir/embeddings.parquet"), maxBuckets))
+      annBucketed(spark, dir)
+    else VectorOps.annIvfKmeans(spark, dir)
+
   /** Default cosine threshold for [[cosineNearDup]] — calibrated so the
     * synthetic (near-orthogonal) test embeddings yield a non-trivial pair
     * set at every sf; real corpora with planted duplicates run this at
@@ -738,6 +774,10 @@ object DedupOps {
     "q_jaccard_lsh"  -> jaccardLshBest _,
     "q_simhash"      -> simhash _,
     "q_ann_bucketed" -> ((s: SparkSession, d: String) => annBucketed(s, d)),
+    // the PRODUCT entry point (enforced bucketed→IVF cutover): below
+    // saturation it must be bit-identical to annBucketed — same oracle —
+    // and benching it keeps the auto path measured, not just declared
+    "q_ann_auto"     -> ((s: SparkSession, d: String) => annAuto(s, d)),
     // the PRODUCT entry point (enforced exact→LSH cutover): below the
     // cutover it must be bit-identical to the exact form — same oracle —
     // and benching it keeps the auto path measured, not just declared
@@ -1062,7 +1102,15 @@ object DedupOps {
          |FROM sigs GROUP BY simhash""".stripMargin,
     // sign-dim count derives from count(*) with the same integer-exact
     // bit-length formula as DedupOps.annSignDims
-    "q_ann_bucketed" ->
+    "q_ann_bucketed" -> annBucketedSql,
+    // below saturation the auto entry point IS the bucketed query
+    "q_ann_auto" -> annBucketedSql,
+  )
+
+  /** Sign-bucket ANN oracle — shared by q_ann_bucketed and the auto
+    * entry point q_ann_auto (below the saturation cutover they are the
+    * same query). */
+  private lazy val annBucketedSql: String =
       s"""WITH d AS (
         |  SELECT GREATEST(6, LEAST(16,
         |    CASE WHEN (count(*) + ${AnnTargetPerBucket - 1}) // $AnnTargetPerBucket <= 1 THEN 0
@@ -1089,6 +1137,5 @@ object DedupOps {
         |    row_number() OVER (PARTITION BY bucket, id_a
         |                       ORDER BY sim DESC, id_b ASC) AS rn
         |  FROM scored)
-        |WHERE rn = 1""".stripMargin,
-  )
+        |WHERE rn = 1""".stripMargin
 }

@@ -40,6 +40,26 @@ class AnnPolicySpec extends AnyFunSuite with SparkSpec {
       "past the limit the sign-bucketed plan must be chosen")
   }
 
+  test("global ANN: bucketed→IVF cutover flips at the bucket-space cap") {
+    // the synthetic boundary: the last corpus size the 2^16-bucket space
+    // carries at the occupancy target, and the first one past it
+    val boundary = DedupOps.AnnTargetPerBucket * DedupOps.AnnMaxBuckets
+    assert(!DedupOps.annBucketSaturated(boundary),
+      "at exactly target×maxBuckets the bucketed plan still holds occupancy")
+    assert(DedupOps.annBucketSaturated(boundary + 1),
+      "one vector past the cap the bucket space saturates")
+    // below saturation annAuto IS annBucketed, bit-identical
+    val auto = DedupOps.annAuto(spark, sfDir).collect().toSet
+    val bucketed = DedupOps.annBucketed(spark, sfDir).collect().toSet
+    assert(auto == bucketed, "below the cutover the auto must take the " +
+      "sign-bucket plan unchanged")
+    // forced saturation: the trained-IVF query plan takes over
+    val ivf = DedupOps.annAuto(spark, sfDir, maxBuckets = 1L)
+    assert(ivf.columns.toSeq == Seq("query_id", "rank", "neighbor_id", "sim"),
+      "past the cutover the auto must dispatch to annIvfKmeans")
+    assert(ivf.count() > 0)
+  }
+
   test("k-means: centroid update never increases inertia (Lloyd invariant)") {
     def inertia(iters: Int): Long =
       VectorOps.kmeansAssign(spark, sfDir, iters = iters)
