@@ -583,6 +583,62 @@ object DedupOps {
     } finally eRdds.foreach(_.unpersist(false))
   }
 
+  /** Incremental dup-group maintenance — the batch chain
+    * ([[textDedupGroups]]) recomputes components from scratch, but a
+    * streaming ingest already knows exactly which edges are NEW (the
+    * admission gate emits (doc_id, dup_of) per flagged arrival —
+    * [[graft.streaming.StreamingAnalytics.gateAgainstCorpus]]), so group
+    * state can be maintained by merging just those. `existing` is a
+    * fixpoint (doc_id, rep_id) labeling (a [[connectedComponents]]
+    * output); `newEdges` is (id_a, id_b). Returns the labeling the full
+    * chain would produce over (original edges ∪ newEdges) — the
+    * equivalence is spec-pinned on planted and randomized fixtures.
+    *
+    * Why it is correct: a fixpoint labeling is edge-equivalent to the
+    * star graph (member → rep), so merging components is union-find in
+    * REP SPACE — each new edge (a, b) becomes (rep(a), rep(b)), and the
+    * min-label fixpoint over those rep edges yields each affected
+    * component's new minimum, which is the same minimum the full chain
+    * converges to (old reps were their components' minima; genuinely
+    * new nodes enter as their own rep).
+    *
+    * Scale shape: only AFFECTED components do any work — the delta
+    * graph has ≤ |newEdges| edges, the [[connectedComponents]] loop
+    * runs on THAT (not the corpus), and the result is one left
+    * equi-join relabeling pass over `existing`. An untouched component
+    * never enters the loop; a fully-redundant delta (every edge inside
+    * one existing component) converges with an empty rep graph. */
+  def mergeGroups(existing: DataFrame, newEdges: DataFrame): DataFrame = {
+    val e = newEdges.select(col("id_a"), col("id_b"))
+    val nodes = e.select(col("id_a").as("id"))
+      .union(e.select(col("id_b").as("id"))).distinct()
+    // endpoint → its current rep; nodes the existing labeling has never
+    // seen are their own rep (singleton components)
+    val withRep = nodes
+      .join(existing.select(col("doc_id").as("id"), col("rep_id")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep_id"), col("id")).as("rep"))
+    // delta graph in rep space; edges whose endpoints already share a
+    // rep are no-ops — dropped so a redundant delta does zero work
+    val repEdges = e
+      .join(withRep.select(col("id").as("id_a"), col("rep").as("rep_a")),
+        Seq("id_a"))
+      .join(withRep.select(col("id").as("id_b"), col("rep").as("rep_b")),
+        Seq("id_b"))
+      .select(col("rep_a").as("id_a"), col("rep_b").as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+    val repMap = connectedComponents(repEdges) // (id = old rep, comp = new)
+    val relabeled = existing
+      .join(repMap.select(col("id").as("rep_id"), col("comp")),
+        Seq("rep_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("rep_id")).as("rep_id"))
+    val newMembers = withRep
+      .join(existing.select(col("doc_id").as("id")), Seq("id"), "left_anti")
+      .join(repMap.select(col("id").as("rep"), col("comp")), Seq("rep"), "left")
+      .select(col("id").as("doc_id"), coalesce(col("comp"), col("rep")).as("rep_id"))
+    relabeled.union(newMembers)
+  }
+
   /** Duplicate groups over the embedding corpus: [[cosineNearDup]] pairs
     * resolved to components. (vec_id, rep_id) per involved vector; the
     * dedup drop list is every row with vec_id <> rep_id. */

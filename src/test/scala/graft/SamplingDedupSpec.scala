@@ -147,6 +147,34 @@ class SamplingDedupSpec extends SparkSpec {
     }
   }
 
+  test("mergeGroups: incremental merge equals the full-chain recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def cc(edges: Seq[(Long, Long)]) =
+      DedupOps.connectedComponents(edges.toDF("id_a", "id_b"))
+        .select(col("id").as("doc_id"), col("comp").as("rep_id"))
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t0 = Seq((1L, 2L), (3L, 4L), (10L, 11L), (20L, 21L))
+    // t1 exercises every merge shape: bridge two existing components
+    // (2-3), extend one with a new node (4-30), a brand-new component
+    // (40-41), and a fully-redundant edge (10-11)
+    val t1 = Seq((2L, 3L), (4L, 30L), (40L, 41L), (10L, 11L))
+    assert(collect(DedupOps.mergeGroups(cc(t0), t1.toDF("id_a", "id_b")))
+      == collect(cc(t0 ++ t1)),
+      "merge(full(t0), t1) must equal full(t0 ++ t1)")
+    // randomized splits of random graphs (fixed seed — deterministic)
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val all = Seq.fill(30)(
+        (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter(e => e._1 != e._2)
+      val (a, b) = all.splitAt(all.size / 2)
+      assert(collect(DedupOps.mergeGroups(cc(a), b.toDF("id_a", "id_b")))
+        == collect(cc(a ++ b)), s"trial $trial: merge must equal recompute")
+    }
+  }
+
   test("contamination: asymmetric containment flags quoted benchmark text") {
     import spark.implicits._
     // benchmark doc fully QUOTED inside a much longer corpus doc:
