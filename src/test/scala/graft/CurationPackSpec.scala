@@ -275,4 +275,28 @@ class CurationPackSpec extends SparkSpec {
       }
     } else assert(canon.isEmpty)
   }
+
+  test("curationRun: composed outputs equal the declared queries") {
+    val outDir = java.nio.file.Files.createTempDirectory("crun").toString
+    val run = CurationOps.curationRun(spark, sfDir, outDir)
+    def rows(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.sorted.toIndexedSeq
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+        .sortBy(_.mkString("|"))
+    }
+    // each materialized output must equal its declared (self-contained)
+    // query — the run only changes WHERE the chain is paid, never results
+    assert(rows(run("groups"))
+      == rows(DedupOps.textDedupGroups(spark, sfDir)))
+    assert(rows(run("canonical"))
+      == rows(DedupOps.canonicalDocs(spark, sfDir)))
+    assert(rows(run("dup_rates"))
+      == rows(DedupOps.dupRateBySource(spark, sfDir)))
+    assert(rows(run("funnel"))
+      == rows(CurationOps.curationFunnel(spark, sfDir)))
+    // and the returned frames scan the materialized tables, not the
+    // LSH chain: their plans must be bare file scans
+    assert(run("groups").queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.toString.contains("Relation")), "read-back must scan parquet")
+  }
 }
