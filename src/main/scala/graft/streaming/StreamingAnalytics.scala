@@ -53,11 +53,63 @@ object StreamingAnalytics {
     * every micro-batch. Ownership: the caller unpersists both frames
     * after the gate query stops (the pin is intentional for the query's
     * lifetime — the MonitorJob persist/finally pattern stretched over a
-    * streaming run). Returns (corpusBandKeys, corpusShingles). */
+    * streaming run). Returns (corpusBandKeys, corpusShingles).
+    *
+    * This is the SMALL-CORPUS/test form: the pin is a corpus-sized
+    * relation in executor memory. A production deployment materializes
+    * the index as a table instead — [[writeCorpusIndex]] /
+    * [[loadCorpusIndex]] (VERDICT r5 #3). */
   def corpusIndex(corpus: DataFrame): (DataFrame, DataFrame) = (
     graft.operators.DedupOps.bandKeysPerRow(corpus).persist(),
     corpus.select(col("doc_id").as("dup_of"),
       graft.operators.TextOps.shingles3(col("text")).as("ts_c")).persist())
+
+  /** Materialize the gate's corpus index as PARQUET TABLES — the
+    * 100 TB posture [[corpusIndex]]'s in-memory pin cannot offer: the
+    * signature pass (shingles + 3 md5 families, the dominant cost) is
+    * paid once at WRITE time, and every micro-batch's stream-static
+    * join scans a columnar table instead of holding the corpus in
+    * executor storage. Two tables under `dir`: `band_keys`
+    * (doc_id, band, band_key — the candidate-join side, a few short
+    * strings per doc) and `shingles` (dup_of, ts_c — the verify side).
+    *
+    * Refresh follows the registry's compaction pattern
+    * (IngestPipeline's cadence knobs): `batchId = None` REWRITES the
+    * whole index (the periodic rebuild); `batchId = Some(id)` APPENDS a
+    * `batch=<id>` partition — the steady-state path that folds each
+    * micro-batch's ADMITTED docs in as they land, so duplicates of
+    * earlier admissions are visible to the gate without waiting for a
+    * rebuild (between rebuilds, the batch chain remains the safety
+    * net for anything the appends miss). Append only admitted rows:
+    * re-appending a replayed doc_id would index the same identity
+    * twice. Both layouts are batch-partitioned (the rebuild writes
+    * batch=0), so appends and rebuilds never produce a mixed
+    * directory structure. */
+  def writeCorpusIndex(corpus: DataFrame, dir: String,
+      batchId: Option[Long] = None): Unit = {
+    val id = batchId.getOrElse(0L)
+    val mode = if (batchId.isEmpty) "overwrite" else "append"
+    graft.operators.DedupOps.bandKeysPerRow(corpus)
+      .withColumn("batch", lit(id))
+      .write.mode(mode).partitionBy("batch").parquet(s"$dir/band_keys")
+    corpus.select(col("doc_id").as("dup_of"),
+        graft.operators.TextOps.shingles3(col("text")).as("ts_c"))
+      .withColumn("batch", lit(id))
+      .write.mode(mode).partitionBy("batch").parquet(s"$dir/shingles")
+  }
+
+  /** Read-back side of [[writeCorpusIndex]]: (corpusBandKeys,
+    * corpusShingles) backed by parquet — drop-in for the gate's static
+    * side (verdict parity with the in-memory index is spec-pinned).
+    * Deliberately NOT persisted: the point of the table is that the
+    * corpus never pins executor memory; the band-key join prunes to
+    * the two short key columns at scan time. */
+  def loadCorpusIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = (
+    spark.read.parquet(s"$dir/band_keys")
+      .select(col("doc_id"), col("band"), col("band_key")),
+    spark.read.parquet(s"$dir/shingles")
+      .select(col("dup_of"), col("ts_c")))
 
   /** Dedup-on-ingest gate — the streaming face of the corpus-dedup chain
     * (q_text_dedup_groups): each incoming document is minhash-banded

@@ -40,9 +40,13 @@ object StreamDemo {
     println(s"[demo] sessions: ${sess.count()} " +
       s"(closed=${sess.where(col("closed")).count()})")
 
-    // streaming admission policy: corpus index once, verdicts per batch
+    // streaming admission policy: corpus index MATERIALIZED AS A TABLE
+    // (the production path — write once, stream-static join the parquet
+    // read-back; nothing corpus-sized pinned in executor memory)
     val docs = graft.sources.Tables.documents(spark, sfDir)
-    val (cbk, csh) = StreamingAnalytics.corpusIndex(docs)
+    val idxDir = java.nio.file.Files.createTempDirectory("sdemo_idx").toString
+    StreamingAnalytics.writeCorpusIndex(docs, idxDir)
+    val (cbk, csh) = StreamingAnalytics.loadCorpusIndex(spark, idxDir)
     val inDir = java.nio.file.Files.createTempDirectory("sdemo_adm").toString
     val firstDoc = docs.orderBy(col("doc_id")).select("doc_id", "text").head()
     Seq((900001L, firstDoc.getString(1)),            // corpus replay -> dup
@@ -60,7 +64,8 @@ object StreamDemo {
         verdicts.orderBy(col("doc_id")).show(false)
     }
     admQ.awaitTermination()
-    cbk.unpersist(); csh.unpersist()
+    // table-backed index: nothing to unpersist — the static side is a
+    // parquet scan, not a memory pin
 
     // salted join — probe saltFactor=1 degenerate case
     val li = graft.sources.Tables.lineitem(spark, sfDir)

@@ -121,6 +121,38 @@ class StreamingAnalyticsSpec extends SparkSpec {
     cbk.unpersist(); csh.unpersist(); ()
   }
 
+  test("table-backed corpus index: gate parity with the in-memory index") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val (cbk, csh) = StreamingAnalytics.corpusIndex(docs)
+    val idxDir = java.nio.file.Files.createTempDirectory("gateidx").toString
+    StreamingAnalytics.writeCorpusIndex(docs, idxDir)
+    val (tbk, tsh) = StreamingAnalytics.loadCorpusIndex(spark, idxDir)
+    val dupText = docs.orderBy(col("doc_id")).select("doc_id", "text").head()
+    val novel = "entirely novel zebra quartz text never in corpus " * 3
+    val batch = Seq((9001L, dupText.getString(1)), (9002L, novel))
+      .toDF("doc_id", "text")
+    def verdicts(bk: org.apache.spark.sql.DataFrame,
+        sh: org.apache.spark.sql.DataFrame) =
+      StreamingAnalytics.gateAgainstCorpus(batch, bk, sh)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getAs[Double]("jac"))).toSet
+    assert(verdicts(tbk, tsh) == verdicts(cbk, csh),
+      "the parquet-backed index must produce identical gate verdicts")
+    cbk.unpersist(); csh.unpersist()
+    // steady state: fold an admitted batch in as a batch partition —
+    // a later replay of that text must now flag against it
+    StreamingAnalytics.writeCorpusIndex(
+      Seq((9002L, novel)).toDF("doc_id", "text"), idxDir,
+      batchId = Some(1L))
+    val (tbk2, tsh2) = StreamingAnalytics.loadCorpusIndex(spark, idxDir)
+    val replay = Seq((9050L, novel)).toDF("doc_id", "text")
+    val flagged = StreamingAnalytics.gateAgainstCorpus(replay, tbk2, tsh2)
+      .collect()
+    assert(flagged.exists(r => r.getLong(0) == 9050L
+        && r.getLong(1) == 9002L && r.getAs[Double]("jac") == 1.0),
+      s"appended admission must be visible to the gate, got ${flagged.toSeq}")
+  }
+
   test("admission policy: dup > repetitive > low_quality > admit") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val (cbk, csh) = StreamingAnalytics.corpusIndex(docs)
