@@ -60,6 +60,35 @@ class AnnPolicySpec extends AnyFunSuite with SparkSpec {
     assert(ivf.count() > 0)
   }
 
+  test("PQ ANN: on a clustered corpus the ADC top-1 shares the cluster") {
+    import spark.implicits._
+    // 4 well-separated directions + small noise — the structure real
+    // embedding corpora have and the synthetic testdata deliberately
+    // lacks (annPq's scaladoc records the unclustered-recall numbers)
+    val rnd = new scala.util.Random(11)
+    val base = Array.tabulate(4, 64)((c, d) => if (d % 4 == c) 1.0f else 0.05f)
+    val rows = (0 until 80).map { i =>
+      val c = i % 4
+      (i.toLong, s"l$c",
+        base(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f).toSeq)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pqspec").toString
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = VectorOps.annPq(spark, dir).collect()
+    assert(got.count(_.getAs[Int]("rank") == 1) == 5, "5 queries answered")
+    got.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val n = r.getAs[Long]("neighbor_id")
+      assert(q % 4 == n % 4,
+        s"query $q (cluster ${q % 4}) got top-1 $n (cluster ${n % 4})")
+    }
+    // deterministic training + integer scoring: a rerun is identical
+    val again = VectorOps.annPq(spark, dir).collect()
+    assert(got.map(_.toSeq).sortBy(_.toString).toSeq
+      == again.map(_.toSeq).sortBy(_.toString).toSeq)
+  }
+
   test("k-means: centroid update never increases inertia (Lloyd invariant)") {
     def inertia(iters: Int): Long =
       VectorOps.kmeansAssign(spark, sfDir, iters = iters)
