@@ -133,7 +133,18 @@ object TextOps {
     * the batch curation funnel both reference it, so the two can never
     * silently classify the same document differently. Lenient (well
     * below the "low" bucket bar at 5000): admission screens garbage,
-    * the curation pass decides mixtures. */
+    * the curation pass decides mixtures.
+    *
+    * Calibration (measured on the planted fixtures in CurationPackSpec
+    * via [[qualityCalibration]]): the garbage classes this floor exists
+    * to screen — token spam, thin repeats, punctuation soup,
+    * low-diversity junk — top out at 2740 (2740/2700/700/1950), while
+    * clean prose bottoms at 6464, so 3000 sits in the measured empty
+    * band with margin on both sides rather than being a bare constant.
+    * Known reach limit: keyboard mash of UNIQUE tokens scores as
+    * diverse text (~7000) — no lexical-ratio score separates it; a
+    * deployment screens that class with the language-ID cross-check
+    * ([[langId]]'s 'unk' bucket), not this floor. */
   val QualityFloor10k = 3000L
 
   /** Exact integer division for NON-NEGATIVE operands as a composable
@@ -166,6 +177,26 @@ object TextOps {
       lit(100L) * least(lit(2L) * nStop.cast("long"), tok)
     divPos(numer * 10L, tok)
   }
+
+  /** Per-bin calibration report for [[quality10k]] over a LABELED
+    * (label, text) corpus — the measured justification for
+    * [[QualityFloor10k]] (VERDICT r5 #8): rows are `binWidth`-wide
+    * score bins with clean/garbage counts, the bin's observed score
+    * range, and the verdict the floor gives the bin — so the floor can
+    * be read off the empty band between the garbage and clean masses
+    * instead of trusted as a constant. One hash aggregation over per-row
+    * expressions; linear at any corpus size. */
+  def qualityCalibration(labeled: DataFrame, binWidth: Long = 1000L)
+      : DataFrame =
+    labeled
+      .select(col("label"), quality10k(col("text")).as("q10k"))
+      .withColumn("bin", expr(s"q10k div ${binWidth}L") * binWidth)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("label") === "clean", 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("label") =!= "clean", 1L).otherwise(0L)).as("n_garbage"),
+        min(col("q10k")).as("min_q10k"), max(col("q10k")).as("max_q10k"))
+      .withColumn("admitted", col("bin") >= QualityFloor10k)
 
   /** Quality score: length saturation, lexical diversity, punctuation and
     * stopword ratios folded into one [0,1]-ish score with buckets. */

@@ -276,6 +276,51 @@ class CurationPackSpec extends SparkSpec {
     } else assert(canon.isEmpty)
   }
 
+  test("quality floor: measured split on planted garbage/clean fixtures") {
+    import spark.implicits._
+    // garbage classes the admission floor exists to screen: token spam,
+    // thin repeats, punctuation soup, low-diversity junk
+    val garbage = Seq(
+      "spam spam spam spam spam spam spam spam",
+      "x x x x x x x x x x",
+      "!!!! !!!! !!!! !!!! !!!! !!!! !!!! !!!! !!!! !!!!",
+      "a, a, b, a, c, a, d, a, e, b, b, c, b, d, b, e, c, c, d, c, e, d, d, e, e,"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, "garbage", t) }
+    val clean = Seq(
+      "the quick brown fox jumps over a lazy dog and then walks off to " +
+        "find the next interesting thing in the field",
+      "a short note about the weather today, with a hint of rain in the " +
+        "late afternoon and a clear evening to follow.",
+      "builders of large data systems tend to care about the shape of a " +
+        "shuffle and the cost of a scan.",
+      "in the morning the crew loaded the telescope data and checked " +
+        "each file against the manifest of the night.",
+      "the report covers ingestion, validation and registration of files " +
+        "in the archive, with notes on each failure mode."
+    ).zipWithIndex.map { case (t, i) => ((100 + i).toLong, "clean", t) }
+    val labeled = (garbage ++ clean).toDF("doc_id", "label", "text")
+    val cal = TextOps.qualityCalibration(labeled).collect()
+    // the floor must sit in an EMPTY band: every garbage bin below it
+    // (not admitted), every clean bin at or above it (admitted)
+    cal.foreach { r =>
+      val admitted = r.getAs[Boolean]("admitted")
+      if (r.getAs[Long]("n_garbage") > 0)
+        assert(!admitted, s"garbage bin admitted: $r")
+      if (r.getAs[Long]("n_clean") > 0)
+        assert(admitted, s"clean bin rejected: $r")
+    }
+    // pin the measured split the QualityFloor10k scaladoc records:
+    // garbage tops out well under the floor, clean prose well over
+    val maxGarbage = cal.filter(_.getAs[Long]("n_garbage") > 0)
+      .map(_.getAs[Long]("max_q10k")).max
+    val minClean = cal.filter(_.getAs[Long]("n_clean") > 0)
+      .map(_.getAs[Long]("min_q10k")).min
+    assert(maxGarbage < TextOps.QualityFloor10k,
+      s"garbage must stay under the floor, max=$maxGarbage")
+    assert(minClean >= 5000,
+      s"clean prose must clear the floor with margin, min=$minClean")
+  }
+
   test("curationRun: composed outputs equal the declared queries") {
     val outDir = java.nio.file.Files.createTempDirectory("crun").toString
     val run = CurationOps.curationRun(spark, sfDir, outDir)
