@@ -87,6 +87,13 @@ class AnnPolicySpec extends AnyFunSuite with SparkSpec {
     val again = VectorOps.annPq(spark, dir).collect()
     assert(got.map(_.toSeq).sortBy(_.toString).toSeq
       == again.map(_.toSeq).sortBy(_.toString).toSeq)
+    // refine: exact re-rank of the ADC shortlist also lands in-cluster,
+    // and its sims are exact quantized cosines (≤ 1.0, rank-1 highest)
+    val refined = VectorOps.annPqRefine(spark, dir).collect()
+    refined.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      assert(r.getAs[Long]("query_id") % 4 == r.getAs[Long]("neighbor_id") % 4)
+      assert(r.getAs[Double]("sim") <= 1.0)
+    }
   }
 
   test("k-means: centroid update never increases inertia (Lloyd invariant)") {
