@@ -54,6 +54,7 @@ object StreamDemo {
       (900003L, "a brand new clean document with plenty of variety inside"))
       .toDF("doc_id", "text")
       .write.mode("overwrite").parquet(inDir)
+    val edgesBuf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val admQ = StreamingAnalytics.runAdmission(
       spark.readStream
         .schema(spark.read.parquet(inDir).schema).parquet(inDir),
@@ -62,10 +63,21 @@ object StreamDemo {
       (verdicts, id) =>
         println(s"[demo] admission batch $id:")
         verdicts.orderBy(col("doc_id")).show(false)
+        edgesBuf ++= verdicts.where(col("verdict") === "dup")
+          .select("doc_id", "dup_of").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
     }
     admQ.awaitTermination()
     // table-backed index: nothing to unpersist — the static side is a
     // parquet scan, not a memory pin
+
+    // incremental dup-group maintenance: fold the gate's dup edges into
+    // the batch chain's group table (O(new edges), no chain recompute)
+    val t0 = graft.operators.DedupOps.textDedupGroups(spark, sfDir)
+    val merged = graft.operators.DedupOps.mergeGroups(t0,
+      edgesBuf.toSeq.toDF("id_a", "id_b"))
+    println(s"[demo] dup groups: ${t0.count()} members before merge, " +
+      s"${merged.count()} after folding ${edgesBuf.size} gate edge(s)")
 
     // salted join — probe saltFactor=1 degenerate case
     val li = graft.sources.Tables.lineitem(spark, sfDir)
