@@ -88,6 +88,46 @@ object CurationOps {
         min(col("doc_id")).as("min_kept_id"),
         max(col("doc_id")).as("max_kept_id"))
 
+  /** Mixture-plan targets for the declared query: a total token budget
+    * and per-language target shares in 1e-4 units (en-heavy, de
+    * partial, thin long tail — the same shape as [[SampleRates]]).
+    * Sized against the synthetic corpus so the plan shows BOTH regimes:
+    * under-sampled strata (rate < 1) and over-sampled ones
+    * (epochs > 1). */
+  val MixTargetTokens = 50000L
+  val MixShares10k: Map[String, Long] = Map("en" -> 4000L, "de" -> 2000L)
+  val MixDefaultShare10k = 1000L
+
+  /** Mixture/epoch PLANNER — the table a data-mixing run reads before
+    * it samples: per stratum, the tokens available, the tokens the
+    * target mixture wants (share × budget), the sampling rate that
+    * delivers them (capped at 1), and the epoch factor when the
+    * stratum must REPEAT to meet its share (epochs_100 > 100 = the
+    * classic low-resource-language oversampling decision). The rates
+    * feed [[stratifiedSample]] directly (same 1e-4 units).
+    *
+    * Scale shape: one hash aggregation over the corpus; everything
+    * after is arithmetic on a langs-sized relation. Integer-exact
+    * (truncating div in 1e-4/1e-2 units), so the oracle can never
+    * disagree on a boundary. */
+  def mixturePlan(spark: SparkSession, dir: String,
+      targetTokens: Long = MixTargetTokens): DataFrame = {
+    val share = MixShares10k.toSeq.sortBy(_._1)
+      .foldLeft(lit(MixDefaultShare10k)) { case (acc, (k, v)) =>
+        when(col("lang") === k, lit(v)).otherwise(acc)
+      }
+    Tables.documents(spark, dir)
+      .select(col("lang"), TextOps.tokEst(col("text")).as("tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens_avail"))
+      .withColumn("share_10k", share)
+      .withColumn("tokens_needed",
+        expr(s"share_10k * ${targetTokens}L div 10000"))
+      .withColumn("sample_rate_10k",
+        least(lit(10000L), expr("tokens_needed * 10000 div tokens_avail")))
+      .withColumn("epochs_100", expr("tokens_needed * 100 div tokens_avail"))
+  }
+
   /** Token budget per packed sequence (a small context window against
     * the chars/4 token estimate) and the shard fan-out that bounds how
     * much of one language any single packing task sees. */
@@ -271,12 +311,20 @@ object CurationOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation" -> curationSummary _,
     "q_stratified_sample" -> stratifiedSampleSummary _,
+    "q_mixture_plan" -> ((s: SparkSession, d: String) => mixturePlan(s, d)),
     "q_seq_pack" -> packSummary _,
     "q_source_profile" -> sourceProfile _,
     "q_curation_funnel" -> curationFunnel _,
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** CASE arm per stratum for the mixture plan, generated from the SAME
+    * share table as the Spark plan so the literals can never drift. */
+  private def mixCaseSql: String =
+    "CASE lang " + MixShares10k.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"WHEN '$k' THEN $v"
+    }.mkString(" ") + s" ELSE $MixDefaultShare10k END"
 
   /** CASE arm per stratum, generated from the SAME rate table as the
     * Spark plan so the literals can never drift. */
@@ -388,6 +436,26 @@ object CurationOps {
          |  CAST(sum(CASE WHEN n_tok > $PackBudget THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_overflow
          |FROM b GROUP BY lang""".stripMargin,
+    // all operands non-negative, so DuckDB's floor-div // and Spark's
+    // trunc-div agree; sums cast to BIGINT (DuckDB widens to HUGEINT)
+    "q_mixture_plan" ->
+      s"""WITH a AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(${TextOps.tokEstSql}) AS BIGINT) AS tokens_avail
+         |  FROM documents GROUP BY lang),
+         |b AS (
+         |  SELECT lang, n_docs, tokens_avail,
+         |    CAST($mixCaseSql AS BIGINT) AS share_10k
+         |  FROM a),
+         |c AS (
+         |  SELECT lang, n_docs, tokens_avail, share_10k,
+         |    share_10k * $MixTargetTokens // 10000 AS tokens_needed
+         |  FROM b)
+         |SELECT lang, n_docs, tokens_avail, share_10k, tokens_needed,
+         |  least(CAST(10000 AS BIGINT),
+         |        tokens_needed * 10000 // tokens_avail) AS sample_rate_10k,
+         |  tokens_needed * 100 // tokens_avail AS epochs_100
+         |FROM c""".stripMargin,
     "q_stratified_sample" ->
       s"""SELECT lang, count(*) AS n_kept,
          |  min(doc_id) AS min_kept_id, max(doc_id) AS max_kept_id

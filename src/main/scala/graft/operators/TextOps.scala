@@ -101,6 +101,37 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(VocabTopK)
 
+  /** Pair rows kept by [[bpePairs]] — the merge-candidate table is
+    * top-k by construction (BPE only ever merges the most frequent). */
+  val BpeTopK = 50
+
+  /** BPE merge-pair statistics — the tokenizer trainer's inner-loop
+    * statistic: the frequency of every ADJACENT SYMBOL PAIR inside
+    * whitespace tokens (the first BPE iteration over the character
+    * vocabulary; subsequent iterations re-run this over the merged
+    * symbols). Top-[[BpeTopK]] by a TOTAL order (count desc, pair asc)
+    * so the cut is deterministic in any engine.
+    *
+    * Scale shape: pairs are per-row array expressions (chars zipped
+    * against their 1-shift — duplicates kept, BPE counts occurrences),
+    * then one hash aggregation with map-side combine and a
+    * TakeOrderedAndProject — linear, no window. Characters here are
+    * code points on the Spark side and DuckDB characters on the oracle
+    * side: identical on this corpus (ASCII); a multilingual deployment
+    * pins a byte-level alphabet first (standard byte-level BPE). */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("tok"))
+      .select(explode(filter(
+        zip_with(split(col("tok"), ""),
+          slice(split(col("tok"), ""), 2, Int.MaxValue - 8),
+          (a, b) => concat(a, lit(" "), b)),
+        p => p.isNotNull)).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("pair"))
+      .limit(BpeTopK)
+
   /** BPE-ish token estimate: regex word pieces + the chars/4 heuristic. */
   def tokenEstimate(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -427,6 +458,7 @@ object TextOps {
     "q_text_stats"     -> textStats _,
     "q_token_estimate" -> tokenEstimate _,
     "q_vocab"          -> vocab _,
+    "q_bpe_pairs"      -> bpePairs _,
     "q_langid"         -> langId _,
     "q_quality_score"  -> qualityScore _,
     "q_repetition"     -> repetition _,
@@ -457,6 +489,17 @@ object TextOps {
          |GROUP BY token
          |ORDER BY n_occurrences DESC, token
          |LIMIT $VocabTopK""".stripMargin,
+    // character pairs via 1-based string indexing; duplicates kept
+    // (BPE counts occurrences); LIMIT boundary is a total order
+    "q_bpe_pairs" ->
+      s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |p AS (SELECT unnest(list_transform(range(1, length(tok)),
+         |        i -> tok[CAST(i AS INT)] || ' ' || tok[CAST(i + 1 AS INT)]))
+         |        AS pair
+         |      FROM t)
+         |SELECT pair, count(*) AS n_pairs FROM p GROUP BY pair
+         |ORDER BY n_pairs DESC, pair
+         |LIMIT $BpeTopK""".stripMargin,
     "q_token_estimate" ->
       """SELECT doc_id,
         |  length(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),

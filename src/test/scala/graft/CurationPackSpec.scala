@@ -276,6 +276,28 @@ class CurationPackSpec extends SparkSpec {
     } else assert(canon.isEmpty)
   }
 
+  test("mixture plan: shares, caps and epoch factors reconcile") {
+    val plan = CurationOps.mixturePlan(spark, sfDir).collect()
+    assert(plan.nonEmpty)
+    plan.foreach { r =>
+      val avail = r.getAs[Long]("tokens_avail")
+      val needed = r.getAs[Long]("tokens_needed")
+      assert(needed ==
+        r.getAs[Long]("share_10k") * CurationOps.MixTargetTokens / 10000,
+        s"needed = share × budget: $r")
+      assert(r.getAs[Long]("sample_rate_10k")
+        == math.min(10000L, needed * 10000 / avail), s"rate formula: $r")
+      assert(r.getAs[Long]("epochs_100") == needed * 100 / avail,
+        s"epoch formula: $r")
+    }
+    // the declared budget exercises both regimes on the testdata:
+    // at least one stratum oversamples (repeats data) and the planner
+    // never asks for a rate above 1
+    assert(plan.forall(_.getAs[Long]("sample_rate_10k") <= 10000L))
+    assert(plan.exists(_.getAs[Long]("epochs_100") > 100L),
+      s"an oversampled stratum should exist, got ${plan.toSeq}")
+  }
+
   test("quality floor: measured split on planted garbage/clean fixtures") {
     import spark.implicits._
     // garbage classes the admission floor exists to screen: token spam,
