@@ -98,6 +98,20 @@ object StreamingAnalytics {
       .write.mode(mode).partitionBy("batch").parquet(s"$dir/shingles")
   }
 
+  /** Compaction for the appendable corpus index — every
+    * `batchId`-append adds a `batch=<id>` partition with its own small
+    * files, so file counts grow with BATCH COUNT, not corpus size (the
+    * registry's exact failure mode). Runs the crash-safe
+    * [[graft.functions.ScaleUtils.compactParquet]] rename-swap over
+    * both index tables; call it on the same cadence the ingest stream
+    * compacts the registry (IngestPipeline's compactEveryBatches
+    * pattern). Returns ((bandKeysBefore, bandKeysAfter),
+    * (shinglesBefore, shinglesAfter)) file counts. */
+  def compactCorpusIndex(spark: SparkSession, dir: String)
+      : ((Int, Int), (Int, Int)) = (
+    graft.functions.ScaleUtils.compactParquet(spark, s"$dir/band_keys"),
+    graft.functions.ScaleUtils.compactParquet(spark, s"$dir/shingles"))
+
   /** Read-back side of [[writeCorpusIndex]]: (corpusBandKeys,
     * corpusShingles) backed by parquet — drop-in for the gate's static
     * side (verdict parity with the in-memory index is spec-pinned).

@@ -63,6 +63,22 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("q_ann_pq: codebooks and ADC table broadcast; no cartesian; partial limit") {
+    val p = plan("q_ann_pq")
+    // training assignment, probe, and the ADC-table join must all take
+    // the tiny side as a broadcast; the corpus never cross-joins
+    assert(p.contains("BroadcastExchange"),
+      s"codebooks/ADC table should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product anywhere in the PQ plan:\n$p")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"the shared top-k tail must push a partial group limit:\n$p")
+    // the per-(query, neighbor) score sum partially aggregates before
+    // its exchange (map-side combine on the codes join output)
+    assert(p.contains("partial_sum"),
+      s"ADC score sum must combine map-side:\n$p")
+  }
+
   test("q_keyword_contract: map-only — no exchange anywhere") {
     val p = plan("q_keyword_contract")
     assert(!p.contains("Exchange"),

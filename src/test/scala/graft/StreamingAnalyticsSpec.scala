@@ -151,6 +151,20 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(flagged.exists(r => r.getLong(0) == 9050L
         && r.getLong(1) == 9002L && r.getAs[Double]("jac") == 1.0),
       s"appended admission must be visible to the gate, got ${flagged.toSeq}")
+    // appends grow file counts with batch count; compaction shrinks them
+    // and the gate's verdicts are unchanged by the rewrite
+    StreamingAnalytics.writeCorpusIndex(
+      Seq((9003L, "another admitted batch of fresh words entirely"))
+        .toDF("doc_id", "text"), idxDir, batchId = Some(2L))
+    val ((bkB, bkA), (shB, shA)) =
+      StreamingAnalytics.compactCorpusIndex(spark, idxDir)
+    assert(bkA <= bkB && shA <= shB && bkA >= 1 && shA >= 1,
+      s"compaction must not grow files: band_keys $bkB->$bkA shingles $shB->$shA")
+    val (tbk3, tsh3) = StreamingAnalytics.loadCorpusIndex(spark, idxDir)
+    val after = StreamingAnalytics.gateAgainstCorpus(replay, tbk3, tsh3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == flagged.map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "compaction must not change gate verdicts")
   }
 
   test("admission policy: dup > repetitive > low_quality > admit") {
