@@ -530,20 +530,18 @@ object DedupOps {
     * a truncation: non-convergence throws rather than returning a wrong
     * fixpoint. Emits (id, rep) for every node that appears in an edge. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
-    val sc = edges.sparkSession.sparkContext
     // eager localCheckpoint persists an internal RDD that CacheManager
     // does not track — without explicit cleanup, every superseded
-    // iteration's blocks sit in executor storage until driver GC. Capture
-    // each checkpoint's RDDs by diffing getPersistentRDDs around the
-    // (eager, job-running) call and free them the moment they are
-    // superseded. The diff assumes no CONCURRENT persists on this driver —
-    // the same single-writer assumption compactParquet documents.
+    // iteration's blocks sit in executor storage until driver GC. The
+    // checkpointed RDD is exactly the LogicalRDD the eager checkpoint
+    // leaves as the frame's plan — capture THAT and free it when
+    // superseded (a context-global getPersistentRDDs diff, the earlier
+    // form, could catch a CONCURRENT query's blocks).
     def checkpointed(df: DataFrame)
         : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint(true)
-      (out, sc.getPersistentRDDs.collect {
-        case (id, r) if !before(id) => r }.toSeq)
+      (out, out.queryExecution.logical.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd })
     }
     val (e, eRdds) = checkpointed(edges.select(col("id_a"), col("id_b")))
     try {

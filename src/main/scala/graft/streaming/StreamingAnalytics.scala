@@ -251,6 +251,65 @@ object StreamingAnalytics {
         minQuality10k), id)
     }
 
+  /** The full curated-ingest LOOP — [[runAdmission]] plus the feedback
+    * edge that makes the gate see its own past admissions: each
+    * micro-batch is judged against the TABLE-backed corpus index
+    * ([[loadCorpusIndex]]), its verdicts are fixed, and the batch's
+    * ADMITTED documents are appended to the index as a `batch=<id>`
+    * partition — so a duplicate of an earlier batch's admission is
+    * flagged WITHOUT waiting for a periodic rebuild. With
+    * `compactEveryBatches > 0`, the index is compacted on that cadence
+    * (the registry's pattern; appends otherwise grow file counts with
+    * batch count).
+    *
+    * Ordering is load-bearing: the verdict frame is EAGERLY
+    * materialized (localCheckpoint) BEFORE the append — lazily, the
+    * stream-static join would re-read the index during `onVerdicts`
+    * and find the batch itself, flagging every document as its own
+    * duplicate. The checkpoint blocks are freed after the callback
+    * (getPersistentRDDs diff — micro-batches must not accumulate
+    * executor storage).
+    *
+    * Idempotence note: foreachBatch is at-least-once — a crash between
+    * the append and the checkpoint commit can replay a batch and
+    * duplicate its index rows. Duplicated index rows are HARMLESS to
+    * verdicts (candidates are `distinct`, the verify reads one shingle
+    * set per dup_of), and the next compaction folds the files. */
+  def runCuratedIngest(stream: DataFrame, idxDir: String, checkpoint: String,
+      bar: Double = graft.operators.DedupOps.TextDupJaccard,
+      minQuality10k: Long = AdmitMinQuality10k,
+      compactEveryBatches: Int = 0)(
+      onVerdicts: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    runPerBatch(stream, checkpoint) { (batch, id) =>
+      val spark = batch.sparkSession
+      val (bk, sh) = loadCorpusIndex(spark, idxDir)
+      val verdicts = admitBatch(batch, bk, sh, bar, minQuality10k)
+        .localCheckpoint(true)
+      // the checkpointed blocks are exactly the LogicalRDD the eager
+      // checkpoint left as the frame's plan — free THAT, never a
+      // context-global registry diff (which could catch a concurrent
+      // query's blocks)
+      val ckptRdds = verdicts.queryExecution.logical.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+      // persisted: writeCorpusIndex runs one write job per index table,
+      // which would otherwise re-scan the micro-batch and re-run the
+      // join once per table
+      val admitted = batch.join(
+        verdicts.where(col("verdict") === "admit").select(col("doc_id")),
+        Seq("doc_id")).persist()
+      try {
+        writeCorpusIndex(admitted, idxDir, batchId = Some(id))
+        if (compactEveryBatches > 0 && (id + 1) % compactEveryBatches == 0)
+          compactCorpusIndex(spark, idxDir)
+        onVerdicts(verdicts, id)
+      } finally {
+        admitted.unpersist(false)
+        ckptRdds.foreach(_.unpersist(false))
+      }
+    }
+
   /** Streaming wrapper for the ingest gate: AvailableNow foreachBatch —
     * per-batch verdicts go to `onFlagged` (append to a quarantine table,
     * metrics, ...). State is bounded: the gate's distinct/groupBy live

@@ -147,6 +147,21 @@ class SamplingDedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: checkpoint blocks freed (no storage leak)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    DedupOps.connectedComponents(
+      Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("id_a", "id_b")).collect()
+    // the loop checkpoints the edge list plus one frame per iteration;
+    // everything superseded must be freed as the loop advances. Only the
+    // FINAL labels' checkpoint may outlive the call (the returned frame
+    // reads it) — if the LogicalRDD capture ever stopped matching, every
+    // iteration would leak and this count would jump.
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1,
+      s"at most the final labels' checkpoint may remain: $before -> $after")
+  }
+
   test("mergeGroups: incremental merge equals the full-chain recompute") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -167,6 +167,44 @@ class StreamingAnalyticsSpec extends SparkSpec {
       "compaction must not change gate verdicts")
   }
 
+  test("curated ingest loop: later batches see earlier admissions") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val idxDir = java.nio.file.Files.createTempDirectory("loopidx").toString
+    StreamingAnalytics.writeCorpusIndex(docs, idxDir)
+    val novel = "a genuinely fresh walrus umbrella paragraph with many " +
+      "distinct readable words " * 2
+    val inDir = java.nio.file.Files.createTempDirectory("loopin").toString
+    // two files, written in order → with maxFilesPerTrigger=1 they
+    // arrive as two micro-batches; the second is a copy of the first's
+    // (admitted) text under a new id
+    Seq((9101L, novel)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    Thread.sleep(1100) // distinct mtimes → deterministic batch order
+    Seq((9102L, novel)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Any)]
+    val q = StreamingAnalytics.runCuratedIngest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(inDir),
+      idxDir,
+      java.nio.file.Files.createTempDirectory("loopckpt").toString,
+      compactEveryBatches = 2) { (verdicts, _) =>
+      buf ++= verdicts.collect().map(r =>
+        (r.getLong(0), r.getAs[String]("verdict"), r.get(2)))
+    }
+    q.awaitTermination()
+    val byId = buf.map(t => t._1 -> t).toMap
+    assert(byId(9101L)._2 == "admit",
+      s"first arrival of a novel text must admit, got $buf")
+    assert(byId(9102L)._2 == "dup" && byId(9102L)._3 == 9101L,
+      s"the NEXT batch's copy must flag against the prior admission " +
+        s"(feedback append), got $buf")
+    // and the doc did not flag against itself (eager-verdict ordering)
+    assert(buf.count(_._1 == 9101L) == 1)
+  }
+
   test("admission policy: dup > repetitive > low_quality > admit") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val (cbk, csh) = StreamingAnalytics.corpusIndex(docs)
