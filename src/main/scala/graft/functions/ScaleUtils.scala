@@ -39,6 +39,14 @@ object ScaleUtils {
     * reducers; results are identical to the unsalted join. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    // the small side is EXPLODED saltFactor times, so any join type that
+    // can emit unmatched small-side rows (right/full outer) would emit
+    // them once PER SALT — silently wrong row counts. Inner/left-side
+    // types are salt-invariant (each big row carries exactly one salt).
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(!jt.contains("right") && !jt.contains("full") && jt != "outer",
+      s"saltedJoin: $joinType would duplicate unmatched small-side rows " +
+        s"$saltFactor times; use the unsalted join for right/full outer")
     val bigSalted = big.withColumn("__salt",
       pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(saltFactor))
         .cast("int"))

@@ -32,10 +32,14 @@ object CurationOps {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("lang")).as("n_langs"),
         sum(col("nrm")).as("sum_nrm_milli"),
-        // decimal sum (exact: quality has 4 decimals) then one double
-        // division — engine-portable regardless of accumulation order
-        round(sum(col("quality").cast("decimal(8,4)")).cast("double")
-          / count(lit(1)), 4).as("avg_quality"))
+        // integer-TRUNCATED 1e-4 mean (exact decimal sum -> long ->
+        // integer div), not round(double, 4): round() half-ties split
+        // between engines (the quality10k war story; sourceProfile's form)
+        (sum(col("quality").cast("decimal(8,4)")) * 10000).cast("long")
+          .as("q_sum10k"))
+      .withColumn("avg_quality",
+        expr("q_sum10k div n_docs").cast("double") / 10000.0)
+      .drop("q_sum10k")
   }
 
   /** Sampling rate → 8-hex-digit threshold on the leading md5 digits:
@@ -489,8 +493,8 @@ object CurationOps {
          |  count(*) AS n_docs,
          |  count(DISTINCT lang) AS n_langs,
          |  CAST(sum(nrm) AS BIGINT) AS sum_nrm_milli,
-         |  round(CAST(sum(CAST(quality AS DECIMAL(8,4))) AS DOUBLE) / count(*), 4)
-         |    AS avg_quality
+         |  CAST(CAST(sum(CAST(quality AS DECIMAL(8,4))) * 10000 AS BIGINT)
+         |    // count(*) AS DOUBLE) / 10000.0 AS avg_quality
          |FROM q JOIN e USING (doc_id)
          |WHERE quality >= 0.45
          |GROUP BY 1""".stripMargin,

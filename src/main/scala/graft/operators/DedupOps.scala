@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -24,8 +24,6 @@ object DedupOps {
 
   val NumHashes = 12
   val BandSize  = 3   // → 4 bands; P(candidate) = 1-(1-j^3)^4
-
-  private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
 
   /** doc_id, lang, tok (distinct 3-gram shingles — see
     * [[TextOps.shingles3]]; word-level sets degenerate on small
@@ -384,6 +382,9 @@ object DedupOps {
         transform(slice(col("qe"), 1, signDims),
           x => when(x >= 0, "1").otherwise("0")), ""))
       .withColumn("nrm", dot(col("qe"), col("qe")))
+      // zero-norm guard: a NULL cosine would rank first / split engines
+      // (the cosineTopKSplit hazard); mirrored in the oracle
+      .where(col("nrm") > 0)
     val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
       col("qe").as("qe_a"), col("nrm").as("nrm_a"))
     val b = emb.select(col("bucket"), col("vec_id").as("id_b"),
@@ -489,6 +490,9 @@ object DedupOps {
         transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))
           .as("qe"))
       .withColumn("nrm", dot(col("qe"), col("qe")))
+      // zero-norm guard: NULL sim_raw would pass no threshold in Spark
+      // but NaN PASSES >= in DuckDB — exclude on both sides
+      .where(col("nrm") > 0)
     val banded = emb.select(col("vec_id"),
       explode(array((0 until nTables).map { t =>
         struct(lit(t).as("t"),
@@ -845,8 +849,6 @@ object DedupOps {
     "q_contamination" -> contamination _,
   )
 
-  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
-
   /** seed → digest-family prefix as SQL, same table as [[HashPrefixes]]. */
   private val prefixCaseSql: String =
     "CASE seed // " + SeedsPerDigest + " " + HashPrefixes.zipWithIndex
@@ -878,7 +880,9 @@ object DedupOps {
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
        |  FROM embeddings),
-       |n AS (SELECT vec_id, qe, list_dot_product(qe, qe) AS nrm FROM emb),
+       |n AS (SELECT * FROM (
+       |    SELECT vec_id, qe, list_dot_product(qe, qe) AS nrm FROM emb)
+       |  WHERE nrm > 0),
        |banded AS (
        |  SELECT vec_id, t,
        |    array_to_string(list_transform(
@@ -1176,10 +1180,12 @@ object DedupOps {
         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
         |  FROM embeddings),
         |kb AS (
-        |  SELECT vec_id, qe, list_dot_product(qe, qe) AS nrm,
-        |    array_to_string(list_transform(qe[1:(SELECT dims FROM d)],
-        |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
-        |  FROM emb),
+        |  SELECT * FROM (
+        |    SELECT vec_id, qe, list_dot_product(qe, qe) AS nrm,
+        |      array_to_string(list_transform(qe[1:(SELECT dims FROM d)],
+        |        x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |    FROM emb)
+        |  WHERE nrm > 0),
         |scored AS (
         |  SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
         |    round(CAST(list_dot_product(a.qe, b.qe) AS DOUBLE)

@@ -79,8 +79,10 @@ object MultimodalOps {
       // is — which is what lets q_frame_sample carry a DuckDB oracle.
       var s = 17L
       var i = idx
-      while (i < m.content.length) {
-        s = (31 * s + (m.content(i) & 0xFF)) % 2147483647L
+      // null content decodes to the empty payload, like decode/frameCount
+      val payload = if (m.content == null) Array.emptyByteArray else m.content
+      while (i < payload.length) {
+        s = (31 * s + (payload(i) & 0xFF)) % 2147483647L
         i += 8
       }
       s
@@ -182,10 +184,12 @@ object MultimodalOps {
         sum(when(col("decode_ok"), 1L).otherwise(0L)).as("n_decoded"),
         sum(col("byte_len")).as("sum_bytes"),
         sum(col("energy")).as("sum_sq_bin_counts"))
+      // integer-TRUNCATED 1e-4 means, not round(double, 4): round()
+      // half-ties split between engines (the quality10k war story)
       .withColumn("avg_bytes",
-        round(col("sum_bytes").cast("double") / col("n_media"), 4))
+        expr("sum_bytes * 10000 div n_media").cast("double") / 10000.0)
       .withColumn("avg_energy",
-        round(col("sum_sq_bin_counts").cast("double") / col("n_media"), 4))
+        expr("sum_sq_bin_counts * 10000 div n_media").cast("double") / 10000.0)
   }
 
   /** Frame samples through the flatMap generator, oracled: the modular
@@ -233,8 +237,10 @@ object MultimodalOps {
         |    AS n_decoded,
         |  CAST(sum(byte_len) AS BIGINT) AS sum_bytes,
         |  CAST(sum(energy) AS BIGINT) AS sum_sq_bin_counts,
-        |  round(CAST(sum(byte_len) AS DOUBLE) / count(*), 4) AS avg_bytes,
-        |  round(CAST(sum(energy) AS DOUBLE) / count(*), 4) AS avg_energy
+        |  CAST(CAST(sum(byte_len) AS BIGINT) * 10000 // count(*) AS DOUBLE)
+        |    / 10000.0 AS avg_bytes,
+        |  CAST(CAST(sum(energy) AS BIGINT) * 10000 // count(*) AS DOUBLE)
+        |    / 10000.0 AS avg_energy
         |FROM perdoc GROUP BY kind""".stripMargin,
     // every-2nd frame of n_frames = 1 + len % 8; the signature folds the
     // stride-8 byte codes through (31*s + b) mod 2^31-1 from seed 17 —

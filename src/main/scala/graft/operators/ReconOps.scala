@@ -32,7 +32,10 @@ object ReconOps {
       .withColumn("nite", Derived.niteOf(col("ts")))
       .groupBy(col("nite"))
       .agg(count(lit(1)).as("n_events"),
-        sum(dec("value")).cast("double").as("sum_value"))
+        // string-route decimal->double: BigDecimal.doubleValue() measured
+        // 1 ulp off DuckDB (q1Pricing war story); the string parse is
+        // correctly rounded on both engines
+        sum(dec("value")).cast("string").cast("double").as("sum_value"))
 
   /** Error counts per nite — A4 (monitor:848-853): filtered group count. */
   def errorsPerNite(spark: SparkSession, dir: String): DataFrame =
@@ -205,7 +208,10 @@ object ReconOps {
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(dec("value")).cast("double").as("sum_value"))
+        // string-route decimal->double: BigDecimal.doubleValue() measured
+        // 1 ulp off DuckDB (q1Pricing war story); the string parse is
+        // correctly rounded on both engines
+        sum(dec("value")).cast("string").cast("double").as("sum_value"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))

@@ -76,8 +76,12 @@ object TextOps {
         size(toks(col("text"))).as("n_tokens"),
         size(array_distinct(toks(col("text")))).as("n_uniq_tokens"),
         length(col("text")).as("len"))
+      // empty docs: Spark's /0 yields NULL but DuckDB yields +inf —
+      // guard to NULL on both sides
       .withColumn("avg_token_len",
-        round((col("len") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 4))
+        when(col("n_tokens") > 0,
+          round((col("len") - (col("n_tokens") - 1)).cast("double")
+            / col("n_tokens"), 4)))
       .drop("len")
 
   /** Vocabulary rows kept by [[vocab]] — a corpus frequency table is
@@ -477,8 +481,9 @@ object TextOps {
       s"""SELECT doc_id, lang,
          |  length($toksSql) AS n_tokens,
          |  length(list_distinct($toksSql)) AS n_uniq_tokens,
-         |  round(CAST(length(text) - (length($toksSql) - 1) AS DOUBLE)
-         |        / length($toksSql), 4) AS avg_token_len
+         |  CASE WHEN length($toksSql) > 0
+         |    THEN round(CAST(length(text) - (length($toksSql) - 1) AS DOUBLE)
+         |               / length($toksSql), 4) END AS avg_token_len
          |FROM documents""".stripMargin,
     // the LIMIT boundary is safe cross-engine because the ORDER BY is a
     // total order (count desc, token asc — no ties possible)

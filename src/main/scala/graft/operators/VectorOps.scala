@@ -346,7 +346,9 @@ object VectorOps {
     * product; each block is independent and parallel. */
   def nnWithinLabel(spark: SparkSession, dir: String): DataFrame = {
     val dot = DotProductLong.dotLong(spark) _
-    val emb = quantized(spark, dir)
+    // zero-norm guard: same exclusion as cosineTopKSplit (NULL cosine
+    // would rank first / split engines); mirrored in the oracle
+    val emb = quantized(spark, dir).where(col("nrm") > 0)
     val a = emb.select(col("label"), col("vec_id").as("id_a"),
       col("qe").as("qe_a"), col("nrm").as("nrm_a"))
     val b = emb.select(col("label"), col("vec_id").as("id_b"),
@@ -378,7 +380,8 @@ object VectorOps {
   def nnLabelBucketed(spark: SparkSession, dir: String): DataFrame = {
     val dot = DotProductLong.dotLong(spark) _
     val dims = DedupOps.annSignDims(maxLabelBlock(spark, dir), floor = 0)
-    val emb = quantized(spark, dir)
+    // zero-norm guard mirrored in the oracle (see nnWithinLabel)
+    val emb = quantized(spark, dir).where(col("nrm") > 0)
       .withColumn("bucket", array_join(
         transform(slice(col("qe"), 1, dims),
           x => when(x >= 0, "1").otherwise("0")), ""))
@@ -465,7 +468,9 @@ object VectorOps {
       trainIters: Int = 2): DataFrame = {
     val dot = DotProductLong.dotLong(spark) _
     val (assigned, cents) = kmeansCore(spark, dir, cells, trainIters)
-    val emb = quantized(spark, dir)
+    // zero-norm guard on the SEARCH sides only — training (kmeansCore)
+    // keeps every vector; mirrored in the oracle's q/mem CTEs
+    val emb = quantized(spark, dir).where(col("nrm") > 0)
     val queries = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qe").as("q_qe"),
         col("nrm").as("q_nrm"))
@@ -524,7 +529,9 @@ object VectorOps {
   def annIvf(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 5,
       nprobe: Int = 3): DataFrame = {
     val dot = DotProductLong.dotLong(spark) _
-    val emb = quantized(spark, dir)
+    // zero-norm guard on the search relation; the label-centroid
+    // training below reads the raw table and keeps every vector
+    val emb = quantized(spark, dir).where(col("nrm") > 0)
     // coarse quantizer: per-label centroid in milli-units (sum div count)
     val cents = Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(quantize(col("embedding"))))
@@ -655,7 +662,9 @@ object VectorOps {
   private lazy val nnPerLabelSql: String =
     s"""WITH emb AS (
        |  SELECT vec_id, label, $qSql AS qe FROM embeddings),
-       |n AS (SELECT vec_id, label, qe, list_dot_product(qe, qe) AS nrm FROM emb),
+       |n AS (SELECT * FROM (
+       |    SELECT vec_id, label, qe, list_dot_product(qe, qe) AS nrm FROM emb)
+       |  WHERE nrm > 0),
        |scored AS (
        |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
        |    round(CAST(list_dot_product(a.qe, b.qe) AS DOUBLE)
@@ -772,7 +781,7 @@ object VectorOps {
     "q_ann_ivf_kmeans" ->
       s"""WITH $kmeansCtesSql,
          |q AS (SELECT vec_id AS query_id, qe AS q_qe, nrm AS q_nrm
-         |      FROM n WHERE vec_id < 5),
+         |      FROM n WHERE vec_id < 5 AND nrm > 0),
          |probe AS (
          |  SELECT query_id, q_qe, q_nrm, cluster FROM (
          |    SELECT query_id, q_qe, q_nrm, c.cluster,
@@ -784,7 +793,7 @@ object VectorOps {
          |mem AS (
          |  SELECT a.cluster, a.vec_id AS neighbor_id, v.qe, v.nrm
          |  FROM a1 a JOIN n v ON v.vec_id = a.vec_id
-         |  WHERE a.vec_id >= 5),
+         |  WHERE a.vec_id >= 5 AND v.nrm > 0),
          |scored AS (
          |  SELECT p.query_id, m.neighbor_id,
          |    round(CAST(list_dot_product(p.q_qe, m.qe) AS DOUBLE)
@@ -808,10 +817,12 @@ object VectorOps {
          |        (SELECT count(*) AS c FROM embeddings GROUP BY label))),
          |emb AS (SELECT vec_id, label, $qSql AS qe FROM embeddings),
          |kb AS (
-         |  SELECT vec_id, label, qe, list_dot_product(qe, qe) AS nrm,
-         |    coalesce(array_to_string(list_transform(qe[1:(SELECT dims FROM d)],
-         |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), ''), '') AS bucket
-         |  FROM emb),
+         |  SELECT * FROM (
+         |    SELECT vec_id, label, qe, list_dot_product(qe, qe) AS nrm,
+         |      coalesce(array_to_string(list_transform(qe[1:(SELECT dims FROM d)],
+         |        x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), ''), '') AS bucket
+         |    FROM emb)
+         |  WHERE nrm > 0),
          |scored AS (
          |  SELECT a.label, a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
          |    round(CAST(list_dot_product(a.qe, b.qe) AS DOUBLE)
@@ -919,7 +930,7 @@ object VectorOps {
          |cn AS (SELECT cell, centroid, list_dot_product(centroid, centroid) AS c_nrm
          |       FROM cents),
          |q AS (SELECT vec_id AS query_id, qe AS q_qe, nrm AS q_nrm
-         |      FROM n WHERE vec_id < 5),
+         |      FROM n WHERE vec_id < 5 AND nrm > 0),
          |probe AS (
          |  SELECT query_id, q_qe, q_nrm, cell FROM (
          |    SELECT query_id, q_qe, q_nrm, cell,
@@ -936,7 +947,8 @@ object VectorOps {
          |  SELECT p.query_id, e.vec_id AS neighbor_id,
          |    round(CAST(list_dot_product(p.q_qe, e.qe) AS DOUBLE)
          |      / (sqrt(CAST(p.q_nrm AS DOUBLE)) * sqrt(CAST(e.nrm AS DOUBLE))), 4) AS sim
-         |  FROM probe p JOIN n e ON e.label = p.cell AND e.vec_id >= 5)
+         |  FROM probe p JOIN n e ON e.label = p.cell AND e.vec_id >= 5
+         |    AND e.nrm > 0)
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
          |  SELECT query_id, neighbor_id, sim,
          |    row_number() OVER (PARTITION BY query_id

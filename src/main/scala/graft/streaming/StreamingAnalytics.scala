@@ -26,7 +26,9 @@ object StreamingAnalytics {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(12,4)")).cast("double").as("sum_value"))
+        sum(col("value").cast("decimal(12,4)"))
+          // string-route: exact decimal -> correctly-rounded double
+          .cast("string").cast("double").as("sum_value"))
       .select(col("window.start").as("win_start"),
         col("window.end").as("win_end"), col("event_type"),
         col("n_events"), col("sum_value"))
