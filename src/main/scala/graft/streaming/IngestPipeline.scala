@@ -241,7 +241,13 @@ object IngestPipeline {
       .withColumn("quarantine_path",
         concat(lit(cfg.quarantineDir + "/"),
           Derived.yearMonthOf(col("delivered_at")), lit("/"),
-          Derived.uniqName(col("delivery_name"), col("delivered_at"))))
+          Derived.uniqName(col("delivery_name"), col("delivered_at")),
+          // uniqName's ms-precision (name, mtime) collides across staging
+          // DIRECTORIES (a copied tree preserves timestamps), and two
+          // colliding quarantine moves would silently overwrite one
+          // payload's evidence — suffix a short digest of the UNIQUE
+          // notify path (the row key the move log also joins on)
+          lit("."), substring(md5(col("notify_path").cast("binary")), 1, 8)))
       .withColumn("task_id", lit(cfg.taskId))
   }
 
@@ -429,10 +435,12 @@ object IngestPipeline {
     val badRows = finalRouted.where(col("final_status") === "quarantine")
       .select(col("task_id"), col("delivered_at").as("delivery_date"),
         col("delivery_name").as("orig_filename"),
-        // uniq_fullname names the file physically placed in quarantine;
-        // a source that vanished before the move placed nothing there, so
-        // the audit row must not reference a nonexistent quarantine file
-        when(col("outcome") === "src_missing", lit(null).cast("string"))
+        // uniq_fullname names the file physically placed in quarantine; a
+        // source that vanished before the move OR a notify with no
+        // adjacent payload placed nothing there, so the audit row must
+        // not reference a nonexistent quarantine file
+        when(col("outcome").isin("src_missing", "no_payload"),
+          lit(null).cast("string"))
           .otherwise(Derived.basenameOf(col("quarantine_path")))
           .as("uniq_fullname"),
         current_timestamp().as("rejected_date"), col("reject_msg").as("rejected_msg"),

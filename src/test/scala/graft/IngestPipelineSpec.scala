@@ -361,6 +361,40 @@ class IngestPipelineSpec extends SparkSpec {
     assert(quar.size == 1, s"duplicate payload in quarantine, found $quar")
   }
 
+  test("runBatch: equal-mtime duplicates keep BOTH quarantine payloads") {
+    // a copied staging tree preserves timestamps, so two duplicate
+    // deliveries can share (name, mtime) exactly — their quarantine
+    // paths must still differ (notify-path digest suffix) or the second
+    // move silently overwrites the first payload's evidence
+    import java.nio.file.attribute.FileTime
+    val (stage, cfg) = mkConfig()
+    val good = FitsHeader.render(Seq("SIMPLE" -> "T") ++ primaryCards)
+    val dirs = Seq("a", "b", "c").map(d =>
+      Files.createDirectory(stage.resolve(d)))
+    dirs.foreach { d =>
+      Files.write(d.resolve("DECam_00000050.fits.fz"), good)
+      Files.write(d.resolve("DECam_00000050.fits.fz.dbb"),
+        s"md5sum = ${md5hex(good)}\nfilesize = ${good.length}\n".getBytes)
+    }
+    // a delivered first (wins); b and c share the SAME later mtime
+    Files.setLastModifiedTime(dirs(0).resolve("DECam_00000050.fits.fz.dbb"),
+      FileTime.fromMillis(1000000000L))
+    for (d <- dirs.drop(1))
+      Files.setLastModifiedTime(d.resolve("DECam_00000050.fits.fz.dbb"),
+        FileTime.fromMillis(2000000000L))
+    val report = IngestPipeline.runBatch(spark, cfg)
+    assert(report.archived == 1 && report.quarantined == 2)
+    val quar = java.nio.file.Files.walk(Paths.get(cfg.quarantineDir))
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .toArray.toSeq.filterNot(_.toString.contains("/."))
+    assert(quar.size == 2,
+      s"both duplicate payloads must survive in quarantine, found $quar")
+    val uniqs = spark.read.parquet(cfg.badFileDir)
+      .collect().map(_.getAs[String]("uniq_fullname")).toSet
+    assert(uniqs.size == 2 && uniqs.forall(_ != null),
+      s"audit rows must cite two distinct quarantine files: $uniqs")
+  }
+
   test("bad-file appends survive target-table schema drift (projectOnto)") {
     import spark.implicits._
     val (stage, cfg) = mkConfig()
