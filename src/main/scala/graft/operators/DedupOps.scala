@@ -414,6 +414,22 @@ object DedupOps {
   def annBucketSaturated(n: Long, maxBuckets: Long = AnnMaxBuckets): Boolean =
     (n + AnnTargetPerBucket - 1) / AnnTargetPerBucket > maxBuckets
 
+  /** n→IVF-cell-count policy for [[annAuto]]'s trained branch: the
+    * classic ~√n balance (training cost n·cells per Lloyd pass vs
+    * search cost nprobe·n/cells), floored at the declared query's 8
+    * cells and capped at 2^16 inverted lists. EXACT integer sqrt
+    * (floor), fixed up from the double seed so no FP edge can move a
+    * boundary: cells² ≤ n < (cells+1)² before the clamp, spec-pinned.
+    * Only the auto dispatch uses this — the declared q_ann_ivf_kmeans /
+    * q_ann_pq keep their fixed 8-cell geometry so their oracles stay
+    * self-contained. */
+  def ivfCells(n: Long): Int = {
+    var c = math.sqrt(n.toDouble).toLong
+    while (c > 0 && c * c > n) c -= 1
+    while ((c + 1) * (c + 1) <= n) c += 1
+    math.max(8L, math.min(1L << 16, c)).toInt
+  }
+
   /** Product entry point for GLOBAL vector search with the ENFORCED
     * bucketed→IVF cutover [[annBucketed]]'s scaladoc promises — the
     * policy [[jaccardBestAuto]] applies to text, applied to vectors:
@@ -430,11 +446,14 @@ object DedupOps {
     * corpus size comes from parquet footers on the driver (no Spark
     * job per invocation). */
   def annAuto(spark: SparkSession, dir: String,
-      maxBuckets: Long = AnnMaxBuckets): DataFrame =
-    if (!annBucketSaturated(graft.functions.ScaleUtils.footerRowCount(
-        spark, s"$dir/embeddings.parquet"), maxBuckets))
-      annBucketed(spark, dir)
-    else VectorOps.annIvfKmeans(spark, dir)
+      maxBuckets: Long = AnnMaxBuckets): DataFrame = {
+    val n = graft.functions.ScaleUtils.footerRowCount(
+      spark, s"$dir/embeddings.parquet")
+    if (!annBucketSaturated(n, maxBuckets)) annBucketed(spark, dir)
+    // the trained index sizes its cell count to the corpus (~√n): a
+    // fixed 8-cell IVF at 10^9 vectors would put 10^8 vectors per cell
+    else VectorOps.annIvfKmeans(spark, dir, cells = ivfCells(n))
+  }
 
   /** Default cosine threshold for [[cosineNearDup]] — calibrated so the
     * synthetic (near-orthogonal) test embeddings yield a non-trivial pair

@@ -58,6 +58,19 @@ class AnnPolicySpec extends AnyFunSuite with SparkSpec {
     assert(ivf.columns.toSeq == Seq("query_id", "rank", "neighbor_id", "sim"),
       "past the cutover the auto must dispatch to annIvfKmeans")
     assert(ivf.count() > 0)
+    // the trained branch sizes its cells to the corpus: exact-integer √n
+    // (floor), floored at the declared query's 8 cells, capped at 2^16
+    assert(DedupOps.ivfCells(1L) == 8)
+    assert(DedupOps.ivfCells(63L) == 8)
+    assert(DedupOps.ivfCells(100L) == 10)
+    assert(DedupOps.ivfCells(10000L) == 100)
+    assert(DedupOps.ivfCells(10001L) == 100)       // floor(√10001)
+    assert(DedupOps.ivfCells((1L << 32) + 1) == (1 << 16)) // cap
+    for (n <- Seq(100L, 5000L, 123456L, 999999999L)) {
+      val c = DedupOps.ivfCells(n).toLong
+      assert(c == (1 << 16) || (c * c <= n && (c + 1) * (c + 1) > n),
+        s"n=$n cells=$c must be floor(sqrt(n)) before the clamp")
+    }
   }
 
   test("PQ ANN: on a clustered corpus the ADC top-1 shares the cluster") {
