@@ -64,8 +64,12 @@ class CurationPackSpec extends SparkSpec {
       r.getAs[Int]("shard"), r.getAs[Long]("seq_id")))
     bySeq.foreach { case (k, ms) =>
       val total = ms.map(_.getAs[Long]("tok")).sum
-      val maxDoc = ms.map(_.getAs[Long]("tok")).max
-      assert(total - maxDoc < 64L, s"seq $k: $total tokens, max doc $maxDoc")
+      // the CLOSING member is the max-doc_id row (packing order is
+      // doc_id); subtracting the max TOKEN count instead would accept a
+      // sequence whose closer started outside the budget
+      val closerTok = ms.maxBy(_.getAs[Long]("doc_id")).getAs[Long]("tok")
+      assert(total - closerTok < 64L,
+        s"seq $k: $total tokens, closer started at ${total - closerTok}")
     }
     // deterministic: identical assignment on re-run
     val again = CurationOps.packSequences(docs, "doc_id", "lang", tok,
@@ -361,9 +365,21 @@ class CurationPackSpec extends SparkSpec {
       == rows(DedupOps.dupRateBySource(spark, sfDir)))
     assert(rows(run("funnel"))
       == rows(CurationOps.curationFunnel(spark, sfDir)))
-    // and the returned frames scan the materialized tables, not the
-    // LSH chain: their plans must be bare file scans
-    assert(run("groups").queryExecution.optimizedPlan.collectLeaves()
-      .forall(_.toString.contains("Relation")), "read-back must scan parquet")
+    // and the returned frames scan the MATERIALIZED tables (leaf scan
+    // paths under outDir) — a chain recompute would also end in parquet
+    // Relations, but of the SOURCE corpus, so pin the actual file paths
+    run.foreach { case (name, df) =>
+      val paths = df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq("<non-file relation>")
+          }
+        case other => Seq(s"<non-scan leaf: ${other.nodeName}>")
+      }
+      assert(paths.nonEmpty && paths.forall(_.contains(outDir)),
+        s"$name read-back must scan $outDir, got $paths")
+    }
   }
 }

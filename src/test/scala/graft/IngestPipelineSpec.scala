@@ -170,8 +170,12 @@ class IngestPipelineSpec extends SparkSpec {
     // PARTITION filter (directory pruning), not a data filter
     val planStr = reg.where(col("nite").cast("string").isin(nites.toSeq: _*))
       .queryExecution.executedPlan.toString
-    assert(planStr.contains("PartitionFilters: [") && planStr.contains("nite"),
-      s"nite filter must prune partitions:\n$planStr")
+    val partFilters = planStr.linesIterator
+      .flatMap(_.split("PartitionFilters: ").drop(1)).mkString
+    assert(partFilters.nonEmpty && !partFilters.startsWith("[]")
+        && partFilters.takeWhile(_ != ']').contains("nite"),
+      s"nite filter must appear INSIDE a non-empty PartitionFilters list " +
+        s"(an empty list plus a post-scan data filter also mentions nite):\n$planStr")
   }
 
   test("keyword contract: extension HDUs validated against the R-ext flags") {
@@ -290,8 +294,12 @@ class IngestPipelineSpec extends SparkSpec {
       == "copy verification failed after 3 tries")
     // source preserved in quarantine, not lost
     val uniq = badRow.getAs[String]("uniq_fullname")
-    val quarFiles = new java.io.File(cfg.quarantineDir).listFiles
     assert(uniq.startsWith("DECam_00000031.fits.fz."))
+    val quarFiles = java.nio.file.Files.walk(Paths.get(cfg.quarantineDir))
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .toArray.toSeq.map(_.toString)
+    assert(quarFiles.exists(_.endsWith("/" + uniq)),
+      s"the audited quarantine file must physically exist, found $quarFiles")
     assert(stage.toFile.listFiles().isEmpty, "stage drained")
   }
 
@@ -597,8 +605,12 @@ class IngestPipelineSpec extends SparkSpec {
       try IngestPipeline.runBatch(spark, cfg)
       finally {
         spark.conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
-        prevMinPart.foreach(
-          spark.conf.set("spark.sql.files.minPartitionNum", _))
+        prevMinPart match {
+          case Some(v) => spark.conf.set("spark.sql.files.minPartitionNum", v)
+          // previously unset: leaving "1" pinned would collapse every
+          // later suite's file scans to one partition
+          case None => spark.conf.unset("spark.sql.files.minPartitionNum")
+        }
       }
     assert(report.archived == 1, "first-moved row archives before the fault bites")
     assert(report.quarantined == 2, "vandalized rows route to the bad-file table")

@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Property-based invariants (SURVEY §5.2): reference-documented contracts
   * checked over generated inputs. (Raw scalacheck runner — the
   * scalatestplus bridge is not on the classpath.) */
-class PropertySpec extends AnyFunSuite {
+class PropertySpec extends AnyFunSuite with SparkSpec {
 
   private def check(prop: Prop): Unit = {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
@@ -19,6 +19,9 @@ class PropertySpec extends AnyFunSuite {
 
   test("FitsHeader render/parse round-trips arbitrary keyword maps") {
     val keyGen = Gen.nonEmptyListOf(Gen.alphaUpperChar).map(_.mkString.take(8))
+      // reserved cards: parse STOPS at END and SKIPS comment-class keys,
+      // so they cannot round-trip as ordinary keywords (rare seed flake)
+      .suchThat(k => !Set("END", "COMMENT", "HISTORY").contains(k))
     val valGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(40))
     val kvGen = Gen.mapOf(Gen.zip(keyGen, valGen)).map(_.toSeq.take(20))
     check(Prop.forAll(kvGen) { kv =>
@@ -83,9 +86,8 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("nite cutoff: every timestamp maps to exactly one nite, monotone") {
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[2]")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    // the shared SparkSpec session — building one here with a different
+    // master would make the singleton session suite-order dependent
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val tsGen = Gen.listOfN(50, Gen.chooseNum(1704067200000L, 1706745600000L))
