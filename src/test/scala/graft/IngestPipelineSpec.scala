@@ -15,6 +15,11 @@ class IngestPipelineSpec extends SparkSpec {
   private def md5hex(b: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
 
+  /** The reference's notify-file body for a payload — ONE definition so
+    * a format change cannot silently miss a fixture. */
+  private def notifyBytesFor(payload: Array[Byte]): Array[Byte] =
+    s"md5sum = ${md5hex(payload)}\nfilesize = ${payload.length}\n".getBytes
+
   /** Full required-primary card set per the keyword contract table. */
   private def primaryCards: Seq[(String, String)] =
     graft.sources.KeywordContract.requiredPrimary.map(_ -> "v")
@@ -28,9 +33,10 @@ class IngestPipelineSpec extends SparkSpec {
       Files.write(stage.resolve(name), bytes)
     def notifyFor(name: String, bytes: Array[Byte], md5: Option[String] = None)
         : Unit =
-      put(name + ".dbb",
-        s"md5sum = ${md5.getOrElse(md5hex(bytes))}\nfilesize = ${bytes.length}\n"
-          .getBytes)
+      put(name + ".dbb", md5 match {
+        case None => notifyBytesFor(bytes)
+        case Some(m) => s"md5sum = $m\nfilesize = ${bytes.length}\n".getBytes
+      })
 
     // good FITS with every contract-required primary keyword
     val good = FitsHeader.render(Seq("SIMPLE" -> "T") ++ primaryCards)
@@ -112,7 +118,7 @@ class IngestPipelineSpec extends SparkSpec {
       "FILTER" -> "g", "RA" -> "5"))
     Files.write(stage.resolve("DECam_00000001.fits.fz"), good)
     Files.write(stage.resolve("DECam_00000001.fits.fz.dbb"),
-      s"md5sum = ${md5hex(good)}\nfilesize = ${good.length}\n".getBytes)
+      notifyBytesFor(good))
     val second = IngestPipeline.runBatch(spark, cfg)
     assert(second.archived == 0)
     assert(second.quarantined == 1)
@@ -184,13 +190,13 @@ class IngestPipelineSpec extends SparkSpec {
     val goodMulti = FitsHeader.renderMulti(Seq(primaryCards, extCards))
     Files.write(stage.resolve("DECam_00000010.fits.fz"), goodMulti)
     Files.write(stage.resolve("DECam_00000010.fits.fz.dbb"),
-      s"md5sum = ${md5hex(goodMulti)}\nfilesize = ${goodMulti.length}\n".getBytes)
+      notifyBytesFor(goodMulti))
     // multi-HDU file: complete primary, extension 2 missing GAINA/GAINB
     val badExt = FitsHeader.renderMulti(Seq(primaryCards, extCards,
       extCards.filterNot(c => c._1 == "GAINA" || c._1 == "GAINB")))
     Files.write(stage.resolve("DECam_00000011.fits.fz"), badExt)
     Files.write(stage.resolve("DECam_00000011.fits.fz.dbb"),
-      s"md5sum = ${md5hex(badExt)}\nfilesize = ${badExt.length}\n".getBytes)
+      notifyBytesFor(badExt))
 
     val report = IngestPipeline.runBatch(spark, cfg)
     assert(report.archived == 1)
@@ -211,7 +217,7 @@ class IngestPipelineSpec extends SparkSpec {
     val good = FitsHeader.render(Seq("SIMPLE" -> "T") ++ primaryCards)
     Files.write(stage.resolve("DECam_00000021.fits.fz"), good)
     Files.write(stage.resolve("DECam_00000021.fits.fz.dbb"),
-      s"md5sum = ${md5hex(good)}\nfilesize = ${good.length}\n".getBytes)
+      notifyBytesFor(good))
     val report = IngestPipeline.runBatch(spark, cfg)
     assert(report.archived == 1)
     val archived = spark.read.parquet(cfg.locationTableDir)
@@ -280,7 +286,7 @@ class IngestPipelineSpec extends SparkSpec {
     for (n <- Seq("DECam_00000030.fits.fz", "DECam_00000031.fits.fz")) {
       Files.write(stage.resolve(n), good)
       Files.write(stage.resolve(n + ".dbb"),
-        s"md5sum = ${md5hex(good)}\nfilesize = ${good.length}\n".getBytes)
+        notifyBytesFor(good))
     }
     val report = IngestPipeline.runBatch(spark, cfg)
     assert(report.archived == 1, "untouched file archives")
@@ -307,7 +313,7 @@ class IngestPipelineSpec extends SparkSpec {
     import spark.implicits._
     val good = FitsHeader.render(Seq("SIMPLE" -> "T") ++ primaryCards)
     val notifyBytes =
-      s"md5sum = ${md5hex(good)}\nfilesize = ${good.length}\n".getBytes
+      notifyBytesFor(good)
     val notify = Seq(
       ("file:///s/a/x.fits.fz.dbb", notifyBytes,
         new java.sql.Timestamp(2000L)),
@@ -340,7 +346,7 @@ class IngestPipelineSpec extends SparkSpec {
     for (d <- Seq(dirA, dirB)) {
       Files.write(d.resolve("DECam_00000040.fits.fz"), good)
       Files.write(d.resolve("DECam_00000040.fits.fz.dbb"),
-        s"md5sum = ${md5hex(good)}\nfilesize = ${good.length}\n".getBytes)
+        notifyBytesFor(good))
     }
     // deterministic winner: a's notify delivered first (mtime order)
     Files.setLastModifiedTime(dirA.resolve("DECam_00000040.fits.fz.dbb"),
@@ -382,7 +388,7 @@ class IngestPipelineSpec extends SparkSpec {
     dirs.foreach { d =>
       Files.write(d.resolve("DECam_00000050.fits.fz"), good)
       Files.write(d.resolve("DECam_00000050.fits.fz.dbb"),
-        s"md5sum = ${md5hex(good)}\nfilesize = ${good.length}\n".getBytes)
+        notifyBytesFor(good))
     }
     // a delivered first (wins); b and c share the SAME later mtime
     Files.setLastModifiedTime(dirs(0).resolve("DECam_00000050.fits.fz.dbb"),
@@ -491,7 +497,7 @@ class IngestPipelineSpec extends SparkSpec {
     val good = FitsHeader.render(Seq("SIMPLE" -> "T") ++ primaryCards)
     Files.write(stage.resolve("DECam_00000060.fits.fz"), good)
     Files.write(stage.resolve("DECam_00000060.fits.fz.dbb"),
-      s"md5sum = ${md5hex(good)}\nfilesize = ${good.length}\n".getBytes)
+      notifyBytesFor(good))
     val second = IngestPipeline.runBatch(spark, cfg)
     assert(second.archived == 1 && second.quarantined == 0)
   }
@@ -507,7 +513,7 @@ class IngestPipelineSpec extends SparkSpec {
     val good = FitsHeader.render(Seq("SIMPLE" -> "T") ++ primaryCards)
     Files.write(stage.resolve("DECam_00000050.fits.fz"), good)
     Files.write(stage.resolve("DECam_00000050.fits.fz.dbb"),
-      s"md5sum = ${md5hex(good)}\nfilesize = ${good.length}\n".getBytes)
+      notifyBytesFor(good))
     val report = IngestPipeline.runBatch(spark, cfg)
     assert(report.archived == 0 && report.quarantined == 1,
       "historically-registered file must quarantine as a duplicate")
@@ -539,7 +545,7 @@ class IngestPipelineSpec extends SparkSpec {
     def stageFile(n: Int): Unit = {
       Files.write(stage.resolve(f"DECam_000001$n%02d.fits.fz"), good)
       Files.write(stage.resolve(f"DECam_000001$n%02d.fits.fz.dbb"),
-        s"md5sum = ${md5hex(good)}\nfilesize = ${good.length}\n".getBytes)
+        notifyBytesFor(good))
     }
     def registryFiles(): Int = {
       val it = java.nio.file.Files.walk(Paths.get(cfg.registryDir))
@@ -586,7 +592,7 @@ class IngestPipelineSpec extends SparkSpec {
     names.foreach { n =>
       Files.write(stage.resolve(n), good)
       Files.write(stage.resolve(n + ".dbb"),
-        s"md5sum = ${md5hex(good)}\nfilesize = ${good.length}\n".getBytes)
+        notifyBytesFor(good))
     }
     val stageDir = stage.toString
     val vandal = new IngestPipeline.CopyFault {
