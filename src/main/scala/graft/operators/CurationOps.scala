@@ -132,6 +132,43 @@ object CurationOps {
       .withColumn("epochs_100", expr("tokens_needed * 100 div tokens_avail"))
   }
 
+  /** Chunk geometry for [[chunkDocs]]: fixed token windows with overlap
+    * (the shape an embedding/retrieval pass feeds its encoder). Stride =
+    * tokens − overlap; a chunk starts at every stride multiple below the
+    * doc's token count, so the tail chunk may be short but no chunk
+    * starts past the end. */
+  val ChunkTokens = 64
+  val ChunkOverlap = 16
+  val ChunkStride: Int = ChunkTokens - ChunkOverlap
+
+  /** Document CHUNKING — the preprocessing step between a curated corpus
+    * and embedding generation: split each document into
+    * [[ChunkTokens]]-token windows overlapping by [[ChunkOverlap]]
+    * (overlap keeps boundary-straddling content inside at least one
+    * window). Emits (doc_id, lang, chunk_id, n_tok, chunk_fp) — the
+    * md5 fingerprint stands in for the chunk text so the declared
+    * query's output stays compact and hash-comparable; a real run
+    * projects the chunk string instead (same slice).
+    *
+    * Scale shape: per-row token array + one explode of the start
+    * sequence — output rows ∝ corpus tokens / stride, no shuffle, no
+    * UDF; zero-token docs drop (no empty chunk). */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    val toksCol = filter(split(col("text"), " "), t => t =!= "")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), toksCol.as("toks"))
+      .withColumn("n", size(col("toks")))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("lang"), col("toks"),
+        explode(sequence(lit(0), col("n") - 1, lit(ChunkStride))).as("start"))
+      .select(col("doc_id"), col("lang"),
+        (col("start") / ChunkStride).cast("int").as("chunk_id"),
+        slice(col("toks"), col("start") + 1, lit(ChunkTokens)).as("ctoks"))
+      .select(col("doc_id"), col("lang"), col("chunk_id"),
+        size(col("ctoks")).as("n_tok"),
+        md5(array_join(col("ctoks"), " ").cast("binary")).as("chunk_fp"))
+  }
+
   /** Token budget per packed sequence (a small context window against
     * the chars/4 token estimate) and the shard fan-out that bounds how
     * much of one language any single packing task sees. */
@@ -316,6 +353,7 @@ object CurationOps {
     "q_curation" -> curationSummary _,
     "q_stratified_sample" -> stratifiedSampleSummary _,
     "q_mixture_plan" -> ((s: SparkSession, d: String) => mixturePlan(s, d)),
+    "q_chunks" -> chunkDocs _,
     "q_seq_pack" -> packSummary _,
     "q_source_profile" -> sourceProfile _,
     "q_curation_funnel" -> curationFunnel _,
@@ -440,6 +478,22 @@ object CurationOps {
          |  CAST(sum(CASE WHEN n_tok > $PackBudget THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_overflow
          |FROM b GROUP BY lang""".stripMargin,
+    // chunk starts via range(0, n, stride) — excludes n, matching
+    // Spark's sequence(0, n-1, stride); list slicing clamps to length
+    // on both engines, so the tail chunk's n_tok is min(64, n - start)
+    "q_chunks" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, lang, toks, len(toks) AS n
+         |      FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, lang, toks, n,
+         |        unnest(range(0, n, $ChunkStride)) AS start
+         |      FROM s)
+         |SELECT doc_id, lang, CAST(start // $ChunkStride AS INT) AS chunk_id,
+         |  CAST(least($ChunkTokens, n - start) AS INT) AS n_tok,
+         |  md5(array_to_string(
+         |    toks[CAST(start + 1 AS INT):CAST(start + $ChunkTokens AS INT)],
+         |    ' ')) AS chunk_fp
+         |FROM c""".stripMargin,
     // all operands non-negative, so DuckDB's floor-div // and Spark's
     // trunc-div agree; sums cast to BIGINT (DuckDB widens to HUGEINT)
     "q_mixture_plan" ->

@@ -280,6 +280,37 @@ class CurationPackSpec extends SparkSpec {
     } else assert(canon.isEmpty)
   }
 
+  test("chunking: window boundaries, overlap, and tail behavior") {
+    val rows = CurationOps.chunkDocs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    val stats = TextOps.textStats(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tokens")).toMap
+    byDoc.foreach { case (id, cs) =>
+      val n = stats(id).toLong
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_id"))
+      // chunk count = number of stride multiples below n
+      val expect = ((n - 1) / CurationOps.ChunkStride + 1).toInt
+      assert(sorted.length == expect, s"doc $id: ${sorted.length} vs $expect")
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Int]("chunk_id") == i)
+        val start = i.toLong * CurationOps.ChunkStride
+        assert(c.getAs[Int]("n_tok")
+          == math.min(CurationOps.ChunkTokens.toLong, n - start),
+          s"doc $id chunk $i length")
+      }
+      // consecutive FULL chunks overlap by exactly ChunkOverlap tokens:
+      // start delta is the stride, windows are ChunkTokens wide
+      assert(CurationOps.ChunkTokens - CurationOps.ChunkStride
+        == CurationOps.ChunkOverlap)
+    }
+    // zero-token docs emit no chunks
+    val docsWithChunks = byDoc.keySet
+    stats.filter(_._2 == 0).foreach { case (id, _) =>
+      assert(!docsWithChunks(id), s"empty doc $id must not chunk")
+    }
+  }
+
   test("mixture plan: shares, caps and epoch factors reconcile") {
     val plan = CurationOps.mixturePlan(spark, sfDir).collect()
     assert(plan.nonEmpty)
