@@ -136,7 +136,13 @@ object CurationOps {
     * (the shape an embedding/retrieval pass feeds its encoder). Stride =
     * tokens − overlap; a chunk starts at every stride multiple below the
     * doc's token count, so the tail chunk may be short but no chunk
-    * starts past the end. */
+    * starts past the end. A tail chunk that would be FULLY CONTAINED in
+    * its predecessor (start ≥ n − overlap, i.e. every token already in
+    * the previous window) is dropped — it carries zero new content and
+    * would register as a spurious duplicate in chunk-level dedup
+    * (ADVICE r6). Only the LAST start can hit that condition (if
+    * start + overlap ≥ n then start + stride ≥ n too), so chunk ids
+    * stay contiguous. */
   val ChunkTokens = 64
   val ChunkOverlap = 16
   val ChunkStride: Int = ChunkTokens - ChunkOverlap
@@ -159,8 +165,9 @@ object CurationOps {
       .select(col("doc_id"), col("lang"), toksCol.as("toks"))
       .withColumn("n", size(col("toks")))
       .where(col("n") > 0)
-      .select(col("doc_id"), col("lang"), col("toks"),
+      .select(col("doc_id"), col("lang"), col("toks"), col("n"),
         explode(sequence(lit(0), col("n") - 1, lit(ChunkStride))).as("start"))
+      .where(col("start") === 0 || col("start") + ChunkOverlap < col("n"))
       .select(col("doc_id"), col("lang"),
         (col("start") / ChunkStride).cast("int").as("chunk_id"),
         slice(col("toks"), col("start") + 1, lit(ChunkTokens)).as("ctoks"))
@@ -480,7 +487,8 @@ object CurationOps {
          |FROM b GROUP BY lang""".stripMargin,
     // chunk starts via range(0, n, stride) — excludes n, matching
     // Spark's sequence(0, n-1, stride); list slicing clamps to length
-    // on both engines, so the tail chunk's n_tok is min(64, n - start)
+    // on both engines, so the tail chunk's n_tok is min(64, n - start);
+    // the contained-tail filter mirrors chunkDocs (start=0 or new content)
     "q_chunks" ->
       s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, lang, toks, len(toks) AS n
@@ -493,7 +501,7 @@ object CurationOps {
          |  md5(array_to_string(
          |    toks[CAST(start + 1 AS INT):CAST(start + $ChunkTokens AS INT)],
          |    ' ')) AS chunk_fp
-         |FROM c""".stripMargin,
+         |FROM c WHERE start = 0 OR start + $ChunkOverlap < n""".stripMargin,
     // all operands non-negative, so DuckDB's floor-div // and Spark's
     // trunc-div agree; sums cast to BIGINT (DuckDB widens to HUGEINT)
     "q_mixture_plan" ->

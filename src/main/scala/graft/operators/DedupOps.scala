@@ -424,6 +424,11 @@ object DedupOps {
     * q_ann_pq keep their fixed 8-cell geometry so their oracles stay
     * self-contained. */
   def ivfCells(n: Long): Int = {
+    // n ≥ 2^32 ⇒ floor(√n) ≥ 2^16 = the cap — answer before the fix-up
+    // loops, whose (c+1)² would overflow Long near Long.MaxValue (the
+    // overflowed square goes negative, so `<= n` keeps passing and the
+    // loop spins ~1.5e9 times before the clamp is even reached)
+    if (n >= (1L << 32)) return 1 << 16
     var c = math.sqrt(n.toDouble).toLong
     while (c > 0 && c * c > n) c -= 1
     while ((c + 1) * (c + 1) <= n) c += 1

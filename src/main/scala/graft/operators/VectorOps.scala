@@ -891,7 +891,8 @@ object VectorOps {
          |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM sims)
          |WHERE rank <= 5""".stripMargin,
-    // refine: exact quantized cosine over the ADC top-25 shortlist only
+    // refine: exact quantized cosine over the ADC top-PqRefineShortlist
+    // shortlist only
     "q_ann_pq_refine" ->
       s"""WITH $pqSimsCtes,
          |short AS (

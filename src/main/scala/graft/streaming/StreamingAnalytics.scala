@@ -114,6 +114,29 @@ object StreamingAnalytics {
     graft.functions.ScaleUtils.compactParquet(spark, s"$dir/band_keys"),
     graft.functions.ScaleUtils.compactParquet(spark, s"$dir/shingles"))
 
+  /** Index-table schemas, declared so reads never INFER: inference costs
+    * a footer scan per micro-batch, and — the sharper edge — a first
+    * append with ZERO admitted rows creates a directory with no data
+    * files, which schema inference rejects outright (a fresh pipeline
+    * whose first batch admits nothing would wedge the stream). */
+  private val BandKeysSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("band_key",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("batch",
+      org.apache.spark.sql.types.LongType)))
+  private val ShinglesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("dup_of",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts_c",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)),
+    org.apache.spark.sql.types.StructField("batch",
+      org.apache.spark.sql.types.LongType)))
+
   /** Read-back side of [[writeCorpusIndex]]: (corpusBandKeys,
     * corpusShingles) backed by parquet — drop-in for the gate's static
     * side (verdict parity with the in-memory index is spec-pinned).
@@ -122,10 +145,29 @@ object StreamingAnalytics {
     * the two short key columns at scan time. */
   def loadCorpusIndex(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = (
-    spark.read.parquet(s"$dir/band_keys")
+    spark.read.schema(BandKeysSchema).parquet(s"$dir/band_keys")
       .select(col("doc_id"), col("band"), col("band_key")),
-    spark.read.parquet(s"$dir/shingles")
+    spark.read.schema(ShinglesSchema).parquet(s"$dir/shingles")
       .select(col("dup_of"), col("ts_c")))
+
+  /** [[loadCorpusIndex]] tolerant of a NEVER-SEEDED index dir — the
+    * fresh-pipeline bootstrap [[runCuratedIngest]] needs: before any
+    * [[writeCorpusIndex]] ran, the corpus is EMPTY, so the gate's static
+    * side is two empty frames with the index schemas (zero candidates →
+    * the first micro-batch judges intra-batch only) and the batch's own
+    * `batch=<id>` append creates the tables. Existence is one driver-side
+    * FS probe per micro-batch (same cost class as the footer reads). */
+  def loadCorpusIndexOrEmpty(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/band_keys")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) loadCorpusIndex(spark, dir)
+    else (
+      spark.range(0).select(col("id").as("doc_id"),
+        lit(0).as("band"), lit("").as("band_key")),
+      spark.range(0).select(col("id").as("dup_of"),
+        array().cast("array<string>").as("ts_c")))
+  }
 
   /** Dedup-on-ingest gate — the streaming face of the corpus-dedup chain
     * (q_text_dedup_groups): each incoming document is minhash-banded
@@ -276,7 +318,12 @@ object StreamingAnalytics {
     * the append and the checkpoint commit can replay a batch and
     * duplicate its index rows. Duplicated index rows are HARMLESS to
     * verdicts (candidates are `distinct`, the verify reads one shingle
-    * set per dup_of), and the next compaction folds the files. */
+    * set per dup_of), and the next compaction folds the files.
+    *
+    * Bootstrap: `idxDir` need not be seeded — a never-written index dir
+    * reads as an EMPTY corpus ([[loadCorpusIndexOrEmpty]]) and the first
+    * batch's append creates the tables; seeding via [[writeCorpusIndex]]
+    * first is the backfill path, not a precondition. */
   def runCuratedIngest(stream: DataFrame, idxDir: String, checkpoint: String,
       bar: Double = graft.operators.DedupOps.TextDupJaccard,
       minQuality10k: Long = AdmitMinQuality10k,
@@ -285,7 +332,9 @@ object StreamingAnalytics {
       : org.apache.spark.sql.streaming.StreamingQuery =
     runPerBatch(stream, checkpoint) { (batch, id) =>
       val spark = batch.sparkSession
-      val (bk, sh) = loadCorpusIndex(spark, idxDir)
+      // OrEmpty: a fresh pipeline has no seeded index yet — the first
+      // batch bootstraps it (its own append creates the tables)
+      val (bk, sh) = loadCorpusIndexOrEmpty(spark, idxDir)
       val verdicts = admitBatch(batch, bk, sh, bar, minQuality10k)
         .localCheckpoint(true)
       // the checkpointed blocks are exactly the LogicalRDD the eager

@@ -289,9 +289,17 @@ class CurationPackSpec extends SparkSpec {
     byDoc.foreach { case (id, cs) =>
       val n = stats(id).toLong
       val sorted = cs.sortBy(_.getAs[Int]("chunk_id"))
-      // chunk count = number of stride multiples below n
-      val expect = ((n - 1) / CurationOps.ChunkStride + 1).toInt
+      // chunk count = stride multiples below n, minus a tail chunk that
+      // would be fully contained in its predecessor (no new content)
+      val expect = (0L until n by CurationOps.ChunkStride.toLong)
+        .count(s => s == 0 || s + CurationOps.ChunkOverlap < n)
       assert(sorted.length == expect, s"doc $id: ${sorted.length} vs $expect")
+      // every kept non-first chunk contributes at least one new token
+      sorted.drop(1).foreach { c =>
+        val start = c.getAs[Int]("chunk_id").toLong * CurationOps.ChunkStride
+        assert(start + CurationOps.ChunkOverlap < n,
+          s"doc $id chunk ${c.getAs[Int]("chunk_id")} is contained in its predecessor")
+      }
       sorted.zipWithIndex.foreach { case (c, i) =>
         assert(c.getAs[Int]("chunk_id") == i)
         val start = i.toLong * CurationOps.ChunkStride

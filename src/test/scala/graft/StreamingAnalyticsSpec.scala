@@ -205,6 +205,49 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(buf.count(_._1 == 9101L) == 1)
   }
 
+  test("curated ingest loop: unseeded index dir bootstraps empty") {
+    // NO writeCorpusIndex seeding — the dir does not exist; the first
+    // micro-batch must judge against an empty corpus (ADVICE r6). That
+    // first batch admits NOTHING (repetitive junk), so its append writes
+    // zero rows — the explicit-schema read must tolerate the resulting
+    // data-file-less table; the second batch's admission must then be
+    // visible to the third batch's gate.
+    val idxDir = java.nio.file.Files.createTempDirectory("bootidx").toString +
+      "/never_written"
+    val junk = "spam spam spam spam spam spam spam spam"
+    val good = "the quick brown fox jumps over a lazy dog and then " +
+      "walks off to find the next interesting thing in the field"
+    val inDir = java.nio.file.Files.createTempDirectory("bootin").toString
+    Seq((9201L, junk)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    Thread.sleep(1100) // distinct mtimes → deterministic batch order
+    Seq((9202L, good)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    Thread.sleep(1100)
+    Seq((9203L, good)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Any)]
+    val q = StreamingAnalytics.runCuratedIngest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(inDir),
+      idxDir,
+      java.nio.file.Files.createTempDirectory("bootckpt").toString) {
+      (verdicts, _) =>
+        buf ++= verdicts.collect().map(r =>
+          (r.getLong(0), r.getAs[String]("verdict"), r.get(2)))
+    }
+    q.awaitTermination()
+    val byId = buf.map(t => t._1 -> t).toMap
+    assert(byId(9201L)._2 == "repetitive",
+      s"junk against the bootstrapped empty index must be screened, got $buf")
+    assert(byId(9202L)._2 == "admit",
+      s"good doc after a zero-admission first append must admit, got $buf")
+    assert(byId(9203L)._2 == "dup" && byId(9203L)._3 == 9202L,
+      s"third batch must flag against the second's append, got $buf")
+  }
+
   test("admission policy: dup > repetitive > low_quality > admit") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val (cbk, csh) = StreamingAnalytics.corpusIndex(docs)
