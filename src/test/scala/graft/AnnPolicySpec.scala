@@ -144,6 +144,59 @@ class AnnPolicySpec extends AnyFunSuite with SparkSpec {
     assert(i10 <= i2, s"more iterations must not increase inertia: $i2 -> $i10")
   }
 
+  test("vector near-dup: banded→IVF cutover flips at the bucket-space cap") {
+    import spark.implicits._
+    // below saturation the auto IS the banded plan, bit-identical — the
+    // regime every test SF sits in (and what q_cosine_neardup oracles)
+    val banded = DedupOps.cosineNearDup(spark, sfDir).collect().toSet
+    val auto = DedupOps.cosineNearDupAuto(spark, sfDir).collect().toSet
+    assert(auto == banded, "below the cutover the near-dup auto must take " +
+      "the banded sign-LSH plan unchanged")
+    // forced saturation on a planted clustered fixture: candidates must
+    // come from probed IVF cells and still recover the planted near-dup
+    val rnd = new scala.util.Random(17)
+    val base = Array.tabulate(4, 64)((c, d) => if (d % 4 == c) 1.0f else 0.05f)
+    val rows = (0 until 80).map { i =>
+      val c = i % 4
+      (i.toLong, s"l$c",
+        base(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f).toSeq)
+    } :+ (80L, "l0", base(0).toSeq) :+ (81L, "l0", base(0).map(_ * 1.001f).toSeq)
+    val dir = java.nio.file.Files.createTempDirectory("ndspec").toString
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ivf = DedupOps.cosineNearDupAuto(spark, dir, threshold = 0.9,
+      maxBuckets = 1L).collect()
+    assert(ivf.exists(r => r.getAs[Long]("id_a") == 80L
+        && r.getAs[Long]("id_b") == 81L),
+      s"the planted near-identical pair (80,81) must be recovered, " +
+        s"got ${ivf.length} pairs")
+    // the verify tail is EXACT: every emitted pair must truly clear the
+    // threshold under the same milli-quantized cosine, i.e. the IVF
+    // branch's pairs are a subset of the brute-force truth set
+    val q = rows.map { case (id, _, e) =>
+      id -> e.map(x => math.round(x.toDouble * 1000)).toArray }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      dot / (math.sqrt(a.map(x => x * x).sum.toDouble)
+        * math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val truth = (for {
+      i <- q.keys; j <- q.keys if i < j && cos(q(i), q(j)) >= 0.9
+    } yield (i, j)).toSet
+    val got = ivf.map(r =>
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got.subsetOf(truth),
+      s"IVF pairs must all clear the exact threshold: ${got.diff(truth)}")
+    assert(got.nonEmpty && truth.nonEmpty)
+    // dedup groups ride the same dispatch: forced saturation must still
+    // put the planted pair in one component
+    val groups = DedupOps.dedupGroups(spark, dir, maxBuckets = 1L)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("rep_id"))
+      .toMap
+    assert(groups.contains(80L) && groups(80L) == groups(81L),
+      "planted pair must share a component under the IVF branch")
+  }
+
   test("expected bucket occupancy stays bounded under the policy") {
     for (n <- Seq(100L, 10000L, 1000000L, 50000000L)) {
       val buckets = 1L << DedupOps.annSignDims(n)
