@@ -223,37 +223,48 @@ object VectorOps {
       nQueries: Int = 5, nprobe: Int = 3, cells: Int = 8): DataFrame =
     topKPerQuery(annPqScored(spark, dir, nQueries, nprobe, cells), k)
 
-  /** The ADC-scored candidate frame (query_id, neighbor_id, sim) behind
-    * [[annPq]] — shared with [[annPqRefine]] so the shortlist and the
-    * declared pure-PQ query can never drift. */
-  private def annPqScored(spark: SparkSession, dir: String,
-      nQueries: Int, nprobe: Int, cells: Int): DataFrame = {
+  /** Subvector relation of a quantized frame: (vec_id, s, sub, sub_nrm),
+    * one row per [[PqSubvectors]] slice. */
+  private def slicedOf(spark: SparkSession, emb: DataFrame): DataFrame = {
     val dot = DotProductLong.dotLong(spark) _
-    val emb = quantized(spark, dir)
-    val (assigned, coarse) = kmeansCore(spark, dir, cells, PqTrainIters)
-    // subvector relation: (vec_id, s, sub, sub_nrm)
-    val sliced = emb.select(col("vec_id"), explode(array(
+    emb.select(col("vec_id"), explode(array(
         (0 until PqSubvectors).map { s =>
           struct(lit(s).as("s"),
             slice(col("qe"), s * PqSubDim + 1, PqSubDim).as("sub"))
         }: _*)).as("sv"))
       .select(col("vec_id"), col("sv.s").as("s"), col("sv.sub").as("sub"))
       .withColumn("sub_nrm", dot(col("sub"), col("sub")))
-    // per-slice Lloyd: assignment minimizes integer L2² (ties → smallest
-    // centroid id — total order, so min_by can never tie)
-    def assign(cs: DataFrame): DataFrame =
-      sliced.join(broadcast(cs), Seq("s"))
-        .withColumn("d2",
-          col("sub_nrm") + col("c_nrm") - lit(2L) * dot(col("sub"), col("cent")))
-        .groupBy(col("vec_id"), col("s"))
-        .agg(min_by(col("cl"), struct(col("d2"), col("cl"))).as("cl"),
-          first(col("sub")).as("sub"))
-    var cents = sliced.where(col("vec_id") < PqCodebookSize)
+  }
+
+  /** Per-slice nearest-codeword assignment: integer L2², ties → smallest
+    * centroid id (total order, so min_by can never tie). */
+  private def pqAssign(spark: SparkSession, sliced: DataFrame,
+      cs: DataFrame): DataFrame = {
+    val dot = DotProductLong.dotLong(spark) _
+    sliced.join(broadcast(cs), Seq("s"))
+      .withColumn("d2",
+        col("sub_nrm") + col("c_nrm") - lit(2L) * dot(col("sub"), col("cent")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(col("cl"), struct(col("d2"), col("cl"))).as("cl"),
+        first(col("sub")).as("sub"))
+  }
+
+  /** Per-slice Lloyd codebook training over a (train) subvector relation
+    * — (s, cl, cent, c_nrm), [[PqCodebookSize]] codewords per slice, all
+    * slices in ONE plan. Seeds are the slices of the ksub lowest vec_ids
+    * PRESENT (same rationale as [[kmeansCoreOf]]'s seeding — a sampled
+    * training frame has gaps, and `vec_id < ksub` would under-seed). */
+  private[graft] def pqCodebooks(spark: SparkSession,
+      trainSliced: DataFrame, iters: Int = PqTrainIters): DataFrame = {
+    val dot = DotProductLong.dotLong(spark) _
+    val seedIds = trainSliced.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(PqCodebookSize)
+    var cents = trainSliced.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("s"), col("vec_id").cast("int").as("cl"),
         col("sub").as("cent"), col("sub_nrm").as("c_nrm"))
       .localCheckpoint(true)
-    for (_ <- 1 until PqTrainIters) {
-      cents = assign(cents)
+    for (_ <- 1 until iters) {
+      cents = pqAssign(spark, trainSliced, cents)
         .select(col("s"), col("cl"), posexplode(col("sub")))
         .groupBy(col("s"), col("cl"), col("pos"))
         .agg(sum(col("col")).as("sm"), count(lit(1)).as("n"))
@@ -265,9 +276,28 @@ object VectorOps {
         .withColumn("c_nrm", dot(col("cent"), col("cent")))
         .localCheckpoint(true)
     }
-    val codes = assign(cents).select(col("vec_id"), col("s"), col("cl"))
+    cents
+  }
+
+  /** Encode a subvector relation against trained codebooks:
+    * (vec_id, s, cl) — the corpus's 4-byte/vector compressed form. */
+  private[graft] def pqEncode(spark: SparkSession, sliced: DataFrame,
+      cents: DataFrame): DataFrame =
+    pqAssign(spark, sliced, cents).select(col("vec_id"), col("s"), col("cl"))
+
+  /** ADC scoring against an ALREADY-BUILT index (coarse centroids, cell
+    * assignments, PQ codebooks, codes) — the search half of the
+    * build/search split: one lookup table per query against the
+    * broadcast codebooks, probed-cell candidate selection, and the
+    * per-(query, neighbor) partial-aggregated code sum. Identical
+    * arithmetic whether the index frames come fresh from training
+    * ([[annPqScored]]) or from parquet ([[annPqFrom]]). */
+  private def adcScore(spark: SparkSession, emb: DataFrame,
+      coarse: DataFrame, assignments: DataFrame, cents: DataFrame,
+      codes: DataFrame, nQueries: Int, nprobe: Int): DataFrame = {
+    val dot = DotProductLong.dotLong(spark) _
     // ADC lookup table: (query, slice, code) → integer dot + recon norm²
-    val dtab = sliced.where(col("vec_id") < nQueries)
+    val dtab = slicedOf(spark, emb.where(col("vec_id") < nQueries))
       .select(col("vec_id").as("query_id"), col("s"), col("sub"))
       .join(broadcast(cents), Seq("s"))
       .select(col("query_id"), col("s"), col("cl"),
@@ -285,8 +315,8 @@ object VectorOps {
       .withColumn("cell_rank", row_number().over(wProbe))
       .where(col("cell_rank") <= nprobe)
       .select(col("query_id"), col("q_nrm"), col("cluster"))
-    val scored = probed
-      .join(assigned.where(col("vec_id") >= nQueries)
+    probed
+      .join(assignments.where(col("vec_id") >= nQueries)
         .select(col("cluster"), col("vec_id").as("neighbor_id")), Seq("cluster"))
       .join(codes.select(col("vec_id").as("neighbor_id"), col("s"), col("cl")),
         Seq("neighbor_id"))
@@ -298,7 +328,23 @@ object VectorOps {
       .withColumn("sim", round(col("ipsum").cast("double")
         / (sqrt(col("qn").cast("double")) * sqrt(col("rn").cast("double"))), 4))
       .select(col("query_id"), col("neighbor_id"), col("sim"))
-    scored
+  }
+
+  /** The ADC-scored candidate frame (query_id, neighbor_id, sim) behind
+    * [[annPq]] — shared with [[annPqRefine]] so the shortlist and the
+    * declared pure-PQ query can never drift. Trains in-plan (the
+    * declared query's self-contained-oracle shape); the build-once
+    * production posture is [[writeAnnIndex]] + [[annPqFrom]]. */
+  private def annPqScored(spark: SparkSession, dir: String,
+      nQueries: Int, nprobe: Int, cells: Int): DataFrame = {
+    val emb = quantized(spark, dir)
+    val (assigned, coarse) = kmeansCore(spark, dir, cells, PqTrainIters)
+    val sliced = slicedOf(spark, emb)
+    val cents = pqCodebooks(spark, sliced)
+    val codes = pqEncode(spark, sliced, cents)
+    adcScore(spark, emb, coarse,
+      assigned.select(col("vec_id"), col("cluster")), cents, codes,
+      nQueries, nprobe)
   }
 
   /** PQ shortlist size the refine step re-ranks exactly — 20× the
@@ -321,11 +367,18 @@ object VectorOps {
     * the exact quantized cosine. */
   def annPqRefine(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 5, nprobe: Int = 3, cells: Int = 8,
-      shortlist: Int = PqRefineShortlist): DataFrame = {
+      shortlist: Int = PqRefineShortlist): DataFrame =
+    refineShortlist(spark, quantized(spark, dir),
+      annPqScored(spark, dir, nQueries, nprobe, cells), nQueries, k,
+      shortlist)
+
+  /** Exact re-rank tail shared by [[annPqRefine]] and
+    * [[annPqRefineFrom]]: top-`shortlist` of the ADC scores per query,
+    * re-scored with the exact quantized cosine, final top-k. */
+  private def refineShortlist(spark: SparkSession, emb: DataFrame,
+      scored: DataFrame, nQueries: Int, k: Int, shortlist: Int): DataFrame = {
     val dot = DotProductLong.dotLong(spark) _
-    val emb = quantized(spark, dir)
-    val short = topKPerQuery(
-      annPqScored(spark, dir, nQueries, nprobe, cells), shortlist)
+    val short = topKPerQuery(scored, shortlist)
       .select(col("query_id"), col("neighbor_id"))
     val queries = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qe").as("q_qe"),
@@ -339,6 +392,133 @@ object VectorOps {
         round(cosineQ(dot)(col("q_qe"), col("qe"), col("q_nrm"), col("nrm")), 4))
       .select(col("query_id"), col("neighbor_id"), col("sim"))
     topKPerQuery(exact, k)
+  }
+
+  /** BUILD half of the ANN build/search split (VERDICT r6 #3: PQ/IVF
+    * retrained per invocation is pure waste across queries — at 10⁹
+    * vectors the Lloyd passes dominate every search). Materializes the
+    * four index relations as parquet under `indexDir`:
+    *
+    *  - `coarse_centroids` (cluster, centroid, c_nrm) — the trained
+    *    coarse quantizer ([[kmeansCoreOf]], [[PqTrainIters]] iterations)
+    *  - `assignments` (vec_id, cluster) — every corpus vector's cell
+    *  - `pq_codebooks` (s, cl, cent, c_nrm) — per-slice codewords
+    *  - `pq_codes` (vec_id, s, cl) — the 4-byte/vector compressed corpus
+    *
+    * `trainFrac` < 1 trains BOTH quantizers on a deterministic
+    * md5-threshold sample ([[CurationOps.stratifiedSample]]'s filter —
+    * stable under retries and across engines, no rand()) while still
+    * assigning/encoding the FULL corpus — the production posture
+    * [[annPq]]'s scaladoc records (training cost drops ×frac; the
+    * centroids see an unbiased subset). Measured on the planted
+    * 4-cluster fixture (AnnIndexSpec): recall@5 vs brute force is 0.76
+    * full-trained and 0.80 at trainFrac 0.5 — half-corpus training
+    * costs nothing on clustered data (the envelope the spec pins is
+    * sampled ≥ full − 0.2), which is why ANN libraries train coarse
+    * quantizers on samples by default.
+    *
+    * All values are exact integers (longs/arrays), so the parquet
+    * round-trip changes nothing: searching a full-trained index is
+    * BIT-IDENTICAL to the train-in-plan [[annPq]] (spec-pinned). */
+  def writeAnnIndex(spark: SparkSession, dir: String, indexDir: String,
+      cells: Int = 8, trainFrac: Double = 1.0,
+      trainIters: Int = PqTrainIters): Unit = {
+    val emb = quantized(spark, dir)
+    val trainEmb =
+      if (trainFrac >= 1.0) emb
+      else CurationOps.stratifiedSample(emb, "vec_id", "vec_id",
+        Map.empty, trainFrac)
+    val (_, coarse) = kmeansCoreOf(spark, trainEmb, cells, trainIters)
+    val assignments = assignToCents(spark, emb, coarse)
+      .select(col("vec_id"), col("cluster"))
+    val cents = pqCodebooks(spark, slicedOf(spark, trainEmb), trainIters)
+    val codes = pqEncode(spark, slicedOf(spark, emb), cents)
+    coarse.write.mode("overwrite").parquet(s"$indexDir/coarse_centroids")
+    assignments.write.mode("overwrite").parquet(s"$indexDir/assignments")
+    cents.write.mode("overwrite").parquet(s"$indexDir/pq_codebooks")
+    codes.write.mode("overwrite").parquet(s"$indexDir/pq_codes")
+  }
+
+  // explicit index schemas: reads never infer (footer scan per search,
+  // and inference cannot read a zero-row table) — the corpus-index
+  // convention (StreamingAnalytics.loadCorpusIndex)
+  import org.apache.spark.sql.types._
+  private val CoarseSchema = StructType(Seq(
+    StructField("cluster", IntegerType), StructField("centroid",
+      ArrayType(LongType)), StructField("c_nrm", LongType)))
+  private val AssignSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("cluster", IntegerType)))
+  private val CodebookSchema = StructType(Seq(
+    StructField("s", IntegerType), StructField("cl", IntegerType),
+    StructField("cent", ArrayType(LongType)), StructField("c_nrm", LongType)))
+  private val CodesSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("s", IntegerType),
+    StructField("cl", IntegerType)))
+
+  /** Read-back side of [[writeAnnIndex]]:
+    * (coarse, assignments, codebooks, codes). */
+  def loadAnnIndex(spark: SparkSession, indexDir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = (
+    spark.read.schema(CoarseSchema).parquet(s"$indexDir/coarse_centroids"),
+    spark.read.schema(AssignSchema).parquet(s"$indexDir/assignments"),
+    spark.read.schema(CodebookSchema).parquet(s"$indexDir/pq_codebooks"),
+    spark.read.schema(CodesSchema).parquet(s"$indexDir/pq_codes"))
+
+  /** SEARCH half of the build/search split: [[annPq]]'s ADC scoring
+    * against a [[writeAnnIndex]] directory — no training in the plan,
+    * so per-query cost is the lookup table + probed-cell code scan.
+    * On a full-trained index the results are bit-identical to
+    * [[annPq]] (spec-pinned). */
+  def annPqFrom(spark: SparkSession, dir: String, indexDir: String,
+      k: Int = 5, nQueries: Int = 5, nprobe: Int = 3): DataFrame = {
+    val (coarse, assignments, cents, codes) = loadAnnIndex(spark, indexDir)
+    topKPerQuery(adcScore(spark, quantized(spark, dir), coarse, assignments,
+      cents, codes, nQueries, nprobe), k)
+  }
+
+  /** [[annPqRefine]] against a persisted index — ADC shortlist from the
+    * loaded codes, exact re-rank from the corpus table. */
+  def annPqRefineFrom(spark: SparkSession, dir: String, indexDir: String,
+      k: Int = 5, nQueries: Int = 5, nprobe: Int = 3,
+      shortlist: Int = PqRefineShortlist): DataFrame = {
+    val (coarse, assignments, cents, codes) = loadAnnIndex(spark, indexDir)
+    val emb = quantized(spark, dir)
+    refineShortlist(spark, emb,
+      adcScore(spark, emb, coarse, assignments, cents, codes, nQueries,
+        nprobe), nQueries, k, shortlist)
+  }
+
+  /** Search-only PQ entry for the declared-query/bench surface: builds
+    * the index ONCE per corpus STATE into a deterministic scratch
+    * location, then every invocation is pure [[annPqFrom]] search — so
+    * bench reps measure SEARCH latency (the first cold rep pays the
+    * build; min is the search-only signal). Staleness and identity are
+    * both carried by the cache key: an md5 of the RAW corpus path (no
+    * lossy sanitizing — distinct dirs can never collide) plus the
+    * (name, length, mtime) of every embeddings data file, so a
+    * regenerated corpus at the same path AND size still rebuilds.
+    * Build completion is a `_COMPLETE` sentinel written after all four
+    * tables commit — a killed half-built index is rebuilt, never
+    * silently served as empty tables (the explicit read schemas would
+    * otherwise mask it). Full-corpus training → bit-identical to
+    * [[annPq]], same oracle. */
+  def annPqSearchCached(spark: SparkSession, dir: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val stamp = src.getFileSystem(hconf).listStatus(src)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(",")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$stamp".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val idx = System.getProperty("java.io.tmpdir") + s"/graft_ann_index/$key"
+    val done = new org.apache.hadoop.fs.Path(s"$idx/_COMPLETE")
+    val fs = done.getFileSystem(hconf)
+    if (!fs.exists(done)) {
+      writeAnnIndex(spark, dir, idx)
+      fs.create(done, true).close()
+    }
+    annPqFrom(spark, dir, idx)
   }
 
   /** Nearest neighbor within a blocking key (label) — the "embedding
@@ -444,16 +624,7 @@ object VectorOps {
     var cents = emb.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").cast("int").as("cluster"),
         col("qe").as("centroid"), col("nrm").as("c_nrm"))
-    val wMin = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("dist2").asc, col("cluster").asc)
-    def assign(cs: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(cs))
-        .withColumn("dist2",
-          col("nrm") + col("c_nrm") - lit(2L) * dot(col("qe"), col("centroid")))
-        .withColumn("rk", row_number().over(wMin))
-        .where(col("rk") === 1)
-        .select(col("vec_id"), col("cluster"), col("qe"), col("dist2"))
+    def assign(cs: DataFrame): DataFrame = assignToCents(spark, emb, cs)
     for (_ <- 1 until iters) {
       cents = assign(cents)
         .select(col("cluster"), posexplode(col("qe")))
@@ -468,6 +639,25 @@ object VectorOps {
         .localCheckpoint(true)
     }
     (assign(cents), cents)
+  }
+
+  /** One-pass nearest-centroid assignment of a quantized frame to a
+    * centroid set (cluster, centroid, c_nrm): the Lloyd assignment step,
+    * split out so [[writeAnnIndex]] can assign the FULL corpus to
+    * sample-trained centroids. Broadcast centroids, integer L2², ties →
+    * smallest cluster id; window key is vec_id (high cardinality). */
+  private[graft] def assignToCents(spark: SparkSession, emb: DataFrame,
+      cs: DataFrame): DataFrame = {
+    val dot = DotProductLong.dotLong(spark) _
+    val wMin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("dist2").asc, col("cluster").asc)
+    emb.crossJoin(broadcast(cs))
+      .withColumn("dist2",
+        col("nrm") + col("c_nrm") - lit(2L) * dot(col("qe"), col("centroid")))
+      .withColumn("rk", row_number().over(wMin))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("cluster"), col("qe"), col("dist2"))
   }
 
   /** IVF search over the TRAINED quantizer: [[annIvf]]'s probe/search
@@ -626,6 +816,11 @@ object VectorOps {
     "q_ann_sq8"      -> ((s: SparkSession, d: String) => annSq8(s, d)),
     "q_ann_pq"       -> ((s: SparkSession, d: String) => annPq(s, d)),
     "q_ann_pq_refine" -> ((s: SparkSession, d: String) => annPqRefine(s, d)),
+    // the build/search split's SEARCH half (index built once into a
+    // corpus-keyed scratch dir): full-corpus training makes it
+    // bit-identical to q_ann_pq — same oracle — and benching it records
+    // the search-only latency the persisted index buys (warm-rep min)
+    "q_ann_pq_search" -> annPqSearchCached _,
     // the PRODUCT entry point (enforced exact→bucketed cutover): below the
     // cutover it must be bit-identical to the exact form — same oracle —
     // and benching it keeps the auto path measured, not just declared
@@ -929,6 +1124,17 @@ object VectorOps {
          |    row_number() OVER (PARTITION BY query_id
          |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM exact)
+         |WHERE rank <= 5""".stripMargin,
+    // search half of the build/search split: full-corpus-trained index →
+    // bit-identical to the train-in-plan q_ann_pq, so the SAME twin SQL
+    // is the oracle (parity additionally spec-pinned in AnnIndexSpec)
+    "q_ann_pq_search" ->
+      s"""WITH $pqSimsCtes
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM sims)
          |WHERE rank <= 5""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH emb AS (
