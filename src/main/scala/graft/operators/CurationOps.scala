@@ -176,6 +176,73 @@ object CurationOps {
         md5(array_join(col("ctoks"), " ").cast("binary")).as("chunk_fp"))
   }
 
+  /** CHUNK-level dedup (VERDICT r6 #5) — real pipelines dedup below
+    * document granularity: a doc can be 60% boilerplate-copied without
+    * its doc-level Jaccard ever reaching the dup bar. Per chunk
+    * fingerprint the OWNER is the lowest doc_id carrying it; a chunk is
+    * a duplicate iff its fp already appears in a LOWER-id doc —
+    * cross-document strictly, so a doc that merely repeats ITSELF
+    * (intra-doc periodic content) is the repetition stage's business,
+    * not a chunk dup, and the owner doc itself is never flagged. Emits
+    * one row per chunked doc: (doc_id, lang, n_chunks, n_dup_chunks,
+    * chunk_dup) where `chunk_dup` flags docs at least HALF of whose
+    * chunks are owned elsewhere (integer-exact 2·dup ≥ n — no FP
+    * boundary).
+    *
+    * Scale shape: one UNORDERED aggregate window over chunk_fp (high
+    * cardinality — one shuffle, no partition sort, no funnel) + one
+    * hash re-aggregation per doc. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkDedupOf(chunkDocs(spark, dir))
+
+  /** [[chunkDedup]] over a precomputed [[chunkDocs]] frame — the form
+    * the funnel and a chunks-materializing run ([[curationRun]]) use so
+    * the corpus is chunked ONCE per run, not once per signal. */
+  def chunkDedupOf(chunks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("chunk_fp"))
+    chunks
+      .withColumn("owner_id", min(col("doc_id")).over(w))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("doc_id") > col("owner_id"), 1L).otherwise(0L))
+          .as("n_dup_chunks"))
+      .withColumn("chunk_dup",
+        col("n_dup_chunks") * 2 >= col("n_chunks"))
+  }
+
+  /** Fraction of a doc's chunks that must match benchmark chunks to
+    * flag it (1e-4 units, integer-exact compare). 30%: the sub-document
+    * threshold — a doc quoting a third of its content from a benchmark
+    * is contaminated even when doc-level containment (≥80% of the
+    * BENCHMARK's shingles) never fires because the benchmark is long. */
+  val ChunkContainBar10k = 3000L
+
+  /** CHUNK-level benchmark containment — catches the sub-document
+    * contamination [[graft.operators.DedupOps.contamination]] misses:
+    * doc-level containment is |shared|/|benchmark| and goes quiet when
+    * a LONG benchmark is only partially quoted; here a corpus doc is
+    * flagged when ≥ [[ChunkContainBar10k]] of ITS chunks carry a
+    * benchmark chunk fingerprint (copies are chunk-aligned when they
+    * start at the doc head — the verbatim-prefix quote case; spec-pinned
+    * with a doc-level-miss fixture). Benchmark side = the same
+    * [[DedupOps.BenchmarkMaxId]] split as the declared contamination
+    * query; benchmark fps are DISTINCT and broadcast (benchmarks are
+    * small), the corpus scans once — no shuffle of the big side. */
+  def chunkContamination(spark: SparkSession, dir: String): DataFrame =
+    chunkContaminationOf(chunkDocs(spark, dir))
+
+  /** [[chunkContamination]] over a precomputed [[chunkDocs]] frame. */
+  def chunkContaminationOf(chunks: DataFrame): DataFrame = {
+    val benchFps = chunks.where(col("doc_id") < DedupOps.BenchmarkMaxId)
+      .select(col("chunk_fp")).distinct().withColumn("hit", lit(1L))
+    chunks.where(col("doc_id") >= DedupOps.BenchmarkMaxId)
+      .join(broadcast(benchFps), Seq("chunk_fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_matched"))
+      .where(col("n_matched") * 10000 >= col("n_chunks") * ChunkContainBar10k)
+  }
+
   /** Token budget per packed sequence (a small context window against
     * the chars/4 token estimate) and the shard fan-out that bounds how
     * much of one language any single packing task sees. */
@@ -269,8 +336,12 @@ object CurationOps {
     * [[graft.streaming.StreamingAnalytics.admitBatch]] and extends it
     * with the corpus-level passes): near-dup dropped (non-canonical
     * member of a text dup group, best-quality-keeps) → benchmark-
-    * contaminated → repetitive (Gopher bars) → boilerplate-heavy →
-    * below the quality floor → admitted.
+    * contaminated (doc-level containment OR chunk-level
+    * [[chunkContamination]] — one drop reason, two detectors) →
+    * chunk-dup ([[chunkDedup]]'s flag: half the doc's chunks already
+    * exist elsewhere, below the doc-level dup bar) → repetitive
+    * (Gopher bars) → boilerplate-heavy → below the quality floor →
+    * admitted.
     *
     * Scale shape: the per-row signals (repetition, quality) evaluate in
     * the main projection; the three corpus-level signals (dup drops,
@@ -292,12 +363,21 @@ object CurationOps {
     * per-row and other corpus-level signals are computed here either
     * way (they are not the expensive pass). */
   def curationFunnelFrom(spark: SparkSession, dir: String,
-      dropped: DataFrame): DataFrame = {
+      dropped: DataFrame, chunksOpt: Option[DataFrame] = None): DataFrame = {
     val dupDropped = dropped.select(col("doc_id"))
       .withColumn("dup_dropped", lit(true))
+    // the corpus is chunked once; both chunk signals derive from it (a
+    // materializing run — curationRun — passes the chunk TABLE instead)
+    val chunks = chunksOpt.getOrElse(chunkDocs(spark, dir))
+    // one drop reason, two detectors: doc-level containment and the
+    // chunk-level variant union into the contaminated set
     val contaminated = DedupOps.contamination(spark, dir)
-      .select(col("doc_id")).distinct()
+      .select(col("doc_id"))
+      .union(chunkContaminationOf(chunks).select(col("doc_id")))
+      .distinct()
       .withColumn("contaminated", lit(true))
+    val chunkDup = chunkDedupOf(chunks).where(col("chunk_dup"))
+      .select(col("doc_id")).withColumn("is_chunk_dup", lit(true))
     val boiler = TextOps.boilerplate(spark, dir)
       .select(col("doc_id"), col("boiler_heavy"))
     Tables.documents(spark, dir)
@@ -306,14 +386,16 @@ object CurationOps {
         TextOps.quality10k(col("text")).as("q10k"))
       .join(dupDropped, Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")
+      .join(chunkDup, Seq("doc_id"), "left")
       .join(boiler, Seq("doc_id"), "left")
       .withColumn("stage",
         when(coalesce(col("dup_dropped"), lit(false)), "1_dup_dropped")
           .when(coalesce(col("contaminated"), lit(false)), "2_contaminated")
-          .when(col("repetitive"), "3_repetitive")
-          .when(coalesce(col("boiler_heavy"), lit(false)), "4_boilerplate")
-          .when(col("q10k") < FunnelMinQuality10k, "5_low_quality")
-          .otherwise("6_admitted"))
+          .when(coalesce(col("is_chunk_dup"), lit(false)), "3_chunk_dup")
+          .when(col("repetitive"), "4_repetitive")
+          .when(coalesce(col("boiler_heavy"), lit(false)), "5_boilerplate")
+          .when(col("q10k") < FunnelMinQuality10k, "6_low_quality")
+          .otherwise("7_admitted"))
       .groupBy(col("lang"), col("stage"))
       .agg(count(lit(1)).as("n_docs"))
   }
@@ -347,11 +429,17 @@ object CurationOps {
     DedupOps.dupRateBySourceFrom(groups, keep,
         Tables.documents(spark, dir).select(col("doc_id"), col("source")))
       .write.mode("overwrite").parquet(s"$outDir/dup_rates")
-    curationFunnelFrom(spark, dir, DedupOps.dropList(groups, keep))
+    // the chunk grid is the other corpus-sized derivation — materialize
+    // it once and feed the funnel's two chunk signals from the table
+    chunkDocs(spark, dir).write.mode("overwrite").parquet(s"$outDir/chunks")
+    val chunks = spark.read.parquet(s"$outDir/chunks")
+    curationFunnelFrom(spark, dir, DedupOps.dropList(groups, keep),
+        Some(chunks))
       .write.mode("overwrite").parquet(s"$outDir/funnel")
     Map(
       "groups"    -> groups,
       "canonical" -> keep,
+      "chunks"    -> chunks,
       "dup_rates" -> spark.read.parquet(s"$outDir/dup_rates"),
       "funnel"    -> spark.read.parquet(s"$outDir/funnel"))
   }
@@ -361,6 +449,7 @@ object CurationOps {
     "q_stratified_sample" -> stratifiedSampleSummary _,
     "q_mixture_plan" -> ((s: SparkSession, d: String) => mixturePlan(s, d)),
     "q_chunks" -> chunkDocs _,
+    "q_chunk_dedup" -> chunkDedup _,
     "q_seq_pack" -> packSummary _,
     "q_source_profile" -> sourceProfile _,
     "q_curation_funnel" -> curationFunnel _,
@@ -381,6 +470,38 @@ object CurationOps {
     "CASE lang " + SampleRates.toSeq.sortBy(_._1).map { case (k, r) =>
       s"WHEN '$k' THEN '${rateHex(r)}'"
     }.mkString(" ") + s" ELSE '${rateHex(SampleDefaultRate)}' END"
+
+  /** Shared chunking CTE chain (ends in `ch(doc_id, lang, chunk_id,
+    * n_tok, chunk_fp)`) — one definition for q_chunks, q_chunk_dedup and
+    * the funnel's chunk stages, so the chunk grid can never drift
+    * between them. Chunk starts via range(0, n, stride) — excludes n,
+    * matching Spark's sequence(0, n-1, stride); list slicing clamps to
+    * length on both engines, so the tail chunk's n_tok is
+    * min(64, n - start); the contained-tail filter mirrors chunkDocs
+    * (start = 0 or new content). */
+  private lazy val chunksCtes: String =
+    s"""ct AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |cs AS (SELECT doc_id, lang, toks, len(toks) AS n
+       |       FROM ct WHERE len(toks) > 0),
+       |cc AS (SELECT doc_id, lang, toks, n,
+       |       unnest(range(0, n, $ChunkStride)) AS start FROM cs),
+       |ch AS (SELECT doc_id, lang,
+       |  CAST(start // $ChunkStride AS INT) AS chunk_id,
+       |  CAST(least($ChunkTokens, n - start) AS INT) AS n_tok,
+       |  md5(array_to_string(
+       |    toks[CAST(start + 1 AS INT):CAST(start + $ChunkTokens AS INT)],
+       |    ' ')) AS chunk_fp
+       |  FROM cc WHERE start = 0 OR start + $ChunkOverlap < n)""".stripMargin
+
+  /** Per-chunk CROSS-DOC dup marker over `ch` (ends in
+    * `chr(doc_id, lang, is_dup)`): a chunk is a dup iff a LOWER-id doc
+    * owns its fingerprint — one definition for q_chunk_dedup and the
+    * funnel's chunk-dup stage, mirroring [[chunkDedupOf]]. */
+  private lazy val chunkDupCte: String =
+    s"""chr AS (SELECT doc_id, lang,
+       |  CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY chunk_fp)
+       |    THEN 1 ELSE 0 END AS is_dup
+       |  FROM ch)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the funnel reuses DedupOps's group chain (ex carries the distinct
@@ -436,18 +557,36 @@ object CurationOps {
          |    count(b.tok) * 10000 // greatest(any_value(e.n_tok), 1)
          |      > ${TextOps.BoilerplateHeavyBar10k} AS heavy
          |  FROM ex e LEFT JOIN boilset b ON b.tok = e.tok
-         |  GROUP BY e.doc_id)
+         |  GROUP BY e.doc_id),
+         |$chunksCtes, $chunkDupCte,
+         |chdup AS (
+         |  SELECT doc_id FROM chr GROUP BY doc_id
+         |  HAVING 2 * sum(is_dup) >= count(*)),
+         |bfp AS (SELECT DISTINCT chunk_fp FROM ch
+         |        WHERE doc_id < ${DedupOps.BenchmarkMaxId}),
+         |chcont AS (
+         |  SELECT c.doc_id
+         |  FROM (SELECT doc_id, chunk_fp FROM ch
+         |        WHERE doc_id >= ${DedupOps.BenchmarkMaxId}) c
+         |  LEFT JOIN bfp b ON b.chunk_fp = c.chunk_fp
+         |  GROUP BY c.doc_id
+         |  HAVING sum(CASE WHEN b.chunk_fp IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 10000 >= count(*) * $ChunkContainBar10k)
          |SELECT d.lang,
          |  CASE WHEN dr.doc_id IS NOT NULL THEN '1_dup_dropped'
-         |       WHEN ct.doc_id IS NOT NULL THEN '2_contaminated'
-         |       WHEN rep.repetitive THEN '3_repetitive'
-         |       WHEN coalesce(bo.heavy, FALSE) THEN '4_boilerplate'
-         |       WHEN q.q10k < $FunnelMinQuality10k THEN '5_low_quality'
-         |       ELSE '6_admitted' END AS stage,
+         |       WHEN ct.doc_id IS NOT NULL OR cc2.doc_id IS NOT NULL
+         |         THEN '2_contaminated'
+         |       WHEN cd.doc_id IS NOT NULL THEN '3_chunk_dup'
+         |       WHEN rep.repetitive THEN '4_repetitive'
+         |       WHEN coalesce(bo.heavy, FALSE) THEN '5_boilerplate'
+         |       WHEN q.q10k < $FunnelMinQuality10k THEN '6_low_quality'
+         |       ELSE '7_admitted' END AS stage,
          |  count(*) AS n_docs
          |FROM documents d
          |LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
          |LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+         |LEFT JOIN chcont cc2 ON cc2.doc_id = d.doc_id
+         |LEFT JOIN chdup cd ON cd.doc_id = d.doc_id
          |JOIN rep ON rep.doc_id = d.doc_id
          |LEFT JOIN boil bo ON bo.doc_id = d.doc_id
          |JOIN qual q ON q.doc_id = d.doc_id
@@ -485,23 +624,17 @@ object CurationOps {
          |  CAST(sum(CASE WHEN n_tok > $PackBudget THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_overflow
          |FROM b GROUP BY lang""".stripMargin,
-    // chunk starts via range(0, n, stride) — excludes n, matching
-    // Spark's sequence(0, n-1, stride); list slicing clamps to length
-    // on both engines, so the tail chunk's n_tok is min(64, n - start);
-    // the contained-tail filter mirrors chunkDocs (start=0 or new content)
     "q_chunks" ->
-      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id, lang, toks, len(toks) AS n
-         |      FROM t WHERE len(toks) > 0),
-         |c AS (SELECT doc_id, lang, toks, n,
-         |        unnest(range(0, n, $ChunkStride)) AS start
-         |      FROM s)
-         |SELECT doc_id, lang, CAST(start // $ChunkStride AS INT) AS chunk_id,
-         |  CAST(least($ChunkTokens, n - start) AS INT) AS n_tok,
-         |  md5(array_to_string(
-         |    toks[CAST(start + 1 AS INT):CAST(start + $ChunkTokens AS INT)],
-         |    ' ')) AS chunk_fp
-         |FROM c WHERE start = 0 OR start + $ChunkOverlap < n""".stripMargin,
+      s"""WITH $chunksCtes
+         |SELECT doc_id, lang, chunk_id, n_tok, chunk_fp FROM ch""".stripMargin,
+    // the chunk_dup flag is integer-exact (2·dup ≥ n); dup semantics
+    // are cross-doc only (chunkDupCte)
+    "q_chunk_dedup" ->
+      s"""WITH $chunksCtes, $chunkDupCte
+         |SELECT doc_id, lang, count(*) AS n_chunks,
+         |  CAST(sum(is_dup) AS BIGINT) AS n_dup_chunks,
+         |  2 * sum(is_dup) >= count(*) AS chunk_dup
+         |FROM chr GROUP BY doc_id, lang""".stripMargin,
     // all operands non-negative, so DuckDB's floor-div // and Spark's
     // trunc-div agree; sums cast to BIGINT (DuckDB widens to HUGEINT)
     "q_mixture_plan" ->

@@ -177,6 +177,13 @@ class CurationPackSpec extends SparkSpec {
       "walks off to find the next interesting thing in the field"
     val boilerDocs = (80L to 85L).map(i =>
       (i, "en", s"common filler phrase u${i}a u${i}b"))
+    // chunk-dup pair: 64 shared head tokens (one aligned chunk) + 48 own
+    // tokens each — chunk 0 identical, chunk 1 distinct, Jaccard ≈ 0.39
+    // (far below the 0.85 doc-dup bar), quality and repetition clean
+    // (stopwords interleaved, all bigrams distinct)
+    val p = mkTok("pp", 64)
+    val chunkDupA = (p ++ mkTok("qq", 48)).mkString(" ")
+    val chunkDupB = (p ++ mkTok("rr", 48)).mkString(" ")
     val docs = (Seq(
       (1L, "en", bench),                   // benchmark side (id < 25)
       (30L, "en", s"$bench $filler"),      // quotes the benchmark verbatim
@@ -184,7 +191,9 @@ class CurationPackSpec extends SparkSpec {
       (41L, "en", s"twin text $filler"),
       (50L, "en", ("spam " * 20).trim),    // repetitive
       (60L, "en", deBruijn),               // q10k = 1950 < floor
-      (70L, "en", good)) ++ boilerDocs)
+      (70L, "en", good),
+      (90L, "en", chunkDupA),              // canonical chunk owner: admits
+      (91L, "en", chunkDupB)) ++ boilerDocs) // half its chunks are 90's
       .toDF("doc_id", "lang", "text")
       .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
     val dir = java.nio.file.Files.createTempDirectory("funnel").toString
@@ -192,14 +201,69 @@ class CurationPackSpec extends SparkSpec {
     val got = CurationOps.curationFunnel(spark, dir).collect()
       .map(r => (r.getString(1), r.getLong(2))).toMap
     // 41 dropped (exact dup, quality tie -> min id keeps 40);
-    // 30 contaminated-but-not-dup; 50 repetitive (ALSO low quality:
-    // q10k = 2800 — stage 3 must win); 80-85 boilerplate ("common
+    // 30 contaminated-but-not-dup; 91 chunk-dup (shares chunk 0 with 90
+    // but is NOT a doc-level dup); 50 repetitive (ALSO low quality:
+    // q10k = 2800 — stage 4 must win); 80-85 boilerplate ("common
     // filler phrase" in 6 docs > bar 5); 60 low quality;
-    // admitted: 1 (bench doc), 40, 70
+    // admitted: 1 (bench doc), 40, 70, 90
     assert(got == Map(
-      "1_dup_dropped" -> 1L, "2_contaminated" -> 1L, "3_repetitive" -> 1L,
-      "4_boilerplate" -> 6L, "5_low_quality" -> 1L, "6_admitted" -> 3L),
+      "1_dup_dropped" -> 1L, "2_contaminated" -> 1L, "3_chunk_dup" -> 1L,
+      "4_repetitive" -> 1L, "5_boilerplate" -> 6L, "6_low_quality" -> 1L,
+      "7_admitted" -> 4L),
       s"funnel stages: $got")
+  }
+
+  /** Distinct content words interleaved with cycling stopwords — clears
+    * the quality floor and repetition bars at any length (top word
+    * ≈ n/6 ≤ 20%, all bigrams distinct). */
+  private def mkTok(prefix: String, n: Int): Seq[String] =
+    (0 until n).map(i =>
+      if (i % 2 == 0) Seq("the", "of", "and")((i / 2) % 3)
+      else s"$prefix${i / 2}")
+
+  test("chunk containment catches sub-document contamination doc-level misses") {
+    import spark.implicits._
+    // LONG benchmark (640 tokens); corpus doc 100 copies its first 192
+    // tokens verbatim (head-aligned → chunk grid aligns) then diverges
+    val s640 = mkTok("ss", 640)
+    // doc 102 repeats ITSELF with a stride-aligned 48-token period: its
+    // 3 chunks are identical to each other but owned by no other doc —
+    // intra-doc repetition is the repetitive stage's business, not a
+    // chunk dup (cross-doc-only semantics)
+    val periodic = Seq.fill(3)(mkTok("vv", 48)).flatten
+    val docs = Seq(
+      (5L, "en", s640.mkString(" ")),      // benchmark side (id < 25)
+      (100L, "en", (s640.take(192) ++ mkTok("tt", 144)).mkString(" ")),
+      (101L, "en", mkTok("uu", 200).mkString(" ")),
+      (102L, "en", periodic.mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("chcont").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // doc-level containment is |shared|/|BENCHMARK| = ~190/638 < 0.8:
+    // the partial quote of a long benchmark is invisible to it
+    val docLevel = graft.operators.DedupOps.contamination(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(!docLevel.contains(100L),
+      s"doc-level containment must MISS the partial quote, got $docLevel")
+    // chunk-level: 3 of doc 100's 7 chunks carry benchmark fps (43% ≥ 30%)
+    val chunkLevel = CurationOps.chunkContamination(spark, dir).collect()
+    val flagged = chunkLevel.map(_.getAs[Long]("doc_id")).toSet
+    assert(flagged == Set(100L),
+      s"chunk containment must flag exactly doc 100, got ${chunkLevel.toSeq}")
+    val r100 = chunkLevel.find(_.getAs[Long]("doc_id") == 100L).get
+    assert(r100.getAs[Long]("n_matched") == 3L
+      && r100.getAs[Long]("n_chunks") == 7L)
+    // and chunkDedup sees the cross-doc chunk copies without flagging
+    // the doc (3 of 7 < half)
+    val cd = CurationOps.chunkDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_chunks"), r.getAs[Boolean]("chunk_dup"))).toMap
+    assert(cd(100L) == ((3L, false)), s"chunkDedup rows: ${cd.toSeq}")
+    assert(cd(101L) == ((0L, false)))
+    // self-repeating doc: identical chunks, zero CROSS-doc dups
+    assert(cd(102L) == ((0L, false)),
+      s"intra-doc repeats must not count as chunk dups: ${cd.toSeq}")
   }
 
   test("sq8 ANN: top-1 matches exact; sim error bounded by quantization") {
