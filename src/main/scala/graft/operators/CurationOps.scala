@@ -189,9 +189,13 @@ object CurationOps {
     * chunks are owned elsewhere (integer-exact 2·dup ≥ n — no FP
     * boundary).
     *
-    * Scale shape: one UNORDERED aggregate window over chunk_fp (high
-    * cardinality — one shuffle, no partition sort, no funnel) + one
-    * hash re-aggregation per doc. */
+    * Scale shape: owner resolution is a HASH AGGREGATE on chunk_fp
+    * (partial min combines map-side, so the exchange carries ~distinct
+    * fps) joined back on the same key, then one hash re-aggregation per
+    * doc. An aggregate WINDOW over chunk_fp would be one exchange fewer
+    * on paper but plans as Exchange + per-partition SORT of the full
+    * chunk table by its 32-char fp — the sort costs more than the
+    * compacted second exchange. */
   def chunkDedup(spark: SparkSession, dir: String): DataFrame =
     chunkDedupOf(chunkDocs(spark, dir))
 
@@ -199,9 +203,10 @@ object CurationOps {
     * the funnel and a chunks-materializing run ([[curationRun]]) use so
     * the corpus is chunked ONCE per run, not once per signal. */
   def chunkDedupOf(chunks: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("chunk_fp"))
+    val owners = chunks.groupBy(col("chunk_fp"))
+      .agg(min(col("doc_id")).as("owner_id"))
     chunks
-      .withColumn("owner_id", min(col("doc_id")).over(w))
+      .join(owners, Seq("chunk_fp"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("doc_id") > col("owner_id"), 1L).otherwise(0L))
@@ -367,8 +372,13 @@ object CurationOps {
     val dupDropped = dropped.select(col("doc_id"))
       .withColumn("dup_dropped", lit(true))
     // the corpus is chunked once; both chunk signals derive from it (a
-    // materializing run — curationRun — passes the chunk TABLE instead)
-    val chunks = chunksOpt.getOrElse(chunkDocs(spark, dir))
+    // materializing run — curationRun — passes the chunk TABLE instead).
+    // The internally-derived frame is PERSISTED: chunkDocs has no
+    // shuffle boundary ReuseExchange could share, and it feeds three
+    // aggregations (bench fps, containment, chunk dedup) in this one
+    // plan. Freed by the harness contract (Verify/Bench clearCache
+    // between queries).
+    val chunks = chunksOpt.getOrElse(chunkDocs(spark, dir).persist())
     // one drop reason, two detectors: doc-level containment and the
     // chunk-level variant union into the contaminated set
     val contaminated = DedupOps.contamination(spark, dir)

@@ -136,6 +136,85 @@ object TextOps {
       .orderBy(col("n_pairs").desc, col("pair"))
       .limit(BpeTopK)
 
+  /** Merge iterations [[bpeMerges]] runs — enough for the loop to reach
+    * real multi-character merges (the interesting regime: iteration 1 is
+    * [[bpePairs]]' top row, later iterations merge previously-merged
+    * symbols) while keeping the unrolled DuckDB twin readable. */
+  val BpeMergeIters = 8
+
+  /** The full BPE MERGE LOOP — iterates [[bpePairs]]' statistic the way a
+    * tokenizer trainer does: count adjacent symbol pairs, apply the most
+    * frequent merge everywhere, re-count over the merged symbols,
+    * [[BpeMergeIters]] times. Emits the ranked merge table
+    * (merge_rank, pair, n_occ) — the artifact a BPE trainer ships; n_occ
+    * is the pair's pre-merge count (the statistic the rank was chosen
+    * by), per the reference BPE formulation. Rank order is a TOTAL order
+    * (count desc, pair asc), so the chosen merge — and therefore every
+    * subsequent iteration — is deterministic in any engine.
+    *
+    * Representation: the corpus is reduced ONCE to its distinct
+    * whitespace tokens weighted by frequency (pair counts over
+    * (word, freq) equal pair counts over every occurrence), and each
+    * word's symbol sequence is encoded as a single string with every
+    * symbol wrapped in sentinel spaces (`"abc"` → `" a  b  c "` —
+    * symbols never contain spaces, [[toks]] split on them). Under that
+    * encoding, applying merge (A, B) is a LITERAL string replace of
+    * `" A  B "` with `" AB "`: each symbol occurrence owns its wrappers,
+    * so a pattern can never straddle a symbol boundary (`["ba","a"]`
+    * encodes as `" ba  a "`, which `" a  a "` cannot match), and the
+    * left-to-right non-overlapping semantics both engines' `replace`
+    * implement IS greedy BPE merging (`"aaaa"` → `[aa, aa]`). No regex,
+    * no lookbehind (DuckDB's RE2 has none), no UDF.
+    *
+    * Scale shape: the corpus-sized work is the single initial
+    * explode + hash-agg; every iteration after that is one hash
+    * aggregation plus a top-1 TakeOrderedAndProject over the cached
+    * VOCABULARY (distinct tokens — millions of rows at 100 TB, not
+    * billions), with the i applied merges living as nested `replace`
+    * expressions inside whole-stage codegen. The per-iteration driver
+    * round-trip is one row (the argmax) — BPE is inherently sequential
+    * in the merge order; the statistic itself is always distributed. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "), array_join(split(col("tok"), ""), "  "),
+        lit(" ")).as("w"), col("cnt"))
+      .persist()
+    try {
+      val merges = Seq.newBuilder[(Long, String, Long)]
+      var words = base
+      var rank = 1
+      var exhausted = false
+      while (rank <= BpeMergeIters && !exhausted) {
+        val syms = split(trim(col("w")), "  ")
+        val top = words
+          .select(explode(filter(
+            zip_with(syms, slice(syms, 2, Int.MaxValue - 8),
+              (a, b) => concat(a, lit(" "), b)),
+            p => p.isNotNull)).as("pair"), col("cnt"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("n_occ"))
+          .orderBy(col("n_occ").desc, col("pair"))
+          .limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true // every word is one symbol
+        else {
+          val pair = top(0).getString(0)
+          merges += ((rank.toLong, pair, top(0).getLong(1)))
+          words = words.withColumn("w", replace(col("w"),
+            lit(" " + pair.replace(" ", "  ") + " "),
+            lit(" " + pair.replace(" ", "") + " ")))
+          rank += 1
+        }
+      }
+      // the heavy lifting happened in the per-iteration jobs above; the
+      // result itself is the N-row merge table
+      merges.result().toDF("merge_rank", "pair", "n_occ")
+        .orderBy(col("merge_rank"))
+    } finally base.unpersist(false)
+  }
+
   /** BPE-ish token estimate: regex word pieces + the chars/4 heuristic. */
   def tokenEstimate(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -463,6 +542,7 @@ object TextOps {
     "q_token_estimate" -> tokenEstimate _,
     "q_vocab"          -> vocab _,
     "q_bpe_pairs"      -> bpePairs _,
+    "q_bpe_merges"     -> bpeMerges _,
     "q_langid"         -> langId _,
     "q_quality_score"  -> qualityScore _,
     "q_repetition"     -> repetition _,
@@ -475,6 +555,42 @@ object TextOps {
 
   private val toksSql =
     "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** DuckDB twin of [[bpeMerges]] — the merge loop UNROLLED into
+    * [[BpeMergeIters]] CTE levels (SQL has no iteration; the level count
+    * is a compile-time constant, so unrolling is exact, not an
+    * approximation). Level i: pair counts over level i-1's words → top-1
+    * by the same total order → apply the merge with the same
+    * sentinel-space literal `replace`. The one-row `m{i}` CTE joins back
+    * in as a scalar (the SQL rendering of the Spark loop's collect). */
+  private val bpeMergesSql: String = {
+    val enc = "' ' || array_to_string(list_transform(" +
+      "range(1, length(tok) + 1), i -> tok[CAST(i AS INT)]), '  ') || ' '"
+    val levels = (1 to BpeMergeIters).map { i =>
+      val p = i - 1
+      s"""s$i AS (SELECT string_split(trim(w), '  ') AS s, cnt FROM w$p),
+         |p$i AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS n_occ
+         |  FROM (SELECT unnest(list_transform(range(1, len(s)),
+         |          j -> s[CAST(j AS INT)] || ' ' || s[CAST(j + 1 AS INT)]))
+         |          AS pair, cnt
+         |        FROM s$i)
+         |  GROUP BY pair),
+         |m$i AS (SELECT CAST($i AS BIGINT) AS merge_rank, pair, n_occ
+         |  FROM p$i ORDER BY n_occ DESC, pair LIMIT 1),
+         |w$i AS (SELECT replace(w, ' ' || replace(pair, ' ', '  ') || ' ',
+         |    ' ' || replace(pair, ' ', '') || ' ') AS w, cnt
+         |  FROM w$p, m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS (
+       |  SELECT $enc AS w, count(*) AS cnt
+       |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
+       |  GROUP BY tok),
+       |$levels
+       |${(1 to BpeMergeIters)
+          .map(i => s"SELECT merge_rank, pair, n_occ FROM m$i")
+          .mkString("\nUNION ALL\n")}
+       |ORDER BY merge_rank""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" ->
@@ -505,6 +621,7 @@ object TextOps {
          |SELECT pair, count(*) AS n_pairs FROM p GROUP BY pair
          |ORDER BY n_pairs DESC, pair
          |LIMIT $BpeTopK""".stripMargin,
+    "q_bpe_merges" -> bpeMergesSql,
     "q_token_estimate" ->
       """SELECT doc_id,
         |  length(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),

@@ -450,6 +450,53 @@ class CurationPackSpec extends SparkSpec {
       s"clean prose must clear the floor with margin, min=$minClean")
   }
 
+  test("bpe merges: loop equals an independent symbol-list fold") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    val docs = Seq(
+      (1L, "en", "lower lowest newer newest lower lower"),
+      (2L, "en", "low lower newest newer new lowest"),
+      (3L, "en", "wider wide widest low low newer")
+    ).toDF("doc_id", "lang", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // independent reference: greedy BPE over SYMBOL LISTS (no string
+    // encoding — a shared encoding bug could not hide here)
+    def applyMerge(sym: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < sym.length) {
+        if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += sym(i); i += 1 }
+      }
+      out.result()
+    }
+    var words: Seq[(Vector[String], Long)] = docs.collect()
+      .flatMap(_.getString(2).split(" ").filter(_.nonEmpty)).toSeq
+      .groupBy(identity).map { case (w, g) =>
+        (w.map(_.toString).toVector, g.size.toLong) }.toSeq
+    val expected = (1 to TextOps.BpeMergeIters).map { rank =>
+      val counts = words
+        .flatMap { case (s, c) => s.zip(s.tail).map(p => (p, c)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      val ((a, b), n) = counts
+        .sortBy { case ((x, y), c) => (-c, x + " " + y) }.head
+      words = words.map { case (s, c) => (applyMerge(s, a, b), c) }
+      (rank.toLong, a + " " + b, n)
+    }
+    val got = TextOps.bpeMerges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // the loop must get past single characters: later merges compound
+    // earlier ones (a pair with a multi-char side)
+    assert(expected.exists { case (_, p, _) =>
+      p.split(" ").exists(_.length > 1) },
+      s"fixture never reached a compound merge: $expected")
+    // rank 1 is exactly bpePairs' top row (same statistic, iteration 1)
+    val top = TextOps.bpePairs(spark, dir).limit(1).collect()(0)
+    assert((1L, top.getString(0), top.getLong(1)) === got.head)
+  }
+
   test("curationRun: composed outputs equal the declared queries") {
     val outDir = java.nio.file.Files.createTempDirectory("crun").toString
     val run = CurationOps.curationRun(spark, sfDir, outDir)
@@ -468,6 +515,8 @@ class CurationPackSpec extends SparkSpec {
       == rows(DedupOps.dupRateBySource(spark, sfDir)))
     assert(rows(run("funnel"))
       == rows(CurationOps.curationFunnel(spark, sfDir)))
+    assert(rows(run("chunks"))
+      == rows(CurationOps.chunkDocs(spark, sfDir)))
     // and the returned frames scan the MATERIALIZED tables (leaf scan
     // paths under outDir) — a chain recompute would also end in parquet
     // Relations, but of the SOURCE corpus, so pin the actual file paths
