@@ -137,6 +137,115 @@ object StreamingAnalytics {
     org.apache.spark.sql.types.StructField("batch",
       org.apache.spark.sql.types.LongType)))
 
+  private val GroupEdgesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id_a",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("id_b",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("batch",
+      org.apache.spark.sql.types.LongType)))
+  private val GroupsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("rep_id",
+      org.apache.spark.sql.types.LongType)))
+
+  private def parquetOrEmpty(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Append one micro-batch's dup edges (doc_id → its best corpus match)
+    * as a `batch=<id>` partition of `dir/group_edges` — the delta the
+    * maintained group table folds in on cadence. Batch-sized work only;
+    * a zero-dup batch appends zero rows (the declared-schema reads
+    * tolerate data-file-less partitions, same contract as the index). */
+  def appendGroupEdges(edges: DataFrame, dir: String, batchId: Long): Unit =
+    edges.select(col("id_a"), col("id_b"))
+      .withColumn("batch", lit(batchId))
+      .write.mode("append").partitionBy("batch")
+      .parquet(s"$dir/group_edges")
+
+  /** The CURRENT dup-group labeling under a curated-ingest dir: the
+    * materialized `groups` table with any not-yet-folded `group_edges`
+    * merged in ([[graft.operators.DedupOps.mergeGroups]] — delta-only),
+    * so readers between folds still see every admitted batch's dups.
+    * When the pending-edge set is empty this reduces to the table scan
+    * (mergeGroups with an empty delta relabels nothing). Readers landing
+    * in the window where a fold died between its renames (live path
+    * missing, `_old` orphaned) fall back to the orphan — the labeling is
+    * never visible as empty; the next fold restores it for real. */
+  def loadGroupTable(spark: SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/groups")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/groups_folded_old")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val groupsPath =
+      if (!fs.exists(root) && fs.exists(old)) old.toString else root.toString
+    graft.operators.DedupOps.mergeGroups(
+      parquetOrEmpty(spark, groupsPath, GroupsSchema),
+      parquetOrEmpty(spark, s"$dir/group_edges", GroupEdgesSchema)
+        .select(col("id_a"), col("id_b")))
+  }
+
+  /** Fold pending `group_edges` into the materialized `groups` table —
+    * the cadence-driven rewrite of the maintained labeling: merge the
+    * delta (union-find in rep space — untouched components do zero
+    * work), materialize the result to a sibling tmp dir FIRST (the merge
+    * reads the live table; an in-place overwrite would read what it is
+    * deleting), rename-swap it live (the [[compactCorpusIndex]]
+    * discipline: a refused rename fails LOUDLY with the live table
+    * intact), then delete the consumed edges.
+    *
+    * Crash-safety is the index appends' at-least-once shape: a crash
+    * after the swap but before the edge delete re-folds those edges next
+    * cadence, and a fully-redundant delta is a no-op by construction
+    * (edges whose endpoints already share a rep are dropped before the
+    * component loop). A crash BETWEEN the two renames leaves `_old` as
+    * the SOLE copy of the labeling (and its source edges are already
+    * consumed — unlike the corpus index there is no backfill to rebuild
+    * from), so the fold's first act is to restore that orphan to the
+    * live path. Single-writer, like the ingest registry. */
+  def foldGroupTable(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val edgesPath = new Path(s"$dir/group_edges")
+    val fs = edgesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(s"$dir/groups")
+    val tmp = new Path(s"$dir/groups_folding")
+    val old = new Path(s"$dir/groups_folded_old")
+    // recover a fold that died between its renames: live path missing,
+    // `_old` holding the only labeling — restore BEFORE reading anything
+    if (!fs.exists(root) && fs.exists(old) && !fs.rename(old, root))
+      throw new java.io.IOException(
+        s"foldGroupTable: recovery rename $old -> $root refused")
+    // pending means DATA files, not a directory: a dup-free stream still
+    // appends zero-row partitions (dirs + _SUCCESS), and a no-op fold
+    // would pay a full table rewrite per cadence
+    if (!fs.exists(edgesPath) || graft.functions.ScaleUtils
+        .parquetDataFiles(fs, edgesPath).isEmpty) {
+      if (fs.exists(edgesPath)) fs.delete(edgesPath, true) // empty husk
+      return
+    }
+    val merged = loadGroupTable(spark, dir)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    merged.write.parquet(tmp.toString) // materialized before any swap
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(root) && !fs.rename(root, old))
+      throw new java.io.IOException(
+        s"foldGroupTable: rename $root -> $old refused; live table untouched")
+    if (!fs.rename(tmp, root)) {
+      fs.rename(old, root) // restore before failing
+      throw new java.io.IOException(
+        s"foldGroupTable: rename $tmp -> $root refused; live table restored")
+    }
+    fs.delete(old, true)
+    fs.delete(edgesPath, true) // consumed; a crash above re-folds (no-op)
+    spark.catalog.refreshByPath(root.toString)
+  }
+
   /** Read-back side of [[writeCorpusIndex]]: (corpusBandKeys,
     * corpusShingles) backed by parquet — drop-in for the gate's static
     * side (verdict parity with the in-memory index is spec-pinned).
@@ -323,7 +432,21 @@ object StreamingAnalytics {
     * Bootstrap: `idxDir` need not be seeded — a never-written index dir
     * reads as an EMPTY corpus ([[loadCorpusIndexOrEmpty]]) and the first
     * batch's append creates the tables; seeding via [[writeCorpusIndex]]
-    * first is the backfill path, not a precondition. */
+    * first is the backfill path, not a precondition.
+    *
+    * Alongside the index, the loop MAINTAINS THE DUP-GROUP TABLE: each
+    * batch's (doc_id, dup_of) verdicts append to `group_edges`
+    * ([[appendGroupEdges]]) and fold into the materialized `groups`
+    * labeling on the same compaction cadence ([[foldGroupTable]] —
+    * delta-only merge, never a chain recompute); [[loadGroupTable]] is
+    * the always-current read view. Spec-pinned equal to the batch
+    * chain ([[graft.operators.DedupOps.textDedupGroups]]) over the
+    * union corpus. One caveat documented there applies here too: dup
+    * REJECTS are not indexed, so a later doc that resembles only a
+    * rejected dup (never its admitted representative — drift below the
+    * bar) is invisible to the gate; near-dup clusters tight enough to
+    * flag are transitively tied to their rep, which is the planted
+    * regime the equivalence spec pins. */
   def runCuratedIngest(stream: DataFrame, idxDir: String, checkpoint: String,
       bar: Double = graft.operators.DedupOps.TextDupJaccard,
       minQuality10k: Long = AdmitMinQuality10k,
@@ -352,8 +475,18 @@ object StreamingAnalytics {
         Seq("doc_id")).persist()
       try {
         writeCorpusIndex(admitted, idxDir, batchId = Some(id))
-        if (compactEveryBatches > 0 && (id + 1) % compactEveryBatches == 0)
+        // the gate's dup verdicts ARE the group table's delta: append
+        // them (batch-sized), fold on the compaction cadence — so the
+        // loop maintains the batch chain's (doc_id, rep_id) labeling
+        // without ever recomputing the LSH chain
+        appendGroupEdges(
+          verdicts.where(col("verdict") === "dup")
+            .select(col("doc_id").as("id_a"), col("dup_of").as("id_b")),
+          idxDir, id)
+        if (compactEveryBatches > 0 && (id + 1) % compactEveryBatches == 0) {
           compactCorpusIndex(spark, idxDir)
+          foldGroupTable(spark, idxDir)
+        }
         onVerdicts(verdicts, id)
       } finally {
         admitted.unpersist(false)

@@ -79,6 +79,35 @@ object StreamDemo {
     println(s"[demo] dup groups: ${t0.count()} members before merge, " +
       s"${merged.count()} after folding ${edgesBuf.size} gate edge(s)")
 
+    // curated-ingest LOOP with the MAINTAINED group table: dup edges
+    // append per batch, fold into `groups` on the compaction cadence;
+    // loadGroupTable is the always-current labeling (spec-pinned equal
+    // to the batch chain over the union corpus)
+    val loopIdx = java.nio.file.Files.createTempDirectory("sdemo_li")
+      .toString + "/idx"
+    val loopIn = java.nio.file.Files.createTempDirectory("sdemo_lin").toString
+    val fresh = "a fresh demo paragraph about partitioned shuffles and " +
+      "the joy of a well pruned scan"
+    Seq((910001L, fresh)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(loopIn)
+    Thread.sleep(1100) // distinct mtimes → deterministic batch order
+    Seq((910002L, fresh)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(loopIn)
+    val loopQ = StreamingAnalytics.runCuratedIngest(
+      spark.readStream
+        .schema(spark.read.parquet(loopIn).schema)
+        .option("maxFilesPerTrigger", "1").parquet(loopIn),
+      loopIdx,
+      java.nio.file.Files.createTempDirectory("sdemo_lckpt").toString,
+      compactEveryBatches = 2) { (verdicts, id) =>
+      println(s"[demo] curated-ingest batch $id: " +
+        verdicts.orderBy(col("doc_id")).collect().mkString(", "))
+    }
+    loopQ.awaitTermination()
+    println("[demo] loop-maintained dup groups:")
+    StreamingAnalytics.loadGroupTable(spark, loopIdx)
+      .orderBy(col("doc_id")).show(false)
+
     // salted join — probe saltFactor=1 degenerate case
     val li = graft.sources.Tables.lineitem(spark, sfDir)
     val orders = graft.sources.Tables.orders(spark, sfDir)

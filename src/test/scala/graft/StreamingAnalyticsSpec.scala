@@ -248,6 +248,95 @@ class StreamingAnalyticsSpec extends SparkSpec {
       s"third batch must flag against the second's append, got $buf")
   }
 
+  test("curated ingest loop: maintained group table equals the batch chain") {
+    // two dup clusters spanning batches plus a singleton; cadence=2 so
+    // ONE fold lands mid-stream and the last batch's edges stay PENDING
+    // — the final read view must merge table + pending identically to
+    // the batch chain over the union corpus
+    val idxDir =
+      java.nio.file.Files.createTempDirectory("gtidx").toString + "/idx"
+    val inDir = java.nio.file.Files.createTempDirectory("gtin").toString
+    val a = "the quick brown fox jumps over a lazy dog and then walks " +
+      "off to find the next interesting thing in the field"
+    val b = "builders of large data systems tend to care about the " +
+      "shape of a shuffle and the cost of a scan in production"
+    val c = "in the morning the crew loaded the telescope data and " +
+      "checked each file against the manifest of the night"
+    val batches = Seq(
+      Seq((1L, "en", a), (2L, "en", b)),
+      Seq((3L, "en", a), (4L, "en", c)),
+      Seq((5L, "en", a), (6L, "en", b)))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      if (i > 0) Thread.sleep(1100) // distinct mtimes → batch order
+      rows.toDF("doc_id", "lang", "text").coalesce(1)
+        .write.mode("append").parquet(inDir)
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    val q = StreamingAnalytics.runCuratedIngest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(inDir),
+      idxDir,
+      java.nio.file.Files.createTempDirectory("gtckpt").toString,
+      compactEveryBatches = 2) { (_, _) => () }
+    q.awaitTermination()
+    val fs = new org.apache.hadoop.fs.Path(idxDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/groups")),
+      "the mid-stream fold must have materialized the groups table")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/group_edges")),
+      "the post-fold batch's edges must be pending")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val loop = rows(StreamingAnalytics.loadGroupTable(spark, idxDir))
+    val unionDir = java.nio.file.Files.createTempDirectory("gtu").toString
+    batches.flatten.toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$unionDir/documents.parquet")
+    val chain = rows(graft.operators.DedupOps.textDedupGroups(spark, unionDir))
+    assert(loop == chain, s"loop=$loop chain=$chain")
+    assert(loop == Set((1L, 1L), (3L, 1L), (5L, 1L), (2L, 2L), (6L, 2L)))
+    // folding the pending edges consumes them and must not change the view
+    StreamingAnalytics.foldGroupTable(spark, idxDir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/group_edges")),
+      "fold must consume the pending edges")
+    assert(rows(StreamingAnalytics.loadGroupTable(spark, idxDir)) == chain)
+  }
+
+  test("foldGroupTable: between-renames crash recovery and no-op skip") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("gtrec").toString + "/idx"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StreamingAnalytics.appendGroupEdges(
+      Seq((5L, 1L)).toDF("id_a", "id_b"), dir, 0L)
+    StreamingAnalytics.foldGroupTable(spark, dir)
+    def view = StreamingAnalytics.loadGroupTable(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(view == Set((1L, 1L), (5L, 1L)))
+    // simulate a fold dying between its two renames: the live table is
+    // gone, `_old` holds the only copy (its edges are already consumed)
+    assert(fs.rename(new Path(s"$dir/groups"),
+      new Path(s"$dir/groups_folded_old")))
+    assert(view == Set((1L, 1L), (5L, 1L)),
+      "the read view must fall back to the orphaned _old copy")
+    // the next fold's first act is restoring the orphan — NOT deleting it
+    StreamingAnalytics.foldGroupTable(spark, dir)
+    assert(fs.exists(new Path(s"$dir/groups"))
+      && !fs.exists(new Path(s"$dir/groups_folded_old")))
+    assert(view == Set((1L, 1L), (5L, 1L)), "recovery must lose nothing")
+    // a dup-free cadence appends only zero-row partitions; the fold must
+    // drop the husk WITHOUT rewriting the table (same files, same mtimes)
+    StreamingAnalytics.appendGroupEdges(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), dir, 1L)
+    def groupFiles = fs.listStatus(new Path(s"$dir/groups"))
+      .map(s => (s.getPath.toString, s.getModificationTime)).toSet
+    val before = groupFiles
+    StreamingAnalytics.foldGroupTable(spark, dir)
+    assert(!fs.exists(new Path(s"$dir/group_edges")),
+      "the empty-husk edge dir must still be consumed")
+    assert(groupFiles == before,
+      "an empty delta must not rewrite the groups table")
+  }
+
   test("admission policy: dup > repetitive > low_quality > admit") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val (cbk, csh) = StreamingAnalytics.corpusIndex(docs)
