@@ -176,43 +176,95 @@ object TextOps {
     * in the merge order; the statistic itself is always distributed. */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val (merges, _, base) = bpeLoop(spark, dir)
+    // the heavy lifting happened in the per-iteration jobs inside the
+    // loop; the result itself is the N-row merge table, independent of
+    // the vocab frame — free it now
+    base.unpersist(false)
+    merges.toDF("merge_rank", "pair", "n_occ").orderBy(col("merge_rank"))
+  }
+
+  /** Shared core of the BPE family: the merge loop over the persisted
+    * frequency-weighted vocabulary. Returns (ranked merges, the
+    * post-loop vocabulary still in sentinel-space encoding with its
+    * original `tok` column, the persisted base frame — callers that
+    * return a plan READING the vocabulary leave it cached under the
+    * harness clearCache contract; [[bpeMerges]] frees it eagerly). */
+  private def bpeLoop(spark: SparkSession, dir: String)
+      : (Seq[(Long, String, Long)], DataFrame, DataFrame) = {
     val base = Tables.documents(spark, dir)
       .select(explode(toks(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .select(concat(lit(" "), array_join(split(col("tok"), ""), "  "),
-        lit(" ")).as("w"), col("cnt"))
+      .select(col("tok"),
+        concat(lit(" "), array_join(split(col("tok"), ""), "  "),
+          lit(" ")).as("w"), col("cnt"))
       .persist()
-    try {
-      val merges = Seq.newBuilder[(Long, String, Long)]
-      var words = base
-      var rank = 1
-      var exhausted = false
-      while (rank <= BpeMergeIters && !exhausted) {
-        val syms = split(trim(col("w")), "  ")
-        val top = words
-          .select(explode(filter(
-            zip_with(syms, slice(syms, 2, Int.MaxValue - 8),
-              (a, b) => concat(a, lit(" "), b)),
-            p => p.isNotNull)).as("pair"), col("cnt"))
-          .groupBy(col("pair")).agg(sum(col("cnt")).as("n_occ"))
-          .orderBy(col("n_occ").desc, col("pair"))
-          .limit(1)
-          .collect()
-        if (top.isEmpty) exhausted = true // every word is one symbol
-        else {
-          val pair = top(0).getString(0)
-          merges += ((rank.toLong, pair, top(0).getLong(1)))
-          words = words.withColumn("w", replace(col("w"),
-            lit(" " + pair.replace(" ", "  ") + " "),
-            lit(" " + pair.replace(" ", "") + " ")))
-          rank += 1
-        }
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    var words = base
+    var rank = 1
+    var exhausted = false
+    while (rank <= BpeMergeIters && !exhausted) {
+      val syms = split(trim(col("w")), "  ")
+      val top = words
+        .select(explode(filter(
+          zip_with(syms, slice(syms, 2, Int.MaxValue - 8),
+            (a, b) => concat(a, lit(" "), b)),
+          p => p.isNotNull)).as("pair"), col("cnt"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("pair"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true // every word is one symbol
+      else {
+        val pair = top(0).getString(0)
+        merges += ((rank.toLong, pair, top(0).getLong(1)))
+        words = words.withColumn("w", replace(col("w"),
+          lit(" " + pair.replace(" ", "  ") + " "),
+          lit(" " + pair.replace(" ", "") + " ")))
+        rank += 1
       }
-      // the heavy lifting happened in the per-iteration jobs above; the
-      // result itself is the N-row merge table
-      merges.result().toDF("merge_rank", "pair", "n_occ")
-        .orderBy(col("merge_rank"))
-    } finally base.unpersist(false)
+    }
+    (merges.result(), words, base)
+  }
+
+  /** The SEGMENTED VOCABULARY under the trained merges — what the
+    * tokenizer the merge loop trained actually DOES to text: each
+    * distinct corpus token with its symbol sequence after all
+    * [[BpeMergeIters]] merges (and its corpus frequency). This is the
+    * loop's own working state projected out (decode the sentinel-space
+    * encoding back to a symbol array), so segmentation is definitionally
+    * consistent with [[bpeMerges]] — there is no second
+    * apply-the-merges implementation to drift.
+    *
+    * Scale shape: identical to [[bpeMerges]] up to the final projection
+    * (vocabulary-sized, nested codegen'd replaces); encoding a NEW
+    * corpus with a trained merge table is the same projection with the
+    * merges supplied instead of trained. */
+  def bpeSegmented(spark: SparkSession, dir: String): DataFrame = {
+    val (_, words, _) = bpeLoop(spark, dir)
+    // symbols rendered space-joined (symbols never contain spaces —
+    // [[toks]] split on them), the oracle-comparable flat form the other
+    // set-valued queries use
+    words.select(col("tok"), col("cnt"),
+      array_join(split(trim(col("w")), "  "), " ").as("symbols"),
+      size(split(trim(col("w")), "  ")).as("n_symbols"))
+  }
+
+  /** Symbol rows kept by [[bpeSymbolVocab]]. */
+  val BpeSymbolTopK = 50
+
+  /** Corpus frequency of the POST-MERGE symbol vocabulary — the
+    * trained-tokenizer analogue of [[vocab]]: multi-character merged
+    * symbols ranked alongside the surviving single characters (the
+    * table a trainer inspects to judge whether N merges bought
+    * compression). Top-[[BpeSymbolTopK]] by a total order. */
+  def bpeSymbolVocab(spark: SparkSession, dir: String): DataFrame = {
+    val (_, words, _) = bpeLoop(spark, dir)
+    words.select(explode(split(trim(col("w")), "  ")).as("symbol"),
+        col("cnt"))
+      .groupBy(col("symbol")).agg(sum(col("cnt")).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("symbol"))
+      .limit(BpeSymbolTopK)
   }
 
   /** BPE-ish token estimate: regex word pieces + the chars/4 heuristic. */
@@ -543,6 +595,8 @@ object TextOps {
     "q_vocab"          -> vocab _,
     "q_bpe_pairs"      -> bpePairs _,
     "q_bpe_merges"     -> bpeMerges _,
+    "q_bpe_segmented"  -> bpeSegmented _,
+    "q_bpe_symbol_vocab" -> bpeSymbolVocab _,
     "q_langid"         -> langId _,
     "q_quality_score"  -> qualityScore _,
     "q_repetition"     -> repetition _,
@@ -563,7 +617,7 @@ object TextOps {
     * by the same total order → apply the merge with the same
     * sentinel-space literal `replace`. The one-row `m{i}` CTE joins back
     * in as a scalar (the SQL rendering of the Spark loop's collect). */
-  private val bpeMergesSql: String = {
+  private val bpeLevelsSql: String = {
     val enc = "' ' || array_to_string(list_transform(" +
       "range(1, length(tok) + 1), i -> tok[CAST(i AS INT)]), '  ') || ' '"
     val levels = (1 to BpeMergeIters).map { i =>
@@ -577,20 +631,39 @@ object TextOps {
          |  GROUP BY pair),
          |m$i AS (SELECT CAST($i AS BIGINT) AS merge_rank, pair, n_occ
          |  FROM p$i ORDER BY n_occ DESC, pair LIMIT 1),
-         |w$i AS (SELECT replace(w, ' ' || replace(pair, ' ', '  ') || ' ',
+         |w$i AS (SELECT tok, replace(w, ' ' || replace(pair, ' ', '  ') || ' ',
          |    ' ' || replace(pair, ' ', '') || ' ') AS w, cnt
          |  FROM w$p, m$i)""".stripMargin
     }.mkString(",\n")
     s"""WITH w0 AS (
-       |  SELECT $enc AS w, count(*) AS cnt
+       |  SELECT tok, $enc AS w, count(*) AS cnt
        |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
        |  GROUP BY tok),
-       |$levels
+       |$levels""".stripMargin
+  }
+
+  private val bpeMergesSql: String =
+    s"""$bpeLevelsSql
        |${(1 to BpeMergeIters)
           .map(i => s"SELECT merge_rank, pair, n_occ FROM m$i")
           .mkString("\nUNION ALL\n")}
        |ORDER BY merge_rank""".stripMargin
-  }
+
+  private val bpeSegmentedSql: String =
+    s"""$bpeLevelsSql
+       |SELECT tok, cnt,
+       |  array_to_string(string_split(trim(w), '  '), ' ') AS symbols,
+       |  CAST(len(string_split(trim(w), '  ')) AS INT) AS n_symbols
+       |FROM w$BpeMergeIters""".stripMargin
+
+  private val bpeSymbolVocabSql: String =
+    s"""$bpeLevelsSql
+       |SELECT symbol, CAST(sum(cnt) AS BIGINT) AS n_occ
+       |FROM (SELECT unnest(string_split(trim(w), '  ')) AS symbol, cnt
+       |      FROM w$BpeMergeIters)
+       |GROUP BY symbol
+       |ORDER BY n_occ DESC, symbol
+       |LIMIT $BpeSymbolTopK""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" ->
@@ -622,6 +695,8 @@ object TextOps {
          |ORDER BY n_pairs DESC, pair
          |LIMIT $BpeTopK""".stripMargin,
     "q_bpe_merges" -> bpeMergesSql,
+    "q_bpe_segmented" -> bpeSegmentedSql,
+    "q_bpe_symbol_vocab" -> bpeSymbolVocabSql,
     "q_token_estimate" ->
       """SELECT doc_id,
         |  length(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),

@@ -495,6 +495,23 @@ class CurationPackSpec extends SparkSpec {
     // rank 1 is exactly bpePairs' top row (same statistic, iteration 1)
     val top = TextOps.bpePairs(spark, dir).limit(1).collect()(0)
     assert((1L, top.getString(0), top.getLong(1)) === got.head)
+    // the segmented vocabulary is the reference fold's final state
+    val segExpected = words
+      .map { case (s, c) => (s.mkString(""), c, s.mkString(" "), s.length) }
+      .toSet
+    val seg = TextOps.bpeSegmented(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3)))
+      .toSet
+    assert(seg === segExpected)
+    // and the symbol vocab reconciles with the segmentation
+    val symExpected = words
+      .flatMap { case (s, c) => s.map(_ -> c) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (sym, n) => (-n, sym) }
+      .take(TextOps.BpeSymbolTopK).toSet
+    val sym = TextOps.bpeSymbolVocab(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(sym === symExpected)
   }
 
   test("curationRun: composed outputs equal the declared queries") {
