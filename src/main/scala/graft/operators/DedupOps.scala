@@ -616,9 +616,38 @@ object DedupOps {
   private[graft] def cosineNearDupIvfCore(spark: SparkSession,
       embSrc: DataFrame, cells: Int, nprobe: Int, threshold: Double,
       trainIters: Int = 2): DataFrame = {
-    val dot = graft.plans.DotProductLong.dotLong(spark) _
     val emb = quantizedGuarded(spark, embSrc)
     val (_, cents) = VectorOps.kmeansCoreOf(spark, emb, cells, trainIters)
+    cosineNearDupWithCents(spark, emb, cents, nprobe, threshold)
+  }
+
+  /** Near-dup pairs against a PERSISTED coarse quantizer
+    * ([[VectorOps.writeAnnIndex]]'s `coarse_centroids` table) — the
+    * build-once/search-many posture for the dedup path: the Lloyd
+    * training that dominates [[cosineNearDupIvfCore]] is paid at index
+    * build time, and a dedup run is just posting + candidate join +
+    * verify against the loaded centroids. On an index full-trained on
+    * the same corpus the output is BIT-IDENTICAL to the train-in-plan
+    * form (same deterministic training — spec-pinned); a sampled-trained
+    * index shifts cell boundaries only (every emitted pair still clears
+    * the exact verify; only candidate recall can move). */
+  def cosineNearDupFromIndex(spark: SparkSession, dir: String,
+      indexDir: String, nprobe: Int = NearDupNProbe,
+      threshold: Double = CosineDupThreshold): DataFrame = {
+    val (coarse, _, _, _) = VectorOps.loadAnnIndex(spark, indexDir)
+    cosineNearDupWithCents(spark,
+      quantizedGuarded(spark, Tables.embeddings(spark, dir)),
+      coarse, nprobe, threshold)
+  }
+
+  /** Shared tail of the IVF near-dup family: multi-probe posting against
+    * the given coarse centroids, cell-co-residence candidates, exact
+    * verify. Centroids may come from in-plan training
+    * ([[cosineNearDupIvfCore]]) or a persisted index
+    * ([[cosineNearDupFromIndex]]). */
+  private def cosineNearDupWithCents(spark: SparkSession, emb: DataFrame,
+      cents: DataFrame, nprobe: Int, threshold: Double): DataFrame = {
+    val dot = graft.plans.DotProductLong.dotLong(spark) _
     // multi-probe posting: nprobe nearest cells per vector by the SAME
     // integer L2² the training minimized; window key is vec_id (high
     // cardinality — no funnel)
@@ -797,6 +826,16 @@ object DedupOps {
   def dedupGroups(spark: SparkSession, dir: String,
       maxBuckets: Long = AnnMaxBuckets): DataFrame =
     connectedComponents(cosineNearDupAuto(spark, dir, maxBuckets = maxBuckets))
+      .select(col("id").as("vec_id"), col("comp").as("rep_id"))
+
+  /** [[dedupGroups]] against a persisted index
+    * ([[cosineNearDupFromIndex]]) — the production pairing: a corpus
+    * with a maintained [[VectorOps.writeAnnIndex]] directory runs its
+    * embedding dedup without retraining the coarse quantizer it already
+    * serves searches from. */
+  def dedupGroupsFromIndex(spark: SparkSession, dir: String,
+      indexDir: String): DataFrame =
+    connectedComponents(cosineNearDupFromIndex(spark, dir, indexDir))
       .select(col("id").as("vec_id"), col("comp").as("rep_id"))
 
   /** Verified-duplicate Jaccard bar — the dup-grade threshold

@@ -29,6 +29,26 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(cached == inPlan, "cached search entry must equal q_ann_pq")
   }
 
+  test("near-dup from the persisted index equals train-in-plan IVF") {
+    import graft.operators.DedupOps
+    val idx = java.nio.file.Files.createTempDirectory("ndidx").toString
+    val n = graft.functions.ScaleUtils.footerRowCount(
+      spark, s"$sfDir/embeddings.parquet")
+    val cells = DedupOps.ivfCells(n)
+    // full-corpus training with the near-dup path's own cell policy →
+    // identical centroids → identical pairs
+    VectorOps.writeAnnIndex(spark, sfDir, idx, cells = cells)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val fromIdx = rows(DedupOps.cosineNearDupFromIndex(spark, sfDir, idx))
+    val inPlan = rows(DedupOps.cosineNearDupIvfCore(spark,
+      graft.sources.Tables.embeddings(spark, sfDir), cells,
+      DedupOps.NearDupNProbe, DedupOps.CosineDupThreshold))
+    assert(fromIdx == inPlan,
+      s"from-index near-dup must equal train-in-plan: " +
+        s"${fromIdx.diff(inPlan)} vs ${inPlan.diff(fromIdx)}")
+  }
+
   /** 4 well-separated clusters + noise — the clustered structure real
     * embedding corpora have (the PQ-spec fixture shape). */
   private def clusteredDir(seed: Int): String = {
