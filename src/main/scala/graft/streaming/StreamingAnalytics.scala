@@ -159,6 +159,36 @@ object StreamingAnalytics {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  private val IngestMetricsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("verdict",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_docs",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("avg_quality",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("batch",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Append one micro-batch's admission metrics — docs and mean quality
+    * per verdict class — as a `batch=<id>` partition of
+    * `dir/ingest_metrics`: the observability surface a production gate
+    * is judged by (admission rate over time, dup pressure per batch,
+    * quality drift), one tiny aggregate over the already-checkpointed
+    * verdict frame. Compacted on the loop's cadence like every other
+    * per-batch append. */
+  def appendIngestMetrics(verdicts: DataFrame, dir: String,
+      batchId: Long): Unit =
+    verdicts.groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("quality")), 4).as("avg_quality"))
+      .withColumn("batch", lit(batchId))
+      .write.mode("append").partitionBy("batch")
+      .parquet(s"$dir/ingest_metrics")
+
+  /** Read-back of [[appendIngestMetrics]] (empty-safe, declared schema). */
+  def loadIngestMetrics(spark: SparkSession, dir: String): DataFrame =
+    parquetOrEmpty(spark, s"$dir/ingest_metrics", IngestMetricsSchema)
+
   /** Append one micro-batch's dup edges (doc_id → its best corpus match)
     * as a `batch=<id>` partition of `dir/group_edges` — the delta the
     * maintained group table folds in on cadence. Batch-sized work only;
@@ -441,7 +471,9 @@ object StreamingAnalytics {
     * delta-only merge, never a chain recompute); [[loadGroupTable]] is
     * the always-current read view. Spec-pinned equal to the batch
     * chain ([[graft.operators.DedupOps.textDedupGroups]]) over the
-    * union corpus. One caveat documented there applies here too: dup
+    * union corpus. Each batch also appends its admission metrics
+    * ([[appendIngestMetrics]] — docs and mean quality per verdict class),
+    * compacted on the same cadence. One caveat documented there applies here too: dup
     * REJECTS are not indexed, so a later doc that resembles only a
     * rejected dup (never its admitted representative — drift below the
     * bar) is invisible to the gate; near-dup clusters tight enough to
@@ -483,9 +515,12 @@ object StreamingAnalytics {
           verdicts.where(col("verdict") === "dup")
             .select(col("doc_id").as("id_a"), col("dup_of").as("id_b")),
           idxDir, id)
+        appendIngestMetrics(verdicts, idxDir, id)
         if (compactEveryBatches > 0 && (id + 1) % compactEveryBatches == 0) {
           compactCorpusIndex(spark, idxDir)
           foldGroupTable(spark, idxDir)
+          graft.functions.ScaleUtils.compactParquet(
+            spark, s"$idxDir/ingest_metrics")
         }
         onVerdicts(verdicts, id)
       } finally {

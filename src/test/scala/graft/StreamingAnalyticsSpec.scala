@@ -273,13 +273,25 @@ class StreamingAnalyticsSpec extends SparkSpec {
     }
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("lang", StringType), StructField("text", StringType)))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     val q = StreamingAnalytics.runCuratedIngest(
       spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .parquet(inDir),
       idxDir,
       java.nio.file.Files.createTempDirectory("gtckpt").toString,
-      compactEveryBatches = 2) { (_, _) => () }
+      compactEveryBatches = 2) { (verdicts, id) =>
+      seen ++= verdicts.collect().map(r => (id, r.getAs[String]("verdict")))
+    }
     q.awaitTermination()
+    // the metrics table reconciles with the verdicts the loop emitted
+    val metrics = StreamingAnalytics.loadIngestMetrics(spark, idxDir)
+      .collect()
+      .map(r => (r.getAs[Long]("batch"), r.getAs[String]("verdict"))
+        -> r.getAs[Long]("n_docs")).toMap
+    val expectedMetrics = seen.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(metrics == expectedMetrics,
+      s"metrics=$metrics expected=$expectedMetrics")
     val fs = new org.apache.hadoop.fs.Path(idxDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/groups")),
