@@ -342,7 +342,9 @@ object CurationOps {
     * with the corpus-level passes): near-dup dropped (non-canonical
     * member of a text dup group, best-quality-keeps) → benchmark-
     * contaminated (doc-level containment OR chunk-level
-    * [[chunkContamination]] — one drop reason, two detectors) →
+    * [[chunkContamination]] OR exact 13-gram overlap
+    * [[DedupOps.ngramContamination]] — one drop reason, three
+    * detectors) →
     * chunk-dup ([[chunkDedup]]'s flag: half the doc's chunks already
     * exist elsewhere, below the doc-level dup bar) → repetitive
     * (Gopher bars) → boilerplate-heavy → below the quality floor →
@@ -379,11 +381,13 @@ object CurationOps {
     // plan. Freed by the harness contract (Verify/Bench clearCache
     // between queries).
     val chunks = chunksOpt.getOrElse(chunkDocs(spark, dir).persist())
-    // one drop reason, two detectors: doc-level containment and the
-    // chunk-level variant union into the contaminated set
+    // one drop reason, three detectors: doc-level containment, the
+    // chunk-level variant, and exact 13-gram overlap union into the
+    // contaminated set
     val contaminated = DedupOps.contamination(spark, dir)
       .select(col("doc_id"))
       .union(chunkContaminationOf(chunks).select(col("doc_id")))
+      .union(DedupOps.ngramContamination(spark, dir).select(col("doc_id")))
       .distinct()
       .withColumn("contaminated", lit(true))
     val chunkDup = chunkDedupOf(chunks).where(col("chunk_dup"))
@@ -581,10 +585,22 @@ object CurationOps {
          |  LEFT JOIN bfp b ON b.chunk_fp = c.chunk_fp
          |  GROUP BY c.doc_id
          |  HAVING sum(CASE WHEN b.chunk_fp IS NOT NULL THEN 1 ELSE 0 END)
-         |    * 10000 >= count(*) * $ChunkContainBar10k)
+         |    * 10000 >= count(*) * $ChunkContainBar10k),
+         |ngg AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(toks) >= ${DedupOps.ContamNgram}
+         |      THEN list_transform(
+         |             range(1, len(toks) - ${DedupOps.ContamNgram - 2}),
+         |             i -> array_to_string(
+         |               toks[i:i + ${DedupOps.ContamNgram - 1}], ' '))
+         |      ELSE [] END)) AS gram FROM toksrc),
+         |ngb AS (SELECT DISTINCT gram FROM ngg
+         |        WHERE doc_id < ${DedupOps.BenchmarkMaxId}),
+         |ngc AS (SELECT DISTINCT g.doc_id FROM ngg g JOIN ngb USING (gram)
+         |        WHERE g.doc_id >= ${DedupOps.BenchmarkMaxId})
          |SELECT d.lang,
          |  CASE WHEN dr.doc_id IS NOT NULL THEN '1_dup_dropped'
          |       WHEN ct.doc_id IS NOT NULL OR cc2.doc_id IS NOT NULL
+         |         OR ng.doc_id IS NOT NULL
          |         THEN '2_contaminated'
          |       WHEN cd.doc_id IS NOT NULL THEN '3_chunk_dup'
          |       WHEN rep.repetitive THEN '4_repetitive'
@@ -596,6 +612,7 @@ object CurationOps {
          |LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
          |LEFT JOIN contam ct ON ct.doc_id = d.doc_id
          |LEFT JOIN chcont cc2 ON cc2.doc_id = d.doc_id
+         |LEFT JOIN ngc ng ON ng.doc_id = d.doc_id
          |LEFT JOIN chdup cd ON cd.doc_id = d.doc_id
          |JOIN rep ON rep.doc_id = d.doc_id
          |LEFT JOIN boil bo ON bo.doc_id = d.doc_id

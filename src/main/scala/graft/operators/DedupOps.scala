@@ -997,6 +997,51 @@ object DedupOps {
       docs.where(col("doc_id") >= BenchmarkMaxId), ContaminationBar)
   }
 
+  /** Words per exact-overlap gram for [[ngramContamination]] — 13, the
+    * published GPT-3/PaLM decontamination unit: long enough that a
+    * match is essentially never coincidental prose, short enough to
+    * catch a single quoted benchmark item inside an otherwise-novel
+    * document. */
+  val ContamNgram = 13
+
+  /** EXACT n-gram decontamination — the third detector in the
+    * contamination family and the industry-standard one: a corpus
+    * document is flagged if ANY [[ContamNgram]]-word n-gram also occurs
+    * anywhere in the benchmark split (GPT-3 appendix C / PaLM
+    * methodology). Complements the other two detectors' blind spots:
+    * doc-level containment ([[contamination]]) needs ≥80% of a
+    * benchmark's shingles, chunk-level matching
+    * ([[CurationOps.chunkContamination]]) needs chunk-aligned copies —
+    * a single verbatim benchmark sentence deep inside a long document
+    * trips only this one. Emits (doc_id, n_hits = distinct benchmark
+    * n-grams present).
+    *
+    * Scale shape: n-grams are per-row array expressions over the
+    * MATERIALIZED token column (a lambda body referencing an attribute —
+    * never re-splitting per element, the shingles3 CSE lesson);
+    * benchmark grams are distinct + broadcast (benchmarks are small);
+    * the corpus side is one scan, no shuffle of the big side. The gram
+    * explode is ~len rows per doc — same volume class as the shingle
+    * paths the LSH chain already runs. */
+  def ngramContamination(spark: SparkSession, dir: String,
+      n: Int = ContamNgram): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.toks(col("text")).as("t"))
+      .select(col("doc_id"), explode(array_distinct(
+        when(size(col("t")) >= n,
+          transform(sequence(lit(1), size(col("t")) - (n - 1)),
+            i => array_join(slice(col("t"), i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>")))).as("gram"))
+    val bench = grams.where(col("doc_id") < BenchmarkMaxId)
+      .select(col("gram")).distinct()
+    grams.where(col("doc_id") >= BenchmarkMaxId)
+      .join(broadcast(bench), Seq("gram"))
+      // per-doc grams are already distinct (array_distinct above), so a
+      // plain count IS the distinct-hit count
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Docs-count threshold beyond which exact all-pairs formulations hand
     * over to their LSH/bucketed siblings. ~10^6 keeps the exact shingle
     * self-join's candidate set (O(pairs-sharing-a-shingle)) inside one
@@ -1039,6 +1084,8 @@ object DedupOps {
     "q_canonical_docs" -> canonicalDocs _,
     "q_dup_rate_by_source" -> dupRateBySource _,
     "q_contamination" -> contamination _,
+    "q_ngram_contamination" -> ((s: SparkSession, d: String) =>
+      ngramContamination(s, d)),
   )
 
   /** seed → digest-family prefix as SQL, same table as [[HashPrefixes]]. */
@@ -1157,6 +1204,25 @@ object DedupOps {
          |  round(CAST(shared AS DOUBLE) / n_b, 4) AS containment
          |FROM shared
          |WHERE CAST(shared AS DOUBLE) / n_b >= $ContaminationBar""".stripMargin,
+    // exact 13-gram decontamination: list slice t[i : i+n-1] is 1-based
+    // inclusive (n elements); per-doc grams deduped before the join so
+    // count(*) is the distinct-hit count on both sides
+    "q_ngram_contamination" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(t) >= $ContamNgram
+         |      THEN list_transform(range(1, len(t) - ${ContamNgram - 2}),
+         |             i -> array_to_string(t[i:i + ${ContamNgram - 1}], ' '))
+         |      ELSE [] END)) AS gram FROM t)
+         |SELECT c.doc_id, count(*) AS n_hits
+         |FROM g c
+         |JOIN (SELECT DISTINCT gram FROM g WHERE doc_id < $BenchmarkMaxId) b
+         |  USING (gram)
+         |WHERE c.doc_id >= $BenchmarkMaxId
+         |GROUP BY c.doc_id""".stripMargin,
     "q_cosine_neardup" ->
       s"""WITH $cosinePairsCtes
          |SELECT id_a, id_b, round(sim_raw, 4) AS sim

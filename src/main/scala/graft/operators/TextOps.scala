@@ -17,7 +17,7 @@ import graft.sources.Tables
 object TextOps {
 
   /** Whitespace tokens, empties dropped (engine-portable). */
-  private def toks(c: Column): Column =
+  private[operators] def toks(c: Column): Column =
     filter(split(c, " "), t => t =!= "")
 
   /** chars/4 token estimate — the ONE definition every token-accounting

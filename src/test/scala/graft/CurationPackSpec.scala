@@ -450,6 +450,38 @@ class CurationPackSpec extends SparkSpec {
       s"clean prose must clear the floor with margin, min=$minClean")
   }
 
+  test("13-gram decontamination catches a mid-document quote both others miss") {
+    // a single verbatim 16-token benchmark quote spliced mid-document:
+    // too small for doc-level containment (16/640 of the benchmark),
+    // not chunk-aligned (no WHOLE 64-token window matches a benchmark
+    // chunk) — only the exact n-gram detector fires, with exactly
+    // 16 - 13 + 1 = 4 distinct shared grams
+    val bench = mkTok("bb", 640)
+    val quote = bench.slice(300, 316)
+    val docs = Seq(
+      (5L, "en", bench.mkString(" ")), // benchmark side (id < 25)
+      (100L, "en", (mkTok("cc", 80) ++ quote ++ mkTok("dd", 80))
+        .mkString(" ")),
+      (101L, "en", mkTok("ee", 150).mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("ngcont").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docLevel = DedupOps.contamination(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(!docLevel.contains(100L),
+      s"doc-level containment must MISS the short quote, got $docLevel")
+    val chunkLevel = CurationOps.chunkContamination(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(chunkLevel.isEmpty,
+      s"chunk containment must MISS the unaligned quote, got $chunkLevel")
+    val ng = DedupOps.ngramContamination(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    assert(ng == Map(100L -> 4L),
+      s"n-gram detector must flag doc 100 with 4 shared grams, got $ng")
+  }
+
   test("bpe merges: loop equals an independent symbol-list fold") {
     val dir = java.nio.file.Files.createTempDirectory("bpe").toString
     val docs = Seq(
