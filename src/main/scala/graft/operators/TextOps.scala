@@ -250,6 +250,29 @@ object TextOps {
       size(split(trim(col("w")), "  ")).as("n_symbols"))
   }
 
+  /** Per-document token count under the TRAINED tokenizer — the precise
+    * version of [[tokenEstimate]]'s chars/4 heuristic: each document's
+    * whitespace tokens joined to the segmented vocabulary
+    * ([[bpeSegmented]]'s state), n_bpe_tokens = Σ n_symbols. This is the
+    * number a trainer actually budgets by (sequence packing, mixture
+    * token accounting); the chars/4 estimate stays for the paths that
+    * must not pay a join.
+    *
+    * Scale shape: one corpus-side explode + equi-join against the
+    * VOCABULARY-sized segmentation (broadcastable at real corpus
+    * shapes) + per-doc re-aggregation. The est/actual pair in one row
+    * makes the estimator's bias measurable per doc. */
+  def bpeTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val (_, words, _) = bpeLoop(spark, dir)
+    val seg = words.select(col("tok"),
+      size(split(trim(col("w")), "  ")).as("n_symbols"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .join(seg, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_symbols")).as("n_bpe_tokens"))
+  }
+
   /** Symbol rows kept by [[bpeSymbolVocab]]. */
   val BpeSymbolTopK = 50
 
@@ -597,6 +620,7 @@ object TextOps {
     "q_bpe_merges"     -> bpeMerges _,
     "q_bpe_segmented"  -> bpeSegmented _,
     "q_bpe_symbol_vocab" -> bpeSymbolVocab _,
+    "q_bpe_token_count" -> bpeTokenCount _,
     "q_langid"         -> langId _,
     "q_quality_score"  -> qualityScore _,
     "q_repetition"     -> repetition _,
@@ -656,6 +680,15 @@ object TextOps {
        |  CAST(len(string_split(trim(w), '  ')) AS INT) AS n_symbols
        |FROM w$BpeMergeIters""".stripMargin
 
+  private val bpeTokenCountSql: String =
+    s"""$bpeLevelsSql,
+       |seg AS (SELECT tok, len(string_split(trim(w), '  ')) AS n_symbols
+       |        FROM w$BpeMergeIters)
+       |SELECT d.doc_id, CAST(sum(s.n_symbols) AS BIGINT) AS n_bpe_tokens
+       |FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents) d
+       |JOIN seg s USING (tok)
+       |GROUP BY d.doc_id""".stripMargin
+
   private val bpeSymbolVocabSql: String =
     s"""$bpeLevelsSql
        |SELECT symbol, CAST(sum(cnt) AS BIGINT) AS n_occ
@@ -697,6 +730,7 @@ object TextOps {
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_segmented" -> bpeSegmentedSql,
     "q_bpe_symbol_vocab" -> bpeSymbolVocabSql,
+    "q_bpe_token_count" -> bpeTokenCountSql,
     "q_token_estimate" ->
       """SELECT doc_id,
         |  length(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),

@@ -544,6 +544,16 @@ class CurationPackSpec extends SparkSpec {
     val sym = TextOps.bpeSymbolVocab(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(sym === symExpected)
+    // per-doc token accounting under the trained tokenizer: each doc's
+    // count is the sum of its tokens' segment lengths
+    val segLen = words.map { case (s, _) => s.mkString("") -> s.length }.toMap
+    val tcExpected = docs.collect().map { r =>
+      r.getLong(0) -> r.getString(2).split(" ").filter(_.nonEmpty)
+        .map(t => segLen(t).toLong).sum
+    }.toMap
+    val tc = TextOps.bpeTokenCount(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(tc === tcExpected)
   }
 
   test("curationRun: composed outputs equal the declared queries") {
