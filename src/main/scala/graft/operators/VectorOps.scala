@@ -36,6 +36,14 @@ object VectorOps {
       .withColumn("nrm", dot(col("qe"), col("qe")))
   }
 
+  /** [[quantized]] over an arbitrary (vec_id, embedding) frame — the
+    * form [[appendAnnIndex]] needs for vectors not yet in any table. */
+  private def quantizedOf(spark: SparkSession, vecs: DataFrame): DataFrame = {
+    val dot = DotProductLong.dotLong(spark) _
+    vecs.select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .withColumn("nrm", dot(col("qe"), col("qe")))
+  }
+
   /** Two-phase top-k by (sim desc, id asc) per query — the scale-safe
     * replacement for `row_number().over(partitionBy(query_id))`: query_id
     * has ~nQueries values, so that window shuffles EVERY scored corpus
@@ -434,10 +442,46 @@ object VectorOps {
     val cents = pqCodebooks(spark, slicedOf(spark, trainEmb), trainIters)
     val codes = pqEncode(spark, slicedOf(spark, emb), cents)
     coarse.write.mode("overwrite").parquet(s"$indexDir/coarse_centroids")
-    assignments.write.mode("overwrite").parquet(s"$indexDir/assignments")
+    // the per-vector relations are batch-partitioned (rebuild = batch 0)
+    // so steady-state appends ([[appendAnnIndex]]) never produce a mixed
+    // layout — the corpus-index convention
+    assignments.withColumn("batch", lit(0L)).write.mode("overwrite")
+      .partitionBy("batch").parquet(s"$indexDir/assignments")
     cents.write.mode("overwrite").parquet(s"$indexDir/pq_codebooks")
-    codes.write.mode("overwrite").parquet(s"$indexDir/pq_codes")
+    codes.withColumn("batch", lit(0L)).write.mode("overwrite")
+      .partitionBy("batch").parquet(s"$indexDir/pq_codes")
   }
+
+  /** STEADY-STATE index append — the vector twin of the corpus-index
+    * batch append: new vectors are assigned and PQ-encoded against the
+    * STORED quantizers (deterministic given centroids — no retraining)
+    * and land as `batch=<id>` partitions of `assignments` and
+    * `pq_codes`, visible to the next [[annPqFrom]] search immediately.
+    * Centroids and codebooks are IMMUTABLE between rebuilds: appended
+    * vectors far from the trained distribution quantize coarsely (the
+    * standard IVF drift trade) — the retrain cadence is a periodic
+    * [[writeAnnIndex]] rebuild, exactly the gate index's
+    * rebuild-vs-append split. Appends grow file counts with batch
+    * count; [[compactAnnIndex]] on the usual cadence. */
+  def appendAnnIndex(spark: SparkSession, newVecs: DataFrame,
+      indexDir: String, batchId: Long): Unit = {
+    val (coarse, _, cents, _) = loadAnnIndex(spark, indexDir)
+    val emb = quantizedOf(spark, newVecs)
+    assignToCents(spark, emb, coarse)
+      .select(col("vec_id"), col("cluster"))
+      .withColumn("batch", lit(batchId)).write.mode("append")
+      .partitionBy("batch").parquet(s"$indexDir/assignments")
+    pqEncode(spark, slicedOf(spark, emb), cents)
+      .withColumn("batch", lit(batchId)).write.mode("append")
+      .partitionBy("batch").parquet(s"$indexDir/pq_codes")
+  }
+
+  /** Compaction for the appendable index relations (same discipline as
+    * the corpus index). Returns per-table (before, after) file counts. */
+  def compactAnnIndex(spark: SparkSession, indexDir: String)
+      : ((Int, Int), (Int, Int)) = (
+    graft.functions.ScaleUtils.compactParquet(spark, s"$indexDir/assignments"),
+    graft.functions.ScaleUtils.compactParquet(spark, s"$indexDir/pq_codes"))
 
   // explicit index schemas: reads never infer (footer scan per search,
   // and inference cannot read a zero-row table) — the corpus-index
@@ -447,22 +491,27 @@ object VectorOps {
     StructField("cluster", IntegerType), StructField("centroid",
       ArrayType(LongType)), StructField("c_nrm", LongType)))
   private val AssignSchema = StructType(Seq(
-    StructField("vec_id", LongType), StructField("cluster", IntegerType)))
+    StructField("vec_id", LongType), StructField("cluster", IntegerType),
+    StructField("batch", LongType)))
   private val CodebookSchema = StructType(Seq(
     StructField("s", IntegerType), StructField("cl", IntegerType),
     StructField("cent", ArrayType(LongType)), StructField("c_nrm", LongType)))
   private val CodesSchema = StructType(Seq(
     StructField("vec_id", LongType), StructField("s", IntegerType),
-    StructField("cl", IntegerType)))
+    StructField("cl", IntegerType), StructField("batch", LongType)))
 
   /** Read-back side of [[writeAnnIndex]]:
-    * (coarse, assignments, codebooks, codes). */
+    * (coarse, assignments, codebooks, codes). The batch partition column
+    * ([[appendAnnIndex]]'s append unit) is dropped at load — searches
+    * are batch-agnostic. */
   def loadAnnIndex(spark: SparkSession, indexDir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = (
     spark.read.schema(CoarseSchema).parquet(s"$indexDir/coarse_centroids"),
-    spark.read.schema(AssignSchema).parquet(s"$indexDir/assignments"),
+    spark.read.schema(AssignSchema).parquet(s"$indexDir/assignments")
+      .select(col("vec_id"), col("cluster")),
     spark.read.schema(CodebookSchema).parquet(s"$indexDir/pq_codebooks"),
-    spark.read.schema(CodesSchema).parquet(s"$indexDir/pq_codes"))
+    spark.read.schema(CodesSchema).parquet(s"$indexDir/pq_codes")
+      .select(col("vec_id"), col("s"), col("cl")))
 
   /** SEARCH half of the build/search split: [[annPq]]'s ADC scoring
     * against a [[writeAnnIndex]] directory — no training in the plan,

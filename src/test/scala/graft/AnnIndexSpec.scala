@@ -29,6 +29,39 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(cached == inPlan, "cached search entry must equal q_ann_pq")
   }
 
+  test("appendAnnIndex: appended vectors searchable without retraining") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files.createTempDirectory("annapp").toString
+    VectorOps.writeAnnIndex(spark, sfDir, idx)
+    // clone QUERY vector 2 under a fresh id: identical embedding →
+    // identical codes under the stored codebooks (deterministic encode)
+    val v2 = graft.sources.Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") === 2L).select(col("embedding")).head()
+      .getAs[scala.collection.Seq[Float]](0).toSeq
+    VectorOps.appendAnnIndex(spark,
+      Seq((900002L, v2)).toDF("vec_id", "embedding"), idx, batchId = 1L)
+    val (_, _, _, codes) = VectorOps.loadAnnIndex(spark, idx)
+    def codesOf(id: Long) = codes.where(col("vec_id") === id).collect()
+      .map(r => (r.getInt(1), r.getInt(2))).toSet
+    assert(codesOf(900002L) == codesOf(2L) && codesOf(2L).nonEmpty,
+      "the clone must encode to the original's codes")
+    // the appended clone is the strongest possible ADC neighbor for its
+    // own query — search must surface it at the per-query max sim
+    def search() = VectorOps.annPqFrom(spark, sfDir, idx)
+      .where(col("query_id") === 2L).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim")))
+    val res = search()
+    assert(res.exists(_._1 == 900002L),
+      s"appended clone missing from query 2's results: ${res.toSeq}")
+    assert(res.find(_._1 == 900002L).get._2 == res.map(_._2).max,
+      s"clone must carry the max ADC sim: ${res.toSeq}")
+    // compaction folds the batch partitions without changing results
+    val ((aB, aA), (cB, cA)) = VectorOps.compactAnnIndex(spark, idx)
+    assert(aA <= aB && cA <= cB)
+    assert(search().toSet == res.toSet, "compaction must not change search")
+  }
+
   test("near-dup from the persisted index equals train-in-plan IVF") {
     import graft.operators.DedupOps
     val idx = java.nio.file.Files.createTempDirectory("ndidx").toString
