@@ -71,13 +71,46 @@ object Bench {
     // consumer aggregating by metric never double-counts the total
     // (ADVICE r6); metric=total appears exactly once — on the tail line
     println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"triples":$triples,"reps":$reps,"sf":"$sfDir"}""")
-    // compact record LAST: the driver keeps only the log tail, and the
-    // triples' bulk once pushed the full record past the capture window
-    // (r5 lost its total) — the final line alone always carries the
-    // total PLUS per-query medians and mins (VERDICT r6 #8: isolated
-    // ~10 s host stalls on cheap queries need the min visible in the
-    // surviving line; min is the stall-free signal, median the estimate)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"reps":$reps,"sf":"$sfDir"}""")
+    // The driver records only the last TAIL_BUDGET chars of stdout
+    // (BENCH_r08 shows a 2000-char window), and sbt appends its own
+    // "[success] Total time: ..." line (~80 chars) AFTER us. At 87
+    // queries the full per-query map no longer fits, so r7/r8 recorded
+    // "parsed": null (ADVICE r8 #1). Two-part fix:
+    //   1. the complete record (medians + mins + triples) goes to
+    //      BENCH_FULL.json in the repo, committed with the round;
+    //   2. the final stdout line is BUDGETED: per-query medians are
+    //      added most-expensive-first until the line would exceed the
+    //      window; the cheap tail is summarized as rest_n/rest_sum so
+    //      the total remains exactly the sum of what's visible.
+    // Values are rounded to 2 decimals (the host's rep-to-rep variance
+    // is far above 10 ms, so nothing real is lost).
+    val fullRec =
+      s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"triples":$triples,"reps":$reps,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullRec + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    val tailBudget = 1840 // 2000-char window - sbt success line - margin
+    def r2(x: Double): String = f"$x%.2f"
+    val byCost = results.map { case (k, ts) => k -> median(ts) }
+      .sortBy { case (k, m) => (-m, k) }
+    val sfName = sfDir.split('/').last
+    val suffix0 = s"""},"rest_n":0,"rest_sum":0.00,"full":"BENCH_FULL.json","reps":$reps,"sf":"$sfName"}"""
+    val prefix = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":{"""
+    var used = prefix.length + suffix0.length + 8 // slack for rest_* digits
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    byCost.foreach { case (k, m) =>
+      val entry = "\"" + k + "\":" + r2(m)
+      val cost = entry.length + (if (kept.nonEmpty) 1 else 0)
+      if (used + cost <= tailBudget) { kept += (k -> m); used += cost }
+    }
+    val keptSet = kept.map(_._1).toSet
+    val restN = byCost.count(e => !keptSet(e._1))
+    val restSum = byCost.filterNot(e => keptSet(e._1)).map(_._2).sum
+    val keptJson = kept.sortBy(_._1)
+      .map { case (k, m) => "\"" + k + "\":" + r2(m) }.mkString(",")
+    println(prefix + keptJson +
+      s"""},"rest_n":$restN,"rest_sum":${r2(restSum)},"full":"BENCH_FULL.json","reps":$reps,"sf":"$sfName"}""")
     spark.stop()
   }
 }
