@@ -19,18 +19,32 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark does not support
-    * natively; read nanos as long and truncate to microsecond timestamps
-    * (exact integer division — deterministic, and second-level formatting
-    * matches any ns-capable engine).
-    */
+  /** events.parquet carries TIMESTAMP(NANOS). Depending on the Spark
+    * build this reads back one of two ways, and we normalize BOTH to a
+    * session-zoned microsecond TimestampType column:
+    *   - older builds honor `spark.sql.legacy.parquet.nanosAsLong` and
+    *     surface a raw nanosecond LongType → truncate to micros with
+    *     integral `div` (`/` would go through double and lose precision
+    *     above 2^53; ns epoch values are ~1.7e18);
+    *   - newer builds read NANOS natively as TIMESTAMP_NTZ (micros,
+    *     floor-truncated — same integer division) and ignore the legacy
+    *     flag → cast NTZ to TimestampType (wall time interpreted in the
+    *     session zone; Verify/Bench pin UTC, matching the oracle's
+    *     naive-timestamp formatting).
+    * Branching on the READ-BACK type (not the Spark version string)
+    * keeps this correct under either reader. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `div` = integral division; `/` would go through double and lose
-    // precision above 2^53 (ns epoch values are ~1.7e18).
-    load(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
