@@ -467,6 +467,104 @@ object TextOps {
         (col("top10k") > TopWordBar10k || col("dup10k") > Dup2gramBar10k)
           .as("repetitive"))
 
+  /** Unit of the unigram-LM probability scores: parts-per-million.
+    * ppm keeps the long arithmetic overflow-free to ~9×10^12
+    * occurrences of a single token (cnt·10^6 < 2^63) — past a 100 TB
+    * corpus's top token — where 1e-9 units would overflow; the trade is
+    * that tokens rarer than 1-in-a-million score 0 ppm (they dominate
+    * min_tok_ppm, which is exactly the out-of-vocabulary signal the
+    * filter wants). */
+  val LmPpmUnit = 1000000L
+
+  /** Unigram language-model document scoring — the integer-exact shape
+    * of the KenLM/CCNet perplexity filter: train the corpus unigram
+    * distribution, score each document by the MEAN corpus probability
+    * of its tokens (ppm units, truncating division). Atypical-vocabulary
+    * documents (spam, mash, wrong-language) score low; min_tok_ppm
+    * flags single out-of-distribution tokens. A real deployment scores
+    * against an n-gram LM trained on a REFERENCE corpus (wiki); the
+    * machinery is identical — swap the counts relation.
+    *
+    * Scale shape: one explode + hash-agg builds the vocabulary (map-side
+    * combine; vocab rows ≪ corpus rows), a 1-row total broadcast turns
+    * counts into probabilities, and the score join is explode ⋈ vocab —
+    * broadcastable until the vocabulary outgrows executors, then a
+    * shuffle-hash join keyed on the token (high-frequency skew is AQE's
+    * textbook split). All integer: cnt·ppm div total, then sum div n. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScoreCore(Tables.documents(spark, dir))
+
+  /** [[lmScore]] over any (doc_id, lang, text) relation — split out so
+    * specs can hand-compute the scores on a planted corpus. */
+  private[graft] def lmScoreCore(docs: DataFrame): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tok"))
+    val counts = ex.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val probs = counts.crossJoin(broadcast(total))
+      .select(col("tok"), expr(s"cnt * $LmPpmUnit div total").as("ppm"))
+    ex.join(probs, Seq("tok"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("ppm")).as("ppm_sum"),
+        min(col("ppm")).as("min_tok_ppm"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        expr("ppm_sum div n_tok").as("avg_tok_ppm"), col("min_tok_ppm"))
+  }
+
+  /** Gopher-style rule bars (word-level subset — this corpus has no
+    * line structure or non-word symbols, so the line/symbol/ellipsis
+    * rules of the published set are vacuous here; the repetition rules
+    * reuse [[TopWordBar10k]]/[[Dup2gramBar10k]] so the filter and the
+    * repetition report can never disagree). */
+  val GopherMinTok = 20L
+  val GopherMaxTok = 10000L
+  val GopherMinAvgLen = 3L
+  val GopherMaxAvgLen = 10L
+  val GopherMinStop = 2L
+
+  /** Gopher-style quality RULE FILTER — the hard-cutoff sibling of the
+    * soft [[qualityScore]]: each document gets one boolean per rule
+    * (word-count bounds, mean-word-length bounds, stopword floor,
+    * top-token and duplicate-bigram caps) plus the conjunction. Rule
+    * filters are the first curation stage a Gopher/RefinedWeb-shaped
+    * pipeline runs because each rule is cheap and explainable; the
+    * per-rule columns are what an ablation report aggregates.
+    *
+    * Scale shape: every rule is a per-row expression (the repetition
+    * fractions reuse the run-length/array forms — no shuffle anywhere);
+    * mean word length compares exact integers (3n ≤ chars ≤ 10n), never
+    * a float ratio. Linear, fully codegen'd. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesCore(Tables.documents(spark, dir))
+
+  /** [[gopherRules]] over any (doc_id, lang, text) relation — split out
+    * so specs can plant documents that trip each rule separately. */
+  private[graft] def gopherRulesCore(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t).cast("long")
+    // sum of word lengths = chars minus spaces (single-space corpus;
+    // toks drops empties so runs of spaces only shrink the sum, same
+    // as the oracle's replace)
+    val chars = length(replace(col("text"), lit(" "), lit(""))).cast("long")
+    val nStop = regexp_count(col("text"), lit("\\b(the|a|of|and|in|to)\\b"))
+    docs.select(col("doc_id"), col("lang"), nTok.as("n_tok"),
+        chars.as("chars"), nStop.cast("long").as("n_stop"),
+        topWord10k(col("text")).as("top10k"),
+        dup2gram10k(col("text")).as("dup10k"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        (col("n_tok") >= GopherMinTok && col("n_tok") <= GopherMaxTok)
+          .as("word_count_ok"),
+        (col("chars") >= lit(GopherMinAvgLen) * col("n_tok")
+          && col("chars") <= lit(GopherMaxAvgLen) * col("n_tok")
+          && col("n_tok") > 0).as("avg_len_ok"),
+        (col("n_stop") >= GopherMinStop).as("stop_ok"),
+        (col("top10k") <= TopWordBar10k).as("top_ok"),
+        (col("dup10k") <= Dup2gramBar10k).as("dup_ok"))
+      .withColumn("pass",
+        col("word_count_ok") && col("avg_len_ok") && col("stop_ok")
+          && col("top_ok") && col("dup_ok"))
+  }
+
   /** A shingle counts as boilerplate when its document frequency
     * exceeds max([[BoilerplateDocBar]], docs/[[BoilerplateFracDiv]]) —
     * the RELATIVE part is what makes the bar scale-stable: an absolute
@@ -624,6 +722,8 @@ object TextOps {
     "q_langid"         -> langId _,
     "q_quality_score"  -> qualityScore _,
     "q_repetition"     -> repetition _,
+    "q_lm_score"       -> lmScore _,
+    "q_gopher_rules"   -> gopherRules _,
     "q_boilerplate"    -> boilerplate _,
     "q_length_quantiles" -> lengthQuantiles _,
     "q_fingerprint"    -> fingerprint _,
@@ -778,6 +878,62 @@ object TextOps {
          |  CAST(top10k AS DOUBLE) / 10000.0 AS top_word_frac,
          |  CAST(dup10k AS DOUBLE) / 10000.0 AS dup_2gram_frac,
          |  (top10k > $TopWordBar10k OR dup10k > $Dup2gramBar10k) AS repetitive
+         |FROM m""".stripMargin,
+    // sum(ppm) is HUGEINT in DuckDB — cast to BIGINT before the floor
+    // div; all operands non-negative, so // matches Spark's div
+    "q_lm_score" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
+         |cnt AS (SELECT tok, count(*) AS cnt FROM ex GROUP BY tok),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt),
+         |p AS (SELECT tok, cnt * $LmPpmUnit // total AS ppm FROM cnt, tot)
+         |SELECT doc_id, lang, count(*) AS n_tok,
+         |  CAST(sum(ppm) AS BIGINT) // count(*) AS avg_tok_ppm,
+         |  CAST(min(ppm) AS BIGINT) AS min_tok_ppm
+         |FROM ex JOIN p USING (tok)
+         |GROUP BY doc_id, lang""".stripMargin,
+    // top-token count computed relationally (unnest -> counts -> max),
+    // same as the q_repetition oracle; the rule compares are the exact
+    // integer forms of the Spark flags
+    "q_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
+         |    CAST(length(regexp_extract_all(text,
+         |      '\\b(the|a|of|and|in|to)\\b')) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |f AS (SELECT doc_id, tok, count(*) AS c
+         |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |      GROUP BY 1, 2),
+         |top AS (SELECT doc_id, max(c) AS top_cnt FROM f GROUP BY 1),
+         |g AS (SELECT doc_id, len(toks) AS n_tok,
+         |    CASE WHEN len(toks) >= 2
+         |      THEN list_transform(range(1, len(toks)),
+         |             i -> toks[i] || ' ' || toks[i+1])
+         |      ELSE CAST([] AS VARCHAR[]) END AS g2
+         |  FROM t),
+         |m AS (SELECT t.doc_id, t.lang, CAST(g.n_tok AS BIGINT) AS n_tok,
+         |    t.chars, t.n_stop,
+         |    coalesce(top.top_cnt, 0) * 10000
+         |      // greatest(g.n_tok, 1) AS top10k,
+         |    (len(g2) - len(list_distinct(g2))) * 10000
+         |      // greatest(len(g2), 1) AS dup10k
+         |  FROM t JOIN g ON g.doc_id = t.doc_id
+         |  LEFT JOIN top ON t.doc_id = top.doc_id)
+         |SELECT doc_id, lang, n_tok,
+         |  (n_tok >= $GopherMinTok AND n_tok <= $GopherMaxTok)
+         |    AS word_count_ok,
+         |  (chars >= $GopherMinAvgLen * n_tok
+         |   AND chars <= $GopherMaxAvgLen * n_tok AND n_tok > 0)
+         |    AS avg_len_ok,
+         |  n_stop >= $GopherMinStop AS stop_ok,
+         |  top10k <= $TopWordBar10k AS top_ok,
+         |  dup10k <= $Dup2gramBar10k AS dup_ok,
+         |  ((n_tok >= $GopherMinTok AND n_tok <= $GopherMaxTok)
+         |   AND (chars >= $GopherMinAvgLen * n_tok
+         |        AND chars <= $GopherMaxAvgLen * n_tok AND n_tok > 0)
+         |   AND n_stop >= $GopherMinStop
+         |   AND top10k <= $TopWordBar10k
+         |   AND dup10k <= $Dup2gramBar10k) AS pass
          |FROM m""".stripMargin,
     "q_boilerplate" ->
       s"""WITH ex AS (

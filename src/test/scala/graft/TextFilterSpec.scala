@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.Row
+
+/** Round-9 text-filter additions: the Gopher-style rule filter (each rule
+  * tripped by a planted document, independently of the others) and the
+  * unigram-LM document score (hand-computed on a tiny corpus). */
+class TextFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rules(rows: Seq[(Long, String, String)]): Map[Long, Row] =
+    TextOps.gopherRulesCore(rows.toDF("doc_id", "lang", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("gopher rules: each rule trips on its own planted document") {
+    // base: 25 distinct-ish 4-char words incl. stopwords, no repetition
+    val clean = ("the and " + (1 to 23).map(i => f"wd$i%02d").mkString(" "))
+    val got = rules(Seq(
+      (1L, "en", clean),
+      // too short: 5 words
+      (2L, "en", "the and word more last"),
+      // avg word length 1 (< 3): single-char words
+      (3L, "en", ("the and " + (1 to 23).map(_ => "a b").mkString(" "))),
+      // no stopwords
+      (4L, "en", (1 to 25).map(i => f"wd$i%02d").mkString(" ")),
+      // top-token fraction 26/50 > 0.2, dup bigrams too
+      (5L, "en", ("the and " + Seq.fill(48)("spam").mkString(" ")))))
+    assert(got(1L).getAs[Boolean]("pass"), s"clean doc must pass: ${got(1L)}")
+    assert(!got(2L).getAs[Boolean]("word_count_ok")
+      && got(2L).getAs[Boolean]("avg_len_ok"))
+    assert(!got(3L).getAs[Boolean]("avg_len_ok")
+      && got(3L).getAs[Boolean]("word_count_ok"))
+    assert(!got(4L).getAs[Boolean]("stop_ok")
+      && got(4L).getAs[Boolean]("word_count_ok")
+      && got(4L).getAs[Boolean]("avg_len_ok"))
+    assert(!got(5L).getAs[Boolean]("top_ok")
+      && !got(5L).getAs[Boolean]("dup_ok"))
+    assert(Seq(2L, 3L, 4L, 5L).forall(i => !got(i).getAs[Boolean]("pass")))
+  }
+
+  test("gopher rules: empty doc fails closed, no div-by-zero") {
+    val got = rules(Seq((1L, "en", "")))
+    assert(!got(1L).getAs[Boolean]("pass")
+      && !got(1L).getAs[Boolean]("word_count_ok")
+      && !got(1L).getAs[Boolean]("avg_len_ok"))
+  }
+
+  test("lm score: hand-computed ppm on a planted corpus") {
+    // counts: a=2 b=2 c=1, total 5 → ppm a,b=400000 c=200000
+    val docs = Seq((1L, "en", "a a b"), (2L, "en", "b c"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.lmScoreCore(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_tok") == 3L)
+    assert(got(1L).getAs[Long]("avg_tok_ppm") == 400000L)
+    assert(got(1L).getAs[Long]("min_tok_ppm") == 400000L)
+    assert(got(2L).getAs[Long]("avg_tok_ppm") == 300000L)
+    assert(got(2L).getAs[Long]("min_tok_ppm") == 200000L)
+  }
+
+  test("lm score: atypical vocabulary ranks below typical at sf0.001") {
+    val rows = TextOps.lmScore(spark, sfDir).collect()
+    assert(rows.length > 0)
+    // every score is a valid mean of per-token probabilities
+    rows.foreach { r =>
+      val avg = r.getAs[Long]("avg_tok_ppm")
+      assert(avg >= 0L && avg <= TextOps.LmPpmUnit, s"ppm out of range: $r")
+      assert(r.getAs[Long]("min_tok_ppm") <= avg)
+    }
+  }
+}
