@@ -132,6 +132,126 @@ object CurationOps {
       .withColumn("epochs_100", expr("tokens_needed * 100 div tokens_avail"))
   }
 
+  /** TEMPERATURE-scaled mixture planner (α = 1/2) — the standard
+    * low-resource-upweighting alternative to [[mixturePlan]]'s fixed
+    * target shares: stratum weights ∝ tokens_avail^α flatten the
+    * natural distribution (α=1 is proportional sampling, α→0 uniform;
+    * 1/2 is the multilingual-pretraining workhorse), so thin languages
+    * get boosted shares without hand-written per-language targets.
+    *
+    * Determinism: α=1/2 means w = floor(sqrt(tokens_avail)) — IEEE
+    * sqrt is correctly rounded, so both engines compute the identical
+    * double and the floor is exact (tokens_avail ≪ 2^52; a floor(x^α)
+    * for general α has no such guarantee, which is why the declared
+    * plan pins α to 1/2). Everything after the per-row sqrt is integer:
+    * share = w·10^4 div Σw, then the same rate/epoch arithmetic as
+    * [[mixturePlan]]. Scale shape: one corpus hash-agg, then
+    * arithmetic + one whole-relation window on a LANGS-sized relation
+    * (a handful of rows at any corpus size). */
+  def mixturePlanTemp(spark: SparkSession, dir: String,
+      targetTokens: Long = MixTargetTokens): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), TextOps.tokEst(col("text")).as("tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens_avail"))
+      .withColumn("w_sqrt",
+        floor(sqrt(col("tokens_avail").cast("double"))).cast("long"))
+      .withColumn("w_total",
+        sum(col("w_sqrt")).over(Window.partitionBy()))
+      .withColumn("share_10k", expr("w_sqrt * 10000 div w_total"))
+      .withColumn("tokens_needed",
+        expr(s"share_10k * ${targetTokens}L div 10000"))
+      .withColumn("sample_rate_10k",
+        least(lit(10000L), expr("tokens_needed * 10000 div tokens_avail")))
+      .withColumn("epochs_100", expr("tokens_needed * 100 div tokens_avail"))
+      .drop("w_total")
+
+  /** Documents kept per source by [[sourceCapped]] — the domain-balance
+    * cap a web-scale pipeline applies so no single domain dominates the
+    * mixture (the per-domain analogue of the per-language mixture). */
+  val SourceCapN = 20L
+
+  /** Per-SOURCE document cap — keep at most [[SourceCapN]] documents
+    * from each source, chosen by a deterministic md5 shuffle (the same
+    * never-rand() contract as [[stratifiedSample]]: stable under
+    * retries, replays, and engines; ties on the full digest break on
+    * doc_id). Emits the KEPT rows (doc_id, source, rk).
+    *
+    * Scale shape: the rank filter plans as WindowGroupLimit — each map
+    * task pre-truncates its partition to the cap BEFORE the exchange,
+    * so the shuffle carries O(sources·cap) rows, not the corpus; a
+    * mega-source therefore cannot skew a reducer. (Contrast
+    * [[stratifiedSample]]: rate-based thinning is a pure filter and
+    * cheaper, but cannot promise an exact per-source count.) */
+  def sourceCapped(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+        col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= SourceCapN)
+  }
+
+  /** DSIR feature-hash bucket width: the leading 2 hex chars of
+    * md5(token) → 256 buckets, keyed as STRINGS so no hex→int
+    * conversion can diverge between engines. */
+  val DsirBucketHex = 2
+  /** The target-domain stratum the importance ratios aim at ('en' as
+    * the stand-in for "quality reference corpus" — the machinery is
+    * domain-agnostic: swap the predicate). */
+  val DsirTargetLang = "en"
+
+  /** DSIR-style importance weights — data selection via hashed n-gram
+    * importance resampling: hash every token into [[DsirBucketHex]]-hex
+    * buckets, estimate the TARGET (reference-domain) and RAW corpus
+    * distributions over buckets, and weight each document by the mean
+    * importance ratio of its tokens. Documents whose vocabulary looks
+    * like the target domain weigh > 1e6 ppm; out-of-domain documents
+    * weigh less — the weights feed rate-based sampling directly.
+    * Deviation from the paper kept deliberate: the per-doc statistic is
+    * the arithmetic MEAN of per-token ratios, not the summed
+    * log-likelihood ratio — a log would drag doubles into the oracle
+    * boundary, and the mean preserves the ranking the sampler consumes.
+    * Laplace +1 smoothing keeps empty buckets finite. All integer
+    * (ppm truncating div); the (t+1)·R·10^6 product stays inside a
+    * long to ~10^12 tokens — past that the multiply widens to
+    * DECIMAL(38) (same note as [[TextOps.LmPpmUnit]]).
+    *
+    * Scale shape: the bucket table is 256 rows (broadcast), built from
+    * two hash-aggs over one explode; the scoring join is
+    * explode ⋈ broadcast + per-doc re-aggregation — linear, no wide
+    * shuffle. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsCore(Tables.documents(spark, dir))
+
+  /** [[dsirWeights]] over any (doc_id, lang, text) relation — split out
+    * so specs can plant a target domain with a distinct vocabulary. */
+  private[graft] def dsirWeightsCore(docs: DataFrame): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.toks(col("text"))).as("tok"))
+      .withColumn("bucket",
+        substring(md5(col("tok").cast("binary")), 1, DsirBucketHex))
+    val raw = ex.groupBy(col("bucket")).agg(count(lit(1)).as("r_cnt"))
+    val tgt = ex.where(col("lang") === DsirTargetLang)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("t_cnt"))
+    val totals = ex.agg(count(lit(1)).as("r_total"),
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L))
+        .as("t_total"))
+    val ratio = raw.join(tgt, Seq("bucket"), "left")
+      .withColumn("t_cnt", coalesce(col("t_cnt"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        expr(s"(t_cnt + 1) * r_total * ${TextOps.LmPpmUnit} div ((r_cnt + 1) * t_total)")
+          .as("ratio_ppm"))
+    ex.join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("ratio_ppm")).as("ratio_sum"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        expr("ratio_sum div n_tok").as("weight_ppm"))
+  }
+
   /** Chunk geometry for [[chunkDocs]]: fixed token windows with overlap
     * (the shape an embedding/retrieval pass feeds its encoder). Stride =
     * tokens − overlap; a chunk starts at every stride multiple below the
@@ -462,6 +582,9 @@ object CurationOps {
     "q_curation" -> curationSummary _,
     "q_stratified_sample" -> stratifiedSampleSummary _,
     "q_mixture_plan" -> ((s: SparkSession, d: String) => mixturePlan(s, d)),
+    "q_mixture_temp" -> ((s: SparkSession, d: String) => mixturePlanTemp(s, d)),
+    "q_source_cap" -> sourceCapped _,
+    "q_dsir_weights" -> dsirWeights _,
     "q_chunks" -> chunkDocs _,
     "q_chunk_dedup" -> chunkDedup _,
     "q_seq_pack" -> packSummary _,
@@ -682,6 +805,67 @@ object CurationOps {
          |        tokens_needed * 10000 // tokens_avail) AS sample_rate_10k,
          |  tokens_needed * 100 // tokens_avail AS epochs_100
          |FROM c""".stripMargin,
+    // floor(sqrt(DOUBLE)) is exact cross-engine (IEEE correctly-rounded
+    // sqrt, operand ≪ 2^52); everything after is the same integer
+    // arithmetic as q_mixture_plan
+    "q_mixture_temp" ->
+      s"""WITH a AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(${TextOps.tokEstSql}) AS BIGINT) AS tokens_avail
+         |  FROM documents GROUP BY lang),
+         |b AS (
+         |  SELECT lang, n_docs, tokens_avail,
+         |    CAST(floor(sqrt(CAST(tokens_avail AS DOUBLE))) AS BIGINT)
+         |      AS w_sqrt
+         |  FROM a),
+         |c AS (
+         |  SELECT lang, n_docs, tokens_avail, w_sqrt,
+         |    w_sqrt * 10000 // CAST(sum(w_sqrt) OVER () AS BIGINT)
+         |      AS share_10k
+         |  FROM b),
+         |d AS (
+         |  SELECT *, share_10k * $MixTargetTokens // 10000 AS tokens_needed
+         |  FROM c)
+         |SELECT lang, n_docs, tokens_avail, w_sqrt, share_10k, tokens_needed,
+         |  least(CAST(10000 AS BIGINT),
+         |        tokens_needed * 10000 // tokens_avail) AS sample_rate_10k,
+         |  tokens_needed * 100 // tokens_avail AS epochs_100
+         |FROM d""".stripMargin,
+    // the md5 order is a total order up to doc_id ties on the digest
+    // (impossible for distinct ids, but the tiebreak keeps the ORDER BY
+    // total anyway); kept rows only — the LIMIT-free rank filter
+    "q_source_cap" ->
+      s"""SELECT doc_id, source, rk FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= $SourceCapN""".stripMargin,
+    // counts widen to HUGEINT in DuckDB — cast before the // div; the
+    // ratio product is the same left-to-right integer expression as the
+    // Spark plan
+    "q_dsir_weights" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
+         |b AS (SELECT doc_id, lang,
+         |    substr(md5(tok), 1, $DsirBucketHex) AS bucket FROM ex),
+         |raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS r_cnt
+         |        FROM b GROUP BY bucket),
+         |tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS t_cnt
+         |        FROM b WHERE lang = '$DsirTargetLang' GROUP BY bucket),
+         |tot AS (SELECT
+         |    CAST((SELECT count(*) FROM b) AS BIGINT) AS r_total,
+         |    CAST((SELECT count(*) FROM b WHERE lang = '$DsirTargetLang')
+         |      AS BIGINT) AS t_total),
+         |ratio AS (
+         |  SELECT r.bucket,
+         |    (coalesce(t.t_cnt, 0) + 1) * r_total * ${TextOps.LmPpmUnit}
+         |      // ((r.r_cnt + 1) * t_total) AS ratio_ppm
+         |  FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket, tot)
+         |SELECT doc_id, lang, count(*) AS n_tok,
+         |  CAST(sum(ratio_ppm) AS BIGINT) // count(*) AS weight_ppm
+         |FROM b JOIN ratio USING (bucket)
+         |GROUP BY doc_id, lang""".stripMargin,
     "q_stratified_sample" ->
       s"""SELECT lang, count(*) AS n_kept,
          |  min(doc_id) AS min_kept_id, max(doc_id) AS max_kept_id

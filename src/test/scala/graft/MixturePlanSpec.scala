@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.CurationOps
+import org.apache.spark.sql.functions.col
+
+/** Round-9 mixture/selection additions: the temperature-scaled mixture
+  * planner, the per-source cap, and DSIR-style importance weights. */
+class MixturePlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("temperature mixture: sqrt-flattening boosts thin strata") {
+    val rows = CurationOps.mixturePlanTemp(spark, sfDir).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(rows.size >= 2)
+    val total = rows.values.map(_.getAs[Long]("tokens_avail")).sum
+    // α=1/2 flattens: every below-average stratum's share exceeds its
+    // proportional share, every above-average stratum's share trails it
+    rows.values.foreach { r =>
+      val avail = r.getAs[Long]("tokens_avail")
+      val share = r.getAs[Long]("share_10k")
+      val prop = avail * 10000L / total
+      if (avail * rows.size < total)
+        assert(share > prop, s"thin stratum not boosted: $r (prop $prop)")
+      if (avail * rows.size > total)
+        assert(share < prop, s"fat stratum not flattened: $r (prop $prop)")
+      assert(r.getAs[Long]("w_sqrt") ==
+        math.sqrt(avail.toDouble).toLong, s"w_sqrt mismatch: $r")
+    }
+    // shares are truncations of an exact partition of 10^4
+    val shareSum = rows.values.map(_.getAs[Long]("share_10k")).sum
+    assert(shareSum <= 10000L && shareSum > 10000L - rows.size)
+  }
+
+  test("source cap: exact per-source counts, deterministic, rk contiguous") {
+    val got = CurationOps.sourceCapped(spark, sfDir).collect()
+    val bySource = got.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length <= CurationOps.SourceCapN, s"$src over cap")
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq ==
+        (1 to rs.length).toSeq, s"$src ranks not contiguous")
+    }
+    // deterministic md5 order: a second run keeps the identical set
+    val again = CurationOps.sourceCapped(spark, sfDir).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSet ==
+      again.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("dsir weights: target-vocabulary documents weigh more") {
+    // target (en) speaks tgtN..., the other domain speaks othN... —
+    // disjoint vocabularies, so en-doc buckets carry high t/r ratios
+    val docs = (
+      (1L to 20L).map(i => (i, "en",
+        (1 to 30).map(j => s"tgt${(i + j) % 7}").mkString(" "))) ++
+      (21L to 40L).map(i => (i, "de",
+        (1 to 30).map(j => s"oth${(i + j) % 7}").mkString(" ")))
+    ).toDF("doc_id", "lang", "text")
+    val w = CurationOps.dsirWeightsCore(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("weight_ppm")).toMap
+    val tgtMin = (1L to 20L).map(w).min
+    val othMax = (21L to 40L).map(w).max
+    assert(tgtMin > othMax,
+      s"every target doc must outweigh every other-domain doc: $tgtMin vs $othMax")
+    // target docs sit near 2e6 (they are ~half the corpus and all of
+    // the target), other-domain docs near the smoothing floor
+    assert(tgtMin > 1500000L && othMax < 500000L,
+      s"separation too weak: $tgtMin / $othMax")
+  }
+
+  test("dsir weights: uniform corpus weighs ~1e6 everywhere") {
+    val docs = (1L to 30L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de",
+        (1 to 20).map(j => s"w${(i * 3 + j) % 11}").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    CurationOps.dsirWeightsCore(docs).collect().foreach { r =>
+      val w = r.getAs[Long]("weight_ppm")
+      assert(w > 500000L && w < 2000000L, s"shared-vocab weight off: $r")
+    }
+  }
+}
