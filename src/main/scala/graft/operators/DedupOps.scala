@@ -557,6 +557,12 @@ object DedupOps {
     * oracle). Centralized so the bit-identity contract between the
     * banded and IVF branches can never drift one call site at a time. */
   private def quantizedGuarded(spark: SparkSession, embSrc: DataFrame)
+      : DataFrame = quantizedAll(spark, embSrc).where(col("nrm") > 0)
+
+  /** The UNGUARDED quantized frame — what k-means TRAINING consumes
+    * (the oracle's kmeans CTEs train over every vector; only cosine
+    * SCORING needs the zero-norm exclusion). */
+  private def quantizedAll(spark: SparkSession, embSrc: DataFrame)
       : DataFrame = {
     val dot = graft.plans.DotProductLong.dotLong(spark) _
     embSrc
@@ -564,7 +570,6 @@ object DedupOps {
         transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))
           .as("qe"))
       .withColumn("nrm", dot(col("qe"), col("qe")))
-      .where(col("nrm") > 0)
   }
 
   /** Shared exact-verify tail of every vector near-dup path: candidate
@@ -692,6 +697,68 @@ object DedupOps {
     if (!annBucketSaturated(n, maxBuckets)) cosineNearDup(spark, dir, threshold)
     else cosineNearDupIvfCore(spark, Tables.embeddings(spark, dir),
       ivfCells(n), NearDupNProbe, threshold)
+  }
+
+  /** Cluster count for the declared [[semDedup]] query — matches the
+    * pinned 8-cell kmeans oracle; a production run sizes it
+    * [[ivfCells]](n) ≈ √n, the SemDeDup paper's own regime. */
+  val SemDedupCells = 8
+
+  /** SemDeDup — SEMANTIC deduplication via embedding clusters: k-means
+    * the corpus embeddings, then WITHIN each cluster drop every vector
+    * that has a higher-similarity... strictly: a lower-id neighbor with
+    * cosine ≥ threshold (the deterministic keep-lowest-id rendition of
+    * the paper's within-cluster pruning; the canonical-pick policy is a
+    * parameter in spirit — swap the argmin). Complements
+    * [[cosineNearDupAuto]]: that emits verified PAIRS; this emits the
+    * per-vector KEEP/DROP verdict a curation pass consumes directly,
+    * with the cluster as the only blocking unit — no second LSH layer.
+    *
+    * Emits (vec_id, cluster, sem_dup_of, kept): `sem_dup_of` is the
+    * lowest-id same-cluster vector within the threshold (NULL ⇒ kept).
+    * Zero-norm vectors train the quantizer but never score (cosine
+    * undefined) — they emit with kept = true, mirrored in the oracle.
+    *
+    * Scale shape: training is the shared Lloyd core (broadcast k
+    * centroids × corpus per iteration); the dedup join is blocked BY
+    * CLUSTER — with cells ≈ √n expected occupancy is √n, so per-cluster
+    * pair work totals ~n·√n/2 worst-case and in practice far less
+    * (the verify is a codegen'd integer dot); the per-vector argmin is
+    * one hash aggregation. No global shuffle beyond the cluster key. */
+  def semDedup(spark: SparkSession, dir: String,
+      threshold: Double = CosineDupThreshold, cells: Int = SemDedupCells,
+      trainIters: Int = 2): DataFrame =
+    semDedupCore(spark, Tables.embeddings(spark, dir), threshold, cells,
+      trainIters)
+
+  /** [[semDedup]] over any (vec_id, embedding) frame — split out so
+    * specs can plant clustered fixtures with known duplicates. */
+  private[graft] def semDedupCore(spark: SparkSession, embSrc: DataFrame,
+      threshold: Double, cells: Int, trainIters: Int): DataFrame = {
+    val all = quantizedAll(spark, embSrc)
+    val (assigned, _) = VectorOps.kmeansCoreOf(spark, all, cells, trainIters)
+    val memb = assigned.select(col("vec_id"), col("cluster"), col("qe"))
+      .join(all.select(col("vec_id"), col("nrm")), Seq("vec_id"))
+      .where(col("nrm") > 0)
+    val dot = graft.plans.DotProductLong.dotLong(spark) _
+    val a = memb.select(col("cluster"), col("vec_id").as("id_a"),
+      col("qe").as("qe_a"), col("nrm").as("nrm_a"))
+    val b = memb.select(col("cluster"), col("vec_id").as("id_b"),
+      col("qe").as("qe_b"), col("nrm").as("nrm_b"))
+    // threshold on the UNROUNDED cosine (exact integer dot/norms,
+    // correctly-rounded sqrt/divide) — same boundary contract as
+    // verifyCosinePairs
+    val dups = a.join(b, Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim_raw", dot(col("qe_a"), col("qe_b")).cast("double")
+        / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+      .where(col("sim_raw") >= threshold)
+      .groupBy(col("id_b"))
+      .agg(min(col("id_a")).as("sem_dup_of"))
+      .select(col("id_b").as("vec_id"), col("sem_dup_of"))
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(dups, Seq("vec_id"), "left")
+      .withColumn("kept", col("sem_dup_of").isNull)
   }
 
   /** Connected components over an undirected (id_a, id_b) edge list via
@@ -1079,6 +1146,7 @@ object DedupOps {
     // the PRODUCT entry point (enforced banded→IVF cutover): below
     // saturation it must be bit-identical to cosineNearDup — same oracle
     "q_cosine_neardup" -> ((s: SparkSession, d: String) => cosineNearDupAuto(s, d)),
+    "q_semdedup" -> ((s: SparkSession, d: String) => semDedup(s, d)),
     "q_dedup_groups" -> ((s: SparkSession, d: String) => dedupGroups(s, d)),
     "q_text_dedup_groups" -> textDedupGroups _,
     "q_canonical_docs" -> canonicalDocs _,
@@ -1185,6 +1253,27 @@ object DedupOps {
        |  SELECT a.dst, w.comp FROM walk w JOIN adj a ON a.src = w.id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // trains on the shared kmeans CTEs (all vectors), scores within
+    // clusters on the guarded set at the unrounded cosine — the same
+    // boundary contract as every vector near-dup oracle
+    "q_semdedup" ->
+      s"""WITH ${VectorOps.kmeansCtesSql},
+         |memb AS (
+         |  SELECT a.vec_id, a.cluster, v.qe, v.nrm
+         |  FROM a1 a JOIN n v ON v.vec_id = a.vec_id
+         |  WHERE v.nrm > 0),
+         |dups AS (
+         |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS sem_dup_of
+         |  FROM memb a JOIN memb b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE CAST(list_dot_product(a.qe, b.qe) AS DOUBLE)
+         |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
+         |    >= $CosineDupThreshold
+         |  GROUP BY b.vec_id)
+         |SELECT m.vec_id, m.cluster, d.sem_dup_of,
+         |  d.sem_dup_of IS NULL AS kept
+         |FROM (SELECT vec_id, cluster FROM a1) m
+         |LEFT JOIN dups d ON d.vec_id = m.vec_id""".stripMargin,
     // asymmetric containment: |shared| / |benchmark shingles| — the
     // threshold compares the unrounded ratio, round-to-4 is display-only
     "q_contamination" ->

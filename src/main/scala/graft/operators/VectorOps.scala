@@ -880,7 +880,7 @@ object VectorOps {
 
   /** Shared Lloyd-iteration CTE chain (seeds c0 → assign a0 → update c1 →
     * assign a1), reused by the q_kmeans and q_ann_ivf_kmeans oracles. */
-  private lazy val kmeansCtesSql: String =
+  private[operators] lazy val kmeansCtesSql: String =
     s"""emb AS (SELECT vec_id, $qSql AS qe FROM embeddings),
        |n AS (SELECT vec_id, qe, list_dot_product(qe, qe) AS nrm FROM emb),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, qe AS centroid,

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.DedupOps
+import org.apache.spark.sql.Row
+
+/** Round-9 SemDeDup: cluster-scoped semantic dedup over embeddings. */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("planted clusters: exact duplicates dropped, spread members kept") {
+    // two well-separated clusters (seeds = the 2 lowest ids); within
+    // each, members are ~0.2-0.3 cosine apart (below the 0.45 bar)
+    // except one planted exact duplicate of the seed
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),       // cluster A seed
+      (1L, Seq(0f, 0f, 1f, 0f)),       // cluster B seed
+      (2L, Seq(1f, 0f, 0f, 0f)),       // exact dup of 0 → dropped
+      (3L, Seq(0.3f, 0.954f, 0f, 0f)), // in A, cos 0.3 to 0/2 → kept
+      (4L, Seq(0f, 0f, 0.2f, 0.98f)),  // in B, cos 0.2 to 1 → kept
+      (5L, Seq(0f, 0f, 1f, 0f)))       // exact dup of 1 → dropped
+      .toDF("vec_id", "embedding")
+    val got = DedupOps.semDedupCore(spark, emb,
+      threshold = DedupOps.CosineDupThreshold, cells = 2, trainIters = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 6)
+    def dupOf(r: Row): Option[Long] =
+      if (r.isNullAt(r.fieldIndex("sem_dup_of"))) None
+      else Some(r.getAs[Long]("sem_dup_of"))
+    assert(Seq(0L, 1L, 3L, 4L).forall(i => got(i).getAs[Boolean]("kept")))
+    assert(!got(2L).getAs[Boolean]("kept") && dupOf(got(2L)) == Some(0L))
+    assert(!got(5L).getAs[Boolean]("kept") && dupOf(got(5L)) == Some(1L))
+    // duplicates co-cluster with their canonical (identical vectors
+    // can never split across cells)
+    assert(got(2L).getAs[Int]("cluster") == got(0L).getAs[Int]("cluster"))
+    assert(got(5L).getAs[Int]("cluster") == got(1L).getAs[Int]("cluster"))
+  }
+
+  test("corpus invariants at sf0.001: dup_of is lower-id and co-clustered") {
+    val rows = DedupOps.semDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val cluster = rows.map(r => r.getLong(0) -> r.getAs[Int]("cluster")).toMap
+    rows.foreach { r =>
+      val kept = r.getAs[Boolean]("kept")
+      if (!kept) {
+        val id = r.getLong(0)
+        val of = r.getAs[Long]("sem_dup_of")
+        assert(of < id, s"canonical must be lower-id: $r")
+        assert(cluster(of) == cluster(id), s"dup across clusters: $r")
+      } else assert(r.isNullAt(r.fieldIndex("sem_dup_of")))
+    }
+  }
+
+  test("zero-norm vectors train but never drop or get dropped") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 0f, 0f, 0f)), // zero-norm: scores nothing
+      (2L, Seq(1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = DedupOps.semDedupCore(spark, emb, 0.45, 2, 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("kept"))
+    assert(!got(2L).getAs[Boolean]("kept")
+      && got(2L).getAs[Long]("sem_dup_of") == 0L)
+  }
+}
