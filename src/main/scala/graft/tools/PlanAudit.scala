@@ -41,6 +41,12 @@ object PlanAudit {
     "q_ann_sq8" -> "int8 scalar quantization: per-dim scales as one broadcast aggregate, integer code dot in codegen, two-phase top-k",
     "q_ann_pq" -> "product quantization (IVFADC): broadcast per-slice codebooks + broadcast ADC lookup table; codes join probed coarse cells only; per-(query, neighbor) partial-aggregated score sum",
     "q_ann_auto" -> "enforced bucketed->IVF cutover: footer-derived corpus size picks the sign-bucket plan below 2^16 buckets, the trained IVF index past it",
+    "q_lm_score" -> "unigram-LM scoring: vocab hash-agg + broadcast 1-row total; scoring join explode vs vocab, per-doc re-aggregation",
+    "q_gopher_rules" -> "rule filter: every rule a per-row expression (run-length/array forms) — ZERO exchanges",
+    "q_source_cap" -> "per-source md5-order cap: PARTIAL WindowGroupLimit truncates each map task to the cap BEFORE the exchange — shuffle carries O(sources*cap)",
+    "q_dsir_weights" -> "hashed-ngram importance: 256-bucket ratio table broadcast; explode-join + per-doc mean, all-ppm integer arithmetic",
+    "q_semdedup" -> "cluster-blocked semantic dedup: shared Lloyd training, within-cluster pair join + exact cosine verify, per-vector argmin hash agg",
+    "q_mixture_temp" -> "sqrt-temperature mixture: one corpus hash-agg, then integer arithmetic + whole-relation window on a langs-sized relation",
   )
 
   def main(args: Array[String]): Unit = {

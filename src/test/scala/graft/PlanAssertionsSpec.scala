@@ -113,4 +113,23 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("ReadSchema") && !p.contains("n_chars"),
       s"unused columns must be pruned from the scan:\n$p")
   }
+
+  test("q_source_cap: partial group limit truncates before the exchange") {
+    // the per-source cap must shuffle O(sources·cap) rows, not the
+    // corpus: the rank filter plans a PARTIAL WindowGroupLimit below
+    // the exchange, and the scan reads only (doc_id, source)
+    val p = plan("q_source_cap")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"cap must truncate map-side:\n$p")
+    assert(!p.contains("text"), s"text must be pruned from the scan:\n$p")
+  }
+
+  test("q_dsir_weights and q_lm_score: the ratio/vocab side broadcasts") {
+    // scoring joins are explode ⋈ small-relation — the 256-bucket
+    // ratio table / vocab must be the broadcast side, never the corpus
+    assert(plan("q_dsir_weights").contains("BroadcastExchange"),
+      "bucket-ratio table should broadcast")
+    assert(plan("q_lm_score").contains("BroadcastExchange"),
+      "the 1-row total must broadcast")
+  }
 }
