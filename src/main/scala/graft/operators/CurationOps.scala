@@ -252,6 +252,42 @@ object CurationOps {
         expr("ratio_sum div n_tok").as("weight_ppm"))
   }
 
+  /** Fraction of the corpus (1e-4 units) the budget-driven quality
+    * floor keeps — "top 30% by quality", the budget-first way real
+    * pipelines pick a threshold (contrast [[TextOps.QualityFloor10k]]:
+    * a calibrated ABSOLUTE floor; this one moves with the corpus). */
+  val QualityKeep10k = 3000L
+
+  /** BUDGET-driven quality floor — derive the quality threshold that
+    * keeps the top [[QualityKeep10k]]/10⁴ of documents: build the
+    * integer quality-score histogram, walk it from the top until the
+    * cumulative count clears the target, and report (n_docs, k_target,
+    * floor_q10k, n_admitted). Ties at the floor are all admitted
+    * (n_admitted ≥ k_target) — deterministic, no tie-break sampling.
+    *
+    * Scale shape: the same histogram trick as
+    * [[TextOps.lengthQuantiles]] — the corpus collapses to (q10k, n)
+    * counts in ONE hash aggregation (score values are bounded
+    * integers, so the histogram is thousands of rows at any corpus
+    * size) and the windows walk the histogram, never the corpus. */
+  def qualityBudgetFloor(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(spark, dir)
+      .select(TextOps.quality10k(col("text")).as("q10k"))
+      .groupBy(col("q10k")).agg(count(lit(1)).as("n"))
+    val wCum = Window.orderBy(col("q10k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("k_target", expr(s"total * $QualityKeep10k div 10000"))
+      .where(col("cum") >= col("k_target"))
+      .groupBy(col("total"), col("k_target"))
+      .agg(max(col("q10k")).as("floor_q10k"),
+        min(col("cum")).as("n_admitted"))
+      .select(col("total").as("n_docs"), col("k_target"),
+        col("floor_q10k"), col("n_admitted"))
+  }
+
   /** Chunk geometry for [[chunkDocs]]: fixed token windows with overlap
     * (the shape an embedding/retrieval pass feeds its encoder). Stride =
     * tokens − overlap; a chunk starts at every stride multiple below the
@@ -585,6 +621,7 @@ object CurationOps {
     "q_mixture_temp" -> ((s: SparkSession, d: String) => mixturePlanTemp(s, d)),
     "q_source_cap" -> sourceCapped _,
     "q_dsir_weights" -> dsirWeights _,
+    "q_quality_floor" -> qualityBudgetFloor _,
     "q_chunks" -> chunkDocs _,
     "q_chunk_dedup" -> chunkDedup _,
     "q_seq_pack" -> packSummary _,
@@ -866,6 +903,24 @@ object CurationOps {
          |  CAST(sum(ratio_ppm) AS BIGINT) // count(*) AS weight_ppm
          |FROM b JOIN ratio USING (bucket)
          |GROUP BY doc_id, lang""".stripMargin,
+    // same histogram-walk as q_length_quantiles: windows run over the
+    // (q10k, n) histogram, never the corpus; counts cast before //
+    "q_quality_floor" ->
+      s"""WITH hist AS (
+         |  SELECT q10k, count(*) AS n
+         |  FROM (${TextOps.quality10kSql}) GROUP BY q10k),
+         |c AS (
+         |  SELECT q10k, n,
+         |    CAST(sum(n) OVER (ORDER BY q10k DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum,
+         |    CAST(sum(n) OVER () AS BIGINT) AS total
+         |  FROM hist),
+         |k AS (SELECT *, total * $QualityKeep10k // 10000 AS k_target
+         |      FROM c)
+         |SELECT any_value(total) AS n_docs, any_value(k_target) AS k_target,
+         |  max(q10k) AS floor_q10k, min(cum) AS n_admitted
+         |FROM k WHERE cum >= k_target""".stripMargin,
     "q_stratified_sample" ->
       s"""SELECT lang, count(*) AS n_kept,
          |  min(doc_id) AS min_kept_id, max(doc_id) AS max_kept_id

@@ -625,6 +625,33 @@ object TextOps {
         (col("b10k") > BoilerplateHeavyBar10k).as("boiler_heavy"))
   }
 
+  /** Shingle-level NOVELTY — the inverse signal of [[boilerplate]]: per
+    * document, the fraction of its distinct 3-gram shingles whose
+    * lowest-id carrier is the document itself (first-seen content).
+    * Curation mixes rank novel documents up and quote-heavy documents
+    * down; the same statistic over crawl SNAPSHOTS (owner = earliest
+    * snapshot) is the novelty curve a recrawl scheduler reads.
+    *
+    * Scale shape: identical skeleton to [[graft.operators.CurationOps
+    * .chunkDedupOf]] at shingle granularity — owner resolution is one
+    * hash aggregate on the shingle (partial min combines map-side),
+    * joined back on the same key, then one per-doc re-aggregation;
+    * fractions are integer-exact 1e-4 truncations. */
+  def shingleNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(shingles3(col("text"))).as("sh"))
+    val owners = ex.groupBy(col("sh")).agg(min(col("doc_id")).as("owner_id"))
+    ex.join(owners, Seq("sh"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("doc_id") === col("owner_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("nov10k", expr("n_novel * 10000 div n_sh"))
+      .select(col("doc_id"), col("lang"), col("n_sh"), col("n_novel"),
+        (col("nov10k").cast("double") / 10000.0).as("novel_frac"))
+  }
+
   /** Per-language EXACT token-length quantiles (p50/p90/p99) via the
     * histogram trick: the corpus collapses to a (lang, n_tok) count
     * histogram in one hash aggregation, and the quantile selection runs
@@ -725,6 +752,7 @@ object TextOps {
     "q_lm_score"       -> lmScore _,
     "q_gopher_rules"   -> gopherRules _,
     "q_boilerplate"    -> boilerplate _,
+    "q_shingle_novelty" -> shingleNovelty _,
     "q_length_quantiles" -> lengthQuantiles _,
     "q_fingerprint"    -> fingerprint _,
     "q_dedup_exact"    -> dedupExact _,
@@ -957,6 +985,23 @@ object TextOps {
          |SELECT doc_id, lang, n_sh, n_boiler,
          |  CAST(b10k AS DOUBLE) / 10000.0 AS boiler_frac,
          |  b10k > $BoilerplateHeavyBar10k AS boiler_heavy
+         |FROM m""".stripMargin,
+    // owner = min doc_id per shingle (hash agg), joined back — the
+    // same skeleton as the q_chunk_dedup oracle at shingle granularity
+    "q_shingle_novelty" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, lang, unnest(tset) AS sh
+         |  FROM (SELECT doc_id, lang, $shingles3Sql AS tset
+         |        FROM documents)),
+         |own AS (SELECT sh, min(doc_id) AS owner_id FROM ex GROUP BY sh),
+         |m AS (
+         |  SELECT e.doc_id, e.lang, count(*) AS n_sh,
+         |    CAST(sum(CASE WHEN e.doc_id = o.owner_id THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_novel
+         |  FROM ex e JOIN own o ON o.sh = e.sh
+         |  GROUP BY e.doc_id, e.lang)
+         |SELECT doc_id, lang, n_sh, n_novel,
+         |  CAST(n_novel * 10000 // n_sh AS DOUBLE) / 10000.0 AS novel_frac
          |FROM m""".stripMargin,
     "q_length_quantiles" ->
       s"""WITH hist AS (

@@ -66,6 +66,28 @@ class MixturePlanSpec extends SparkSpec {
       s"separation too weak: $tgtMin / $othMax")
   }
 
+  test("quality floor: keeps the target fraction, ties admitted") {
+    val r = CurationOps.qualityBudgetFloor(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val n = row.getAs[Long]("n_docs")
+    val k = row.getAs[Long]("k_target")
+    val floor = row.getAs[Long]("floor_q10k")
+    val admitted = row.getAs[Long]("n_admitted")
+    assert(k == n * CurationOps.QualityKeep10k / 10000L)
+    assert(admitted >= k && admitted <= n, s"bad admission count: $row")
+    // cross-check against the score relation: admitted must equal the
+    // exact count of docs at or above the floor, and the next-higher
+    // floor would under-fill the budget
+    val scores = graft.sources.Tables.documents(spark, sfDir)
+      .select(graft.operators.TextOps.quality10k(
+        org.apache.spark.sql.functions.col("text")).as("q10k"))
+      .collect().map(_.getLong(0))
+    assert(scores.count(_ >= floor).toLong == admitted)
+    assert(scores.count(_ > floor).toLong < k,
+      "a higher floor would miss the budget — floor must be maximal")
+  }
+
   test("dsir weights: uniform corpus weighs ~1e6 everywhere") {
     val docs = (1L to 30L).map(i =>
       (i, if (i % 2 == 0) "en" else "de",

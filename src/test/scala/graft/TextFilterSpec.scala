@@ -59,6 +59,28 @@ class TextFilterSpec extends SparkSpec {
     assert(got(2L).getAs[Long]("min_tok_ppm") == 200000L)
   }
 
+  test("shingle novelty: first-seen content owns its shingles") {
+    val rows = TextOps.shingleNovelty(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // the lowest doc_id owns every shingle it carries (nothing earlier
+    // exists), so its novelty is exactly 1.0
+    val minId = byId.keys.min
+    assert(byId(minId).getAs[Double]("novel_frac") == 1.0)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("novel_frac")
+      assert(f >= 0.0 && f <= 1.0 && r.getAs[Long]("n_sh") >= 1L
+        && r.getAs[Long]("n_novel") <= r.getAs[Long]("n_sh"), s"bad row: $r")
+    }
+    // novelty must decrease in aggregate for later docs (shared corpus
+    // vocabulary): the top half of ids cannot out-novel the bottom half
+    val (lo, hi) = rows.partition(_.getLong(0) <= byId.keys.toSeq.sorted
+      .apply(rows.length / 2))
+    def avg(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("novel_frac")).sum / rs.length
+    assert(avg(lo) > avg(hi), "earlier docs must average more novel")
+  }
+
   test("lm score: atypical vocabulary ranks below typical at sf0.001") {
     val rows = TextOps.lmScore(spark, sfDir).collect()
     assert(rows.length > 0)
