@@ -503,8 +503,9 @@ object CurationOps {
     * detectors) →
     * chunk-dup ([[chunkDedup]]'s flag: half the doc's chunks already
     * exist elsewhere, below the doc-level dup bar) → repetitive
-    * (Gopher bars) → boilerplate-heavy → below the quality floor →
-    * admitted.
+    * (Gopher bars) → boilerplate-heavy → rule-filtered (the
+    * non-repetition Gopher rules, [[TextOps.gopherShapeFail]]) → below
+    * the quality floor → admitted.
     *
     * Scale shape: the per-row signals (repetition, quality) evaluate in
     * the main projection; the three corpus-level signals (dup drops,
@@ -553,6 +554,7 @@ object CurationOps {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         TextOps.repetitiveFlag(col("text")).as("repetitive"),
+        TextOps.gopherShapeFail(col("text")).as("rule_fail"),
         TextOps.quality10k(col("text")).as("q10k"))
       .join(dupDropped, Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")
@@ -564,8 +566,9 @@ object CurationOps {
           .when(coalesce(col("is_chunk_dup"), lit(false)), "3_chunk_dup")
           .when(col("repetitive"), "4_repetitive")
           .when(coalesce(col("boiler_heavy"), lit(false)), "5_boilerplate")
-          .when(col("q10k") < FunnelMinQuality10k, "6_low_quality")
-          .otherwise("7_admitted"))
+          .when(col("rule_fail"), "6_rule_filtered")
+          .when(col("q10k") < FunnelMinQuality10k, "7_low_quality")
+          .otherwise("8_admitted"))
       .groupBy(col("lang"), col("stage"))
       .agg(count(lit(1)).as("n_docs"))
   }
@@ -703,7 +706,20 @@ object CurationOps {
          |  GROUP BY c.doc_id, b.bench_id, b.n_b
          |  HAVING CAST(count(*) AS DOUBLE) / b.n_b
          |    >= ${DedupOps.ContaminationBar}),
-         |toksrc AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |toksrc AS (SELECT doc_id, lang, $toksSql AS toks,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
+         |    CAST(length(regexp_extract_all(text,
+         |      '\\b(the|a|of|and|in|to)\\b')) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |shaperule AS (
+         |  SELECT doc_id,
+         |    NOT (len(toks) >= ${TextOps.GopherMinTok}
+         |     AND len(toks) <= ${TextOps.GopherMaxTok}
+         |     AND chars >= ${TextOps.GopherMinAvgLen} * len(toks)
+         |     AND chars <= ${TextOps.GopherMaxAvgLen} * len(toks)
+         |     AND len(toks) > 0
+         |     AND n_stop >= ${TextOps.GopherMinStop}) AS rule_fail
+         |  FROM toksrc),
          |freq AS (SELECT doc_id, tok2, count(*) AS c
          |  FROM (SELECT doc_id, unnest(toks) AS tok2 FROM toksrc)
          |  GROUP BY 1, 2),
@@ -765,8 +781,9 @@ object CurationOps {
          |       WHEN cd.doc_id IS NOT NULL THEN '3_chunk_dup'
          |       WHEN rep.repetitive THEN '4_repetitive'
          |       WHEN coalesce(bo.heavy, FALSE) THEN '5_boilerplate'
-         |       WHEN q.q10k < $FunnelMinQuality10k THEN '6_low_quality'
-         |       ELSE '7_admitted' END AS stage,
+         |       WHEN sr.rule_fail THEN '6_rule_filtered'
+         |       WHEN q.q10k < $FunnelMinQuality10k THEN '7_low_quality'
+         |       ELSE '8_admitted' END AS stage,
          |  count(*) AS n_docs
          |FROM documents d
          |LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
@@ -776,6 +793,7 @@ object CurationOps {
          |LEFT JOIN chdup cd ON cd.doc_id = d.doc_id
          |JOIN rep ON rep.doc_id = d.doc_id
          |LEFT JOIN boil bo ON bo.doc_id = d.doc_id
+         |JOIN shaperule sr ON sr.doc_id = d.doc_id
          |JOIN qual q ON q.doc_id = d.doc_id
          |GROUP BY 1, 2""".stripMargin,
     "q_source_profile" ->

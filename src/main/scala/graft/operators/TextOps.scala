@@ -522,6 +522,24 @@ object TextOps {
   val GopherMaxAvgLen = 10L
   val GopherMinStop = 2L
 
+  /** The three NON-repetition Gopher rules (word-count bounds, mean
+    * word length, stopword floor) as ONE boolean FAIL expression — the
+    * curation funnel's rule stage evaluates this in its main projection
+    * (the top-token/dup-bigram rules are deliberately absent: the
+    * funnel's repetitive stage precedes the rule stage and already
+    * catches exactly those docs under the same bars). Parity with
+    * [[gopherRulesCore]]'s per-flag columns is spec-pinned. */
+  private[graft] def gopherShapeFail(text: Column): Column = {
+    val nTok = size(toks(text)).cast("long")
+    val chars = length(replace(text, lit(" "), lit(""))).cast("long")
+    val nStop = regexp_count(text, lit("\\b(the|a|of|and|in|to)\\b"))
+      .cast("long")
+    !(nTok >= GopherMinTok && nTok <= GopherMaxTok &&
+      chars >= lit(GopherMinAvgLen) * nTok &&
+      chars <= lit(GopherMaxAvgLen) * nTok && nTok > 0 &&
+      nStop >= GopherMinStop)
+  }
+
   /** Gopher-style quality RULE FILTER — the hard-cutoff sibling of the
     * soft [[qualityScore]]: each document gets one boolean per rule
     * (word-count bounds, mean-word-length bounds, stopword floor,

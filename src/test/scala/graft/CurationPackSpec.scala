@@ -184,13 +184,20 @@ class CurationPackSpec extends SparkSpec {
     val p = mkTok("pp", 64)
     val chunkDupA = (p ++ mkTok("qq", 48)).mkString(" ")
     val chunkDupB = (p ++ mkTok("rr", 48)).mkString(" ")
+    // 8 words × 3 occurrences, every ordered bigram distinct (not
+    // repetitive), commas kill the punctuation term → q10k = 2553 < the
+    // 3000 floor, while the SHAPE rules all pass (24 tokens, avg word
+    // length 4, 6 stopword hits)
+    val lowQ = "wdc, wdf, wdd, wdb, and, wdd, the, and, wdc, wda, wdb, " +
+      "the, wde, wdb, wda, and, wdf, wdc, wde, wda, wdd, wde, the, wdf,"
     val docs = (Seq(
       (1L, "en", bench),                   // benchmark side (id < 25)
       (30L, "en", s"$bench $filler"),      // quotes the benchmark verbatim
       (40L, "en", s"twin text $filler"),   // exact-dup pair: 41 drops
       (41L, "en", s"twin text $filler"),
       (50L, "en", ("spam " * 20).trim),    // repetitive
-      (60L, "en", deBruijn),               // q10k = 1950 < floor
+      (60L, "en", deBruijn),               // 1-char words: rule-filtered
+      (65L, "en", lowQ),                   // shape-pass but low quality
       (70L, "en", good),
       (90L, "en", chunkDupA),              // canonical chunk owner: admits
       (91L, "en", chunkDupB)) ++ boilerDocs) // half its chunks are 90's
@@ -204,12 +211,14 @@ class CurationPackSpec extends SparkSpec {
     // 30 contaminated-but-not-dup; 91 chunk-dup (shares chunk 0 with 90
     // but is NOT a doc-level dup); 50 repetitive (ALSO low quality:
     // q10k = 2800 — stage 4 must win); 80-85 boilerplate ("common
-    // filler phrase" in 6 docs > bar 5); 60 low quality;
-    // admitted: 1 (bench doc), 40, 70, 90
+    // filler phrase" in 6 docs > bar 5); rule-filtered: 1 (6 words),
+    // 40 (no stopwords), 60 (avg word length < 3) — each would have
+    // been admitted/low-quality before the rule stage; 65 low quality
+    // (shape rules pass, q10k = 2553); admitted: 70, 90
     assert(got == Map(
       "1_dup_dropped" -> 1L, "2_contaminated" -> 1L, "3_chunk_dup" -> 1L,
-      "4_repetitive" -> 1L, "5_boilerplate" -> 6L, "6_low_quality" -> 1L,
-      "7_admitted" -> 4L),
+      "4_repetitive" -> 1L, "5_boilerplate" -> 6L, "6_rule_filtered" -> 3L,
+      "7_low_quality" -> 1L, "8_admitted" -> 2L),
       s"funnel stages: $got")
   }
 

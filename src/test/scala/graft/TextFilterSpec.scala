@@ -59,6 +59,25 @@ class TextFilterSpec extends SparkSpec {
     assert(got(2L).getAs[Long]("min_tok_ppm") == 200000L)
   }
 
+  test("gopherShapeFail: parity with the rule table's shape columns") {
+    // the funnel's one-expression flag and gopherRulesCore's per-flag
+    // columns must never drift: fail ⇔ NOT(word_count ∧ avg_len ∧ stop)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val flags = TextOps.gopherRulesCore(docs)
+      .withColumn("expect_fail",
+        !(org.apache.spark.sql.functions.col("word_count_ok")
+          && org.apache.spark.sql.functions.col("avg_len_ok")
+          && org.apache.spark.sql.functions.col("stop_ok")))
+      .select("doc_id", "expect_fail")
+    val direct = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+      TextOps.gopherShapeFail(org.apache.spark.sql.functions.col("text"))
+        .as("fail"))
+    val joined = flags.join(direct, "doc_id")
+    assert(joined.where("expect_fail <> fail").count() == 0L,
+      "funnel rule flag drifted from the rule table")
+    assert(joined.count() > 0L)
+  }
+
   test("shingle novelty: first-seen content owns its shingles") {
     val rows = TextOps.shingleNovelty(spark, sfDir).collect()
     assert(rows.nonEmpty)
