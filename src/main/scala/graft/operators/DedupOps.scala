@@ -737,8 +737,34 @@ object DedupOps {
       threshold: Double, cells: Int, trainIters: Int): DataFrame = {
     val all = quantizedAll(spark, embSrc)
     val (assigned, _) = VectorOps.kmeansCoreOf(spark, all, cells, trainIters)
-    val memb = assigned.select(col("vec_id"), col("cluster"), col("qe"))
-      .join(all.select(col("vec_id"), col("nrm")), Seq("vec_id"))
+    semDedupVerdicts(spark, assigned, all, threshold)
+  }
+
+  /** [[semDedup]] against a PERSISTED coarse quantizer — the
+    * build-once/search-many posture: the stored `assignments` relation
+    * of a [[VectorOps.writeAnnIndex]] directory replaces the in-plan
+    * Lloyd training, so a dedup run is just the within-cluster verify.
+    * On an index full-trained on the same corpus at the same
+    * (cells, iters) the stored assignment IS the relation
+    * [[VectorOps.kmeansCoreOf]] would produce, so the verdicts are
+    * bit-identical to [[semDedup]] (spec-pinned); a sampled-trained or
+    * appended-to index shifts cluster boundaries only — every drop
+    * still clears the exact cosine bar against its canonical. */
+  def semDedupFromIndex(spark: SparkSession, dir: String, indexDir: String,
+      threshold: Double = CosineDupThreshold): DataFrame = {
+    val (_, assignments, _, _) = VectorOps.loadAnnIndex(spark, indexDir)
+    semDedupVerdicts(spark, assignments,
+      quantizedAll(spark, Tables.embeddings(spark, dir)), threshold)
+  }
+
+  /** Shared verdict tail of the SemDeDup family: within-cluster pairs
+    * over the assigned membership, exact-cosine threshold, per-vector
+    * lowest-id canonical. `assigned` needs (vec_id, cluster); `all`
+    * supplies (vec_id, qe, nrm). */
+  private def semDedupVerdicts(spark: SparkSession, assigned: DataFrame,
+      all: DataFrame, threshold: Double): DataFrame = {
+    val memb = assigned.select(col("vec_id"), col("cluster"))
+      .join(all.select(col("vec_id"), col("qe"), col("nrm")), Seq("vec_id"))
       .where(col("nrm") > 0)
     val dot = graft.plans.DotProductLong.dotLong(spark) _
     val a = memb.select(col("cluster"), col("vec_id").as("id_a"),

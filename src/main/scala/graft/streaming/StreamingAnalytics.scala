@@ -382,6 +382,14 @@ object StreamingAnalytics {
     * repetitive (Gopher bars, [[graft.operators.TextOps.repetitiveFlag]])
     * → below the quality floor → admit.
     *
+    * Deliberately NOT here: the non-repetition Gopher shape rules
+    * ([[graft.operators.TextOps.gopherShapeFail]], the funnel's
+    * 6_rule_filtered stage). The gate is the lenient garbage SCREEN —
+    * admitted docs still pass through batch curation, where the rule
+    * stage (a mixture decision, revisable by re-running the funnel)
+    * applies; folding it into admission would make a tunable curation
+    * choice irreversible at ingest time.
+    *
     * Scale shape: quality and repetition are single per-row expressions
     * evaluated in ONE projection over the batch (no joins, no state);
     * only the dup verdict needs the gate's candidate join. Returns every
