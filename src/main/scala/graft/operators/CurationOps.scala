@@ -252,6 +252,37 @@ object CurationOps {
         expr("ratio_sum div n_tok").as("weight_ppm"))
   }
 
+  /** Corpus DATA CARD — the per-language summary a dataset release
+    * ships: document and estimated-token volume, exact-dup pressure
+    * (distinct content fingerprints), mean quality (exact integer
+    * 1e-4 units — sum div n, no float accumulation), and how much of
+    * the stratum clears the full Gopher rule set. Every column reuses
+    * the SHARED per-row expressions (tokEst, contentFp, quality10k,
+    * the rule flags), so the card can never disagree with the
+    * operators it summarizes.
+    *
+    * Scale shape: one projection + one hash aggregation; the only
+    * non-trivial aggregate is count(DISTINCT fp), which partial-
+    * aggregates per group (langs are few; at extreme skew swap in
+    * approx_count_distinct — the A11 trade documented there). */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val pass = !TextOps.gopherShapeFail(col("text")) &&
+      TextOps.topWord10k(col("text")) <= TextOps.TopWordBar10k &&
+      TextOps.dup2gram10k(col("text")) <= TextOps.Dup2gramBar10k
+    Tables.documents(spark, dir)
+      .select(col("lang"), TextOps.tokEst(col("text")).as("tok"),
+        TextOps.contentFp(col("text")).as("fp"),
+        TextOps.quality10k(col("text")).as("q10k"),
+        pass.as("rule_pass"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens_est"),
+        countDistinct(col("fp")).as("n_uniq_fp"),
+        sum(col("q10k")).as("q_sum"),
+        sum(when(col("rule_pass"), 1L).otherwise(0L)).as("n_rule_pass"))
+      .withColumn("avg_q10k", expr("q_sum div n_docs"))
+      .drop("q_sum")
+  }
+
   /** Fraction of the corpus (1e-4 units) the budget-driven quality
     * floor keeps — "top 30% by quality", the budget-first way real
     * pipelines pick a threshold (contrast [[TextOps.QualityFloor10k]]:
@@ -527,6 +558,17 @@ object CurationOps {
     * per-row and other corpus-level signals are computed here either
     * way (they are not the expensive pass). */
   def curationFunnelFrom(spark: SparkSession, dir: String,
+      dropped: DataFrame, chunksOpt: Option[DataFrame] = None): DataFrame =
+    curationStagesFrom(spark, dir, dropped, chunksOpt)
+      .groupBy(col("lang"), col("stage"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Per-DOCUMENT funnel verdict (doc_id, lang, stage) — the relation
+    * the aggregate funnel summarizes, split out so [[curationRun]] can
+    * materialize the ADMITTED corpus (the actionable artifact: the
+    * doc_id set a training run actually reads) from the same pass that
+    * produces the report. */
+  def curationStagesFrom(spark: SparkSession, dir: String,
       dropped: DataFrame, chunksOpt: Option[DataFrame] = None): DataFrame = {
     val dupDropped = dropped.select(col("doc_id"))
       .withColumn("dup_dropped", lit(true))
@@ -569,8 +611,7 @@ object CurationOps {
           .when(col("rule_fail"), "6_rule_filtered")
           .when(col("q10k") < FunnelMinQuality10k, "7_low_quality")
           .otherwise("8_admitted"))
-      .groupBy(col("lang"), col("stage"))
-      .agg(count(lit(1)).as("n_docs"))
+      .select(col("doc_id"), col("lang"), col("stage"))
   }
 
   /** Composed curation RUN — the shape a real pipeline executes
@@ -606,13 +647,27 @@ object CurationOps {
     // it once and feed the funnel's two chunk signals from the table
     chunkDocs(spark, dir).write.mode("overwrite").parquet(s"$outDir/chunks")
     val chunks = spark.read.parquet(s"$outDir/chunks")
-    curationFunnelFrom(spark, dir, DedupOps.dropList(groups, keep),
+    // ONE staged pass feeds both artifacts: the per-doc verdicts land as
+    // a table, the funnel report is its aggregation, and the ADMITTED
+    // corpus — the doc set a training run actually reads — is the
+    // stage-8 slice of the same materialized relation (no second
+    // evaluation that could classify a doc differently)
+    curationStagesFrom(spark, dir, DedupOps.dropList(groups, keep),
         Some(chunks))
+      .write.mode("overwrite").parquet(s"$outDir/stages")
+    val stages = spark.read.parquet(s"$outDir/stages")
+    stages.groupBy(col("lang"), col("stage"))
+      .agg(count(lit(1)).as("n_docs"))
       .write.mode("overwrite").parquet(s"$outDir/funnel")
+    stages.where(col("stage") === "8_admitted")
+      .select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$outDir/admitted")
     Map(
       "groups"    -> groups,
       "canonical" -> keep,
       "chunks"    -> chunks,
+      "stages"    -> stages,
+      "admitted"  -> spark.read.parquet(s"$outDir/admitted"),
       "dup_rates" -> spark.read.parquet(s"$outDir/dup_rates"),
       "funnel"    -> spark.read.parquet(s"$outDir/funnel"))
   }
@@ -625,6 +680,7 @@ object CurationOps {
     "q_source_cap" -> sourceCapped _,
     "q_dsir_weights" -> dsirWeights _,
     "q_quality_floor" -> qualityBudgetFloor _,
+    "q_corpus_report" -> corpusReport _,
     "q_chunks" -> chunkDocs _,
     "q_chunk_dedup" -> chunkDedup _,
     "q_seq_pack" -> packSummary _,
@@ -921,6 +977,21 @@ object CurationOps {
          |  CAST(sum(ratio_ppm) AS BIGINT) // count(*) AS weight_ppm
          |FROM b JOIN ratio USING (bucket)
          |GROUP BY doc_id, lang""".stripMargin,
+    // assembled from the SHARED snippets (rule table, quality, token
+    // estimate, content fp) so the card equals its source operators
+    "q_corpus_report" ->
+      s"""WITH g AS (${TextOps.gopherRulesSql}),
+         |q AS (${TextOps.quality10kSql}),
+         |d AS (SELECT doc_id, lang, ${TextOps.tokEstSql} AS tok,
+         |    ${TextOps.contentFpSql} AS fp FROM documents)
+         |SELECT d.lang, count(*) AS n_docs,
+         |  CAST(sum(d.tok) AS BIGINT) AS n_tokens_est,
+         |  count(DISTINCT d.fp) AS n_uniq_fp,
+         |  CAST(sum(CASE WHEN g.pass THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_rule_pass,
+         |  CAST(sum(q.q10k) AS BIGINT) // count(*) AS avg_q10k
+         |FROM d JOIN q ON q.doc_id = d.doc_id JOIN g ON g.doc_id = d.doc_id
+         |GROUP BY d.lang""".stripMargin,
     // same histogram-walk as q_length_quantiles: windows run over the
     // (q10k, n) histogram, never the corpus; counts cast before //
     "q_quality_floor" ->

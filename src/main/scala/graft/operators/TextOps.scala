@@ -844,6 +844,51 @@ object TextOps {
        |ORDER BY n_occ DESC, symbol
        |LIMIT $BpeSymbolTopK""".stripMargin
 
+  /** DuckDB rendering of [[gopherRulesCore]] (doc_id, lang, n_tok,
+    * per-rule booleans, pass) — shared by the q_gopher_rules oracle
+    * and CurationOps's corpus report, so the rule table can never
+    * drift between them. */
+  private[operators] lazy val gopherRulesSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
+         |    CAST(length(regexp_extract_all(text,
+         |      '\\b(the|a|of|and|in|to)\\b')) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |f AS (SELECT doc_id, tok, count(*) AS c
+         |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |      GROUP BY 1, 2),
+         |top AS (SELECT doc_id, max(c) AS top_cnt FROM f GROUP BY 1),
+         |g AS (SELECT doc_id, len(toks) AS n_tok,
+         |    CASE WHEN len(toks) >= 2
+         |      THEN list_transform(range(1, len(toks)),
+         |             i -> toks[i] || ' ' || toks[i+1])
+         |      ELSE CAST([] AS VARCHAR[]) END AS g2
+         |  FROM t),
+         |m AS (SELECT t.doc_id, t.lang, CAST(g.n_tok AS BIGINT) AS n_tok,
+         |    t.chars, t.n_stop,
+         |    coalesce(top.top_cnt, 0) * 10000
+         |      // greatest(g.n_tok, 1) AS top10k,
+         |    (len(g2) - len(list_distinct(g2))) * 10000
+         |      // greatest(len(g2), 1) AS dup10k
+         |  FROM t JOIN g ON g.doc_id = t.doc_id
+         |  LEFT JOIN top ON t.doc_id = top.doc_id)
+         |SELECT doc_id, lang, n_tok,
+         |  (n_tok >= $GopherMinTok AND n_tok <= $GopherMaxTok)
+         |    AS word_count_ok,
+         |  (chars >= $GopherMinAvgLen * n_tok
+         |   AND chars <= $GopherMaxAvgLen * n_tok AND n_tok > 0)
+         |    AS avg_len_ok,
+         |  n_stop >= $GopherMinStop AS stop_ok,
+         |  top10k <= $TopWordBar10k AS top_ok,
+         |  dup10k <= $Dup2gramBar10k AS dup_ok,
+         |  ((n_tok >= $GopherMinTok AND n_tok <= $GopherMaxTok)
+         |   AND (chars >= $GopherMinAvgLen * n_tok
+         |        AND chars <= $GopherMaxAvgLen * n_tok AND n_tok > 0)
+         |   AND n_stop >= $GopherMinStop
+         |   AND top10k <= $TopWordBar10k
+         |   AND dup10k <= $Dup2gramBar10k) AS pass
+         |FROM m""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_text_stats" ->
       s"""SELECT doc_id, lang,
@@ -941,46 +986,7 @@ object TextOps {
     // top-token count computed relationally (unnest -> counts -> max),
     // same as the q_repetition oracle; the rule compares are the exact
     // integer forms of the Spark flags
-    "q_gopher_rules" ->
-      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks,
-         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
-         |    CAST(length(regexp_extract_all(text,
-         |      '\\b(the|a|of|and|in|to)\\b')) AS BIGINT) AS n_stop
-         |  FROM documents),
-         |f AS (SELECT doc_id, tok, count(*) AS c
-         |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
-         |      GROUP BY 1, 2),
-         |top AS (SELECT doc_id, max(c) AS top_cnt FROM f GROUP BY 1),
-         |g AS (SELECT doc_id, len(toks) AS n_tok,
-         |    CASE WHEN len(toks) >= 2
-         |      THEN list_transform(range(1, len(toks)),
-         |             i -> toks[i] || ' ' || toks[i+1])
-         |      ELSE CAST([] AS VARCHAR[]) END AS g2
-         |  FROM t),
-         |m AS (SELECT t.doc_id, t.lang, CAST(g.n_tok AS BIGINT) AS n_tok,
-         |    t.chars, t.n_stop,
-         |    coalesce(top.top_cnt, 0) * 10000
-         |      // greatest(g.n_tok, 1) AS top10k,
-         |    (len(g2) - len(list_distinct(g2))) * 10000
-         |      // greatest(len(g2), 1) AS dup10k
-         |  FROM t JOIN g ON g.doc_id = t.doc_id
-         |  LEFT JOIN top ON t.doc_id = top.doc_id)
-         |SELECT doc_id, lang, n_tok,
-         |  (n_tok >= $GopherMinTok AND n_tok <= $GopherMaxTok)
-         |    AS word_count_ok,
-         |  (chars >= $GopherMinAvgLen * n_tok
-         |   AND chars <= $GopherMaxAvgLen * n_tok AND n_tok > 0)
-         |    AS avg_len_ok,
-         |  n_stop >= $GopherMinStop AS stop_ok,
-         |  top10k <= $TopWordBar10k AS top_ok,
-         |  dup10k <= $Dup2gramBar10k AS dup_ok,
-         |  ((n_tok >= $GopherMinTok AND n_tok <= $GopherMaxTok)
-         |   AND (chars >= $GopherMinAvgLen * n_tok
-         |        AND chars <= $GopherMaxAvgLen * n_tok AND n_tok > 0)
-         |   AND n_stop >= $GopherMinStop
-         |   AND top10k <= $TopWordBar10k
-         |   AND dup10k <= $Dup2gramBar10k) AS pass
-         |FROM m""".stripMargin,
+    "q_gopher_rules" -> gopherRulesSql,
     "q_boilerplate" ->
       s"""WITH ex AS (
          |  SELECT doc_id, lang, unnest(tset) AS sh

@@ -585,6 +585,20 @@ class CurationPackSpec extends SparkSpec {
       == rows(CurationOps.curationFunnel(spark, sfDir)))
     assert(rows(run("chunks"))
       == rows(CurationOps.chunkDocs(spark, sfDir)))
+    // the admitted corpus is the stage-8 slice of the same staged pass,
+    // and reconciles exactly with the funnel's admitted counts
+    val stageRows = run("stages").collect()
+    assert(stageRows.map(_.getAs[Long]("doc_id")).toSet.size == stageRows.length)
+    val admitted = run("admitted").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(admitted == stageRows
+      .filter(_.getAs[String]("stage") == "8_admitted")
+      .map(_.getAs[Long]("doc_id")).toSet)
+    val funnelAdmitted = run("funnel").collect()
+      .filter(_.getAs[String]("stage") == "8_admitted")
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(admitted.size.toLong == funnelAdmitted,
+      "admitted table must reconcile with the funnel report")
     // and the returned frames scan the MATERIALIZED tables (leaf scan
     // paths under outDir) — a chain recompute would also end in parquet
     // Relations, but of the SOURCE corpus, so pin the actual file paths
