@@ -740,6 +740,24 @@ object DedupOps {
     semDedupVerdicts(spark, assigned, all, threshold)
   }
 
+  /** Product entry point for SemDeDup with CORPUS-SIZED cells — the
+    * same footer-driven sizing policy as [[cosineNearDupAuto]]'s IVF
+    * branch: cells = [[ivfCells]](n) ≈ √n (floor 8 = the declared
+    * query's oracle shape, so below ~64 vectors the two entry points
+    * coincide), keeping expected per-cluster occupancy ≈ √n and total
+    * pair work ~n^1.5 instead of n²/8 at a fixed cell count. Cluster
+    * boundaries move with the cell count — the standard SemDeDup
+    * trade: every DROP still clears the exact cosine bar against its
+    * canonical (the invariant a spec pins); only which near-pairs
+    * co-cluster changes. */
+  def semDedupAuto(spark: SparkSession, dir: String,
+      threshold: Double = CosineDupThreshold): DataFrame = {
+    val n = graft.functions.ScaleUtils.footerRowCount(
+      spark, s"$dir/embeddings.parquet")
+    semDedupCore(spark, Tables.embeddings(spark, dir), threshold,
+      ivfCells(n), trainIters = 2)
+  }
+
   /** [[semDedup]] against a PERSISTED coarse quantizer — the
     * build-once/search-many posture: the stored `assignments` relation
     * of a [[VectorOps.writeAnnIndex]] directory replaces the in-plan

@@ -698,6 +698,60 @@ object TextOps {
       .agg(max(col("total")).as("n_docs"), pick(50), pick(90), pick(99))
   }
 
+  /** Winnowing window: each fingerprint is the min gram hash over
+    * [[WinnowWindow]] consecutive positions, guaranteeing any match of
+    * ≥ window+gram−1 tokens shares a fingerprint (the MOSS guarantee). */
+  val WinnowWindow = 4
+
+  /** WINNOWED robust fingerprints — the MOSS/winnowing document
+    * signature: hash every POSITIONAL 3-gram (duplicates and order
+    * kept, unlike [[shingles3]]), then keep the minimum hash of each
+    * [[WinnowWindow]]-position window. The selected set is position-
+    * robust — any sufficiently long shared run between two documents
+    * selects at least one common fingerprint regardless of where it
+    * sits — which is the guarantee bag-of-shingles sampling lacks.
+    * Emits per doc: gram/fingerprint counts, the winnowed density, and
+    * `robust_fp` (md5 of the sorted fingerprint set) — equal robust_fp
+    * ⇒ near-identical content; the exploded fingerprint relation is the
+    * overlap-join key for a plagiarism-style pass.
+    *
+    * Scale shape: entirely per-row array expressions (no shuffle): the
+    * gram hashes materialize ONCE as a named array column — Catalyst
+    * does not CSE into lambda bodies, so the window-min transform
+    * slices that column, costing O(len·window) per row. Docs shorter
+    * than window+2 tokens collapse to one whole-window fingerprint
+    * (mirrored in the oracle). */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprintCore(Tables.documents(spark, dir)).drop("fps")
+
+  /** [[winnowFingerprint]] over any (doc_id, lang, text) relation,
+    * KEEPING the exploded-ready `fps` array column — specs assert the
+    * shared-run guarantee on it, and an overlap join explodes it. */
+  private[graft] def winnowFingerprintCore(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val s1 = slice(t, 2, Int.MaxValue - 8)
+    val s2 = slice(t, 3, Int.MaxValue - 8)
+    val grams = filter(
+      zip_with(zip_with(t, s1, (x, y) => concat(x, lit(" "), y)),
+        s2, (xy, z) => concat(xy, lit(" "), z)),
+      g => g.isNotNull)
+    val posGrams = when(size(t) >= 3, grams)
+      .otherwise(array(array_join(t, " ")))
+    docs
+      .select(col("doc_id"), col("lang"), posGrams.as("grams"))
+      .withColumn("h", transform(col("grams"), g => md5(g.cast("binary"))))
+      .withColumn("fps", expr(
+        s"array_distinct(transform(" +
+          s"sequence(1, greatest(size(h) - ${WinnowWindow - 1}, 1)), " +
+          s"i -> array_min(slice(h, i, $WinnowWindow))))"))
+      .select(col("doc_id"), col("lang"),
+        size(col("h")).cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fps"),
+        md5(array_join(array_sort(col("fps")), " ").cast("binary"))
+          .as("robust_fp"),
+        col("fps"))
+  }
+
   /** Document fingerprinting: content hash of the normalized text plus a
     * bag-of-words canonical hash (order-insensitive). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -771,6 +825,7 @@ object TextOps {
     "q_gopher_rules"   -> gopherRules _,
     "q_boilerplate"    -> boilerplate _,
     "q_shingle_novelty" -> shingleNovelty _,
+    "q_winnow_fp"      -> winnowFingerprint _,
     "q_length_quantiles" -> lengthQuantiles _,
     "q_fingerprint"    -> fingerprint _,
     "q_dedup_exact"    -> dedupExact _,
@@ -1010,6 +1065,29 @@ object TextOps {
          |  CAST(b10k AS DOUBLE) / 10000.0 AS boiler_frac,
          |  b10k > $BoilerplateHeavyBar10k AS boiler_heavy
          |FROM m""".stripMargin,
+    // positional 3-grams (duplicates kept), per-window list_min over the
+    // materialized hash list; DuckDB's inclusive slice h[i:i+w-1] is
+    // Spark's slice(h, i, w); both clamp at the tail
+    "q_winnow_fp" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+         |g AS (SELECT doc_id, lang,
+         |    CASE WHEN len(tk) >= 3
+         |      THEN list_transform(range(1, len(tk) - 1),
+         |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         |      ELSE [array_to_string(tk, ' ')] END AS grams
+         |  FROM t),
+         |h AS (SELECT doc_id, lang,
+         |    list_transform(grams, x -> md5(x)) AS h FROM g),
+         |w AS (SELECT doc_id, lang, h,
+         |    list_distinct(list_transform(
+         |      range(1, greatest(len(h) - ${WinnowWindow - 2}, 2)),
+         |      i -> list_min(h[i:i + ${WinnowWindow - 1}]))) AS fps
+         |  FROM h)
+         |SELECT doc_id, lang,
+         |  CAST(len(h) AS BIGINT) AS n_grams,
+         |  CAST(len(fps) AS BIGINT) AS n_fps,
+         |  md5(array_to_string(list_sort(fps), ' ')) AS robust_fp
+         |FROM w""".stripMargin,
     // owner = min doc_id per shingle (hash agg), joined back — the
     // same skeleton as the q_chunk_dedup oracle at shingle granularity
     "q_shingle_novelty" ->

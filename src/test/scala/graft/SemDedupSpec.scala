@@ -50,6 +50,31 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
+  test("auto entry: corpus-sized cells, every drop clears the exact bar") {
+    import org.apache.spark.sql.functions.{col, transform => atransform}
+    val rows = DedupOps.semDedupAuto(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val dropped = rows.filter(r => !r.getAs[Boolean]("kept"))
+      .map(r => (r.getLong(0), r.getAs[Long]("sem_dup_of")))
+    // recompute each dropped pair's cosine from the raw embeddings —
+    // the auto entry may block differently than the 8-cell oracle, but
+    // a drop is only ever legitimate at sim >= threshold
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), atransform(col("embedding"),
+        x => org.apache.spark.sql.functions.round(x.cast("double") * 1000))
+        .as("q"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    dropped.foreach { case (id, of) =>
+      val (a, b) = (emb(id), emb(of))
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val sim = dot / (math.sqrt(a.map(x => x * x).sum)
+        * math.sqrt(b.map(x => x * x).sum))
+      assert(sim >= DedupOps.CosineDupThreshold,
+        s"auto drop ($id <- $of) below the bar: $sim")
+    }
+  }
+
   test("from-index verdicts are bit-identical on a full-trained index") {
     // writeAnnIndex's defaults (cells=8, iters=PqTrainIters=2) match
     // semDedup's declared parameters, so the stored assignment is the

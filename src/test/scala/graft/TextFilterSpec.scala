@@ -46,6 +46,32 @@ class TextFilterSpec extends SparkSpec {
       && !got(1L).getAs[Boolean]("avg_len_ok"))
   }
 
+  test("winnowing: a shared 6-token run guarantees a shared fingerprint") {
+    // MOSS guarantee: window(4) + gram(3) - 1 = 6 consecutive shared
+    // tokens force at least one common window-min; disjoint contexts
+    // around the run must not matter
+    val run = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, "en", s"one two three $run four five six"),
+      (2L, "en", s"seven eight nine ten $run eleven"),
+      (3L, "en", "totally different content with no overlap at all"),
+      (4L, "en", "so"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.winnowFingerprintCore(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def fps(id: Long) = got(id).getSeq[String](got(id).fieldIndex("fps")).toSet
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "docs sharing a 6-token run must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty, "disjoint docs must not collide")
+    // short doc: one whole-text gram, one fingerprint
+    assert(got(4L).getAs[Long]("n_grams") == 1L
+      && got(4L).getAs[Long]("n_fps") == 1L)
+    // density: winnowing keeps ~2/(window+1) of positions; never more
+    // fingerprints than grams
+    got.values.foreach(r =>
+      assert(r.getAs[Long]("n_fps") <= r.getAs[Long]("n_grams")))
+  }
+
   test("lm score: hand-computed ppm on a planted corpus") {
     // counts: a=2 b=2 c=1, total 5 → ppm a,b=400000 c=200000
     val docs = Seq((1L, "en", "a a b"), (2L, "en", "b c"))
