@@ -752,6 +752,42 @@ object TextOps {
         col("fps"))
   }
 
+  /** Best OVERLAP match per document over the winnowed fingerprints —
+    * the plagiarism-detector pass [[winnowFingerprint]] feeds: join on
+    * shared fingerprints, score each pair by CONTAINMENT
+    * (shared / min(|fps_a|, |fps_b|) — a short doc fully quoted inside
+    * a long one scores 1.0, where Jaccard dilutes), arg-max per doc.
+    * Position-robust: the MOSS guarantee means any ≥ 6-token shared run
+    * contributes at least one joined row, wherever it sits in either
+    * document.
+    *
+    * Scale shape: the fingerprint relation is ~2/(window+1) the size of
+    * the gram relation, and the equi-join on the 32-char fp is the
+    * blocked/sub-quadratic formulation (same skeleton as
+    * [[jaccardBestMatch]]'s shingle join, on a 2.5× thinner relation);
+    * ties break on the full total order (overlap desc, id asc). Docs
+    * sharing no fingerprint with anyone emit no row — identical in the
+    * oracle. */
+  def winnowOverlapBest(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnowFingerprintCore(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_fps"), explode(col("fps")).as("fp"))
+    val a = fps.select(col("doc_id").as("id_a"), col("n_fps").as("n_a"),
+      col("fp"))
+    val b = fps.select(col("doc_id").as("id_b"), col("n_fps").as("n_b"),
+      col("fp"))
+    a.join(b, Seq("fp"))
+      .where(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"), first(col("n_a")).as("n_a"),
+        first(col("n_b")).as("n_b"))
+      .withColumn("ov", col("shared").cast("double")
+        / least(col("n_a"), col("n_b")))
+      .groupBy(col("id_a").as("doc_id"))
+      .agg(max_by(col("id_b"), struct(col("ov"), -col("id_b")))
+          .as("best_match"),
+        round(max(col("ov")), 4).as("best_overlap"))
+  }
+
   /** Document fingerprinting: content hash of the normalized text plus a
     * bag-of-words canonical hash (order-insensitive). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -826,6 +862,7 @@ object TextOps {
     "q_boilerplate"    -> boilerplate _,
     "q_shingle_novelty" -> shingleNovelty _,
     "q_winnow_fp"      -> winnowFingerprint _,
+    "q_winnow_overlap" -> winnowOverlapBest _,
     "q_length_quantiles" -> lengthQuantiles _,
     "q_fingerprint"    -> fingerprint _,
     "q_dedup_exact"    -> dedupExact _,
@@ -1088,6 +1125,43 @@ object TextOps {
          |  CAST(len(fps) AS BIGINT) AS n_fps,
          |  md5(array_to_string(list_sort(fps), ' ')) AS robust_fp
          |FROM w""".stripMargin,
+    // same unordered-pair + symmetric-argmax shape as the jaccard
+    // oracle, over the winnowed fingerprint relation; containment
+    // scoring (shared / min) — ties break (overlap desc, id asc)
+    "q_winnow_overlap" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+         |g AS (SELECT doc_id,
+         |    CASE WHEN len(tk) >= 3
+         |      THEN list_transform(range(1, len(tk) - 1),
+         |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         |      ELSE [array_to_string(tk, ' ')] END AS grams
+         |  FROM t),
+         |h AS (SELECT doc_id, list_transform(grams, x -> md5(x)) AS h
+         |      FROM g),
+         |w AS (SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      range(1, greatest(len(h) - ${WinnowWindow - 2}, 2)),
+         |      i -> list_min(h[i:i + ${WinnowWindow - 1}]))) AS fps
+         |  FROM h),
+         |e AS (SELECT doc_id, len(fps) AS n, unnest(fps) AS fp FROM w),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+         |    any_value(a.n) AS n_a, any_value(b.n) AS n_b
+         |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sym AS (
+         |  SELECT id_a AS doc_id, id_b AS cand,
+         |    CAST(shared AS DOUBLE) / least(n_a, n_b) AS ov FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS doc_id, id_a AS cand,
+         |    CAST(shared AS DOUBLE) / least(n_a, n_b) AS ov FROM pairs)
+         |SELECT doc_id, cand AS best_match, round(max_ov, 4) AS best_overlap
+         |FROM (SELECT doc_id, cand, ov,
+         |        max(ov) OVER (PARTITION BY doc_id) AS max_ov,
+         |        row_number() OVER (PARTITION BY doc_id
+         |                           ORDER BY ov DESC, cand ASC) AS rn
+         |      FROM sym)
+         |WHERE rn = 1""".stripMargin,
     // owner = min doc_id per shingle (hash agg), joined back — the
     // same skeleton as the q_chunk_dedup oracle at shingle granularity
     "q_shingle_novelty" ->

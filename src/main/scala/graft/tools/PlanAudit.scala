@@ -47,6 +47,11 @@ object PlanAudit {
     "q_dsir_weights" -> "hashed-ngram importance: 256-bucket ratio table broadcast; explode-join + per-doc mean, all-ppm integer arithmetic",
     "q_semdedup" -> "cluster-blocked semantic dedup: shared Lloyd training, within-cluster pair join + exact cosine verify, per-vector argmin hash agg",
     "q_mixture_temp" -> "sqrt-temperature mixture: one corpus hash-agg, then integer arithmetic + whole-relation window on a langs-sized relation",
+    "q_quality_floor" -> "budget-driven floor via the histogram trick: corpus -> (q10k, n) counts in one hash agg; the top-down walk windows over the tiny histogram",
+    "q_shingle_novelty" -> "shingle owner = min doc_id hash agg + equi-join back + per-doc re-aggregation (the chunk-dedup skeleton at shingle granularity)",
+    "q_corpus_report" -> "data card: shared per-row expressions in one projection + one hash agg per language (count-distinct fp partial-aggregates)",
+    "q_winnow_fp" -> "winnowed fingerprints: per-row positional gram hashes materialized once, window-min transform slices the named column — zero exchanges",
+    "q_winnow_overlap" -> "overlap best-match: fp equi-join over the winnowed (2.5x thinner) relation -> pair agg -> per-doc argmax; same blocked skeleton as jaccard",
   )
 
   def main(args: Array[String]): Unit = {
