@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{CurationOps, DedupOps, TextOps, VectorOps}
+
+/** Usage example / smoke driver for the CURATION surface end to end —
+  * the north-star path a training-data team runs: materialized
+  * curation run (groups → canonical → stages → admitted corpus),
+  * the data card, the two mixture planners feeding deterministic
+  * sampling, sequence packing over the admitted set, and the
+  * embedding-side SemDeDup served from a persisted ANN index.
+  * Run: sbt "runMain graft.tools.CurationDemo [sfDir]" */
+object CurationDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // 1. the composed run: dup groups materialized once, everything
+    //    downstream derives from the tables
+    val outDir = java.nio.file.Files.createTempDirectory("cdemo").toString
+    val run = CurationOps.curationRun(spark, sfDir, outDir)
+    println(s"[demo] curation run artifacts under $outDir:")
+    run.toSeq.sortBy(_._1).foreach { case (name, df) =>
+      println(f"[demo]   $name%-10s ${df.count()}%6d rows")
+    }
+    println("[demo] funnel:")
+    run("funnel").orderBy(col("stage"), col("lang")).show(30, false)
+
+    // 2. the data card a release ships
+    println("[demo] corpus data card:")
+    CurationOps.corpusReport(spark, sfDir).orderBy(col("lang")).show(false)
+
+    // 3. mixture planning: fixed-share vs temperature, then the
+    //    deterministic sample the rates feed
+    println("[demo] fixed-share mixture plan:")
+    CurationOps.mixturePlan(spark, sfDir).orderBy(col("lang")).show(false)
+    println("[demo] sqrt-temperature mixture plan:")
+    CurationOps.mixturePlanTemp(spark, sfDir).orderBy(col("lang")).show(false)
+    println("[demo] stratified sample summary (md5-deterministic):")
+    CurationOps.stratifiedSampleSummary(spark, sfDir)
+      .orderBy(col("lang")).show(false)
+
+    // 4. budget-driven quality floor + the admitted corpus feeding
+    //    sequence packing
+    println("[demo] budget-driven quality floor:")
+    CurationOps.qualityBudgetFloor(spark, sfDir).show(false)
+    val admitted = run("admitted")
+    val admittedDocs = graft.sources.Tables.documents(spark, sfDir)
+      .join(admitted.select("doc_id"), "doc_id")
+    val tok = size(filter(split(col("text"), " "), t => t =!= "")).cast("long")
+    val packed = CurationOps.packSequences(admittedDocs, "doc_id", "lang",
+      tok, budget = CurationOps.PackBudget, shards = 4)
+    println(s"[demo] packed ${packed.count()} admitted docs into " +
+      s"${packed.select("lang", "shard", "seq_id").distinct().count()} sequences")
+
+    // 5. embedding-side SemDeDup served from the persisted ANN index
+    val idxDir = java.nio.file.Files.createTempDirectory("cdemo_idx").toString
+    VectorOps.writeAnnIndex(spark, sfDir, idxDir)
+    val sem = DedupOps.semDedupFromIndex(spark, sfDir, idxDir)
+    println(s"[demo] SemDeDup from index: " +
+      s"${sem.where(!col("kept")).count()} of ${sem.count()} vectors dropped")
+
+    // 6. the text-side robust-fingerprint pass
+    val ov = TextOps.winnowOverlapBest(spark, sfDir)
+    println("[demo] top winnow-overlap matches:")
+    ov.orderBy(col("best_overlap").desc, col("doc_id")).show(5, false)
+
+    spark.stop()
+  }
+}

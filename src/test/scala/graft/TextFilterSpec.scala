@@ -39,6 +39,26 @@ class TextFilterSpec extends SparkSpec {
     assert(Seq(2L, 3L, 4L, 5L).forall(i => !got(i).getAs[Boolean]("pass")))
   }
 
+  test("empty corpus: every round-9 operator returns empty, never throws") {
+    import org.apache.spark.sql.functions.lit
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "lang", "text")
+    assert(TextOps.lmScoreCore(empty).count() == 0L)
+    assert(TextOps.gopherRulesCore(empty).count() == 0L)
+    assert(TextOps.winnowFingerprintCore(empty).count() == 0L)
+    assert(graft.operators.CurationOps.dsirWeightsCore(empty).count() == 0L)
+    // the dir-based histogram walkers on a zero-row documents table
+    val dir = java.nio.file.Files.createTempDirectory("emptycorp").toString
+    empty.withColumn("source", lit("s"))
+      .withColumn("n_chars", lit(0L))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(graft.operators.CurationOps.qualityBudgetFloor(spark, dir)
+      .count() == 0L)
+    assert(graft.operators.CurationOps.corpusReport(spark, dir).count() == 0L)
+    assert(TextOps.shingleNovelty(spark, dir).count() == 0L)
+    assert(TextOps.winnowOverlapBest(spark, dir).count() == 0L)
+  }
+
   test("gopher rules: empty doc fails closed, no div-by-zero") {
     val got = rules(Seq((1L, "en", "")))
     assert(!got(1L).getAs[Boolean]("pass")
