@@ -987,6 +987,22 @@ object DedupOps {
     connectedComponents(textDupPairs(spark, dir))
       .select(col("id").as("doc_id"), col("comp").as("rep_id"))
 
+  /** Dup-group SIZE HISTOGRAM — the observability statistic a dedup
+    * team reads before acting: how many duplicate clusters exist at
+    * each size (pairs, triples, mega-clusters). A fat tail of large
+    * groups means template/boilerplate content the near-dup bar is
+    * treating as one family; the histogram is what calibrates the bar
+    * and predicts the drop count (Σ (size−1)·n_groups) before a
+    * destructive dedup pass runs.
+    *
+    * Scale shape: two hash aggregations over the (already sub-linear)
+    * group table — group sizes by rep_id, then counts by size; the
+    * histogram is at most as large as the biggest group. */
+  def dupGroupSizes(spark: SparkSession, dir: String): DataFrame =
+    textDedupGroups(spark, dir)
+      .groupBy(col("rep_id")).agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size")).agg(count(lit(1)).as("n_groups"))
+
   /** Canonical-document selection — the dedup ACTION the group table
     * exists for: per duplicate group, keep the highest-quality member
     * ([[TextOps.qualityScore]]; ties broken by smallest doc_id, so the
@@ -1193,6 +1209,7 @@ object DedupOps {
     "q_semdedup" -> ((s: SparkSession, d: String) => semDedup(s, d)),
     "q_dedup_groups" -> ((s: SparkSession, d: String) => dedupGroups(s, d)),
     "q_text_dedup_groups" -> textDedupGroups _,
+    "q_group_sizes" -> dupGroupSizes _,
     "q_canonical_docs" -> canonicalDocs _,
     "q_dup_rate_by_source" -> dupRateBySource _,
     "q_contamination" -> contamination _,
@@ -1370,6 +1387,14 @@ object DedupOps {
     "q_text_dedup_groups" ->
       s"""WITH RECURSIVE $textGroupsCtes
          |SELECT id AS doc_id, min(comp) AS rep_id FROM walk GROUP BY id""".stripMargin,
+    "q_group_sizes" ->
+      s"""WITH RECURSIVE $textGroupsCtes,
+         |groups AS (
+         |  SELECT id AS doc_id, min(comp) AS rep_id FROM walk GROUP BY id),
+         |s AS (SELECT rep_id, count(*) AS group_size
+         |      FROM groups GROUP BY rep_id)
+         |SELECT group_size, count(*) AS n_groups FROM s
+         |GROUP BY group_size""".stripMargin,
     // dup groups → per-source drop counts under the SAME best-quality
     // keep rule as q_canonical_docs (rn = 1 survives, the rest drop)
     "q_dup_rate_by_source" ->

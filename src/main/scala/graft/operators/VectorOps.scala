@@ -746,6 +746,21 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"), col("sim")), k)
   }
 
+  /** Embeddings HEALTH CARD — the per-label sanity report a vector
+    * pipeline checks before indexing: counts, exact integer norm
+    * statistics (milli² units — sum, truncated mean, min/max) and the
+    * zero-norm count (vectors cosine can never score; every search
+    * path guards them, this is where the guard's reach is visible).
+    * One projection + one hash aggregation; linear at any scale. */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("nrm")).as("sum_nrm_milli2"),
+        sum(when(col("nrm") === 0, 1L).otherwise(0L)).as("n_zero_norm"),
+        min(col("nrm")).as("min_nrm"), max(col("nrm")).as("max_nrm"))
+      .withColumn("avg_nrm", expr("sum_nrm_milli2 div n_vectors"))
+
   /** Training summary per cluster: size + inertia (sum of L2² in exact
     * milli² units) — the numbers a quantizer-quality report shows. */
   def kmeansSummary(spark: SparkSession, dir: String): DataFrame =
@@ -861,6 +876,7 @@ object VectorOps {
     "q_nn_per_label" -> nnWithinLabel _,
     "q_nn_label_ann" -> nnLabelBucketed _,
     "q_centroids"    -> centroids _,
+    "q_embedding_stats" -> embeddingStats _,
     "q_ann_ivf"      -> ((s: SparkSession, d: String) => annIvf(s, d)),
     "q_ann_sq8"      -> ((s: SparkSession, d: String) => annSq8(s, d)),
     "q_ann_pq"       -> ((s: SparkSession, d: String) => annPq(s, d)),
@@ -1095,6 +1111,18 @@ object VectorOps {
          |                       ORDER BY sim DESC, id_b ASC) AS rn
          |  FROM scored)
          |WHERE rn = 1""".stripMargin,
+    // integer norm stats; sums widen to HUGEINT — cast before the //
+    "q_embedding_stats" ->
+      s"""WITH n AS (
+         |  SELECT label, CAST(list_dot_product(q, q) AS BIGINT) AS nrm
+         |  FROM (SELECT label, $qSql AS q FROM embeddings))
+         |SELECT label, count(*) AS n_vectors,
+         |  CAST(sum(nrm) AS BIGINT) AS sum_nrm_milli2,
+         |  CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_zero_norm,
+         |  min(nrm) AS min_nrm, max(nrm) AS max_nrm,
+         |  CAST(sum(nrm) AS BIGINT) // count(*) AS avg_nrm
+         |FROM n GROUP BY label""".stripMargin,
     "q_centroids" ->
       s"""SELECT label, CAST(i AS INT) AS dim,
          |  CAST(sum(qe[CAST(i + 1 AS INT)]) AS BIGINT) AS sum_milli,
