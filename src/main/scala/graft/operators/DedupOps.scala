@@ -958,7 +958,17 @@ object DedupOps {
     * unrounded ratio — one IEEE division of exact integers, bit-identical
     * cross-engine. Same sub-quadratic shape as [[minhashLsh]] (which
     * SUMMARIZES per lang; this emits the pairs a dedup acts on). */
-  private[graft] def textDupPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def textDupPairs(spark: SparkSession, dir: String): DataFrame =
+    textCandidateScores(spark, dir)
+      .where(col("shared").cast("double")
+        / (col("n_a") + col("n_b") - col("shared")) >= TextDupJaccard)
+      .select(col("id_a"), col("id_b"))
+
+  /** LSH candidate pairs with their exact-Jaccard ingredients
+    * (id_a, id_b, shared, n_a, n_b) — the relation [[textDupPairs]]
+    * thresholds and [[dupThresholdSweep]] histograms. */
+  private def textCandidateScores(spark: SparkSession, dir: String)
+      : DataFrame = {
     // not persisted — see minhashLsh: ReuseExchange + cheap recompute
     val ex = exploded(spark, dir)
     val bk = bandKeys(spark, ex)
@@ -975,9 +985,33 @@ object DedupOps {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"), first(col("n_a")).as("n_a"),
         first(col("n_b")).as("n_b"))
-      .where(col("shared").cast("double")
-        / (col("n_a") + col("n_b") - col("shared")) >= TextDupJaccard)
-      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Jaccard THRESHOLD SWEEP — the calibration curve a team reads
+    * before fixing [[TextDupJaccard]]: LSH candidate pairs histogrammed
+    * by exact Jaccard (1/20-wide buckets, integer-exact floor:
+    * bucket = 20·shared div (n_a+n_b−shared)) with the cumulative
+    * pairs-at-or-above count — "how many pairs would a bar of 0.80
+    * merge that 0.85 does not". Candidates come from the band join, so
+    * the curve is exact near and above the banding's recall knee
+    * (P ≈ 1−(1−j³)⁴: 0.98 at j = 0.85) and a LOWER BOUND in the low-j
+    * tail where banding intentionally stops surfacing pairs — exactly
+    * the region a dup bar never sits in.
+    *
+    * Scale shape: the expensive part IS the existing candidate+verify
+    * chain; the histogram adds one hash agg and a window over ≤ 21
+    * rows. */
+  def dupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket_20").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    textCandidateScores(spark, dir)
+      .withColumn("bucket_20", expr("shared * 20 div (n_a + n_b - shared)"))
+      .groupBy(col("bucket_20"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("jac_lo", col("bucket_20").cast("double") / 20.0)
+      .withColumn("n_pairs_at_or_above", sum(col("n_pairs")).over(w))
   }
 
   /** Duplicate groups over the document corpus: [[textDupPairs]] resolved
@@ -1210,6 +1244,7 @@ object DedupOps {
     "q_dedup_groups" -> ((s: SparkSession, d: String) => dedupGroups(s, d)),
     "q_text_dedup_groups" -> textDedupGroups _,
     "q_group_sizes" -> dupGroupSizes _,
+    "q_dup_threshold_sweep" -> dupThresholdSweep _,
     "q_canonical_docs" -> canonicalDocs _,
     "q_dup_rate_by_source" -> dupRateBySource _,
     "q_contamination" -> contamination _,
@@ -1387,6 +1422,21 @@ object DedupOps {
     "q_text_dedup_groups" ->
       s"""WITH RECURSIVE $textGroupsCtes
          |SELECT id AS doc_id, min(comp) AS rep_id FROM walk GROUP BY id""".stripMargin,
+    // unreferenced CTEs of the shared chain (walk etc.) are pruned by
+    // the engine; only ex→cand→shared evaluate. The window runs over
+    // the <=21-row histogram.
+    "q_dup_threshold_sweep" ->
+      s"""WITH RECURSIVE $textGroupsCtes,
+         |hist AS (
+         |  SELECT shared * 20 // (n_a + n_b - shared) AS bucket_20,
+         |    count(*) AS n_pairs
+         |  FROM shared GROUP BY 1)
+         |SELECT bucket_20, n_pairs,
+         |  CAST(bucket_20 AS DOUBLE) / 20.0 AS jac_lo,
+         |  CAST(sum(n_pairs) OVER (ORDER BY bucket_20 DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS n_pairs_at_or_above
+         |FROM hist""".stripMargin,
     "q_group_sizes" ->
       s"""WITH RECURSIVE $textGroupsCtes,
          |groups AS (
