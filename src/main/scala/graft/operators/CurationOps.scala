@@ -319,6 +319,58 @@ object CurationOps {
         col("floor_q10k"), col("n_admitted"))
   }
 
+  /** Training-shard EXPORT — the last-mile sink between an admitted
+    * corpus and a trainer: write the documents as `shard=<k>` hive
+    * partitions (each shard a self-contained input file set) plus a
+    * MANIFEST table the trainer and any auditor reconcile against:
+    * per-shard doc count, token sum, and an order-insensitive content
+    * fingerprint (bit_xor of a 60-bit md5-prefix per doc — commutative,
+    * so partition order, task retries and re-shuffles can never change
+    * it; mirrored recomputable from the shard's read-back).
+    *
+    * Shard assignment is the md5-threshold family's ([[stratifiedSample]])
+    * determinism contract applied to placement: shard =
+    * md5(doc_id) mod N — stable under retries, replays and engines;
+    * docs land WHOLE (a doc never splits across shards), and expected
+    * shard skew is O(√(n/N)) by uniformity of the hash.
+    *
+    * Scale shape: one projection + partitioned write (the shuffle is
+    * the partitionBy exchange on N keys); the manifest is one hash
+    * aggregation. Returns the manifest READ-BACK (the table consumers
+    * scan), like [[curationRun]]'s artifacts. */
+  def writeTrainingShards(spark: SparkSession, docs: DataFrame,
+      outDir: String, shards: Int): DataFrame = {
+    require(shards >= 1, "need at least one shard")
+    val fpLong = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+    val sharded = docs
+      .withColumn("shard", pmod(fpLong, lit(shards.toLong)))
+      .withColumn("doc_fp", fpLong)
+    sharded.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$outDir/docs")
+    sharded
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokEst(col("text"))).as("n_tokens_est"),
+        expr("bit_xor(doc_fp)").as("content_fp"))
+      .write.mode("overwrite").parquet(s"$outDir/manifest")
+    spark.read.parquet(s"$outDir/manifest")
+  }
+
+  /** Recompute a [[writeTrainingShards]] manifest from the shard
+    * read-back — the auditor's side of the contract: equal frames ⇔
+    * every doc arrived intact in its assigned shard. */
+  def auditTrainingShards(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/docs")
+      // hive-partition columns read back with INFERRED types (int, not
+      // the written long) — normalize so audit ≡ manifest is a frame
+      // equality, not a type accident
+      .withColumn("shard", col("shard").cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokEst(col("text"))).as("n_tokens_est"),
+        expr("bit_xor(doc_fp)").as("content_fp"))
+
   /** Chunk geometry for [[chunkDocs]]: fixed token windows with overlap
     * (the shape an embedding/retrieval pass feeds its encoder). Stride =
     * tokens − overlap; a chunk starts at every stride multiple below the

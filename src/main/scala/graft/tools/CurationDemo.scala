@@ -59,6 +59,18 @@ object CurationDemo {
     println(s"[demo] packed ${packed.count()} admitted docs into " +
       s"${packed.select("lang", "shard", "seq_id").distinct().count()} sequences")
 
+    // 4b. the last mile: export the admitted corpus as training shards
+    //     with a reconcilable manifest
+    val shardDir = java.nio.file.Files.createTempDirectory("cdemo_sh").toString
+    val manifest = CurationOps.writeTrainingShards(spark, admittedDocs,
+      shardDir, shards = 4)
+    println("[demo] training-shard manifest:")
+    manifest.orderBy(col("shard")).show(false)
+    val auditOk = CurationOps.auditTrainingShards(spark, shardDir)
+      .orderBy(col("shard")).collect().map(_.toSeq).toSeq ==
+      manifest.orderBy(col("shard")).collect().map(_.toSeq).toSeq
+    println(s"[demo] shard audit reconciles: $auditOk")
+
     // 5. embedding-side SemDeDup served from the persisted ANN index
     val idxDir = java.nio.file.Files.createTempDirectory("cdemo_idx").toString
     VectorOps.writeAnnIndex(spark, sfDir, idxDir)
