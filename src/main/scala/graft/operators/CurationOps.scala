@@ -371,6 +371,31 @@ object CurationOps {
         sum(TextOps.tokEst(col("text"))).as("n_tokens_est"),
         expr("bit_xor(doc_fp)").as("content_fp"))
 
+  /** PER-LANGUAGE budget floor — [[qualityBudgetFloor]] partitioned by
+    * stratum: each language keeps ITS top [[QualityKeep10k]]/10⁴ (the
+    * per-stratum budget a mixture pipeline actually runs, since a
+    * global floor would let one high-scoring language crowd out the
+    * rest). Same histogram walk, windows partitioned by lang — still
+    * histogram-sized, never corpus-sized. */
+  def qualityBudgetFloorByLang(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val hist = Tables.documents(spark, dir)
+      .select(col("lang"), TextOps.quality10k(col("text")).as("q10k"))
+      .groupBy(col("lang"), col("q10k")).agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("q10k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .withColumn("k_target", expr(s"total * $QualityKeep10k div 10000"))
+      .where(col("cum") >= col("k_target"))
+      .groupBy(col("lang"), col("total"), col("k_target"))
+      .agg(max(col("q10k")).as("floor_q10k"),
+        min(col("cum")).as("n_admitted"))
+      .select(col("lang"), col("total").as("n_docs"), col("k_target"),
+        col("floor_q10k"), col("n_admitted"))
+  }
+
   /** Chunk geometry for [[chunkDocs]]: fixed token windows with overlap
     * (the shape an embedding/retrieval pass feeds its encoder). Stride =
     * tokens − overlap; a chunk starts at every stride multiple below the
@@ -732,6 +757,7 @@ object CurationOps {
     "q_source_cap" -> sourceCapped _,
     "q_dsir_weights" -> dsirWeights _,
     "q_quality_floor" -> qualityBudgetFloor _,
+    "q_quality_floor_by_lang" -> qualityBudgetFloorByLang _,
     "q_corpus_report" -> corpusReport _,
     "q_chunks" -> chunkDocs _,
     "q_chunk_dedup" -> chunkDedup _,
@@ -1044,6 +1070,28 @@ object CurationOps {
          |  CAST(sum(q.q10k) AS BIGINT) // count(*) AS avg_q10k
          |FROM d JOIN q ON q.doc_id = d.doc_id JOIN g ON g.doc_id = d.doc_id
          |GROUP BY d.lang""".stripMargin,
+    // the per-stratum variant: identical walk, windows partitioned by
+    // lang; the quality CTE gains the lang column via a documents join
+    "q_quality_floor_by_lang" ->
+      s"""WITH q AS (${TextOps.quality10kSql}),
+         |hist AS (
+         |  SELECT d.lang, q.q10k, count(*) AS n
+         |  FROM documents d JOIN q ON q.doc_id = d.doc_id
+         |  GROUP BY d.lang, q.q10k),
+         |c AS (
+         |  SELECT lang, q10k, n,
+         |    CAST(sum(n) OVER (PARTITION BY lang ORDER BY q10k DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum,
+         |    CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS total
+         |  FROM hist),
+         |k AS (SELECT *, total * $QualityKeep10k // 10000 AS k_target
+         |      FROM c)
+         |SELECT lang, any_value(total) AS n_docs,
+         |  any_value(k_target) AS k_target,
+         |  max(q10k) AS floor_q10k, min(cum) AS n_admitted
+         |FROM k WHERE cum >= k_target
+         |GROUP BY lang""".stripMargin,
     // same histogram-walk as q_length_quantiles: windows run over the
     // (q10k, n) histogram, never the corpus; counts cast before //
     "q_quality_floor" ->
