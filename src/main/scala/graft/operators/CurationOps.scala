@@ -213,10 +213,12 @@ object CurationOps {
     * the arithmetic MEAN of per-token ratios, not the summed
     * log-likelihood ratio — a log would drag doubles into the oracle
     * boundary, and the mean preserves the ranking the sampler consumes.
-    * Laplace +1 smoothing keeps empty buckets finite. All integer
-    * (ppm truncating div); the (t+1)·R·10^6 product stays inside a
-    * long to ~10^12 tokens — past that the multiply widens to
-    * DECIMAL(38) (same note as [[TextOps.LmPpmUnit]]).
+    * Laplace +1 smoothing keeps empty buckets finite. All integer, in
+    * TWO truncating steps — (t+1)·10^6 div (r+1), then ·R div T — so
+    * no intermediate exceeds ~10^6·R: long-safe to ~9×10^12 corpus
+    * tokens (the single-product form (t+1)·R·10^6 overflows at
+    * ~10^7-token buckets). The second step's truncation costs at most
+    * R/T ppm-units of precision — noise against the 10^6 scale.
     *
     * Scale shape: the bucket table is 256 rows (broadcast), built from
     * two hash-aggs over one explode; the scoring join is
@@ -243,8 +245,8 @@ object CurationOps {
       .withColumn("t_cnt", coalesce(col("t_cnt"), lit(0L)))
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
-        expr(s"(t_cnt + 1) * r_total * ${TextOps.LmPpmUnit} div ((r_cnt + 1) * t_total)")
-          .as("ratio_ppm"))
+        expr(s"((t_cnt + 1) * ${TextOps.LmPpmUnit} div (r_cnt + 1))" +
+          " * r_total div t_total").as("ratio_ppm"))
     ex.join(broadcast(ratio), Seq("bucket"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tok"), sum(col("ratio_ppm")).as("ratio_sum"))
@@ -1048,8 +1050,8 @@ object CurationOps {
          |      AS BIGINT) AS t_total),
          |ratio AS (
          |  SELECT r.bucket,
-         |    (coalesce(t.t_cnt, 0) + 1) * r_total * ${TextOps.LmPpmUnit}
-         |      // ((r.r_cnt + 1) * t_total) AS ratio_ppm
+         |    ((coalesce(t.t_cnt, 0) + 1) * ${TextOps.LmPpmUnit}
+         |      // (r.r_cnt + 1)) * r_total // t_total AS ratio_ppm
          |  FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket, tot)
          |SELECT doc_id, lang, count(*) AS n_tok,
          |  CAST(sum(ratio_ppm) AS BIGINT) // count(*) AS weight_ppm
