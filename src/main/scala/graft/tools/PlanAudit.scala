@@ -52,6 +52,10 @@ object PlanAudit {
     "q_corpus_report" -> "data card: shared per-row expressions in one projection + one hash agg per language (count-distinct fp partial-aggregates)",
     "q_winnow_fp" -> "winnowed fingerprints: per-row positional gram hashes materialized once, window-min transform slices the named column — zero exchanges",
     "q_winnow_overlap" -> "overlap best-match: fp equi-join over the winnowed (2.5x thinner) relation -> pair agg -> per-doc argmax; same blocked skeleton as jaccard",
+    "q_group_sizes" -> "dup-cluster size histogram: two hash aggs over the sub-linear group table",
+    "q_dup_threshold_sweep" -> "jaccard calibration curve: the existing candidate+verify chain plus one hash agg and a window over <=21 histogram rows",
+    "q_embedding_stats" -> "per-label vector health card: one projection + one hash agg, exact integer norm stats",
+    "q_quality_floor_by_lang" -> "per-stratum budget floor: histogram walk with windows partitioned by lang — histogram-sized, never corpus-sized",
   )
 
   def main(args: Array[String]): Unit = {
