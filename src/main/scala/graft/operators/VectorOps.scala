@@ -751,7 +751,11 @@ object VectorOps {
     * statistics (milli² units — sum, truncated mean, min/max) and the
     * zero-norm count (vectors cosine can never score; every search
     * path guards them, this is where the guard's reach is visible).
-    * One projection + one hash aggregation; linear at any scale. */
+    * One projection + one hash aggregation; linear at any scale.
+    * `sum_nrm_milli2` is long-exact to ~9×10⁹ unit-norm vectors per
+    * label (nrm ≈ 10⁹ milli² each); past that the sum widens to
+    * DECIMAL(38) — the per-vector stats and the truncated mean stay in
+    * range regardless. */
   def embeddingStats(spark: SparkSession, dir: String): DataFrame =
     quantized(spark, dir)
       .groupBy(col("label"))
