@@ -746,6 +746,51 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"), col("sim")), k)
   }
 
+  /** Kept-per-cluster target of the declared cluster-balanced sample. */
+  val ClusterSampleTarget = 40L
+
+  /** CLUSTER-BALANCED sampling — the diversity-preserving sampler
+    * (SemDeDup/DataComp-style): k-means the embeddings, then keep at
+    * most ~[[ClusterSampleTarget]] vectors per cluster by thinning each
+    * cluster at rate target/size. Mega-clusters (near-duplicate blobs,
+    * template content) stop dominating the sample while small clusters
+    * survive whole — the embedding-space analogue of
+    * [[graft.operators.CurationOps.stratifiedSample]]'s per-language
+    * mixture.
+    *
+    * Determinism with DATA-DRIVEN rates: stratifiedSample embeds its
+    * thresholds as literals; here the rate depends on the cluster SIZE,
+    * so the md5 threshold is computed as a COLUMN — rate32 =
+    * target·2^32 div size rendered to 8 hex digits via format_string
+    * (identical rendering in both engines), with the above-every-hex
+    * sentinel 'g' when size ≤ target (the rateHex ≥ 1 contract: a whole
+    * cluster kept must include the 2^-32 md5-prefix tail). Keep iff
+    * substr(md5(vec_id), 1, 8) < threshold — stable under retries,
+    * replays and engines.
+    *
+    * Scale shape: Lloyd training (shared core), one broadcast join of
+    * the cluster-size relation (k rows), one filter, one summary agg —
+    * no corpus shuffle beyond the training pass. Emits per cluster:
+    * size, kept count, and the kept-id envelope. */
+  def clusterBalancedSample(spark: SparkSession, dir: String,
+      target: Long = ClusterSampleTarget, cells: Int = 8,
+      trainIters: Int = 2): DataFrame = {
+    val (assigned, _) = kmeansCore(spark, dir, cells, trainIters)
+    val sizes = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val threshold = when(col("n_vectors") <= target, lit("g"))
+      .otherwise(format_string("%08x",
+        expr(s"${target}L * 4294967296L div n_vectors")))
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(broadcast(sizes), Seq("cluster"))
+      .where(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8)
+        < threshold)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_kept"), first(col("n_vectors")).as("n_vectors"),
+        min(col("vec_id")).as("min_kept_id"),
+        max(col("vec_id")).as("max_kept_id"))
+  }
+
   /** Embeddings HEALTH CARD — the per-label sanity report a vector
     * pipeline checks before indexing: counts, exact integer norm
     * statistics (milli² units — sum, truncated mean, min/max) and the
@@ -881,6 +926,8 @@ object VectorOps {
     "q_nn_label_ann" -> nnLabelBucketed _,
     "q_centroids"    -> centroids _,
     "q_embedding_stats" -> embeddingStats _,
+    "q_cluster_sample" -> ((s: SparkSession, d: String) =>
+      clusterBalancedSample(s, d)),
     "q_ann_ivf"      -> ((s: SparkSession, d: String) => annIvf(s, d)),
     "q_ann_sq8"      -> ((s: SparkSession, d: String) => annSq8(s, d)),
     "q_ann_pq"       -> ((s: SparkSession, d: String) => annPq(s, d)),
@@ -1115,6 +1162,27 @@ object VectorOps {
          |                       ORDER BY sim DESC, id_b ASC) AS rn
          |  FROM scored)
          |WHERE rn = 1""".stripMargin,
+    // per-cluster thinning threshold as a COLUMN: printf('%08x') is the
+    // same 8-hex rendering as Spark's format_string; sentinel 'g' for
+    // whole-cluster keeps (above every hex prefix)
+    "q_cluster_sample" ->
+      s"""WITH $kmeansCtesSql,
+         |sizes AS (SELECT cluster, count(*) AS n_vectors
+         |          FROM a1 GROUP BY cluster),
+         |th AS (SELECT cluster, n_vectors,
+         |    CASE WHEN n_vectors <= $ClusterSampleTarget THEN 'g'
+         |         ELSE printf('%08x',
+         |           $ClusterSampleTarget * 4294967296 // n_vectors) END
+         |      AS threshold
+         |  FROM sizes),
+         |kept AS (
+         |  SELECT a.vec_id, a.cluster, t.n_vectors
+         |  FROM a1 a JOIN th t ON t.cluster = a.cluster
+         |  WHERE substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8) < t.threshold)
+         |SELECT cluster, count(*) AS n_kept,
+         |  any_value(n_vectors) AS n_vectors,
+         |  min(vec_id) AS min_kept_id, max(vec_id) AS max_kept_id
+         |FROM kept GROUP BY cluster""".stripMargin,
     // integer norm stats; sums widen to HUGEINT — cast before the //
     "q_embedding_stats" ->
       s"""WITH n AS (

@@ -90,6 +90,25 @@ class SemDedupSpec extends SparkSpec {
         s"only-idx=${fromIdx.diff(inPlan)}\nonly-plan=${inPlan.diff(fromIdx)}")
   }
 
+  test("cluster-balanced sample: thinning bounds and determinism") {
+    val a = graft.operators.VectorOps.clusterBalancedSample(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(a.nonEmpty)
+    a.values.foreach { r =>
+      val kept = r.getAs[Long]("n_kept")
+      val size = r.getAs[Long]("n_vectors")
+      assert(kept >= 1L && kept <= size, s"bad keep count: $r")
+      // a cluster at or under the target keeps EVERY vector (sentinel
+      // threshold), larger ones are thinned below their size
+      if (size <= graft.operators.VectorOps.ClusterSampleTarget)
+        assert(kept == size, s"small cluster must keep all: $r")
+    }
+    // md5 placement: a second run selects the identical sample
+    val b = graft.operators.VectorOps.clusterBalancedSample(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.toSeq).toMap
+    assert(a.view.mapValues(_.toSeq).toMap == b)
+  }
+
   test("zero-norm vectors train but never drop or get dropped") {
     val emb = Seq(
       (0L, Seq(1f, 0f, 0f, 0f)),
