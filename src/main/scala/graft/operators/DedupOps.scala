@@ -1158,6 +1158,21 @@ object DedupOps {
       docs.where(col("doc_id") >= BenchmarkMaxId), ContaminationBar)
   }
 
+  /** Per-BENCHMARK-ITEM contamination report — the leak table a
+    * decontamination pass publishes: for each benchmark document that
+    * leaked, how many corpus documents contain it (doc-level
+    * containment ≥ the bar), the worst containment, and the lowest
+    * leaking corpus id (the reproducible exhibit). Teams read this
+    * to decide which EVAL items to retire — the complement of the
+    * corpus-side drop list the funnel consumes. One re-aggregation
+    * over the pair relation [[contamination]] already builds. */
+  def contaminationByBench(spark: SparkSession, dir: String): DataFrame =
+    contamination(spark, dir)
+      .groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_contaminated_docs"),
+        max(col("containment")).as("max_containment"),
+        min(col("doc_id")).as("first_doc_id"))
+
   /** Words per exact-overlap gram for [[ngramContamination]] — 13, the
     * published GPT-3/PaLM decontamination unit: long enough that a
     * match is essentially never coincidental prose, short enough to
@@ -1248,6 +1263,7 @@ object DedupOps {
     "q_canonical_docs" -> canonicalDocs _,
     "q_dup_rate_by_source" -> dupRateBySource _,
     "q_contamination" -> contamination _,
+    "q_contamination_by_bench" -> contaminationByBench _,
     "q_ngram_contamination" -> ((s: SparkSession, d: String) =>
       ngramContamination(s, d)),
   )
@@ -1389,6 +1405,31 @@ object DedupOps {
          |  round(CAST(shared AS DOUBLE) / n_b, 4) AS containment
          |FROM shared
          |WHERE CAST(shared AS DOUBLE) / n_b >= $ContaminationBar""".stripMargin,
+    // the leak table: the q_contamination pair relation re-aggregated
+    // per benchmark item; max over the ROUNDED containment (the same
+    // display value both engines emit)
+    "q_contamination_by_bench" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, length(tset) AS n_tok, unnest(tset) AS tok
+         |  FROM (SELECT doc_id, ${TextOps.shingles3Sql} AS tset
+         |        FROM documents)),
+         |bench AS (SELECT doc_id AS bench_id, n_tok AS n_b, tok
+         |          FROM ex WHERE doc_id < $BenchmarkMaxId),
+         |corp AS (SELECT doc_id, tok FROM ex WHERE doc_id >= $BenchmarkMaxId),
+         |shared AS (
+         |  SELECT c.doc_id, b.bench_id, count(*) AS shared,
+         |    any_value(b.n_b) AS n_b
+         |  FROM corp c JOIN bench b ON b.tok = c.tok
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_id, bench_id,
+         |    round(CAST(shared AS DOUBLE) / n_b, 4) AS containment
+         |  FROM shared
+         |  WHERE CAST(shared AS DOUBLE) / n_b >= $ContaminationBar)
+         |SELECT bench_id, count(*) AS n_contaminated_docs,
+         |  max(containment) AS max_containment,
+         |  min(doc_id) AS first_doc_id
+         |FROM pairs GROUP BY bench_id""".stripMargin,
     // exact 13-gram decontamination: list slice t[i : i+n-1] is 1-based
     // inclusive (n elements); per-doc grams deduped before the join so
     // count(*) is the distinct-hit count on both sides
