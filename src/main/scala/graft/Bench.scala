@@ -24,6 +24,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // optional trailing names: bench only that subset (iteration aid; the
+    // driver passes no args and gets the full suite). Subset runs write
+    // BENCH_SUBSET.json so they can never masquerade as a full record.
+    val only = args.toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,8 +48,10 @@ object Bench {
       } catch { case _: Throwable => () }
     }
     spark.range(1000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
+      def rep(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -52,6 +61,16 @@ object Bench {
         spark.catalog.clearCache() // drop persisted intermediates between reps
         dt
       }
+      val first = (1 to reps).map(_ => rep())
+      // stall hygiene (VERDICT r9 item 7): this host's multi-second
+      // stalls land on sub-2 s queries often enough that a 3-rep median
+      // absorbed three >6 s outliers in r9. Two extra reps cost almost
+      // nothing exactly where they're needed (the query is fast) and
+      // make the median immune to any single stall.
+      val times =
+        if (first.min < 2.0 && first.size < 5)
+          first ++ (first.size until 5).map(_ => rep())
+        else first
       name -> times
     }
     // "queries" stays name→median (the stable cross-round metric);
@@ -64,7 +83,7 @@ object Bench {
       .mkString("{", ",", "}")
     val triples = results.map { case (k, ts) =>
       "\"" + k + "\":{\"min\":" + ts.min + ",\"median\":" + median(ts) +
-        ",\"max\":" + ts.max + "}"
+        ",\"max\":" + ts.max + ",\"n\":" + ts.size + "}"
     }.mkString("{", ",", "}")
     val total = results.map(r => median(r._2)).sum
     // the FULL record (with triples) carries a distinct metric name so a
@@ -86,18 +105,26 @@ object Bench {
     // is far above 10 ms, so nothing real is lost).
     val fullRec =
       s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"triples":$triples,"reps":$reps,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    val fullPath =
+      if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullRec + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+      System.err.println(s"[bench] $fullPath write failed: ${e.getMessage}") }
     val tailBudget = 1840 // 2000-char window - sbt success line - margin
     def r2(x: Double): String = f"$x%.2f"
     val byCost = results.map { case (k, ts) => k -> median(ts) }
       .sortBy { case (k, m) => (-m, k) }
     val sfName = sfDir.split('/').last
-    val suffix0 = s"""},"rest_n":0,"rest_sum":0.00,"full":"BENCH_FULL.json","reps":$reps,"sf":"$sfName"}"""
+    // pessimistic suffix render (ADVICE r9 #4): budget against the
+    // LONGEST possible rest_n/rest_sum (all queries dropped, the whole
+    // total in the rest bucket) instead of a fixed slack — rest_n at 3-4
+    // digits plus a 4-digit-second total could otherwise overrun the
+    // capture window the budget exists to fit
+    val suffix0 =
+      s"""},"rest_n":${results.size},"rest_sum":${r2(total)},"full":"$fullPath","reps":$reps,"sf":"$sfName"}"""
     val prefix = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":{"""
-    var used = prefix.length + suffix0.length + 8 // slack for rest_* digits
+    var used = prefix.length + suffix0.length
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     byCost.foreach { case (k, m) =>
       val entry = "\"" + k + "\":" + r2(m)
@@ -110,7 +137,7 @@ object Bench {
     val keptJson = kept.sortBy(_._1)
       .map { case (k, m) => "\"" + k + "\":" + r2(m) }.mkString(",")
     println(prefix + keptJson +
-      s"""},"rest_n":$restN,"rest_sum":${r2(restSum)},"full":"BENCH_FULL.json","reps":$reps,"sf":"$sfName"}""")
+      s"""},"rest_n":$restN,"rest_sum":${r2(restSum)},"full":"$fullPath","reps":$reps,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -703,6 +703,17 @@ object TextOps {
     * ≥ window+gram−1 tokens shares a fingerprint (the MOSS guarantee). */
   val WinnowWindow = 4
 
+  /** MOSS over-common-fingerprint drop, absolute floor: a fingerprint
+    * present in more than max([[WinnowDfBar]],
+    * docs/[[WinnowDfFracDiv]]) documents is boilerplate (license
+    * headers, nav chrome) — MOSS itself excludes such fingerprints as
+    * carrying no authorship signal, and the overlap equi-join would go
+    * quadratic on exactly those keys. */
+  val WinnowDfBar = 100L
+
+  /** Fractional arm of the winnow df cap (docs div this). */
+  val WinnowDfFracDiv = 20L
+
   /** WINNOWED robust fingerprints — the MOSS/winnowing document
     * signature: hash every POSITIONAL 3-gram (duplicates and order
     * kept, unlike [[shingles3]]), then keep the minimum hash of each
@@ -767,10 +778,49 @@ object TextOps {
     * [[jaccardBestMatch]]'s shingle join, on a 2.5× thinner relation);
     * ties break on the full total order (overlap desc, id asc). Docs
     * sharing no fingerprint with anyone emit no row — identical in the
-    * oracle. */
-  def winnowOverlapBest(spark: SparkSession, dir: String): DataFrame = {
-    val fps = winnowFingerprintCore(Tables.documents(spark, dir))
+    * oracle.
+    *
+    * The exploded fingerprint relation is MATERIALIZED (eager
+    * `localCheckpoint`) before the self-join: Spark pushes the
+    * join-key null filter below the deriving projections, which
+    * inlines the whole gram-hash chain into the per-window-position
+    * lambda — O(L²) interpreted HOF work per document, on BOTH join
+    * branches (the r9 plan defect: 43 s at sf0.1 on 5 k docs). The
+    * checkpointed relation is ~4 rows/doc of (id, count, hash) — far
+    * smaller than the text it derives from — and the derivation runs
+    * exactly once. PlanAssertionsSpec pins the no-HOF-below-the-join
+    * property.
+    *
+    * Fingerprints above the df cap (max([[WinnowDfBar]],
+    * docs div [[WinnowDfFracDiv]]) documents) are dropped from BOTH
+    * candidate generation and the shared count — boilerplate must not
+    * surface pairs or count as overlap evidence — while the containment
+    * denominator keeps the full |fps|. The hot set is tiny by
+    * construction (high-frequency tail), so the anti-join broadcasts. */
+  def winnowOverlapBest(spark: SparkSession, dir: String): DataFrame =
+    winnowOverlapBestCore(Tables.documents(spark, dir))
+
+  /** [[winnowOverlapBest]] over any (doc_id, lang, text) relation. */
+  private[graft] def winnowOverlapBestCore(docs: DataFrame): DataFrame = {
+    // checkpoint BEFORE the explode: the non-outer Generate makes
+    // InferFiltersFromGenerate add `size(fps) > 0` beneath it, and
+    // predicate pushdown inlines that through the deriving projections
+    // into a per-row Filter over the raw text — the O(L²) chain again,
+    // this time below the checkpoint. Materializing the per-doc array
+    // first leaves the inferred filter a cheap size() over a stored
+    // column.
+    val all = winnowFingerprintCore(docs)
+      .select(col("doc_id"), col("n_fps"), col("fps"))
+      .localCheckpoint(true)
       .select(col("doc_id"), col("n_fps"), explode(col("fps")).as("fp"))
+    // fps is array_distinct per doc: count(1) IS the document frequency
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val hot = all.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(total))
+      .where(col("nd") >
+        greatest(lit(WinnowDfBar), expr(s"n_total div $WinnowDfFracDiv")))
+      .select(col("fp"))
+    val fps = all.join(hot, Seq("fp"), "left_anti")
     val a = fps.select(col("doc_id").as("id_a"), col("n_fps").as("n_a"),
       col("fp"))
     val b = fps.select(col("doc_id").as("id_b"), col("n_fps").as("n_b"),
@@ -1144,10 +1194,16 @@ object TextOps {
          |      i -> list_min(h[i:i + ${WinnowWindow - 1}]))) AS fps
          |  FROM h),
          |e AS (SELECT doc_id, len(fps) AS n, unnest(fps) AS fp FROM w),
+         |tot AS (SELECT count(*) AS n_total FROM t),
+         |hot AS (SELECT fp FROM (SELECT fp, count(*) AS nd
+         |                        FROM e GROUP BY fp) CROSS JOIN tot
+         |        WHERE nd > greatest($WinnowDfBar,
+         |                            n_total // $WinnowDfFracDiv)),
+         |k AS (SELECT * FROM e WHERE fp NOT IN (SELECT fp FROM hot)),
          |pairs AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
          |    any_value(a.n) AS n_a, any_value(b.n) AS n_b
-         |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |sym AS (
          |  SELECT id_a AS doc_id, id_b AS cand,

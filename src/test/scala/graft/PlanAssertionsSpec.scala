@@ -124,6 +124,23 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("text"), s"text must be pruned from the scan:\n$p")
   }
 
+  test("winnow family: no gram-hash HOF chain in a filter or scan") {
+    // the r9 defect: the join-key null filter, pushed below the deriving
+    // projections, inlined the whole gram-hash chain into the
+    // per-window-position lambda — re-evaluated per row on BOTH
+    // self-join branches. The materialized fingerprint relation must
+    // keep every Filter condition and scan DataFilters HOF-free;
+    // deriving Projects may (and do) contain lambdas.
+    for (q <- Seq("q_winnow_fp", "q_winnow_overlap")) {
+      val bad = plan(q).linesIterator
+        .filter(l => l.contains("Filter ") || l.contains("FileScan"))
+        .filter(l => l.contains("lambdafunction") || l.contains("transform("))
+        .toSeq
+      assert(bad.isEmpty,
+        s"$q: HOF chain inlined into a filter/scan:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("q_dsir_weights and q_lm_score: the ratio/vocab side broadcasts") {
     // scoring joins are explode ⋈ small-relation — the 256-bucket
     // ratio table / vocab must be the broadcast side, never the corpus

@@ -92,6 +92,30 @@ class TextFilterSpec extends SparkSpec {
       assert(r.getAs[Long]("n_fps") <= r.getAs[Long]("n_grams")))
   }
 
+  test("winnow df-cap: a ubiquitous boilerplate run surfaces no pairs") {
+    // MOSS's over-common-fingerprint drop: the same boilerplate page
+    // (license text, nav chrome) planted 120 times (every fingerprint's
+    // df 120 > WinnowDfBar 100) would otherwise make the fp equi-join
+    // emit all ~120²/2 pairs on those keys. With the cap, the
+    // boilerplate fingerprints leave candidate generation entirely:
+    // only the genuine duplicate pair (two identical non-boilerplate
+    // docs, df 2) survives — the pair relation stays linear in real
+    // overlap, not quadratic in boilerplate reach.
+    val page = "all rights reserved by the publisher redistribution " +
+      "of this page in any form requires prior written permission"
+    val boiler = (1 to 120).map(i => (i.toLong, "en", page))
+    val dup = "genuinely matching content that appears exactly twice here"
+    val docs = (boiler ++ Seq((201L, "en", dup), (202L, "en", dup)))
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.winnowOverlapBestCore(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(201L, 202L),
+      s"only the genuine duplicates may emit rows, got ${got.keySet}")
+    assert(got(201L).getAs[Long]("best_match") == 202L
+      && got(202L).getAs[Long]("best_match") == 201L)
+    assert(got(201L).getAs[Double]("best_overlap") == 1.0)
+  }
+
   test("lm score: hand-computed ppm on a planted corpus") {
     // counts: a=2 b=2 c=1, total 5 → ppm a,b=400000 c=200000
     val docs = Seq((1L, "en", "a a b"), (2L, "en", "b c"))
