@@ -38,7 +38,7 @@ object VectorOps {
 
   /** [[quantized]] over an arbitrary (vec_id, embedding) frame — the
     * form [[appendAnnIndex]] needs for vectors not yet in any table. */
-  private def quantizedOf(spark: SparkSession, vecs: DataFrame): DataFrame = {
+  private[graft] def quantizedOf(spark: SparkSession, vecs: DataFrame): DataFrame = {
     val dot = DotProductLong.dotLong(spark) _
     vecs.select(col("vec_id"), quantize(col("embedding")).as("qe"))
       .withColumn("nrm", dot(col("qe"), col("qe")))

@@ -413,6 +413,249 @@ object StreamingAnalytics {
         (col("q10k").cast("double") / 10000.0).as("quality"))
   }
 
+  // ===== semantic (embedding-side) admission gate =====
+
+  private val SemCellsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cluster",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("batch",
+      org.apache.spark.sql.types.LongType)))
+  private val SemVecsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("qe",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)),
+    org.apache.spark.sql.types.StructField("nrm",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("batch",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Quantize a (doc_id, embedding) frame to the integer form the
+    * vector chain scores in ([[graft.operators.VectorOps]] quantization
+    * — same scale, so gate verdicts agree with the batch SemDeDup/
+    * near-dup passes by construction). */
+  private def quantizedDocVecs(spark: SparkSession, vecs: DataFrame)
+      : DataFrame =
+    graft.operators.VectorOps.quantizedOf(spark,
+        vecs.select(col("doc_id").as("vec_id"), col("embedding")))
+      .select(col("vec_id").as("doc_id"), col("qe"), col("nrm"))
+
+  /** Post each vector to its `nprobe` nearest coarse cells — the
+    * multi-probe posting both the batch side and the stored side of the
+    * semantic gate use (a pair split by a cell boundary still
+    * co-resides in a runner-up cell). Centroids broadcast; the window
+    * keys on doc_id (full cardinality — no funnel). */
+  private def postedCells(spark: SparkSession, emb: DataFrame,
+      coarse: DataFrame, nprobe: Int): DataFrame = {
+    val dot = graft.plans.DotProductLong.dotLong(spark) _
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("dist2").asc, col("cluster").asc)
+    emb.crossJoin(broadcast(coarse))
+      .withColumn("dist2",
+        col("nrm") + col("c_nrm") - lit(2L) * dot(col("qe"), col("centroid")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= nprobe)
+      .select(col("doc_id"), col("cluster"))
+  }
+
+  /** Append one micro-batch's ADMITTED embeddings to the semantic gate's
+    * corpus state — probed-cell postings (`sem_cells`) and the exact
+    * integer vectors (`sem_vectors`), each as a `batch=<id>` partition
+    * under the curated-ingest dir: the vector twin of
+    * [[writeCorpusIndex]]'s band_keys/shingles split, giving the
+    * semantic gate the same later-batches-see-earlier-admissions
+    * contract. Cells come from the PERSISTED ANN index's coarse
+    * quantizer (`annIndexDir`, [[graft.operators.VectorOps
+    * .writeAnnIndex]]) — immutable between rebuilds, so stored postings
+    * stay comparable across batches without retraining. */
+  def writeSemIndex(spark: SparkSession, admittedVecs: DataFrame,
+      annIndexDir: String, dir: String, batchId: Long,
+      nprobe: Int = graft.operators.DedupOps.NearDupNProbe): Unit = {
+    val (coarse, _, _, _) =
+      graft.operators.VectorOps.loadAnnIndex(spark, annIndexDir)
+    val emb = quantizedDocVecs(spark, admittedVecs).persist()
+    try {
+      postedCells(spark, emb, coarse, nprobe)
+        .withColumn("batch", lit(batchId)).write.mode("append")
+        .partitionBy("batch").parquet(s"$dir/sem_cells")
+      emb.withColumn("batch", lit(batchId)).write.mode("append")
+        .partitionBy("batch").parquet(s"$dir/sem_vectors")
+    } finally emb.unpersist(false)
+  }
+
+  /** Read-back of [[writeSemIndex]], tolerant of a never-seeded dir
+    * (bootstrap contract of [[loadCorpusIndexOrEmpty]]): (cells,
+    * vectors). */
+  def loadSemIndexOrEmpty(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/sem_cells")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) (
+      spark.read.schema(SemCellsSchema).parquet(s"$dir/sem_cells")
+        .select(col("doc_id"), col("cluster")),
+      spark.read.schema(SemVecsSchema).parquet(s"$dir/sem_vectors")
+        .select(col("doc_id"), col("qe"), col("nrm")))
+    else (
+      spark.range(0).select(col("id").as("doc_id"), lit(0).as("cluster")),
+      spark.range(0).select(col("id").as("doc_id"),
+        array().cast("array<bigint>").as("qe"), lit(0L).as("nrm")))
+  }
+
+  /** Semantic dedup-on-ingest — the embedding-side twin of
+    * [[gateAgainstCorpus]]: each incoming vector posts to its probed
+    * cells of the persisted ANN index's coarse quantizer, candidates are
+    * cell co-residents (stored corpus postings PLUS the batch against
+    * itself — two copies of a novel embedding in one delivery must not
+    * both pass), and only candidates get the EXACT integer-cosine
+    * verify ([[graft.operators.DedupOps]]'s near-dup scoring — same
+    * quantization, same threshold semantics, so gate verdicts agree
+    * with the batch `cosineNearDupFromIndex` pass). Returns flagged
+    * rows only: (doc_id, sem_dup_of = best match (ties → smallest id),
+    * cos). Intra-batch pairs flag the LARGER id (first wins). Zero-norm
+    * vectors never flag (cosine undefined — the batch chain's guard).
+    *
+    * Same identity/visibility contract as the text gate: self-id
+    * excluded on the corpus join; duplicates of docs admitted in
+    * EARLIER batches are visible once [[writeSemIndex]] appended them. */
+  def semGateAgainstIndex(spark: SparkSession, batchVecs: DataFrame,
+      annIndexDir: String, semCells: DataFrame, semVecs: DataFrame,
+      nprobe: Int = graft.operators.DedupOps.NearDupNProbe,
+      threshold: Double = graft.operators.DedupOps.CosineDupThreshold)
+      : DataFrame = {
+    val (coarse, _, _, _) =
+      graft.operators.VectorOps.loadAnnIndex(spark, annIndexDir)
+    val emb = quantizedDocVecs(spark, batchVecs).where(col("nrm") > 0)
+    val posted = postedCells(spark, emb, coarse, nprobe)
+    val corpusCand = posted
+      .join(semCells.select(col("doc_id").as("sem_dup_of"), col("cluster")),
+        Seq("cluster"))
+      .where(col("doc_id") =!= col("sem_dup_of"))
+      .select(col("doc_id"), col("sem_dup_of"))
+    val selfCand = posted.as("a").join(posted.as("b"),
+        col("a.cluster") === col("b.cluster")
+          && col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"),
+        col("b.doc_id").as("sem_dup_of"))
+    val cand = corpusCand.union(selfCand).distinct()
+    val refVecs = semVecs
+      .select(col("doc_id").as("sem_dup_of"), col("qe").as("qe_c"),
+        col("nrm").as("nrm_c"))
+      .union(emb.select(col("doc_id").as("sem_dup_of"),
+        col("qe").as("qe_c"), col("nrm").as("nrm_c")))
+      .where(col("nrm_c") > 0)
+    val dot = graft.plans.DotProductLong.dotLong(spark) _
+    cand
+      .join(emb, Seq("doc_id"))
+      .join(refVecs, Seq("sem_dup_of"))
+      .withColumn("cos", dot(col("qe"), col("qe_c")).cast("double")
+        / (sqrt(col("nrm").cast("double"))
+          * sqrt(col("nrm_c").cast("double"))))
+      .where(col("cos") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(max_by(col("sem_dup_of"), struct(col("cos"), -col("sem_dup_of")))
+          .as("sem_dup_of"),
+        round(max(col("cos")), 4).as("cos"))
+  }
+
+  /** [[admitBatch]] with the semantic verdict composed in — the full
+    * admission policy of a curation ingest whose corpus also carries an
+    * embedding per document, in precedence order: textual near-dup →
+    * SEMANTIC near-dup ([[semGateAgainstIndex]]) → repetitive → below
+    * the quality floor → admit. `batch` must carry (doc_id, text,
+    * embedding). Returns every batch row with (verdict, dup_of, jac,
+    * sem_dup_of, cos, quality); `verdict = 'sem_dup'` rows carry their
+    * best semantic match. */
+  def admitBatchSem(batch: DataFrame, corpusBandKeys: DataFrame,
+      corpusShingles: DataFrame, semCells: DataFrame, semVecs: DataFrame,
+      annIndexDir: String,
+      bar: Double = graft.operators.DedupOps.TextDupJaccard,
+      minQuality10k: Long = AdmitMinQuality10k,
+      nprobe: Int = graft.operators.DedupOps.NearDupNProbe,
+      cosBar: Double = graft.operators.DedupOps.CosineDupThreshold)
+      : DataFrame = {
+    val spark = batch.sparkSession
+    val textFlagged =
+      gateAgainstCorpus(batch, corpusBandKeys, corpusShingles, bar)
+    val semFlagged = semGateAgainstIndex(spark,
+      batch.select(col("doc_id"), col("embedding")), annIndexDir,
+      semCells, semVecs, nprobe, cosBar)
+    batch.select(col("doc_id"),
+        graft.operators.TextOps.quality10k(col("text")).as("q10k"),
+        graft.operators.TextOps.repetitiveFlag(col("text")).as("repetitive"))
+      .join(textFlagged, Seq("doc_id"), "left")
+      .join(semFlagged, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("dup_of").isNotNull, lit("dup"))
+          .when(col("sem_dup_of").isNotNull, lit("sem_dup"))
+          .when(col("repetitive"), lit("repetitive"))
+          .when(col("q10k") < minQuality10k, lit("low_quality"))
+          .otherwise(lit("admit")))
+      .select(col("doc_id"), col("verdict"), col("dup_of"), col("jac"),
+        col("sem_dup_of"), col("cos"),
+        (col("q10k").cast("double") / 10000.0).as("quality"))
+  }
+
+  /** [[runCuratedIngest]] with the semantic gate composed in: the
+    * per-batch loop for a stream carrying (doc_id, text, embedding).
+    * Admitted docs land in BOTH corpus indexes — minhash bands/shingles
+    * ([[writeCorpusIndex]]) and probed cells/vectors
+    * ([[writeSemIndex]]) — so batch N+1's gate sees batch N's
+    * admissions on both axes; textual AND semantic dup verdicts feed
+    * the maintained group table. The ANN index (`annIndexDir`) must
+    * exist ([[graft.operators.VectorOps.writeAnnIndex]] — the
+    * train-once/serve-many split); its centroids are read per batch but
+    * never retrained here. */
+  def runCuratedIngestSem(stream: DataFrame, idxDir: String,
+      annIndexDir: String, checkpoint: String,
+      bar: Double = graft.operators.DedupOps.TextDupJaccard,
+      minQuality10k: Long = AdmitMinQuality10k,
+      compactEveryBatches: Int = 0)(
+      onVerdicts: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    runPerBatch(stream, checkpoint) { (batch, id) =>
+      val spark = batch.sparkSession
+      val (bk, sh) = loadCorpusIndexOrEmpty(spark, idxDir)
+      val (sc, sv) = loadSemIndexOrEmpty(spark, idxDir)
+      val verdicts = admitBatchSem(batch, bk, sh, sc, sv, annIndexDir,
+        bar, minQuality10k).localCheckpoint(true)
+      val ckptRdds = verdicts.queryExecution.logical.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+      val admitted = batch.join(
+        verdicts.where(col("verdict") === "admit").select(col("doc_id")),
+        Seq("doc_id")).persist()
+      try {
+        writeCorpusIndex(admitted, idxDir, batchId = Some(id))
+        writeSemIndex(spark,
+          admitted.select(col("doc_id"), col("embedding")),
+          annIndexDir, idxDir, id)
+        appendGroupEdges(
+          verdicts.where(col("verdict") === "dup")
+            .select(col("doc_id").as("id_a"), col("dup_of").as("id_b"))
+            .union(verdicts.where(col("verdict") === "sem_dup")
+              .select(col("doc_id").as("id_a"),
+                col("sem_dup_of").as("id_b"))),
+          idxDir, id)
+        appendIngestMetrics(verdicts, idxDir, id)
+        if (compactEveryBatches > 0 && (id + 1) % compactEveryBatches == 0) {
+          compactCorpusIndex(spark, idxDir)
+          graft.functions.ScaleUtils.compactParquet(spark, s"$idxDir/sem_cells")
+          graft.functions.ScaleUtils.compactParquet(spark, s"$idxDir/sem_vectors")
+          foldGroupTable(spark, idxDir)
+          graft.functions.ScaleUtils.compactParquet(
+            spark, s"$idxDir/ingest_metrics")
+        }
+        onVerdicts(verdicts, id)
+      } finally {
+        admitted.unpersist(false)
+        ckptRdds.foreach(_.unpersist(false))
+      }
+    }
+
   /** Shared streaming-wrapper contract for the per-batch operators:
     * AvailableNow foreachBatch, checkpoint REQUIRED (without it a
     * restart replays the whole source and re-emits every historical

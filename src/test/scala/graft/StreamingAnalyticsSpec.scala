@@ -205,6 +205,63 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(buf.count(_._1 == 9101L) == 1)
   }
 
+  test("semantic gate: batch-2 embedding duplicating an admitted " +
+      "batch-1 doc is rejected sem_dup") {
+    // the later-batches-see-earlier-admissions contract on the EMBEDDING
+    // axis: two texts with nothing in common textually but the same
+    // embedding — batch 1 admits, writeSemIndex appends its cells +
+    // vector, batch 2's gate must flag against that admission with the
+    // exact cosine (1.0 for an identical vector)
+    val annDir = java.nio.file.Files.createTempDirectory("semann").toString
+    graft.operators.VectorOps.writeAnnIndex(spark, sfDir, annDir)
+    val dim = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(size(col("embedding"))).first().getInt(0)
+    val emb = Array.tabulate(dim)(i => 0.3f + 0.01f * (i % 7))
+    val textA = "a genuinely novel paragraph about walrus migration " +
+      "routes with plenty of distinct readable words and the usual " +
+      "connective tissue of an honest document"
+    val textB = "completely different prose describing quantum chess " +
+      "strategies and the many openings that tournament players have " +
+      "favored over the long history of the game"
+    val idxDir = java.nio.file.Files.createTempDirectory("semidx")
+      .toString + "/never_written"
+    val inDir = java.nio.file.Files.createTempDirectory("semin").toString
+    Seq((9301L, textA, emb)).toDF("doc_id", "text", "embedding")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    Thread.sleep(1100) // distinct mtimes → deterministic batch order
+    Seq((9302L, textB, emb)).toDF("doc_id", "text", "embedding")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("embedding", ArrayType(FloatType))))
+    val buf =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, Any, Any)]
+    val q = StreamingAnalytics.runCuratedIngestSem(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(inDir),
+      idxDir, annDir,
+      java.nio.file.Files.createTempDirectory("semckpt").toString) {
+      (verdicts, _) =>
+        buf ++= verdicts.collect().map(r => (r.getLong(0),
+          r.getAs[String]("verdict"), r.getAs[Any]("sem_dup_of"),
+          r.getAs[Any]("cos")))
+    }
+    q.awaitTermination()
+    val byId = buf.map(t => t._1 -> t).toMap
+    assert(byId(9301L)._2 == "admit",
+      s"novel text + novel embedding must admit, got $buf")
+    assert(byId(9302L)._2 == "sem_dup" && byId(9302L)._3 == 9301L,
+      s"the NEXT batch's embedding copy must flag against the prior " +
+        s"admission (sem-index append), got $buf")
+    assert(byId(9302L)._4 == 1.0,
+      s"identical vector must verify at exact cosine 1.0, got $buf")
+    // the maintained group table carries the semantic edge too
+    val groups = StreamingAnalytics.loadGroupTable(spark, idxDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.get(9302L).contains(9301L),
+      s"sem_dup edge must reach the group table, got ${groups.toSeq}")
+  }
+
   test("curated ingest loop: unseeded index dir bootstraps empty") {
     // NO writeCorpusIndex seeding — the dir does not exist; the first
     // micro-batch must judge against an empty corpus (ADVICE r6). That
