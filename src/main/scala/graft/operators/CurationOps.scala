@@ -245,8 +245,13 @@ object CurationOps {
       .withColumn("t_cnt", coalesce(col("t_cnt"), lit(0L)))
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
+        // greatest(t_total, 1): a corpus with ZERO target-lang tokens
+        // has no target distribution to aim at — the guarded fallback
+        // makes every ratio ≈ r_total (uniform weights, nothing
+        // preferentially sampled) in BOTH engines, instead of Spark's
+        // silent NULL vs DuckDB's division error (ADVICE r9)
         expr(s"((t_cnt + 1) * ${TextOps.LmPpmUnit} div (r_cnt + 1))" +
-          " * r_total div t_total").as("ratio_ppm"))
+          " * r_total div greatest(t_total, 1)").as("ratio_ppm"))
     ex.join(broadcast(ratio), Seq("bucket"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tok"), sum(col("ratio_ppm")).as("ratio_sum"))
@@ -1051,7 +1056,8 @@ object CurationOps {
          |ratio AS (
          |  SELECT r.bucket,
          |    ((coalesce(t.t_cnt, 0) + 1) * ${TextOps.LmPpmUnit}
-         |      // (r.r_cnt + 1)) * r_total // t_total AS ratio_ppm
+         |      // (r.r_cnt + 1)) * r_total
+         |      // greatest(t_total, 1) AS ratio_ppm
          |  FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket, tot)
          |SELECT doc_id, lang, count(*) AS n_tok,
          |  CAST(sum(ratio_ppm) AS BIGINT) // count(*) AS weight_ppm
@@ -1111,7 +1117,8 @@ object CurationOps {
          |      FROM c)
          |SELECT any_value(total) AS n_docs, any_value(k_target) AS k_target,
          |  max(q10k) AS floor_q10k, min(cum) AS n_admitted
-         |FROM k WHERE cum >= k_target""".stripMargin,
+         |FROM k WHERE cum >= k_target
+         |HAVING count(*) > 0""".stripMargin,
     "q_stratified_sample" ->
       s"""SELECT lang, count(*) AS n_kept,
          |  min(doc_id) AS min_kept_id, max(doc_id) AS max_kept_id

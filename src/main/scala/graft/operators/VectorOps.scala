@@ -798,9 +798,13 @@ object VectorOps {
     * path guards them, this is where the guard's reach is visible).
     * One projection + one hash aggregation; linear at any scale.
     * `sum_nrm_milli2` is long-exact to ~9×10⁹ unit-norm vectors per
-    * label (nrm ≈ 10⁹ milli² each); past that the sum widens to
-    * DECIMAL(38) — the per-vector stats and the truncated mean stay in
-    * range regardless. */
+    * label (nrm ≈ 10⁹ milli² each); past that envelope Spark's sum over
+    * LongType does NOT widen — it wraps (or throws under ANSI) — so a
+    * deployment approaching it must widen explicitly
+    * (`sum(col("nrm").cast("decimal(38,0)"))`); the DuckDB oracle's
+    * HUGEINT sum is cast back to BIGINT, so both engines agree exactly
+    * inside the envelope. The per-vector stats and the truncated mean
+    * stay in range regardless. */
   def embeddingStats(spark: SparkSession, dir: String): DataFrame =
     quantized(spark, dir)
       .groupBy(col("label"))
