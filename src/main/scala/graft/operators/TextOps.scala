@@ -184,6 +184,34 @@ object TextOps {
     merges.toDF("merge_rank", "pair", "n_occ").orderBy(col("merge_rank"))
   }
 
+  /** The frequency-weighted vocabulary of a corpus in SENTINEL-SPACE
+    * encoding — (tok, w, cnt) where `w` wraps every symbol in spaces
+    * (`"abc"` → `" a  b  c "`; see [[bpeMerges]] for why that makes
+    * merge application a literal string replace). The shared entry
+    * relation of both the TRAIN path ([[bpeLoop]]) and the APPLY path
+    * ([[bpeEncode]]). */
+  private def sentinelVocab(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .select(col("tok"),
+        concat(lit(" "), array_join(split(col("tok"), ""), "  "),
+          lit(" ")).as("w"), col("cnt"))
+
+  /** Apply a STORED merge table (rank-ordered pairs from [[bpeMerges]])
+    * to a sentinel-space vocabulary — the tokenizer-APPLY projection: the
+    * same nested literal replaces the trainer's loop uses, with the
+    * merges supplied instead of trained. Vocabulary-sized, fully inside
+    * whole-stage codegen; this is the per-shard kernel a data pipeline
+    * ships to encode new corpora with a frozen tokenizer. */
+  private[graft] def applyMerges(vocab: DataFrame,
+      merges: Seq[String]): DataFrame =
+    merges.foldLeft(vocab) { (df, pair) =>
+      df.withColumn("w", replace(col("w"),
+        lit(" " + pair.replace(" ", "  ") + " "),
+        lit(" " + pair.replace(" ", "") + " ")))
+    }
+
   /** Shared core of the BPE family: the merge loop over the persisted
     * frequency-weighted vocabulary. Returns (ranked merges, the
     * post-loop vocabulary still in sentinel-space encoding with its
@@ -191,14 +219,14 @@ object TextOps {
     * return a plan READING the vocabulary leave it cached under the
     * harness clearCache contract; [[bpeMerges]] frees it eagerly). */
   private def bpeLoop(spark: SparkSession, dir: String)
+      : (Seq[(Long, String, Long)], DataFrame, DataFrame) =
+    bpeLoopOver(spark, Tables.documents(spark, dir))
+
+  /** [[bpeLoop]] over any (text) relation — split out so the encode
+    * path can TRAIN on one split and APPLY to another. */
+  private def bpeLoopOver(spark: SparkSession, docs: DataFrame)
       : (Seq[(Long, String, Long)], DataFrame, DataFrame) = {
-    val base = Tables.documents(spark, dir)
-      .select(explode(toks(col("text"))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .select(col("tok"),
-        concat(lit(" "), array_join(split(col("tok"), ""), "  "),
-          lit(" ")).as("w"), col("cnt"))
-      .persist()
+    val base = sentinelVocab(docs).persist()
     val merges = Seq.newBuilder[(Long, String, Long)]
     var words = base
     var rank = 1
@@ -248,6 +276,48 @@ object TextOps {
     words.select(col("tok"), col("cnt"),
       array_join(split(trim(col("w")), "  "), " ").as("symbols"),
       size(split(trim(col("w")), "  ")).as("n_symbols"))
+  }
+
+  /** The doc_id parity split [[bpeEncode]] trains on: even ids are the
+    * TRAINING corpus, odd ids the NEW corpus the stored merges encode —
+    * a deterministic stand-in for "yesterday's tokenizer, today's
+    * data". */
+  val BpeTrainParity = 0
+
+  /** Tokenizer-APPLY entry point (VERDICT r9 #5) — encode a NEW corpus
+    * with a STORED merge table: train [[BpeMergeIters]] merges on the
+    * even-doc_id split ([[BpeTrainParity]]), then segment the HELD-OUT
+    * (odd-id) corpus by applying those merges as a frozen artifact via
+    * [[applyMerges]] — no retraining, the projection a production
+    * pipeline runs per shard with the tokenizer shipped to every
+    * executor. Emits the held-out segmented vocabulary in
+    * [[bpeSegmented]]'s shape (tok, cnt, symbols, n_symbols); unseen
+    * tokens fall through to their character segmentation exactly as a
+    * real BPE does below the merge table.
+    *
+    * Scale shape: training cost is the [[bpeLoop]] shape over the train
+    * split; the APPLY side is one explode + hash-agg to the held-out
+    * vocabulary and then [[BpeMergeIters]] nested codegen'd replaces —
+    * linear, no join, no driver round-trips beyond the trainer's own
+    * per-iteration argmax. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    bpeEncodeWith(spark,
+      docs.where(pmod(col("doc_id"), lit(2)) === BpeTrainParity),
+      docs.where(pmod(col("doc_id"), lit(2)) =!= BpeTrainParity))
+  }
+
+  /** [[bpeEncode]] with explicit train/apply corpora — split out so the
+    * consistency spec can encode the TRAINING corpus itself and assert
+    * it reproduces [[bpeSegmented]] exactly. */
+  private[graft] def bpeEncodeWith(spark: SparkSession, trainDocs: DataFrame,
+      applyDocs: DataFrame): DataFrame = {
+    val (merges, _, base) = bpeLoopOver(spark, trainDocs)
+    base.unpersist(false)
+    applyMerges(sentinelVocab(applyDocs), merges.map(_._2))
+      .select(col("tok"), col("cnt"),
+        array_join(split(trim(col("w")), "  "), " ").as("symbols"),
+        size(split(trim(col("w")), "  ")).as("n_symbols"))
   }
 
   /** Per-document token count under the TRAINED tokenizer — the precise
@@ -902,6 +972,7 @@ object TextOps {
     "q_bpe_pairs"      -> bpePairs _,
     "q_bpe_merges"     -> bpeMerges _,
     "q_bpe_segmented"  -> bpeSegmented _,
+    "q_bpe_encode"     -> bpeEncode _,
     "q_bpe_symbol_vocab" -> bpeSymbolVocab _,
     "q_bpe_token_count" -> bpeTokenCount _,
     "q_langid"         -> langId _,
@@ -929,9 +1000,15 @@ object TextOps {
     * by the same total order → apply the merge with the same
     * sentinel-space literal `replace`. The one-row `m{i}` CTE joins back
     * in as a scalar (the SQL rendering of the Spark loop's collect). */
-  private val bpeLevelsSql: String = {
-    val enc = "' ' || array_to_string(list_transform(" +
-      "range(1, length(tok) + 1), i -> tok[CAST(i AS INT)]), '  ') || ' '"
+  /** Sentinel-space encoding of `tok` as a DuckDB expression (the SQL
+    * twin of [[sentinelVocab]]'s `w` column). */
+  private val sentinelEncSql = "' ' || array_to_string(list_transform(" +
+    "range(1, length(tok) + 1), i -> tok[CAST(i AS INT)]), '  ') || ' '"
+
+  /** [[bpeLevelsSql]] with the training corpus restricted by `where` —
+    * the parameterized form the encode twin needs (train on one split,
+    * apply to the other). */
+  private def bpeLevelsSqlOver(where: String): String = {
     val levels = (1 to BpeMergeIters).map { i =>
       val p = i - 1
       s"""s$i AS (SELECT string_split(trim(w), '  ') AS s, cnt FROM w$p),
@@ -948,11 +1025,14 @@ object TextOps {
          |  FROM w$p, m$i)""".stripMargin
     }.mkString(",\n")
     s"""WITH w0 AS (
-       |  SELECT tok, $enc AS w, count(*) AS cnt
-       |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
+       |  SELECT tok, $sentinelEncSql AS w, count(*) AS cnt
+       |  FROM (SELECT unnest($toksSql) AS tok FROM documents
+       |        WHERE $where)
        |  GROUP BY tok),
        |$levels""".stripMargin
   }
+
+  private val bpeLevelsSql: String = bpeLevelsSqlOver("TRUE")
 
   private val bpeMergesSql: String =
     s"""$bpeLevelsSql
@@ -967,6 +1047,35 @@ object TextOps {
        |  array_to_string(string_split(trim(w), '  '), ' ') AS symbols,
        |  CAST(len(string_split(trim(w), '  ')) AS INT) AS n_symbols
        |FROM w$BpeMergeIters""".stripMargin
+
+  /** DuckDB twin of [[bpeEncode]] — the merge loop unrolled over the
+    * EVEN-doc_id training split, then the APPLY chain e0..eN: the
+    * held-out (odd-id) vocabulary pushed through each stored merge as a
+    * literal replace. LEFT JOIN ON TRUE + CASE keeps an EXHAUSTED level
+    * (empty m_i — every training word one symbol) an identity step, the
+    * same no-op the Spark loop's early exit produces. */
+  private val bpeEncodeSql: String = {
+    val applies = (1 to BpeMergeIters).map { i =>
+      val p = i - 1
+      s"""e$i AS (SELECT e.tok,
+         |    CASE WHEN m.pair IS NULL THEN e.w
+         |         ELSE replace(e.w, ' ' || replace(m.pair, ' ', '  ') || ' ',
+         |           ' ' || replace(m.pair, ' ', '') || ' ') END AS w,
+         |    e.cnt
+         |  FROM e$p e LEFT JOIN m$i m ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""${bpeLevelsSqlOver("doc_id % 2 = 0")},
+       |e0 AS (
+       |  SELECT tok, $sentinelEncSql AS w, count(*) AS cnt
+       |  FROM (SELECT unnest($toksSql) AS tok FROM documents
+       |        WHERE doc_id % 2 = 1)
+       |  GROUP BY tok),
+       |$applies
+       |SELECT tok, cnt,
+       |  array_to_string(string_split(trim(w), '  '), ' ') AS symbols,
+       |  CAST(len(string_split(trim(w), '  ')) AS INT) AS n_symbols
+       |FROM e$BpeMergeIters""".stripMargin
+  }
 
   private val bpeTokenCountSql: String =
     s"""$bpeLevelsSql,
@@ -1062,6 +1171,7 @@ object TextOps {
          |LIMIT $BpeTopK""".stripMargin,
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_segmented" -> bpeSegmentedSql,
+    "q_bpe_encode" -> bpeEncodeSql,
     "q_bpe_symbol_vocab" -> bpeSymbolVocabSql,
     "q_bpe_token_count" -> bpeTokenCountSql,
     "q_token_estimate" ->
