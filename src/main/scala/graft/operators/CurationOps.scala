@@ -430,9 +430,19 @@ object CurationOps {
     * Scale shape: per-row token array + one explode of the start
     * sequence — output rows ∝ corpus tokens / stride, no shuffle, no
     * UDF; zero-token docs drop (no empty chunk). */
-  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    chunkedToks(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("chunk_id"),
+        size(col("ctoks")).as("n_tok"),
+        md5(array_join(col("ctoks"), " ").cast("binary")).as("chunk_fp"))
+
+  /** The chunk relation WITH its token arrays — (doc_id, lang,
+    * chunk_id, ctoks), the pre-fingerprint form [[chunkDocs]] projects
+    * down and the chunk-EMBEDDING path
+    * ([[graft.operators.DedupOps.chunkSemDedup]]) consumes directly. */
+  private[graft] def chunkedToks(docs: DataFrame): DataFrame = {
     val toksCol = filter(split(col("text"), " "), t => t =!= "")
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("lang"), toksCol.as("toks"))
       .withColumn("n", size(col("toks")))
       .where(col("n") > 0)
@@ -442,9 +452,6 @@ object CurationOps {
       .select(col("doc_id"), col("lang"),
         (col("start") / ChunkStride).cast("int").as("chunk_id"),
         slice(col("toks"), col("start") + 1, lit(ChunkTokens)).as("ctoks"))
-      .select(col("doc_id"), col("lang"), col("chunk_id"),
-        size(col("ctoks")).as("n_tok"),
-        md5(array_join(col("ctoks"), " ").cast("binary")).as("chunk_fp"))
   }
 
   /** CHUNK-level dedup (VERDICT r6 #5) — real pipelines dedup below
@@ -713,7 +720,16 @@ object CurationOps {
     * Every returned frame is the READ-BACK of its parquet output
     * (groups, canonical, dup_rates, funnel), so downstream consumers
     * scan a table instead of re-deriving the plan. Spec-pinned: each
-    * output equals its declared query's result row-for-row. */
+    * output equals its declared query's result row-for-row.
+    *
+    * Deliberate non-goal: the funnel's chunk signals are EXACT
+    * (fingerprint dedup + benchmark containment); chunk-level SEMANTIC
+    * dedup exists as its own composition
+    * ([[graft.operators.DedupOps.chunkSemDedup]] — declared and
+    * oracled) rather than as a funnel stage, because its verdicts are
+    * per-CHUNK while the funnel assigns one drop reason per DOCUMENT —
+    * a retrieval-corpus build runs it downstream of admission, on the
+    * chunks of the admitted set. */
   def curationRun(spark: SparkSession, dir: String, outDir: String)
       : Map[String, DataFrame] = {
     DedupOps.textDedupGroups(spark, dir)
@@ -797,19 +813,28 @@ object CurationOps {
     * length on both engines, so the tail chunk's n_tok is
     * min(64, n - start); the contained-tail filter mirrors chunkDocs
     * (start = 0 or new content). */
-  private lazy val chunksCtes: String =
+  /** DuckDB twin of [[chunkedToks]] (ends in `cht(doc_id, lang,
+    * chunk_id, ctoks)`) — the pre-fingerprint chunk relation, shared
+    * with the chunk-embedding SemDeDup oracle in
+    * [[graft.operators.DedupOps]]. */
+  private[operators] lazy val chunkToksCtes: String =
     s"""ct AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
        |cs AS (SELECT doc_id, lang, toks, len(toks) AS n
        |       FROM ct WHERE len(toks) > 0),
        |cc AS (SELECT doc_id, lang, toks, n,
        |       unnest(range(0, n, $ChunkStride)) AS start FROM cs),
-       |ch AS (SELECT doc_id, lang,
+       |cht AS (SELECT doc_id, lang,
        |  CAST(start // $ChunkStride AS INT) AS chunk_id,
-       |  CAST(least($ChunkTokens, n - start) AS INT) AS n_tok,
-       |  md5(array_to_string(
-       |    toks[CAST(start + 1 AS INT):CAST(start + $ChunkTokens AS INT)],
-       |    ' ')) AS chunk_fp
+       |  toks[CAST(start + 1 AS INT):CAST(start + $ChunkTokens AS INT)]
+       |    AS ctoks
        |  FROM cc WHERE start = 0 OR start + $ChunkOverlap < n)""".stripMargin
+
+  private lazy val chunksCtes: String =
+    s"""$chunkToksCtes,
+       |ch AS (SELECT doc_id, lang, chunk_id,
+       |  CAST(len(ctoks) AS INT) AS n_tok,
+       |  md5(array_to_string(ctoks, ' ')) AS chunk_fp
+       |  FROM cht)""".stripMargin
 
   /** Per-chunk CROSS-DOC dup marker over `ch` (ends in
     * `chr(doc_id, lang, is_dup)`): a chunk is a dup iff a LOWER-id doc

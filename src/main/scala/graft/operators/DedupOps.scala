@@ -775,6 +775,57 @@ object DedupOps {
       quantizedAll(spark, Tables.embeddings(spark, dir)), threshold)
   }
 
+  /** vec_id packing for chunk-level vectors: doc_id · span + chunk_id.
+    * 1024 covers ~49k-token documents at the [[CurationOps.ChunkStride]]
+    * stride; widen for longer documents (the id stays long-exact to
+    * ~9×10¹⁵ docs at this span). */
+  val ChunkVecSpan = 1024L
+
+  /** Cosine bar for chunk-level semantic dedup — higher than the
+    * vector-level [[CosineDupThreshold]]: a PASSAGE is a semantic dup
+    * only when its (hashed bag-of-words) vector nearly coincides,
+    * not merely correlates — on a shared-vocabulary corpus the corpus-
+    * wide baseline similarity is already substantial. */
+  val ChunkSemDupThreshold = 0.9
+
+  /** Chunk-level SemDeDup (VERDICT r9 #8) — semantic dedup at PASSAGE
+    * granularity, the composition a retrieval-corpus builder runs:
+    * [[CurationOps.chunkedToks]] windows each document, every chunk
+    * gets a deterministic [[VectorOps.hashEmbedOf]] embedding (the
+    * encoder stand-in — swap in real chunk vectors at deployment), and
+    * [[semDedupCore]] clusters + prunes exactly as at document level.
+    * Emits one verdict per chunk: (doc_id, chunk_id, cluster,
+    * dup_doc_id, dup_chunk_id, kept) — the canonical is the lowest
+    * packed id in the cluster within the bar, so cross-document AND
+    * intra-document semantic repeats both surface (contrast
+    * [[CurationOps.chunkDedupOf]]: exact fingerprints, cross-doc only).
+    *
+    * Scale shape: chunking and embedding are linear (explode + two hash
+    * aggs); the dedup is [[semDedupCore]]'s cluster-blocked shape — at
+    * corpus scale call with cells = [[ivfCells]](nChunks) ≈ √n like
+    * [[semDedupAuto]] (the declared query pins the oracle-shaped fixed
+    * cell count). */
+  def chunkSemDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkSemDedupOf(spark, Tables.documents(spark, dir))
+
+  /** [[chunkSemDedup]] over any (doc_id, lang, text) relation — split
+    * out so specs can plant documents with known duplicated passages. */
+  private[graft] def chunkSemDedupOf(spark: SparkSession, docs: DataFrame,
+      threshold: Double = ChunkSemDupThreshold, cells: Int = SemDedupCells,
+      trainIters: Int = 2): DataFrame = {
+    val chunkToks = CurationOps.chunkedToks(docs)
+      .select((col("doc_id") * ChunkVecSpan + col("chunk_id")).as("vec_id"),
+        col("ctoks").as("toks"))
+    semDedupCore(spark, VectorOps.hashEmbedOf(chunkToks), threshold, cells,
+      trainIters)
+      .select(expr(s"vec_id div $ChunkVecSpan").as("doc_id"),
+        expr(s"vec_id % $ChunkVecSpan").cast("int").as("chunk_id"),
+        col("cluster"),
+        expr(s"sem_dup_of div $ChunkVecSpan").as("dup_doc_id"),
+        expr(s"sem_dup_of % $ChunkVecSpan").cast("int").as("dup_chunk_id"),
+        col("kept"))
+  }
+
   /** Shared verdict tail of the SemDeDup family: within-cluster pairs
     * over the assigned membership, exact-cosine threshold, per-vector
     * lowest-id canonical. `assigned` needs (vec_id, cluster); `all`
@@ -1256,6 +1307,7 @@ object DedupOps {
     // saturation it must be bit-identical to cosineNearDup — same oracle
     "q_cosine_neardup" -> ((s: SparkSession, d: String) => cosineNearDupAuto(s, d)),
     "q_semdedup" -> ((s: SparkSession, d: String) => semDedup(s, d)),
+    "q_chunk_semdedup" -> chunkSemDedup _,
     "q_dedup_groups" -> ((s: SparkSession, d: String) => dedupGroups(s, d)),
     "q_text_dedup_groups" -> textDedupGroups _,
     "q_group_sizes" -> dupGroupSizes _,
@@ -1383,6 +1435,51 @@ object DedupOps {
          |    >= $CosineDupThreshold
          |  GROUP BY b.vec_id)
          |SELECT m.vec_id, m.cluster, d.sem_dup_of,
+         |  d.sem_dup_of IS NULL AS kept
+         |FROM (SELECT vec_id, cluster FROM a1) m
+         |LEFT JOIN dups d ON d.vec_id = m.vec_id""".stripMargin,
+    // the chunk-level SemDeDup twin: chunk windows (shared CTE with the
+    // q_chunks oracle) → hashed bag-of-words embedding (string-keyed md5
+    // buckets, signed; ×1000 = the same milli-quantization every vector
+    // path uses) → the parameterized Lloyd chain at 16 dims → the
+    // q_semdedup verdict tail over packed chunk ids
+    "q_chunk_semdedup" ->
+      s"""WITH ${CurationOps.chunkToksCtes},
+         |cex AS (SELECT doc_id * $ChunkVecSpan + chunk_id AS vec_id,
+         |          unnest(ctoks) AS tok FROM cht),
+         |cb AS (SELECT vec_id, substr(md5(tok), 1, 1) AS b,
+         |         CASE WHEN substr(md5(tok), 2, 1) < '8' THEN 1 ELSE -1 END
+         |           AS s
+         |       FROM cex),
+         |cv AS (SELECT vec_id, b, CAST(sum(s) AS BIGINT) AS v
+         |       FROM cb GROUP BY vec_id, b),
+         |dig AS (SELECT i, substr('0123456789abcdef', CAST(i + 1 AS INT), 1)
+         |          AS b
+         |        FROM range(${VectorOps.HashEmbedDims}) t(i)),
+         |cemb AS (
+         |  SELECT c.vec_id, list(coalesce(cv.v, 0) * 1000 ORDER BY d.i) AS qe
+         |  FROM (SELECT DISTINCT vec_id FROM cv) c
+         |  CROSS JOIN dig d
+         |  LEFT JOIN cv ON cv.vec_id = c.vec_id AND cv.b = d.b
+         |  GROUP BY c.vec_id),
+         |${VectorOps.kmeansCtesOverSql("cemb", VectorOps.HashEmbedDims)},
+         |memb AS (
+         |  SELECT a.vec_id, a.cluster, v.qe, v.nrm
+         |  FROM a1 a JOIN n v ON v.vec_id = a.vec_id
+         |  WHERE v.nrm > 0),
+         |dups AS (
+         |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS sem_dup_of
+         |  FROM memb a JOIN memb b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE CAST(list_dot_product(a.qe, b.qe) AS DOUBLE)
+         |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
+         |    >= $ChunkSemDupThreshold
+         |  GROUP BY b.vec_id)
+         |SELECT m.vec_id // $ChunkVecSpan AS doc_id,
+         |  CAST(m.vec_id % $ChunkVecSpan AS INT) AS chunk_id,
+         |  m.cluster,
+         |  d.sem_dup_of // $ChunkVecSpan AS dup_doc_id,
+         |  CAST(d.sem_dup_of % $ChunkVecSpan AS INT) AS dup_chunk_id,
          |  d.sem_dup_of IS NULL AS kept
          |FROM (SELECT vec_id, cluster FROM a1) m
          |LEFT JOIN dups d ON d.vec_id = m.vec_id""".stripMargin,

@@ -44,6 +44,42 @@ object VectorOps {
       .withColumn("nrm", dot(col("qe"), col("qe")))
   }
 
+  /** Dimensionality of [[hashEmbedOf]]'s hashed bag-of-words space: one
+    * bucket per md5 leading hex digit. */
+  private[graft] val HashEmbedDims = 16
+
+  /** Hashed bag-of-words EMBEDDING — the feature-hashing trick: each
+    * token lands in one of [[HashEmbedDims]] buckets by its md5 leading
+    * hex digit, signed by the next digit, and a text's embedding is the
+    * signed bucket-count vector. Deterministic, vocabulary-free, and
+    * cross-engine exact (buckets stay STRING-keyed hex digits — no
+    * hex→int conversion to diverge, the [[graft.operators.CurationOps]]
+    * DSIR bucket discipline); signed buckets make collisions cancel in
+    * expectation, so inner products track token-overlap similarity —
+    * the signal chunk-level semantic dedup needs in a sandbox with no
+    * encoder model. A production deployment swaps this kernel for a
+    * real encoder's vectors; downstream consumers
+    * ([[graft.operators.DedupOps.chunkSemDedup]]) only ever see
+    * (vec_id, embedding).
+    *
+    * Scale shape: one explode + a bucket-sum hash aggregation (≤
+    * [[HashEmbedDims]] rows per vec_id, partial-aggregated map-side) +
+    * one map-assembly aggregation per vec_id — linear, no join. Input:
+    * (vec_id, toks). */
+  private[graft] def hashEmbedOf(toksFrame: DataFrame): DataFrame =
+    toksFrame
+      .select(col("vec_id"), explode(col("toks")).as("tok"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+      .select(col("vec_id"), substring(col("h"), 1, 1).as("b"),
+        when(substring(col("h"), 2, 1) < "8", 1L).otherwise(-1L).as("s"))
+      .groupBy(col("vec_id"), col("b")).agg(sum(col("s")).as("v"))
+      .groupBy(col("vec_id"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("v")))).as("m"))
+      .select(col("vec_id"),
+        transform(array("0123456789abcdef".map(c => lit(c.toString)): _*),
+          c => coalesce(element_at(col("m"), c), lit(0L)).cast("float"))
+          .as("embedding"))
+
   /** Two-phase top-k by (sim desc, id asc) per query — the scale-safe
     * replacement for `row_number().over(partitionBy(query_id))`: query_id
     * has ~nQueries values, so that window shuffles EVERY scored corpus
@@ -949,13 +985,17 @@ object VectorOps {
 
   private val qSql = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
-  /** Shared Lloyd-iteration CTE chain (seeds c0 → assign a0 → update c1 →
-    * assign a1), reused by the q_kmeans and q_ann_ivf_kmeans oracles. */
-  private[operators] lazy val kmeansCtesSql: String =
-    s"""emb AS (SELECT vec_id, $qSql AS qe FROM embeddings),
-       |n AS (SELECT vec_id, qe, list_dot_product(qe, qe) AS nrm FROM emb),
+  /** Lloyd-iteration CTE chain (quantize n → seeds c0 → assign a0 →
+    * update c1 → assign a1) over ANY (vec_id, qe) source CTE at any
+    * dimensionality — the parameterized form the chunk-embedding
+    * SemDeDup twin needs. Seeds are the k=8 LOWEST vec_ids present
+    * (ORDER BY + LIMIT, the SQL rendering of [[kmeansCoreOf]]'s
+    * TakeOrderedAndProject seeding — on the dense-from-0 embeddings
+    * table identical to the previous `vec_id < 8` form). */
+  private[operators] def kmeansCtesOverSql(src: String, dims: Int): String =
+    s"""n AS (SELECT vec_id, qe, list_dot_product(qe, qe) AS nrm FROM $src),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, qe AS centroid,
-       |         nrm AS c_nrm FROM n WHERE vec_id < 8),
+       |         nrm AS c_nrm FROM n ORDER BY vec_id LIMIT 8),
        |a0 AS (
        |  SELECT vec_id, cluster, qe, dist2 FROM (
        |    SELECT v.vec_id, c.cluster, v.qe,
@@ -968,7 +1008,7 @@ object VectorOps {
        |g1 AS (
        |  SELECT cluster, i,
        |    CAST(sum(qe[CAST(i + 1 AS INT)]) AS BIGINT) AS s, count(*) AS cnt
-       |  FROM a0, range(64) t(i) GROUP BY cluster, i),
+       |  FROM a0, range($dims) t(i) GROUP BY cluster, i),
        |c1 AS (
        |  SELECT cluster,
        |    list(CASE WHEN s >= 0 THEN s // cnt ELSE -((-s) // cnt) END
@@ -985,6 +1025,12 @@ object VectorOps {
        |                 c.cluster ASC) AS rk
        |    FROM n v CROSS JOIN c1n c)
        |  WHERE rk = 1)""".stripMargin
+
+  /** Shared Lloyd-iteration CTE chain over the EMBEDDINGS table, reused
+    * by the q_kmeans, q_ann_ivf_kmeans and q_semdedup oracles. */
+  private[operators] lazy val kmeansCtesSql: String =
+    s"""emb AS (SELECT vec_id, $qSql AS qe FROM embeddings),
+       |${kmeansCtesOverSql("emb", 64)}""".stripMargin
 
   /** Exact within-label NN oracle — shared by q_nn_per_label and the auto
     * entry point q_nn_auto (below the cutover they are the same query). */

@@ -121,4 +121,39 @@ class SemDedupSpec extends SparkSpec {
     assert(!got(2L).getAs[Boolean]("kept")
       && got(2L).getAs[Long]("sem_dup_of") == 0L)
   }
+
+  test("chunk-level: a copied passage is dropped, distinct passages kept") {
+    // three one-chunk docs (exactly ChunkTokens tokens each): doc 1
+    // copies doc 0's passage verbatim — identical hashed bag-of-words
+    // vectors, cosine 1.0 ≥ the 0.9 bar; doc 2 shares no vocabulary
+    val tA = (1 to 64).map(i => s"alpha$i").mkString(" ")
+    val tC = (1 to 64).map(i => s"omega$i").mkString(" ")
+    val docs = Seq((0L, "en", tA), (1L, "en", tA), (2L, "en", tC))
+      .toDF("doc_id", "lang", "text")
+    val got = DedupOps.chunkSemDedupOf(spark, docs, cells = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    assert(got.size == 3, s"one verdict per chunk: ${got.keySet}")
+    assert(got((0L, 0)).getAs[Boolean]("kept"))
+    val copied = got((1L, 0))
+    assert(!copied.getAs[Boolean]("kept"), s"copied passage must drop: $copied")
+    assert(copied.getAs[Long]("dup_doc_id") == 0L
+      && copied.getAs[Int]("dup_chunk_id") == 0)
+    assert(got((2L, 0)).getAs[Boolean]("kept"))
+  }
+
+  test("chunk-level at sf0.001: one verdict per chunk, canonical lower-id") {
+    val rows = DedupOps.chunkSemDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val packed = r.getLong(0) * DedupOps.ChunkVecSpan + r.getInt(1)
+      if (!r.getAs[Boolean]("kept")) {
+        val dup = r.getAs[Long]("dup_doc_id") * DedupOps.ChunkVecSpan +
+          r.getAs[Int]("dup_chunk_id")
+        assert(dup < packed, s"canonical must be lower packed id: $r")
+      } else assert(r.isNullAt(r.fieldIndex("dup_doc_id")))
+    }
+    val nChunks = graft.operators.CurationOps.chunkDocs(spark, sfDir).count()
+    assert(rows.length.toLong == nChunks,
+      "every chunk gets a verdict — none lost in the embed/cluster path")
+  }
 }
