@@ -343,6 +343,37 @@ object TextOps {
       .agg(sum(col("n_symbols")).as("n_bpe_tokens"))
   }
 
+  /** Tokenizer FERTILITY report — the per-language efficiency card a
+    * tokenizer evaluation ships: how many trained-BPE tokens a word
+    * costs (`fertility_100`, 1e-2 units) and how many characters one
+    * BPE token carries (`chars_per_token_100`), per language. High
+    * fertility on a language = the merge table under-serves it — the
+    * signal that drives per-language merge budgets in multilingual
+    * tokenizer training. Ratios are integer-exact in 1e-2 units
+    * (long-safe to ~9×10¹⁶ corpus tokens — far past a 100 TB corpus's
+    * ~2.5×10¹³); counts are exact sums.
+    *
+    * Scale shape: [[bpeTokenCount]]'s explode ⋈ vocabulary join (the
+    * segmentation side is vocabulary-sized, broadcastable) re-grouped
+    * to the ~handful of languages — one extra hash agg over the same
+    * scan. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val (_, words, _) = bpeLoop(spark, dir)
+    val seg = words.select(col("tok"),
+      size(split(trim(col("w")), "  ")).as("n_symbols"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(toks(col("text"))).as("tok"))
+      .join(seg, Seq("tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_symbols")).as("n_bpe_tokens"),
+        sum(length(col("tok")).cast("long")).as("n_chars"))
+      .withColumn("fertility_100",
+        expr("n_bpe_tokens * 100 div n_words"))
+      .withColumn("chars_per_token_100",
+        expr("n_chars * 100 div n_bpe_tokens"))
+  }
+
   /** Symbol rows kept by [[bpeSymbolVocab]]. */
   val BpeSymbolTopK = 50
 
@@ -965,6 +996,97 @@ object TextOps {
         round(max(col("jac")), 4).as("best_jac"))
   }
 
+  /** PII surface patterns — deliberately simple, lookaround-free
+    * classes so the Java (Spark) and RE2 (DuckDB) regex dialects agree
+    * character-for-character. A production deployment layers locale
+    * packs and checksum validators (Luhn etc.) on the same shape. */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+  val PiiIpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII scan + redaction audit — the privacy pass every released
+    * training corpus runs: count email / phone / IPv4 surface forms per
+    * document and fingerprint the REDACTED text (matches replaced by
+    * typed placeholders, longest-pattern first so a phone can never be
+    * half-eaten by the IP rule). `redacted_fp` equals the content
+    * fingerprint of the original exactly when the document is clean —
+    * so "what would redaction change?" is an equi-join away, and the
+    * redacted corpus can be materialized by re-running the same
+    * replacement chain. One projection, codegen'd regex — linear at
+    * any scale, no shuffle. */
+  def piiScan(spark: SparkSession, dir: String): DataFrame =
+    piiScanCore(Tables.documents(spark, dir))
+
+  /** [[piiScan]] over any (doc_id, text) relation — split out so specs
+    * can plant documents carrying each PII kind. */
+  private[graft] def piiScanCore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(PiiEmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PiiPhoneRe)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(PiiIpRe)).cast("long").as("n_ips"),
+      md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        lit(PiiEmailRe), lit("<EMAIL>")),
+        lit(PiiPhoneRe), lit("<PHONE>")),
+        lit(PiiIpRe), lit("<IP>")).cast("binary")).as("redacted_fp"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_phones") + col("n_ips") > 0)
+
+  /** Width of the repeated-run window [[repeatScrub]] removes. */
+  val RepeatGramN = 3
+
+  /** Intra-document repeated n-gram REMOVAL — the scrub artifact
+    * (complement of [[repetition]]'s metrics): every token covered by a
+    * NON-FIRST occurrence of a [[RepeatGramN]]-gram already seen
+    * earlier in the same document is dropped, and the document is
+    * reassembled from the survivors in order. Emits (doc_id, n_tok,
+    * n_removed, scrubbed_fp) — the fingerprint equals the content
+    * fingerprint of the de-repeated text, so a scrubbed corpus
+    * materializes by the same projection. Deterministic: "first
+    * occurrence wins" needs no tie-break, and position 0 is never
+    * covered (a repeat starts strictly after its first occurrence), so
+    * no document scrubs to empty.
+    *
+    * Scale shape: positional grams are one transform + posexplode
+    * (linear in corpus tokens); first-occurrence is a hash agg on
+    * (doc, gram); coverage is an explode of width-[[RepeatGramN]]
+    * spans; the kept set is a left-anti join on (doc, pos). The only
+    * per-doc state is the reassembly collect_list — bounded by document
+    * length, the same envelope every per-doc array op in this module
+    * documents (chunk upstream for pathological lengths). */
+  def repeatScrub(spark: SparkSession, dir: String): DataFrame =
+    repeatScrubCore(Tables.documents(spark, dir))
+
+  /** [[repeatScrub]] over any (doc_id, text) relation. */
+  private[graft] def repeatScrubCore(docs: DataFrame): DataFrame = {
+    val toksed = docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .where(size(col("t")) > 0)
+    val pos = toksed.select(col("doc_id"),
+      posexplode(col("t"))).withColumnRenamed("col", "tok")
+    val grams = toksed.where(size(col("t")) >= RepeatGramN)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("t")) - RepeatGramN),
+          i => array_join(slice(col("t"), i + 1, lit(RepeatGramN)), " "))))
+      .select(col("doc_id"), col("pos").as("s"), col("col").as("g"))
+    val first = grams.groupBy(col("doc_id"), col("g"))
+      .agg(min(col("s")).as("s0"))
+    val covered = grams.join(first, Seq("doc_id", "g"))
+      .where(col("s") > col("s0"))
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + (RepeatGramN - 1))).as("pos"))
+      .distinct()
+    val scrub = pos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").cast("binary")).as("fp"))
+    toksed.select(col("doc_id"), size(col("t")).as("n_tok"))
+      .join(scrub, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("fp"), md5(lit("").cast("binary"))).as("scrubbed_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"     -> textStats _,
     "q_token_estimate" -> tokenEstimate _,
@@ -975,6 +1097,9 @@ object TextOps {
     "q_bpe_encode"     -> bpeEncode _,
     "q_bpe_symbol_vocab" -> bpeSymbolVocab _,
     "q_bpe_token_count" -> bpeTokenCount _,
+    "q_bpe_fertility"  -> bpeFertility _,
+    "q_pii_scan"       -> piiScan _,
+    "q_repeat_scrub"   -> repeatScrub _,
     "q_langid"         -> langId _,
     "q_quality_score"  -> qualityScore _,
     "q_repetition"     -> repetition _,
@@ -1086,6 +1211,20 @@ object TextOps {
        |JOIN seg s USING (tok)
        |GROUP BY d.doc_id""".stripMargin
 
+  private val bpeFertilitySql: String =
+    s"""$bpeLevelsSql,
+       |seg AS (SELECT tok, len(string_split(trim(w), '  ')) AS n_symbols
+       |        FROM w$BpeMergeIters)
+       |SELECT d.lang, count(*) AS n_words,
+       |  CAST(sum(s.n_symbols) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(length(d.tok)) AS BIGINT) AS n_chars,
+       |  CAST(sum(s.n_symbols) AS BIGINT) * 100 // count(*) AS fertility_100,
+       |  CAST(sum(length(d.tok)) AS BIGINT) * 100
+       |    // CAST(sum(s.n_symbols) AS BIGINT) AS chars_per_token_100
+       |FROM (SELECT lang, unnest($toksSql) AS tok FROM documents) d
+       |JOIN seg s USING (tok)
+       |GROUP BY d.lang""".stripMargin
+
   private val bpeSymbolVocabSql: String =
     s"""$bpeLevelsSql
        |SELECT symbol, CAST(sum(cnt) AS BIGINT) AS n_occ
@@ -1170,6 +1309,56 @@ object TextOps {
          |ORDER BY n_pairs DESC, pair
          |LIMIT $BpeTopK""".stripMargin,
     "q_bpe_merges" -> bpeMergesSql,
+    "q_bpe_fertility" -> bpeFertilitySql,
+    // grams/positions/coverage mirror the Spark shapes; the kept-token
+    // reassembly uses list(ORDER BY pos) = array_sort(struct(pos, tok))
+    "q_repeat_scrub" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tt AS (SELECT doc_id, t, len(t) AS n FROM t WHERE len(t) > 0),
+         |p0 AS (SELECT doc_id, unnest(range(n)) AS pos, t FROM tt),
+         |p AS (SELECT doc_id, pos, t[CAST(pos + 1 AS INT)] AS tok FROM p0),
+         |g0 AS (SELECT doc_id, unnest(range(n - ${RepeatGramN - 1})) AS s, t
+         |       FROM tt WHERE n >= $RepeatGramN),
+         |g AS (SELECT doc_id, s,
+         |    array_to_string(
+         |      t[CAST(s + 1 AS INT):CAST(s + $RepeatGramN AS INT)], ' ') AS gm
+         |  FROM g0),
+         |f AS (SELECT doc_id, gm, min(s) AS s0 FROM g GROUP BY doc_id, gm),
+         |cov AS (SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT g.doc_id, unnest(range(g.s, g.s + $RepeatGramN)) AS pos
+         |    FROM g JOIN f ON f.doc_id = g.doc_id AND f.gm = g.gm
+         |    WHERE g.s > f.s0)),
+         |k AS (SELECT p.doc_id, p.pos, p.tok
+         |      FROM p LEFT JOIN cov
+         |        ON cov.doc_id = p.doc_id AND cov.pos = p.pos
+         |      WHERE cov.pos IS NULL),
+         |sc AS (SELECT doc_id, count(*) AS n_kept,
+         |         md5(array_to_string(list(tok ORDER BY pos), ' ')) AS fp
+         |       FROM k GROUP BY doc_id)
+         |SELECT tt.doc_id, CAST(tt.n AS INT) AS n_tok,
+         |  CAST(tt.n - coalesce(sc.n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(sc.fp, md5('')) AS scrubbed_fp
+         |FROM tt LEFT JOIN sc ON sc.doc_id = tt.doc_id""".stripMargin,
+    // RE2 'g' flag = Spark regexp_replace's always-global semantics;
+    // counts taken on the ORIGINAL text, so replacement order can't
+    // affect them
+    "q_pii_scan" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    CAST(length(regexp_extract_all(text, '$PiiEmailRe')) AS BIGINT)
+         |      AS n_emails,
+         |    CAST(length(regexp_extract_all(text, '$PiiPhoneRe')) AS BIGINT)
+         |      AS n_phones,
+         |    CAST(length(regexp_extract_all(text, '$PiiIpRe')) AS BIGINT)
+         |      AS n_ips,
+         |    md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$PiiEmailRe', '<EMAIL>', 'g'),
+         |      '$PiiPhoneRe', '<PHONE>', 'g'),
+         |      '$PiiIpRe', '<IP>', 'g')) AS redacted_fp
+         |  FROM documents)
+         |SELECT doc_id, n_emails, n_phones, n_ips, redacted_fp,
+         |  n_emails + n_phones + n_ips > 0 AS has_pii
+         |FROM p""".stripMargin,
     "q_bpe_segmented" -> bpeSegmentedSql,
     "q_bpe_encode" -> bpeEncodeSql,
     "q_bpe_symbol_vocab" -> bpeSymbolVocabSql,

@@ -39,6 +39,62 @@ class TextFilterSpec extends SparkSpec {
     assert(Seq(2L, 3L, 4L, 5L).forall(i => !got(i).getAs[Boolean]("pass")))
   }
 
+  test("pii scan: planted identifiers counted, redaction changes only them") {
+    import org.apache.spark.sql.functions.md5
+    val docs = Seq(
+      (1L, "en", "contact alice@example.com or bob.smith@mail.co now"),
+      (2L, "en", "call 555-123-4567 or 555.987.6543 today"),
+      (3L, "en", "server at 10.0.0.1 answers"),
+      (4L, "en", "a perfectly clean document"))
+      .toDF("doc_id", "lang", "text")
+    val raw = docs.select($"doc_id", md5($"text".cast("binary")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextOps.piiScanCore(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_emails") == 2L
+      && got(1L).getAs[Boolean]("has_pii"))
+    assert(got(2L).getAs[Long]("n_phones") == 2L
+      && got(2L).getAs[Long]("n_ips") == 0L, s"dotted phone is not an ip: ${got(2L)}")
+    assert(got(3L).getAs[Long]("n_ips") == 1L
+      && got(3L).getAs[Long]("n_phones") == 0L)
+    assert(!got(4L).getAs[Boolean]("has_pii"))
+    // redaction is the identity exactly on the clean doc
+    assert(got(4L).getAs[String]("redacted_fp") == raw(4L))
+    Seq(1L, 2L, 3L).foreach { i =>
+      assert(got(i).getAs[String]("redacted_fp") != raw(i),
+        s"pii doc $i must change under redaction")
+    }
+    // the redacted text itself scans clean (placeholders carry no PII)
+    val redacted = Seq((9L, "en",
+      "contact <EMAIL> or <EMAIL> now call <PHONE> at <IP>"))
+      .toDF("doc_id", "lang", "text")
+    val re = TextOps.piiScanCore(redacted).head
+    assert(!re.getAs[Boolean]("has_pii"))
+  }
+
+  test("repeat scrub: repeated runs removed, clean and short docs identity") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "en", "a b c a b c d"), // 3-gram "a b c" repeats at pos 3 → 3,4,5 drop
+      (2L, "en", "x y z w"),       // no repeats → identity
+      (3L, "en", "p q"),           // shorter than the gram → identity
+      (4L, "en", "a a a a a"))     // periodic: everything after pos 0 covered
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.repeatScrubCore(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_removed") == 3L
+      && got(1L).getAs[String]("scrubbed_fp") == md5hex("a b c d"),
+      s"repeat span must drop: ${got(1L)}")
+    assert(got(2L).getAs[Long]("n_removed") == 0L
+      && got(2L).getAs[String]("scrubbed_fp") == md5hex("x y z w"))
+    assert(got(3L).getAs[Long]("n_removed") == 0L
+      && got(3L).getAs[String]("scrubbed_fp") == md5hex("p q"))
+    assert(got(4L).getAs[Long]("n_removed") == 4L
+      && got(4L).getAs[String]("scrubbed_fp") == md5hex("a"))
+  }
+
   test("empty corpus: every round-9 operator returns empty, never throws") {
     import org.apache.spark.sql.functions.lit
     val empty = Seq.empty[(Long, String, String)]
