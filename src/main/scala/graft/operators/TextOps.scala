@@ -1062,10 +1062,15 @@ object TextOps {
       .where(size(col("t")) > 0)
     val pos = toksed.select(col("doc_id"),
       posexplode(col("t"))).withColumnRenamed("col", "tok")
+    // positional 3-grams via the zip-shift pattern (shingles3's O(L)
+    // shape) — a transform(sequence, i -> slice(t, i, n)) would slice
+    // per POSITION in the interpreted HOF path: O(L²) per doc
+    val g2 = zip_with(col("t"), slice(col("t"), 2, Int.MaxValue - 8),
+      (a, b) => concat(a, lit(" "), b))
+    val g3 = filter(zip_with(g2, slice(col("t"), 3, Int.MaxValue - 8),
+      (a, b) => concat(a, lit(" "), b)), x => x.isNotNull)
     val grams = toksed.where(size(col("t")) >= RepeatGramN)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("t")) - RepeatGramN),
-          i => array_join(slice(col("t"), i + 1, lit(RepeatGramN)), " "))))
+      .select(col("doc_id"), posexplode(g3))
       .select(col("doc_id"), col("pos").as("s"), col("col").as("g"))
     val first = grams.groupBy(col("doc_id"), col("g"))
       .agg(min(col("s")).as("s0"))
