@@ -808,6 +808,20 @@ object DedupOps {
   def chunkSemDedup(spark: SparkSession, dir: String): DataFrame =
     chunkSemDedupOf(spark, Tables.documents(spark, dir))
 
+  /** [[chunkSemDedup]] with CORPUS-SIZED cells — the production entry
+    * point, mirroring [[semDedupAuto]]: cells = [[ivfCells]](nChunks)
+    * ≈ √n keeps per-cluster pair work ~n^1.5 where the declared query's
+    * oracle-pinned 8 cells would go quadratic. The chunk count comes
+    * from one linear pass over the chunk relation (chunks have no
+    * parquet footer to read — they are derived, not stored; the count
+    * is noise against the dedup itself). */
+  def chunkSemDedupAuto(spark: SparkSession, dir: String,
+      threshold: Double = ChunkSemDupThreshold): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = CurationOps.chunkedToks(docs).count()
+    chunkSemDedupOf(spark, docs, threshold, ivfCells(n), trainIters = 2)
+  }
+
   /** [[chunkSemDedup]] over any (doc_id, lang, text) relation — split
     * out so specs can plant documents with known duplicated passages. */
   private[graft] def chunkSemDedupOf(spark: SparkSession, docs: DataFrame,

@@ -56,6 +56,9 @@ object PlanAudit {
     "q_dup_threshold_sweep" -> "jaccard calibration curve: the existing candidate+verify chain plus one hash agg and a window over <=21 histogram rows",
     "q_embedding_stats" -> "per-label vector health card: one projection + one hash agg, exact integer norm stats",
     "q_quality_floor_by_lang" -> "per-stratum budget floor: histogram walk with windows partitioned by lang — histogram-sized, never corpus-sized",
+    "q_chunk_semdedup" -> "passage-level SemDeDup: chunk explode -> hashed-bag embedding (two hash aggs) -> shared Lloyd + within-cluster pair verify; no corpus-wide pair join",
+    "q_repeat_scrub" -> "intra-doc repeat removal: zip-shift positional grams (O(L) per doc), first-occurrence hash agg, span explode, (doc,pos) anti-join, ordered reassembly agg",
+    "q_pii_scan" -> "PII census + redaction fp: codegen'd regex projection — ZERO exchanges",
   )
 
   def main(args: Array[String]): Unit = {

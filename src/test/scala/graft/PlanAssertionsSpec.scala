@@ -149,4 +149,21 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan("q_lm_score").contains("BroadcastExchange"),
       "the 1-row total must broadcast")
   }
+
+  test("q_pii_scan: pure projection — no exchange anywhere") {
+    val p = plan("q_pii_scan")
+    assert(!p.contains("Exchange"),
+      s"PII scan must stay map-only (codegen'd regex projection):\n$p")
+  }
+
+  test("q_repeat_scrub and q_chunk_semdedup: no cartesian product") {
+    // the scrub's coverage join and the chunk dedup's within-cluster
+    // pair join are both EQUI-joins — a refactor that loses the key
+    // (doc,pos)/(cluster) would fall back to a corpus-wide cross
+    for (q <- Seq("q_repeat_scrub", "q_chunk_semdedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: equi-join degraded to a cartesian product:\n$p")
+    }
+  }
 }

@@ -141,6 +141,33 @@ class SemDedupSpec extends SparkSpec {
     assert(got((2L, 0)).getAs[Boolean]("kept"))
   }
 
+  test("chunk-level auto sizing: every drop clears the exact bar") {
+    import org.apache.spark.sql.functions.col
+    // auto cells may block differently than the declared 8-cell shape,
+    // but a DROP is only ever legitimate against the exact cosine bar —
+    // re-verify every one from the hashed embeddings themselves
+    val rows = DedupOps.chunkSemDedupAuto(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val emb = graft.operators.VectorOps.hashEmbedOf(
+      graft.operators.CurationOps.chunkedToks(
+        graft.sources.Tables.documents(spark, sfDir))
+        .select((col("doc_id") * DedupOps.ChunkVecSpan + col("chunk_id"))
+          .as("vec_id"), col("ctoks").as("toks")))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    rows.filter(r => !r.getAs[Boolean]("kept")).foreach { r =>
+      val id = r.getLong(0) * DedupOps.ChunkVecSpan + r.getInt(1)
+      val of = r.getAs[Long]("dup_doc_id") * DedupOps.ChunkVecSpan +
+        r.getAs[Int]("dup_chunk_id")
+      assert(cos(emb(id), emb(of)) >= DedupOps.ChunkSemDupThreshold - 1e-9,
+        s"drop below the bar: $r")
+    }
+  }
+
   test("chunk-level at sf0.001: one verdict per chunk, canonical lower-id") {
     val rows = DedupOps.chunkSemDedup(spark, sfDir).collect()
     assert(rows.nonEmpty)
