@@ -1017,6 +1017,24 @@ object TextOps {
   def piiScan(spark: SparkSession, dir: String): DataFrame =
     piiScanCore(Tables.documents(spark, dir))
 
+  /** The redaction projection itself — typed placeholders, longest
+    * pattern first; shared by [[piiScanCore]]'s fingerprint and
+    * [[redactedDocs]] (the exportable corpus), so the audit fp and the
+    * exported text can never disagree. */
+  private[graft] def redactText(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      lit(PiiEmailRe), lit("<EMAIL>")),
+      lit(PiiPhoneRe), lit("<PHONE>")),
+      lit(PiiIpRe), lit("<IP>"))
+
+  /** A corpus with its `text` column REDACTED — the frame the last-mile
+    * export ([[graft.operators.CurationOps.writeTrainingShards]])
+    * consumes when the release policy requires scrubbed identifiers:
+    * `writeTrainingShards(spark, redactedDocs(admitted), …)`. Same
+    * schema in, same schema out; every other column passes through. */
+  def redactedDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text", redactText(col("text")))
+
   /** [[piiScan]] over any (doc_id, text) relation — split out so specs
     * can plant documents carrying each PII kind. */
   private[graft] def piiScanCore(docs: DataFrame): DataFrame =
@@ -1024,10 +1042,7 @@ object TextOps {
       regexp_count(col("text"), lit(PiiEmailRe)).cast("long").as("n_emails"),
       regexp_count(col("text"), lit(PiiPhoneRe)).cast("long").as("n_phones"),
       regexp_count(col("text"), lit(PiiIpRe)).cast("long").as("n_ips"),
-      md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
-        lit(PiiEmailRe), lit("<EMAIL>")),
-        lit(PiiPhoneRe), lit("<PHONE>")),
-        lit(PiiIpRe), lit("<IP>")).cast("binary")).as("redacted_fp"))
+      md5(redactText(col("text")).cast("binary")).as("redacted_fp"))
       .withColumn("has_pii",
         col("n_emails") + col("n_phones") + col("n_ips") > 0)
 

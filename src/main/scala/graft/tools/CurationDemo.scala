@@ -71,6 +71,16 @@ object CurationDemo {
       manifest.orderBy(col("shard")).collect().map(_.toSeq).toSeq
     println(s"[demo] shard audit reconciles: $auditOk")
 
+    // 4c. release-policy variant: the same export over the REDACTED
+    //     corpus (PII placeholders) — one projection swap
+    val redactDir = java.nio.file.Files.createTempDirectory("cdemo_rd").toString
+    CurationOps.writeTrainingShards(spark,
+      TextOps.redactedDocs(admittedDocs), redactDir, shards = 4)
+    val residual = TextOps.piiScanCore(
+      spark.read.parquet(s"$redactDir/docs"))
+      .where(col("has_pii")).count()
+    println(s"[demo] redacted export: $residual residual PII docs (want 0)")
+
     // 5. embedding-side SemDeDup served from the persisted ANN index
     val idxDir = java.nio.file.Files.createTempDirectory("cdemo_idx").toString
     VectorOps.writeAnnIndex(spark, sfDir, idxDir)
@@ -82,6 +92,21 @@ object CurationDemo {
     val ov = TextOps.winnowOverlapBest(spark, sfDir)
     println("[demo] top winnow-overlap matches:")
     ov.orderBy(col("best_overlap").desc, col("doc_id")).show(5, false)
+
+    // 7. round-10 surface: passage-level semantic dedup (production
+    //    sizing), intra-doc repeat scrub, and the tokenizer
+    //    train/apply split with its per-language fertility card
+    val csd = DedupOps.chunkSemDedupAuto(spark, sfDir)
+    println(s"[demo] chunk-level SemDeDup (auto cells): " +
+      s"${csd.where(!col("kept")).count()} of ${csd.count()} chunks dropped")
+    val scrub = TextOps.repeatScrub(spark, sfDir)
+    println("[demo] repeat scrub (top de-repeated docs):")
+    scrub.orderBy(col("n_removed").desc, col("doc_id")).show(5, false)
+    println("[demo] tokenizer apply (held-out split, sample):")
+    TextOps.bpeEncode(spark, sfDir)
+      .orderBy(col("cnt").desc, col("tok")).show(5, false)
+    println("[demo] tokenizer fertility card:")
+    TextOps.bpeFertility(spark, sfDir).orderBy(col("lang")).show(false)
 
     spark.stop()
   }

@@ -35,6 +35,37 @@ class TrainingShardSpec extends SparkSpec {
       s"shard skew out of envelope: ${counts.toSeq}")
   }
 
+  test("redacted export: shards scan clean, audit reconciles") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "en", "mail alice@example.com and call 555-123-4567 soon"),
+      (2L, "en", "server 10.0.0.1 is fine"),
+      (3L, "en", "a clean third document"),
+      (4L, "en", "bob.smith@mail.co wrote this"))
+      .toDF("doc_id", "lang", "text")
+    val out = java.nio.file.Files.createTempDirectory("redact").toString
+    val manifest = CurationOps.writeTrainingShards(spark,
+      TextOps.redactedDocs(docs), out, 2)
+    // every exported document re-scans clean — no residual identifiers
+    val back = spark.read.parquet(s"$out/docs")
+    val rescan = TextOps.piiScanCore(back).collect()
+    assert(rescan.length == 4)
+    assert(rescan.forall(r => !r.getAs[Boolean]("has_pii")),
+      s"exported shards must carry no PII: ${rescan.mkString("; ")}")
+    // placeholders landed (the clean doc is untouched)
+    val texts = back.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts(1L).contains("<EMAIL>") && texts(1L).contains("<PHONE>"))
+    assert(texts(2L).contains("<IP>"))
+    assert(texts(3L) == "a clean third document")
+    // the audit contract holds over the redacted corpus too
+    val audit = CurationOps.auditTrainingShards(spark, out)
+      .collect().sortBy(_.getAs[Long]("shard")).map(_.toSeq).toSeq
+    assert(audit == manifest.collect()
+      .sortBy(_.getAs[Long]("shard")).map(_.toSeq).toSeq)
+  }
+
   test("a tampered shard fails the audit") {
     import spark.implicits._
     val docs = Seq((1L, "en", "the a first doc"), (2L, "en", "the a second"),
