@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -996,6 +997,98 @@ object TextOps {
         round(max(col("jac")), 4).as("best_jac"))
   }
 
+  /** CCNet-style PERPLEXITY BUCKETS — split the corpus into
+    * head/middle/tail THIRDS by the unigram-LM document score
+    * ([[lmScore]]'s `avg_tok_ppm`; higher = more typical text): the
+    * partition CCNet trains different-quality model variants on and the
+    * standard knob for "keep head+middle, drop tail". Thresholds come
+    * from the integer score HISTOGRAM walked top-down (the
+    * [[graft.operators.CurationOps.qualityBudgetFloor]] trick — windows
+    * over thousands of histogram rows at any corpus size, never the
+    * corpus); a histogram row lands wholly in one bucket, so ties never
+    * split and the assignment is deterministic in both engines. A
+    * boundary score-row bigger than a remaining third falls to the next
+    * bucket (NULL threshold compares false) — thirds are targets, not
+    * exact counts.
+    *
+    * Scale shape: [[lmScore]]'s linear chain + one histogram agg + a
+    * broadcast 1-row threshold join. */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame =
+    pplBucketsCore(Tables.documents(spark, dir))
+
+  /** [[pplBuckets]] over any (doc_id, lang, text) relation. */
+  private[graft] def pplBucketsCore(docs: DataFrame): DataFrame = {
+    val scored = lmScoreCore(docs)
+      .select(col("doc_id"), col("lang"), col("avg_tok_ppm"))
+    val wTop = Window.orderBy(col("avg_tok_ppm").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val th = scored.groupBy(col("avg_tok_ppm")).agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(wTop))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .agg(min(when(expr("cum <= total div 3"), col("avg_tok_ppm"))).as("t1"),
+        min(when(expr("cum <= 2 * total div 3"), col("avg_tok_ppm")))
+          .as("t2"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("lang"), col("avg_tok_ppm"),
+        when(col("avg_tok_ppm") >= col("t1"), "head")
+          .when(col("avg_tok_ppm") >= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** VOCABULARY HEALTH CARD — per-language type/token statistics a
+    * corpus release reports: token and type counts, hapax legomena
+    * (types seen once — crawl noise and OCR garbage inflate this), the
+    * type-token ratio and hapax share in ppm. Two hash aggregations,
+    * integer-exact; groups exist only with ≥ 1 token so the divisions
+    * are total. */
+  def vocabCard(spark: SparkSession, dir: String): DataFrame =
+    vocabCardCore(Tables.documents(spark, dir))
+
+  /** [[vocabCard]] over any (lang, text) relation. */
+  private[graft] def vocabCardCore(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_ppm", expr(s"n_types * $LmPpmUnit div n_tokens"))
+      .withColumn("hapax_ppm", expr(s"n_hapax * $LmPpmUnit div n_types"))
+
+  /** Corpus DRIFT monitor — total-variation distance (ppm) between the
+    * hashed-token distributions of two corpus snapshots, here the
+    * even/odd doc_id splits as the deterministic stand-in for
+    * "yesterday's crawl vs today's" (swap the predicate for real
+    * snapshot columns). Buckets are the [[graft.operators.CurationOps]]
+    * DSIR discipline: 2-hex md5 prefixes, string-keyed, 256 of them —
+    * the distribution fits one broadcast row set at any corpus size,
+    * and TV distance is the integer-exact half-L1 over bucket ppms.
+    * TV ≈ 0 ⇒ the snapshots are exchangeable; a jump is the alarm that
+    * retrains mixtures before quality moves. */
+  def vocabDrift(spark: SparkSession, dir: String): DataFrame =
+    vocabDriftCore(Tables.documents(spark, dir))
+
+  /** [[vocabDrift]] over any (doc_id, text) relation. */
+  private[graft] def vocabDriftCore(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(pmod(col("doc_id"), lit(2)).as("split"),
+        explode(toks(col("text"))).as("tok"))
+      .withColumn("bucket", substring(md5(col("tok").cast("binary")), 1, 2))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("split") === 0, 1L).otherwise(0L)).as("p_cnt"),
+        sum(when(col("split") === 1, 1L).otherwise(0L)).as("q_cnt"))
+    val tot = per.agg(sum(col("p_cnt")).as("p_total"),
+      sum(col("q_cnt")).as("q_total"))
+    per.crossJoin(broadcast(tot))
+      .select(
+        expr(s"p_cnt * $LmPpmUnit div greatest(p_total, 1)").as("p_ppm"),
+        expr(s"q_cnt * $LmPpmUnit div greatest(q_total, 1)").as("q_ppm"),
+        col("p_total"), col("q_total"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("p_total")).as("p_total"), max(col("q_total")).as("q_total"),
+        expr("sum(abs(p_ppm - q_ppm)) div 2").as("tv_ppm"))
+  }
+
   /** PII surface patterns — deliberately simple, lookaround-free
     * classes so the Java (Spark) and RE2 (DuckDB) regex dialects agree
     * character-for-character. A production deployment layers locale
@@ -1124,6 +1217,9 @@ object TextOps {
     "q_quality_score"  -> qualityScore _,
     "q_repetition"     -> repetition _,
     "q_lm_score"       -> lmScore _,
+    "q_ppl_buckets"    -> pplBuckets _,
+    "q_vocab_card"     -> vocabCard _,
+    "q_vocab_drift"    -> vocabDrift _,
     "q_gopher_rules"   -> gopherRules _,
     "q_boilerplate"    -> boilerplate _,
     "q_shingle_novelty" -> shingleNovelty _,
@@ -1137,6 +1233,22 @@ object TextOps {
 
   private val toksSql =
     "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** DuckDB twin of [[lmScoreCore]] (ends in `lms(doc_id, lang, n_tok,
+    * avg_tok_ppm, min_tok_ppm)`) — shared by the q_lm_score and
+    * q_ppl_buckets oracles so the scoring chain cannot drift. */
+  private lazy val lmScoreCtes: String =
+    s"""ex AS (
+       |  SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
+       |cnt AS (SELECT tok, count(*) AS cnt FROM ex GROUP BY tok),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt),
+       |pr AS (SELECT tok, cnt * $LmPpmUnit // total AS ppm FROM cnt, tot),
+       |lms AS (
+       |  SELECT doc_id, lang, count(*) AS n_tok,
+       |    CAST(sum(ppm) AS BIGINT) // count(*) AS avg_tok_ppm,
+       |    CAST(min(ppm) AS BIGINT) AS min_tok_ppm
+       |  FROM ex JOIN pr USING (tok)
+       |  GROUP BY doc_id, lang)""".stripMargin
 
   /** DuckDB twin of [[bpeMerges]] — the merge loop UNROLLED into
     * [[BpeMergeIters]] CTE levels (SQL has no iteration; the level count
@@ -1434,16 +1546,64 @@ object TextOps {
     // sum(ppm) is HUGEINT in DuckDB — cast to BIGINT before the floor
     // div; all operands non-negative, so // matches Spark's div
     "q_lm_score" ->
-      s"""WITH ex AS (
-         |  SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
-         |cnt AS (SELECT tok, count(*) AS cnt FROM ex GROUP BY tok),
-         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt),
-         |p AS (SELECT tok, cnt * $LmPpmUnit // total AS ppm FROM cnt, tot)
-         |SELECT doc_id, lang, count(*) AS n_tok,
-         |  CAST(sum(ppm) AS BIGINT) // count(*) AS avg_tok_ppm,
-         |  CAST(min(ppm) AS BIGINT) AS min_tok_ppm
-         |FROM ex JOIN p USING (tok)
-         |GROUP BY doc_id, lang""".stripMargin,
+      s"""WITH $lmScoreCtes
+         |SELECT doc_id, lang, n_tok, avg_tok_ppm, min_tok_ppm
+         |FROM lms""".stripMargin,
+    // thresholds from the score histogram walked top-down (the
+    // quality-floor trick); a NULL threshold (first row bigger than a
+    // third) makes its CASE arm false on both sides
+    "q_ppl_buckets" ->
+      s"""WITH $lmScoreCtes,
+         |hist AS (SELECT avg_tok_ppm, count(*) AS n FROM lms
+         |         GROUP BY avg_tok_ppm),
+         |c AS (SELECT avg_tok_ppm, n,
+         |    CAST(sum(n) OVER (ORDER BY avg_tok_ppm DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum,
+         |    CAST(sum(n) OVER () AS BIGINT) AS total
+         |  FROM hist),
+         |t AS (SELECT
+         |    min(CASE WHEN cum <= total // 3 THEN avg_tok_ppm END) AS t1,
+         |    min(CASE WHEN cum <= 2 * total // 3 THEN avg_tok_ppm END) AS t2
+         |  FROM c)
+         |SELECT s.doc_id, s.lang, s.avg_tok_ppm,
+         |  CASE WHEN s.avg_tok_ppm >= t.t1 THEN 'head'
+         |       WHEN s.avg_tok_ppm >= t.t2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM lms s, t""".stripMargin,
+    "q_vocab_card" ->
+      s"""SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_types,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hapax,
+         |  count(*) * $LmPpmUnit // CAST(sum(c) AS BIGINT) AS ttr_ppm,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    * $LmPpmUnit // count(*) AS hapax_ppm
+         |FROM (SELECT lang, tok, count(*) AS c
+         |      FROM (SELECT lang, unnest($toksSql) AS tok FROM documents)
+         |      GROUP BY lang, tok)
+         |GROUP BY lang""".stripMargin,
+    "q_vocab_drift" ->
+      s"""WITH b AS (
+         |  SELECT doc_id % 2 AS split, substr(md5(tok), 1, 2) AS bucket
+         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)),
+         |per AS (SELECT bucket,
+         |    CAST(sum(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS p_cnt,
+         |    CAST(sum(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS q_cnt
+         |  FROM b GROUP BY bucket),
+         |tot AS (SELECT CAST(sum(p_cnt) AS BIGINT) AS p_total,
+         |               CAST(sum(q_cnt) AS BIGINT) AS q_total FROM per),
+         |pp AS (SELECT
+         |    p_cnt * $LmPpmUnit // greatest(p_total, 1) AS p_ppm,
+         |    q_cnt * $LmPpmUnit // greatest(q_total, 1) AS q_ppm,
+         |    p_total, q_total
+         |  FROM per, tot)
+         |SELECT count(*) AS n_buckets, max(p_total) AS p_total,
+         |  max(q_total) AS q_total,
+         |  CAST(sum(abs(p_ppm - q_ppm)) AS BIGINT) // 2 AS tv_ppm
+         |FROM pp""".stripMargin,
     // top-token count computed relationally (unnest -> counts -> max),
     // same as the q_repetition oracle; the rule compares are the exact
     // integer forms of the Spark flags

@@ -95,6 +95,51 @@ class TextFilterSpec extends SparkSpec {
       && got(4L).getAs[String]("scrubbed_fp") == md5hex("a"))
   }
 
+  test("vocab card: hand-computed type/token stats") {
+    val docs = Seq((1L, "en", "a a b"), (2L, "fr", "x y z x"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.vocabCardCore(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = got("en")
+    assert(en.getAs[Long]("n_tokens") == 3L && en.getAs[Long]("n_types") == 2L
+      && en.getAs[Long]("n_hapax") == 1L
+      && en.getAs[Long]("ttr_ppm") == 666666L
+      && en.getAs[Long]("hapax_ppm") == 500000L, s"en: $en")
+    val fr = got("fr")
+    assert(fr.getAs[Long]("n_tokens") == 4L && fr.getAs[Long]("n_types") == 3L
+      && fr.getAs[Long]("n_hapax") == 2L
+      && fr.getAs[Long]("ttr_ppm") == 750000L
+      && fr.getAs[Long]("hapax_ppm") == 666666L, s"fr: $fr")
+  }
+
+  test("ppl buckets: thirds bounded and strictly score-ordered") {
+    val rows = TextOps.pplBuckets(spark, sfDir).collect()
+    val n = rows.length
+    assert(n > 0)
+    def scores(b: String): Array[Long] = rows
+      .filter(_.getAs[String]("bucket") == b).map(_.getAs[Long]("avg_tok_ppm"))
+    val (h, m, t) = (scores("head"), scores("middle"), scores("tail"))
+    assert(h.length + m.length + t.length == n)
+    // thirds are CEILINGS (ties fall to the next bucket, never split)
+    assert(h.length <= n / 3, s"head ${h.length} of $n")
+    assert(h.length + m.length <= 2 * n / 3)
+    assert(h.nonEmpty && m.nonEmpty && t.nonEmpty,
+      "sf0.001 scores spread over all three buckets")
+    assert(h.min >= m.max && m.min >= t.max,
+      "buckets must be score-ordered: every head >= every middle >= every tail")
+  }
+
+  test("vocab drift: identical halves are exactly 0, disjoint vocab high") {
+    val same = Seq((0L, "en", "a b c d"), (1L, "en", "a b c d"),
+      (2L, "en", "a b c d"), (3L, "en", "a b c d"))
+      .toDF("doc_id", "lang", "text")
+    assert(TextOps.vocabDriftCore(same).head.getAs[Long]("tv_ppm") == 0L)
+    val disjoint = Seq((0L, "en", "pa pb pc"), (1L, "en", "qa qb qc"))
+      .toDF("doc_id", "lang", "text")
+    val tv = TextOps.vocabDriftCore(disjoint).head.getAs[Long]("tv_ppm")
+    assert(tv >= 600000L, s"disjoint vocabularies must read as drift: $tv")
+  }
+
   test("empty corpus: every round-9 operator returns empty, never throws") {
     import org.apache.spark.sql.functions.lit
     val empty = Seq.empty[(Long, String, String)]
@@ -103,6 +148,16 @@ class TextFilterSpec extends SparkSpec {
     assert(TextOps.gopherRulesCore(empty).count() == 0L)
     assert(TextOps.winnowFingerprintCore(empty).count() == 0L)
     assert(graft.operators.CurationOps.dsirWeightsCore(empty).count() == 0L)
+    // round-10 ops on the same empty relation
+    assert(TextOps.piiScanCore(empty).count() == 0L)
+    assert(TextOps.repeatScrubCore(empty).count() == 0L)
+    assert(TextOps.pplBucketsCore(empty).count() == 0L)
+    assert(TextOps.vocabCardCore(empty).count() == 0L)
+    assert(TextOps.bpeEncodeWith(spark, empty, empty).count() == 0L)
+    assert(graft.operators.DedupOps.chunkSemDedupOf(spark, empty).count() == 0L)
+    // the drift card's global aggregate emits its one (0, null, null,
+    // null) row on empty input — defined, not a throw
+    assert(TextOps.vocabDriftCore(empty).head.getAs[Long]("n_buckets") == 0L)
     // the dir-based histogram walkers on a zero-row documents table
     val dir = java.nio.file.Files.createTempDirectory("emptycorp").toString
     empty.withColumn("source", lit("s"))
