@@ -1086,6 +1086,40 @@ object DedupOps {
     connectedComponents(textDupPairs(spark, dir))
       .select(col("id").as("doc_id"), col("comp").as("rep_id"))
 
+  /** md5-prefix bar for [[leakFreeSplit]]'s validation share: first 8
+    * hex below this ≈ 10% of the 2³² space — the usual eval-holdout
+    * size, deterministic like every sampler in this repo. */
+  val ValShareHex = "1999999a"
+
+  /** LEAKAGE-FREE train/validation split — the eval-hygiene step naive
+    * per-doc sampling gets wrong: a validation document whose NEAR-DUP
+    * stays in train leaks the answer key. Here the sampling unit is the
+    * DUPLICATE GROUP: every document inherits its group representative
+    * (docs in no group are their own), and the md5 coin is tossed on
+    * the REP id — so a whole near-dup family lands on one side by
+    * construction, and no train/val pair can clear the dup bar. Emits
+    * one row per document (doc_id, lang, rep_id, side).
+    *
+    * Scale shape: the group table is the (already materialized in a
+    * [[graft.operators.CurationOps.curationRun]]) LSH+components pass;
+    * the split itself is one left join + a per-row md5 — linear.
+    * [[leakFreeSplitFrom]] is the production entry over a stored group
+    * table. */
+  def leakFreeSplit(spark: SparkSession, dir: String): DataFrame =
+    leakFreeSplitFrom(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+      textDedupGroups(spark, dir))
+
+  /** [[leakFreeSplit]] over a precomputed (doc_id, rep_id) group
+    * table. */
+  def leakFreeSplitFrom(docs: DataFrame, groups: DataFrame): DataFrame =
+    docs
+      .join(groups, Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce(col("rep_id"), col("doc_id")))
+      .withColumn("side",
+        when(substring(md5(col("rep_id").cast("string").cast("binary")),
+          1, 8) < ValShareHex, "val").otherwise("train"))
+
   /** Dup-group SIZE HISTOGRAM — the observability statistic a dedup
     * team reads before acting: how many duplicate clusters exist at
     * each size (pairs, triples, mega-clusters). A fat tail of large
@@ -1324,6 +1358,7 @@ object DedupOps {
     "q_chunk_semdedup" -> chunkSemDedup _,
     "q_dedup_groups" -> ((s: SparkSession, d: String) => dedupGroups(s, d)),
     "q_text_dedup_groups" -> textDedupGroups _,
+    "q_leakfree_split" -> leakFreeSplit _,
     "q_group_sizes" -> dupGroupSizes _,
     "q_dup_threshold_sweep" -> dupThresholdSweep _,
     "q_canonical_docs" -> canonicalDocs _,
@@ -1574,6 +1609,19 @@ object DedupOps {
     "q_text_dedup_groups" ->
       s"""WITH RECURSIVE $textGroupsCtes
          |SELECT id AS doc_id, min(comp) AS rep_id FROM walk GROUP BY id""".stripMargin,
+    // the split coin is tossed on the GROUP REPRESENTATIVE (same
+    // md5-prefix discipline as q_stratified_sample), so a near-dup
+    // family can never straddle train/val
+    "q_leakfree_split" ->
+      s"""WITH RECURSIVE $textGroupsCtes,
+         |groups AS (
+         |  SELECT id AS doc_id, min(comp) AS rep_id FROM walk GROUP BY id)
+         |SELECT d.doc_id, d.lang,
+         |  coalesce(g.rep_id, d.doc_id) AS rep_id,
+         |  CASE WHEN substr(md5(CAST(coalesce(g.rep_id, d.doc_id)
+         |      AS VARCHAR)), 1, 8) < '$ValShareHex'
+         |    THEN 'val' ELSE 'train' END AS side
+         |FROM documents d LEFT JOIN groups g ON g.doc_id = d.doc_id""".stripMargin,
     // unreferenced CTEs of the shared chain (walk etc.) are pruned by
     // the engine; only ex→cand→shared evaluate. The window runs over
     // the <=21-row histogram.

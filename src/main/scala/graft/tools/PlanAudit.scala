@@ -59,6 +59,8 @@ object PlanAudit {
     "q_chunk_semdedup" -> "passage-level SemDeDup: chunk explode -> hashed-bag embedding (two hash aggs) -> shared Lloyd + within-cluster pair verify; no corpus-wide pair join",
     "q_repeat_scrub" -> "intra-doc repeat removal: zip-shift positional grams (O(L) per doc), first-occurrence hash agg, span explode, (doc,pos) anti-join, ordered reassembly agg",
     "q_pii_scan" -> "PII census + redaction fp: codegen'd regex projection — ZERO exchanges",
+    "q_leakfree_split" -> "group-side split: materialized-group left join + per-row md5 coin on the representative — linear, no window",
+    "q_ppl_buckets" -> "CCNet thirds: lm-score chain + histogram threshold walk + broadcast 1-row threshold join",
   )
 
   def main(args: Array[String]): Unit = {

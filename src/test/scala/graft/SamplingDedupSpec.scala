@@ -291,4 +291,27 @@ class SamplingDedupSpec extends SparkSpec {
         bands = DedupOps.SimhashBands, maxHamming = 3)
     }
   }
+
+  test("leak-free split: dup families never straddle train/val") {
+    val split = DedupOps.leakFreeSplit(spark, sfDir).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(split.length.toLong == nDocs, "one verdict per document")
+    // every duplicate family sits wholly on one side
+    split.groupBy(_.getAs[Long]("rep_id")).values.foreach { g =>
+      assert(g.map(_.getAs[String]("side")).distinct.length == 1,
+        s"family straddles the split: ${g.mkString("; ")}")
+    }
+    // both sides populated (md5-deterministic ~10% val share)
+    val bySide = split.groupBy(_.getAs[String]("side"))
+      .view.mapValues(_.length).toMap
+    assert(bySide.getOrElse("train", 0) > 0 && bySide.getOrElse("val", 0) > 0,
+      s"sides: $bySide")
+    // cross-check against the group table directly: every member's side
+    // equals its representative's side
+    val sideOf = split.map(r => r.getLong(0) -> r.getAs[String]("side")).toMap
+    DedupOps.textDedupGroups(spark, sfDir).collect().foreach { r =>
+      assert(sideOf(r.getLong(0)) == sideOf(r.getLong(1)),
+        s"member ${r.getLong(0)} split from rep ${r.getLong(1)}")
+    }
+  }
 }
