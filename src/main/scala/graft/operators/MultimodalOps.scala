@@ -200,10 +200,59 @@ object MultimodalOps {
     sampleFrames(mediaFromDocuments(spark, dir)).toDF()
   }
 
+  /** Minimum shared sampled-frame signatures before two media count as
+    * near-dup candidates (one shared frame is coincidence-prone; two is
+    * the classic keyframe-dedup bar). */
+  val MediaDupMinShared = 2L
+
+  /** MEDIA NEAR-DUP by shared frame signatures — the video-dedup
+    * pattern: two media sharing ≥ [[MediaDupMinShared]] sampled-frame
+    * signatures are near-copies (re-encodes, trims, container swaps
+    * that preserve frames), found by a signature EQUI-JOIN — never a
+    * pairwise payload compare. Over-common signatures (intros, black
+    * frames, station idents) are dropped by the same document-frequency
+    * cap discipline as the winnow fingerprints, so boilerplate frames
+    * cannot make the pair relation quadratic. Emits one row per media
+    * (media_id, n_sigs, best_match, shared_frames) — best_match NULL
+    * when nothing clears the bar (this corpus has no byte-identical
+    * payloads, so the declared result is the per-media signature
+    * census; the planted-fixture spec exercises the match path).
+    *
+    * Scale shape: distinct (media, sig) pairs → df hash-agg + equi-join
+    * back → capped signature self-join → per-pair count → per-media
+    * argmax on a high-cardinality key. All candidates-only. */
+  def mediaNearDup(spark: SparkSession, dir: String): DataFrame =
+    mediaNearDupOf(sampleFrames(mediaFromDocuments(spark, dir)).toDF())
+
+  /** [[mediaNearDup]] over any (media_id, frame_idx, frame_sig) frame
+    * relation — split out so specs can plant shared frames. */
+  private[graft] def mediaNearDupOf(frames: DataFrame): DataFrame = {
+    val sigs = frames.select(col("media_id"), col("frame_sig")).distinct()
+    val tot = sigs.agg(countDistinct(col("media_id")).as("n_media"))
+    val dfs = sigs.groupBy(col("frame_sig")).agg(count(lit(1)).as("df"))
+    val capped = sigs.join(dfs, Seq("frame_sig"))
+      .crossJoin(broadcast(tot))
+      .where(col("df") <= greatest(lit(100L), expr("n_media div 20")))
+      .select(col("media_id"), col("frame_sig"))
+    val pairs = capped.select(col("media_id").as("id_a"), col("frame_sig"))
+      .join(capped.select(col("media_id").as("id_b"), col("frame_sig")),
+        Seq("frame_sig"))
+      .where(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= MediaDupMinShared)
+    val best = pairs.groupBy(col("id_a").as("media_id"))
+      .agg(max_by(col("id_b"), struct(col("shared"), (-col("id_b")).as("nb")))
+        .as("best_match"),
+        max(col("shared")).as("shared_frames"))
+    sigs.groupBy(col("media_id")).agg(count(lit(1)).as("n_sigs"))
+      .join(best, Seq("media_id"), "left")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta"     -> mediaMeta _,
     "q_media_features" -> mediaFeatureSummary _,
     "q_frame_sample"   -> frameSamples _,
+    "q_media_neardup"  -> mediaNearDup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -246,21 +295,61 @@ object MultimodalOps {
     // stride-8 byte codes through (31*s + b) mod 2^31-1 from seed 17 —
     // list_reduce uses the first element as init, hence the prepend
     "q_frame_sample" ->
-      """WITH d AS (
-        |  SELECT doc_id AS media_id, text,
-        |    CAST(length(text) AS BIGINT) AS len
-        |  FROM documents),
-        |f AS (
-        |  SELECT media_id, text, len,
-        |    unnest(range(1 + len % 8)) AS frame_idx
-        |  FROM d)
-        |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
-        |  list_reduce(
-        |    list_prepend(CAST(17 AS BIGINT),
-        |      list_transform(range((len - frame_idx + 7) // 8),
-        |        j -> CAST(ord(substr(text,
-        |               CAST(frame_idx + 1 + j * 8 AS INT), 1)) AS BIGINT))),
-        |    (acc, b) -> (31 * acc + b) % 2147483647) AS frame_sig
-        |FROM f WHERE frame_idx % 2 = 0""".stripMargin,
+      s"""WITH $frameSigCtes
+         |SELECT media_id, frame_idx, frame_sig FROM fsamp""".stripMargin,
+    // signature df-cap + equi-join + per-media argmax, the winnow
+    // best-match skeleton over frame signatures
+    "q_media_neardup" ->
+      s"""WITH $frameSigCtes,
+         |sigs AS (SELECT DISTINCT media_id, frame_sig FROM fsamp),
+         |tot AS (SELECT CAST(count(DISTINCT media_id) AS BIGINT)
+         |          AS n_media FROM sigs),
+         |dfs AS (SELECT frame_sig, CAST(count(*) AS BIGINT) AS df
+         |        FROM sigs GROUP BY frame_sig),
+         |capped AS (
+         |  SELECT s.media_id, s.frame_sig
+         |  FROM sigs s JOIN dfs USING (frame_sig), tot
+         |  WHERE df <= greatest(100, n_media // 20)),
+         |pairs AS (
+         |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM capped a JOIN capped b
+         |    ON a.frame_sig = b.frame_sig AND a.media_id <> b.media_id
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= $MediaDupMinShared),
+         |best AS (
+         |  SELECT id_a AS media_id, id_b AS best_match,
+         |    shared AS shared_frames
+         |  FROM (SELECT id_a, id_b, shared,
+         |          row_number() OVER (PARTITION BY id_a
+         |            ORDER BY shared DESC, id_b ASC) AS rn
+         |        FROM pairs)
+         |  WHERE rn = 1),
+         |nsig AS (SELECT media_id, count(*) AS n_sigs
+         |         FROM sigs GROUP BY media_id)
+         |SELECT n.media_id, n.n_sigs, b.best_match, b.shared_frames
+         |FROM nsig n LEFT JOIN best b ON b.media_id = n.media_id""".stripMargin,
   )
+
+  /** DuckDB twin of [[sampleFrames]] over [[mediaFromDocuments]] (ends
+    * in `fsamp(media_id, frame_idx, frame_sig)`) — shared by the
+    * q_frame_sample and q_media_neardup oracles. */
+  private lazy val frameSigCtes: String =
+    """d AS (
+      |  SELECT doc_id AS media_id, text,
+      |    CAST(length(text) AS BIGINT) AS len
+      |  FROM documents),
+      |f AS (
+      |  SELECT media_id, text, len,
+      |    unnest(range(1 + len % 8)) AS frame_idx
+      |  FROM d),
+      |fsamp AS (
+      |  SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+      |    list_reduce(
+      |      list_prepend(CAST(17 AS BIGINT),
+      |        list_transform(range((len - frame_idx + 7) // 8),
+      |          j -> CAST(ord(substr(text,
+      |                 CAST(frame_idx + 1 + j * 8 AS INT), 1)) AS BIGINT))),
+      |      (acc, b) -> (31 * acc + b) % 2147483647) AS frame_sig
+      |  FROM f WHERE frame_idx % 2 = 0)""".stripMargin
 }

@@ -98,4 +98,33 @@ class MultimodalSpec extends SparkSpec {
     assert(joined.where(col("width") =!= col("kw")
       || col("height") =!= col("kh")).count() == 0)
   }
+
+  test("media near-dup: shared frames match, the df-cap kills common frames") {
+    // media 1 and 2 share two frame signatures (a near-copy); media 3
+    // shares only one with each (below the bar). Every media ALSO
+    // carries signature 555, present in all 2100 media — df far above
+    // max(100, n/20) = 105, so the cap must drop it BEFORE the
+    // self-join (without the cap this fixture alone would produce
+    // ~4.4M pair rows).
+    val planted = Seq(
+      (1L, 0, 10L), (1L, 2, 20L), (1L, 4, 30L),
+      (2L, 0, 10L), (2L, 2, 20L), (2L, 4, 99L),
+      (3L, 0, 10L), (3L, 2, 77L))
+    val common = (1L to 2100L).map(i => (i + 1000L, 6, 555L))
+    val frames = (planted ++ common)
+      .toDF("media_id", "frame_idx", "frame_sig")
+    val got = MultimodalOps.mediaNearDupOf(frames)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("best_match") == 2L
+      && got(1L).getAs[Long]("shared_frames") == 2L, s"${got(1L)}")
+    assert(got(2L).getAs[Long]("best_match") == 1L)
+    assert(got(3L).isNullAt(got(3L).fieldIndex("best_match")),
+      "one shared frame is below the bar")
+    // the common-frame media matched nothing: signature 555 was capped
+    val commonMatched = got.collect {
+      case (id, r) if id > 1000L && !r.isNullAt(r.fieldIndex("best_match")) => id
+    }
+    assert(commonMatched.isEmpty,
+      s"df-capped signature must generate no pairs: $commonMatched")
+  }
 }
