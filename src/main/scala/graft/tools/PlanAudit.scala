@@ -61,6 +61,7 @@ object PlanAudit {
     "q_pii_scan" -> "PII census + redaction fp: codegen'd regex projection — ZERO exchanges",
     "q_leakfree_split" -> "group-side split: materialized-group left join + per-row md5 coin on the representative — linear, no window",
     "q_ppl_buckets" -> "CCNet thirds: lm-score chain + histogram threshold walk + broadcast 1-row threshold join",
+    "q_media_neardup" -> "frame-signature near-dup: df-capped signature equi-join + per-pair count + per-media argmax — candidates only, no payload compare",
   )
 
   def main(args: Array[String]): Unit = {
