@@ -1069,14 +1069,41 @@ object TextOps {
     vocabDriftCore(Tables.documents(spark, dir))
 
   /** [[vocabDrift]] over any (doc_id, text) relation. */
-  private[graft] def vocabDriftCore(docs: DataFrame): DataFrame = {
-    val per = docs
+  private[graft] def vocabDriftCore(docs: DataFrame): DataFrame =
+    tvOfBucketCounts(docs
       .select(pmod(col("doc_id"), lit(2)).as("split"),
         explode(toks(col("text"))).as("tok"))
       .withColumn("bucket", substring(md5(col("tok").cast("binary")), 1, 2))
       .groupBy(col("bucket"))
       .agg(sum(when(col("split") === 0, 1L).otherwise(0L)).as("p_cnt"),
-        sum(when(col("split") === 1, 1L).otherwise(0L)).as("q_cnt"))
+        sum(when(col("split") === 1, 1L).otherwise(0L)).as("q_cnt")))
+
+  /** Hashed token-bucket counts of a corpus — (bucket, cnt), the
+    * 256-row distribution summary [[vocabDrift]] compares and the
+    * streaming drift monitor persists per batch. */
+  private[graft] def tokenBuckets(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(toks(col("text"))).as("tok"))
+      .select(substring(md5(col("tok").cast("binary")), 1, 2).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** TV distance over two PRECOMPUTED bucket-count tables — the
+    * streaming entry ([[graft.streaming.StreamingAnalytics]] compares
+    * each micro-batch against the maintained corpus distribution);
+    * arithmetic shared with [[vocabDriftCore]] so the two monitors can
+    * never disagree. */
+  private[graft] def tvDistanceOf(p: DataFrame, q: DataFrame): DataFrame =
+    tvOfBucketCounts(
+      p.select(col("bucket"), col("cnt").as("p_cnt"))
+        .join(q.select(col("bucket"), col("cnt").as("q_cnt")),
+          Seq("bucket"), "full_outer")
+        .select(col("bucket"), coalesce(col("p_cnt"), lit(0L)).as("p_cnt"),
+          coalesce(col("q_cnt"), lit(0L)).as("q_cnt")))
+
+  /** Shared TV tail: (bucket, p_cnt, q_cnt) → one row (n_buckets,
+    * p_total, q_total, tv_ppm), integer-exact half-L1 over bucket
+    * ppms. */
+  private def tvOfBucketCounts(per: DataFrame): DataFrame = {
     val tot = per.agg(sum(col("p_cnt")).as("p_total"),
       sum(col("q_cnt")).as("q_total"))
     per.crossJoin(broadcast(tot))

@@ -899,4 +899,57 @@ object StreamingAnalytics {
     }
     spark.table(name)
   }
+
+  // ===== distribution drift monitor =====
+
+  private val DriftSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("cnt",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("batch",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Append one micro-batch's token-bucket counts to the maintained
+    * corpus DISTRIBUTION table — 256 rows per batch as a `batch=<id>`
+    * partition (the [[writeCorpusIndex]] discipline at distribution
+    * granularity): the state the drift alarm compares each incoming
+    * batch against. Store ADMITTED docs' counts so the reference
+    * distribution tracks what the corpus actually keeps. */
+  def writeDriftIndex(spark: SparkSession, admittedDocs: DataFrame,
+      dir: String, batchId: Long): Unit =
+    graft.operators.TextOps.tokenBuckets(admittedDocs)
+      .withColumn("batch", lit(batchId)).write.mode("append")
+      .partitionBy("batch").parquet(s"$dir/drift_buckets")
+
+  /** Read-back of [[writeDriftIndex]] summed across batch partitions —
+    * (bucket, cnt); empty on a never-seeded dir (the
+    * [[loadCorpusIndexOrEmpty]] bootstrap contract). */
+  def loadDriftIndexOrEmpty(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/drift_buckets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read.schema(DriftSchema).parquet(s"$dir/drift_buckets")
+        .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    else spark.range(0)
+      .select(col("id").cast("string").as("bucket"), lit(0L).as("cnt"))
+  }
+
+  /** Same file-compaction cadence as the other gate tables (the table
+    * grows 256 tiny rows per batch; the read-back re-aggregates, so
+    * compaction is file hygiene, not semantics). */
+  def compactDriftIndex(spark: SparkSession, dir: String): (Int, Int) =
+    graft.functions.ScaleUtils.compactParquet(spark, s"$dir/drift_buckets")
+
+  /** DRIFT ALARM for one micro-batch: TV distance (ppm) between the
+    * maintained corpus distribution and the incoming batch —
+    * [[graft.operators.TextOps.vocabDrift]]'s arithmetic served from
+    * the persisted bucket table (shared tail, so the batch monitor and
+    * the batch-mode query can never disagree). One row: (n_buckets,
+    * p_total = corpus tokens, q_total = batch tokens, tv_ppm). A
+    * never-seeded corpus reads as all-drift (tv → ~10⁶) — the honest
+    * bootstrap answer; gate the alarm on p_total > 0. */
+  def batchDrift(batch: DataFrame, corpusBuckets: DataFrame): DataFrame =
+    graft.operators.TextOps.tvDistanceOf(corpusBuckets,
+      graft.operators.TextOps.tokenBuckets(batch))
 }

@@ -457,4 +457,47 @@ class StreamingAnalyticsSpec extends SparkSpec {
       "exactly one row per key must survive")
     assert(got.groupBy("event_id").count().where($"count" > 1).count() == 0)
   }
+
+  test("drift monitor: maintained distribution, alarm parity, compaction") {
+    import graft.operators.TextOps
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    // never-seeded dir reads as the empty distribution
+    assert(StreamingAnalytics.loadDriftIndexOrEmpty(spark, dir).count() == 0L)
+    val b1 = Seq((0L, "en", "alpha beta gamma alpha"), (1L, "en", "beta delta"))
+      .toDF("doc_id", "lang", "text")
+    StreamingAnalytics.writeDriftIndex(spark, b1, dir, 1L)
+    val corpus = StreamingAnalytics.loadDriftIndexOrEmpty(spark, dir)
+    // a same-distribution batch drifts less than a disjoint-vocab one
+    val similar = Seq((2L, "en", "alpha beta gamma"), (3L, "en", "delta beta"))
+      .toDF("doc_id", "lang", "text")
+    val shifted = Seq((4L, "en", "zeta eta theta iota kappa"))
+      .toDF("doc_id", "lang", "text")
+    val low = StreamingAnalytics.batchDrift(similar, corpus)
+      .head.getAs[Long]("tv_ppm")
+    val high = StreamingAnalytics.batchDrift(shifted, corpus)
+      .head.getAs[Long]("tv_ppm")
+    assert(low < high, s"similar batch must drift less: $low vs $high")
+    assert(high >= 600000L, s"disjoint vocabulary must alarm: $high")
+    // appends accumulate across batch partitions
+    StreamingAnalytics.writeDriftIndex(spark, similar, dir, 2L)
+    val total = StreamingAnalytics.loadDriftIndexOrEmpty(spark, dir)
+      .agg(sum($"cnt")).head.getLong(0)
+    assert(total == 6L + 5L, s"b1 (6 tokens) + b2 (5 tokens): $total")
+    // compaction is file hygiene only — counts unchanged
+    StreamingAnalytics.compactDriftIndex(spark, dir)
+    val afterCompact = StreamingAnalytics.loadDriftIndexOrEmpty(spark, dir)
+      .agg(sum($"cnt")).head.getLong(0)
+    assert(afterCompact == total)
+    // arithmetic parity with the batch-mode q_vocab_drift: even docs as
+    // the corpus side, odd docs as the batch side
+    val parity = Seq((0L, "en", "alpha beta gamma"), (2L, "en", "delta"),
+      (1L, "en", "alpha zeta zeta"))
+      .toDF("doc_id", "lang", "text")
+    val viaQuery = TextOps.vocabDriftCore(parity).head
+    val viaMonitor = StreamingAnalytics.batchDrift(
+      parity.where($"doc_id" % 2 === 1),
+      TextOps.tokenBuckets(parity.where($"doc_id" % 2 === 0))).head
+    assert(viaQuery.toSeq == viaMonitor.toSeq,
+      s"monitor and query disagree: $viaQuery vs $viaMonitor")
+  }
 }
