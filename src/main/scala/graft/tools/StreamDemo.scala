@@ -108,6 +108,26 @@ object StreamDemo {
     StreamingAnalytics.loadGroupTable(spark, loopIdx)
       .orderBy(col("doc_id")).show(false)
 
+    // distribution drift alarm: seed the maintained bucket table from
+    // one batch, then score a same-distribution batch vs a shifted one
+    val driftDir = java.nio.file.Files.createTempDirectory("sdemo_dr").toString
+    val seed = graft.sources.Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 2 === 0)
+    StreamingAnalytics.writeDriftIndex(spark, seed, driftDir, 1L)
+    val corpusDist = StreamingAnalytics.loadDriftIndexOrEmpty(spark, driftDir)
+    val sameDist = graft.sources.Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 2 === 1)
+    val shifted = spark.range(50)
+      .select(col("id").as("doc_id"), lit("xx").as("lang"),
+        concat_ws(" ", col("id").cast("string"),
+          md5(col("id").cast("string").cast("binary"))).as("text"))
+    val tvSame = StreamingAnalytics.batchDrift(sameDist, corpusDist)
+      .head.getAs[Long]("tv_ppm")
+    val tvShift = StreamingAnalytics.batchDrift(shifted, corpusDist)
+      .head.getAs[Long]("tv_ppm")
+    println(s"[demo] drift alarm: same-distribution batch $tvSame ppm, " +
+      s"shifted-vocab batch $tvShift ppm")
+
     // salted join — probe saltFactor=1 degenerate case
     val li = graft.sources.Tables.lineitem(spark, sfDir)
     val orders = graft.sources.Tables.orders(spark, sfDir)

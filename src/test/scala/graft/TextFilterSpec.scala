@@ -95,6 +95,26 @@ class TextFilterSpec extends SparkSpec {
       && got(4L).getAs[String]("scrubbed_fp") == md5hex("a"))
   }
 
+  test("redaction is idempotent: placeholders carry no residual matches") {
+    // mixed corpus: every PII kind, adjacency cases, and clean noise —
+    // deterministic construction, no random seed
+    val texts = (0 until 200).map { i =>
+      s"u$i@ex$i.com w$i ${100 + i % 900}-12${i % 10}-4567 " +
+        s"10.${i % 256}.0.${i % 256} tok$i plain words here"
+    } ++ Seq("no identifiers at all", "<EMAIL> already redacted")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, "en", t) }
+      .toDF("doc_id", "lang", "text")
+    val once = TextOps.redactedDocs(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val twice = TextOps.redactedDocs(TextOps.redactedDocs(docs))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(once == twice, "redact(redact(x)) must equal redact(x)")
+    // and the once-redacted corpus scans clean
+    assert(TextOps.piiScanCore(TextOps.redactedDocs(docs))
+      .where($"has_pii").count() == 0L)
+  }
+
   test("vocab card: hand-computed type/token stats") {
     val docs = Seq((1L, "en", "a a b"), (2L, "fr", "x y z x"))
       .toDF("doc_id", "lang", "text")
