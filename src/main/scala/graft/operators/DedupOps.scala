@@ -1212,6 +1212,45 @@ object DedupOps {
         expr("n_dup_docs * 10000 div n_docs").cast("double") / 10000.0)
   }
 
+  /** CROSS-SOURCE OVERLAP MATRIX — which source PAIRS share duplicated
+    * content: per unordered (source_a ≤ source_b) pair, how many dup
+    * groups contain members from both and how many duplicate doc PAIRS
+    * cross them. A hot off-diagonal cell is a mirror/syndication
+    * relationship between two feeds (fix the crawl, not the dedup bar);
+    * a hot diagonal cell is a source duplicating itself. The
+    * [[dupRateBySource]] per-source rates say WHO duplicates; this says
+    * WITH WHOM.
+    *
+    * Scale shape: pair counts come from per-group source MULTIPLICITIES,
+    * never member×member enumeration — the group table collapses to
+    * (rep_id, source, c) in one hash agg (sub-linear: ≤ |groups|·|srcs
+    * present|), and the rep_id self-join emits c_a·c_b (or C(c,2) on the
+    * diagonal) so a 10⁶-member boilerplate cluster costs |sources|² rows,
+    * not 10¹² . Final matrix ≤ |sources|² rows. */
+  def sourceOverlapMatrix(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapFrom(textDedupGroups(spark, dir),
+      Tables.documents(spark, dir).select(col("doc_id"), col("source")))
+
+  /** [[sourceOverlapMatrix]] over a PRECOMPUTED (doc_id, rep_id) group
+    * table and a (doc_id, source) provenance relation. */
+  def sourceOverlapFrom(groups: DataFrame, provenance: DataFrame): DataFrame = {
+    val gs = groups.join(provenance, Seq("doc_id"))
+      .groupBy(col("rep_id"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val a = gs.select(col("rep_id"), col("source").as("source_a"),
+      col("c").as("c_a"))
+    val b = gs.select(col("rep_id"), col("source").as("source_b"),
+      col("c").as("c_b"))
+    a.join(b, Seq("rep_id"))
+      .where(col("source_a") <= col("source_b"))
+      .withColumn("pairs",
+        when(col("source_a") === col("source_b"),
+          expr("c_a * (c_a - 1) div 2")).otherwise(expr("c_a * c_b")))
+      .where(col("pairs") > 0)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("pairs")).as("n_pairs"))
+  }
+
   /** Containment bar above which a corpus document counts as containing a
     * benchmark document (the standard decontamination threshold family:
     * ≥80% of the benchmark doc's shingles present). */
@@ -1363,6 +1402,7 @@ object DedupOps {
     "q_dup_threshold_sweep" -> dupThresholdSweep _,
     "q_canonical_docs" -> canonicalDocs _,
     "q_dup_rate_by_source" -> dupRateBySource _,
+    "q_source_overlap" -> sourceOverlapMatrix _,
     "q_contamination" -> contamination _,
     "q_contamination_by_bench" -> contaminationByBench _,
     "q_ngram_contamination" -> ((s: SparkSession, d: String) =>
@@ -1645,6 +1685,26 @@ object DedupOps {
          |      FROM groups GROUP BY rep_id)
          |SELECT group_size, count(*) AS n_groups FROM s
          |GROUP BY group_size""".stripMargin,
+    // per-group source multiplicities → c_a·c_b cross pairs (C(c,2) on
+    // the diagonal), unordered source pairs, zero-pair rows dropped
+    "q_source_overlap" ->
+      s"""WITH RECURSIVE $textGroupsCtes,
+         |groups AS (
+         |  SELECT id AS doc_id, min(comp) AS rep_id FROM walk GROUP BY id),
+         |gs AS (
+         |  SELECT g.rep_id, d.source, count(*) AS c
+         |  FROM groups g JOIN documents d ON d.doc_id = g.doc_id
+         |  GROUP BY g.rep_id, d.source),
+         |p AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2
+         |         ELSE a.c * b.c END AS pairs
+         |  FROM gs a JOIN gs b ON a.rep_id = b.rep_id
+         |    AND a.source <= b.source)
+         |SELECT source_a, source_b, count(*) AS n_groups,
+         |  CAST(sum(pairs) AS BIGINT) AS n_pairs
+         |FROM p WHERE pairs > 0
+         |GROUP BY source_a, source_b""".stripMargin,
     // dup groups → per-source drop counts under the SAME best-quality
     // keep rule as q_canonical_docs (rn = 1 survives, the rest drop)
     "q_dup_rate_by_source" ->

@@ -613,6 +613,51 @@ object TextOps {
         expr("ppm_sum div n_tok").as("avg_tok_ppm"), col("min_tok_ppm"))
   }
 
+  /** Keywords kept per document by [[tfidfKeywords]]. */
+  val TfidfTopK = 5
+
+  /** Per-document TOP-K KEYWORD extraction by rarity-weighted term
+    * relevance — the TF-IDF report a curation pipeline attaches to each
+    * document for topic routing, index previews, and eyeball QA of
+    * cluster labels. The score is integer-exact: `tf · 10⁶ div df`
+    * (term frequency over corpus document frequency) — idf enters as
+    * the exact reciprocal document frequency rather than its log, which
+    * keeps the whole statistic in long arithmetic (the repo-wide
+    * cross-engine discipline: both engines would agree on `ln` only to
+    * 1 ulp, and a hash-compared rank must never hinge on a rounding
+    * coin-flip). Ranking within a document is monotone in tf and in
+    * 1/df exactly as TF-IDF is; only the relative weighting of the two
+    * axes differs from the log form.
+    *
+    * Scale shape: tf is one hash aggregation over the exploded relation
+    * (map-side partial combine); df is a count over tf (one row per
+    * (doc, tok) — count IS document frequency, no count-distinct); the
+    * score join is tf ⋈ df on the token — broadcastable until the
+    * vocabulary outgrows executors, then a shuffle-hash join with AQE
+    * skew split (the [[lmScore]] join shape). The top-k window
+    * partitions by doc_id — high-cardinality, so no funnel: every task
+    * ranks only its own documents' ~vocabulary rows. */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame =
+    tfidfKeywordsCore(Tables.documents(spark, dir))
+
+  /** [[tfidfKeywords]] over any (doc_id, lang, text) relation — split
+    * out so specs can hand-score a planted corpus. */
+  private[graft] def tfidfKeywordsCore(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_ppm").desc, col("tok").asc)
+    tf.join(df, Seq("tok"))
+      .withColumn("score_ppm", expr(s"tf * $LmPpmUnit div df"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TfidfTopK)
+      .select(col("doc_id"), col("lang"), col("rank"), col("tok"),
+        col("tf"), col("df"), col("score_ppm"))
+  }
+
   /** Gopher-style rule bars (word-level subset — this corpus has no
     * line structure or non-word symbols, so the line/symbol/ellipsis
     * rules of the published set are vacuous here; the repetition rules
@@ -1244,6 +1289,7 @@ object TextOps {
     "q_quality_score"  -> qualityScore _,
     "q_repetition"     -> repetition _,
     "q_lm_score"       -> lmScore _,
+    "q_tfidf_topk"     -> tfidfKeywords _,
     "q_ppl_buckets"    -> pplBuckets _,
     "q_vocab_card"     -> vocabCard _,
     "q_vocab_drift"    -> vocabDrift _,
@@ -1576,6 +1622,21 @@ object TextOps {
       s"""WITH $lmScoreCtes
          |SELECT doc_id, lang, n_tok, avg_tok_ppm, min_tok_ppm
          |FROM lms""".stripMargin,
+    // integer idf surrogate: tf·1e6 // df, rank ties on token ascending
+    "q_tfidf_topk" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
+         |tf AS (SELECT doc_id, lang, tok, count(*) AS tf
+         |       FROM ex GROUP BY doc_id, lang, tok),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |s AS (SELECT doc_id, lang, tok, tf, df,
+         |    tf * $LmPpmUnit // df AS score_ppm
+         |  FROM tf JOIN df USING (tok))
+         |SELECT doc_id, lang, CAST(rank AS INT) AS rank, tok,
+         |  tf, df, score_ppm
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score_ppm DESC, tok ASC) AS rank FROM s)
+         |WHERE rank <= $TfidfTopK""".stripMargin,
     // thresholds from the score histogram walked top-down (the
     // quality-floor trick); a NULL threshold (first row bigger than a
     // third) makes its CASE arm false on both sides

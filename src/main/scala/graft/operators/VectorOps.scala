@@ -858,6 +858,38 @@ object VectorOps {
       .agg(count(lit(1)).as("n_vectors"),
         sum(col("dist2")).as("inertia_milli2"))
 
+  /** TOPIC-BALANCE-BY-SOURCE report — the cluster × source contingency
+    * table a mixture designer reads before setting per-source sampling
+    * rates: assign every embedded document to its trained k-means
+    * cluster ([[kmeansAssign]] — embeddings align with documents by id,
+    * the [[graft.operators.CurationOps.curationSummary]] convention),
+    * join the document's source, and emit per (cluster, source) the
+    * document count and its integer-exact share of the cluster
+    * (ppm, truncating). A source monopolizing a cluster (share → 10⁶)
+    * is the over-representation signal source caps act on; a cluster
+    * with uniform shares is topic-diverse.
+    *
+    * Scale shape: the contingency relation is ≤ clusters × sources rows
+    * — sub-linear the moment the per-(cluster,source) count aggregates
+    * (map-side partial combine); cluster totals re-aggregate THAT
+    * relation and broadcast back onto it, so nothing after the first
+    * hash-agg touches corpus-sized data. The doc⋈assignment join is
+    * id-keyed (AQE shuffle join; either side broadcastable when small). */
+  def clusterSourceBalance(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = kmeansAssign(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("cluster"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val cs = assigned.join(docs, Seq("doc_id"))
+      .groupBy(col("cluster"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cs.groupBy(col("cluster"))
+      .agg(sum(col("n_docs")).as("cl_total"))
+    cs.join(broadcast(totals), Seq("cluster"))
+      .withColumn("share_ppm", expr("n_docs * 1000000 div cl_total"))
+      .select(col("cluster"), col("source"), col("n_docs"), col("cl_total"),
+        col("share_ppm"))
+  }
+
   /** Per-label centroid in exact milli-units: posexplode to (dim, value),
     * integer sums per (label, dim). The partial-aggregation tree is
     * shuffle-efficient (combine on map side) and exact at any scale. */
@@ -867,6 +899,77 @@ object VectorOps {
       .where(col("pos") < 8)
       .groupBy(col("label"), col("pos").as("dim"))
       .agg(sum(col("col")).as("sum_milli"), count(lit(1)).as("n"))
+
+  /** Probe-set sampler for [[bitextMine]]'s declared query: every
+    * [[BitextQueryMod]]-th source-language vector id (deterministic,
+    * coin-free — the repo-wide no-rand discipline). */
+  val BitextQueryMod = 50L
+
+  /** Acceptance bars for [[bitextMine]]: minimum best-match cosine and
+    * minimum margin over the runner-up, in exact 1e-4 units. The
+    * standard mined-bitext operating point: a high-sim match whose
+    * runner-up is nearly as close is a COPY cluster, not a translation
+    * pair — margin, not raw cosine, is what separates them. */
+  val BitextMinSim4 = 5000L
+  val BitextMinMargin4 = 500L
+
+  /** CROSS-LINGUAL BITEXT MINING (margin-based) — the LASER/CCMatrix
+    * alignment pass a multilingual training pipeline runs over a
+    * sentence-embedding space: for each probe document in the source
+    * language, find its best and runner-up cosine matches among
+    * TARGET-language documents (languages joined from the documents
+    * table by the id-alignment convention), and score the pair by the
+    * absolute MARGIN best − runner-up. High-margin pairs are mined as
+    * translations; low-margin high-sim matches are generic/hub vectors
+    * the margin criterion exists to reject. Margins are computed in
+    * exact 1e-4 integer units from the 4-dp-rounded sims (no second
+    * float rounding to diverge cross-engine); a probe with no runner-up
+    * margins against 0.
+    *
+    * Scale shape: the probe set is broadcast against the id-partitioned
+    * target corpus ([[knnBruteForce]]'s shape) with the two-phase top-k
+    * tail — here the declared exact baseline over a sampled probe set;
+    * the full-corpus production pass serves candidates from the
+    * persisted ANN index ([[annPqSearchFrom]] / [[DedupOps
+    * .cosineNearDupFromIndex]]) and scores margins on the refined
+    * top-2, the same build-once/search-many split as q_ann_pq_search. */
+  def bitextMine(spark: SparkSession, dir: String, srcLang: String = "en",
+      tgtLang: String = "fr"): DataFrame =
+    bitextMineFrom(spark, quantized(spark, dir),
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+      srcLang, tgtLang)
+
+  /** [[bitextMine]] over any quantized (vec_id, qe, nrm) frame and a
+    * (doc_id, lang) relation — split out so specs can plant vector
+    * fixtures with known margins. */
+  private[graft] def bitextMineFrom(spark: SparkSession, emb0: DataFrame,
+      langs: DataFrame, srcLang: String, tgtLang: String): DataFrame = {
+    val dot = DotProductLong.dotLong(spark) _
+    val emb = emb0.where(col("nrm") > 0)
+      .join(langs, col("vec_id") === col("doc_id"))
+    val probes = emb
+      .where(col("lang") === srcLang && col("vec_id") % BitextQueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"),
+        col("nrm").as("q_nrm"))
+    val targets = emb.where(col("lang") === tgtLang)
+      .select(col("vec_id").as("neighbor_id"), col("qe"), col("nrm"))
+    val scored = targets.crossJoin(broadcast(probes))
+      .withColumn("sim",
+        round(cosineQ(dot)(col("q_qe"), col("qe"), col("q_nrm"), col("nrm")), 4))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    topKPerQuery(scored, 2)
+      .groupBy(col("query_id"))
+      .agg(max(when(col("rank") === 1, col("neighbor_id"))).as("best_id"),
+        max(when(col("rank") === 1, col("sim"))).as("best_sim"),
+        max(when(col("rank") === 2, col("sim"))).as("runner_sim"))
+      .withColumn("b4", round(col("best_sim") * 10000).cast("long"))
+      .withColumn("m4", col("b4")
+        - coalesce(round(col("runner_sim") * 10000).cast("long"), lit(0L)))
+      .select(col("query_id"), col("best_id"), col("best_sim"),
+        (col("m4").cast("double") / 10000.0).as("margin"),
+        (col("b4") >= BitextMinSim4 && col("m4") >= BitextMinMargin4)
+          .as("accept"))
+  }
 
   /** IVF-style ANN: the label centroids act as the coarse quantizer
     * (inverted-file cells). Each query scores all centroids (tiny), keeps
@@ -961,6 +1064,8 @@ object VectorOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_cosine"   -> ((s: SparkSession, d: String) => knnBruteForce(s, d)),
     "q_kmeans"       -> kmeansSummary _,
+    "q_cluster_balance" -> clusterSourceBalance _,
+    "q_bitext_margin" -> ((s: SparkSession, d: String) => bitextMine(s, d)),
     "q_ann_ivf_kmeans" -> ((s: SparkSession, d: String) => annIvfKmeans(s, d)),
     "q_nn_per_label" -> nnWithinLabel _,
     "q_nn_label_ann" -> nnLabelBucketed _,
@@ -1151,6 +1256,56 @@ object VectorOps {
          |SELECT cluster, count(*) AS n_vectors,
          |  CAST(sum(dist2) AS BIGINT) AS inertia_milli2
          |FROM a1 GROUP BY cluster""".stripMargin,
+    // probe = every 50th en vector, targets = all fr vectors; margins in
+    // exact 1e-4 units recovered from the 4-dp sims (no re-rounding)
+    "q_bitext_margin" ->
+      s"""WITH emb AS (SELECT vec_id, $qSql AS qe FROM embeddings),
+         |n AS (SELECT * FROM (
+         |    SELECT vec_id, qe, list_dot_product(qe, qe) AS nrm FROM emb)
+         |  WHERE nrm > 0),
+         |l AS (SELECT n.vec_id, n.qe, n.nrm, d.lang
+         |      FROM n JOIN documents d ON d.doc_id = n.vec_id),
+         |q AS (SELECT vec_id AS query_id, qe AS q_qe, nrm AS q_nrm
+         |      FROM l WHERE lang = 'en' AND vec_id % $BitextQueryMod = 0),
+         |t AS (SELECT vec_id AS neighbor_id, qe, nrm FROM l
+         |      WHERE lang = 'fr'),
+         |scored AS (
+         |  SELECT q.query_id, t.neighbor_id,
+         |    round(CAST(list_dot_product(q.q_qe, t.qe) AS DOUBLE)
+         |      / (sqrt(CAST(q.q_nrm AS DOUBLE)) * sqrt(CAST(t.nrm AS DOUBLE))), 4) AS sim
+         |  FROM q CROSS JOIN t),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rk FROM scored),
+         |agg AS (
+         |  SELECT query_id,
+         |    max(CASE WHEN rk = 1 THEN neighbor_id END) AS best_id,
+         |    max(CASE WHEN rk = 1 THEN sim END) AS best_sim,
+         |    max(CASE WHEN rk = 2 THEN sim END) AS runner_sim
+         |  FROM r WHERE rk <= 2 GROUP BY query_id),
+         |m AS (
+         |  SELECT query_id, best_id, best_sim,
+         |    CAST(round(best_sim * 10000) AS BIGINT) AS b4,
+         |    CAST(round(best_sim * 10000) AS BIGINT)
+         |      - coalesce(CAST(round(runner_sim * 10000) AS BIGINT), 0) AS m4
+         |  FROM agg)
+         |SELECT query_id, best_id, best_sim,
+         |  CAST(m4 AS DOUBLE) / 10000.0 AS margin,
+         |  (b4 >= $BitextMinSim4 AND m4 >= $BitextMinMargin4) AS accept
+         |FROM m""".stripMargin,
+    // same trained assignment joined to the document's source; shares
+    // are integer-truncated ppm of the cluster total
+    "q_cluster_balance" ->
+      s"""WITH $kmeansCtesSql,
+         |j AS (SELECT a.cluster, d.source
+         |      FROM a1 a JOIN documents d ON d.doc_id = a.vec_id),
+         |cs AS (SELECT cluster, source, count(*) AS n_docs
+         |       FROM j GROUP BY cluster, source),
+         |ct AS (SELECT cluster, CAST(sum(n_docs) AS BIGINT) AS cl_total
+         |       FROM cs GROUP BY cluster)
+         |SELECT cs.cluster, cs.source, cs.n_docs, ct.cl_total,
+         |  cs.n_docs * 1000000 // ct.cl_total AS share_ppm
+         |FROM cs JOIN ct USING (cluster)""".stripMargin,
     // same trained cells, IVF probe (min L2^2, the training metric) +
     // within-cell cosine search
     "q_ann_ivf_kmeans" ->

@@ -172,6 +172,7 @@ class TextFilterSpec extends SparkSpec {
     assert(TextOps.piiScanCore(empty).count() == 0L)
     assert(TextOps.repeatScrubCore(empty).count() == 0L)
     assert(TextOps.pplBucketsCore(empty).count() == 0L)
+    assert(TextOps.tfidfKeywordsCore(empty).count() == 0L)
     assert(TextOps.vocabCardCore(empty).count() == 0L)
     assert(TextOps.bpeEncodeWith(spark, empty, empty).count() == 0L)
     assert(graft.operators.DedupOps.chunkSemDedupOf(spark, empty).count() == 0L)
@@ -258,6 +259,28 @@ class TextFilterSpec extends SparkSpec {
     assert(got(1L).getAs[Long]("min_tok_ppm") == 400000L)
     assert(got(2L).getAs[Long]("avg_tok_ppm") == 300000L)
     assert(got(2L).getAs[Long]("min_tok_ppm") == 200000L)
+  }
+
+  test("tfidf keywords: hand-computed ranks on a planted corpus") {
+    // df: a=2 b=1 c=2 d=1; doc 1 tf: a=2 b=1 c=1 →
+    //   a: 2e6/2 = 1000000, b: 1e6/1 = 1000000, c: 1e6/2 = 500000
+    //   tie at 1e6 breaks on token asc → rank1=a, rank2=b, rank3=c
+    // doc 2 tf: c=1 d=2 a=1 → d: 2000000, a: 500000, c: 500000
+    //   → rank1=d, rank2=a (tie on 500000, 'a' < 'c'), rank3=c
+    val docs = Seq((1L, "en", "a a b c"), (2L, "en", "c d d a"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.tfidfKeywordsCore(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("rank")) -> r).toMap
+    assert(got.size == 6)
+    assert(got((1L, 1)).getAs[String]("tok") == "a"
+      && got((1L, 1)).getAs[Long]("score_ppm") == 1000000L)
+    assert(got((1L, 2)).getAs[String]("tok") == "b")
+    assert(got((1L, 3)).getAs[String]("tok") == "c"
+      && got((1L, 3)).getAs[Long]("score_ppm") == 500000L)
+    assert(got((2L, 1)).getAs[String]("tok") == "d"
+      && got((2L, 1)).getAs[Long]("score_ppm") == 2000000L)
+    assert(got((2L, 2)).getAs[String]("tok") == "a")
+    assert(got((2L, 3)).getAs[String]("tok") == "c")
   }
 
   test("gopherShapeFail: parity with the rule table's shape columns") {
