@@ -1304,7 +1304,7 @@ object TextOps {
     "q_jaccard_best"   -> jaccardBestMatch _,
   )
 
-  private val toksSql =
+  private[operators] val toksSql =
     "list_filter(string_split(text, ' '), t -> t <> '')"
 
   /** DuckDB twin of [[lmScoreCore]] (ends in `lms(doc_id, lang, n_tok,

@@ -900,6 +900,86 @@ object VectorOps {
       .groupBy(col("label"), col("pos").as("dim"))
       .agg(sum(col("col")).as("sum_milli"), count(lit(1)).as("n"))
 
+  /** Keywords kept per cluster by [[clusterKeywords]]. */
+  val ClusterTopK = 5
+
+  /** CLUSTER KEYWORD LABELS — the human-readable tags a clustering
+    * report attaches to each k-means cell: per cluster, the top-k
+    * tokens by rarity-weighted cluster frequency (cluster tf · 10⁶ div
+    * corpus document frequency — [[graft.operators.TextOps
+    * .tfidfKeywords]]'s integer idf surrogate lifted from documents to
+    * clusters). Tokens every cluster shares (stopwords, boilerplate)
+    * score low through the df denominator; what surfaces is what makes
+    * the cluster THAT cluster — the label a mixture designer or an
+    * eyeball-QA pass actually reads.
+    *
+    * Scale shape: cluster tf is one hash aggregation over the exploded
+    * assignment⋈documents join (map-side combine; output ≤ clusters ×
+    * vocab); df aggregates the per-doc distinct relation (corpus-wide,
+    * the tfidf definition — shared semantics, so a token's rarity means
+    * the same thing in both reports). The top-k is TWO-PHASE on the
+    * LOW-cardinality cluster key (partial rank per input partition →
+    * merge of ≤ k·P candidates) — a plain window here would funnel
+    * every cluster's whole vocabulary through one task. */
+  def clusterKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val assigned = kmeansAssign(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("cluster"))
+    val perDoc = docs
+      .select(col("doc_id"), explode(TextOps.toks(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = perDoc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ctf = perDoc.join(assigned, Seq("doc_id"))
+      .groupBy(col("cluster"), col("tok")).agg(sum(col("tf")).as("ctf"))
+    val scored = ctf.join(df, Seq("tok"))
+      .withColumn("score_ppm", expr("ctf * 1000000 div df"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"), col("pid"))
+      .orderBy(col("neg"), col("tok"))
+    scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("neg", -col("score_ppm"))
+      .withColumn("rn", row_number().over(wLocal))
+      .where(col("rn") <= ClusterTopK)
+      .groupBy(col("cluster"))
+      .agg(slice(array_sort(collect_list(struct(col("neg"), col("tok"),
+        col("ctf"), col("df"), col("score_ppm")))), 1, ClusterTopK).as("top"))
+      .select(col("cluster"), posexplode(col("top")))
+      .select(col("cluster"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.tok").as("tok"), col("col.ctf").as("ctf"),
+        col("col.df").as("df"), col("col.score_ppm").as("score_ppm"))
+  }
+
+  /** ANN RECALL SELF-EVALUATION — the accuracy harness an ANN
+    * deployment ships with: run the trained-IVF search
+    * ([[annIvfKmeans]]) and the exact brute-force baseline
+    * ([[knnBruteForce]]) over the SAME probe set and report, per query,
+    * how many of the true top-k the index recovered (recall@k in exact
+    * 1e-4 units). The statistic that decides nprobe/cells before anyone
+    * trusts the index — measured, not guessed, and runnable on a
+    * production corpus sample at any time.
+    *
+    * Scale shape: both chains are the already-bounded probe-set
+    * searches (broadcast queries; IVF probes only ~nprobe/cells of the
+    * corpus); the comparison joins two k·|probes|-row relations on
+    * (query_id, neighbor_id) and re-aggregates per query — negligible
+    * next to the searches themselves. The left join keeps queries the
+    * ANN returned nothing for (recall 0, not a dropped row). */
+  def annRecall(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 5, nprobe: Int = 3, cells: Int = 8): DataFrame = {
+    val exact = knnBruteForce(spark, dir, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = annIvfKmeans(spark, dir, k, nQueries, nprobe, cells)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall",
+        expr("n_hits * 10000 div n_true").cast("double") / 10000.0)
+  }
+
   /** Probe-set sampler for [[bitextMine]]'s declared query: every
     * [[BitextQueryMod]]-th source-language vector id (deterministic,
     * coin-free — the repo-wide no-rand discipline). */
@@ -1067,6 +1147,8 @@ object VectorOps {
     "q_cluster_balance" -> clusterSourceBalance _,
     "q_bitext_margin" -> ((s: SparkSession, d: String) => bitextMine(s, d)),
     "q_ann_ivf_kmeans" -> ((s: SparkSession, d: String) => annIvfKmeans(s, d)),
+    "q_ann_recall"   -> ((s: SparkSession, d: String) => annRecall(s, d)),
+    "q_cluster_keywords" -> clusterKeywords _,
     "q_nn_per_label" -> nnWithinLabel _,
     "q_nn_label_ann" -> nnLabelBucketed _,
     "q_centroids"    -> centroids _,
@@ -1136,6 +1218,31 @@ object VectorOps {
   private[operators] lazy val kmeansCtesSql: String =
     s"""emb AS (SELECT vec_id, $qSql AS qe FROM embeddings),
        |${kmeansCtesOverSql("emb", 64)}""".stripMargin
+
+  /** Trained-IVF probe/search chain (q → probe → mem → scored) over the
+    * [[kmeansCtesSql]] CTEs — shared by the q_ann_ivf_kmeans and
+    * q_ann_recall oracles so the searched index cannot drift between
+    * the search and its own accuracy harness. */
+  private lazy val ivfKmeansScoredCtes: String =
+    s"""q AS (SELECT vec_id AS query_id, qe AS q_qe, nrm AS q_nrm
+       |      FROM n WHERE vec_id < 5 AND nrm > 0),
+       |probe AS (
+       |  SELECT query_id, q_qe, q_nrm, cluster FROM (
+       |    SELECT query_id, q_qe, q_nrm, c.cluster,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY q_nrm + c.c_nrm - 2 * list_dot_product(q_qe, c.centroid) ASC,
+       |                 c.cluster ASC) AS rk
+       |    FROM q CROSS JOIN c1n c)
+       |  WHERE rk <= 3),
+       |mem AS (
+       |  SELECT a.cluster, a.vec_id AS neighbor_id, v.qe, v.nrm
+       |  FROM a1 a JOIN n v ON v.vec_id = a.vec_id
+       |  WHERE a.vec_id >= 5 AND v.nrm > 0),
+       |scored AS (
+       |  SELECT p.query_id, m.neighbor_id,
+       |    round(CAST(list_dot_product(p.q_qe, m.qe) AS DOUBLE)
+       |      / (sqrt(CAST(p.q_nrm AS DOUBLE)) * sqrt(CAST(m.nrm AS DOUBLE))), 4) AS sim
+       |  FROM probe p JOIN mem m ON p.cluster = m.cluster)""".stripMargin
 
   /** Exact within-label NN oracle — shared by q_nn_per_label and the auto
     * entry point q_nn_auto (below the cutover they are the same query). */
@@ -1256,6 +1363,24 @@ object VectorOps {
          |SELECT cluster, count(*) AS n_vectors,
          |  CAST(sum(dist2) AS BIGINT) AS inertia_milli2
          |FROM a1 GROUP BY cluster""".stripMargin,
+    // cluster tf over the assignment join, df over the corpus-wide
+    // per-doc relation (the q_tfidf_topk rarity definition)
+    "q_cluster_keywords" ->
+      s"""WITH $kmeansCtesSql,
+         |pd AS (SELECT doc_id, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(${TextOps.toksSql}) AS tok
+         |        FROM documents)
+         |  GROUP BY doc_id, tok),
+         |dfq AS (SELECT tok, count(*) AS df FROM pd GROUP BY tok),
+         |ctf AS (SELECT a.cluster, p.tok, CAST(sum(p.tf) AS BIGINT) AS ctf
+         |        FROM pd p JOIN a1 a ON a.vec_id = p.doc_id
+         |        GROUP BY a.cluster, p.tok),
+         |s AS (SELECT cluster, tok, ctf, df, ctf * 1000000 // df AS score_ppm
+         |      FROM ctf JOIN dfq USING (tok))
+         |SELECT cluster, CAST(rank AS INT) AS rank, tok, ctf, df, score_ppm
+         |FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY score_ppm DESC, tok ASC) AS rank FROM s)
+         |WHERE rank <= $ClusterTopK""".stripMargin,
     // probe = every 50th en vector, targets = all fr vectors; margins in
     // exact 1e-4 units recovered from the 4-dp sims (no re-rounding)
     "q_bitext_margin" ->
@@ -1310,31 +1435,48 @@ object VectorOps {
     // within-cell cosine search
     "q_ann_ivf_kmeans" ->
       s"""WITH $kmeansCtesSql,
-         |q AS (SELECT vec_id AS query_id, qe AS q_qe, nrm AS q_nrm
-         |      FROM n WHERE vec_id < 5 AND nrm > 0),
-         |probe AS (
-         |  SELECT query_id, q_qe, q_nrm, cluster FROM (
-         |    SELECT query_id, q_qe, q_nrm, c.cluster,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY q_nrm + c.c_nrm - 2 * list_dot_product(q_qe, c.centroid) ASC,
-         |                 c.cluster ASC) AS rk
-         |    FROM q CROSS JOIN c1n c)
-         |  WHERE rk <= 3),
-         |mem AS (
-         |  SELECT a.cluster, a.vec_id AS neighbor_id, v.qe, v.nrm
-         |  FROM a1 a JOIN n v ON v.vec_id = a.vec_id
-         |  WHERE a.vec_id >= 5 AND v.nrm > 0),
-         |scored AS (
-         |  SELECT p.query_id, m.neighbor_id,
-         |    round(CAST(list_dot_product(p.q_qe, m.qe) AS DOUBLE)
-         |      / (sqrt(CAST(p.q_nrm AS DOUBLE)) * sqrt(CAST(m.nrm AS DOUBLE))), 4) AS sim
-         |  FROM probe p JOIN mem m ON p.cluster = m.cluster)
+         |$ivfKmeansScoredCtes
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
          |  SELECT query_id, neighbor_id, sim,
          |    row_number() OVER (PARTITION BY query_id
          |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin,
+    // ANN top-5 (the q_ann_ivf_kmeans chain) left-joined against the
+    // exact brute-force top-5 over the same probes; recall in exact
+    // 1e-4 units
+    "q_ann_recall" ->
+      s"""WITH $kmeansCtesSql,
+         |$ivfKmeansScoredCtes,
+         |annk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM scored)
+         |  WHERE rank <= 5),
+         |bscored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    round(CAST(list_dot_product(q.q_qe, e.qe) AS DOUBLE)
+         |      / (sqrt(CAST(q.q_nrm AS DOUBLE)) * sqrt(CAST(e.nrm AS DOUBLE))), 4) AS sim
+         |  FROM q JOIN n e ON e.vec_id >= 5 AND e.nrm > 0),
+         |truek AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM bscored)
+         |  WHERE rank <= 5),
+         |j AS (
+         |  SELECT t.query_id, count(*) AS n_true,
+         |    CAST(sum(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hits
+         |  FROM truek t LEFT JOIN annk a
+         |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |  GROUP BY t.query_id)
+         |SELECT query_id, n_true, n_hits,
+         |  CAST(n_hits * 10000 // n_true AS DOUBLE) / 10000.0 AS recall
+         |FROM j""".stripMargin,
     // dims derive from the max per-label block via the same integer-exact
     // bit-length formula as DedupOps.annSignDims
     "q_nn_label_ann" ->

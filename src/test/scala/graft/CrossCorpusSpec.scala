@@ -67,6 +67,53 @@ class CrossCorpusSpec extends SparkSpec {
     assert(nDocs == expected)
   }
 
+  test("ann recall: full probe = exact recall 1.0; defaults bounded") {
+    // probing every cell makes the IVF search exhaustive over the
+    // guarded corpus — recall must be exactly 1.0, not approximately
+    val full = VectorOps.annRecall(spark, sfDir, nprobe = 8, cells = 8)
+      .collect()
+    assert(full.nonEmpty)
+    for (r <- full) {
+      assert(r.getAs[Long]("n_true") == 5L)
+      assert(r.getAs[Double]("recall") == 1.0, s"full probe: $r")
+    }
+    // the default 3/8 probe is a genuine subset: recall in [0, 1] and
+    // the integer arithmetic n_hits·1e4 div n_true is exact
+    for (r <- VectorOps.annRecall(spark, sfDir).collect()) {
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0L && hits <= r.getAs[Long]("n_true"))
+      assert(r.getAs[Double]("recall") ==
+        (hits * 10000L / r.getAs[Long]("n_true")).toDouble / 10000.0)
+    }
+  }
+
+  test("cluster keywords: two-phase top-k equals the plain-window rank") {
+    import org.apache.spark.sql.expressions.Window
+    val got = VectorOps.clusterKeywords(spark, sfDir)
+    // reference: the same scored relation ranked by one global window
+    // (fine at spec scale; the operator avoids it for the funnel)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val perDoc = docs
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfq = perDoc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ctf = perDoc
+      .join(VectorOps.kmeansAssign(spark, sfDir)
+        .select(col("vec_id").as("doc_id"), col("cluster")), Seq("doc_id"))
+      .groupBy(col("cluster"), col("tok")).agg(sum(col("tf")).as("ctf"))
+    val want = ctf.join(dfq, Seq("tok"))
+      .withColumn("score_ppm", expr("ctf * 1000000 div df"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("cluster"))
+        .orderBy(col("score_ppm").desc, col("tok"))).cast("int"))
+      .where(col("rank") <= VectorOps.ClusterTopK)
+      .select(col("cluster"), col("rank"), col("tok"), col("ctf"),
+        col("df"), col("score_ppm"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "two-phase and plain-window rankings must agree row-for-row")
+    assert(got.count() > 0)
+  }
+
   test("bitext margin: planted translation pair mined, hub rejected") {
     // 2-dim toy space. Probe 0 (en): target 100 at cosine 1.0, target
     // 101 orthogonal → margin 1.0, accepted. Probe 50 (en): two equal
