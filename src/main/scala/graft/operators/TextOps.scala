@@ -613,6 +613,40 @@ object TextOps {
         expr("ppm_sum div n_tok").as("avg_tok_ppm"), col("min_tok_ppm"))
   }
 
+  /** TOKEN FREQUENCY SPECTRUM — Zipf's-second-law histogram (types per
+    * frequency octave): vocabulary counts bucketed by floor(log₂ cnt),
+    * with per-octave type counts, occurrence sums and corpus share. The
+    * vocabulary-shape statistic that distinguishes a healthy corpus
+    * (long hapax tail, smooth octave decay) from OCR garbage (bloated
+    * singleton tail) or template spam (mass parked in few high
+    * octaves); read next to [[vocabCard]]'s scalar summaries.
+    *
+    * Deliberately the FREQUENCY spectrum, not the rank-frequency curve:
+    * per-token rank needs a global total-order window (one task owns
+    * the whole vocabulary — the forbidden funnel), while the octave
+    * bucket is a per-row bit-length expression and the histogram is one
+    * hash aggregation — fully distributed at any vocabulary size, and
+    * the two curves carry the same Zipf information. Integer-exact:
+    * bucket = length(bin(cnt)) − 1, shares in truncating ppm. */
+  def freqSpectrum(spark: SparkSession, dir: String): DataFrame =
+    freqSpectrumCore(Tables.documents(spark, dir))
+
+  /** [[freqSpectrum]] over any (doc_id, lang, text) relation. */
+  private[graft] def freqSpectrumCore(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    counts
+      .withColumn("freq_bucket", (length(bin(col("cnt"))) - 1).cast("int"))
+      .groupBy(col("freq_bucket"))
+      .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("n_occ"),
+        min(col("cnt")).as("min_cnt"), max(col("cnt")).as("max_cnt"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr(s"n_occ * $LmPpmUnit div total"))
+      .drop("total")
+  }
+
   /** Keywords kept per document by [[tfidfKeywords]]. */
   val TfidfTopK = 5
 
@@ -1290,6 +1324,7 @@ object TextOps {
     "q_repetition"     -> repetition _,
     "q_lm_score"       -> lmScore _,
     "q_tfidf_topk"     -> tfidfKeywords _,
+    "q_freq_spectrum"  -> freqSpectrum _,
     "q_ppl_buckets"    -> pplBuckets _,
     "q_vocab_card"     -> vocabCard _,
     "q_vocab_drift"    -> vocabDrift _,
@@ -1622,6 +1657,20 @@ object TextOps {
       s"""WITH $lmScoreCtes
          |SELECT doc_id, lang, n_tok, avg_tok_ppm, min_tok_ppm
          |FROM lms""".stripMargin,
+    // octave = length(bin(cnt)) - 1 (exact floor log2 in both engines)
+    "q_freq_spectrum" ->
+      s"""WITH cnt AS (
+         |  SELECT tok, count(*) AS cnt FROM (
+         |    SELECT unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY tok),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt)
+         |SELECT CAST(length(bin(cnt)) - 1 AS INT) AS freq_bucket,
+         |  count(*) AS n_types, CAST(sum(cnt) AS BIGINT) AS n_occ,
+         |  min(cnt) AS min_cnt, max(cnt) AS max_cnt,
+         |  CAST(sum(cnt) AS BIGINT) * $LmPpmUnit // any_value(total)
+         |    AS share_ppm
+         |FROM cnt, tot
+         |GROUP BY freq_bucket""".stripMargin,
     // integer idf surrogate: tf·1e6 // df, rank ties on token ascending
     "q_tfidf_topk" ->
       s"""WITH ex AS (

@@ -980,6 +980,66 @@ object VectorOps {
         expr("n_hits * 10000 div n_true").cast("double") / 10000.0)
   }
 
+  /** [[hubness]] flags a vector once it appears in at least this many
+    * other vectors' top-k lists (2k: twice the expectation under a
+    * symmetric neighbor relation). */
+  val HubBarFactor = 2
+
+  /** k-OCCURRENCE HUBNESS census — the embedding-space pathology check
+    * (Radovanović et al.: in high dimensions a few "hub" points appear
+    * in a disproportionate share of nearest-neighbor lists, and
+    * mined-pair quality collapses around them): for EVERY vector, how
+    * many OTHER vectors' top-k lists it appears in (n_occ), with the
+    * hub flag at n_occ ≥ [[HubBarFactor]]·k. The margin criterion in
+    * [[bitextMine]] rejects hub matches pair-by-pair; this census finds
+    * the hubs themselves — the vectors an embedding-health report
+    * quarantines before any mining pass.
+    *
+    * Scale shape: all-pairs brute force would be the corpus crossed
+    * with itself — forbidden shape; instead every vector searches the
+    * TRAINED IVF index ([[kmeansCoreOf]] cells, broadcast centroids,
+    * nprobe-of-cells membership join), so pair work is ~n·n/cells ≈
+    * n^1.5 at √n cells, the [[DedupOps.semDedupCore]] envelope. The
+    * k-occurrence count is then one hash aggregation over the top-k
+    * relation (k·n rows), left-joined back so never-cited vectors
+    * report 0, not absence. n_occ is DEFINED on the index's top-k (the
+    * lists a mining pass would actually consume), so the census and the
+    * miner see the same neighbor relation. */
+  def hubness(spark: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 3, cells: Int = 8, trainIters: Int = 2): DataFrame = {
+    val dot = DotProductLong.dotLong(spark) _
+    val (assigned, cents) = kmeansCore(spark, dir, cells, trainIters)
+    val emb = quantized(spark, dir).where(col("nrm") > 0)
+    // every guarded vector probes its nprobe nearest trained cells
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("pdist").asc, col("cluster").asc)
+    val probe = emb
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"),
+        col("nrm").as("q_nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("pdist", col("q_nrm") + col("c_nrm")
+        - lit(2L) * dot(col("q_qe"), col("centroid")))
+      .withColumn("rk", row_number().over(wProbe))
+      .where(col("rk") <= nprobe)
+      .select(col("query_id"), col("q_qe"), col("q_nrm"), col("cluster"))
+    val mem = assigned
+      .join(emb.select(col("vec_id"), col("nrm")), Seq("vec_id"))
+      .select(col("cluster"), col("vec_id").as("neighbor_id"),
+        col("qe"), col("nrm"))
+    val scored = probe.join(mem, Seq("cluster"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        round(cosineQ(dot)(col("q_qe"), col("qe"), col("q_nrm"), col("nrm")), 4))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    val occ = topKPerQuery(scored, k)
+      .groupBy(col("neighbor_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_occ"))
+    emb.select(col("vec_id"), col("label")).join(occ, Seq("vec_id"), "left")
+      .withColumn("n_occ", coalesce(col("n_occ"), lit(0L)))
+      .withColumn("hub", col("n_occ") >= HubBarFactor.toLong * k)
+  }
+
   /** Probe-set sampler for [[bitextMine]]'s declared query: every
     * [[BitextQueryMod]]-th source-language vector id (deterministic,
     * coin-free — the repo-wide no-rand discipline). */
@@ -1149,6 +1209,7 @@ object VectorOps {
     "q_ann_ivf_kmeans" -> ((s: SparkSession, d: String) => annIvfKmeans(s, d)),
     "q_ann_recall"   -> ((s: SparkSession, d: String) => annRecall(s, d)),
     "q_cluster_keywords" -> clusterKeywords _,
+    "q_hubness"      -> ((s: SparkSession, d: String) => hubness(s, d)),
     "q_nn_per_label" -> nnWithinLabel _,
     "q_nn_label_ann" -> nnLabelBucketed _,
     "q_centroids"    -> centroids _,
@@ -1363,6 +1424,44 @@ object VectorOps {
          |SELECT cluster, count(*) AS n_vectors,
          |  CAST(sum(dist2) AS BIGINT) AS inertia_milli2
          |FROM a1 GROUP BY cluster""".stripMargin,
+    // every guarded vector searches the trained IVF cells; k-occurrence
+    // counts over the top-5 relation, never-cited vectors report 0
+    "q_hubness" ->
+      s"""WITH $kmeansCtesSql,
+         |q AS (SELECT vec_id AS query_id, qe AS q_qe, nrm AS q_nrm
+         |      FROM n WHERE nrm > 0),
+         |probe AS (
+         |  SELECT query_id, q_qe, q_nrm, cluster FROM (
+         |    SELECT query_id, q_qe, q_nrm, c.cluster,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY q_nrm + c.c_nrm - 2 * list_dot_product(q_qe, c.centroid) ASC,
+         |                 c.cluster ASC) AS rk
+         |    FROM q CROSS JOIN c1n c)
+         |  WHERE rk <= 3),
+         |mem AS (
+         |  SELECT a.cluster, a.vec_id AS neighbor_id, v.qe, v.nrm
+         |  FROM a1 a JOIN n v ON v.vec_id = a.vec_id AND v.nrm > 0),
+         |scored AS (
+         |  SELECT p.query_id, m.neighbor_id,
+         |    round(CAST(list_dot_product(p.q_qe, m.qe) AS DOUBLE)
+         |      / (sqrt(CAST(p.q_nrm AS DOUBLE)) * sqrt(CAST(m.nrm AS DOUBLE))), 4) AS sim
+         |  FROM probe p JOIN mem m
+         |    ON p.cluster = m.cluster AND m.neighbor_id <> p.query_id),
+         |topk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM scored)
+         |  WHERE rank <= 5),
+         |occ AS (SELECT neighbor_id AS vec_id, count(*) AS n_occ
+         |        FROM topk GROUP BY neighbor_id)
+         |SELECT e0.vec_id, e0.label,
+         |  coalesce(o.n_occ, 0) AS n_occ,
+         |  coalesce(o.n_occ, 0) >= ${HubBarFactor * 5} AS hub
+         |FROM embeddings e0
+         |JOIN n ON n.vec_id = e0.vec_id AND n.nrm > 0
+         |LEFT JOIN occ o ON o.vec_id = e0.vec_id""".stripMargin,
     // cluster tf over the assignment join, df over the corpus-wide
     // per-doc relation (the q_tfidf_topk rarity definition)
     "q_cluster_keywords" ->

@@ -139,6 +139,23 @@ class CrossCorpusSpec extends SparkSpec {
       && !got(50L).getAs[Boolean]("accept"))
   }
 
+  test("hubness: census covers the guarded corpus, occurrences reconcile") {
+    val got = VectorOps.hubness(spark, sfDir, k = 5).collect()
+    // every guarded vector reports exactly one row (this sf has no
+    // zero-norm vectors, so guarded = whole table)
+    val nGuarded = graft.sources.Tables.embeddings(spark, sfDir).count()
+    assert(got.length == nGuarded.toInt)
+    // total citations = sum of top-k list lengths (≤ k per query, with
+    // equality when every query has ≥ k candidates)
+    val totalOcc = got.map(_.getAs[Long]("n_occ")).sum
+    assert(totalOcc > 0 && totalOcc <= 5L * got.length)
+    for (r <- got)
+      assert(r.getAs[Boolean]("hub") ==
+        (r.getAs[Long]("n_occ") >= 2L * 5L))
+    // hubs must be the exception, not the norm (sanity of the bar)
+    assert(got.count(_.getAs[Boolean]("hub")) < got.length / 2)
+  }
+
   test("bitext margin: probe/target languages enforced on sf data") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val langOf = docs.select(col("doc_id"), col("lang")).collect()

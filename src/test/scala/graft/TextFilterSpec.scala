@@ -261,6 +261,26 @@ class TextFilterSpec extends SparkSpec {
     assert(got(2L).getAs[Long]("min_tok_ppm") == 200000L)
   }
 
+  test("freq spectrum: hand-computed octaves on a planted corpus") {
+    // counts: a=4 (bucket 2), b=2 (bucket 1), c=1, d=1 (bucket 0); total 8
+    val docs = Seq((1L, "en", "a a a a b"), (2L, "en", "b c d"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.freqSpectrumCore(docs).collect()
+      .map(r => r.getAs[Int]("freq_bucket") -> r).toMap
+    assert(got.size == 3)
+    assert(got(0).getAs[Long]("n_types") == 2L
+      && got(0).getAs[Long]("n_occ") == 2L
+      && got(0).getAs[Long]("share_ppm") == 250000L)
+    assert(got(1).getAs[Long]("n_types") == 1L
+      && got(1).getAs[Long]("min_cnt") == 2L)
+    assert(got(2).getAs[Long]("n_types") == 1L
+      && got(2).getAs[Long]("n_occ") == 4L
+      && got(2).getAs[Long]("share_ppm") == 500000L)
+    assert(TextOps.freqSpectrumCore(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text"))
+      .count() == 0L)
+  }
+
   test("tfidf keywords: hand-computed ranks on a planted corpus") {
     // df: a=2 b=1 c=2 d=1; doc 1 tf: a=2 b=1 c=1 →
     //   a: 2e6/2 = 1000000, b: 1e6/1 = 1000000, c: 1e6/2 = 500000
