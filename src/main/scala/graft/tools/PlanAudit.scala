@@ -62,6 +62,11 @@ object PlanAudit {
     "q_leakfree_split" -> "group-side split: materialized-group left join + per-row md5 coin on the representative — linear, no window",
     "q_ppl_buckets" -> "CCNet thirds: lm-score chain + histogram threshold walk + broadcast 1-row threshold join",
     "q_media_neardup" -> "frame-signature near-dup: df-capped signature equi-join + per-pair count + per-media argmax — candidates only, no payload compare",
+    "q_tfidf_topk" -> "per-doc keywords: tf hash-agg + df over tf + token equi-join; rank<=k sits on the window so a PARTIAL WindowGroupLimit caps each task before the exchange",
+    "q_source_overlap" -> "source-pair dup matrix from per-group source multiplicities: group table -> (rep, source, c) hash agg -> rep_id self-join emits c_a*c_b — |sources|^2 output, never member x member",
+    "q_cluster_keywords" -> "cluster labels: cluster-tf and corpus-df hash aggs + token join; two-phase top-k on the LOW-cardinality cluster key (local rank then <=k*P merge, no vocab funnel)",
+    "q_bitext_margin" -> "margin mining: broadcast probe set x target corpus, two-phase top-2, integer 1e-4 margins; production candidates come from the persisted ANN index",
+    "q_hubness" -> "k-occurrence census: broadcast trained centroids, probed-cell membership join (~n^1.5 pair work), one hash agg over the top-k relation, left join back for zeros",
   )
 
   def main(args: Array[String]): Unit = {
