@@ -998,15 +998,37 @@ object VectorOps {
     * Scale shape: all-pairs brute force would be the corpus crossed
     * with itself — forbidden shape; instead every vector searches the
     * TRAINED IVF index ([[kmeansCoreOf]] cells, broadcast centroids,
-    * nprobe-of-cells membership join), so pair work is ~n·n/cells ≈
-    * n^1.5 at √n cells, the [[DedupOps.semDedupCore]] envelope. The
+    * nprobe-of-cells membership join), so pair work is ~n·nprobe·n/cells
+    * — n^1.5 when cells ≈ √n, which is what the [[hubnessAuto]] product
+    * entry point enforces (this declared form pins cells = 8 for the
+    * oracle, the [[DedupOps.semDedupAuto]] convention). The
     * k-occurrence count is then one hash aggregation over the top-k
     * relation (k·n rows), left-joined back so never-cited vectors
     * report 0, not absence. n_occ is DEFINED on the index's top-k (the
     * lists a mining pass would actually consume), so the census and the
     * miner see the same neighbor relation. */
   def hubness(spark: SparkSession, dir: String, k: Int = 5,
-      nprobe: Int = 3, cells: Int = 8, trainIters: Int = 2): DataFrame = {
+      nprobe: Int = 3, cells: Int = 8, trainIters: Int = 2): DataFrame =
+    hubnessWithCells(spark, dir, k, nprobe, cells, trainIters)
+
+  /** Product entry point for [[hubness]] with CORPUS-SIZED cells — the
+    * [[graft.operators.DedupOps.semDedupAuto]] sizing policy: the
+    * declared query pins cells = 8 for the oracle, but at fixed cells
+    * the probed-membership join is n·(nprobe/cells)·n — quadratic.
+    * Footer-driven cells ≈ √n keeps expected cell occupancy ≈ √n and
+    * census pair work ~n·nprobe·√n. Measured on the 8× sf0.1 replica:
+    * the fixed-cell form went 2.7 s → 67 s (quadratic bite); this form
+    * stays on the n^1.5 envelope. */
+  def hubnessAuto(spark: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 3): DataFrame = {
+    val n = graft.functions.ScaleUtils.footerRowCount(
+      spark, s"$dir/embeddings.parquet")
+    hubnessWithCells(spark, dir, k, nprobe, DedupOps.ivfCells(n),
+      trainIters = 2)
+  }
+
+  private def hubnessWithCells(spark: SparkSession, dir: String, k: Int,
+      nprobe: Int, cells: Int, trainIters: Int): DataFrame = {
     val dot = DotProductLong.dotLong(spark) _
     val (assigned, cents) = kmeansCore(spark, dir, cells, trainIters)
     val emb = quantized(spark, dir).where(col("nrm") > 0)

@@ -20,8 +20,14 @@ object QueryProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
+    // product entry points that are not declared queries (auto-sized
+    // variants etc.) but whose scale behavior the probe must measure
+    val extras: Map[String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "x_hubness_auto" -> ((s, d) => graft.operators.VectorOps.hubnessAuto(s, d)),
+      "x_semdedup_auto" -> ((s, d) => graft.operators.DedupOps.semDedupAuto(s, d)))
     names.foreach { name =>
-      val fn = graft.SparkEntry.queries(name)
+      val fn = graft.SparkEntry.queries.getOrElse(name, extras(name))
       if (explain) fn(spark, sfDir).explain("formatted")
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()

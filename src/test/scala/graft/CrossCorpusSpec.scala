@@ -156,6 +156,18 @@ class CrossCorpusSpec extends SparkSpec {
     assert(got.count(_.getAs[Boolean]("hub")) < got.length / 2)
   }
 
+  test("hubness auto: corpus-sized cells, same census contract") {
+    // at sf0.001 (500 vectors) ivfCells(n) = 22 — a genuinely different
+    // quantizer than the declared cells=8, same invariants
+    val got = VectorOps.hubnessAuto(spark, sfDir).collect()
+    val n = graft.sources.Tables.embeddings(spark, sfDir).count()
+    assert(got.length == n.toInt)
+    val totalOcc = got.map(_.getAs[Long]("n_occ")).sum
+    assert(totalOcc > 0 && totalOcc <= 5L * got.length)
+    for (r <- got)
+      assert(r.getAs[Boolean]("hub") == (r.getAs[Long]("n_occ") >= 10L))
+  }
+
   test("bitext margin: probe/target languages enforced on sf data") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val langOf = docs.select(col("doc_id"), col("lang")).collect()
