@@ -647,6 +647,104 @@ object TextOps {
       .drop("total")
   }
 
+  /** Positional bigram relation (doc_id, lang, w1, bg) over a documents
+    * frame — the shared base of [[bigramScore]] and [[collocations]].
+    * zip-shift form (tokens materialized once as a named column, the
+    * CSE discipline); docs under 2 tokens emit no rows. */
+  private def bigramRel(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"),
+      toks(col("text")).as("t"))
+    base
+      .select(col("doc_id"), col("lang"),
+        explode(filter(
+          zip_with(col("t"), slice(col("t"), 2, Int.MaxValue - 8),
+            (x, y) => concat(x, lit(" "), y)),
+          g => g.isNotNull)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+  }
+
+  /** BIGRAM CONDITIONAL-LM document scoring — the order-2 upgrade of
+    * [[lmScore]]'s unigram filter: train corpus bigram conditionals
+    * p(w₂|w₁) = c(w₁w₂)·10⁶ div c(w₁·) (ppm, truncating — the
+    * denominator is the FIRST-POSITION count, so conditionals per w₁
+    * sum to ≤ 10⁶ by construction) and score each document by its mean
+    * and minimum bigram conditional. Word-salad that passes the unigram
+    * filter (common words, nonsense order) scores low here — exactly
+    * the failure mode order-0 scoring cannot see; min_cond_ppm flags a
+    * single never-followed transition. A deployment trains the
+    * conditional table on a REFERENCE corpus — same machinery, swap the
+    * counts relation.
+    *
+    * Scale shape: [[lmScore]]'s skeleton one order up — bigram vocab
+    * hash-agg (map-side combine), conditioning counts as a second agg
+    * over the SAME exploded relation, one equi-join on w1 (vocab-sized
+    * both sides), scoring join explode ⋈ conditionals on the bigram
+    * key, per-doc re-aggregation. All-integer ppm arithmetic. */
+  def bigramScore(spark: SparkSession, dir: String): DataFrame =
+    bigramScoreCore(Tables.documents(spark, dir))
+
+  /** [[bigramScore]] over any (doc_id, lang, text) relation. */
+  private[graft] def bigramScoreCore(docs: DataFrame): DataFrame = {
+    val ex = bigramRel(docs)
+    val cb = ex.groupBy(col("bg"))
+      .agg(count(lit(1)).as("c_ab"), first(col("w1")).as("w1"))
+    val cw = ex.groupBy(col("w1")).agg(count(lit(1)).as("c_a"))
+    val pr = cb.join(cw, Seq("w1"))
+      .select(col("bg"), expr(s"c_ab * $LmPpmUnit div c_a").as("cond_ppm"))
+    ex.join(pr, Seq("bg"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cond_ppm")).as("s"),
+        min(col("cond_ppm")).as("min_cond_ppm"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        expr("s div n_bigrams").as("avg_cond_ppm"), col("min_cond_ppm"))
+  }
+
+  /** Occurrence floor below which a bigram is noise, not a collocation. */
+  val CollocMinCount = 5L
+
+  /** Collocations reported by [[collocations]]. */
+  val CollocTopK = 20
+
+  /** COLLOCATION MINING — the top bigrams by pointwise-mutual-
+    * information LIFT: lift = p(w₁w₂) / (p(w₁·)·p(·w₂)) with all three
+    * probabilities from the bigram table's own contingency marginals
+    * (first-position, second-position), reported in exact ppm units.
+    * The phrase-mining statistic a tokenizer team reads before adding
+    * multi-word entries, and a corpus-QA surface for template artifacts
+    * (a synthetic phrase stitched into many documents tops this list
+    * long before any dedup bar fires). The [[CollocMinCount]] floor
+    * drops one-off pairings whose lift is pure noise.
+    *
+    * Scale shape: three hash aggregations over one exploded relation +
+    * two vocab-sized equi-joins; the lift arithmetic runs in
+    * DECIMAL(38,0) (c_ab·N_bg·10⁶ reaches ~10³² at 100 TB scale — past
+    * long range, inside decimal exactly; both engines truncate to the
+    * same integer) and the final top-[[CollocTopK]] is an ORDER BY +
+    * LIMIT — TakeOrderedAndProject, never a global window. */
+  def collocations(spark: SparkSession, dir: String): DataFrame =
+    collocationsCore(Tables.documents(spark, dir))
+
+  /** [[collocations]] over any (doc_id, lang, text) relation. */
+  private[graft] def collocationsCore(docs: DataFrame): DataFrame = {
+    val ex = bigramRel(docs)
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val total = ex.agg(count(lit(1)).as("n_bg"))
+    val cb = ex.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= CollocMinCount)
+    val c1 = ex.groupBy(col("w1")).agg(count(lit(1)).as("c_a1"))
+    val c2 = ex.groupBy(col("w2")).agg(count(lit(1)).as("c_b2"))
+    cb.join(c1, Seq("w1")).join(c2, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift_ppm",
+        expr(s"""CAST(CAST(c_ab AS DECIMAL(38,0)) * n_bg * $LmPpmUnit
+                 div (CAST(c_a1 AS DECIMAL(38,0)) * c_b2) AS BIGINT)"""))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a1"), col("c_b2"),
+        col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(CollocTopK)
+  }
+
   /** Keywords kept per document by [[tfidfKeywords]]. */
   val TfidfTopK = 5
 
@@ -1325,6 +1423,8 @@ object TextOps {
     "q_lm_score"       -> lmScore _,
     "q_tfidf_topk"     -> tfidfKeywords _,
     "q_freq_spectrum"  -> freqSpectrum _,
+    "q_bigram_score"   -> bigramScore _,
+    "q_collocations"   -> collocations _,
     "q_ppl_buckets"    -> pplBuckets _,
     "q_vocab_card"     -> vocabCard _,
     "q_vocab_drift"    -> vocabDrift _,
@@ -1657,6 +1757,45 @@ object TextOps {
       s"""WITH $lmScoreCtes
          |SELECT doc_id, lang, n_tok, avg_tok_ppm, min_tok_ppm
          |FROM lms""".stripMargin,
+    // positional bigrams via range-index (the repeat-scrub idiom);
+    // conditionals are first-position-count ppm, truncating
+    "q_bigram_score" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
+         |bgp AS (
+         |  SELECT doc_id, lang,
+         |    t[CAST(i + 1 AS INT)] || ' ' || t[CAST(i + 2 AS INT)] AS bg,
+         |    t[CAST(i + 1 AS INT)] AS w1
+         |  FROM (SELECT doc_id, lang, unnest(range(len(t) - 1)) AS i, t
+         |        FROM t WHERE len(t) >= 2)),
+         |cb AS (SELECT bg, any_value(w1) AS w1, count(*) AS c_ab
+         |       FROM bgp GROUP BY bg),
+         |cw AS (SELECT w1, count(*) AS c_a FROM bgp GROUP BY w1),
+         |pr AS (SELECT bg, c_ab * $LmPpmUnit // c_a AS cond_ppm
+         |       FROM cb JOIN cw USING (w1))
+         |SELECT doc_id, lang, count(*) AS n_bigrams,
+         |  CAST(sum(cond_ppm) AS BIGINT) // count(*) AS avg_cond_ppm,
+         |  CAST(min(cond_ppm) AS BIGINT) AS min_cond_ppm
+         |FROM bgp JOIN pr USING (bg)
+         |GROUP BY doc_id, lang""".stripMargin,
+    // contingency-marginal PMI lift in HUGEINT (the DECIMAL(38,0) twin),
+    // min-count floor, top-20 by (lift desc, w1, w2)
+    "q_collocations" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bgp AS (
+         |  SELECT t[CAST(i + 1 AS INT)] AS w1, t[CAST(i + 2 AS INT)] AS w2
+         |  FROM (SELECT unnest(range(len(t) - 1)) AS i, t
+         |        FROM t WHERE len(t) >= 2)),
+         |tot AS (SELECT count(*) AS n_bg FROM bgp),
+         |cb AS (SELECT w1, w2, count(*) AS c_ab FROM bgp
+         |       GROUP BY w1, w2 HAVING count(*) >= $CollocMinCount),
+         |c1 AS (SELECT w1, count(*) AS c_a1 FROM bgp GROUP BY w1),
+         |c2 AS (SELECT w2, count(*) AS c_b2 FROM bgp GROUP BY w2)
+         |SELECT w1, w2, c_ab, c_a1, c_b2,
+         |  CAST(CAST(c_ab AS HUGEINT) * n_bg * $LmPpmUnit
+         |    // (CAST(c_a1 AS HUGEINT) * c_b2) AS BIGINT) AS lift_ppm
+         |FROM cb JOIN c1 USING (w1) JOIN c2 USING (w2), tot
+         |ORDER BY lift_ppm DESC, w1, w2
+         |LIMIT $CollocTopK""".stripMargin,
     // octave = length(bin(cnt)) - 1 (exact floor log2 in both engines)
     "q_freq_spectrum" ->
       s"""WITH cnt AS (

@@ -281,6 +281,39 @@ class TextFilterSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("bigram score: hand-computed conditionals on a planted corpus") {
+    // bigrams: doc1 [a b, b a, a b], doc2 [b a, a c]
+    // c_ab: "a b"=2 "b a"=2 "a c"=1; first-position counts a=3, b=2
+    // cond_ppm: "a b"=666666, "b a"=1000000, "a c"=333333
+    val docs = Seq((1L, "en", "a b a b"), (2L, "en", "b a c"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.bigramScoreCore(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_bigrams") == 3L)
+    assert(got(1L).getAs[Long]("avg_cond_ppm") == 777777L) // 2333332 div 3
+    assert(got(1L).getAs[Long]("min_cond_ppm") == 666666L)
+    assert(got(2L).getAs[Long]("n_bigrams") == 2L)
+    assert(got(2L).getAs[Long]("avg_cond_ppm") == 666666L)
+    assert(got(2L).getAs[Long]("min_cond_ppm") == 333333L)
+    // a 1-token doc contributes no bigrams and emits no row
+    assert(TextOps.bigramScoreCore(
+      Seq((3L, "en", "solo")).toDF("doc_id", "lang", "text")).count() == 0L)
+  }
+
+  test("collocations: contingency lift and min-count floor, hand-computed") {
+    // "x y"×5 and "y x"×4 → only (x,y) clears the floor;
+    // lift = 5·9·1e6 div (5·5) = 1800000
+    val docs = Seq((1L, "en", "x y x y x y x y x y"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.collocationsCore(docs).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("w1") == "x" && r.getAs[String]("w2") == "y")
+    assert(r.getAs[Long]("c_ab") == 5L && r.getAs[Long]("c_a1") == 5L
+      && r.getAs[Long]("c_b2") == 5L)
+    assert(r.getAs[Long]("lift_ppm") == 1800000L)
+  }
+
   test("tfidf keywords: hand-computed ranks on a planted corpus") {
     // df: a=2 b=1 c=2 d=1; doc 1 tf: a=2 b=1 c=1 →
     //   a: 2e6/2 = 1000000, b: 1e6/1 = 1000000, c: 1e6/2 = 500000
