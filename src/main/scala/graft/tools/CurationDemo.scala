@@ -108,6 +108,29 @@ object CurationDemo {
     println("[demo] tokenizer fertility card:")
     TextOps.bpeFertility(spark, sfDir).orderBy(col("lang")).show(false)
 
+    // 8. corpus-intelligence surface: cluster labels with their source
+    //    balance, the index's own recall scorecard, hubness health,
+    //    cross-lingual mining, and the phrase/keyword reports
+    println("[demo] k-means cluster labels (top keyword per cluster):")
+    VectorOps.clusterKeywords(spark, sfDir).where(col("rank") === 1)
+      .orderBy(col("cluster")).show(false)
+    println("[demo] cluster x source balance (most source-skewed cells):")
+    VectorOps.clusterSourceBalance(spark, sfDir)
+      .orderBy(col("share_ppm").desc).show(5, false)
+    println("[demo] ANN recall scorecard (trained IVF vs brute force):")
+    VectorOps.annRecall(spark, sfDir).orderBy(col("query_id")).show(false)
+    val hub = VectorOps.hubnessAuto(spark, sfDir)
+    println(s"[demo] hubness census: ${hub.where(col("hub")).count()} hubs " +
+      s"of ${hub.count()} vectors")
+    println("[demo] mined bitext pairs (en->fr, accepted by margin):")
+    VectorOps.bitextMine(spark, sfDir).where(col("accept"))
+      .orderBy(col("margin").desc).show(5, false)
+    println("[demo] top collocations (PMI lift):")
+    TextOps.collocations(spark, sfDir).show(5, false)
+    println("[demo] cross-source duplication matrix (hottest pairs):")
+    DedupOps.sourceOverlapMatrix(spark, sfDir)
+      .orderBy(col("n_pairs").desc).show(5, false)
+
     spark.stop()
   }
 }
