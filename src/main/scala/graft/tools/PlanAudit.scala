@@ -67,6 +67,8 @@ object PlanAudit {
     "q_cluster_keywords" -> "cluster labels: cluster-tf and corpus-df hash aggs + token join; two-phase top-k on the LOW-cardinality cluster key (local rank then <=k*P merge, no vocab funnel)",
     "q_bitext_margin" -> "margin mining: broadcast probe set x target corpus, two-phase top-2, integer 1e-4 margins; production candidates come from the persisted ANN index",
     "q_hubness" -> "k-occurrence census: broadcast trained centroids, probed-cell membership join (~n^1.5 pair work), one hash agg over the top-k relation, left join back for zeros",
+    "q_bigram_score" -> "bigram conditional scoring: zip-shift bigram relation, two vocab hash-aggs + w1 equi-join, scoring join + per-doc re-aggregation — the lmScore skeleton one order up",
+    "q_collocations" -> "PMI lift in DECIMAL(38,0): three hash aggs over one exploded relation + vocab equi-joins; top-20 is ORDER BY + LIMIT -> TakeOrderedAndProject, never a global window",
   )
 
   def main(args: Array[String]): Unit = {
