@@ -333,6 +333,14 @@ object DedupOps {
     * split out so specs can plant near-duplicates and pin the derived
     * widths. */
   private[graft] def simhashNearDupCore(docs: DataFrame, bandLen: Int,
+      bands: Int, maxHamming: Int): DataFrame =
+    simhashPairsCore(docs, bandLen, bands, maxHamming)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("id_a")).as("min_id_a"))
+
+  /** The verified (id_a < id_b, hamming) pair relation under
+    * [[simhashNearDupCore]]'s histogram — banding + Hamming verify. */
+  private[graft] def simhashPairsCore(docs: DataFrame, bandLen: Int,
       bands: Int, maxHamming: Int): DataFrame = {
     require(maxHamming < bands,
       "pigeonhole guarantee needs maxHamming < bands")
@@ -366,8 +374,18 @@ object DedupOps {
           (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
         lit(0L), (acc, x) => acc + x))
       .where(col("hamming") <= maxHamming)
-      .groupBy(col("hamming"))
-      .agg(count(lit(1)).as("n_pairs"), min(col("id_a")).as("min_id_a"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Simhash near-dup PAIRS at the corpus-derived band width — the
+    * relation [[simhashNearDup]] histograms, exposed for
+    * [[detectorAgreement]]'s cross-detector comparison. */
+  private[graft] def simhashPairs(spark: SparkSession, dir: String,
+      bands: Int = SimhashBands, maxHamming: Int = 3): DataFrame = {
+    val bandLen = simhashBandLen(graft.functions.ScaleUtils.footerRowCount(
+      spark, s"$dir/documents.parquet"))
+    simhashPairsCore(Tables.documents(spark, dir), bandLen, bands,
+      maxHamming)
   }
 
   /** Per-bucket candidate target for the bucketed ANN: buckets ∝ n. */
@@ -1251,6 +1269,39 @@ object DedupOps {
       .agg(count(lit(1)).as("n_groups"), sum(col("pairs")).as("n_pairs"))
   }
 
+  /** DETECTOR AGREEMENT MATRIX — the three near-dup detectors' venn
+    * over the same corpus: MinHash/Jaccard pairs ([[textDupPairs]], the
+    * lexical detector at the dup bar), simhash pairs ([[simhashPairs]],
+    * the bit-signature detector at Hamming ≤ 3), and embedding-cosine
+    * pairs ([[cosineNearDup]], the semantic detector — vectors align
+    * with documents by id). One row per presence combination with its
+    * pair count and a reproducible min-id probe handle. This is the
+    * calibration report a dedup team reads before trusting any single
+    * detector: lexical-only cells are paraphrase-blind spots of the
+    * embedding bar, cosine-only cells are semantic dups no n-gram
+    * detector can see, and the all-three cell is the safe-to-drop core.
+    *
+    * Scale shape: each input is its detector's already-sub-quadratic
+    * banded candidates → verify output; the venn adds two full outer
+    * joins on the (id_a, id_b) pair key and one ≤ 8-row aggregation —
+    * negligible next to the detectors themselves, and each detector
+    * relation arrives deduplicated so the joins are key-unique. */
+  def detectorAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val m = textDupPairs(spark, dir).withColumn("minhash", lit(true))
+    val s = simhashPairs(spark, dir).select(col("id_a"), col("id_b"))
+      .withColumn("simhash", lit(true))
+    val c = cosineNearDup(spark, dir).select(col("id_a"), col("id_b"))
+      .withColumn("cosine", lit(true))
+    m.join(s, Seq("id_a", "id_b"), "full")
+      .join(c, Seq("id_a", "id_b"), "full")
+      .select(col("id_a"),
+        coalesce(col("minhash"), lit(false)).as("minhash"),
+        coalesce(col("simhash"), lit(false)).as("simhash"),
+        coalesce(col("cosine"), lit(false)).as("cosine"))
+      .groupBy(col("minhash"), col("simhash"), col("cosine"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("id_a")).as("min_id_a"))
+  }
+
   /** Containment bar above which a corpus document counts as containing a
     * benchmark document (the standard decontamination threshold family:
     * ≥80% of the benchmark doc's shingles present). */
@@ -1403,6 +1454,7 @@ object DedupOps {
     "q_canonical_docs" -> canonicalDocs _,
     "q_dup_rate_by_source" -> dupRateBySource _,
     "q_source_overlap" -> sourceOverlapMatrix _,
+    "q_detector_venn" -> detectorAgreement _,
     "q_contamination" -> contamination _,
     "q_contamination_by_bench" -> contaminationByBench _,
     "q_ngram_contamination" -> ((s: SparkSession, d: String) =>
@@ -1430,6 +1482,54 @@ object DedupOps {
     * formula as [[annSignDims]]; L = min(8, 64 // r) disjoint tables. The
     * threshold downstream compares the unrounded cosine (exact integer
     * dot/norms + correctly-rounded sqrt/divide = bit-identical boundary). */
+  /** Simhash banding + Hamming-verify CTE chain, band width derived from
+    * the corpus row count (ends in `h(id_a, id_b, hamming)` — UNFILTERED
+    * by the Hamming bar, each consumer applies its own) — shared by the
+    * q_simhash_neardup and q_detector_venn oracles. */
+  private lazy val simhashPairsCtes: String =
+    s"""dd0 AS (
+       |  SELECT GREATEST(8, LEAST($SimhashMaxBandLen,
+       |    CASE WHEN (count(*) + ${SimhashTargetPerBand - 1}) // $SimhashTargetPerBand <= 1 THEN 0
+       |         ELSE CAST(length(bin(((count(*) + ${SimhashTargetPerBand - 1}) // $SimhashTargetPerBand) - 1)) AS INT)
+       |    END)) AS blen
+       |  FROM documents),
+       |dd AS (SELECT blen, $SimhashBands * blen AS sb FROM dd0),
+       |ex AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(${TextOps.shingles3Sql}) AS tok
+       |    FROM documents)),
+       |votes AS (
+       |  SELECT doc_id, pos,
+       |    CAST(sum(CASE WHEN substr(md5($simhashPrefixCaseSql || tok),
+       |         CAST(pos % 32 + 1 AS INT), 1)
+       |         IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS BIGINT) AS v
+       |  FROM ex, range(${32 * SimhashMaxFamilies}) p(pos)
+       |  WHERE pos < (SELECT sb FROM dd)
+       |  GROUP BY 1, 2),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY pos)
+       |      AS simhash
+       |  FROM votes GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, simhash, b,
+       |    substr(simhash, CAST(b * (SELECT blen FROM dd) + 1 AS INT),
+       |           (SELECT blen FROM dd)) AS bv
+       |  FROM sigs, range($SimhashBands) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.simhash AS sh_a, b.simhash AS sh_b
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |h AS (
+       |  SELECT id_a, id_b,
+       |    CAST(sum(CASE WHEN substr(sh_a, CAST(i + 1 AS INT), 1)
+       |         <> substr(sh_b, CAST(i + 1 AS INT), 1) THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS hamming
+       |  FROM cand, range(${32 * SimhashMaxFamilies}) t(i)
+       |  WHERE i < (SELECT sb FROM dd)
+       |  GROUP BY 1, 2)""".stripMargin
+
   private lazy val cosinePairsCtes: String =
     s"""d AS (
        |  SELECT GREATEST(6, LEAST(16,
@@ -1685,6 +1785,32 @@ object DedupOps {
          |      FROM groups GROUP BY rep_id)
          |SELECT group_size, count(*) AS n_groups FROM s
          |GROUP BY group_size""".stripMargin,
+    // three detectors' pair relations, each in its own nested-WITH scope
+    // (CTE names collide across the shared chains), venn'd by two full
+    // joins on the pair key
+    "q_detector_venn" ->
+      s"""WITH mm AS (
+         |  SELECT id_a, id_b, TRUE AS minhash FROM (
+         |    WITH RECURSIVE $textGroupsCtes
+         |    SELECT id_a, id_b FROM e)),
+         |ss AS (
+         |  SELECT id_a, id_b, TRUE AS simhash FROM (
+         |    WITH $simhashPairsCtes
+         |    SELECT id_a, id_b FROM h WHERE hamming <= 3)),
+         |cc AS (
+         |  SELECT id_a, id_b, TRUE AS cosine FROM (
+         |    WITH $cosinePairsCtes
+         |    SELECT id_a, id_b FROM s WHERE sim_raw >= $CosineDupThreshold)),
+         |j AS (
+         |  SELECT id_a,
+         |    coalesce(minhash, FALSE) AS minhash,
+         |    coalesce(simhash, FALSE) AS simhash,
+         |    coalesce(cosine, FALSE) AS cosine
+         |  FROM mm FULL JOIN ss USING (id_a, id_b)
+         |          FULL JOIN cc USING (id_a, id_b))
+         |SELECT minhash, simhash, cosine, count(*) AS n_pairs,
+         |  min(id_a) AS min_id_a
+         |FROM j GROUP BY minhash, simhash, cosine""".stripMargin,
     // per-group source multiplicities → c_a·c_b cross pairs (C(c,2) on
     // the diagonal), unordered source pairs, zero-pair rows dropped
     "q_source_overlap" ->
@@ -1754,48 +1880,7 @@ object DedupOps {
     // bit-length formula as DedupOps.simhashBandLen; signature bits
     // beyond 32 read the chained digest families (simhashPrefixCaseSql)
     "q_simhash_neardup" ->
-      s"""WITH dd0 AS (
-         |  SELECT GREATEST(8, LEAST($SimhashMaxBandLen,
-         |    CASE WHEN (count(*) + ${SimhashTargetPerBand - 1}) // $SimhashTargetPerBand <= 1 THEN 0
-         |         ELSE CAST(length(bin(((count(*) + ${SimhashTargetPerBand - 1}) // $SimhashTargetPerBand) - 1)) AS INT)
-         |    END)) AS blen
-         |  FROM documents),
-         |dd AS (SELECT blen, $SimhashBands * blen AS sb FROM dd0),
-         |ex AS (
-         |  SELECT DISTINCT doc_id, tok FROM (
-         |    SELECT doc_id, unnest(${TextOps.shingles3Sql}) AS tok
-         |    FROM documents)),
-         |votes AS (
-         |  SELECT doc_id, pos,
-         |    CAST(sum(CASE WHEN substr(md5($simhashPrefixCaseSql || tok),
-         |         CAST(pos % 32 + 1 AS INT), 1)
-         |         IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS BIGINT) AS v
-         |  FROM ex, range(${32 * SimhashMaxFamilies}) p(pos)
-         |  WHERE pos < (SELECT sb FROM dd)
-         |  GROUP BY 1, 2),
-         |sigs AS (
-         |  SELECT doc_id,
-         |    string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY pos)
-         |      AS simhash
-         |  FROM votes GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, simhash, b,
-         |    substr(simhash, CAST(b * (SELECT blen FROM dd) + 1 AS INT),
-         |           (SELECT blen FROM dd)) AS bv
-         |  FROM sigs, range($SimhashBands) t(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    a.simhash AS sh_a, b.simhash AS sh_b
-         |  FROM bands a JOIN bands b
-         |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
-         |h AS (
-         |  SELECT id_a, id_b,
-         |    CAST(sum(CASE WHEN substr(sh_a, CAST(i + 1 AS INT), 1)
-         |         <> substr(sh_b, CAST(i + 1 AS INT), 1) THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS hamming
-         |  FROM cand, range(${32 * SimhashMaxFamilies}) t(i)
-         |  WHERE i < (SELECT sb FROM dd)
-         |  GROUP BY 1, 2)
+      s"""WITH $simhashPairsCtes
          |SELECT hamming, count(*) AS n_pairs, min(id_a) AS min_id_a
          |FROM h WHERE hamming <= 3 GROUP BY hamming""".stripMargin,
     "q_jaccard_auto" -> TextOps.jaccardBestSql,

@@ -139,6 +139,21 @@ class CrossCorpusSpec extends SparkSpec {
       && !got(50L).getAs[Boolean]("accept"))
   }
 
+  test("detector venn: cell totals reconcile with each detector's own count") {
+    val cells = DedupOps.detectorAgreement(spark, sfDir).collect()
+    assert(cells.nonEmpty)
+    def tot(flag: String): Long =
+      cells.filter(_.getAs[Boolean](flag)).map(_.getAs[Long]("n_pairs")).sum
+    // marginals must equal what each detector reports alone
+    assert(tot("minhash") == DedupOps.textDupPairs(spark, sfDir).count())
+    assert(tot("simhash") ==
+      DedupOps.simhashPairs(spark, sfDir).count())
+    assert(tot("cosine") == DedupOps.cosineNearDup(spark, sfDir).count())
+    // a pair reaches the venn only through some detector
+    assert(!cells.exists(r => !r.getAs[Boolean]("minhash")
+      && !r.getAs[Boolean]("simhash") && !r.getAs[Boolean]("cosine")))
+  }
+
   test("hubness: census covers the guarded corpus, occurrences reconcile") {
     val got = VectorOps.hubness(spark, sfDir, k = 5).collect()
     // every guarded vector reports exactly one row (this sf has no
