@@ -1286,21 +1286,29 @@ object DedupOps {
     * joins on the (id_a, id_b) pair key and one ≤ 8-row aggregation —
     * negligible next to the detectors themselves, and each detector
     * relation arrives deduplicated so the joins are key-unique. */
-  def detectorAgreement(spark: SparkSession, dir: String): DataFrame = {
-    val m = textDupPairs(spark, dir).withColumn("minhash", lit(true))
-    val s = simhashPairs(spark, dir).select(col("id_a"), col("id_b"))
-      .withColumn("simhash", lit(true))
-    val c = cosineNearDup(spark, dir).select(col("id_a"), col("id_b"))
-      .withColumn("cosine", lit(true))
-    m.join(s, Seq("id_a", "id_b"), "full")
-      .join(c, Seq("id_a", "id_b"), "full")
+  def detectorAgreement(spark: SparkSession, dir: String): DataFrame =
+    detectorAgreementFrom(
+      textDupPairs(spark, dir),
+      simhashPairs(spark, dir).select(col("id_a"), col("id_b")),
+      cosineNearDup(spark, dir).select(col("id_a"), col("id_b")))
+
+  /** [[detectorAgreement]] over PRECOMPUTED (id_a, id_b) pair relations
+    * — the production entry point: a dedup run materializes each
+    * detector's pair table once and venns the stored relations, instead
+    * of re-deriving all three chains per report. */
+  def detectorAgreementFrom(minhashPairs: DataFrame, simhashPairs: DataFrame,
+      cosinePairs: DataFrame): DataFrame =
+    minhashPairs.withColumn("minhash", lit(true))
+      .join(simhashPairs.withColumn("simhash", lit(true)),
+        Seq("id_a", "id_b"), "full")
+      .join(cosinePairs.withColumn("cosine", lit(true)),
+        Seq("id_a", "id_b"), "full")
       .select(col("id_a"),
         coalesce(col("minhash"), lit(false)).as("minhash"),
         coalesce(col("simhash"), lit(false)).as("simhash"),
         coalesce(col("cosine"), lit(false)).as("cosine"))
       .groupBy(col("minhash"), col("simhash"), col("cosine"))
       .agg(count(lit(1)).as("n_pairs"), min(col("id_a")).as("min_id_a"))
-  }
 
   /** Containment bar above which a corpus document counts as containing a
     * benchmark document (the standard decontamination threshold family:
