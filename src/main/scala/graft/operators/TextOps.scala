@@ -647,6 +647,33 @@ object TextOps {
       .drop("total")
   }
 
+  /** QUALITY-SIGNAL AGREEMENT — the contingency table between the two
+    * independent quality axes every curation pipeline runs (the
+    * heuristic [[qualityScore]] bucket and the [[pplBuckets]] unigram-LM
+    * third): per (quality bucket, LM third) cell, document count and
+    * integer-ppm share. Diagonal mass (high↔head, low↔tail) means the
+    * signals corroborate and either can gate alone; a hot off-diagonal
+    * cell (high-quality/tail) is the population to eyeball before
+    * trusting either filter — typically valid-but-rare vocabulary the
+    * LM punishes, or spam the shape heuristics miss.
+    *
+    * Scale shape: both signal chains are linear (per-row expressions;
+    * lm-score's vocab join); the contingency is one doc_id equi-join +
+    * a ≤ 9-row aggregation with a broadcast 1-row total. */
+  def signalAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityScore(spark, dir)
+      .select(col("doc_id"), col("bucket").as("q_bucket"))
+    val p = pplBuckets(spark, dir)
+      .select(col("doc_id"), col("bucket").as("lm_bucket"))
+    val j = q.join(p, Seq("doc_id"))
+      .groupBy(col("q_bucket"), col("lm_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = j.agg(sum(col("n_docs")).as("total"))
+    j.crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr(s"n_docs * $LmPpmUnit div total"))
+      .drop("total")
+  }
+
   /** Positional bigram relation (doc_id, lang, w1, bg) over a documents
     * frame — the shared base of [[bigramScore]] and [[collocations]].
     * zip-shift form (tokens materialized once as a named column, the
@@ -1426,6 +1453,7 @@ object TextOps {
     "q_bigram_score"   -> bigramScore _,
     "q_collocations"   -> collocations _,
     "q_ppl_buckets"    -> pplBuckets _,
+    "q_signal_agreement" -> signalAgreement _,
     "q_vocab_card"     -> vocabCard _,
     "q_vocab_drift"    -> vocabDrift _,
     "q_gopher_rules"   -> gopherRules _,
@@ -1457,6 +1485,29 @@ object TextOps {
        |    CAST(min(ppm) AS BIGINT) AS min_tok_ppm
        |  FROM ex JOIN pr USING (tok)
        |  GROUP BY doc_id, lang)""".stripMargin
+
+  /** DuckDB twin of [[pplBucketsCore]] (a complete query — consumers
+    * nest it as a derived table), shared by the q_ppl_buckets and
+    * q_signal_agreement oracles. */
+  private lazy val pplBucketsSql: String =
+    s"""WITH $lmScoreCtes,
+       |hist AS (SELECT avg_tok_ppm, count(*) AS n FROM lms
+       |         GROUP BY avg_tok_ppm),
+       |c AS (SELECT avg_tok_ppm, n,
+       |    CAST(sum(n) OVER (ORDER BY avg_tok_ppm DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum,
+       |    CAST(sum(n) OVER () AS BIGINT) AS total
+       |  FROM hist),
+       |t AS (SELECT
+       |    min(CASE WHEN cum <= total // 3 THEN avg_tok_ppm END) AS t1,
+       |    min(CASE WHEN cum <= 2 * total // 3 THEN avg_tok_ppm END) AS t2
+       |  FROM c)
+       |SELECT s.doc_id, s.lang, s.avg_tok_ppm,
+       |  CASE WHEN s.avg_tok_ppm >= t.t1 THEN 'head'
+       |       WHEN s.avg_tok_ppm >= t.t2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM lms s, t""".stripMargin
 
   /** DuckDB twin of [[bpeMerges]] — the merge loop UNROLLED into
     * [[BpeMergeIters]] CTE levels (SQL has no iteration; the level count
@@ -1828,25 +1879,20 @@ object TextOps {
     // thresholds from the score histogram walked top-down (the
     // quality-floor trick); a NULL threshold (first row bigger than a
     // third) makes its CASE arm false on both sides
-    "q_ppl_buckets" ->
-      s"""WITH $lmScoreCtes,
-         |hist AS (SELECT avg_tok_ppm, count(*) AS n FROM lms
-         |         GROUP BY avg_tok_ppm),
-         |c AS (SELECT avg_tok_ppm, n,
-         |    CAST(sum(n) OVER (ORDER BY avg_tok_ppm DESC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |      AS BIGINT) AS cum,
-         |    CAST(sum(n) OVER () AS BIGINT) AS total
-         |  FROM hist),
-         |t AS (SELECT
-         |    min(CASE WHEN cum <= total // 3 THEN avg_tok_ppm END) AS t1,
-         |    min(CASE WHEN cum <= 2 * total // 3 THEN avg_tok_ppm END) AS t2
-         |  FROM c)
-         |SELECT s.doc_id, s.lang, s.avg_tok_ppm,
-         |  CASE WHEN s.avg_tok_ppm >= t.t1 THEN 'head'
-         |       WHEN s.avg_tok_ppm >= t.t2 THEN 'middle'
-         |       ELSE 'tail' END AS bucket
-         |FROM lms s, t""".stripMargin,
+    "q_ppl_buckets" -> pplBucketsSql,
+    // both signal chains nest in their own WITH scope; shares are
+    // integer-truncated ppm of the scored-doc total
+    "q_signal_agreement" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, bucket AS q_bucket FROM ($qualityScoreSql)),
+         |p AS (
+         |  SELECT doc_id, bucket AS lm_bucket FROM ($pplBucketsSql)),
+         |j AS (SELECT q_bucket, lm_bucket, count(*) AS n_docs
+         |      FROM q JOIN p USING (doc_id) GROUP BY q_bucket, lm_bucket),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM j)
+         |SELECT q_bucket, lm_bucket, n_docs,
+         |  n_docs * $LmPpmUnit // total AS share_ppm
+         |FROM j, tot""".stripMargin,
     "q_vocab_card" ->
       s"""SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
          |  count(*) AS n_types,

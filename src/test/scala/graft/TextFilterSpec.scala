@@ -281,6 +281,24 @@ class TextFilterSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("signal agreement: cells partition the scored corpus exactly") {
+    val cells = TextOps.signalAgreement(spark, sfDir).collect()
+    assert(cells.nonEmpty)
+    val n = cells.map(_.getAs[Long]("n_docs")).sum
+    // every scored doc lands in exactly one cell
+    assert(n == graft.sources.Tables.documents(spark, sfDir).count())
+    // shares are exact truncating ppm of that total and sum to ~1e6
+    for (r <- cells)
+      assert(r.getAs[Long]("share_ppm") ==
+        r.getAs[Long]("n_docs") * 1000000L / n)
+    val s = cells.map(_.getAs[Long]("share_ppm")).sum
+    assert(s <= 1000000L && s > 1000000L - cells.length)
+    // bucket vocabularies are the two signals' own
+    assert(cells.forall(r =>
+      Set("high", "mid", "low")(r.getAs[String]("q_bucket")) &&
+      Set("head", "middle", "tail")(r.getAs[String]("lm_bucket"))))
+  }
+
   test("bigram score: hand-computed conditionals on a planted corpus") {
     // bigrams: doc1 [a b, b a, a b], doc2 [b a, a c]
     // c_ab: "a b"=2 "b a"=2 "a c"=1; first-position counts a=3, b=2
