@@ -1431,6 +1431,71 @@ object TextOps {
         coalesce(col("fp"), md5(lit("").cast("binary"))).as("scrubbed_fp"))
   }
 
+  /** CROSS-DOCUMENT boilerplate REMOVAL — the scrub action the
+    * [[boilerplate]] report exists for (the n-gram rendering of
+    * CCNet/RefinedWeb line-dedup: this corpus has no line structure, so
+    * the positional 3-gram is the repetition unit): every token covered
+    * by a 3-gram whose corpus document frequency clears the
+    * [[BoilerplateDocBar]]/[[BoilerplateFracDiv]] bar — the SAME bar
+    * the report uses, so measure and act can never disagree — is
+    * dropped from every document EXCEPT the gram's owner (min doc_id,
+    * the [[graft.operators.CurationOps.chunkDedupOf]] first-keeps
+    * convention: one copy of shared content survives the corpus).
+    * Emits (doc_id, n_tok, n_removed, scrubbed_fp) — [[repeatScrub]]'s
+    * schema, so the two scrubs compose by the same projection. Unlike
+    * the intra-doc scrub, a non-owner document of wall-to-wall
+    * boilerplate CAN scrub to empty — its fingerprint is md5("") and
+    * n_removed = n_tok, which is exactly the drop signal.
+    *
+    * Scale shape: [[repeatScrubCore]]'s linear skeleton with the
+    * first-occurrence hash agg swapped for a corpus df agg over the
+    * distinct (doc, gram) relation (count IS the df — no
+    * count-distinct); the over-common set is tiny by construction
+    * (high-frequency tail), so its join back is broadcastable; coverage
+    * explode + anti-join + ordered reassembly as before. */
+  def crossDocScrub(spark: SparkSession, dir: String): DataFrame =
+    crossDocScrubCore(Tables.documents(spark, dir), BoilerplateDocBar)
+
+  /** [[crossDocScrub]] over any (doc_id, text) relation. */
+  private[graft] def crossDocScrubCore(docs: DataFrame,
+      docBar: Long): DataFrame = {
+    val toksed = docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .where(size(col("t")) > 0)
+    val pos = toksed.select(col("doc_id"),
+      posexplode(col("t"))).withColumnRenamed("col", "tok")
+    val g2 = zip_with(col("t"), slice(col("t"), 2, Int.MaxValue - 8),
+      (a, b) => concat(a, lit(" "), b))
+    val g3 = filter(zip_with(g2, slice(col("t"), 3, Int.MaxValue - 8),
+      (a, b) => concat(a, lit(" "), b)), x => x.isNotNull)
+    val grams = toksed.where(size(col("t")) >= RepeatGramN)
+      .select(col("doc_id"), posexplode(g3))
+      .select(col("doc_id"), col("pos").as("s"), col("col").as("g"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val common = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("owner"))
+      .crossJoin(broadcast(total))
+      .where(col("nd") >
+        greatest(lit(docBar), expr(s"n_total div $BoilerplateFracDiv")))
+      .select(col("g"), col("owner"))
+    val covered = grams.join(common, Seq("g"))
+      .where(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + (RepeatGramN - 1))).as("pos"))
+      .distinct()
+    val scrub = pos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").cast("binary")).as("fp"))
+    toksed.select(col("doc_id"), size(col("t")).as("n_tok"))
+      .join(scrub, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("fp"), md5(lit("").cast("binary"))).as("scrubbed_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"     -> textStats _,
     "q_token_estimate" -> tokenEstimate _,
@@ -1444,6 +1509,7 @@ object TextOps {
     "q_bpe_fertility"  -> bpeFertility _,
     "q_pii_scan"       -> piiScan _,
     "q_repeat_scrub"   -> repeatScrub _,
+    "q_crossdoc_scrub" -> crossDocScrub _,
     "q_langid"         -> langId _,
     "q_quality_score"  -> qualityScore _,
     "q_repetition"     -> repetition _,
@@ -1719,6 +1785,41 @@ object TextOps {
          |    SELECT g.doc_id, unnest(range(g.s, g.s + $RepeatGramN)) AS pos
          |    FROM g JOIN f ON f.doc_id = g.doc_id AND f.gm = g.gm
          |    WHERE g.s > f.s0)),
+         |k AS (SELECT p.doc_id, p.pos, p.tok
+         |      FROM p LEFT JOIN cov
+         |        ON cov.doc_id = p.doc_id AND cov.pos = p.pos
+         |      WHERE cov.pos IS NULL),
+         |sc AS (SELECT doc_id, count(*) AS n_kept,
+         |         md5(array_to_string(list(tok ORDER BY pos), ' ')) AS fp
+         |       FROM k GROUP BY doc_id)
+         |SELECT tt.doc_id, CAST(tt.n AS INT) AS n_tok,
+         |  CAST(tt.n - coalesce(sc.n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(sc.fp, md5('')) AS scrubbed_fp
+         |FROM tt LEFT JOIN sc ON sc.doc_id = tt.doc_id""".stripMargin,
+    // the repeat-scrub skeleton with first-occurrence swapped for the
+    // boilerplate df bar; owner (min doc_id) keeps its copy
+    "q_crossdoc_scrub" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tt AS (SELECT doc_id, t, len(t) AS n FROM t WHERE len(t) > 0),
+         |p0 AS (SELECT doc_id, unnest(range(n)) AS pos, t FROM tt),
+         |p AS (SELECT doc_id, pos, t[CAST(pos + 1 AS INT)] AS tok FROM p0),
+         |g0 AS (SELECT doc_id, unnest(range(n - ${RepeatGramN - 1})) AS s, t
+         |       FROM tt WHERE n >= $RepeatGramN),
+         |g AS (SELECT doc_id, s,
+         |    array_to_string(
+         |      t[CAST(s + 1 AS INT):CAST(s + $RepeatGramN AS INT)], ' ') AS gm
+         |  FROM g0),
+         |tot AS (SELECT count(*) AS n_total FROM documents),
+         |cm AS (SELECT gm, count(*) AS nd, min(doc_id) AS owner
+         |       FROM (SELECT DISTINCT doc_id, gm FROM g)
+         |       GROUP BY gm),
+         |boiler AS (SELECT gm, owner FROM cm, tot
+         |  WHERE nd > GREATEST($BoilerplateDocBar,
+         |                      n_total // $BoilerplateFracDiv)),
+         |cov AS (SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT g.doc_id, unnest(range(g.s, g.s + $RepeatGramN)) AS pos
+         |    FROM g JOIN boiler b ON b.gm = g.gm
+         |    WHERE g.doc_id <> b.owner)),
          |k AS (SELECT p.doc_id, p.pos, p.tok
          |      FROM p LEFT JOIN cov
          |        ON cov.doc_id = p.doc_id AND cov.pos = p.pos

@@ -281,6 +281,32 @@ class TextFilterSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("cross-doc scrub: owner keeps, others scrubbed, wall-to-wall empties") {
+    // "c1 c2 c3" spans 7 docs (> bar 5); doc 1 owns it
+    val docs = (Seq((1L, "u1 u2 c1 c2 c3 u3"), (7L, "c1 c2 c3")) ++
+      (2L to 6L).map(k => (k, s"v$k c1 c2 c3 w$k")))
+      .toDF("doc_id", "text")
+    val got = TextOps.crossDocScrubCore(docs, docBar = 5L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 7)
+    // owner: untouched
+    assert(got(1L).getAs[Long]("n_removed") == 0L)
+    // carriers: exactly the 3 shared tokens go
+    for (k <- 2L to 6L) {
+      assert(got(k).getAs[Int]("n_tok") == 5 &&
+        got(k).getAs[Long]("n_removed") == 3L, s"doc $k: ${got(k)}")
+    }
+    // wall-to-wall boilerplate non-owner scrubs to EMPTY (the drop signal)
+    assert(got(7L).getAs[Long]("n_removed") == 3L
+      && got(7L).getAs[Int]("n_tok") == 3
+      && got(7L).getAs[String]("scrubbed_fp") ==
+        "d41d8cd98f00b204e9800998ecf8427e")
+    // under the bar nothing is scrubbed
+    val calm = TextOps.crossDocScrubCore(
+      Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text"), 5L)
+    assert(calm.collect().forall(_.getAs[Long]("n_removed") == 0L))
+  }
+
   test("signal agreement: cells partition the scored corpus exactly") {
     val cells = TextOps.signalAgreement(spark, sfDir).collect()
     assert(cells.nonEmpty)
