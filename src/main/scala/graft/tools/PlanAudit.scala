@@ -69,6 +69,9 @@ object PlanAudit {
     "q_hubness" -> "k-occurrence census: broadcast trained centroids, probed-cell membership join (~n^1.5 pair work), one hash agg over the top-k relation, left join back for zeros",
     "q_bigram_score" -> "bigram conditional scoring: zip-shift bigram relation, two vocab hash-aggs + w1 equi-join, scoring join + per-doc re-aggregation — the lmScore skeleton one order up",
     "q_collocations" -> "PMI lift in DECIMAL(38,0): three hash aggs over one exploded relation + vocab equi-joins; top-20 is ORDER BY + LIMIT -> TakeOrderedAndProject, never a global window",
+    "q_detector_venn" -> "three banded detectors' pair relations venn'd by two full joins on the (id_a, id_b) key + one <=8-row agg — no detector re-verifies the others' work",
+    "q_signal_agreement" -> "two linear signal chains joined on doc_id, <=9-cell contingency agg + broadcast 1-row total",
+    "q_crossdoc_scrub" -> "corpus-df boilerplate removal: distinct (doc, gram) df agg, tiny over-common set joined back, coverage explode + (doc,pos) anti-join + ordered reassembly — the repeat-scrub skeleton",
   )
 
   def main(args: Array[String]): Unit = {
