@@ -1291,6 +1291,34 @@ object TextOps {
       .select(substring(md5(col("tok").cast("binary")), 1, 2).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
 
+  /** [[tokenBuckets]] grouped by a key column — (key, bucket, cnt),
+    * each key's counts its own distribution. */
+  private[graft] def tokenBucketsBy(docs: DataFrame, key: String): DataFrame =
+    docs
+      .select(col(key), explode(toks(col("text"))).as("tok"))
+      .select(col(key),
+        substring(md5(col("tok").cast("binary")), 1, 2).as("bucket"))
+      .groupBy(col(key), col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Per-key TV distance of grouped bucket counts against ONE global
+    * reference distribution — the per-source drift breakdown: every key
+    * compares its own distribution to the same corpus reference, so a
+    * single drifted feed stands out while the aggregate stays calm.
+    * The reference replicates onto the (small) key set by a broadcast
+    * cross join — 256 rows × |keys|, trivially bounded. */
+  private[graft] def tvDistanceByOf(p: DataFrame, qByKey: DataFrame,
+      key: String): DataFrame = {
+    val keys = qByKey.select(col(key)).distinct()
+    val pk = broadcast(keys)
+      .crossJoin(p.select(col("bucket"), col("cnt").as("p_cnt")))
+    val per = pk
+      .join(qByKey.select(col(key), col("bucket"), col("cnt").as("q_cnt")),
+        Seq(key, "bucket"), "full_outer")
+      .select(col(key), coalesce(col("p_cnt"), lit(0L)).as("p_cnt"),
+        coalesce(col("q_cnt"), lit(0L)).as("q_cnt"))
+    tvOfBucketCountsBy(per, key)
+  }
+
   /** TV distance over two PRECOMPUTED bucket-count tables — the
     * streaming entry ([[graft.streaming.StreamingAnalytics]] compares
     * each micro-batch against the maintained corpus distribution);
@@ -1307,14 +1335,24 @@ object TextOps {
   /** Shared TV tail: (bucket, p_cnt, q_cnt) → one row (n_buckets,
     * p_total, q_total, tv_ppm), integer-exact half-L1 over bucket
     * ppms. */
-  private def tvOfBucketCounts(per: DataFrame): DataFrame = {
-    val tot = per.agg(sum(col("p_cnt")).as("p_total"),
+  private def tvOfBucketCounts(per: DataFrame): DataFrame =
+    tvOfBucketCountsBy(per.withColumn("grp", lit("all")), "grp").drop("grp")
+
+  /** [[tvOfBucketCounts]] GROUPED by a key column — one TV row per key
+    * (per-source drift); the single arithmetic definition both shapes
+    * share, so the global alarm and the per-source breakdown can never
+    * disagree. Totals are per-key (each key's q side is its own
+    * distribution). */
+  private[graft] def tvOfBucketCountsBy(per: DataFrame,
+      key: String): DataFrame = {
+    val tot = per.groupBy(col(key)).agg(sum(col("p_cnt")).as("p_total"),
       sum(col("q_cnt")).as("q_total"))
-    per.crossJoin(broadcast(tot))
-      .select(
+    per.join(broadcast(tot), Seq(key))
+      .select(col(key),
         expr(s"p_cnt * $LmPpmUnit div greatest(p_total, 1)").as("p_ppm"),
         expr(s"q_cnt * $LmPpmUnit div greatest(q_total, 1)").as("q_ppm"),
         col("p_total"), col("q_total"))
+      .groupBy(col(key))
       .agg(count(lit(1)).as("n_buckets"),
         max(col("p_total")).as("p_total"), max(col("q_total")).as("q_total"),
         expr("sum(abs(p_ppm - q_ppm)) div 2").as("tv_ppm"))

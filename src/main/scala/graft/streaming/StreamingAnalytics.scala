@@ -952,4 +952,17 @@ object StreamingAnalytics {
   def batchDrift(batch: DataFrame, corpusBuckets: DataFrame): DataFrame =
     graft.operators.TextOps.tvDistanceOf(corpusBuckets,
       graft.operators.TextOps.tokenBuckets(batch))
+
+  /** [[batchDrift]] broken down PER SOURCE — the triage view behind the
+    * global alarm: each feed's micro-batch distribution compares against
+    * the SAME maintained corpus reference, so one drifted feed stands
+    * out (its tv_ppm spikes) while a calm aggregate would have hidden
+    * it, and the alarm's answer becomes "which crawl changed", not just
+    * "something changed". One row per source present in the batch, the
+    * global monitor's exact arithmetic grouped (shared tail — the two
+    * views can never disagree). */
+  def batchDriftBySource(batch: DataFrame,
+      corpusBuckets: DataFrame): DataFrame =
+    graft.operators.TextOps.tvDistanceByOf(corpusBuckets,
+      graft.operators.TextOps.tokenBucketsBy(batch, "source"), "source")
 }

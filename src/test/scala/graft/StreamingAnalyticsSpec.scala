@@ -500,4 +500,32 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(viaQuery.toSeq == viaMonitor.toSeq,
       s"monitor and query disagree: $viaQuery vs $viaMonitor")
   }
+
+  test("per-source drift: the drifted feed stands out, calm feed reads low") {
+    import graft.operators.TextOps
+    val corpusDocs = Seq((0L, "en", "alpha beta gamma alpha beta delta"))
+      .toDF("doc_id", "lang", "text")
+    val corpus = TextOps.tokenBuckets(corpusDocs)
+    // srcA mirrors the corpus vocabulary; srcB is disjoint
+    val batch = Seq(
+      (1L, "srcA", "alpha beta gamma delta"),
+      (2L, "srcB", "zeta eta theta iota"))
+      .toDF("doc_id", "source", "text")
+    val by = StreamingAnalytics.batchDriftBySource(batch, corpus)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(by.size == 2)
+    val calm = by("srcA").getAs[Long]("tv_ppm")
+    val loud = by("srcB").getAs[Long]("tv_ppm")
+    assert(calm < loud, s"drifted feed must stand out: $calm vs $loud")
+    assert(loud >= 600000L, s"disjoint-vocab feed must alarm: $loud")
+    // a single-source batch's per-source row IS the global alarm row
+    // (shared arithmetic, grouped)
+    val solo = batch.where($"source" === "srcB")
+    val g = StreamingAnalytics.batchDrift(
+      solo.withColumn("lang", org.apache.spark.sql.functions.lit("en")),
+      corpus).head
+    val s = StreamingAnalytics.batchDriftBySource(solo, corpus).head
+    assert(s.getAs[Long]("tv_ppm") == g.getAs[Long]("tv_ppm")
+      && s.getAs[Long]("n_buckets") == g.getAs[Long]("n_buckets"))
+  }
 }
