@@ -1282,6 +1282,51 @@ object TextOps {
       .agg(sum(when(col("split") === 0, 1L).otherwise(0L)).as("p_cnt"),
         sum(when(col("split") === 1, 1L).otherwise(0L)).as("q_cnt")))
 
+  /** SNAPSHOT CONTENT CHURN — the doc-granularity sibling of
+    * [[vocabDrift]]'s distribution alarm: how many distinct documents
+    * (by normalized content fingerprint — [[contentFp]], the exact-dedup
+    * key, so "same document" means the same thing here and in the dedup
+    * census) two corpus snapshots share, added, and dropped, plus the
+    * churn rate in exact ppm of the fingerprint union. The recrawl
+    * scheduler's primary: distribution drift says the LANGUAGE moved,
+    * churn says the DOCUMENTS moved — a full re-host relocation has
+    * ~10⁶ churn with near-zero vocab drift, and template injection the
+    * reverse. The declared query reads the even/odd doc_id halves as
+    * its two snapshots (the [[vocabDrift]] convention); a deployment
+    * passes two real snapshots to [[snapshotDiffOf]].
+    *
+    * Scale shape: two distinct-fingerprint hash aggs + one full outer
+    * equi-join on the fp + a 1-row aggregation — linear, and the fp
+    * relation is bounded by distinct content, not corpus rows. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    snapshotDiffOf(docs.where(pmod(col("doc_id"), lit(2)) === 0),
+      docs.where(pmod(col("doc_id"), lit(2)) === 1))
+  }
+
+  /** [[snapshotDiff]] over two explicit (…, text) snapshot relations. */
+  def snapshotDiffOf(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(contentFp(col("text")).as("fp")).distinct()
+      .withColumn("in_old", lit(true))
+    val n = newSnap.select(contentFp(col("text")).as("fp")).distinct()
+      .withColumn("in_new", lit(true))
+    o.join(n, Seq("fp"), "full_outer")
+      .select(coalesce(col("in_old"), lit(false)).as("in_old"),
+        coalesce(col("in_new"), lit(false)).as("in_new"))
+      .agg(
+        sum(when(col("in_old"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("in_new"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("in_old") && col("in_new"), 1L).otherwise(0L))
+          .as("n_common"),
+        sum(when(!col("in_old") && col("in_new"), 1L).otherwise(0L))
+          .as("n_added"),
+        sum(when(col("in_old") && !col("in_new"), 1L).otherwise(0L))
+          .as("n_removed"),
+        count(lit(1)).as("n_union"))
+      .withColumn("churn_ppm",
+        expr(s"(n_added + n_removed) * $LmPpmUnit div greatest(n_union, 1)"))
+  }
+
   /** Hashed token-bucket counts of a corpus — (bucket, cnt), the
     * 256-row distribution summary [[vocabDrift]] compares and the
     * streaming drift monitor persists per batch. */
@@ -1560,6 +1605,7 @@ object TextOps {
     "q_signal_agreement" -> signalAgreement _,
     "q_vocab_card"     -> vocabCard _,
     "q_vocab_drift"    -> vocabDrift _,
+    "q_snapshot_diff"  -> snapshotDiff _,
     "q_gopher_rules"   -> gopherRules _,
     "q_boilerplate"    -> boilerplate _,
     "q_shingle_novelty" -> shingleNovelty _,
@@ -2044,6 +2090,29 @@ object TextOps {
          |      FROM (SELECT lang, unnest($toksSql) AS tok FROM documents)
          |      GROUP BY lang, tok)
          |GROUP BY lang""".stripMargin,
+    // even/odd halves as the two snapshots (the vocab-drift convention);
+    // churn in exact ppm of the fingerprint union
+    "q_snapshot_diff" ->
+      s"""WITH o AS (SELECT DISTINCT $contentFpSql AS fp FROM documents
+         |           WHERE doc_id % 2 = 0),
+         |n AS (SELECT DISTINCT $contentFpSql AS fp FROM documents
+         |      WHERE doc_id % 2 = 1),
+         |j AS (SELECT o.fp IS NOT NULL AS in_old, n.fp IS NOT NULL AS in_new
+         |      FROM o FULL JOIN n ON o.fp = n.fp),
+         |agg AS (SELECT
+         |    CAST(sum(CASE WHEN in_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         |    CAST(sum(CASE WHEN in_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         |    CAST(sum(CASE WHEN in_old AND in_new THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_common,
+         |    CAST(sum(CASE WHEN NOT in_old AND in_new THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_added,
+         |    CAST(sum(CASE WHEN in_old AND NOT in_new THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_removed,
+         |    count(*) AS n_union
+         |  FROM j)
+         |SELECT *, (n_added + n_removed) * $LmPpmUnit
+         |  // GREATEST(n_union, 1) AS churn_ppm
+         |FROM agg""".stripMargin,
     "q_vocab_drift" ->
       s"""WITH b AS (
          |  SELECT doc_id % 2 AS split, substr(md5(tok), 1, 2) AS bucket

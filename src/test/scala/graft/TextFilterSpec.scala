@@ -281,6 +281,27 @@ class TextFilterSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("snapshot diff: hand-computed churn, dup-insensitive, symmetric") {
+    // old = {A, B, C}, new = {B, C, D, E} (by content, dups collapse;
+    // 'c ' trims to the same fp as 'c')
+    val oldSnap = Seq((1L, "doc a"), (2L, "doc b"), (3L, "c"), (4L, "doc a"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((5L, "doc b"), (6L, "c "), (7L, "doc d"), (8L, "doc e"))
+      .toDF("doc_id", "text")
+    val r = TextOps.snapshotDiffOf(oldSnap, newSnap).head
+    assert(r.getAs[Long]("n_old") == 3L && r.getAs[Long]("n_new") == 4L)
+    assert(r.getAs[Long]("n_common") == 2L)
+    assert(r.getAs[Long]("n_added") == 2L && r.getAs[Long]("n_removed") == 1L)
+    assert(r.getAs[Long]("n_union") == 5L)
+    assert(r.getAs[Long]("churn_ppm") == 3L * 1000000L / 5L)
+    // identical snapshots: zero churn; fully disjoint: full churn
+    assert(TextOps.snapshotDiffOf(oldSnap, oldSnap).head
+      .getAs[Long]("churn_ppm") == 0L)
+    assert(TextOps.snapshotDiffOf(oldSnap,
+        Seq((9L, "doc z")).toDF("doc_id", "text")).head
+      .getAs[Long]("churn_ppm") == 1000000L)
+  }
+
   test("cross-doc scrub: owner keeps, others scrubbed, wall-to-wall empties") {
     // "c1 c2 c3" spans 7 docs (> bar 5); doc 1 owns it
     val docs = (Seq((1L, "u1 u2 c1 c2 c3 u3"), (7L, "c1 c2 c3")) ++
