@@ -259,6 +259,52 @@ object CurationOps {
         expr("ratio_sum div n_tok").as("weight_ppm"))
   }
 
+  /** Overall sample share the DSIR resampler aims for (1e-4 units):
+    * expected draws ≈ [[DsirShare10k]]/10⁴ of the corpus, reallocated
+    * toward high-importance documents. */
+  val DsirShare10k = 2500L
+
+  /** DSIR importance RESAMPLING — the ACTION [[dsirWeights]] exists
+    * for: draw the training subset with per-document acceptance
+    * probability ∝ importance weight, scaled so the expected sample
+    * size is [[DsirShare10k]]/10⁴ of the corpus. The coin is the
+    * md5-coin family's determinism contract ([[stratifiedSample]]):
+    * a 24-bit uniform from the doc_id digest, never rand(). The
+    * accept rule is a cross-multiplied integer compare —
+    * `coin·Σw·10⁴ < 2²⁴·share·wᵢ·n` — so no division order, float,
+    * or rounding step exists for the engines to disagree on; documents
+    * whose scaled weight exceeds 1 are accepted always (the compare is
+    * monotone — no explicit min(1,·) clamp needed). Products reach
+    * ~10²⁸ at the 10¹¹-doc scale, past long range — both sides compute
+    * in exact wide-decimal (Spark DECIMAL(38,0), DuckDB HUGEINT).
+    *
+    * Scale shape: the [[dsirWeights]] chain plus one broadcast 1-row
+    * total and a per-row coin — linear, no new wide shuffle; the
+    * summary is one hash aggregation per language. */
+  def dsirSample(spark: SparkSession, dir: String): DataFrame =
+    dsirSampleCore(Tables.documents(spark, dir))
+
+  /** [[dsirSample]] over any (doc_id, lang, text) relation. */
+  private[graft] def dsirSampleCore(docs: DataFrame): DataFrame = {
+    val w = dsirWeightsCore(docs)
+    val tot = w.agg(sum(col("weight_ppm")).as("w_sum"),
+      count(lit(1)).as("n_corpus"))
+    w.crossJoin(broadcast(tot))
+      .withColumn("coin24", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10)" +
+          " as bigint)"))
+      .withColumn("keep", expr(
+        s"""cast(coin24 as decimal(38,0)) * w_sum * 10000
+           | < cast(16777216 as decimal(38,0)) * $DsirShare10k
+           |   * weight_ppm * n_corpus""".stripMargin))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(col("n_tok")).as("tok_total"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L))
+          .as("tok_sampled"))
+  }
+
   /** Corpus DATA CARD — the per-language summary a dataset release
     * ships: document and estimated-token volume, exact-dup pressure
     * (distinct content fingerprints), mean quality (exact integer
@@ -779,6 +825,7 @@ object CurationOps {
     "q_mixture_temp" -> ((s: SparkSession, d: String) => mixturePlanTemp(s, d)),
     "q_source_cap" -> sourceCapped _,
     "q_dsir_weights" -> dsirWeights _,
+    "q_dsir_sample" -> dsirSample _,
     "q_quality_floor" -> qualityBudgetFloor _,
     "q_quality_floor_by_lang" -> qualityBudgetFloorByLang _,
     "q_corpus_report" -> corpusReport _,
@@ -1088,6 +1135,49 @@ object CurationOps {
          |  CAST(sum(ratio_ppm) AS BIGINT) // count(*) AS weight_ppm
          |FROM b JOIN ratio USING (bucket)
          |GROUP BY doc_id, lang""".stripMargin,
+    // the dsir-weights chain + one 1-row total + the cross-multiplied
+    // HUGEINT coin compare (Spark side computes in DECIMAL(38,0) —
+    // both exact integers, so the accept set is bit-identical)
+    "q_dsir_sample" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
+         |b AS (SELECT doc_id, lang,
+         |    substr(md5(tok), 1, $DsirBucketHex) AS bucket FROM ex),
+         |raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS r_cnt
+         |        FROM b GROUP BY bucket),
+         |tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS t_cnt
+         |        FROM b WHERE lang = '$DsirTargetLang' GROUP BY bucket),
+         |tot AS (SELECT
+         |    CAST((SELECT count(*) FROM b) AS BIGINT) AS r_total,
+         |    CAST((SELECT count(*) FROM b WHERE lang = '$DsirTargetLang')
+         |      AS BIGINT) AS t_total),
+         |ratio AS (
+         |  SELECT r.bucket,
+         |    ((coalesce(t.t_cnt, 0) + 1) * ${TextOps.LmPpmUnit}
+         |      // (r.r_cnt + 1)) * r_total
+         |      // greatest(t_total, 1) AS ratio_ppm
+         |  FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket, tot),
+         |w AS (
+         |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tok,
+         |    CAST(sum(ratio_ppm) AS BIGINT) // count(*) AS weight_ppm
+         |  FROM b JOIN ratio USING (bucket)
+         |  GROUP BY doc_id, lang),
+         |wt AS (SELECT CAST(sum(weight_ppm) AS BIGINT) AS w_sum,
+         |    CAST(count(*) AS BIGINT) AS n_corpus FROM w),
+         |k AS (
+         |  SELECT w.*,
+         |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+         |        AS BIGINT) AS HUGEINT) * w_sum * 10000
+         |      < CAST(16777216 AS HUGEINT) * $DsirShare10k
+         |        * weight_ppm * n_corpus AS keep
+         |  FROM w, wt)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sampled,
+         |  CAST(sum(n_tok) AS BIGINT) AS tok_total,
+         |  CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS tok_sampled
+         |FROM k GROUP BY lang""".stripMargin,
     // assembled from the SHARED snippets (rule table, quality, token
     // estimate, content fp) so the card equals its source operators
     "q_corpus_report" ->

@@ -216,6 +216,127 @@ object DedupOps {
         round(max(col("jac")), 4).as("best_jac"))
   }
 
+  /** Probe stride for [[lshRecall]]: every [[RecallProbeMod]]-th doc_id
+    * is a probe (deterministic, engine-portable — the md5-free sibling
+    * of the coin family: the stratum is arbitrary but fixed, which is
+    * all a recall estimate needs). */
+  val RecallProbeMod = 5L
+
+  /** MinHash-LSH RECALL harness — operationalizes the banding-recall
+    * claim the dedup chain rests on (P(candidate) = 1-(1-j³)⁴ at the
+    * 4×3 banding): on a 1/[[RecallProbeMod]] probe stratum, build the
+    * exact same-language ground truth (every pair at exact
+    * Jaccard ≥ [[TextDupJaccard]]) by brute shingle join, and measure
+    * which truth pairs the band-key candidates recover. Reported per
+    * language: truth pairs, found pairs, probe-side candidate volume
+    * (the precision denominator — how much verify work the banding
+    * buys), and recall in exact ppm. The bar compares cross-multiplied
+    * integers (shared·100 ≥ union·85), so the truth set is
+    * bit-identical in both engines. Run it after any re-tuning of
+    * [[NumHashes]]/[[BandSize]] — a recall regression here is the
+    * earliest observable of a mis-banded chain.
+    *
+    * Scale shape: ground truth is inherently exact — the harness bounds
+    * it to the probe stratum (1/mod of the shingle-sharing pair
+    * relation; at production scale, raise the stride so the probe set
+    * stays a sample, the [[annRecall]]-family contract). The LSH side
+    * is the standard banded candidate equi-join restricted to probes;
+    * the compare is a left join of two probe-sized pair relations. */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame =
+    lshRecallCore(spark, Tables.documents(spark, dir))
+
+  /** [[lshRecall]] over any (doc_id, lang, text) relation — split out
+    * so specs can plant probe-side duplicates. */
+  private[graft] def lshRecallCore(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val ex = explodedDocs(docs)
+    val probes = ex.where(pmod(col("doc_id"), lit(RecallProbeMod)) === 0)
+    val truth = probes
+      .select(col("doc_id").as("id_a"), col("lang"),
+        col("n_tok").as("n_a"), col("tok"))
+      .join(ex.select(col("doc_id").as("id_b"), col("lang"),
+        col("n_tok").as("n_b"), col("tok")), Seq("lang", "tok"))
+      .where(col("id_a") =!= col("id_b"))
+      .groupBy(col("lang"), col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"), first(col("n_a")).as("n_a"),
+        first(col("n_b")).as("n_b"))
+      .where(col("shared") * 100 >=
+        (col("n_a") + col("n_b") - col("shared")) * 85)
+      .select(col("lang"), col("id_a"), col("id_b"))
+    val bk = bandKeys(spark, ex)
+    val cand = bk.as("a").join(bk.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          col("a.lang") === col("b.lang") &&
+          pmod(col("a.doc_id"), lit(RecallProbeMod)) === 0)
+      .select(col("a.lang").as("lang"), col("a.doc_id").as("id_a"),
+        col("b.doc_id").as("id_b"))
+      .distinct()
+    val found = truth
+      .join(cand.withColumn("hit", lit(1L)),
+        Seq("lang", "id_a", "id_b"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+    val vol = cand.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_candidates"))
+    found.join(vol, Seq("lang"), "left")
+      .select(col("lang"), col("n_truth"), col("n_found"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        expr("n_found * 1000000 div n_truth").as("recall_ppm"))
+  }
+
+  /** Dup-group PURITY audit — the connected-components QA statistic:
+    * transitive closure can chain A≈B≈C into one group even when A and
+    * C share little, so per group-size bucket this reports the exact
+    * member↔representative Jaccard (mean and worst, integer 1e-4) over
+    * every non-rep member. A healthy group table shows avg near the dup
+    * bar at every size; a collapsing min at large sizes is the
+    * over-chaining signal that says tighten [[TextDupJaccard]] or cap
+    * group diameter before acting on the groups. Members whose direct
+    * rep overlap is ZERO still count (jac 0 via the left join) — an
+    * inner shingle join would silently hide exactly the worst cases.
+    *
+    * Scale shape: the chain is the (materialized-once in production)
+    * LSH+components pass; the audit itself joins each member's shingles
+    * to its OWN rep's shingles only — O(corpus shingle volume), never a
+    * pair relation — and re-aggregates per (member, rep) then per size
+    * bucket over the sub-linear group table. */
+  def groupPurity(spark: SparkSession, dir: String): DataFrame =
+    groupPurityFrom(textDedupGroups(spark, dir),
+      Tables.documents(spark, dir))
+
+  /** [[groupPurity]] over a PRECOMPUTED (doc_id, rep_id) group table
+    * and its (doc_id, lang, text) corpus — the production entry point
+    * (the [[canonicalDocsFrom]] convention: audit the stored table, do
+    * not re-run the chain). */
+  def groupPurityFrom(groups: DataFrame, docs: DataFrame): DataFrame = {
+    val ex = explodedDocs(docs)
+    val members = groups.where(col("doc_id") =!= col("rep_id"))
+    val pairShared = members
+      .join(ex.select(col("doc_id"), col("n_tok").as("n_m"), col("tok")),
+        Seq("doc_id"))
+      .join(ex.select(col("doc_id").as("rep_id"),
+        col("n_tok").as("n_r"), col("tok")), Seq("rep_id", "tok"))
+      .groupBy(col("doc_id"), col("rep_id"))
+      .agg(count(lit(1)).as("shared"), first(col("n_m")).as("n_m"),
+        first(col("n_r")).as("n_r"))
+      .withColumn("jac10k",
+        expr("shared * 10000 div (n_m + n_r - shared)"))
+    val jac = members
+      .join(pairShared.select(col("doc_id"), col("rep_id"), col("jac10k")),
+        Seq("doc_id", "rep_id"), "left")
+      .withColumn("jac10k", coalesce(col("jac10k"), lit(0L)))
+    val sizes = groups.groupBy(col("rep_id"))
+      .agg(count(lit(1)).as("group_size"))
+    jac.join(sizes, Seq("rep_id"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_members"),
+        expr("sum(jac10k) div count(1)").as("avg_jac10k"),
+        min(col("jac10k")).as("min_jac10k"))
+  }
+
   /** SimHash signatures: per-token md5 hex digits vote per bit position;
     * the signature is the 16-bit sign vector. Grouped into a histogram
     * (signature → doc count) — collisions are near-dup candidates.
@@ -1438,6 +1559,8 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_lsh"  -> minhashLsh _,
     "q_jaccard_lsh"  -> jaccardLshBest _,
+    "q_lsh_recall"   -> lshRecall _,
+    "q_group_purity" -> groupPurity _,
     "q_simhash"      -> simhash _,
     "q_ann_bucketed" -> ((s: SparkSession, d: String) => annBucketed(s, d)),
     // the PRODUCT entry point (enforced bucketed→IVF cutover): below
@@ -1961,6 +2084,78 @@ object DedupOps {
          |                       ORDER BY jac DESC, id_b ASC) AS rn
          |  FROM jac)
          |WHERE rn = 1""".stripMargin,
+    // probe-stratum ground truth by brute shingle join (cross-multiplied
+    // integer bar — bit-identical truth sets), LSH candidates restricted
+    // to probes + same-lang, compare via left join
+    "q_lsh_recall" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, lang, length(tset) AS n_tok, unnest(tset) AS tok
+         |  FROM (SELECT doc_id, lang, ${TextOps.shingles3Sql} AS tset
+         |        FROM documents)),
+         |truth AS (
+         |  SELECT ea.lang, ea.doc_id AS id_a, eb.doc_id AS id_b
+         |  FROM ex ea JOIN ex eb ON eb.lang = ea.lang AND eb.tok = ea.tok
+         |    AND ea.doc_id % $RecallProbeMod = 0 AND eb.doc_id <> ea.doc_id
+         |  GROUP BY 1, 2, 3
+         |  HAVING count(*) * 100 >=
+         |    (any_value(ea.n_tok) + any_value(eb.n_tok) - count(*)) * 85),
+         |mh AS (
+         |  SELECT doc_id, lang, seed,
+         |    min(substr(md5($prefixCaseSql || tok),
+         |        CAST((seed % $SeedsPerDigest) * 8 + 1 AS INT), 8)) AS minh
+         |  FROM ex, range($NumHashes) s(seed)
+         |  GROUP BY 1, 2, 3),
+         |bk AS (
+         |  SELECT doc_id, lang, seed // $BandSize AS band,
+         |    md5(string_agg(minh, ',' ORDER BY seed)) AS band_key
+         |  FROM mh GROUP BY 1, 2, 3),
+         |cand AS (
+         |  SELECT DISTINCT a.lang, a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+         |    AND a.doc_id <> b.doc_id AND a.lang = b.lang
+         |    AND a.doc_id % $RecallProbeMod = 0),
+         |f AS (
+         |  SELECT t.lang, CAST(count(*) AS BIGINT) AS n_truth,
+         |    CAST(sum(CASE WHEN c.id_b IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_found
+         |  FROM truth t LEFT JOIN cand c ON c.lang = t.lang
+         |    AND c.id_a = t.id_a AND c.id_b = t.id_b
+         |  GROUP BY t.lang),
+         |v AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_candidates
+         |      FROM cand GROUP BY lang)
+         |SELECT f.lang, f.n_truth, f.n_found,
+         |  CAST(coalesce(v.n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  f.n_found * 1000000 // f.n_truth AS recall_ppm
+         |FROM f LEFT JOIN v ON v.lang = f.lang""".stripMargin,
+    // member<->rep exact jaccard per group-size bucket; the left join
+    // keeps zero-overlap members (jac 0), the worst-case signal
+    "q_group_purity" ->
+      s"""WITH RECURSIVE $textGroupsCtes,
+         |groups AS (
+         |  SELECT id AS doc_id, min(comp) AS rep_id FROM walk GROUP BY id),
+         |members AS (
+         |  SELECT doc_id, rep_id FROM groups WHERE doc_id <> rep_id),
+         |ps AS (
+         |  SELECT m.doc_id, m.rep_id, count(*) AS shared,
+         |    any_value(em.n_tok) AS n_m, any_value(er.n_tok) AS n_r
+         |  FROM members m
+         |  JOIN ex em ON em.doc_id = m.doc_id
+         |  JOIN ex er ON er.doc_id = m.rep_id AND er.tok = em.tok
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT m.doc_id, m.rep_id,
+         |    coalesce(ps.shared * 10000 // (ps.n_m + ps.n_r - ps.shared),
+         |      0) AS jac10k
+         |  FROM members m LEFT JOIN ps ON ps.doc_id = m.doc_id
+         |    AND ps.rep_id = m.rep_id),
+         |sizes AS (
+         |  SELECT rep_id, CAST(count(*) AS BIGINT) AS group_size
+         |  FROM groups GROUP BY rep_id)
+         |SELECT s.group_size, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(j.jac10k) AS BIGINT) // count(*) AS avg_jac10k,
+         |  CAST(min(j.jac10k) AS BIGINT) AS min_jac10k
+         |FROM j JOIN sizes s ON s.rep_id = j.rep_id
+         |GROUP BY s.group_size""".stripMargin,
     "q_simhash" ->
       s"""WITH ex AS (
          |  SELECT DISTINCT doc_id, tok FROM (

@@ -1377,30 +1377,46 @@ object TextOps {
         .select(col("bucket"), coalesce(col("p_cnt"), lit(0L)).as("p_cnt"),
           coalesce(col("q_cnt"), lit(0L)).as("q_cnt")))
 
+  /** The single ppm-projection both TV shapes share (the grouped form
+    * prepends its key column). */
+  private def tvPpm: Seq[Column] = Seq(
+    expr(s"p_cnt * $LmPpmUnit div greatest(p_total, 1)").as("p_ppm"),
+    expr(s"q_cnt * $LmPpmUnit div greatest(q_total, 1)").as("q_ppm"),
+    col("p_total"), col("q_total"))
+
+  /** The single aggregate definition both TV shapes share. */
+  private def tvAgg: Seq[Column] = Seq(
+    count(lit(1)).as("n_buckets"),
+    max(col("p_total")).as("p_total"), max(col("q_total")).as("q_total"),
+    expr("sum(abs(p_ppm - q_ppm)) div 2").as("tv_ppm"))
+
   /** Shared TV tail: (bucket, p_cnt, q_cnt) → one row (n_buckets,
     * p_total, q_total, tv_ppm), integer-exact half-L1 over bucket
-    * ppms. */
-  private def tvOfBucketCounts(per: DataFrame): DataFrame =
-    tvOfBucketCountsBy(per.withColumn("grp", lit("all")), "grp").drop("grp")
+    * ppms. A GLOBAL aggregate, so an empty corpus yields the one
+    * (0, null, null, null) envelope row — matching its SQL oracle's
+    * aggregate-without-GROUP-BY shape (the grouped sibling below
+    * yields ZERO rows on empty input, as ITS keyed oracle does). */
+  private def tvOfBucketCounts(per: DataFrame): DataFrame = {
+    val tot = per.agg(sum(col("p_cnt")).as("p_total"),
+      sum(col("q_cnt")).as("q_total"))
+    per.crossJoin(broadcast(tot))
+      .select(tvPpm: _*)
+      .agg(tvAgg.head, tvAgg.tail: _*)
+  }
 
   /** [[tvOfBucketCounts]] GROUPED by a key column — one TV row per key
-    * (per-source drift); the single arithmetic definition both shapes
-    * share, so the global alarm and the per-source breakdown can never
-    * disagree. Totals are per-key (each key's q side is its own
-    * distribution). */
+    * (per-source drift); the ppm/aggregate definitions are shared with
+    * the global form, so the global alarm and the per-source breakdown
+    * can never disagree. Totals are per-key (each key's q side is its
+    * own distribution). */
   private[graft] def tvOfBucketCountsBy(per: DataFrame,
       key: String): DataFrame = {
     val tot = per.groupBy(col(key)).agg(sum(col("p_cnt")).as("p_total"),
       sum(col("q_cnt")).as("q_total"))
     per.join(broadcast(tot), Seq(key))
-      .select(col(key),
-        expr(s"p_cnt * $LmPpmUnit div greatest(p_total, 1)").as("p_ppm"),
-        expr(s"q_cnt * $LmPpmUnit div greatest(q_total, 1)").as("q_ppm"),
-        col("p_total"), col("q_total"))
+      .select(col(key) +: tvPpm: _*)
       .groupBy(col(key))
-      .agg(count(lit(1)).as("n_buckets"),
-        max(col("p_total")).as("p_total"), max(col("q_total")).as("q_total"),
-        expr("sum(abs(p_ppm - q_ppm)) div 2").as("tv_ppm"))
+      .agg(tvAgg.head, tvAgg.tail: _*)
   }
 
   /** PII surface patterns — deliberately simple, lookaround-free

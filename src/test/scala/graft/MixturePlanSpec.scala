@@ -88,6 +88,54 @@ class MixturePlanSpec extends SparkSpec {
       "a higher floor would miss the budget — floor must be maximal")
   }
 
+  test("dsir sample: deterministic, target-domain enriched, bounded") {
+    // the weights fixture one scale up: en speaks the target vocabulary,
+    // de a disjoint one — en weights land near 2e6, de near the floor,
+    // so the resampler must accept en at a visibly higher rate
+    val docs = (
+      (1L to 40L).map(i => (i, "en",
+        (1 to 30).map(j => s"tgt${(i + j) % 7}").mkString(" "))) ++
+      (41L to 80L).map(i => (i, "de",
+        (1 to 30).map(j => s"oth${(i + j) % 7}").mkString(" ")))
+    ).toDF("doc_id", "lang", "text")
+    val s1 = CurationOps.dsirSampleCore(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s2 = CurationOps.dsirSampleCore(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(s1.keySet == Set("en", "de"))
+    for (lang <- s1.keySet) {
+      val (a, b) = (s1(lang), s2(lang))
+      assert(a.getAs[Long]("n_sampled") == b.getAs[Long]("n_sampled") &&
+        a.getAs[Long]("tok_sampled") == b.getAs[Long]("tok_sampled"),
+        s"md5-coin sampling must be replay-identical: $a vs $b")
+      assert(a.getAs[Long]("n_sampled") <= a.getAs[Long]("n_docs"))
+      assert(a.getAs[Long]("tok_sampled") <= a.getAs[Long]("tok_total"))
+    }
+    // enrichment: with weights separated ~2e6 vs ~2e5, the en accept
+    // rate must dominate (en's scaled weight clears 1 — all accepted)
+    val rEn = s1("en").getAs[Long]("n_sampled").toDouble /
+      s1("en").getAs[Long]("n_docs")
+    val rDe = s1("de").getAs[Long]("n_sampled").toDouble /
+      s1("de").getAs[Long]("n_docs")
+    assert(rEn > rDe, s"target domain must be enriched: en $rEn vs de $rDe")
+  }
+
+  test("dsir sample: uniform weights realize the target share") {
+    // one shared vocabulary, all en: every weight ≈ 1e6, so the accept
+    // probability collapses to DsirShare10k/1e4 for every doc — the
+    // realized share must sit within binomial noise of the target
+    val n = 400
+    val docs = (1L to n.toLong).map(i =>
+      (i, "en", (1 to 20).map(j => s"w${(i * 3 + j) % 11}").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val row = CurationOps.dsirSampleCore(docs).collect().head
+    val share = CurationOps.DsirShare10k.toDouble / 10000.0
+    val got = row.getAs[Long]("n_sampled").toDouble / n
+    val sigma = math.sqrt(share * (1 - share) / n)
+    assert(math.abs(got - share) <= 4 * sigma + 0.02,
+      s"uniform corpus must realize ~$share, got $got")
+  }
+
   test("dsir weights: uniform corpus weighs ~1e6 everywhere") {
     val docs = (1L to 30L).map(i =>
       (i, if (i % 2 == 0) "en" else "de",

@@ -314,4 +314,71 @@ class SamplingDedupSpec extends SparkSpec {
         s"member ${r.getLong(0)} split from rep ${r.getLong(1)}")
     }
   }
+
+  test("lsh recall: planted probe duplicates recovered at recall 1e6") {
+    import spark.implicits._
+    // 4 identical pairs anchored on probe ids (multiples of 5) + noise
+    // docs with disjoint vocabularies that clear no bar
+    val dup = (1 to 4).flatMap { i =>
+      val t = (1 to 30).map(j => s"p${i}w${(i * 7 + j) % 13}").mkString(" ")
+      Seq((i * 10L, "en", t), (i * 10L + 1L, "en", t))
+    }
+    val noise = (1 to 10).map(i => (2000L + i, "en",
+      (1 to 25).map(j => s"n${i}x${(i * 11 + j) % 17}").mkString(" ")))
+    val r = DedupOps.lshRecallCore(spark,
+      (dup ++ noise).toDF("doc_id", "lang", "text")).collect()
+    assert(r.length == 1 && r.head.getString(0) == "en", r.mkString("; "))
+    val row = r.head
+    // each planted pair contributes exactly one probe-side truth pair
+    // (10i is a probe, 10i+1 is not); identical docs share EVERY band
+    // key, so the banding recovers all of them — recall exactly 1e6
+    assert(row.getAs[Long]("n_truth") == 4L, s"truth: $row")
+    assert(row.getAs[Long]("n_found") == 4L, s"found: $row")
+    assert(row.getAs[Long]("recall_ppm") == 1000000L, s"recall: $row")
+    assert(row.getAs[Long]("n_candidates") >= row.getAs[Long]("n_found"),
+      s"candidates must cover found pairs: $row")
+  }
+
+  test("lsh recall on the corpus: bounds hold, recall is measured") {
+    DedupOps.lshRecall(spark, sfDir).collect().foreach { row =>
+      val (t, f) = (row.getAs[Long]("n_truth"), row.getAs[Long]("n_found"))
+      assert(t >= 1L, s"grouped truth row cannot be empty: $row")
+      assert(f >= 0L && f <= t, s"found outside [0, truth]: $row")
+      assert(row.getAs[Long]("recall_ppm") == f * 1000000L / t)
+      assert(row.getAs[Long]("n_candidates") >= 0L)
+    }
+  }
+
+  test("group purity: totals reconcile, pair groups sit at the dup bar") {
+    val groups = DedupOps.textDedupGroups(spark, sfDir).collect()
+    val purity = DedupOps.groupPurity(spark, sfDir).collect()
+    // every non-rep member is audited exactly once
+    val nMembers = groups.count(r => r.getLong(0) != r.getLong(1))
+    assert(purity.map(_.getAs[Long]("n_members")).sum.toInt == nMembers,
+      s"audited ${purity.map(_.getAs[Long]("n_members")).sum} of $nMembers")
+    purity.foreach { row =>
+      val (avg, mn) = (row.getAs[Long]("avg_jac10k"),
+        row.getAs[Long]("min_jac10k"))
+      assert(mn >= 0L && mn <= avg && avg <= 10000L, s"jac order: $row")
+      // a size-2 group IS its one verified edge: member↔rep jaccard
+      // cleared the 0.85 bar by construction
+      if (row.getAs[Long]("group_size") == 2L)
+        assert(mn >= 8500L, s"pair group below the dup bar: $row")
+    }
+    // planted over-chain: A≈B≈C with A∩C = ∅ must surface as jac 0 in
+    // the size-3 bucket, not vanish in an inner join
+    import spark.implicits._
+    val groupsDf = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "rep_id")
+    val shared = (1 to 20).map(j => s"s$j").mkString(" ")
+    val docs = Seq(
+      (1L, "en", (1 to 25).map(j => s"a$j").mkString(" ") + " " + shared),
+      (2L, "en", shared),
+      (3L, "en", (1 to 25).map(j => s"c$j").mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    val p = DedupOps.groupPurityFrom(groupsDf, docs).collect()
+    assert(p.length == 1 && p.head.getAs[Long]("group_size") == 3L)
+    assert(p.head.getAs[Long]("n_members") == 2L)
+    assert(p.head.getAs[Long]("min_jac10k") == 0L,
+      s"zero-overlap member must audit as jac 0: ${p.head}")
+  }
 }
