@@ -312,7 +312,11 @@ object DedupOps {
     * (the [[canonicalDocsFrom]] convention: audit the stored table, do
     * not re-run the chain). */
   def groupPurityFrom(groups: DataFrame, docs: DataFrame): DataFrame = {
-    val ex = explodedDocs(docs)
+    // only dup-component documents need shingles (the group table lists
+    // every member INCLUDING its rep), so restrict BEFORE exploding —
+    // the audit's shingle volume is members-scale, not corpus-scale
+    val ex = explodedDocs(
+      docs.join(groups.select(col("doc_id")), Seq("doc_id"), "left_semi"))
     val members = groups.where(col("doc_id") =!= col("rep_id"))
     val pairShared = members
       .join(ex.select(col("doc_id"), col("n_tok").as("n_m"), col("tok")),

@@ -72,6 +72,10 @@ object PlanAudit {
     "q_detector_venn" -> "three banded detectors' pair relations venn'd by two full joins on the (id_a, id_b) key + one <=8-row agg — no detector re-verifies the others' work",
     "q_signal_agreement" -> "two linear signal chains joined on doc_id, <=9-cell contingency agg + broadcast 1-row total",
     "q_crossdoc_scrub" -> "corpus-df boilerplate removal: distinct (doc, gram) df agg, tiny over-common set joined back, coverage explode + (doc,pos) anti-join + ordered reassembly — the repeat-scrub skeleton",
+    "q_snapshot_diff" -> "content churn: two distinct-fp hash aggs + full-outer equi-join on the fingerprint + one 1-row agg — bounded by distinct content, not corpus rows",
+    "q_dsir_sample" -> "importance resampling: the dsir-weights chain + broadcast 1-row total; accept is a per-row wide-decimal coin compare — no shuffle past the weights chain",
+    "q_lsh_recall" -> "banding recall harness: probe-stratum brute-truth shingle join + banded candidates restricted to probes; the compare left-joins two probe-sized pair relations",
+    "q_group_purity" -> "dup-group QA: member shingles join their OWN rep's shingles only (never a pair relation), per-(member,rep) agg + size-bucket rollup over the sub-linear group table",
   )
 
   def main(args: Array[String]): Unit = {
