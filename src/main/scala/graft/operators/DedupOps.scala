@@ -1521,15 +1521,35 @@ object DedupOps {
     * the corpus side is one scan, no shuffle of the big side. The gram
     * explode is ~len rows per doc — same volume class as the shingle
     * paths the LSH chain already runs. */
-  def ngramContamination(spark: SparkSession, dir: String,
-      n: Int = ContamNgram): DataFrame = {
-    val grams = Tables.documents(spark, dir)
+  /** (doc_id, gram) — each document's DISTINCT n-word grams, the unit
+    * of exact decontamination; per-row array expressions over the
+    * materialized token column (the shingles3 CSE lesson). Shared by
+    * [[ngramContamination]], [[benchmarkGrams]] and the streaming
+    * gate's contamination verdict, so "a benchmark n-gram" means the
+    * same string everywhere. */
+  private[graft] def ngramsRel(docs: DataFrame,
+      n: Int = ContamNgram): DataFrame =
+    docs
       .select(col("doc_id"), TextOps.toks(col("text")).as("t"))
       .select(col("doc_id"), explode(array_distinct(
         when(size(col("t")) >= n,
           transform(sequence(lit(1), size(col("t")) - (n - 1)),
             i => array_join(slice(col("t"), i, lit(n)), " ")))
           .otherwise(array().cast("array<string>")))).as("gram"))
+
+  /** The distinct benchmark-split n-gram set — the (small, broadcast)
+    * reference relation every decontamination pass joins against; a
+    * deployment builds it from its eval suites and refreshes it when
+    * benchmarks change, not per batch. */
+  def benchmarkGrams(spark: SparkSession, dir: String,
+      n: Int = ContamNgram): DataFrame =
+    ngramsRel(Tables.documents(spark, dir)
+      .where(col("doc_id") < BenchmarkMaxId), n)
+      .select(col("gram")).distinct()
+
+  def ngramContamination(spark: SparkSession, dir: String,
+      n: Int = ContamNgram): DataFrame = {
+    val grams = ngramsRel(Tables.documents(spark, dir), n)
     val bench = grams.where(col("doc_id") < BenchmarkMaxId)
       .select(col("gram")).distinct()
     grams.where(col("doc_id") >= BenchmarkMaxId)

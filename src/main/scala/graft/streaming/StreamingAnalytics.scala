@@ -599,6 +599,54 @@ object StreamingAnalytics {
         (col("q10k").cast("double") / 10000.0).as("quality"))
   }
 
+  /** Decontamination-on-ingest — the gate-side twin of
+    * [[graft.operators.DedupOps.ngramContamination]]: flag every batch
+    * document containing ANY benchmark n-gram (the exact 13-gram
+    * detector — the one that catches a single quoted eval item deep in
+    * an otherwise-novel document). `benchGrams` is the broadcastable
+    * distinct benchmark gram set
+    * ([[graft.operators.DedupOps.benchmarkGrams]]), built once when the
+    * eval suites change — NOT per batch. Returns flagged rows only:
+    * (doc_id, n_bench_hits). Per-row gram expressions + one broadcast
+    * join — no shuffle of the batch, no state. */
+  def contamGate(batch: DataFrame, benchGrams: DataFrame,
+      n: Int = graft.operators.DedupOps.ContamNgram): DataFrame =
+    graft.operators.DedupOps
+      .ngramsRel(batch.select(col("doc_id"), col("text")), n)
+      .join(broadcast(benchGrams.select(col("gram")).distinct()),
+        Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bench_hits"))
+
+  /** The FULL admission policy — [[admitBatchSem]] with the
+    * decontamination verdict composed in, in precedence order:
+    * CONTAMINATED (a leaked benchmark item must never enter the corpus,
+    * even when the same document would also be rejected as a duplicate —
+    * eval hygiene outranks dedup bookkeeping) → textual near-dup →
+    * semantic near-dup → repetitive → below the quality floor → admit.
+    * Returns every batch row with (verdict, n_bench_hits, dup_of, jac,
+    * sem_dup_of, cos, quality). */
+  def admitBatchFull(batch: DataFrame, corpusBandKeys: DataFrame,
+      corpusShingles: DataFrame, semCells: DataFrame, semVecs: DataFrame,
+      annIndexDir: String, benchGrams: DataFrame,
+      bar: Double = graft.operators.DedupOps.TextDupJaccard,
+      minQuality10k: Long = AdmitMinQuality10k,
+      nprobe: Int = graft.operators.DedupOps.NearDupNProbe,
+      cosBar: Double = graft.operators.DedupOps.CosineDupThreshold)
+      : DataFrame = {
+    val contam = contamGate(batch, benchGrams)
+    admitBatchSem(batch, corpusBandKeys, corpusShingles, semCells,
+        semVecs, annIndexDir, bar, minQuality10k, nprobe, cosBar)
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("n_bench_hits").isNotNull, lit("contaminated"))
+          .otherwise(col("verdict")))
+      .select(col("doc_id"), col("verdict"),
+        coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
+        col("dup_of"), col("jac"), col("sem_dup_of"), col("cos"),
+        col("quality"))
+  }
+
   /** [[runCuratedIngest]] with the semantic gate composed in: the
     * per-batch loop for a stream carrying (doc_id, text, embedding).
     * Admitted docs land in BOTH corpus indexes — minhash bands/shingles

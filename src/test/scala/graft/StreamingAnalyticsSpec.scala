@@ -528,4 +528,59 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(s.getAs[Long]("tv_ppm") == g.getAs[Long]("tv_ppm")
       && s.getAs[Long]("n_buckets") == g.getAs[Long]("n_buckets"))
   }
+
+  test("contamination gate: quoted benchmark gram flagged, " +
+      "contaminated outranks dup in the full policy") {
+    import graft.operators.DedupOps
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val benchGrams = DedupOps.benchmarkGrams(spark, sfDir)
+    // a benchmark doc long enough to own at least one 13-gram
+    val benchText = docs
+      .where(col("doc_id") < DedupOps.BenchmarkMaxId &&
+        size(filter(split(col("text"), " "), t => t =!= "")) >= 13)
+      .orderBy(col("doc_id")).select(col("text")).head().getString(0)
+    val quote = benchText.split(" ").filter(_.nonEmpty)
+      .take(13).mkString(" ")
+    // one doc quoting exactly one benchmark 13-gram, one clean doc
+    val batch = Seq(
+      (9101L, s"in my own considered words it then says $quote and " +
+        "carries on with entirely original analysis afterwards"),
+      (9102L, "a perfectly ordinary paragraph about garden furniture " +
+        "maintenance through the wetter months of a temperate year"))
+      .toDF("doc_id", "text")
+    val flagged = StreamingAnalytics.contamGate(batch, benchGrams).collect()
+    assert(flagged.map(_.getLong(0)).toSet == Set(9101L),
+      s"only the quoting doc may flag: ${flagged.mkString("; ")}")
+    assert(flagged.head.getAs[Long]("n_bench_hits") == 1L,
+      s"exactly the one quoted gram: ${flagged.head}")
+    // full policy: a verbatim benchmark replay is BOTH a corpus dup and
+    // contaminated — the verdict must be contaminated (eval hygiene
+    // outranks dedup bookkeeping); the clean doc still admits
+    val annDir = java.nio.file.Files.createTempDirectory("conann").toString
+    graft.operators.VectorOps.writeAnnIndex(spark, sfDir, annDir)
+    val (semCells, semVecs) = StreamingAnalytics.loadSemIndexOrEmpty(spark,
+      java.nio.file.Files.createTempDirectory("conidx").toString + "/none")
+    val (cbk, csh) = StreamingAnalytics.corpusIndex(docs)
+    val dim = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(size(col("embedding"))).first().getInt(0)
+    val emb = Array.tabulate(dim)(i => 0.2f + 0.03f * (i % 5))
+    // sign-alternating — near-orthogonal to the all-positive emb, so
+    // the clean doc cannot accidentally flag sem_dup against 9103
+    val emb2 = Array.tabulate(dim)(i =>
+      (if (i % 2 == 0) 1f else -1f) * (0.4f + 0.02f * (i % 5)))
+    val full = StreamingAnalytics.admitBatchFull(
+      Seq((9103L, benchText, emb),
+        (9104L, "yet another honest paragraph with plainly novel " +
+          "wording on the upkeep of small wooden boats in freshwater",
+          emb2))
+        .toDF("doc_id", "text", "embedding"),
+      cbk, csh, semCells, semVecs, annDir, benchGrams)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(full(9103L).getAs[String]("verdict") == "contaminated",
+      s"benchmark replay must reject contaminated first: ${full(9103L)}")
+    assert(full(9103L).getAs[Long]("n_bench_hits") >= 1L)
+    assert(full(9104L).getAs[String]("verdict") == "admit",
+      s"clean doc must admit: ${full(9104L)}")
+    cbk.unpersist(); csh.unpersist(); ()
+  }
 }
