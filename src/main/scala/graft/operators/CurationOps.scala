@@ -166,6 +166,44 @@ object CurationOps {
       .withColumn("epochs_100", expr("tokens_needed * 100 div tokens_avail"))
       .drop("w_total")
 
+  /** Mixture REALIZATION — the trainer-feed step [[mixturePlan]] plans
+    * for: per document, the number of copies the epoch factor emits —
+    * `epochs_100 div 100` whole epochs plus one md5-coin draw at the
+    * fractional remainder (`coin·100 < 2²⁴·(epochs_100 % 100)`, the
+    * cross-multiplied integer compare — [[dsirSample]]'s contract), so
+    * over-sampled strata repeat (epochs_100 > 100) and under-sampled
+    * strata thin (epochs_100 < 100) under ONE deterministic rule, and
+    * the emitted token volume matches tokens_needed in expectation in
+    * both regimes. Summarized per language: corpus docs, emitted
+    * copies, available vs emitted tokens. A production run explodes
+    * `emit` into physical repetitions feeding
+    * [[writeTrainingShards]]; the declared query reports the realized
+    * tallies the plan's tokens_needed column predicts.
+    *
+    * Scale shape: the plan is a langs-sized broadcast; the realization
+    * is one projection + coin per row and one hash aggregation —
+    * linear, no shuffle before the rollup. */
+  def mixtureRealized(spark: SparkSession, dir: String,
+      targetTokens: Long = MixTargetTokens): DataFrame = {
+    val plan = mixturePlan(spark, dir, targetTokens)
+      .select(col("lang"), col("epochs_100"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokEst(col("text")).as("tok"))
+      .join(broadcast(plan), Seq("lang"))
+      .withColumn("coin24", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10)" +
+          " as bigint)"))
+      .withColumn("emit", expr(
+        "epochs_100 div 100 + (case when coin24 * 100 <" +
+          " 16777216 * (epochs_100 % 100) then 1 else 0 end)"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("emit")).as("n_copies"),
+        sum(col("tok")).as("tok_avail"),
+        sum(col("emit") * col("tok")).as("tok_emitted"))
+  }
+
   /** Documents kept per source by [[sourceCapped]] — the domain-balance
     * cap a web-scale pipeline applies so no single domain dominates the
     * mixture (the per-domain analogue of the per-language mixture). */
@@ -823,6 +861,8 @@ object CurationOps {
     "q_stratified_sample" -> stratifiedSampleSummary _,
     "q_mixture_plan" -> ((s: SparkSession, d: String) => mixturePlan(s, d)),
     "q_mixture_temp" -> ((s: SparkSession, d: String) => mixturePlanTemp(s, d)),
+    "q_mixture_realized" -> ((s: SparkSession, d: String) =>
+      mixtureRealized(s, d)),
     "q_source_cap" -> sourceCapped _,
     "q_dsir_weights" -> dsirWeights _,
     "q_dsir_sample" -> dsirSample _,
@@ -1073,6 +1113,35 @@ object CurationOps {
          |        tokens_needed * 10000 // tokens_avail) AS sample_rate_10k,
          |  tokens_needed * 100 // tokens_avail AS epochs_100
          |FROM c""".stripMargin,
+    // the q_mixture_plan chain reduced to epochs_100, then the per-doc
+    // emit rule: whole epochs + one coin at the fractional remainder
+    // (cross-multiplied integer compare — the dsir-sample contract)
+    "q_mixture_realized" ->
+      s"""WITH a AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(${TextOps.tokEstSql}) AS BIGINT) AS tokens_avail
+         |  FROM documents GROUP BY lang),
+         |p AS (
+         |  SELECT lang,
+         |    (CAST($mixCaseSql AS BIGINT) * $MixTargetTokens // 10000)
+         |      * 100 // tokens_avail AS epochs_100
+         |  FROM a),
+         |d AS (
+         |  SELECT doc_id, lang, CAST(${TextOps.tokEstSql} AS BIGINT) AS tok
+         |  FROM documents),
+         |e AS (
+         |  SELECT d.lang, d.tok,
+         |    p.epochs_100 // 100 +
+         |      (CASE WHEN CAST('0x' ||
+         |            substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+         |          AS BIGINT) * 100 < 16777216 * (p.epochs_100 % 100)
+         |        THEN 1 ELSE 0 END) AS emit
+         |  FROM d JOIN p ON p.lang = d.lang)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(emit) AS BIGINT) AS n_copies,
+         |  CAST(sum(tok) AS BIGINT) AS tok_avail,
+         |  CAST(sum(emit * tok) AS BIGINT) AS tok_emitted
+         |FROM e GROUP BY lang""".stripMargin,
     // floor(sqrt(DOUBLE)) is exact cross-engine (IEEE correctly-rounded
     // sqrt, operand ≪ 2^52); everything after is the same integer
     // arithmetic as q_mixture_plan

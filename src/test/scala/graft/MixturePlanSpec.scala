@@ -88,6 +88,32 @@ class MixturePlanSpec extends SparkSpec {
       "a higher floor would miss the budget — floor must be maximal")
   }
 
+  test("mixture realized: emit bounds, regime behavior, plan reconciliation") {
+    val plan = CurationOps.mixturePlan(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val got = CurationOps.mixtureRealized(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == plan.keySet)
+    for (lang <- got.keySet) {
+      val (p, g) = (plan(lang), got(lang))
+      val epochs = p.getAs[Long]("epochs_100")
+      val base = epochs / 100
+      val (nd, nc) = (g.getAs[Long]("n_docs"), g.getAs[Long]("n_copies"))
+      val (ta, te) = (g.getAs[Long]("tok_avail"), g.getAs[Long]("tok_emitted"))
+      assert(ta == p.getAs[Long]("tokens_avail"), s"$lang avail: $g vs $p")
+      // every doc emits base or base+1 copies — hard envelope
+      assert(nc >= base * nd && nc <= (base + 1) * nd, s"$lang copies: $g")
+      assert(te >= base * ta && te <= (base + 1) * ta, s"$lang tokens: $g")
+      // regimes: whole epochs repeat, pure thinning never exceeds 1 copy
+      if (epochs >= 100) assert(nc >= nd, s"$lang oversample must repeat: $g")
+      if (epochs < 100) assert(nc <= nd, s"$lang thinning emits <=1 each: $g")
+    }
+    // deterministic coin: a second run is identical
+    val again = CurationOps.mixtureRealized(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_copies")).toMap
+    assert(got.view.mapValues(_.getAs[Long]("n_copies")).toMap == again)
+  }
+
   test("dsir sample: deterministic, target-domain enriched, bounded") {
     // the weights fixture one scale up: en speaks the target vocabulary,
     // de a disjoint one — en weights land near 2e6, de near the floor,
