@@ -131,6 +131,18 @@ object CurationDemo {
     DedupOps.sourceOverlapMatrix(spark, sfDir)
       .orderBy(col("n_pairs").desc).show(5, false)
 
+    // 9. sampling actions + dedup QA: the DSIR resampler, the mixture
+    //    epoch realizer, the LSH recall scorecard, and the group-table
+    //    purity audit (run BEFORE acting on a group table)
+    println("[demo] DSIR importance resampling (per-lang realized):")
+    CurationOps.dsirSample(spark, sfDir).orderBy(col("lang")).show(false)
+    println("[demo] mixture realization (whole epochs + fractional coin):")
+    CurationOps.mixtureRealized(spark, sfDir).orderBy(col("lang")).show(false)
+    println("[demo] minhash-banding recall scorecard (probe stratum):")
+    DedupOps.lshRecall(spark, sfDir).orderBy(col("lang")).show(false)
+    println("[demo] dup-group purity by size bucket:")
+    DedupOps.groupPurity(spark, sfDir).orderBy(col("group_size")).show(false)
+
     spark.stop()
   }
 }

@@ -71,6 +71,23 @@ object StreamDemo {
     // table-backed index: nothing to unpersist — the static side is a
     // parquet scan, not a memory pin
 
+    // decontamination at the gate: a doc quoting a benchmark 13-gram is
+    // flagged; the FULL policy ranks contaminated above dup (a verbatim
+    // benchmark replay is both — eval hygiene wins)
+    val benchGrams = graft.operators.DedupOps.benchmarkGrams(spark, sfDir)
+    val benchText = docs
+      .where(col("doc_id") < graft.operators.DedupOps.BenchmarkMaxId &&
+        size(filter(split(col("text"), " "), t => t =!= "")) >= 13)
+      .orderBy(col("doc_id")).select("text").head().getString(0)
+    val quote = benchText.split(" ").filter(_.nonEmpty).take(13).mkString(" ")
+    val gateBatch = Seq(
+      (920001L, s"my own framing and then $quote quoted verbatim inside"),
+      (920002L, "an unremarkable but clean paragraph of novel prose"))
+      .toDF("doc_id", "text")
+    println("[demo] contamination gate verdicts:")
+    StreamingAnalytics.contamGate(gateBatch, benchGrams)
+      .orderBy(col("doc_id")).show(false)
+
     // incremental dup-group maintenance: fold the gate's dup edges into
     // the batch chain's group table (O(new edges), no chain recompute)
     val t0 = graft.operators.DedupOps.textDedupGroups(spark, sfDir)
