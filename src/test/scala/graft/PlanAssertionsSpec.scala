@@ -166,4 +166,26 @@ class PlanAssertionsSpec extends SparkSpec {
         s"$q: equi-join degraded to a cartesian product:\n$p")
     }
   }
+
+  test("samplers: plan/totals broadcast, corpus never the build side") {
+    // the realizer joins the corpus against a LANGS-sized plan; the
+    // resampler against a 1-row total + the 256-bucket ratio — both
+    // must broadcast the small side (a corpus-side build at 100 TB is
+    // the failure this pins against), and neither may cross-join wide
+    for (q <- Seq("q_mixture_realized", "q_dsir_sample")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange"),
+        s"$q: the plan/ratio side must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: no cartesian product:\n$p")
+    }
+  }
+
+  test("q_group_purity: members-only shingle derivation (semi-join)") {
+    // the audit must NOT explode the whole corpus: the left-semi
+    // restriction on the group table has to survive refactors
+    val p = plan("q_group_purity")
+    assert(p.contains("LeftSemi"),
+      s"shingle derivation must be restricted to dup-component docs:\n$p")
+  }
 }
