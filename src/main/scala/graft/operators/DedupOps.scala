@@ -1312,6 +1312,40 @@ object DedupOps {
           .as("keep_id"),
         max(col("quality")).as("keep_quality"))
 
+  /** The HEADLINE dedup statistic — the one number a dedup report
+    * leads with: what fraction of the corpus' tokens the dedup action
+    * actually removes. Drops are [[canonicalDocsFrom]]'s complement
+    * (every group member except the best-quality keep — the same
+    * survivor rule as the rates and the funnel, so the three surfaces
+    * can never disagree about who lives), token volume is the shared
+    * [[TextOps.tokEst]] estimate, and the share is exact ppm with an
+    * empty-corpus guard. One row: docs, dropped docs, tokens, dropped
+    * tokens, drop share.
+    *
+    * Scale shape: the (production: stored) group table + the canonical
+    * picks, one anti-join to name the drops, one linear pass over the
+    * corpus for token volume, one global aggregate. */
+  def dupTokenShare(spark: SparkSession, dir: String): DataFrame = {
+    val groups = textDedupGroups(spark, dir)
+    val keeps = canonicalDocsFrom(groups,
+      TextOps.qualityScore(spark, dir)
+        .select(col("doc_id"), col("quality")))
+      .select(col("keep_id").as("doc_id"))
+    val drops = groups.select(col("doc_id"))
+      .join(keeps, Seq("doc_id"), "left_anti")
+      .withColumn("is_drop", lit(true))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokEst(col("text")).as("tok"))
+      .join(drops, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_drop"), 1L).otherwise(0L)).as("n_dropped_docs"),
+        sum(col("tok")).as("tok_total"),
+        sum(when(col("is_drop"), col("tok")).otherwise(0L))
+          .as("tok_dropped"))
+      .withColumn("drop_share_ppm",
+        expr("tok_dropped * 1000000 div greatest(tok_total, 1)"))
+  }
+
   /** Duplicate rate per source — joins the dup-group membership back to
     * document provenance: which domains/feeds are producing the
     * duplicates (the signal that turns a dedup pass into a crawl-policy
@@ -1607,6 +1641,7 @@ object DedupOps {
     "q_group_sizes" -> dupGroupSizes _,
     "q_dup_threshold_sweep" -> dupThresholdSweep _,
     "q_canonical_docs" -> canonicalDocs _,
+    "q_dup_token_share" -> dupTokenShare _,
     "q_dup_rate_by_source" -> dupRateBySource _,
     "q_source_overlap" -> sourceOverlapMatrix _,
     "q_detector_venn" -> detectorAgreement _,
@@ -2021,6 +2056,34 @@ object DedupOps {
          |  FROM groups g JOIN q ON q.doc_id = g.doc_id)
          |SELECT rep_id, n_members, doc_id AS keep_id, quality AS keep_quality
          |FROM ranked WHERE rn = 1""".stripMargin,
+    // the canonical chain's complement (rn > 1 = drops) + one linear
+    // token pass + a global aggregate; same survivor rule as
+    // q_canonical_docs so the headline and the picks cannot disagree
+    "q_dup_token_share" ->
+      s"""WITH RECURSIVE $textGroupsCtes,
+         |groups AS (
+         |  SELECT id AS doc_id, min(comp) AS rep_id FROM walk GROUP BY id),
+         |q AS (${TextOps.qualityScoreSql}),
+         |ranked AS (
+         |  SELECT g.doc_id,
+         |    row_number() OVER (PARTITION BY g.rep_id
+         |      ORDER BY q.quality DESC, g.doc_id) AS rn
+         |  FROM groups g JOIN q ON q.doc_id = g.doc_id),
+         |drops AS (SELECT doc_id FROM ranked WHERE rn > 1),
+         |d AS (
+         |  SELECT dd.doc_id, CAST(${TextOps.tokEstSql} AS BIGINT) AS tok,
+         |    dr.doc_id IS NOT NULL AS is_drop
+         |  FROM documents dd LEFT JOIN drops dr ON dr.doc_id = dd.doc_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN is_drop THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropped_docs,
+         |  CAST(sum(tok) AS BIGINT) AS tok_total,
+         |  CAST(sum(CASE WHEN is_drop THEN tok ELSE 0 END) AS BIGINT)
+         |    AS tok_dropped,
+         |  CAST(sum(CASE WHEN is_drop THEN tok ELSE 0 END) AS BIGINT)
+         |    * 1000000 // greatest(CAST(sum(tok) AS BIGINT), 1)
+         |    AS drop_share_ppm
+         |FROM d""".stripMargin,
     "q_dedup_groups" ->
       s"""WITH RECURSIVE $cosinePairsCtes,
          |e AS (SELECT id_a, id_b FROM s WHERE sim_raw >= $CosineDupThreshold),

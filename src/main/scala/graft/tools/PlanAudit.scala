@@ -77,6 +77,7 @@ object PlanAudit {
     "q_lsh_recall" -> "banding recall harness: probe-stratum brute-truth shingle join + banded candidates restricted to probes; the compare left-joins two probe-sized pair relations",
     "q_group_purity" -> "dup-group QA: member shingles join their OWN rep's shingles only (never a pair relation), per-(member,rep) agg + size-bucket rollup over the sub-linear group table",
     "q_mixture_realized" -> "epoch expansion: langs-sized plan broadcast + per-row integer coin + one hash agg — linear, no shuffle before the rollup",
+    "q_dup_token_share" -> "headline drop share: group table + canonical picks -> anti-join names the drops, one linear token pass, one global aggregate",
   )
 
   def main(args: Array[String]): Unit = {

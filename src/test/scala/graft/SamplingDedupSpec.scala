@@ -349,6 +349,21 @@ class SamplingDedupSpec extends SparkSpec {
     }
   }
 
+  test("dup token share: headline reconciles with the canonical picks") {
+    val row = DedupOps.dupTokenShare(spark, sfDir).collect().head
+    val nDocs = graft.sources.Tables.documents(spark, sfDir).count()
+    val nMembers = DedupOps.textDedupGroups(spark, sfDir).count()
+    val nGroups = DedupOps.canonicalDocs(spark, sfDir).count()
+    assert(row.getAs[Long]("n_docs") == nDocs)
+    // drops = every group member except its one keep
+    assert(row.getAs[Long]("n_dropped_docs") == nMembers - nGroups,
+      s"drops must complement the keeps: $row ($nMembers members, " +
+        s"$nGroups groups)")
+    assert(row.getAs[Long]("tok_dropped") <= row.getAs[Long]("tok_total"))
+    assert(row.getAs[Long]("drop_share_ppm") ==
+      row.getAs[Long]("tok_dropped") * 1000000L / row.getAs[Long]("tok_total"))
+  }
+
   test("group purity: totals reconcile, pair groups sit at the dup bar") {
     val groups = DedupOps.textDedupGroups(spark, sfDir).collect()
     val purity = DedupOps.groupPurity(spark, sfDir).collect()
