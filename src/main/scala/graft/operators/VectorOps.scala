@@ -549,6 +549,42 @@ object VectorOps {
     spark.read.schema(CodesSchema).parquet(s"$indexDir/pq_codes")
       .select(col("vec_id"), col("s"), col("cl")))
 
+  /** INDEX STALENESS report — the rebuild-cadence statistic the
+    * append/compact split needs before anyone trusts a search: one row
+    * with the corpus size, how many corpus vectors the stored index
+    * actually serves (indexed), how many the corpus gained that were
+    * never [[appendAnnIndex]]'d (missing — these are silently invisible
+    * to every search until appended), how many index entries have no
+    * surviving corpus row (orphaned — deleted vectors still surfacing
+    * as neighbors), and coverage in exact ppm. Read it on the compaction
+    * cadence: growing `missing` says append more often, growing
+    * `orphaned` says rebuild.
+    *
+    * Scale shape: two distinct-id relations full-outer-joined on vec_id
+    * + one global aggregate — linear in corpus + index, no payload
+    * columns move. */
+  def annIndexStaleness(spark: SparkSession, corpus: DataFrame,
+      indexDir: String): DataFrame = {
+    val (_, assignments, _, _) = loadAnnIndex(spark, indexDir)
+    val idx = assignments.select(col("vec_id")).distinct()
+      .withColumn("in_index", lit(true))
+    val cor = corpus.select(col("vec_id")).distinct()
+      .withColumn("in_corpus", lit(true))
+    cor.join(idx, Seq("vec_id"), "full_outer")
+      .select(coalesce(col("in_corpus"), lit(false)).as("in_corpus"),
+        coalesce(col("in_index"), lit(false)).as("in_index"))
+      .agg(
+        sum(when(col("in_corpus"), 1L).otherwise(0L)).as("n_corpus"),
+        sum(when(col("in_corpus") && col("in_index"), 1L).otherwise(0L))
+          .as("n_indexed"),
+        sum(when(col("in_corpus") && !col("in_index"), 1L).otherwise(0L))
+          .as("n_missing"),
+        sum(when(!col("in_corpus") && col("in_index"), 1L).otherwise(0L))
+          .as("n_orphaned"))
+      .withColumn("coverage_ppm",
+        expr("n_indexed * 1000000 div greatest(n_corpus, 1)"))
+  }
+
   /** SEARCH half of the build/search split: [[annPq]]'s ADC scoring
     * against a [[writeAnnIndex]] directory — no training in the plan,
     * so per-query cost is the lookup table + probed-cell code scan.

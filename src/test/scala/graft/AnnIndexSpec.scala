@@ -62,6 +62,41 @@ class AnnIndexSpec extends AnyFunSuite with SparkSpec {
     assert(search().toSet == res.toSet, "compaction must not change search")
   }
 
+  test("annIndexStaleness: missing appends and orphaned deletes counted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files.createTempDirectory("annstale").toString
+    VectorOps.writeAnnIndex(spark, sfDir, idx)
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    // freshly built: full coverage, nothing missing or orphaned
+    val fresh = VectorOps.annIndexStaleness(spark, emb, idx).head()
+    assert(fresh.getAs[Long]("n_corpus") == n &&
+      fresh.getAs[Long]("n_indexed") == n &&
+      fresh.getAs[Long]("n_missing") == 0L &&
+      fresh.getAs[Long]("n_orphaned") == 0L &&
+      fresh.getAs[Long]("coverage_ppm") == 1000000L, s"fresh: $fresh")
+    // corpus grows by 3 never-appended vectors and loses vector 2:
+    // the report must count exactly those
+    val dim = emb.select(org.apache.spark.sql.functions
+      .size(col("embedding"))).first().getInt(0)
+    val grown = emb.where(col("vec_id") =!= 2L)
+      .select(col("vec_id"), col("embedding"))
+      .union((1 to 3).map(i =>
+        (800000L + i, Array.fill(dim)(0.1f * i))).toDF("vec_id", "embedding"))
+    val stale = VectorOps.annIndexStaleness(spark, grown, idx).head()
+    assert(stale.getAs[Long]("n_corpus") == n - 1 + 3, s"grown: $stale")
+    assert(stale.getAs[Long]("n_missing") == 3L, s"missing: $stale")
+    assert(stale.getAs[Long]("n_orphaned") == 1L, s"orphaned: $stale")
+    // appending the new vectors clears `missing` (the steady-state fix)
+    VectorOps.appendAnnIndex(spark, (1 to 3).map(i =>
+      (800000L + i, Array.fill(dim)(0.1f * i))).toDF("vec_id", "embedding"),
+      idx, batchId = 1L)
+    val after = VectorOps.annIndexStaleness(spark, grown, idx).head()
+    assert(after.getAs[Long]("n_missing") == 0L &&
+      after.getAs[Long]("n_orphaned") == 1L, s"after append: $after")
+  }
+
   test("near-dup from the persisted index equals train-in-plan IVF") {
     import graft.operators.DedupOps
     val idx = java.nio.file.Files.createTempDirectory("ndidx").toString
