@@ -168,9 +168,12 @@ object CurationOps {
 
   /** Mixture REALIZATION — the trainer-feed step [[mixturePlan]] plans
     * for: per document, the number of copies the epoch factor emits —
-    * `epochs_100 div 100` whole epochs plus one md5-coin draw at the
-    * fractional remainder (`coin·100 < 2²⁴·(epochs_100 % 100)`, the
-    * cross-multiplied integer compare — [[dsirSample]]'s contract), so
+    * whole epochs plus one md5-coin draw at the fractional remainder
+    * carried in 1e-4 units (`coin·10⁴ < 2²⁴·frac_10k`, the
+    * cross-multiplied integer compare — [[dsirSample]]'s contract;
+    * 1e-4 granularity matches sample_rate_10k, so strata whose planned
+    * rate is under 1% still emit at the planned rate instead of
+    * rounding to zero), so
     * over-sampled strata repeat (epochs_100 > 100) and under-sampled
     * strata thin (epochs_100 < 100) under ONE deterministic rule, and
     * the emitted token volume matches tokens_needed in expectation in
@@ -186,7 +189,10 @@ object CurationOps {
   def mixtureRealized(spark: SparkSession, dir: String,
       targetTokens: Long = MixTargetTokens): DataFrame = {
     val plan = mixturePlan(spark, dir, targetTokens)
-      .select(col("lang"), col("epochs_100"))
+      .withColumn("frac_10k", expr(
+        "tokens_needed * 10000 div tokens_avail" +
+          " - (epochs_100 div 100) * 10000"))
+      .select(col("lang"), col("epochs_100"), col("frac_10k"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         TextOps.tokEst(col("text")).as("tok"))
@@ -195,8 +201,8 @@ object CurationOps {
         "cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10)" +
           " as bigint)"))
       .withColumn("emit", expr(
-        "epochs_100 div 100 + (case when coin24 * 100 <" +
-          " 16777216 * (epochs_100 % 100) then 1 else 0 end)"))
+        "epochs_100 div 100 + (case when coin24 * 10000 <" +
+          " 16777216 * frac_10k then 1 else 0 end)"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("emit")).as("n_copies"),
@@ -1113,19 +1119,27 @@ object CurationOps {
          |        tokens_needed * 10000 // tokens_avail) AS sample_rate_10k,
          |  tokens_needed * 100 // tokens_avail AS epochs_100
          |FROM c""".stripMargin,
-    // the q_mixture_plan chain reduced to epochs_100, then the per-doc
-    // emit rule: whole epochs + one coin at the fractional remainder
-    // (cross-multiplied integer compare — the dsir-sample contract)
+    // the q_mixture_plan chain reduced to epochs_100 + the 1e-4-unit
+    // fractional remainder, then the per-doc emit rule: whole epochs +
+    // one coin at frac_10k (cross-multiplied integer compare — the
+    // dsir-sample contract; 1e-4 granularity so sub-1% strata emit)
     "q_mixture_realized" ->
       s"""WITH a AS (
          |  SELECT lang, count(*) AS n_docs,
          |    CAST(sum(${TextOps.tokEstSql}) AS BIGINT) AS tokens_avail
          |  FROM documents GROUP BY lang),
+         |n AS (
+         |  SELECT lang, tokens_avail,
+         |    (CAST($mixCaseSql AS BIGINT) * $MixTargetTokens // 10000)
+         |      AS tokens_needed
+         |  FROM a),
          |p AS (
          |  SELECT lang,
-         |    (CAST($mixCaseSql AS BIGINT) * $MixTargetTokens // 10000)
-         |      * 100 // tokens_avail AS epochs_100
-         |  FROM a),
+         |    tokens_needed * 100 // tokens_avail AS epochs_100,
+         |    tokens_needed * 10000 // tokens_avail
+         |      - (tokens_needed * 100 // tokens_avail // 100) * 10000
+         |      AS frac_10k
+         |  FROM n),
          |d AS (
          |  SELECT doc_id, lang, CAST(${TextOps.tokEstSql} AS BIGINT) AS tok
          |  FROM documents),
@@ -1134,7 +1148,7 @@ object CurationOps {
          |    p.epochs_100 // 100 +
          |      (CASE WHEN CAST('0x' ||
          |            substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
-         |          AS BIGINT) * 100 < 16777216 * (p.epochs_100 % 100)
+         |          AS BIGINT) * 10000 < 16777216 * p.frac_10k
          |        THEN 1 ELSE 0 END) AS emit
          |  FROM d JOIN p ON p.lang = d.lang)
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

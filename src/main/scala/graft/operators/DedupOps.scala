@@ -231,7 +231,7 @@ object DedupOps {
     * language: truth pairs, found pairs, probe-side candidate volume
     * (the precision denominator — how much verify work the banding
     * buys), and recall in exact ppm. The bar compares cross-multiplied
-    * integers (shared·100 ≥ union·85), so the truth set is
+    * integers (shared·100 ≥ union·[[TextDupJaccardPct]]), so the truth set is
     * bit-identical in both engines. Run it after any re-tuning of
     * [[NumHashes]]/[[BandSize]] — a recall regression here is the
     * earliest observable of a mis-banded chain.
@@ -261,7 +261,7 @@ object DedupOps {
       .agg(count(lit(1)).as("shared"), first(col("n_a")).as("n_a"),
         first(col("n_b")).as("n_b"))
       .where(col("shared") * 100 >=
-        (col("n_a") + col("n_b") - col("shared")) * 85)
+        (col("n_a") + col("n_b") - col("shared")) * TextDupJaccardPct)
       .select(col("lang"), col("id_a"), col("id_b"))
     val bk = bandKeys(spark, ex)
     val cand = bk.as("a").join(bk.as("b"),
@@ -1161,6 +1161,13 @@ object DedupOps {
     * [[minhashLsh]] counts at (C4/RefinedWeb-style corpus dedup). */
   val TextDupJaccard = 0.85
 
+  /** [[TextDupJaccard]] as an integer percent, for the cross-multiplied
+    * integer compares ([[lshRecallCore]] and its oracle) that need a
+    * bit-identical truth bar in both engines. Derived, never hardcoded,
+    * so retuning the dup bar cannot desync the recall harness from the
+    * chain it audits. */
+  val TextDupJaccardPct: Long = math.round(TextDupJaccard * 100)
+
   /** Text duplicate pairs: minhash-LSH candidates (id_a < id_b) verified
     * at exact Jaccard ≥ [[TextDupJaccard]]. The threshold compares the
     * unrounded ratio — one IEEE division of exact integers, bit-identical
@@ -1325,17 +1332,31 @@ object DedupOps {
     * Scale shape: the (production: stored) group table + the canonical
     * picks, one anti-join to name the drops, one linear pass over the
     * corpus for token volume, one global aggregate. */
-  def dupTokenShare(spark: SparkSession, dir: String): DataFrame = {
-    val groups = textDedupGroups(spark, dir)
-    val keeps = canonicalDocsFrom(groups,
-      TextOps.qualityScore(spark, dir)
-        .select(col("doc_id"), col("quality")))
+  def dupTokenShare(spark: SparkSession, dir: String): DataFrame =
+    dupTokenShareFrom(textDedupGroups(spark, dir),
+      TextOps.qualityScore(spark, dir).select(col("doc_id"), col("quality")),
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), TextOps.tokEst(col("text")).as("tok")))
+
+  /** [[dupTokenShare]] over a PRECOMPUTED (doc_id, rep_id) group table,
+    * (doc_id, quality) scores and a (doc_id, tok) token relation — the
+    * production entry: derive the headline from the materialized group
+    * table without re-running the LSH chain. Drops are
+    * (groups ⋈ quality) minus the canonical keeps — the SAME base the
+    * keep ranking runs on, so a doc absent from the quality relation is
+    * out of dedup scope on both sides of the ledger (an anti-join
+    * against keeps alone would count such a doc as dropped while the
+    * keep ranking never saw it, letting the headline disagree with the
+    * picks — and with the oracle's rn>1 complement). */
+  def dupTokenShareFrom(groups: DataFrame, quality: DataFrame,
+      docsTok: DataFrame): DataFrame = {
+    val keeps = canonicalDocsFrom(groups, quality)
       .select(col("keep_id").as("doc_id"))
     val drops = groups.select(col("doc_id"))
+      .join(quality.select(col("doc_id")), Seq("doc_id"))
       .join(keeps, Seq("doc_id"), "left_anti")
       .withColumn("is_drop", lit(true))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), TextOps.tokEst(col("text")).as("tok"))
+    docsTok
       .join(drops, Seq("doc_id"), "left")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("is_drop"), 1L).otherwise(0L)).as("n_dropped_docs"),
@@ -1574,11 +1595,13 @@ object DedupOps {
   /** The distinct benchmark-split n-gram set — the (small, broadcast)
     * reference relation every decontamination pass joins against; a
     * deployment builds it from its eval suites and refreshes it when
-    * benchmarks change, not per batch. */
-  def benchmarkGrams(spark: SparkSession, dir: String,
-      n: Int = ContamNgram): DataFrame =
+    * benchmarks change, not per batch. Width is pinned to
+    * [[ContamNgram]] (no parameter) so this set can never be built at a
+    * width the gate side doesn't use — a mismatched pair hits nothing
+    * and contaminated docs would pass silently. */
+  def benchmarkGrams(spark: SparkSession, dir: String): DataFrame =
     ngramsRel(Tables.documents(spark, dir)
-      .where(col("doc_id") < BenchmarkMaxId), n)
+      .where(col("doc_id") < BenchmarkMaxId), ContamNgram)
       .select(col("gram")).distinct()
 
   def ngramContamination(spark: SparkSession, dir: String,
@@ -2185,7 +2208,8 @@ object DedupOps {
          |    AND ea.doc_id % $RecallProbeMod = 0 AND eb.doc_id <> ea.doc_id
          |  GROUP BY 1, 2, 3
          |  HAVING count(*) * 100 >=
-         |    (any_value(ea.n_tok) + any_value(eb.n_tok) - count(*)) * 85),
+         |    (any_value(ea.n_tok) + any_value(eb.n_tok) - count(*))
+         |      * $TextDupJaccardPct),
          |mh AS (
          |  SELECT doc_id, lang, seed,
          |    min(substr(md5($prefixCaseSql || tok),

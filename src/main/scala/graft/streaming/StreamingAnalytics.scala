@@ -608,11 +608,17 @@ object StreamingAnalytics {
     * ([[graft.operators.DedupOps.benchmarkGrams]]), built once when the
     * eval suites change — NOT per batch. Returns flagged rows only:
     * (doc_id, n_bench_hits). Per-row gram expressions + one broadcast
-    * join — no shuffle of the batch, no state. */
-  def contamGate(batch: DataFrame, benchGrams: DataFrame,
-      n: Int = graft.operators.DedupOps.ContamNgram): DataFrame =
+    * join — no shuffle of the batch, no state.
+    *
+    * The gram width is NOT a parameter: both sides always use
+    * [[graft.operators.DedupOps.ContamNgram]], so the gate can never be
+    * called with a batch-side width that silently mismatches the
+    * benchmark gram set (mismatched widths produce zero hits — i.e.
+    * contaminated docs passing as clean with no error). */
+  def contamGate(batch: DataFrame, benchGrams: DataFrame): DataFrame =
     graft.operators.DedupOps
-      .ngramsRel(batch.select(col("doc_id"), col("text")), n)
+      .ngramsRel(batch.select(col("doc_id"), col("text")),
+        graft.operators.DedupOps.ContamNgram)
       .join(broadcast(benchGrams.select(col("gram")).distinct()),
         Seq("gram"))
       .groupBy(col("doc_id"))
