@@ -8,10 +8,13 @@ import graft.sources.Tables
   * opaque `binary` columns with typed metadata, and run decode /
   * feature-extract / frame-sample as partition-local batch kernels.
   *
-  * The actual codec is STUBBED (`DecodeStub` — no image/audio libraries in
-  * this environment): it derives deterministic pseudo-metadata and a
-  * feature vector purely from the bytes. Everything around the stub is
-  * real and load-bearing at scale:
+  * IMAGE decode is REAL ([[MultimodalOps.ImageIoCodec]] — pure-JDK
+  * `javax.imageio`: PNG/JPEG/BMP/GIF pixels, true dimensions, luminance
+  * histograms, per-frame signatures). Payloads no image reader accepts
+  * (audio, video containers — the JDK ships no codec for those) fall back
+  * to [[MultimodalOps.DecodeStub]]'s deterministic byte-derived features,
+  * the documented seam a deployment replaces with its own [[MultimodalOps.MediaCodec]].
+  * Everything around the codec is load-bearing at scale:
   *  - schema: `MediaFile` (binary payload + declared metadata map) →
   *    `MediaFeatures` (typed metadata + float feature vector)
   *  - execution shape: `Dataset.mapPartitions` with explicit micro-batches
@@ -44,13 +47,24 @@ object MultimodalOps {
     def decode(m: MediaFile): MediaFeatures
     def frameCount(m: MediaFile): Int
     def frameSig(m: MediaFile, idx: Int): Long
+    /** Every-k-th frame's (idx, signature) in one call — override when
+      * the codec can decode the container ONCE and walk its frames
+      * ([[ImageIoCodec]] does); the default is the per-frame seam. A
+      * per-frame `frameSig` loop re-opens the payload once per sampled
+      * frame, which at video scale multiplies decode cost by the frame
+      * count — [[sampleFrames]] always goes through this bulk entry. */
+    def frameSigs(m: MediaFile, everyK: Int): Seq[(Int, Long)] =
+      (0 until frameCount(m) by everyK).map(i => (i, frameSig(m, i)))
   }
 
-  /** STUB codec — stands in for a real image/audio decoder. Deterministic
-    * pure function of the bytes so tests and oracles can reproduce it:
-    * pretend dimensions come from the byte length and the "feature" is a
-    * normalized byte histogram (16 bins). A real deployment swaps only
-    * this object. */
+  /** BYTE-LEVEL fallback codec — the path for payloads with no JDK
+    * decoder (audio, video containers) and the deterministic floor the
+    * declared oracles are written against: pretend dimensions come from
+    * the byte length and the "feature" is a normalized byte histogram
+    * (16 bins) — a pure function of the bytes, so tests and DuckDB can
+    * reproduce it. [[ImageIoCodec]] delegates here whenever a real
+    * pixel decode isn't possible; a deployment with audio/video
+    * libraries swaps only this object. */
   object DecodeStub extends MediaCodec {
     def dims(len: Long): (Int, Int, Int) = {
       val width = 1 + (len % 64).toInt
@@ -89,11 +103,128 @@ object MultimodalOps {
     }
   }
 
+  /** REAL image codec — pure-JDK `javax.imageio` decode (PNG, JPEG, BMP,
+    * GIF, WBMP ship with every JRE: zero external deps), the production
+    * default. Per payload:
+    *
+    *  - a registered `ImageReader` accepts the bytes → REAL decode:
+    *    true raster dimensions, true frame count (animated GIF frames
+    *    via `getNumImages`), and the feature is the normalized 16-bin
+    *    LUMINANCE histogram of the first frame's pixels (ITU-R BT.601
+    *    integer weights 299/587/114 — deterministic integer arithmetic,
+    *    no float rounding in the bin assignment). Frame signatures fold
+    *    the decoded frame's luminance bytes through the same modular
+    *    rolling hash as the byte path, so re-encodes of the same pixels
+    *    (PNG↔BMP) collide — which is exactly what [[mediaNearDup]]'s
+    *    shared-signature join wants — while byte-level compares would
+    *    miss them.
+    *  - no reader accepts the bytes (audio, video containers, this
+    *    repo's text-as-payload test corpus) → BYTE FALLBACK: delegates
+    *    to [[DecodeStub]]'s deterministic byte-derived features, so
+    *    undecodable payloads still flow through the pipeline with
+    *    len>0 ⇒ decode_ok (the declared oracles stay exact over the
+    *    text corpus) instead of poisoning the batch. Real AUDIO/VIDEO
+    *    decode stays behind this seam on purpose: the JDK ships no
+    *    video codec, so a deployment plugs its own [[MediaCodec]] and
+    *    touches no engine code.
+    *
+    * Decode state: `ImageIO.setUseCache(false)` per JVM — the default
+    * disk-backed stream cache writes a temp file PER DECODE, which at
+    * executor concurrency is an iops bug, not a cache. Readers are
+    * created per payload and disposed (they are not thread-safe; the
+    * per-JVM registry lookup is). */
+  object ImageIoCodec extends MediaCodec {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+
+    // luminance plane of one decoded frame, row-major 0..255 ints
+    private def luma(img: BufferedImage): Array[Int] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Int](w * h)
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        out(i) = (((p >> 16) & 0xFF) * 299 + ((p >> 8) & 0xFF) * 587 +
+          (p & 0xFF) * 114) / 1000
+        i += 1
+      }
+      out
+    }
+
+    private def rollSig(bytes: Array[Int]): Long = {
+      var s = 17L
+      var i = 0
+      while (i < bytes.length) {
+        s = (31 * s + bytes(i)) % 2147483647L
+        i += 8
+      }
+      s
+    }
+
+    /** (reader-acquired) decode of every frame, or None when no
+      * registered reader accepts the payload. One container open per
+      * call — the frameSigs path walks all frames from it. */
+    private def decodeFrames(content: Array[Byte]): Option[Vector[BufferedImage]] = {
+      if (content == null || content.isEmpty) return None
+      ImageIO.setUseCache(false)
+      val in = ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      if (in == null) return None
+      try {
+        val readers = ImageIO.getImageReaders(in)
+        if (!readers.hasNext) return None
+        val r = readers.next()
+        try {
+          r.setInput(in, false, true)
+          val n = math.max(1, r.getNumImages(true))
+          Some((0 until n).map(r.read).toVector)
+        } finally r.dispose()
+      } catch { case _: Exception => None }
+      finally in.close()
+    }
+
+    def decode(m: MediaFile): MediaFeatures =
+      decodeFrames(m.content) match {
+        case Some(frames) =>
+          val f0 = frames.head
+          val lum = luma(f0)
+          val hist = new Array[Float](16)
+          lum.foreach(l => hist(l / 16) += 1f)
+          var i = 0
+          while (i < 16) { hist(i) /= lum.length; i += 1 }
+          MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
+            f0.getWidth, f0.getHeight, frames.length, decode_ok = true, hist)
+        case None => DecodeStub.decode(m)
+      }
+
+    def frameCount(m: MediaFile): Int =
+      decodeFrames(m.content).map(_.length)
+        .getOrElse(DecodeStub.frameCount(m))
+
+    def frameSig(m: MediaFile, idx: Int): Long =
+      decodeFrames(m.content) match {
+        case Some(frames) if idx < frames.length => rollSig(luma(frames(idx)))
+        case Some(_) => 0L
+        case None => DecodeStub.frameSig(m, idx)
+      }
+
+    /** Decode-once bulk sampling — the reason [[MediaCodec.frameSigs]]
+      * exists: one container open serves every sampled frame. */
+    override def frameSigs(m: MediaFile, everyK: Int): Seq[(Int, Long)] =
+      decodeFrames(m.content) match {
+        case Some(frames) =>
+          (0 until frames.length by everyK)
+            .map(i => (i, rollSig(luma(frames(i)))))
+        case None => DecodeStub.frameSigs(m, everyK)
+      }
+  }
+
   /** Decode + feature extraction: partition-local, explicit micro-batches.
     * `batchSize` bounds peak memory per task (batch of payloads decoded
     * together — the `mapInPandas` batch-shape analog). */
   def extractFeatures(media: Dataset[MediaFile], batchSize: Int = 64,
-      codec: MediaCodec = DecodeStub): Dataset[MediaFeatures] = {
+      codec: MediaCodec = ImageIoCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
@@ -104,13 +235,15 @@ object MultimodalOps {
   }
 
   /** Frame sampling: every k-th frame of each payload becomes a row
-    * (generator/flatMap shape; co-partitioned by media_id upstream). */
+    * (generator/flatMap shape; co-partitioned by media_id upstream).
+    * Goes through the codec's bulk [[MediaCodec.frameSigs]] so a real
+    * container decodes ONCE per media, not once per sampled frame. */
   def sampleFrames(media: Dataset[MediaFile], everyK: Int = 2,
-      codec: MediaCodec = DecodeStub): Dataset[FrameSample] = {
+      codec: MediaCodec = ImageIoCodec): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      (0 until codec.frameCount(m) by everyK)
-        .map(i => FrameSample(m.media_id, i, codec.frameSig(m, i)))
+      codec.frameSigs(m, everyK)
+        .map { case (i, sig) => FrameSample(m.media_id, i, sig) }
     }
   }
 

@@ -99,6 +99,68 @@ class MultimodalSpec extends SparkSpec {
       || col("height") =!= col("kh")).count() == 0)
   }
 
+  // --- real javax.imageio kernel ---------------------------------------
+
+  private def checkerImage(w: Int, h: Int): java.awt.image.BufferedImage = {
+    // left half black (luminance 0 -> bin 0), right half white (255 -> 15)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
+    img
+  }
+
+  private def encode(img: java.awt.image.BufferedImage,
+      fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("real PNG decode end to end: true dims, exact luminance histogram") {
+    val png = encode(checkerImage(32, 16), "png")
+    val ds = spark.createDataset(Seq(
+      MediaFile(7L, "image", png, Map("fmt" -> "png"))))
+    val f = MultimodalOps.extractFeatures(ds).collect().head
+    assert(f.decode_ok && f.width == 32 && f.height == 16 && f.n_frames == 1)
+    assert(f.byte_len == png.length.toLong)
+    // half the pixels land in bin 0, half in bin 15 — exactly
+    assert(f.feature(0) == 0.5f && f.feature(15) == 0.5f, f.feature.toSeq)
+    assert((1 to 14).forall(f.feature(_) == 0f))
+  }
+
+  test("real decode: JPEG and BMP dims; PNG<->BMP re-encodes share sigs") {
+    val img = checkerImage(24, 24)
+    for (fmt <- Seq("jpg", "bmp")) {
+      val m = MediaFile(1L, "image", encode(img, fmt), Map())
+      val f = MultimodalOps.ImageIoCodec.decode(m)
+      assert(f.decode_ok && f.width == 24 && f.height == 24, s"$fmt: $f")
+    }
+    // lossless re-encode preserves pixels => identical frame signatures,
+    // the collision mediaNearDup's shared-signature join counts on
+    val a = MultimodalOps.ImageIoCodec
+      .frameSigs(MediaFile(1L, "image", encode(img, "png"), Map()), 1)
+    val b = MultimodalOps.ImageIoCodec
+      .frameSigs(MediaFile(2L, "image", encode(img, "bmp"), Map()), 1)
+    assert(a == b && a.nonEmpty, s"$a vs $b")
+    // and different pixels give a different signature
+    val c = MultimodalOps.ImageIoCodec
+      .frameSigs(MediaFile(3L, "image", encode(checkerImage(24, 12), "png"),
+        Map()), 1)
+    assert(a != c)
+  }
+
+  test("undecodable payload falls back to the byte path bit-identically") {
+    val m = MediaFile(9L, "audio",
+      "no image reader accepts plain text bytes".getBytes("UTF-8"), Map())
+    val real = MultimodalOps.ImageIoCodec.decode(m)
+    val stub = DecodeStub.decode(m)
+    assert(real.copy(feature = null) == stub.copy(feature = null))
+    assert(real.feature.toSeq == stub.feature.toSeq)
+    assert(MultimodalOps.ImageIoCodec.frameSigs(m, 2) ==
+      DecodeStub.frameSigs(m, 2))
+  }
+
   test("media near-dup: shared frames match, the df-cap kills common frames") {
     // media 1 and 2 share two frame signatures (a near-copy); media 3
     // shares only one with each (below the bar). Every media ALSO
