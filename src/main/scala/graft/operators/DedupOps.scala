@@ -1657,7 +1657,10 @@ object DedupOps {
     // saturation it must be bit-identical to cosineNearDup — same oracle
     "q_cosine_neardup" -> ((s: SparkSession, d: String) => cosineNearDupAuto(s, d)),
     "q_semdedup" -> ((s: SparkSession, d: String) => semDedup(s, d)),
+    "q_semdedup_auto" -> ((s: SparkSession, d: String) => semDedupAuto(s, d)),
     "q_chunk_semdedup" -> chunkSemDedup _,
+    "q_chunk_semdedup_auto" ->
+      ((s: SparkSession, d: String) => chunkSemDedupAuto(s, d)),
     "q_dedup_groups" -> ((s: SparkSession, d: String) => dedupGroups(s, d)),
     "q_text_dedup_groups" -> textDedupGroups _,
     "q_leakfree_split" -> leakFreeSplit _,
@@ -1818,73 +1821,92 @@ object DedupOps {
        |  UNION
        |  SELECT a.dst, w.comp FROM walk w JOIN adj a ON a.src = w.id)""".stripMargin
 
+  /** Within-cluster verdict CTEs of the SemDeDup oracle family
+    * (`memb` + `dups` over a Lloyd prefix's `n`/`a1`) — shared by the
+    * pinned and `_auto` doc/chunk oracles so the dedup rule cannot
+    * drift between the demonstration and production cell sizings. */
+  private def semDedupVerdictCtes(threshold: Double): String =
+    s"""memb AS (
+       |  SELECT a.vec_id, a.cluster, v.qe, v.nrm
+       |  FROM a1 a JOIN n v ON v.vec_id = a.vec_id
+       |  WHERE v.nrm > 0),
+       |dups AS (
+       |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS sem_dup_of
+       |  FROM memb a JOIN memb b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE CAST(list_dot_product(a.qe, b.qe) AS DOUBLE)
+       |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
+       |    >= $threshold
+       |  GROUP BY b.vec_id)""".stripMargin
+
+  /** Doc-level final SELECT of the SemDeDup oracles. */
+  private lazy val semDedupDocTailSql: String =
+    """SELECT m.vec_id, m.cluster, d.sem_dup_of,
+      |  d.sem_dup_of IS NULL AS kept
+      |FROM (SELECT vec_id, cluster FROM a1) m
+      |LEFT JOIN dups d ON d.vec_id = m.vec_id""".stripMargin
+
+  /** Full chunk-level SemDeDup oracle over a caller-chosen Lloyd chain
+    * (pinned 8 cells or chunk-count-sized) — chunk windows → hashed
+    * bag-of-words embedding → kmeans → verdicts over packed chunk ids. */
+  private def chunkSemDedupOracleSql(kmeansCtes: String): String =
+    s"""WITH ${CurationOps.chunkToksCtes},
+       |cex AS (SELECT doc_id * $ChunkVecSpan + chunk_id AS vec_id,
+       |          unnest(ctoks) AS tok FROM cht),
+       |cb AS (SELECT vec_id, substr(md5(tok), 1, 1) AS b,
+       |         CASE WHEN substr(md5(tok), 2, 1) < '8' THEN 1 ELSE -1 END
+       |           AS s
+       |       FROM cex),
+       |cv AS (SELECT vec_id, b, CAST(sum(s) AS BIGINT) AS v
+       |       FROM cb GROUP BY vec_id, b),
+       |dig AS (SELECT i, substr('0123456789abcdef', CAST(i + 1 AS INT), 1)
+       |          AS b
+       |        FROM range(${VectorOps.HashEmbedDims}) t(i)),
+       |cemb AS (
+       |  SELECT c.vec_id, list(coalesce(cv.v, 0) * 1000 ORDER BY d.i) AS qe
+       |  FROM (SELECT DISTINCT vec_id FROM cv) c
+       |  CROSS JOIN dig d
+       |  LEFT JOIN cv ON cv.vec_id = c.vec_id AND cv.b = d.b
+       |  GROUP BY c.vec_id),
+       |$kmeansCtes,
+       |${semDedupVerdictCtes(ChunkSemDupThreshold)}
+       |SELECT m.vec_id // $ChunkVecSpan AS doc_id,
+       |  CAST(m.vec_id % $ChunkVecSpan AS INT) AS chunk_id,
+       |  m.cluster,
+       |  d.sem_dup_of // $ChunkVecSpan AS dup_doc_id,
+       |  CAST(d.sem_dup_of % $ChunkVecSpan AS INT) AS dup_chunk_id,
+       |  d.sem_dup_of IS NULL AS kept
+       |FROM (SELECT vec_id, cluster FROM a1) m
+       |LEFT JOIN dups d ON d.vec_id = m.vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // trains on the shared kmeans CTEs (all vectors), scores within
     // clusters on the guarded set at the unrounded cosine — the same
     // boundary contract as every vector near-dup oracle
     "q_semdedup" ->
       s"""WITH ${VectorOps.kmeansCtesSql},
-         |memb AS (
-         |  SELECT a.vec_id, a.cluster, v.qe, v.nrm
-         |  FROM a1 a JOIN n v ON v.vec_id = a.vec_id
-         |  WHERE v.nrm > 0),
-         |dups AS (
-         |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS sem_dup_of
-         |  FROM memb a JOIN memb b
-         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-         |  WHERE CAST(list_dot_product(a.qe, b.qe) AS DOUBLE)
-         |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
-         |    >= $CosineDupThreshold
-         |  GROUP BY b.vec_id)
-         |SELECT m.vec_id, m.cluster, d.sem_dup_of,
-         |  d.sem_dup_of IS NULL AS kept
-         |FROM (SELECT vec_id, cluster FROM a1) m
-         |LEFT JOIN dups d ON d.vec_id = m.vec_id""".stripMargin,
+         |${semDedupVerdictCtes(CosineDupThreshold)}
+         |$semDedupDocTailSql""".stripMargin,
+    // SemDeDup over CORPUS-SIZED cells (ivfCells(n) ≈ √n) — the oracle
+    // grading the footer-driven plan that survives 100×, not the
+    // pinned-8 demonstration shape
+    "q_semdedup_auto" ->
+      s"""WITH ${VectorOps.kmeansAutoCtesSql},
+         |${semDedupVerdictCtes(CosineDupThreshold)}
+         |$semDedupDocTailSql""".stripMargin,
     // the chunk-level SemDeDup twin: chunk windows (shared CTE with the
     // q_chunks oracle) → hashed bag-of-words embedding (string-keyed md5
     // buckets, signed; ×1000 = the same milli-quantization every vector
     // path uses) → the parameterized Lloyd chain at 16 dims → the
     // q_semdedup verdict tail over packed chunk ids
-    "q_chunk_semdedup" ->
-      s"""WITH ${CurationOps.chunkToksCtes},
-         |cex AS (SELECT doc_id * $ChunkVecSpan + chunk_id AS vec_id,
-         |          unnest(ctoks) AS tok FROM cht),
-         |cb AS (SELECT vec_id, substr(md5(tok), 1, 1) AS b,
-         |         CASE WHEN substr(md5(tok), 2, 1) < '8' THEN 1 ELSE -1 END
-         |           AS s
-         |       FROM cex),
-         |cv AS (SELECT vec_id, b, CAST(sum(s) AS BIGINT) AS v
-         |       FROM cb GROUP BY vec_id, b),
-         |dig AS (SELECT i, substr('0123456789abcdef', CAST(i + 1 AS INT), 1)
-         |          AS b
-         |        FROM range(${VectorOps.HashEmbedDims}) t(i)),
-         |cemb AS (
-         |  SELECT c.vec_id, list(coalesce(cv.v, 0) * 1000 ORDER BY d.i) AS qe
-         |  FROM (SELECT DISTINCT vec_id FROM cv) c
-         |  CROSS JOIN dig d
-         |  LEFT JOIN cv ON cv.vec_id = c.vec_id AND cv.b = d.b
-         |  GROUP BY c.vec_id),
-         |${VectorOps.kmeansCtesOverSql("cemb", VectorOps.HashEmbedDims)},
-         |memb AS (
-         |  SELECT a.vec_id, a.cluster, v.qe, v.nrm
-         |  FROM a1 a JOIN n v ON v.vec_id = a.vec_id
-         |  WHERE v.nrm > 0),
-         |dups AS (
-         |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS sem_dup_of
-         |  FROM memb a JOIN memb b
-         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-         |  WHERE CAST(list_dot_product(a.qe, b.qe) AS DOUBLE)
-         |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
-         |    >= $ChunkSemDupThreshold
-         |  GROUP BY b.vec_id)
-         |SELECT m.vec_id // $ChunkVecSpan AS doc_id,
-         |  CAST(m.vec_id % $ChunkVecSpan AS INT) AS chunk_id,
-         |  m.cluster,
-         |  d.sem_dup_of // $ChunkVecSpan AS dup_doc_id,
-         |  CAST(d.sem_dup_of % $ChunkVecSpan AS INT) AS dup_chunk_id,
-         |  d.sem_dup_of IS NULL AS kept
-         |FROM (SELECT vec_id, cluster FROM a1) m
-         |LEFT JOIN dups d ON d.vec_id = m.vec_id""".stripMargin,
+    "q_chunk_semdedup" -> chunkSemDedupOracleSql(
+      VectorOps.kmeansCtesOverSql("cemb", VectorOps.HashEmbedDims)),
+    // the chunk twin over CHUNK-COUNT-SIZED cells (ivfCells(nChunks)),
+    // grading chunkSemDedupAuto's production shape
+    "q_chunk_semdedup_auto" -> chunkSemDedupOracleSql(
+      s"""${VectorOps.ivfCellsCtes("cht")},
+         |${VectorOps.kmeansCtesOverSql("cemb", VectorOps.HashEmbedDims,
+            "(SELECT k FROM cellsz)")}""".stripMargin),
     // asymmetric containment: |shared| / |benchmark shingles| — the
     // threshold compares the unrounded ratio, round-to-4 is display-only
     "q_contamination" ->

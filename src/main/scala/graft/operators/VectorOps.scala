@@ -1268,6 +1268,7 @@ object VectorOps {
     "q_ann_recall"   -> ((s: SparkSession, d: String) => annRecall(s, d)),
     "q_cluster_keywords" -> clusterKeywords _,
     "q_hubness"      -> ((s: SparkSession, d: String) => hubness(s, d)),
+    "q_hubness_auto" -> ((s: SparkSession, d: String) => hubnessAuto(s, d)),
     "q_nn_per_label" -> nnWithinLabel _,
     "q_nn_label_ann" -> nnLabelBucketed _,
     "q_centroids"    -> centroids _,
@@ -1294,14 +1295,20 @@ object VectorOps {
   /** Lloyd-iteration CTE chain (quantize n → seeds c0 → assign a0 →
     * update c1 → assign a1) over ANY (vec_id, qe) source CTE at any
     * dimensionality — the parameterized form the chunk-embedding
-    * SemDeDup twin needs. Seeds are the k=8 LOWEST vec_ids present
-    * (ORDER BY + LIMIT, the SQL rendering of [[kmeansCoreOf]]'s
-    * TakeOrderedAndProject seeding — on the dense-from-0 embeddings
-    * table identical to the previous `vec_id < 8` form). */
-  private[operators] def kmeansCtesOverSql(src: String, dims: Int): String =
+    * SemDeDup twin needs. Seeds are the `cellsSql` LOWEST vec_ids
+    * present (rank filter, the SQL rendering of [[kmeansCoreOf]]'s
+    * TakeOrderedAndProject seeding); the pinned oracles pass the
+    * literal 8, the `_auto` twins a scalar subquery over
+    * [[ivfCellsCtes]] so the oracle sizes cells exactly like the
+    * footer-driven product entry points. */
+  private[operators] def kmeansCtesOverSql(src: String, dims: Int,
+      cellsSql: String = "8"): String =
     s"""n AS (SELECT vec_id, qe, list_dot_product(qe, qe) AS nrm FROM $src),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, qe AS centroid,
-       |         nrm AS c_nrm FROM n ORDER BY vec_id LIMIT 8),
+       |         nrm AS c_nrm
+       |       FROM (SELECT vec_id, qe, nrm,
+       |               row_number() OVER (ORDER BY vec_id) AS seed_rk FROM n)
+       |       WHERE seed_rk <= $cellsSql),
        |a0 AS (
        |  SELECT vec_id, cluster, qe, dist2 FROM (
        |    SELECT v.vec_id, c.cluster, v.qe,
@@ -1337,6 +1344,75 @@ object VectorOps {
   private[operators] lazy val kmeansCtesSql: String =
     s"""emb AS (SELECT vec_id, $qSql AS qe FROM embeddings),
        |${kmeansCtesOverSql("emb", 64)}""".stripMargin
+
+  /** DuckDB mirror of [[graft.operators.DedupOps.ivfCells]] over a
+    * counted source CTE — the cell-count law the footer-driven `_auto`
+    * entry points apply, rendered in SQL so CORRECTNESS can grade the
+    * corpus-sized plans: exact integer sqrt from the double seed with
+    * the same single-step division fixup (the double conversion is
+    * exact and IEEE sqrt correctly rounded for n ≪ 2^52, so the seed is
+    * off by at most one — one CASE per direction converges exactly like
+    * the Scala loop in that regime), clamped to [8, 2^16]. Ends in
+    * `cellsz(k)`. */
+  private[operators] def ivfCellsCtes(srcCnt: String): String =
+    s"""cnt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM $srcCnt),
+       |cellsz AS (
+       |  SELECT greatest(8, least(65536,
+       |    CASE WHEN c1 + 1 <= nn // (c1 + 1) THEN c1 + 1 ELSE c1 END)) AS k
+       |  FROM (
+       |    SELECT nn, CASE WHEN c0 > nn // c0 THEN c0 - 1 ELSE c0 END AS c1
+       |    FROM (SELECT nn, greatest(1,
+       |        CAST(floor(sqrt(CAST(nn AS DOUBLE))) AS BIGINT)) AS c0
+       |      FROM cnt)))""".stripMargin
+
+  /** [[kmeansCtesSql]] with CORPUS-SIZED cells — the oracle twin of the
+    * footer-driven `_auto` product entry points ([[hubnessAuto]],
+    * [[graft.operators.DedupOps.semDedupAuto]]): cells =
+    * ivfCells(count(embeddings)) ≈ √n instead of the pinned 8. */
+  private[operators] lazy val kmeansAutoCtesSql: String =
+    s"""emb AS (SELECT vec_id, $qSql AS qe FROM embeddings),
+       |${ivfCellsCtes("emb")},
+       |${kmeansCtesOverSql("emb", 64, "(SELECT k FROM cellsz)")}""".stripMargin
+
+  /** Probe/search + k-occurrence tail of the hubness oracle, over any
+    * Lloyd CTE prefix (`n`/`a1`/`c1n`) — shared by q_hubness (pinned 8
+    * cells) and q_hubness_auto (corpus-sized cells) so the census logic
+    * cannot drift between the demonstration and the production shape. */
+  private lazy val hubnessTailSql: String =
+    s"""q AS (SELECT vec_id AS query_id, qe AS q_qe, nrm AS q_nrm
+       |      FROM n WHERE nrm > 0),
+       |probe AS (
+       |  SELECT query_id, q_qe, q_nrm, cluster FROM (
+       |    SELECT query_id, q_qe, q_nrm, c.cluster,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY q_nrm + c.c_nrm - 2 * list_dot_product(q_qe, c.centroid) ASC,
+       |                 c.cluster ASC) AS rk
+       |    FROM q CROSS JOIN c1n c)
+       |  WHERE rk <= 3),
+       |mem AS (
+       |  SELECT a.cluster, a.vec_id AS neighbor_id, v.qe, v.nrm
+       |  FROM a1 a JOIN n v ON v.vec_id = a.vec_id AND v.nrm > 0),
+       |scored AS (
+       |  SELECT p.query_id, m.neighbor_id,
+       |    round(CAST(list_dot_product(p.q_qe, m.qe) AS DOUBLE)
+       |      / (sqrt(CAST(p.q_nrm AS DOUBLE)) * sqrt(CAST(m.nrm AS DOUBLE))), 4) AS sim
+       |  FROM probe p JOIN mem m
+       |    ON p.cluster = m.cluster AND m.neighbor_id <> p.query_id),
+       |topk AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |    FROM scored)
+       |  WHERE rank <= 5),
+       |occ AS (SELECT neighbor_id AS vec_id, count(*) AS n_occ
+       |        FROM topk GROUP BY neighbor_id)
+       |SELECT e0.vec_id, e0.label,
+       |  coalesce(o.n_occ, 0) AS n_occ,
+       |  coalesce(o.n_occ, 0) >= ${HubBarFactor * 5} AS hub
+       |FROM embeddings e0
+       |JOIN n ON n.vec_id = e0.vec_id AND n.nrm > 0
+       |LEFT JOIN occ o ON o.vec_id = e0.vec_id""".stripMargin
 
   /** Trained-IVF probe/search chain (q → probe → mem → scored) over the
     * [[kmeansCtesSql]] CTEs — shared by the q_ann_ivf_kmeans and
@@ -1486,40 +1562,12 @@ object VectorOps {
     // counts over the top-5 relation, never-cited vectors report 0
     "q_hubness" ->
       s"""WITH $kmeansCtesSql,
-         |q AS (SELECT vec_id AS query_id, qe AS q_qe, nrm AS q_nrm
-         |      FROM n WHERE nrm > 0),
-         |probe AS (
-         |  SELECT query_id, q_qe, q_nrm, cluster FROM (
-         |    SELECT query_id, q_qe, q_nrm, c.cluster,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY q_nrm + c.c_nrm - 2 * list_dot_product(q_qe, c.centroid) ASC,
-         |                 c.cluster ASC) AS rk
-         |    FROM q CROSS JOIN c1n c)
-         |  WHERE rk <= 3),
-         |mem AS (
-         |  SELECT a.cluster, a.vec_id AS neighbor_id, v.qe, v.nrm
-         |  FROM a1 a JOIN n v ON v.vec_id = a.vec_id AND v.nrm > 0),
-         |scored AS (
-         |  SELECT p.query_id, m.neighbor_id,
-         |    round(CAST(list_dot_product(p.q_qe, m.qe) AS DOUBLE)
-         |      / (sqrt(CAST(p.q_nrm AS DOUBLE)) * sqrt(CAST(m.nrm AS DOUBLE))), 4) AS sim
-         |  FROM probe p JOIN mem m
-         |    ON p.cluster = m.cluster AND m.neighbor_id <> p.query_id),
-         |topk AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY sim DESC, neighbor_id ASC) AS rank
-         |    FROM scored)
-         |  WHERE rank <= 5),
-         |occ AS (SELECT neighbor_id AS vec_id, count(*) AS n_occ
-         |        FROM topk GROUP BY neighbor_id)
-         |SELECT e0.vec_id, e0.label,
-         |  coalesce(o.n_occ, 0) AS n_occ,
-         |  coalesce(o.n_occ, 0) >= ${HubBarFactor * 5} AS hub
-         |FROM embeddings e0
-         |JOIN n ON n.vec_id = e0.vec_id AND n.nrm > 0
-         |LEFT JOIN occ o ON o.vec_id = e0.vec_id""".stripMargin,
+         |$hubnessTailSql""".stripMargin,
+    // the same census over CORPUS-SIZED cells (ivfCells(n) ≈ √n — the
+    // footer-driven plan that holds the n^1.5 envelope at scale)
+    "q_hubness_auto" ->
+      s"""WITH $kmeansAutoCtesSql,
+         |$hubnessTailSql""".stripMargin,
     // cluster tf over the assignment join, df over the corpus-wide
     // per-doc relation (the q_tfidf_topk rarity definition)
     "q_cluster_keywords" ->
