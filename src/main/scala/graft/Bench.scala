@@ -73,6 +73,73 @@ object Bench {
         else first
       name -> times
     }
+    // --- production-path group (VERDICT r10 item 3): the declared
+    // dedup-derivative queries re-derive the LSH chain per query
+    // because the oracle gate requires self-contained SQL; a 100 TB run
+    // pays the chain ONCE (curationRun materializes the group table +
+    // canonical picks + chunk grid) and derives everything else from
+    // the stored tables via the *From entry points. This group measures
+    // exactly that execution: one timed materialize, then each *From
+    // form over the parquet tables it wrote. Skipped on subset runs
+    // (the group is only meaningful as a whole).
+    val prodResults: Seq[(String, Seq[Double])] = if (only.nonEmpty) Nil else {
+      import org.apache.spark.sql.functions.col
+      import graft.operators.{CurationOps, DedupOps, TextOps}
+      import graft.sources.Tables
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_prod_bench").toString
+      val t0 = System.nanoTime()
+      try CurationOps.curationRun(spark, sfDir, outDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] curationRun failed: ${e.getMessage}") }
+      val matSec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      def groups = spark.read.parquet(s"$outDir/groups")
+      def keep = spark.read.parquet(s"$outDir/canonical")
+      def chunks = spark.read.parquet(s"$outDir/chunks")
+      def quality = TextOps.qualityScore(spark, sfDir)
+        .select(col("doc_id"), col("quality"))
+      def prov = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"))
+      val prods: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "prod_canonical_docs" ->
+          (() => DedupOps.canonicalDocsFrom(groups, quality)),
+        "prod_dup_rate_by_source" ->
+          (() => DedupOps.dupRateBySourceFrom(groups, keep, prov)),
+        "prod_dup_token_share" ->
+          (() => DedupOps.dupTokenShareFromGroups(spark, sfDir, groups)),
+        "prod_source_overlap" ->
+          (() => DedupOps.sourceOverlapFrom(groups, prov)),
+        "prod_group_purity" ->
+          (() => DedupOps.groupPurityFrom(groups,
+            Tables.documents(spark, sfDir))),
+        "prod_leakfree_split" ->
+          (() => DedupOps.leakFreeSplitFrom(
+            Tables.documents(spark, sfDir)
+              .select(col("doc_id"), col("lang")), groups)),
+        "prod_curation_funnel" ->
+          (() => CurationOps.curationFunnelFrom(spark, sfDir,
+            DedupOps.dropList(groups, keep), Some(chunks))))
+      ("prod_materialize" -> Seq(matSec)) +: prods.map { case (name, mk) =>
+        name -> (1 to reps).map { _ =>
+          val t = System.nanoTime()
+          try mk().write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+          val dt = (System.nanoTime() - t) / 1e9
+          spark.catalog.clearCache()
+          dt
+        }
+      }
+    }
+    val prodJson = prodResults
+      .map { case (k, ts) => "\"" + k + "\":" + median(ts) }
+      .mkString("{", ",", "}")
+    // derived-path total EXCLUDES the one-time materialize cost — it is
+    // the recurring per-report cost the group exists to measure
+    val prodTotal = prodResults
+      .collect { case (k, ts) if k != "prod_materialize" => median(ts) }.sum
+
     // "queries" stays name→median (the stable cross-round metric);
     // "triples" adds per-query min/median/max so a host-variance
     // regression is attributable from one round's record alone
@@ -104,7 +171,7 @@ object Bench {
     // Values are rounded to 2 decimals (the host's rep-to-rep variance
     // is far above 10 ms, so nothing real is lost).
     val fullRec =
-      s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"triples":$triples,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"triples":$triples,"prod":$prodJson,"prod_total":$prodTotal,"reps":$reps,"sf":"$sfDir"}"""
     val fullPath =
       if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
@@ -122,7 +189,7 @@ object Bench {
     // digits plus a 4-digit-second total could otherwise overrun the
     // capture window the budget exists to fit
     val suffix0 =
-      s"""},"rest_n":${results.size},"rest_sum":${r2(total)},"full":"$fullPath","reps":$reps,"sf":"$sfName"}"""
+      s"""},"rest_n":${results.size},"rest_sum":${r2(total)},"prod_total":${r2(prodTotal)},"full":"$fullPath","reps":$reps,"sf":"$sfName"}"""
     val prefix = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":{"""
     var used = prefix.length + suffix0.length
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
@@ -137,7 +204,7 @@ object Bench {
     val keptJson = kept.sortBy(_._1)
       .map { case (k, m) => "\"" + k + "\":" + r2(m) }.mkString(",")
     println(prefix + keptJson +
-      s"""},"rest_n":$restN,"rest_sum":${r2(restSum)},"full":"$fullPath","reps":$reps,"sf":"$sfName"}""")
+      s"""},"rest_n":$restN,"rest_sum":${r2(restSum)},"prod_total":${r2(prodTotal)},"full":"$fullPath","reps":$reps,"sf":"$sfName"}""")
     spark.stop()
   }
 }

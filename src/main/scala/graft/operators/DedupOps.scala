@@ -1348,6 +1348,17 @@ object DedupOps {
     * against keeps alone would count such a doc as dropped while the
     * keep ranking never saw it, letting the headline disagree with the
     * picks — and with the oracle's rn>1 complement). */
+  /** [[dupTokenShareFrom]] with the quality and token relations derived
+    * in place — the entry a run holding only the materialized group
+    * table calls (both side relations are linear corpus passes, not the
+    * expensive chain). */
+  def dupTokenShareFromGroups(spark: SparkSession, dir: String,
+      groups: DataFrame): DataFrame =
+    dupTokenShareFrom(groups,
+      TextOps.qualityScore(spark, dir).select(col("doc_id"), col("quality")),
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), TextOps.tokEst(col("text")).as("tok")))
+
   def dupTokenShareFrom(groups: DataFrame, quality: DataFrame,
       docsTok: DataFrame): DataFrame = {
     val keeps = canonicalDocsFrom(groups, quality)
