@@ -199,19 +199,38 @@ object TextOps {
         concat(lit(" "), array_join(split(col("tok"), ""), "  "),
           lit(" ")).as("w"), col("cnt"))
 
-  /** Apply a STORED merge table (rank-ordered pairs from [[bpeMerges]])
-    * to a sentinel-space vocabulary — the tokenizer-APPLY projection: the
-    * same nested literal replaces the trainer's loop uses, with the
-    * merges supplied instead of trained. Vocabulary-sized, fully inside
-    * whole-stage codegen; this is the per-shard kernel a data pipeline
-    * ships to encode new corpora with a frozen tokenizer. */
+  /** Nested-replace depth one projection of [[applyMerges]] may carry.
+    * Catalyst recurses per StringReplace node (dataType/codegen walk
+    * the child chain), so an UNCHUNKED 1000-merge apply overflows the
+    * JVM stack — found by the 1k-merge demo, fixed by flushing the
+    * projection every [[BpeApplyChunk]] merges. */
+  val BpeApplyChunk = 64
+
+  /** Apply a STORED merge table (rank-ordered pairs from [[bpeMerges]]/
+    * [[bpeMergesBatched]]) to a sentinel-space vocabulary — the
+    * tokenizer-APPLY projection: the same nested literal replaces the
+    * trainer's loop uses, with the merges supplied instead of trained.
+    * Vocabulary-sized, inside whole-stage codegen; this is the
+    * per-shard kernel a data pipeline ships to encode new corpora with
+    * a frozen tokenizer. Merges apply [[BpeApplyChunk]] per projection
+    * with an eager localCheckpoint between chunks (CollapseProject
+    * would otherwise re-nest every chunk into one expression tree —
+    * rank order within and across chunks is preserved, so the result
+    * is identical to the single-projection form the ≤64-merge declared
+    * queries still take). */
   private[graft] def applyMerges(vocab: DataFrame,
-      merges: Seq[String]): DataFrame =
-    merges.foldLeft(vocab) { (df, pair) =>
-      df.withColumn("w", replace(col("w"),
-        lit(" " + pair.replace(" ", "  ") + " "),
-        lit(" " + pair.replace(" ", "") + " ")))
+      merges: Seq[String]): DataFrame = {
+    def chunk(df: DataFrame, pairs: Seq[String]): DataFrame =
+      pairs.foldLeft(df) { (d, pair) =>
+        d.withColumn("w", replace(col("w"),
+          lit(" " + pair.replace(" ", "  ") + " "),
+          lit(" " + pair.replace(" ", "") + " ")))
+      }
+    if (merges.size <= BpeApplyChunk) chunk(vocab, merges)
+    else merges.grouped(BpeApplyChunk).foldLeft(vocab) { (df, g) =>
+      chunk(df, g).localCheckpoint()
     }
+  }
 
   /** Shared core of the BPE family: the merge loop over the persisted
     * frequency-weighted vocabulary. Returns (ranked merges, the
@@ -226,13 +245,19 @@ object TextOps {
   /** [[bpeLoop]] over any (text) relation — split out so the encode
     * path can TRAIN on one split and APPLY to another. */
   private def bpeLoopOver(spark: SparkSession, docs: DataFrame)
-      : (Seq[(Long, String, Long)], DataFrame, DataFrame) = {
+      : (Seq[(Long, String, Long)], DataFrame, DataFrame) =
+    bpeLoopOverN(spark, docs, BpeMergeIters)
+
+  /** [[bpeLoopOver]] with a caller-chosen merge budget — the sequential
+    * reference the batched trainer's spec pins against. */
+  private[graft] def bpeLoopOverN(spark: SparkSession, docs: DataFrame,
+      iters: Int): (Seq[(Long, String, Long)], DataFrame, DataFrame) = {
     val base = sentinelVocab(docs).persist()
     val merges = Seq.newBuilder[(Long, String, Long)]
     var words = base
     var rank = 1
     var exhausted = false
-    while (rank <= BpeMergeIters && !exhausted) {
+    while (rank <= iters && !exhausted) {
       val syms = split(trim(col("w")), "  ")
       val top = words
         .select(explode(filter(
@@ -254,6 +279,145 @@ object TextOps {
       }
     }
     (merges.result(), words, base)
+  }
+
+  /** Batch cap per round of [[bpeMergesBatched]] — the most merges one
+    * pair-count job may admit. Bounds both the driver collect
+    * (batchCap+1 rows) and the nested-replace depth applied per round. */
+  val BpeBatchCap = 256
+
+  /** BATCHED BPE trainer — the scale fix for [[bpeMerges]]'s
+    * one-driver-round-trip-per-merge shape (8 merges = 8 jobs is fine;
+    * a 50k-merge production vocabulary would mean 50k sequential Spark
+    * jobs). Each ROUND runs ONE distributed pair-count job and admits a
+    * PREFIX of the (count desc, pair asc)-ordered pair list:
+    *
+    *  - the top pair is always admitted — it IS the sequential argmax;
+    *  - each further pair is admitted while it shares no symbol, and no
+    *    concatenated merge RESULT, with any pair already admitted this
+    *    round (disjoint merges commute textually — neither replace can
+    *    touch the other's occurrences), the walk STOPPING at the first
+    *    conflict rather than skipping it (skipping would reorder
+    *    against the sequential trainer: a higher-count conflicting pair
+    *    means the recount could promote a successor above the rest of
+    *    the prefix);
+    *  - of that prefix, pairs are kept only while their count STRICTLY
+    *    exceeds the count at the stop boundary (C) — the occurrences
+    *    this round's merges redistribute all come from pairs at or
+    *    after the boundary, so the kept pairs' greedy order is
+    *    insensitive to the recount the sequential trainer would run.
+    *
+    * Admitted merges apply as the same nested sentinel-space replaces
+    * as [[bpeMerges]], the vocabulary frame is eagerly
+    * `localCheckpoint`-ed each round so lineage depth stays bounded at
+    * one round's replaces across hundreds of rounds, and the loop
+    * repeats until `nMerges` or pair exhaustion.
+    *
+    * Contract (default `strict = true`): when each round's admitted
+    * prefix is symbol-disjoint and no pre-existing vocabulary symbol
+    * equals an admitted concatenation, the batched merge table is
+    * EXACTLY the sequential trainer's (BpeBatchedSpec pins both a
+    * planted prefix and whole-corpus equality with [[bpeMerges]] at 8
+    * merges — also the q_bpe_batched oracle, which reuses the
+    * sequential SQL unroll); adversarial count ties at the boundary
+    * only shrink the batch, never reorder it. Strictness bounds the
+    * batch by the first conflict, which on a SMALL symbol alphabet
+    * caps batches near √|alphabet| (birthday bound) early in training;
+    * `strict = false` switches to the standard top-m-NON-CONFLICTING
+    * approximation — conflicting pairs are skipped, not stopped at —
+    * which keeps batches at the cap and stays fully deterministic
+    * (same total order, same disjointness rule) at the cost of exact
+    * greedy-order equivalence. Production vocabularies (50k merges
+    * over a large symbol space) run `strict = false`; the declared
+    * 8-merge query keeps the strict default.
+    *
+    * Scale shape: rounds ≈ nMerges / achieved batch, each one pair-count
+    * job over the cached vocabulary plus a (batchCap+1)-row collect —
+    * a 50k-merge vocabulary at batch ~200 is ~250 jobs, not 50k. */
+  def bpeMergesBatched(spark: SparkSession, dir: String,
+      nMerges: Int = BpeMergeIters,
+      batchCap: Int = BpeBatchCap, strict: Boolean = true): DataFrame = {
+    import spark.implicits._
+    bpeLoopBatchedOver(Tables.documents(spark, dir), nMerges, batchCap,
+        strict)
+      .toDF("merge_rank", "pair", "n_occ").orderBy(col("merge_rank"))
+  }
+
+  /** [[bpeMergesBatched]] over any (text) relation — split out so specs
+    * can plant vocabularies with known pair structure. Returns the
+    * ranked merge triples. */
+  private[graft] def bpeLoopBatchedOver(docs: DataFrame, nMerges: Int,
+      batchCap: Int, strict: Boolean = true,
+      onRound: Int => Unit = _ => ()): Seq[(Long, String, Long)] = {
+    var words = sentinelVocab(docs).localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    var rank = 1L
+    var exhausted = false
+    // replaces applied since the last lineage reset: checkpoint only
+    // once ~2×BpeApplyChunk accumulate — replaying ≤128 codegen'd
+    // string replaces per job is far cheaper than a materialization
+    // job per (often small) round
+    var pending = 0
+    while (rank <= nMerges && !exhausted) {
+      val syms = split(trim(col("w")), "  ")
+      val top = words
+        .select(explode(filter(
+          zip_with(syms, slice(syms, 2, Int.MaxValue - 8),
+            (a, b) => concat(a, lit(" "), b)),
+          p => p.isNotNull)).as("pair"), col("cnt"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("pair"))
+        .limit(batchCap + 1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        // walk the ordered list; STRICT mode stops at the first
+        // symbol/result clash (exact-equivalence contract), SKIP mode
+        // passes over clashes and keeps collecting disjoint pairs (the
+        // standard top-m-non-conflicting approximation — deterministic,
+        // near-greedy, fat batches on small alphabets)
+        val used = scala.collection.mutable.Set.empty[String]
+        val prefix = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        var stopCount = -1L // count at the stop boundary (C); -1 = open
+        var i = 0
+        while (i < math.min(top.length, batchCap) && stopCount < 0) {
+          val pair = top(i).getString(0)
+          val cnt = top(i).getLong(1)
+          val sp = pair.indexOf(' ')
+          val (a, b) = (pair.substring(0, sp), pair.substring(sp + 1))
+          if (i == 0 || (!used(a) && !used(b) && !used(a + b))) {
+            prefix += ((pair, cnt))
+            used += a; used += b; used += (a + b)
+          } else if (strict) stopCount = cnt
+          i += 1
+        }
+        if (stopCount < 0)
+          stopCount = if (top.length > i) top(i).getLong(1) else 0L
+        val kept =
+          if (!strict) prefix.toSeq
+          else {
+            val s = prefix.toSeq.filter { case (_, c) => c > stopCount }
+            if (s.isEmpty) prefix.toSeq.take(1) else s
+          }
+        val admitted = kept.take((nMerges - rank + 1).toInt)
+        admitted.foreach { case (p, c) =>
+          merges += ((rank, p, c)); rank += 1
+        }
+        onRound(admitted.size)
+        // applyMerges chunks + checkpoints internally past BpeApplyChunk;
+        // below that, defer the lineage reset until enough replaces
+        // accumulate to be worth a materialization job
+        val applied = applyMerges(words, admitted.map(_._1))
+        if (admitted.size > BpeApplyChunk) { words = applied; pending = 0 }
+        else {
+          pending += admitted.size
+          if (pending >= 2 * BpeApplyChunk) {
+            words = applied.localCheckpoint(); pending = 0
+          } else words = applied
+        }
+      }
+    }
+    merges.result()
   }
 
   /** The SEGMENTED VOCABULARY under the trained merges — what the
@@ -1601,6 +1765,8 @@ object TextOps {
     "q_vocab"          -> vocab _,
     "q_bpe_pairs"      -> bpePairs _,
     "q_bpe_merges"     -> bpeMerges _,
+    "q_bpe_batched"    -> ((s: SparkSession, d: String) =>
+      bpeMergesBatched(s, d)),
     "q_bpe_segmented"  -> bpeSegmented _,
     "q_bpe_encode"     -> bpeEncode _,
     "q_bpe_symbol_vocab" -> bpeSymbolVocab _,
@@ -1866,6 +2032,9 @@ object TextOps {
          |ORDER BY n_pairs DESC, pair
          |LIMIT $BpeTopK""".stripMargin,
     "q_bpe_merges" -> bpeMergesSql,
+    // the batched trainer must reproduce the sequential greedy order on
+    // this corpus — same oracle as q_bpe_merges, different engine path
+    "q_bpe_batched" -> bpeMergesSql,
     "q_bpe_fertility" -> bpeFertilitySql,
     // grams/positions/coverage mirror the Spark shapes; the kept-token
     // reassembly uses list(ORDER BY pos) = array_sort(struct(pos, tok))

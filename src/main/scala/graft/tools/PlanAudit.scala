@@ -77,7 +77,11 @@ object PlanAudit {
     "q_lsh_recall" -> "banding recall harness: probe-stratum brute-truth shingle join + banded candidates restricted to probes; the compare left-joins two probe-sized pair relations",
     "q_group_purity" -> "dup-group QA: member shingles join their OWN rep's shingles only (never a pair relation), per-(member,rep) agg + size-bucket rollup over the sub-linear group table",
     "q_mixture_realized" -> "epoch expansion: langs-sized plan broadcast + per-row integer coin + one hash agg — linear, no shuffle before the rollup",
-    "q_dup_token_share" -> "headline drop share: group table + canonical picks -> anti-join names the drops, one linear token pass, one global aggregate",
+    "q_dup_token_share" -> "headline drop share: (groups inner-join quality) minus canonical picks names the drops (same base as the keep ranking), one linear token pass, one global aggregate",
+    "q_semdedup_auto" -> "SemDeDup at corpus-sized cells (ivfCells(n) ~ sqrt(n) from parquet footers): same cluster-blocked shape as q_semdedup with per-cluster occupancy ~sqrt(n) — the plan that survives 100x",
+    "q_hubness_auto" -> "hubness census at corpus-sized cells: probed-membership join stays on the n^1.5 envelope instead of the fixed-cell quadratic",
+    "q_chunk_semdedup_auto" -> "chunk SemDeDup with cells sized from the chunk count — the production shape of the chunk twin",
+    "q_bpe_batched" -> "batched BPE rounds: one distributed pair-count job + (batchCap+1)-row collect per round admits a disjoint merge prefix; nested sentinel replaces chunked at 64 per projection with lineage resets",
   )
 
   def main(args: Array[String]): Unit = {
