@@ -1233,6 +1233,100 @@ object TextOps {
         col("fps"))
   }
 
+  /** Minimum shared contiguous run, in TOKENS, that [[sharedSpans]]
+    * reports. Lee et al. ("Deduplicating Training Data") use 50 tokens
+    * for web-scale corpora; the declared query pins a corpus-sized bar
+    * so the synthetic tables exercise the span math (the bar is the
+    * single knob a production run raises). */
+  val SpanBarTokens = 15
+
+  /** EXACT SUBSTRING-RUN DEDUP — the Lee et al. "Deduplicating Training
+    * Data" pass: for every document pair sharing a contiguous run of
+    * ≥ [[SpanBarTokens]] tokens, report the MAXIMAL shared span length
+    * and where it sits in each document. [[winnowOverlapBest]] only
+    * detects that some ≥6-token run exists and scores the pair
+    * fractionally; this pass measures the actual span — the artifact an
+    * exact-substring dedup acts on (clip or drop the repeated span).
+    *
+    * Suffix arrays are the single-machine formulation; the
+    * shuffle-native equivalent used here is positional-gram DIAGONAL
+    * RUNS: hash every positional 3-gram (the winnow gram relation
+    * without window-min), equi-join on the hash, and coalesce matches
+    * per (pair, pa−pb diagonal) into maximal runs of consecutive
+    * positions (the classic island trick: pos − row_number is constant
+    * exactly on a consecutive run). A shared run of S tokens is S−2
+    * consecutive matching grams on one diagonal — span = run + 2,
+    * exact, wherever the run sits.
+    *
+    * Scale shape: docs shorter than the bar are pruned before anything
+    * (a span needs that many tokens on BOTH sides); the gram-hash array
+    * materializes once per doc and is eagerly checkpointed before the
+    * explode (the winnowOverlap HOF-pushdown lesson); over-common grams
+    * are dropped by the same df cap as the winnow chain (boilerplate
+    * runs are [[crossDocScrub]]'s job — counting them as pair evidence
+    * would square the join); the diagonal window partitions on the
+    * high-cardinality (pair, diag) key. At 100 TB the same core runs
+    * restricted to [[winnowOverlapBest]] candidates (every ≥bar span
+    * pair shares winnowed fingerprints by the MOSS guarantee), keeping
+    * the positional join candidate-bounded. */
+  def sharedSpans(spark: SparkSession, dir: String): DataFrame =
+    sharedSpansCore(spark, Tables.documents(spark, dir), SpanBarTokens)
+
+  /** [[sharedSpans]] over any (doc_id, text) relation — split out so
+    * specs can plant runs of known length and position. */
+  private[graft] def sharedSpansCore(spark: SparkSession, docs: DataFrame,
+      barTokens: Int): DataFrame = {
+    val t = toks(col("text"))
+    val s1 = slice(t, 2, Int.MaxValue - 8)
+    val s2 = slice(t, 3, Int.MaxValue - 8)
+    val grams = filter(
+      zip_with(zip_with(t, s1, (x, y) => concat(x, lit(" "), y)),
+        s2, (xy, z) => concat(xy, lit(" "), z)),
+      g => g.isNotNull)
+    val pgArr = docs
+      .where(size(t) >= barTokens)
+      .select(col("doc_id"),
+        transform(grams, g => md5(g.cast("binary"))).as("h"))
+      .localCheckpoint(true)
+    val pg = pgArr
+      .select(col("doc_id"), posexplode(col("h")))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val hot = pg.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(total))
+      .where(col("nd") >
+        greatest(lit(WinnowDfBar), expr(s"n_total div $WinnowDfFracDiv")))
+      .select(col("h"))
+    val kept = pg.join(hot, Seq("h"), "left_anti")
+    val m = kept
+      .select(col("doc_id").as("id_a"), col("pos").as("pa"), col("h"))
+      .join(kept.select(col("doc_id").as("id_b"), col("pos").as("pb"),
+        col("h")), Seq("h"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+    val wI = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pa"))
+    val runs = m
+      .withColumn("island", col("pa") - row_number().over(wI))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("island"))
+      .agg(count(lit(1)).as("run"),
+        min(col("pa")).as("sa"), min(col("pb")).as("sb"))
+      .withColumn("span_tokens", col("run") + lit(2L))
+      .where(col("span_tokens") >= barTokens)
+    runs
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("span_tokens")).as("span_tokens"),
+        max_by(struct(col("sa"), col("sb")),
+          struct(col("span_tokens"), (-col("sa")).as("nsa"),
+            (-col("sb")).as("nsb"))).as("at"))
+      .select(col("id_a"), col("id_b"), col("span_tokens"),
+        (col("at.sa") + 1).cast("long").as("start_a"),
+        (col("at.sb") + 1).cast("long").as("start_b"))
+  }
+
   /** Best OVERLAP match per document over the winnowed fingerprints —
     * the plagiarism-detector pass [[winnowFingerprint]] feeds: join on
     * shared fingerprints, score each pair by CONTAINMENT
@@ -1793,6 +1887,7 @@ object TextOps {
     "q_shingle_novelty" -> shingleNovelty _,
     "q_winnow_fp"      -> winnowFingerprint _,
     "q_winnow_overlap" -> winnowOverlapBest _,
+    "q_shared_spans"   -> sharedSpans _,
     "q_length_quantiles" -> lengthQuantiles _,
     "q_fingerprint"    -> fingerprint _,
     "q_dedup_exact"    -> dedupExact _,
@@ -2349,6 +2444,47 @@ object TextOps {
     // positional 3-grams (duplicates kept), per-window list_min over the
     // materialized hash list; DuckDB's inclusive slice h[i:i+w-1] is
     // Spark's slice(h, i, w); both clamp at the tail
+    // positional-gram diagonal runs: pos - row_number is constant on a
+    // consecutive run (island trick); span = run + 2; same df cap and
+    // total order as the winnow chain
+    "q_shared_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |d AS (SELECT doc_id, tk FROM t WHERE len(tk) >= $SpanBarTokens),
+         |g AS (SELECT doc_id,
+         |    list_transform(range(1, len(tk) - 1),
+         |      i -> md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS h
+         |  FROM d),
+         |pg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         h[CAST(i AS INT)] AS hh
+         |       FROM (SELECT doc_id, h,
+         |               unnest(range(1, len(h) + 1)) AS i FROM g)),
+         |tot AS (SELECT count(*) AS n_total FROM t),
+         |hot AS (SELECT hh FROM (
+         |          SELECT hh, count(*) AS nd
+         |          FROM (SELECT DISTINCT doc_id, hh FROM pg) GROUP BY hh)
+         |        CROSS JOIN tot
+         |        WHERE nd > greatest($WinnowDfBar,
+         |                            n_total // $WinnowDfFracDiv)),
+         |k AS (SELECT * FROM pg WHERE hh NOT IN (SELECT hh FROM hot)),
+         |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+         |      FROM k a JOIN k b
+         |        ON a.hh = b.hh AND a.doc_id < b.doc_id),
+         |r AS (SELECT id_a, id_b, diag, pa, pb,
+         |        pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+         |                                ORDER BY pa) AS island
+         |      FROM m),
+         |runs AS (SELECT id_a, id_b,
+         |           CAST(count(*) + 2 AS BIGINT) AS span_tokens,
+         |           CAST(min(pa) AS BIGINT) AS start_a,
+         |           CAST(min(pb) AS BIGINT) AS start_b
+         |         FROM r GROUP BY id_a, id_b, diag, island
+         |         HAVING count(*) + 2 >= $SpanBarTokens)
+         |SELECT id_a, id_b, span_tokens, start_a, start_b FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+         |    ORDER BY span_tokens DESC, start_a, start_b) AS rn
+         |  FROM runs)
+         |WHERE rn = 1""".stripMargin,
     "q_winnow_fp" ->
       s"""WITH t AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
          |g AS (SELECT doc_id, lang,

@@ -81,6 +81,7 @@ object PlanAudit {
     "q_semdedup_auto" -> "SemDeDup at corpus-sized cells (ivfCells(n) ~ sqrt(n) from parquet footers): same cluster-blocked shape as q_semdedup with per-cluster occupancy ~sqrt(n) — the plan that survives 100x",
     "q_hubness_auto" -> "hubness census at corpus-sized cells: probed-membership join stays on the n^1.5 envelope instead of the fixed-cell quadratic",
     "q_chunk_semdedup_auto" -> "chunk SemDeDup with cells sized from the chunk count — the production shape of the chunk twin",
+    "q_shared_spans" -> "exact substring runs: checkpointed positional-gram relation, df-capped hash equi-join, diagonal-island window on the high-cardinality (pair, diag) key, per-pair argmax",
     "q_bpe_batched" -> "batched BPE rounds: one distributed pair-count job + (batchCap+1)-row collect per round admits a disjoint merge prefix; nested sentinel replaces chunked at 64 per projection with lineage resets",
   )
 
