@@ -114,6 +114,39 @@ class MixturePlanSpec extends SparkSpec {
     assert(got.view.mapValues(_.getAs[Long]("n_copies")).toMap == again)
   }
 
+  test("mixture realized: sub-1% strata emit at 1e-4 coin granularity") {
+    // ADVICE r10 (medium): at percent granularity a stratum whose
+    // planned rate is under 1% has epochs_100 = 0 and emitted ZERO
+    // copies. A tiny token budget puts every stratum in that window;
+    // the realizer must still emit by the 1e-4 fractional coin —
+    // pinned here by replaying the exact md5 coin per document.
+    val target = 50L
+    val plan = CurationOps.mixturePlan(spark, sfDir, target).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("epochs_100"),
+        r.getAs[Long]("tokens_needed"), r.getAs[Long]("tokens_avail"))))
+      .toMap
+    assert(plan.values.exists { case (e, n, a) =>
+      e == 0 && n * 10000 / a > 0
+    }, s"fixture must land a stratum in the (0,1%) window: $plan")
+    def coin24(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6), 16)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang").collect()
+    val expected = docs.groupBy(_.getString(1)).map { case (lang, rows) =>
+      val (e, n, a) = plan(lang)
+      val frac = n * 10000 / a - (e / 100) * 10000
+      lang -> rows.map { r =>
+        e / 100 +
+          (if (coin24(r.getLong(0)) * 10000 < 16777216L * frac) 1L else 0L)
+      }.sum
+    }
+    val got = CurationOps.mixtureRealized(spark, sfDir, target).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_copies")).toMap
+    assert(got == expected, s"$got vs $expected")
+  }
+
   test("dsir sample: deterministic, target-domain enriched, bounded") {
     // the weights fixture one scale up: en speaks the target vocabulary,
     // de a disjoint one — en weights land near 2e6, de near the floor,
