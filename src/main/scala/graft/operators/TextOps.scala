@@ -1265,17 +1265,48 @@ object TextOps {
     * are dropped by the same df cap as the winnow chain (boilerplate
     * runs are [[crossDocScrub]]'s job — counting them as pair evidence
     * would square the join); the diagonal window partitions on the
-    * high-cardinality (pair, diag) key. At 100 TB the same core runs
-    * restricted to [[winnowOverlapBest]] candidates (every ≥bar span
-    * pair shares winnowed fingerprints by the MOSS guarantee), keeping
-    * the positional join candidate-bounded. */
+    * high-cardinality (pair, diag) key. At 100 TB run
+    * [[sharedSpansCandidates]] — the same core with the positional
+    * join bounded to winnowed-fingerprint candidate pairs (every
+    * ≥bar-token span pair shares winnowed fingerprints by the MOSS
+    * guarantee, so the result is identical — spec-pinned). */
   def sharedSpans(spark: SparkSession, dir: String): DataFrame =
     sharedSpansCore(spark, Tables.documents(spark, dir), SpanBarTokens)
 
+  /** CANDIDATE-RESTRICTED [[sharedSpans]] — the 100 TB execution: the
+    * positional-gram self-join is the pass's only superlinear risk, so
+    * restrict it to pairs the winnowed-fingerprint join already
+    * surfaces ([[winnowOverlapBest]]'s candidate relation — every
+    * ≥bar-token shared run selects common fingerprints by the MOSS
+    * guarantee, so candidate recall for qualifying pairs is total and
+    * the result is IDENTICAL to the direct form, spec-pinned). The
+    * restriction lands as a broadcastable-or-shuffled semi-join of the
+    * match relation on (id_a, id_b) — gram pairs outside the candidate
+    * set never reach the diagonal window. */
+  def sharedSpansCandidates(spark: SparkSession, dir: String): DataFrame =
+    sharedSpansCandidatesCore(spark, Tables.documents(spark, dir),
+      SpanBarTokens)
+
+  private[graft] def sharedSpansCandidatesCore(spark: SparkSession,
+      docs: DataFrame, barTokens: Int): DataFrame = {
+    val fps = winnowFingerprintCore(docs)
+      .select(col("doc_id"), col("fps"))
+      .localCheckpoint(true)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val cand = fps.select(col("doc_id").as("id_a"), col("fp"))
+      .join(fps.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    sharedSpansCore(spark, docs, barTokens, Some(cand))
+  }
+
   /** [[sharedSpans]] over any (doc_id, text) relation — split out so
-    * specs can plant runs of known length and position. */
+    * specs can plant runs of known length and position. `candidates`
+    * (id_a < id_b), when given, bounds the match relation — the
+    * [[sharedSpansCandidates]] production restriction. */
   private[graft] def sharedSpansCore(spark: SparkSession, docs: DataFrame,
-      barTokens: Int): DataFrame = {
+      barTokens: Int, candidates: Option[DataFrame] = None): DataFrame = {
     val t = toks(col("text"))
     val s1 = slice(t, 2, Int.MaxValue - 8)
     val s2 = slice(t, 3, Int.MaxValue - 8)
@@ -1299,13 +1330,29 @@ object TextOps {
         greatest(lit(WinnowDfBar), expr(s"n_total div $WinnowDfFracDiv")))
       .select(col("h"))
     val kept = pg.join(hot, Seq("h"), "left_anti")
-    val m = kept
+    // with candidates: prune each join SIDE to docs appearing in some
+    // candidate pair (docs sharing no winnowed fingerprint with anyone
+    // never enter the positional join at all), then bound the match
+    // relation to the exact candidate pairs
+    val (keptA, keptB) = candidates match {
+      case Some(c) => (
+        kept.join(c.select(col("id_a").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi"),
+        kept.join(c.select(col("id_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi"))
+      case None => (kept, kept)
+    }
+    val m0 = keptA
       .select(col("doc_id").as("id_a"), col("pos").as("pa"), col("h"))
-      .join(kept.select(col("doc_id").as("id_b"), col("pos").as("pb"),
+      .join(keptB.select(col("doc_id").as("id_b"), col("pos").as("pb"),
         col("h")), Seq("h"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("pa"), col("pb"),
         (col("pa") - col("pb")).as("diag"))
+    val m = candidates match {
+      case Some(c) => m0.join(c, Seq("id_a", "id_b"), "left_semi")
+      case None => m0
+    }
     val wI = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_a"), col("id_b"), col("diag"))
       .orderBy(col("pa"))
@@ -1888,6 +1935,7 @@ object TextOps {
     "q_winnow_fp"      -> winnowFingerprint _,
     "q_winnow_overlap" -> winnowOverlapBest _,
     "q_shared_spans"   -> sharedSpans _,
+    "q_shared_spans_cand" -> sharedSpansCandidates _,
     "q_length_quantiles" -> lengthQuantiles _,
     "q_fingerprint"    -> fingerprint _,
     "q_dedup_exact"    -> dedupExact _,
@@ -2096,6 +2144,49 @@ object TextOps {
          |   AND top10k <= $TopWordBar10k
          |   AND dup10k <= $Dup2gramBar10k) AS pass
          |FROM m""".stripMargin
+
+  /** DuckDB twin of the shared-span pass — one definition for both
+    * the direct (q_shared_spans) and candidate-restricted
+    * (q_shared_spans_cand) declared queries, which are result-identical
+    * by the MOSS candidate-recall guarantee. */
+  private lazy val sharedSpansSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |d AS (SELECT doc_id, tk FROM t WHERE len(tk) >= $SpanBarTokens),
+         |g AS (SELECT doc_id,
+         |    list_transform(range(1, len(tk) - 1),
+         |      i -> md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS h
+         |  FROM d),
+         |pg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         h[CAST(i AS INT)] AS hh
+         |       FROM (SELECT doc_id, h,
+         |               unnest(range(1, len(h) + 1)) AS i FROM g)),
+         |tot AS (SELECT count(*) AS n_total FROM t),
+         |hot AS (SELECT hh FROM (
+         |          SELECT hh, count(*) AS nd
+         |          FROM (SELECT DISTINCT doc_id, hh FROM pg) GROUP BY hh)
+         |        CROSS JOIN tot
+         |        WHERE nd > greatest($WinnowDfBar,
+         |                            n_total // $WinnowDfFracDiv)),
+         |k AS (SELECT * FROM pg WHERE hh NOT IN (SELECT hh FROM hot)),
+         |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+         |      FROM k a JOIN k b
+         |        ON a.hh = b.hh AND a.doc_id < b.doc_id),
+         |r AS (SELECT id_a, id_b, diag, pa, pb,
+         |        pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+         |                                ORDER BY pa) AS island
+         |      FROM m),
+         |runs AS (SELECT id_a, id_b,
+         |           CAST(count(*) + 2 AS BIGINT) AS span_tokens,
+         |           CAST(min(pa) AS BIGINT) AS start_a,
+         |           CAST(min(pb) AS BIGINT) AS start_b
+         |         FROM r GROUP BY id_a, id_b, diag, island
+         |         HAVING count(*) + 2 >= $SpanBarTokens)
+         |SELECT id_a, id_b, span_tokens, start_a, start_b FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+         |    ORDER BY span_tokens DESC, start_a, start_b) AS rn
+         |  FROM runs)
+         |WHERE rn = 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" ->
@@ -2446,45 +2537,11 @@ object TextOps {
     // Spark's slice(h, i, w); both clamp at the tail
     // positional-gram diagonal runs: pos - row_number is constant on a
     // consecutive run (island trick); span = run + 2; same df cap and
-    // total order as the winnow chain
-    "q_shared_spans" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |d AS (SELECT doc_id, tk FROM t WHERE len(tk) >= $SpanBarTokens),
-         |g AS (SELECT doc_id,
-         |    list_transform(range(1, len(tk) - 1),
-         |      i -> md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS h
-         |  FROM d),
-         |pg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         |         h[CAST(i AS INT)] AS hh
-         |       FROM (SELECT doc_id, h,
-         |               unnest(range(1, len(h) + 1)) AS i FROM g)),
-         |tot AS (SELECT count(*) AS n_total FROM t),
-         |hot AS (SELECT hh FROM (
-         |          SELECT hh, count(*) AS nd
-         |          FROM (SELECT DISTINCT doc_id, hh FROM pg) GROUP BY hh)
-         |        CROSS JOIN tot
-         |        WHERE nd > greatest($WinnowDfBar,
-         |                            n_total // $WinnowDfFracDiv)),
-         |k AS (SELECT * FROM pg WHERE hh NOT IN (SELECT hh FROM hot)),
-         |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |        a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
-         |      FROM k a JOIN k b
-         |        ON a.hh = b.hh AND a.doc_id < b.doc_id),
-         |r AS (SELECT id_a, id_b, diag, pa, pb,
-         |        pa - row_number() OVER (PARTITION BY id_a, id_b, diag
-         |                                ORDER BY pa) AS island
-         |      FROM m),
-         |runs AS (SELECT id_a, id_b,
-         |           CAST(count(*) + 2 AS BIGINT) AS span_tokens,
-         |           CAST(min(pa) AS BIGINT) AS start_a,
-         |           CAST(min(pb) AS BIGINT) AS start_b
-         |         FROM r GROUP BY id_a, id_b, diag, island
-         |         HAVING count(*) + 2 >= $SpanBarTokens)
-         |SELECT id_a, id_b, span_tokens, start_a, start_b FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY id_a, id_b
-         |    ORDER BY span_tokens DESC, start_a, start_b) AS rn
-         |  FROM runs)
-         |WHERE rn = 1""".stripMargin,
+    // total order as the winnow chain. The _cand twin runs the
+    // candidate-restricted production plan — identical result by the
+    // MOSS guarantee, so it shares this oracle verbatim.
+    "q_shared_spans" -> sharedSpansSql,
+    "q_shared_spans_cand" -> sharedSpansSql,
     "q_winnow_fp" ->
       s"""WITH t AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
          |g AS (SELECT doc_id, lang,

@@ -52,6 +52,29 @@ class SharedSpansSpec extends SparkSpec {
     assert(r.getLong(3) == 29L && r.getLong(4) == 13L, s"$r")
   }
 
+  test("candidate-restricted form is identical to the direct form") {
+    // the production restriction (positional join bounded to winnow
+    // candidate pairs) must change the PLAN, never the answer — pinned
+    // on the planted fixture and on the real sf corpus
+    val run = toks("run", 40)
+    val fixture = Seq(
+      (1L, "en", s"${toks("a", 10)} $run"),
+      (2L, "en", s"$run ${toks("b", 25)}"),
+      (3L, "en", toks("c", 50)),
+      (4L, "en", s"${toks("d", 30)} ${toks("e", 30)}")
+    ).toDF("doc_id", "lang", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(TextOps.sharedSpansCandidatesCore(spark, fixture, 15)) ==
+      rows(TextOps.sharedSpansCore(spark, fixture, 15)))
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+    val direct = rows(TextOps.sharedSpansCore(spark, corpus,
+      TextOps.SpanBarTokens))
+    assert(rows(TextOps.sharedSpansCandidatesCore(spark, corpus,
+      TextOps.SpanBarTokens)) == direct)
+    assert(direct.nonEmpty, "the corpus pin must exercise real pairs")
+  }
+
   test("bar prunes short documents before any join work") {
     // both docs share their ENTIRE 10-token text — but under a 15-token
     // bar neither can hold a qualifying span, so the pass emits nothing
