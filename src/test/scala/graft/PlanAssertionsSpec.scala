@@ -131,7 +131,11 @@ class PlanAssertionsSpec extends SparkSpec {
     // self-join branches. The materialized fingerprint relation must
     // keep every Filter condition and scan DataFilters HOF-free;
     // deriving Projects may (and do) contain lambdas.
-    for (q <- Seq("q_winnow_fp", "q_winnow_overlap")) {
+    // q_shared_spans inherits the same discipline: its positional-gram
+    // relation checkpoints before the posexplode, so both join branches
+    // must read the stored array with HOF-free filters
+    for (q <- Seq("q_winnow_fp", "q_winnow_overlap",
+        "q_shared_spans", "q_shared_spans_cand")) {
       val bad = plan(q).linesIterator
         .filter(l => l.contains("Filter ") || l.contains("FileScan"))
         .filter(l => l.contains("lambdafunction") || l.contains("transform("))
