@@ -15,25 +15,70 @@ import org.apache.spark.sql.functions._
   */
 object Provenance {
 
-  /** Append a new task row (id = max+1) and return its id. Mirrors
-    * create_task + FILE_REGISTRATION insert; the "registration" here is
-    * the task row itself plus the prov message.
+  /** Bound on id-claim retries in [[createTask]] — distinguishes a
+    * contended sequence (each retry advances past a concurrently
+    * claimed id) from a filesystem that fails every create. */
+  val MaxIdClaimAttempts = 1000
+
+  /** Append a new task row and return its id. Mirrors create_task +
+    * FILE_REGISTRATION insert; the "registration" here is the task row
+    * itself plus the prov message.
     *
-    * NOT concurrency-safe: max+1 is computed on the driver with no lock,
-    * matching the reference's single-operator cadence (tasks are created
-    * by hand, once per campaign). Concurrent task creation would need a
-    * transactional table (Delta/Iceberg) or an external sequence. */
+    * Concurrency: ids are CLAIMED, not guessed — the max+1 seed is only
+    * a starting point, and the claim is an atomic
+    * `create(path, overwrite = false)` of a marker under
+    * `$tasksDir/_ids/`; a concurrent creator that claimed the same id
+    * raises FileAlreadyExists and this creator advances to the next id.
+    * Atomic-create holds on the filesystems the reference ran against
+    * (local, HDFS; also ABFS) — an object store without conditional
+    * create still needs an external sequence, as before. Single-writer
+    * behavior is unchanged (seed id claims on the first try). */
   def createTask(spark: SparkSession, tasksDir: String, name: String,
       provMsg: String): Long = {
     val existing = loadTasks(spark, tasksDir)
-    val nextId = existing.agg(coalesce(max(col("task_id")), lit(0L)))
+    val seed = existing.agg(coalesce(max(col("task_id")), lit(0L)))
       .head().getLong(0) + 1
+    val idsDir = new org.apache.hadoop.fs.Path(s"$tasksDir/_ids")
+    val fs = idsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(idsDir)
+    var id = seed
+    var claimed = false
+    var attempts = 0
+    while (!claimed) {
+      attempts += 1
+      require(attempts <= MaxIdClaimAttempts,
+        s"could not claim a task id after $MaxIdClaimAttempts attempts " +
+          s"(from seed $seed) — filesystem refusing atomic creates?")
+      val marker = new org.apache.hadoop.fs.Path(idsDir, s"id-$id")
+      try {
+        fs.create(marker, false).close()
+        claimed = true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => id += 1
+        // RawLocalFileSystem signals an existing target with a plain
+        // IOException("already exists") rather than the typed subclass
+        case _: java.io.IOException if fs.exists(marker) => id += 1
+      }
+    }
+    // the row lands via stage-then-rename, NOT a shared-directory
+    // append: concurrent appends to one target share a
+    // `_temporary/0/` staging dir and one job's commit deletes it
+    // under the other (observed as FileNotFound on the part file in
+    // the concurrent spec). Each task stages under its own id-unique
+    // dir and the commit is a single atomic file rename.
     import spark.implicits._
-    Seq((nextId, name, provMsg))
+    val stage = new org.apache.hadoop.fs.Path(s"$tasksDir/_stage/id-$id")
+    Seq((id, name, provMsg))
       .toDF("task_id", "name", "prov_msg")
       .withColumn("created_at", current_timestamp())
-      .write.mode(SaveMode.Append).parquet(tasksDir)
-    nextId
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val part = fs.listStatus(stage).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    fs.rename(part,
+      new org.apache.hadoop.fs.Path(tasksDir, s"task-$id.parquet"))
+    fs.delete(stage, true)
+    id
   }
 
   def loadTasks(spark: SparkSession, tasksDir: String): DataFrame = {

@@ -22,6 +22,26 @@ class ProvenanceReportSpec extends SparkSpec {
     assert(joined.where(col("prov_msg") === "round2").count() == 2)
   }
 
+  test("concurrent task creation claims distinct ids (atomic marker)") {
+    val dir = Files.createTempDirectory("tasks_conc").toString
+    Provenance.createTask(spark, dir, "seed", "m0")
+    // every racer computes the SAME max+1 seed (the table is not
+    // re-read inside the claim loop), so without the atomic marker all
+    // of them would return one id; the claim must fan them out
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ids = Await.result(
+      Future.sequence((1 to 6).map(i => Future {
+        Provenance.createTask(spark, dir, s"racer$i", "m")
+      })), 120.seconds)
+    assert(ids.toSet.size == 6, s"ids must be distinct: $ids")
+    assert(!ids.contains(1L), "seed id was already claimed")
+    val tasks = Provenance.loadTasks(spark, dir)
+    assert(tasks.count() == 7)
+    assert(tasks.select("task_id").distinct().count() == 7)
+  }
+
   test("html report renders sections, escapes, and highlights") {
     import spark.implicits._
     val df = Seq(("a<b", 1, "20240105"), ("ok", 2, "20240101"))
