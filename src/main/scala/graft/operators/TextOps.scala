@@ -1306,7 +1306,24 @@ object TextOps {
     * (id_a < id_b), when given, bounds the match relation — the
     * [[sharedSpansCandidates]] production restriction. */
   private[graft] def sharedSpansCore(spark: SparkSession, docs: DataFrame,
-      barTokens: Int, candidates: Option[DataFrame] = None): DataFrame = {
+      barTokens: Int, candidates: Option[DataFrame] = None): DataFrame =
+    spanRunsCore(spark, docs, barTokens, candidates)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("span_tokens")).as("span_tokens"),
+        max_by(struct(col("sa"), col("sb")),
+          struct(col("span_tokens"), (-col("sa")).as("nsa"),
+            (-col("sb")).as("nsb"))).as("at"))
+      .select(col("id_a"), col("id_b"), col("span_tokens"),
+        (col("at.sa") + 1).cast("long").as("start_a"),
+        (col("at.sb") + 1).cast("long").as("start_b"))
+
+  /** Every qualifying (≥ bar tokens) maximal shared run with both
+    * 0-based gram offsets — the relation BOTH the per-pair report
+    * ([[sharedSpansCore]]) and the scrub action ([[spanScrubCore]])
+    * consume, so "what was measured" and "what gets removed" can never
+    * disagree. */
+  private def spanRunsCore(spark: SparkSession, docs: DataFrame,
+      barTokens: Int, candidates: Option[DataFrame]): DataFrame = {
     val t = toks(col("text"))
     val s1 = slice(t, 2, Int.MaxValue - 8)
     val s2 = slice(t, 3, Int.MaxValue - 8)
@@ -1364,14 +1381,49 @@ object TextOps {
       .withColumn("span_tokens", col("run") + lit(2L))
       .where(col("span_tokens") >= barTokens)
     runs
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("span_tokens")).as("span_tokens"),
-        max_by(struct(col("sa"), col("sb")),
-          struct(col("span_tokens"), (-col("sa")).as("nsa"),
-            (-col("sb")).as("nsb"))).as("at"))
-      .select(col("id_a"), col("id_b"), col("span_tokens"),
-        (col("at.sa") + 1).cast("long").as("start_a"),
-        (col("at.sb") + 1).cast("long").as("start_b"))
+  }
+
+  /** CROSS-DOCUMENT SPAN SCRUB — the ACTION of the Lee et al. pass
+    * ([[sharedSpans]] measures; this removes): every token of the
+    * LATER document (id_b of each id_a < id_b pair — the same
+    * first-keeps convention as [[crossDocScrub]]'s owner rule) covered
+    * by a qualifying ≥ bar-token shared run is dropped; one copy of
+    * every long shared span survives the corpus. Overlapping spans
+    * from different partners union per position. Emits
+    * [[repeatScrub]]'s schema (doc_id, n_tok, n_removed, scrubbed_fp)
+    * so the three scrubs (intra-doc repeats, corpus boilerplate,
+    * cross-doc spans) compose by the same projection.
+    *
+    * Scale shape: the runs relation is [[sharedSpans]]'s own
+    * intermediate (candidate-boundable the same way); the removal is
+    * the repeat-scrub skeleton — span explode (span-sized, not
+    * corpus-sized), (doc, pos) anti-join, ordered reassembly agg. */
+  def spanScrub(spark: SparkSession, dir: String): DataFrame =
+    spanScrubCore(spark, Tables.documents(spark, dir), SpanBarTokens)
+
+  /** [[spanScrub]] over any (doc_id, text) relation. */
+  private[graft] def spanScrubCore(spark: SparkSession, docs: DataFrame,
+      barTokens: Int): DataFrame = {
+    val covered = spanRunsCore(spark, docs, barTokens, None)
+      .select(col("id_b").as("doc_id"),
+        explode(sequence(col("sb"), col("sb") + col("run") + lit(1)))
+          .as("pos"))
+      .distinct()
+    val toksed = docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .where(size(col("t")) > 0)
+    val pos = toksed.select(col("doc_id"), posexplode(col("t")))
+      .withColumnRenamed("col", "tok")
+    val scrub = pos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").cast("binary")).as("fp"))
+    toksed.select(col("doc_id"), size(col("t")).as("n_tok"))
+      .join(scrub, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("fp"), md5(lit("").cast("binary"))).as("scrubbed_fp"))
   }
 
   /** Best OVERLAP match per document over the winnowed fingerprints —
@@ -1936,6 +1988,7 @@ object TextOps {
     "q_winnow_overlap" -> winnowOverlapBest _,
     "q_shared_spans"   -> sharedSpans _,
     "q_shared_spans_cand" -> sharedSpansCandidates _,
+    "q_span_scrub"     -> spanScrub _,
     "q_length_quantiles" -> lengthQuantiles _,
     "q_fingerprint"    -> fingerprint _,
     "q_dedup_exact"    -> dedupExact _,
@@ -2145,12 +2198,13 @@ object TextOps {
          |   AND dup10k <= $Dup2gramBar10k) AS pass
          |FROM m""".stripMargin
 
-  /** DuckDB twin of the shared-span pass — one definition for both
-    * the direct (q_shared_spans) and candidate-restricted
-    * (q_shared_spans_cand) declared queries, which are result-identical
-    * by the MOSS candidate-recall guarantee. */
-  private lazy val sharedSpansSql: String =
-    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+  /** Shared-run CTE chain of the span family (ends in
+    * `runs(id_a, id_b, span_tokens, start_a, start_b)`, one row per
+    * qualifying maximal run) — one definition for the measuring
+    * oracles (q_shared_spans[_cand]) and the scrub oracle
+    * (q_span_scrub), mirroring the Scala-side spanRunsCore reuse. */
+  private lazy val spanRunsCtes: String =
+    s"""t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |d AS (SELECT doc_id, tk FROM t WHERE len(tk) >= $SpanBarTokens),
          |g AS (SELECT doc_id,
          |    list_transform(range(1, len(tk) - 1),
@@ -2181,12 +2235,42 @@ object TextOps {
          |           CAST(min(pa) AS BIGINT) AS start_a,
          |           CAST(min(pb) AS BIGINT) AS start_b
          |         FROM r GROUP BY id_a, id_b, diag, island
-         |         HAVING count(*) + 2 >= $SpanBarTokens)
-         |SELECT id_a, id_b, span_tokens, start_a, start_b FROM (
+         |         HAVING count(*) + 2 >= $SpanBarTokens)""".stripMargin
+
+  /** DuckDB twin of the shared-span pass — one definition for both
+    * the direct (q_shared_spans) and candidate-restricted
+    * (q_shared_spans_cand) declared queries, which are result-identical
+    * by the MOSS candidate-recall guarantee. */
+  private lazy val sharedSpansSql: String =
+    s"""WITH $spanRunsCtes
+       |SELECT id_a, id_b, span_tokens, start_a, start_b FROM (
          |  SELECT *, row_number() OVER (PARTITION BY id_a, id_b
          |    ORDER BY span_tokens DESC, start_a, start_b) AS rn
          |  FROM runs)
          |WHERE rn = 1""".stripMargin
+
+  /** DuckDB twin of [[spanScrubCore]]: the runs chain + the
+    * repeat-scrub reassembly skeleton over the LATER doc of each pair. */
+  private lazy val spanScrubSql: String =
+    s"""WITH $spanRunsCtes,
+       |cov AS (SELECT DISTINCT id_b AS doc_id, pos FROM (
+       |    SELECT id_b,
+       |      unnest(range(start_b - 1, start_b - 1 + span_tokens)) AS pos
+       |    FROM runs)),
+       |tt AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+       |p0 AS (SELECT doc_id, unnest(range(n)) AS pos, tk FROM tt),
+       |p AS (SELECT doc_id, pos, tk[CAST(pos + 1 AS INT)] AS tok FROM p0),
+       |kk AS (SELECT p.doc_id, p.pos, p.tok
+       |      FROM p LEFT JOIN cov
+       |        ON cov.doc_id = p.doc_id AND cov.pos = p.pos
+       |      WHERE cov.pos IS NULL),
+       |sc AS (SELECT doc_id, count(*) AS n_kept,
+       |         md5(array_to_string(list(tok ORDER BY pos), ' ')) AS fp
+       |       FROM kk GROUP BY doc_id)
+       |SELECT tt.doc_id, CAST(tt.n AS INT) AS n_tok,
+       |  CAST(tt.n - coalesce(sc.n_kept, 0) AS BIGINT) AS n_removed,
+       |  coalesce(sc.fp, md5('')) AS scrubbed_fp
+       |FROM tt LEFT JOIN sc ON sc.doc_id = tt.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" ->
@@ -2542,6 +2626,7 @@ object TextOps {
     // MOSS guarantee, so it shares this oracle verbatim.
     "q_shared_spans" -> sharedSpansSql,
     "q_shared_spans_cand" -> sharedSpansSql,
+    "q_span_scrub" -> spanScrubSql,
     "q_winnow_fp" ->
       s"""WITH t AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
          |g AS (SELECT doc_id, lang,

@@ -82,6 +82,7 @@ object PlanAudit {
     "q_hubness_auto" -> "hubness census at corpus-sized cells: probed-membership join stays on the n^1.5 envelope instead of the fixed-cell quadratic",
     "q_chunk_semdedup_auto" -> "chunk SemDeDup with cells sized from the chunk count — the production shape of the chunk twin",
     "q_shared_spans" -> "exact substring runs: checkpointed positional-gram relation, df-capped hash equi-join, diagonal-island window on the high-cardinality (pair, diag) key, per-pair argmax",
+    "q_span_scrub" -> "cross-doc span removal: the shared runs relation + span explode (span-sized), (doc,pos) anti-join, ordered reassembly agg — the repeat-scrub skeleton",
     "q_shared_spans_cand" -> "the production span plan: winnow-candidate pairs prune each positional-join side (semi-joins) and bound the match relation — identical answer, candidate-bounded join",
     "q_bpe_batched" -> "batched BPE rounds: one distributed pair-count job + (batchCap+1)-row collect per round admits a disjoint merge prefix; nested sentinel replaces chunked at 64 per projection with lineage resets",
   )

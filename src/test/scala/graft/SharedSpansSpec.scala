@@ -75,6 +75,26 @@ class SharedSpansSpec extends SparkSpec {
     assert(direct.nonEmpty, "the corpus pin must exercise real pairs")
   }
 
+  test("span scrub: the later doc loses the span, the first keeps it") {
+    val run = toks("run", 60)
+    val docs = Seq(
+      (1L, "en", s"${toks("a", 20)} $run"),
+      (2L, "en", s"${toks("c", 5)} $run ${toks("d", 10)}"),
+      (3L, "en", toks("e", 30))).toDF("doc_id", "lang", "text")
+    val got = TextOps.spanScrubCore(spark, docs, 15).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "every doc emits a verdict row")
+    assert(got(1L).getAs[Long]("n_removed") == 0L, s"${got(1L)}")
+    assert(got(2L).getAs[Long]("n_removed") == 60L, s"${got(2L)}")
+    assert(got(3L).getAs[Long]("n_removed") == 0L)
+    // doc 2's surviving text is exactly its own tokens minus the run
+    val kept = ((1 to 5).map(i => s"c$i") ++ (1 to 10).map(i => s"d$i"))
+      .mkString(" ")
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest(kept.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(2L).getAs[String]("scrubbed_fp") == want)
+  }
+
   test("bar prunes short documents before any join work") {
     // both docs share their ENTIRE 10-token text — but under a 15-token
     // bar neither can hold a qualifying span, so the pass emits nothing
