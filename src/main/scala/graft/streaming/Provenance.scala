@@ -51,12 +51,21 @@ object Provenance {
           s"(from seed $seed) — filesystem refusing atomic creates?")
       val marker = new org.apache.hadoop.fs.Path(idsDir, s"id-$id")
       try {
-        fs.create(marker, false).close()
+        // Hadoop's LOCAL create(overwrite = false) is check-then-act —
+        // two racers can both pass the exists() probe (observed in the
+        // concurrent spec). O_CREAT|O_EXCL via java.nio IS atomic on
+        // the local filesystem; HDFS/ABFS create is atomic at the
+        // namenode and takes the Hadoop path.
+        if (fs.getScheme == "file")
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(marker.toUri.getPath))
+        else fs.create(marker, false).close()
         claimed = true
       } catch {
+        case _: java.nio.file.FileAlreadyExistsException => id += 1
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => id += 1
-        // RawLocalFileSystem signals an existing target with a plain
-        // IOException("already exists") rather than the typed subclass
+        // some FS impls signal an existing target with a plain
+        // IOException rather than the typed subclass
         case _: java.io.IOException if fs.exists(marker) => id += 1
       }
     }
