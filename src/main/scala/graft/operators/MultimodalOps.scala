@@ -10,10 +10,15 @@ import graft.sources.Tables
   *
   * IMAGE decode is REAL ([[MultimodalOps.ImageIoCodec]] — pure-JDK
   * `javax.imageio`: PNG/JPEG/BMP/GIF pixels, true dimensions, luminance
-  * histograms, per-frame signatures). Payloads no image reader accepts
-  * (audio, video containers — the JDK ships no codec for those) fall back
-  * to [[MultimodalOps.DecodeStub]]'s deterministic byte-derived features,
-  * the documented seam a deployment replaces with its own [[MultimodalOps.MediaCodec]].
+  * histograms, per-frame signatures). AUDIO decode is REAL
+  * ([[MultimodalOps.JavaSoundCodec]] — pure-JDK `javax.sound.sampled`:
+  * WAV/AIFF/AU PCM samples, true channel/bit-depth metadata, amplitude
+  * histograms, windowed sample signatures). [[MultimodalOps.JdkMediaCodec]]
+  * routes each payload by its actual container header. Payloads neither
+  * JDK family accepts (video containers — the JDK ships no video codec)
+  * fall back to [[MultimodalOps.DecodeStub]]'s deterministic byte-derived
+  * features, the documented seam a deployment replaces with its own
+  * [[MultimodalOps.MediaCodec]].
   * Everything around the codec is load-bearing at scale:
   *  - schema: `MediaFile` (binary payload + declared metadata map) →
   *    `MediaFeatures` (typed metadata + float feature vector)
@@ -218,13 +223,183 @@ object MultimodalOps {
             .map(i => (i, rollSig(luma(frames(i)))))
         case None => DecodeStub.frameSigs(m, everyK)
       }
+
+    /** Header-only probe: does a registered image reader claim these
+      * bytes? Reads magic bytes, decodes nothing — [[JdkMediaCodec]]'s
+      * routing predicate. */
+    private[operators] def accepts(content: Array[Byte]): Boolean = {
+      if (content == null || content.isEmpty) return false
+      ImageIO.setUseCache(false)
+      val in = ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      if (in == null) return false
+      try ImageIO.getImageReaders(in).hasNext
+      catch { case _: Exception => false }
+      finally in.close()
+    }
+  }
+
+  /** REAL audio codec — pure-JDK `javax.sound.sampled` decode (WAV, AIFF,
+    * AU PCM readers ship with every JRE: zero external deps). Per payload:
+    *
+    *  - a registered audio reader accepts the bytes → REAL decode: the
+    *    stream is normalized to 16-bit signed PCM (the JDK converts PCM
+    *    widths, endianness, and µ-law/a-law), channels are averaged to a
+    *    mono 8-bit amplitude code per sample (integer arithmetic:
+    *    `(avg16 >> 8) + 128` ∈ 0..255), and the [[MediaFeatures]] mapping
+    *    is: `width` = channel count, `height` = declared bits/sample,
+    *    `n_frames` = number of [[WindowSamples]]-sample windows, feature =
+    *    normalized 16-bin AMPLITUDE histogram of the codes (the audio
+    *    analog of the image path's luminance histogram). "Frames" are
+    *    fixed windows so audio flows through the same frame-sampling /
+    *    shared-signature near-dup joins as video keyframes: the window
+    *    signature folds the window's codes through the identical modular
+    *    rolling hash, so re-encodes of the same PCM (WAV↔AIFF, LE↔BE,
+    *    8↔16-bit widening) COLLIDE — byte-level compares would miss all
+    *    of them.
+    *  - no audio reader accepts the bytes → delegates to [[DecodeStub]],
+    *    same discipline as [[ImageIoCodec]].
+    *
+    * Decode state: readers are acquired per payload via `AudioSystem`
+    * (the provider registry lookup is thread-safe; streams are not
+    * shared). Payloads are in-memory byte arrays, so the decoded mono
+    * plane is bounded by the payload size — no spill risk beyond the
+    * batch bound [[extractFeatures]] already enforces. */
+  object JavaSoundCodec extends MediaCodec {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+    /** Samples per audio "frame" (window) — 1024 mono samples, the
+      * keyframe-analog granularity for [[sampleFrames]]/[[mediaNearDup]]. */
+    val WindowSamples = 1024
+
+    private[operators] final case class Pcm(channels: Int, bits: Int,
+        codes: Array[Int])
+
+    /** Header-only probe (magic + header parse, no sample decode). */
+    private[operators] def accepts(content: Array[Byte]): Boolean = {
+      if (content == null || content.length < 12) return false
+      try {
+        AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(content))
+        true
+      } catch { case _: Exception => false }
+    }
+
+    /** Full decode to mono 8-bit amplitude codes, or None when no audio
+      * reader accepts the payload (or the container is torn mid-body —
+      * hostile inputs degrade to the byte path, never poison the batch). */
+    private[operators] def tryPcm(content: Array[Byte]): Option[Pcm] = {
+      if (content == null || content.isEmpty) return None
+      try {
+        val in0 = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val base = in0.getFormat
+          val ch = math.max(1, base.getChannels)
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            base.getSampleRate, 16, ch, ch * 2, base.getSampleRate, false)
+          val in = AudioSystem.getAudioInputStream(target, in0)
+          try {
+            val bos = new java.io.ByteArrayOutputStream(content.length)
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+            val bytes = bos.toByteArray
+            val frame = ch * 2
+            val nSamp = bytes.length / frame
+            val codes = new Array[Int](nSamp)
+            var i = 0
+            while (i < nSamp) {
+              var sum = 0
+              var c = 0
+              while (c < ch) {
+                val off = i * frame + c * 2
+                sum += (bytes(off + 1) << 8) | (bytes(off) & 0xFF)
+                c += 1
+              }
+              codes(i) = ((sum / ch) >> 8) + 128
+              i += 1
+            }
+            val declaredBits = base.getSampleSizeInBits
+            Some(Pcm(ch, if (declaredBits > 0) declaredBits else 16, codes))
+          } finally in.close()
+        } finally in0.close()
+      } catch { case _: Exception => None }
+    }
+
+    private def nWindows(p: Pcm): Int =
+      math.max(1, (p.codes.length + WindowSamples - 1) / WindowSamples)
+
+    private def windowSig(codes: Array[Int], w: Int): Long = {
+      var s = 17L
+      var i = w * WindowSamples
+      val end = math.min(codes.length, (w + 1) * WindowSamples)
+      while (i < end) {
+        s = (31 * s + codes(i)) % 2147483647L
+        i += 8
+      }
+      s
+    }
+
+    def decode(m: MediaFile): MediaFeatures = tryPcm(m.content) match {
+      case Some(p) =>
+        val hist = new Array[Float](16)
+        if (p.codes.nonEmpty) {
+          p.codes.foreach(c => hist(c / 16) += 1f)
+          var i = 0
+          while (i < 16) { hist(i) /= p.codes.length; i += 1 }
+        }
+        MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
+          p.channels, p.bits, nWindows(p), decode_ok = true, hist)
+      case None => DecodeStub.decode(m)
+    }
+
+    def frameCount(m: MediaFile): Int =
+      tryPcm(m.content).map(nWindows).getOrElse(DecodeStub.frameCount(m))
+
+    def frameSig(m: MediaFile, idx: Int): Long = tryPcm(m.content) match {
+      case Some(p) if idx < nWindows(p) => windowSig(p.codes, idx)
+      case Some(_) => 0L
+      case None => DecodeStub.frameSig(m, idx)
+    }
+
+    /** Decode-once bulk sampling: one PCM decode serves every window. */
+    override def frameSigs(m: MediaFile, everyK: Int): Seq[(Int, Long)] =
+      tryPcm(m.content) match {
+        case Some(p) =>
+          (0 until nWindows(p) by everyK).map(w => (w, windowSig(p.codes, w)))
+        case None => DecodeStub.frameSigs(m, everyK)
+      }
+  }
+
+  /** Production default codec — routes each payload by what its bytes
+    * actually are (container header probes, not the declared `kind`
+    * column, which is caller metadata): image readers first, then audio
+    * readers, else the deterministic byte path. Both probes are
+    * header-only (magic bytes), so undecodable rows pay two cheap
+    * rejections, not two decode attempts; the winning family decodes
+    * once. Video containers land on [[DecodeStub]] by construction — the
+    * JDK ships no video codec, so that half of the seam stays a
+    * deployment plug-in ([[MediaCodec]]). */
+  object JdkMediaCodec extends MediaCodec {
+    private def route(content: Array[Byte]): MediaCodec =
+      if (ImageIoCodec.accepts(content)) ImageIoCodec
+      else if (JavaSoundCodec.accepts(content)) JavaSoundCodec
+      else DecodeStub
+
+    def decode(m: MediaFile): MediaFeatures = route(m.content).decode(m)
+    def frameCount(m: MediaFile): Int = route(m.content).frameCount(m)
+    def frameSig(m: MediaFile, idx: Int): Long =
+      route(m.content).frameSig(m, idx)
+    override def frameSigs(m: MediaFile, everyK: Int): Seq[(Int, Long)] =
+      route(m.content).frameSigs(m, everyK)
   }
 
   /** Decode + feature extraction: partition-local, explicit micro-batches.
     * `batchSize` bounds peak memory per task (batch of payloads decoded
     * together — the `mapInPandas` batch-shape analog). */
   def extractFeatures(media: Dataset[MediaFile], batchSize: Int = 64,
-      codec: MediaCodec = ImageIoCodec): Dataset[MediaFeatures] = {
+      codec: MediaCodec = JdkMediaCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
@@ -239,7 +414,7 @@ object MultimodalOps {
     * Goes through the codec's bulk [[MediaCodec.frameSigs]] so a real
     * container decodes ONCE per media, not once per sampled frame. */
   def sampleFrames(media: Dataset[MediaFile], everyK: Int = 2,
-      codec: MediaCodec = ImageIoCodec): Dataset[FrameSample] = {
+      codec: MediaCodec = JdkMediaCodec): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
       codec.frameSigs(m, everyK)

@@ -161,6 +161,122 @@ class MultimodalSpec extends SparkSpec {
       DecodeStub.frameSigs(m, 2))
   }
 
+  // --- real javax.sound kernel ------------------------------------------
+
+  /** Deterministic 16-bit PCM serialized into a real container via the
+    * JDK's own writers (WAV is little-endian PCM, AIFF big-endian —
+    * `bigEndian` must match the container family). `samples` is
+    * channel-interleaved. */
+  private def pcm16(samples: Array[Short], channels: Int, bigEndian: Boolean,
+      fileType: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    val bytes = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      val s = samples(i)
+      if (bigEndian) {
+        bytes(2 * i) = (s >> 8).toByte; bytes(2 * i + 1) = s.toByte
+      } else {
+        bytes(2 * i) = s.toByte; bytes(2 * i + 1) = (s >> 8).toByte
+      }
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16,
+      channels, channels * 2, 8000f, bigEndian)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(bytes),
+      fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, fileType, bos)
+    bos.toByteArray
+  }
+
+  private val Wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+  private val Aiff = javax.sound.sampled.AudioFileFormat.Type.AIFF
+
+  test("real WAV decode end to end: channels/bits/windows, exact histogram") {
+    // 1024 samples at -32768 (code 0 -> bin 0), 1024 at +32512 (code 255
+    // -> bin 15): two full windows, histogram split exactly in half
+    val samples =
+      (Array.fill(1024)(-32768) ++ Array.fill(1024)(32512)).map(_.toShort)
+    val wav = pcm16(samples, 1, bigEndian = false, Wave)
+    val ds = spark.createDataset(Seq(
+      MediaFile(11L, "audio", wav, Map("fmt" -> "wav"))))
+    val f = MultimodalOps.extractFeatures(ds).collect().head
+    assert(f.decode_ok && f.width == 1 && f.height == 16 && f.n_frames == 2,
+      s"$f")
+    assert(f.byte_len == wav.length.toLong)
+    assert(f.feature(0) == 0.5f && f.feature(15) == 0.5f, f.feature.toSeq)
+    assert((1 to 14).forall(f.feature(_) == 0f))
+  }
+
+  test("stereo WAV: channels average into the mono amplitude plane") {
+    // every frame L=+25600, R=-25600 -> integer average 0 -> code 128 ->
+    // bin 8, exactly
+    val frames = 2048
+    val inter = new Array[Short](frames * 2)
+    for (i <- 0 until frames) {
+      inter(2 * i) = 25600.toShort; inter(2 * i + 1) = (-25600).toShort
+    }
+    val f = MultimodalOps.JavaSoundCodec.decode(
+      MediaFile(1L, "audio", pcm16(inter, 2, bigEndian = false, Wave), Map()))
+    assert(f.decode_ok && f.width == 2 && f.height == 16 && f.n_frames == 2,
+      s"$f")
+    assert(f.feature(8) == 1.0f, f.feature.toSeq)
+  }
+
+  test("WAV<->AIFF re-encodes of the same PCM share window signatures") {
+    var x = 48271L
+    val samples = Array.fill(3000) {
+      x = (x * 48271) % 2147483647L; ((x % 65536) - 32768).toShort
+    }
+    val a = MultimodalOps.JavaSoundCodec.frameSigs(
+      MediaFile(1L, "audio", pcm16(samples, 1, bigEndian = false, Wave),
+        Map()), 1)
+    val b = MultimodalOps.JavaSoundCodec.frameSigs(
+      MediaFile(2L, "audio", pcm16(samples, 1, bigEndian = true, Aiff),
+        Map()), 1)
+    assert(a == b && a.nonEmpty, s"$a vs $b")
+    // different PCM -> different signatures
+    val c = MultimodalOps.JavaSoundCodec.frameSigs(
+      MediaFile(3L, "audio",
+        pcm16(samples.reverse, 1, bigEndian = false, Wave), Map()), 1)
+    assert(a != c)
+  }
+
+  test("JdkMediaCodec routes by container: PNG->image, WAV->audio, text->stub") {
+    val png = MediaFile(1L, "declared-audio", encode(checkerImage(16, 8),
+      "png"), Map())
+    val fp = MultimodalOps.JdkMediaCodec.decode(png)
+    assert(fp.decode_ok && fp.width == 16 && fp.height == 8,
+      "content routing must ignore the declared kind")
+    val wav = MediaFile(2L, "declared-image",
+      pcm16(Array.fill[Short](512)(1000), 1, bigEndian = false, Wave), Map())
+    val fw = MultimodalOps.JdkMediaCodec.decode(wav)
+    assert(fw.decode_ok && fw.width == 1 && fw.height == 16
+      && fw.n_frames == 1, s"$fw")
+    assert(MultimodalOps.JdkMediaCodec.frameSigs(wav, 1) ==
+      MultimodalOps.JavaSoundCodec.frameSigs(wav, 1))
+    val txt = MediaFile(3L, "audio",
+      "neither reader family accepts text".getBytes("UTF-8"), Map())
+    val ft = MultimodalOps.JdkMediaCodec.decode(txt)
+    val stub = DecodeStub.decode(txt)
+    assert(ft.copy(feature = null) == stub.copy(feature = null))
+    assert(ft.feature.toSeq == stub.feature.toSeq)
+    assert(MultimodalOps.JdkMediaCodec.frameSigs(txt, 2) ==
+      DecodeStub.frameSigs(txt, 2))
+  }
+
+  test("torn WAV container degrades safely, never throws") {
+    val wav = pcm16(Array.fill[Short](2048)(123), 1, bigEndian = false, Wave)
+    val torn = MediaFile(4L, "audio", wav.take(50), Map())
+    // header parses but the body is truncated: the codec must either
+    // decode the surviving prefix or fall back to the byte path — both
+    // terminate with a well-formed row
+    val f = MultimodalOps.JavaSoundCodec.decode(torn)
+    assert(f.byte_len == 50L && f.feature.length == 16)
+    assert(math.abs(f.feature.sum - 1.0f) < 1e-3 || f.feature.forall(_ == 0f))
+    val sigs = MultimodalOps.JavaSoundCodec.frameSigs(torn, 1)
+    assert(sigs.nonEmpty)
+  }
+
   test("media near-dup: shared frames match, the df-cap kills common frames") {
     // media 1 and 2 share two frame signatures (a near-copy); media 3
     // shares only one with each (below the bar). Every media ALSO
