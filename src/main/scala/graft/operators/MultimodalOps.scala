@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -556,9 +556,79 @@ object MultimodalOps {
       .join(best, Seq("media_id"), "left")
   }
 
+  /** Little-endian uint32 as 8 hex chars — WAV header size fields. */
+  private def le32hex(v: Column): Column = concat(
+    lpad(hex(v % 256), 2, "0"),
+    lpad(hex(shiftright(v, 8) % 256), 2, "0"),
+    lpad(hex(shiftright(v, 16) % 256), 2, "0"),
+    lpad(hex(shiftright(v, 24) % 256), 2, "0"))
+
+  /** Deterministic REAL-WAV synthesis from the documents table: each doc
+    * becomes a valid RIFF/WAVE container (PCM_SIGNED 16-bit mono 8 kHz)
+    * whose n-th sample is `(byte_n - 128) * 256` of the doc's n-th text
+    * byte. Built entirely with column expressions (hex-string assembly →
+    * `unhex`), so the SAME payload is constructible in DuckDB — which is
+    * what lets a query through the REAL `javax.sound` decode kernel carry
+    * an exact SQL oracle: the decoded mono amplitude code of sample n is
+    * `((b-128)*256 >> 8) + 128 = b`, i.e. real decode of this corpus
+    * recovers the text bytes, and the amplitude histogram is the byte
+    * histogram under bin = b div 16. */
+  def wavFromDocuments(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    val pcmHex = array_join(
+      transform(split(col("text"), ""),
+        c => concat(lit("00"), lpad(hex((ascii(c) + 128) % 256), 2, "0"))),
+      "")
+    val dataLen = (length(col("text")) * 2).cast("long")
+    val headerHex = concat(
+      lit("52494646"), le32hex(dataLen + 36L), // "RIFF", chunk size
+      lit("57415645666D7420"),                 // "WAVE" "fmt "
+      lit("10000000"),                          // fmt chunk size 16
+      lit("0100"), lit("0100"),                 // PCM, mono
+      lit("401F0000"), lit("803E0000"),         // 8000 Hz, 16000 B/s
+      lit("0200"), lit("1000"),                 // block align 2, 16 bit
+      lit("64617461"), le32hex(dataLen))        // "data", data size
+    Tables.documents(spark, dir)
+      .where(length(col("text")) > 0)
+      .select(col("doc_id").as("media_id"), lit("audio").as("kind"),
+        unhex(concat(headerHex, pcmHex)).as("content"),
+        map(lit("lang"), col("lang")).as("declared_meta"))
+      .as[MediaFile]
+  }
+
+  /** ORACLED REAL AUDIO DECODE — [[wavFromDocuments]] payloads through
+    * the [[JdkMediaCodec]]-routed mapPartitions kernel (every row is a
+    * genuine WAV, so every row takes the [[JavaSoundCodec]] path), then
+    * per-language aggregates inverted to exact integers exactly like
+    * [[mediaFeatureSummary]]: bin counts recovered via
+    * `round(hist_i * n_samples)`, energy as the sum of squared counts.
+    * `n_real_audio` pins the routing: it counts rows with the REAL
+    * decode's metadata shape (mono, 16-bit, decode_ok) — the byte
+    * fallback would report the stub's length-derived pseudo-dims and
+    * break the hash. */
+  def audioFeatureSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = extractFeatures(wavFromDocuments(spark, dir)).toDF()
+    val langs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"), col("lang"))
+    feats
+      .withColumn("n_samples", ((col("byte_len") - 44L) / lit(2L)).cast("long"))
+      .withColumn("cnts", transform(col("feature"),
+        x => round(x.cast("double") * col("n_samples")).cast("long")))
+      .withColumn("energy", aggregate(col("cnts"), lit(0L), (a, x) => a + x * x))
+      .join(langs, Seq("media_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(when(col("decode_ok") && col("width") === 1
+          && col("height") === 16, 1L).otherwise(0L)).as("n_real_audio"),
+        sum(col("n_frames").cast("long")).as("sum_windows"),
+        sum(col("energy")).as("sum_sq_bin_counts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta"     -> mediaMeta _,
     "q_media_features" -> mediaFeatureSummary _,
+    "q_audio_features" -> audioFeatureSummary _,
     "q_frame_sample"   -> frameSamples _,
     "q_media_neardup"  -> mediaNearDup _,
   )
@@ -599,6 +669,29 @@ object MultimodalOps {
         |  CAST(CAST(sum(energy) AS BIGINT) * 10000 // count(*) AS DOUBLE)
         |    / 10000.0 AS avg_energy
         |FROM perdoc GROUP BY kind""".stripMargin,
+    // REAL javax.sound decode, oracled: sample n of the synthesized WAV
+    // is (b_n - 128) * 256, so the decoded amplitude code is b_n itself —
+    // the per-language aggregate is the text byte histogram (bin = b//16)
+    // plus the 1024-sample window count, all integer arithmetic
+    "q_audio_features" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    ord(substr(text, CAST(i + 1 AS INT), 1)) // 16 AS bin
+        |  FROM (SELECT doc_id, text, unnest(range(length(text))) AS i
+        |        FROM documents WHERE length(text) > 0)),
+        |bins AS (SELECT doc_id, bin, count(*) AS cnt FROM ch GROUP BY 1, 2),
+        |perdoc AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(length(d.text) AS BIGINT) AS n_samples,
+        |    coalesce(CAST(sum(b.cnt * b.cnt) AS BIGINT), 0) AS energy
+        |  FROM documents d LEFT JOIN bins b USING (doc_id)
+        |  WHERE length(d.text) > 0
+        |  GROUP BY 1, 2, 3)
+        |SELECT lang, count(*) AS n_media,
+        |  CAST(count(*) AS BIGINT) AS n_real_audio,
+        |  CAST(sum((n_samples + 1023) // 1024) AS BIGINT) AS sum_windows,
+        |  CAST(sum(energy) AS BIGINT) AS sum_sq_bin_counts
+        |FROM perdoc GROUP BY lang""".stripMargin,
     // every-2nd frame of n_frames = 1 + len % 8; the signature folds the
     // stride-8 byte codes through (31*s + b) mod 2^31-1 from seed 17 —
     // list_reduce uses the first element as init, hence the prepend

@@ -264,6 +264,28 @@ class MultimodalSpec extends SparkSpec {
       DecodeStub.frameSigs(txt, 2))
   }
 
+  test("synthesized WAV corpus: every doc takes the REAL audio decode path") {
+    val media = MultimodalOps.wavFromDocuments(spark, sfDir)
+    val feats = MultimodalOps.extractFeatures(media).collect()
+    assert(feats.nonEmpty)
+    // real decode shape on every row: mono, 16-bit, true window count —
+    // the byte fallback would report length-derived pseudo-dims instead
+    assert(feats.forall(f => f.decode_ok && f.width == 1 && f.height == 16))
+    // decode of (b-128)*256 samples recovers the text bytes: check one
+    // doc's histogram against the text computed directly
+    val doc = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").where(length(col("text")) > 0)
+      .orderBy("doc_id").limit(1).collect().head
+    val text = doc.getString(1)
+    val expected = new Array[Float](16)
+    text.getBytes("US-ASCII").foreach(b => expected((b & 0xFF) / 16) += 1f)
+    (0 until 16).foreach(i => expected(i) /= text.length)
+    val got = feats.find(_.media_id == doc.getLong(0)).get
+    assert(got.feature.toSeq == expected.toSeq,
+      s"real decode must recover the text byte histogram")
+    assert(got.n_frames == math.max(1, (text.length + 1023) / 1024))
+  }
+
   test("torn WAV container degrades safely, never throws") {
     val wav = pcm16(Array.fill[Short](2048)(123), 1, bigEndian = false, Wave)
     val torn = MediaFile(4L, "audio", wav.take(50), Map())
