@@ -608,15 +608,23 @@ object MultimodalOps {
     * break the hash. */
   def audioFeatureSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val feats = extractFeatures(wavFromDocuments(spark, dir)).toDF()
-    val langs = Tables.documents(spark, dir)
-      .select(col("doc_id").as("media_id"), col("lang"))
+    // same partition-local decode shape as extractFeatures, but the
+    // grouping key rides ALONG through the kernel (declared_meta carries
+    // lang) — no join back to the documents table, so the only shuffle
+    // in the plan is the final partial+final hash aggregate
+    val feats = wavFromDocuments(spark, dir).mapPartitions { it =>
+      it.map { m =>
+        val f = JdkMediaCodec.decode(m)
+        (m.declared_meta.getOrElse("lang", ""), f.decode_ok, f.width,
+          f.height, f.n_frames, f.byte_len, f.feature)
+      }
+    }.toDF("lang", "decode_ok", "width", "height", "n_frames", "byte_len",
+      "feature")
     feats
       .withColumn("n_samples", ((col("byte_len") - 44L) / lit(2L)).cast("long"))
       .withColumn("cnts", transform(col("feature"),
         x => round(x.cast("double") * col("n_samples")).cast("long")))
       .withColumn("energy", aggregate(col("cnts"), lit(0L), (a, x) => a + x * x))
-      .join(langs, Seq("media_id"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_media"),
         sum(when(col("decode_ok") && col("width") === 1
