@@ -22,6 +22,7 @@ object PlanAudit {
     "q_jaccard_lsh" -> "LSH band-key candidates front the exact-Jaccard verify (sub-quadratic best-match)",
     "q_nn_label_ann" -> "(label, sign-bucket) block join; bucket count scales with the largest label block",
     "q_media_features" -> "mapPartitions decode kernel; integer-exact aggregate over inverted histogram",
+    "q_audio_features" -> "REAL javax.sound WAV decode kernel; lang rides through the kernel — no join, single aggregate exchange",
     "q_kmeans" -> "Lloyd iterations: broadcast k centroids + one assignment shuffle each; all-integer arithmetic",
     "q_docids_per_lang" -> "two-phase top-k: per-partition local cap then global merge — NO per-lang window funnel",
     "q_simhash_neardup" -> "banded simhash: per-(band, value) candidate equi-join + exact Hamming verify on candidates only",

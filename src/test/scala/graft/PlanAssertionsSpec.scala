@@ -114,6 +114,16 @@ class PlanAssertionsSpec extends SparkSpec {
       s"unused columns must be pruned from the scan:\n$p")
   }
 
+  test("q_audio_features: decode kernel keys ride along — no join, one exchange") {
+    // lang travels through the mapPartitions kernel in declared_meta, so
+    // the plan must be scan -> kernel -> partial agg -> ONE exchange ->
+    // final agg: no join back to documents, no second scan
+    val p = plan("q_audio_features")
+    assert(!p.contains("Join"), s"no join back to the documents table:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2, // plan text names each once
+      s"only the aggregate exchange:\n$p")
+  }
+
   test("q_source_cap: partial group limit truncates before the exchange") {
     // the per-source cap must shuffle O(sources·cap) rows, not the
     // corpus: the rank filter plans a PARTIAL WindowGroupLimit below
