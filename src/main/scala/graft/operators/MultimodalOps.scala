@@ -633,10 +633,86 @@ object MultimodalOps {
         sum(col("energy")).as("sum_sq_bin_counts"))
   }
 
+  /** Unity display matrix (9 × 16.16/2.30 fixed-point values) shared by
+    * the synthesized mvhd and tkhd boxes. */
+  private val UnityMatrixHex =
+    "00010000" + "00000000" + "00000000" +
+    "00000000" + "00010000" + "00000000" +
+    "00000000" + "00000000" + "40000000"
+
+  /** Deterministic REAL-MP4 synthesis from the documents table: each doc
+    * becomes a structurally valid ISO-BMFF container — `ftyp` (brand
+    * isom) + `moov` { `mvhd` (timescale 1000, duration = text length ms)
+    * + `trak` { `tkhd` (16.16 dimensions reusing [[mediaMeta]]'s
+    * length-derived arithmetic) } } + an `mdat` box carrying the text
+    * bytes (which the parser must SKIP — data boxes are opaque). Built
+    * with column expressions (hex assembly → `unhex`; ISO-BMFF is
+    * big-endian, so sizes are plain `lpad(hex(v), 8)`), making the same
+    * payload constructible in DuckDB — the real box-walker can carry an
+    * exact SQL oracle. */
+  def mp4FromDocuments(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    val len = length(col("text")).cast("long")
+    val dur8 = lpad(hex(len), 8, "0")
+    val w16 = concat(lpad(hex(lit(1) + len % 64), 4, "0"), lit("0000"))
+    val h16 = concat(lpad(hex(lit(1) + shiftright(len, 6) % 64), 4, "0"),
+      lit("0000"))
+    val mvhdHex = concat(
+      lit("0000006C" + "6D766864" + "00000000" + // size 108, 'mvhd', v0
+        "00000000" + "00000000" + "000003E8"),   // ctime, mtime, ts=1000
+      dur8,
+      lit("00010000" + "01000000" +              // rate 1.0, volume 1.0
+        "0000000000000000" + UnityMatrixHex +    // reserved, matrix
+        "0" * 48 + "00000002"))                  // pre_defined, next track
+    val tkhdHex = concat(
+      lit("0000005C" + "746B6864" + "00000007" + // size 92, 'tkhd', flags
+        "00000000" + "00000000" + "00000001" + "00000000"), // track 1
+      dur8,
+      lit("0000000000000000" + "00000000" + "00000000" + // layer/alt/vol
+        UnityMatrixHex),
+      w16, h16)
+    val mdatHex = concat(lpad(hex(len + 8L), 8, "0"), lit("6D646174"),
+      array_join(transform(split(col("text"), ""),
+        c => lpad(hex(ascii(c)), 2, "0")), ""))
+    val fileHex = concat(
+      lit("00000014" + "66747970" + "69736F6D" + "00000200" + "69736F6D"),
+      lit("000000D8" + "6D6F6F76"), mvhdHex,
+      lit("00000064" + "7472616B"), tkhdHex,
+      mdatHex)
+    Tables.documents(spark, dir)
+      .where(length(col("text")) > 0)
+      .select(col("doc_id").as("media_id"), lit("video").as("kind"),
+        unhex(fileHex).as("content"),
+        map(lit("lang"), col("lang")).as("declared_meta"))
+      .as[MediaFile]
+  }
+
+  /** ORACLED REAL VIDEO-CONTAINER METADATA — [[mp4FromDocuments]]
+    * payloads through [[graft.functions.IsoBmff.probe]]'s box walker in
+    * the same partition-local kernel shape as the decode paths. The
+    * pixel seam stays ([[DecodeStub]] for video FEATURES — no JDK
+    * codec), but the metadata a curation pass filters on (brand,
+    * duration, track count, declared dimensions) is parsed from the real
+    * container grammar and hash-checked against DuckDB rebuilding the
+    * same values from the documents table. */
+  def videoMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mp4FromDocuments(spark, dir).mapPartitions { it =>
+      it.map { m =>
+        val v = graft.functions.IsoBmff.probe(m.content)
+          .getOrElse(graft.functions.IsoBmff.VideoMeta("", 0L, 0L, 0, 0, 0))
+        (m.media_id, v.major_brand, v.timescale, v.duration_ms,
+          v.n_tracks, v.width, v.height)
+      }
+    }.toDF("media_id", "major_brand", "timescale", "duration_ms",
+      "n_tracks", "width", "height")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta"     -> mediaMeta _,
     "q_media_features" -> mediaFeatureSummary _,
     "q_audio_features" -> audioFeatureSummary _,
+    "q_video_meta"     -> videoMeta _,
     "q_frame_sample"   -> frameSamples _,
     "q_media_neardup"  -> mediaNearDup _,
   )
@@ -700,6 +776,19 @@ object MultimodalOps {
         |  CAST(sum((n_samples + 1023) // 1024) AS BIGINT) AS sum_windows,
         |  CAST(sum(energy) AS BIGINT) AS sum_sq_bin_counts
         |FROM perdoc GROUP BY lang""".stripMargin,
+    // REAL ISO-BMFF box walk, oracled: the synthesized container carries
+    // timescale 1000 / duration = text length in mvhd, one trak, and
+    // tkhd 16.16 dimensions from the mediaMeta arithmetic — the parser
+    // must skip the mdat data box and recover exactly these values
+    "q_video_meta" ->
+      """SELECT doc_id AS media_id,
+        |  'isom' AS major_brand,
+        |  CAST(1000 AS BIGINT) AS timescale,
+        |  CAST(length(text) AS BIGINT) AS duration_ms,
+        |  CAST(1 AS INT) AS n_tracks,
+        |  CAST(1 + length(text) % 64 AS INT) AS width,
+        |  CAST(1 + (length(text) // 64) % 64 AS INT) AS height
+        |FROM documents WHERE length(text) > 0""".stripMargin,
     // every-2nd frame of n_frames = 1 + len % 8; the signature folds the
     // stride-8 byte codes through (31*s + b) mod 2^31-1 from seed 17 —
     // list_reduce uses the first element as init, hence the prepend
