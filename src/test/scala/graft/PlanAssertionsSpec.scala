@@ -124,6 +124,12 @@ class PlanAssertionsSpec extends SparkSpec {
       s"only the aggregate exchange:\n$p")
   }
 
+  test("q_video_meta: map-only box-walk kernel — no exchange anywhere") {
+    val p = plan("q_video_meta")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"row-per-media metadata parse must stay map-only:\n$p")
+  }
+
   test("q_source_cap: partial group limit truncates before the exchange") {
     // the per-source cap must shuffle O(sources·cap) rows, not the
     // corpus: the rank filter plans a PARTIAL WindowGroupLimit below
