@@ -18,7 +18,7 @@ import graft.sources.Tables
 object TextOps {
 
   /** Whitespace tokens, empties dropped (engine-portable). */
-  private[operators] def toks(c: Column): Column =
+  private[graft] def toks(c: Column): Column =
     filter(split(c, " "), t => t =!= "")
 
   /** chars/4 token estimate — the ONE definition every token-accounting
@@ -834,15 +834,21 @@ object TextOps {
   def nbQuality(spark: SparkSession, dir: String): DataFrame =
     nbQualityCore(Tables.documents(spark, dir))
 
-  /** [[nbQuality]] over any (doc_id, lang, text) relation — split out so
-    * specs can plant a corpus with known vocabulary separation. */
-  private[graft] def nbQualityCore(docs: DataFrame): DataFrame = {
-    val labeled = docs.select(col("doc_id"), col("lang"), col("text"),
+  /** The weak-label projection shared by training and scoring. */
+  private def nbLabeled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("text"),
       when(!gopherShapeFail(col("text")) &&
         quality10k(col("text")) >= QualityFloor10k, 1L).otherwise(0L)
         .as("pos"))
-    val ex = labeled.select(col("doc_id"), col("lang"), col("pos"),
-      explode(toks(col("text"))).as("tok"))
+
+  /** One-pass NB TRAINING — the MATERIALIZABLE model: (weights(tok, w),
+    * prior(prior_w)). A production run writes both tables once (the
+    * curationRun discipline) and every scorer — batch rescoring,
+    * [[graft.streaming.StreamingAnalytics.nbGate]] on the ingest path —
+    * derives from the stored model instead of re-training per use. */
+  def nbTrain(docs: DataFrame): (DataFrame, DataFrame) = {
+    val labeled = nbLabeled(docs)
+    val ex = labeled.select(col("pos"), explode(toks(col("text"))).as("tok"))
     val cnts = ex.groupBy(col("tok")).agg(
       sum(col("pos")).as("cnt_pos"),
       sum(lit(1L) - col("pos")).as("cnt_neg"))
@@ -856,7 +862,22 @@ object TextOps {
     val prior = labeled.agg(
       (log2x8(sum(col("pos")) + lit(1L)) -
         log2x8(sum(lit(1L) - col("pos")) + lit(1L))).as("prior_w"))
-    ex.join(w, Seq("tok"))
+    (w, prior)
+  }
+
+  /** Scoring against a (possibly stored) model — the apply side of
+    * [[nbTrain]]. INNER join on the weight table: scoring the training
+    * corpus itself, every token is in-vocabulary by construction (this
+    * is what the oracle pins); out-of-vocabulary-tolerant scoring for
+    * NEW data is the gate's variant
+    * ([[graft.streaming.StreamingAnalytics.nbGate]] left-joins with
+    * weight 0 for unseen tokens). */
+  def nbScoreFrom(docs: DataFrame, weights: DataFrame,
+      prior: DataFrame): DataFrame =
+    nbLabeled(docs)
+      .select(col("doc_id"), col("lang"), col("pos"),
+        explode(toks(col("text"))).as("tok"))
+      .join(weights, Seq("tok"))
       .groupBy(col("doc_id"), col("lang"), col("pos"))
       .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("w_sum"))
       .crossJoin(broadcast(prior))
@@ -864,6 +885,15 @@ object TextOps {
         col("n_tok"), (col("w_sum") + col("prior_w")).as("nb_score"),
         when(col("w_sum") + col("prior_w") > 0, 1L).otherwise(0L)
           .as("nb_pos"))
+
+  /** [[nbQuality]] over any (doc_id, lang, text) relation — split out so
+    * specs can plant a corpus with known vocabulary separation. The
+    * self-contained composition train ∘ score; identical plan to the
+    * pre-split form (the explode subtree was already evaluated once per
+    * consumer). */
+  private[graft] def nbQualityCore(docs: DataFrame): DataFrame = {
+    val (w, prior) = nbTrain(docs)
+    nbScoreFrom(docs, w, prior)
   }
 
   /** Distillation audit: per-language confusion of the NB verdict

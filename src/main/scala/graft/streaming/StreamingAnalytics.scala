@@ -624,6 +624,35 @@ object StreamingAnalytics {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bench_hits"))
 
+  /** Learned-filter admission gate — the streaming application of
+    * [[graft.operators.TextOps.nbTrain]]'s STORED model (weights +
+    * prior tables, trained offline on the admitted corpus, refreshed on
+    * the compaction cadence — never per batch). Scores each batch
+    * document and returns the rows at or below `minScore` (flagged-only,
+    * the [[contamGate]] convention): (doc_id, nb_score).
+    *
+    * Unseen tokens contribute weight 0 (LEFT join + coalesce) — a
+    * stored model must tolerate out-of-vocabulary drift in new data,
+    * unlike the self-contained batch query where every scored token is
+    * in-vocabulary by construction. Zero-token documents carry no
+    * vocabulary evidence and are not flagged here — length pathology is
+    * the shape rules' verdict, upstream in the admission precedence.
+    *
+    * Scale shape: per-row explode + one equi-join against the weight
+    * table (broadcastable until the vocabulary outgrows executors) +
+    * per-doc re-aggregation; the 1-row prior broadcasts; no state, no
+    * shuffle of the batch beyond the doc_id agg. */
+  def nbGate(batch: DataFrame, nbWeights: DataFrame, nbPrior: DataFrame,
+      minScore: Long = 0L): DataFrame =
+    batch.select(col("doc_id"),
+        explode(graft.operators.TextOps.toks(col("text"))).as("tok"))
+      .join(nbWeights, Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("w"), lit(0L))).as("w_sum"))
+      .crossJoin(broadcast(nbPrior))
+      .select(col("doc_id"), (col("w_sum") + col("prior_w")).as("nb_score"))
+      .where(col("nb_score") <= minScore)
+
   /** The FULL admission policy — [[admitBatchSem]] with the
     * decontamination verdict composed in, in precedence order:
     * CONTAMINATED (a leaked benchmark item must never enter the corpus,

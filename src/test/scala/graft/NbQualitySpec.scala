@@ -82,6 +82,40 @@ class NbQualitySpec extends SparkSpec {
     assert(!ids.contains(999L) && ids.length == 6)
   }
 
+  test("train/apply split: stored model scores held-out docs") {
+    val (w, prior) = TextOps.nbTrain(corpus)
+    // scoring the training corpus through the split equals the
+    // self-contained form
+    val a = TextOps.nbQualityCore(corpus).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("nb_score"))).toSet
+    val b = TextOps.nbScoreFrom(corpus, w, prior).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("nb_score"))).toSet
+    assert(a == b)
+    // a held-out doc built from the positive class's vocabulary scores
+    // positive against the STORED model (no retraining)
+    val held = Seq((500L, "en",
+      "the quick brown fox sails over calm water and drifts into a " +
+        "quiet field of green grass while birds swim near the tall " +
+        "trees all night")).toDF("doc_id", "lang", "text")
+    val s = TextOps.nbScoreFrom(held, w, prior).collect().head
+    assert(s.getAs[Long]("nb_score") > 0L, s"$s")
+  }
+
+  test("streaming nbGate flags low scorers, tolerates OOV tokens") {
+    val (w, prior) = TextOps.nbTrain(corpus)
+    val batch = Seq(
+      (1000L, "the quick fox runs over the green field and sings into " +
+        "a quiet bay of calm water while birds drift near tall trees"),
+      (1001L, "xqzt blarg vrump zzkt fnord wibble snark gruft plonk " +
+        "NEVERSEENTOKEN kwyjibo skree vworp blort kwyjibo zort"))
+      .toDF("doc_id", "text")
+    val flagged = graft.streaming.StreamingAnalytics
+      .nbGate(batch, w, prior).collect()
+    assert(flagged.map(_.getLong(0)).toSet == Set(1001L),
+      s"only the negative-vocabulary doc flags: ${flagged.toSeq}")
+    assert(flagged.head.getAs[Long]("nb_score") < 0L)
+  }
+
   test("eval confusion sums to the corpus") {
     val ev = TextOps.nbQuality(spark, sfDir)
     val row = TextOps.nbQualityEval(spark, sfDir)
