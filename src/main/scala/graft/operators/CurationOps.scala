@@ -852,14 +852,23 @@ object CurationOps {
     stages.where(col("stage") === "8_admitted")
       .select(col("doc_id"), col("lang"))
       .write.mode("overwrite").parquet(s"$outDir/admitted")
+    // the learned-filter model: trained ONCE here on the heuristic
+    // labels, stored as two tables — the streaming admission gate
+    // (StreamingAnalytics.nbGate) and any batch rescoring read the
+    // stored model instead of re-training (refresh on the run cadence)
+    val (nbW, nbPrior) = TextOps.nbTrain(Tables.documents(spark, dir))
+    nbW.write.mode("overwrite").parquet(s"$outDir/nb_weights")
+    nbPrior.write.mode("overwrite").parquet(s"$outDir/nb_prior")
     Map(
-      "groups"    -> groups,
-      "canonical" -> keep,
-      "chunks"    -> chunks,
-      "stages"    -> stages,
-      "admitted"  -> spark.read.parquet(s"$outDir/admitted"),
-      "dup_rates" -> spark.read.parquet(s"$outDir/dup_rates"),
-      "funnel"    -> spark.read.parquet(s"$outDir/funnel"))
+      "groups"     -> groups,
+      "canonical"  -> keep,
+      "chunks"     -> chunks,
+      "stages"     -> stages,
+      "admitted"   -> spark.read.parquet(s"$outDir/admitted"),
+      "dup_rates"  -> spark.read.parquet(s"$outDir/dup_rates"),
+      "funnel"     -> spark.read.parquet(s"$outDir/funnel"),
+      "nb_weights" -> spark.read.parquet(s"$outDir/nb_weights"),
+      "nb_prior"   -> spark.read.parquet(s"$outDir/nb_prior"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

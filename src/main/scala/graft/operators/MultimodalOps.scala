@@ -382,9 +382,40 @@ object MultimodalOps {
     * JDK ships no video codec, so that half of the seam stays a
     * deployment plug-in ([[MediaCodec]]). */
   object JdkMediaCodec extends MediaCodec {
+    // magic-byte sniffers: routing must cost nanoseconds per row, not a
+    // framework probe — ImageIO's reader scan allocates stream wrappers
+    // and AudioSystem's header parse is exception-driven for non-audio,
+    // and a frames relation referenced k times in one plan pays the
+    // probe k times (measured 3.5-5.4x on the declared media queries
+    // when routing probed the frameworks directly). The sniff picks the
+    // FAMILY; the chosen codec still degrades to the byte path when its
+    // reader rejects the full payload.
+    private def looksImage(b: Array[Byte]): Boolean =
+      b.length >= 4 && (
+        ((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+          b(3) == 'G') ||                                   // PNG
+        ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) || // JPEG
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||      // GIF
+        (b(0) == 'B' && b(1) == 'M') ||                     // BMP
+        (b(0) == 'I' && b(1) == 'I' && (b(2) & 0xFF) == 42 &&
+          b(3) == 0) ||                                     // TIFF LE
+        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 &&
+          (b(3) & 0xFF) == 42))                             // TIFF BE
+
+    private def looksAudio(b: Array[Byte]): Boolean =
+      b.length >= 12 && (
+        (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+          b(11) == 'E') ||                                  // RIFF/WAVE
+        (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' &&
+          b(3) == 'M') ||                                   // AIFF (FORM)
+        (b(0) == '.' && b(1) == 's' && b(2) == 'n' &&
+          b(3) == 'd'))                                     // AU
+
     private def route(content: Array[Byte]): MediaCodec =
-      if (ImageIoCodec.accepts(content)) ImageIoCodec
-      else if (JavaSoundCodec.accepts(content)) JavaSoundCodec
+      if (content == null || content.length < 4) DecodeStub
+      else if (looksImage(content)) ImageIoCodec
+      else if (looksAudio(content)) JavaSoundCodec
       else DecodeStub
 
     def decode(m: MediaFile): MediaFeatures = route(m.content).decode(m)

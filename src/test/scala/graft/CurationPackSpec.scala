@@ -599,6 +599,16 @@ class CurationPackSpec extends SparkSpec {
       .map(_.getAs[Long]("n_docs")).sum
     assert(admitted.size.toLong == funnelAdmitted,
       "admitted table must reconcile with the funnel report")
+    // the stored NB model scores the corpus identically to the
+    // self-contained declared query (train-once, derive-everywhere)
+    val viaStored = TextOps.nbScoreFrom(
+      graft.sources.Tables.documents(spark, sfDir),
+      run("nb_weights"), run("nb_prior")).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("nb_score"))).toSet
+    val viaDeclared = TextOps.nbQuality(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("nb_score"))).toSet
+    assert(viaStored == viaDeclared,
+      "stored-model scoring must equal the self-contained query")
     // and the returned frames scan the MATERIALIZED tables (leaf scan
     // paths under outDir) — a chain recompute would also end in parquet
     // Relations, but of the SOURCE corpus, so pin the actual file paths
