@@ -70,6 +70,46 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     })
   }
 
+  test("IsoBmff.probe never throws or loops on arbitrary bytes") {
+    // the box walker consumes UNTRUSTED payloads: any byte soup —
+    // including soup that starts with a plausible ftyp header and
+    // hostile size fields — must terminate quickly with Some or None,
+    // never an exception. Also fuzz mutations of a VALID container,
+    // which exercise deeper walk paths than pure noise ever reaches.
+    import graft.functions.IsoBmff
+    val noise = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    val ftypPrefixed = noise.map { bs =>
+      val header = Array[Byte](0, 0, 0, 20, 'f', 't', 'y', 'p')
+      header ++ bs.toArray
+    }
+    // a small valid file to mutate (mirror of the synthesized layout)
+    val valid: Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(20 + 8 + 108)
+      bb.putInt(20); bb.put("ftypisom".getBytes("ISO-8859-1"))
+      bb.putInt(0); bb.put("isom".getBytes("ISO-8859-1"))
+      bb.putInt(116); bb.put("moov".getBytes("ISO-8859-1"))
+      bb.putInt(108); bb.put("mvhd".getBytes("ISO-8859-1"))
+      bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      bb.putInt(1000); bb.putInt(777)
+      bb.array()
+    }
+    val mutated = for {
+      pos <- Gen.chooseNum(0, valid.length - 1)
+      b <- Gen.chooseNum(Byte.MinValue, Byte.MaxValue)
+    } yield { val c = valid.clone(); c(pos) = b; c }
+    val anyInput: Gen[Array[Byte]] = Gen.oneOf(
+      noise.map(_.toArray), ftypPrefixed, mutated)
+    check(Prop.forAll(anyInput) { bytes =>
+      IsoBmff.probe(bytes) match {
+        case Some(v) => v.timescale > 0 // the only way Some is produced
+        case None => true
+      }
+    })
+    // the unmutated fixture itself parses
+    assert(IsoBmff.probe(valid).exists(v =>
+      v.timescale == 1000L && v.duration_ms == 777L))
+  }
+
   test("rateHex: monotone in rate, sentinel exactly at >= 1") {
     // stratifiedSample keeps a row iff md5-prefix < rateHex(rate): the
     // threshold must be monotone (a higher rate never keeps fewer rows)
