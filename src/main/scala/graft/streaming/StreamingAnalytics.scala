@@ -682,6 +682,40 @@ object StreamingAnalytics {
         col("quality"))
   }
 
+  /** [[admitBatchFull]] with the LEARNED filter composed in — the
+    * complete admission policy once a curation run has stored an NB
+    * model ([[graft.operators.TextOps.nbTrain]] via `curationRun`'s
+    * nb_weights/nb_prior tables). Precedence: contaminated → textual
+    * near-dup → semantic near-dup → repetitive → below the quality
+    * floor → NB-REJECTED ([[nbGate]] at `nbMinScore`) → admit. The
+    * learned verdict ranks LAST on purpose: it is the broadest and
+    * least explainable signal, so every explainable rejection keeps its
+    * specific reason and the model only vetoes documents the rules
+    * would have admitted — which is also exactly the population the
+    * distillation audit (q_nb_eval's FP cell) says the model disagrees
+    * on. Adds one broadcastable weight join per batch, no state. */
+  def admitBatchLearned(batch: DataFrame, corpusBandKeys: DataFrame,
+      corpusShingles: DataFrame, semCells: DataFrame, semVecs: DataFrame,
+      annIndexDir: String, benchGrams: DataFrame,
+      nbWeights: DataFrame, nbPrior: DataFrame,
+      nbMinScore: Long = 0L,
+      bar: Double = graft.operators.DedupOps.TextDupJaccard,
+      minQuality10k: Long = AdmitMinQuality10k,
+      nprobe: Int = graft.operators.DedupOps.NearDupNProbe,
+      cosBar: Double = graft.operators.DedupOps.CosineDupThreshold)
+      : DataFrame = {
+    val low = nbGate(batch, nbWeights, nbPrior, nbMinScore)
+      .withColumnRenamed("nb_score", "nb_low_score")
+    admitBatchFull(batch, corpusBandKeys, corpusShingles, semCells,
+        semVecs, annIndexDir, benchGrams, bar, minQuality10k, nprobe,
+        cosBar)
+      .join(low, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("verdict") === "admit" && col("nb_low_score").isNotNull,
+          lit("nb_rejected")).otherwise(col("verdict")))
+      .drop("nb_low_score")
+  }
+
   /** [[runCuratedIngest]] with the semantic gate composed in: the
     * per-batch loop for a stream carrying (doc_id, text, embedding).
     * Admitted docs land in BOTH corpus indexes — minhash bands/shingles

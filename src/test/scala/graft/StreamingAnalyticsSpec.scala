@@ -583,4 +583,45 @@ class StreamingAnalyticsSpec extends SparkSpec {
       s"clean doc must admit: ${full(9104L)}")
     cbk.unpersist(); csh.unpersist(); ()
   }
+
+  test("learned policy: NB veto rewrites only admit, keeps explainable reasons") {
+    import graft.operators.TextOps
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val (nbW, nbPrior) = TextOps.nbTrain(docs)
+    val benchGrams = graft.operators.DedupOps.benchmarkGrams(spark, sfDir)
+    val annDir = java.nio.file.Files.createTempDirectory("nbann").toString
+    graft.operators.VectorOps.writeAnnIndex(spark, sfDir, annDir)
+    val (semCells, semVecs) = StreamingAnalytics.loadSemIndexOrEmpty(spark,
+      java.nio.file.Files.createTempDirectory("nbidx").toString + "/none")
+    val (cbk, csh) = StreamingAnalytics.corpusIndex(docs)
+    val dim = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(size(col("embedding"))).first().getInt(0)
+    val emb = Array.tabulate(dim)(i => 0.2f + 0.03f * (i % 5))
+    val emb2 = Array.tabulate(dim)(i =>
+      (if (i % 2 == 0) 1f else -1f) * (0.4f + 0.02f * (i % 5)))
+    val batch = Seq(
+      (9301L, "a perfectly ordinary paragraph about garden furniture " +
+        "maintenance through the wetter months of a temperate year", emb),
+      (9302L, Array.fill(40)("again").mkString(" "), emb2))
+      .toDF("doc_id", "text", "embedding")
+    val base = StreamingAnalytics.admitBatchFull(batch, cbk, csh,
+        semCells, semVecs, annDir, benchGrams)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("verdict")).toMap
+    assert(base(9301L) == "admit" && base(9302L) == "repetitive", s"$base")
+    // permissive bar: the learned stage is a no-op, policies coincide
+    val loose = StreamingAnalytics.admitBatchLearned(batch, cbk, csh,
+        semCells, semVecs, annDir, benchGrams, nbW, nbPrior,
+        nbMinScore = Long.MinValue / 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("verdict")).toMap
+    assert(loose == base, s"$loose vs $base")
+    // veto-everything bar: admit flips to nb_rejected, every explainable
+    // rejection keeps its specific reason (the NB stage ranks last)
+    val strict = StreamingAnalytics.admitBatchLearned(batch, cbk, csh,
+        semCells, semVecs, annDir, benchGrams, nbW, nbPrior,
+        nbMinScore = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("verdict")).toMap
+    assert(strict(9301L) == "nb_rejected" && strict(9302L) == "repetitive",
+      s"$strict")
+    cbk.unpersist(); csh.unpersist(); ()
+  }
 }
