@@ -32,6 +32,22 @@ object CurationDemo {
     println("[demo] funnel:")
     run("funnel").orderBy(col("stage"), col("lang")).show(30, false)
 
+    // 1b. the stored learned filter: gate a probe batch with the
+    //     materialized NB model (train-once / apply-many)
+    import spark.implicits._
+    val probeBatch = Seq(
+      (900001L, "the quick brown fox jumps over the lazy dog and rests " +
+        "in a field of tall grass near the old barn through the night"),
+      (900002L, "zzz qqq xxx vvv kkk www mmm nnn bbb ccc ddd fff"))
+      .toDF("doc_id", "text")
+    println("[demo] stored-model NB scores on a probe batch (doc 900001 " +
+      "is in-vocabulary prose; 900002 is all-OOV junk, so it carries " +
+      "only the class prior — no vocabulary evidence either way):")
+    graft.streaming.StreamingAnalytics
+      .nbGate(probeBatch, run("nb_weights"), run("nb_prior"),
+        minScore = Long.MaxValue / 2) // flag-all: show every score
+      .orderBy(col("doc_id")).show(false)
+
     // 2. the data card a release ships
     println("[demo] corpus data card:")
     CurationOps.corpusReport(spark, sfDir).orderBy(col("lang")).show(false)
