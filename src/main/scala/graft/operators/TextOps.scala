@@ -896,6 +896,19 @@ object TextOps {
     nbScoreFrom(docs, w, prior)
   }
 
+  /** NB CALIBRATION histogram — nb_score bucketed by octave (16 log2x8
+    * units = one factor of 4 in likelihood ratio) × heuristic label.
+    * The picture that justifies a deployment's `nbMinScore` choice: how
+    * separated the two label populations are, where the mass sits, and
+    * how much of each class any threshold trades away. Floor-division
+    * binning via pmod so negative scores bin consistently in both
+    * engines (truncating division splits the zero bucket). */
+  def nbCalibration(spark: SparkSession, dir: String): DataFrame =
+    nbQuality(spark, dir)
+      .groupBy((col("nb_score") - pmod(col("nb_score"), lit(16L)))
+        .as("score_bin"), col("heur_pos"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Distillation audit: per-language confusion of the NB verdict
     * against the heuristic labels it trained on. High agreement means
     * the learned filter can replace the rule cascade at the margin;
@@ -2113,6 +2126,7 @@ object TextOps {
     "q_lm_score"       -> lmScore _,
     "q_nb_quality"     -> nbQuality _,
     "q_nb_eval"        -> nbQualityEval _,
+    "q_nb_calibration" -> nbCalibration _,
     "q_tfidf_topk"     -> tfidfKeywords _,
     "q_freq_spectrum"  -> freqSpectrum _,
     "q_bigram_score"   -> bigramScore _,
@@ -2646,6 +2660,14 @@ object TextOps {
       s"""WITH $nbQualityCtes
          |SELECT doc_id, lang, heur_pos, n_tok, nb_score, nb_pos
          |FROM nbq""".stripMargin,
+    // octave binning through pmod so negative scores floor-bin the same
+    // way in both engines (plain integer division truncates toward zero
+    // and would fold bins -15..15 together)
+    "q_nb_calibration" ->
+      s"""WITH $nbQualityCtes
+         |SELECT nb_score - ((nb_score % 16 + 16) % 16) AS score_bin,
+         |  heur_pos, count(*) AS n_docs
+         |FROM nbq GROUP BY 1, 2""".stripMargin,
     "q_nb_eval" ->
       s"""WITH $nbQualityCtes
          |SELECT lang, count(*) AS n_docs,
