@@ -909,6 +909,24 @@ object TextOps {
         .as("score_bin"), col("heur_pos"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Most-discriminative tokens per class — the learned filter's "model
+    * card": the k tokens with the largest positive and largest negative
+    * weights, deterministic tie-break on the token. The interpretability
+    * artifact a review reads next to [[nbCalibration]] ("WHY does the
+    * model reject"); also the drift tripwire — a retrain whose top
+    * tokens shift wholesale signals label or corpus drift before any
+    * accuracy metric moves. TakeOrderedAndProject over the vocabulary
+    * relation (top-k never sorts the full vocab globally). */
+  def nbTopTokens(spark: SparkSession, dir: String, k: Int = 20)
+      : DataFrame = {
+    val (w, _) = nbTrain(Tables.documents(spark, dir))
+    w.orderBy(col("w").desc, col("tok").asc).limit(k)
+      .withColumn("side", lit("pos"))
+      .unionByName(
+        w.orderBy(col("w").asc, col("tok").asc).limit(k)
+          .withColumn("side", lit("neg")))
+  }
+
   /** Distillation audit: per-language confusion of the NB verdict
     * against the heuristic labels it trained on. High agreement means
     * the learned filter can replace the rule cascade at the margin;
@@ -2127,6 +2145,7 @@ object TextOps {
     "q_nb_quality"     -> nbQuality _,
     "q_nb_eval"        -> nbQualityEval _,
     "q_nb_calibration" -> nbCalibration _,
+    "q_nb_top_tokens"  -> ((s, d) => nbTopTokens(s, d)),
     "q_tfidf_topk"     -> tfidfKeywords _,
     "q_freq_spectrum"  -> freqSpectrum _,
     "q_bigram_score"   -> bigramScore _,
@@ -2668,6 +2687,16 @@ object TextOps {
          |SELECT nb_score - ((nb_score % 16 + 16) % 16) AS score_bin,
          |  heur_pos, count(*) AS n_docs
          |FROM nbq GROUP BY 1, 2""".stripMargin,
+    // top-k discriminative tokens, deterministic tok tie-break at the
+    // limit boundary in both engines
+    "q_nb_top_tokens" ->
+      s"""WITH $nbQualityCtes
+         |SELECT * FROM (
+         |  (SELECT tok, w, 'pos' AS side FROM nw
+         |   ORDER BY w DESC, tok ASC LIMIT 20)
+         |  UNION ALL
+         |  (SELECT tok, w, 'neg' AS side FROM nw
+         |   ORDER BY w ASC, tok ASC LIMIT 20))""".stripMargin,
     "q_nb_eval" ->
       s"""WITH $nbQualityCtes
          |SELECT lang, count(*) AS n_docs,
