@@ -124,6 +124,13 @@ class PlanAssertionsSpec extends SparkSpec {
       s"only the aggregate exchange:\n$p")
   }
 
+  test("q_nb_top_tokens: top-k via TakeOrderedAndProject, no global sort") {
+    val p = plan("q_nb_top_tokens")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit after orderBy must plan a top-k, not a full sort:\n$p")
+    assert(!p.contains("GlobalSort"), s"no global vocabulary sort:\n$p")
+  }
+
   test("q_video_meta: map-only box-walk kernel — no exchange anywhere") {
     val p = plan("q_video_meta")
     assert(!p.contains("Exchange") && !p.contains("Join"),
