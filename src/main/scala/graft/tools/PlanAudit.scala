@@ -25,6 +25,7 @@ object PlanAudit {
     "q_audio_features" -> "REAL javax.sound WAV decode kernel; lang rides through the kernel — no join, single aggregate exchange",
     "q_video_meta" -> "REAL ISO-BMFF box walk in a map-only kernel — zero exchanges, row-per-media projection",
     "q_nb_quality" -> "one-pass NB training: explode + hash-agg vocab, broadcast totals/prior, token-weight equi-join — lmScore's skeleton with a class axis",
+    "q_nb_top_tokens" -> "model card: TakeOrderedAndProject over the vocab relation — top-k, never a global sort",
     "q_kmeans" -> "Lloyd iterations: broadcast k centroids + one assignment shuffle each; all-integer arithmetic",
     "q_docids_per_lang" -> "two-phase top-k: per-partition local cap then global merge — NO per-lang window funnel",
     "q_simhash_neardup" -> "banded simhash: per-(band, value) candidate equi-join + exact Hamming verify on candidates only",
