@@ -116,6 +116,17 @@ class NbQualitySpec extends SparkSpec {
     assert(flagged.head.getAs[Long]("nb_score") < 0L)
   }
 
+  test("calibration binning floors negatives into their own octave bins") {
+    // the q_nb_calibration binning: a - pmod(a, 16) is FLOOR division
+    // ×16 for negatives too — plain integer division truncates toward
+    // zero and would fold scores -15..15 into one bucket
+    val df = Seq(-17L, -16L, -1L, 0L, 15L, 16L).toDF("s")
+      .select(col("s"), (col("s") - pmod(col("s"), lit(16L))).as("bin"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(-17L) == -32L && got(-16L) == -16L && got(-1L) == -16L)
+    assert(got(0L) == 0L && got(15L) == 0L && got(16L) == 16L)
+  }
+
   test("eval confusion sums to the corpus") {
     val ev = TextOps.nbQuality(spark, sfDir)
     val row = TextOps.nbQualityEval(spark, sfDir)
