@@ -127,6 +127,23 @@ class NbQualitySpec extends SparkSpec {
     assert(got(0L) == 0L && got(15L) == 0L && got(16L) == 16L)
   }
 
+  test("gate/batch parity on the training corpus") {
+    // on the corpus the model trained on, every token is in-vocabulary,
+    // so the OOV-tolerant gate and the inner-join batch query must flag
+    // exactly the same documents — the cross-module drift tripwire
+    // between TextOps scoring and the streaming admission stage
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val (w, p) = TextOps.nbTrain(docs)
+    val gateFlagged = graft.streaming.StreamingAnalytics
+      .nbGate(docs.select(col("doc_id"), col("text")), w, p)
+      .collect().map(_.getLong(0)).toSet
+    val batchNeg = TextOps.nbQuality(spark, sfDir)
+      .where(col("nb_pos") === 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(gateFlagged == batchNeg,
+      s"gate flags ${gateFlagged.size}, batch negatives ${batchNeg.size}")
+  }
+
   test("eval confusion sums to the corpus") {
     val ev = TextOps.nbQuality(spark, sfDir)
     val row = TextOps.nbQualityEval(spark, sfDir)
