@@ -13,12 +13,16 @@ import graft.sources.Tables
   * histograms, per-frame signatures). AUDIO decode is REAL
   * ([[MultimodalOps.JavaSoundCodec]] — pure-JDK `javax.sound.sampled`:
   * WAV/AIFF/AU PCM samples, true channel/bit-depth metadata, amplitude
-  * histograms, windowed sample signatures). [[MultimodalOps.JdkMediaCodec]]
-  * routes each payload by its actual container header. Payloads neither
-  * JDK family accepts (video containers — the JDK ships no video codec)
-  * fall back to [[MultimodalOps.DecodeStub]]'s deterministic byte-derived
-  * features, the documented seam a deployment replaces with its own
-  * [[MultimodalOps.MediaCodec]].
+  * histograms, windowed sample signatures). VIDEO decode is REAL for the
+  * MJPEG-AVI class ([[MultimodalOps.AviMjpegCodec]] — RIFF container
+  * walk + per-frame `javax.imageio` JPEG decode), and video container
+  * METADATA is real for the ISO-BMFF family
+  * ([[graft.functions.IsoBmff]]). [[MultimodalOps.JdkMediaCodec]]
+  * routes each payload by its actual container header. Only
+  * compressed-codec video pixels (H.26x/VP9/AV1 — the JDK ships no such
+  * decoder) fall back to [[MultimodalOps.DecodeStub]]'s deterministic
+  * byte-derived features, the documented seam a deployment replaces
+  * with its own [[MultimodalOps.MediaCodec]].
   * Everything around the codec is load-bearing at scale:
   *  - schema: `MediaFile` (binary payload + declared metadata map) →
   *    `MediaFeatures` (typed metadata + float feature vector)
@@ -143,7 +147,7 @@ object MultimodalOps {
     import javax.imageio.ImageIO
 
     // luminance plane of one decoded frame, row-major 0..255 ints
-    private def luma(img: BufferedImage): Array[Int] = {
+    private[operators] def luma(img: BufferedImage): Array[Int] = {
       val (w, h) = (img.getWidth, img.getHeight)
       val out = new Array[Int](w * h)
       val px = img.getRGB(0, 0, w, h, null, 0, w)
@@ -157,7 +161,7 @@ object MultimodalOps {
       out
     }
 
-    private def rollSig(bytes: Array[Int]): Long = {
+    private[operators] def rollSig(bytes: Array[Int]): Long = {
       var s = 17L
       var i = 0
       while (i < bytes.length) {
@@ -372,15 +376,135 @@ object MultimodalOps {
       }
   }
 
+  /** REAL video codec for the MJPEG-AVI class — pure JDK: AVI is RIFF
+    * chunk grammar (the WAV container's sibling — fourcc + u32le size +
+    * even padding), and Motion-JPEG stores each video frame as a
+    * complete JPEG in a `##dc`/`##db` chunk under `LIST movi`, which
+    * `javax.imageio`'s JPEG reader decodes. So for this (still common,
+    * camera/OpenCV-default) legacy format the video PIXEL seam closes
+    * too: true dimensions, true frame count, per-frame luminance
+    * signatures through the same modular hash as the image path — a
+    * re-muxed MJPEG (same JPEG bytes, different container) collides in
+    * [[mediaNearDup]]'s shared-signature join exactly like PNG↔BMP
+    * re-encodes do. Compressed codecs (H.26x, VP9, AV1) remain behind
+    * the [[MediaCodec]] seam — the JDK ships no decoder for those.
+    *
+    * Hostile-input posture mirrors [[graft.functions.IsoBmff]]: u32
+    * sizes read as Long, truncation clamps to the buffer, each chunk
+    * advances ≥8 bytes (no zero-progress loop), and any failure — no
+    * movi chunks, torn JPEG bytes — degrades to [[DecodeStub]]. */
+  object AviMjpegCodec extends MediaCodec {
+
+    private[operators] def accepts(b: Array[Byte]): Boolean =
+      b != null && b.length >= 12 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+    private def le32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+        ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+    /** Every video-data chunk's payload (complete JPEG bytes), in
+      * stream order. Containers (`RIFF`, `LIST`) are descended through
+      * their 4-byte form type; all other chunks skip — AVI headers
+      * (`hdrl`, `avih`, `strl`, index chunks) need no parsing here. */
+    private def frameChunks(b: Array[Byte]): Vector[Array[Byte]] = {
+      val out = Vector.newBuilder[Array[Byte]]
+      def walk(start: Long, end: Long): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = new String(b, off.toInt, 4,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          val size = le32(b, (off + 4).toInt)
+          val dataStart = off + 8
+          val dataEnd = math.min(end, dataStart + size)
+          if (id == "RIFF" || id == "LIST") {
+            if (dataStart + 4 <= dataEnd) walk(dataStart + 4, dataEnd)
+          } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db"))
+              && dataEnd > dataStart) {
+            out += java.util.Arrays.copyOfRange(b, dataStart.toInt,
+              dataEnd.toInt)
+          }
+          off = dataStart + size + (size & 1L) // even-byte padding
+        }
+      }
+      walk(0L, b.length.toLong)
+      out.result()
+    }
+
+    /** Decode every k-th stored frame's JPEG; None when the container
+      * has no decodable video chunks. */
+    private def decodedFrames(content: Array[Byte], everyK: Int)
+        : Option[Vector[(Int, java.awt.image.BufferedImage)]] = {
+      if (!accepts(content)) return None
+      try {
+        val chunks = frameChunks(content)
+        if (chunks.isEmpty) return None
+        javax.imageio.ImageIO.setUseCache(false)
+        val decoded = (0 until chunks.length by everyK).flatMap { i =>
+          Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(chunks(i)))).map(i -> _)
+        }.toVector
+        if (decoded.isEmpty) None else Some(decoded)
+      } catch { case _: Exception => None }
+    }
+
+    /** Stored-frame count (container walk only, no pixel decode). */
+    private[operators] def storedFrames(content: Array[Byte]): Int =
+      frameChunks(content).length
+
+    def decode(m: MediaFile): MediaFeatures =
+      decodedFrames(m.content, 1) match {
+        case Some(frames) =>
+          val f0 = frames.head._2
+          val lum = ImageIoCodec.luma(f0)
+          val hist = new Array[Float](16)
+          lum.foreach(l => hist(l / 16) += 1f)
+          var i = 0
+          while (i < 16) { hist(i) /= lum.length; i += 1 }
+          MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
+            f0.getWidth, f0.getHeight, frames.length, decode_ok = true, hist)
+        case None => DecodeStub.decode(m)
+      }
+
+    def frameCount(m: MediaFile): Int =
+      decodedFrames(m.content, 1).map(_.length)
+        .getOrElse(DecodeStub.frameCount(m))
+
+    def frameSig(m: MediaFile, idx: Int): Long =
+      decodedFrames(m.content, 1) match {
+        case Some(frames) => frames.find(_._1 == idx)
+          .map(f => ImageIoCodec.rollSig(ImageIoCodec.luma(f._2)))
+          .getOrElse(0L)
+        case None => DecodeStub.frameSig(m, idx)
+      }
+
+    /** Decode-once bulk sampling: only every k-th JPEG is ever
+      * decompressed — the container walk is free, so frame sampling
+      * skips the pixel work for unsampled frames entirely (the
+      * mapInPandas frame-sample batch shape, JVM-side). */
+    override def frameSigs(m: MediaFile, everyK: Int): Seq[(Int, Long)] =
+      decodedFrames(m.content, everyK) match {
+        case Some(frames) =>
+          frames.map { case (i, img) =>
+            (i, ImageIoCodec.rollSig(ImageIoCodec.luma(img)))
+          }
+        case None => DecodeStub.frameSigs(m, everyK)
+      }
+  }
+
   /** Production default codec — routes each payload by what its bytes
     * actually are (container header probes, not the declared `kind`
     * column, which is caller metadata): image readers first, then audio
     * readers, else the deterministic byte path. Both probes are
     * header-only (magic bytes), so undecodable rows pay two cheap
     * rejections, not two decode attempts; the winning family decodes
-    * once. Video containers land on [[DecodeStub]] by construction — the
-    * JDK ships no video codec, so that half of the seam stays a
-    * deployment plug-in ([[MediaCodec]]). */
+    * once. MJPEG-AVI video decodes for REAL ([[AviMjpegCodec]] — RIFF
+    * walk + per-frame JPEG); compressed-codec containers (MP4/H.26x
+    * etc.) land on [[DecodeStub]] for pixels — the JDK ships no such
+    * decoder, so that last slice of the seam stays a deployment
+    * plug-in ([[MediaCodec]]), while their METADATA still parses for
+    * real via [[graft.functions.IsoBmff]]. */
   object JdkMediaCodec extends MediaCodec {
     // magic-byte sniffers: routing must cost nanoseconds per row, not a
     // framework probe — ImageIO's reader scan allocates stream wrappers
@@ -415,7 +539,8 @@ object MultimodalOps {
     private def route(content: Array[Byte]): MediaCodec =
       if (content == null || content.length < 4) DecodeStub
       else if (looksImage(content)) ImageIoCodec
-      else if (looksAudio(content)) JavaSoundCodec
+      else if (AviMjpegCodec.accepts(content)) AviMjpegCodec // RIFF/AVI
+      else if (looksAudio(content)) JavaSoundCodec           // RIFF/WAVE &c
       else DecodeStub
 
     def decode(m: MediaFile): MediaFeatures = route(m.content).decode(m)

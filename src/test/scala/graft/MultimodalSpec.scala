@@ -286,6 +286,68 @@ class MultimodalSpec extends SparkSpec {
     assert(got.n_frames == math.max(1, (text.length + 1023) / 1024))
   }
 
+  // --- real MJPEG-AVI video kernel ---------------------------------------
+
+  /** Minimal RIFF/AVI wrapper: the frames land as `00dc` chunks under
+    * `LIST movi`, plus a decoy `LIST hdrl` the walker must skip. */
+  private def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("ISO-8859-1")); bb.putInt(payload.length)
+      bb.put(payload)
+      bb.array()
+    }
+    def list(formType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", formType.getBytes("ISO-8859-1") ++ body)
+    val hdrl = list("hdrl", chunk("avih", Array.fill[Byte](56)(0)))
+    val movi = list("movi",
+      frames.flatMap(f => chunk("00dc", f)).toArray)
+    chunk("RIFF", "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi)
+  }
+
+  test("real MJPEG-AVI decode: dims, frame count, per-frame JPEG sigs") {
+    val jpegs = Seq(encode(checkerImage(32, 16), "jpg"),
+      encode(checkerImage(32, 16), "jpg"),
+      encode(checkerImage(16, 32), "jpg"))
+    val avi = MediaFile(5L, "video", mjpegAvi(jpegs), Map())
+    val f = MultimodalOps.AviMjpegCodec.decode(avi)
+    assert(f.decode_ok && f.width == 32 && f.height == 16
+      && f.n_frames == 3, s"$f")
+    assert(math.abs(f.feature.sum - 1.0f) < 1e-3)
+    // per-frame signatures equal the SAME JPEG bytes decoded through
+    // the image path (identical pixel decode + hash) — the collision a
+    // re-muxed MJPEG produces in the shared-signature near-dup join
+    val sigs = MultimodalOps.AviMjpegCodec.frameSigs(avi, 1)
+    val direct = jpegs.map(j => MultimodalOps.ImageIoCodec
+      .frameSigs(MediaFile(0L, "image", j, Map()), 1).head._2)
+    assert(sigs.map(_._2) == direct, s"$sigs vs $direct")
+    assert(sigs.head._2 == sigs(1)._2 && sigs.head._2 != sigs(2)._2,
+      "identical frames collide, the rotated frame does not")
+    // every-2nd sampling decodes only the sampled frames
+    assert(MultimodalOps.AviMjpegCodec.frameSigs(avi, 2).map(_._1)
+      == Seq(0, 2))
+    // the router picks the AVI family from the RIFF form type
+    assert(MultimodalOps.JdkMediaCodec.decode(avi).n_frames == 3)
+  }
+
+  test("hostile AVI degrades to the byte path, never throws") {
+    // RIFF/AVI header with garbage body: no movi chunks -> stub
+    val junk = MediaFile(6L, "video",
+      "RIFF....AVI garbage that is not chunked at all".getBytes("UTF-8"),
+      Map())
+    // (bytes 4-7 are sizes; accepts() only needs RIFF + AVI<space>)
+    val f = MultimodalOps.AviMjpegCodec.decode(junk)
+    val stub = DecodeStub.decode(junk)
+    assert(f.copy(feature = null) == stub.copy(feature = null))
+    // torn mid-JPEG: container walks, JPEG decode fails -> stub
+    val good = mjpegAvi(Seq(encode(checkerImage(8, 8), "jpg")))
+    val torn = MediaFile(7L, "video", good.take(good.length / 2), Map())
+    val ft = MultimodalOps.AviMjpegCodec.decode(torn)
+    assert(ft.feature.length == 16 && ft.byte_len == torn.content.length)
+  }
+
   test("torn WAV container degrades safely, never throws") {
     val wav = pcm16(Array.fill[Short](2048)(123), 1, bigEndian = false, Wave)
     val torn = MediaFile(4L, "audio", wav.take(50), Map())
