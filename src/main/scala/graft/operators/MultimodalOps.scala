@@ -543,6 +543,19 @@ object MultimodalOps {
       else if (looksAudio(content)) JavaSoundCodec           // RIFF/WAVE &c
       else DecodeStub
 
+    /** The routing decision as a label — what an inventory pass records
+      * per payload: `image`/`avi`/`audio` mirror [[route]]; `bmff`
+      * marks ISO-BMFF containers (metadata parses via
+      * [[graft.functions.IsoBmff]] even though pixel decode stays
+      * behind the seam); everything else is `unknown`. */
+    def detectFamily(content: Array[Byte]): String =
+      if (content == null || content.length < 4) "unknown"
+      else if (looksImage(content)) "image"
+      else if (AviMjpegCodec.accepts(content)) "avi"
+      else if (looksAudio(content)) "audio"
+      else if (graft.functions.IsoBmff.accepts(content)) "bmff"
+      else "unknown"
+
     def decode(m: MediaFile): MediaFeatures = route(m.content).decode(m)
     def frameCount(m: MediaFile): Int = route(m.content).frameCount(m)
     def frameSig(m: MediaFile, idx: Int): Long =
@@ -864,7 +877,31 @@ object MultimodalOps {
       "n_tracks", "width", "height")
   }
 
+  /** ORACLED MEDIA CENSUS over a MIXED synthesized corpus — odd docs
+    * become real WAVs, even docs real ISO-BMFF containers, and the
+    * census classifies every payload by its ACTUAL container family
+    * ([[JdkMediaCodec.detectFamily]] — the routing decision as data).
+    * The inventory pass a multimodal ingest runs first: what is this
+    * corpus actually made of, regardless of what the upstream kind
+    * column claims. Map-only kernel + one aggregate exchange. */
+  def mediaCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    wavFromDocuments(spark, dir)
+      .filter(col("media_id") % 2 === 1)
+      .unionByName(mp4FromDocuments(spark, dir)
+        .filter(col("media_id") % 2 === 0))
+      .mapPartitions { it =>
+        it.map { m =>
+          (JdkMediaCodec.detectFamily(m.content),
+            if (m.content == null) 0L else m.content.length.toLong)
+        }
+      }.toDF("family", "nbytes")
+      .groupBy(col("family"))
+      .agg(count(lit(1)).as("n_media"), sum(col("nbytes")).as("sum_bytes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_census"   -> mediaCensus _,
     "q_media_meta"     -> mediaMeta _,
     "q_media_features" -> mediaFeatureSummary _,
     "q_audio_features" -> audioFeatureSummary _,
@@ -874,6 +911,18 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the synthesized container sizes are exact functions of the text:
+    // WAV = 44-byte header + 2 bytes/sample; the MP4 = 236 fixed
+    // header/box bytes + 8-byte mdat header + the text bytes
+    "q_media_census" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'bmff' ELSE 'audio' END
+        |    AS family,
+        |  count(*) AS n_media,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 244 + length(text)
+        |                ELSE 44 + 2 * length(text) END) AS BIGINT)
+        |    AS sum_bytes
+        |FROM documents WHERE length(text) > 0
+        |GROUP BY 1""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
