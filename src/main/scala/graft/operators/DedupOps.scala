@@ -1648,7 +1648,92 @@ object DedupOps {
       TextOps.jaccardBestMatch(spark, dir)
     else jaccardLshBest(spark, dir)
 
+  // ------------------------------------------------------------------
+  // Bloom-prefiltered incremental exact dedup — the batch-vs-corpus
+  // admission primitive.
+  // ------------------------------------------------------------------
+
+  /** Batch split for the declared [[bloomDedup]] query: doc_id %
+    * [[BloomBatchMod]] == [[BloomBatchMod]]-1 plays the "incoming
+    * batch", the rest the already-admitted corpus (~20% / 80%). */
+  val BloomBatchMod = 5
+
+  /** Bloom false-positive rate. Sizing rule (Bloom 1970):
+    * bits = -n·ln p/(ln 2)², so 1% over 10⁹ fingerprints is ~1.2 GB —
+    * broadcastable; beyond ~10¹⁰ keys switch to the table-backed index
+    * join the streaming admission gate already uses (the bloom is the
+    * CHEAP pre-gate, not the only gate). */
+  val BloomFpp = 0.01
+
+  /** Bag-of-words fingerprint — [[TextOps.fingerprint]]'s bag_fp
+    * convention (sorted distinct whitespace tokens), the membership key
+    * an order-insensitive exact dedup wants. */
+  private def bagFp(c: org.apache.spark.sql.Column) =
+    md5(array_join(array_sort(array_distinct(TextOps.toks(c))), " ")
+      .cast("binary"))
+
+  /** Bloom candidate gate — broadcast a bloom filter of the corpus
+    * fingerprint hashes, keep only batch rows the filter might contain.
+    * NO FALSE NEGATIVES by construction (every inserted key answers
+    * true), so downstream exact verification sees every real duplicate;
+    * ~[[BloomFpp]] of genuinely-new rows leak through as false
+    * positives and are removed by the verify join. The filter is built
+    * with one tree-aggregate (bit-array ORs — order-independent, so the
+    * sketch is deterministic) and shipped once per executor; probing is
+    * a driver-free in-memory test, vs shuffling the whole batch against
+    * the corpus key table. */
+  private[graft] def bloomCandidates(corpusH: DataFrame,
+      batch: DataFrame, expectedItems: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val bf = corpusH.stat.bloomFilter("h", math.max(expectedItems, 1L),
+      BloomFpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val might = udf((h: java.lang.Long) =>
+      h != null && bc.value.mightContainLong(h))
+    batch.where(might(col("h")))
+  }
+
+  /** [[bloomDedup]] over any (doc_id, text) relation pair. Exact
+    * RESULT, approximate PLAN: bloom-prune the batch, then confirm the
+    * survivors with an equi semi-join against the corpus fingerprints —
+    * false positives die in the join, false negatives cannot exist, so
+    * the output is byte-identical to the unbloomed semi-join while only
+    * ~fpp of the novel batch ever reaches the shuffle. */
+  private[graft] def bloomDedupCore(corpus: DataFrame, batch: DataFrame,
+      expectedItems: Long): DataFrame = {
+    def keyed(df: DataFrame) = df
+      .select(col("doc_id"), bagFp(col("text")).as("fp"))
+      .withColumn("h", xxhash64(col("fp")))
+    val corpusK = keyed(corpus)
+    val batchK = keyed(batch)
+    val confirmed = bloomCandidates(corpusK.select(col("h")), batchK,
+        expectedItems)
+      .join(corpusK.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    batchK.select(col("doc_id"))
+      .join(confirmed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
+  /** Declared bloom-gate query: which incoming-batch documents already
+    * exist (by bag fingerprint) in the admitted corpus. Expected-items
+    * for the bloom sizing comes from parquet footers — no count job. */
+  def bloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val n = graft.functions.ScaleUtils.footerRowCount(
+      spark, s"$dir/documents.parquet")
+    bloomDedupCore(
+      docs.where(pmod(col("doc_id"), lit(BloomBatchMod))
+        =!= BloomBatchMod - 1),
+      docs.where(pmod(col("doc_id"), lit(BloomBatchMod))
+        === BloomBatchMod - 1),
+      expectedItems = n)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_dedup"  -> bloomDedup _,
     "q_minhash_lsh"  -> minhashLsh _,
     "q_jaccard_lsh"  -> jaccardLshBest _,
     "q_lsh_recall"   -> lshRecall _,
@@ -1891,6 +1976,19 @@ object DedupOps {
        |LEFT JOIN dups d ON d.vec_id = m.vec_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the oracle grades the RESULT (exact membership), not the plan —
+    // the bloom is result-invariant by the no-false-negative argument
+    "q_bloom_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_sort(list_distinct(${TextOps.toksSql})), ' '))
+         |      AS fp
+         |  FROM documents)
+         |SELECT doc_id,
+         |  fp IN (SELECT fp FROM d
+         |         WHERE doc_id % $BloomBatchMod <> ${BloomBatchMod - 1})
+         |    AS is_dup
+         |FROM d WHERE doc_id % $BloomBatchMod = ${BloomBatchMod - 1}""".stripMargin,
     // trains on the shared kmeans CTEs (all vectors), scores within
     // clusters on the guarded set at the unrounded cosine — the same
     // boundary contract as every vector near-dup oracle

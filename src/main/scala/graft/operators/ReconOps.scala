@@ -201,6 +201,183 @@ object ReconOps {
         date_format(date_sub(to_date(col("max_ts")), col("i")), "yyyyMMdd")
           .as("nite"))
 
+  // ------------------------------------------------------------------
+  // Event-sequence analytics — the [EXT] operators a time-ordered event
+  // stream (the reference's delivery log writ large) needs at scale:
+  // as-of enrichment, sessionization, funnels, retention cohorts.
+  // ------------------------------------------------------------------
+
+  /** As-of join — the canonical "operator Spark lacks": for every left
+    * row, the MOST RECENT right row of the same key at-or-before the
+    * left row's time. The naive form is a non-equi range join (quadratic
+    * per key, BNLJ at scale); this is the single-shuffle rewrite both
+    * sides of a 100 TB run can afford: tag the sides, union, and take a
+    * running `last(…, ignoreNulls)` over one (key)-partitioned window
+    * ordered by (time, side, tie) — right rows sort BEFORE left rows at
+    * equal time (at-or-before is inclusive) and the tie column makes the
+    * winner among equal-time right rows deterministic (max tie wins).
+    * One Exchange on the key, O(n log n) sort, no pair blow-up; the key
+    * (user/device/entity id) grows with the corpus, so the per-key
+    * window never funnels (unlike a low-cardinality-key window).
+    *
+    * Contract: `left` and `right` both carry `key` and `t`; every
+    * non-key right column (including `t`) comes back in a `matched`
+    * struct, null when no right row precedes. `tie` is a right column
+    * cast to long. Left columns pass through untouched. */
+  private[graft] def asofJoinCore(left: DataFrame, right: DataFrame,
+      key: String, t: String, tie: String): DataFrame = {
+    val payloadFields = right.schema.fields.filterNot(_.name == key).toSeq
+    val rStructT = org.apache.spark.sql.types.StructType(payloadFields)
+    val leftOnly = left.schema.fields
+      .filterNot(f => f.name == key || f.name == t).toSeq
+    val rShaped = right.select(
+      Seq(col(key), col(t)) ++
+        leftOnly.map(f => lit(null).cast(f.dataType).as(f.name)) ++
+        Seq(struct(payloadFields.map(f => col(f.name)): _*).as("__r"),
+          col(tie).cast("long").as("__tie"), lit(0).as("__side")): _*)
+    val lShaped = left.select(
+      Seq(col(key), col(t)) ++ leftOnly.map(f => col(f.name)) ++
+        Seq(lit(null).cast(rStructT).as("__r"),
+          lit(null).cast("long").as("__tie"), lit(1).as("__side")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(t).asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lShaped.unionByName(rShaped)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .drop("__r", "__tie", "__side")
+      .withColumnRenamed("__m", "matched")
+  }
+
+  /** Declared as-of join: each click enriched with the user's latest
+    * at-or-before purchase. Oracled against DuckDB's native ASOF LEFT
+    * JOIN — a genuinely independent implementation of the semantics
+    * (their interpolation search vs our union-window). */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame =
+    asofClicks(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        col("matched.p_event_id").as("p_event_id"),
+        col("matched.p_value").as("p_value"))
+
+  private def asofClicks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    asofJoinCore(clicks, purchases, "user_id", "ts", "p_event_id")
+  }
+
+  /** Tolerance window for [[asofTolerance]] (days): a match older than
+    * this is no match. As-of returns the MOST RECENT prior row, so if
+    * that one is stale every earlier one is staler — the tolerance is a
+    * post-filter on the single match, never a second range join. */
+  val AsofToleranceDays = 7
+
+  private val AsofToleranceUs: Long =
+    AsofToleranceDays * 86400L * 1000000L
+
+  /** As-of join with a staleness bound: same single-shuffle plan, the
+    * matched struct nulled when older than [[AsofToleranceDays]].
+    * Integer-microsecond compare on both engines — no interval
+    * arithmetic can round differently. */
+  def asofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val fresh = unix_micros(col("matched.ts")) >=
+      unix_micros(col("ts")) - lit(AsofToleranceUs)
+    asofClicks(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        when(fresh, col("matched.p_event_id")).as("p_event_id"),
+        when(fresh, col("matched.p_value")).as("p_value"))
+  }
+
+  /** Session gap (hours): adjacent same-user events farther apart than
+    * this start a new session. Sized to the testdata's inter-arrival
+    * scale (~5 days/user at sf0.01) so sessions are a real mix of
+    * singletons and runs; a web-scale run would pass minutes. */
+  val SessionGapHours = 48
+
+  private val SessionGapUs: Long = SessionGapHours * 3600L * 1000000L
+
+  /** Gap-based sessionization — one (user)-window pass: flag rows whose
+    * gap to the previous same-user event exceeds [[SessionGapHours]]
+    * (strict >; first row always opens session 1), running-sum the
+    * flags into session numbers, then aggregate per session. The
+    * partition key's cardinality grows with the corpus, so this is the
+    * scalable batch twin of the streaming sessionizer
+    * (StreamingAnalytics) — and the groupBy reuses the window's
+    * hashpartitioning(user_id), so the whole thing is ONE shuffle
+    * (user_id is a prefix of the grouping key — plan-guarded). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("ns",
+        when(col("prev").isNull || col("us") - col("prev") > SessionGapUs,
+          1L).otherwise(0L))
+      .withColumn("session_n", sum(col("ns")).over(run))
+      .groupBy(col("user_id"), col("session_n"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("span_us"))
+  }
+
+  /** Ordered-funnel analysis — how many users did signup, then (at or
+    * after it) a click, then (at or after that) a purchase. Each stage
+    * is a keyed min-aggregate over the previous stage's survivors:
+    * three user-keyed shuffles, no window, no event self-join — the
+    * stage chain is |users|-sized after stage 1 regardless of event
+    * volume. */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.where(col("event_type") === "click")
+      .join(s1, Seq("user_id")).where(col("ts") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.where(col("event_type") === "purchase")
+      .join(s2, Seq("user_id")).where(col("ts") >= col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stage(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(name).as("stage"), col("n_users"))
+    stage(s1, "1_signup")
+      .unionByName(stage(s2, "2_click"))
+      .unionByName(stage(s3, "3_purchase"))
+  }
+
+  private val WeekUs: Long = 7L * 86400L * 1000000L
+
+  /** Retention cohorts — users bucketed by first-signup week (ISO
+    * Monday truncation), counted active in each subsequent week they
+    * produced ANY event. Week offsets are exact integer divisions of
+    * microsecond deltas (both truncations are UTC week boundaries, so
+    * the delta is always a whole number of weeks — no calendar
+    * arithmetic). Pre-signup activity is excluded (offset >= 0). One
+    * distinct pass over (user, week) + one user-keyed broadcast-ish
+    * join: |users·weeks| rows, never |events|². */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cohorts = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_signup"))
+      .select(col("user_id"),
+        date_trunc("week", col("first_signup")).as("cw"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
+      .distinct()
+    active.join(cohorts, Seq("user_id"))
+      .withColumn("week_offset",
+        expr(s"(unix_micros(aw) - unix_micros(cw)) div $WeekUs"))
+      .where(col("week_offset") >= 0)
+      .groupBy(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Hourly tumbling-window rollup in batch mode — the `window()` grouping
     * the streaming path uses (StreamingAnalytics.windowedCounts), oracled
     * against DuckDB's time_bucket. */
@@ -230,6 +407,11 @@ object ReconOps {
     "q_expstate"        -> expstate _,
     "q_kv_parse"        -> kvParse _,
     "q_nite_list"       -> niteList _,
+    "q_asof_join"       -> asofJoin _,
+    "q_asof_tolerance"  -> asofTolerance _,
+    "q_sessionize"      -> sessionize _,
+    "q_event_funnel"    -> eventFunnel _,
+    "q_retention"       -> retentionCohorts _,
   )
 
   private val niteSql =
@@ -320,5 +502,68 @@ object ReconOps {
         |SELECT CAST(i AS INT) AS i,
         |  strftime(CAST(max_ts AS DATE) - i * INTERVAL 1 DAY, '%Y%m%d') AS nite
         |FROM m, range(14) t(i)""".stripMargin,
+    // DuckDB's NATIVE ASOF JOIN — an independent implementation of the
+    // semantics (no union-window mirror); right-side (user_id, ts) pairs
+    // are unique in the testdata, so the match is deterministic
+    "q_asof_join" ->
+      """WITH l AS (SELECT user_id, ts, event_id FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, r.p_event_id, r.p_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q_asof_tolerance" ->
+      s"""WITH l AS (SELECT user_id, ts, event_id FROM events
+         |           WHERE event_type = 'click'),
+         |r AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+         |      FROM events WHERE event_type = 'purchase')
+         |SELECT l.event_id, l.user_id,
+         |  CASE WHEN epoch_us(r.ts) >= epoch_us(l.ts) - $AsofToleranceUs
+         |       THEN r.p_event_id END AS p_event_id,
+         |  CASE WHEN epoch_us(r.ts) >= epoch_us(l.ts) - $AsofToleranceUs
+         |       THEN r.p_value END AS p_value
+         |FROM l ASOF LEFT JOIN r
+         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q_sessionize" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
+         |           FROM events),
+         |f AS (SELECT user_id, us, event_id,
+         |        CASE WHEN lag(us) OVER w IS NULL
+         |               OR us - lag(us) OVER w > $SessionGapUs
+         |             THEN 1 ELSE 0 END AS ns
+         |      FROM e WINDOW w AS (PARTITION BY user_id
+         |                          ORDER BY us, event_id)),
+         |s AS (SELECT user_id, us,
+         |        sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS session_n
+         |      FROM f)
+         |SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+         |  count(*) AS n_events, CAST(max(us) - min(us) AS BIGINT) AS span_us
+         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_event_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+        |SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+        |UNION ALL SELECT '2_click', count(*) FROM s2
+        |UNION ALL SELECT '3_purchase', count(*) FROM s3""".stripMargin,
+    "q_retention" ->
+      s"""WITH c AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+         |           FROM events WHERE event_type = 'signup' GROUP BY 1),
+         |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
+         |      FROM events)
+         |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+         |  (epoch_us(aw) - epoch_us(cw)) // $WeekUs AS week_offset,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM a JOIN c USING (user_id)
+         |WHERE epoch_us(aw) >= epoch_us(cw)
+         |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,152 @@
+package graft
+
+import graft.operators.ReconOps
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics (ReconOps [EXT]): as-of join semantics
+  * (at-or-before inclusive, deterministic ties, no-match nulls, staleness
+  * tolerance), gap sessionization boundaries, ordered-funnel stage rules,
+  * and retention cohort offsets — all on planted event frames written as
+  * an events.parquet table so the DECLARED query functions (not just
+  * cores) are what runs. */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val T0 = 1704067200L // 2024-01-01 00:00:00 UTC (a Monday)
+  private def ts(secOff: Long) = T0 + secOff
+  private val Day = 86400L
+  private val Hour = 3600L
+
+  /** (event_id, sec, user_id, event_type, value) → events.parquet dir. */
+  private def eventsDir(name: String,
+      rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    val dir = s"/tmp/graft_evspec_$name"
+    rows.toDF("event_id", "sec", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def asofMap(df: DataFrame): Map[Long, Option[Long]] =
+    df.collect().map { r =>
+      r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("p_event_id")).map(_.toLong)
+    }.toMap
+
+  lazy val asofDir: String = eventsDir("asof", Seq(
+    // u1: purchases at day 0 and day 10; clicks straddling them
+    (1001L, ts(0), 1L, "purchase", 1.0),
+    (1002L, ts(10 * Day), 1L, "purchase", 2.0),
+    (1L, ts(1 * Day), 1L, "click", 0.0),
+    (2L, ts(9 * Day), 1L, "click", 0.0),
+    (3L, ts(10 * Day), 1L, "click", 0.0), // equal ts: at-or-before matches
+    (4L, ts(-1 * Day), 1L, "click", 0.0), // before any purchase: no match
+    // u2: two purchases at the SAME instant — max tie id must win
+    (2001L, ts(0), 2L, "purchase", 5.0),
+    (2002L, ts(0), 2L, "purchase", 6.0),
+    (5L, ts(1 * Day), 2L, "click", 0.0),
+    // u3: click with no purchases at all
+    (6L, ts(0), 3L, "click", 0.0)))
+
+  test("as-of join: at-or-before inclusive, ties by max id, nulls on no match") {
+    val got = asofMap(ReconOps.asofJoin(spark, asofDir))
+    assert(got == Map(
+      1L -> Some(1001L), 2L -> Some(1001L), 3L -> Some(1002L),
+      4L -> None, 5L -> Some(2002L), 6L -> None))
+    // the matched payload value rides the same row as the matched id
+    val v = ReconOps.asofJoin(spark, asofDir).where(col("event_id") === 5)
+      .select(col("p_value")).head().getDouble(0)
+    assert(v == 6.0)
+  }
+
+  test("as-of tolerance: stale matches null out, fresh ones survive") {
+    val got = asofMap(ReconOps.asofTolerance(spark, asofDir))
+    // click 2 is 9 days after its only prior purchase — beyond the
+    // 7-day bound; click 1 (1 day) and click 3 (same instant) survive
+    assert(got == Map(
+      1L -> Some(1001L), 2L -> None, 3L -> Some(1002L),
+      4L -> None, 5L -> Some(2002L), 6L -> None))
+  }
+
+  test("as-of core result equals the naive per-row argmax on planted data") {
+    // independent oracle: for each left row take the max-(ts, tie) right
+    // row at-or-before, computed by a plain O(n²) collect-side scan
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+      .toDF("user_id", "sec", "event_id")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("event_id"))
+    val right = Seq((1L, 10L, 7L, 1.0), (1L, 15L, 8L, 2.0),
+        (1L, 15L, 9L, 3.0), (2L, 6L, 10L, 4.0))
+      .toDF("user_id", "sec", "p_event_id", "p_value")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("p_event_id"), col("p_value"))
+    val got = ReconOps.asofJoinCore(left, right, "user_id", "ts", "p_event_id")
+      .select(col("event_id"), col("matched.p_event_id").as("m"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("m")).map(_.toLong)).toMap
+    val rrows = Seq((1L, 10L, 7L), (1L, 15L, 8L), (1L, 15L, 9L), (2L, 6L, 10L))
+    val lrows = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+    val want = lrows.map { case (u, t, id) =>
+      val c = rrows.filter(r => r._1 == u && r._2 <= t)
+      id -> (if (c.isEmpty) None else Some(c.maxBy(r => (r._2, r._3))._3))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("sessionize: strict-gap boundary — 48h stays, over 48h splits") {
+    val dir = eventsDir("sess", Seq(
+      // u1: gaps 47h59m then 49h → sessions (2 events, 1 event)
+      (1L, ts(0), 1L, "view", 0.0),
+      (2L, ts(48 * Hour - 60), 1L, "view", 0.0),
+      (3L, ts(48 * Hour - 60 + 49 * Hour), 1L, "view", 0.0),
+      // u2: EXACTLY 48h gap — rule is strict >, same session
+      (4L, ts(0), 2L, "view", 0.0),
+      (5L, ts(48 * Hour), 2L, "view", 0.0)))
+    val got = ReconOps.sessionize(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_n")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("span_us"))).toMap
+    assert(got == Map(
+      (1L, 1L) -> (2L, (48 * Hour - 60) * 1000000L),
+      (1L, 2L) -> (1L, 0L),
+      (2L, 1L) -> (2L, 48 * Hour * 1000000L)))
+  }
+
+  test("funnel: stages require order, equal timestamps count (>=)") {
+    val dir = eventsDir("funnel", Seq(
+      // u5: signup, click at the SAME instant (counts), purchase BEFORE
+      // the click (does not)
+      (1L, ts(0), 5L, "signup", 0.0),
+      (2L, ts(0), 5L, "click", 0.0),
+      (3L, ts(-Day), 5L, "purchase", 0.0),
+      // u6: click only — never enters the funnel
+      (4L, ts(0), 6L, "click", 0.0),
+      // u7: full ordered path
+      (5L, ts(0), 7L, "signup", 0.0),
+      (6L, ts(1), 7L, "click", 0.0),
+      (7L, ts(2), 7L, "purchase", 0.0)))
+    val got = ReconOps.eventFunnel(spark, dir).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(got == Map("1_signup" -> 2L, "2_click" -> 2L, "3_purchase" -> 1L))
+  }
+
+  test("retention: offsets are whole weeks from first-signup week, pre-signup excluded") {
+    val dir = eventsDir("ret", Seq(
+      // u8 signs up in week 0 (T0 is a Monday), active weeks 0 and 2,
+      // and has pre-signup activity in week -1 that must NOT appear
+      (1L, ts(-3 * Day), 8L, "view", 0.0),
+      (2L, ts(2 * Day), 8L, "signup", 0.0),
+      (3L, ts(3 * Day), 8L, "click", 0.0),
+      (4L, ts(16 * Day), 8L, "view", 0.0),
+      // u9 signs up in week 1 — a second cohort
+      (5L, ts(8 * Day), 9L, "signup", 0.0)))
+    val got = ReconOps.retentionCohorts(spark, dir).collect()
+      .map(r => (r.getAs[String]("cohort_week"), r.getAs[Long]("week_offset"))
+        -> r.getAs[Long]("n_users")).toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> 1L, ("2024-01-01", 2L) -> 1L,
+      ("2024-01-08", 0L) -> 1L))
+  }
+}

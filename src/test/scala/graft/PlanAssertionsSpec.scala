@@ -215,4 +215,46 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("LeftSemi"),
       s"shingle derivation must be restricted to dup-component docs:\n$p")
   }
+
+  test("as-of family: single key shuffle, never a range join") {
+    // the union-window rewrite is the WHOLE point of the operator: the
+    // naive formulation plans a BroadcastNestedLoopJoin (quadratic per
+    // key at 100 TB). Exactly one hashpartitioning(user_id) exchange
+    // feeds the window; no join operator of any kind appears.
+    for (q <- Seq("q_asof_join", "q_asof_tolerance")) {
+      val p = plan(q)
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"$q: as-of must never plan a range join:\n$p")
+      assert(!p.contains("Join"), s"$q: no join operator at all:\n$p")
+      // AQE tree strings render the plan twice (Final + Initial) — one
+      // real exchange appears at most twice in the text
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+        s"$q: exactly one key shuffle:\n$p")
+      assert(p.contains("Window"), s"$q: the running-last window:\n$p")
+    }
+  }
+
+  test("q_sessionize: the session aggregate reuses the window's shuffle") {
+    // grouping key (user_id, session_n) has the window's partition key
+    // as a prefix, so hashpartitioning(user_id) satisfies the aggregate
+    // distribution — the whole query is ONE exchange
+    val p = plan("q_sessionize")
+    // AQE renders Final + Initial plans: one real exchange ≤ 2 mentions
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"one shuffle for window AND aggregate:\n$p")
+  }
+
+  test("q_bloom_dedup: bloom gate prunes before the verify join shuffles") {
+    // the candidate filter must sit below the semi-join (that is the
+    // gate's value: only ~fpp of novel rows reach the shuffle), and the
+    // verify join must be an equi semi-join, never nested-loop
+    val p = plan("q_bloom_dedup")
+    assert(p.contains("LeftSemi"), s"exact verify is a semi-join:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"membership must stay an equi-join:\n$p")
+    val iFilter = p.indexOf("UDF")
+    val iJoin = p.indexOf("LeftSemi")
+    assert(iFilter >= 0 && iJoin >= 0 && iFilter > iJoin,
+      s"bloom probe must run below (after in tree order) the join:\n$p")
+  }
 }
