@@ -88,6 +88,12 @@ object PlanAudit {
     "q_shared_spans" -> "exact substring runs: checkpointed positional-gram relation, df-capped hash equi-join, diagonal-island window on the high-cardinality (pair, diag) key, per-pair argmax",
     "q_span_scrub" -> "cross-doc span removal: the shared runs relation + span explode (span-sized), (doc,pos) anti-join, ordered reassembly agg — the repeat-scrub skeleton",
     "q_shared_spans_cand" -> "the production span plan: winnow-candidate pairs prune each positional-join side (semi-joins) and bound the match relation — identical answer, candidate-bounded join",
+    "q_asof_join" -> "as-of join as union + running last() over ONE (user)-window — single key exchange, no range join, no pair blow-up; right-before-left order at equal ts makes at-or-before inclusive",
+    "q_asof_tolerance" -> "same single-shuffle as-of plan; staleness is a post-filter on the one matched row (integer-microsecond compare), never a second range condition in a join",
+    "q_sessionize" -> "gap sessionization: lag + running-sum flags in one (user)-window; the session aggregate's key has user_id as a prefix so it reuses the window's hashpartitioning — ONE exchange total",
+    "q_event_funnel" -> "ordered funnel: per-stage user-keyed min-aggregates over the previous stage's survivors — |users|-sized chain after stage 1, no event self-join, no window",
+    "q_retention" -> "retention cohorts: distinct (user, week) pass + user equi-join + integer week-offset division — |users x weeks| rows, exact microsecond arithmetic",
+    "q_bloom_dedup" -> "bloom admission gate: broadcast bloom of corpus fp hashes filters the batch BELOW the verify semi-join — only ~fpp of novel rows reach the shuffle; result exact by no-false-negatives",
     "q_bpe_batched" -> "batched BPE rounds: one distributed pair-count job + (batchCap+1)-row collect per round admits a disjoint merge prefix; nested sentinel replaces chunked at 64 per projection with lineage resets",
   )
 
