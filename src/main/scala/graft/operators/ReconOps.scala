@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Derived
@@ -223,9 +223,15 @@ object ReconOps {
     * Contract: `left` and `right` both carry `key` and `t`; every
     * non-key right column (including `t`) comes back in a `matched`
     * struct, null when no right row precedes. `tie` is a right column
-    * cast to long. Left columns pass through untouched. */
+    * cast to long. Left columns pass through untouched.
+    *
+    * `forward = true` flips the direction: the EARLIEST right row
+    * at-or-AFTER each left row (time-to-next-event). Same plan — only
+    * the window order reverses (t desc; tie desc so the last row in
+    * order is the min tie → deterministic min-id winner). */
   private[graft] def asofJoinCore(left: DataFrame, right: DataFrame,
-      key: String, t: String, tie: String): DataFrame = {
+      key: String, t: String, tie: String,
+      forward: Boolean = false): DataFrame = {
     val payloadFields = right.schema.fields.filterNot(_.name == key).toSeq
     val rStructT = org.apache.spark.sql.types.StructType(payloadFields)
     val leftOnly = left.schema.fields
@@ -239,8 +245,11 @@ object ReconOps {
       Seq(col(key), col(t)) ++ leftOnly.map(f => col(f.name)) ++
         Seq(lit(null).cast(rStructT).as("__r"),
           lit(null).cast("long").as("__tie"), lit(1).as("__side")): _*)
+    val (tOrd, tieOrd) =
+      if (forward) (col(t).desc, col("__tie").desc)
+      else (col(t).asc, col("__tie").asc)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(t).asc, col("__side").asc, col("__tie").asc)
+      .orderBy(tOrd, col("__side").asc, tieOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lShaped.unionByName(rShaped)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
@@ -259,15 +268,28 @@ object ReconOps {
         col("matched.p_event_id").as("p_event_id"),
         col("matched.p_value").as("p_value"))
 
-  private def asofClicks(spark: SparkSession, dir: String): DataFrame = {
+  private def asofClicks(spark: SparkSession, dir: String,
+      forward: Boolean = false): DataFrame = {
     val ev = Tables.events(spark, dir)
     val clicks = ev.where(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id"))
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"),
         col("event_id").as("p_event_id"), col("value").as("p_value"))
-    asofJoinCore(clicks, purchases, "user_id", "ts", "p_event_id")
+    asofJoinCore(clicks, purchases, "user_id", "ts", "p_event_id", forward)
   }
+
+  /** Forward as-of: each click joined to the user's NEXT purchase
+    * at-or-after it — conversion latency in whole seconds (integer
+    * division of a non-negative µs delta, so Spark `div` and DuckDB
+    * `//` agree). Same single-shuffle plan as [[asofJoin]], reversed
+    * window order. */
+  def asofForward(spark: SparkSession, dir: String): DataFrame =
+    asofClicks(spark, dir, forward = true)
+      .select(col("event_id"), col("user_id"),
+        col("matched.p_event_id").as("p_event_id"),
+        expr("(unix_micros(matched.ts) - unix_micros(ts)) div 1000000")
+          .as("latency_sec"))
 
   /** Tolerance window for [[asofTolerance]] (days): a match older than
     * this is no match. As-of returns the MOST RECENT prior row, so if
@@ -378,6 +400,56 @@ object ReconOps {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** `percentile_approx` accuracy → guaranteed rank error ε = 1/this.
+    * Kept deliberately coarse (ε = 1%) so the error-bound contract below
+    * is a REAL assertion about the sketch, not slack. */
+  val QuantileAccuracy = 100
+
+  /** Approximate quantiles with an error-bound contract — the
+    * [[RelationalOps.approxDistinct]] pattern for the quantile sketch:
+    * per event_type, exact p50/p90/p99 of the value (integer cents,
+    * floor on both engines) via the histogram trick, PLUS booleans
+    * asserting the `percentile_approx` estimate lands between the exact
+    * (p−ε) and (p+ε) quantiles — the KLL/GK-style rank guarantee the
+    * sketch ships with. The oracle pins the exact quantiles and asserts
+    * the booleans TRUE; the estimates themselves are engine-specific and
+    * never cross the oracle. At 100 TB the exact side IS the histogram
+    * trick (hash-agg to distinct values, window over the histogram, not
+    * the corpus); the sketch side is one mergeable buffer per group. */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val hist = cents.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    def pick(p10k: Int, nm: String): Column =
+      min(when(col("cum") * 10000 >= col("total") * p10k, col("cents")))
+        .as(nm)
+    val exact = hist
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(pick(5000, "p50"), pick(9000, "p90"), pick(9900, "p99"),
+        pick(4900, "lo50"), pick(5100, "hi50"),
+        pick(8900, "lo90"), pick(9100, "hi90"),
+        pick(9800, "lo99"), max(col("cents")).as("hi99"))
+    val approx = cents.groupBy(col("event_type"))
+      .agg(percentile_approx(col("cents"),
+        array(lit(0.5), lit(0.9), lit(0.99)),
+        lit(QuantileAccuracy)).as("ap"))
+    exact.join(approx, Seq("event_type"))
+      .select(col("event_type"), col("p50"), col("p90"), col("p99"),
+        col("ap")(0).between(col("lo50"), col("hi50"))
+          .as("p50_within_bounds"),
+        col("ap")(1).between(col("lo90"), col("hi90"))
+          .as("p90_within_bounds"),
+        col("ap")(2).between(col("lo99"), col("hi99"))
+          .as("p99_within_bounds"))
+  }
+
   /** Hourly tumbling-window rollup in batch mode — the `window()` grouping
     * the streaming path uses (StreamingAnalytics.windowedCounts), oracled
     * against DuckDB's time_bucket. */
@@ -409,6 +481,8 @@ object ReconOps {
     "q_nite_list"       -> niteList _,
     "q_asof_join"       -> asofJoin _,
     "q_asof_tolerance"  -> asofTolerance _,
+    "q_asof_forward"    -> asofForward _,
+    "q_approx_quantiles" -> approxQuantiles _,
     "q_sessionize"      -> sessionize _,
     "q_event_funnel"    -> eventFunnel _,
     "q_retention"       -> retentionCohorts _,
@@ -525,6 +599,35 @@ object ReconOps {
          |       THEN r.p_value END AS p_value
          |FROM l ASOF LEFT JOIN r
          |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q_asof_forward" ->
+      """WITH l AS (SELECT user_id, ts, event_id FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, event_id AS p_event_id
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, r.p_event_id,
+        |  (epoch_us(r.ts) - epoch_us(l.ts)) // 1000000 AS latency_sec
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+    // exact quantiles via the histogram trick; the sketch estimates are
+    // engine-specific, so the oracle asserts the rank-bound booleans
+    "q_approx_quantiles" ->
+      """WITH c AS (SELECT event_type,
+        |             CAST(floor(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |h AS (SELECT event_type, cents, count(*) AS n FROM c GROUP BY 1, 2),
+        |k AS (SELECT event_type, cents,
+        |        sum(n) OVER (PARTITION BY event_type ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(n) OVER (PARTITION BY event_type) AS total
+        |      FROM h)
+        |SELECT event_type,
+        |  min(CASE WHEN cum * 10000 >= total * 5000 THEN cents END) AS p50,
+        |  min(CASE WHEN cum * 10000 >= total * 9000 THEN cents END) AS p90,
+        |  min(CASE WHEN cum * 10000 >= total * 9900 THEN cents END) AS p99,
+        |  TRUE AS p50_within_bounds,
+        |  TRUE AS p90_within_bounds,
+        |  TRUE AS p99_within_bounds
+        |FROM k GROUP BY 1""".stripMargin,
     "q_sessionize" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
          |           FROM events),

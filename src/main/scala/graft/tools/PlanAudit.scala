@@ -90,6 +90,8 @@ object PlanAudit {
     "q_shared_spans_cand" -> "the production span plan: winnow-candidate pairs prune each positional-join side (semi-joins) and bound the match relation — identical answer, candidate-bounded join",
     "q_asof_join" -> "as-of join as union + running last() over ONE (user)-window — single key exchange, no range join, no pair blow-up; right-before-left order at equal ts makes at-or-before inclusive",
     "q_asof_tolerance" -> "same single-shuffle as-of plan; staleness is a post-filter on the one matched row (integer-microsecond compare), never a second range condition in a join",
+    "q_asof_forward" -> "forward as-of (time-to-next-event): the same union-window plan with reversed order — earliest at-or-after match, integer-second latency, one key exchange",
+    "q_approx_quantiles" -> "quantile sketch with a rank-error contract: exact picks via the histogram trick (windows over distinct values, not the corpus) + one mergeable percentile_approx buffer per group; booleans assert the sketch inside its (p±ε) band",
     "q_sessionize" -> "gap sessionization: lag + running-sum flags in one (user)-window; the session aggregate's key has user_id as a prefix so it reuses the window's hashpartitioning — ONE exchange total",
     "q_event_funnel" -> "ordered funnel: per-stage user-keyed min-aggregates over the previous stage's survivors — |users|-sized chain after stage 1, no event self-join, no window",
     "q_retention" -> "retention cohorts: distinct (user, week) pass + user equi-join + integer week-offset division — |users x weeks| rows, exact microsecond arithmetic",

@@ -71,6 +71,29 @@ class EventAnalyticsSpec extends SparkSpec {
       4L -> None, 5L -> Some(2002L), 6L -> None))
   }
 
+  test("forward as-of: earliest at-or-after, min-id ties, latency seconds") {
+    val got = ReconOps.asofForward(spark, asofDir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Long]("p_event_id")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("latency_sec")).map(_.toLong)))
+      .toMap
+    assert(got == Map(
+      1L -> (Some(1002L), Some(9 * Day)),  // next purchase is day 10
+      2L -> (Some(1002L), Some(1 * Day)),
+      3L -> (Some(1002L), Some(0L)),       // equal ts: at-or-after inclusive
+      4L -> (Some(1001L), Some(1 * Day)),  // pre-window click → first purchase
+      5L -> (None, None),                  // u2 purchases are all BEFORE
+      6L -> (None, None)))                 // u3 has none
+    // equal-instant forward ties pick the MIN id: u2 click AT the
+    // double-purchase instant
+    val dir2 = eventsDir("fwdtie", Seq(
+      (2001L, ts(0), 2L, "purchase", 5.0),
+      (2002L, ts(0), 2L, "purchase", 6.0),
+      (7L, ts(0), 2L, "click", 0.0)))
+    val tie = ReconOps.asofForward(spark, dir2).head()
+    assert(tie.getAs[Long]("p_event_id") == 2001L)
+  }
+
   test("as-of core result equals the naive per-row argmax on planted data") {
     // independent oracle: for each left row take the max-(ts, tie) right
     // row at-or-before, computed by a plain O(n²) collect-side scan
@@ -130,6 +153,21 @@ class EventAnalyticsSpec extends SparkSpec {
     val got = ReconOps.eventFunnel(spark, dir).collect()
       .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
     assert(got == Map("1_signup" -> 2L, "2_click" -> 2L, "3_purchase" -> 1L))
+  }
+
+  test("approx quantiles: exact histogram picks + sketch inside its rank bound") {
+    // 100 values i/4 dollars (exact in binary → cents = 25·i exactly):
+    // p50 = 1250, p90 = 2250, p99 = 2475
+    val dir = eventsDir("quant",
+      (1L to 100L).map(i => (i, ts(i), 1L, "view", i / 4.0)))
+    val r = ReconOps.approxQuantiles(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("p50") == 1250L && row.getAs[Long]("p90") == 2250L
+      && row.getAs[Long]("p99") == 2475L)
+    assert(row.getAs[Boolean]("p50_within_bounds")
+      && row.getAs[Boolean]("p90_within_bounds")
+      && row.getAs[Boolean]("p99_within_bounds"))
   }
 
   test("retention: offsets are whole weeks from first-signup week, pre-signup excluded") {

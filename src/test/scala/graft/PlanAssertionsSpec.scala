@@ -221,7 +221,7 @@ class PlanAssertionsSpec extends SparkSpec {
     // naive formulation plans a BroadcastNestedLoopJoin (quadratic per
     // key at 100 TB). Exactly one hashpartitioning(user_id) exchange
     // feeds the window; no join operator of any kind appears.
-    for (q <- Seq("q_asof_join", "q_asof_tolerance")) {
+    for (q <- Seq("q_asof_join", "q_asof_tolerance", "q_asof_forward")) {
       val p = plan(q)
       assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
         s"$q: as-of must never plan a range join:\n$p")
