@@ -171,9 +171,19 @@ object MultimodalOps {
       s
     }
 
+    /** Decompression-bomb guard: header-declared dimensions come from
+      * UNTRUSTED bytes, and `luma`/`getRGB` allocate width*height ints —
+      * a tiny crafted PNG declaring 50k×50k would OOM the executor
+      * (an Error, not caught by the degrade-to-stub Exception handlers).
+      * Frames declaring more pixels than this cap fall back to
+      * [[DecodeStub]] BEFORE any pixel read. 64 MPix ≈ 256 MB of int
+      * raster — far above any legitimate fixture, well under heap. */
+    private[operators] val MaxPixels = 64L * 1024 * 1024
+
     /** (reader-acquired) decode of every frame, or None when no
-      * registered reader accepts the payload. One container open per
-      * call — the frameSigs path walks all frames from it. */
+      * registered reader accepts the payload (or any frame declares
+      * dimensions over [[MaxPixels]] — bomb guard). One container open
+      * per call — the frameSigs path walks all frames from it. */
     private def decodeFrames(content: Array[Byte]): Option[Vector[BufferedImage]] = {
       if (content == null || content.isEmpty) return None
       ImageIO.setUseCache(false)
@@ -187,7 +197,11 @@ object MultimodalOps {
         try {
           r.setInput(in, false, true)
           val n = math.max(1, r.getNumImages(true))
-          Some((0 until n).map(r.read).toVector)
+          val bombed = (0 until n).exists { i =>
+            r.getWidth(i).toLong * r.getHeight(i).toLong > MaxPixels
+          }
+          if (bombed) None
+          else Some((0 until n).map(r.read).toVector)
         } finally r.dispose()
       } catch { case _: Exception => None }
       finally in.close()
@@ -227,6 +241,30 @@ object MultimodalOps {
             .map(i => (i, rollSig(luma(frames(i)))))
         case None => DecodeStub.frameSigs(m, everyK)
       }
+
+    /** Bomb-guarded single-image read: decodes the first frame only if
+      * its header-declared dimensions stay under [[MaxPixels]]. The
+      * [[AviMjpegCodec]] per-chunk JPEG path goes through this instead
+      * of a raw `ImageIO.read` for the same reason [[decodeFrames]]
+      * checks dims first. */
+    private[graft] def readCapped(bytes: Array[Byte]): Option[BufferedImage] = {
+      if (bytes == null || bytes.isEmpty) return None
+      ImageIO.setUseCache(false)
+      val in = ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      if (in == null) return None
+      try {
+        val readers = ImageIO.getImageReaders(in)
+        if (!readers.hasNext) return None
+        val r = readers.next()
+        try {
+          r.setInput(in, false, true)
+          if (r.getWidth(0).toLong * r.getHeight(0).toLong > MaxPixels) None
+          else Some(r.read(0))
+        } finally r.dispose()
+      } catch { case _: Exception => None }
+      finally in.close()
+    }
 
     /** Header-only probe: does a registered image reader claim these
       * bytes? Reads magic bytes, decodes nothing — [[JdkMediaCodec]]'s
@@ -404,31 +442,51 @@ object MultimodalOps {
       (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
         ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
 
+    /** Legitimate AVI nests at most RIFF → LIST movi → LIST rec. —
+      * anything deeper is a crafted payload, and a recursive walk over
+      * it would StackOverflowError (an Error, which escapes the
+      * degrade-to-stub Exception handlers and kills the task). The walk
+      * below is iterative with an explicit frontier AND bounded by this
+      * depth, mirroring [[graft.functions.IsoBmff]]'s fixed-path bound. */
+    private val MaxDepth = 16
+
     /** Every video-data chunk's payload (complete JPEG bytes), in
       * stream order. Containers (`RIFF`, `LIST`) are descended through
       * their 4-byte form type; all other chunks skip — AVI headers
-      * (`hdrl`, `avih`, `strl`, index chunks) need no parsing here. */
+      * (`hdrl`, `avih`, `strl`, index chunks) need no parsing here.
+      * Iterative (explicit stack, depth-capped): stack depth is bounded
+      * by [[MaxDepth]] regardless of payload shape, so a crafted file of
+      * deeply nested 12-byte LIST headers degrades gracefully instead of
+      * overflowing the JVM stack. Stream order is preserved: a container
+      * pushes a resume frame for its own remainder beneath the child
+      * range, so children emit before following siblings. */
     private def frameChunks(b: Array[Byte]): Vector[Array[Byte]] = {
       val out = Vector.newBuilder[Array[Byte]]
-      def walk(start: Long, end: Long): Unit = {
-        var off = start
-        while (off + 8 <= end) {
+      // frames of (cursor, end, depth); mutable cursor via re-push
+      var stack: List[(Long, Long, Int)] = List((0L, b.length.toLong, 0))
+      while (stack.nonEmpty) {
+        val (off, end, depth) = stack.head
+        stack = stack.tail
+        if (off + 8 <= end) {
           val id = new String(b, off.toInt, 4,
             java.nio.charset.StandardCharsets.ISO_8859_1)
           val size = le32(b, (off + 4).toInt)
           val dataStart = off + 8
           val dataEnd = math.min(end, dataStart + size)
+          val next = dataStart + size + (size & 1L) // even-byte padding
+          // resume this level after the current chunk (pushed first so a
+          // descended child's frame sits above it = child walks first)
+          stack = (next, end, depth) :: stack
           if (id == "RIFF" || id == "LIST") {
-            if (dataStart + 4 <= dataEnd) walk(dataStart + 4, dataEnd)
+            if (dataStart + 4 <= dataEnd && depth < MaxDepth)
+              stack = (dataStart + 4, dataEnd, depth + 1) :: stack
           } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db"))
               && dataEnd > dataStart) {
             out += java.util.Arrays.copyOfRange(b, dataStart.toInt,
               dataEnd.toInt)
           }
-          off = dataStart + size + (size & 1L) // even-byte padding
         }
       }
-      walk(0L, b.length.toLong)
       out.result()
     }
 
@@ -440,17 +498,15 @@ object MultimodalOps {
       try {
         val chunks = frameChunks(content)
         if (chunks.isEmpty) return None
-        javax.imageio.ImageIO.setUseCache(false)
         val decoded = (0 until chunks.length by everyK).flatMap { i =>
-          Option(javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(chunks(i)))).map(i -> _)
+          ImageIoCodec.readCapped(chunks(i)).map(i -> _)
         }.toVector
         if (decoded.isEmpty) None else Some(decoded)
       } catch { case _: Exception => None }
     }
 
     /** Stored-frame count (container walk only, no pixel decode). */
-    private[operators] def storedFrames(content: Array[Byte]): Int =
+    private[graft] def storedFrames(content: Array[Byte]): Int =
       frameChunks(content).length
 
     def decode(m: MediaFile): MediaFeatures =
@@ -725,6 +781,20 @@ object MultimodalOps {
       .join(best, Seq("media_id"), "left")
   }
 
+  /** Single-byte-codepoint contract for the container synthesis below:
+    * [[wavFromDocuments]]/[[mp4FromDocuments]] assemble payload hex one
+    * CHARACTER at a time via `lpad(hex(ascii(c)), 2, "0")`, which is
+    * byte-faithful only for codepoints ≤ 0xFF — a larger codepoint's hex
+    * is >2 digits and `lpad` would TRUNCATE it to the leftmost two,
+    * silently corrupting the container and diverging from the DuckDB
+    * `ord()` oracles. So the synthesis fails LOUDLY instead: any
+    * codepoint > 0xFF raises at execution with a clear message (the
+    * oracled corpus is ASCII, so the branch never fires there). */
+  private def ascii1(c: Column): Column =
+    when(ascii(c) > 255, raise_error(concat(
+      lit("graft media synthesis requires single-byte codepoints; found "),
+      ascii(c)))).otherwise(ascii(c))
+
   /** Little-endian uint32 as 8 hex chars — WAV header size fields. */
   private def le32hex(v: Column): Column = concat(
     lpad(hex(v % 256), 2, "0"),
@@ -746,7 +816,7 @@ object MultimodalOps {
     import spark.implicits._
     val pcmHex = array_join(
       transform(split(col("text"), ""),
-        c => concat(lit("00"), lpad(hex((ascii(c) + 128) % 256), 2, "0"))),
+        c => concat(lit("00"), lpad(hex((ascii1(c) + 128) % 256), 2, "0"))),
       "")
     val dataLen = (length(col("text")) * 2).cast("long")
     val headerHex = concat(
@@ -842,7 +912,7 @@ object MultimodalOps {
       w16, h16)
     val mdatHex = concat(lpad(hex(len + 8L), 8, "0"), lit("6D646174"),
       array_join(transform(split(col("text"), ""),
-        c => lpad(hex(ascii(c)), 2, "0")), ""))
+        c => lpad(hex(ascii1(c)), 2, "0")), ""))
     val fileHex = concat(
       lit("00000014" + "66747970" + "69736F6D" + "00000200" + "69736F6D"),
       lit("000000D8" + "6D6F6F76"), mvhdHex,

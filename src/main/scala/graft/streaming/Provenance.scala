@@ -84,8 +84,15 @@ object Provenance {
       .write.mode(SaveMode.Overwrite).parquet(stage.toString)
     val part = fs.listStatus(stage).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).head
-    fs.rename(part,
-      new org.apache.hadoop.fs.Path(tasksDir, s"task-$id.parquet"))
+    val target = new org.apache.hadoop.fs.Path(tasksDir, s"task-$id.parquet")
+    // a prior attempt that crashed between rename and stage cleanup can
+    // leave a stale target, and some FS impls report rename-onto-existing
+    // as a silent `false` — which would return the id WITHOUT recording
+    // the row. Clear any stale target (the id marker guarantees no OTHER
+    // writer owns it), then require the rename to actually succeed.
+    if (fs.exists(target)) fs.delete(target, false)
+    require(fs.rename(part, target),
+      s"provenance commit failed: rename $part -> $target returned false")
     fs.delete(stage, true)
     id
   }

@@ -348,6 +348,85 @@ class MultimodalSpec extends SparkSpec {
     assert(ft.feature.length == 16 && ft.byte_len == torn.content.length)
   }
 
+  test("decompression bomb: huge declared dims fall back before pixel read") {
+    // a syntactically valid PNG signature + IHDR declaring 50000x50000
+    // (2.5 GPix): luma() would allocate a multi-GB int raster if the
+    // codec trusted the header. The dims check must reject BEFORE any
+    // pixel read and degrade to the byte path.
+    val bb = java.nio.ByteBuffer.allocate(8 + 25) // sig + IHDR chunk
+    bb.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+    bb.putInt(13) // IHDR length
+    val ihdr = java.nio.ByteBuffer.allocate(17)
+    ihdr.put("IHDR".getBytes("ISO-8859-1"))
+    ihdr.putInt(50000).putInt(50000) // width, height
+    ihdr.put(8.toByte).put(2.toByte) // bit depth, color type RGB
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+    val ihdrBytes = ihdr.array()
+    bb.put(ihdrBytes, 4, 13)
+    val crc = new java.util.zip.CRC32
+    crc.update(ihdrBytes, 0, 17)
+    bb.putInt(crc.getValue.toInt)
+    val bomb = MediaFile(9L, "image", bb.array(), Map())
+    val f = MultimodalOps.ImageIoCodec.decode(bomb) // must not OOM/throw
+    val stub = DecodeStub.decode(bomb)
+    assert(f.copy(feature = null) == stub.copy(feature = null),
+      "bombed dims must take the byte fallback")
+    assert(MultimodalOps.ImageIoCodec.readCapped(bomb.content).isEmpty)
+  }
+
+  test("deeply nested LIST bomb: bounded walk, no StackOverflowError") {
+    // ~100k nested 12-byte LIST headers: a recursive walker would
+    // overflow the JVM stack (an Error, which escapes the
+    // degrade-to-stub Exception handlers and kills the executor task).
+    // The iterative walker must terminate with the stub row.
+    val depth = 100000
+    val bb = java.nio.ByteBuffer.allocate(12 + depth * 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ISO-8859-1"))
+    bb.putInt(8 + depth * 12)
+    bb.put("AVI ".getBytes("ISO-8859-1"))
+    (0 until depth).foreach { i =>
+      bb.put("LIST".getBytes("ISO-8859-1"))
+      bb.putInt(4 + (depth - 1 - i) * 12) // each LIST wraps the rest
+      bb.put("rec ".getBytes("ISO-8859-1"))
+    }
+    val bomb = MediaFile(8L, "video", bb.array(), Map())
+    val f = MultimodalOps.AviMjpegCodec.decode(bomb) // must not throw
+    val stub = DecodeStub.decode(bomb)
+    assert(f.copy(feature = null) == stub.copy(feature = null))
+    assert(MultimodalOps.AviMjpegCodec.storedFrames(bomb.content) == 0)
+    // the depth CAP (not just iteration) is what bounds work: a movi
+    // list buried under the cap still yields its frames, one below the
+    // cap does not — pin the bound so a refactor cannot silently
+    // reintroduce unbounded descent
+    def nest(n: Int, core: Array[Byte]): Array[Byte] =
+      (0 until n).foldLeft(core) { (b, _) =>
+        val out = java.nio.ByteBuffer.allocate(12 + b.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.put("LIST".getBytes("ISO-8859-1")).putInt(4 + b.length)
+        out.put("rec ".getBytes("ISO-8859-1")).put(b)
+        out.array()
+      }
+    def rewrap(body: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("ISO-8859-1")).putInt(4 + body.length)
+      out.put("AVI ".getBytes("ISO-8859-1")).put(body)
+      out.array()
+    }
+    val frame = {
+      val p = "xx".getBytes("ISO-8859-1")
+      val c = java.nio.ByteBuffer.allocate(8 + p.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      c.put("00dc".getBytes("ISO-8859-1")).putInt(p.length).put(p)
+      c.array()
+    }
+    assert(MultimodalOps.AviMjpegCodec.storedFrames(
+      rewrap(nest(10, frame))) == 1, "within the cap: frames found")
+    assert(MultimodalOps.AviMjpegCodec.storedFrames(
+      rewrap(nest(40, frame))) == 0, "beyond the cap: descent stops")
+  }
+
   test("torn WAV container degrades safely, never throws") {
     val wav = pcm16(Array.fill[Short](2048)(123), 1, bigEndian = false, Wave)
     val torn = MediaFile(4L, "audio", wav.take(50), Map())
