@@ -17,12 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ ReconOps.queries ++ TextOps.queries ++
       VectorOps.queries ++ DedupOps.queries ++ IngestOps.queries ++
-      MultimodalOps.queries ++ MonitorOps.queries ++ CurationOps.queries
+      MultimodalOps.queries ++ MonitorOps.queries ++ CurationOps.queries ++
+      DedupOps.prodQueries ++ CurationOps.prodQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalOps.oracles ++ ReconOps.oracles ++ TextOps.oracles ++
       VectorOps.oracles ++ DedupOps.oracles ++ IngestOps.oracles ++
-      MultimodalOps.oracles ++ MonitorOps.oracles ++ CurationOps.oracles
+      MultimodalOps.oracles ++ MonitorOps.oracles ++ CurationOps.oracles ++
+      DedupOps.prodOracles ++ CurationOps.prodOracles
 }

@@ -1138,6 +1138,38 @@ object DedupOps {
     relabeled.union(newMembers)
   }
 
+  /** Delta split for [[mergeGroupsDemo]]: a dup pair whose HIGHER id is
+    * ≡ 0 (mod this) "arrives late" — ~10% of the edge stream, the
+    * incremental batch the streaming loop folds in. Deterministic and
+    * scale-free, so the demo keeps exercising genuine merges (including
+    * never-seen nodes and component unions) at every sf. */
+  val MergeDeltaMod = 10
+
+  /** [[mergeGroups]] as an ORACLE-GATED query (VERDICT r11 item 4): the
+    * incremental group fold is the streaming loop's correctness
+    * linchpin, so this declares it against a DuckDB recursive-CTE
+    * oracle instead of relying on spec-only equivalence. The verified
+    * dup-pair stream splits deterministically ([[MergeDeltaMod]]): the
+    * ~90% "already ingested" edges build the existing labeling via
+    * [[connectedComponents]], the ~10% delta then folds in through
+    * [[mergeGroups]] — whose output must equal the one-shot labeling
+    * over ALL edges (the oracle computes existing's walk, re-expresses
+    * it as star edges, and walks (star ∪ delta) — exactly the
+    * edge-equivalence argument [[mergeGroups]]'s correctness rests on).
+    *
+    * The pair relation is persisted: it feeds both split sides and the
+    * delta side is consumed by several joins inside [[mergeGroups]];
+    * without the persist each consumer would re-derive the LSH chain
+    * (same discipline as curationStagesFrom's chunk table). */
+  def mergeGroupsDemo(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = textDupPairs(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isDelta = col("id_b") % MergeDeltaMod === 0
+    val existing = connectedComponents(pairs.where(!isDelta))
+      .select(col("id").as("doc_id"), col("comp").as("rep_id"))
+    mergeGroups(existing, pairs.where(isDelta))
+  }
+
   /** Duplicate groups over the embedding corpus: [[cosineNearDupAuto]]
     * pairs (banded below saturation, probed-IVF-cell candidates past it)
     * resolved to components. (vec_id, rep_id) per involved vector; the
@@ -1759,6 +1791,7 @@ object DedupOps {
       ((s: SparkSession, d: String) => chunkSemDedupAuto(s, d)),
     "q_dedup_groups" -> ((s: SparkSession, d: String) => dedupGroups(s, d)),
     "q_text_dedup_groups" -> textDedupGroups _,
+    "q_merge_groups" -> mergeGroupsDemo _,
     "q_leakfree_split" -> leakFreeSplit _,
     "q_group_sizes" -> dupGroupSizes _,
     "q_dup_threshold_sweep" -> dupThresholdSweep _,
@@ -2416,11 +2449,105 @@ object DedupOps {
          |  FROM votes GROUP BY doc_id)
          |SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
          |FROM sigs GROUP BY simhash""".stripMargin,
+    // the incremental fold's oracle mirrors its correctness argument:
+    // build the existing labeling by walking the non-delta edges,
+    // re-express it as star edges (member -> rep: edge-equivalent to
+    // the fixpoint), and walk (star UNION delta) — the result must
+    // equal what the one-shot chain over ALL edges produces
+    "q_merge_groups" ->
+      s"""WITH RECURSIVE $textGroupsCtes,
+         |e1 AS (SELECT id_a, id_b FROM e WHERE id_b % $MergeDeltaMod <> 0),
+         |delta AS (SELECT id_a, id_b FROM e WHERE id_b % $MergeDeltaMod = 0),
+         |adj1 AS (SELECT id_a AS src, id_b AS dst FROM e1
+         |         UNION ALL SELECT id_b, id_a FROM e1),
+         |walk1(id, comp) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM adj1)
+         |  UNION
+         |  SELECT a.dst, w.comp FROM walk1 w JOIN adj1 a ON a.src = w.id),
+         |existing AS (SELECT id AS doc_id, min(comp) AS rep_id
+         |             FROM walk1 GROUP BY id),
+         |star AS (SELECT rep_id AS id_a, doc_id AS id_b FROM existing
+         |         WHERE doc_id <> rep_id),
+         |e2 AS (SELECT id_a, id_b FROM star UNION
+         |       SELECT id_a, id_b FROM delta),
+         |adj2 AS (SELECT id_a AS src, id_b AS dst FROM e2
+         |         UNION ALL SELECT id_b, id_a FROM e2),
+         |walk2(id, comp) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM adj2)
+         |  UNION
+         |  SELECT a.dst, w.comp FROM walk2 w JOIN adj2 a ON a.src = w.id)
+         |SELECT id AS doc_id, min(comp) AS rep_id
+         |FROM walk2 GROUP BY id""".stripMargin,
     // sign-dim count derives from count(*) with the same integer-exact
     // bit-length formula as DedupOps.annSignDims
     "q_ann_bucketed" -> annBucketedSql,
     // below saturation the auto entry point IS the bucketed query
     "q_ann_auto" -> annBucketedSql,
+  )
+
+  // --- materialize-once PRODUCTION twins (VERDICT r11 item 2) ---------
+  // A 100 TB dedup run pays the LSH → connected-components chain ONCE
+  // (CurationOps.curationRun materializes the group table) and derives
+  // every report from the STORED table via the *From entries. The
+  // declared q_* forms re-derive the chain per query only because the
+  // oracle gate requires self-contained SQL — so until now CORRECTNESS
+  // never graded the plan production actually executes. These twins
+  // close that: each query materializes the group table to parquet
+  // INSIDE the query (once per corpus dir per JVM — exactly the
+  // production cadence) and runs the *From path over the stored table.
+  // Result-identical to the self-contained forms by construction, so
+  // each reuses its twin's DuckDB oracle verbatim.
+
+  private val prodGroupsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The stored (doc_id, rep_id) group table for `dir` — written once
+    * per JVM, then every prod query scans the parquet instead of
+    * re-running the chain ([[CurationOps.curationRun]]'s discipline). */
+  private[operators] def materializedGroups(spark: SparkSession,
+      dir: String): DataFrame = {
+    val path = prodGroupsCache.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_prod_groups").toString
+      textDedupGroups(spark, dir).write.mode("overwrite").parquet(out)
+      out
+    })
+    spark.read.parquet(path)
+  }
+
+  private def prodQuality(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qualityScore(spark, dir).select(col("doc_id"), col("quality"))
+
+  val prodQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_prod_canonical_docs" -> ((s: SparkSession, d: String) =>
+      canonicalDocsFrom(materializedGroups(s, d), prodQuality(s, d))),
+    "q_prod_dup_rate_by_source" -> ((s: SparkSession, d: String) => {
+      val g = materializedGroups(s, d)
+      dupRateBySourceFrom(g, canonicalDocsFrom(g, prodQuality(s, d)),
+        Tables.documents(s, d).select(col("doc_id"), col("source")))
+    }),
+    "q_prod_dup_token_share" -> ((s: SparkSession, d: String) =>
+      dupTokenShareFromGroups(s, d, materializedGroups(s, d))),
+    "q_prod_leakfree_split" -> ((s: SparkSession, d: String) =>
+      leakFreeSplitFrom(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        materializedGroups(s, d))),
+    "q_prod_source_overlap" -> ((s: SparkSession, d: String) =>
+      sourceOverlapFrom(materializedGroups(s, d),
+        Tables.documents(s, d).select(col("doc_id"), col("source")))),
+    "q_prod_group_purity" -> ((s: SparkSession, d: String) =>
+      groupPurityFrom(materializedGroups(s, d), Tables.documents(s, d))),
+  )
+
+  /** Each prod twin shares its self-contained sibling's oracle — the
+    * materialized table holds the same rows the CTE chain derives. */
+  val prodOracles: Map[String, String] = Map(
+    "q_prod_canonical_docs" -> oracles("q_canonical_docs"),
+    "q_prod_dup_rate_by_source" -> oracles("q_dup_rate_by_source"),
+    "q_prod_dup_token_share" -> oracles("q_dup_token_share"),
+    "q_prod_leakfree_split" -> oracles("q_leakfree_split"),
+    "q_prod_source_overlap" -> oracles("q_source_overlap"),
+    "q_prod_group_purity" -> oracles("q_group_purity"),
   )
 
   /** Sign-bucket ANN oracle — shared by q_ann_bucketed and the auto

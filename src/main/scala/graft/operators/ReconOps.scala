@@ -353,23 +353,44 @@ object ReconOps {
     * three user-keyed shuffles, no window, no event self-join — the
     * stage chain is |users|-sized after stage 1 regardless of event
     * volume. */
-  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame =
+    eventFunnelStages(spark, dir, Seq("signup", "click", "purchase"))
+
+  /** The 4-stage funnel instance the N-stage form is oracled at —
+    * signup → view → click → purchase over the events corpus. */
+  val FunnelStages4: Seq[String] = Seq("signup", "view", "click", "purchase")
+
+  /** CONFIG-DRIVEN N-stage ordered funnel (VERDICT r11 item 8) — the
+    * fixed 3-stage [[eventFunnel]] generalized to any stage list: a
+    * fold over the stages where stage k's survivors are the users with
+    * an event of type `stages(k)` at-or-AFTER their stage-(k−1) minimum
+    * time. The equal-timestamp rule is `>=` at EVERY hop (a conversion
+    * in the same instant as its predecessor counts — spec-pinned), and
+    * each survivor's carried time is the MIN qualifying ts, so a later
+    * stage can never ride an earlier event than its predecessor.
+    *
+    * Scale shape: N user-keyed min-aggregates, each over the previous
+    * stage's survivors — |users|-sized after stage 1 regardless of
+    * event volume; no window, no event self-join. All N stage frames
+    * share hashpartitioning(user_id), so AQE/ReuseExchange keep the
+    * chain to one scan per stage filter + co-partitioned joins. */
+  def eventFunnelStages(spark: SparkSession, dir: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts"))
-    val s1 = ev.where(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val s2 = ev.where(col("event_type") === "click")
-      .join(s1, Seq("user_id")).where(col("ts") >= col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-    val s3 = ev.where(col("event_type") === "purchase")
-      .join(s2, Seq("user_id")).where(col("ts") >= col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    def stage(df: DataFrame, name: String) =
+    val first = ev.where(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val chain = stages.tail.scanLeft(first) { (prev, st) =>
+      ev.where(col("event_type") === st)
+        .join(prev.select(col("user_id"), col("t").as("tp")), Seq("user_id"))
+        .where(col("ts") >= col("tp"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    }
+    chain.zip(stages).zipWithIndex.map { case ((df, st), i) =>
       df.agg(count(lit(1)).as("n_users"))
-        .select(lit(name).as("stage"), col("n_users"))
-    stage(s1, "1_signup")
-      .unionByName(stage(s2, "2_click"))
-      .unionByName(stage(s3, "3_purchase"))
+        .select(lit(s"${i + 1}_$st").as("stage"), col("n_users"))
+    }.reduce(_.unionByName(_))
   }
 
   private val WeekUs: Long = 7L * 86400L * 1000000L
@@ -485,11 +506,34 @@ object ReconOps {
     "q_approx_quantiles" -> approxQuantiles _,
     "q_sessionize"      -> sessionize _,
     "q_event_funnel"    -> eventFunnel _,
+    "q_event_funnel_n"  -> ((s: SparkSession, d: String) =>
+      eventFunnelStages(s, d, FunnelStages4)),
     "q_retention"       -> retentionCohorts _,
   )
 
   private val niteSql =
     "strftime(CASE WHEN extract(hour FROM ts) < 15 THEN ts - INTERVAL 1 DAY ELSE ts END, '%Y%m%d')"
+
+  /** N-stage funnel oracle, rendered from the SAME stage list as
+    * [[eventFunnelStages]] — one CTE per stage, each hop with the
+    * `>=` equal-timestamp rule, so the SQL is the fold made visible. */
+  private def funnelSql(stages: Seq[String]): String = {
+    val ctes = stages.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"""s1 AS (SELECT user_id, min(ts) AS t FROM events
+           |       WHERE event_type = '$st' GROUP BY 1)""".stripMargin
+      else
+        s"""s${i + 1} AS (SELECT e.user_id, min(e.ts) AS t
+           |       FROM events e JOIN s$i ON e.user_id = s$i.user_id
+           |       WHERE e.event_type = '$st' AND e.ts >= s$i.t
+           |       GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val sels = stages.zipWithIndex.map { case (st, i) =>
+      if (i == 0) s"SELECT '1_$st' AS stage, count(*) AS n_users FROM s1"
+      else s"SELECT '${i + 1}_$st', count(*) FROM s${i + 1}"
+    }.mkString("\nUNION ALL ")
+    s"WITH $ctes\n$sels"
+  }
 
   val oracles: Map[String, String] = Map(
     "q_window_hourly" ->
@@ -645,18 +689,10 @@ object ReconOps {
          |SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
          |  count(*) AS n_events, CAST(max(us) - min(us) AS BIGINT) AS span_us
          |FROM s GROUP BY 1, 2""".stripMargin,
-    "q_event_funnel" ->
-      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-        |            WHERE event_type = 'signup' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, min(e.ts) AS t2
-        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
-        |       WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
-        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
-        |       FROM events e JOIN s2 ON e.user_id = s2.user_id
-        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
-        |SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
-        |UNION ALL SELECT '2_click', count(*) FROM s2
-        |UNION ALL SELECT '3_purchase', count(*) FROM s3""".stripMargin,
+    // both funnel oracles render from the SAME stage lists as the Spark
+    // plans (the mixCaseSql discipline: generated literals cannot drift)
+    "q_event_funnel" -> funnelSql(Seq("signup", "click", "purchase")),
+    "q_event_funnel_n" -> funnelSql(FunnelStages4),
     "q_retention" ->
       s"""WITH c AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
          |           FROM events WHERE event_type = 'signup' GROUP BY 1),

@@ -155,6 +155,45 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Map("1_signup" -> 2L, "2_click" -> 2L, "3_purchase" -> 1L))
   }
 
+  test("N-stage funnel: equal-ts rule at EVERY hop, min-ts carry, order") {
+    val dir = eventsDir("funneln", Seq(
+      // u1: all four stages at the SAME instant — >= at every hop, so
+      // the user survives to the last stage
+      (1L, ts(0), 1L, "signup", 0.0),
+      (2L, ts(0), 1L, "view", 0.0),
+      (3L, ts(0), 1L, "click", 0.0),
+      (4L, ts(0), 1L, "purchase", 0.0),
+      // u2: ordered path but the purchase precedes the click — drops at
+      // the final hop only
+      (5L, ts(0), 2L, "signup", 0.0),
+      (6L, ts(1), 2L, "view", 0.0),
+      (7L, ts(3), 2L, "click", 0.0),
+      (8L, ts(2), 2L, "purchase", 0.0),
+      // u3: min-ts carry — the qualifying view is the EARLIEST
+      // at-or-after signup (ts 1), so the click at ts 2 counts even
+      // though a later view (ts 5) exists
+      (9L, ts(0), 3L, "signup", 0.0),
+      (10L, ts(1), 3L, "view", 0.0),
+      (11L, ts(5), 3L, "view", 0.0),
+      (12L, ts(2), 3L, "click", 0.0),
+      // u4: view before signup — drops at stage 2
+      (13L, ts(0), 4L, "signup", 0.0),
+      (14L, ts(-1), 4L, "view", 0.0)))
+    val got = ReconOps.eventFunnelStages(spark, dir, ReconOps.FunnelStages4)
+      .collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(got == Map("1_signup" -> 4L, "2_view" -> 3L, "3_click" -> 3L,
+      "4_purchase" -> 1L))
+    // the 3-stage declared query IS the generalized fold at its
+    // original stage list — pinned so the refactor cannot drift
+    val legacy = ReconOps.eventFunnel(spark, dir).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    val viaStages = ReconOps.eventFunnelStages(spark, dir,
+        Seq("signup", "click", "purchase")).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(legacy == viaStages)
+  }
+
   test("approx quantiles: exact histogram picks + sketch inside its rank bound") {
     // 100 values i/4 dollars (exact in binary → cents = 25·i exactly):
     // p50 = 1250, p90 = 2250, p99 = 2475
