@@ -348,6 +348,75 @@ class MultimodalSpec extends SparkSpec {
     assert(ft.feature.length == 16 && ft.byte_len == torn.content.length)
   }
 
+  // --- perceptual dHash ----------------------------------------------------
+
+  /** Gray image from a luminance grid (row-major, 0..255). */
+  private def grayImage(w: Int, h: Int, lum: Int => Int)
+      : java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = lum(y * w + x) & 0xFF
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  test("dHash: resized copy hashes identically, re-encode collides") {
+    val base = (i: Int) => (i * 37 + (i / 9) * 11) % 256
+    val small = grayImage(9, 8, base)
+    val dhSmall = MultimodalOps.dHash64(small).get
+    assert(dhSmall.length == 64 && dhSmall.forall(c => c == '0' || c == '1'))
+    // 2x pixel-replicated resize: each dHash cell averages 4 identical
+    // values -> identical hash (the invariance exact-signature matching
+    // misses, the reason dHash exists)
+    val big = grayImage(18, 16,
+      i => base((i / 18 / 2) * 9 + (i % 18) / 2))
+    assert(MultimodalOps.dHash64(big).get == dhSmall)
+    // and THROUGH a real re-encode: PNG of the resized copy, decoded by
+    // the real reader, still collides
+    val png = encode(big, "png")
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    assert(MultimodalOps.dHash64(decoded).get == dhSmall)
+    // a genuinely different image does not collide
+    val other = grayImage(9, 8, i => base(71 - i))
+    assert(MultimodalOps.dHash64(other).get != dhSmall)
+    // below the 9x8 grid there is no gradient field
+    assert(MultimodalOps.dHash64(grayImage(4, 4, base)).isEmpty)
+  }
+
+  test("dHash near-dup: bmp synthesis round-trips, banded match finds edits") {
+    // documents corpus: d1 and d2 share their first 72 chars (resized/
+    // re-encoded copy analog -> identical dHash), d3 differs from d1 in
+    // ONE char (few gradient bits flip -> within the Hamming bar), d4
+    // is unrelated, d5 is too short to hash
+    val prefix = ('a' to 'z').mkString * 3 // 78 chars
+    val rows = Seq(
+      (1L, prefix, "en", "web"),
+      (2L, prefix + " trailing bytes beyond the grid are ignored", "en", "web"),
+      (3L, prefix.updated(30, 'Z'), "en", "web"),
+      (4L, "The quick brown fox jumps over the lazy dog. " * 3, "en", "web"),
+      (5L, "too short", "en", "web"))
+    val dir = "/tmp/graft_dhash_spec"
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the synthesized BMP REALLY decodes and its luma IS the text bytes
+    val sigs = MultimodalOps.imageDHash(spark, dir).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[String]("dhash")).toMap
+    assert(sigs.keySet == Set(1L, 2L, 3L, 4L), "short doc drops, rest hash")
+    assert(sigs(1L) == sigs(2L), "same first 72 bytes -> same dHash")
+    val pairs = MultimodalOps.imageDHashNearDup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    assert(pairs.contains((1L, 3L)) &&
+      pairs((1L, 3L)) <= MultimodalOps.DHashHammingBar.toLong &&
+      pairs((1L, 3L)) > 0L, s"one-char edit lands within the bar: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc matches nothing")
+  }
+
   test("decompression bomb: huge declared dims fall back before pixel read") {
     // a syntactically valid PNG signature + IHDR declaring 50000x50000
     // (2.5 GPix): luma() would allocate a multi-GB int raster if the
