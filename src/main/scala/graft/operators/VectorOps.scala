@@ -466,8 +466,17 @@ object VectorOps {
     * BIT-IDENTICAL to the train-in-plan [[annPq]] (spec-pinned). */
   def writeAnnIndex(spark: SparkSession, dir: String, indexDir: String,
       cells: Int = 8, trainFrac: Double = 1.0,
+      trainIters: Int = PqTrainIters): Unit =
+    writeAnnIndexFrom(spark, quantized(spark, dir), indexDir, cells,
+      trainFrac, trainIters)
+
+  /** [[writeAnnIndex]] over an already-quantized (vec_id, qe, nrm)
+    * corpus frame — the entry a maintained pipeline calls when its
+    * vector corpus is a TABLE (e.g. the curated-ingest `sem_vectors`),
+    * not a parquet dir of raw embeddings. */
+  def writeAnnIndexFrom(spark: SparkSession, emb: DataFrame,
+      indexDir: String, cells: Int = 8, trainFrac: Double = 1.0,
       trainIters: Int = PqTrainIters): Unit = {
-    val emb = quantized(spark, dir)
     val trainEmb =
       if (trainFrac >= 1.0) emb
       else CurationOps.stratifiedSample(emb, "vec_id", "vec_id",
@@ -486,6 +495,42 @@ object VectorOps {
     cents.write.mode("overwrite").parquet(s"$indexDir/pq_codebooks")
     codes.withColumn("batch", lit(0L)).write.mode("overwrite")
       .partitionBy("batch").parquet(s"$indexDir/pq_codes")
+  }
+
+  /** RETRAIN-AND-SWAP rebuild of a LIVE index — the action the
+    * staleness report ([[annIndexStaleness]]) exists to trigger:
+    * [[writeAnnIndexFrom]] builds the fresh index (retrained coarse
+    * centroids + codebooks over the CURRENT corpus, full re-assign and
+    * re-encode) into a `_rebuilding` sibling while the live directory
+    * keeps serving every search, then the handover is the
+    * [[graft.functions.ScaleUtils.compactParquet]] rename-swap: live →
+    * `_preswap`, fresh → live, delete old. A crash between renames
+    * leaves either the old or the new index plus a leftover dir —
+    * never a half-written index at the live path. Single-writer
+    * discipline (the compaction cadence's caller), like every swap in
+    * this repo. */
+  def rebuildAnnIndex(spark: SparkSession, emb: DataFrame,
+      indexDir: String, cells: Int = 8, trainFrac: Double = 1.0,
+      trainIters: Int = PqTrainIters): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(indexDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = new Path(indexDir + "_rebuilding")
+    if (fs.exists(fresh)) fs.delete(fresh, true)
+    writeAnnIndexFrom(spark, emb, fresh.toString, cells, trainFrac,
+      trainIters)
+    val old = new Path(indexDir + "_preswap")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(
+        s"rebuildAnnIndex: rename $live -> $old refused; live index untouched")
+    if (!fs.rename(fresh, live)) {
+      fs.rename(old, live) // restore before failing — never leave no index
+      throw new java.io.IOException(
+        s"rebuildAnnIndex: rename $fresh -> $live refused; live index restored")
+    }
+    fs.delete(old, true)
+    spark.catalog.refreshByPath(indexDir)
   }
 
   /** STEADY-STATE index append — the vector twin of the corpus-index

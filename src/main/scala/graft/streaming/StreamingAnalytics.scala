@@ -716,6 +716,72 @@ object StreamingAnalytics {
       .drop("nb_low_score")
   }
 
+  /** Coverage floor (ppm) for the ANN-index retrain trigger: when the
+    * persisted index's coarse training state serves fewer than this
+    * share of the CURRENT semantic corpus ([[graft.operators.VectorOps
+    * .annIndexStaleness]]'s coverage_ppm over `sem_vectors`), the IVF
+    * drift trade has gone from "appended vectors quantize coarsely" to
+    * "most of the corpus was never seen by the quantizer" — rebuild.
+    * 80%: at that point 1-in-5 stored vectors is assigned/encoded by
+    * centroids trained before it existed, which is where probed-cell
+    * recall measurably sags on drifting corpora. */
+  val AnnRebuildCoveragePpm = 800000L
+
+  /** The RETRAIN TRIGGER (VERDICT r11 item 7) — checks the ANN index's
+    * staleness against the maintained semantic corpus and, below
+    * [[AnnRebuildCoveragePpm]], runs the retrain-and-swap rebuild
+    * ([[graft.operators.VectorOps.rebuildAnnIndex]] over the full
+    * current `sem_vectors`) — searches are served by the OLD index all
+    * the way to the rename swap. The stored `sem_cells` postings were
+    * computed against the RETIRED centroids, so the rebuild re-posts
+    * the whole semantic corpus against the new quantizer and swaps
+    * that table too — cell ids from two quantizer generations must
+    * never meet in one gate join. Called on the compaction cadence by
+    * [[runCuratedIngestSem]] (never per batch: the staleness probe is
+    * two distinct scans, the rebuild a full retrain). Returns the
+    * measured coverage and whether a rebuild ran. */
+  def maybeRebuildAnnIndex(spark: SparkSession, idxDir: String,
+      annIndexDir: String,
+      coverageFloorPpm: Long = AnnRebuildCoveragePpm,
+      nprobe: Int = graft.operators.DedupOps.NearDupNProbe)
+      : (Long, Boolean) = {
+    val (_, semVecs) = loadSemIndexOrEmpty(spark, idxDir)
+    val corpus = semVecs.select(col("doc_id").as("vec_id"))
+    val coverage = graft.operators.VectorOps
+      .annIndexStaleness(spark, corpus, annIndexDir)
+      .select(col("coverage_ppm")).collect().head.getLong(0)
+    val stale = coverage < coverageFloorPpm
+    if (stale) {
+      graft.operators.VectorOps.rebuildAnnIndex(spark,
+        semVecs.select(col("doc_id").as("vec_id"), col("qe"), col("nrm")),
+        annIndexDir)
+      val (coarse, _, _, _) =
+        graft.operators.VectorOps.loadAnnIndex(spark, annIndexDir)
+      import org.apache.hadoop.fs.Path
+      val live = new Path(s"$idxDir/sem_cells")
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fresh = new Path(s"$idxDir/sem_cells_rebuilding")
+      if (fs.exists(fresh)) fs.delete(fresh, true)
+      postedCells(spark, semVecs.select(col("doc_id"), col("qe"),
+          col("nrm")), coarse, nprobe)
+        .withColumn("batch", lit(0L)).write.mode("overwrite")
+        .partitionBy("batch").parquet(fresh.toString)
+      val old = new Path(s"$idxDir/sem_cells_preswap")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(live) && !fs.rename(live, old))
+        throw new java.io.IOException(
+          s"maybeRebuildAnnIndex: rename $live -> $old refused")
+      if (!fs.rename(fresh, live)) {
+        if (fs.exists(old)) fs.rename(old, live)
+        throw new java.io.IOException(
+          s"maybeRebuildAnnIndex: rename $fresh -> $live refused; restored")
+      }
+      fs.delete(old, true)
+      spark.catalog.refreshByPath(live.toString)
+    }
+    (coverage, stale)
+  }
+
   /** [[runCuratedIngest]] with the semantic gate composed in: the
     * per-batch loop for a stream carrying (doc_id, text, embedding).
     * Admitted docs land in BOTH corpus indexes — minhash bands/shingles
@@ -765,6 +831,10 @@ object StreamingAnalytics {
           foldGroupTable(spark, idxDir)
           graft.functions.ScaleUtils.compactParquet(
             spark, s"$idxDir/ingest_metrics")
+          // the retrain trigger rides the same cadence: measure index
+          // coverage of the (just-compacted) semantic corpus, rebuild +
+          // re-post on the swap discipline when it sags below the floor
+          maybeRebuildAnnIndex(spark, idxDir, annIndexDir)
         }
         onVerdicts(verdicts, id)
       } finally {

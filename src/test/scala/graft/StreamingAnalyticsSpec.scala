@@ -262,6 +262,60 @@ class StreamingAnalyticsSpec extends SparkSpec {
       s"sem_dup edge must reach the group table, got ${groups.toSeq}")
   }
 
+  test("ANN retrain trigger: stale coverage rebuilds + re-posts, " +
+      "searches served across the swap") {
+    import graft.operators.VectorOps
+    val dim = 8
+    def vec(seed: Int) = Array.tabulate(dim)(i => seed * 0.1f + i * 0.01f)
+    val all = (0L until 10L).map(id => (id, vec(id.toInt % 4 + 1)))
+    val q10 = VectorOps.quantizedOf(spark,
+      all.toDF("vec_id", "embedding")).persist()
+    val annDir = java.nio.file.Files.createTempDirectory("retrann").toString
+    // bootstrap: index trained + built over only the first 2 vectors —
+    // the corpus then grows to 10 without appends, so coverage = 20%
+    VectorOps.writeAnnIndexFrom(spark,
+      q10.where(col("vec_id") < 2), annDir, cells = 2)
+    val idxDir = java.nio.file.Files.createTempDirectory("retridx").toString
+    q10.select(col("vec_id").as("doc_id"), col("qe"), col("nrm"))
+      .withColumn("batch", lit(0L)).write.mode("overwrite")
+      .partitionBy("batch").parquet(s"$idxDir/sem_vectors")
+    // placeholder postings from the RETIRED quantizer era — the rebuild
+    // must replace them wholesale (cell ids across quantizer
+    // generations must never meet in one join)
+    Seq.tabulate(10)(i => (i.toLong, 77)).toDF("doc_id", "cluster")
+      .withColumn("batch", lit(0L)).write.mode("overwrite")
+      .partitionBy("batch").parquet(s"$idxDir/sem_cells")
+    // below the 80% floor -> rebuild fires
+    val (cov1, rebuilt1) =
+      StreamingAnalytics.maybeRebuildAnnIndex(spark, idxDir, annDir)
+    assert(cov1 == 200000L && rebuilt1, s"($cov1, $rebuilt1)")
+    // after the swap the index serves the FULL corpus...
+    val (_, assigns, _, _) = VectorOps.loadAnnIndex(spark, annDir)
+    assert(assigns.select(col("vec_id")).distinct().count() == 10)
+    val cov2 = VectorOps.annIndexStaleness(spark,
+        q10.select(col("vec_id")), annDir)
+      .select(col("coverage_ppm")).collect().head.getLong(0)
+    assert(cov2 == 1000000L)
+    // ...and the postings were re-posted against the NEW centroids
+    val cells = spark.read.parquet(s"$idxDir/sem_cells")
+    assert(cells.select(col("doc_id")).distinct().count() == 10)
+    assert(cells.where(col("cluster") === 77).count() == 0,
+      "retired-era placeholder postings must be gone")
+    // served throughout: the gate answers against the swapped state —
+    // a batch vector identical to an indexed doc flags sem_dup
+    val (sc, sv) = StreamingAnalytics.loadSemIndexOrEmpty(spark, idxDir)
+    val flagged = StreamingAnalytics.semGateAgainstIndex(spark,
+      Seq((99L, all(5)._2)).toDF("doc_id", "embedding"),
+      annDir, sc, sv).collect()
+    assert(flagged.exists(r => r.getLong(0) == 99L),
+      s"post-swap gate must flag the duplicate, got ${flagged.toSeq}")
+    // fresh index: the trigger measures and declines
+    val (cov3, rebuilt3) =
+      StreamingAnalytics.maybeRebuildAnnIndex(spark, idxDir, annDir)
+    assert(cov3 == 1000000L && !rebuilt3)
+    q10.unpersist()
+  }
+
   test("curated ingest loop: unseeded index dir bootstraps empty") {
     // NO writeCorpusIndex seeding — the dir does not exist; the first
     // micro-batch must judge against an empty corpus (ADVICE r6). That
