@@ -229,9 +229,11 @@ object ReconOps {
     * at-or-AFTER each left row (time-to-next-event). Same plan — only
     * the window order reverses (t desc; tie desc so the last row in
     * order is the min tie → deterministic min-id winner). */
-  private[graft] def asofJoinCore(left: DataFrame, right: DataFrame,
-      key: String, t: String, tie: String,
-      forward: Boolean = false): DataFrame = {
+  /** Side-tagged union both as-of rewrites window over: right rows
+    * shaped to (key, t, null-padded left cols, __r payload struct,
+    * __tie, __side=0), left rows the mirror with __side=1. */
+  private def asofShaped(left: DataFrame, right: DataFrame,
+      key: String, t: String, tie: String): DataFrame = {
     val payloadFields = right.schema.fields.filterNot(_.name == key).toSeq
     val rStructT = org.apache.spark.sql.types.StructType(payloadFields)
     val leftOnly = left.schema.fields
@@ -245,17 +247,86 @@ object ReconOps {
       Seq(col(key), col(t)) ++ leftOnly.map(f => col(f.name)) ++
         Seq(lit(null).cast(rStructT).as("__r"),
           lit(null).cast("long").as("__tie"), lit(1).as("__side")): _*)
+    lShaped.unionByName(rShaped)
+  }
+
+  private[graft] def asofJoinCore(left: DataFrame, right: DataFrame,
+      key: String, t: String, tie: String,
+      forward: Boolean = false): DataFrame = {
     val (tOrd, tieOrd) =
       if (forward) (col(t).desc, col("__tie").desc)
       else (col(t).asc, col("__tie").asc)
     val w = Window.partitionBy(col(key))
       .orderBy(tOrd, col("__side").asc, tieOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lShaped.unionByName(rShaped)
+    asofShaped(left, right, key, t, tie)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
       .drop("__r", "__tie", "__side")
       .withColumnRenamed("__m", "matched")
+  }
+
+  /** Sub-bucket width of the salted as-of: 7 days of event time per
+    * bucket — the testdata's ~2-year span splits a hot key across ~100
+    * buckets; a web-scale run passes minutes/hours. */
+  val AsofSaltBucketUs: Long = 7L * 86400L * 1000000L
+
+  /** SKEW-SALTED two-phase as-of (VERDICT r11 item 3) — result-
+    * identical to [[asofJoinCore]] (backward direction), for the
+    * hot-key regime the plain form's single per-key sort cannot
+    * spread: a bot/device holding 10% of all events serializes that
+    * 10% into ONE partition's sort. Here the window key is
+    * (key, time-bucket) — the hot key splits across its time range —
+    * and the cross-bucket dependency is restored by a SCAN
+    * DECOMPOSITION over bucket summaries:
+    *
+    *  1. local pass: running `last(__r, ignoreNulls)` within each
+    *     (key, bucket), same (t, side, tie) order as the plain form;
+    *  2. summary: per (key, bucket), the right row that would win at
+    *     bucket end (`max_by` over (t, tie) — right rows only);
+    *  3. carry: per key, running last over the summaries of STRICTLY
+    *     EARLIER buckets (rowsBetween(…, -1)) — a window over
+    *     |buckets-per-key| rows, thousands at most, never event-sized;
+    *  4. merge: matched = coalesce(local, carry) — a local match is
+    *     always more recent than any earlier-bucket row, and when no
+    *     local right row precedes, the carry IS the most recent prior.
+    *
+    * Buckets are functions of event TIME (equal-t rows co-bucket, so
+    * the equal-time side/tie rules act exactly as in the plain form).
+    * Cost: one extra small aggregation + a co-partitioned join vs the
+    * plain form's single window — measured ~2× wall at sf0.1×8 local
+    * (README skew note), which is why the plain form stays the default
+    * and this is the documented hot-key escape hatch. */
+  private[graft] def asofJoinSaltedCore(left: DataFrame, right: DataFrame,
+      key: String, t: String, tie: String,
+      bucketWidthUs: Long = AsofSaltBucketUs): DataFrame = {
+    val u = asofShaped(left, right, key, t, tie)
+      .withColumn("__bkt",
+        expr(s"floor(unix_micros($t) / ${bucketWidthUs}L)"))
+    val wLoc = Window.partitionBy(col(key), col("__bkt"))
+      .orderBy(col(t).asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = u.withColumn("__loc",
+      last(col("__r"), ignoreNulls = true).over(wLoc))
+    val wCarry = Window.partitionBy(col(key)).orderBy(col("__bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // summaries must cover EVERY (key, bucket) a left row occupies —
+    // a bucket with no right rows still needs its carry — so the
+    // aggregation runs over the full union with a FILTER'd argmax
+    // (null summary where the bucket holds no right row; the carry
+    // window's ignoreNulls skips those)
+    val carries = u
+      .groupBy(col(key), col("__bkt"))
+      .agg(expr(s"max_by(__r, struct($t, __tie)) FILTER (WHERE __side = 0)")
+        .as("__last_r"))
+      .withColumn("__carry",
+        last(col("__last_r"), ignoreNulls = true).over(wCarry))
+      .select(col(key), col("__bkt"), col("__carry"))
+    local
+      .join(carries, Seq(key, "__bkt"), "left")
+      .where(col("__side") === 1)
+      .withColumn("matched", coalesce(col("__loc"), col("__carry")))
+      .drop("__r", "__tie", "__side", "__bkt", "__loc", "__carry")
   }
 
   /** Declared as-of join: each click enriched with the user's latest
@@ -277,6 +348,23 @@ object ReconOps {
       .select(col("user_id"), col("ts"),
         col("event_id").as("p_event_id"), col("value").as("p_value"))
     asofJoinCore(clicks, purchases, "user_id", "ts", "p_event_id", forward)
+  }
+
+  /** Declared salted as-of — [[asofJoin]]'s enrichment through
+    * [[asofJoinSaltedCore]]: result-identical by the scan
+    * decomposition, so it shares q_asof_join's native-ASOF oracle; a
+    * green row grades the skew-mitigation plan itself. */
+  def asofSalted(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    asofJoinSaltedCore(clicks, purchases, "user_id", "ts", "p_event_id")
+      .select(col("event_id"), col("user_id"),
+        col("matched.p_event_id").as("p_event_id"),
+        col("matched.p_value").as("p_value"))
   }
 
   /** Forward as-of: each click joined to the user's NEXT purchase
@@ -501,6 +589,7 @@ object ReconOps {
     "q_kv_parse"        -> kvParse _,
     "q_nite_list"       -> niteList _,
     "q_asof_join"       -> asofJoin _,
+    "q_asof_salted"     -> asofSalted _,
     "q_asof_tolerance"  -> asofTolerance _,
     "q_asof_forward"    -> asofForward _,
     "q_approx_quantiles" -> approxQuantiles _,
@@ -534,6 +623,15 @@ object ReconOps {
     }.mkString("\nUNION ALL ")
     s"WITH $ctes\n$sels"
   }
+
+  private lazy val asofJoinSql: String =
+    """WITH l AS (SELECT user_id, ts, event_id FROM events
+      |           WHERE event_type = 'click'),
+      |r AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT l.event_id, l.user_id, r.p_event_id, r.p_value
+      |FROM l ASOF LEFT JOIN r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_window_hourly" ->
@@ -622,15 +720,11 @@ object ReconOps {
         |FROM m, range(14) t(i)""".stripMargin,
     // DuckDB's NATIVE ASOF JOIN — an independent implementation of the
     // semantics (no union-window mirror); right-side (user_id, ts) pairs
-    // are unique in the testdata, so the match is deterministic
-    "q_asof_join" ->
-      """WITH l AS (SELECT user_id, ts, event_id FROM events
-        |           WHERE event_type = 'click'),
-        |r AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value
-        |      FROM events WHERE event_type = 'purchase')
-        |SELECT l.event_id, l.user_id, r.p_event_id, r.p_value
-        |FROM l ASOF LEFT JOIN r
-        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    // are unique in the testdata, so the match is deterministic. The
+    // salted two-phase plan must produce the identical result — one
+    // oracle serves both
+    "q_asof_join" -> asofJoinSql,
+    "q_asof_salted" -> asofJoinSql,
     "q_asof_tolerance" ->
       s"""WITH l AS (SELECT user_id, ts, event_id FROM events
          |           WHERE event_type = 'click'),

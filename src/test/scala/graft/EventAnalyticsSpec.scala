@@ -119,6 +119,38 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("salted as-of: scan decomposition equals the plain form " +
+      "(planted, tiny buckets, randomized)") {
+    val plain = asofMap(ReconOps.asofJoin(spark, asofDir))
+    assert(asofMap(ReconOps.asofSalted(spark, asofDir)) == plain)
+    // 1-day buckets force cross-bucket carries on the planted data
+    // (matches span 10 days) — every carry path exercises
+    val ev = graft.sources.Tables.events(spark, asofDir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    val tiny = ReconOps.asofJoinSaltedCore(clicks, purchases,
+        "user_id", "ts", "p_event_id", bucketWidthUs = Day * 1000000L)
+      .select(col("event_id"),
+        col("matched.p_event_id").as("p_event_id"))
+    val tinyMap = tiny.collect().map(r => r.getLong(0) ->
+      Option(r.getAs[java.lang.Long]("p_event_id")).map(_.toLong)).toMap
+    assert(tinyMap == plain,
+      s"cross-bucket carries must reproduce the plain matches: $tinyMap")
+    // randomized: equal-ts ties, empty buckets, users with no purchases
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 500L).map { i =>
+      (i, ts(rnd.nextInt((30 * Day).toInt).toLong), rnd.nextInt(5).toLong + 1,
+        if (rnd.nextBoolean()) "click" else "purchase",
+        rnd.nextInt(100) / 10.0)
+    }
+    val dir = eventsDir("saltrnd", rows)
+    assert(asofMap(ReconOps.asofSalted(spark, dir)) ==
+      asofMap(ReconOps.asofJoin(spark, dir)))
+  }
+
   test("sessionize: strict-gap boundary — 48h stays, over 48h splits") {
     val dir = eventsDir("sess", Seq(
       // u1: gaps 47h59m then 49h → sessions (2 events, 1 event)
