@@ -348,7 +348,16 @@ object TextOps {
     * ranked merge triples. */
   private[graft] def bpeLoopBatchedOver(docs: DataFrame, nMerges: Int,
       batchCap: Int, strict: Boolean = true,
-      onRound: Int => Unit = _ => ()): Seq[(Long, String, Long)] = {
+      onRound: Int => Unit = _ => ()): Seq[(Long, String, Long)] =
+    bpeLoopBatchedState(docs, nMerges, batchCap, strict, onRound)._1
+
+  /** [[bpeLoopBatchedOver]] returning the final VOCABULARY STATE too —
+    * the trained table the fertility/symbol cards project from, so a
+    * big-vocab run needs no second 16k-replace re-apply pass. */
+  private[graft] def bpeLoopBatchedState(docs: DataFrame, nMerges: Int,
+      batchCap: Int, strict: Boolean = true,
+      onRound: Int => Unit = _ => ())
+      : (Seq[(Long, String, Long)], DataFrame) = {
     var words = sentinelVocab(docs).localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, Long)]
     var rank = 1L
@@ -417,7 +426,7 @@ object TextOps {
         }
       }
     }
-    merges.result()
+    (merges.result(), words)
   }
 
   /** The SEGMENTED VOCABULARY under the trained merges — what the
@@ -524,9 +533,18 @@ object TextOps {
     * scan. */
   def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
     val (_, words, _) = bpeLoop(spark, dir)
+    bpeFertilityOf(Tables.documents(spark, dir), words)
+  }
+
+  /** [[bpeFertility]] over any trained vocabulary state (the loop's
+    * `words` frame) — split out so the batched big-vocab trainer
+    * (tools.BpeTrainProbe, 16k+ merges) publishes the SAME card off
+    * its trained table. */
+  private[graft] def bpeFertilityOf(docs: DataFrame, words: DataFrame)
+      : DataFrame = {
     val seg = words.select(col("tok"),
       size(split(trim(col("w")), "  ")).as("n_symbols"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("lang"), explode(toks(col("text"))).as("tok"))
       .join(seg, Seq("tok"))
       .groupBy(col("lang"))

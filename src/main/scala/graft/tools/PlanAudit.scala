@@ -97,6 +97,13 @@ object PlanAudit {
     "q_retention" -> "retention cohorts: distinct (user, week) pass + user equi-join + integer week-offset division — |users x weeks| rows, exact microsecond arithmetic",
     "q_bloom_dedup" -> "bloom admission gate: broadcast bloom of corpus fp hashes filters the batch BELOW the verify semi-join — only ~fpp of novel rows reach the shuffle; result exact by no-false-negatives",
     "q_bpe_batched" -> "batched BPE rounds: one distributed pair-count job + (batchCap+1)-row collect per round admits a disjoint merge prefix; nested sentinel replaces chunked at 64 per projection with lineage resets",
+    "q_asof_salted" -> "skew-salted as-of: window key (user, 7-day time bucket) splits a hot key across its time range; FILTER'd per-bucket argmax summary + bucket-count-sized carry window + coalesce merge — result-identical to the plain form, no range join",
+    "q_event_funnel_n" -> "config-driven N-stage funnel: the same user-keyed min-aggregate fold at 4 stages — each stage |users|-sized, equal-ts rule at every hop, no window, no event self-join",
+    "q_merge_groups" -> "incremental group fold: delta edges re-expressed in rep space (two equi-joins to current reps), components run on the DELTA graph only, one left-join relabeling pass over the existing labeling — untouched components never enter the loop",
+    "q_image_dhash" -> "real BMP decode -> 9x8 luminance grid -> 64 gradient bits in a map-only kernel; the synthesis is pure column hex assembly, so the only exchange is none",
+    "q_image_dhash_neardup" -> "perceptual near-dup: 4x16-bit band equi-join is the ONLY pair producer (sub-quadratic); 64-element Hamming HOF verifies candidates only",
+    "q_prod_canonical_docs" -> "the materialize-once production plan: canonical argmax over a STORED parquet group table — one scan + one SortAggregate shuffle, no LSH chain in the plan",
+    "q_prod_curation_funnel" -> "production funnel: one aggregation over the STORED per-doc stages table — the 8-stage verdict logic paid once at materialization, never per report",
   )
 
   def main(args: Array[String]): Unit = {

@@ -234,6 +234,34 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("q_asof_salted: bucketed windows, carry join equi — no range join") {
+    // the salt's value: windows partition on (user, time-bucket), the
+    // carry merge is a co-partitioned EQUI join on that same key —
+    // never a nested-loop/range join, never a cartesian
+    val p = plan("q_asof_salted")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"salted as-of must never plan a range join:\n$p")
+    assert(p.contains("Window"), s"local + carry windows expected:\n$p")
+    assert(p.contains("__bkt"), s"the bucket key must reach the plan:\n$p")
+  }
+
+  test("q_image_dhash_neardup: band equi-join is the only pair producer") {
+    val p = plan("q_image_dhash_neardup")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"banded matching must never go all-pairs:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"),
+      s"the band candidate join must be an equi-join:\n$p")
+  }
+
+  test("q_event_funnel_n: user-keyed aggregates, no window, no self-join blowup") {
+    val p = plan("q_event_funnel_n")
+    assert(!p.contains("Window"),
+      s"the funnel fold is aggregates, never a window funnel:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"stage joins are user-keyed equi-joins:\n$p")
+  }
+
   test("q_sessionize: the session aggregate reuses the window's shuffle") {
     // grouping key (user_id, session_n) has the window's partition key
     // as a prefix, so hashpartitioning(user_id) satisfies the aggregate
