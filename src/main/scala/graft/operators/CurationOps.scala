@@ -871,6 +871,173 @@ object CurationOps {
       "nb_prior"   -> spark.read.parquet(s"$outDir/nb_prior"))
   }
 
+  /** Rows each retrieval arm contributes to [[rrfFusion]]. */
+  val RrfDepth = 50
+
+  /** The RRF damping constant — 60, the value the method's published
+    * evaluation fixed and every system since reuses. */
+  val RrfK = 60
+
+  /** Fused rows [[rrfFusion]] returns. */
+  val RrfTopK = 20
+
+  /** Integer RRF unit: an arm at rank r contributes
+    * `10^6 div (RrfK + r)` — reciprocal rank in exact ppm units. */
+  val RrfScale = 1000000L
+
+  /** HYBRID RETRIEVAL by RECIPROCAL-RANK FUSION — the standard way a
+    * training-data pipeline combines its sparse and dense retrievers
+    * (topical slicing, dedup-audit search, eval-set mining): the
+    * lexical arm ranks documents by integer BM25
+    * ([[TextOps.bm25Scored]], query [[TextOps.Bm25Query]]), the
+    * semantic arm ranks them by quantized cosine against a probe
+    * embedding (vector 0 — the doc↔vector id alignment every
+    * doc/embedding join in this file uses), and each document's fused
+    * score is the sum of `10^6 div (60 + rank)` over the arms that
+    * retrieved it in their top [[RrfDepth]]. Rank fusion uses ONLY
+    * ranks — the two arms' incommensurable scores never mix, which is
+    * the method's point and also makes the whole statistic integer
+    * (the repo-wide cross-engine discipline).
+    *
+    * Scale shape: each arm ends in TakeOrderedAndProject (per-partition
+    * top-[[RrfDepth]], driver merge), so the window that numbers ranks
+    * and the full-outer fusion join run over ≤ 2·[[RrfDepth]] rows —
+    * constant-size, corpus-independent. The corpus-scale work is the
+    * two scans the arms make (BM25's stats+score passes, one cosine
+    * pass with the 1-row probe broadcast). */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val dot = DotProductLong.dotLong(spark) _
+    val bmRank = TextOps
+      .bm25Scored(Tables.documents(spark, dir), TextOps.Bm25Query)
+      .orderBy(col("bm25_x8").desc, col("doc_id").asc).limit(RrfDepth)
+      .withColumn("bm25_rank", row_number().over(
+        Window.orderBy(col("bm25_x8").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("bm25_rank"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("qe"))
+      .withColumn("nrm", dot(col("qe"), col("qe")))
+      .where(col("nrm") > 0)
+    val probe = emb.where(col("vec_id") === 0)
+      .select(col("qe").as("p_qe"), col("nrm").as("p_nrm"))
+    val cosRank = emb.where(col("vec_id") > 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("sim",
+        round(dot(col("p_qe"), col("qe")).cast("double")
+          / (sqrt(col("p_nrm").cast("double"))
+            * sqrt(col("nrm").cast("double"))), 4))
+      // integer sort key strictly monotone in (sim desc) — the
+      // topKPerQuery −0.0 discipline
+      .withColumn("neg", (-round(col("sim") * 10000)).cast("long"))
+      .orderBy(col("neg").asc, col("vec_id").asc).limit(RrfDepth)
+      .withColumn("cos_rank", row_number().over(
+        Window.orderBy(col("neg").asc, col("vec_id").asc)))
+      .select(col("vec_id").as("doc_id"), col("cos_rank"))
+    bmRank.join(cosRank, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_ppm", expr(
+        s"""CAST(coalesce($RrfScale div ($RrfK + bm25_rank), 0)
+           |   + coalesce($RrfScale div ($RrfK + cos_rank), 0) AS BIGINT)"""
+          .stripMargin))
+      .orderBy(col("rrf_ppm").desc, col("doc_id").asc).limit(RrfTopK)
+      .select(col("doc_id"), col("bm25_rank"), col("cos_rank"),
+        col("rrf_ppm"))
+  }
+
+  /** Probe documents (doc_id < HnQueries) that mine triples. */
+  val HnQueries = 5
+
+  /** Dense positives kept per query (top-cosine neighbors). */
+  val HnPosK = 2
+
+  /** Lexical candidates per query entering the dense anti-join. */
+  val HnLexK = 20
+
+  /** Hard negatives kept per query. */
+  val HnNegK = 3
+
+  /** Query terms per probe doc — its own top-tfidf keywords. */
+  val HnQueryTerms = 3
+
+  /** HARD-NEGATIVE MINING for contrastive embedding training — the
+    * triples (anchor, positive, negative) a dual-encoder trains on,
+    * mined the standard way (DPR/ANCE-style, BM25 flavor): for each
+    * probe document, POSITIVES are its top-[[HnPosK]] cosine neighbors
+    * ([[VectorOps.knnBruteForce]]), and HARD negatives are documents
+    * that score high on the probe's own keywords lexically
+    * (per-query integer BM25 over the probe's top-[[HnQueryTerms]]
+    * tfidf terms) yet do NOT appear in its dense top-[[HnLexK]] —
+    * lexically confusable, semantically far: exactly the negatives
+    * that teach an embedding model something.
+    *
+    * Scale shape: per-query BM25 here is the lmScore join shape — the
+    * (probe × term) relation is tiny and broadcasts onto the corpus
+    * (doc, tok, tf) aggregate, df/dl/stats join in as aggregates, and
+    * the per-(query, doc) sum partial-aggregates map-side. The lexical
+    * top-k uses the low-cardinality two-phase local cap (no per-query
+    * window over corpus rows); everything after the two top-k arms —
+    * anti-join, negative re-rank, triple assembly — runs over
+    * ≤ [[HnQueries]]·[[HnLexK]] constant rows. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val qt = TextOps.tfidfKeywords(spark, dir)
+      .where(col("doc_id") < HnQueries && col("rank") <= HnQueryTerms)
+      .select(col("doc_id").as("query_id"), col("tok"))
+    val tk = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.toks(col("text")).as("tk"))
+      .withColumn("dl", size(col("tk")).cast("long"))
+    val tf = tk.select(col("doc_id"), col("dl"), explode(col("tk")).as("tok"))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = tk.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).as("s_tok"))
+    val contrib = tf.join(broadcast(qt), Seq("tok"))
+      .join(df, Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .where(col("doc_id") >= HnQueries)
+      .withColumn("avgdl", expr("s_tok div n_docs"))
+      .withColumn("idf8", TextOps.log2x8(expr(
+        s"(2 * n_docs + 2) * ${TextOps.Bm25FpScale} div (2 * df + 1)"))
+        - lit(TextOps.Bm25FpLog))
+      .withColumn("w", expr(
+        "(idf8 * 22 * avgdl * tf) div (10 * avgdl * tf + 3 * avgdl + 9 * dl)"))
+    val lex = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("bm25_x8"))
+    // low-cardinality query key -> two-phase local cap (house top-k rule)
+    val wLocal = Window.partitionBy(col("query_id"), col("pid"))
+      .orderBy(col("bm25_x8").desc, col("doc_id").asc)
+    val lexTop = lex
+      .withColumn("pid", spark_partition_id())
+      .withColumn("rn", row_number().over(wLocal))
+      .where(col("rn") <= HnLexK)
+      .groupBy(col("query_id"))
+      .agg(slice(array_sort(collect_list(struct(
+        (-col("bm25_x8")).as("neg"), col("doc_id").as("id")))), 1, HnLexK)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("lex_rank"),
+        col("col.id").as("doc_id"), (-col("col.neg")).as("bm25_x8"))
+    val dense = VectorOps
+      .knnBruteForce(spark, dir, k = HnLexK, nQueries = HnQueries)
+      .select(col("query_id"), col("rank").as("dense_rank"),
+        col("neighbor_id"))
+    val pos = dense.where(col("dense_rank") <= HnPosK)
+      .select(col("query_id"), col("neighbor_id").as("pos_id"),
+        col("dense_rank"))
+    val negs = lexTop
+      .join(dense.select(col("query_id"),
+        col("neighbor_id").as("doc_id")), Seq("query_id", "doc_id"),
+        "left_anti")
+      .withColumn("neg_rank", row_number().over(Window
+        .partitionBy(col("query_id")).orderBy(col("lex_rank"))))
+      .where(col("neg_rank") <= HnNegK)
+      .select(col("query_id"), col("doc_id").as("neg_id"),
+        col("neg_rank"), col("bm25_x8").as("neg_bm25_x8"))
+    pos.join(negs, Seq("query_id"))
+      .select(col("query_id"), col("pos_id"), col("dense_rank"),
+        col("neg_id"), col("neg_rank"), col("neg_bm25_x8"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation" -> curationSummary _,
     "q_stratified_sample" -> stratifiedSampleSummary _,
@@ -889,6 +1056,8 @@ object CurationOps {
     "q_seq_pack" -> packSummary _,
     "q_source_profile" -> sourceProfile _,
     "q_curation_funnel" -> curationFunnel _,
+    "q_rrf_fusion" -> rrfFusion _,
+    "q_hard_negatives" -> hardNegatives _,
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -949,6 +1118,106 @@ object CurationOps {
        |  FROM ch)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // DPR-style triples: per-probe BM25 over its own top-tfidf terms
+    // (lexical arm), dense top-k (q_knn_cosine's scoring), negatives =
+    // lexical hits absent from the dense top-k, re-ranked by lex rank
+    "q_hard_negatives" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, unnest(${TextOps.toksSql}) AS tok FROM documents),
+         |tfq AS (SELECT doc_id, tok, count(*) AS tf FROM ex GROUP BY 1, 2),
+         |dfq AS (SELECT tok, count(*) AS df FROM tfq GROUP BY 1),
+         |qt AS (SELECT doc_id AS query_id, tok FROM (
+         |    SELECT t.doc_id, t.tok,
+         |      row_number() OVER (PARTITION BY t.doc_id
+         |        ORDER BY (t.tf * ${TextOps.LmPpmUnit} // d.df) DESC,
+         |          t.tok ASC) AS rank
+         |    FROM tfq t JOIN dfq d USING (tok) WHERE t.doc_id < $HnQueries)
+         |  WHERE rank <= $HnQueryTerms),
+         |dls AS (SELECT doc_id,
+         |    CAST(len(${TextOps.toksSql}) AS BIGINT) AS dl FROM documents),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS s_tok FROM dls),
+         |con AS (SELECT q.query_id, t.doc_id,
+         |    ((${TextOps.log2x8Sql(
+                  s"(2 * n_docs + 2) * ${TextOps.Bm25FpScale} // (2 * d.df + 1)")}
+         |       - ${TextOps.Bm25FpLog})
+         |      * 22 * (s_tok // n_docs) * t.tf)
+         |      // (10 * (s_tok // n_docs) * t.tf + 3 * (s_tok // n_docs)
+         |         + 9 * l.dl) AS w
+         |  FROM tfq t JOIN qt q USING (tok) JOIN dfq d USING (tok)
+         |    JOIN dls l ON l.doc_id = t.doc_id CROSS JOIN st
+         |  WHERE t.doc_id >= $HnQueries),
+         |lex AS (SELECT query_id, doc_id, CAST(sum(w) AS BIGINT) AS bm25_x8
+         |  FROM con GROUP BY 1, 2),
+         |lext AS (SELECT query_id, doc_id, bm25_x8, CAST(rn AS INT) AS lex_rank
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY bm25_x8 DESC, doc_id ASC) AS rn FROM lex)
+         |  WHERE rn <= $HnLexK),
+         |emb AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+         |  FROM embeddings),
+         |nv AS (SELECT * FROM (
+         |    SELECT vec_id, qe, list_dot_product(qe, qe) AS nrm FROM emb)
+         |  WHERE nrm > 0),
+         |dense AS (SELECT query_id, neighbor_id,
+         |    CAST(rank AS INT) AS dense_rank FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        round(CAST(list_dot_product(q.qe, e.qe) AS DOUBLE)
+         |          / (sqrt(CAST(q.nrm AS DOUBLE))
+         |             * sqrt(CAST(e.nrm AS DOUBLE))), 4) DESC,
+         |        e.vec_id ASC) AS rank
+         |    FROM nv q JOIN nv e
+         |      ON q.vec_id < $HnQueries AND e.vec_id >= $HnQueries)
+         |  WHERE rank <= $HnLexK),
+         |pos AS (SELECT query_id, neighbor_id AS pos_id, dense_rank
+         |  FROM dense WHERE dense_rank <= $HnPosK),
+         |negs AS (SELECT query_id, doc_id AS neg_id,
+         |    CAST(nr AS INT) AS neg_rank, bm25_x8 AS neg_bm25_x8
+         |  FROM (SELECT l.*, row_number() OVER (PARTITION BY l.query_id
+         |      ORDER BY l.lex_rank ASC) AS nr
+         |    FROM lext l LEFT JOIN dense d
+         |      ON d.query_id = l.query_id AND d.neighbor_id = l.doc_id
+         |    WHERE d.neighbor_id IS NULL)
+         |  WHERE nr <= $HnNegK)
+         |SELECT p.query_id, p.pos_id, p.dense_rank,
+         |  n.neg_id, n.neg_rank, n.neg_bm25_x8
+         |FROM pos p JOIN negs n USING (query_id)""".stripMargin,
+    // rank fusion of the integer-BM25 arm (CTEs shared with
+    // q_bm25_topk) and the quantized-cosine arm (the q_knn_cosine
+    // scoring, probe = vector 0); ranks fuse as 10^6 // (60 + r)
+    "q_rrf_fusion" ->
+      s"""WITH ${TextOps.bm25CtesSql(TextOps.Bm25Query)},
+         |bmr AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY bm25_x8 DESC, doc_id ASC)
+         |      AS INT) AS bm25_rank
+         |  FROM (SELECT doc_id, bm25_x8 FROM bm25sc
+         |        ORDER BY bm25_x8 DESC, doc_id ASC LIMIT $RrfDepth)),
+         |emb AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+         |  FROM embeddings),
+         |n AS (SELECT * FROM (
+         |    SELECT vec_id, qe, list_dot_product(qe, qe) AS nrm FROM emb)
+         |  WHERE nrm > 0),
+         |p AS (SELECT qe AS p_qe, nrm AS p_nrm FROM n WHERE vec_id = 0),
+         |sc AS (SELECT e.vec_id AS doc_id,
+         |    CAST(-round(round(CAST(list_dot_product(p.p_qe, e.qe) AS DOUBLE)
+         |      / (sqrt(CAST(p.p_nrm AS DOUBLE)) * sqrt(CAST(e.nrm AS DOUBLE))),
+         |      4) * 10000) AS BIGINT) AS neg
+         |  FROM n e, p WHERE e.vec_id > 0),
+         |csr AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY neg ASC, doc_id ASC)
+         |      AS INT) AS cos_rank
+         |  FROM (SELECT doc_id, neg FROM sc
+         |        ORDER BY neg ASC, doc_id ASC LIMIT $RrfDepth))
+         |SELECT doc_id, bm25_rank, cos_rank,
+         |  CAST(coalesce($RrfScale // ($RrfK + bm25_rank), 0)
+         |     + coalesce($RrfScale // ($RrfK + cos_rank), 0) AS BIGINT)
+         |    AS rrf_ppm
+         |FROM bmr FULL OUTER JOIN csr USING (doc_id)
+         |ORDER BY rrf_ppm DESC, doc_id ASC LIMIT $RrfTopK""".stripMargin,
     // the funnel reuses DedupOps's group chain (ex carries the distinct
     // shingles), derives drops under the canonical keep rule, and folds
     // the per-row signals in one precedence CASE — same shape as the

@@ -104,6 +104,10 @@ object PlanAudit {
     "q_image_dhash_neardup" -> "perceptual near-dup: 4x16-bit band equi-join is the ONLY pair producer (sub-quadratic); 64-element Hamming HOF verifies candidates only",
     "q_prod_canonical_docs" -> "the materialize-once production plan: canonical argmax over a STORED parquet group table — one scan + one SortAggregate shuffle, no LSH chain in the plan",
     "q_prod_curation_funnel" -> "production funnel: one aggregation over the STORED per-doc stages table — the 8-stage verdict logic paid once at materialization, never per report",
+    "q_bm25_topk" -> "integer-exact BM25: 1-row corpus stats (N, S, every df) broadcast onto the scoring scan; per-doc tf is an array filter on the row's own tokens (no exploded join); TakeOrderedAndProject tail",
+    "q_rrf_fusion" -> "hybrid retrieval: BM25 arm + broadcast-probe cosine arm each end in TakeOrderedAndProject, so rank windows and the full-outer fusion join run over <= 2*RrfDepth constant rows",
+    "q_hard_negatives" -> "DPR-style triple mining: tiny (probe x term) relation broadcast onto the corpus tf aggregate (lmScore join shape), low-cardinality two-phase local cap on the lexical arm, anti-join + triple assembly over <= HnQueries*HnLexK constant rows",
+    "q_prod_bm25_topk" -> "index-served BM25: stored vocab df table sliced by an IN-list filter + stored 1-row stats, pivoted and broadcast onto the ONE scoring scan — the build/serve split makes query latency one corpus pass",
   )
 
   def main(args: Array[String]): Unit = {

@@ -124,6 +124,26 @@ class PlanAssertionsSpec extends SparkSpec {
       s"only the aggregate exchange:\n$p")
   }
 
+  test("q_bm25_topk: 1-row stats broadcast, top-k tail, no window") {
+    val p = plan("q_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must plan per-partition take + driver merge:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row corpus stats must broadcast onto the scoring scan:\n$p")
+    assert(!p.contains("Window"),
+      s"per-doc tf is an array filter — no window over the corpus:\n$p")
+  }
+
+  test("q_rrf_fusion: both arms end in top-k before ranks are numbered") {
+    // the rank windows and the fusion join must run over <= 2*RrfDepth
+    // rows — every TakeOrderedAndProject sits below them
+    val p = plan("q_rrf_fusion")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"each arm must bound itself with a top-k:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the probe side must broadcast:\n$p")
+  }
+
   test("q_nb_top_tokens: top-k via TakeOrderedAndProject, no global sort") {
     val p = plan("q_nb_top_tokens")
     assert(p.contains("TakeOrderedAndProject"),
