@@ -574,8 +574,53 @@ object ReconOps {
           .as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Counter budget for [[heavyHitters]] — deliberately SMALLER than the
+    * event-type cardinality (5 on this corpus), so the sketch runs under
+    * constant eviction pressure and the presence guarantee is earned,
+    * not a byproduct of the sketch holding everything. */
+  val HhEventK = 4
+
+  /** HEAVY-HITTER census over the event stream via the Misra-Gries
+    * sketch ([[graft.plans.MisraGriesTopK]], a native Catalyst
+    * `TypedImperativeAggregate`) — "which event types dominate" answered
+    * in ONE pass with O(k) state per partition, where the exact answer
+    * shuffles a cardinality-sized relation. The oracle-gated output is
+    * the deterministic CONTRACT (the [[approxQuantiles]] discipline):
+    * for every type whose EXACT count clears the n/(k+1) guarantee bar,
+    * the sketch must contain it (`in_sketch`), must undercount
+    * (`under_est` — MG never overestimates), and must undercount by at
+    * most n/(k+1) (`err_ok`). The raw estimates are merge-order-
+    * dependent (Spark fixes no partial-merge order) and never cross the
+    * oracle; a sketch bug turns a boolean false/null and fails the hash.
+    *
+    * Scale shape: the sketch side is one partial-aggregated pass — each
+    * partition ships ≤ k counters; the exact side (needed only to GRADE
+    * the contract) is the usual hash-agg. At 100 TB the sketch alone
+    * answers the operational question with a single scan and a
+    * few-hundred-byte shuffle. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val mg = graft.plans.MisraGriesTopK.mgTopK(spark) _
+    val ev = Tables.events(spark, dir)
+      .where(col("event_type").isNotNull).select(col("event_type"))
+    val sk = ev
+      .agg(mg(col("event_type"), HhEventK).as("sketch"))
+      .select(explode(col("sketch")).as("e"))
+      .select(col("e.tok").as("event_type"), col("e.est").as("est"))
+    val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    val tot = exact.agg(sum(col("cnt")).as("n_ev"))
+    exact.crossJoin(broadcast(tot))
+      .where(col("cnt") * (HhEventK + 1) > col("n_ev"))
+      .join(sk, Seq("event_type"), "left")
+      .select(col("event_type"), col("cnt"),
+        col("est").isNotNull.as("in_sketch"),
+        (col("est") <= col("cnt")).as("under_est"),
+        ((col("cnt") - col("est")) * (HhEventK + 1) <= col("n_ev"))
+          .as("err_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_hourly"   -> hourlyWindow _,
+    "q_heavy_hitters"   -> heavyHitters _,
     "q_nite_rollup"     -> niteRollup _,
     "q_errors_per_nite" -> errorsPerNite _,
     "q_skip_dups"       -> skipDuplicates _,
@@ -634,6 +679,18 @@ object ReconOps {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Misra-Gries contract: exact counts pick the guaranteed-heavy
+    // types; the sketch booleans are provably TRUE (presence,
+    // undercount, n/(k+1) bound) — engine-specific estimates never
+    // cross the oracle (the q_approx_distinct / q_approx_quantiles
+    // discipline)
+    "q_heavy_hitters" ->
+      s"""WITH cnt AS (SELECT event_type, count(*) AS cnt FROM events
+         |  WHERE event_type IS NOT NULL GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_ev FROM cnt)
+         |SELECT event_type, cnt,
+         |  true AS in_sketch, true AS under_est, true AS err_ok
+         |FROM cnt, tot WHERE cnt * ${HhEventK + 1} > n_ev""".stripMargin,
     "q_window_hourly" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
         |    AS win_start,

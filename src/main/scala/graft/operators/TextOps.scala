@@ -1124,6 +1124,149 @@ object TextOps {
       .limit(CollocTopK)
   }
 
+  /** Held-out split for [[knHeldoutScore]]: doc_id ≡ 0 (mod this) is
+    * scored, the rest trains — deterministic and scale-free, so the
+    * held-out side always contains bigrams the trained table has never
+    * seen (the case the smoothing exists for). */
+  val KnHeldMod = 10
+
+  /** KNESER-NEY-SMOOTHED bigram LM with HELD-OUT scoring — the
+    * principled form of the CCNet reference-perplexity filter. The
+    * existing [[bigramScore]] self-trains, so every bigram it scores is
+    * in its own table and the unseen-bigram path never runs; here the
+    * model trains on ~90% of the corpus ([[KnHeldMod]]) and scores the
+    * held-out rest, where unseen transitions are routine and the score
+    * quality hinges on the smoothing:
+    *
+    *   p_KN(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    *               + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N_types
+    *
+    * with discount D = 3/4 (the standard fixed discount) and the
+    * continuation distribution N₁₊(·w₂)/N_types — "how many distinct
+    * contexts precede w₂" — as the backoff, which is Kneser-Ney's whole
+    * point (a token frequent only inside one collocation backs off
+    * LOW). An entirely-unseen context w₁ falls back to the continuation
+    * distribution itself; an unseen continuation w₂ scores 0 — the
+    * out-of-distribution signal `min_kn_ppm` surfaces.
+    *
+    * INTEGER-EXACT in ppm: D = 3/4 clears denominators —
+    * the discounted term is `max(4·c_ab − 3, 0)·10⁶ div (4·c_a)` and
+    * the backoff term `3·fan·cont·10⁶ div (4·c_a·N_types)` — one
+    * truncating division each, summed AFTER dividing (both operands
+    * non-negative, so Spark `div` ≡ DuckDB `//`). The backoff numerator
+    * `3·fan·cont·10⁶` is bounded by 3·|vocab|²·10⁶ — inside long to
+    * ~10⁶ vocabulary; past that promote to DECIMAL(38,0) exactly as
+    * [[collocations]] does its lift.
+    *
+    * Scale shape: [[bigramScore]]'s skeleton plus two vocab-sized
+    * aggregations (fan-out N₁₊(w₁·) and continuation N₁₊(·w₂) are both
+    * counts over the bigram-types table — one row per distinct bigram,
+    * never a count-distinct over occurrences) and a 1-row N_types
+    * broadcast; scoring is the exploded held-out relation left-joined
+    * against vocab-sized tables on bigram / w₁ / w₂ keys. */
+  def knHeldoutScore(spark: SparkSession, dir: String): DataFrame =
+    knHeldoutCore(Tables.documents(spark, dir))
+
+  /** [[knHeldoutScore]] over any (doc_id, lang, text) relation. */
+  private[graft] def knHeldoutCore(docs: DataFrame): DataFrame = {
+    val isHeld = col("doc_id") % KnHeldMod === 0
+    val train = bigramRel(docs.where(!isHeld))
+    val held = bigramRel(docs.where(isHeld))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    // bigram TYPES table: c_ab per bigram; fan-out and continuation are
+    // row-counts over it (distinct-by-construction, no count-distinct)
+    val cab = train.groupBy(col("bg"))
+      .agg(count(lit(1)).as("c_ab"), first(col("w1")).as("w1"))
+    val ca = train.groupBy(col("w1")).agg(count(lit(1)).as("c_a"))
+    val fan = cab.groupBy(col("w1")).agg(count(lit(1)).as("fan"))
+    val cont = cab
+      .select(substring_index(col("bg"), " ", -1).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("cont"))
+    val ntypes = cab.agg(count(lit(1)).as("n_types"))
+    val scored = held
+      .join(cab.select(col("bg"), col("c_ab")), Seq("bg"), "left")
+      .join(ca, Seq("w1"), "left")
+      .join(fan, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(ntypes))
+      .withColumn("kn_ppm", expr(
+        s"""CASE
+           |  WHEN c_a IS NULL THEN
+           |    coalesce(cont, 0L) * $LmPpmUnit div n_types
+           |  ELSE
+           |    greatest(4 * coalesce(c_ab, 0L) - 3, 0L) * $LmPpmUnit
+           |      div (4 * c_a)
+           |    + 3 * fan * coalesce(cont, 0L) * $LmPpmUnit
+           |      div (4 * c_a * n_types)
+           |END""".stripMargin))
+    scored.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("kn_ppm")).as("s"),
+        min(col("kn_ppm")).as("min_kn_ppm"),
+        sum(when(col("c_ab").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        expr("s div n_bigrams").as("avg_kn_ppm"), col("min_kn_ppm"),
+        col("n_unseen"))
+  }
+
+  /** Counter budget for [[sketchBounds]] — smaller than this corpus's
+    * per-language vocabulary (31), so counters churn: the eviction and
+    * offset-decrement paths of the sketch run on every partition. */
+  val SketchK = 16
+
+  /** SKETCH-BOUND audit of the Misra-Gries token census
+    * ([[graft.plans.MisraGriesTopK]]) — the GROUPED use of the custom
+    * `TypedImperativeAggregate` (one bounded sketch per language, built
+    * in one pass with map-side partial merges) graded by its
+    * deterministic contract: per language, the exact token total and
+    * vocabulary, the count of guaranteed-heavy tokens (cnt > n/(k+1)),
+    * `all_present` (every such token is in the sketch — vacuously true
+    * on a flat corpus, load-bearing on a skewed one), and `all_bounded`
+    * (EVERY surviving counter undercounts its token's true frequency by
+    * at most n/(k+1) — the per-item Misra-Gries bound, non-vacuous
+    * regardless of skew since the sketch always holds counters). Which
+    * near-bar counters survive is merge-order-dependent; the booleans
+    * are not. A broken merge (overcount) or eviction (lost heavy token)
+    * flips a boolean and fails the hash.
+    *
+    * Scale shape: sketch pass = one partial-aggregated scan, ≤ k
+    * counters per partition per language over the shuffle; the exact
+    * side exists to GRADE the sketch (at 100 TB one runs the sketch
+    * alone — that asymmetry is the operator's point). */
+  def sketchBounds(spark: SparkSession, dir: String): DataFrame = {
+    val mg = graft.plans.MisraGriesTopK.mgTopK(spark) _
+    val ex = Tables.documents(spark, dir)
+      .select(col("lang"), explode(toks(col("text"))).as("tok"))
+    val sk = ex.groupBy(col("lang"))
+      .agg(mg(col("tok"), SketchK).as("sketch"))
+      .select(col("lang"), explode(col("sketch")).as("e"))
+      .select(col("lang"), col("e.tok").as("tok"), col("e.est").as("est"))
+    val exact = ex.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = exact.groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_tok"), count(lit(1)).as("vocab"))
+    val heavyStats = exact.join(tot, Seq("lang"))
+      .where(col("cnt") * (SketchK + 1) > col("n_tok"))
+      .join(sk.select(col("lang"), col("tok"), col("est")),
+        Seq("lang", "tok"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_heavy"),
+        min(col("est").isNotNull).as("all_present"))
+    val boundStats = sk
+      .join(exact, Seq("lang", "tok"), "left")
+      .join(tot.select(col("lang"), col("n_tok")), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(min(col("cnt").isNotNull && col("est") <= col("cnt")
+        && (col("cnt") - col("est")) * (SketchK + 1) <= col("n_tok"))
+        .as("all_bounded"))
+    tot.join(heavyStats, Seq("lang"), "left")
+      .join(boundStats, Seq("lang"))
+      .select(col("lang"), col("n_tok"), col("vocab"),
+        coalesce(col("n_heavy"), lit(0L)).as("n_heavy"),
+        coalesce(col("all_present"), lit(true)).as("all_present"),
+        col("all_bounded"))
+  }
+
   /** Keywords kept per document by [[tfidfKeywords]]. */
   val TfidfTopK = 5
 
@@ -2366,6 +2509,8 @@ object TextOps {
     "q_prod_bm25_topk" -> prodBm25TopK _,
     "q_freq_spectrum"  -> freqSpectrum _,
     "q_bigram_score"   -> bigramScore _,
+    "q_kn_heldout"     -> knHeldoutScore _,
+    "q_sketch_bounds"  -> sketchBounds _,
     "q_collocations"   -> collocations _,
     "q_ppl_buckets"    -> pplBuckets _,
     "q_signal_agreement" -> signalAgreement _,
@@ -2948,6 +3093,63 @@ object TextOps {
          |  CAST(min(cond_ppm) AS BIGINT) AS min_cond_ppm
          |FROM bgp JOIN pr USING (bg)
          |GROUP BY doc_id, lang""".stripMargin,
+    // Misra-Gries grouped-sketch contract: per-lang exact totals +
+    // heavy census; the presence/bound booleans are provably TRUE
+    // (vacuous presence on this flat corpus, real bound checks on the
+    // <= k surviving counters)
+    "q_sketch_bounds" ->
+      s"""WITH ex AS (SELECT lang, unnest($toksSql) AS tok FROM documents),
+         |cnt AS (SELECT lang, tok, count(*) AS cnt FROM ex GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tok,
+         |    count(*) AS vocab FROM cnt GROUP BY 1)
+         |SELECT t.lang, t.n_tok, t.vocab,
+         |  (SELECT count(*) FROM cnt c WHERE c.lang = t.lang
+         |     AND c.cnt * ${SketchK + 1} > t.n_tok) AS n_heavy,
+         |  true AS all_present, true AS all_bounded
+         |FROM tot t""".stripMargin,
+    // Kneser-Ney bigram smoothing on a train/held-out split: discounted
+    // term + continuation backoff, D=3/4 cleared to all-integer ppm;
+    // fan-out and continuation are row-counts over the bigram-TYPES CTE
+    "q_kn_heldout" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
+         |bgp AS (
+         |  SELECT doc_id, lang,
+         |    t[CAST(i + 1 AS INT)] || ' ' || t[CAST(i + 2 AS INT)] AS bg,
+         |    t[CAST(i + 1 AS INT)] AS w1,
+         |    t[CAST(i + 2 AS INT)] AS w2
+         |  FROM (SELECT doc_id, lang, unnest(range(len(t) - 1)) AS i, t
+         |        FROM t WHERE len(t) >= 2)),
+         |tr AS (SELECT * FROM bgp WHERE doc_id % $KnHeldMod <> 0),
+         |he AS (SELECT * FROM bgp WHERE doc_id % $KnHeldMod = 0),
+         |cab AS (SELECT bg, any_value(w1) AS w1, count(*) AS c_ab
+         |        FROM tr GROUP BY bg),
+         |ca AS (SELECT w1, count(*) AS c_a FROM tr GROUP BY w1),
+         |fan AS (SELECT w1, count(*) AS fan FROM cab GROUP BY w1),
+         |cont AS (SELECT string_split(bg, ' ')[2] AS w2,
+         |    count(*) AS cont FROM cab GROUP BY 1),
+         |nt AS (SELECT count(*) AS n_types FROM cab),
+         |sc AS (SELECT h.doc_id, h.lang, c.c_ab,
+         |    CASE
+         |      WHEN a.c_a IS NULL THEN
+         |        coalesce(o.cont, 0) * $LmPpmUnit // n_types
+         |      ELSE
+         |        greatest(4 * coalesce(c.c_ab, 0) - 3, 0) * $LmPpmUnit
+         |          // (4 * a.c_a)
+         |        + 3 * f.fan * coalesce(o.cont, 0) * $LmPpmUnit
+         |          // (4 * a.c_a * n_types)
+         |    END AS kn_ppm
+         |  FROM he h
+         |  LEFT JOIN cab c ON c.bg = h.bg
+         |  LEFT JOIN ca a ON a.w1 = h.w1
+         |  LEFT JOIN fan f ON f.w1 = h.w1
+         |  LEFT JOIN cont o ON o.w2 = h.w2
+         |  CROSS JOIN nt)
+         |SELECT doc_id, lang, count(*) AS n_bigrams,
+         |  CAST(sum(kn_ppm) AS BIGINT) // count(*) AS avg_kn_ppm,
+         |  CAST(min(kn_ppm) AS BIGINT) AS min_kn_ppm,
+         |  CAST(sum(CASE WHEN c_ab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unseen
+         |FROM sc GROUP BY doc_id, lang""".stripMargin,
     // contingency-marginal PMI lift in HUGEINT (the DECIMAL(38,0) twin),
     // min-count floor, top-20 by (lift desc, w1, w2)
     "q_collocations" ->

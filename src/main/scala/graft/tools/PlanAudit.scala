@@ -108,6 +108,9 @@ object PlanAudit {
     "q_rrf_fusion" -> "hybrid retrieval: BM25 arm + broadcast-probe cosine arm each end in TakeOrderedAndProject, so rank windows and the full-outer fusion join run over <= 2*RrfDepth constant rows",
     "q_hard_negatives" -> "DPR-style triple mining: tiny (probe x term) relation broadcast onto the corpus tf aggregate (lmScore join shape), low-cardinality two-phase local cap on the lexical arm, anti-join + triple assembly over <= HnQueries*HnLexK constant rows",
     "q_prod_bm25_topk" -> "index-served BM25: stored vocab df table sliced by an IN-list filter + stored 1-row stats, pivoted and broadcast onto the ONE scoring scan — the build/serve split makes query latency one corpus pass",
+    "q_kn_heldout" -> "Kneser-Ney held-out scoring: bigram-TYPES table feeds fan-out/continuation as plain row-counts (no count-distinct over occurrences), 1-row N_types broadcast, scoring = held explode left-joined to vocab-sized tables — no window anywhere",
+    "q_heavy_hitters" -> "Misra-Gries census via native TypedImperativeAggregate: partial_mg_topk BELOW the exchange ships <= k counters per partition; exact side grades the contract, 1-row total broadcast-NLJ",
+    "q_sketch_bounds" -> "grouped MG sketches (one per lang) with map-side partial merge; presence + undercount-bound booleans against the exact census — ObjectHashAggregate, no window",
   )
 
   def main(args: Array[String]): Unit = {

@@ -305,4 +305,32 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(iFilter >= 0 && iJoin >= 0 && iFilter > iJoin,
       s"bloom probe must run below (after in tree order) the join:\n$p")
   }
+
+  test("mg sketch queries: partial sketches below the shuffle, no window") {
+    // the TypedImperativeAggregate must plan as ObjectHashAggregate
+    // with a partial_mg_topk BELOW the exchange — each partition ships
+    // <= k counters, never its token stream
+    for (q <- Seq("q_heavy_hitters", "q_sketch_bounds")) {
+      val p = plan(q)
+      assert(p.contains("partial_mg_topk"),
+        s"$q: map-side partial sketch missing:\n$p")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q: sketch must use the object hash aggregate:\n$p")
+      assert(!p.contains("Window"), s"$q: no window anywhere:\n$p")
+      // the 1-row totals cross is broadcast-NLJ by design; a true
+      // cartesian is still banned
+      assert(!p.contains("CartesianProduct"),
+        s"$q: contract joins are equi/broadcast:\n$p")
+    }
+  }
+
+  test("q_kn_heldout: vocab-sized joins, 1-row types broadcast, no window") {
+    val p = plan("q_kn_heldout")
+    assert(p.contains("BroadcastExchange"),
+      s"the 1-row N_types must broadcast:\n$p")
+    assert(!p.contains("Window"),
+      s"KN scoring is joins + hash aggs, never a window:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian anywhere (the 1-row cross is broadcast-NLJ):\n$p")
+  }
 }

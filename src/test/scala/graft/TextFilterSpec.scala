@@ -346,6 +346,40 @@ class TextFilterSpec extends SparkSpec {
       Set("head", "middle", "tail")(r.getAs[String]("lm_bucket"))))
   }
 
+  test("kneser-ney heldout: all three smoothing branches, hand-computed") {
+    // Train (ids 1-3): bigrams ab:2 ba:2 ac:1 ca:1 -> N_types=4;
+    // c_a: a=3 b=2 c=1; fan: a=2 b=1 c=1; cont: a=2 b=1 c=1.
+    // Held doc 10 "a b z a": seen pair (541666), unseen w2 z (0 - the
+    // continuation-zero branch), unseen CONTEXT z (cont(a)*1e6 div 4 =
+    // 500000 - the context-fallback branch). Held doc 20 "b a b":
+    // ba = 5e6 div 8 + 6e6 div 32 = 812500, ab = 541666.
+    val docs = Seq(
+      (1L, "en", "a b a c"), (2L, "en", "b a b"), (3L, "en", "c a"),
+      (10L, "en", "a b z a"), (20L, "en", "b a b"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.knHeldoutCore(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(10L, 20L), "only held-out docs are scored")
+    assert(got(10L).getAs[Long]("n_bigrams") == 3L)
+    // (541666 + 0 + 500000) div 3
+    assert(got(10L).getAs[Long]("avg_kn_ppm") == 347222L)
+    assert(got(10L).getAs[Long]("min_kn_ppm") == 0L)
+    assert(got(10L).getAs[Long]("n_unseen") == 2L)
+    assert(got(20L).getAs[Long]("n_bigrams") == 2L)
+    assert(got(20L).getAs[Long]("avg_kn_ppm") == 677083L) // 1354166 div 2
+    assert(got(20L).getAs[Long]("min_kn_ppm") == 541666L)
+    assert(got(20L).getAs[Long]("n_unseen") == 0L)
+  }
+
+  test("kneser-ney heldout: conditionals per context sum below 1e6") {
+    // smoothing must keep each context's outgoing mass a probability:
+    // for every held bigram, its ppm is within [0, 1e6]
+    val r = TextOps.knHeldoutScore(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => x.getAs[Long]("min_kn_ppm") >= 0L))
+    assert(r.forall(x => x.getAs[Long]("avg_kn_ppm") <= 1000000L))
+  }
+
   test("bigram score: hand-computed conditionals on a planted corpus") {
     // bigrams: doc1 [a b, b a, a b], doc2 [b a, a c]
     // c_ab: "a b"=2 "b a"=2 "a c"=1; first-position counts a=3, b=2
