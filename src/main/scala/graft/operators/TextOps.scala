@@ -1267,6 +1267,71 @@ object TextOps {
         col("all_bounded"))
   }
 
+  /** Count-Min geometry: 4 hash rows (one md5 digest's four 8-hex
+    * slices) × 256 counters — 8 KB of state; ε = e/w ≈ 1% of the
+    * stream as the standard overestimate envelope. */
+  val CmDepth = 4
+  val CmWidth = 256
+
+  /** A token no corpus document contains — the negative probe of
+    * [[countMinEst]] (its exact count is 0; its estimate is whatever
+    * collision mass its buckets carry, and must still overestimate). */
+  val CmUnseenToken = "qq_never_token"
+
+  /** The COUNT-MIN TABLE itself ([[graft.plans.CountMinSketch]]):
+    * (row, bucket, cnt) for every non-empty counter after one
+    * partial-aggregated pass over the token stream. CM is fully
+    * deterministic under unordered merges (bucket sums commute), so —
+    * unlike the Misra-Gries contract queries — the oracle recomputes
+    * EVERY counter from scratch and the hash grades the aggregate's
+    * actual arithmetic, update path and merge path both.
+    *
+    * Scale shape: one scan, d·w longs per partition over the shuffle,
+    * constant-size output. The exact census this replaces shuffles the
+    * vocabulary. */
+  def countMinTable(spark: SparkSession, dir: String): DataFrame = {
+    val cm = graft.plans.CountMinSketch.countMin(spark) _
+    Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("tok"))
+      .agg(cm(col("tok"), CmDepth, CmWidth).as("sk"))
+      .select(posexplode(col("sk")).as(Seq("pos", "cnt")))
+      .where(col("cnt") > 0)
+      .select(expr(s"CAST(pos div $CmWidth AS BIGINT)").as("row_i"),
+        expr(s"CAST(pos % $CmWidth AS BIGINT)").as("bucket"),
+        col("cnt"))
+  }
+
+  /** POINT-FREQUENCY ESTIMATES from the count-min sketch: for each
+    * probe token (the [[Bm25Query]] terms plus a deliberately unseen
+    * one), `est = min_i sk[i·w + h_i(tok)]` next to the exact count and
+    * the CM guarantee `est ≥ exact` (collisions only ever ADD). The
+    * estimates are deterministic, so they cross the oracle as values —
+    * the DuckDB twin recomputes the same md5-slice buckets and minimum.
+    *
+    * The probe arithmetic runs in the SQL md5/conv idiom on the Spark
+    * side too, pinning the JVM kernel ([[graft.plans.CountMinSketch
+    * .buckets]]) and the column expression to the same bytes. */
+  def countMinEst(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cm = graft.plans.CountMinSketch.countMin(spark) _
+    val ex = Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("tok"))
+    val sk = ex.agg(cm(col("tok"), CmDepth, CmWidth).as("sk"))
+    val probes = (Bm25Query :+ CmUnseenToken).toDF("tok")
+    val est = least((0 until CmDepth).map { i =>
+      expr(s"""sk[CAST(conv(substring(md5(cast(tok AS binary)),
+              |  ${1 + 8 * i}, 8), 16, 10) % $CmWidth AS INT)
+              |  + ${i * CmWidth}]""".stripMargin)
+    }: _*)
+    val exact = ex.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    probes.crossJoin(broadcast(sk))
+      .withColumn("est", est)
+      .join(exact, Seq("tok"), "left")
+      .select(col("tok"), coalesce(col("cnt"), lit(0L)).as("exact_cnt"),
+        col("est"), (col("est") >= coalesce(col("cnt"), lit(0L)))
+          .as("over_ok"))
+  }
+
   /** Keywords kept per document by [[tfidfKeywords]]. */
   val TfidfTopK = 5
 
@@ -2511,6 +2576,8 @@ object TextOps {
     "q_bigram_score"   -> bigramScore _,
     "q_kn_heldout"     -> knHeldoutScore _,
     "q_sketch_bounds"  -> sketchBounds _,
+    "q_countmin"       -> countMinTable _,
+    "q_countmin_est"   -> countMinEst _,
     "q_collocations"   -> collocations _,
     "q_ppl_buckets"    -> pplBuckets _,
     "q_signal_agreement" -> signalAgreement _,
@@ -3093,6 +3160,48 @@ object TextOps {
          |  CAST(min(cond_ppm) AS BIGINT) AS min_cond_ppm
          |FROM bgp JOIN pr USING (bg)
          |GROUP BY doc_id, lang""".stripMargin,
+    // the count-min table recomputed counter-by-counter: 4 union arms,
+    // one per md5 slice — CM is merge-order-independent, so the oracle
+    // grades the aggregate's actual counters, not a contract envelope
+    "q_countmin" -> {
+      val arms = (0 until CmDepth).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS row_i,
+           |  ${graft.plans.CountMinSketch.bucketSql(i, "tok", CmWidth)}
+           |    AS bucket
+           |FROM ex""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ex AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |rows AS ($arms)
+         |SELECT row_i, bucket, count(*) AS cnt
+         |FROM rows GROUP BY 1, 2""".stripMargin
+    },
+    // point estimates: same buckets, min over rows, next to exact
+    // counts; est values are deterministic and cross the oracle
+    "q_countmin_est" -> {
+      val probeRows = (Bm25Query :+ CmUnseenToken)
+        .map(t => s"('$t')").mkString(", ")
+      val estArms = (0 until CmDepth).map { i =>
+        s"""coalesce((SELECT cnt FROM cm WHERE row_i = $i AND bucket =
+           |  ${graft.plans.CountMinSketch.bucketSql(i, "p.tok", CmWidth)}), 0)"""
+          .stripMargin
+      }.mkString(",\n    ")
+      s"""WITH ex AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |rows AS (${(0 until CmDepth).map { i =>
+        s"""SELECT $i AS row_i,
+           |  ${graft.plans.CountMinSketch.bucketSql(i, "tok", CmWidth)}
+           |    AS bucket FROM ex""".stripMargin
+      }.mkString("\nUNION ALL\n")}),
+         |cm AS (SELECT row_i, bucket, count(*) AS cnt
+         |  FROM rows GROUP BY 1, 2),
+         |probes(tok) AS (VALUES $probeRows),
+         |exact AS (SELECT tok, count(*) AS cnt FROM ex GROUP BY 1)
+         |SELECT p.tok,
+         |  CAST(coalesce(e.cnt, 0) AS BIGINT) AS exact_cnt,
+         |  CAST(least(
+         |    $estArms) AS BIGINT) AS est,
+         |  least($estArms) >= coalesce(e.cnt, 0) AS over_ok
+         |FROM probes p LEFT JOIN exact e ON e.tok = p.tok""".stripMargin
+    },
     // Misra-Gries grouped-sketch contract: per-lang exact totals +
     // heavy census; the presence/bound booleans are provably TRUE
     // (vacuous presence on this flat corpus, real bound checks on the

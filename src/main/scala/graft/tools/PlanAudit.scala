@@ -111,6 +111,8 @@ object PlanAudit {
     "q_kn_heldout" -> "Kneser-Ney held-out scoring: bigram-TYPES table feeds fan-out/continuation as plain row-counts (no count-distinct over occurrences), 1-row N_types broadcast, scoring = held explode left-joined to vocab-sized tables — no window anywhere",
     "q_heavy_hitters" -> "Misra-Gries census via native TypedImperativeAggregate: partial_mg_topk BELOW the exchange ships <= k counters per partition; exact side grades the contract, 1-row total broadcast-NLJ",
     "q_sketch_bounds" -> "grouped MG sketches (one per lang) with map-side partial merge; presence + undercount-bound booleans against the exact census — ObjectHashAggregate, no window",
+    "q_countmin" -> "count-min table via native TypedImperativeAggregate: one scan, d*w longs per partition over the shuffle, deterministic counters (the oracle recomputes every bucket sum) — the exact census this replaces shuffles the vocabulary",
+    "q_countmin_est" -> "point-frequency estimates: 1-row sketch broadcast onto 4 probe rows, buckets recomputed in the SQL md5/conv idiom (pins kernel == column expression), min over rows + overestimate contract",
   )
 
   def main(args: Array[String]): Unit = {

@@ -324,6 +324,19 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("q_countmin: partial sketch below the exchange, constant output") {
+    for (q <- Seq("q_countmin", "q_countmin_est")) {
+      val p = plan(q)
+      assert(p.contains("partial_countmin"),
+        s"$q: map-side partial CM buffer missing:\n$p")
+      assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+        s"$q: one pass + tiny probes only:\n$p")
+    }
+    // the est probes join against a BROADCAST 1-row sketch
+    assert(plan("q_countmin_est").contains("BroadcastExchange"),
+      "est: the 1-row sketch must broadcast onto the probes")
+  }
+
   test("q_kn_heldout: vocab-sized joins, 1-row types broadcast, no window") {
     val p = plan("q_kn_heldout")
     assert(p.contains("BroadcastExchange"),
