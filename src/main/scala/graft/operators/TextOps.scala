@@ -1332,6 +1332,52 @@ object TextOps {
           .as("over_ok"))
   }
 
+  /** JOIN-SIZE ESTIMATION by count-min inner product — the planner
+    * statistic CM was built for (Cormode & Muthukrishnan §4.2): the
+    * size of an equi-join on a key equals the inner product of the two
+    * sides' frequency vectors, and `min_i Σ_b A_i[b]·B_i[b]` bounds it
+    * from ABOVE (collisions only add cross terms). Demonstrated on the
+    * [[KnHeldMod]] train/held token streams: two 8 KB sketches answer
+    * "how many (train, held) token matches would a join produce"
+    * without touching the vocabulary — at 100 TB that is two one-pass
+    * aggregates and a driver-side dot product, vs an exact answer that
+    * shuffles both vocabularies.
+    *
+    * The per-row dot product runs through [[graft.plans.DotProductLong]]
+    * (the codegen'd kernel the similarity family hot-loops); both the
+    * estimate and the exact size are deterministic and cross the
+    * oracle as values, with the overestimate contract as the boolean.
+    * Long-range: Σ cnt_a·cnt_b ≤ n_a·n_b ≈ 10²⁸ at 100 TB — past long;
+    * the oracle-checked demo stays at probe scale, and the scaladoc'd
+    * production form promotes the products to DECIMAL(38,0) exactly as
+    * [[collocations]] does. */
+  def countMinJoinSize(spark: SparkSession, dir: String): DataFrame = {
+    val cm = graft.plans.CountMinSketch.countMin(spark) _
+    val dot = graft.plans.DotProductLong.dotLong(spark) _
+    val isHeld = col("doc_id") % KnHeldMod === 0
+    def toksOf(held: Boolean) = Tables.documents(spark, dir)
+      .where(if (held) isHeld else !isHeld)
+      .select(explode(toks(col("text"))).as("tok"))
+    val skA = toksOf(held = false)
+      .agg(cm(col("tok"), CmDepth, CmWidth).as("sk_a"))
+    val skB = toksOf(held = true)
+      .agg(cm(col("tok"), CmDepth, CmWidth).as("sk_b"))
+    val est = least((0 until CmDepth).map { i =>
+      dot(slice(col("sk_a"), i * CmWidth + 1, CmWidth),
+        slice(col("sk_b"), i * CmWidth + 1, CmWidth))
+    }: _*)
+    val exact = toksOf(held = false).groupBy(col("tok"))
+      .agg(count(lit(1)).as("c_a"))
+      .join(toksOf(held = true).groupBy(col("tok"))
+        .agg(count(lit(1)).as("c_b")), Seq("tok"))
+      .agg(sum(col("c_a") * col("c_b")).as("exact_size"))
+    skA.crossJoin(broadcast(skB))
+      .withColumn("est_size", est)
+      .crossJoin(broadcast(exact))
+      .select(col("exact_size"), col("est_size"),
+        (col("est_size") >= col("exact_size")).as("over_ok"))
+  }
+
   /** Keywords kept per document by [[tfidfKeywords]]. */
   val TfidfTopK = 5
 
@@ -2578,6 +2624,7 @@ object TextOps {
     "q_sketch_bounds"  -> sketchBounds _,
     "q_countmin"       -> countMinTable _,
     "q_countmin_est"   -> countMinEst _,
+    "q_cm_joinsize"    -> countMinJoinSize _,
     "q_collocations"   -> collocations _,
     "q_ppl_buckets"    -> pplBuckets _,
     "q_signal_agreement" -> signalAgreement _,
@@ -3201,6 +3248,34 @@ object TextOps {
          |    $estArms) AS BIGINT) AS est,
          |  least($estArms) >= coalesce(e.cnt, 0) AS over_ok
          |FROM probes p LEFT JOIN exact e ON e.tok = p.tok""".stripMargin
+    },
+    // join-size estimation: CM inner product (min over rows of the
+    // bucket-table dot product) vs the exact Σ c_a·c_b — both
+    // deterministic values, overestimate contract as the boolean
+    "q_cm_joinsize" -> {
+      def armsOf(rel: String) = (0 until CmDepth).map { i =>
+        s"""SELECT $i AS row_i,
+           |  ${graft.plans.CountMinSketch.bucketSql(i, "tok", CmWidth)}
+           |    AS bucket FROM $rel""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH exa AS (SELECT unnest($toksSql) AS tok FROM documents
+         |  WHERE doc_id % $KnHeldMod <> 0),
+         |exb AS (SELECT unnest($toksSql) AS tok FROM documents
+         |  WHERE doc_id % $KnHeldMod = 0),
+         |cma AS (SELECT row_i, bucket, count(*) AS cnt
+         |  FROM (${armsOf("exa")}) GROUP BY 1, 2),
+         |cmb AS (SELECT row_i, bucket, count(*) AS cnt
+         |  FROM (${armsOf("exb")}) GROUP BY 1, 2),
+         |dots AS (SELECT a.row_i,
+         |    CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dp
+         |  FROM cma a JOIN cmb b USING (row_i, bucket) GROUP BY 1),
+         |ex AS (SELECT CAST(sum(a.c_a * b.c_b) AS BIGINT) AS exact_size
+         |  FROM (SELECT tok, count(*) AS c_a FROM exa GROUP BY 1) a
+         |  JOIN (SELECT tok, count(*) AS c_b FROM exb GROUP BY 1) b
+         |    USING (tok))
+         |SELECT exact_size, (SELECT min(dp) FROM dots) AS est_size,
+         |  (SELECT min(dp) FROM dots) >= exact_size AS over_ok
+         |FROM ex""".stripMargin
     },
     // Misra-Gries grouped-sketch contract: per-lang exact totals +
     // heavy census; the presence/bound booleans are provably TRUE

@@ -113,6 +113,7 @@ object PlanAudit {
     "q_sketch_bounds" -> "grouped MG sketches (one per lang) with map-side partial merge; presence + undercount-bound booleans against the exact census — ObjectHashAggregate, no window",
     "q_countmin" -> "count-min table via native TypedImperativeAggregate: one scan, d*w longs per partition over the shuffle, deterministic counters (the oracle recomputes every bucket sum) — the exact census this replaces shuffles the vocabulary",
     "q_countmin_est" -> "point-frequency estimates: 1-row sketch broadcast onto 4 probe rows, buckets recomputed in the SQL md5/conv idiom (pins kernel == column expression), min over rows + overestimate contract",
+    "q_cm_joinsize" -> "join-size estimation: two one-pass CM sketches, per-row dot product through the codegen'd dot_long kernel, min over 4 rows vs the exact vocab-join size — the planner statistic that replaces a two-vocabulary shuffle with two 8 KB buffers",
   )
 
   def main(args: Array[String]): Unit = {

@@ -66,6 +66,20 @@ class CountMinSpec extends SparkSpec {
     }
   }
 
+  test("join-size estimate: overestimates, exact on the collision-free case") {
+    val out = graft.operators.TextOps.countMinJoinSize(spark, sfDir)
+      .collect().head
+    assert(out.getAs[Boolean]("over_ok"))
+    assert(out.getAs[Long]("exact_size") > 0L,
+      "train/held token streams must overlap")
+    // inner-product bound is exact when no two distinct tokens share a
+    // bucket in the min row; at vocab << width the estimate should sit
+    // close above the truth (collision cross-terms only)
+    assert(out.getAs[Long]("est_size") <
+      out.getAs[Long]("exact_size") * 2L,
+      s"estimate uselessly loose: $out")
+  }
+
   test("declared estimate query: unseen probe included, contracts hold") {
     val out = graft.operators.TextOps.countMinEst(spark, sfDir).collect()
     assert(out.length == graft.operators.TextOps.Bm25Query.length + 1)

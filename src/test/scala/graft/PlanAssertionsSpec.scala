@@ -325,7 +325,7 @@ class PlanAssertionsSpec extends SparkSpec {
   }
 
   test("q_countmin: partial sketch below the exchange, constant output") {
-    for (q <- Seq("q_countmin", "q_countmin_est")) {
+    for (q <- Seq("q_countmin", "q_countmin_est", "q_cm_joinsize")) {
       val p = plan(q)
       assert(p.contains("partial_countmin"),
         s"$q: map-side partial CM buffer missing:\n$p")
