@@ -189,6 +189,102 @@ object StreamingAnalytics {
   def loadIngestMetrics(spark: SparkSession, dir: String): DataFrame =
     parquetOrEmpty(spark, s"$dir/ingest_metrics", IngestMetricsSchema)
 
+  private val TokenSketchSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("sk",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)),
+    org.apache.spark.sql.types.StructField("n_tok",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("last_batch",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Fold one micro-batch's tokens into the MAINTAINED count-min sketch
+    * at `dir/token_sketch` — the mergeable-summaries property
+    * ([[graft.plans.CountMinSketch]]) in its production form: the batch
+    * pays one partial-aggregated pass for its own d·w buffer, the
+    * stored sketch updates by ELEMENT-WISE ADD (`zip_with(_ + _)`), and
+    * because CM merge is exactly addition, the maintained sketch equals
+    * the one-shot sketch over everything ever admitted — not
+    * approximately, identically (spec-pinned). The stream thereby keeps
+    * a live point-frequency oracle ("how often has THIS token/domain
+    * appeared across the whole history") at 8 KB of state, a query no
+    * maintained table answers without a vocabulary-sized scan.
+    *
+    * Idempotence: foreachBatch is at-least-once, and CM addition is NOT
+    * idempotent — a replayed batch would silently double-count. The
+    * stored row carries `last_batch`; a batch id ≤ it is a no-op
+    * (single writer, monotone stream batch ids — the registry-dedup
+    * contract). Crash-safety is [[foldGroupTable]]'s rename-swap: tmp
+    * is materialized first (the merge reads the live row), `_old` is
+    * restored if a prior swap died between its renames. */
+  def updateTokenSketch(batch: DataFrame, dir: String,
+      batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val live = new Path(s"$dir/token_sketch")
+    val tmp = new Path(s"$dir/token_sketch_tmp")
+    val old = new Path(s"$dir/token_sketch_old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(old))
+      require(fs.rename(old, live), s"restore of orphaned $old failed")
+    val stored = parquetOrEmpty(spark, live.toString, TokenSketchSchema)
+    val storedRow = stored.collect().headOption
+    if (storedRow.forall(r => r.getLong(2) < batchId)) {
+      val cm = graft.plans.CountMinSketch.countMin(spark) _
+      val d = graft.operators.TextOps.CmDepth
+      val w = graft.operators.TextOps.CmWidth
+      val batchSk = batch
+        .select(explode(graft.operators.TextOps.toks(col("text")))
+          .as("tok"))
+        .agg(cm(col("tok"), d, w).as("sk"),
+          count(lit(1)).as("n_tok"))
+      val merged = storedRow match {
+        case None => batchSk.withColumn("last_batch", lit(batchId))
+        case Some(_) => batchSk.crossJoin(broadcast(
+            stored.select(col("sk").as("sk0"), col("n_tok").as("n0"))))
+          .select(
+            zip_with(col("sk0"), col("sk"), _ + _).as("sk"),
+            (col("n0") + col("n_tok")).as("n_tok"),
+            lit(batchId).as("last_batch"))
+      }
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(old, true)
+      if (fs.exists(live))
+        require(fs.rename(live, old), s"swap-out of $live failed")
+      require(fs.rename(tmp, live), s"swap-in of $tmp failed")
+      fs.delete(old, true)
+    }
+  }
+
+  /** Read-back of the maintained sketch (empty-safe, declared schema). */
+  def loadTokenSketch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$dir/token_sketch")
+    val old = new Path(s"$dir/token_sketch_old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val path = if (!fs.exists(live) && fs.exists(old)) old else live
+    parquetOrEmpty(spark, path.toString, TokenSketchSchema)
+  }
+
+  /** Point-frequency estimates from the maintained sketch for a probe
+    * token list — the live query the sketch exists to answer; same
+    * md5/conv bucket idiom as the batch form
+    * ([[graft.operators.TextOps.countMinEst]]). */
+  def tokenSketchEst(spark: SparkSession, dir: String,
+      probes: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val d = graft.operators.TextOps.CmDepth
+    val w = graft.operators.TextOps.CmWidth
+    val est = least((0 until d).map { i =>
+      expr(s"""sk[CAST(conv(substring(md5(cast(tok AS binary)),
+              |  ${1 + 8 * i}, 8), 16, 10) % $w AS INT)
+              |  + ${i * w}]""".stripMargin)
+    }: _*)
+    probes.toDF("tok")
+      .crossJoin(broadcast(loadTokenSketch(spark, dir)))
+      .select(col("tok"), est.as("est"), col("n_tok"), col("last_batch"))
+  }
+
   /** Append one micro-batch's dup edges (doc_id → its best corpus match)
     * as a `batch=<id>` partition of `dir/group_edges` — the delta the
     * maintained group table folds in on cadence. Batch-sized work only;
@@ -824,6 +920,7 @@ object StreamingAnalytics {
                 col("sem_dup_of").as("id_b"))),
           idxDir, id)
         appendIngestMetrics(verdicts, idxDir, id)
+        updateTokenSketch(admitted, idxDir, id)
         if (compactEveryBatches > 0 && (id + 1) % compactEveryBatches == 0) {
           compactCorpusIndex(spark, idxDir)
           graft.functions.ScaleUtils.compactParquet(spark, s"$idxDir/sem_cells")
@@ -954,6 +1051,11 @@ object StreamingAnalytics {
             .select(col("doc_id").as("id_a"), col("dup_of").as("id_b")),
           idxDir, id)
         appendIngestMetrics(verdicts, idxDir, id)
+        // live point-frequency summary over everything ever ADMITTED:
+        // CM merge is vector addition, so the maintained sketch stays
+        // exactly the one-shot sketch of the curated corpus (8 KB of
+        // state, its own last_batch replay guard)
+        updateTokenSketch(admitted, idxDir, id)
         if (compactEveryBatches > 0 && (id + 1) % compactEveryBatches == 0) {
           compactCorpusIndex(spark, idxDir)
           foldGroupTable(spark, idxDir)

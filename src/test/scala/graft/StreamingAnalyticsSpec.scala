@@ -385,13 +385,17 @@ class StreamingAnalyticsSpec extends SparkSpec {
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("lang", StringType), StructField("text", StringType)))
     val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val admittedIds = scala.collection.mutable.Set.empty[Long]
     val q = StreamingAnalytics.runCuratedIngest(
       spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .parquet(inDir),
       idxDir,
       java.nio.file.Files.createTempDirectory("gtckpt").toString,
       compactEveryBatches = 2) { (verdicts, id) =>
-      seen ++= verdicts.collect().map(r => (id, r.getAs[String]("verdict")))
+      val vs = verdicts.collect()
+      seen ++= vs.map(r => (id, r.getAs[String]("verdict")))
+      admittedIds ++= vs.filter(_.getAs[String]("verdict") == "admit")
+        .map(_.getAs[Long]("doc_id"))
     }
     q.awaitTermination()
     // the metrics table reconciles with the verdicts the loop emitted
@@ -423,6 +427,25 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/group_edges")),
       "fold must consume the pending edges")
     assert(rows(StreamingAnalytics.loadGroupTable(spark, idxDir)) == chain)
+    // the loop also maintains the token sketch: equals the one-shot CM
+    // over exactly the documents the gate ADMITTED (dups and any
+    // quality rejects excluded — the admitted set is read back from
+    // the loop's own verdicts, not assumed)
+    assert(admittedIds.nonEmpty && !admittedIds.exists(Set(3L, 5L, 6L)),
+      s"dups must not be admitted: $admittedIds")
+    val byId = batches.flatten.map { case (id, _, t) => id -> t }.toMap
+    val skRow = StreamingAnalytics.loadTokenSketch(spark, idxDir)
+      .collect().head
+    val cm = graft.plans.CountMinSketch.countMin(spark) _
+    val oneShot = admittedIds.toSeq.map(byId).toDF("text")
+      .select(explode(filter(split(col("text"), " "), t => t =!= ""))
+        .as("tok"))
+      .agg(cm(col("tok"), graft.operators.TextOps.CmDepth,
+        graft.operators.TextOps.CmWidth).as("sk"), count(lit(1)).as("n"))
+      .collect().head
+    assert(skRow.getSeq[Long](0) == oneShot.getSeq[Long](0),
+      "loop-maintained sketch diverged from the one-shot admitted corpus")
+    assert(skRow.getLong(1) == oneShot.getLong(1))
   }
 
   test("foldGroupTable: between-renames crash recovery and no-op skip") {
@@ -677,5 +700,58 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(strict(9301L) == "nb_rejected" && strict(9302L) == "repetitive",
       s"$strict")
     cbk.unpersist(); csh.unpersist(); ()
+  }
+
+  test("maintained token sketch: incremental fold == one-shot exactly, " +
+      "replay is a no-op, crash swap recovers") {
+    val dir = java.nio.file.Files.createTempDirectory("toksketch").toString
+    val b1 = Seq("alpha beta beta gamma", "alpha delta").toDF("text")
+    val b2 = Seq("beta beta epsilon", "gamma gamma gamma").toDF("text")
+    StreamingAnalytics.updateTokenSketch(b1, dir, batchId = 0L)
+    StreamingAnalytics.updateTokenSketch(b2, dir, batchId = 1L)
+    val folded = StreamingAnalytics.loadTokenSketch(spark, dir)
+      .collect().head
+    // CM merge IS addition → maintained sketch equals the one-shot
+    // sketch over everything admitted, counter for counter
+    val cm = graft.plans.CountMinSketch.countMin(spark) _
+    val oneShot = b1.union(b2)
+      .select(explode(filter(split(col("text"), " "), t => t =!= ""))
+        .as("tok"))
+      .agg(cm(col("tok"), graft.operators.TextOps.CmDepth,
+        graft.operators.TextOps.CmWidth).as("sk"), count(lit(1)).as("n"))
+      .collect().head
+    assert(folded.getSeq[Long](0) == oneShot.getSeq[Long](0),
+      "maintained sketch diverged from the one-shot sketch")
+    assert(folded.getLong(1) == oneShot.getLong(1))
+    assert(folded.getLong(2) == 1L)
+    // at-least-once replay of an already-folded batch must not re-add
+    StreamingAnalytics.updateTokenSketch(b2, dir, batchId = 1L)
+    val replayed = StreamingAnalytics.loadTokenSketch(spark, dir)
+      .collect().head
+    assert(replayed.getSeq[Long](0) == folded.getSeq[Long](0) &&
+      replayed.getLong(1) == folded.getLong(1), "replay double-counted")
+    // point estimates: overestimate-only, exact on this tiny vocab
+    val est = StreamingAnalytics.tokenSketchEst(spark, dir,
+        Seq("beta", "gamma", "never_seen_tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("beta") >= 4L && est("gamma") >= 4L)
+    assert(est("never_seen_tok") >= 0L)
+    // crash between swap-out and swap-in: live gone, _old holds state
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/token_sketch"),
+      new org.apache.hadoop.fs.Path(s"$dir/token_sketch_old")))
+    val fromOld = StreamingAnalytics.loadTokenSketch(spark, dir)
+      .collect().head
+    assert(fromOld.getSeq[Long](0) == folded.getSeq[Long](0),
+      "read-back must fall back to _old after a torn swap")
+    // the next fold restores live first, then merges on top of it
+    StreamingAnalytics.updateTokenSketch(
+      Seq("zeta").toDF("text"), dir, batchId = 2L)
+    val healed = StreamingAnalytics.loadTokenSketch(spark, dir)
+      .collect().head
+    assert(healed.getLong(1) == folded.getLong(1) + 1L)
+    assert(healed.getLong(2) == 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/token_sketch_old")))
   }
 }
