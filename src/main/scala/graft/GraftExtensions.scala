@@ -22,7 +22,7 @@ import graft.plans.DotProductLong
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(DotProductLong.FnName),
       new ExpressionInfo(classOf[DotProductLong].getName,
@@ -33,4 +33,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"got ${exprs.length}")
         DotProductLong(exprs.head, exprs(1))
       }))
+    def unary(name: String, cls: Class[_],
+        mk: Expression => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1,
+            s"$name requires exactly 1 string argument, got ${exprs.length}")
+          mk(exprs.head)
+        }))
+    unary(graft.plans.UnicodeNormalize.NfcFnName,
+      classOf[graft.plans.NfcNormalize], graft.plans.NfcNormalize(_))
+    unary(graft.plans.UnicodeNormalize.StripFnName,
+      classOf[graft.plans.StripAccents], graft.plans.StripAccents(_))
+  }
 }

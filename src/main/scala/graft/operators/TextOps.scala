@@ -2591,6 +2591,90 @@ object TextOps {
         coalesce(col("fp"), md5(lit("").cast("binary"))).as("scrubbed_fp"))
   }
 
+  // --- Unicode normalization (graft_nfc / graft_strip_accents) ---
+
+  /** Decomposed-form suffix (NFD: base letters + combining marks) and
+    * its composed twin — the planted mixed-form corpus for the
+    * normalization queries. Byte-DIFFERENT, visually identical; the
+    * DuckDB oracle synthesizes the same strings via chr() codepoints,
+    * so Spark's normalizer and DuckDB's utf8proc must agree byte for
+    * byte for the hashes to match. */
+  private[graft] val NormSufDecomposed =
+    "café français nuñez séance"
+  private[graft] val NormSufComposed =
+    "café français nuñez séance"
+  private val normSufDecomposedSql =
+    "'cafe' || chr(769) || ' franc' || chr(807) || 'ais nun' || " +
+      "chr(771) || 'ez se' || chr(769) || 'ance'"
+  private val normSufComposedSql =
+    "'caf' || chr(233) || ' fran' || chr(231) || 'ais nu' || " +
+      "chr(241) || 'ez s' || chr(233) || 'ance'"
+
+  /** Per-doc variant text with a mixed Unicode form: even doc_ids carry
+    * the DECOMPOSED suffix, odd the COMPOSED one. */
+  private def normVariant: Column =
+    concat(substring(col("text"), 1, 40), lit(" "),
+      when(col("doc_id") % 2 === 0, lit(NormSufDecomposed))
+        .otherwise(lit(NormSufComposed)))
+
+  /** ORACLED NORMALIZATION KERNELS — the codegen'd
+    * [[graft.plans.NfcNormalize]] / [[graft.plans.StripAccents]]
+    * expressions over a synthesized mixed-form corpus, graded against
+    * DuckDB's independent `nfc_normalize` / `strip_accents`
+    * (utf8proc): per doc, whether NFC changed the text (true exactly
+    * for the decomposed half), the NFC fingerprint (composed and
+    * decomposed twins converge), the accent-stripped fingerprint
+    * (both collapse to ASCII), and the codepoint shrink.
+    *
+    * Scale shape: pure map — one codegen'd projection over the scan,
+    * no shuffle; the `isNormalized`/ASCII fast paths make the
+    * already-clean majority of a real corpus allocation-free. */
+  def unicodeNorm(spark: SparkSession, dir: String): DataFrame = {
+    val nfc = graft.plans.UnicodeNormalize.nfcCol(spark) _
+    val strip = graft.plans.UnicodeNormalize.stripAccentsCol(spark) _
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), normVariant.as("v"))
+      .select(col("doc_id"),
+        (nfc(col("v")) =!= col("v")).as("changed"),
+        md5(nfc(col("v")).cast("binary")).as("nfc_fp"),
+        md5(strip(col("v")).cast("binary")).as("ascii_fp"),
+        (length(col("v")) - length(nfc(col("v")))).as("cp_shrink"))
+  }
+
+  /** NORMALIZATION-AWARE EXACT DEDUP — the gap the kernels close: a
+    * corpus holding a composed and a decomposed rendering of the same
+    * document (ids 2·doc_id / 2·doc_id+1) de-duplicates on
+    * `md5(graft_nfc(text))`. Raw byte hashing sees every row as
+    * unique; NFC grouping pairs each twin. Output is one row per
+    * group: representative id, member count, how many RAW fingerprints
+    * the group spans, and whether only normalization caught it
+    * (n_raw > 1 — true for every group here, the planted regime).
+    *
+    * Scale shape: same as exact dedup — one hash-groupBy on the md5
+    * key, the normalizer rides inside the scan's codegen'd projection;
+    * at 100 TB this is the standard fingerprint shuffle with a
+    * canonical key instead of a raw one. */
+  def normDedup(spark: SparkSession, dir: String): DataFrame = {
+    val nfc = graft.plans.UnicodeNormalize.nfcCol(spark) _
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), normVariant.as("v"))
+    val corpus = base.select((col("doc_id") * 2).as("id"),
+        when(col("doc_id") % 2 === 0, col("v"))
+          .otherwise(regexp_replace(col("v"), NormSufComposed,
+            NormSufDecomposed)).as("v"))
+      .union(base.select((col("doc_id") * 2 + 1).as("id"),
+        when(col("doc_id") % 2 === 0,
+            regexp_replace(col("v"), NormSufDecomposed, NormSufComposed))
+          .otherwise(col("v")).as("v")))
+    corpus
+      .groupBy(md5(nfc(col("v")).cast("binary")).as("norm_fp"))
+      .agg(min(col("id")).as("rep_id"),
+        count(lit(1)).as("n_members"),
+        countDistinct(md5(col("v").cast("binary"))).as("n_raw"))
+      .select(col("rep_id"), col("n_members"), col("n_raw"),
+        (col("n_raw") > 1).as("caught_norm_only"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"     -> textStats _,
     "q_token_estimate" -> tokenEstimate _,
@@ -2631,6 +2715,8 @@ object TextOps {
     "q_vocab_card"     -> vocabCard _,
     "q_vocab_drift"    -> vocabDrift _,
     "q_snapshot_diff"  -> snapshotDiff _,
+    "q_unicode_norm"   -> unicodeNorm _,
+    "q_norm_dedup"     -> normDedup _,
     "q_gopher_rules"   -> gopherRules _,
     "q_boilerplate"    -> boilerplate _,
     "q_shingle_novelty" -> shingleNovelty _,
@@ -2971,7 +3057,46 @@ object TextOps {
        |  coalesce(sc.fp, md5('')) AS scrubbed_fp
        |FROM tt LEFT JOIN sc ON sc.doc_id = tt.doc_id""".stripMargin
 
+  /** Shared variant CTE for the normalization oracles — MUST stay in
+    * lockstep with [[normVariant]]; suffixes are synthesized from
+    * chr() codepoints so the JSON round-trip can never re-normalize
+    * them. */
+  private val normVariantCte =
+    s"""v AS (SELECT doc_id,
+       |  substr(text, 1, 40) || ' ' ||
+       |  CASE WHEN doc_id % 2 = 0 THEN $normSufDecomposedSql
+       |       ELSE $normSufComposedSql END AS v
+       |FROM documents)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_unicode_norm" ->
+      s"""WITH $normVariantCte
+         |SELECT doc_id,
+         |  nfc_normalize(v) <> v AS changed,
+         |  md5(nfc_normalize(v)) AS nfc_fp,
+         |  md5(strip_accents(v)) AS ascii_fp,
+         |  CAST(length(v) - length(nfc_normalize(v)) AS INT) AS cp_shrink
+         |FROM v""".stripMargin,
+    "q_norm_dedup" ->
+      s"""WITH $normVariantCte,
+         |corpus AS (
+         |  SELECT doc_id * 2 AS id,
+         |    CASE WHEN doc_id % 2 = 0 THEN v
+         |         ELSE replace(v, $normSufComposedSql,
+         |                      $normSufDecomposedSql) END AS v
+         |  FROM v
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1 AS id,
+         |    CASE WHEN doc_id % 2 = 0
+         |         THEN replace(v, $normSufDecomposedSql,
+         |                      $normSufComposedSql)
+         |         ELSE v END AS v
+         |  FROM v)
+         |SELECT min(id) AS rep_id,
+         |  CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(count(DISTINCT md5(v)) AS BIGINT) AS n_raw,
+         |  count(DISTINCT md5(v)) > 1 AS caught_norm_only
+         |FROM corpus GROUP BY nfc_normalize(v)""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id, lang,
          |  length($toksSql) AS n_tokens,
