@@ -2675,6 +2675,67 @@ object TextOps {
         (col("n_raw") > 1).as("caught_norm_only"))
   }
 
+  // --- multi-pattern keyword tagging (Aho-Corasick kernel) ---
+
+  /** Demonstration blocklist: corpus words, multi-word phrases, and
+    * deliberately OVERLAPPING substrings ("at" inside "data"/"batch",
+    * "can" inside "scan", "a" everywhere) — the regime where per-term
+    * `contains` is O(len·dict) and token joins can't see phrases at
+    * all. A real deployment swaps in its blocklist/taxonomy file. */
+  val KeywordDict: Seq[String] = Seq(
+    "data", "at", "ta", "a", "scan", "can", "table scan", "batch",
+    "atch", "merge", "sort merge", "stream", "join", "in", "window",
+    "dow", "spark", "park", "row", "order")
+
+  private def keywordDictSql: String =
+    KeywordDict.map(t => s"'$t'").mkString("[", ", ", "]")
+
+  /** The KERNEL's relational shape: (doc_id, term, n) for every
+    * dictionary term occurring in the document — ALL occurrences,
+    * overlapping included, exact on characters. One automaton scan per
+    * document: O(len + matches) whatever the dictionary size
+    * ([[graft.functions.AhoCorasick]] — driver-built, broadcast,
+    * report-chain counting). No shuffle: a pure per-partition map. */
+  def keywordMatches(docs: DataFrame, dict: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(graft.functions.AhoCorasick(dict))
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        bc.value.hits(Option(t).getOrElse(""))
+          .map { case (term, n) => (id, term, n) }
+      }
+      .toDF("doc_id", "term", "n")
+  }
+
+  /** ORACLED kernel output over the demonstration dictionary — DuckDB
+    * recomputes every count with a per-position substring scan (its
+    * O(len·dict) shape is exactly what the automaton exists to avoid;
+    * at oracle scale it is affordable and INDEPENDENT). */
+  def keywordHits(spark: SparkSession, dir: String): DataFrame =
+    keywordMatches(Tables.documents(spark, dir), KeywordDict)
+
+  /** Doc-level tagging rollup: total matches, distinct terms hit, the
+    * dominant term (max count, lexicographic tie-break — total order),
+    * and a density flag (≥1 match per 100 chars, integer math). Both
+    * aggregations shuffle on doc_id — one exchange, reused. */
+  def keywordTag(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val m = keywordMatches(docs, KeywordDict)
+    val byDoc = m.groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_matches"),
+        count(lit(1)).as("n_terms"),
+        expr("min_by(term, struct(-n, term))").as("top_term"))
+    docs.select(col("doc_id"), length(col("text")).as("n_chars"))
+      .join(byDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("top_term"), lit("")).as("top_term"),
+        (coalesce(col("n_matches"), lit(0L)) * 100 >= col("n_chars"))
+          .as("flagged"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"     -> textStats _,
     "q_token_estimate" -> tokenEstimate _,
@@ -2717,6 +2778,8 @@ object TextOps {
     "q_snapshot_diff"  -> snapshotDiff _,
     "q_unicode_norm"   -> unicodeNorm _,
     "q_norm_dedup"     -> normDedup _,
+    "q_keyword_hits"   -> keywordHits _,
+    "q_keyword_tag"    -> keywordTag _,
     "q_gopher_rules"   -> gopherRules _,
     "q_boilerplate"    -> boilerplate _,
     "q_shingle_novelty" -> shingleNovelty _,
@@ -3068,7 +3131,41 @@ object TextOps {
        |       ELSE $normSufComposedSql END AS v
        |FROM documents)""".stripMargin
 
+  /** Per-(doc, term) occurrence counts, the independent O(len·dict)
+    * way: one candidate start position at a time. */
+  private val keywordCountsCte =
+    s"""terms AS (SELECT unnest($keywordDictSql) AS term),
+       |m AS (SELECT doc_id, term,
+       |  length(list_filter(
+       |    range(length(text) - length(term) + 1),
+       |    i -> substr(text, CAST(i + 1 AS INT), length(term)) = term))
+       |    AS n
+       |FROM documents CROSS JOIN terms)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_keyword_hits" ->
+      s"""WITH $keywordCountsCte
+         |SELECT doc_id, term, CAST(n AS BIGINT) AS n
+         |FROM m WHERE n > 0""".stripMargin,
+    "q_keyword_tag" ->
+      s"""WITH $keywordCountsCte,
+         |hit AS (SELECT * FROM m WHERE n > 0),
+         |agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_matches,
+         |          CAST(count(*) AS BIGINT) AS n_terms
+         |        FROM hit GROUP BY doc_id),
+         |top AS (SELECT doc_id, term AS top_term FROM (
+         |  SELECT doc_id, term,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY n DESC, term) AS rk
+         |  FROM hit) WHERE rk = 1)
+         |SELECT d.doc_id,
+         |  coalesce(agg.n_matches, 0) AS n_matches,
+         |  coalesce(agg.n_terms, 0) AS n_terms,
+         |  coalesce(top.top_term, '') AS top_term,
+         |  coalesce(agg.n_matches, 0) * 100 >= length(d.text) AS flagged
+         |FROM documents d
+         |LEFT JOIN agg ON agg.doc_id = d.doc_id
+         |LEFT JOIN top ON top.doc_id = d.doc_id""".stripMargin,
     "q_unicode_norm" ->
       s"""WITH $normVariantCte
          |SELECT doc_id,
