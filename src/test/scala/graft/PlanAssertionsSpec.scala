@@ -346,4 +346,26 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"no cartesian anywhere (the 1-row cross is broadcast-NLJ):\n$p")
   }
+
+  test("q_unicode_norm: map-only codegen'd normalization — no exchange") {
+    val p = plan("q_unicode_norm")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"per-doc normalization must stay a pure projection:\n$p")
+    assert(p.contains("graft_nfc") && p.contains("*(1)"),
+      s"normalize expressions must ride inside whole-stage codegen:\n$p")
+  }
+
+  test("q_keyword_hits: map-only automaton scan — no exchange") {
+    val p = plan("q_keyword_hits")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"the broadcast-automaton scan is embarrassingly parallel:\n$p")
+  }
+
+  test("q_keyword_tag: doc_id rollups, no window, no cartesian") {
+    val p = plan("q_keyword_tag")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"rollup + join-back must not multiply shuffles:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"the dominant term is an aggregate (min_by), never a window:\n$p")
+  }
 }
