@@ -114,6 +114,10 @@ object PlanAudit {
     "q_countmin" -> "count-min table via native TypedImperativeAggregate: one scan, d*w longs per partition over the shuffle, deterministic counters (the oracle recomputes every bucket sum) — the exact census this replaces shuffles the vocabulary",
     "q_countmin_est" -> "point-frequency estimates: 1-row sketch broadcast onto 4 probe rows, buckets recomputed in the SQL md5/conv idiom (pins kernel == column expression), min over rows + overestimate contract",
     "q_cm_joinsize" -> "join-size estimation: two one-pass CM sketches, per-row dot product through the codegen'd dot_long kernel, min over 4 rows vs the exact vocab-join size — the planner statistic that replaces a two-vocabulary shuffle with two 8 KB buffers",
+    "q_unicode_norm" -> "codegen'd NFC + strip-accents expressions in a map-only projection — zero exchanges; the normalizer rides inside the scan's whole-stage-codegen span",
+    "q_norm_dedup" -> "normalization-keyed exact dedup: the standard fingerprint hash-groupBy with graft_nfc canonicalizing the key inside the scan projection",
+    "q_keyword_hits" -> "broadcast Aho-Corasick automaton, one O(len+matches) scan per doc in a map-only kernel — zero exchanges whatever the dictionary size",
+    "q_keyword_tag" -> "doc-level rollup over the automaton hits: one doc_id hash agg (min_by dominant term — no window) + join back to lengths",
   )
 
   def main(args: Array[String]): Unit = {
