@@ -435,6 +435,36 @@ object ReconOps {
         (max(col("us")) - min(col("us"))).as("span_us"))
   }
 
+  /** MARKOV TRANSITION MATRIX over per-user event sequences — the
+    * product-analytics staple "after doing X, what do users do next":
+    * one lead() over the sessionize window (same (us, event_id) total
+    * order, same user_id shuffle), then a hash aggregate over the
+    * (prev, next) pairs; conditional probabilities in exact ppm
+    * integer math (`n·10⁶ div Σ_next n`, non-negative operands — the
+    * oracle's `//` floors identically). The window the probabilities
+    * normalize over runs on the AGGREGATED relation (|event_types|²
+    * rows, ~25 here), never the event stream.
+    *
+    * Scale shape: one event-sized shuffle (user_id) + one tiny agg —
+    * the sessionize envelope; hot-key skew has the same salted escape
+    * hatch as as-of ([[asofJoinSaltedCore]]'s bucket decomposition
+    * applies to any per-user running pass). */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val norm = Window.partitionBy(col("prev_type"))
+    pairs.withColumn("total", sum(col("n")).over(norm))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("n * 1000000L div total").as("p_ppm"))
+  }
+
   /** Ordered-funnel analysis — how many users did signup, then (at or
     * after it) a click, then (at or after that) a purchase. Each stage
     * is a keyed min-aggregate over the previous stage's survivors:
@@ -639,6 +669,7 @@ object ReconOps {
     "q_asof_forward"    -> asofForward _,
     "q_approx_quantiles" -> approxQuantiles _,
     "q_sessionize"      -> sessionize _,
+    "q_event_transitions" -> eventTransitions _,
     "q_event_funnel"    -> eventFunnel _,
     "q_event_funnel_n"  -> ((s: SparkSession, d: String) =>
       eventFunnelStages(s, d, FunnelStages4)),
@@ -840,6 +871,19 @@ object ReconOps {
          |SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
          |  count(*) AS n_events, CAST(max(us) - min(us) AS BIGINT) AS span_us
          |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_event_transitions" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+         |             event_type FROM events),
+         |p AS (SELECT event_type AS prev_type,
+         |        lead(event_type) OVER (PARTITION BY user_id
+         |                               ORDER BY us, event_id) AS next_type
+         |      FROM e),
+         |g AS (SELECT prev_type, next_type, count(*) AS n
+         |      FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+         |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type)
+         |       AS BIGINT) AS p_ppm
+         |FROM g""".stripMargin,
     // both funnel oracles render from the SAME stage lists as the Spark
     // plans (the mixCaseSql discipline: generated literals cannot drift)
     "q_event_funnel" -> funnelSql(Seq("signup", "click", "purchase")),

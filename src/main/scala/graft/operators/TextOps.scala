@@ -2675,6 +2675,48 @@ object TextOps {
         (col("n_raw") > 1).as("caught_norm_only"))
   }
 
+  /** Cyrillic confusables for the six Latin letters with pixel-identical
+    * twins in common fonts (а е о р с х, U+0430/0435/043E/0440/0441/
+    * 0445) — the standard homoglyph-spoof alphabet. The fold direction
+    * maps Cyrillic → Latin. */
+  private[graft] val HomoglyphCyr = "аеорсх"
+  private[graft] val HomoglyphLat = "aeopcx"
+  private val homoglyphCyrSql =
+    Seq(0x430, 0x435, 0x43e, 0x440, 0x441, 0x445)
+      .map(c => s"chr($c)").mkString(" || ")
+
+  /** HOMOGLYPH-FOLD DEDUP — the adversarial sibling of [[normDedup]]:
+    * a spam/spoof pipeline evades exact dedup by swapping Latin
+    * letters for pixel-identical Cyrillic confusables; the canonical
+    * key folds them back (`translate` — a BUILT-IN, codegen'd; no
+    * custom expression needed) composed with [[graft.plans.NfcNormalize]]
+    * so form-spoofing and confusable-spoofing fall together. Planted
+    * corpus: every doc appears clean (id 2k) and spoofed (id 2k+1,
+    * Latin→Cyrillic on an 80-char prefix); raw md5 sees 2 documents,
+    * the folded key pairs them. A group whose prefix holds no foldable
+    * letter stays a singleton pair with n_raw = 1 — caught_fold_only
+    * records exactly where folding (not identity) did the work.
+    *
+    * Scale shape: identical to exact dedup — one hash-groupBy on the
+    * canonical-key md5; folding rides in the scan projection. */
+  def homoglyphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val nfc = graft.plans.UnicodeNormalize.nfcCol(spark) _
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 80).as("v"))
+    val corpus = base
+      .select((col("doc_id") * 2).as("id"), col("v"))
+      .union(base.select((col("doc_id") * 2 + 1).as("id"),
+        translate(col("v"), HomoglyphLat, HomoglyphCyr).as("v")))
+    corpus
+      .groupBy(md5(translate(nfc(col("v")), HomoglyphCyr, HomoglyphLat)
+        .cast("binary")).as("fold_fp"))
+      .agg(min(col("id")).as("rep_id"),
+        count(lit(1)).as("n_members"),
+        countDistinct(md5(col("v").cast("binary"))).as("n_raw"))
+      .select(col("rep_id"), col("n_members"), col("n_raw"),
+        (col("n_raw") > 1).as("caught_fold_only"))
+  }
+
   // --- multi-pattern keyword tagging (Aho-Corasick kernel) ---
 
   /** Demonstration blocklist: corpus words, multi-word phrases, and
@@ -2780,6 +2822,7 @@ object TextOps {
     "q_norm_dedup"     -> normDedup _,
     "q_keyword_hits"   -> keywordHits _,
     "q_keyword_tag"    -> keywordTag _,
+    "q_homoglyph_dedup" -> homoglyphDedup _,
     "q_gopher_rules"   -> gopherRules _,
     "q_boilerplate"    -> boilerplate _,
     "q_shingle_novelty" -> shingleNovelty _,
@@ -3166,6 +3209,22 @@ object TextOps {
          |FROM documents d
          |LEFT JOIN agg ON agg.doc_id = d.doc_id
          |LEFT JOIN top ON top.doc_id = d.doc_id""".stripMargin,
+    "q_homoglyph_dedup" ->
+      s"""WITH base AS (SELECT doc_id, substr(text, 1, 80) AS v
+         |              FROM documents),
+         |corpus AS (
+         |  SELECT doc_id * 2 AS id, v FROM base
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1 AS id,
+         |    translate(v, 'aeopcx', $homoglyphCyrSql) AS v
+         |  FROM base)
+         |SELECT min(id) AS rep_id,
+         |  CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(count(DISTINCT md5(v)) AS BIGINT) AS n_raw,
+         |  count(DISTINCT md5(v)) > 1 AS caught_fold_only
+         |FROM corpus
+         |GROUP BY md5(translate(nfc_normalize(v),
+         |                       $homoglyphCyrSql, 'aeopcx'))""".stripMargin,
     "q_unicode_norm" ->
       s"""WITH $normVariantCte
          |SELECT doc_id,

@@ -118,6 +118,8 @@ object PlanAudit {
     "q_norm_dedup" -> "normalization-keyed exact dedup: the standard fingerprint hash-groupBy with graft_nfc canonicalizing the key inside the scan projection",
     "q_keyword_hits" -> "broadcast Aho-Corasick automaton, one O(len+matches) scan per doc in a map-only kernel — zero exchanges whatever the dictionary size",
     "q_keyword_tag" -> "doc-level rollup over the automaton hits: one doc_id hash agg (min_by dominant term — no window) + join back to lengths",
+    "q_event_transitions" -> "Markov matrix: one user_id window (lead) over the event stream + hash agg; the ppm normalization windows over the |types|^2 aggregate, never the stream",
+    "q_homoglyph_dedup" -> "confusable-fold dedup: built-in translate composed with graft_nfc inside the scan projection; the standard fingerprint hash-groupBy on the folded key",
   )
 
   def main(args: Array[String]): Unit = {

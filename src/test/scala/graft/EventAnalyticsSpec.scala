@@ -258,4 +258,42 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-01", 0L) -> 1L, ("2024-01-01", 2L) -> 1L,
       ("2024-01-08", 0L) -> 1L))
   }
+
+  test("transitions: per-user adjacency, ppm normalizes per prev state") {
+    val dir = eventsDir("trans", Seq(
+      // u1: a -> b -> a; u2: a -> a; u3 has a single event (no pair)
+      (1L, ts(0), 1L, "a", 0.0),
+      (2L, ts(10), 1L, "b", 0.0),
+      (3L, ts(20), 1L, "a", 0.0),
+      (4L, ts(0), 2L, "a", 0.0),
+      (5L, ts(5), 2L, "a", 0.0),
+      (6L, ts(0), 3L, "b", 0.0)))
+    val got = ReconOps.eventTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      ("a", "b") -> (1L, 500000L),
+      ("a", "a") -> (1L, 500000L),
+      ("b", "a") -> (1L, 1000000L)), s"$got")
+    // equal timestamps order by event_id — the pair is deterministic
+    val tie = eventsDir("transtie", Seq(
+      (7L, ts(0), 4L, "x", 0.0), (8L, ts(0), 4L, "y", 0.0)))
+    assert(ReconOps.eventTransitions(spark, tie).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("x", "y")))
+  }
+
+  test("homoglyph dedup: spoofed twins fold together, unfoldable stay raw") {
+    val dir = "/tmp/graft_homoglyph_spec"
+    Seq((1L, "spark compute", "en", "s", 13L),
+        (2L, "zzz", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.homoglyphDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    // doc 1 ("spark compute" holds a/c/e/o/p): clean id 2 + spoof id 3
+    // share one fold group with TWO raw forms; doc 2 ("zzz") spoofs to
+    // itself — one group, one raw form, nothing for folding to do
+    assert(got == Map(2L -> (2L, 2L, true), 4L -> (2L, 1L, false)), s"$got")
+  }
 }
