@@ -1061,6 +1061,55 @@ object VectorOps {
         expr("n_hits * 10000 div n_true").cast("double") / 10000.0)
   }
 
+  /** Truncation prefixes for [[matryoshkaRecall]] (full dim is 64). */
+  val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32)
+
+  /** MATRYOSHKA TRUNCATION RECALL — the dimension-cost lever of modern
+    * embedding serving (Kusupati et al.: MRL-trained models pack
+    * coarse-to-fine signal into prefixes, so serving can keep only the
+    * first d′ dims for a 64/d′ memory and bandwidth saving): for each
+    * prefix length in [[MatryoshkaDims]], run the SAME brute-force
+    * cosine top-k over prefix-truncated vectors and measure recall@k
+    * against the full-dimension ground truth — the curve that tells an
+    * index operator which truncation is safe BEFORE re-encoding 100 TB.
+    * Un-MRL-trained synthetic embeddings (these) show the pessimistic
+    * baseline — measured mean recall@5 at sf0.01: 0.08 at d′=8, 0.08
+    * at 16, 0.32 at 32 (signal is spread uniformly across dims, so
+    * truncation is lossy; MRL-trained vectors concentrate it) — the
+    * harness, not the curve, is the deliverable.
+    *
+    * Scale shape: one [[knnBruteForce]]-shaped pass per prefix (the
+    * broadcast-queries × partitioned-corpus split with the two-phase
+    * top-k tail — truncation SHRINKS the per-row dot), plus a join of
+    * k·queries-sized relations. Same recall arithmetic as
+    * [[annRecall]]: exact integer `div` on both engines. A vector
+    * whose PREFIX quantizes to all zeros has no truncated cosine and
+    * is excluded from that prefix's search (the cosineTopKSplit
+    * guard), mirrored by the oracle's per-prefix norm filter. */
+  def matryoshkaRecall(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 5, dims: Seq[Int] = MatryoshkaDims): DataFrame = {
+    val dot = DotProductLong.dotLong(spark) _
+    val exact = knnBruteForce(spark, dir, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val truncated = dims.map { d =>
+      val vecs = quantized(spark, dir)
+        .select(col("vec_id"), slice(col("qe"), 1, d).as("vec"))
+        .withColumn("nrm", dot(col("vec"), col("vec")))
+      cosineTopKSplit(vecs, dot, k, nQueries)
+        .select(lit(d).as("dims"), col("query_id"), col("neighbor_id"),
+          lit(1L).as("hit"))
+    }.reduce(_ union _)
+    import spark.implicits._
+    val dimsDf = dims.toDF("dims")
+    exact.crossJoin(broadcast(dimsDf))
+      .join(truncated, Seq("dims", "query_id", "neighbor_id"), "left")
+      .groupBy(col("dims"), col("query_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall",
+        expr("n_hits * 10000 div n_true").cast("double") / 10000.0)
+  }
+
   /** [[hubness]] flags a vector once it appears in at least this many
     * other vectors' top-k lists (2k: twice the expectation under a
     * symmetric neighbor relation). */
@@ -1311,6 +1360,8 @@ object VectorOps {
     "q_bitext_margin" -> ((s: SparkSession, d: String) => bitextMine(s, d)),
     "q_ann_ivf_kmeans" -> ((s: SparkSession, d: String) => annIvfKmeans(s, d)),
     "q_ann_recall"   -> ((s: SparkSession, d: String) => annRecall(s, d)),
+    "q_matryoshka_recall" ->
+      ((s: SparkSession, d: String) => matryoshkaRecall(s, d)),
     "q_cluster_keywords" -> clusterKeywords _,
     "q_hubness"      -> ((s: SparkSession, d: String) => hubness(s, d)),
     "q_hubness_auto" -> ((s: SparkSession, d: String) => hubnessAuto(s, d)),
@@ -1596,6 +1647,53 @@ object VectorOps {
          |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin,
+    // full-dim brute-force ground truth vs per-prefix truncated
+    // brute force; prefixes via 1-based inclusive list slicing (same
+    // semantics as Spark's slice), per-prefix zero-norm exclusion
+    "q_matryoshka_recall" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, $qSql AS qe FROM embeddings),
+         |n AS (SELECT * FROM (
+         |    SELECT vec_id, qe, list_dot_product(qe, qe) AS nrm FROM emb)
+         |  WHERE nrm > 0),
+         |bscored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    round(CAST(list_dot_product(q.qe, e.qe) AS DOUBLE)
+         |      / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(e.nrm AS DOUBLE))),
+         |      4) AS sim
+         |  FROM n q JOIN n e ON q.vec_id < 5 AND e.vec_id >= 5),
+         |truek AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM bscored) WHERE rank <= 5),
+         |dlist AS (SELECT unnest([${MatryoshkaDims.mkString(", ")}])
+         |            AS dims),
+         |t AS (SELECT d.dims, e.vec_id, e.qe[1:d.dims] AS tv,
+         |        list_dot_product(e.qe[1:d.dims], e.qe[1:d.dims]) AS tn
+         |      FROM emb e CROSS JOIN dlist d),
+         |tq AS (SELECT * FROM t WHERE vec_id < 5 AND tn > 0),
+         |tc AS (SELECT * FROM t WHERE vec_id >= 5 AND tn > 0),
+         |tscored AS (
+         |  SELECT q.dims, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(CAST(list_dot_product(q.tv, c.tv) AS DOUBLE)
+         |      / (sqrt(CAST(q.tn AS DOUBLE)) * sqrt(CAST(c.tn AS DOUBLE))),
+         |      4) AS sim
+         |  FROM tq q JOIN tc c ON q.dims = c.dims),
+         |tk AS (SELECT dims, query_id, neighbor_id, 1 AS hit FROM (
+         |    SELECT dims, query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY dims, query_id
+         |                         ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM tscored) WHERE rank <= 5)
+         |SELECT d.dims, x.query_id,
+         |  CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(coalesce(sum(tk.hit), 0) AS BIGINT) AS n_hits,
+         |  CAST((coalesce(sum(tk.hit), 0) * 10000) // count(*) AS DOUBLE)
+         |    / 10000.0 AS recall
+         |FROM truek x CROSS JOIN dlist d
+         |LEFT JOIN tk ON tk.dims = d.dims AND tk.query_id = x.query_id
+         |  AND tk.neighbor_id = x.neighbor_id
+         |GROUP BY 1, 2""".stripMargin,
     // two unrolled Lloyd iterations; integer division in the centroid
     // update is trunc-toward-zero to match Spark's `div` on negatives
     "q_kmeans" ->
