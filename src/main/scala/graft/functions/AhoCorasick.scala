@@ -80,6 +80,34 @@ final class AhoCorasick private (
     terms.indices.collect { case i if c(i) > 0 => (terms(i), c(i)) }
   }
 
+  /** Character positions covered by ANY match — the union of matched
+    * spans, which is deterministic whatever the overlap structure (the
+    * scrub action's contract). Same single scan as [[counts]]; at each
+    * position the report chain contributes [end-len+1, end] intervals,
+    * merged into a boolean cover. O(len + Σ match lengths). */
+  def coverMask(text: String): Array[Boolean] = {
+    val cover = new Array[Boolean](text.length)
+    var s = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      var g = gotoMaps(s).getOrElse(c, -1)
+      while (g < 0 && s != 0) {
+        s = fail(s)
+        g = gotoMaps(s).getOrElse(c, -1)
+      }
+      s = if (g >= 0) g else 0
+      var u = if (termAt(s) >= 0) s else dictLink(s)
+      while (u > 0) {
+        var j = i - terms(termAt(u)).length + 1
+        while (j <= i) { cover(j) = true; j += 1 }
+        u = dictLink(u)
+      }
+      i += 1
+    }
+    cover
+  }
+
   def size: Int = fail.length
 }
 

@@ -2778,6 +2778,40 @@ object TextOps {
           .as("flagged"))
   }
 
+  /** KEYWORD SCRUB — the ACTION twin of [[keywordTag]] (the repo's
+    * detector/action pairing: repeat→repeatScrub, spans→spanScrub,
+    * boilerplate→crossDocScrub): mask every character covered by ANY
+    * dictionary match. Masking the UNION of matched spans is the only
+    * semantics deterministic under arbitrary overlap ("table scan"
+    * ∪ "scan" ∪ "can" cover the same chars whatever the match order),
+    * and keeps offsets stable (length-preserving '*' fill) so spans
+    * recorded against the original text stay valid. Same single
+    * automaton scan as the tag ([[graft.functions.AhoCorasick
+    * .coverMask]]); map-only, no shuffle. */
+  def keywordScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      graft.functions.AhoCorasick(KeywordDict))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t0) =>
+        val t = Option(t0).getOrElse("")
+        val cover = bc.value.coverMask(t)
+        val sb = new java.lang.StringBuilder(t.length)
+        var n = 0L
+        var i = 0
+        while (i < t.length) {
+          if (cover(i)) { sb.append('*'); n += 1L }
+          else sb.append(t.charAt(i))
+          i += 1
+        }
+        (id, t.length, n, sb.toString)
+      }
+      .toDF("doc_id", "n_chars", "n_masked", "scrubbed")
+      .select(col("doc_id"), col("n_chars"), col("n_masked"),
+        md5(col("scrubbed").cast("binary")).as("scrubbed_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"     -> textStats _,
     "q_token_estimate" -> tokenEstimate _,
@@ -2823,6 +2857,7 @@ object TextOps {
     "q_keyword_hits"   -> keywordHits _,
     "q_keyword_tag"    -> keywordTag _,
     "q_homoglyph_dedup" -> homoglyphDedup _,
+    "q_keyword_scrub"  -> keywordScrub _,
     "q_gopher_rules"   -> gopherRules _,
     "q_boilerplate"    -> boilerplate _,
     "q_shingle_novelty" -> shingleNovelty _,
@@ -3190,6 +3225,37 @@ object TextOps {
       s"""WITH $keywordCountsCte
          |SELECT doc_id, term, CAST(n AS BIGINT) AS n
          |FROM m WHERE n > 0""".stripMargin,
+    // union-of-spans cover rebuilt per character (the crossdoc_scrub
+    // per-position idiom), '*'-filled, re-hashed
+    "q_keyword_scrub" ->
+      s"""WITH terms AS (SELECT unnest($keywordDictSql) AS term),
+         |pairs AS (SELECT d.doc_id, d.text, t.term, length(t.term) AS len
+         |          FROM documents d CROSS JOIN terms t),
+         |cand AS (SELECT doc_id, text, term, len,
+         |           unnest(range(length(text) - len + 1)) AS i
+         |         FROM pairs),
+         |mpos AS (SELECT doc_id, i AS s, len FROM cand
+         |         WHERE substr(text, CAST(i + 1 AS INT), len) = term),
+         |cov AS (SELECT DISTINCT doc_id, pos FROM (
+         |  SELECT doc_id, s + o AS pos FROM (
+         |    SELECT doc_id, s, unnest(range(len)) AS o FROM mpos))),
+         |chars AS (SELECT doc_id, unnest(range(length(text))) AS pos,
+         |            text FROM documents),
+         |outc AS (
+         |  SELECT c.doc_id, c.pos,
+         |    CASE WHEN v.pos IS NULL
+         |      THEN substr(c.text, CAST(c.pos + 1 AS INT), 1)
+         |      ELSE '*' END AS ch,
+         |    CASE WHEN v.pos IS NULL THEN 0 ELSE 1 END AS m
+         |  FROM chars c LEFT JOIN cov v
+         |    ON v.doc_id = c.doc_id AND v.pos = c.pos),
+         |g AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_masked,
+         |        md5(string_agg(ch, '' ORDER BY pos)) AS fp
+         |      FROM outc GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars,
+         |  coalesce(g.n_masked, 0) AS n_masked,
+         |  coalesce(g.fp, md5('')) AS scrubbed_fp
+         |FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id""".stripMargin,
     "q_keyword_tag" ->
       s"""WITH $keywordCountsCte,
          |hit AS (SELECT * FROM m WHERE n > 0),

@@ -50,6 +50,25 @@ class AhoCorasickSpec extends SparkSpec {
     assert(ac.counts("a table scan then scan").toSeq == Seq(1L, 2L, 0L))
   }
 
+  test("coverMask: union of matched spans, overlap-order independent") {
+    val ac = AhoCorasick(Seq("table scan", "scan", "can", "ble"))
+    val t = "a table scan here"
+    val cover = ac.coverMask(t)
+    // "table scan" covers [2,12); "ble"/"scan"/"can" are inside it
+    assert(cover.zipWithIndex.forall { case (c, i) => c == (i >= 2 && i < 12) },
+      cover.mkString(","))
+    // naive reference: a char is covered iff ANY term matches across it
+    val dict = Seq("a", "aa", "aba", "b")
+    val ac2 = AhoCorasick(dict)
+    val s = "abaabbaba"
+    val want = (0 until s.length).map(i => dict.exists(term =>
+      (0 to s.length - term.length).exists(j =>
+        j <= i && i < j + term.length &&
+          s.regionMatches(j, term, 0, term.length))))
+    assert(ac2.coverMask(s).toSeq == want, s"$s")
+    assert(ac.coverMask("").isEmpty)
+  }
+
   test("kernel relational surface: partition-invariant, null-safe") {
     val docs = Seq(
       (1L, "data at the batch"),

@@ -87,6 +87,21 @@ class CrossCorpusSpec extends SparkSpec {
     }
   }
 
+  test("matryoshka recall: the full-dim prefix is the identity (1.0); " +
+      "truncation recall is monotone-safe in [0, 1]") {
+    // d' = 64 runs the exact same search as the ground truth
+    for (r <- VectorOps.matryoshkaRecall(spark, sfDir,
+        dims = Seq(64)).collect()) {
+      assert(r.getAs[Double]("recall") == 1.0, s"full prefix: $r")
+    }
+    for (r <- VectorOps.matryoshkaRecall(spark, sfDir).collect()) {
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0L && hits <= r.getAs[Long]("n_true"))
+      assert(r.getAs[Double]("recall") ==
+        (hits * 10000L / r.getAs[Long]("n_true")).toDouble / 10000.0)
+    }
+  }
+
   test("cluster keywords: two-phase top-k equals the plain-window rank") {
     import org.apache.spark.sql.expressions.Window
     val got = VectorOps.clusterKeywords(spark, sfDir)
