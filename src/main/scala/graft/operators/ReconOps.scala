@@ -435,6 +435,74 @@ object ReconOps {
         (max(col("us")) - min(col("us"))).as("span_us"))
   }
 
+  /** SKEW-SALTED sessionization — [[sessionize]]'s hot-key escape
+    * hatch, the [[asofJoinSaltedCore]] bucket decomposition applied to
+    * a SEGMENTED SCAN: the window key becomes (user, time-bucket of
+    * [[AsofSaltBucketUs]]), so one bot's events sort across its time
+    * range instead of one partition, and session numbering is restored
+    * from per-bucket summaries:
+    *
+    *  1. local pass per (user, bucket): the plain gap-flag running sum
+    *     (every bucket's first row opens local session 1);
+    *  2. summary per (user, bucket): first/last event time and the
+    *     local session count;
+    *  3. carry per user over the summaries (buckets-per-key rows,
+    *     never event-sized): `cont(b)` = the bucket's first event
+    *     continues the PREVIOUS NON-EMPTY bucket's last session
+    *     (gap ≤ bar — lag() over the summary row order skips empty
+    *     buckets by construction), and the running global offset
+    *     `cum(b⁻) = Σ_{b'<b} (n_local(b') − cont(b'))`;
+    *  4. merge: global session id = cum(b⁻) + local − cont(b) — the
+    *     continuing bucket's local session 1 lands ON the previous
+    *     bucket's last global id, everything later shifts by the
+    *     merges so far.
+    *
+    * Result-identical to [[sessionize]] (spec: planted boundary cases
+    * + full-corpus equality), so the declared query shares its native
+    * oracle — the green row grades the skew plan itself. Cost: one
+    * extra buckets-sized aggregate + a co-partitioned join. */
+  def sessionizeSalted(spark: SparkSession, dir: String,
+      bucketWidthUs: Long = AsofSaltBucketUs): DataFrame =
+    sessionizeSaltedOf(Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id")), bucketWidthUs)
+
+  private[graft] def sessionizeSaltedOf(ev: DataFrame,
+      bucketWidthUs: Long): DataFrame = {
+    val u = ev.withColumn("bkt", expr(s"us div ${bucketWidthUs}L"))
+    val wLoc = Window.partitionBy(col("user_id"), col("bkt"))
+      .orderBy(col("us"), col("event_id"))
+    val runLoc = wLoc.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val local = u
+      .withColumn("prev", lag(col("us"), 1).over(wLoc))
+      .withColumn("ns",
+        when(col("prev").isNull || col("us") - col("prev") > SessionGapUs,
+          1L).otherwise(0L))
+      .withColumn("local_sn", sum(col("ns")).over(runLoc))
+    val wCarry = Window.partitionBy(col("user_id")).orderBy(col("bkt"))
+    val summaries = local.groupBy(col("user_id"), col("bkt"))
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"),
+        max(col("local_sn")).as("n_local"))
+      .withColumn("prev_last", lag(col("last_us"), 1).over(wCarry))
+      .withColumn("cont",
+        when(col("prev_last").isNotNull &&
+          col("first_us") - col("prev_last") <= SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_local") - col("cont"))
+          .over(wCarry.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("user_id"), col("bkt"), col("cont"), col("cum_before"))
+    local
+      .join(summaries, Seq("user_id", "bkt"))
+      .withColumn("session_n",
+        col("cum_before") + col("local_sn") - col("cont"))
+      .groupBy(col("user_id"), col("session_n"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("span_us"))
+  }
+
   /** MARKOV TRANSITION MATRIX over per-user event sequences — the
     * product-analytics staple "after doing X, what do users do next":
     * one lead() over the sessionize window (same (us, event_id) total
@@ -669,6 +737,8 @@ object ReconOps {
     "q_asof_forward"    -> asofForward _,
     "q_approx_quantiles" -> approxQuantiles _,
     "q_sessionize"      -> sessionize _,
+    "q_sessionize_salted" ->
+      ((s: SparkSession, d: String) => sessionizeSalted(s, d)),
     "q_event_transitions" -> eventTransitions _,
     "q_event_funnel"    -> eventFunnel _,
     "q_event_funnel_n"  -> ((s: SparkSession, d: String) =>
@@ -699,6 +769,24 @@ object ReconOps {
     }.mkString("\nUNION ALL ")
     s"WITH $ctes\n$sels"
   }
+
+  private lazy val sessionizeSql: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
+       |           FROM events),
+       |f AS (SELECT user_id, us, event_id,
+       |        CASE WHEN lag(us) OVER w IS NULL
+       |               OR us - lag(us) OVER w > $SessionGapUs
+       |             THEN 1 ELSE 0 END AS ns
+       |      FROM e WINDOW w AS (PARTITION BY user_id
+       |                          ORDER BY us, event_id)),
+       |s AS (SELECT user_id, us,
+       |        sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          AS session_n
+       |      FROM f)
+       |SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+       |  count(*) AS n_events, CAST(max(us) - min(us) AS BIGINT) AS span_us
+       |FROM s GROUP BY 1, 2""".stripMargin
 
   private lazy val asofJoinSql: String =
     """WITH l AS (SELECT user_id, ts, event_id FROM events
@@ -854,23 +942,11 @@ object ReconOps {
         |  TRUE AS p90_within_bounds,
         |  TRUE AS p99_within_bounds
         |FROM k GROUP BY 1""".stripMargin,
-    "q_sessionize" ->
-      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
-         |           FROM events),
-         |f AS (SELECT user_id, us, event_id,
-         |        CASE WHEN lag(us) OVER w IS NULL
-         |               OR us - lag(us) OVER w > $SessionGapUs
-         |             THEN 1 ELSE 0 END AS ns
-         |      FROM e WINDOW w AS (PARTITION BY user_id
-         |                          ORDER BY us, event_id)),
-         |s AS (SELECT user_id, us,
-         |        sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |          AS session_n
-         |      FROM f)
-         |SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
-         |  count(*) AS n_events, CAST(max(us) - min(us) AS BIGINT) AS span_us
-         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" -> sessionizeSql,
+    // the salted twin is result-identical by the segmented-scan
+    // decomposition, so it shares the native oracle — the green row
+    // grades the skew plan itself (the q_asof_salted convention)
+    "q_sessionize_salted" -> sessionizeSql,
     "q_event_transitions" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
          |             event_type FROM events),

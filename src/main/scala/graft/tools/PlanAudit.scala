@@ -98,6 +98,7 @@ object PlanAudit {
     "q_bloom_dedup" -> "bloom admission gate: broadcast bloom of corpus fp hashes filters the batch BELOW the verify semi-join — only ~fpp of novel rows reach the shuffle; result exact by no-false-negatives",
     "q_bpe_batched" -> "batched BPE rounds: one distributed pair-count job + (batchCap+1)-row collect per round admits a disjoint merge prefix; nested sentinel replaces chunked at 64 per projection with lineage resets",
     "q_asof_salted" -> "skew-salted as-of: window key (user, 7-day time bucket) splits a hot key across its time range; FILTER'd per-bucket argmax summary + bucket-count-sized carry window + coalesce merge — result-identical to the plain form, no range join",
+    "q_sessionize_salted" -> "skew-salted sessionization: local gap-flag running sum per (user, 7-day bucket), buckets-sized carry window restores global session numbers (cum_before + local - cont), co-partitioned equi merge join — result-identical to q_sessionize, hot key sorts across its time range",
     "q_event_funnel_n" -> "config-driven N-stage funnel: the same user-keyed min-aggregate fold at 4 stages — each stage |users|-sized, equal-ts rule at every hop, no window, no event self-join",
     "q_merge_groups" -> "incremental group fold: delta edges re-expressed in rep space (two equi-joins to current reps), components run on the DELTA graph only, one left-join relabeling pass over the existing labeling — untouched components never enter the loop",
     "q_image_dhash" -> "real BMP decode -> 9x8 luminance grid -> 64 gradient bits in a map-only kernel; the synthesis is pure column hex assembly, so the only exchange is none",

@@ -259,6 +259,45 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-08", 0L) -> 1L))
   }
 
+  test("salted sessionize: bucket decomposition equals the plain form " +
+      "on boundary-crossing, multi-bucket, and at-the-bar sessions") {
+    val gapUs = ReconOps.SessionGapHours * 3600L * 1000000L
+    // 1-hour buckets force sessions across many buckets
+    val bkt = 3600L * 1000000L
+    val dir = eventsDir("saltsess", Seq(
+      // u1: one session crossing a bucket boundary (30 min apart),
+      // then a fresh session far later
+      (1L, ts(0), 1L, "e", 0.0),
+      (2L, ts(Hour / 2), 1L, "e", 0.0),
+      (3L, ts(Hour + 10), 1L, "e", 0.0),
+      (4L, ts(10 * Day), 1L, "e", 0.0),
+      // u2: a session spanning THREE buckets via chained sub-gap hops
+      (5L, ts(0), 2L, "e", 0.0),
+      (6L, ts(Hour + 1), 2L, "e", 0.0),
+      (7L, ts(2 * Hour + 2), 2L, "e", 0.0),
+      // u3: adjacent events EXACTLY at the gap bar stay one session
+      // (strict >), one microsecond past it splits
+      (8L, ts(0), 3L, "e", 0.0),
+      (9L, ts(0) + gapUs / 1000000L, 3L, "e", 0.0)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val plain = rows(ReconOps.sessionize(spark, dir))
+    val salted = rows(ReconOps.sessionizeSalted(spark, dir, bkt))
+    assert(salted == plain, s"salted=$salted plain=$plain")
+    assert(plain((1L, 1L))._1 == 3L && plain((1L, 2L))._1 == 1L)
+    assert(plain((2L, 1L))._1 == 3L, "three-bucket session must not split")
+    assert(plain((3L, 1L))._1 == 2L, "exactly-at-bar stays one session")
+    // full-corpus equality at the default production bucket width
+    val full = eventsDir("saltsessfull",
+      (1 to 400).map { i =>
+        (i.toLong, ts(i.toLong * 7 * Hour % (90 * Day)),
+          (i % 7).toLong, "e", 0.0)
+      })
+    assert(rows(ReconOps.sessionizeSalted(spark, full)) ==
+      rows(ReconOps.sessionize(spark, full)))
+  }
+
   test("transitions: per-user adjacency, ppm normalizes per prev state") {
     val dir = eventsDir("trans", Seq(
       // u1: a -> b -> a; u2: a -> a; u3 has a single event (no pair)

@@ -265,6 +265,21 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("__bkt"), s"the bucket key must reach the plan:\n$p")
   }
 
+  test("q_sessionize_salted: bucketed local pass, equi carry merge — " +
+      "no range join, no cartesian") {
+    // the decomposition's point: every window partitions on
+    // (user_id, bkt) or on user_id over BUCKET-sized summaries, and
+    // the merge is a co-partitioned equi join on (user_id, bkt)
+    val p = plan("q_sessionize_salted")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"salted sessionize must never plan a range join:\n$p")
+    assert(p.contains("Window"), s"local + carry windows expected:\n$p")
+    assert(p.contains("bkt"), s"the bucket key must reach the plan:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"),
+      s"the carry merge must be an equi-join:\n$p")
+  }
+
   test("q_image_dhash_neardup: band equi-join is the only pair producer") {
     val p = plan("q_image_dhash_neardup")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
