@@ -330,7 +330,7 @@ object MultimodalOps {
     /** Full decode to mono 8-bit amplitude codes, or None when no audio
       * reader accepts the payload (or the container is torn mid-body —
       * hostile inputs degrade to the byte path, never poison the batch). */
-    private[operators] def tryPcm(content: Array[Byte]): Option[Pcm] = {
+    private[graft] def tryPcm(content: Array[Byte]): Option[Pcm] = {
       if (content == null || content.isEmpty) return None
       try {
         val in0 = AudioSystem.getAudioInputStream(
@@ -1108,17 +1108,25 @@ object MultimodalOps {
     * all-pairs); candidates per band-bucket scale with true-duplicate
     * density, and the Hamming verify is a 64-element HOF over the
     * (already sub-quadratic) candidate set. */
-  def imageDHashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = imageDHash(spark, dir)
-    val bands = sigs.select(col("media_id"), col("dhash"),
+  def imageDHashNearDup(spark: SparkSession, dir: String): DataFrame =
+    bandedHamming64(imageDHash(spark, dir), "dhash")
+
+  /** Shared banded-Hamming matcher over any 64-bit '0'/'1'-string
+    * signature column — [[DHashBands]] exact 16-bit band equi-join as
+    * the ONLY pair producer, full-width Hamming verify ≤
+    * [[DHashHammingBar]]. Serves the image dHash and the audio
+    * fingerprint identically (one matching discipline, two perceptual
+    * hash kernels). */
+  private def bandedHamming64(sigs: DataFrame, sigCol: String): DataFrame = {
+    val bands = sigs.select(col("media_id"), col(sigCol),
         explode(sequence(lit(0), lit(DHashBands - 1))).as("b"))
       .withColumn("bv",
-        expr(s"substring(dhash, b * $DHashBandBits + 1, $DHashBandBits)"))
+        expr(s"substring($sigCol, b * $DHashBandBits + 1, $DHashBandBits)"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
-        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+        col(s"a.$sigCol").as("ha"), col(s"b.$sigCol").as("hb"))
       .distinct()
     cand
       .withColumn("hamming",
@@ -1129,9 +1137,82 @@ object MultimodalOps {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  // --- perceptual audio near-dup: 64-bit energy-gradient fingerprint ---
+
+  /** Samples per fingerprint window. Small here because the synthesized
+    * corpus is text-length-bounded (the fingerprint needs
+    * ([[AfpBits]]+1)·[[AfpWindow]] samples); a production run over real
+    * audio would use [[JavaSoundCodec.WindowSamples]]-sized windows —
+    * the kernel is the same code path, only this constant moves. */
+  val AfpWindow = 4
+
+  /** Fingerprint width in bits — one sign-of-energy-delta bit per
+    * adjacent window pair, [[AfpBits]]+1 windows consumed. */
+  val AfpBits = 64
+
+  /** 64-bit AUDIO FINGERPRINT over the decoded mono amplitude plane —
+    * the Haitsma–Kalker bit-derivation shape (sign of the temporal
+    * energy gradient): window the first ([[AfpBits]]+1)·[[AfpWindow]]
+    * samples into [[AfpWindow]]-sample windows, per-window energy
+    * E(w) = Σ (code−128)² (integer-exact), bit w = 1 iff
+    * E(w+1) > E(w). Rendered as a '0'/'1' string (the [[dHash64]] /
+    * [[DedupOps.simhash]] rendering — SQL-reproducible).
+    *
+    * The perceptual invariance: a uniform gain change scales every
+    * window's energy by the same factor, so every gradient SIGN — and
+    * the fingerprint — is unchanged (re-gained/re-normalized copies of
+    * a recording collide exactly; the spec pins this on a 2× gain
+    * twin). None when the clip is shorter than the window budget. */
+  private[graft] def audioFp64(codes: Array[Int]): Option[String] = {
+    val need = (AfpBits + 1) * AfpWindow
+    if (codes.length < need) return None
+    val sb = new StringBuilder(AfpBits)
+    var prev = 0L
+    var w = 0
+    while (w <= AfpBits) {
+      var e = 0L
+      var i = w * AfpWindow
+      val end = i + AfpWindow
+      while (i < end) { val d = codes(i) - 128L; e += d * d; i += 1 }
+      if (w > 0) sb.append(if (e > prev) '1' else '0')
+      prev = e
+      w += 1
+    }
+    Some(sb.toString)
+  }
+
+  /** ORACLED REAL AUDIO DECODE → fingerprint — [[wavFromDocuments]]
+    * payloads through the `javax.sound` PCM decode in the
+    * partition-local kernel shape, fingerprinted by [[audioFp64]].
+    * The synthesis contract (decoded code n = text byte n) makes the
+    * energy-gradient bits recomputable in SQL from `ord()` — the real
+    * decode path gets hash-checked end to end, exactly like
+    * [[imageDHash]]. Too-short clips are DROPPED (row-count pin). */
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    wavFromDocuments(spark, dir).mapPartitions { it =>
+      it.flatMap { m =>
+        JavaSoundCodec.tryPcm(m.content)
+          .flatMap(p => audioFp64(p.codes))
+          .map(fp => (m.media_id, fp))
+      }
+    }.toDF("media_id", "afp")
+  }
+
+  /** Perceptual audio near-dup — [[audioFingerprint]] through the SAME
+    * banded-Hamming matcher as the image path ([[bandedHamming64]]):
+    * re-gained copies collide exactly (fingerprint identity under
+    * uniform gain), lightly clipped/re-dithered copies land within the
+    * bar, unrelated clips match a band with p ≈ 2⁻¹⁶. Band equi-join is
+    * the only pair producer — never all-pairs. */
+  def audioFpNearDup(spark: SparkSession, dir: String): DataFrame =
+    bandedHamming64(audioFingerprint(spark, dir), "afp")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_image_dhash" -> imageDHash _,
     "q_image_dhash_neardup" -> imageDHashNearDup _,
+    "q_audio_fp" -> audioFingerprint _,
+    "q_audio_fp_neardup" -> audioFpNearDup _,
     "q_media_census"   -> mediaCensus _,
     "q_media_meta"     -> mediaMeta _,
     "q_media_features" -> mediaFeatureSummary _,
@@ -1158,7 +1239,57 @@ object MultimodalOps {
        |dsigs AS (SELECT doc_id, string_agg(b, '' ORDER BY i) AS dhash
        |          FROM dbits GROUP BY doc_id)""".stripMargin
 
+  /** Shared audio-fingerprint CTE chain (ends in `asigs(doc_id, afp)`)
+    * — the synthesized WAV's decoded code n is the text byte n
+    * ([[wavFromDocuments]]'s contract), so window energies and their
+    * gradient signs recompute from `ord()` exactly. */
+  private lazy val afpSigsCtes: String = {
+    val need = (AfpBits + 1) * AfpWindow
+    s"""adoc AS (SELECT doc_id, text FROM documents
+       |         WHERE length(text) >= $need),
+       |asamp AS (SELECT doc_id,
+       |    ord(substr(text, CAST(i + 1 AS INT), 1)) AS b, i
+       |  FROM (SELECT doc_id, text, unnest(range($need)) AS i FROM adoc)),
+       |aen AS (SELECT doc_id, i // $AfpWindow AS w,
+       |    sum((b - 128) * (b - 128)) AS en
+       |  FROM asamp GROUP BY 1, 2),
+       |agrad AS (SELECT doc_id, w, en,
+       |    lag(en) OVER (PARTITION BY doc_id ORDER BY w) AS pen
+       |  FROM aen),
+       |asigs AS (SELECT doc_id,
+       |    string_agg(CASE WHEN en > pen THEN '1' ELSE '0' END,
+       |               '' ORDER BY w) AS afp
+       |  FROM agrad WHERE w >= 1 GROUP BY doc_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // REAL javax.sound PCM decode, oracled: decoded code = text byte,
+    // so window energies and gradient-sign bits are ord() arithmetic
+    "q_audio_fp" ->
+      s"""WITH $afpSigsCtes
+         |SELECT doc_id AS media_id, afp FROM asigs""".stripMargin,
+    // the same banded-Hamming verify as the image path, over the
+    // audio fingerprints
+    "q_audio_fp_neardup" ->
+      s"""WITH $afpSigsCtes,
+         |abands AS (
+         |  SELECT doc_id, afp, b,
+         |    substr(afp, CAST(b * $DHashBandBits + 1 AS INT),
+         |           $DHashBandBits) AS bv
+         |  FROM asigs, range($DHashBands) t(b)),
+         |acand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.afp AS ha, b.afp AS hb
+         |  FROM abands a JOIN abands b
+         |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |aham AS (
+         |  SELECT id_a, id_b,
+         |    CAST(sum(CASE WHEN substr(ha, CAST(i + 1 AS INT), 1)
+         |         <> substr(hb, CAST(i + 1 AS INT), 1) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS hamming
+         |  FROM acand, range(64) t(i) GROUP BY 1, 2)
+         |SELECT id_a, id_b, hamming FROM aham
+         |WHERE hamming <= $DHashHammingBar""".stripMargin,
     // REAL javax.imageio BMP decode, oracled: grayscale palette ⇒ luma
     // = pixel = text byte, so the dHash gradient bits are ord() compares
     "q_image_dhash" ->

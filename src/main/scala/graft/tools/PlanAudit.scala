@@ -103,6 +103,8 @@ object PlanAudit {
     "q_merge_groups" -> "incremental group fold: delta edges re-expressed in rep space (two equi-joins to current reps), components run on the DELTA graph only, one left-join relabeling pass over the existing labeling — untouched components never enter the loop",
     "q_image_dhash" -> "real BMP decode -> 9x8 luminance grid -> 64 gradient bits in a map-only kernel; the synthesis is pure column hex assembly, so the only exchange is none",
     "q_image_dhash_neardup" -> "perceptual near-dup: 4x16-bit band equi-join is the ONLY pair producer (sub-quadratic); 64-element Hamming HOF verifies candidates only",
+    "q_audio_fp" -> "real javax.sound PCM decode -> 65 window energies -> 64 gain-invariant gradient-sign bits in a map-only kernel; synthesis is pure column hex assembly, so the only exchange is none",
+    "q_audio_fp_neardup" -> "audio perceptual near-dup through the SAME banded-Hamming matcher as the image path: band equi-join only pair producer, HOF verify on candidates",
     "q_prod_canonical_docs" -> "the materialize-once production plan: canonical argmax over a STORED parquet group table — one scan + one SortAggregate shuffle, no LSH chain in the plan",
     "q_prod_curation_funnel" -> "production funnel: one aggregation over the STORED per-doc stages table — the 8-stage verdict logic paid once at materialization, never per report",
     "q_bm25_topk" -> "integer-exact BM25: 1-row corpus stats (N, S, every df) broadcast onto the scoring scan; per-doc tf is an array filter on the row's own tokens (no exploded join); TakeOrderedAndProject tail",

@@ -417,6 +417,55 @@ class MultimodalSpec extends SparkSpec {
       "unrelated doc matches nothing")
   }
 
+  test("audio fingerprint: gain-scaled copy collides, through a real decode") {
+    val need = (MultimodalOps.AfpBits + 1) * MultimodalOps.AfpWindow
+    // amplitude codes with deviations in [-50, 50] so a 2x gain never
+    // clips the 8-bit plane
+    val base = Array.tabulate(need)(i => 128 + (i * 17 % 101) - 50)
+    val fp = MultimodalOps.audioFp64(base).get
+    assert(fp.length == 64 && fp.forall(c => c == '0' || c == '1'))
+    // uniform gain: every window energy scales by 4, every gradient
+    // SIGN is unchanged -> identical fingerprint (the invariance exact
+    // window-signature matching misses, the reason the fp exists)
+    val gained = base.map(c => 128 + 2 * (c - 128))
+    assert(MultimodalOps.audioFp64(gained).get == fp)
+    // and THROUGH a real WAV encode/decode round-trip of the gained twin
+    val samples = gained.map(c => ((c - 128) * 256).toShort)
+    val wav = pcm16(samples, 1, bigEndian = false, Wave)
+    val pcm = MultimodalOps.JavaSoundCodec.tryPcm(wav).get
+    assert(MultimodalOps.audioFp64(pcm.codes).get == fp)
+    // different content does not collide; short clips do not hash
+    assert(MultimodalOps.audioFp64(base.reverse).get != fp)
+    assert(MultimodalOps.audioFp64(base.take(need - 1)).isEmpty)
+  }
+
+  test("audio fp near-dup: wav synthesis round-trips, banded match finds edits") {
+    // d1 and d2 share their first 260 chars (re-gained copy analog ->
+    // identical fp), d3 differs in ONE char (<=2 window energies move,
+    // <=2 gradient bits flip -> within the bar), d4 too short
+    val need = (MultimodalOps.AfpBits + 1) * MultimodalOps.AfpWindow
+    val prefix = ('a' to 'z').mkString * 10 // 260 chars
+    val rows = Seq(
+      (1L, prefix, "en", "web"),
+      (2L, prefix + " trailing bytes beyond the budget are ignored", "en", "web"),
+      (3L, prefix.updated(130, 'Z'), "en", "web"),
+      (4L, "too short", "en", "web"))
+    val dir = "/tmp/graft_afp_spec"
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sigs = MultimodalOps.audioFingerprint(spark, dir).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[String]("afp")).toMap
+    assert(sigs.keySet == Set(1L, 2L, 3L), "short doc drops, rest hash")
+    assert(sigs(1L) == sigs(2L), s"same first $need bytes -> same fp")
+    val pairs = MultimodalOps.audioFpNearDup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    assert(pairs.contains((1L, 3L)) &&
+      pairs((1L, 3L)) <= MultimodalOps.DHashHammingBar.toLong,
+      s"one-char edit lands within the bar: $pairs")
+  }
+
   test("decompression bomb: huge declared dims fall back before pixel read") {
     // a syntactically valid PNG signature + IHDR declaring 50000x50000
     // (2.5 GPix): luma() would allocate a multi-GB int raster if the

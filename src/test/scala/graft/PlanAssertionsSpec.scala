@@ -289,6 +289,15 @@ class PlanAssertionsSpec extends SparkSpec {
       s"the band candidate join must be an equi-join:\n$p")
   }
 
+  test("q_audio_fp_neardup: the shared banded matcher stays equi-join") {
+    val p = plan("q_audio_fp_neardup")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"banded matching must never go all-pairs:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"),
+      s"the band candidate join must be an equi-join:\n$p")
+  }
+
   test("q_event_funnel_n: user-keyed aggregates, no window, no self-join blowup") {
     val p = plan("q_event_funnel_n")
     assert(!p.contains("Window"),
