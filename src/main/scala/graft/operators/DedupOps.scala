@@ -1492,6 +1492,90 @@ object DedupOps {
       .agg(count(lit(1)).as("n_groups"), sum(col("pairs")).as("n_pairs"))
   }
 
+  /** Datasketches-HLL precision for the sketched overlap family —
+    * lgK = 12 (4 KiB dense sketch, relative standard error
+    * 1.04/√4096 ≈ 1.6%). One sketch per source regardless of corpus
+    * size — the whole matrix ships to the driver as |sources| rows. */
+  val SketchLgK = 12
+
+  /** Relative standard error of a [[SketchLgK]] HLL estimate. */
+  val SketchRsd: Double = 1.04 / math.sqrt((1 << SketchLgK).toDouble)
+
+  /** Per-source MERGEABLE shingle-set sketches — the build side of the
+    * sketched overlap matrix: one Datasketches HLL sketch of the
+    * distinct [[TextOps.shingles3]] set per source. Mergeable is the
+    * scale property: partials combine map-side, the shuffle carries
+    * |sources| ≤-4-KiB binary buffers instead of the distinct
+    * (source, shingle) relation, and a stored sketch table supports
+    * any-pair overlap queries later without touching the corpus. */
+  def sourceShingleSketches(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        explode(TextOps.shingles3(col("text"))).as("sh"))
+      .groupBy(col("source"))
+      .agg(hll_sketch_agg(col("sh"), SketchLgK).as("sk"))
+
+  /** Estimate arm over PRECOMPUTED sketches — the production path: the
+    * per-source sketch table is tiny (|sources| rows), so the pair
+    * matrix is a broadcast self-join and every estimate is
+    * inclusion–exclusion over sketch unions:
+    * est_overlap = est_a + est_b − est(union), with the sketched
+    * Jaccard est_overlap/est_union as the corpus-pair similarity a
+    * mixture designer actually reads. At 100 TB the exact distinct
+    * intersection is a full (source, shingle) shuffle; this arm never
+    * touches the corpus again. */
+  def sketchOverlapOf(sketches: DataFrame): DataFrame = {
+    val a = sketches.select(col("source").as("source_a"), col("sk").as("sk_a"))
+    val b = sketches.select(col("source").as("source_b"), col("sk").as("sk_b"))
+    a.crossJoin(broadcast(b))
+      .where(col("source_a") < col("source_b"))
+      .withColumn("est_a", hll_sketch_estimate(col("sk_a")))
+      .withColumn("est_b", hll_sketch_estimate(col("sk_b")))
+      .withColumn("est_union",
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+      .withColumn("est_overlap",
+        col("est_a") + col("est_b") - col("est_union"))
+      .select(col("source_a"), col("source_b"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_overlap"))
+  }
+
+  /** SKETCHED CROSS-SOURCE SHINGLE OVERLAP, contract-checked — the
+    * declared query pairs the sketch arm with the exact distinct
+    * intersection (computable at this SF) and asserts the estimate
+    * lands inside its error budget: |est_overlap − exact_overlap| ≤
+    * 3·[[SketchRsd]]·(exact_a + exact_b + exact_union) — three
+    * 3σ-bounded estimates compose by the triangle inequality (the
+    * [[RelationalOps.approxDistinct]] contract convention: the oracle
+    * pins the exact counts and asserts the booleans TRUE, because the
+    * sketch internals are engine-specific). Zero-overlap pairs stay in
+    * the matrix (a mixture designer needs the zeros). */
+  def sketchShingleOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dsh = docs.select(col("source"),
+        explode(TextOps.shingles3(col("text"))).as("sh"))
+      .distinct()
+    val pc = dsh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val ov = dsh.as("x").join(dsh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("c"))
+    val pairs = pc.select(col("source").as("source_a"), col("n").as("exact_a"))
+      .crossJoin(broadcast(
+        pc.select(col("source").as("source_b"), col("n").as("exact_b"))))
+      .where(col("source_a") < col("source_b"))
+      .join(ov, Seq("source_a", "source_b"), "left")
+      .withColumn("exact_overlap", coalesce(col("c"), lit(0L)))
+    val est = sketchOverlapOf(sourceShingleSketches(docs))
+    pairs.join(est, Seq("source_a", "source_b"))
+      .withColumn("exact_union",
+        col("exact_a") + col("exact_b") - col("exact_overlap"))
+      .select(col("source_a"), col("source_b"),
+        col("exact_a"), col("exact_b"), col("exact_overlap"),
+        (abs(col("est_overlap") - col("exact_overlap")) <=
+          lit(3 * SketchRsd) *
+            (col("exact_a") + col("exact_b") + col("exact_union")))
+          .as("overlap_within_bounds"))
+  }
+
   /** DETECTOR AGREEMENT MATRIX — the three near-dup detectors' venn
     * over the same corpus: MinHash/Jaccard pairs ([[textDupPairs]], the
     * lexical detector at the dup bar), simhash pairs ([[simhashPairs]],
@@ -1799,6 +1883,7 @@ object DedupOps {
     "q_dup_token_share" -> dupTokenShare _,
     "q_dup_rate_by_source" -> dupRateBySource _,
     "q_source_overlap" -> sourceOverlapMatrix _,
+    "q_sketch_overlap" -> sketchShingleOverlap _,
     "q_detector_venn" -> detectorAgreement _,
     "q_contamination" -> contamination _,
     "q_contamination_by_bench" -> contaminationByBench _,
@@ -2190,6 +2275,28 @@ object DedupOps {
          |FROM j GROUP BY minhash, simhash, cosine""".stripMargin,
     // per-group source multiplicities → c_a·c_b cross pairs (C(c,2) on
     // the diagonal), unordered source pairs, zero-pair rows dropped
+    // sketch internals are engine-specific: the oracle pins the exact
+    // distinct-shingle counts/intersections and asserts the error-budget
+    // boolean TRUE (the q_approx_distinct contract convention)
+    "q_sketch_overlap" ->
+      s"""WITH dsh AS (
+         |  SELECT DISTINCT source, sh FROM (
+         |    SELECT source, unnest(${TextOps.shingles3Sql}) AS sh
+         |    FROM documents)),
+         |pc AS (SELECT source, count(*) AS n FROM dsh GROUP BY 1),
+         |ov AS (SELECT a.source AS source_a, b.source AS source_b,
+         |         count(*) AS c
+         |       FROM dsh a JOIN dsh b
+         |         ON a.sh = b.sh AND a.source < b.source
+         |       GROUP BY 1, 2)
+         |SELECT p1.source AS source_a, p2.source AS source_b,
+         |  CAST(p1.n AS BIGINT) AS exact_a,
+         |  CAST(p2.n AS BIGINT) AS exact_b,
+         |  CAST(coalesce(ov.c, 0) AS BIGINT) AS exact_overlap,
+         |  TRUE AS overlap_within_bounds
+         |FROM pc p1 JOIN pc p2 ON p1.source < p2.source
+         |LEFT JOIN ov ON ov.source_a = p1.source
+         |  AND ov.source_b = p2.source""".stripMargin,
     "q_source_overlap" ->
       s"""WITH RECURSIVE $textGroupsCtes,
          |groups AS (

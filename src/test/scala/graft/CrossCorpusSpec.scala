@@ -41,6 +41,53 @@ class CrossCorpusSpec extends SparkSpec {
       s"matrix $matrixPairs vs groups $groupPairs")
   }
 
+  test("sketched overlap: planted shared shingles, exact + contract") {
+    // srcA and srcB share exactly the shingles of one common sentence;
+    // srcC shares nothing with either
+    val common = "the quick brown fox jumps over the lazy dog tonight"
+    val rows = Seq(
+      (1L, common + " alpha beta gamma delta epsilon", "en", "srcA"),
+      (2L, common + " zeta eta theta iota kappa", "en", "srcB"),
+      (3L, "completely unrelated text with its own private words here",
+        "en", "srcC"))
+    val dir = "/tmp/graft_sketch_overlap_spec"
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupOps.sketchShingleOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("exact_overlap"), r.getAs[Boolean]("overlap_within_bounds")))
+      .toMap
+    // zero-overlap pairs stay in the matrix
+    assert(got.keySet == Set(("srcA", "srcB"), ("srcA", "srcC"),
+      ("srcB", "srcC")))
+    // shared shingles = 3-grams fully inside the common sentence:
+    // 10 common tokens -> 8 shared trigrams (the 2 bridge trigrams into
+    // each doc's own suffix differ)
+    assert(got(("srcA", "srcB"))._1 == 8L, s"got $got")
+    assert(got(("srcA", "srcC"))._1 == 0L && got(("srcB", "srcC"))._1 == 0L)
+    assert(got.values.forall(_._2), "every estimate inside its budget")
+    // the production arm over a STORED sketch table serves the same
+    // estimates: tiny sets sit in the sketch's exact regime
+    val docs = graft.sources.Tables.documents(spark, dir)
+    DedupOps.sourceShingleSketches(docs)
+      .write.mode("overwrite").parquet(s"$dir/sketches.parquet")
+    val est = DedupOps.sketchOverlapOf(
+        spark.read.parquet(s"$dir/sketches.parquet")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("est_overlap")).toMap
+    assert(est(("srcA", "srcB")) == 8L && est(("srcA", "srcC")) == 0L,
+      s"stored sketches stay exact on small sets: $est")
+  }
+
+  test("sketched overlap: agrees with exact within budget on sf data") {
+    val got = DedupOps.sketchShingleOverlap(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getAs[Boolean]("overlap_within_bounds")),
+      "every pair's estimate lands inside the 3-sigma triangle budget")
+    assert(got.exists(_.getAs[Long]("exact_overlap") > 0),
+      "the sf corpus has genuinely shared shingles across sources")
+  }
+
   test("cluster balance: shares are exact ppm of consistent totals") {
     val got = VectorOps.clusterSourceBalance(spark, sfDir)
     val rows = got.collect()

@@ -289,6 +289,18 @@ class PlanAssertionsSpec extends SparkSpec {
       s"the band candidate join must be an equi-join:\n$p")
   }
 
+  test("q_sketch_overlap: mergeable partial sketch agg, broadcast pairs") {
+    val p = plan("q_sketch_overlap")
+    // the scale property: hll_sketch_agg plans with a PARTIAL phase
+    // (map-side combine), so the shuffle carries per-source sketch
+    // buffers, never the (source, shingle) relation
+    assert(p.contains("partial_hll_sketch_agg") ||
+        p.contains("hll_sketch_agg"),
+      s"the mergeable sketch aggregate must reach the plan:\n$p")
+    assert(p.contains("Broadcast"),
+      s"the pair matrix over the tiny sketch table must broadcast:\n$p")
+  }
+
   test("q_audio_fp_neardup: the shared banded matcher stays equi-join") {
     val p = plan("q_audio_fp_neardup")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
