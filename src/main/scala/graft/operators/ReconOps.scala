@@ -607,6 +607,56 @@ object ReconOps {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Trailing window length for [[slidingWau]] — 7 days, the WAU
+    * convention. */
+  val WauWindowDays = 7
+
+  /** SLIDING WEEKLY-ACTIVE-USERS from DAILY MERGEABLE SKETCHES — the
+    * trailing-distinct-count every product dashboard wants and every
+    * naive plan gets wrong at scale (distinct is not
+    * windows-decomposable, so the textbook form re-scans 7 days of raw
+    * events PER WINDOW END). The sketch decomposition: one
+    * Datasketches-HLL sketch of the day's user set per day
+    * ([[DedupOps.SketchLgK]] — the corpus-overlap family's build
+    * discipline), each daily sketch EXPLODED to the ≤[[WauWindowDays]]
+    * window ends it serves (offset 0..6 — an equi-shuffle on
+    * `win_end`, never a range join), then `hll_union_agg` per window
+    * end. The raw events are scanned ONCE regardless of window count,
+    * the shuffle carries |days|·7 sketch buffers (≤ 4 KiB each), and a
+    * STORED daily-sketch table serves tomorrow's windows without
+    * touching today's events again — the incremental-dashboard plan.
+    *
+    * Declared with the [[approxQuantiles]]/[[RelationalOps.approxDistinct]]
+    * contract: exact trailing distinct (computable at this SF) plus a
+    * boolean asserting |est − exact| ≤ 3·[[DedupOps.SketchRsd]]·exact.
+    * Window ends are the days PRESENT in the data (a trailing window
+    * ends on each active day). */
+  def slidingWau(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val daily = ev.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), DedupOps.SketchLgK).as("sk"))
+    val days = daily.select(col("day").as("win_end"))
+    val offs = explode(sequence(lit(0), lit(WauWindowDays - 1))).as("o")
+    val est = daily.select(col("day"), col("sk"), offs)
+      .withColumn("win_end", date_add(col("day"), col("o")))
+      .groupBy(col("win_end"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_wau"))
+      .join(days, Seq("win_end"))
+    val exact = ev.distinct()
+      .select(col("user_id"), col("day"), offs)
+      .withColumn("win_end", date_add(col("day"), col("o")))
+      .groupBy(col("win_end"))
+      .agg(countDistinct(col("user_id")).as("exact_wau"))
+      .join(days, Seq("win_end"))
+    est.join(exact, Seq("win_end"))
+      .select(date_format(col("win_end"), "yyyy-MM-dd").as("win_end"),
+        col("exact_wau"),
+        (abs(col("est_wau") - col("exact_wau")).cast("double") <=
+          lit(3 * DedupOps.SketchRsd) * col("exact_wau"))
+          .as("wau_within_bounds"))
+  }
+
   /** `percentile_approx` accuracy → guaranteed rank error ε = 1/this.
     * Kept deliberately coarse (ε = 1%) so the error-bound contract below
     * is a REAL assertion about the sketch, not slack. */
@@ -744,6 +794,7 @@ object ReconOps {
     "q_event_funnel_n"  -> ((s: SparkSession, d: String) =>
       eventFunnelStages(s, d, FunnelStages4)),
     "q_retention"       -> retentionCohorts _,
+    "q_sliding_wau"     -> slidingWau _,
   )
 
   private val niteSql =
@@ -964,6 +1015,19 @@ object ReconOps {
     // plans (the mixCaseSql discipline: generated literals cannot drift)
     "q_event_funnel" -> funnelSql(Seq("signup", "click", "purchase")),
     "q_event_funnel_n" -> funnelSql(FunnelStages4),
+    // sketch estimates are engine-specific: the oracle pins the exact
+    // trailing distinct counts and asserts the budget booleans TRUE
+    "q_sliding_wau" ->
+      s"""WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+         |           FROM events),
+         |days AS (SELECT DISTINCT day FROM e),
+         |w AS (SELECT d.day AS win_end, e.user_id
+         |      FROM days d JOIN e
+         |        ON e.day BETWEEN d.day - ${WauWindowDays - 1} AND d.day)
+         |SELECT strftime(win_end, '%Y-%m-%d') AS win_end,
+         |  count(DISTINCT user_id) AS exact_wau,
+         |  TRUE AS wau_within_bounds
+         |FROM w GROUP BY 1""".stripMargin,
     "q_retention" ->
       s"""WITH c AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
          |           FROM events WHERE event_type = 'signup' GROUP BY 1),

@@ -298,6 +298,30 @@ class EventAnalyticsSpec extends SparkSpec {
       rows(ReconOps.sessionize(spark, full)))
   }
 
+  test("sliding WAU: trailing 7-day distinct, window ends on active days") {
+    // activity: day 0 {u1,u2}, day 3 {u2,u3}, day 10 {u1}
+    // windows: end day0 -> {u1,u2}; end day3 -> [day-3..day3] covers
+    // day0+day3 -> {u1,u2,u3}; end day10 -> [day4..day10] covers ONLY
+    // day10 (day3 is 7 days back, outside the 7-day trailing window)
+    val dir = eventsDir("wau", Seq(
+      (1L, ts(0), 1L, "e", 0.0),
+      (2L, ts(Hour), 2L, "e", 0.0),
+      (3L, ts(3 * Day), 2L, "e", 0.0),
+      (4L, ts(3 * Day + Hour), 3L, "e", 0.0),
+      (5L, ts(10 * Day), 1L, "e", 0.0)))
+    val got = ReconOps.slidingWau(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("exact_wau"), r.getAs[Boolean]("wau_within_bounds")))
+      .toMap
+    assert(got.keySet == Set("2024-01-01", "2024-01-04", "2024-01-11"),
+      s"window ends are exactly the active days: $got")
+    assert(got("2024-01-01")._1 == 2L)
+    assert(got("2024-01-04")._1 == 3L)
+    assert(got("2024-01-11")._1 == 1L, "day 3 activity ages out of the window")
+    // tiny sets sit in the sketch's exact regime: bounds must hold
+    assert(got.values.forall(_._2))
+  }
+
   test("transitions: per-user adjacency, ppm normalizes per prev state") {
     val dir = eventsDir("trans", Seq(
       // u1: a -> b -> a; u2: a -> a; u3 has a single event (no pair)

@@ -301,6 +301,17 @@ class PlanAssertionsSpec extends SparkSpec {
       s"the pair matrix over the tiny sketch table must broadcast:\n$p")
   }
 
+  test("q_sliding_wau: exploded window ends, no range join") {
+    // the decomposition's point: a daily sketch reaches its <=7 window
+    // ends through an EXPLODE + equi-shuffle on win_end — the trailing
+    // window must never plan as a day-range join
+    val p = plan("q_sliding_wau")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"trailing window must never plan a range join:\n$p")
+    assert(p.contains("hll_union_agg") || p.contains("hll_sketch_agg"),
+      s"the mergeable sketch chain must reach the plan:\n$p")
+  }
+
   test("q_audio_fp_neardup: the shared banded matcher stays equi-join") {
     val p = plan("q_audio_fp_neardup")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
