@@ -256,6 +256,90 @@ object StreamingAnalytics {
     }
   }
 
+  private val DaySketchSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("day",
+      org.apache.spark.sql.types.DateType),
+    org.apache.spark.sql.types.StructField("sk",
+      org.apache.spark.sql.types.BinaryType),
+    org.apache.spark.sql.types.StructField("last_batch",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Fold one micro-batch's events into the MAINTAINED daily
+    * user-sketch table at `dir/day_sketches` — the streaming half of
+    * [[graft.operators.ReconOps.slidingWau]]'s scale story: the batch
+    * pays one per-day `hll_sketch_agg` pass over ITS OWN rows, the
+    * stored table merges by per-day `hll_union_agg`, and because HLL
+    * union is register-wise MAX (idempotent, unlike the count-min
+    * ADD), a replayed batch cannot corrupt the table even without the
+    * watermark — `last_batch` still skips the wasted work (and keeps
+    * the [[updateTokenSketch]] single-writer posture). Crash-safety is
+    * the same rename-swap. The maintained table equals the one-shot
+    * daily sketches over everything ever folded (max-merge is
+    * associative+commutative+idempotent; spec-pinned), so
+    * [[wauFromDaySketches]] serves trailing-window distinct estimates
+    * from |days| tiny rows without ever re-reading past events. */
+  def updateDaySketches(batch: DataFrame, dir: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val live = new Path(s"$dir/day_sketches")
+    val tmp = new Path(s"$dir/day_sketches_tmp")
+    val old = new Path(s"$dir/day_sketches_old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(old))
+      require(fs.rename(old, live), s"restore of orphaned $old failed")
+    val stored = parquetOrEmpty(spark, live.toString, DaySketchSchema)
+    val maxBatch = stored.agg(max(col("last_batch"))).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+    if (maxBatch.forall(_ < batchId)) {
+      val batchDaily = batch
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy(col("day"))
+        .agg(hll_sketch_agg(col("user_id"),
+          graft.operators.DedupOps.SketchLgK).as("sk"))
+      val merged = stored.select(col("day"), col("sk"))
+        .unionByName(batchDaily)
+        .groupBy(col("day"))
+        .agg(hll_union_agg(col("sk")).as("sk"))
+        .withColumn("last_batch", lit(batchId))
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(old, true)
+      if (fs.exists(live))
+        require(fs.rename(live, old), s"swap-out of $live failed")
+      require(fs.rename(tmp, live), s"swap-in of $tmp failed")
+      fs.delete(old, true)
+    }
+  }
+
+  /** Read-back of the maintained daily sketches (empty-safe). */
+  def loadDaySketches(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$dir/day_sketches")
+    val old = new Path(s"$dir/day_sketches_old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val path = if (!fs.exists(live) && fs.exists(old)) old else live
+    parquetOrEmpty(spark, path.toString, DaySketchSchema)
+  }
+
+  /** Serve trailing-[[graft.operators.ReconOps.WauWindowDays]]-day
+    * active-user estimates from the MAINTAINED table — the same
+    * explode-to-window-ends + `hll_union_agg` plan as the batch
+    * [[graft.operators.ReconOps.slidingWau]], but its input is |days|
+    * stored 4-KiB rows, not the event history: the dashboard query
+    * costs the same tonight as after a year of stream. */
+  def wauFromDaySketches(spark: SparkSession, dir: String): DataFrame = {
+    val daily = loadDaySketches(spark, dir)
+    val days = daily.select(col("day").as("win_end"))
+    daily.select(col("sk"), explode(sequence(lit(0),
+        lit(graft.operators.ReconOps.WauWindowDays - 1))).as("o"),
+        col("day"))
+      .withColumn("win_end", date_add(col("day"), col("o")))
+      .groupBy(col("win_end"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_wau"))
+      .join(days, Seq("win_end"))
+      .select(date_format(col("win_end"), "yyyy-MM-dd").as("win_end"),
+        col("est_wau"))
+  }
+
   /** Read-back of the maintained sketch (empty-safe, declared schema). */
   def loadTokenSketch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path

@@ -754,4 +754,38 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(healed.getLong(2) == 2L)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/token_sketch_old")))
   }
+
+  test("maintained day sketches: incremental fold == one-shot estimates, " +
+      "replay no-op, served WAU matches exact on small sets") {
+    val dir = java.nio.file.Files.createTempDirectory("daysketch").toString
+    def ev(rows: Seq[(Long, String)]) = rows.toDF("user_id", "d")
+      .select(col("user_id"), to_timestamp(col("d")).as("ts"))
+    // batch 0: day1 {1,2}, day4 {2,3}; batch 1: day4 {4}, day11 {1}
+    val b1 = ev(Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 11:00:00"),
+      (2L, "2024-01-04 09:00:00"), (3L, "2024-01-04 12:00:00")))
+    val b2 = ev(Seq((4L, "2024-01-04 23:00:00"), (1L, "2024-01-11 01:00:00")))
+    StreamingAnalytics.updateDaySketches(b1, dir, batchId = 0L)
+    StreamingAnalytics.updateDaySketches(b2, dir, batchId = 1L)
+    def estMap() = StreamingAnalytics.loadDaySketches(spark, dir)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("d"),
+        hll_sketch_estimate(col("sk")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val folded = estMap()
+    // HLL union is register-wise max -> the maintained table serves
+    // the same per-day estimates as one-shot sketches over both
+    // batches; on tiny sets the sketch is in its exact regime, so the
+    // expected map IS the one-shot answer
+    assert(folded == Map("2024-01-01" -> 2L, "2024-01-04" -> 3L,
+      "2024-01-11" -> 1L), s"per-day estimates exact on tiny sets: $folded")
+    // replay of an already-folded batch is a no-op (and would be
+    // harmless anyway: max-merge is idempotent)
+    StreamingAnalytics.updateDaySketches(b2, dir, batchId = 1L)
+    assert(estMap() == folded, "replay changed the table")
+    // served trailing-window estimates equal the exact WAU at this size
+    val wau = StreamingAnalytics.wauFromDaySketches(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est_wau")).toMap
+    assert(wau == Map("2024-01-01" -> 2L, "2024-01-04" -> 4L,
+      "2024-01-11" -> 1L),
+      s"day-4 window unions day-1, day-11 window ages both out: $wau")
+  }
 }
