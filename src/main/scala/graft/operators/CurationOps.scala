@@ -92,6 +92,69 @@ object CurationOps {
         min(col("doc_id")).as("min_kept_id"),
         max(col("doc_id")).as("max_kept_id"))
 
+  /** Per-stratum quota for the declared exact-k sample query. */
+  val FixedKTarget = 5
+
+  /** Sub-bucket count for [[fixedKSample]]'s first phase — bounds the
+    * final per-stratum window to ≤ this × k rows however large (or
+    * skewed) the stratum is. */
+  val FixedKBuckets = 16
+
+  /** EXACT-k PER-STRATUM SAMPLE — the eval-set builder ("exactly
+    * min(k, n) docs per language, same picks forever"): rank rows
+    * inside each stratum by the md5 of their id (the
+    * [[stratifiedSample]] determinism contract — never rand(), stable
+    * under retries/replays/engines) and keep ranks ≤ k. Where the
+    * rate-based sampler delivers an EXPECTED size, this delivers an
+    * exact one.
+    *
+    * Scale/skew shape: the naive plan is one row_number window per
+    * stratum — a stratum holding 90% of the corpus serializes into a
+    * single sort partition (the same hot-key failure the salted
+    * sessionize family escapes). So phase 1 windows on
+    * (stratum, sub-bucket) — [[FixedKBuckets]] buckets carved from the
+    * SAME md5 the rank uses — and keeps each bucket's local top-k: the
+    * global per-stratum top-k is necessarily inside some bucket's
+    * top-k, so this is an exact superset, never a heuristic. Phase 2
+    * re-ranks the ≤ buckets·k survivors per stratum — a bounded window
+    * whatever the corpus does. Result-identical to the single-window
+    * form (spec-pinned planted + full-equality). */
+  def fixedKSample(df: DataFrame, idCol: String, stratumCol: String,
+      k: Int, buckets: Int = FixedKBuckets): DataFrame = {
+    val rk = md5(col(idCol).cast("string").cast("binary"))
+    val ranked = df.withColumn("rk", rk)
+      .withColumn("bkt",
+        expr(s"conv(substring(rk, 9, 4), 16, 10) % $buckets"))
+    val wLoc = Window.partitionBy(col(stratumCol), col("bkt"))
+      .orderBy(col("rk"), col(idCol))
+    val cand = ranked
+      .withColumn("lrn", row_number().over(wLoc))
+      .where(col("lrn") <= k)
+    val wGlob = Window.partitionBy(col(stratumCol))
+      .orderBy(col("rk"), col(idCol))
+    cand.withColumn("rn", row_number().over(wGlob))
+      .where(col("rn") <= k)
+      .drop("rk", "bkt", "lrn")
+  }
+
+  /** Single-window reference form of [[fixedKSample]] — the spec's
+    * equality baseline; never the production path. */
+  private[graft] def fixedKSamplePlain(df: DataFrame, idCol: String,
+      stratumCol: String, k: Int): DataFrame = {
+    val rk = md5(col(idCol).cast("string").cast("binary"))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("rk"), col(idCol))
+    df.withColumn("rk", rk)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .drop("rk")
+  }
+
+  def fixedKSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    fixedKSample(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang")),
+      "doc_id", "lang", FixedKTarget)
+      .select(col("doc_id"), col("lang"), col("rn"))
+
   /** Mixture-plan targets for the declared query: a total token budget
     * and per-language target shares in 1e-4 units (en-heavy, de
     * partial, thin long tail — the same shape as [[SampleRates]]).
@@ -1041,6 +1104,7 @@ object CurationOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation" -> curationSummary _,
     "q_stratified_sample" -> stratifiedSampleSummary _,
+    "q_fixed_k_sample" -> fixedKSampleQuery _,
     "q_mixture_plan" -> ((s: SparkSession, d: String) => mixturePlan(s, d)),
     "q_mixture_temp" -> ((s: SparkSession, d: String) => mixturePlanTemp(s, d)),
     "q_mixture_realized" -> ((s: SparkSession, d: String) =>
@@ -1595,6 +1659,18 @@ object CurationOps {
          |  max(q10k) AS floor_q10k, min(cum) AS n_admitted
          |FROM k WHERE cum >= k_target
          |HAVING count(*) > 0""".stripMargin,
+    // the two-phase salted plan is result-identical to one window per
+    // stratum (exact-superset argument), so the oracle IS the plain
+    // window — the green row grades the skew-safe plan
+    "q_fixed_k_sample" ->
+      s"""WITH r AS (SELECT doc_id, lang,
+         |    md5(CAST(doc_id AS VARCHAR)) AS rk FROM documents),
+         |f AS (SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id)
+         |      AS rn
+         |  FROM r)
+         |SELECT doc_id, lang, CAST(rn AS INT) AS rn
+         |FROM f WHERE rn <= $FixedKTarget""".stripMargin,
     "q_stratified_sample" ->
       s"""SELECT lang, count(*) AS n_kept,
          |  min(doc_id) AS min_kept_id, max(doc_id) AS max_kept_id

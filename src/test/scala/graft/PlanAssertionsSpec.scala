@@ -301,6 +301,17 @@ class PlanAssertionsSpec extends SparkSpec {
       s"the pair matrix over the tiny sketch table must broadcast:\n$p")
   }
 
+  test("q_fixed_k_sample: sub-bucket phase-1 window reaches the plan") {
+    // the skew escape: the FIRST window partitions on (lang, bkt), so a
+    // hot stratum spreads across bucket sorts; the second window sees
+    // only the bounded survivor set
+    val p = plan("q_fixed_k_sample")
+    assert(p.contains("bkt"), s"the sub-bucket key must reach the plan:\n$p")
+    assert("Window".r.findAllIn(p).size >= 2,
+      s"two window phases expected:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("q_sliding_wau: exploded window ends, no range join") {
     // the decomposition's point: a daily sketch reaches its <=7 window
     // ends through an EXPLODE + equi-shuffle on win_end — the trailing

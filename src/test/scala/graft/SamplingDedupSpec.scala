@@ -41,6 +41,44 @@ class SamplingDedupSpec extends SparkSpec {
       "just-below-1.0 still maps to the top hex threshold")
   }
 
+  test("fixed-k sample: exact quota, two-phase == plain window, skew-safe") {
+    import spark.implicits._
+    // strata: big (40 rows), exact-k (5), small (2) — and a HOT stratum
+    // holding 10x the rest, the case the sub-bucket phase exists for
+    val rows = (1L to 40L).map(i => (i, "big")) ++
+      (41L to 45L).map(i => (i, "atk")) ++
+      (46L to 47L).map(i => (i, "tiny")) ++
+      (100L to 499L).map(i => (i, "hot"))
+    val df = rows.toDF("doc_id", "lang")
+    val k = 5
+    def asMap(got: org.apache.spark.sql.DataFrame) =
+      got.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("lang")) -> r.getAs[Int]("rn")).toMap
+    val twoPhase = asMap(CurationOps.fixedKSample(df, "doc_id", "lang", k)
+      .select(col("doc_id"), col("lang"), col("rn")))
+    val plain = asMap(CurationOps.fixedKSamplePlain(df, "doc_id", "lang", k)
+      .select(col("doc_id"), col("lang"), col("rn")))
+    assert(twoPhase == plain,
+      "the salted two-phase plan must be result-identical to one window")
+    val perStratum = twoPhase.keySet.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perStratum == Map("big" -> 5, "atk" -> 5, "tiny" -> 2, "hot" -> 5),
+      s"exactly min(k, n) per stratum: $perStratum")
+    // ranks are 1..min(k,n) with no gaps, and the picks are exactly the
+    // k smallest md5 ranks — the determinism contract
+    assert(twoPhase.values.toSeq.sorted ==
+      Seq(1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 4, 4, 4, 5, 5, 5))
+    val expectBig = (1L to 40L)
+      .sortBy(i => java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString)
+      .take(k).toSet
+    assert(twoPhase.keySet.filter(_._2 == "big").map(_._1) == expectBig,
+      "picks are the k smallest md5(id) ranks")
+    // replay-identical
+    assert(asMap(CurationOps.fixedKSample(df, "doc_id", "lang", k)
+      .select(col("doc_id"), col("lang"), col("rn"))) == twoPhase)
+  }
+
   test("cosine near-dup: planted duplicate recovered, threshold enforced") {
     import spark.implicits._
     // 120 seeded random vectors + vec 1000 = vec 0 scaled by 1.05 (signs
