@@ -657,6 +657,51 @@ object ReconOps {
           .as("wau_within_bounds"))
   }
 
+  /** Trailing-baseline length for [[rateAnomaly]] (calendar days). */
+  val AnomalyPriorDays = 7
+
+  /** Spike bar for [[rateAnomaly]] in ppm of the trailing mean — 3×. */
+  val AnomalySpikePpm = 3000000L
+
+  /** EVENT-RATE SPIKE DETECTION against a CALENDAR-EXACT trailing
+    * baseline — "is today's count ≥3× the trailing-week mean for this
+    * event type": per (event_type, day) counts, then each day's count
+    * contributed to the [[AnomalyPriorDays]] window ends it PRECEDES
+    * (offsets 1..7 — the [[slidingWau]] explode discipline: an
+    * equi-shuffle on (type, win_end), never a day-range join, and
+    * missing days genuinely missing from the baseline rather than the
+    * rows-between-7 window silently reaching back past quiet gaps).
+    * Integer-exact: ratio_ppm = n·10⁶·prior_days div prior_sum
+    * (truncating, all operands non-negative), −1 when the type has no
+    * prior activity in the window; spike = ratio ≥ [[AnomalySpikePpm]].
+    *
+    * Scale shape: one hash aggregate over events, then arithmetic on
+    * the |types|·|days| relation — the window family never re-touches
+    * the corpus. */
+  def rateAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val prior = daily
+      .select(col("event_type"), col("n"), col("day"),
+        explode(sequence(lit(1), lit(AnomalyPriorDays))).as("o"))
+      .withColumn("win_end", date_add(col("day"), col("o")))
+      .groupBy(col("event_type"), col("win_end"))
+      .agg(sum(col("n")).as("prior_sum"), count(lit(1)).as("prior_days"))
+    daily
+      .join(prior.withColumnRenamed("win_end", "day"),
+        Seq("event_type", "day"), "left")
+      .withColumn("ratio_ppm",
+        when(col("prior_sum").isNotNull && col("prior_sum") > 0,
+          expr("n * 1000000L * prior_days div prior_sum"))
+          .otherwise(lit(-1L)))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        coalesce(col("prior_days"), lit(0L)).as("prior_days"),
+        col("ratio_ppm"),
+        (col("ratio_ppm") >= AnomalySpikePpm).as("spike"))
+  }
+
   /** `percentile_approx` accuracy → guaranteed rank error ε = 1/this.
     * Kept deliberately coarse (ε = 1%) so the error-bound contract below
     * is a REAL assertion about the sketch, not slack. */
@@ -795,6 +840,7 @@ object ReconOps {
       eventFunnelStages(s, d, FunnelStages4)),
     "q_retention"       -> retentionCohorts _,
     "q_sliding_wau"     -> slidingWau _,
+    "q_rate_anomaly"    -> rateAnomaly _,
   )
 
   private val niteSql =
@@ -1015,6 +1061,28 @@ object ReconOps {
     // plans (the mixCaseSql discipline: generated literals cannot drift)
     "q_event_funnel" -> funnelSql(Seq("signup", "click", "purchase")),
     "q_event_funnel_n" -> funnelSql(FunnelStages4),
+    "q_rate_anomaly" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |prior AS (
+         |  SELECT d.event_type, d.day + CAST(o AS INT) AS win_end,
+         |    CAST(sum(d.n) AS BIGINT) AS prior_sum,
+         |    count(*) AS prior_days
+         |  FROM daily d, range(1, ${AnomalyPriorDays + 1}) t(o)
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT d.event_type, d.day, d.n, p.prior_sum,
+         |    coalesce(p.prior_days, 0) AS prior_days,
+         |    CASE WHEN p.prior_sum > 0
+         |         THEN d.n * 1000000 * p.prior_days // p.prior_sum
+         |         ELSE -1 END AS ratio_ppm
+         |  FROM daily d LEFT JOIN prior p
+         |    ON p.event_type = d.event_type AND p.win_end = d.day)
+         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+         |  prior_days, CAST(ratio_ppm AS BIGINT) AS ratio_ppm,
+         |  ratio_ppm >= $AnomalySpikePpm AS spike
+         |FROM j""".stripMargin,
     // sketch estimates are engine-specific: the oracle pins the exact
     // trailing distinct counts and asserts the budget booleans TRUE
     "q_sliding_wau" ->

@@ -322,6 +322,32 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.values.forall(_._2))
   }
 
+  test("rate anomaly: planted 3.5x spike flagged, calendar-exact baseline") {
+    // type a: 10/day for days 0..6, then 35 on day 7 ->
+    // ratio = 35e6 * 7 / 70 = 3.5e6 >= the 3x bar
+    val aRows = for (d <- 0 to 6; i <- 0 until 10) yield
+      (1000L + d * 10 + i, ts(d * Day + i), 1L, "a", 0.0)
+    val aSpike = (0 until 35).map(i =>
+      (2000L + i, ts(7 * Day + i), 1L, "a", 0.0))
+    // type b: activity on day 0, silence, then day 20 — the trailing
+    // CALENDAR window [day13..day19] is empty, so day 20 has NO
+    // baseline (ratio -1, no spike); a last-7-OBSERVED-rows window
+    // would have reached back to day 0 and flagged it
+    val bRows = (0 until 4).map(i => (3000L + i, ts(i), 2L, "b", 0.0)) ++
+      (0 until 100).map(i => (3100L + i, ts(20 * Day + i), 2L, "b", 0.0))
+    val dir = eventsDir("anomaly", aRows ++ aSpike ++ bRows)
+    val got = ReconOps.rateAnomaly(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got(("a", "2024-01-08")) == (35L, 7L, 3500000L, true),
+      s"planted spike flagged: $got")
+    assert(got(("a", "2024-01-02")) == (10L, 1L, 1000000L, false),
+      "steady day reads 1x against its 1-day baseline")
+    assert(got(("a", "2024-01-01"))._3 == -1L, "first day has no baseline")
+    assert(got(("b", "2024-01-21")) == (100L, 0L, -1L, false),
+      "empty calendar window -> no baseline, never a spike vs stale history")
+  }
+
   test("transitions: per-user adjacency, ppm normalizes per prev state") {
     val dir = eventsDir("trans", Seq(
       // u1: a -> b -> a; u2: a -> a; u3 has a single event (no pair)

@@ -312,6 +312,12 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("q_rate_anomaly: exploded baseline, no range join") {
+    val p = plan("q_rate_anomaly")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"the trailing baseline must never plan a day-range join:\n$p")
+  }
+
   test("q_sliding_wau: exploded window ends, no range join") {
     // the decomposition's point: a daily sketch reaches its <=7 window
     // ends through an EXPLODE + equi-shuffle on win_end — the trailing
