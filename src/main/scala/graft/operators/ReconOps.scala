@@ -607,6 +607,77 @@ object ReconOps {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Path length and result cap for [[topPaths]]. */
+  val PathLen = 3
+  val PathTopK = 20
+
+  /** TOP-K COMMON EVENT PATHS — the [[eventTransitions]] matrix
+    * extended one hop ("what 3-step journeys dominate"): two lead()s
+    * over the SAME per-user (us, event_id) total order, complete
+    * triples only, one hash aggregate over the path strings, then a
+    * deterministic top-[[PathTopK]] (count desc, path asc — unique
+    * total order, so the limit is reproducible). Spark plans the tail
+    * as TakeOrderedAndProject — per-partition heads, no global sort.
+    *
+    * Scale shape: the one event-sized user shuffle the whole
+    * event-analytics family shares, an |types|³-bounded aggregate, and
+    * a constant-size tail. The salted escape hatch applies as
+    * everywhere in the family. */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .where(col("t2").isNotNull && col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(PathTopK)
+  }
+
+  /** WEEKLY GROWTH ACCOUNTING — the new/retained/resurrected/churned
+    * decomposition every growth dashboard runs ([[retentionCohorts]]'
+    * sibling): over the distinct (user, week) relation, each user-week
+    * classifies by its lag — `new` (first week ever), `retained`
+    * (active the immediately preceding calendar week), `resurrected`
+    * (a gap of ≥2 weeks); `n_churned_after` counts users whose NEXT
+    * activity is not the following week (they leave after this one).
+    * Identity: n_active = n_new + n_retained + n_resurrected, and
+    * retained(w₊₁) = active(w) − churned_after(w) for consecutive
+    * weeks — both spec-pinned.
+    *
+    * Scale shape: one distinct over (user, week) — corpus-sized — then
+    * one user-keyed window over the |user-weeks| relation and one tiny
+    * aggregate; integer day arithmetic (datediff == 7), no calendar
+    * floats. */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    uw.withColumn("prev", lag(col("wk"), 1).over(w))
+      .withColumn("next", lead(col("wk"), 1).over(w))
+      .withColumn("status",
+        when(col("prev").isNull, "new")
+          .when(datediff(col("wk"), col("prev")) === 7, "retained")
+          .otherwise("resurrected"))
+      .groupBy(date_format(col("wk"), "yyyy-MM-dd").as("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"),
+        sum(when(col("next").isNull ||
+          datediff(col("next"), col("wk")) =!= 7, 1L).otherwise(0L))
+          .as("n_churned_after"))
+  }
+
   /** Trailing window length for [[slidingWau]] — 7 days, the WAU
     * convention. */
   val WauWindowDays = 7
@@ -841,6 +912,8 @@ object ReconOps {
     "q_retention"       -> retentionCohorts _,
     "q_sliding_wau"     -> slidingWau _,
     "q_rate_anomaly"    -> rateAnomaly _,
+    "q_top_paths"       -> topPaths _,
+    "q_growth_accounting" -> growthAccounting _,
   )
 
   private val niteSql =
@@ -1061,6 +1134,36 @@ object ReconOps {
     // plans (the mixCaseSql discipline: generated literals cannot drift)
     "q_event_funnel" -> funnelSql(Seq("signup", "click", "purchase")),
     "q_event_funnel_n" -> funnelSql(FunnelStages4),
+    "q_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    date_trunc('week', ts) AS wk FROM events),
+        |s AS (SELECT user_id, wk,
+        |    lag(wk) OVER w AS prev, lead(wk) OVER w AS next
+        |  FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY wk))
+        |SELECT strftime(wk, '%Y-%m-%d') AS week,
+        |  count(*) AS n_active,
+        |  CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL
+        |    AND date_diff('day', prev, wk) = 7 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_retained,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL
+        |    AND date_diff('day', prev, wk) <> 7 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_resurrected,
+        |  CAST(sum(CASE WHEN next IS NULL
+        |    OR date_diff('day', wk, next) <> 7 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_churned_after
+        |FROM s GROUP BY 1""".stripMargin,
+    "q_top_paths" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+         |             event_type FROM events),
+         |p AS (SELECT event_type || '>' || lead(event_type, 1) OVER w
+         |        || '>' || lead(event_type, 2) OVER w AS path,
+         |        lead(event_type, 2) OVER w AS t3
+         |      FROM e WINDOW w AS (PARTITION BY user_id
+         |                          ORDER BY us, event_id))
+         |SELECT path, count(*) AS n FROM p WHERE t3 IS NOT NULL
+         |GROUP BY path ORDER BY n DESC, path LIMIT $PathTopK""".stripMargin,
     "q_rate_anomaly" ->
       s"""WITH daily AS (
          |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n

@@ -109,6 +109,8 @@ object PlanAudit {
     "q_sliding_wau" -> "trailing 7-day distinct users from daily mergeable HLL sketches: one event scan -> per-day sketch, each sketch EXPLODED to its <=7 window ends (equi-shuffle on win_end, never a range join), hll_union_agg per window; exact arm bundled for the contract booleans",
     "q_fixed_k_sample" -> "exact-k per-stratum sample, skew-safe: phase-1 row_number windows on (stratum, md5-sub-bucket) keep local top-k (exact superset by the some-bucket argument), phase-2 re-ranks <= buckets*k survivors per stratum — a hot stratum never serializes into one sort; md5-rank determinism, result-identical to the single-window form",
     "q_rate_anomaly" -> "event-rate spike vs calendar-exact trailing week: one event hash-agg to (type, day) counts, each count EXPLODED to the 7 window ends it precedes (equi-shuffle, never a range join; quiet gaps stay out of the baseline, unlike rows-between), integer ppm ratio + 3x bar",
+    "q_top_paths" -> "top-k 3-step event paths: two lead()s on the family's one user-keyed window, |types|^3-bounded hash agg, deterministic (n desc, path) TakeOrderedAndProject tail — no global sort",
+    "q_growth_accounting" -> "weekly growth accounting (new/retained/resurrected/churned-after): one corpus distinct to (user, week), lag/lead on a user-keyed window over the |user-weeks| relation, one tiny aggregate; integer datediff==7 calendar logic, identities spec-pinned",
     "q_prod_canonical_docs" -> "the materialize-once production plan: canonical argmax over a STORED parquet group table — one scan + one SortAggregate shuffle, no LSH chain in the plan",
     "q_prod_curation_funnel" -> "production funnel: one aggregation over the STORED per-doc stages table — the 8-stage verdict logic paid once at materialization, never per report",
     "q_bm25_topk" -> "integer-exact BM25: 1-row corpus stats (N, S, every df) broadcast onto the scoring scan; per-doc tf is an array filter on the row's own tokens (no exploded join); TakeOrderedAndProject tail",

@@ -322,6 +322,56 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.values.forall(_._2))
   }
 
+  test("top paths: complete triples only, per-user order, count tiebreak") {
+    // u1: a->b->c->d (paths a>b>c, b>c>d); u2: a->b->c (a>b>c);
+    // u3: x->y (too short for any triple)
+    val dir = eventsDir("paths", Seq(
+      (1L, ts(0), 1L, "a", 0.0), (2L, ts(10), 1L, "b", 0.0),
+      (3L, ts(20), 1L, "c", 0.0), (4L, ts(30), 1L, "d", 0.0),
+      (5L, ts(0), 2L, "a", 0.0), (6L, ts(10), 2L, "b", 0.0),
+      (7L, ts(20), 2L, "c", 0.0),
+      (8L, ts(0), 3L, "x", 0.0), (9L, ts(10), 3L, "y", 0.0)))
+    val got = ReconOps.topPaths(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toMap == Map("a>b>c" -> 2L, "b>c>d" -> 1L), s"got $got")
+    // ordering: count desc first, then path asc
+    assert(got.head == ("a>b>c", 2L))
+  }
+
+  test("growth accounting: new/retained/resurrected/churned, identities") {
+    // u1 active weeks 0, 1, 3 (new, retained, resurrected — and churns
+    // after weeks 1 and 3); u2 active week 0 only (new, churns after)
+    val dir = eventsDir("growth", Seq(
+      (1L, ts(0), 1L, "e", 0.0),
+      (2L, ts(7 * Day + Hour), 1L, "e", 0.0),
+      (3L, ts(21 * Day + 2 * Hour), 1L, "e", 0.0),
+      (4L, ts(Hour), 2L, "e", 0.0)))
+    val got = ReconOps.growthAccounting(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == Map(
+      "2024-01-01" -> (2L, 2L, 0L, 0L, 1L),
+      "2024-01-08" -> (1L, 0L, 1L, 0L, 1L),
+      "2024-01-22" -> (1L, 0L, 0L, 1L, 1L)), s"got $got")
+    // identities on sf data: active = new + retained + resurrected per
+    // week, and retained(w+1) = active(w) - churned_after(w) for
+    // consecutive calendar weeks
+    val sf = ReconOps.growthAccounting(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(sf.nonEmpty)
+    for ((wk, (act, nw, ret, res, _)) <- sf)
+      assert(act == nw + ret + res, s"$wk: $act != $nw+$ret+$res")
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+    for ((wk, (act, _, _, _, churn)) <- sf) {
+      val next = java.time.LocalDate.parse(wk, fmt).plusDays(7).format(fmt)
+      sf.get(next).foreach { case (_, _, retNext, _, _) =>
+        assert(retNext == act - churn,
+          s"$wk -> $next: retained $retNext != active $act - churned $churn")
+      }
+    }
+  }
+
   test("rate anomaly: planted 3.5x spike flagged, calendar-exact baseline") {
     // type a: 10/day for days 0..6, then 35 on day 7 ->
     // ratio = 35e6 * 7 / 70 = 3.5e6 >= the 3x bar

@@ -312,6 +312,13 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("q_top_paths: TakeOrderedAndProject tail, no global sort") {
+    val p = plan("q_top_paths")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k tail must be per-partition heads:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("q_rate_anomaly: exploded baseline, no range join") {
     val p = plan("q_rate_anomaly")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
