@@ -147,7 +147,7 @@ object MultimodalOps {
     import javax.imageio.ImageIO
 
     // luminance plane of one decoded frame, row-major 0..255 ints
-    private[operators] def luma(img: BufferedImage): Array[Int] = {
+    private[graft] def luma(img: BufferedImage): Array[Int] = {
       val (w, h) = (img.getWidth, img.getHeight)
       val out = new Array[Int](w * h)
       val px = img.getRGB(0, 0, w, h, null, 0, w)
@@ -159,6 +159,22 @@ object MultimodalOps {
         i += 1
       }
       out
+    }
+
+    /** Raw luminance plane for integer-exact kernels: single-band
+      * rasters (gray / applied-palette images — the BMP reader yields
+      * TYPE_BYTE_GRAY) read their STORED sample directly, because
+      * `getRGB` pushes gray through the ICC gray→sRGB curve (measured:
+      * stored 98 reads back 167) — monotone, so the per-pixel-cell
+      * [[MultimodalOps.dHash64]] comparisons survive it, but any
+      * absolute-difference arithmetic would not. Multi-band images
+      * (real JPEG frames) take the [[luma]] BT.601 path. */
+    private[graft] def lumaRaw(img: BufferedImage): Array[Int] = {
+      val r = img.getRaster
+      if (r.getNumBands == 1) {
+        val (w, h) = (img.getWidth, img.getHeight)
+        Array.tabulate(w * h)(p => r.getSample(p % w, p / w, 0))
+      } else luma(img)
     }
 
     private[operators] def rollSig(bytes: Array[Int]): Long = {
@@ -489,6 +505,13 @@ object MultimodalOps {
       }
       out.result()
     }
+
+    /** All decoded frames in stored order — the scene-change kernel's
+      * entry ([[sceneChanges]]); any ImageIO-readable per-frame format
+      * counts (JPEG for real MJPEG, BMP for the oracled synthesis). */
+    private[graft] def decodedAll(content: Array[Byte])
+        : Option[Vector[java.awt.image.BufferedImage]] =
+      decodedFrames(content, 1).map(_.map(_._2))
 
     /** Decode every k-th stored frame's JPEG; None when the container
       * has no decodable video chunks. */
@@ -1049,33 +1072,42 @@ object MultimodalOps {
     * REALLY decodes it, and the pixel grid is constructible in DuckDB
     * via `ord(substr(text, …))` — which is what lets the dHash queries
     * through the real decode kernel carry exact SQL oracles. */
-  def bmpFromDocuments(spark: SparkSession, dir: String): Dataset[MediaFile] = {
-    import spark.implicits._
-    val nPix = DHashW * DHashH
-    val stride = (DHashW + 3) / 4 * 4
-    val imgBytes = DHashH * stride
-    val fileSize = 14 + 40 + 1024 + imgBytes
-    val pixOffset = 14 + 40 + 1024
-    def le32(v: Int): String =
-      f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X${(v >> 16) & 0xFF}%02X${(v >> 24) & 0xFF}%02X"
-    val headerHex =
-      "424D" + le32(fileSize) + "00000000" + le32(pixOffset) + // BM file hdr
-      le32(40) + le32(DHashW) + le32(DHashH) +                 // DIB, w, h+
-      "0100" + "0800" + le32(0) + le32(imgBytes) +             // planes,8bpp
-      le32(0) + le32(0) + le32(0) + le32(0) +                  // ppm, colors
-      GrayPaletteHex
-    val padHex = "00" * (stride - DHashW)
-    // stored bottom-up: logical row DHashH-1 first
-    val pixelsHex = concat((0 until DHashH).reverse.flatMap { r =>
+  private def bmpLe32(v: Int): String =
+    f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X${(v >> 16) & 0xFF}%02X${(v >> 24) & 0xFF}%02X"
+
+  /** Byte length of one synthesized grayscale BMP (shared by the image
+    * and AVI-frame syntheses). */
+  private[graft] val BmpStride = (DHashW + 3) / 4 * 4
+  private[graft] val BmpBytes = 14 + 40 + 1024 + DHashH * BmpStride
+
+  /** Constant BMP header+palette for the [[DHashW]]×[[DHashH]] 8-bit
+    * grayscale synthesis. */
+  private lazy val BmpHeaderHex: String =
+    "424D" + bmpLe32(BmpBytes) + "00000000" + bmpLe32(14 + 40 + 1024) +
+    bmpLe32(40) + bmpLe32(DHashW) + bmpLe32(DHashH) +        // DIB, w, h+
+    "0100" + "0800" + bmpLe32(0) + bmpLe32(DHashH * BmpStride) +
+    bmpLe32(0) + bmpLe32(0) + bmpLe32(0) + bmpLe32(0) +      // ppm, colors
+    GrayPaletteHex
+
+  /** Hex of a complete BMP whose top-down pixel (r, c) is the text byte
+    * at `base + r·DHashW + c` (1-indexed substring arithmetic inside).
+    * Stored bottom-up with 4-byte row padding, per the format. */
+  private def bmpHexAt(base: Int): Column = {
+    val padHex = "00" * (BmpStride - DHashW)
+    concat(lit(BmpHeaderHex) +: (0 until DHashH).reverse.flatMap { r =>
       (0 until DHashW).map { c =>
-        lpad(hex(ascii1(substring(col("text"), r * DHashW + c + 1, 1))),
-          2, "0")
+        lpad(hex(ascii1(
+          substring(col("text"), base + r * DHashW + c + 1, 1))), 2, "0")
       } :+ lit(padHex)
     }: _*)
+  }
+
+  def bmpFromDocuments(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
     Tables.documents(spark, dir)
-      .where(length(col("text")) >= nPix)
+      .where(length(col("text")) >= DHashW * DHashH)
       .select(col("doc_id").as("media_id"), lit("image").as("kind"),
-        unhex(concat(lit(headerHex), pixelsHex)).as("content"),
+        unhex(bmpHexAt(0)).as("content"),
         map(lit("lang"), col("lang")).as("declared_meta"))
       .as[MediaFile]
   }
@@ -1135,6 +1167,74 @@ object MultimodalOps {
           lit(0L), (acc, x) => acc + x))
       .where(col("hamming") <= DHashHammingBar)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // --- video scene-change detection over the REAL container walk ---
+
+  /** Frames per synthesized AVI (fixed so the hex assembly stays pure
+    * column expressions). */
+  val SceneFrames = 3
+
+  /** Scene-change bar: sum of per-pixel |Δluma| over the
+    * [[DHashW]]·[[DHashH]] grid ≥ this ⇒ cut (mean |Δ| ≥ 16 of 255). */
+  val SceneBar = DHashW * DHashH * 16L
+
+  /** Deterministic REAL-AVI synthesis from the documents table: each
+    * doc with ≥ [[SceneFrames]]·72 chars becomes a structurally valid
+    * RIFF/AVI container — `RIFF('AVI ')` { `LIST('movi')` {
+    * [[SceneFrames]] × `00dc` chunks } } — whose frame f is the
+    * [[bmpHexAt]] grayscale BMP over text offset f·72. The
+    * [[AviMjpegCodec]] walks the REAL chunk grammar and
+    * `javax.imageio` REALLY decodes each frame (the codec accepts any
+    * ImageIO-readable frame payload — JPEG in true MJPEG, BMP here),
+    * and the luminance planes are the text bytes, so frame-delta
+    * analytics carry exact SQL oracles. */
+  def aviFromDocuments(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    val nPix = DHashW * DHashH
+    val frameChunk = 8 + BmpBytes
+    val moviPayload = 4 + SceneFrames * frameChunk
+    val riffPayload = 4 + 8 + moviPayload
+    val frames = (0 until SceneFrames).map(f =>
+      concat(lit("30306463" + bmpLe32(BmpBytes)), bmpHexAt(f * nPix)))
+    val fileHex = concat(
+      lit("52494646") +: lit(bmpLe32(riffPayload)) +: lit("41564920") +:
+      lit("4C495354") +: lit(bmpLe32(moviPayload)) +: lit("6D6F7669") +:
+      frames: _*)
+    Tables.documents(spark, dir)
+      .where(length(col("text")) >= SceneFrames * nPix)
+      .select(col("doc_id").as("media_id"), lit("video").as("kind"),
+        unhex(fileHex).as("content"),
+        map(lit("lang"), col("lang")).as("declared_meta"))
+      .as[MediaFile]
+  }
+
+  /** ORACLED VIDEO SCENE-CHANGE DETECTION — the shot-boundary pass a
+    * video curation pipeline runs before frame sampling: per adjacent
+    * decoded-frame pair, the exact integer sum of per-pixel |Δluma|,
+    * cut when ≥ [[SceneBar]]. Runs [[aviFromDocuments]] through the
+    * REAL RIFF walk + REAL per-frame decode in the partition-local
+    * kernel shape; too-short docs drop (row-count pin). On true MJPEG
+    * input the same kernel runs unchanged — only the synthesis (and
+    * with it the SQL oracle) is BMP-framed. */
+  def sceneChanges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    aviFromDocuments(spark, dir).mapPartitions { it =>
+      it.flatMap { m =>
+        AviMjpegCodec.decodedAll(m.content) match {
+          case Some(frames) if frames.length >= 2 =>
+            val lums = frames.map(ImageIoCodec.lumaRaw)
+            (1 until frames.length).iterator.map { i =>
+              var s = 0L
+              var p = 0
+              val (a, b) = (lums(i - 1), lums(i))
+              while (p < a.length) { s += math.abs(a(p) - b(p)); p += 1 }
+              (m.media_id, i, s, s >= SceneBar)
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }.toDF("media_id", "frame_idx", "delta_sum", "is_change")
   }
 
   // --- perceptual audio near-dup: 64-bit energy-gradient fingerprint ---
@@ -1213,6 +1313,7 @@ object MultimodalOps {
     "q_image_dhash_neardup" -> imageDHashNearDup _,
     "q_audio_fp" -> audioFingerprint _,
     "q_audio_fp_neardup" -> audioFpNearDup _,
+    "q_scene_changes" -> sceneChanges _,
     "q_media_census"   -> mediaCensus _,
     "q_media_meta"     -> mediaMeta _,
     "q_media_features" -> mediaFeatureSummary _,
@@ -1263,6 +1364,25 @@ object MultimodalOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // REAL RIFF walk + REAL per-frame BMP decode, oracled: frame f's
+    // luma plane is text bytes [f*72, f*72+72), so frame deltas are
+    // ord() arithmetic
+    "q_scene_changes" -> {
+      val nPix = DHashW * DHashH
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |           WHERE length(text) >= ${SceneFrames * nPix}),
+         |delta AS (
+         |  SELECT doc_id, f,
+         |    CAST(sum(abs(
+         |      ord(substr(text, CAST(f * $nPix + p + 1 AS INT), 1)) -
+         |      ord(substr(text, CAST((f-1) * $nPix + p + 1 AS INT), 1))))
+         |      AS BIGINT) AS delta_sum
+         |  FROM d, range(1, $SceneFrames) t(f), range($nPix) q(p)
+         |  GROUP BY 1, 2)
+         |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+         |  delta_sum, delta_sum >= $SceneBar AS is_change
+         |FROM delta""".stripMargin
+    },
     // REAL javax.sound PCM decode, oracled: decoded code = text byte,
     // so window energies and gradient-sign bits are ord() arithmetic
     "q_audio_fp" ->

@@ -111,6 +111,7 @@ object PlanAudit {
     "q_rate_anomaly" -> "event-rate spike vs calendar-exact trailing week: one event hash-agg to (type, day) counts, each count EXPLODED to the 7 window ends it precedes (equi-shuffle, never a range join; quiet gaps stay out of the baseline, unlike rows-between), integer ppm ratio + 3x bar",
     "q_top_paths" -> "top-k 3-step event paths: two lead()s on the family's one user-keyed window, |types|^3-bounded hash agg, deterministic (n desc, path) TakeOrderedAndProject tail — no global sort",
     "q_growth_accounting" -> "weekly growth accounting (new/retained/resurrected/churned-after): one corpus distinct to (user, week), lag/lead on a user-keyed window over the |user-weeks| relation, one tiny aggregate; integer datediff==7 calendar logic, identities spec-pinned",
+    "q_scene_changes" -> "video shot-boundary pass through the REAL RIFF walk + real per-frame decode (map-only kernel, no exchange before the write): adjacent-frame |delta-luma| sums integer-exact via lumaRaw (raw raster samples — getRGB's ICC gray->sRGB curve would break absolute arithmetic), synthesis is pure column hex assembly",
     "q_prod_canonical_docs" -> "the materialize-once production plan: canonical argmax over a STORED parquet group table — one scan + one SortAggregate shuffle, no LSH chain in the plan",
     "q_prod_curation_funnel" -> "production funnel: one aggregation over the STORED per-doc stages table — the 8-stage verdict logic paid once at materialization, never per report",
     "q_bm25_topk" -> "integer-exact BM25: 1-row corpus stats (N, S, every df) broadcast onto the scoring scan; per-doc tf is an array filter on the row's own tokens (no exploded join); TakeOrderedAndProject tail",

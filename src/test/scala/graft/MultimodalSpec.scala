@@ -466,6 +466,38 @@ class MultimodalSpec extends SparkSpec {
       s"one-char edit lands within the bar: $pairs")
   }
 
+  test("scene changes: repeated frame reads zero delta, cut flagged, " +
+      "raw gray raster bypasses the ICC curve") {
+    // frame0 == frame1 (identical 72-char blocks -> delta 0, no cut),
+    // frame2 jumps far away (every pixel moves 'a'->'z', 25 each ->
+    // delta 1800 >= the 1152 bar)
+    val block = "abcdefgh".repeat(9)              // 72 chars
+    val far = "z".repeat(72)
+    val rows = Seq(
+      (1L, block + block + far, "en", "web"),
+      (2L, "too short for three frames", "en", "web"))
+    val dir = "/tmp/graft_scene_spec"
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = MultimodalOps.sceneChanges(spark, dir).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx")) ->
+        (r.getAs[Long]("delta_sum"), r.getAs[Boolean]("is_change"))).toMap
+    assert(got.keySet == Set((1L, 1), (1L, 2)), "short doc drops")
+    assert(got((1L, 1)) == (0L, false), s"identical frames: $got")
+    val jump = block.map(c => math.abs(c - 'z')).sum.toLong
+    assert(got((1L, 2)) == (jump, true), s"cut detected exactly: $got")
+    // the exactness hinges on lumaRaw: the gray raster's stored sample
+    // comes back verbatim where getRGB would gamma-curve it
+    val avi = MultimodalOps.aviFromDocuments(spark, dir)
+      .filter(col("media_id") === 1L).collect().head
+    val f0 = MultimodalOps.AviMjpegCodec.decodedAll(avi.content).get.head
+    assert(MultimodalOps.ImageIoCodec.lumaRaw(f0).take(8).toSeq ==
+      "abcdefgh".map(_.toInt), "raw samples are the text bytes")
+    assert(MultimodalOps.ImageIoCodec.luma(f0).take(8).toSeq !=
+      "abcdefgh".map(_.toInt),
+      "getRGB path really does curve gray (the reason lumaRaw exists)")
+  }
+
   test("decompression bomb: huge declared dims fall back before pixel read") {
     // a syntactically valid PNG signature + IHDR declaring 50000x50000
     // (2.5 GPix): luma() would allocate a multi-GB int raster if the
