@@ -682,6 +682,40 @@ object TextOps {
           .when(col("q10k") >= 5000, "mid")
           .otherwise("low").as("bucket"))
 
+  /** PER-LANGUAGE QUALITY PERCENTILES — the cross-lingual calibration
+    * step before any global quality floor: a raw score distribution
+    * differs by language (stopword lists, punctuation norms), so
+    * mixing decisions should compare a doc against ITS OWN language's
+    * distribution. pct_ppm = rank_below·10⁶ div (n−1) (min-rank
+    * competition percentile; ties share a rank, integer-exact, 0 for
+    * singleton strata).
+    *
+    * Scale shape — the HISTOGRAM TRICK, not a corpus sort: q10k is a
+    * BOUNDED integer ∈ [0, 10⁴], so ranks come from the per-(lang,
+    * score) count relation (≤ |langs|·10⁰⁰¹ rows however large the
+    * corpus), one tiny cumulative window over it, and a BROADCAST join
+    * back onto the scan. A window over the corpus would range-sort
+    * 100 TB per language; this plan's only corpus-sized work is one
+    * hash aggregate and one map-side broadcast probe. */
+  def qualityPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), quality10k(col("text")).as("q10k"))
+    val hist = scored.groupBy(col("lang"), col("q10k"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("q10k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("lang"))
+    val ranks = hist
+      .withColumn("cum_before", coalesce(sum(col("c")).over(wCum), lit(0L)))
+      .withColumn("n_total", sum(col("c")).over(wAll))
+      .select(col("lang"), col("q10k"),
+        when(col("n_total") > 1,
+          expr("cum_before * 1000000L div (n_total - 1)"))
+          .otherwise(lit(0L)).as("pct_ppm"))
+    scored.join(broadcast(ranks), Seq("lang", "q10k"))
+      .select(col("doc_id"), col("lang"), col("q10k"), col("pct_ppm"))
+  }
+
   /** Repetition bars above which a document is flagged (the
     * Gopher-rules neighborhood: a fifth of the mass in one token or in
     * duplicated bigrams marks boilerplate/spam). In 1e-4 units — the
@@ -2830,6 +2864,7 @@ object TextOps {
     "q_crossdoc_scrub" -> crossDocScrub _,
     "q_langid"         -> langId _,
     "q_quality_score"  -> qualityScore _,
+    "q_quality_percentile" -> qualityPercentile _,
     "q_repetition"     -> repetition _,
     "q_lm_score"       -> lmScore _,
     "q_nb_quality"     -> nbQuality _,
@@ -3462,6 +3497,24 @@ object TextOps {
         |  count(*) AS n_docs
         |FROM scored GROUP BY 1, 2""".stripMargin,
     "q_quality_score" -> qualityScoreSql,
+    // min-rank competition percentile off the bounded-score histogram;
+    // integer ppm, ties share a rank, singleton strata read 0
+    "q_quality_percentile" ->
+      s"""WITH q AS ($quality10kSql),
+         |s AS (SELECT q.doc_id, d.lang, q.q10k
+         |      FROM q JOIN documents d USING (doc_id)),
+         |h AS (SELECT lang, q10k, count(*) AS c FROM s GROUP BY 1, 2),
+         |r AS (SELECT lang, q10k,
+         |    coalesce(sum(c) OVER (PARTITION BY lang ORDER BY q10k
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_before,
+         |    sum(c) OVER (PARTITION BY lang) AS n_total
+         |  FROM h)
+         |SELECT s.doc_id, s.lang, s.q10k,
+         |  CAST(CASE WHEN r.n_total > 1
+         |       THEN cum_before * 1000000 // (r.n_total - 1)
+         |       ELSE 0 END AS BIGINT) AS pct_ppm
+         |FROM s JOIN r ON r.lang = s.lang AND r.q10k = s.q10k""".stripMargin,
     // the oracle computes the top-token count relationally (unnest →
     // per-token counts → max) — same result as the Spark run-length
     // pass; fractions use the identical integer-truncation arithmetic

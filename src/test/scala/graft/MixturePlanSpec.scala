@@ -66,6 +66,39 @@ class MixturePlanSpec extends SparkSpec {
       s"separation too weak: $tgtMin / $othMax")
   }
 
+  test("quality percentile: per-lang ranks, tie sharing, singleton zero") {
+    // write a tiny documents dir with controlled scores per lang: three
+    // clearly-ordered en docs (short gibberish < mid < rich), a tied en
+    // pair (identical text => identical q10k), and one singleton de doc
+    val rows = Seq(
+      (1L, "zz", "en", "s"),
+      (2L, "The quick brown fox jumps over the lazy dog; speed counts.",
+        "en", "s"),
+      (3L, "The quick brown fox jumps over the lazy dog; speed counts.",
+        "en", "s"),
+      (4L, "A different and much longer passage of flowing prose, in " +
+        "which the words keep varying and the sentences stay readable " +
+        "to any patient reader of ordinary novels and essays.", "en", "s"),
+      (5L, "einzelnes dokument", "de", "s"))
+    val dir = "/tmp/graft_qpct_spec"
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.qualityPercentile(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("q10k"), r.getAs[Long]("pct_ppm"))).toMap
+    // en: n=4 -> denominators (n-1)=3; ranks_below: worst 0, tied pair
+    // SHARE a rank, best has 3 below
+    val en = Seq(1L, 2L, 3L, 4L).map(got)
+    assert(got(2L) == got(3L), "identical text => identical percentile")
+    val worst = en.minBy(_._1); val best = en.maxBy(_._1)
+    assert(worst._2 == 0L, s"worst en doc at percentile 0: $got")
+    assert(best._2 == 1000000L, s"best en doc at percentile 1e6: $got")
+    // the tied pair sits strictly between
+    assert(got(2L)._2 > 0L && got(2L)._2 < 1000000L)
+    assert(got(5L)._2 == 0L, "singleton stratum reads 0, never divides by 0")
+  }
+
   test("quality floor: keeps the target fraction, ties admitted") {
     val r = CurationOps.qualityBudgetFloor(spark, sfDir).collect()
     assert(r.length == 1)

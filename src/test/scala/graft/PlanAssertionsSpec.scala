@@ -312,6 +312,17 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("q_quality_percentile: histogram ranks broadcast onto the scan") {
+    // the calibration must never range-sort the corpus per language:
+    // the window runs over the bounded histogram and the rank relation
+    // comes back as a broadcast
+    val p = plan("q_quality_percentile")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the rank relation must broadcast onto the scan:\n$p")
+    assert(p.contains("Window"), s"the histogram window must exist:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("q_top_paths: TakeOrderedAndProject tail, no global sort") {
     val p = plan("q_top_paths")
     assert(p.contains("TakeOrderedAndProject"),
