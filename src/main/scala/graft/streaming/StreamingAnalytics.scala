@@ -310,6 +310,18 @@ object StreamingAnalytics {
     }
   }
 
+  /** Streaming wrapper for [[updateDaySketches]] — the event-rollup
+    * loop: each micro-batch of (user_id, ts) events folds its per-day
+    * sketches into the maintained table ([[runPerBatch]] contract,
+    * AvailableNow, at-least-once safe by max-merge idempotence +
+    * watermark), and [[wauFromDaySketches]] serves the dashboard
+    * between and during batches. */
+  def runEventRollup(stream: DataFrame, dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    runPerBatch(stream, checkpoint) { (batch, id) =>
+      updateDaySketches(batch, dir, id)
+    }
+
   /** Read-back of the maintained daily sketches (empty-safe). */
   def loadDaySketches(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path

@@ -755,6 +755,34 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/token_sketch_old")))
   }
 
+  test("event rollup stream: file-source loop maintains day sketches, " +
+      "served WAU equals exact over the whole feed") {
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    def ev(rows: Seq[(Long, String)]) = rows.toDF("user_id", "d")
+      .select(col("user_id"), to_timestamp(col("d")).as("ts"))
+    val feed = java.nio.file.Files.createTempDirectory("evroll").toString
+    val tbl = java.nio.file.Files.createTempDirectory("evrolltbl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("evrollck").toString
+    // two files -> AvailableNow may take them as one or two batches;
+    // the maintained table must not care
+    ev(Seq((1L, "2024-02-01 08:00:00"), (2L, "2024-02-01 09:00:00"),
+      (2L, "2024-02-03 10:00:00"))).write.parquet(s"$feed/f1.parquet")
+    ev(Seq((3L, "2024-02-03 11:00:00"), (1L, "2024-02-12 12:00:00")))
+      .write.parquet(s"$feed/f2.parquet")
+    val stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(feed)
+    val q = StreamingAnalytics.runEventRollup(stream, tbl, ckpt)
+    q.awaitTermination(60000)
+    val wau = StreamingAnalytics.wauFromDaySketches(spark, tbl)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est_wau")).toMap
+    // exact trailing-7-day distinct over the whole feed (tiny sets sit
+    // in the sketch's exact regime): day1 {1,2}; day3 window unions
+    // day1 -> {1,2,3}; day12 window [feb6..feb12] holds only user 1
+    assert(wau == Map("2024-02-01" -> 2L, "2024-02-03" -> 3L,
+      "2024-02-12" -> 1L), s"served WAU diverged: $wau")
+  }
+
   test("maintained day sketches: incremental fold == one-shot estimates, " +
       "replay no-op, served WAU matches exact on small sets") {
     val dir = java.nio.file.Files.createTempDirectory("daysketch").toString
