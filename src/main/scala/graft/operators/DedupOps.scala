@@ -1548,7 +1548,37 @@ object DedupOps {
     * pins the exact counts and asserts the booleans TRUE, because the
     * sketch internals are engine-specific). Zero-overlap pairs stay in
     * the matrix (a mixture designer needs the zeros). */
-  def sketchShingleOverlap(spark: SparkSession, dir: String): DataFrame = {
+  def sketchShingleOverlap(spark: SparkSession, dir: String): DataFrame =
+    sketchShingleOverlapWith(spark, dir,
+      sketchOverlapOf(sourceShingleSketches(Tables.documents(spark, dir))))
+
+  private val prodSketchCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** PRODUCTION sketched overlap — the estimate arm served from a
+    * STORED per-source sketch parquet table (materialized once per
+    * corpus dir): the plan an any-pair overlap service executes —
+    * |sources| 4-KiB rows in, the corpus never re-read for estimates.
+    * Shares [[sketchShingleOverlap]]'s oracle (the exact contract arm
+    * grades the stored-sketch estimates). */
+  def prodSketchOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val path = prodSketchCache.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_prod_srcsk").toString
+      sourceShingleSketches(Tables.documents(spark, dir))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    sketchShingleOverlapWith(spark, dir,
+      sketchOverlapOf(spark.read.parquet(path)))
+  }
+
+  /** The contract harness shared by [[sketchShingleOverlap]] and
+    * [[prodSketchOverlap]] — recomputes the exact intersection (the
+    * arm that exists to grade estimates) and joins whichever estimate
+    * arm the caller supplies. */
+  private def sketchShingleOverlapWith(spark: SparkSession, dir: String,
+      est: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val dsh = docs.select(col("source"),
         explode(TextOps.shingles3(col("text"))).as("sh"))
@@ -1564,7 +1594,6 @@ object DedupOps {
       .where(col("source_a") < col("source_b"))
       .join(ov, Seq("source_a", "source_b"), "left")
       .withColumn("exact_overlap", coalesce(col("c"), lit(0L)))
-    val est = sketchOverlapOf(sourceShingleSketches(docs))
     pairs.join(est, Seq("source_a", "source_b"))
       .withColumn("exact_union",
         col("exact_a") + col("exact_b") - col("exact_overlap"))
@@ -2644,6 +2673,7 @@ object DedupOps {
         Tables.documents(s, d).select(col("doc_id"), col("source")))),
     "q_prod_group_purity" -> ((s: SparkSession, d: String) =>
       groupPurityFrom(materializedGroups(s, d), Tables.documents(s, d))),
+    "q_prod_sketch_overlap" -> prodSketchOverlap _,
   )
 
   /** Each prod twin shares its self-contained sibling's oracle — the
@@ -2654,6 +2684,7 @@ object DedupOps {
     "q_prod_dup_token_share" -> oracles("q_dup_token_share"),
     "q_prod_leakfree_split" -> oracles("q_leakfree_split"),
     "q_prod_source_overlap" -> oracles("q_source_overlap"),
+    "q_prod_sketch_overlap" -> oracles("q_sketch_overlap"),
     "q_prod_group_purity" -> oracles("q_group_purity"),
   )
 

@@ -702,11 +702,25 @@ object ReconOps {
     * boolean asserting |est − exact| ≤ 3·[[DedupOps.SketchRsd]]·exact.
     * Window ends are the days PRESENT in the data (a trailing window
     * ends on each active day). */
-  def slidingWau(spark: SparkSession, dir: String): DataFrame = {
+  def slidingWau(spark: SparkSession, dir: String): DataFrame =
+    slidingWauOf(spark, dir, dailyUserSketches(spark, dir))
+
+  /** Daily user sketches straight off the events scan — the build the
+    * streaming loop maintains incrementally. */
+  private def dailyUserSketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), DedupOps.SketchLgK).as("sk"))
+
+  /** [[slidingWau]] over a caller-supplied daily-sketch relation — the
+    * exact contract arm recomputes from events either way (it exists
+    * to grade the estimates), so the twin forms share everything but
+    * where the sketches come from. */
+  private def slidingWauOf(spark: SparkSession, dir: String,
+      daily: DataFrame): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
-    val daily = ev.groupBy(col("day"))
-      .agg(hll_sketch_agg(col("user_id"), DedupOps.SketchLgK).as("sk"))
     val days = daily.select(col("day").as("win_end"))
     val offs = explode(sequence(lit(0), lit(WauWindowDays - 1))).as("o")
     val est = daily.select(col("day"), col("sk"), offs)
@@ -726,6 +740,26 @@ object ReconOps {
         (abs(col("est_wau") - col("exact_wau")).cast("double") <=
           lit(3 * DedupOps.SketchRsd) * col("exact_wau"))
           .as("wau_within_bounds"))
+  }
+
+  private val prodDayCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** PRODUCTION sliding WAU — estimates served from a STORED
+    * daily-sketch parquet table (materialized once per corpus dir,
+    * the posture [[graft.streaming.StreamingAnalytics.updateDaySketches]]
+    * maintains incrementally): the plan a long-lived dashboard
+    * executes — |days| stored rows in, no event re-scan for the
+    * estimate arm. Shares [[slidingWau]]'s oracle (the exact contract
+    * arm grades the stored-sketch estimates). */
+  def prodSlidingWau(spark: SparkSession, dir: String): DataFrame = {
+    val path = prodDayCache.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_prod_daysk").toString
+      dailyUserSketches(spark, dir).write.mode("overwrite").parquet(out)
+      out
+    })
+    slidingWauOf(spark, dir, spark.read.parquet(path))
   }
 
   /** Trailing-baseline length for [[rateAnomaly]] (calendar days). */
@@ -911,6 +945,7 @@ object ReconOps {
       eventFunnelStages(s, d, FunnelStages4)),
     "q_retention"       -> retentionCohorts _,
     "q_sliding_wau"     -> slidingWau _,
+    "q_prod_wau"        -> prodSlidingWau _,
     "q_rate_anomaly"    -> rateAnomaly _,
     "q_top_paths"       -> topPaths _,
     "q_growth_accounting" -> growthAccounting _,
@@ -939,6 +974,18 @@ object ReconOps {
     }.mkString("\nUNION ALL ")
     s"WITH $ctes\n$sels"
   }
+
+  private lazy val slidingWauSql: String =
+    s"""WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+       |           FROM events),
+       |days AS (SELECT DISTINCT day FROM e),
+       |w AS (SELECT d.day AS win_end, e.user_id
+       |      FROM days d JOIN e
+       |        ON e.day BETWEEN d.day - ${WauWindowDays - 1} AND d.day)
+       |SELECT strftime(win_end, '%Y-%m-%d') AS win_end,
+       |  count(DISTINCT user_id) AS exact_wau,
+       |  TRUE AS wau_within_bounds
+       |FROM w GROUP BY 1""".stripMargin
 
   private lazy val sessionizeSql: String =
     s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
@@ -1187,18 +1234,11 @@ object ReconOps {
          |  ratio_ppm >= $AnomalySpikePpm AS spike
          |FROM j""".stripMargin,
     // sketch estimates are engine-specific: the oracle pins the exact
-    // trailing distinct counts and asserts the budget booleans TRUE
-    "q_sliding_wau" ->
-      s"""WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
-         |           FROM events),
-         |days AS (SELECT DISTINCT day FROM e),
-         |w AS (SELECT d.day AS win_end, e.user_id
-         |      FROM days d JOIN e
-         |        ON e.day BETWEEN d.day - ${WauWindowDays - 1} AND d.day)
-         |SELECT strftime(win_end, '%Y-%m-%d') AS win_end,
-         |  count(DISTINCT user_id) AS exact_wau,
-         |  TRUE AS wau_within_bounds
-         |FROM w GROUP BY 1""".stripMargin,
+    // trailing distinct counts and asserts the budget booleans TRUE;
+    // the prod twin serves from the stored sketch table and shares it
+    "q_sliding_wau" -> slidingWauSql,
+    // the stored-sketch-served twin: same exact counts, same booleans
+    "q_prod_wau" -> slidingWauSql,
     "q_retention" ->
       s"""WITH c AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
          |           FROM events WHERE event_type = 'signup' GROUP BY 1),

@@ -113,6 +113,8 @@ object PlanAudit {
     "q_growth_accounting" -> "weekly growth accounting (new/retained/resurrected/churned-after): one corpus distinct to (user, week), lag/lead on a user-keyed window over the |user-weeks| relation, one tiny aggregate; integer datediff==7 calendar logic, identities spec-pinned",
     "q_scene_changes" -> "video shot-boundary pass through the REAL RIFF walk + real per-frame decode (map-only kernel, no exchange before the write): adjacent-frame |delta-luma| sums integer-exact via lumaRaw (raw raster samples — getRGB's ICC gray->sRGB curve would break absolute arithmetic), synthesis is pure column hex assembly",
     "q_quality_percentile" -> "per-language percentile calibration via the HISTOGRAM TRICK: ranks from the bounded (lang, q10k<=10000) count relation (one cumulative window over <=|langs|*10001 rows), BROADCAST back onto the scan — the only corpus-sized work is one hash agg + one map-side probe, never a per-language range sort",
+    "q_prod_wau" -> "production sliding WAU: the estimate arm reads a STORED daily-sketch parquet table (|days| 4-KiB rows, no event re-scan — the posture the streaming rollup maintains); exact contract arm bundled for oracling",
+    "q_prod_sketch_overlap" -> "production sketched overlap: estimates from a STORED per-source sketch table (|sources| rows, corpus never re-read); exact contract arm bundled for oracling",
     "q_prod_canonical_docs" -> "the materialize-once production plan: canonical argmax over a STORED parquet group table — one scan + one SortAggregate shuffle, no LSH chain in the plan",
     "q_prod_curation_funnel" -> "production funnel: one aggregation over the STORED per-doc stages table — the 8-stage verdict logic paid once at materialization, never per report",
     "q_bm25_topk" -> "integer-exact BM25: 1-row corpus stats (N, S, every df) broadcast onto the scoring scan; per-doc tf is an array filter on the row's own tokens (no exploded join); TakeOrderedAndProject tail",
