@@ -180,8 +180,55 @@ object RelationalOps {
           <= bound * col("exact_orders")).as("orders_within_bounds"))
   }
 
+  /** TABLE PROFILER — the "what is this table" pass an engine runs
+    * before anyone writes a query against an unfamiliar dataset: per
+    * column, row/null/exact-distinct counts, min/max, and the modal
+    * value with a deterministic tiebreak (highest count, then lowest
+    * value — reproducible across engines). Values render through an
+    * explicit string cast, so the declared query profiles integer and
+    * string columns (float/timestamp rendering differs across engines
+    * below microseconds/ulps — profile those through typed queries
+    * like q_approx_quantiles / q_log_ts_parse instead).
+    *
+    * Scale shape: one column-pruned pass per profiled column (a
+    * 3-aggregate chain: stats, distinct, mode) unioned into a
+    * |cols|-row report — each pass reads ONE column of the parquet
+    * (ReadSchema-pruned), so the total I/O is the profiled columns
+    * once, not |cols| full-table scans; at very large corpora the df
+    * feeds from [[graft.operators.CurationOps.stratifiedSample]]. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      val v = col(c).cast("string")
+      val stats = df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        min(v).as("min_val"), max(v).as("max_val"))
+      val distinct = df.agg(countDistinct(v).as("n_distinct"))
+      val mode = df.where(col(c).isNotNull)
+        .groupBy(v.as("val")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("val"))
+        .limit(1)
+        .select(col("val").as("top_value"), col("cnt").as("top_n"))
+      stats.withColumn("column", lit(c))
+        .crossJoin(distinct)
+        .crossJoin(mode)
+        .select(col("column"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_val"), col("max_val"),
+          col("top_value"), col("top_n"))
+    }.reduce(_ unionByName _)
+
+  /** Columns the declared events profile covers (integer + string —
+    * see [[profile]] for why floats/timestamps stay out). */
+  val ProfileCols: Seq[String] = Seq("event_id", "user_id", "event_type")
+
+  def eventsProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    profile(Tables.events(spark, dir), ProfileCols)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct" -> approxDistinct _,
+    "q_table_profile" -> eventsProfile _,
     "q1_pricing"     -> q1Pricing _,
     "q_pushdown"     -> pushdownScan _,
     "q_join_agg"     -> joinAgg _,
@@ -243,6 +290,32 @@ object RelationalOps {
         |ORDER BY ts DESC, event_id DESC LIMIT 20""".stripMargin,
     // The sketch estimate itself is engine-specific; the oracle pins the
     // exact counts and asserts the 3-sigma error-bound booleans are TRUE.
+    // per-column stats via UNION of three-aggregate chains; the modal
+    // tiebreak (count desc, value asc) is reproduced with window ranks
+    "q_table_profile" ->
+      """WITH cols(c) AS (VALUES ('event_id'), ('user_id'), ('event_type')),
+        |vals AS (
+        |  SELECT 'event_id' AS "column", CAST(event_id AS VARCHAR) AS v
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', event_type FROM events),
+        |stats AS (
+        |  SELECT "column", count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null,
+        |    count(DISTINCT v) AS n_distinct,
+        |    min(v) AS min_val, max(v) AS max_val
+        |  FROM vals GROUP BY 1),
+        |m AS (
+        |  SELECT "column", v AS top_value, count(*) AS top_n,
+        |    row_number() OVER (PARTITION BY "column"
+        |      ORDER BY count(*) DESC, v) AS rn
+        |  FROM vals WHERE v IS NOT NULL GROUP BY 1, 2)
+        |SELECT s."column", s.n_rows, s.n_null, s.n_distinct,
+        |  s.min_val, s.max_val, m.top_value, m.top_n
+        |FROM stats s JOIN m ON m."column" = s."column" AND m.rn = 1""".stripMargin,
     "q_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts,
         |  count(DISTINCT l_orderkey) AS exact_orders,
