@@ -401,6 +401,48 @@ object ReconOps {
         when(fresh, col("matched.p_value")).as("p_value"))
   }
 
+  /** CONVERSION-LATENCY QUANTILES — "how long from click to the next
+    * purchase", the growth metric the forward as-of exists to feed:
+    * [[asofForward]]'s matched latencies through the
+    * [[approxQuantiles]] contract harness. Exact p50/p90 come from the
+    * histogram trick (windows over the DISTINCT latency values — the
+    * matched-pair relation collapses to its value histogram in one
+    * hash agg, never a corpus sort), and `percentile_approx` is graded
+    * by rank-bound booleans (exact (p−ε)/(p+ε) quantiles bracket the
+    * sketch; ε = 1/[[QuantileAccuracy]]). Unconverted clicks (null
+    * latency) are excluded — the quantile is over conversions, with
+    * n_converted reported next to n_clicks so the denominator is never
+    * hidden. */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val lat = asofForward(spark, dir)
+      .select(col("latency_sec"))
+    val counts = lat.agg(count(lit(1)).as("n_clicks"),
+      count(col("latency_sec")).as("n_converted"))
+    val conv = lat.where(col("latency_sec").isNotNull)
+    val hist = conv.groupBy(col("latency_sec")).agg(count(lit(1)).as("n"))
+    val wCum = Window.orderBy(col("latency_sec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    def pick(p10k: Int, nm: String): Column =
+      min(when(col("cum") * 10000 >= col("total") * p10k,
+        col("latency_sec"))).as(nm)
+    val exact = hist
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .agg(pick(5000, "p50_sec"), pick(9000, "p90_sec"),
+        pick(4900, "lo50"), pick(5100, "hi50"),
+        pick(8900, "lo90"), pick(9100, "hi90"))
+    val approx = conv.agg(percentile_approx(col("latency_sec"),
+      array(lit(0.5), lit(0.9)), lit(QuantileAccuracy)).as("ap"))
+    counts.crossJoin(exact).crossJoin(approx)
+      .select(col("n_clicks"), col("n_converted"),
+        col("p50_sec"), col("p90_sec"),
+        col("ap")(0).between(col("lo50"), col("hi50"))
+          .as("p50_within_bounds"),
+        col("ap")(1).between(col("lo90"), col("hi90"))
+          .as("p90_within_bounds"))
+  }
+
   /** Session gap (hours): adjacent same-user events farther apart than
     * this start a new session. Sized to the testdata's inter-arrival
     * scale (~5 days/user at sf0.01) so sessions are a real mix of
@@ -935,6 +977,7 @@ object ReconOps {
     "q_asof_salted"     -> asofSalted _,
     "q_asof_tolerance"  -> asofTolerance _,
     "q_asof_forward"    -> asofForward _,
+    "q_conversion_latency" -> conversionLatency _,
     "q_approx_quantiles" -> approxQuantiles _,
     "q_sessionize"      -> sessionize _,
     "q_sessionize_salted" ->
@@ -1130,6 +1173,40 @@ object ReconOps {
          |       THEN r.p_value END AS p_value
          |FROM l ASOF LEFT JOIN r
          |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    // quantiles over the native-ASOF latencies; sketch estimates are
+    // engine-specific, so the oracle pins exact picks + TRUE booleans
+    "q_conversion_latency" ->
+      s"""WITH l AS (SELECT user_id, ts, event_id FROM events
+         |           WHERE event_type = 'click'),
+         |r AS (SELECT user_id, ts FROM events
+         |      WHERE event_type = 'purchase'),
+         |lat AS (
+         |  SELECT (epoch_us(r.ts) - epoch_us(l.ts)) // 1000000
+         |    AS latency_sec
+         |  FROM l ASOF LEFT JOIN r
+         |    ON l.user_id = r.user_id AND l.ts <= r.ts),
+         |c AS (SELECT count(*) AS n_clicks,
+         |        count(latency_sec) AS n_converted FROM lat),
+         |h AS (SELECT latency_sec, count(*) AS n FROM lat
+         |      WHERE latency_sec IS NOT NULL GROUP BY 1),
+         |k AS (SELECT latency_sec,
+         |        sum(n) OVER (ORDER BY latency_sec
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS cum,
+         |        sum(n) OVER () AS total
+         |      FROM h),
+         |e AS (SELECT
+         |    min(CASE WHEN cum * 10000 >= total * 5000
+         |        THEN latency_sec END) AS p50_sec,
+         |    min(CASE WHEN cum * 10000 >= total * 9000
+         |        THEN latency_sec END) AS p90_sec
+         |  FROM k)
+         |SELECT c.n_clicks, c.n_converted,
+         |  CAST(e.p50_sec AS BIGINT) AS p50_sec,
+         |  CAST(e.p90_sec AS BIGINT) AS p90_sec,
+         |  TRUE AS p50_within_bounds,
+         |  TRUE AS p90_within_bounds
+         |FROM c, e""".stripMargin,
     "q_asof_forward" ->
       """WITH l AS (SELECT user_id, ts, event_id FROM events
         |           WHERE event_type = 'click'),

@@ -115,6 +115,7 @@ object PlanAudit {
     "q_quality_percentile" -> "per-language percentile calibration via the HISTOGRAM TRICK: ranks from the bounded (lang, q10k<=10000) count relation (one cumulative window over <=|langs|*10001 rows), BROADCAST back onto the scan — the only corpus-sized work is one hash agg + one map-side probe, never a per-language range sort",
     "q_prod_wau" -> "production sliding WAU: the estimate arm reads a STORED daily-sketch parquet table (|days| 4-KiB rows, no event re-scan — the posture the streaming rollup maintains); exact contract arm bundled for oracling",
     "q_prod_sketch_overlap" -> "production sketched overlap: estimates from a STORED per-source sketch table (|sources| rows, corpus never re-read); exact contract arm bundled for oracling",
+    "q_conversion_latency" -> "click->purchase latency quantiles: the forward as-of single-shuffle chain feeds the histogram trick (windows over DISTINCT latency values, one hash agg from the pair relation) + a percentile_approx rank-bound contract; unconverted clicks excluded with the denominator reported",
     "q_table_profile" -> "table profiler: per profiled column a 3-aggregate chain (stats, exact distinct, deterministic mode) over a ReadSchema-pruned scan — total I/O is the profiled columns once, never |cols| full-table scans; sampling hook documented for very large corpora",
     "q_prod_canonical_docs" -> "the materialize-once production plan: canonical argmax over a STORED parquet group table — one scan + one SortAggregate shuffle, no LSH chain in the plan",
     "q_prod_curation_funnel" -> "production funnel: one aggregation over the STORED per-doc stages table — the 8-stage verdict logic paid once at materialization, never per report",

@@ -338,6 +338,23 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.head == ("a>b>c", 2L))
   }
 
+  test("conversion latency: exact quantile picks, unconverted excluded") {
+    // four conversions at 10/20/30/40 s, one click that never converts
+    val dir = eventsDir("convlat", Seq(
+      (1L, ts(0), 1L, "click", 0.0), (2L, ts(10), 1L, "purchase", 1.0),
+      (3L, ts(100), 2L, "click", 0.0), (4L, ts(120), 2L, "purchase", 1.0),
+      (5L, ts(200), 3L, "click", 0.0), (6L, ts(230), 3L, "purchase", 1.0),
+      (7L, ts(300), 4L, "click", 0.0), (8L, ts(340), 4L, "purchase", 1.0),
+      (9L, ts(400), 5L, "click", 0.0)))
+    val r = ReconOps.conversionLatency(spark, dir).collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 4L,
+      "five clicks, four conversions")
+    assert(r.getLong(2) == 20L, s"p50 is the rank-2 latency: $r")
+    assert(r.getLong(3) == 40L, s"p90 is the rank-4 latency: $r")
+    assert(r.getBoolean(4) && r.getBoolean(5),
+      "sketch estimates inside their rank bounds")
+  }
+
   test("growth accounting: new/retained/resurrected/churned, identities") {
     // u1 active weeks 0, 1, 3 (new, retained, resurrected — and churns
     // after weeks 1 and 3); u2 active week 0 only (new, churns after)
