@@ -1712,32 +1712,29 @@ object CurationOps {
   )
 
   // --- materialize-once PRODUCTION twin (VERDICT r11 item 2) ----------
-  private val prodStagesCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The funnel plan a 100 TB run executes ([[curationRun]]'s shape):
     * the group table comes from parquet
     * ([[DedupOps.materializedGroups]]), the chunk grid and the per-doc
-    * stage verdicts are materialized once per corpus dir per JVM, and
+    * stage verdicts are materialized once per corpus content per JVM
+    * ([[graft.functions.MaterializeCache]]), and
     * the report is one aggregation over the STORED stages table.
     * Result-identical to [[curationFunnel]] (each stage verdict is a
     * pure function of the same inputs), so it reuses that query's
     * oracle — the green row grades the production plan itself. */
   def prodCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val path = prodStagesCache.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_prod_stages").toString
-      val groups = DedupOps.materializedGroups(spark, dir)
-      val keep = DedupOps.canonicalDocsFrom(groups,
-        TextOps.qualityScore(spark, dir)
-          .select(col("doc_id"), col("quality")))
-      chunkDocs(spark, dir).write.mode("overwrite")
-        .parquet(s"$out/chunks")
-      curationStagesFrom(spark, dir, DedupOps.dropList(groups, keep),
-          Some(spark.read.parquet(s"$out/chunks")))
-        .write.mode("overwrite").parquet(s"$out/stages")
-      out
-    })
+    val path =
+      graft.functions.MaterializeCache.getOrWrite("prod_stages", dir) { out =>
+        val groups = DedupOps.materializedGroups(spark, dir)
+        val keep = DedupOps.canonicalDocsFrom(groups,
+          TextOps.qualityScore(spark, dir)
+            .select(col("doc_id"), col("quality")))
+        chunkDocs(spark, dir).write.mode("overwrite")
+          .parquet(s"$out/chunks")
+        curationStagesFrom(spark, dir, DedupOps.dropList(groups, keep),
+            Some(spark.read.parquet(s"$out/chunks")))
+          .write.mode("overwrite").parquet(s"$out/stages")
+      }
     spark.read.parquet(s"$path/stages")
       .groupBy(col("lang"), col("stage"))
       .agg(count(lit(1)).as("n_docs"))

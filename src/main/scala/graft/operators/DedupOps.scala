@@ -1160,14 +1160,21 @@ object DedupOps {
     * The pair relation is persisted: it feeds both split sides and the
     * delta side is consumed by several joins inside [[mergeGroups]];
     * without the persist each consumer would re-derive the LSH chain
-    * (same discipline as curationStagesFrom's chunk table). */
+    * (same discipline as curationStagesFrom's chunk table). The persist
+    * is SCOPED (ADVICE r12): the merged labeling is sealed with an
+    * eager localCheckpoint — the same block discipline
+    * [[connectedComponents]] already uses — and the pair cache dropped
+    * in a finally, so repeated invocations in one JVM (bench reps +
+    * correctness) never stack resident copies of the LSH pair relation. */
   def mergeGroupsDemo(spark: SparkSession, dir: String): DataFrame = {
     val pairs = textDupPairs(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val isDelta = col("id_b") % MergeDeltaMod === 0
-    val existing = connectedComponents(pairs.where(!isDelta))
-      .select(col("id").as("doc_id"), col("comp").as("rep_id"))
-    mergeGroups(existing, pairs.where(isDelta))
+    try {
+      val isDelta = col("id_b") % MergeDeltaMod === 0
+      val existing = connectedComponents(pairs.where(!isDelta))
+        .select(col("id").as("doc_id"), col("comp").as("rep_id"))
+      mergeGroups(existing, pairs.where(isDelta)).localCheckpoint(true)
+    } finally pairs.unpersist(blocking = false)
   }
 
   /** Duplicate groups over the embedding corpus: [[cosineNearDupAuto]]
@@ -1552,23 +1559,19 @@ object DedupOps {
     sketchShingleOverlapWith(spark, dir,
       sketchOverlapOf(sourceShingleSketches(Tables.documents(spark, dir))))
 
-  private val prodSketchCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** PRODUCTION sketched overlap — the estimate arm served from a
     * STORED per-source sketch parquet table (materialized once per
-    * corpus dir): the plan an any-pair overlap service executes —
-    * |sources| 4-KiB rows in, the corpus never re-read for estimates.
-    * Shares [[sketchShingleOverlap]]'s oracle (the exact contract arm
-    * grades the stored-sketch estimates). */
+    * corpus content — [[graft.functions.MaterializeCache]]): the plan
+    * an any-pair overlap service executes — |sources| 4-KiB rows in,
+    * the corpus never re-read for estimates. Shares
+    * [[sketchShingleOverlap]]'s oracle (the exact contract arm grades
+    * the stored-sketch estimates). */
   def prodSketchOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val path = prodSketchCache.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_prod_srcsk").toString
-      sourceShingleSketches(Tables.documents(spark, dir))
-        .write.mode("overwrite").parquet(out)
-      out
-    })
+    val path =
+      graft.functions.MaterializeCache.getOrWrite("prod_srcsk", dir) {
+        out => sourceShingleSketches(Tables.documents(spark, dir))
+          .write.mode("overwrite").parquet(out)
+      }
     sketchShingleOverlapWith(spark, dir,
       sketchOverlapOf(spark.read.parquet(path)))
   }
@@ -2634,22 +2637,18 @@ object DedupOps {
   // Result-identical to the self-contained forms by construction, so
   // each reuses its twin's DuckDB oracle verbatim.
 
-  private val prodGroupsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** The stored (doc_id, rep_id) group table for `dir` — written once
-    * per JVM, then every prod query scans the parquet instead of
-    * re-running the chain ([[CurationOps.curationRun]]'s discipline). */
+    * per JVM per corpus CONTENT (content-fingerprinted, shutdown-swept:
+    * [[graft.functions.MaterializeCache]]), then every prod query scans
+    * the parquet instead of re-running the chain
+    * ([[CurationOps.curationRun]]'s discipline). */
   private[operators] def materializedGroups(spark: SparkSession,
-      dir: String): DataFrame = {
-    val path = prodGroupsCache.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_prod_groups").toString
-      textDedupGroups(spark, dir).write.mode("overwrite").parquet(out)
-      out
-    })
-    spark.read.parquet(path)
-  }
+      dir: String): DataFrame =
+    spark.read.parquet(
+      graft.functions.MaterializeCache.getOrWrite("prod_groups", dir) {
+        out => textDedupGroups(spark, dir)
+          .write.mode("overwrite").parquet(out)
+      })
 
   private def prodQuality(spark: SparkSession, dir: String): DataFrame =
     TextOps.qualityScore(spark, dir).select(col("doc_id"), col("quality"))

@@ -165,10 +165,13 @@ object MultimodalOps {
       * rasters (gray / applied-palette images — the BMP reader yields
       * TYPE_BYTE_GRAY) read their STORED sample directly, because
       * `getRGB` pushes gray through the ICC gray→sRGB curve (measured:
-      * stored 98 reads back 167) — monotone, so the per-pixel-cell
-      * [[MultimodalOps.dHash64]] comparisons survive it, but any
-      * absolute-difference arithmetic would not. Multi-band images
-      * (real JPEG frames) take the [[luma]] BT.601 path. */
+      * stored 98 reads back 167). The 8-bit-quantized curve is monotone
+      * but NOT injective — adjacent stored values collapse to the same
+      * sRGB byte (98 and 99 both read 167), so even pure comparisons
+      * like [[MultimodalOps.dHash64]]'s cell gradients can flip for a
+      * descending pair the curve flattens. Every integer-exact kernel
+      * must use THIS reader. Multi-band images (real JPEG frames) take
+      * the [[luma]] BT.601 path. */
     private[graft] def lumaRaw(img: BufferedImage): Array[Int] = {
       val r = img.getRaster
       if (r.getNumBands == 1) {
@@ -1024,7 +1027,13 @@ object MultimodalOps {
       : Option[String] = {
     val (w, h) = (img.getWidth, img.getHeight)
     if (w < DHashW || h < DHashH) return None
-    val lum = ImageIoCodec.luma(img)
+    // lumaRaw, NOT luma: getRGB's quantized ICC gray→sRGB curve is
+    // monotone but not injective (stored 98 and 99 both read back 167),
+    // so a descending stored pair can read back EQUAL and flip a
+    // gradient bit vs the oracle's ord() arithmetic. Raw stored samples
+    // make single-band fixtures integer-exact; multi-band frames still
+    // get BT.601 luma inside lumaRaw.
+    val lum = ImageIoCodec.lumaRaw(img)
     val cell = Array.ofDim[Long](DHashH, DHashW)
     var r = 0
     while (r < DHashH) {

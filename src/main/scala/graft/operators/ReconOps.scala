@@ -784,23 +784,20 @@ object ReconOps {
           .as("wau_within_bounds"))
   }
 
-  private val prodDayCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** PRODUCTION sliding WAU — estimates served from a STORED
-    * daily-sketch parquet table (materialized once per corpus dir,
-    * the posture [[graft.streaming.StreamingAnalytics.updateDaySketches]]
+    * daily-sketch parquet table (materialized once per corpus content —
+    * [[graft.functions.MaterializeCache]] — the posture
+    * [[graft.streaming.StreamingAnalytics.updateDaySketches]]
     * maintains incrementally): the plan a long-lived dashboard
     * executes — |days| stored rows in, no event re-scan for the
     * estimate arm. Shares [[slidingWau]]'s oracle (the exact contract
     * arm grades the stored-sketch estimates). */
   def prodSlidingWau(spark: SparkSession, dir: String): DataFrame = {
-    val path = prodDayCache.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_prod_daysk").toString
-      dailyUserSketches(spark, dir).write.mode("overwrite").parquet(out)
-      out
-    })
+    val path =
+      graft.functions.MaterializeCache.getOrWrite("prod_daysk", dir) {
+        out => dailyUserSketches(spark, dir)
+          .write.mode("overwrite").parquet(out)
+      }
     slidingWauOf(spark, dir, spark.read.parquet(path))
   }
 

@@ -1596,10 +1596,9 @@ object TextOps {
   }
 
   // --- persisted BM25 statistics (the lexical index) -----------------
-  private val bm25IndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Materialize the corpus's lexical index once per dir per JVM: the
+  /** Materialize the corpus's lexical index once per corpus content per
+    * JVM ([[graft.functions.MaterializeCache]]): the
     * FULL-VOCABULARY document-frequency table (`df/`: tok, df — any
     * future query serves from it, not just today's terms) and the 1-row
     * corpus stats (`stats/`: n_docs, s_tok). One corpus scan at build;
@@ -1609,9 +1608,7 @@ object TextOps {
     * vocabulary-sized (millions of rows, kilobyte-scale per-term) and
     * the per-query slice of it broadcasts. */
   private[graft] def bm25Index(spark: SparkSession, dir: String): String =
-    bm25IndexCache.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_bm25_index").toString
+    graft.functions.MaterializeCache.getOrWrite("bm25_index", dir) { out =>
       val tk = bm25Tokenized(Tables.documents(spark, dir))
       tk.select(col("doc_id"), explode(array_distinct(col("tk"))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -1619,8 +1616,7 @@ object TextOps {
       tk.agg(count(lit(1)).cast("long").as("n_docs"),
           sum(col("dl")).as("s_tok"))
         .write.mode("overwrite").parquet(s"$out/stats")
-      out
-    })
+    }
 
   /** [[bm25TopK]] served from a STORED index — the production plan: the
     * query's df slice is a tiny filtered read of the vocabulary table
@@ -2821,7 +2817,17 @@ object TextOps {
     * and keeps offsets stable (length-preserving '*' fill) so spans
     * recorded against the original text stay valid. Same single
     * automaton scan as the tag ([[graft.functions.AhoCorasick
-    * .coverMask]]); map-only, no shuffle. */
+    * .coverMask]]); map-only, no shuffle.
+    *
+    * Arithmetic is CODEPOINT-based (ADVICE r12): the cover mask is
+    * UTF-16-indexed (the automaton walks Java chars), but n_chars /
+    * n_masked / the rebuilt string iterate by codepoint so they share
+    * the DuckDB oracle's — and sibling [[keywordTag]]'s — codepoint
+    * semantics on non-BMP text. A surrogate-pair codepoint masks to ONE
+    * '*' (it is one character in both engines); with the ASCII
+    * dictionary the cover never lands on a surrogate anyway, but the
+    * loop checks both halves so a future non-BMP dictionary term cannot
+    * half-mask a pair. */
   def keywordScrub(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(
@@ -2832,14 +2838,18 @@ object TextOps {
         val t = Option(t0).getOrElse("")
         val cover = bc.value.coverMask(t)
         val sb = new java.lang.StringBuilder(t.length)
+        var nChars = 0 // Int: the oracle renders n_chars as INT
         var n = 0L
         var i = 0
         while (i < t.length) {
-          if (cover(i)) { sb.append('*'); n += 1L }
-          else sb.append(t.charAt(i))
-          i += 1
+          val cp = t.codePointAt(i)
+          val cc = Character.charCount(cp)
+          nChars += 1
+          if (cover(i) || (cc == 2 && cover(i + 1))) { sb.append('*'); n += 1L }
+          else sb.appendCodePoint(cp)
+          i += cc
         }
-        (id, t.length, n, sb.toString)
+        (id, nChars, n, sb.toString)
       }
       .toDF("doc_id", "n_chars", "n_masked", "scrubbed")
       .select(col("doc_id"), col("n_chars"), col("n_masked"),

@@ -46,7 +46,15 @@ object UnicodeNormalize {
   }
 
   /** Strip-accents kernel: NFD, drop combining marks, NFC the rest.
-    * ASCII fast path (no mark can appear). Called from generated code. */
+    * ASCII fast path (no mark can appear). Called from generated code.
+    *
+    * The mark scan walks CODEPOINTS (ADVICE r12): `Character.getType`
+    * on a bare `char` never classifies a surrogate half as Mn, so a
+    * char-indexed loop silently kept supplementary-plane combining
+    * marks (e.g. the U+1D165..U+1D169 musical marks) that DuckDB's
+    * utf8proc-backed `strip_accents` removes — a byte-level oracle
+    * divergence outside the BMP. `getType(int)` sees the full
+    * codepoint, so all Mn marks are dropped identically. */
   def stripAccents(s: UTF8String): UTF8String = {
     // all-ASCII bytes cannot carry diacritics — the common case on
     // machine text; UTF8String knows without decoding
@@ -55,9 +63,10 @@ object UnicodeNormalize {
     val sb = new java.lang.StringBuilder(d.length)
     var i = 0
     while (i < d.length) {
-      val c = d.charAt(i)
-      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
-      i += 1
+      val cp = d.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
     }
     UTF8String.fromString(
       Normalizer.normalize(sb.toString, Normalizer.Form.NFC))
