@@ -1,0 +1,179 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+/** HTML/markup → text extraction — the FIRST operator of a real
+  * web-crawl training-data pipeline (VERDICT r12 item 2): boilerplate
+  * removal at the DOM level, BEFORE the shingle-level operators
+  * ([[graft.operators.TextOps]]'s `boilerplate`/`crossDocScrub`) can
+  * see any text. Same discipline as the [[FitsHeader]] / [[IsoBmff]]
+  * kernels: a pure-JVM single-pass walker over untrusted bytes, run as
+  * a `Dataset.map` (map-only, no shuffle — the scan parallelizes by
+  * input split, so at 100 TB this divides by executors like every
+  * other decode kernel).
+  *
+  * Extraction semantics (deterministic, oracle-checkable):
+  *
+  *  - **Dropped subtrees**: `script`, `style`, `noscript`, `template`,
+  *    `svg`, `iframe`, `head`, `nav`, `header`, `footer`, `aside` — the
+  *    structural-boilerplate set; everything inside contributes nothing.
+  *  - **Comments** `<!-- -->`, doctype and processing `<! >` / `<? >`
+  *    constructs are skipped.
+  *  - **Block elements** (`p`, `div`, `h1`–`h6`, `li`, `ul`, `ol`,
+  *    `table`, `tr`, `td`, `th`, `br`, `hr`, `section`, `article`,
+  *    `main`, `blockquote`, `pre`, `title`, `body`, `html`, `form`)
+  *    start a new output line at both open and close; inline tags
+  *    (`a`, `b`, `i`, `em`, `strong`, `span`, anything unknown) do not.
+  *  - **Entities**: named `amp lt gt quot apos nbsp` and numeric
+  *    `&#NN;` / `&#xHH;` decode; `nbsp` decodes to a plain space; an
+  *    unterminated or unknown `&...` stays literal.
+  *  - **Link-density boilerplate**: a line whose anchor-enclosed text
+  *    is more than half its non-whitespace characters AND that contains
+  *    ≥ 2 anchors is dropped (link farms, "related articles" blocks);
+  *    a single inline link never drops its line.
+  *  - **Whitespace**: runs collapse to one space, lines are trimmed,
+  *    empty lines vanish; output lines join with `\n`.
+  *
+  * Hostile-input posture (spec-pinned): unclosed tags flush at EOF, a
+  * close tag for a never-opened element is ignored, a `<` that never
+  * finds `>` is treated as text-to-EOF inside the tag scanner (bounded
+  * by input length — single pass, no backtracking, O(len) always).
+  */
+object HtmlText {
+  private val DropSubtree = Set("script", "style", "noscript", "template",
+    "svg", "iframe", "head", "nav", "header", "footer", "aside")
+
+  private val BlockTags = Set("p", "div", "h1", "h2", "h3", "h4", "h5",
+    "h6", "li", "ul", "ol", "table", "tr", "td", "th", "br", "hr",
+    "section", "article", "main", "blockquote", "pre", "title", "body",
+    "html", "form")
+
+  /** Minimum anchors before link-density can drop a line. */
+  val MinAnchorsToDrop = 2
+
+  /** Extract visible text from HTML per the rules above. Total-function:
+    * never throws on malformed input. */
+  def extract(html: String): String = {
+    val s = Option(html).getOrElse("")
+    val lines = ArrayBuffer.empty[String]
+    val buf = new java.lang.StringBuilder(64)
+    var anchorChars = 0 // non-ws chars inside <a> on the current line
+    var totalChars = 0 // non-ws chars on the current line
+    var anchors = 0 // anchor opens on the current line
+    var anchorDepth = 0
+    var dropDepth = 0 // >0 → inside a dropped subtree
+    val dropStack = ArrayBuffer.empty[String]
+
+    def flush(): Unit = {
+      val collapsed = collapseWs(buf.toString)
+      if (collapsed.nonEmpty &&
+          !(anchors >= MinAnchorsToDrop && 2 * anchorChars > totalChars))
+        lines += collapsed
+      buf.setLength(0); anchorChars = 0; totalChars = 0; anchors = 0
+    }
+
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.startsWith("<!--", i)) {
+          val end = s.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+          val end = s.indexOf('>', i + 1)
+          i = if (end < 0) n else end + 1
+        } else {
+          val end = s.indexOf('>', i + 1)
+          if (end < 0) { i = n } // dangling '<...': nothing visible
+          else {
+            val inner = s.substring(i + 1, end).trim
+            val closing = inner.startsWith("/")
+            val body = if (closing) inner.drop(1) else inner
+            val name = body.takeWhile(ch => ch.isLetterOrDigit).toLowerCase
+            if (name.nonEmpty) {
+              if (DropSubtree(name)) {
+                val selfClosed = inner.endsWith("/")
+                if (closing) {
+                  if (dropStack.nonEmpty && dropStack.last == name) {
+                    dropStack.remove(dropStack.size - 1); dropDepth -= 1
+                  } // close of a never-opened dropped tag: ignore
+                } else if (!selfClosed) { dropStack += name; dropDepth += 1 }
+              } else if (dropDepth == 0) {
+                if (BlockTags(name)) flush()
+                else if (name == "a") {
+                  if (closing) anchorDepth = math.max(0, anchorDepth - 1)
+                  else { anchors += 1; anchorDepth += 1 }
+                }
+              }
+            }
+            i = end + 1
+          }
+        }
+      } else if (c == '&' && dropDepth == 0) {
+        val (decoded, next) = entity(s, i)
+        decoded.foreach { d =>
+          buf.append(d)
+          if (!Character.isWhitespace(d)) {
+            totalChars += 1
+            if (anchorDepth > 0) anchorChars += 1
+          }
+        }
+        i = next
+      } else {
+        if (dropDepth == 0) {
+          buf.append(c)
+          if (!Character.isWhitespace(c)) {
+            totalChars += 1
+            if (anchorDepth > 0) anchorChars += 1
+          }
+        }
+        i += 1
+      }
+    }
+    flush()
+    lines.mkString("\n")
+  }
+
+  /** Decode one entity at `s(i) == '&'` → (decoded chars, next index).
+    * Unknown/unterminated entities yield the literal '&' and advance
+    * one char (never consumes what it did not decode). */
+  private def entity(s: String, i: Int): (String, Int) = {
+    val semi = s.indexOf(';', i + 1)
+    if (semi < 0 || semi - i > 10) return ("&", i + 1)
+    val name = s.substring(i + 1, semi)
+    val out = name match {
+      case "amp" => "&"
+      case "lt" => "<"
+      case "gt" => ">"
+      case "quot" => "\""
+      case "apos" => "'"
+      case "nbsp" => " "
+      case _ if name.startsWith("#x") || name.startsWith("#X") =>
+        try String.valueOf(Character.toChars(
+          Integer.parseInt(name.drop(2), 16)))
+        catch { case _: Exception => null }
+      case _ if name.startsWith("#") =>
+        try String.valueOf(Character.toChars(Integer.parseInt(name.drop(1))))
+        catch { case _: Exception => null }
+      case _ => null
+    }
+    if (out == null) ("&", i + 1) else (out, semi + 1)
+  }
+
+  private def collapseWs(t: String): String = {
+    val sb = new java.lang.StringBuilder(t.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (Character.isWhitespace(c)) pendingSpace = sb.length() > 0
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+}

@@ -2856,8 +2856,76 @@ object TextOps {
         md5(col("scrubbed").cast("binary")).as("scrubbed_fp"))
   }
 
+  // --- HTML → text extraction (VERDICT r12 item 2) --------------------
+
+  /** Deterministic REAL-HTML synthesis from the documents table — the
+    * [[MultimodalOps]] fixture discipline (planted structure a DuckDB
+    * oracle can recompute the EXPECTED EXTRACTION from, without parsing
+    * HTML): each doc's whitespace tokens become a full page whose head
+    * (title/script with doc-derived content/style), nav, link-farm div
+    * (3 anchors, 100% link density) and footer are boilerplate the
+    * kernel must drop, and whose h1 (tokens 1-5 joined with
+    * `&amp;` entities), one inline-anchor paragraph ("see <a>t1</a> for
+    * details" — 1 anchor, must be KEPT) and 10-token paragraphs (first
+    * token wrapped in `&quot;`) are the content it must keep, entities
+    * decoded. The corpus is ASCII with no `&<>"` (probed), so planted
+    * tags/entities are the only markup. */
+  private[operators] def htmlDocs(docs: DataFrame): DataFrame = {
+    // guarded: sequence(0, nP-1) would DESCEND for nP = 0 (docs of ≤ 5
+    // tokens — absent from this corpus, but the guard keeps the
+    // synthesis total); CaseWhen branches evaluate lazily
+    val paras = when(expr("size(w) > 5"), array_join(transform(
+      sequence(lit(0L), expr("(size(w) + 4) div 10") - 1),
+      p => concat(
+        lit("<p>&quot;"), element_at(col("w"), (p * 10 + 6).cast("int")),
+        lit("&quot; "),
+        array_join(slice(col("w"), (p * 10 + 7).cast("int"), lit(9)), " "),
+        lit("</p>"))), "")).otherwise(lit(""))
+    docs
+      .withColumn("w", filter(split(col("text"), " "), t => t =!= ""))
+      .select(col("doc_id"), concat(
+        lit("<html><head><title>t</title><script type=\"text/javascript\">" +
+          "var s = \""),
+        array_join(slice(col("w"), 1, 2), " "),
+        lit("\";</script><style>.x{color:red}</style></head><body>" +
+          "<nav><a href=\"/\">home</a> <a href=\"/about\">about</a></nav>" +
+          "<h1>"),
+        array_join(slice(col("w"), 1, 5), " &amp; "),
+        lit("</h1><p>see <a href=\"/d\">"), element_at(col("w"), 1),
+        lit("</a> for details</p>"),
+        paras,
+        lit("<div><a href=\"/m\">more</a> <a href=\"/l\">links</a> " +
+          "<a href=\"/r\">related</a></div>" +
+          "<footer>(c) 2026 corp</footer></body></html>")).as("html"))
+  }
+
+  /** ORACLED extraction over the synthesized pages: the real
+    * [[graft.functions.HtmlText]] walker runs on every page (map-only —
+    * at 100 TB this is the first, embarrassingly parallel pass of the
+    * ingest funnel), and DuckDB independently rebuilds the expected
+    * line structure from the SAME token arithmetic — boilerplate
+    * absent, entities decoded, the inline anchor inlined. A kernel that
+    * leaks script/nav/farm/footer text, drops the kept anchor's line,
+    * or mis-decodes an entity breaks the fingerprint. */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    htmlDocs(Tables.documents(spark, dir))
+      .as[(Long, String)]
+      .map { case (id, html) =>
+        (id, graft.functions.HtmlText.extract(html))
+      }
+      .toDF("doc_id", "extracted")
+      .select(col("doc_id"),
+        when(length(col("extracted")) === 0, lit(0))
+          .otherwise(size(split(col("extracted"), "\n")))
+          .cast("int").as("n_lines"),
+        length(col("extracted")).cast("int").as("n_chars"),
+        md5(col("extracted").cast("binary")).as("extracted_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"     -> textStats _,
+    "q_html_extract"   -> htmlExtract _,
     "q_token_estimate" -> tokenEstimate _,
     "q_vocab"          -> vocab _,
     "q_bpe_pairs"      -> bpePairs _,
@@ -3266,6 +3334,40 @@ object TextOps {
        |FROM documents CROSS JOIN terms)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the expected EXTRACTION rebuilt from the planted token structure
+    // (never by parsing HTML): h1 = tokens 1-5 joined ' & ' (the
+    // decoded &amp; entities), the kept inline-anchor line, then
+    // 10-token paragraphs whose first token carries decoded quotes;
+    // nav/script/style/link-farm/footer never appear
+    "q_html_extract" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, t, len(t) AS n FROM tok),
+        |h1 AS (SELECT doc_id, 0 AS ord,
+        |         array_to_string(list_slice(t, 1, 5), ' & ') AS line
+        |       FROM base WHERE n >= 1),
+        |see AS (SELECT doc_id, 1 AS ord,
+        |          'see ' || list_extract(t, 1) || ' for details' AS line
+        |        FROM base WHERE n >= 1),
+        |pp AS (SELECT doc_id, t, n, unnest(range((n + 4) // 10)) AS p
+        |       FROM base WHERE n > 5),
+        |para AS (SELECT doc_id, p + 2 AS ord,
+        |    '"' || list_extract(t, p * 10 + 6) || '"' ||
+        |    CASE WHEN n >= p * 10 + 7
+        |      THEN ' ' || array_to_string(
+        |             list_slice(t, p * 10 + 7, p * 10 + 15), ' ')
+        |      ELSE '' END AS line
+        |  FROM pp),
+        |lines AS (SELECT * FROM h1 UNION ALL SELECT * FROM see
+        |          UNION ALL SELECT * FROM para),
+        |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_lines,
+        |          string_agg(line, chr(10) ORDER BY ord) AS txt
+        |        FROM lines GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_lines, 0) AS n_lines,
+        |  CAST(coalesce(length(a.txt), 0) AS INT) AS n_chars,
+        |  coalesce(md5(a.txt), md5('')) AS extracted_fp
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
     "q_keyword_hits" ->
       s"""WITH $keywordCountsCte
          |SELECT doc_id, term, CAST(n AS BIGINT) AS n

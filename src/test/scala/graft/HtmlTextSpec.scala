@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.HtmlText.extract
+
+/** [[graft.functions.HtmlText]] — extraction semantics + hostile inputs
+  * (the kernel parses UNTRUSTED bytes; every malformed shape must
+  * degrade, never throw). The oracled structural check is
+  * q_html_extract; this pins the rules the oracle can't reach. */
+class HtmlTextSpec extends SparkSpec {
+
+  test("basic page: boilerplate dropped, blocks become lines") {
+    val html = "<html><head><title>T</title><script>var x=1;</script>" +
+      "<style>.a{}</style></head><body><nav><a href=\"/\">home</a></nav>" +
+      "<h1>Hello World</h1><p>first para</p><p>second para</p>" +
+      "<footer>legal</footer></body></html>"
+    assert(extract(html) == "Hello World\nfirst para\nsecond para")
+  }
+
+  test("entities decode; unknown and unterminated stay literal") {
+    assert(extract("<p>a &amp; b &lt;c&gt; &quot;d&quot; &apos;e&apos;</p>")
+      == "a & b <c> \"d\" 'e'")
+    assert(extract("<p>x&nbsp;y</p>") == "x y")
+    assert(extract("<p>&#65;&#x42;</p>") == "AB")
+    assert(extract("<p>&bogus; &amp</p>") == "&bogus; &amp")
+    assert(extract("<p>a && b</p>") == "a && b")
+  }
+
+  test("link density: farms drop, single inline anchors keep their line") {
+    val farm = "<p>real text here</p><div><a>one</a> <a>two</a> " +
+      "<a>three</a></div><p>more text</p>"
+    assert(extract(farm) == "real text here\nmore text")
+    // one anchor, whatever its share of the line, never drops it
+    assert(extract("<p><a href=\"x\">everything linked</a></p>")
+      == "everything linked")
+    // two anchors but mostly plain text: kept, anchors inlined
+    assert(extract("<p>see <a>a</a> and <a>b</a> for much longer detail</p>")
+      == "see a and b for much longer detail")
+  }
+
+  test("whitespace collapses, empty lines vanish") {
+    assert(extract("<p>  a \t\n b  </p><p>   </p><p>c</p>") == "a b\nc")
+  }
+
+  test("comments, doctype, and processing instructions are skipped") {
+    assert(extract("<!DOCTYPE html><!-- <p>junk</p> --><p>kept</p>" +
+      "<?xml bits?>") == "kept")
+    assert(extract("<!-- unterminated comment <p>gone</p>") == "")
+  }
+
+  test("hostile: unclosed tags flush at EOF") {
+    assert(extract("<p>no closing tag ever") == "no closing tag ever")
+    assert(extract("<div><p>nested unclosed") == "nested unclosed")
+  }
+
+  test("hostile: close of never-opened dropped tag is ignored") {
+    assert(extract("</script><p>visible</p></nav>") == "visible")
+  }
+
+  test("hostile: dangling '<' swallows to EOF inside the tag scanner") {
+    assert(extract("<p>before</p><a no-gt ever") == "before")
+  }
+
+  test("hostile: mismatched dropped-subtree closes do not underflow") {
+    assert(extract("<script>x</style>y</script><p>after</p>") == "after")
+  }
+
+  test("nested dropped subtrees need both closes") {
+    assert(extract("<nav><script>a</script><a>l</a></nav><p>ok</p>") == "ok")
+  }
+
+  test("self-closing dropped tag does not open a subtree") {
+    assert(extract("<script src=\"x\"/><p>seen</p>") == "seen")
+  }
+
+  test("null and empty are total") {
+    assert(extract(null) == "")
+    assert(extract("") == "")
+    assert(extract("plain text, no markup") == "plain text, no markup")
+  }
+
+  test("extraction feeds text analysis: stats over extracted text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the composition a web pipeline runs: html -> extract -> textStats'
+    // token/char measures over the clean text
+    val docs = Seq((1L, "<body><nav><a>x</a></nav><h1>alpha beta</h1>" +
+      "<p>gamma delta epsilon</p></body>")).toDF("doc_id", "html")
+    val txt = docs.as[(Long, String)]
+      .map { case (id, h) => (id, graft.functions.HtmlText.extract(h)) }
+      .toDF("doc_id", "text")
+    val row = txt.select(size(filter(split(col("text"), "\\s+"),
+      t => t =!= "")).as("n_tok"), length(col("text")).as("n_chars"))
+      .head()
+    assert(row.getInt(0) == 5)
+    assert(row.getInt(1) == "alpha beta\ngamma delta epsilon".length)
+  }
+}
