@@ -762,6 +762,109 @@ object CurationOps {
         expr("q_sum10k div n_docs").cast("double") / 10000.0)
       .drop("q_sum10k")
 
+  // --- URL canonicalization + URL-keyed dedup (VERDICT r12 item 3) ----
+
+  /** URL CANONICALIZATION — expression-only (stays inside whole-stage
+    * codegen; no UDF, no kernel): the normalizer every crawl pipeline
+    * runs before URL-keyed dedup, because the same page arrives as
+    * `HTTP://WWW.Example.COM:80/page/?utm_source=feed#top` and
+    * `http://example.com/page`. Rules (the CCNet/crawl-dedup standard
+    * set):
+    *
+    *  - scheme and host lowercase; path case PRESERVED (case-significant
+    *    on most servers)
+    *  - `www.` host prefix dropped
+    *  - default ports stripped (`:80` for http, `:443` for https);
+    *    non-default ports kept
+    *  - fragment dropped (never sent to the server)
+    *  - tracking params removed (`utm_*`, `fbclid`, `gclid`, `ref`);
+    *    other params kept in original order (reordering would need a
+    *    canonical sort — deliberately NOT done, order can be
+    *    significant)
+    *  - trailing path slash dropped except for the root path; empty
+    *    path becomes `/`
+    *
+    * Absolute URLs expected; a scheme-less input passes through the
+    * path/query/fragment rules only. */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val prefix = regexp_extract(noFrag,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", 0)
+    val rest = noFrag.substr(length(prefix) + 1, length(noFrag))
+    val host = regexp_replace(
+      regexp_replace(lower(prefix), "://www\\.", "://"),
+      "^(http://[^:]*):80$|^(https://[^:]*):443$", "$1$2")
+    val path0 = regexp_extract(rest, "^[^?]*", 0)
+    val path = when(path0 === "", lit("/"))
+      .otherwise(regexp_replace(path0, "(.)/$", "$1"))
+    val kept = filter(split(regexp_extract(rest, "\\?(.*)$", 1), "&"),
+      t => !(t.rlike("^(utm_[^=]*|fbclid|gclid|ref)=") || t === ""))
+    concat(host, path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+  }
+
+  /** Divisor for the no-id-param subset in [[urlDocs]]: docs whose id is
+    * ≡ 0 (mod this) get a URL WITHOUT the distinguishing `id` query
+    * param — the subset whose canonical URLs can collide (same
+    * first-token path), i.e. the planted crawl-duplicate population. */
+  val UrlNoIdMod = 7
+
+  /** Deterministic MESSY-URL synthesis from the documents table (the
+    * planted-fixture discipline): every doc gets one absolute URL whose
+    * scheme case, `www.` prefix, host case, default port, trailing
+    * slash, tracking params and fragment all vary by doc_id residues —
+    * and whose CANONICAL form is `http://example.com/<first token>`
+    * plus `?id=<doc_id>` except for the [[UrlNoIdMod]] subset. The
+    * DuckDB oracle rebuilds the canonical from the planted fields
+    * directly (never by normalizing the messy string), so the green row
+    * grades [[canonicalizeUrl]] end-to-end. */
+  private[operators] def urlDocs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", filter(split(col("text"), " "), t => t =!= ""))
+      .select(col("doc_id"), concat(
+        when(col("doc_id") % 2 === 0, "HTTP").otherwise("http"),
+        lit("://"),
+        when(col("doc_id") % 3 === 0, "WWW.Example.COM")
+          .when(col("doc_id") % 3 === 1, "www.example.com")
+          .otherwise("Example.com"),
+        when(col("doc_id") % 2 === 0, ":80").otherwise(""),
+        lit("/"), element_at(col("w"), 1),
+        when(col("doc_id") % 5 === 0, "/").otherwise(""),
+        lit("?utm_source=feed&gclid=1"),
+        when(col("doc_id") % UrlNoIdMod =!= 0,
+          concat(lit("&id="), col("doc_id"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, "#sec").otherwise(""))
+        .as("url"))
+
+  /** URL-keyed dedup census — the crawl-level pass that runs BEFORE any
+    * content dedup (it needs no text, only the key): canonical URL →
+    * variant count and first-crawled doc (min doc_id keeps, the
+    * standard crawl-dedup rule). One hash aggregation on the canonical
+    * key; at 100 TB this is the cheapest shuffle in the funnel (the key
+    * is ~60 bytes, the rows carry no text). */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame =
+    urlDocs(Tables.documents(spark, dir))
+      .select(col("doc_id"), canonicalizeUrl(col("url")).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+
+  /** The doc_ids URL dedup drops (everything but the min per canonical
+    * group) — the funnel's stage-0 input. Aggregate + self-equi-join on
+    * the canonical key (no window: a window over the full corpus would
+    * sort within partitions for no reason; the group table is tiny). */
+  private[graft] def urlDupDrops(spark: SparkSession,
+      dir: String): DataFrame = {
+    val canon = urlDocs(Tables.documents(spark, dir))
+      .select(col("doc_id"), canonicalizeUrl(col("url")).as("canon_url"))
+    canon.join(
+        canon.groupBy(col("canon_url"))
+          .agg(min(col("doc_id")).as("keep_id")),
+        Seq("canon_url"))
+      .where(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"))
+  }
+
   /** Quality floor for the funnel's final stage — the shared
     * [[TextOps.QualityFloor10k]] (same constant as the streaming gate). */
   val FunnelMinQuality10k: Long = TextOps.QualityFloor10k
@@ -770,7 +873,10 @@ object CurationOps {
     * after a pipeline run: every document lands in exactly ONE stage,
     * the first filter that would drop it (precedence mirrors
     * [[graft.streaming.StreamingAnalytics.admitBatch]] and extends it
-    * with the corpus-level passes): near-dup dropped (non-canonical
+    * with the corpus-level passes): URL-dup dropped (crawl-level
+    * [[urlDupDrops]] — runs FIRST because it needs only the key, never
+    * the text; a real pipeline drops these before paying any content
+    * pass) → near-dup dropped (non-canonical
     * member of a text dup group, best-quality-keeps) → benchmark-
     * contaminated (doc-level containment OR chunk-level
     * [[chunkContamination]] OR exact 13-gram overlap
@@ -837,17 +943,21 @@ object CurationOps {
       .select(col("doc_id")).withColumn("is_chunk_dup", lit(true))
     val boiler = TextOps.boilerplate(spark, dir)
       .select(col("doc_id"), col("boiler_heavy"))
+    val urlDropped = urlDupDrops(spark, dir)
+      .withColumn("url_dropped", lit(true))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         TextOps.repetitiveFlag(col("text")).as("repetitive"),
         TextOps.gopherShapeFail(col("text")).as("rule_fail"),
         TextOps.quality10k(col("text")).as("q10k"))
+      .join(urlDropped, Seq("doc_id"), "left")
       .join(dupDropped, Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")
       .join(chunkDup, Seq("doc_id"), "left")
       .join(boiler, Seq("doc_id"), "left")
       .withColumn("stage",
-        when(coalesce(col("dup_dropped"), lit(false)), "1_dup_dropped")
+        when(coalesce(col("url_dropped"), lit(false)), "0_url_dup")
+          .when(coalesce(col("dup_dropped"), lit(false)), "1_dup_dropped")
           .when(coalesce(col("contaminated"), lit(false)), "2_contaminated")
           .when(coalesce(col("is_chunk_dup"), lit(false)), "3_chunk_dup")
           .when(col("repetitive"), "4_repetitive")
@@ -1119,6 +1229,7 @@ object CurationOps {
     "q_chunk_dedup" -> chunkDedup _,
     "q_seq_pack" -> packSummary _,
     "q_source_profile" -> sourceProfile _,
+    "q_url_dedup" -> urlDedup _,
     "q_curation_funnel" -> curationFunnel _,
     "q_rrf_fusion" -> rrfFusion _,
     "q_hard_negatives" -> hardNegatives _,
@@ -1182,6 +1293,21 @@ object CurationOps {
        |  FROM ch)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // canonical rebuilt from the PLANTED fields (first token + the
+    // UrlNoIdMod residue), never by normalizing the messy string —
+    // grades canonicalizeUrl end-to-end through every variant axis
+    "q_url_dedup" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |    'http://example.com/' || list_extract(t, 1) ||
+         |    CASE WHEN doc_id % $UrlNoIdMod <> 0
+         |      THEN '?id=' || doc_id ELSE '' END AS canon_url
+         |  FROM tok)
+         |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS min_doc_id
+         |FROM c GROUP BY canon_url""".stripMargin,
     // DPR-style triples: per-probe BM25 over its own top-tfidf terms
     // (lexical arm), dense top-k (q_knn_cosine's scoring), negatives =
     // lexical hits absent from the dense top-k, re-ranked by lex rank
@@ -1373,9 +1499,19 @@ object CurationOps {
          |ngb AS (SELECT DISTINCT gram FROM ngg
          |        WHERE doc_id < ${DedupOps.BenchmarkMaxId}),
          |ngc AS (SELECT DISTINCT g.doc_id FROM ngg g JOIN ngb USING (gram)
-         |        WHERE g.doc_id >= ${DedupOps.BenchmarkMaxId})
+         |        WHERE g.doc_id >= ${DedupOps.BenchmarkMaxId}),
+         |ucanon AS (SELECT doc_id,
+         |    'http://example.com/' || toks[1] ||
+         |    CASE WHEN doc_id % $UrlNoIdMod <> 0
+         |      THEN '?id=' || doc_id ELSE '' END AS cu
+         |  FROM toksrc),
+         |udrop AS (SELECT u.doc_id FROM ucanon u
+         |  JOIN (SELECT cu, min(doc_id) AS keep_id FROM ucanon GROUP BY cu)
+         |    k ON k.cu = u.cu
+         |  WHERE u.doc_id <> k.keep_id)
          |SELECT d.lang,
-         |  CASE WHEN dr.doc_id IS NOT NULL THEN '1_dup_dropped'
+         |  CASE WHEN ud.doc_id IS NOT NULL THEN '0_url_dup'
+         |       WHEN dr.doc_id IS NOT NULL THEN '1_dup_dropped'
          |       WHEN ct.doc_id IS NOT NULL OR cc2.doc_id IS NOT NULL
          |         OR ng.doc_id IS NOT NULL
          |         THEN '2_contaminated'
@@ -1387,6 +1523,7 @@ object CurationOps {
          |       ELSE '8_admitted' END AS stage,
          |  count(*) AS n_docs
          |FROM documents d
+         |LEFT JOIN udrop ud ON ud.doc_id = d.doc_id
          |LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
          |LEFT JOIN contam ct ON ct.doc_id = d.doc_id
          |LEFT JOIN chcont cc2 ON cc2.doc_id = d.doc_id

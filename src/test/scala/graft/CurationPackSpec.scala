@@ -184,6 +184,13 @@ class CurationPackSpec extends SparkSpec {
     val p = mkTok("pp", 64)
     val chunkDupA = (p ++ mkTok("qq", 48)).mkString(" ")
     val chunkDupB = (p ++ mkTok("rr", 48)).mkString(" ")
+    // url-dup pair: both ids ≡ 0 (mod UrlNoIdMod) share a first token,
+    // so their canonical URLs collide; 35 (min id) keeps and must clear
+    // every later stage, 49 lands in stage 0 whatever its content
+    val urlKeep = "slugword the quick brown fox jumps over a lazy dog " +
+      "and then walks off to find the next interesting thing in a field"
+    val urlDup = "slugword the slow green turtle crawls under a busy " +
+      "bridge and then waits to see the first interesting boat of a day"
     // 8 words × 3 occurrences, every ordered bigram distinct (not
     // repetitive), commas kill the punctuation term → q10k = 2553 < the
     // 3000 floor, while the SHAPE rules all pass (24 tokens, avg word
@@ -195,30 +202,34 @@ class CurationPackSpec extends SparkSpec {
       (30L, "en", s"$bench $filler"),      // quotes the benchmark verbatim
       (40L, "en", s"twin text $filler"),   // exact-dup pair: 41 drops
       (41L, "en", s"twin text $filler"),
+      (35L, "en", urlKeep),                // url-group min id: admits
+      (49L, "en", urlDup),                 // canonical-URL dup of 35
       (50L, "en", ("spam " * 20).trim),    // repetitive
       (60L, "en", deBruijn),               // 1-char words: rule-filtered
       (65L, "en", lowQ),                   // shape-pass but low quality
       (70L, "en", good),
       (90L, "en", chunkDupA),              // canonical chunk owner: admits
-      (91L, "en", chunkDupB)) ++ boilerDocs) // half its chunks are 90's
+      (92L, "en", chunkDupB)) ++ boilerDocs) // half its chunks are 90's
       .toDF("doc_id", "lang", "text")
       .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
     val dir = java.nio.file.Files.createTempDirectory("funnel").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = CurationOps.curationFunnel(spark, dir).collect()
       .map(r => (r.getString(1), r.getLong(2))).toMap
+    // 49 url-dup (canonical URL collides with 35, min id keeps);
     // 41 dropped (exact dup, quality tie -> min id keeps 40);
-    // 30 contaminated-but-not-dup; 91 chunk-dup (shares chunk 0 with 90
+    // 30 contaminated-but-not-dup; 92 chunk-dup (shares chunk 0 with 90
     // but is NOT a doc-level dup); 50 repetitive (ALSO low quality:
     // q10k = 2800 — stage 4 must win); 80-85 boilerplate ("common
     // filler phrase" in 6 docs > bar 5); rule-filtered: 1 (6 words),
     // 40 (no stopwords), 60 (avg word length < 3) — each would have
     // been admitted/low-quality before the rule stage; 65 low quality
-    // (shape rules pass, q10k = 2553); admitted: 70, 90
+    // (shape rules pass, q10k = 2553); admitted: 35, 70, 90
     assert(got == Map(
+      "0_url_dup" -> 1L,
       "1_dup_dropped" -> 1L, "2_contaminated" -> 1L, "3_chunk_dup" -> 1L,
       "4_repetitive" -> 1L, "5_boilerplate" -> 6L, "6_rule_filtered" -> 3L,
-      "7_low_quality" -> 1L, "8_admitted" -> 2L),
+      "7_low_quality" -> 1L, "8_admitted" -> 3L),
       s"funnel stages: $got")
   }
 
@@ -625,5 +636,46 @@ class CurationPackSpec extends SparkSpec {
       assert(paths.nonEmpty && paths.forall(_.contains(outDir)),
         s"$name read-back must scan $outDir, got $paths")
     }
+  }
+
+  test("canonicalizeUrl: every normalization axis") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def canon(u: String): String =
+      Seq(u).toDF("u").select(CurationOps.canonicalizeUrl(col("u")))
+        .head().getString(0)
+    // scheme/host case, www, default port, tracking params, fragment
+    assert(canon("HTTP://WWW.Example.COM:80/Page?utm_source=f&id=3#top")
+      == "http://example.com/Page?id=3")
+    assert(canon("https://Example.com:443/a") == "https://example.com/a")
+    // non-default port KEPT
+    assert(canon("http://example.com:8080/a") == "http://example.com:8080/a")
+    // path case preserved; trailing slash dropped except root
+    assert(canon("http://example.com/CaseSig/") ==
+      "http://example.com/CaseSig")
+    assert(canon("http://example.com/") == "http://example.com/")
+    assert(canon("http://example.com") == "http://example.com/")
+    // tracking-only query vanishes entirely; others keep their order
+    assert(canon("http://a.io/p?utm_a=1&utm_b=2&fbclid=x&gclid=y&ref=z")
+      == "http://a.io/p")
+    assert(canon("http://a.io/p?b=2&utm_x=1&a=1") == "http://a.io/p?b=2&a=1")
+    // a param NAMED like a tracking prefix but not matching stays
+    assert(canon("http://a.io/p?utmost=1&reference=2")
+      == "http://a.io/p?utmost=1&reference=2")
+    // fragment-only and empty-query edge cases
+    assert(canon("http://a.io/p#frag") == "http://a.io/p")
+    assert(canon("http://a.io/p?") == "http://a.io/p")
+  }
+
+  test("urlDedup reconciles with urlDupDrops and the corpus") {
+    val census = CurationOps.urlDedup(spark, sfDir).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(census.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "census partitions the corpus")
+    val expectedDrops = census.map(_.getAs[Long]("n_docs") - 1).sum
+    val drops = CurationOps.urlDupDrops(spark, sfDir).count()
+    assert(drops == expectedDrops,
+      "drops = everything but one keeper per canonical group")
+    assert(drops > 0, "the planted no-id subset must produce real dups")
   }
 }
