@@ -1317,9 +1317,106 @@ object MultimodalOps {
   def audioFpNearDup(spark: SparkSession, dir: String): DataFrame =
     bandedHamming64(audioFingerprint(spark, dir), "afp")
 
+  // --- perceptual VIDEO near-dup: dHash sequence + temporal run ------
+
+  /** Minimum CONSECUTIVE near-matching frames before two videos count
+    * as perceptual near-dups — the temporal-alignment bar: one matching
+    * frame is a shared still/black frame; a run is a shared shot. */
+  val VideoDupMinRun = 2L
+
+  /** Per-frame dHash SEQUENCE over the REAL RIFF walk — the perceptual
+    * video fingerprint (VERDICT r12 item 4, closing the perceptual
+    * triangle: image [[imageDHash]] / audio [[audioFingerprint]] /
+    * video this): every decoded frame of each [[aviFromDocuments]]
+    * container hashed by [[dHash64]]. Map-only; frames that fail to
+    * decode or are under the grid drop. */
+  def videoDHashFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    aviFromDocuments(spark, dir).mapPartitions { it =>
+      it.flatMap { m =>
+        AviMjpegCodec.decodedAll(m.content).iterator.flatMap { frames =>
+          frames.iterator.zipWithIndex.flatMap { case (img, i) =>
+            dHash64(img).map(dh => (m.media_id, i, dh))
+          }
+        }
+      }
+    }.toDF("media_id", "frame_idx", "fhash")
+  }
+
+  /** PERCEPTUAL VIDEO NEAR-DUP — banded per-frame Hamming + temporal
+    * run alignment: candidate frame pairs come ONLY from an exact
+    * 16-bit band equi-join at the SAME frame index (never all-pairs),
+    * survive a full-width Hamming ≤ [[DHashHammingBar]], and a video
+    * pair matches when its aligned frames contain a consecutive run ≥
+    * [[VideoDupMinRun]] (re-encoded/resized copies align every frame —
+    * [[dHash64]] is resize-invariant; a shared still can't fake a
+    * shot). Emits one row per video (census + best match, NULL when
+    * nothing clears the bar — this corpus plants no re-encodes; the
+    * spec does, through the REAL codec).
+    *
+    * Scale shape: band join keyed (frame_idx, band, value) — duplicate
+    * density drives candidate count; the run detection windows over
+    * (pair) partitions of ≤ frames-per-video rows, never the corpus. */
+  def videoDHashNearDup(spark: SparkSession, dir: String): DataFrame =
+    videoDHashNearDupOf(videoDHashFrames(spark, dir))
+
+  /** [[videoDHashNearDup]] over any (media_id, frame_idx, fhash)
+    * relation — split out so specs plant re-encoded copies. */
+  private[graft] def videoDHashNearDupOf(frames: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = frames.select(col("media_id"), col("frame_idx"),
+        col("fhash"), explode(sequence(lit(0), lit(DHashBands - 1))).as("b"))
+      .withColumn("bv",
+        expr(s"substring(fhash, b * $DHashBandBits + 1, $DHashBandBits)"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.frame_idx") === col("b.frame_idx") &&
+          col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.frame_idx").as("frame_idx"),
+        col("a.fhash").as("ha"), col("b.fhash").as("hb"))
+      .distinct()
+    val aligned = cand
+      .withColumn("hamming",
+        aggregate(zip_with(split(col("ha"), ""), split(col("hb"), ""),
+          (x, y) => when(x === y, 0).otherwise(1)),
+          lit(0L), (acc, x) => acc + x))
+      .where(col("hamming") <= DHashHammingBar)
+      .select(col("id_a"), col("id_b"), col("frame_idx"))
+    // consecutive-run detection: frame_idx minus its rank per pair is
+    // constant within a run (the pair partitions are ≤ frames-per-video
+    // rows — the window never sees the corpus)
+    val w = Window.partitionBy(col("id_a"), col("id_b"))
+      .orderBy(col("frame_idx"))
+    val runs = aligned
+      .withColumn("g", col("frame_idx") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("g"))
+      .agg(count(lit(1)).as("rl"))
+    val pairs = runs.groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("rl")).as("max_run"), sum(col("rl")).as("aligned_frames"))
+      .where(col("max_run") >= VideoDupMinRun)
+    val both = pairs.select(col("id_a").as("media_id"),
+        col("id_b").as("other"), col("aligned_frames"), col("max_run"))
+      .union(pairs.select(col("id_b").as("media_id"),
+        col("id_a").as("other"), col("aligned_frames"), col("max_run")))
+    val best = both.groupBy(col("media_id"))
+      .agg(max_by(struct(col("other"), col("aligned_frames"),
+          col("max_run")),
+          struct(col("max_run"), col("aligned_frames"),
+            (-col("other")).as("no"))).as("top"))
+      .select(col("media_id"), col("top.other").as("best_match"),
+        col("top.aligned_frames").as("aligned_frames"),
+        col("top.max_run").as("max_run"))
+    frames.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"))
+      .join(best, Seq("media_id"), "left")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_image_dhash" -> imageDHash _,
     "q_image_dhash_neardup" -> imageDHashNearDup _,
+    "q_video_dhash" -> videoDHashFrames _,
+    "q_video_dhash_neardup" -> videoDHashNearDup _,
     "q_audio_fp" -> audioFingerprint _,
     "q_audio_fp_neardup" -> audioFpNearDup _,
     "q_scene_changes" -> sceneChanges _,
@@ -1348,6 +1445,27 @@ object MultimodalOps {
        |  FROM dimg, range($DHashH) rr(r), range(${DHashW - 1}) cc(c)),
        |dsigs AS (SELECT doc_id, string_agg(b, '' ORDER BY i) AS dhash
        |          FROM dbits GROUP BY doc_id)""".stripMargin
+
+  /** Shared per-frame video-dHash CTE chain (ends in
+    * `vsigs(doc_id, f, fhash)`) — frame f of the synthesized AVI is the
+    * [[bmpHexAt]] BMP over text offset f·72, so its 64 gradient bits
+    * recompute from `ord` at that offset. */
+  private lazy val vsigsCtes: String = {
+    val nPix = DHashW * DHashH
+    s"""vdoc AS (SELECT doc_id, text FROM documents
+       |         WHERE length(text) >= ${SceneFrames * nPix}),
+       |vbits AS (
+       |  SELECT doc_id, f, r * ${DHashW - 1} + c AS i,
+       |    CASE WHEN ord(substr(text,
+       |            CAST(f * $nPix + r * $DHashW + c + 1 AS INT), 1))
+       |          > ord(substr(text,
+       |            CAST(f * $nPix + r * $DHashW + c + 2 AS INT), 1))
+       |    THEN '1' ELSE '0' END AS b
+       |  FROM vdoc, range($SceneFrames) ff(f),
+       |       range($DHashH) rr(r), range(${DHashW - 1}) cc(c)),
+       |vsigs AS (SELECT doc_id, f, string_agg(b, '' ORDER BY i) AS fhash
+       |          FROM vbits GROUP BY doc_id, f)""".stripMargin
+  }
 
   /** Shared audio-fingerprint CTE chain (ends in `asigs(doc_id, afp)`)
     * — the synthesized WAV's decoded code n is the text byte n
@@ -1446,6 +1564,65 @@ object MultimodalOps {
          |  FROM dcand, range(64) t(i) GROUP BY 1, 2)
          |SELECT id_a, id_b, hamming FROM dham
          |WHERE hamming <= $DHashHammingBar""".stripMargin,
+    // REAL RIFF walk + REAL per-frame decode, oracled: frame f's dHash
+    // bits are ord() compares at text offset f*72
+    "q_video_dhash" ->
+      s"""WITH $vsigsCtes
+         |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx, fhash
+         |FROM vsigs""".stripMargin,
+    // banded per-frame Hamming at the SAME frame index + consecutive-run
+    // alignment (frame_idx - row_number() is constant within a run),
+    // then the per-video census with the deterministic best pick
+    "q_video_dhash_neardup" ->
+      s"""WITH $vsigsCtes,
+         |vbands AS (
+         |  SELECT doc_id, f, fhash, b,
+         |    substr(fhash, CAST(b * $DHashBandBits + 1 AS INT),
+         |           $DHashBandBits) AS bv
+         |  FROM vsigs, range($DHashBands) t(b)),
+         |vcand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.f,
+         |    a.fhash AS ha, b.fhash AS hb
+         |  FROM vbands a JOIN vbands b
+         |    ON a.f = b.f AND a.b = b.b AND a.bv = b.bv
+         |      AND a.doc_id < b.doc_id),
+         |vham AS (
+         |  SELECT id_a, id_b, f,
+         |    CAST(sum(CASE WHEN substr(ha, CAST(i + 1 AS INT), 1)
+         |         <> substr(hb, CAST(i + 1 AS INT), 1) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS hamming
+         |  FROM vcand, range(64) t(i) GROUP BY 1, 2, 3),
+         |valigned AS (SELECT id_a, id_b, f FROM vham
+         |             WHERE hamming <= $DHashHammingBar),
+         |vruns AS (SELECT id_a, id_b, f,
+         |    f - row_number() OVER (PARTITION BY id_a, id_b ORDER BY f)
+         |      AS g
+         |  FROM valigned),
+         |vrlen AS (SELECT id_a, id_b, g, CAST(count(*) AS BIGINT) AS rl
+         |          FROM vruns GROUP BY 1, 2, 3),
+         |vpairs AS (
+         |  SELECT id_a, id_b, max(rl) AS max_run,
+         |    CAST(sum(rl) AS BIGINT) AS aligned_frames
+         |  FROM vrlen GROUP BY 1, 2
+         |  HAVING max(rl) >= $VideoDupMinRun),
+         |vboth AS (
+         |  SELECT id_a AS media_id, id_b AS other, aligned_frames, max_run
+         |  FROM vpairs
+         |  UNION ALL
+         |  SELECT id_b, id_a, aligned_frames, max_run FROM vpairs),
+         |vbest AS (
+         |  SELECT media_id, other AS best_match, aligned_frames, max_run
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY media_id
+         |          ORDER BY max_run DESC, aligned_frames DESC, other)
+         |          AS rk
+         |        FROM vboth) WHERE rk = 1),
+         |vcensus AS (SELECT doc_id AS media_id,
+         |              CAST(count(*) AS BIGINT) AS n_frames
+         |            FROM vsigs GROUP BY 1)
+         |SELECT c.media_id, c.n_frames, v.best_match,
+         |  v.aligned_frames, v.max_run
+         |FROM vcensus c LEFT JOIN vbest v ON v.media_id = c.media_id
+         |""".stripMargin,
     // the synthesized container sizes are exact functions of the text:
     // WAV = 44-byte header + 2 bytes/sample; the MP4 = 236 fixed
     // header/box bytes + 8-byte mdat header + the text bytes

@@ -618,4 +618,41 @@ class MultimodalSpec extends SparkSpec {
     assert(commonMatched.isEmpty,
       s"df-capped signature must generate no pairs: $commonMatched")
   }
+
+  test("video near-dup: resized re-encode aligns every frame through " +
+      "the real codec; one shared still is below the run bar") {
+    import spark.implicits._
+    // three distinct 9x8 frames
+    val f = (k: Int) => (i: Int) => (i * 37 + (i / 9) * 11 + k * 53) % 256
+    val frames = (0 until 3).map(k => grayImage(9, 8, f(k)))
+    // the re-encoded copy: every frame 2x pixel-replicated (a resize
+    // preserving dHash) and re-wrapped in a NEW container
+    val resized = (0 until 3).map(k => grayImage(18, 16,
+      i => f(k)((i / 18 / 2) * 9 + (i % 18) / 2)))
+    // shares ONLY frame 1 with the original (a common still/ident)
+    val oneShared = Seq(grayImage(9, 8, f(7)), grayImage(9, 8, f(1)),
+      grayImage(9, 8, f(9)))
+    val unrelated = (0 until 3).map(k => grayImage(9, 8, f(20 + k)))
+    val vids = Seq(
+      10L -> frames, 11L -> resized, 12L -> oneShared, 13L -> unrelated)
+      .map { case (id, fs) => (id, mjpegAvi(fs.map(encode(_, "bmp")))) }
+    // the REAL RIFF walk + REAL decode + dHash — the kernel's exact path
+    val fhash = vids.flatMap { case (id, bytes) =>
+      MultimodalOps.AviMjpegCodec.decodedAll(bytes).get
+        .zipWithIndex.flatMap { case (img, i) =>
+          MultimodalOps.dHash64(img).map(dh => (id, i, dh))
+        }
+    }.toDF("media_id", "frame_idx", "fhash")
+    assert(fhash.count() == 12L, "all 4 videos decode all 3 frames")
+    val got = MultimodalOps.videoDHashNearDupOf(fhash)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(10L).getAs[Long]("best_match") == 11L
+      && got(10L).getAs[Long]("max_run") == 3L
+      && got(10L).getAs[Long]("aligned_frames") == 3L, s"${got(10L)}")
+    assert(got(11L).getAs[Long]("best_match") == 10L)
+    assert(got(12L).isNullAt(got(12L).fieldIndex("best_match")),
+      "one shared still is below the temporal run bar")
+    assert(got(13L).isNullAt(got(13L).fieldIndex("best_match")))
+    assert(got.values.forall(_.getAs[Long]("n_frames") == 3L))
+  }
 }
