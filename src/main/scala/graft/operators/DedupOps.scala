@@ -1082,6 +1082,72 @@ object DedupOps {
     } finally eRdds.foreach(_.unpersist(false))
   }
 
+  /** Salt spread for [[connectedComponentsSalted]] — how many reducers
+    * a hub's adjacency rows fan across per iteration. */
+  val CcSaltFactor = 8
+
+  /** HUB-HARDENED [[connectedComponents]] (VERDICT r12 item 5): the
+    * min-label loop's per-iteration skew point is the adj ⋈ labels
+    * equi-join on `src` — a boilerplate mega-group at 100 TB is a star
+    * whose hub contributes its ENTIRE degree to one reducer (the min
+    * AGGREGATION is safe either way: partial aggregation pre-combines
+    * per map task). This variant salts that join the
+    * [[graft.operators.ReconOps]] `sessionizeSalted` /
+    * [[graft.functions.ScaleUtils.saltedJoin]] way: each adjacency row
+    * takes a deterministic row-hash salt, the label side is exploded
+    * across [[CcSaltFactor]] salt values, and the join key becomes
+    * (src, salt) — a degree-d hub spreads over `saltFactor` reducers.
+    * Inner-join + exactly-one-salt-per-big-row makes the result
+    * IDENTICAL to [[connectedComponents]] (spec-pinned on a planted
+    * 10%-of-edges star and randomized graphs). Cost: the label relation
+    * shuffles saltFactor× per iteration — 16-byte rows, the right trade
+    * whenever any component's degree distribution is heavy-tailed.
+    * `tools/CcStarProbe` measures the hot-star behavior at 8×. */
+  def connectedComponentsSalted(edges: DataFrame, maxIters: Int = 50,
+      saltFactor: Int = CcSaltFactor): DataFrame = {
+    def checkpointed(df: DataFrame)
+        : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val out = df.localCheckpoint(true)
+      (out, out.queryExecution.logical.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd })
+    }
+    val (e, eRdds) = checkpointed(edges.select(col("id_a"), col("id_b")))
+    try {
+      val adj = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+      var labels = adj.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id"))
+      var prevRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIters) {
+        val nbrMin = graft.functions.ScaleUtils.saltedJoin(
+            adj,
+            labels.select(col("id").as("src"), col("comp").as("src_comp")),
+            "src", saltFactor)
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("src_comp")).as("nbr_min"))
+        val (stepped, newRdds) = checkpointed(labels
+          .join(nbrMin, Seq("id"), "left_outer")
+          .select(col("id"), col("comp").as("old_comp"),
+            least(col("comp"), coalesce(col("nbr_min"), col("comp")))
+              .as("comp")))
+        converged = stepped.where(col("comp") =!= col("old_comp")).isEmpty
+        labels = stepped.select(col("id"), col("comp"))
+        prevRdds.foreach(_.unpersist(false))
+        prevRdds = newRdds
+        it += 1
+      }
+      if (!converged) {
+        prevRdds.foreach(_.unpersist(false))
+        throw new IllegalStateException(
+          s"connectedComponentsSalted did not converge in $maxIters " +
+            "iterations (diameter exceeds the bound — raise maxIters)")
+      }
+      labels
+    } finally eRdds.foreach(_.unpersist(false))
+  }
+
   /** Incremental dup-group maintenance — the batch chain
     * ([[textDedupGroups]]) recomputes components from scratch, but a
     * streaming ingest already knows exactly which edges are NEW (the

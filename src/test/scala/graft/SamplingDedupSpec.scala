@@ -185,6 +185,40 @@ class SamplingDedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponentsSalted: identical to plain on a planted " +
+      "10%-of-edges star and random graphs") {
+    import spark.implicits._
+    def labeling(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hub-heavy fixture: 10% of all edges attach to one hub (node 1000
+    // — NOT the min, so its component's label must still propagate
+    // THROUGH the hub), the rest are chains and pairs
+    val hub = (1L to 30L).map(i => (1000L, 2000L + i))
+    val chains = (0 until 9).flatMap { c =>
+      val base = 100L * c
+      (0 until 29).map(i => (base + i, base + i + 1))
+    }
+    val star = (hub ++ chains :+ (2001L, 5L)).toDF("id_a", "id_b")
+    val plain = labeling(DedupOps.connectedComponents(star))
+    val salted = labeling(DedupOps.connectedComponentsSalted(star))
+    assert(salted == plain, "salting must never change the labeling")
+    // the hub's component folded into chain 0 through edge (2001, 5)
+    assert(salted(1000L) == 0L && salted(2030L) == 0L)
+    // randomized graphs: same equality, several shapes
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 12 + rnd.nextInt(8)
+      val edges = Seq.fill(10 + rnd.nextInt(10))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val df = edges.toDF("id_a", "id_b")
+        assert(labeling(DedupOps.connectedComponentsSalted(df))
+          == labeling(DedupOps.connectedComponents(df)), s"seed $seed")
+      }
+    }
+  }
+
   test("connectedComponents: checkpoint blocks freed (no storage leak)") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.size
