@@ -183,6 +183,11 @@ object Bench {
     // on a host whose stalls are one-sided noise, min is the honest
     // per-query cost and this total is the honest suite cost
     val totalMin = results.map(_._2.min).sum
+    // pre-r13 definition of "value" (demo twins included), recorded
+    // alongside so cross-round headline comparisons stay apples-to-apples
+    // after the demo-group re-scope (ADVICE r13)
+    val totalWithDemo = total + demoTotal
+    val totalMinWithDemo = totalMin + demoResults.map(_._2.min).sum
     // the FULL record (with triples) carries a distinct metric name so a
     // consumer aggregating by metric never double-counts the total
     // (ADVICE r6); metric=total appears exactly once — on the tail line
@@ -201,7 +206,7 @@ object Bench {
     // Values are rounded to 2 decimals (the host's rep-to-rep variance
     // is far above 10 ms, so nothing real is lost).
     val fullRec =
-      s"""{"metric":"total_full","value":$total,"total_min":$totalMin,"unit":"sec","queries":$qs,"mins":$mins,"triples":$triples,"prod":$prodJson,"prod_total":$prodTotal,"demo":$demoJson,"demo_total":$demoTotal,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":$total,"total_min":$totalMin,"total_with_demo":$totalWithDemo,"total_min_with_demo":$totalMinWithDemo,"unit":"sec","queries":$qs,"mins":$mins,"triples":$triples,"prod":$prodJson,"prod_total":$prodTotal,"demo":$demoJson,"demo_total":$demoTotal,"reps":$reps,"sf":"$sfDir"}"""
     val fullPath =
       if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
@@ -219,7 +224,7 @@ object Bench {
     // digits plus a 4-digit-second total could otherwise overrun the
     // capture window the budget exists to fit
     val suffix0 =
-      s"""},"rest_n":${results.size},"rest_sum":${r2(total)},"total_min":${r2(totalMin)},"prod_total":${r2(prodTotal)},"full":"$fullPath","reps":$reps,"sf":"$sfName"}"""
+      s"""},"rest_n":${results.size},"rest_sum":${r2(total)},"total_min":${r2(totalMin)},"total_with_demo":${r2(totalWithDemo)},"prod_total":${r2(prodTotal)},"full":"$fullPath","reps":$reps,"sf":"$sfName"}"""
     val prefix = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":{"""
     var used = prefix.length + suffix0.length
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
@@ -234,7 +239,7 @@ object Bench {
     val keptJson = kept.sortBy(_._1)
       .map { case (k, m) => "\"" + k + "\":" + r2(m) }.mkString(",")
     println(prefix + keptJson +
-      s"""},"rest_n":$restN,"rest_sum":${r2(restSum)},"total_min":${r2(totalMin)},"prod_total":${r2(prodTotal)},"full":"$fullPath","reps":$reps,"sf":"$sfName"}""")
+      s"""},"rest_n":$restN,"rest_sum":${r2(restSum)},"total_min":${r2(totalMin)},"total_with_demo":${r2(totalWithDemo)},"prod_total":${r2(prodTotal)},"full":"$fullPath","reps":$reps,"sf":"$sfName"}""")
     spark.stop()
   }
 }

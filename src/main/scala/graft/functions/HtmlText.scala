@@ -38,10 +38,29 @@ import scala.collection.mutable.ArrayBuffer
   * close tag for a never-opened element is ignored, a `<` that never
   * finds `>` is treated as text-to-EOF inside the tag scanner (bounded
   * by input length — single pass, no backtracking, O(len) always).
+  *
+  * Two rules track how HTML actually parses (ADVICE r13):
+  *
+  *  - **Rawtext elements** (`script`, `style`, `noscript`, `iframe`):
+  *    their content is NOT tokenized — on the open tag the scanner jumps
+  *    straight to the matching case-insensitive `</name` (this is the
+  *    HTML rawtext state). Tag-like text inside — a `document.write(
+  *    '<style>…')` or an inline `'<script'` string literal — can
+  *    therefore never desynchronize the drop stack and swallow the rest
+  *    of the page. The structural drop tags (`head`, `nav`, …) keep the
+  *    stack walk because they contain genuinely nested markup.
+  *  - **Quote-aware tag scan**: the tag-closing `>` search skips quoted
+  *    attribute sections, so `<a href="x>y">` neither truncates the tag
+  *    nor leaks `y">` into the extracted text.
   */
 object HtmlText {
   private val DropSubtree = Set("script", "style", "noscript", "template",
     "svg", "iframe", "head", "nav", "header", "footer", "aside")
+
+  /** Content parsed as raw text (no nested tags), per the HTML rawtext /
+    * script-data tokenizer states. All ⊆ [[DropSubtree]], so skipping the
+    * content wholesale is exactly the drop semantics. */
+  private val RawText = Set("script", "style", "noscript", "iframe")
 
   private val BlockTags = Set("p", "div", "h1", "h2", "h3", "h4", "h5",
     "h6", "li", "ul", "ol", "table", "tr", "td", "th", "br", "hr",
@@ -84,16 +103,21 @@ object HtmlText {
           val end = s.indexOf('>', i + 1)
           i = if (end < 0) n else end + 1
         } else {
-          val end = s.indexOf('>', i + 1)
+          val end = tagEnd(s, i + 1)
           if (end < 0) { i = n } // dangling '<...': nothing visible
           else {
             val inner = s.substring(i + 1, end).trim
             val closing = inner.startsWith("/")
             val body = if (closing) inner.drop(1) else inner
             val name = body.takeWhile(ch => ch.isLetterOrDigit).toLowerCase
+            val selfClosed = inner.endsWith("/")
+            var next = end + 1
             if (name.nonEmpty) {
-              if (DropSubtree(name)) {
-                val selfClosed = inner.endsWith("/")
+              if (!closing && !selfClosed && RawText(name)) {
+                // rawtext: content is never tokenized — jump past the
+                // matching close tag (or to EOF if unclosed)
+                next = skipRawText(s, end + 1, name)
+              } else if (DropSubtree(name)) {
                 if (closing) {
                   if (dropStack.nonEmpty && dropStack.last == name) {
                     dropStack.remove(dropStack.size - 1); dropDepth -= 1
@@ -107,7 +131,7 @@ object HtmlText {
                 }
               }
             }
-            i = end + 1
+            i = next
           }
         }
       } else if (c == '&' && dropDepth == 0) {
@@ -133,6 +157,52 @@ object HtmlText {
     }
     flush()
     lines.mkString("\n")
+  }
+
+  /** Index of the tag-closing '>' at/after `from`, skipping quoted
+    * attribute sections (`"…"` / `'…'`) so a '>' inside an attribute
+    * value never truncates the tag; -1 when no unquoted '>' exists
+    * (dangling tag — caller treats as text-to-EOF). An unterminated
+    * quote swallows the rest of the scan, which is the browser behavior
+    * for the same malformed input. */
+  private def tagEnd(s: String, from: Int): Int = {
+    var j = from
+    var quote: Char = 0
+    while (j < s.length) {
+      val ch = s.charAt(j)
+      if (quote != 0) { if (ch == quote) quote = 0 }
+      else if (ch == '"' || ch == '\'') quote = ch
+      else if (ch == '>') return j
+      j += 1
+    }
+    -1
+  }
+
+  /** Rawtext skip: first index AFTER the matching case-insensitive
+    * `</name` close tag at/after `from` (the close-tag name must be
+    * followed by '>', '/', or whitespace, per the HTML "appropriate end
+    * tag" rule — `</scripting>` does not end `<script>`); input length
+    * when unclosed. Single forward scan, no allocation. */
+  private def skipRawText(s: String, from: Int, name: String): Int = {
+    val n = s.length
+    var j = from
+    while (j < n) {
+      j = s.indexOf('<', j)
+      if (j < 0) return n
+      if (j + 2 + name.length <= n && s.charAt(j + 1) == '/' &&
+          s.regionMatches(true, j + 2, name, 0, name.length)) {
+        val after = j + 2 + name.length
+        if (after >= n) return n // '</name' at EOF: unclosed
+        val ch = s.charAt(after)
+        if (ch == '>') return after + 1
+        if (ch == '/' || Character.isWhitespace(ch)) {
+          val gt = s.indexOf('>', after)
+          return if (gt < 0) n else gt + 1
+        }
+      }
+      j += 1
+    }
+    n
   }
 
   /** Decode one entity at `s(i) == '&'` → (decoded chars, next index).

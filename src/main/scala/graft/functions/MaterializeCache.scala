@@ -26,7 +26,17 @@ import java.util.concurrent.ConcurrentHashMap
   *     storage and serves the `*From` entry points from there.
   */
 object MaterializeCache {
-  private val cache = new ConcurrentHashMap[String, String]()
+  // CompletableFuture memoization, NOT computeIfAbsent(write): the write
+  // callbacks nest (prodCurationFunnel's stage lambda calls
+  // materializedGroups, which is itself a getOrWrite on "prod_groups"),
+  // and computeIfAbsent's contract forbids touching other mappings of the
+  // same map from inside the mapping function — two keys landing in one
+  // bin would throw IllegalStateException("Recursive update") (ADVICE
+  // r13). putIfAbsent reserves the key without holding any bin lock, so
+  // the write runs unlocked and may freely getOrWrite OTHER keys; a
+  // concurrent caller of the same key blocks on the future instead.
+  private val cache =
+    new ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[String]]()
   private val created = ConcurrentHashMap.newKeySet[Path]()
 
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -65,11 +75,23 @@ object MaterializeCache {
     * and registers it for shutdown cleanup; later calls with an
     * unchanged corpus return the same path instantly. `write` runs at
     * most once per key (computeIfAbsent's contract). */
-  def getOrWrite(tag: String, dir: String)(write: String => Unit): String =
-    cache.computeIfAbsent(s"$tag|$dir|${fingerprint(dir)}", _ => {
-      val out = Files.createTempDirectory(s"graft_$tag")
-      created.add(out)
-      write(out.toString)
-      out.toString
-    })
+  def getOrWrite(tag: String, dir: String)(write: String => Unit): String = {
+    val key = s"$tag|$dir|${fingerprint(dir)}"
+    val fresh = new java.util.concurrent.CompletableFuture[String]()
+    val prior = cache.putIfAbsent(key, fresh)
+    if (prior != null) prior.join()
+    else
+      try {
+        val out = Files.createTempDirectory(s"graft_$tag")
+        created.add(out)
+        write(out.toString)
+        fresh.complete(out.toString)
+        out.toString
+      } catch {
+        case t: Throwable =>
+          cache.remove(key, fresh) // let a later caller retry the write
+          fresh.completeExceptionally(t)
+          throw t
+      }
+  }
 }

@@ -1231,7 +1231,18 @@ object DedupOps {
     * eager localCheckpoint — the same block discipline
     * [[connectedComponents]] already uses — and the pair cache dropped
     * in a finally, so repeated invocations in one JVM (bench reps +
-    * correctness) never stack resident copies of the LSH pair relation. */
+    * correctness) never stack resident copies of the LSH pair relation.
+    *
+    * The checkpoint itself is also scoped (ADVICE r13): local-checkpoint
+    * RDDs are invisible to CacheManager, so `clearCache()` between bench
+    * reps cannot free them. Each invocation registers its checkpoint
+    * blocks and unpersists the PREVIOUS invocation's — at most one
+    * resident copy per JVM, regardless of rep count. (The final frame of
+    * the current call must stay resident: it is the returned plan.) */
+  private val demoCheckpointRdds =
+    new java.util.concurrent.atomic.AtomicReference[
+      Seq[org.apache.spark.rdd.RDD[_]]](Nil)
+
   def mergeGroupsDemo(spark: SparkSession, dir: String): DataFrame = {
     val pairs = textDupPairs(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1239,7 +1250,17 @@ object DedupOps {
       val isDelta = col("id_b") % MergeDeltaMod === 0
       val existing = connectedComponents(pairs.where(!isDelta))
         .select(col("id").as("doc_id"), col("comp").as("rep_id"))
-      mergeGroups(existing, pairs.where(isDelta)).localCheckpoint(true)
+      val existingRdds = existing.queryExecution.logical.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd }
+      val out = mergeGroups(existing, pairs.where(isDelta)).localCheckpoint(true)
+      // out is materialized (eager): existing's final-iteration blocks
+      // are no longer reachable from any live frame — free them now, and
+      // free the PREVIOUS invocation's sealed result (superseded by out)
+      existingRdds.foreach(_.unpersist(false))
+      val rdds = out.queryExecution.logical.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd }
+      demoCheckpointRdds.getAndSet(rdds).foreach(_.unpersist(false))
+      out
     } finally pairs.unpersist(blocking = false)
   }
 

@@ -1307,6 +1307,13 @@ object TextOps {
   val CmDepth = 4
   val CmWidth = 256
 
+  /** Deep geometry (VERDICT r12 item 6): d = 6 crosses the chained-
+    * digest boundary — rows 4–5 read the `'1|'`-prefixed SECOND md5
+    * digest ([[graft.plans.CountMinSketch.buckets]]), so a green
+    * counter-exact oracle at this depth proves the chain, not just the
+    * original 4-slice form. δ = e^−6 ≈ 0.25% per point query. */
+  val CmDepthDeep = 6
+
   /** A token no corpus document contains — the negative probe of
     * [[countMinEst]] (its exact count is 0; its estimate is whatever
     * collision mass its buckets carry, and must still overestimate). */
@@ -1323,11 +1330,21 @@ object TextOps {
     * Scale shape: one scan, d·w longs per partition over the shuffle,
     * constant-size output. The exact census this replaces shuffles the
     * vocabulary. */
-  def countMinTable(spark: SparkSession, dir: String): DataFrame = {
+  def countMinTable(spark: SparkSession, dir: String): DataFrame =
+    cmTableAtDepth(spark, dir, CmDepth)
+
+  /** [[countMinTable]] at [[CmDepthDeep]] — the chained-digest depths
+    * the d ≤ 4 form couldn't reach, graded by the same counter-exact
+    * oracle (rows ≥ 4 recompute from the prefixed second digest). */
+  def countMinDeepTable(spark: SparkSession, dir: String): DataFrame =
+    cmTableAtDepth(spark, dir, CmDepthDeep)
+
+  private def cmTableAtDepth(spark: SparkSession, dir: String,
+      depth: Int): DataFrame = {
     val cm = graft.plans.CountMinSketch.countMin(spark) _
     Tables.documents(spark, dir)
       .select(explode(toks(col("text"))).as("tok"))
-      .agg(cm(col("tok"), CmDepth, CmWidth).as("sk"))
+      .agg(cm(col("tok"), depth, CmWidth).as("sk"))
       .select(posexplode(col("sk")).as(Seq("pos", "cnt")))
       .where(col("cnt") > 0)
       .select(expr(s"CAST(pos div $CmWidth AS BIGINT)").as("row_i"),
@@ -2957,6 +2974,7 @@ object TextOps {
     "q_kn_heldout"     -> knHeldoutScore _,
     "q_sketch_bounds"  -> sketchBounds _,
     "q_countmin"       -> countMinTable _,
+    "q_countmin_deep"  -> countMinDeepTable _,
     "q_countmin_est"   -> countMinEst _,
     "q_cm_joinsize"    -> countMinJoinSize _,
     "q_collocations"   -> collocations _,
@@ -3332,6 +3350,23 @@ object TextOps {
        |    i -> substr(text, CAST(i + 1 AS INT), length(term)) = term))
        |    AS n
        |FROM documents CROSS JOIN terms)""".stripMargin
+
+  /** Counter-exact count-min oracle at `depth` hash rows: one union arm
+    * per row, each recomputing its bucket through
+    * [[graft.plans.CountMinSketch.bucketSql]] (rows ≥ 4 read the
+    * chained prefixed digests). */
+  private def cmTableOracle(depth: Int): String = {
+    val arms = (0 until depth).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS row_i,
+         |  ${graft.plans.CountMinSketch.bucketSql(i, "tok", CmWidth)}
+         |    AS bucket
+         |FROM ex""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ex AS (SELECT unnest($toksSql) AS tok FROM documents),
+       |rows AS ($arms)
+       |SELECT row_i, bucket, count(*) AS cnt
+       |FROM rows GROUP BY 1, 2""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // the expected EXTRACTION rebuilt from the planted token structure
@@ -3719,21 +3754,13 @@ object TextOps {
          |  CAST(min(cond_ppm) AS BIGINT) AS min_cond_ppm
          |FROM bgp JOIN pr USING (bg)
          |GROUP BY doc_id, lang""".stripMargin,
-    // the count-min table recomputed counter-by-counter: 4 union arms,
-    // one per md5 slice — CM is merge-order-independent, so the oracle
+    // the count-min table recomputed counter-by-counter: one union arm
+    // per hash row — CM is merge-order-independent, so the oracle
     // grades the aggregate's actual counters, not a contract envelope
-    "q_countmin" -> {
-      val arms = (0 until CmDepth).map { i =>
-        s"""SELECT CAST($i AS BIGINT) AS row_i,
-           |  ${graft.plans.CountMinSketch.bucketSql(i, "tok", CmWidth)}
-           |    AS bucket
-           |FROM ex""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH ex AS (SELECT unnest($toksSql) AS tok FROM documents),
-         |rows AS ($arms)
-         |SELECT row_i, bucket, count(*) AS cnt
-         |FROM rows GROUP BY 1, 2""".stripMargin
-    },
+    "q_countmin" -> cmTableOracle(CmDepth),
+    // same, at the chained-digest depth: arms 4-5 recompute from the
+    // '1|'-prefixed second md5 digest, grading the digest chain itself
+    "q_countmin_deep" -> cmTableOracle(CmDepthDeep),
     // point estimates: same buckets, min over rows, next to exact
     // counts; est values are deterministic and cross the oracle
     "q_countmin_est" -> {

@@ -29,13 +29,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * DuckDB twin recomputes every bucket sum from scratch), not a
   * contract envelope.
   *
-  * Bucket hashing is the repo's md5 discipline, one digest per token:
-  * row i reads hex digits [8i, 8i+8) of md5(x) — four independent
-  * uniform 32-bit draws from one 128-bit digest (the minhash family's
-  * slice trick), bit-identical in DuckDB as
-  * `CAST('0x' || substr(md5(x), 1 + 8*i, 8) AS BIGINT) % w`. Depth is
-  * therefore capped at 4; a production variant past that would chain
-  * prefixed digests (or xxhash64, at the price of the oracle).
+  * Bucket hashing is the repo's md5 discipline, CHAINED past one
+  * digest (VERDICT r12 item 6 — the old form capped depth at 4): row i
+  * reads hex digits [8·(i%4), 8·(i%4)+8) of digest ⌊i/4⌋, where
+  * digest 0 = `md5(x)` (so depths ≤ 4 are bit-identical to the
+  * original md5-slice form) and digest j ≥ 1 = `md5('j|' || x)` — a
+  * fresh 128 bits per prefixed digest, four independent uniform 32-bit
+  * draws per digest (the minhash family's slice trick). Every row is
+  * still exactly expressible in DuckDB
+  * (`CAST('0x' || substr(md5(…), 1 + 8·slice, 8) AS BIGINT) % w`,
+  * [[CountMinSketch.bucketSql]]), so the oracle stays counter-exact at
+  * any depth. Depth is bounded at [[CountMinSketch.MaxDepth]] — the
+  * standard ε–δ sizing (δ = e^−d) never asks for more (d = 8 is
+  * δ ≈ 3·10⁻⁴), and each extra digest is one more md5 per input row.
   *
   * State is d·w longs per partial buffer (8 KB at the default 4×256)
   * regardless of input size; the planner's partial aggregation ships
@@ -54,10 +60,10 @@ case class CountMinSketch(
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a string argument, got " +
           child.dataType.catalogString)
-    else if (depth < 1 || depth > 4 || width < 1)
+    else if (depth < 1 || depth > CountMinSketch.MaxDepth || width < 1)
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires 1 <= depth <= 4 (one md5 digest holds " +
-          s"four 8-hex slices) and width >= 1")
+        s"$prettyName requires 1 <= depth <= ${CountMinSketch.MaxDepth} " +
+          s"(chained md5 digests, 4 slices each) and width >= 1")
     else TypeCheckResult.TypeCheckSuccess
 
   override def prettyName: String = "countmin"
@@ -107,16 +113,31 @@ case class CountMinSketch(
 
 object CountMinSketch {
 
-  /** All `depth` buckets of `s` from ONE md5 digest: row i is hex
-    * digits [8i, 8i+8) = bytes [4i, 4i+4) read big-endian, mod w —
-    * the md5-slice idiom every cross-engine hash in this repo uses. */
+  /** Depth bound: 3 chained digests × 4 slices. δ = e^−d is already
+    * ≈ 6·10⁻⁶ at d = 12; deeper never pays for the extra md5/row. */
+  val MaxDepth = 12
+
+  /** All `depth` buckets of `s` from CHAINED md5 digests: row i is hex
+    * digits of slice (i % 4) — bytes [4·(i%4), 4·(i%4)+4) big-endian,
+    * mod w — of digest ⌊i/4⌋, where digest 0 = md5(s) (the original
+    * md5-slice idiom, so d ≤ 4 sketches are bit-identical to the old
+    * form) and digest j ≥ 1 = md5("j|" + s). */
   def buckets(s: UTF8String, depth: Int, width: Int): Array[Int] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val digest = md.digest(s.getBytes)
+    val raw = s.getBytes
     val out = new Array[Int](depth)
+    var digest: Array[Byte] = null
     var i = 0
     while (i < depth) {
-      val o = i * 4
+      val slice = i % 4
+      if (slice == 0) { // first row of a new digest: compute it
+        val j = i / 4
+        md.reset()
+        if (j > 0) md.update(s"$j|".getBytes("UTF-8"))
+        md.update(raw)
+        digest = md.digest()
+      }
+      val o = slice * 4
       val v = ((digest(o) & 0xffL) << 24) | ((digest(o + 1) & 0xffL) << 16) |
         ((digest(o + 2) & 0xffL) << 8) | (digest(o + 3) & 0xffL)
       out(i) = (v % width).toInt
@@ -126,8 +147,12 @@ object CountMinSketch {
   }
 
   /** DuckDB twin of row `row` of [[buckets]] over a SQL string expr. */
-  def bucketSql(row: Int, x: String, width: Int): String =
-    s"(CAST('0x' || substr(md5($x), ${1 + 8 * row}, 8) AS BIGINT) % $width)"
+  def bucketSql(row: Int, x: String, width: Int): String = {
+    val j = row / 4
+    val slice = row % 4
+    val dig = if (j == 0) s"md5($x)" else s"md5('$j|' || $x)"
+    s"(CAST('0x' || substr($dig, ${1 + 8 * slice}, 8) AS BIGINT) % $width)"
+  }
 
   /** SQL-visible function name. */
   val FnName = "graft_countmin"

@@ -33,6 +33,65 @@ class CountMinSpec extends SparkSpec {
     }
   }
 
+  test("chained digests: depths past 4 extend, never perturb, the first 4") {
+    val key = UTF8String.fromString("alpha")
+    val d4 = CountMinSketch.buckets(key, 4, 256).toSeq
+    val d6 = CountMinSketch.buckets(key, 6, 256).toSeq
+    val d12 = CountMinSketch.buckets(key, 12, 256).toSeq
+    // prefix-stability: a deeper sketch's first rows are the shallow form
+    assert(d6.take(4) == d4)
+    assert(d12.take(6) == d6)
+    assert(d12.forall(b => b >= 0 && b < 256))
+    // rows 4-7 come from md5("1|" + x): independent of rows 0-3 (for a
+    // typical key the two digests disagree somewhere)
+    assert(d12.drop(4).toSet != d4.toSet || d12.distinct.length > 4)
+  }
+
+  test("chained rows match the bucketSql rendering byte-for-byte") {
+    // the DuckDB-twin SQL (bucketSql) re-rendered through Spark's own
+    // conv/md5 — rows >= 4 exercise the '1|' / '2|' prefixed digests
+    val toks = Seq("a", "dup", "Ünïcødé", "")
+    for (row <- Seq(0, 3, 4, 5, 8, 11)) {
+      val j = row / 4; val slice = row % 4
+      val dig = if (j == 0) "md5(cast(tok AS binary))"
+        else s"md5(cast(concat('$j|', tok) AS binary))"
+      val fromSql = toks.toDF("tok").select(expr(
+        s"CAST(conv(substring($dig, ${1 + 8 * slice}, 8), 16, 10) " +
+          "% 256 AS INT)").as("b")).collect().map(_.getInt(0))
+      toks.zip(fromSql).foreach { case (t, sql) =>
+        val jvm = CountMinSketch.buckets(UTF8String.fromString(t), 12, 256)(row)
+        assert(jvm == sql, s"row $row divergence on '$t': $jvm vs $sql")
+      }
+    }
+  }
+
+  test("deep sketch keeps mass conservation and overestimate-only") {
+    val cm = CountMinSketch.countMin(spark) _
+    val rows = Seq.fill(200)("hot") ++ Seq.tabulate(500)(i => s"c${i % 89}")
+    val sk = rows.toDF("tok").agg(cm(col("tok"), 6, 32).as("sk"))
+      .collect().head.getSeq[Long](0)
+    assert(sk.length == 6 * 32)
+    for (r <- 0 until 6)
+      assert(sk.slice(r * 32, (r + 1) * 32).sum == rows.length.toLong,
+        s"row $r lost mass")
+    val truth = rows.groupBy(identity).map { case (t, xs) =>
+      t -> xs.length.toLong }
+    truth.foreach { case (t, exact) =>
+      val bs = CountMinSketch.buckets(UTF8String.fromString(t), 6, 32)
+      val est = (0 until 6).map(i => sk(i * 32 + bs(i))).min
+      assert(est >= exact, s"$t underestimated: $est < $exact")
+    }
+  }
+
+  test("depth outside [1, MaxDepth] is rejected at analysis") {
+    val cm = CountMinSketch.countMin(spark) _
+    val df = Seq("x").toDF("tok")
+    intercept[Exception] {
+      df.agg(cm(col("tok"), CountMinSketch.MaxDepth + 1, 16)).collect()
+    }
+    intercept[Exception] { df.agg(cm(col("tok"), 0, 16)).collect() }
+  }
+
   test("sketch table is identical under any partitioning") {
     val cm = CountMinSketch.countMin(spark) _
     val rows = Seq.tabulate(4000)(i => s"t${i % 97}")

@@ -72,6 +72,37 @@ class HtmlTextSpec extends SparkSpec {
     assert(extract("<script src=\"x\"/><p>seen</p>") == "seen")
   }
 
+  test("rawtext: tag-like text inside script/style never desyncs the drop") {
+    // ADVICE r13: a drop-tag token in a JS string used to push a phantom
+    // dropStack entry and swallow the rest of the document
+    assert(extract("<script>document.write('<style>.x{}</style>');" +
+      "</script><p>kept</p>") == "kept")
+    assert(extract("<script>var s = '<script';</script><p>kept</p>")
+      == "kept")
+    assert(extract("<style>/* </p> inside comment */ a:after{content:'<'}" +
+      "</style><p>kept</p>") == "kept")
+    // close-tag candidate must be the appropriate end tag: a longer name
+    // does not end the rawtext element
+    assert(extract("<script>x</scripting>y</script><p>kept</p>") == "kept")
+    // attributes on the close tag are tolerated per the spec's ws rule
+    assert(extract("<script>x</script foo=bar><p>kept</p>") == "kept")
+    // unclosed rawtext swallows to EOF (browser behavior)
+    assert(extract("<p>before</p><script>var x = '<p>never</p>'") == "before")
+    // rawtext inside an already-dropped subtree cannot end it early
+    assert(extract("<head><script>var s='</head>';</script></head>" +
+      "<p>kept</p>") == "kept")
+  }
+
+  test("quoted attribute values may contain '>' without truncating the tag") {
+    // ADVICE r13: the scanner used to stop at the first '>' and leak the
+    // attribute remnant into extracted text
+    assert(extract("<p><a href=\"x>y\" title=\"t\">link text</a></p>")
+      == "link text")
+    assert(extract("<p before><img alt='a>b'>kept</p>") == "kept")
+    // unterminated quote swallows the scan to EOF (malformed input)
+    assert(extract("<p>seen</p><a href=\"never closes>gone") == "seen")
+  }
+
   test("null and empty are total") {
     assert(extract(null) == "")
     assert(extract("") == "")

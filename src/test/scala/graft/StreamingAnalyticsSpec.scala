@@ -816,4 +816,47 @@ class StreamingAnalyticsSpec extends SparkSpec {
       "2024-01-11" -> 1L),
       s"day-4 window unions day-1, day-11 window ages both out: $wau")
   }
+
+  test("late event for an already-served day: re-serve REVISES history — " +
+      "every trailing window containing the day updates, others don't") {
+    // VERDICT r12 item 8: the maintained table merges per-day by HLL
+    // union, so a LATE arrival (an event for a day whose windows were
+    // already served) changes previously-served answers. That is the
+    // DOCUMENTED semantics — the table tracks the true event history,
+    // not the serve history — and this pins its exact shape:
+    //   1. the late day's sketch absorbs the new user (union, in-place);
+    //   2. every trailing window whose [win_end-6, win_end] span covers
+    //      the late day re-serves with the revised estimate;
+    //   3. windows NOT covering the late day re-serve bit-identically;
+    //   4. revision is MONOTONE: HLL union never subtracts, so a late
+    //      event can only raise (or keep) every affected window — there
+    //      is no retraction path, only additive revision. A true
+    //      retraction (drop a user from history) would need a rebuild
+    //      from raw events; the sketch table cannot express it.
+    val dir = java.nio.file.Files.createTempDirectory("latewau").toString
+    def ev(rows: Seq[(Long, String)]) = rows.toDF("user_id", "d")
+      .select(col("user_id"), to_timestamp(col("d")).as("ts"))
+    // served state: day1 {1,2}, day4 {2,3}, day11 {1}
+    StreamingAnalytics.updateDaySketches(
+      ev(Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 11:00:00"),
+        (2L, "2024-01-04 09:00:00"), (3L, "2024-01-04 12:00:00"),
+        (1L, "2024-01-11 01:00:00"))), dir, batchId = 0L)
+    def wauMap() = StreamingAnalytics.wauFromDaySketches(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est_wau")).toMap
+    val served = wauMap()
+    assert(served == Map("2024-01-01" -> 2L, "2024-01-04" -> 3L,
+      "2024-01-11" -> 1L), s"pre-late serve: $served")
+    // LATE: user 9's day-1 event arrives after day-1/day-4 were served
+    StreamingAnalytics.updateDaySketches(
+      ev(Seq((9L, "2024-01-01 23:59:00"))), dir, batchId = 1L)
+    val reserved = wauMap()
+    // windows covering day 1 (win_end 01 and 04) revise to include 9;
+    // the day-11 window ([01-05, 01-11]) never sees day 1: unchanged
+    assert(reserved == Map("2024-01-01" -> 3L, "2024-01-04" -> 4L,
+      "2024-01-11" -> 1L), s"post-late re-serve: $reserved")
+    // monotone revision: no window ever decreased
+    served.foreach { case (d, e) =>
+      assert(reserved(d) >= e, s"window $d retracted: ${reserved(d)} < $e")
+    }
+  }
 }
