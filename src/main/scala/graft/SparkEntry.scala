@@ -18,7 +18,7 @@ object SparkEntry {
     RelationalOps.queries ++ ReconOps.queries ++ TextOps.queries ++
       VectorOps.queries ++ DedupOps.queries ++ IngestOps.queries ++
       MultimodalOps.queries ++ MonitorOps.queries ++ CurationOps.queries ++
-      DedupOps.prodQueries ++ CurationOps.prodQueries
+      ChatOps.queries ++ DedupOps.prodQueries ++ CurationOps.prodQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +26,5 @@ object SparkEntry {
     RelationalOps.oracles ++ ReconOps.oracles ++ TextOps.oracles ++
       VectorOps.oracles ++ DedupOps.oracles ++ IngestOps.oracles ++
       MultimodalOps.oracles ++ MonitorOps.oracles ++ CurationOps.oracles ++
-      DedupOps.prodOracles ++ CurationOps.prodOracles
+      ChatOps.oracles ++ DedupOps.prodOracles ++ CurationOps.prodOracles
 }

@@ -1,0 +1,280 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** [EXT] SFT / chat-data preparation — the operator family between a
+  * curated text corpus and an instruction-tuning run (the north-star
+  * brief's training-data pipeline, final stage): chat-template
+  * rendering, role-alternation admission, loss-mask token accounting,
+  * and per-role corpus stats. The reference has no analogue (it routes
+  * whole files — `bin/save_DBB_stagein_to_DBB.py:36-45`); this family
+  * exists because an LLM training pipeline's last mile consumes
+  * CONVERSATIONS, not documents, and every trainer-side bug class here
+  * (template drift, role-order corruption, wrong loss masks) is
+  * cheapest to catch at the data layer.
+  *
+  * Representation: a conversation is an `array<struct<role, content>>`
+  * column — the natural Spark shape (one row per conversation, turns
+  * nested). Every operator below is an expression-only composition
+  * (`transform`/`filter`/`zip_with`/`aggregate` + string functions)
+  * over that column: map-side, no UDF, no shuffle except the final
+  * per-role census. At 100 TB the family divides by executors like the
+  * decode kernels.
+  *
+  * Fixture discipline ([[TextOps.htmlDocs]], [[MultimodalOps]]): the
+  * corpus has no conversation column, so [[chatDocs]] synthesizes one
+  * from each document's whitespace tokens with PLANTED arithmetic a
+  * DuckDB oracle can recompute — 8-token turns, a system turn on every
+  * 3rd doc, strict user/assistant alternation, and a deterministic
+  * role-corruption fault on every 7th doc (the [[DedupOps.MergeDeltaMod]]
+  * fault-injection idiom) so the validator has real violations to
+  * catch. The OPERATORS never see the arithmetic — they read the
+  * materialized conversation column, exactly as they would a real SFT
+  * corpus; only the fixture and the oracle share the planted math.
+  */
+object ChatOps {
+
+  /** Tokens per synthesized turn (last turn keeps the remainder). */
+  val TurnToks = 8
+
+  /** Every `SysMod`-th doc opens with a system turn. */
+  val SysMod = 3
+
+  /** Every `FaultMod`-th doc (with ≥ 3 turns) has turn 2's role
+    * overwritten with turn 1's — an adjacent-duplicate role corruption
+    * the alternation validator must flag (and, when turn 2 is last,
+    * an ends-on-wrong-role violation too). */
+  val FaultMod = 7
+
+  /** Special-token overhead a rendered turn adds beyond its content
+    * tokens: the `<|im_start|>role` prefix and `<|im_end|>` suffix. */
+  val TurnOverheadToks = 2
+
+  /** Of [[TurnOverheadToks]], the part that participates in the loss
+    * for assistant turns: the model must learn to EMIT `<|im_end|>`
+    * (stop decision), while `<|im_start|>role` is always forced. */
+  val LossExtraToks = 1
+
+  private val RoleSys = "system"
+  private val RoleUser = "user"
+  private val RoleAsst = "assistant"
+
+  /** Deterministic conversation synthesis from the documents table:
+    * (doc_id, conv) where conv is `array<struct<role, content>>` built
+    * by the planted arithmetic above. Docs with zero tokens are
+    * dropped (absent from this corpus; the guard keeps synthesis
+    * total). */
+  private[graft] def chatDocs(docs: DataFrame): DataFrame = {
+    val hasSys = col("doc_id") % SysMod === 0
+    // base role of turn t: system at t=0 on system docs, then strict
+    // user/assistant alternation (k = t minus the system offset; all
+    // operands non-negative, so div/mod agree cross-engine)
+    def baseRole(t: Column): Column =
+      when(hasSys && t === 0, lit(RoleSys))
+        .when((t - when(hasSys, 1).otherwise(0)) % 2 === 0, lit(RoleUser))
+        .otherwise(lit(RoleAsst))
+    val faulted = col("doc_id") % FaultMod === 0 && col("n_turns") >= 3
+    def role(t: Column): Column =
+      when(faulted && t === 2, baseRole(lit(1))).otherwise(baseRole(t))
+    docs
+      .withColumn("w", TextOps.toks(col("text")))
+      .where(size(col("w")) >= 1)
+      .withColumn("n_turns",
+        expr(s"CAST((size(w) + ${TurnToks - 1}) div $TurnToks AS INT)"))
+      .select(col("doc_id"), transform(
+        sequence(lit(0), col("n_turns") - 1),
+        t => struct(
+          role(t).as("role"),
+          array_join(slice(col("w"), (t * TurnToks + 1).cast("int"),
+            lit(TurnToks)), " ").as("content"))).as("conv"))
+  }
+
+  /** CHAT-TEMPLATE RENDER — conversation → the single training string
+    * a tokenizer consumes, in the public ChatML-style framing
+    * (`<|im_start|>role\ncontent<|im_end|>\n` per turn). Pure string
+    * expressions over the conversation column (one `transform` + one
+    * `array_join`): map-side, codegen-friendly, zero shuffle. Output
+    * is the render's census (length + md5) so the oracle hash-checks
+    * the EXACT rendered bytes without shipping them. */
+  def chatRender(spark: SparkSession, dir: String): DataFrame =
+    chatDocs(Tables.documents(spark, dir))
+      .withColumn("rendered", array_join(transform(col("conv"), c =>
+        concat(lit("<|im_start|>"), c.getField("role"), lit("\n"),
+          c.getField("content"), lit("<|im_end|>\n"))), ""))
+      .select(col("doc_id"), size(col("conv")).as("n_turns"),
+        length(col("rendered")).cast("int").as("n_chars"),
+        md5(col("rendered").cast("binary")).as("render_fp"))
+
+  /** ROLE-ALTERNATION ADMISSION — the structural gate an SFT corpus
+    * passes before rendering: system only in position 0, first
+    * non-system turn is user, roles strictly alternate after that,
+    * conversation ends on assistant (a trailing user turn trains
+    * nothing). Reads ONLY the conversation column (array predicates
+    * over the roles — `exists`/`zip_with`/`forall`), so it gates a
+    * real corpus as-is; the planted [[FaultMod]] corruption and the
+    * organic trailing-user parity give every boolean both values.
+    * One row per conversation, map-side. */
+  def chatValidate(spark: SparkSession, dir: String): DataFrame = {
+    val r = col("roles")
+    // roles with system stripped: alternation is judged on the
+    // user/assistant sequence (a misplaced system is flagged
+    // separately by sys_only_first, not double-counted here)
+    val rr = filter(r, x => x =!= RoleSys)
+    chatDocs(Tables.documents(spark, dir))
+      .withColumn("roles", transform(col("conv"), c => c.getField("role")))
+      .select(col("doc_id"), size(col("roles")).as("n_turns"),
+        (element_at(r, 1) === RoleSys).as("has_system"),
+        (!exists(slice(r, lit(2), greatest(size(r) - 1, lit(0))),
+          x => x === RoleSys)).as("sys_only_first"),
+        (coalesce(element_at(rr, 1), lit("")) === RoleUser).as("starts_user"),
+        forall(zip_with(rr, slice(rr, lit(2), greatest(size(rr) - 1, lit(0))),
+          (a, b) => a =!= b), x => coalesce(x, lit(true))).as("alternates"),
+        (element_at(r, -1) === RoleAsst).as("ends_assistant"))
+      .withColumn("valid",
+        col("sys_only_first") && col("starts_user") && col("alternates") &&
+          col("ends_assistant"))
+  }
+
+  /** LOSS-MASK TOKEN ACCOUNTING — the token-budget numbers an SFT run
+    * plans with: per conversation, total tokens the render consumes
+    * (content + [[TurnOverheadToks]] per turn) vs tokens that carry
+    * loss under the standard assistant-only mask (assistant content +
+    * the emitted `<|im_end|>`). `loss_pct` is the mask density —
+    * integer-exact (`*100 div`, all operands non-negative) so it
+    * crosses the oracle bit-identically. The per-turn content token
+    * counts come from RE-TOKENIZING the conversation's content (the
+    * operator trusts the column, not the synthesis arithmetic). One
+    * `aggregate` over the turns array per row: map-side, no shuffle. */
+  def lossMask(spark: SparkSession, dir: String): DataFrame = {
+    def contentToks(c: Column): Column =
+      size(TextOps.toks(c.getField("content"))).cast("long")
+    chatDocs(Tables.documents(spark, dir))
+      .select(col("doc_id"), size(col("conv")).as("n_turns"),
+        aggregate(col("conv"), lit(0L),
+          (acc, c) => acc + contentToks(c) + TurnOverheadToks)
+          .as("n_tok_total"),
+        aggregate(col("conv"), lit(0L), (acc, c) =>
+          acc + when(c.getField("role") === RoleAsst,
+            contentToks(c) + LossExtraToks).otherwise(0L))
+          .as("n_tok_loss"))
+      .withColumn("loss_pct",
+        expr("CAST(n_tok_loss * 100 div n_tok_total AS INT)"))
+  }
+
+  /** PER-ROLE CORPUS CENSUS — turn counts and content-token mass by
+    * role across the corpus (the mixture table an SFT run reports
+    * next to its data card): explode to one row per turn, partial-agg
+    * groupBy on a 3-value key. The only shuffling query of the family
+    * — 3 groups after map-side combine. avg is integer-exact
+    * (`*100 div`). */
+  def chatTurnStats(spark: SparkSession, dir: String): DataFrame =
+    chatDocs(Tables.documents(spark, dir))
+      .select(explode(col("conv")).as("turn"))
+      .select(col("turn.role").as("role"),
+        size(TextOps.toks(col("turn.content"))).cast("long").as("n_tok"))
+      .groupBy(col("role"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(col("n_tok")).as("tot_toks"))
+      .withColumn("avg_toks_x100",
+        expr("CAST(tot_toks * 100 div n_turns AS BIGINT)"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chat_render"     -> chatRender _,
+    "q_chat_validate"   -> chatValidate _,
+    "q_loss_mask"       -> lossMask _,
+    "q_chat_turn_stats" -> chatTurnStats _)
+
+  /** Shared oracle CTEs: the planted per-turn table (doc_id, t, role,
+    * content, n_content) rebuilt from the SAME token arithmetic as
+    * [[chatDocs]] — never by reading the conversation column. The
+    * faulted role of turn 2 is turn 1's base role, which is `user`
+    * exactly on system docs (k = 0) and `assistant` otherwise. */
+  private val turnsCte: String =
+    s"""tok AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |base AS (SELECT doc_id, w, len(w) AS n,
+       |    (len(w) + ${TurnToks - 1}) // $TurnToks AS n_turns,
+       |    doc_id % $SysMod = 0 AS has_sys
+       |  FROM tok WHERE len(w) >= 1),
+       |tix AS (SELECT doc_id, w, n, n_turns, has_sys,
+       |    unnest(range(n_turns)) AS t FROM base),
+       |turns AS (SELECT doc_id, n_turns, has_sys, t,
+       |    CASE
+       |      WHEN doc_id % $FaultMod = 0 AND n_turns >= 3 AND t = 2 THEN
+       |        CASE WHEN has_sys THEN '$RoleUser' ELSE '$RoleAsst' END
+       |      WHEN has_sys AND t = 0 THEN '$RoleSys'
+       |      WHEN (t - CASE WHEN has_sys THEN 1 ELSE 0 END) % 2 = 0
+       |        THEN '$RoleUser'
+       |      ELSE '$RoleAsst'
+       |    END AS role,
+       |    array_to_string(list_slice(w,
+       |      t * $TurnToks + 1, t * $TurnToks + $TurnToks), ' ') AS content,
+       |    least($TurnToks, n - t * $TurnToks) AS n_content
+       |  FROM tix)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // exact rendered bytes rebuilt per turn and string_agg'd in turn
+    // order; md5 grades the full render without shipping it
+    "q_chat_render" ->
+      s"""WITH $turnsCte,
+         |r AS (SELECT doc_id,
+         |    CAST(max(n_turns) AS INT) AS n_turns,
+         |    string_agg('<|im_start|>' || role || chr(10) || content ||
+         |      '<|im_end|>' || chr(10), '' ORDER BY t) AS rendered
+         |  FROM turns GROUP BY doc_id)
+         |SELECT doc_id, n_turns,
+         |  CAST(length(rendered) AS INT) AS n_chars,
+         |  md5(rendered) AS render_fp
+         |FROM r""".stripMargin,
+    // the validator's booleans from the planted role table: adjacency
+    // via lead() over the system-stripped sequence, ends via max_by
+    "q_chat_validate" ->
+      s"""WITH $turnsCte,
+         |nonsys AS (SELECT doc_id, t, role,
+         |    lead(role) OVER (PARTITION BY doc_id ORDER BY t) AS nxt,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY t) AS rk
+         |  FROM turns WHERE role <> '$RoleSys'),
+         |alt AS (SELECT doc_id,
+         |    bool_and(nxt IS NULL OR role <> nxt) AS alternates,
+         |    bool_or(rk = 1 AND role = '$RoleUser') AS starts_user
+         |  FROM nonsys GROUP BY doc_id),
+         |agg AS (SELECT doc_id,
+         |    CAST(max(n_turns) AS INT) AS n_turns,
+         |    bool_or(t = 0 AND role = '$RoleSys') AS has_system,
+         |    NOT bool_or(t > 0 AND role = '$RoleSys') AS sys_only_first,
+         |    max_by(role, t) = '$RoleAsst' AS ends_assistant
+         |  FROM turns GROUP BY doc_id)
+         |SELECT a.doc_id, a.n_turns, a.has_system, a.sys_only_first,
+         |  coalesce(l.starts_user, FALSE) AS starts_user,
+         |  coalesce(l.alternates, TRUE) AS alternates,
+         |  a.ends_assistant,
+         |  a.sys_only_first AND coalesce(l.starts_user, FALSE)
+         |    AND coalesce(l.alternates, TRUE) AND a.ends_assistant AS valid
+         |FROM agg a LEFT JOIN alt l USING (doc_id)""".stripMargin,
+    // token accounting: content counts from the planted arithmetic,
+    // overhead/loss constants shared with the Scala side
+    "q_loss_mask" ->
+      s"""WITH $turnsCte,
+         |m AS (SELECT doc_id,
+         |    CAST(max(n_turns) AS INT) AS n_turns,
+         |    CAST(sum(n_content + $TurnOverheadToks) AS BIGINT)
+         |      AS n_tok_total,
+         |    CAST(sum(CASE WHEN role = '$RoleAsst'
+         |      THEN n_content + $LossExtraToks ELSE 0 END) AS BIGINT)
+         |      AS n_tok_loss
+         |  FROM turns GROUP BY doc_id)
+         |SELECT doc_id, n_turns, n_tok_total, n_tok_loss,
+         |  CAST(n_tok_loss * 100 // n_tok_total AS INT) AS loss_pct
+         |FROM m""".stripMargin,
+    "q_chat_turn_stats" ->
+      s"""WITH $turnsCte
+         |SELECT role,
+         |  CAST(count(*) AS BIGINT) AS n_turns,
+         |  CAST(sum(n_content) AS BIGINT) AS tot_toks,
+         |  CAST(sum(n_content) * 100 // count(*) AS BIGINT)
+         |    AS avg_toks_x100
+         |FROM turns GROUP BY role""".stripMargin)
+}
