@@ -18,7 +18,8 @@ object SparkEntry {
     RelationalOps.queries ++ ReconOps.queries ++ TextOps.queries ++
       VectorOps.queries ++ DedupOps.queries ++ IngestOps.queries ++
       MultimodalOps.queries ++ MonitorOps.queries ++ CurationOps.queries ++
-      ChatOps.queries ++ DedupOps.prodQueries ++ CurationOps.prodQueries
+      ChatOps.queries ++ LayoutOps.queries ++
+      DedupOps.prodQueries ++ CurationOps.prodQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
     RelationalOps.oracles ++ ReconOps.oracles ++ TextOps.oracles ++
       VectorOps.oracles ++ DedupOps.oracles ++ IngestOps.oracles ++
       MultimodalOps.oracles ++ MonitorOps.oracles ++ CurationOps.oracles ++
-      ChatOps.oracles ++ DedupOps.prodOracles ++ CurationOps.prodOracles
+      ChatOps.oracles ++ LayoutOps.oracles ++
+      DedupOps.prodOracles ++ CurationOps.prodOracles
 }
