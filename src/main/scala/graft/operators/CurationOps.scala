@@ -646,6 +646,112 @@ object CurationOps {
         col("n_dup_chunks") * 2 >= col("n_chunks"))
   }
 
+  /** CDC boundary divisor: a token CLOSES its chunk when the 32-bit
+    * head of its md5 ≡ 0 (mod this) — expected chunk length =
+    * `CdcDivisor` tokens. Content-defined: the decision depends ONLY
+    * on the token itself, never on position. */
+  val CdcDivisor = 8
+
+  /** Every `CdcShiftMod`-th doc gets a prefix-shifted twin in
+    * [[cdcShift]] — the insertion-robustness probe. */
+  val CdcShiftMod = 10
+
+  /** The planted 3-token insertion the twin prepends. */
+  val CdcShiftPrefix = "zq0 zq1 zq2"
+
+  /** CONTENT-DEFINED CHUNKING (FastCDC/LBFS-style, token-anchored) —
+    * the shift-robust alternative to [[chunkedToks]]'s fixed grid: a
+    * chunk boundary falls AFTER every token whose hash ≡ 0 (mod
+    * [[CdcDivisor]]), so boundaries are properties of the CONTENT, not
+    * of token offsets. Insert three tokens at the head of a document
+    * and every fixed-grid chunk shifts (all fingerprints change); CDC
+    * boundaries downstream of the edit are bit-identical, so the
+    * shared-chunk dedup keeps matching ([[cdcShift]] measures exactly
+    * this). The price is chunk-length variance (geometric around the
+    * divisor) — why real dedup storage (LBFS, restic, borg) pays it.
+    *
+    * Scale shape: posexplode → one window per doc (the sessionize
+    * partition discipline — running boundary count, shuffle keyed by
+    * doc_id) → per-chunk hash aggregate. Emits
+    * (doc_id, lang, chunk_id, n_tok, chunk_fp) like [[chunkDocs]]. */
+  private[graft] def cdcChunksOf(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    docs
+      .select(col("doc_id"), col("lang"),
+        posexplode(filter(split(col("text"), " "), t => t =!= ""))
+          .as(Seq("pos", "tok")))
+      .withColumn("b", when(expr("CAST(conv(substring(md5(cast(tok AS " +
+        s"binary)), 1, 8), 16, 10) AS BIGINT) % $CdcDivisor") === 0, 1L)
+        .otherwise(0L))
+      .withColumn("chunk_id", coalesce(sum(col("b")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("lang"), col("chunk_id"))
+      .agg(count(lit(1)).cast("int").as("n_tok"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").cast("binary")).as("chunk_fp"))
+  }
+
+  /** CDC chunk census — per doc: chunk count, token total, and the
+    * md5 of the in-order chunk-fingerprint sequence (grades the whole
+    * boundary + reassembly chain byte-for-byte). */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(Tables.documents(spark, dir))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        sum(col("n_tok")).cast("long").as("n_toks"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk_fp")))),
+          s => s.getField("chunk_fp")), "").cast("binary")).as("chunks_fp"))
+
+  /** [[chunkDedup]] over CDC chunks — same owner-resolution shape
+    * ([[chunkDedupOf]] verbatim), shift-robust candidate set. */
+  def cdcDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkDedupOf(cdcChunksOf(Tables.documents(spark, dir)))
+
+  /** INSERTION-ROBUSTNESS PROBE — the number the CDC family exists
+    * for: every [[CdcShiftMod]]-th doc gets a twin with a planted
+    * 3-token head insertion, and both chunking schemes report what
+    * fraction of the ORIGINAL's distinct chunk fingerprints survive in
+    * the twin. Fixed-grid chunks all shift (≈0% survive); CDC chunks
+    * downstream of the first boundary are untouched (the bulk
+    * survives). Two rows (scheme, n_docs, tot_chunks, tot_shared,
+    * shared_pct), integer-exact. */
+  def cdcShift(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .where(col("doc_id") % CdcShiftMod === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val shifted = base.withColumn("text",
+      concat(lit(CdcShiftPrefix + " "), col("text")))
+    def fpsCdc(df: DataFrame) =
+      cdcChunksOf(df).select(col("doc_id"), col("chunk_fp")).distinct()
+    def fpsFixed(df: DataFrame) =
+      chunkedToks(df).select(col("doc_id"),
+        md5(array_join(col("ctoks"), " ").cast("binary")).as("chunk_fp"))
+        .distinct()
+    def arm(scheme: String, fps: DataFrame => DataFrame): DataFrame = {
+      val o = fps(base)
+      val s = fps(shifted)
+        .withColumnRenamed("chunk_fp", "sfp")
+        .withColumnRenamed("doc_id", "sid")
+      val shared = o.join(s,
+          o("doc_id") === col("sid") && o("chunk_fp") === col("sfp"))
+        .groupBy(o("doc_id")).agg(count(lit(1)).as("n_shared"))
+      o.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+        .join(shared, Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chunks")).as("tot_chunks"),
+          sum(coalesce(col("n_shared"), lit(0L))).as("tot_shared"))
+        .select(lit(scheme).as("scheme"), col("n_docs"),
+          col("tot_chunks"), col("tot_shared"),
+          expr("CAST(tot_shared * 100 div tot_chunks AS INT)")
+            .as("shared_pct"))
+    }
+    arm("cdc", fpsCdc).unionByName(arm("fixed", fpsFixed))
+  }
+
   /** Fraction of a doc's chunks that must match benchmark chunks to
     * flag it (1e-4 units, integer-exact compare). 30%: the sub-document
     * threshold — a doc quoting a third of its content from a benchmark
@@ -1227,6 +1333,9 @@ object CurationOps {
     "q_corpus_report" -> corpusReport _,
     "q_chunks" -> chunkDocs _,
     "q_chunk_dedup" -> chunkDedup _,
+    "q_cdc_chunks" -> cdcChunks _,
+    "q_cdc_dedup" -> cdcDedup _,
+    "q_cdc_shift" -> cdcShift _,
     "q_seq_pack" -> packSummary _,
     "q_source_profile" -> sourceProfile _,
     "q_url_dedup" -> urlDedup _,
@@ -1281,6 +1390,60 @@ object CurationOps {
        |  CAST(len(ctoks) AS INT) AS n_tok,
        |  md5(array_to_string(ctoks, ' ')) AS chunk_fp
        |  FROM cht)""".stripMargin
+
+  /** CDC chunk chain over `$src` with CTE-name prefix `$p` — the
+    * DuckDB twin of [[cdcChunksOf]]: positioned tokens, boundary flag
+    * from the same 8-hex md5 head, exclusive-prefix running boundary
+    * count as chunk_id, per-chunk fp from the in-order token join.
+    * Ends in `${p}ch(doc_id, lang, chunk_id, n_tok, chunk_fp)`. */
+  private def cdcChainCte(src: String, p: String): String =
+    s"""${p}tk AS (SELECT doc_id, lang,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM $src),
+       |${p}px AS (SELECT doc_id, lang, u.p AS pos, w[u.p] AS tok
+       |  FROM ${p}tk, unnest(range(1, len(w) + 1)) AS u(p)),
+       |${p}ci AS (SELECT doc_id, lang, pos, tok,
+       |    coalesce(sum(CASE WHEN
+       |        CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+       |          % $CdcDivisor = 0
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS chunk_id
+       |  FROM ${p}px),
+       |${p}ch AS (SELECT doc_id, lang, chunk_id,
+       |    CAST(count(*) AS INT) AS n_tok,
+       |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+       |  FROM ${p}ci GROUP BY doc_id, lang, chunk_id)""".stripMargin
+
+  /** Fixed-grid chunk fps over `$src` with prefix `$p` (the
+    * [[chunkToksCtes]] arithmetic, source-parameterized). Ends in
+    * `${p}fch(doc_id, chunk_fp)`. */
+  private def fixedFpsCte(src: String, p: String): String =
+    s"""${p}ft AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM $src),
+       |${p}fs AS (SELECT doc_id, toks, len(toks) AS n
+       |  FROM ${p}ft WHERE len(toks) > 0),
+       |${p}fc AS (SELECT doc_id, toks, n,
+       |    unnest(range(0, n, $ChunkStride)) AS start FROM ${p}fs),
+       |${p}fch AS (SELECT doc_id, md5(array_to_string(
+       |    toks[CAST(start + 1 AS INT):CAST(start + $ChunkTokens AS INT)],
+       |    ' ')) AS chunk_fp
+       |  FROM ${p}fc WHERE start = 0 OR start + $ChunkOverlap < n)""".stripMargin
+
+  /** One arm of the q_cdc_shift oracle: distinct-fp survival of the
+    * original's chunks in the shifted twin, totalled integer-exact. */
+  private def shiftArmSql(scheme: String, oFp: String, sFp: String): String =
+    s"""SELECT '$scheme' AS scheme,
+       |  CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS tot_chunks,
+       |  CAST(sum(CASE WHEN s.chunk_fp IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS tot_shared,
+       |  CAST(sum(CASE WHEN s.chunk_fp IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 100 // count(*) AS INT) AS shared_pct
+       |FROM (SELECT DISTINCT doc_id, chunk_fp FROM $oFp) o
+       |LEFT JOIN (SELECT DISTINCT doc_id, chunk_fp FROM $sFp) s
+       |  USING (doc_id, chunk_fp)""".stripMargin
 
   /** Per-chunk CROSS-DOC dup marker over `ch` (ends in
     * `chr(doc_id, lang, is_dup)`): a chunk is a dup iff a LOWER-id doc
@@ -1570,6 +1733,39 @@ object CurationOps {
     "q_chunks" ->
       s"""WITH $chunksCtes
          |SELECT doc_id, lang, chunk_id, n_tok, chunk_fp FROM ch""".stripMargin,
+    // CDC chain recomputed per chunk and per doc; the chunks_fp md5
+    // grades boundary placement + reassembly order byte-for-byte
+    "q_cdc_chunks" ->
+      s"""WITH ${cdcChainCte("documents", "q")}
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_chunks,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_toks,
+         |  md5(string_agg(chunk_fp, '' ORDER BY chunk_id)) AS chunks_fp
+         |FROM qch GROUP BY doc_id""".stripMargin,
+    // same owner-resolution shape as q_chunk_dedup, over CDC chunks
+    "q_cdc_dedup" ->
+      s"""WITH ${cdcChainCte("documents", "q")},
+         |qdr AS (SELECT doc_id, lang,
+         |    CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY chunk_fp)
+         |      THEN 1 ELSE 0 END AS is_dup
+         |  FROM qch)
+         |SELECT doc_id, lang, count(*) AS n_chunks,
+         |  CAST(sum(is_dup) AS BIGINT) AS n_dup_chunks,
+         |  2 * sum(is_dup) >= count(*) AS chunk_dup
+         |FROM qdr GROUP BY doc_id, lang""".stripMargin,
+    // both schemes' survival of a planted 3-token head insertion,
+    // distinct-fp intersection per doc, totals integer-exact
+    "q_cdc_shift" ->
+      s"""WITH d0 AS (SELECT doc_id, lang, text FROM documents
+         |  WHERE doc_id % $CdcShiftMod = 0),
+         |d1 AS (SELECT doc_id, lang, '$CdcShiftPrefix ' || text AS text
+         |  FROM d0),
+         |${cdcChainCte("d0", "a")},
+         |${cdcChainCte("d1", "b")},
+         |${fixedFpsCte("d0", "a")},
+         |${fixedFpsCte("d1", "b")}
+         |${shiftArmSql("cdc", "ach", "bch")}
+         |UNION ALL
+         |${shiftArmSql("fixed", "afch", "bfch")}""".stripMargin,
     // the chunk_dup flag is integer-exact (2·dup ≥ n); dup semantics
     // are cross-doc only (chunkDupCte)
     "q_chunk_dedup" ->
