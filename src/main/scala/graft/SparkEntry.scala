@@ -18,7 +18,7 @@ object SparkEntry {
     RelationalOps.queries ++ ReconOps.queries ++ TextOps.queries ++
       VectorOps.queries ++ DedupOps.queries ++ IngestOps.queries ++
       MultimodalOps.queries ++ MonitorOps.queries ++ CurationOps.queries ++
-      ChatOps.queries ++ LayoutOps.queries ++
+      ChatOps.queries ++ LayoutOps.queries ++ JsonOps.queries ++
       DedupOps.prodQueries ++ CurationOps.prodQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -27,6 +27,6 @@ object SparkEntry {
     RelationalOps.oracles ++ ReconOps.oracles ++ TextOps.oracles ++
       VectorOps.oracles ++ DedupOps.oracles ++ IngestOps.oracles ++
       MultimodalOps.oracles ++ MonitorOps.oracles ++ CurationOps.oracles ++
-      ChatOps.oracles ++ LayoutOps.oracles ++
+      ChatOps.oracles ++ LayoutOps.oracles ++ JsonOps.oracles ++
       DedupOps.prodOracles ++ CurationOps.prodOracles
 }
