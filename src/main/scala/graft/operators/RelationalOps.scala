@@ -221,6 +221,63 @@ object RelationalOps {
     * see [[profile]] for why floats/timestamps stay out). */
   val ProfileCols: Seq[String] = Seq("event_id", "user_id", "event_type")
 
+  /** Cap on the recommended salt spread (beyond ~64 the per-key
+    * shuffle-fanout cost outruns the reducer relief). */
+  val SkewSaltCap = 64
+
+  /** KEY-SKEW PROFILER — the diagnosis that TRIGGERS the salted
+    * operators ([[graft.operators.ReconOps]] `sessionizeSalted` /
+    * `asofSalted`, [[graft.operators.DedupOps.connectedComponentsSalted]]
+    * all exist for hot keys; this is the census that says WHICH join
+    * keys are hot before a 100 TB run commits to a plan): per
+    * (relation, key) — row/key counts, the hottest key and its
+    * frequency, the max/avg ratio (`skew_x100`, integer-exact), and a
+    * salt recommendation `ceil(max/avg)` capped at [[SkewSaltCap]]
+    * (a key at k× the average wants its rows spread over ~k reducers).
+    * Hot-key pick is deterministic: lowest key among the tied-max.
+    *
+    * Scale shape: one partial-aggregated key census per arm (the
+    * exchange carries ~distinct keys), then 1-row rollups; the ratio
+    * products promote to DECIMAL(38,0) at extreme corpus sizes the
+    * way [[graft.operators.TextOps.collocations]] documents. */
+  private def skewArm(df: DataFrame, key: String,
+      label: String): DataFrame = {
+    val cnts = df.where(col(key).isNotNull)
+      .groupBy(col(key).cast("string").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = cnts.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
+    val hot = cnts
+      .join(broadcast(stats.select(col("max_cnt").as("mc"))),
+        col("cnt") === col("mc"))
+      .agg(min(col("k")).as("hot_key"))
+    stats.crossJoin(broadcast(hot))
+      .select(lit(label).as("rel_key"), col("n_rows"), col("n_keys"),
+        col("max_cnt"), col("hot_key"),
+        expr("CAST(n_rows * 100 div n_keys AS BIGINT)").as("avg_cnt_x100"),
+        expr("CAST(max_cnt * 100 * n_keys div n_rows AS BIGINT)")
+          .as("skew_x100"),
+        expr(s"CAST(least($SkewSaltCap, greatest(1, " +
+          "(max_cnt * n_keys + n_rows - 1) div n_rows)) AS INT)")
+          .as("salt_reco"))
+  }
+
+  /** The declared skew census over the join keys the operator families
+    * actually shuffle on. */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    Seq(
+      skewArm(ev, "user_id", "events.user_id"),
+      skewArm(ev, "event_type", "events.event_type"),
+      skewArm(docs, "source", "documents.source"),
+      skewArm(docs, "lang", "documents.lang"),
+      skewArm(Tables.lineitem(spark, dir), "l_orderkey",
+        "lineitem.l_orderkey"))
+      .reduce(_ unionByName _)
+  }
+
   def eventsProfile(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Tables
     profile(Tables.events(spark, dir), ProfileCols)
@@ -229,6 +286,7 @@ object RelationalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct" -> approxDistinct _,
     "q_table_profile" -> eventsProfile _,
+    "q_skew_profile" -> skewProfile _,
     "q1_pricing"     -> q1Pricing _,
     "q_pushdown"     -> pushdownScan _,
     "q_join_agg"     -> joinAgg _,
@@ -240,7 +298,37 @@ object RelationalOps {
     "q_topk_errors"  -> topkErrors _,
   )
 
+  /** One oracle arm of q_skew_profile (CTE prefix `p`), ending in
+    * `${p}o` with the full row. */
+  private def skewArmSql(rel: String, key: String, label: String,
+      p: String): String =
+    s"""${p}c AS (SELECT CAST($key AS VARCHAR) AS k, count(*) AS cnt
+       |  FROM $rel WHERE $key IS NOT NULL GROUP BY 1),
+       |${p}s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |    count(*) AS n_keys, CAST(max(cnt) AS BIGINT) AS max_cnt
+       |  FROM ${p}c),
+       |${p}h AS (SELECT min(k) AS hot_key FROM ${p}c, ${p}s
+       |  WHERE cnt = max_cnt),
+       |${p}o AS (SELECT '$label' AS rel_key, n_rows, n_keys, max_cnt,
+       |    hot_key,
+       |    CAST(n_rows * 100 // n_keys AS BIGINT) AS avg_cnt_x100,
+       |    CAST(max_cnt * 100 * n_keys // n_rows AS BIGINT) AS skew_x100,
+       |    CAST(least($SkewSaltCap, greatest(1,
+       |      (max_cnt * n_keys + n_rows - 1) // n_rows)) AS INT)
+       |      AS salt_reco
+       |  FROM ${p}s, ${p}h)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_skew_profile" ->
+      s"""WITH ${skewArmSql("events", "user_id", "events.user_id", "sa")},
+         |${skewArmSql("events", "event_type", "events.event_type", "sb")},
+         |${skewArmSql("documents", "source", "documents.source", "sc")},
+         |${skewArmSql("documents", "lang", "documents.lang", "sd")},
+         |${skewArmSql("lineitem", "l_orderkey", "lineitem.l_orderkey",
+        "se")}
+         |SELECT * FROM sao UNION ALL SELECT * FROM sbo
+         |UNION ALL SELECT * FROM sco UNION ALL SELECT * FROM sdo
+         |UNION ALL SELECT * FROM seo""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
