@@ -19,6 +19,7 @@ object SparkEntry {
       VectorOps.queries ++ DedupOps.queries ++ IngestOps.queries ++
       MultimodalOps.queries ++ MonitorOps.queries ++ CurationOps.queries ++
       ChatOps.queries ++ LayoutOps.queries ++ JsonOps.queries ++
+      FuzzyOps.queries ++
       DedupOps.prodQueries ++ CurationOps.prodQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -28,5 +29,6 @@ object SparkEntry {
       VectorOps.oracles ++ DedupOps.oracles ++ IngestOps.oracles ++
       MultimodalOps.oracles ++ MonitorOps.oracles ++ CurationOps.oracles ++
       ChatOps.oracles ++ LayoutOps.oracles ++ JsonOps.oracles ++
+      FuzzyOps.oracles ++
       DedupOps.prodOracles ++ CurationOps.prodOracles
 }

@@ -283,10 +283,69 @@ object RelationalOps {
     profile(Tables.events(spark, dir), ProfileCols)
   }
 
+  /** Sentinel the multi-level reports print for a rolled-up level
+    * (no `<all>` literal exists in the corpus — probed). */
+  val AllSentinel = "<all>"
+
+  /** OLAP MULTI-LEVEL AGGREGATION — `ROLLUP (lang, source)`: per
+    * (lang, source), per lang, and grand total in ONE pass (Spark's
+    * Expand operator replicates each input row once per grouping set
+    * BEFORE the partial aggregation, so the exchange still carries
+    * only group rows — the plan every BI drill-down sits on).
+    * `gid` is the SQL-standard grouping bit-vector (first listed
+    * column = MSB), disambiguating a real null from a rolled-up
+    * level; rolled-up values render as [[AllSentinel]]. */
+  def rollupReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    Tables.documents(spark, dir)
+      .rollup(col("lang"), col("source"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot_chars"))
+      .select(coalesce(col("lang"), lit(AllSentinel)).as("lang"),
+        coalesce(col("source"), lit(AllSentinel)).as("source"),
+        col("gid"), col("n_docs"), col("tot_chars"))
+  }
+
+  /** `CUBE (lang, source)` — the rollup plus the source-only marginal
+    * (every subset of the grouping keys). Same Expand shape, 4
+    * grouping sets. */
+  def cubeReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    Tables.documents(spark, dir)
+      .cube(col("lang"), col("source"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot_chars"))
+      .select(coalesce(col("lang"), lit(AllSentinel)).as("lang"),
+        coalesce(col("source"), lit(AllSentinel)).as("source"),
+        col("gid"), col("n_docs"), col("tot_chars"))
+  }
+
+  /** The stable event-type domain the pivot declares (pivoting on an
+    * UNdeclared value list would scan once just to learn the columns). */
+  val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** PIVOT — event counts per user bucket, one column per
+    * [[PivotTypes]] value: the wide matrix report every dashboard's
+    * heatmap consumes. With the value list declared, Spark plans ONE
+    * scan + one hash aggregate (each cell a conditional count) — the
+    * same plan the oracle's CASE arms spell out. Empty cells are 0. */
+  def pivotReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val piv = Tables.events(spark, dir)
+      .groupBy(expr("CAST(user_id % 10 AS INT)").as("bucket"))
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)))
+    piv.select(col("bucket") +: PivotTypes.map(t =>
+      coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct" -> approxDistinct _,
     "q_table_profile" -> eventsProfile _,
     "q_skew_profile" -> skewProfile _,
+    "q_rollup" -> rollupReport _,
+    "q_cube" -> cubeReport _,
+    "q_pivot" -> pivotReport _,
     "q1_pricing"     -> q1Pricing _,
     "q_pushdown"     -> pushdownScan _,
     "q_join_agg"     -> joinAgg _,
@@ -318,7 +377,26 @@ object RelationalOps {
        |      AS salt_reco
        |  FROM ${p}s, ${p}h)""".stripMargin
 
+  /** Shared SELECT list of the rollup/cube oracles. */
+  private val mlAggSql: String =
+    s"""SELECT coalesce(lang, '$AllSentinel') AS lang,
+       |  coalesce(source, '$AllSentinel') AS source,
+       |  CAST(GROUPING(lang, source) AS INT) AS gid,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS tot_chars
+       |FROM documents""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_rollup" -> s"$mlAggSql\nGROUP BY ROLLUP (lang, source)",
+    "q_cube" -> s"$mlAggSql\nGROUP BY CUBE (lang, source)",
+    "q_pivot" -> {
+      val arms = PivotTypes.map(t =>
+        s"""CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS "$t"""".stripMargin).mkString(",\n  ")
+      s"""SELECT CAST(user_id % 10 AS INT) AS bucket,
+         |  $arms
+         |FROM events GROUP BY 1""".stripMargin
+    },
     "q_skew_profile" ->
       s"""WITH ${skewArmSql("events", "user_id", "events.user_id", "sa")},
          |${skewArmSql("events", "event_type", "events.event_type", "sb")},
