@@ -955,7 +955,53 @@ object ReconOps {
           .as("err_ok"))
   }
 
+  /** Subset selector keeping the declared gap-fill dump bounded (the
+    * plan is user-count-independent; the mod only trims the output). */
+  val GapFillUserMod = 20
+
+  /** TIME-SERIES RESAMPLE + FORWARD FILL — the gap-filling every
+    * per-entity daily dashboard needs: aggregate events to (user, day),
+    * build each user's CALENDAR SPINE (`sequence(min_day, max_day)` —
+    * one row per day whether or not events exist), left-join the
+    * observed days back on, and forward-fill the day's last event type
+    * across the gaps (`last(..., ignoreNulls)` over the per-user
+    * running frame — the same window DuckDB spells
+    * `last_value(x IGNORE NULLS)`). Gap days carry n_events = 0,
+    * `is_gap` = true, and the carried type; the first spine day is
+    * always observed, so no leading-null edge exists. The day's "last
+    * type" pick is deterministic: lexicographic max of
+    * (µs, event_id, type).
+    *
+    * Scale shape: one groupBy (user, day), one tiny per-user span agg,
+    * the spine explode (|users| · span rows), and one per-user window
+    * — all partitioned by user_id, the sessionize discipline. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val daily = Tables.events(spark, dir)
+      .where(col("user_id") % GapFillUserMod === 0)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(unix_micros(col("ts")).as("us"),
+          col("event_id").as("eid"), col("event_type").as("et")))
+          .getField("et").as("last_type"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("is_gap", col("last_type").isNull)
+      .withColumn("carried_type",
+        last(col("last_type"), ignoreNulls = true).over(w))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd")
+        .as("day"), coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("carried_type"), col("is_gap"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_fill"        -> gapFill _,
     "q_window_hourly"   -> hourlyWindow _,
     "q_heavy_hitters"   -> heavyHitters _,
     "q_nite_rollup"     -> niteRollup _,
@@ -1055,6 +1101,35 @@ object ReconOps {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // spine + forward fill: DuckDB's last_value IGNORE NULLS over the
+    // same per-user running frame; the day's last-type pick shares the
+    // (us, event_id) lexicographic tiebreak
+    "q_gap_fill" ->
+      s"""WITH ge AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |    epoch_us(ts) AS us, event_id, event_type
+         |  FROM events WHERE user_id % $GapFillUserMod = 0),
+         |gdr AS (SELECT user_id, day, event_type,
+         |    row_number() OVER (PARTITION BY user_id, day
+         |      ORDER BY us DESC, event_id DESC) AS rk,
+         |    count(*) OVER (PARTITION BY user_id, day) AS nw
+         |  FROM ge),
+         |gd AS (SELECT user_id, day, CAST(nw AS BIGINT) AS n_events,
+         |    event_type AS last_type
+         |  FROM gdr WHERE rk = 1),
+         |gs AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+         |  FROM gd GROUP BY user_id),
+         |spine AS (SELECT user_id, CAST(unnest(generate_series(d0, d1,
+         |    INTERVAL 1 DAY)) AS DATE) AS day FROM gs),
+         |jn AS (SELECT s.user_id, s.day, gd.n_events, gd.last_type
+         |  FROM spine s LEFT JOIN gd USING (user_id, day))
+         |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+         |  coalesce(n_events, 0) AS n_events,
+         |  last_value(last_type IGNORE NULLS) OVER (
+         |    PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS carried_type,
+         |  last_type IS NULL AS is_gap
+         |FROM jn""".stripMargin,
     // Misra-Gries contract: exact counts pick the guaranteed-heavy
     // types; the sketch booleans are provably TRUE (presence,
     // undercount, n/(k+1) bound) — engine-specific estimates never

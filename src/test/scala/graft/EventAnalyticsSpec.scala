@@ -452,4 +452,23 @@ class EventAnalyticsSpec extends SparkSpec {
     // itself — one group, one raw form, nothing for folding to do
     assert(got == Map(2L -> (2L, 2L, true), 4L -> (2L, 1L, false)), s"$got")
   }
+
+  test("gap fill: calendar spine completes, gaps carry the last type " +
+      "forward with zero counts") {
+    // user 0 (mod-selected): active day 0 (click then view), silent
+    // days 1-2, active day 3 (error). Spine must run 4 days.
+    val dir = eventsDir("gapfill", Seq(
+      (1L, ts(0), 0L, "click", 0.0),
+      (2L, ts(Hour), 0L, "view", 0.0), // later same day: carried type
+      (3L, ts(3 * Day), 0L, "error", 0.0)))
+    val rows = graft.operators.ReconOps.gapFill(spark, dir)
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getString(3), r.getBoolean(4))).toMap
+    assert(rows.size == 4, s"spine spans min..max day: $rows")
+    assert(rows("2024-01-01") == (2L, "view", false),
+      "day's carried type is the LAST event that day")
+    assert(rows("2024-01-02") == (0L, "view", true), "gap carries forward")
+    assert(rows("2024-01-03") == (0L, "view", true))
+    assert(rows("2024-01-04") == (1L, "error", false))
+  }
 }
