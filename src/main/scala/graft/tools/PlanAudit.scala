@@ -135,6 +135,16 @@ object PlanAudit {
     "q_keyword_tag" -> "doc-level rollup over the automaton hits: one doc_id hash agg (min_by dominant term — no window) + join back to lengths",
     "q_event_transitions" -> "Markov matrix: one user_id window (lead) over the event stream + hash agg; the ppm normalization windows over the |types|^2 aggregate, never the stream",
     "q_homoglyph_dedup" -> "confusable-fold dedup: built-in translate composed with graft_nfc inside the scan projection; the standard fingerprint hash-groupBy on the folded key",
+    "q_chat_render" -> "conversation -> ChatML string: fixture synthesis + render all in ONE map-only projection (transform/array_join string expressions) — zero exchanges",
+    "q_loss_mask" -> "assistant-only mask accounting: two aggregate() folds over the turns array per row, integer density — zero exchanges",
+    "q_zorder_layout" -> "tile-aligned layout census: 1-row stats broadcast onto the scan, map-side Morton interleave, <=16-row histogram window, broadcast tile->file map, 16-group box aggregate",
+    "q_cdc_dedup" -> "content-defined chunking: posexplode + per-doc running boundary-count window (sessionize discipline), per-chunk fp aggregate, then the chunk-dedup owner hash-agg + join back",
+    "q_json_parse" -> "schema-declared from_json in a map-only projection — the Jackson parse rides inside the scan's codegen span; zero exchanges",
+    "q_fuzzy_pairs" -> "deletion-neighborhood blocking: len+1 keys per record exploded, key equi-join (complete dist<=1 candidates, never all-pairs), distinct, levenshtein verify on candidates only",
+    "q_rollup" -> "ROLLUP via Expand: one replica per grouping set BEFORE partial aggregation — the exchange carries group rows only",
+    "q_pivot" -> "declared-value-list pivot: one scan, one hash aggregate, each cell a conditional count — no per-value scans",
+    "q_skew_profile" -> "per-key census arms: partial-aggregated key counts (exchange carries ~distinct keys), 1-row rollups + broadcast hot-key pick",
+    "q_gap_fill" -> "calendar-spine resample: (user, day) hash agg, per-user span agg + spine explode, left join back, per-user forward-fill window — all partitioned by user_id",
   )
 
   def main(args: Array[String]): Unit = {
