@@ -108,9 +108,22 @@ object FuzzyOps {
         col("n_planted"))
   }
 
+  /** ENTITY CLUSTERS — verified pairs resolved to connected components
+    * ([[DedupOps.connectedComponents]], the checkpointed min-label
+    * walk): transitive closure IS record linkage's semantics — A~B and
+    * B~C cluster {A, B, C} even though dist(A, C) may be 2. Labels are
+    * the cluster-minimum id, so the canonical record per entity is
+    * `WHERE rec_id = rep_id`. Oracled against a DuckDB recursive-CTE
+    * walk of the same pair relation (the q_merge_groups discipline). */
+  def fuzzyGroups(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.connectedComponents(
+      fuzzyPairs(spark, dir).select(col("id_a"), col("id_b")))
+      .select(col("id").as("rec_id"), col("comp").as("rep_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_pairs"  -> fuzzyPairs _,
-    "q_fuzzy_census" -> fuzzyCensus _)
+    "q_fuzzy_census" -> fuzzyCensus _,
+    "q_fuzzy_groups" -> fuzzyGroups _)
 
   /** Records + deletion keys in DuckDB; ends in
     * `fk(id, name, k)`. p = 0 is the identity key. */
@@ -145,6 +158,17 @@ object FuzzyOps {
       s"""WITH $recordsCte,
          |$pairsCte
          |SELECT id_a, id_b, dist FROM pr""".stripMargin,
+    "q_fuzzy_groups" ->
+      s"""WITH RECURSIVE $recordsCte,
+         |$pairsCte,
+         |adjf AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |         UNION ALL SELECT id_b, id_a FROM pr),
+         |walkf(id, comp) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM adjf)
+         |  UNION
+         |  SELECT a.dst, w.comp FROM walkf w JOIN adjf a ON a.src = w.id)
+         |SELECT id AS rec_id, min(comp) AS rep_id
+         |FROM walkf GROUP BY id""".stripMargin,
     "q_fuzzy_census" ->
       s"""WITH $recordsCte,
          |$pairsCte
