@@ -1000,7 +1000,50 @@ object ReconOps {
         col("carried_type"), col("is_gap"))
   }
 
+  /** SCD2 INTERVAL BUILD (gaps-and-islands run collapse) — the inverse
+    * of the validity-interval JOIN ([[validityJoin]] consumes such a
+    * table; this CONSTRUCTS one from a change stream): per user,
+    * consecutive same-type event runs collapse to one row with
+    * `valid_from` = run start and `valid_to` = next run's start (open
+    * interval, NULL while current) — the slowly-changing-dimension
+    * type-2 shape every warehouse maintains. Island ids are the
+    * classic running sum of change flags (`lag` ≠ current) over the
+    * per-user ordered window; ties break on event_id, so the
+    * construction is deterministic. Timestamps render to second
+    * precision (the events-ts engine-portability rule).
+    *
+    * Scale shape: two windows + one aggregate, ALL partitioned by
+    * user_id (the sessionize discipline — nothing global). */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val runs = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byUser).isNull ||
+          lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("chg")).over(byUser.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("event_type")).as("event_type"), // constant per island
+        min(col("us")).as("from_us"), count(lit(1)).as("n_events"))
+    val byIsland = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("island"))
+    runs
+      .withColumn("to_us", lead(col("from_us"), 1).over(byIsland))
+      .select(col("user_id"), col("island"), col("event_type"),
+        date_format(timestamp_micros(col("from_us")),
+          "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(timestamp_micros(col("to_us")),
+          "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("n_events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_intervals"  -> scd2Intervals _,
     "q_gap_fill"        -> gapFill _,
     "q_window_hourly"   -> hourlyWindow _,
     "q_heavy_hitters"   -> heavyHitters _,
@@ -1101,6 +1144,34 @@ object ReconOps {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // gaps-and-islands: the same lag-flag running sum, second-precision
+    // rendering, open current interval as NULL
+    "q_scd2_intervals" ->
+      s"""WITH se AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+         |    event_type FROM events),
+         |sf AS (SELECT user_id, us, event_id, event_type,
+         |    CASE WHEN lag(event_type) OVER w IS NULL
+         |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+         |      AS chg
+         |  FROM se WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY us, event_id)),
+         |si AS (SELECT user_id, us, event_type,
+         |    CAST(sum(chg) OVER (PARTITION BY user_id
+         |      ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS island
+         |  FROM sf),
+         |sr AS (SELECT user_id, island, min(event_type) AS event_type,
+         |    min(us) AS from_us, CAST(count(*) AS BIGINT) AS n_events
+         |  FROM si GROUP BY user_id, island)
+         |SELECT user_id, island, event_type,
+         |  strftime(make_timestamp(from_us), '%Y-%m-%d %H:%M:%S')
+         |    AS valid_from,
+         |  strftime(make_timestamp(lead(from_us) OVER (
+         |    PARTITION BY user_id ORDER BY island)), '%Y-%m-%d %H:%M:%S')
+         |    AS valid_to,
+         |  n_events
+         |FROM sr""".stripMargin,
     // spine + forward fill: DuckDB's last_value IGNORE NULLS over the
     // same per-user running frame; the day's last-type pick shares the
     // (us, event_id) lexicographic tiebreak

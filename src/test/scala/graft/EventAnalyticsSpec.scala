@@ -453,6 +453,25 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Map(2L -> (2L, 2L, true), 4L -> (2L, 1L, false)), s"$got")
   }
 
+  test("scd2 intervals: consecutive same-type runs collapse, open tail") {
+    // u0: click click view click -> 3 islands; the middle run break
+    // and the open current interval are the semantics under test
+    val dir = eventsDir("scd2", Seq(
+      (1L, ts(0), 0L, "click", 0.0),
+      (2L, ts(Hour), 0L, "click", 0.0),
+      (3L, ts(2 * Hour), 0L, "view", 0.0),
+      (4L, ts(3 * Hour), 0L, "click", 0.0)))
+    val rows = graft.operators.ReconOps.scd2Intervals(spark, dir)
+      .orderBy(col("island")).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3),
+        Option(r.getString(4)), r.getLong(5)))
+    assert(rows.toSeq == Seq(
+      (1L, "click", "2024-01-01 00:00:00", Some("2024-01-01 02:00:00"), 2L),
+      (2L, "view", "2024-01-01 02:00:00", Some("2024-01-01 03:00:00"), 1L),
+      (3L, "click", "2024-01-01 03:00:00", None, 1L)),
+      s"got: ${rows.toSeq}")
+  }
+
   test("gap fill: calendar spine completes, gaps carry the last type " +
       "forward with zero counts") {
     // user 0 (mod-selected): active day 0 (click then view), silent
