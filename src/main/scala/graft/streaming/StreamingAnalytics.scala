@@ -1052,6 +1052,39 @@ object StreamingAnalytics {
       .start()
   }
 
+  /** STREAMING JSON ADMISSION GATE — the semi-structured front door
+    * ([[graft.operators.JsonOps]]'s parse layer run as a stream): each
+    * micro-batch of raw payloads `(doc_id, j)` parses once with the
+    * declared schema; valid rows land TYPED (flattened columns) under
+    * `dir/json_clean/batch=<id>`, malformed payloads land RAW under
+    * `dir/json_quarantine/batch=<id>` with their bytes intact (the
+    * quarantine exists to be re-parsed after a producer fix — never
+    * store a lossy rendering of a broken payload).
+    *
+    * Exactly-once shape: output paths are KEYED BY BATCH ID and written
+    * `overwrite` — a replayed batch rewrites its own directory
+    * byte-identically instead of appending duplicates, so at-least-once
+    * delivery composes to exactly-once content (the rename-swap
+    * maintainers' idempotence discipline, directory-granular). Readers
+    * see `batch` as a hive partition column under a basePath read. */
+  def runJsonIngest(stream: DataFrame, dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    runPerBatch(stream, checkpoint) { (batch, id) =>
+      val parsed = batch.withColumn("p",
+        org.apache.spark.sql.functions.from_json(col("j"),
+          graft.operators.JsonOps.JsonSchema,
+          new java.util.HashMap[String, String]()))
+      parsed.where(col("p.id").isNotNull)
+        .select(col("doc_id"), col("p.id").as("id"),
+          org.apache.spark.sql.functions.size(col("p.tags")).as("n_tags"),
+          col("p.meta.lang").as("lang"), col("p.meta.n").as("n"),
+          col("p.score").as("score"))
+        .write.mode("overwrite").parquet(s"$dir/json_clean/batch=$id")
+      parsed.where(col("p.id").isNull)
+        .select(col("doc_id"), col("j"))
+        .write.mode("overwrite").parquet(s"$dir/json_quarantine/batch=$id")
+    }
+
   /** Streaming wrapper for [[admitBatch]] — [[runPerBatch]] contract;
     * per-batch verdicts go to `onVerdicts`. */
   def runAdmission(stream: DataFrame, corpusBandKeys: DataFrame,

@@ -817,6 +817,49 @@ class StreamingAnalyticsSpec extends SparkSpec {
       s"day-4 window unions day-1, day-11 window ages both out: $wau")
   }
 
+  test("json ingest gate: valid rows land typed, malformed land raw, " +
+      "replay rewrites batch dirs instead of appending") {
+    val feed = java.nio.file.Files.createTempDirectory("jsonfeed").toString
+    val out = java.nio.file.Files.createTempDirectory("jsonout").toString
+    val ck1 = java.nio.file.Files.createTempDirectory("jsonck1").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("jsonck2").toString
+    def payload(id: Long, lang: String, n: Long): String =
+      s"""{"id": $id, "tags": ["a","b"], "meta": {"lang": "$lang", """ +
+        s""""n": $n}, "score": ${id % 100}}"""
+    Seq((1L, payload(1, "en", 7)), (2L, "{\"id\": 2, \"tags\": [\"a\""),
+      (3L, payload(3, "de", 9)))
+      .toDF("doc_id", "j").write.parquet(s"$feed/f1.parquet")
+    Seq((4L, "not json"), (5L, payload(5, "fr", 3)))
+      .toDF("doc_id", "j").write.parquet(s"$feed/f2.parquet")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("j", StringType)))
+    def stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(feed)
+    StreamingAnalytics.runJsonIngest(stream, out, ck1)
+      .awaitTermination(60000)
+    def clean() = spark.read.option("basePath", s"$out/json_clean")
+      .parquet(s"$out/json_clean")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("lang"), r.getAs[Long]("n"))).toMap
+    def quarantined() = spark.read
+      .option("basePath", s"$out/json_quarantine")
+      .parquet(s"$out/json_quarantine")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("j")).toMap
+    val c1 = clean(); val q1 = quarantined()
+    assert(c1 == Map(1L -> ("en", 7L), 3L -> ("de", 9L),
+      5L -> ("fr", 3L)), s"typed clean rows: $c1")
+    // the quarantine keeps the BROKEN BYTES intact for later re-parse
+    assert(q1 == Map(2L -> "{\"id\": 2, \"tags\": [\"a\"",
+      4L -> "not json"), s"raw quarantine: $q1")
+    // full replay from a fresh checkpoint: batch dirs REWRITE, content
+    // identical — at-least-once delivery composes to exactly-once
+    StreamingAnalytics.runJsonIngest(stream, out, ck2)
+      .awaitTermination(60000)
+    assert(clean() == c1, "replay duplicated clean rows")
+    assert(quarantined() == q1, "replay duplicated quarantine rows")
+  }
+
   test("late event for an already-served day: re-serve REVISES history — " +
       "every trailing window containing the day updates, others don't") {
     // VERDICT r12 item 8: the maintained table merges per-day by HLL
