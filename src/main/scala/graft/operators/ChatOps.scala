@@ -180,11 +180,39 @@ object ChatOps {
       .withColumn("avg_toks_x100",
         expr("CAST(tot_toks * 100 div n_turns AS BIGINT)"))
 
+  /** SEQUENCE PACKING FOR SFT — conversations through the corpus
+    * packing machinery ([[CurationOps.packSequences]]: sharded
+    * first-fit running sum, no low-cardinality window): each
+    * conversation's RENDER cost (content tokens + per-turn overhead,
+    * the [[lossMask]] total) packs into [[CurationOps.PackBudget]]
+    * bins, rolled up per language — the table an SFT run sizes its
+    * epoch from. Conversations pack WHOLE (a split conversation is a
+    * broken training example); the oracle recomputes the identical
+    * window arithmetic. */
+  def chatPack(spark: SparkSession, dir: String): DataFrame = {
+    val toks = chatDocs(Tables.documents(spark, dir))
+      .select(col("doc_id"), aggregate(col("conv"), lit(0L), (acc, c) =>
+        acc + size(TextOps.toks(c.getField("content"))).cast("long") +
+          TurnOverheadToks).as("tok"))
+    val withLang = toks.join(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+      Seq("doc_id"))
+    CurationOps.packSequences(withLang, "doc_id", "lang", col("tok"))
+      .groupBy(col("lang"), col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_convs"), sum(col("tok")).as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("n_convs")).as("n_convs"),
+        sum(col("n_tok")).as("n_tokens"),
+        max(col("n_tok")).as("max_seq_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chat_render"     -> chatRender _,
     "q_chat_validate"   -> chatValidate _,
     "q_loss_mask"       -> lossMask _,
-    "q_chat_turn_stats" -> chatTurnStats _)
+    "q_chat_turn_stats" -> chatTurnStats _,
+    "q_chat_pack"       -> chatPack _)
 
   /** Shared oracle CTEs: the planted per-turn table (doc_id, t, role,
     * content, n_content) rebuilt from the SAME token arithmetic as
@@ -269,6 +297,29 @@ object ChatOps {
          |SELECT doc_id, n_turns, n_tok_total, n_tok_loss,
          |  CAST(n_tok_loss * 100 // n_tok_total AS INT) AS loss_pct
          |FROM m""".stripMargin,
+    // the packing window recomputed verbatim (the q_seq_pack oracle
+    // shape) over the per-conversation render totals
+    "q_chat_pack" ->
+      s"""WITH $turnsCte,
+         |ctok AS (SELECT doc_id,
+         |    CAST(sum(n_content + $TurnOverheadToks) AS BIGINT) AS tok
+         |  FROM turns GROUP BY doc_id),
+         |d AS (SELECT c.doc_id, doc.lang, c.tok,
+         |    CAST(c.doc_id % ${CurationOps.PackShards} AS INT) AS shard
+         |  FROM ctok c JOIN documents doc USING (doc_id)),
+         |cm AS (SELECT *, sum(tok) OVER (PARTITION BY lang, shard
+         |    ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d),
+         |b AS (SELECT lang, shard,
+         |    (cum - tok) // ${CurationOps.PackBudget} AS seq_id,
+         |    count(*) AS n_convs, CAST(sum(tok) AS BIGINT) AS n_tok
+         |  FROM cm GROUP BY 1, 2, 3)
+         |SELECT lang, count(*) AS n_seqs,
+         |  CAST(sum(n_convs) AS BIGINT) AS n_convs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  max(n_tok) AS max_seq_tokens
+         |FROM b GROUP BY lang""".stripMargin,
     "q_chat_turn_stats" ->
       s"""WITH $turnsCte
          |SELECT role,

@@ -120,10 +120,41 @@ object FuzzyOps {
       fuzzyPairs(spark, dir).select(col("id_a"), col("id_b")))
       .select(col("id").as("rec_id"), col("comp").as("rep_id"))
 
+  /** Every this-many-th record "arrives late" in the incremental demo. */
+  val FuzzyDeltaMod = 9
+
+  /** INCREMENTAL RESOLUTION — the plan a 100 TB entity store actually
+    * runs when a batch arrives: the DELTA's deletion keys probe the
+    * EXISTING key table only (delta ⋈ existing — never existing ⋈
+    * existing re-derivation, never delta-internal pairs; those resolved
+    * when their records arrived). At scale the existing side is a
+    * STORED, bucketed key table maintained across batches (the
+    * [[DedupOps.mergeGroups]] posture); the demo splits the record set
+    * deterministically so the oracle can recompute both sides. Output
+    * orients (id_new, id_old). Shuffle O(|delta|·len) — batch-sized,
+    * not corpus-sized. */
+  def fuzzyIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = records(spark, dir)
+      .withColumn("k", explode(delKeys(col("name"))))
+    val isDelta = col("id") % FuzzyDeltaMod === 0
+    val delta = keyed.where(isDelta)
+      .select(col("id").as("id_new"), col("name").as("name_new"), col("k"))
+    val existing = keyed.where(!isDelta)
+      .select(col("id").as("id_old"), col("name").as("name_old"), col("k"))
+    delta.join(existing, Seq("k"))
+      .select(col("id_new"), col("id_old"), col("name_new"),
+        col("name_old"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_new"), col("name_old")))
+      .where(col("dist") === 1)
+      .select(col("id_new"), col("id_old"), col("dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_pairs"  -> fuzzyPairs _,
     "q_fuzzy_census" -> fuzzyCensus _,
-    "q_fuzzy_groups" -> fuzzyGroups _)
+    "q_fuzzy_groups" -> fuzzyGroups _,
+    "q_fuzzy_incremental" -> fuzzyIncremental _)
 
   /** Records + deletion keys in DuckDB; ends in
     * `fk(id, name, k)`. p = 0 is the identity key. */
@@ -169,6 +200,16 @@ object FuzzyOps {
          |  SELECT a.dst, w.comp FROM walkf w JOIN adjf a ON a.src = w.id)
          |SELECT id AS rec_id, min(comp) AS rep_id
          |FROM walkf GROUP BY id""".stripMargin,
+    // asymmetric delta ⋈ existing probe, same verify
+    "q_fuzzy_incremental" ->
+      s"""WITH $recordsCte,
+         |icand AS (SELECT DISTINCT a.id AS id_new, b.id AS id_old,
+         |    a.name AS name_new, b.name AS name_old
+         |  FROM fk a JOIN fk b ON a.k = b.k
+         |  WHERE a.id % $FuzzyDeltaMod = 0 AND b.id % $FuzzyDeltaMod <> 0)
+         |SELECT id_new, id_old,
+         |  CAST(levenshtein(name_new, name_old) AS INT) AS dist
+         |FROM icand WHERE levenshtein(name_new, name_old) = 1""".stripMargin,
     "q_fuzzy_census" ->
       s"""WITH $recordsCte,
          |$pairsCte
