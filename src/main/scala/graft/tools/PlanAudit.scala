@@ -145,6 +145,9 @@ object PlanAudit {
     "q_pivot" -> "declared-value-list pivot: one scan, one hash aggregate, each cell a conditional count — no per-value scans",
     "q_skew_profile" -> "per-key census arms: partial-aggregated key counts (exchange carries ~distinct keys), 1-row rollups + broadcast hot-key pick",
     "q_gap_fill" -> "calendar-spine resample: (user, day) hash agg, per-user span agg + spine explode, left join back, per-user forward-fill window — all partitioned by user_id",
+    "q3_shipping" -> "TPC-H Q3 shape: segment dimension broadcast, fact-key equi-join, decimal-exact revenue agg, TakeOrderedAndProject top-10 (never a global sort)",
+    "q5_region_revenue" -> "TPC-H Q5 shape: region->nation->customer and supplier all broadcast; orders joins lineitem on the fact key — the only real shuffle; decimal-exact revenue per nation",
+    "q_scd2_intervals" -> "gaps-and-islands: lag flag + running sum + lead, all three windows partitioned by user_id; one island aggregate between",
   )
 
   def main(args: Array[String]): Unit = {
