@@ -358,6 +358,57 @@ object RelationalOps {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Accepted language values for the DQ accepted-values rule — the
+    * corpus contract a producer must not silently widen. */
+  val DqLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** DATA-QUALITY EXPECTATIONS — the declarative rule gate a pipeline
+    * runs before trusting a delivered table (unique-key, not-null/
+    * not-empty, accepted-values, bounds): each rule is ONE aggregate
+    * arm producing (rule, relation, n_checked, n_violations, pass),
+    * unioned into the report a scheduler alerts on. Rules are plain
+    * expressions — a violation count is a conditional sum, uniqueness
+    * is `count - count(distinct)` — so every arm is one
+    * partial-aggregated pass over its relation and the report costs
+    * one scan per distinct relation at any corpus size. */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, dir)
+    val ev = Tables.events(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    def arm(rule: String, rel: String, checked: org.apache.spark.sql.Column,
+        violations: org.apache.spark.sql.Column)(df: DataFrame): DataFrame =
+      df.agg(checked.as("n_checked"), violations.as("n_violations"))
+        .select(lit(rule).as("rule"), lit(rel).as("relation"),
+          col("n_checked"), col("n_violations"),
+          (col("n_violations") === 0).as("pass"))
+    val langIn = col("lang").isin(DqLangs: _*)
+    Seq(
+      arm("doc_id_unique", "documents", count(lit(1)),
+        count(lit(1)) - countDistinct(col("doc_id")))(docs),
+      arm("text_not_empty", "documents", count(lit(1)),
+        sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+          .otherwise(0L)))(docs),
+      arm("lang_accepted", "documents", count(lit(1)),
+        sum(when(col("lang").isNull || !langIn, 1L).otherwise(0L)))(docs),
+      arm("user_id_not_null", "events", count(lit(1)),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)))(ev),
+      arm("ts_in_bounds", "events", count(lit(1)),
+        sum(when(col("ts").isNull ||
+          col("ts") < lit("1995-01-01").cast("timestamp") ||
+          col("ts") >= lit("2031-01-01").cast("timestamp"), 1L)
+          .otherwise(0L)))(ev),
+      arm("quantity_positive", "lineitem", count(lit(1)),
+        sum(when(col("l_quantity").isNull || col("l_quantity") <= 0, 1L)
+          .otherwise(0L)))(li),
+      // a deliberately strict expectation that FAILS on this corpus —
+      // the report's alert path is part of the surface under test
+      arm("text_min_200_chars", "documents", count(lit(1)),
+        sum(when(col("text").isNull || length(col("text")) < 200, 1L)
+          .otherwise(0L)))(docs))
+      .reduce(_ unionByName _)
+  }
+
   /** Sentinel the multi-level reports print for a rolled-up level
     * (no `<all>` literal exists in the corpus — probed). */
   val AllSentinel = "<all>"
@@ -423,6 +474,7 @@ object RelationalOps {
     "q_pivot" -> pivotReport _,
     "q3_shipping" -> q3Shipping _,
     "q5_region_revenue" -> q5RegionRevenue _,
+    "q_dq_checks" -> dqChecks _,
     "q1_pricing"     -> q1Pricing _,
     "q_pushdown"     -> pushdownScan _,
     "q_join_agg"     -> joinAgg _,
@@ -463,7 +515,36 @@ object RelationalOps {
        |  CAST(sum(n_chars) AS BIGINT) AS tot_chars
        |FROM documents""".stripMargin
 
+  /** One DQ oracle arm. */
+  private def dqArmSql(rule: String, rel: String, viol: String): String =
+    s"""SELECT '$rule' AS rule, '$rel' AS relation,
+       |  count(*) AS n_checked,
+       |  CAST($viol AS BIGINT) AS n_violations,
+       |  CAST($viol AS BIGINT) = 0 AS pass
+       |FROM $rel""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_dq_checks" -> Seq(
+      dqArmSql("doc_id_unique", "documents",
+        "count(*) - count(DISTINCT doc_id)"),
+      dqArmSql("text_not_empty", "documents",
+        "sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)"),
+      dqArmSql("lang_accepted", "documents",
+        "sum(CASE WHEN lang IS NULL OR lang NOT IN " +
+          DqLangs.map(l => s"'$l'").mkString("(", ", ", ")") +
+          " THEN 1 ELSE 0 END)"),
+      dqArmSql("user_id_not_null", "events",
+        "sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)"),
+      dqArmSql("ts_in_bounds", "events",
+        "sum(CASE WHEN ts IS NULL OR ts < TIMESTAMP '1995-01-01' " +
+          "OR ts >= TIMESTAMP '2031-01-01' THEN 1 ELSE 0 END)"),
+      dqArmSql("quantity_positive", "lineitem",
+        "sum(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 " +
+          "THEN 1 ELSE 0 END)"),
+      dqArmSql("text_min_200_chars", "documents",
+        "sum(CASE WHEN text IS NULL OR length(text) < 200 " +
+          "THEN 1 ELSE 0 END)"))
+      .mkString("\nUNION ALL\n"),
     // q1's decimal-string rendering; top-10 ties broken by l_orderkey
     "q3_shipping" ->
       """WITH r AS (
