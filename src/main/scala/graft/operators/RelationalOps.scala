@@ -358,6 +358,68 @@ object RelationalOps {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Deterministic change-set mods for [[mergeUpsert]]: deletes beat
+    * updates when both fire. */
+  val MergeDelMod = 15
+  val MergeUpdMod = 10
+  val MergeInsMod = 20
+
+  /** Insert ids live this far above the base key space. */
+  val MergeInsOffset = 5000000L
+
+  /** MERGE INTO semantics (upsert + delete) — the Delta/Iceberg-style
+    * table maintenance every warehouse runs, expressed as ONE
+    * full-outer join on the key with a CASE per match state: change=D
+    * drops the row, change=U/I takes the change's payload, unmatched
+    * base rows pass through. The change set is synthesized
+    * deterministically from the base (every [[MergeDelMod]]-th doc
+    * deleted, every [[MergeUpdMod]]-th updated to its 2-token prefix,
+    * an insert at +[[MergeInsOffset]] for every [[MergeInsMod]]-th) so
+    * the oracle rebuilds both sides. Output is the merge AUDIT row —
+    * per-op counts plus an order-insensitive content fingerprint
+    * (bit_xor of per-row md5 halves, the shard-manifest discipline) so
+    * the hash grades the ENTIRE merged table without shipping it.
+    *
+    * Scale shape: one equi-join shuffle on the table key (both sides
+    * bucket on it at 100 TB — the merge-on-read pattern) + one 1-row
+    * audit aggregate. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val w = filter(split(col("text"), " "), t => t =!= "")
+    val updates = Tables.documents(spark, dir)
+      .where(col("doc_id") % MergeUpdMod === 0 &&
+        col("doc_id") % MergeDelMod =!= 0)
+      .select(col("doc_id"), lit("U").as("op"),
+        array_join(slice(w, 1, 2), " ").as("new_text"))
+    val deletes = Tables.documents(spark, dir)
+      .where(col("doc_id") % MergeDelMod === 0)
+      .select(col("doc_id"), lit("D").as("op"),
+        lit(null).cast("string").as("new_text"))
+    val inserts = Tables.documents(spark, dir)
+      .where(col("doc_id") % MergeInsMod === 0)
+      .select((col("doc_id") + MergeInsOffset).as("doc_id"),
+        lit("I").as("op"), element_at(w, 1).as("new_text"))
+    val changes = updates.unionByName(deletes).unionByName(inserts)
+    val merged = base.join(changes, Seq("doc_id"), "full_outer")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(col("doc_id"),
+        when(col("op").isNotNull, col("new_text")).otherwise(col("text"))
+          .as("text"),
+        col("op"))
+    merged.agg(count(lit(1)).as("n_rows"),
+      sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_inserted"),
+      sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updated"),
+      expr("bit_xor(CAST(conv(substring(md5(concat(CAST(doc_id AS " +
+        "STRING), '|', text)), 1, 15), 16, 10) AS BIGINT))")
+        .as("content_fp"))
+      .crossJoin(broadcast(
+        changes.where(col("op") === "D").agg(count(lit(1)).as("n_deleted"))))
+      .select(col("n_rows"), col("n_inserted"), col("n_updated"),
+        col("n_deleted"), col("content_fp"))
+  }
+
   /** Accepted language values for the DQ accepted-values rule — the
     * corpus contract a producer must not silently widen. */
   val DqLangs = Seq("de", "en", "es", "fr", "zh")
@@ -475,6 +537,7 @@ object RelationalOps {
     "q3_shipping" -> q3Shipping _,
     "q5_region_revenue" -> q5RegionRevenue _,
     "q_dq_checks" -> dqChecks _,
+    "q_merge_upsert" -> mergeUpsert _,
     "q1_pricing"     -> q1Pricing _,
     "q_pushdown"     -> pushdownScan _,
     "q_join_agg"     -> joinAgg _,
@@ -524,6 +587,36 @@ object RelationalOps {
        |FROM $rel""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the merge rebuilt from the same planted change arithmetic: the
+    // bit_xor fingerprint grades every surviving row's (key, payload)
+    "q_merge_upsert" ->
+      s"""WITH tok AS (SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |chg AS (
+         |  SELECT doc_id, 'D' AS op, CAST(NULL AS VARCHAR) AS new_text
+         |  FROM tok WHERE doc_id % $MergeDelMod = 0
+         |  UNION ALL
+         |  SELECT doc_id, 'U', array_to_string(w[1:2], ' ')
+         |  FROM tok WHERE doc_id % $MergeUpdMod = 0
+         |    AND doc_id % $MergeDelMod <> 0
+         |  UNION ALL
+         |  SELECT doc_id + $MergeInsOffset, 'I', w[1]
+         |  FROM tok WHERE doc_id % $MergeInsMod = 0),
+         |m AS (SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+         |    CASE WHEN c.op IS NOT NULL THEN c.new_text
+         |      ELSE b.text END AS text, c.op
+         |  FROM tok b FULL OUTER JOIN chg c USING (doc_id)
+         |  WHERE c.op IS NULL OR c.op <> 'D')
+         |SELECT count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_inserted,
+         |  CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_updated,
+         |  (SELECT count(*) FROM chg WHERE op = 'D') AS n_deleted,
+         |  bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) ||
+         |    '|' || text), 1, 15) AS BIGINT)) AS content_fp
+         |FROM m""".stripMargin,
     "q_dq_checks" -> Seq(
       dqArmSql("doc_id_unique", "documents",
         "count(*) - count(DISTINCT doc_id)"),
