@@ -1429,6 +1429,55 @@ object TextOps {
         (col("est_size") >= col("exact_size")).as("over_ok"))
   }
 
+  /** PSI bucket width over the bounded q10k domain → 21 buckets. */
+  val PsiBucketWidth = 500L
+
+  /** Bucket count (q10k ∈ [0, 10⁴] inclusive). */
+  val PsiBuckets: Long = 10000L / PsiBucketWidth + 1
+
+  /** POPULATION STABILITY INDEX — the ML-ops drift metric between a
+    * reference and a current corpus slice (here the deterministic
+    * doc_id parity split; in production, yesterday's snapshot vs
+    * today's): per quality bucket, Σ (p − q)·ln(p/q). Rendered
+    * INTEGER-EXACT in the repo's fixed-point currency — shares in
+    * smoothed ppm, logs through [[log2x8]] (eighth-octave resolution,
+    * bit-identical cross-engine) — so each bucket's contribution is
+    * `(p_ppm − q_ppm) · (log2x8(p_ppm) − log2x8(q_ppm))`:
+    * both factors share a sign (the log is monotone), so contributions
+    * stay non-negative exactly like real PSI. Counts are +1-smoothed
+    * over the FULL 21-bucket spine (empty buckets exist as rows), the
+    * standard PSI guard against log-of-zero. Units: ppm ×
+    * eighth-octaves — a fixed rescale of nats, so thresholds calibrate
+    * once and transfer.
+    *
+    * Scale shape: one quality pass + one 21-key hash aggregate; the
+    * spine join and totals are constant-size. */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), quality10k(col("text")).as("q10k"))
+      .withColumn("bucket", expr(s"q10k div $PsiBucketWidth"))
+    val cnts = scored.groupBy(col("bucket"))
+      .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L))
+        .as("n_ref"),
+        sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_cur"))
+    val spine = spark.range(PsiBuckets).select(col("id").as("bucket"))
+    val full = spine.join(cnts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = full.agg(sum(col("n_ref")).as("tot_ref"),
+      sum(col("n_cur")).as("tot_cur"))
+    full.crossJoin(broadcast(tot))
+      .withColumn("p_ppm",
+        expr(s"(n_ref + 1) * 1000000 div (tot_ref + $PsiBuckets)"))
+      .withColumn("q_ppm",
+        expr(s"(n_cur + 1) * 1000000 div (tot_cur + $PsiBuckets)"))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        col("p_ppm"), col("q_ppm"),
+        ((col("p_ppm") - col("q_ppm")) *
+          (log2x8(col("p_ppm")) - log2x8(col("q_ppm"))))
+          .as("psi_contrib"))
+  }
+
   /** Keywords kept per document by [[tfidfKeywords]]. */
   val TfidfTopK = 5
 
@@ -2973,6 +3022,7 @@ object TextOps {
     "q_bigram_score"   -> bigramScore _,
     "q_kn_heldout"     -> knHeldoutScore _,
     "q_sketch_bounds"  -> sketchBounds _,
+    "q_psi_drift"      -> psiDrift _,
     "q_countmin"       -> countMinTable _,
     "q_countmin_deep"  -> countMinDeepTable _,
     "q_countmin_est"   -> countMinEst _,
@@ -3754,6 +3804,32 @@ object TextOps {
          |  CAST(min(cond_ppm) AS BIGINT) AS min_cond_ppm
          |FROM bgp JOIN pr USING (bg)
          |GROUP BY doc_id, lang""".stripMargin,
+    // PSI rebuilt bucket-by-bucket: same parity split, +1-smoothed ppm
+    // shares over the full spine, fixed-point logs — integer-exact
+    "q_psi_drift" ->
+      s"""WITH q AS ($quality10kSql),
+         |b AS (SELECT doc_id, q10k // $PsiBucketWidth AS bucket FROM q),
+         |c AS (SELECT bucket,
+         |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_ref,
+         |    CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_cur
+         |  FROM b GROUP BY bucket),
+         |sp AS (SELECT unnest(range($PsiBuckets)) AS bucket),
+         |f AS (SELECT sp.bucket, coalesce(c.n_ref, 0) AS n_ref,
+         |    coalesce(c.n_cur, 0) AS n_cur
+         |  FROM sp LEFT JOIN c USING (bucket)),
+         |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+         |    CAST(sum(n_cur) AS BIGINT) AS tot_cur FROM f),
+         |pq AS (SELECT bucket, n_ref, n_cur,
+         |    (n_ref + 1) * 1000000 // (tot_ref + $PsiBuckets) AS p_ppm,
+         |    (n_cur + 1) * 1000000 // (tot_cur + $PsiBuckets) AS q_ppm
+         |  FROM f CROSS JOIN t)
+         |SELECT bucket, n_ref, n_cur, p_ppm, q_ppm,
+         |  CAST((p_ppm - q_ppm) *
+         |    (${log2x8Sql("p_ppm")} - ${log2x8Sql("q_ppm")})
+         |    AS BIGINT) AS psi_contrib
+         |FROM pq""".stripMargin,
     // the count-min table recomputed counter-by-counter: one union arm
     // per hash row — CM is merge-order-independent, so the oracle
     // grades the aggregate's actual counters, not a contract envelope
