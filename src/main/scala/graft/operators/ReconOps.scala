@@ -1042,7 +1042,30 @@ object ReconOps {
         col("n_events"))
   }
 
+  /** NATIVE SESSION WINDOWS — Spark's built-in `session_window`
+    * (merge-on-overlap of per-event [ts, ts+gap) windows) run as a
+    * batch aggregate, next to the hand-rolled [[sessionize]]: the
+    * preference order says use the built-in where it expresses the
+    * semantics, and this row PROVES what those semantics are. One
+    * boundary differs from the hand-rolled form and the oracle encodes
+    * it: the native window is HALF-OPEN, so an event landing exactly
+    * `gap` after its predecessor starts a NEW session (`>=`), where
+    * [[sessionize]]'s `gap > G` keeps it. (Session counts can differ
+    * at exact-boundary events; both definitions are legitimate — the
+    * point is knowing which one a plan runs.) Streaming-ready: the
+    * same expression groups a watermarked stream. */
+  def sessionWindowNative(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$SessionGapHours hours").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_window"  -> sessionWindowNative _,
     "q_scd2_intervals"  -> scd2Intervals _,
     "q_gap_fill"        -> gapFill _,
     "q_window_hourly"   -> hourlyWindow _,
@@ -1144,6 +1167,27 @@ object ReconOps {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // native session_window semantics: HALF-OPEN windows, so the new-
+    // session rule is >= gap (the hand-rolled sessionize uses > gap)
+    "q_session_window" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
+         |           FROM events),
+         |f AS (SELECT user_id, us,
+         |        CASE WHEN lag(us) OVER w IS NULL
+         |               OR us - lag(us) OVER w >= $SessionGapUs
+         |             THEN 1 ELSE 0 END AS ns
+         |      FROM e WINDOW w AS (PARTITION BY user_id
+         |                          ORDER BY us, event_id)),
+         |s AS (SELECT user_id, us,
+         |        sum(ns) OVER (PARTITION BY user_id ORDER BY us
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS session_n
+         |      FROM f)
+         |SELECT user_id,
+         |  strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S')
+         |    AS session_start,
+         |  count(*) AS n_events
+         |FROM s GROUP BY user_id, session_n""".stripMargin,
     // gaps-and-islands: the same lag-flag running sum, second-precision
     // rendering, open current interval as NULL
     "q_scd2_intervals" ->
