@@ -527,7 +527,37 @@ object RelationalOps {
       coalesce(col(t), lit(0L)).as(t)): _*)
   }
 
+  /** UNPIVOT (melt) — the inverse reshape: the wide [[pivotReport]]
+    * matrix back to long (bucket, event_type, n) rows. Pivot ∘ unpivot
+    * is the identity on the long form (spec-pinned); the declared
+    * query grades the unpivot against the direct long-form aggregate,
+    * so a dropped/renamed value column cannot hide. Expression-only
+    * reshape — the Expand operator emits one row per value column. */
+  def unpivotReport(spark: SparkSession, dir: String): DataFrame =
+    pivotReport(spark, dir)
+      .unpivot(Array(col("bucket")),
+        PivotTypes.map(col).toArray, "event_type", "n")
+
+  /** EXPLICIT GROUPING SETS — the multi-level shape rollup/cube cannot
+    * spell: BOTH one-dimensional marginals, no grand total, no cross
+    * cells (`GROUPING SETS ((lang), (source))`). One Expand pass, two
+    * replicas per row. */
+  def groupingSetsReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    Tables.documents(spark, dir).createOrReplaceTempView("gs_documents")
+    spark.sql(
+      s"""SELECT coalesce(lang, '$AllSentinel') AS lang,
+         |  coalesce(source, '$AllSentinel') AS source,
+         |  CAST(grouping_id() AS INT) AS gid,
+         |  count(1) AS n_docs,
+         |  sum(n_chars) AS tot_chars
+         |FROM gs_documents
+         |GROUP BY GROUPING SETS ((lang), (source))""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot" -> unpivotReport _,
+    "q_grouping_sets" -> groupingSetsReport _,
     "q_approx_distinct" -> approxDistinct _,
     "q_table_profile" -> eventsProfile _,
     "q_skew_profile" -> skewProfile _,
@@ -677,6 +707,18 @@ object RelationalOps {
         |GROUP BY n.n_name""".stripMargin,
     "q_rollup" -> s"$mlAggSql\nGROUP BY ROLLUP (lang, source)",
     "q_cube" -> s"$mlAggSql\nGROUP BY CUBE (lang, source)",
+    "q_grouping_sets" ->
+      s"$mlAggSql\nGROUP BY GROUPING SETS ((lang), (source))",
+    // the long form recomputed directly — a pivot->unpivot that drops
+    // or misnames a value column diverges from this census
+    "q_unpivot" -> {
+      val arms = PivotTypes.map(t =>
+        s"""SELECT CAST(user_id % 10 AS INT) AS bucket, '$t' AS event_type,
+           |  CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n
+           |FROM events GROUP BY 1""".stripMargin)
+      arms.mkString("\nUNION ALL\n")
+    },
     "q_pivot" -> {
       val arms = PivotTypes.map(t =>
         s"""CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)
