@@ -148,6 +148,10 @@ object PlanAudit {
     "q3_shipping" -> "TPC-H Q3 shape: segment dimension broadcast, fact-key equi-join, decimal-exact revenue agg, TakeOrderedAndProject top-10 (never a global sort)",
     "q5_region_revenue" -> "TPC-H Q5 shape: region->nation->customer and supplier all broadcast; orders joins lineitem on the fact key — the only real shuffle; decimal-exact revenue per nation",
     "q_scd2_intervals" -> "gaps-and-islands: lag flag + running sum + lead, all three windows partitioned by user_id; one island aggregate between",
+    "q_session_window" -> "native session_window: one hash-aggregate pass with session merge — no window function, no per-user sort chain; the same expression groups a watermarked stream",
+    "q_merge_upsert" -> "MERGE semantics: one full-outer equi-join on the table key + match-state CASE; audit = 1-row aggregate with order-insensitive bit_xor fingerprint",
+    "q_psi_drift" -> "PSI: one quality pass -> 21-key hash aggregate; spine join and totals constant-size, logs fixed-point in the projection",
+    "q_dq_checks" -> "expectations gate: one partial-aggregated arm per rule, unioned — one scan per distinct relation",
   )
 
   def main(args: Array[String]): Unit = {
