@@ -450,4 +450,48 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"),
       s"the dominant term is an aggregate (min_by), never a window:\n$p")
   }
+
+  test("q3_shipping: TakeOrderedAndProject tail, no global sort") {
+    val p = plan("q3_shipping")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must plan as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort for a bounded top-k:\n$p")
+  }
+
+  test("q_session_window: a session AGGREGATE, not a per-user sort window") {
+    val p = plan("q_session_window")
+    assert(!p.contains("Window"),
+      s"native session_window plans as an aggregate, never a window fn:\n$p")
+    assert(p.contains("session_window") || p.contains("SessionWindow") ||
+      p.contains("MergingSessions") || p.contains("HashAggregate"),
+      s"expected the session aggregate chain:\n$p")
+  }
+
+  test("q_json_parse: map-only Jackson parse — no exchange, no join") {
+    val p = plan("q_json_parse")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"schema-declared parse is embarrassingly parallel:\n$p")
+    assert(p.contains("from_json"), s"the parse must be in-plan:\n$p")
+  }
+
+  test("q_chat_render: fixture + render in one map-only projection") {
+    val p = plan("q_chat_render")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"render is a pure projection over the scan:\n$p")
+  }
+
+  test("q_fuzzy_pairs: levenshtein verifies on candidates, never all-pairs") {
+    val p = plan("q_fuzzy_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the deletion-key equi-join must drive candidates:\n$p")
+    assert(p.contains("levenshtein"), s"verify must be in-plan:\n$p")
+  }
+
+  test("q_merge_upsert: one full-outer key join carries the merge") {
+    val p = plan("q_merge_upsert")
+    assert(p.contains("FullOuter"), s"merge is a full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"keyed, never cartesian:\n$p")
+  }
 }
