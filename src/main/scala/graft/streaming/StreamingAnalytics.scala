@@ -1085,6 +1085,56 @@ object StreamingAnalytics {
         .write.mode("overwrite").parquet(s"$dir/json_quarantine/batch=$id")
     }
 
+  /** STREAMING ENTITY-RESOLUTION LOOP — the maintained deletion-key
+    * store [[graft.operators.FuzzyOps.fuzzyIncremental]]'s production
+    * posture names, as a stream: each micro-batch of (id, name)
+    * records first PROBES the current store (dist ≤ 1 matches against
+    * everything that arrived in EARLIER batches — the batch-sized
+    * asymmetric join, never a corpus re-pair) and hands the verdicts
+    * to `onMatches`, then folds its own deletion keys in under
+    * `dir/fuzzy_keys/batch=<id>` — the batch-keyed overwrite
+    * discipline ([[runJsonIngest]]). The probe reads STRICTLY EARLIER
+    * batch ids only: batch ids are monotone, so "ids < mine" IS the
+    * store as it stood at first delivery — a replayed batch (crash
+    * recovery or a full fresh-checkpoint re-run over the populated
+    * store) probes the identical prefix, rewrites its own key
+    * directory byte-identically, and re-emits the same verdicts.
+    * Within-batch duplicates are the batch's own pairing pass
+    * ([[graft.operators.FuzzyOps.fuzzyPairs]] semantics) — a store
+    * probe answers "seen BEFORE this batch". */
+  def runFuzzyStore(stream: DataFrame, dir: String, checkpoint: String)(
+      onMatches: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    runPerBatch(stream, checkpoint) { (batch, id) =>
+      import org.apache.hadoop.fs.Path
+      val spark = batch.sparkSession
+      val store = new Path(s"$dir/fuzzy_keys")
+      val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val priorBatches =
+        if (!fs.exists(store)) Nil
+        else fs.listStatus(store).toSeq.map(_.getPath.getName)
+          .filter(n => n.startsWith("batch=") &&
+            n.stripPrefix("batch=").toLong < id)
+      val matches =
+        if (priorBatches.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id_new",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("id_old",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("dist",
+                org.apache.spark.sql.types.IntegerType))))
+        else graft.operators.FuzzyOps.matchKeyed(batch, spark.read
+          .option("basePath", s"$dir/fuzzy_keys")
+          .parquet(priorBatches.map(b => s"$dir/fuzzy_keys/$b"): _*)
+          .select(col("id"), col("name"), col("k")))
+      onMatches(matches, id)
+      graft.operators.FuzzyOps.keysOf(batch)
+        .write.mode("overwrite").parquet(s"$dir/fuzzy_keys/batch=$id")
+    }
+
   /** Streaming wrapper for [[admitBatch]] — [[runPerBatch]] contract;
     * per-batch verdicts go to `onVerdicts`. */
   def runAdmission(stream: DataFrame, corpusBandKeys: DataFrame,
