@@ -1283,6 +1283,62 @@ object DedupOps {
     connectedComponents(cosineNearDupFromIndex(spark, dir, indexDir))
       .select(col("id").as("vec_id"), col("comp").as("rep_id"))
 
+  /** Previous [[dupTriangles]] checkpoint blocks (the
+    * [[demoCheckpointRdds]] superseded-blocks discipline). */
+  private val triCheckpointRdds =
+    new java.util.concurrent.atomic.AtomicReference[
+      Seq[org.apache.spark.rdd.RDD[_]]](Nil)
+
+  /** TRIANGLE / TRANSITIVITY CENSUS over the verified dup-pair graph —
+    * the structural diagnostic beside [[groupPurity]]: a duplicate
+    * CLASS is a clique (every member pairs with every other — high
+    * transitivity), an over-chained component is a path of bridges
+    * (A~B~C with A,C never verified — wedges without closing
+    * triangles). Edges orient id_a < id_b, so each triangle
+    * {a < b < c} counts EXACTLY once: one self-join builds the wedge
+    * at the smallest vertex, one equi-join closes it — never an
+    * all-pairs pass. Wedge total comes from the degree census
+    * (Σ d·(d−1)/2). `transitivity_x10k = 3·T·10⁴ div W`,
+    * integer-exact; 10⁴ = perfect cliques.
+    *
+    * Scale shape: the pair relation is derived once (persisted for
+    * the four consumers, sealed by an eager 1-row checkpoint, blocks
+    * freed by the superseded-registry discipline); the joins key on
+    * vertex ids — a mega-hub's fanout is the [[skewProfile]]-guarded
+    * case, same as [[connectedComponentsSalted]]'s motivation. */
+  def dupTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = textDupPairs(spark, dir).select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val out = triangleCensusOf(e).localCheckpoint(true)
+      val rdds = out.queryExecution.logical.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd }
+      triCheckpointRdds.getAndSet(rdds).foreach(_.unpersist(false))
+      out
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** The census core over any ordered (id_a < id_b) edge relation. */
+  private[graft] def triangleCensusOf(e: DataFrame): DataFrame = {
+    val deg = e.select(col("id_a").as("v"))
+      .unionAll(e.select(col("id_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(coalesce(sum(expr("d * (d - 1) div 2")),
+      lit(0L)).as("n_wedges"))
+    val x = e.select(col("id_a").as("a"), col("id_b").as("b"))
+    val y = e.select(col("id_a").as("a"), col("id_b").as("c"))
+    val z = e.select(col("id_a").as("b"), col("id_b").as("c"))
+    val tris = x.join(y, Seq("a")).where(col("c") > col("b"))
+      .join(z, Seq("b", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(wedges))
+      .crossJoin(broadcast(tris))
+      .withColumn("transitivity_x10k", expr(
+        "CASE WHEN n_wedges = 0 THEN 0 ELSE " +
+          "CAST(3 * n_triangles * 10000 div n_wedges AS INT) END"))
+  }
+
   /** Verified-duplicate Jaccard bar — the dup-grade threshold
     * [[minhashLsh]] counts at (C4/RefinedWeb-style corpus dedup). */
   val TextDupJaccard = 0.85
@@ -1995,6 +2051,7 @@ object DedupOps {
     "q_dedup_groups" -> ((s: SparkSession, d: String) => dedupGroups(s, d)),
     "q_text_dedup_groups" -> textDedupGroups _,
     "q_merge_groups" -> mergeGroupsDemo _,
+    "q_dup_triangles" -> dupTriangles _,
     "q_leakfree_split" -> leakFreeSplit _,
     "q_group_sizes" -> dupGroupSizes _,
     "q_dup_threshold_sweep" -> dupThresholdSweep _,
@@ -2680,6 +2737,24 @@ object DedupOps {
     // re-express it as star edges (member -> rep: edge-equivalent to
     // the fixpoint), and walk (star UNION delta) — the result must
     // equal what the one-shot chain over ALL edges produces
+    // triangle census: ordered edges count each {a<b<c} once; the
+    // wedge total is the degree census — transitivity integer-exact
+    "q_dup_triangles" ->
+      s"""WITH $textGroupsCtes,
+         |tdeg AS (SELECT v, count(*) AS d FROM (
+         |    SELECT id_a AS v FROM e UNION ALL SELECT id_b FROM e)
+         |  GROUP BY v),
+         |tw AS (SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT)
+         |    AS n_wedges FROM tdeg),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM e x JOIN e y ON y.id_a = x.id_a AND y.id_b > x.id_b
+         |           JOIN e z ON z.id_a = x.id_b AND z.id_b = y.id_b),
+         |tn AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+         |SELECT n_edges, n_wedges, n_triangles,
+         |  CASE WHEN n_wedges = 0 THEN 0
+         |    ELSE CAST(3 * n_triangles * 10000 // n_wedges AS INT) END
+         |    AS transitivity_x10k
+         |FROM tn, tw, tt""".stripMargin,
     "q_merge_groups" ->
       s"""WITH RECURSIVE $textGroupsCtes,
          |e1 AS (SELECT id_a, id_b FROM e WHERE id_b % $MergeDeltaMod <> 0),

@@ -468,4 +468,29 @@ class SamplingDedupSpec extends SparkSpec {
     assert(p.head.getAs[Long]("min_jac10k") == 0L,
       s"zero-overlap member must audit as jac 0: ${p.head}")
   }
+
+  test("triangle census: cliques transitive, chains not, each counted once") {
+    import spark.implicits._
+    // a 4-clique (4 triangles, degrees 3,3,3,3 -> 12 wedges) plus a
+    // 3-chain (0 triangles, degrees 1,2,1 -> 1 wedge)
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val chain = Seq((10L, 11L), (11L, 12L))
+    val out = DedupOps.triangleCensusOf(
+      (clique ++ chain).toDF("id_a", "id_b")).head()
+    assert(out.getAs[Long]("n_edges") == 8L)
+    assert(out.getAs[Long]("n_wedges") == 13L)
+    assert(out.getAs[Long]("n_triangles") == 4L)
+    // 3*4*10000 div 13 = 9230
+    assert(out.getAs[Int]("transitivity_x10k") == 9230)
+    // pure chain: wedges without closure -> transitivity 0
+    val chainOnly = DedupOps.triangleCensusOf(
+      chain.toDF("id_a", "id_b")).head()
+    assert(chainOnly.getAs[Long]("n_triangles") == 0L)
+    assert(chainOnly.getAs[Int]("transitivity_x10k") == 0)
+    // empty graph: the zero-wedge guard
+    val empty = DedupOps.triangleCensusOf(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).head()
+    assert(empty.getAs[Long]("n_edges") == 0L)
+    assert(empty.getAs[Int]("transitivity_x10k") == 0)
+  }
 }
