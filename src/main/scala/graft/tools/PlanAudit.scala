@@ -152,6 +152,7 @@ object PlanAudit {
     "q_merge_upsert" -> "MERGE semantics: one full-outer equi-join on the table key + match-state CASE; audit = 1-row aggregate with order-insensitive bit_xor fingerprint",
     "q_psi_drift" -> "PSI: one quality pass -> 21-key hash aggregate; spine join and totals constant-size, logs fixed-point in the projection",
     "q_dq_checks" -> "expectations gate: one partial-aggregated arm per rule, unioned — one scan per distinct relation",
+    "q_dup_triangles" -> "triangle census: persisted ordered pair relation, wedge self-join at the smallest vertex + one closing equi-join (each triangle once, never all-pairs), degree-census wedges, 1-row sealed output",
   )
 
   def main(args: Array[String]): Unit = {
