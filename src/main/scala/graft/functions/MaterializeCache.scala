@@ -77,21 +77,36 @@ object MaterializeCache {
     * most once per key (computeIfAbsent's contract). */
   def getOrWrite(tag: String, dir: String)(write: String => Unit): String = {
     val key = s"$tag|$dir|${fingerprint(dir)}"
-    val fresh = new java.util.concurrent.CompletableFuture[String]()
-    val prior = cache.putIfAbsent(key, fresh)
-    if (prior != null) prior.join()
-    else
-      try {
-        val out = Files.createTempDirectory(s"graft_$tag")
-        created.add(out)
-        write(out.toString)
-        fresh.complete(out.toString)
-        out.toString
-      } catch {
-        case t: Throwable =>
-          cache.remove(key, fresh) // let a later caller retry the write
-          fresh.completeExceptionally(t)
-          throw t
+    // Retry loop (ADVICE r14): a waiter blocked on a future whose write
+    // FAILS must loop back to putIfAbsent and attempt the write itself —
+    // computeIfAbsent semantics, where a failed mapping is discarded and
+    // the next caller recomputes — rather than rethrowing the loser's
+    // error. The failing writer still sees its own original exception.
+    while (true) {
+      val fresh = new java.util.concurrent.CompletableFuture[String]()
+      val prior = cache.putIfAbsent(key, fresh)
+      if (prior == null) {
+        try {
+          val out = Files.createTempDirectory(s"graft_$tag")
+          created.add(out)
+          write(out.toString)
+          fresh.complete(out.toString)
+          return out.toString
+        } catch {
+          case t: Throwable =>
+            cache.remove(key, fresh) // let a later caller retry the write
+            fresh.completeExceptionally(t)
+            throw t
+        }
+      } else {
+        try return prior.join()
+        catch {
+          case _: java.util.concurrent.CompletionException
+             | _: java.util.concurrent.CancellationException =>
+            () // the writer we waited on failed; loop and retry
+        }
       }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }

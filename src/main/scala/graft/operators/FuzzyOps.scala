@@ -57,7 +57,12 @@ object FuzzyOps {
     val twins = base
       .where(col("id") % FuzzyTwinMod === 0)
       .select((col("id") + TwinOffset).as("id"),
-        concat(col("name").substr(lit(1), lit(TypoPos - 1)), lit("q"),
+        concat(col("name").substr(lit(1), lit(TypoPos - 1)),
+          // guarantee the twin differs: if the original already has a
+          // 'q' at TypoPos, substitute 'z' instead (ADVICE r14 — a
+          // byte-identical twin is dist-0 and escapes the recall floor)
+          when(col("name").substr(lit(TypoPos), lit(1)) === "q",
+            lit("z")).otherwise(lit("q")),
           col("name").substr(lit(TypoPos + 1),
             length(col("name")))).as("name"))
     base.unionByName(twins)
@@ -198,7 +203,9 @@ object FuzzyOps {
        |    array_to_string(w[1:3], ' ') AS name
        |  FROM ftok WHERE len(w) >= 3),
        |ftwin AS (SELECT id + $TwinOffset AS id,
-       |    substr(name, 1, ${TypoPos - 1}) || 'q' ||
+       |    substr(name, 1, ${TypoPos - 1}) ||
+       |      CASE WHEN substr(name, $TypoPos, 1) = 'q'
+       |           THEN 'z' ELSE 'q' END ||
        |      substr(name, ${TypoPos + 1}, length(name)) AS name
        |  FROM fbase WHERE id % $FuzzyTwinMod = 0),
        |frec AS (SELECT * FROM fbase UNION ALL SELECT * FROM ftwin),

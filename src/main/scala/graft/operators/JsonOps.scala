@@ -121,14 +121,18 @@ object JsonOps {
   def jsonDrift(spark: SparkSession, dir: String): DataFrame = {
     val docs = jsonDocsOf(Tables.documents(spark, dir))
     val keys = Seq("id", "tags", "meta", "score", "extra")
-    val arms = keys.map { k =>
-      docs.select(lit(k).as("key"),
-        when(get_json_object(col("j"), s"$$.$k").isNotNull, 1L)
-          .otherwise(0L).as("present"))
-    }.reduce(_.unionByName(_))
-    arms.groupBy(col("key"))
-      .agg(sum(col("present")).as("n_present"),
-        count(lit(1)).as("n_docs"))
+    // ONE scan (ADVICE r14): all key probes are columns of a single
+    // map-side pass, folded to one global row by partial aggregation,
+    // then unpivoted driver-cheap with stack — the earlier per-key
+    // union re-synthesized and re-scanned the JSON once per key.
+    val sums = keys.map { k =>
+      sum(when(get_json_object(col("j"), s"$$.$k").isNotNull, 1L)
+        .otherwise(0L)).as(s"n_$k")
+    } :+ count(lit(1)).as("n_docs")
+    val one = docs.agg(sums.head, sums.tail: _*)
+    val stackArgs = keys.map(k => s"'$k', n_$k").mkString(", ")
+    one.selectExpr(
+        s"stack(${keys.size}, $stackArgs) AS (key, n_present)", "n_docs")
       .withColumn("present_pct",
         expr("CAST(n_present * 100 div n_docs AS INT)"))
   }

@@ -1172,14 +1172,14 @@ object ReconOps {
     "q_session_window" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
          |           FROM events),
-         |f AS (SELECT user_id, us,
+         |f AS (SELECT user_id, us, event_id,
          |        CASE WHEN lag(us) OVER w IS NULL
          |               OR us - lag(us) OVER w >= $SessionGapUs
          |             THEN 1 ELSE 0 END AS ns
          |      FROM e WINDOW w AS (PARTITION BY user_id
          |                          ORDER BY us, event_id)),
          |s AS (SELECT user_id, us,
-         |        sum(ns) OVER (PARTITION BY user_id ORDER BY us
+         |        sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |          AS session_n
          |      FROM f)
