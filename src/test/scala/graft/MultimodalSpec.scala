@@ -655,4 +655,59 @@ class MultimodalSpec extends SparkSpec {
     assert(got(13L).isNullAt(got(13L).fieldIndex("best_match")))
     assert(got.values.forall(_.getAs[Long]("n_frames") == 3L))
   }
+
+  test("video near-dup: head-trimmed re-encode aligns on a diagonal " +
+      "through the real codec") {
+    import spark.implicits._
+    val f = (k: Int) => (i: Int) => (i * 37 + (i / 9) * 11 + k * 53) % 256
+    val frames = (0 until 3).map(k => grayImage(9, 8, f(k)))
+    // the trimmed copy: the FIRST frame dropped (the most common real
+    // video-dup transformation) — its frame i is the original's i+1,
+    // so no frame matches at EQUAL index; only the d = +1 diagonal
+    // (original idx − copy idx) carries the 2-frame run
+    val trimmed = frames.drop(1)
+    // genuinely different GRADIENT STRUCTURE, not a brightness shift of
+    // the f family — dHash is deliberately brightness-invariant, so
+    // `f(k + const)` frames are near-copies to it (correct behavior,
+    // wrong fixture for "unrelated")
+    val unrelated = (0 until 3).map(k =>
+      grayImage(9, 8, i => ((i * i) * (k + 3) + i * 29 + k * 97) % 256))
+    val vids = Seq(20L -> frames, 21L -> trimmed, 22L -> unrelated)
+      .map { case (id, fs) => (id, mjpegAvi(fs.map(encode(_, "bmp")))) }
+    val fhash = vids.flatMap { case (id, bytes) =>
+      MultimodalOps.AviMjpegCodec.decodedAll(bytes).get
+        .zipWithIndex.flatMap { case (img, i) =>
+          MultimodalOps.dHash64(img).map(dh => (id, i, dh))
+        }
+    }.toDF("media_id", "frame_idx", "fhash")
+    val got = MultimodalOps.videoDHashNearDupOf(fhash)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(20L).getAs[Long]("best_match") == 21L
+      && got(20L).getAs[Long]("max_run") == 2L
+      && got(20L).getAs[Long]("aligned_frames") == 2L, s"${got(20L)}")
+    assert(got(21L).getAs[Long]("best_match") == 20L)
+    assert(got(22L).isNullAt(got(22L).fieldIndex("best_match")))
+  }
+
+  test("banded Hamming df-cap: 2,000+ shared flat signatures generate " +
+      "no candidate pairs; distinctive near-dups still match") {
+    import spark.implicits._
+    // a flat (black/blank/silent) payload hashes to the all-zeros
+    // signature in EVERY 16-bit band, so without the occupancy cap
+    // this fixture alone puts C(2100,2) ≈ 2.2M pairs through the
+    // Hamming verify. The cap (max(100, n/20) = 105 here) drops the
+    // common band values BEFORE the join.
+    val flat = "0" * 64
+    // a true near-dup pair: distinctive signature, copy 2 bits off
+    // (within the bar) with 3 of 4 bands still exact
+    val sigA = ("10" * 8) + ("01" * 8) + ("0011" * 4) + ("1100" * 4)
+    val sigB = sigA.updated(17, '0').updated(19, '0')
+    val sigs = (Seq((1L, sigA), (2L, sigB)) ++
+      (1L to 2100L).map(i => (i + 1000L, flat)))
+      .toDF("media_id", "dhash")
+    val got = MultimodalOps.bandedHamming64(sigs, "dhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 2L)),
+      s"only the planted distinctive pair may survive: ${got.toSeq}")
+  }
 }

@@ -280,13 +280,39 @@ class PlanAssertionsSpec extends SparkSpec {
       s"the carry merge must be an equi-join:\n$p")
   }
 
-  test("q_image_dhash_neardup: band equi-join is the only pair producer") {
+  test("q_image_dhash_neardup: band equi-join is the only pair producer, " +
+      "df-capped, decoding once") {
     val p = plan("q_image_dhash_neardup")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       s"banded matching must never go all-pairs:\n$p")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
         || p.contains("BroadcastHashJoin"),
       s"the band candidate join must be an equi-join:\n$p")
+    // the occupancy cap (VERDICT r14): the band-value df census and
+    // its filter must reach the plan (the cap bound itself is a
+    // driver-side literal, constant-folded)
+    assert(p.contains("df#"),
+      s"the band-value df cap must gate candidate generation:\n$p")
+    // single decode (VERDICT r14): the signature relation is eagerly
+    // checkpointed, so the executed plan reads materialized blocks —
+    // the MapPartitions decode kernel must NOT appear (it ran once,
+    // out of plan), let alone once per self-join side as before
+    assert(p.contains("ExistingRDD"),
+      s"expected the checkpointed signature scan:\n$p")
+    assert(!p.contains("MapPartitions"),
+      s"decode kernel must not re-run inside the join plan:\n$p")
+  }
+
+  test("perceptual neardup siblings: df cap + single decode in plan") {
+    for (q <- Seq("q_audio_fp_neardup", "q_video_dhash_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"$q must never go all-pairs:\n$p")
+      assert(p.contains("df#"),
+        s"$q: the band-value df cap must gate candidate generation:\n$p")
+      assert(p.contains("ExistingRDD") && !p.contains("MapPartitions"),
+        s"$q: decode must run once, before the checkpoint boundary:\n$p")
+    }
   }
 
   test("q_sketch_overlap: mergeable partial sketch agg, broadcast pairs") {
