@@ -113,7 +113,8 @@ object LayoutOps {
     * `file = cum * NFiles div n`: deterministic, skew-aware (a heavy
     * tile pushes later tiles into later files), tile-aligned. The
     * window runs over the tiny histogram, never the corpus. */
-  private def fileOf(keyed: DataFrame, key: String): DataFrame = {
+  private def fileOf(keyed: DataFrame, key: String,
+      nFiles: Int = NFiles): DataFrame = {
     val hist = keyed
       .groupBy(expr(s"$key div $Buckets").as("k"))
       .agg(count(lit(1)).as("cnt"))
@@ -124,14 +125,14 @@ object LayoutOps {
     hist
       .withColumn("cum", coalesce(sum(col("cnt")).over(before), lit(0L)))
       .withColumn("n", sum(col("cnt")).over(all))
-      .withColumn("file_id", expr(s"CAST(cum * $NFiles div n AS INT)"))
+      .withColumn("file_id", expr(s"CAST(cum * $nFiles div n AS INT)"))
       .select(col("k"), col("file_id"))
   }
 
   /** Per-file min/max boxes under one layout. */
   private def boxes(keyed: DataFrame, key: String,
-      layout: String): DataFrame =
-    keyed.join(fileOf(keyed, key),
+      layout: String, nFiles: Int = NFiles): DataFrame =
+    keyed.join(fileOf(keyed, key, nFiles),
         expr(s"$key div $Buckets") === col("k"))
       .groupBy(col("file_id"))
       .agg(count(lit(1)).as("n_rows"),
@@ -173,10 +174,92 @@ object LayoutOps {
       .crossJoin(broadcast(matched))
   }
 
+  // --- incremental maintenance (VERDICT r14 item 5) -----------------
+
+  /** Events at/above this y bucket are the APPEND tail: the most
+    * recent ~1/5 of the time range arrives AFTER the base layout was
+    * written (a daily-append table's life). */
+  val AppendYFrom = 13
+
+  /** Files per append wave — appends land in arrival (time) order, so
+    * `lin` is their natural write key. */
+  val NAppendFiles = 3
+
+  /** The maintenance-window predicate: recent time × one user cohort —
+    * the query shape appends degrade first (append files bound time
+    * but not users). */
+  val RXLo = 4; val RXHi = 7; val RYLo = 12; val RYHi = 15
+
+  /** INCREMENTAL Z-ORDER MAINTENANCE — the OPTIMIZE-on-append step a
+    * 100 TB z-ordered table needs: a one-shot layout decays as daily
+    * appends land as time-ordered files whose min/max boxes bound ONLY
+    * time (x spans the full range), so recent-window predicates stop
+    * skipping. Three phases, each a per-file-stats aggregate over the
+    * same keyed rows:
+    *
+    *  - `base`: the original tile-aligned z layout over the pre-append
+    *    rows (y < [[AppendYFrom]]) — bucket boundaries are FROZEN
+    *    layout metadata, so appends reuse them;
+    *  - `appended`: base files (boxes unchanged — appends never
+    *    rewrite history) plus [[NAppendFiles]] arrival-ordered append
+    *    files over the new rows;
+    *  - `optimized`: the projected full rewrite (tile assignment over
+    *    all rows — what OPTIMIZE would produce).
+    *
+    * `triggered` is the maintenance DECISION, measured not asserted:
+    * true iff the appended layout touches more files for the
+    * recent-window predicate than the projected rewrite would — the
+    * bar an OPTIMIZE scheduler checks on the registry compaction
+    * cadence ([[graft.streaming.StreamingAnalytics]]'s
+    * `compactEveryBatches` discipline; both sides are emitted so the
+    * decision itself is oracle-checked, the production writer gates
+    * the rewrite on the flag).
+    *
+    * Scale shape: per phase one histogram (≤[[Buckets]]² rows) + one
+    * F-group box aggregate; the appended phase reuses the base boxes
+    * untouched — maintenance cost is proportional to the APPEND, and
+    * the rewrite only runs when the measured payoff says so. */
+  def zorderIncremental(spark: SparkSession, dir: String): DataFrame =
+    zorderIncrementalOf(keyedEvents(spark, dir))
+
+  /** [[zorderIncremental]] over any (event_id, x, y, z, lin) relation —
+    * split out so specs plant append-degradation fixtures. */
+  private[graft] def zorderIncrementalOf(keyed: DataFrame): DataFrame = {
+    val base = keyed.where(col("y") < AppendYFrom)
+    val apps = keyed.where(col("y") >= AppendYFrom)
+    val phased = boxes(base, "z", "base")
+      .unionByName(
+        boxes(base, "z", "appended")
+          .unionByName(boxes(apps, "lin", "appended", NAppendFiles)))
+      .unionByName(boxes(keyed, "z", "optimized"))
+      .withColumnRenamed("layout", "phase")
+    val hit = col("max_x") >= RXLo && col("min_x") <= RXHi &&
+      col("max_y") >= RYLo && col("min_y") <= RYHi
+    val perPhase = phased.groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(hit, 1L).otherwise(0L)).as("candidate_files"),
+        sum((col("max_x") - col("min_x") + 1).cast("long") *
+          (col("max_y") - col("min_y") + 1)).as("sum_box_area"))
+    val decision = perPhase.agg(
+      max(when(col("phase") === "appended", col("candidate_files")))
+        .as("ca"),
+      max(when(col("phase") === "optimized", col("candidate_files")))
+        .as("co"))
+    val matched = keyed.where(col("x").between(RXLo, RXHi) &&
+        col("y").between(RYLo, RYHi))
+      .agg(count(lit(1)).as("matched_rows"))
+    perPhase
+      .crossJoin(broadcast(decision))
+      .withColumn("triggered", col("ca") > col("co"))
+      .drop("ca", "co")
+      .crossJoin(broadcast(matched))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder"          -> zorderCensus _,
     "q_zorder_layout"   -> zorderLayout _,
-    "q_zorder_skipping" -> zorderSkipping _)
+    "q_zorder_skipping" -> zorderSkipping _,
+    "q_zorder_incremental" -> zorderIncremental _)
 
   /** Shared oracle CTEs: buckets + both layout keys from the same
     * integer arithmetic (the z expression is the SAME string the Spark
@@ -213,7 +296,51 @@ object LayoutOps {
        |  FROM kz JOIN f_$key ON kz.$key // $Buckets = f_$key.k
        |  GROUP BY file_id)""".stripMargin
 
+  /** [[boxCte]] generalized for the incremental phases: explicit CTE
+    * tag, source relation, file count, and a `phase` label. */
+  private def boxCteOver(tag: String, src: String, key: String,
+      phase: String, nFiles: Int): String =
+    s"""h_$tag AS (SELECT $key // $Buckets AS k, count(*) AS cnt
+       |  FROM $src GROUP BY 1),
+       |f_$tag AS (SELECT k, CAST(
+       |    coalesce(sum(cnt) OVER (ORDER BY k
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    * $nFiles // (SELECT count(*) FROM $src) AS INT) AS file_id
+       |  FROM h_$tag),
+       |b_$tag AS (SELECT '$phase' AS phase, file_id,
+       |    CAST(count(*) AS BIGINT) AS n_rows,
+       |    min(x) AS min_x, max(x) AS max_x,
+       |    min(y) AS min_y, max(y) AS max_y
+       |  FROM $src JOIN f_$tag ON $src.$key // $Buckets = f_$tag.k
+       |  GROUP BY file_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_zorder_incremental" ->
+      s"""WITH $keyedCte,
+         |kbase AS (SELECT * FROM kz WHERE y < $AppendYFrom),
+         |kapp AS (SELECT * FROM kz WHERE y >= $AppendYFrom),
+         |${boxCteOver("zb", "kbase", "z", "base", NFiles)},
+         |${boxCteOver("ab", "kbase", "z", "appended", NFiles)},
+         |${boxCteOver("aw", "kapp", "lin", "appended", NAppendFiles)},
+         |${boxCteOver("oz", "kz", "z", "optimized", NFiles)},
+         |phb AS (SELECT * FROM b_zb UNION ALL SELECT * FROM b_ab
+         |        UNION ALL SELECT * FROM b_aw UNION ALL SELECT * FROM b_oz),
+         |pp AS (SELECT phase, CAST(count(*) AS BIGINT) AS n_files,
+         |    CAST(sum(CASE WHEN max_x >= $RXLo AND min_x <= $RXHi
+         |      AND max_y >= $RYLo AND min_y <= $RYHi
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS candidate_files,
+         |    CAST(sum((max_x - min_x + 1) * (max_y - min_y + 1))
+         |      AS BIGINT) AS sum_box_area
+         |  FROM phb GROUP BY phase)
+         |SELECT phase, n_files, candidate_files, sum_box_area,
+         |  (SELECT max(CASE WHEN phase = 'appended'
+         |      THEN candidate_files END) FROM pp)
+         |   > (SELECT max(CASE WHEN phase = 'optimized'
+         |      THEN candidate_files END) FROM pp) AS triggered,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM kz
+         |   WHERE x BETWEEN $RXLo AND $RXHi
+         |     AND y BETWEEN $RYLo AND $RYHi) AS matched_rows
+         |FROM pp""".stripMargin,
     "q_zorder" ->
       s"""WITH $keyedCte
          |SELECT z, CAST(count(*) AS BIGINT) AS n_events,

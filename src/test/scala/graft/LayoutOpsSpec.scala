@@ -79,4 +79,38 @@ class LayoutOpsSpec extends SparkSpec {
     // the payoff is real on this corpus: strictly fewer candidates
     assert(zc < lc, s"expected strict win on the events corpus: $rows")
   }
+
+  test("incremental maintenance: appends degrade the recent-window " +
+      "payoff, the rewrite restores it, the trigger fires") {
+    import spark.implicits._
+    // the full 16x16 grid, one row per cell: base = y < 13 (the
+    // original layout's world), appends = y 13..15 (three later
+    // batches). Append files are lin(=arrival)-keyed, so each is one
+    // x-WIDE time stripe — exactly the decay mode a z-ordered table
+    // suffers under daily appends.
+    val keyed = (0 until 256).map { i =>
+      val x = i % 16; val y = i / 16
+      val z = (0 until 4).map(b =>
+        (((x >> b) & 1) << (2 * b)) + (((y >> b) & 1) << (2 * b + 1))).sum
+      (i.toLong, x, y, z, y * 16 + x)
+    }.toDF("event_id", "x", "y", "z", "lin")
+    val got = LayoutOps.zorderIncrementalOf(keyed).collect()
+      .map(r => r.getAs[String]("phase") -> r).toMap
+    assert(got.keySet == Set("base", "appended", "optimized"))
+    // optimized: uniform grid -> 16 tile files, the recent window
+    // (x 4..7, y 12..15) is exactly one tile
+    assert(got("optimized").getAs[Long]("n_files") == 16L)
+    assert(got("optimized").getAs[Long]("candidate_files") == 1L)
+    assert(got("optimized").getAs[Long]("sum_box_area") == 256L)
+    // appended: the three x-wide append stripes are ALL candidates
+    // (plus any y=12 base files) — strictly worse than the rewrite
+    val appCand = got("appended").getAs[Long]("candidate_files")
+    assert(appCand > got("optimized").getAs[Long]("candidate_files"),
+      s"append stripes must degrade the recent-window payoff: $appCand")
+    assert(got("appended").getAs[Long]("n_files") ==
+      got("base").getAs[Long]("n_files") + LayoutOps.NAppendFiles)
+    // the maintenance decision is measured, and fires here
+    assert(got.values.forall(_.getAs[Boolean]("triggered")))
+    assert(got.values.forall(_.getAs[Long]("matched_rows") == 16L))
+  }
 }
