@@ -2989,9 +2989,85 @@ object TextOps {
         md5(col("extracted").cast("binary")).as("extracted_fp"))
   }
 
+  // --- PDF → text extraction (VERDICT r14 item 6) ---------------------
+
+  /** Characters per `Tj` chunk in the synthesized content stream. */
+  private[operators] val PdfChunk = 80
+
+  /** PDF literal-string escape: backslash first, then the parens. */
+  private def pdfEsc(c: Column): Column =
+    replace(replace(replace(c, lit("\\"), lit("\\\\")),
+      lit("("), lit("\\(")), lit(")"), lit("\\)"))
+
+  /** Deterministic REAL-PDF synthesis from the documents table — the
+    * [[htmlDocs]] / q_scene_changes discipline (planted structure a
+    * DuckDB oracle can recompute the EXPECTED EXTRACTION from, without
+    * parsing PDF): each non-empty doc becomes a structurally valid
+    * one-page PDF whose single uncompressed content stream shows the
+    * doc text as [[PdfChunk]]-char chunks — chunk 1 as a `TJ` array of
+    * its two halves with a kerning number between them (which the
+    * kernel must skip), the remaining chunks as `Tj` ops. Built
+    * entirely with column expressions (string assembly → binary cast),
+    * so the payload is constructible in DuckDB too; the oracle checks
+    * the round trip: extraction must re-concatenate the text EXACTLY
+    * (escapes decoded), with the predicted operator count. The
+    * FlateDecode path is spec-exercised (a column expression cannot
+    * deflate; the kernel walk after inflate is identical). */
+  private[operators] def pdfDocs(docs: DataFrame): DataFrame = {
+    val half = PdfChunk / 2
+    val nChunks = expr(s"(length(text) + ${PdfChunk - 1}) div $PdfChunk")
+    val c1a = pdfEsc(col("text").substr(lit(1), lit(half)))
+    val c1b = pdfEsc(col("text").substr(lit(half + 1), lit(half)))
+    // guarded like htmlDocs: sequence(2, n) would DESCEND for n < 2
+    val rest = when(nChunks >= 2, array_join(transform(
+      sequence(lit(2L), nChunks),
+      k => concat(lit("("),
+        pdfEsc(col("text").substr(
+          ((k - 1) * PdfChunk + 1).cast("int"), lit(PdfChunk))),
+        lit(") Tj\n"))), "")).otherwise(lit(""))
+    val content = concat(
+      lit("BT /F1 12 Tf 72 720 Td [("), c1a, lit(") -250 ("), c1b,
+      lit(")] TJ\n"), rest, lit("ET"))
+    docs.where(length(col("text")) > 0)
+      .select(col("doc_id"), concat(
+        lit("%PDF-1.4\n" +
+          "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+          "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+          "3 0 obj << /Type /Page /Parent 2 0 R " +
+          "/MediaBox [0 0 612 792] /Contents 4 0 R >> endobj\n" +
+          "4 0 obj << /Length "), length(content).cast("string"),
+        lit(" >> stream\n"), content,
+        lit("\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF"))
+        .cast("binary").as("pdf"))
+  }
+
+  /** ORACLED extraction over the synthesized PDFs: the real
+    * [[graft.functions.PdfText]] kernel walks every file (map-only —
+    * the first pass of a document-ingest funnel, exactly like
+    * [[htmlExtract]]), and DuckDB independently predicts the expected
+    * text (= the doc text, chunking and escapes being
+    * extraction-invariant) and the operator census from the same
+    * arithmetic. A kernel that drops a chunk, shows kerning numbers,
+    * mis-decodes an escape, or loses the TJ array breaks the
+    * fingerprint. */
+  def pdfExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pdfDocs(Tables.documents(spark, dir))
+      .as[(Long, Array[Byte])]
+      .map { case (id, pdf) =>
+        val r = graft.functions.PdfText.extract(pdf)
+        (id, r.n_text_ops, r.n_streams, r.text)
+      }
+      .toDF("doc_id", "n_text_ops", "n_streams", "extracted")
+      .select(col("doc_id"), col("n_text_ops"), col("n_streams"),
+        length(col("extracted")).cast("int").as("n_chars"),
+        md5(col("extracted").cast("binary")).as("extracted_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"     -> textStats _,
     "q_html_extract"   -> htmlExtract _,
+    "q_pdf_extract"    -> pdfExtract _,
     "q_token_estimate" -> tokenEstimate _,
     "q_vocab"          -> vocab _,
     "q_bpe_pairs"      -> bpePairs _,
@@ -3453,6 +3529,17 @@ object TextOps {
         |  CAST(coalesce(length(a.txt), 0) AS INT) AS n_chars,
         |  coalesce(md5(a.txt), md5('')) AS extracted_fp
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+    // extraction round-trip: chunking and string escaping are
+    // extraction-invariant, so the expected text IS the doc text; one
+    // show op per chunk (the TJ array counts once)
+    "q_pdf_extract" ->
+      s"""SELECT doc_id,
+         |  CAST((length(text) + ${PdfChunk - 1}) // $PdfChunk AS INT)
+         |    AS n_text_ops,
+         |  1 AS n_streams,
+         |  CAST(length(text) AS INT) AS n_chars,
+         |  md5(text) AS extracted_fp
+         |FROM documents WHERE length(text) > 0""".stripMargin,
     "q_keyword_hits" ->
       s"""WITH $keywordCountsCte
          |SELECT doc_id, term, CAST(n AS BIGINT) AS n
