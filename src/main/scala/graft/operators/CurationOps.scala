@@ -1223,6 +1223,136 @@ object CurationOps {
         col("rrf_ppm"))
   }
 
+  // --- retrieval-quality harness (VERDICT r14 item 7) -----------------
+
+  /** Planted eval queries (marker terms zq0..zq4). */
+  val EvalQueries = 5
+
+  /** Relevance class: doc d is relevant to query `d % EvalRelMod` when
+    * that residue is < [[EvalQueries]]. */
+  val EvalRelMod = 100
+
+  /** Recall cutoff. */
+  val EvalK = 10
+
+  /** MRR fixed-point unit (reciprocal rank in ppm). */
+  val MrrScale = 1000000L
+
+  /** The eval corpus: each relevant doc (except the `d % 3 == 0` third
+    * — lexically INVISIBLE, the dense arm's reason to exist) carries
+    * its query's marker token `zq<q>` with century-graded repetition;
+    * two weak lexical distractors per query carry one copy. The planted
+    * signal rides on the REAL text, so the real tokenizer/BM25 see
+    * realistic documents plus a recoverable ground truth. */
+  private[operators] def evalDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), concat(col("text"), expr(
+      s"""CASE
+         |  WHEN doc_id % $EvalRelMod < $EvalQueries AND doc_id % 3 <> 0
+         |    THEN repeat(' zq' || CAST(doc_id % $EvalRelMod AS STRING),
+         |      CAST(1 + (doc_id div $EvalRelMod) % 5 AS INT))
+         |  WHEN doc_id % $EvalRelMod BETWEEN 50 AND 54 AND doc_id < 200
+         |    THEN ' zq' || CAST(doc_id % $EvalRelMod - 50 AS STRING)
+         |  ELSE '' END""".stripMargin)).as("text"))
+
+  /** Planted 5-dim embeddings: relevant EVEN-id docs light up their
+    * query's dimension (the lexical arm's `% 3` blind spot and this
+    * parity blind spot overlap only on `d % 6 == 3` — the docs NO arm
+    * can find); two weak dense distractors per query score just below
+    * every relevant doc. */
+  private def evalEmbExpr(i: Int): String =
+    s"""CASE
+       |  WHEN doc_id % $EvalRelMod = $i AND doc_id % 2 = 0
+       |    THEN 900 + (doc_id div $EvalRelMod) % 50
+       |  WHEN doc_id % $EvalRelMod = $i + 30 AND doc_id < 200
+       |    THEN 890 + (doc_id div $EvalRelMod) % 5
+       |  ELSE 0 END""".stripMargin
+
+  /** RETRIEVAL-QUALITY HARNESS with planted relevance — the
+    * `q_ann_recall` pattern for the lexical/hybrid stack (VERDICT r14
+    * item 7): qrels are PLANTED (query q's relevant docs are the
+    * `d % $EvalRelMod == q` class), the lexical arm is the REAL
+    * integer BM25 ([[TextOps.bm25Scored]]) over the marker-salted
+    * corpus, the dense arm is the REAL codegen'd dot product
+    * ([[DotProductLong]]) of a one-hot probe against the planted
+    * embeddings, and the fused arm is the same RRF statistic
+    * [[rrfFusion]] serves. Per arm: recall@[[EvalK]] and MRR in exact
+    * integer units — so the fusion's value is MEASURED: the lexical
+    * arm cannot see the `% 3 == 0` relevants, the dense arm cannot see
+    * the odd ones, and RRF's union recall exceeds both (spec-pinned at
+    * the fixture scale). The harness also measures fusion's honest
+    * limit: once a query's relevant set is much larger than
+    * [[EvalK]] (the sf0.1 corpus has 50 per query), each arm saturates
+    * the cutoff with relevants of its own and the union advantage
+    * shrinks — recall@k only rewards fusion while the arms'
+    * blind spots, not the cutoff, are the binding constraint.
+    *
+    * Scale shape: each BM25 call is the two-scan one-term stats +
+    * score pass; the dense pass is one scan with [[EvalQueries]]
+    * broadcast probe rows; every window partitions by query over
+    * candidate rows (docs with a nonzero score — planted-sparse), and
+    * the metric aggregates reduce to [[EvalQueries]]·arms rows. Eval
+    * sets are small by construction at any corpus size (qrels are
+    * curated data); the harness cost is the arms' scans. */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val dot = DotProductLong.dotLong(spark) _
+    val ed = evalDocs(Tables.documents(spark, dir))
+    // lexical arm: real BM25, one planted term per query
+    val lexScored = (0 until EvalQueries).map { q =>
+      TextOps.bm25Scored(ed, Seq(s"zq$q"))
+        .where(col("bm25_x8") > 0)
+        .select(lit(q).as("q"), col("doc_id"),
+          col("bm25_x8").as("score"))
+    }.reduce(_.unionByName(_))
+    // dense arm: one-hot probes through the real dot-product kernel
+    val probes = spark.range(EvalQueries).select(col("id").cast("int")
+        .as("q"), transform(sequence(lit(0), lit(EvalQueries - 1)),
+        i => when(i === col("id").cast("int"), 1L).otherwise(0L))
+        .as("probe"))
+    val emb = Tables.documents(spark, dir).select(col("doc_id"),
+      array((0 until EvalQueries).map(i => expr(evalEmbExpr(i))
+        .cast("long")): _*).as("emb"))
+    val denScored = emb.crossJoin(broadcast(probes))
+      .withColumn("score", dot(col("probe"), col("emb")))
+      .where(col("score") > 0)
+      .select(col("q"), col("doc_id"), col("score"))
+    def ranked(scored: DataFrame): DataFrame = scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q"))
+        .orderBy(col("score").desc, col("doc_id").asc)))
+      .where(col("rank") <= RrfDepth)
+      .select(col("q"), col("doc_id"), col("rank"))
+    val lexR = ranked(lexScored)
+    val denR = ranked(denScored)
+    val fused = lexR.withColumnRenamed("rank", "lr")
+      .join(denR.withColumnRenamed("rank", "dr"),
+        Seq("q", "doc_id"), "full_outer")
+      .withColumn("ppm", expr(
+        s"""CAST(coalesce($RrfScale div ($RrfK + lr), 0)
+           |   + coalesce($RrfScale div ($RrfK + dr), 0) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q"))
+        .orderBy(col("ppm").desc, col("doc_id").asc)))
+      .select(col("q"), col("doc_id"), col("rank"))
+    val allArms = lexR.withColumn("arm", lit("bm25"))
+      .unionByName(denR.withColumn("arm", lit("dense")))
+      .unionByName(fused.withColumn("arm", lit("rrf")))
+      .withColumn("rel", col("doc_id") % EvalRelMod === col("q"))
+    val perQuery = allArms.groupBy(col("arm"), col("q"))
+      .agg(sum(when(col("rel") && col("rank") <= EvalK, 1L)
+          .otherwise(0L)).as("hits"),
+        min(when(col("rel"), col("rank"))).as("first_rank"))
+    val nRel = Tables.documents(spark, dir)
+      .where(col("doc_id") % EvalRelMod < EvalQueries)
+      .agg(count(lit(1)).as("n_rel"))
+    perQuery.groupBy(col("arm"))
+      .agg(sum(col("hits")).as("hits_at10"),
+        sum(coalesce(expr(s"$MrrScale div first_rank"), lit(0L)))
+          .as("mrr_sum"))
+      .crossJoin(broadcast(nRel))
+      .select(col("arm"), col("hits_at10"), col("n_rel"),
+        expr("CAST(hits_at10 * 100 div n_rel AS INT)").as("recall_pct"),
+        expr(s"CAST(mrr_sum div $EvalQueries AS BIGINT)").as("mrr_ppm"))
+  }
+
   /** Probe documents (doc_id < HnQueries) that mine triples. */
   val HnQueries = 5
 
@@ -1341,6 +1471,7 @@ object CurationOps {
     "q_url_dedup" -> urlDedup _,
     "q_curation_funnel" -> curationFunnel _,
     "q_rrf_fusion" -> rrfFusion _,
+    "q_retrieval_eval" -> retrievalEval _,
     "q_hard_negatives" -> hardNegatives _,
   )
 
@@ -1571,6 +1702,74 @@ object CurationOps {
          |    AS rrf_ppm
          |FROM bmr FULL OUTER JOIN csr USING (doc_id)
          |ORDER BY rrf_ppm DESC, doc_id ASC LIMIT $RrfTopK""".stripMargin,
+    // planted-qrels retrieval eval: the marker-salted corpus through
+    // the SAME BM25 CTEs (one instantiation per query term), the
+    // planted 5-dim dense scores, RRF over both rank sets, and exact
+    // integer recall@10 / MRR per arm
+    "q_retrieval_eval" -> {
+      val bmCtes = (0 until EvalQueries).map { q =>
+        TextOps.bm25CtesSqlOver("edocs", Seq(s"zq$q"), s"_q$q")
+      }.mkString(",\n")
+      val lexArms = (0 until EvalQueries).map { q =>
+        s"""SELECT $q AS q, doc_id, bm25_x8 AS score
+           |FROM bm25sc_q$q WHERE bm25_x8 > 0""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH edocs AS (SELECT doc_id, lang, text || CASE
+         |    WHEN doc_id % $EvalRelMod < $EvalQueries
+         |        AND doc_id % 3 <> 0
+         |      THEN repeat(' zq' || CAST(doc_id % $EvalRelMod AS VARCHAR),
+         |        CAST(1 + (doc_id // $EvalRelMod) % 5 AS INT))
+         |    WHEN doc_id % $EvalRelMod BETWEEN 50 AND 54
+         |        AND doc_id < 200
+         |      THEN ' zq' || CAST(doc_id % $EvalRelMod - 50 AS VARCHAR)
+         |    ELSE '' END AS text
+         |  FROM documents),
+         |$bmCtes,
+         |lexsc AS ($lexArms),
+         |densc AS (SELECT * FROM (
+         |  SELECT qq.q, d.doc_id,
+         |    CASE WHEN d.doc_id % $EvalRelMod = qq.q
+         |           AND d.doc_id % 2 = 0
+         |           THEN 900 + (d.doc_id // $EvalRelMod) % 50
+         |         WHEN d.doc_id % $EvalRelMod = qq.q + 30
+         |           AND d.doc_id < 200
+         |           THEN 890 + (d.doc_id // $EvalRelMod) % 5
+         |         ELSE 0 END AS score
+         |  FROM documents d,
+         |    (SELECT unnest(range($EvalQueries)) AS q) qq)
+         |  WHERE score > 0),
+         |lexr AS (SELECT * FROM (
+         |    SELECT q, doc_id, row_number() OVER (PARTITION BY q
+         |      ORDER BY score DESC, doc_id ASC) AS rank FROM lexsc)
+         |  WHERE rank <= $RrfDepth),
+         |denr AS (SELECT * FROM (
+         |    SELECT q, doc_id, row_number() OVER (PARTITION BY q
+         |      ORDER BY score DESC, doc_id ASC) AS rank FROM densc)
+         |  WHERE rank <= $RrfDepth),
+         |fus AS (SELECT q, doc_id,
+         |    CAST(coalesce($RrfScale // ($RrfK + l.rank), 0)
+         |       + coalesce($RrfScale // ($RrfK + r.rank), 0) AS BIGINT)
+         |      AS ppm
+         |  FROM lexr l FULL OUTER JOIN denr r USING (q, doc_id)),
+         |fusr AS (SELECT q, doc_id, row_number() OVER (PARTITION BY q
+         |    ORDER BY ppm DESC, doc_id ASC) AS rank FROM fus),
+         |arms AS (SELECT 'bm25' AS arm, q, doc_id, rank FROM lexr
+         |  UNION ALL SELECT 'dense', q, doc_id, rank FROM denr
+         |  UNION ALL SELECT 'rrf', q, doc_id, rank FROM fusr),
+         |perq AS (SELECT arm, q,
+         |    CAST(sum(CASE WHEN doc_id % $EvalRelMod = q
+         |      AND rank <= $EvalK THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |    min(CASE WHEN doc_id % $EvalRelMod = q THEN rank END)
+         |      AS first_rank
+         |  FROM arms GROUP BY 1, 2),
+         |nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_rel
+         |  FROM documents WHERE doc_id % $EvalRelMod < $EvalQueries)
+         |SELECT arm, CAST(sum(hits) AS BIGINT) AS hits_at10, n_rel,
+         |  CAST(sum(hits) * 100 // n_rel AS INT) AS recall_pct,
+         |  CAST(sum(coalesce($MrrScale // first_rank, 0))
+         |    // $EvalQueries AS BIGINT) AS mrr_ppm
+         |FROM perq, nrel GROUP BY arm, n_rel""".stripMargin
+    },
     // the funnel reuses DedupOps's group chain (ex carries the distinct
     // shingles), derives drops under the canonical keep rule, and folds
     // the per-row signals in one precedence CASE — same shape as the

@@ -1628,7 +1628,14 @@ object TextOps {
     * relation `bm25sc(doc_id, lang, bm25_x8)`; shared by the
     * q_bm25_topk and q_rrf_fusion oracles so the lexical arm can never
     * drift between them. */
-  private[operators] def bm25CtesSql(terms: Seq[String]): String = {
+  private[operators] def bm25CtesSql(terms: Seq[String]): String =
+    bm25CtesSqlOver("documents", terms, "")
+
+  /** [[bm25CtesSql]] over an arbitrary source relation with a CTE-name
+    * suffix, so several instantiations (one per eval query) can share
+    * one statement — ends in `bm25sc$sfx(doc_id, lang, bm25_x8)`. */
+  private[operators] def bm25CtesSqlOver(src: String, terms: Seq[String],
+      sfx: String): String = {
     val t = "list_filter(string_split(text, ' '), x -> x <> '')"
     val dfs = terms.zipWithIndex.map { case (t0, i) =>
       s"CAST(sum(CASE WHEN list_contains(t, '$t0') THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
@@ -1645,20 +1652,20 @@ object TextOps {
          |           // (10 * avgdl * tf_$i + 3 * avgdl + 9 * dl)
          |      ELSE 0 END)""".stripMargin
     }.mkString(" + ")
-    s"""bmtk AS (SELECT doc_id, lang, $t AS t,
-       |    CAST(len($t) AS BIGINT) AS dl FROM documents),
-       |bmst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    s"""bmtk$sfx AS (SELECT doc_id, lang, $t AS t,
+       |    CAST(len($t) AS BIGINT) AS dl FROM $src),
+       |bmst$sfx AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(dl) AS BIGINT) AS s_tok,
        |    $dfs
-       |  FROM bmtk),
-       |bmtf AS (SELECT doc_id, lang, dl, s_tok // n_docs AS avgdl,
+       |  FROM bmtk$sfx),
+       |bmtf$sfx AS (SELECT doc_id, lang, dl, s_tok // n_docs AS avgdl,
        |    n_docs,
        |    $tfs,
        |    $idfs
-       |  FROM bmtk, bmst),
-       |bm25sc AS (SELECT doc_id, lang, dl,
+       |  FROM bmtk$sfx, bmst$sfx),
+       |bm25sc$sfx AS (SELECT doc_id, lang, dl,
        |    CAST($score AS BIGINT) AS bm25_x8
-       |  FROM bmtf)""".stripMargin
+       |  FROM bmtf$sfx)""".stripMargin
   }
 
   // --- persisted BM25 statistics (the lexical index) -----------------

@@ -118,4 +118,27 @@ class RetrievalSpec extends SparkSpec {
       assert(rs.length === nPos * nNeg, "pos x neg grid must be complete")
     }
   }
+  test("retrieval eval: planted qrels measure the fusion win — RRF " +
+      "recall strictly beats both arms where their blind spots differ") {
+    val got = CurationOps.retrievalEval(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("bm25", "dense", "rrf"))
+    val hits = got.view.mapValues(_.getAs[Long]("hits_at10")).toMap
+    // the lexical arm is blind to the d % 3 == 0 relevants (no marker),
+    // the dense arm to the odd ones; only d % 6 == 3 escapes both
+    assert(hits("rrf") > hits("bm25"),
+      s"fusion must beat the lexical arm: $hits")
+    assert(hits("rrf") > hits("dense"),
+      s"fusion must beat the dense arm: $hits")
+    // the lexical arm ranks a relevant doc first on every query (MRR
+    // = 1 exactly, in ppm); the dense arm misses the odd-parity
+    // queries entirely (MRR = 3/5)
+    assert(got("bm25").getAs[Long]("mrr_ppm") == 1000000L)
+    assert(got("dense").getAs[Long]("mrr_ppm") == 600000L)
+    // recall is exact-integer: hits * 100 div n_rel
+    got.values.foreach { r =>
+      assert(r.getAs[Int]("recall_pct") ==
+        (r.getAs[Long]("hits_at10") * 100 / r.getAs[Long]("n_rel")).toInt)
+    }
+  }
 }
