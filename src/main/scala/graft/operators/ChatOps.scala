@@ -207,12 +207,132 @@ object ChatOps {
         max(col("n_tok")).as("max_seq_tokens"))
   }
 
+  // --- preference-pair (DPO/RLHF) prep --------------------------------
+
+  /** Prompt tokens per synthesized preference pair. */
+  val PrefPromptToks = 4
+
+  /** Minimum doc tokens to host a pair (prompt + two max-len responses). */
+  val PrefMinToks = 16
+
+  /** Every `PrefFaultMod`-th pair is DEGENERATE: rejected is
+    * byte-identical to chosen — the annotation-pipeline fault a
+    * preference gate must drop (training on it is a zero gradient at
+    * best, a NaN at worst). */
+  val PrefFaultMod = 7
+
+  /** Planted annotator margin: `margin_x100 = doc_id % 100 − 10`, so
+    * ~10% of pairs are INVERTED (negative margin) and ~1% TIED —
+    * realistic annotation noise the admission gate filters. */
+  val PrefMarginShift = 10
+
+  /** Preference-pair synthesis — the [[chatDocs]] fixture discipline:
+    * each ≥[[PrefMinToks]]-token doc becomes one (prompt, chosen,
+    * rejected) pair from disjoint token slices, with PLANTED response
+    * lengths (chosen `4 + d%3`, rejected `4 + (d div 3)%3` — so
+    * length-vs-preference correlation is a measurable ~half, the
+    * length-bias audit's ground truth), a planted margin, and the
+    * degenerate fault. Operators read only the materialized columns. */
+  private[graft] def prefDocs(docs: DataFrame): DataFrame = {
+    val lenC = expr("CAST(4 + doc_id % 3 AS INT)")
+    val lenR = expr("CAST(4 + (doc_id div 3) % 3 AS INT)")
+    val degenerate = col("doc_id") % PrefFaultMod === 0
+    docs
+      .withColumn("w", TextOps.toks(col("text")))
+      .where(size(col("w")) >= PrefMinToks)
+      .withColumn("len_c", lenC)
+      .select(col("doc_id").as("pair_id"),
+        array_join(slice(col("w"), 1, PrefPromptToks), " ").as("prompt"),
+        array_join(slice(col("w"), lit(PrefPromptToks + 1), col("len_c")),
+          " ").as("chosen"),
+        when(degenerate,
+          array_join(slice(col("w"), lit(PrefPromptToks + 1),
+            col("len_c")), " "))
+          .otherwise(array_join(
+            slice(col("w"), col("len_c") + (PrefPromptToks + 1), lenR), " "))
+          .as("rejected"),
+        degenerate.as("degenerate"),
+        expr(s"CAST(doc_id % 100 - $PrefMarginShift AS INT)")
+          .as("margin_x100"))
+  }
+
+  /** PREFERENCE-PAIR VALIDATION — per pair: response token counts, the
+    * degenerate flag (identical responses — checked on the CONTENT,
+    * not the plant: a synthesis bug would surface as a flag/oracle
+    * mismatch), the annotator margin, and the admission verdict
+    * (distinct responses AND strictly positive margin). Map-only
+    * expressions; the gate a DPO data loader runs before training. */
+  def prefPairs(spark: SparkSession, dir: String): DataFrame =
+    prefDocs(Tables.documents(spark, dir))
+      .select(col("pair_id"),
+        size(TextOps.toks(col("chosen"))).as("n_chosen_toks"),
+        size(TextOps.toks(col("rejected"))).as("n_rejected_toks"),
+        (col("chosen") === col("rejected")).as("degenerate"),
+        col("margin_x100"),
+        md5(concat_ws(" ", col("prompt"), col("chosen"),
+          col("rejected")).cast("binary")).as("pair_fp"),
+        (col("chosen") =!= col("rejected") && col("margin_x100") > 0)
+          .as("admitted"))
+
+  /** PREFERENCE-CORPUS AUDIT — the one-row report a preference dataset
+    * ships with: pair counts by failure class and the LENGTH-BIAS
+    * diagnostic (how often the chosen response is strictly longer,
+    * over admitted pairs) — the reward-hacking audit: a preference set
+    * whose chosen side is longer far above ~50% teaches a length
+    * prior, not a quality prior. All-integer; one aggregate. */
+  def prefStats(spark: SparkSession, dir: String): DataFrame =
+    prefPairs(spark, dir).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("degenerate"), 1L).otherwise(0L)).as("n_degenerate"),
+      sum(when(!col("degenerate") && col("margin_x100") < 0, 1L)
+        .otherwise(0L)).as("n_inverted"),
+      sum(when(!col("degenerate") && col("margin_x100") === 0, 1L)
+        .otherwise(0L)).as("n_tied"),
+      sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+      sum(when(col("admitted") &&
+          col("n_chosen_toks") > col("n_rejected_toks"), 1L)
+        .otherwise(0L)).as("n_chosen_longer"),
+      sum(when(col("admitted"), col("margin_x100").cast("long"))
+        .otherwise(0L)).as("margin_sum"))
+      .select(col("n_pairs"), col("n_degenerate"), col("n_inverted"),
+        col("n_tied"), col("n_admitted"),
+        expr("CAST(n_chosen_longer * 100 div n_admitted AS INT)")
+          .as("chosen_longer_pct"),
+        expr("CAST(margin_sum div n_admitted AS INT)")
+          .as("avg_margin_x100"))
+
+  /** DPO RENDER — each ADMITTED pair as its two training branches
+    * (prompt + chosen, prompt + rejected) in the [[chatRender]] ChatML
+    * framing, with the loss accounting a DPO loader needs: both
+    * branches share the forced prompt tokens, each branch's loss span
+    * is its response tokens + the `<|im_end|>` stop decision. Pure
+    * string expressions, map-side, hashes grade the exact bytes. */
+  def dpoRender(spark: SparkSession, dir: String): DataFrame = {
+    def branch(resp: Column): Column = concat(
+      lit("<|im_start|>user\n"), col("prompt"), lit("<|im_end|>\n"),
+      lit("<|im_start|>assistant\n"), resp, lit("<|im_end|>\n"))
+    prefDocs(Tables.documents(spark, dir))
+      .where(col("chosen") =!= col("rejected") && col("margin_x100") > 0)
+      .select(col("pair_id"),
+        md5(branch(col("chosen")).cast("binary")).as("chosen_fp"),
+        md5(branch(col("rejected")).cast("binary")).as("rejected_fp"),
+        (size(TextOps.toks(col("chosen"))) + LossExtraToks)
+          .as("n_loss_chosen"),
+        (size(TextOps.toks(col("rejected"))) + LossExtraToks)
+          .as("n_loss_rejected"),
+        (lit(PrefPromptToks) + size(TextOps.toks(col("chosen")))
+          + 2 * TurnOverheadToks).as("n_tok_chosen_branch"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chat_render"     -> chatRender _,
     "q_chat_validate"   -> chatValidate _,
     "q_loss_mask"       -> lossMask _,
     "q_chat_turn_stats" -> chatTurnStats _,
-    "q_chat_pack"       -> chatPack _)
+    "q_chat_pack"       -> chatPack _,
+    "q_pref_pairs"      -> prefPairs _,
+    "q_pref_stats"      -> prefStats _,
+    "q_dpo_render"      -> dpoRender _)
 
   /** Shared oracle CTEs: the planted per-turn table (doc_id, t, role,
     * content, n_content) rebuilt from the SAME token arithmetic as
@@ -243,7 +363,80 @@ object ChatOps {
        |    least($TurnToks, n - t * $TurnToks) AS n_content
        |  FROM tix)""".stripMargin
 
+  /** Shared preference-pair CTE: the planted slices rebuilt from the
+    * SAME token arithmetic as [[prefDocs]] (DuckDB `list_slice` is
+    * inclusive-stop, Spark `slice` is length-based — both land on the
+    * identical token runs). Ends in `prefp(pair_id, prompt, chosen,
+    * rejected, margin_x100)`. */
+  private val prefCte: String =
+    s"""prefw AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |prefp AS (SELECT doc_id AS pair_id,
+       |    array_to_string(list_slice(w, 1, $PrefPromptToks), ' ')
+       |      AS prompt,
+       |    array_to_string(list_slice(w, ${PrefPromptToks + 1},
+       |      ${PrefPromptToks + 4} + doc_id % 3), ' ') AS chosen,
+       |    CASE WHEN doc_id % $PrefFaultMod = 0
+       |      THEN array_to_string(list_slice(w, ${PrefPromptToks + 1},
+       |        ${PrefPromptToks + 4} + doc_id % 3), ' ')
+       |      ELSE array_to_string(list_slice(w,
+       |        ${PrefPromptToks + 5} + doc_id % 3,
+       |        ${PrefPromptToks + 8} + doc_id % 3 + (doc_id // 3) % 3),
+       |        ' ') END AS rejected,
+       |    CAST(doc_id % 100 - $PrefMarginShift AS INT) AS margin_x100
+       |  FROM prefw WHERE len(w) >= $PrefMinToks),
+       |prefq AS (SELECT pair_id, prompt, chosen, rejected, margin_x100,
+       |    CAST(len(list_filter(string_split(chosen, ' '),
+       |      x -> x <> '')) AS INT) AS n_chosen_toks,
+       |    CAST(len(list_filter(string_split(rejected, ' '),
+       |      x -> x <> '')) AS INT) AS n_rejected_toks,
+       |    chosen = rejected AS degenerate,
+       |    chosen <> rejected AND margin_x100 > 0 AS admitted
+       |  FROM prefp)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_pref_pairs" ->
+      s"""WITH $prefCte
+         |SELECT pair_id, n_chosen_toks, n_rejected_toks, degenerate,
+         |  margin_x100,
+         |  md5(prompt || ' ' || chosen || ' ' || rejected) AS pair_fp,
+         |  admitted
+         |FROM prefq""".stripMargin,
+    "q_pref_stats" ->
+      s"""WITH $prefCte
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN degenerate THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_degenerate,
+         |  CAST(sum(CASE WHEN NOT degenerate AND margin_x100 < 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_inverted,
+         |  CAST(sum(CASE WHEN NOT degenerate AND margin_x100 = 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_tied,
+         |  CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_admitted,
+         |  CAST(sum(CASE WHEN admitted AND n_chosen_toks > n_rejected_toks
+         |      THEN 1 ELSE 0 END) * 100
+         |    // sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS INT)
+         |    AS chosen_longer_pct,
+         |  CAST(sum(CASE WHEN admitted THEN margin_x100 ELSE 0 END)
+         |    // sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS INT)
+         |    AS avg_margin_x100
+         |FROM prefq""".stripMargin,
+    "q_dpo_render" ->
+      s"""WITH $prefCte
+         |SELECT pair_id,
+         |  md5('<|im_start|>user' || chr(10) || prompt || '<|im_end|>'
+         |    || chr(10) || '<|im_start|>assistant' || chr(10) || chosen
+         |    || '<|im_end|>' || chr(10)) AS chosen_fp,
+         |  md5('<|im_start|>user' || chr(10) || prompt || '<|im_end|>'
+         |    || chr(10) || '<|im_start|>assistant' || chr(10) || rejected
+         |    || '<|im_end|>' || chr(10)) AS rejected_fp,
+         |  CAST(n_chosen_toks + $LossExtraToks AS INT) AS n_loss_chosen,
+         |  CAST(n_rejected_toks + $LossExtraToks AS INT)
+         |    AS n_loss_rejected,
+         |  CAST($PrefPromptToks + n_chosen_toks
+         |    + ${2 * TurnOverheadToks} AS INT) AS n_tok_chosen_branch
+         |FROM prefq WHERE admitted""".stripMargin,
     // exact rendered bytes rebuilt per turn and string_agg'd in turn
     // order; md5 grades the full render without shipping it
     "q_chat_render" ->

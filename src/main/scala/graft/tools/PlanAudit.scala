@@ -102,9 +102,10 @@ object PlanAudit {
     "q_event_funnel_n" -> "config-driven N-stage funnel: the same user-keyed min-aggregate fold at 4 stages — each stage |users|-sized, equal-ts rule at every hop, no window, no event self-join",
     "q_merge_groups" -> "incremental group fold: delta edges re-expressed in rep space (two equi-joins to current reps), components run on the DELTA graph only, one left-join relabeling pass over the existing labeling — untouched components never enter the loop",
     "q_image_dhash" -> "real BMP decode -> 9x8 luminance grid -> 64 gradient bits in a map-only kernel; the synthesis is pure column hex assembly, so the only exchange is none",
-    "q_image_dhash_neardup" -> "perceptual near-dup: 4x16-bit band equi-join is the ONLY pair producer (sub-quadratic); 64-element Hamming HOF verifies candidates only",
+    "q_image_dhash_neardup" -> "perceptual near-dup: signatures decoded ONCE (eager checkpoint — the self-join sides scan materialized blocks, no second decode kernel); band values above the max(100, n/20) df cap dropped BEFORE the 4x16-bit band equi-join (the ONLY pair producer); verify = codegen'd xor+bit_count over packed halves",
     "q_audio_fp" -> "real javax.sound PCM decode -> 65 window energies -> 64 gain-invariant gradient-sign bits in a map-only kernel; synthesis is pure column hex assembly, so the only exchange is none",
-    "q_audio_fp_neardup" -> "audio perceptual near-dup through the SAME banded-Hamming matcher as the image path: band equi-join only pair producer, HOF verify on candidates",
+    "q_audio_fp_neardup" -> "audio perceptual near-dup through the SAME banded-Hamming matcher as the image path: single checkpointed decode, df-capped band equi-join only pair producer, xor+bit_count verify",
+    "q_video_dhash_neardup" -> "offset-tolerant video near-dup: frames decoded ONCE (checkpoint feeds census + both join sides), media-frequency df cap before the band-only join, matches coalesce per (pair, idx_a-idx_b) diagonal so head-trimmed re-encodes align; run windows over pair-diagonal partitions",
     "q_sketch_overlap" -> "sketched cross-source shingle overlap: mergeable Datasketches-HLL per source (partial_hll_sketch_agg = map-side combine, shuffle carries |sources| 4KiB buffers), broadcast pair self-join over the tiny sketch table, inclusion-exclusion estimates contract-checked against the exact intersection",
     "q_sliding_wau" -> "trailing 7-day distinct users from daily mergeable HLL sketches: one event scan -> per-day sketch, each sketch EXPLODED to its <=7 window ends (equi-shuffle on win_end, never a range join), hll_union_agg per window; exact arm bundled for the contract booleans",
     "q_fixed_k_sample" -> "exact-k per-stratum sample, skew-safe: phase-1 row_number windows on (stratum, md5-sub-bucket) keep local top-k (exact superset by the some-bucket argument), phase-2 re-ranks <= buckets*k survivors per stratum — a hot stratum never serializes into one sort; md5-rank determinism, result-identical to the single-window form",
@@ -137,7 +138,12 @@ object PlanAudit {
     "q_homoglyph_dedup" -> "confusable-fold dedup: built-in translate composed with graft_nfc inside the scan projection; the standard fingerprint hash-groupBy on the folded key",
     "q_chat_render" -> "conversation -> ChatML string: fixture synthesis + render all in ONE map-only projection (transform/array_join string expressions) — zero exchanges",
     "q_loss_mask" -> "assistant-only mask accounting: two aggregate() folds over the turns array per row, integer density — zero exchanges",
+    "q_pref_stats" -> "preference-corpus audit (degenerate/tied/inverted classes + length-bias pct): map-only pair synthesis folded to ONE aggregate row — the whole audit is a single pass",
+    "q_dpo_render" -> "DPO branch render: admitted-pair filter + two ChatML string builds + loss accounting all in one map-only projection — zero exchanges",
     "q_zorder_layout" -> "tile-aligned layout census: 1-row stats broadcast onto the scan, map-side Morton interleave, <=16-row histogram window, broadcast tile->file map, 16-group box aggregate",
+    "q_zorder_incremental" -> "OPTIMIZE-on-append maintenance: three per-phase box censuses over one keyed derivation (base tiles, base + arrival-ordered append stripes, projected rewrite), histogram windows over <=256-row tile tables only; the trigger compares measured candidate-file counts",
+    "q_pdf_extract" -> "real PDF kernel (stream discovery + BT/ET text-operator walk) in a map-only Dataset.map over column-synthesized containers — zero exchanges before the final projection",
+    "q_retrieval_eval" -> "planted-qrels eval: per-query real-BM25 stats+score passes (1-row stats broadcast each), one dense scan with broadcast one-hot probes through dot_long, rank windows over planted-sparse candidate sets, constant-size metric aggregates",
     "q_cdc_dedup" -> "content-defined chunking: posexplode + per-doc running boundary-count window (sessionize discipline), per-chunk fp aggregate, then the chunk-dedup owner hash-agg + join back",
     "q_json_parse" -> "schema-declared from_json in a map-only projection — the Jackson parse rides inside the scan's codegen span; zero exchanges",
     "q_fuzzy_pairs" -> "deletion-neighborhood blocking: len+1 keys per record exploded, key equi-join (complete dist<=1 candidates, never all-pairs), distinct, levenshtein verify on candidates only",

@@ -111,4 +111,38 @@ class ChatOpsSpec extends SparkSpec {
     assert(stats("user") >= stats("assistant"))
     assert(stats("system") < stats("user"), "system is 1-per-SysMod-doc")
   }
+
+  test("preference pairs: the admission gate drops exactly the " +
+      "degenerate/tied/inverted classes; stats match the pair relation") {
+    val pairs = ChatOps.prefPairs(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val deg = r.getAs[Boolean]("degenerate")
+      val m = r.getAs[Int]("margin_x100")
+      assert(r.getAs[Boolean]("admitted") == (!deg && m > 0), s"$r")
+      // every planted-degenerate pair is content-degenerate (the 'q'
+      // fuzzy-twin lesson: the invariant is checked on CONTENT)
+      if (r.getAs[Long]("pair_id") % ChatOps.PrefFaultMod == 0)
+        assert(deg, s"planted degenerate must surface: $r")
+    }
+    val st = ChatOps.prefStats(spark, sfDir).head()
+    val admitted = pairs.count(_.getAs[Boolean]("admitted"))
+    assert(st.getAs[Long]("n_pairs") == pairs.length.toLong)
+    assert(st.getAs[Long]("n_admitted") == admitted.toLong)
+    assert(st.getAs[Long]("n_degenerate") ==
+      pairs.count(_.getAs[Boolean]("degenerate")).toLong)
+    // the length-bias audit reads a real mid-range value on the planted
+    // lengths (chosen is longer in ~1/3 of admitted pairs by design)
+    val pct = st.getAs[Int]("chosen_longer_pct")
+    assert(pct > 0 && pct < 100, s"length bias must be measured: $pct")
+    // every admitted pair renders two distinct branches
+    val dpo = ChatOps.dpoRender(spark, sfDir).collect()
+    assert(dpo.length == admitted)
+    dpo.foreach { r =>
+      assert(r.getAs[String]("chosen_fp") != r.getAs[String]("rejected_fp"),
+        s"admitted pairs must render distinct branches: $r")
+      assert(r.getAs[Int]("n_loss_chosen") >= 1
+        && r.getAs[Int]("n_loss_rejected") >= 1)
+    }
+  }
 }
