@@ -66,6 +66,42 @@ class MaterializeCacheSpec extends AnyFunSuite {
     assert(attempts == 2)
   }
 
+  test("a waiter blocked on a failing writer retries the write itself " +
+      "instead of rethrowing the loser's error (ADVICE r14)") {
+    val dir = tmpCorpus()
+    val writerEntered = new java.util.concurrent.CountDownLatch(1)
+    val waiterBlocked = new java.util.concurrent.CountDownLatch(1)
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val writer = new Thread(() => {
+      intercept[RuntimeException] {
+        MaterializeCache.getOrWrite("spec_waiter", dir) { _ =>
+          attempts.incrementAndGet()
+          writerEntered.countDown()
+          // hold the key until the waiter is provably blocked on it
+          assert(waiterBlocked.await(10,
+            java.util.concurrent.TimeUnit.SECONDS))
+          throw new RuntimeException("writer boom")
+        }
+      }
+    })
+    writer.start()
+    assert(writerEntered.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    @volatile var waiterResult: String = null
+    val waiter = new Thread(() => {
+      // second caller: lands on the in-flight future, sees its
+      // failure, and must RETRY (computeIfAbsent semantics), not throw
+      waiterResult = MaterializeCache.getOrWrite("spec_waiter", dir) {
+        _ => attempts.incrementAndGet()
+      }
+    })
+    waiter.start()
+    Thread.sleep(200) // let the waiter reach join() on the live future
+    waiterBlocked.countDown()
+    writer.join(10000); waiter.join(10000)
+    assert(waiterResult != null, "the waiter must recover with a path")
+    assert(attempts.get == 2, "writer failed once, waiter rewrote once")
+  }
+
   test("content fingerprint changes when the corpus dir changes") {
     val dir = tmpCorpus()
     val f1 = MaterializeCache.fingerprint(dir)
