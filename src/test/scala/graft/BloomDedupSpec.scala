@@ -56,14 +56,44 @@ class BloomDedupSpec extends SparkSpec {
 
   test("the prefilter prunes: a disjoint batch mostly never reaches the join") {
     val corpus = docs((0L until 1000L).map(i => i -> s"corp$i a b"))
-      .select(col("doc_id"), xxhash64(col("text")).as("h"))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
     val batch = docs((0L until 500L).map(i => (5000L + i) -> s"new$i c d"))
-      .select(col("doc_id"), xxhash64(col("text")).as("h"))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
     val survivors = DedupOps.bloomCandidates(
-      corpus.select(col("h")), batch, expectedItems = 1000).count()
+      corpus.select(col("fp")), batch, expectedItems = 1000).count()
     // fpp = 1% → E[survivors] = 5 of 500; even 10σ of margin stays far
     // under 100 — if this fails, the bloom is not filtering at all
     assert(survivors < 100, s"bloom admitted $survivors of 500 novel rows")
+  }
+
+  test("native bloom sketch: bit array is partitioning-invariant, " +
+      "positions match the chained-md5 idiom, membership is exact") {
+    import graft.plans.{BloomFilter, CountMinSketch}
+    val keys = (0 until 300).map(i => s"key$i").toDF("fp")
+    def words(df: DataFrame): Seq[Long] = df
+      .agg(BloomFilter.bloomAgg(spark)(col("fp"), 4096, 3))
+      .head().getSeq[Long](0)
+    // merge is bitwise OR — any partial-aggregation tree gives the
+    // same array (the countmin determinism argument)
+    val w1 = words(keys.repartition(1))
+    val w7 = words(keys.repartition(7))
+    assert(w1 == w7, "bit array must not depend on merge order")
+    val w = w1.toArray
+    // every key's positions (the shared countmin bucket derivation)
+    // are set — checked against the kernel directly
+    val pos = CountMinSketch.buckets(
+      org.apache.spark.unsafe.types.UTF8String.fromString("key0"), 3, 4096)
+    pos.foreach(p =>
+      assert(((w(p >> 6) >> (p & 63)) & 1L) == 1L, s"bit $p unset"))
+    // probe expression: present keys all true, absent keys mostly not
+    val present = keys.withColumn("m",
+      BloomFilter.bloomContains(spark)(typedLit(w), col("fp"), 3))
+    assert(present.where(!col("m")).isEmpty, "no false negatives")
+    val absent = (0 until 300).map(i => s"zz$i").toDF("fp")
+      .withColumn("m",
+        BloomFilter.bloomContains(spark)(typedLit(w), col("fp"), 3))
+    val fps = absent.where(col("m")).count()
+    assert(fps < 30, s"absent keys must rarely collide, got $fps of 300")
   }
 
   test("declared query: batch split covers exactly the mod class, exact flags") {

@@ -408,7 +408,10 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"exact verify is a semi-join:\n$p")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       s"membership must stay an equi-join:\n$p")
-    val iFilter = p.indexOf("UDF")
+    // the probe is the NATIVE expression now (r15 — the stat.bloomFilter
+    // closure UDF is retired), still sitting below the semi-join
+    assert(!p.contains("UDF"), s"no UDF may remain in the bloom gate:\n$p")
+    val iFilter = p.indexOf("bloom_might_contain")
     val iJoin = p.indexOf("LeftSemi")
     assert(iFilter >= 0 && iJoin >= 0 && iFilter > iJoin,
       s"bloom probe must run below (after in tree order) the join:\n$p")
