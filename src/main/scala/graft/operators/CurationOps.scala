@@ -273,6 +273,70 @@ object CurationOps {
         sum(col("emit") * col("tok")).as("tok_emitted"))
   }
 
+  /** Curriculum phases for [[annealSchedule]]: (phase, name, budget
+    * share in 1e4 of the total token budget). Shares sum to 10⁴. */
+  val AnnealPhases: Seq[(Int, String, Long)] = Seq(
+    (0, "warmup", 2000L), (1, "main", 6000L), (2, "anneal", 2000L))
+
+  /** CURRICULUM / ANNEALING MIXTURE SCHEDULE — the multi-phase planner
+    * a real pretraining run feeds from (the public recipe: see broad
+    * data early, concentrate quality late, matching the LR anneal):
+    * the token budget splits across [[AnnealPhases]] and each phase
+    * weights strata differently —
+    *
+    *  - `warmup`: NATURAL shares (w ∝ tokens available) — maximum
+    *    diversity while the optimizer is noisy anyway;
+    *  - `main`: the √-temperature shares of [[mixturePlanTemp]]
+    *    (w ∝ √tokens — thin languages upweighted);
+    *  - `anneal`: QUALITY-weighted shares (w ∝ Σ q10k over the
+    *    stratum) — the end-of-training quality concentration.
+    *
+    * All-integer after the one guaranteed-exact `floor(sqrt(double))`
+    * (the [[mixturePlanTemp]] determinism argument): per (phase, lang),
+    * `share_10k = w·10⁴ div Σw`, `tokens_planned = share·budget div
+    * 10⁴`, `epochs_100 = planned·100 div avail` — over-sampling in the
+    * anneal phase surfaces as epochs_100 > 100 exactly where a real run
+    * repeats its best data.
+    *
+    * Scale shape: ONE corpus hash-agg (count/Σtok/Σq10k per lang — the
+    * quality column rides the same scan), then pure arithmetic over a
+    * langs × phases relation (a handful of rows at any corpus size);
+    * the phase explode happens on the aggregate, never the corpus. */
+  def annealSchedule(spark: SparkSession, dir: String,
+      targetTokens: Long = MixTargetTokens): DataFrame = {
+    val phases = array(AnnealPhases.map { case (p, name, b) =>
+      struct(lit(p).as("phase"), lit(name).as("phase_name"),
+        lit(b).as("budget_10k"))
+    }: _*)
+    Tables.documents(spark, dir)
+      .select(col("lang"), TextOps.tokEst(col("text")).as("tok"),
+        TextOps.quality10k(col("text")).as("q10k"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens_avail"),
+        sum(col("q10k")).as("q_sum"))
+      .withColumn("w_sqrt",
+        floor(sqrt(col("tokens_avail").cast("double"))).cast("long"))
+      .withColumn("ph", explode(phases))
+      .select(col("ph.phase").as("phase"),
+        col("ph.phase_name").as("phase_name"),
+        col("ph.budget_10k").as("budget_10k"),
+        col("lang"), col("n_docs"), col("tokens_avail"),
+        when(col("ph.phase") === 0, col("tokens_avail"))
+          .when(col("ph.phase") === 1, col("w_sqrt"))
+          .otherwise(col("q_sum")).as("w"))
+      .withColumn("share_10k", expr(
+        "w * 10000 div sum(w) OVER (PARTITION BY phase)"))
+      .withColumn("phase_tokens", expr(
+        s"budget_10k * ${targetTokens}L div 10000"))
+      .withColumn("tokens_planned",
+        expr("share_10k * phase_tokens div 10000"))
+      .withColumn("epochs_100",
+        expr("tokens_planned * 100 div tokens_avail"))
+      .select(col("phase"), col("phase_name"), col("lang"),
+        col("tokens_avail"), col("share_10k"), col("tokens_planned"),
+        col("epochs_100"))
+  }
+
   /** Documents kept per source by [[sourceCapped]] — the domain-balance
     * cap a web-scale pipeline applies so no single domain dominates the
     * mixture (the per-domain analogue of the per-language mixture). */
@@ -1455,6 +1519,8 @@ object CurationOps {
     "q_mixture_temp" -> ((s: SparkSession, d: String) => mixturePlanTemp(s, d)),
     "q_mixture_realized" -> ((s: SparkSession, d: String) =>
       mixtureRealized(s, d)),
+    "q_anneal_schedule" -> ((s: SparkSession, d: String) =>
+      annealSchedule(s, d)),
     "q_source_cap" -> sourceCapped _,
     "q_dsir_weights" -> dsirWeights _,
     "q_dsir_sample" -> dsirSample _,
@@ -2033,6 +2099,45 @@ object CurationOps {
     // floor(sqrt(DOUBLE)) is exact cross-engine (IEEE correctly-rounded
     // sqrt, operand ≪ 2^52); everything after is the same integer
     // arithmetic as q_mixture_plan
+    // the three phase weightings recomputed from the same one-pass
+    // aggregate: natural (tokens), sqrt-temperature, quality-sum;
+    // phases unnest from the SAME (phase, name, budget) literal table
+    "q_anneal_schedule" -> {
+      val phaseRows = AnnealPhases.map { case (p, n, b) =>
+        s"($p, '$n', $b)"
+      }.mkString(", ")
+      s"""WITH anq AS (${TextOps.quality10kSql}),
+         |ana AS (
+         |  SELECT d.lang, count(*) AS n_docs,
+         |    CAST(sum(${TextOps.tokEstSql}) AS BIGINT) AS tokens_avail,
+         |    CAST(sum(q.q10k) AS BIGINT) AS q_sum
+         |  FROM documents d JOIN anq q ON q.doc_id = d.doc_id
+         |  GROUP BY d.lang),
+         |anb AS (
+         |  SELECT lang, n_docs, tokens_avail, q_sum,
+         |    CAST(floor(sqrt(CAST(tokens_avail AS DOUBLE))) AS BIGINT)
+         |      AS w_sqrt
+         |  FROM ana),
+         |anp (phase, phase_name, budget_10k) AS (VALUES $phaseRows),
+         |anw AS (
+         |  SELECT p.phase, p.phase_name, p.budget_10k, b.lang,
+         |    b.tokens_avail,
+         |    CASE WHEN p.phase = 0 THEN b.tokens_avail
+         |         WHEN p.phase = 1 THEN b.w_sqrt
+         |         ELSE b.q_sum END AS w
+         |  FROM anb b CROSS JOIN anp p),
+         |ans AS (
+         |  SELECT phase, phase_name, lang, tokens_avail,
+         |    w * 10000 // CAST(sum(w) OVER (PARTITION BY phase)
+         |      AS BIGINT) AS share_10k,
+         |    budget_10k * $MixTargetTokens // 10000 AS phase_tokens
+         |  FROM anw)
+         |SELECT phase, phase_name, lang, tokens_avail, share_10k,
+         |  share_10k * phase_tokens // 10000 AS tokens_planned,
+         |  share_10k * phase_tokens // 10000 * 100 // tokens_avail
+         |    AS epochs_100
+         |FROM ans""".stripMargin
+    },
     "q_mixture_temp" ->
       s"""WITH a AS (
          |  SELECT lang, count(*) AS n_docs,

@@ -238,4 +238,30 @@ class MixturePlanSpec extends SparkSpec {
       assert(w > 500000L && w < 2000000L, s"shared-vocab weight off: $r")
     }
   }
+  test("anneal schedule: per-phase shares stay within budget, the main " +
+      "phase flattens the head language, the phase table sums to 10^4") {
+    import graft.operators.CurationOps
+    assert(CurationOps.AnnealPhases.map(_._3).sum == 10000L)
+    val rows = CurationOps.annealSchedule(spark, sfDir).collect()
+    val byPhase = rows.groupBy(_.getAs[Int]("phase"))
+    assert(byPhase.keySet == Set(0, 1, 2))
+    byPhase.foreach { case (ph, rs) =>
+      // floor division: shares sum to at most 10^4, within langs slack
+      val sh = rs.map(_.getAs[Long]("share_10k")).sum
+      assert(sh <= 10000L && sh > 10000L - 2L * rs.length, s"phase $ph: $sh")
+      rs.foreach(r => assert(r.getAs[Long]("tokens_planned") >= 0))
+    }
+    // the curriculum property: sqrt-temperature (main) gives the head
+    // language a SMALLER share than its natural (warmup) share, and
+    // every thin language a larger one
+    val nat = byPhase(0).map(r =>
+      r.getAs[String]("lang") -> r.getAs[Long]("share_10k")).toMap
+    val mainP = byPhase(1).map(r =>
+      r.getAs[String]("lang") -> r.getAs[Long]("share_10k")).toMap
+    val head = nat.maxBy(_._2)._1
+    assert(mainP(head) < nat(head),
+      s"sqrt temperature must flatten the head language: $head")
+    assert(nat.keys.filter(_ != head).forall(l => mainP(l) >= nat(l)),
+      "thin languages must not lose share under sqrt temperature")
+  }
 }
