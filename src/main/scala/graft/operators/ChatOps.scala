@@ -301,6 +301,54 @@ object ChatOps {
         expr("CAST(margin_sum div n_admitted AS INT)")
           .as("avg_margin_x100"))
 
+  /** Second-annotator disagreement rate: annotator B flips A's label
+    * on ~1/[[KappaFlipMod]] of pairs, chosen by a deterministic md5
+    * coin on the pair id (the [[CurationOps.mixtureRealized]] coin
+    * idiom) — INDEPENDENT of the label itself, which an id-arithmetic
+    * stride is not (the margin also derives from the id, and a
+    * label-correlated flip collapses κ to its chance floor — measured
+    * before this coin replaced a `div 10` stride). */
+  val KappaFlipMod = 5
+
+  /** INTER-ANNOTATOR AGREEMENT — Cohen's κ over the preference labels,
+    * exact-integer (the statistic every human-labeled preference set
+    * ships with; raw agreement alone is inflated by the base rate,
+    * which κ removes): annotator A's label is the planted margin sign,
+    * annotator B agrees except on the [[KappaFlipMod]]-strided ~20%.
+    * With n items, `agree` matches, and marginal positives aᵖ/bᵖ,
+    * `κ = (agree·n − M)/(n² − M)` where `M = aᵖbᵖ + (n−aᵖ)(n−bᵖ)` —
+    * the po/pe form cross-multiplied so every operand is a
+    * non-negative long (the repo div discipline; κ ≤ 0 reports 0,
+    * "no better than chance"). Degenerate pairs are excluded — they
+    * carry no annotatable preference. One aggregate; one row. */
+  def prefKappa(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = prefDocs(Tables.documents(spark, dir))
+      .where(col("chosen") =!= col("rejected"))
+      .select(col("pair_id"),
+        (col("margin_x100") > 0).as("label_a"))
+      .withColumn("flip", expr(
+        s"""CAST(conv(substring(md5(CAST(pair_id AS STRING)), 1, 4),
+           |  16, 10) AS BIGINT) % $KappaFlipMod = 0""".stripMargin))
+      .withColumn("label_b",
+        (col("label_a") && !col("flip")) || (!col("label_a") && col("flip")))
+    labeled.agg(
+        count(lit(1)).as("n_items"),
+        sum(when(col("label_a") === col("label_b"), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum(when(col("label_a"), 1L).otherwise(0L)).as("a_pos"),
+        sum(when(col("label_b"), 1L).otherwise(0L)).as("b_pos"))
+      .withColumn("chance_m", expr(
+        "a_pos * b_pos + (n_items - a_pos) * (n_items - b_pos)"))
+      .select(col("n_items"), col("n_agree"),
+        expr("CAST(n_agree * 1000000 div n_items AS BIGINT)").as("po_ppm"),
+        expr("CAST(chance_m * 1000000 div (n_items * n_items) AS BIGINT)")
+          .as("pe_ppm"),
+        expr(s"""CAST(CASE WHEN n_agree * n_items > chance_m
+                |  THEN (n_agree * n_items - chance_m) * 1000000
+                |       div (n_items * n_items - chance_m)
+                |  ELSE 0 END AS BIGINT)""".stripMargin).as("kappa_ppm"))
+  }
+
   /** DPO RENDER — each ADMITTED pair as its two training branches
     * (prompt + chosen, prompt + rejected) in the [[chatRender]] ChatML
     * framing, with the loss accounting a DPO loader needs: both
@@ -332,6 +380,7 @@ object ChatOps {
     "q_chat_pack"       -> chatPack _,
     "q_pref_pairs"      -> prefPairs _,
     "q_pref_stats"      -> prefStats _,
+    "q_pref_kappa"      -> prefKappa _,
     "q_dpo_render"      -> dpoRender _)
 
   /** Shared oracle CTEs: the planted per-turn table (doc_id, t, role,
@@ -422,6 +471,36 @@ object ChatOps {
          |    // sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS INT)
          |    AS avg_margin_x100
          |FROM prefq""".stripMargin,
+    "q_pref_kappa" ->
+      s"""WITH $prefCte,
+         |kl AS (SELECT pair_id, margin_x100 > 0 AS label_a,
+         |    CAST('0x' || substr(md5(CAST(pair_id AS VARCHAR)), 1, 4)
+         |      AS BIGINT) % $KappaFlipMod = 0 AS flip
+         |  FROM prefq WHERE NOT degenerate),
+         |kb AS (SELECT pair_id, label_a,
+         |    (label_a AND NOT flip) OR (NOT label_a AND flip) AS label_b
+         |  FROM kl),
+         |ka AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+         |    CAST(sum(CASE WHEN label_a = label_b THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_agree,
+         |    CAST(sum(CASE WHEN label_a THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS a_pos,
+         |    CAST(sum(CASE WHEN label_b THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS b_pos
+         |  FROM kb),
+         |km AS (SELECT *,
+         |    a_pos * b_pos + (n_items - a_pos) * (n_items - b_pos)
+         |      AS chance_m
+         |  FROM ka)
+         |SELECT n_items, n_agree,
+         |  CAST(n_agree * 1000000 // n_items AS BIGINT) AS po_ppm,
+         |  CAST(chance_m * 1000000 // (n_items * n_items) AS BIGINT)
+         |    AS pe_ppm,
+         |  CAST(CASE WHEN n_agree * n_items > chance_m
+         |    THEN (n_agree * n_items - chance_m) * 1000000
+         |         // (n_items * n_items - chance_m)
+         |    ELSE 0 END AS BIGINT) AS kappa_ppm
+         |FROM km""".stripMargin,
     "q_dpo_render" ->
       s"""WITH $prefCte
          |SELECT pair_id,

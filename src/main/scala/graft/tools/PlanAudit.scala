@@ -142,6 +142,7 @@ object PlanAudit {
     "q_loss_mask" -> "assistant-only mask accounting: two aggregate() folds over the turns array per row, integer density — zero exchanges",
     "q_pref_stats" -> "preference-corpus audit (degenerate/tied/inverted classes + length-bias pct): map-only pair synthesis folded to ONE aggregate row — the whole audit is a single pass",
     "q_anneal_schedule" -> "curriculum mixture schedule: ONE corpus hash-agg (count/tokens/quality-sum per lang), then the 3-phase weighting explodes on the langs-sized aggregate — never the corpus; per-phase share windows run over a handful of rows",
+    "q_pref_kappa" -> "Cohen's kappa over preference labels: one aggregate to (n, agree, marginals), the po/pe form cross-multiplied to non-negative longs — single pass, one row",
     "q_dpo_render" -> "DPO branch render: admitted-pair filter + two ChatML string builds + loss accounting all in one map-only projection — zero exchanges",
     "q_zorder_layout" -> "tile-aligned layout census: 1-row stats broadcast onto the scan, map-side Morton interleave, <=16-row histogram window, broadcast tile->file map, 16-group box aggregate",
     "q_zorder_incremental" -> "OPTIMIZE-on-append maintenance: three per-phase box censuses over one keyed derivation (base tiles, base + arrival-ordered append stripes, projected rewrite), histogram windows over <=256-row tile tables only; the trigger compares measured candidate-file counts",

@@ -135,6 +135,17 @@ class ChatOpsSpec extends SparkSpec {
     // lengths (chosen is longer in ~1/3 of admitted pairs by design)
     val pct = st.getAs[Int]("chosen_longer_pct")
     assert(pct > 0 && pct < 100, s"length bias must be measured: $pct")
+    // inter-annotator agreement: the md5-coin flip is independent of
+    // the label, so kappa sits well above the chance floor (a
+    // label-correlated flip collapses it to 0 — the bug this pins) and
+    // below the ~(1-2f) agreement ceiling of a 20% symmetric flip
+    val kap = ChatOps.prefKappa(spark, sfDir).head()
+    assert(kap.getAs[Long]("n_items") ==
+      pairs.count(!_.getAs[Boolean]("degenerate")).toLong)
+    val kappa = kap.getAs[Long]("kappa_ppm")
+    assert(kappa > 150000L && kappa < 700000L,
+      s"kappa must show real but imperfect agreement: $kappa")
+    assert(kap.getAs[Long]("po_ppm") > kap.getAs[Long]("pe_ppm"))
     // every admitted pair renders two distinct branches
     val dpo = ChatOps.dpoRender(spark, sfDir).collect()
     assert(dpo.length == admitted)
