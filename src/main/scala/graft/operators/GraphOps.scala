@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** [EXT] Link-graph curation analytics — domain-authority signals for
+  * web-corpus quality weighting. Real curation pipelines (CC-Net /
+  * RefinedWeb lineage, public recipes) weight documents by the
+  * REPUTATION of their origin domain, and the standard reputation
+  * signal is the hyperlink graph: PageRank over domains, degree
+  * censuses, and reciprocal-link ("link farm") ratios. The reference
+  * has no graph surface (it routes files by name only); this family is
+  * the [EXT] complement to [[CurationOps]]' mixture planners — the
+  * authority scores it produces feed sampling quotas directly
+  * ([[authorityQuota]]).
+  *
+  * The corpus carries no real hyperlinks, so the doc-level edge list is
+  * SYNTHESIZED deterministically from exact integer arithmetic on
+  * `doc_id` (the planted-structure discipline of the AVI / PDF
+  * fixtures): the doc's source (rank `r` of `n`) links to source
+  * `(r + 1 + (doc_id mod (n-1))) mod n` — never itself, cycling over
+  * every other domain, so edge weights vary by construction and BOTH
+  * engines derive the identical graph independently.
+  *
+  * All scores are EXACT INTEGER UNITS (the Cohen's-kappa discipline):
+  * PageRank mass is scaled to [[Scale]] = 10^12 and every iteration
+  * uses only `*`, `+`, and truncating integer division (`div` in Spark,
+  * `//` in DuckDB — both truncate toward zero on the non-negative
+  * values here), so the oracle match is bit-exact with zero float
+  * tolerance. Damping 0.85 is the rational 17/20.
+  *
+  * Scale shape: ONE shuffle over docs aggregates the doc-level edges to
+  * the weighted DOMAIN graph (|domains| ~ 10^6-10^7 at 100 TB — a
+  * million-fold reduction from the doc count); the graph and node list
+  * are `localCheckpoint`ed once ([[DedupOps.mergeGroups]] block
+  * discipline) so the [[Iters]] rank iterations never re-derive the
+  * doc scan, and each iteration is one equi-join + one partial-agg
+  * shuffle of the SMALL graph. The rank census window runs over the
+  * ≤|domains| distinct-source relation, never the corpus.
+  */
+object GraphOps {
+
+  /** Total PageRank mass in integer units (10^12): per-node ranks stay
+    * well inside BIGINT through `17 * r` and `r * w` intermediates. */
+  val Scale = 1000000000000L
+
+  /** Fixed rank iterations — enough for the cycle-structured synthetic
+    * graph to separate hubs from leaves; the oracle unrolls the same
+    * count as chained CTEs. */
+  val Iters = 5
+
+  /** Authority-quota budget: quotas are integer shares of this. */
+  val QuotaBudget = 100000L
+
+  /** Distinct sources ranked 0..n-1 by name — the node relation. The
+    * global window is over the ≤|domains| distinct list (the ≤256-row
+    * histogram discipline), never the doc table. */
+  private[graft] def srcRanks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("source")).distinct()
+      .withColumn("rk",
+        (dense_rank().over(Window.orderBy(col("source"))) - 1)
+          .cast("bigint"))
+
+  /** Doc-level synthetic edges aggregated to the weighted domain graph
+    * (s, t, w) in rank space — the ONE pass over the doc table. */
+  private[graft] def domainEdges(spark: SparkSession,
+      dir: String): DataFrame = {
+    val rk = srcRanks(spark, dir)
+    val nn = rk.agg(count(lit(1)).as("n"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(broadcast(rk), "source")
+      .crossJoin(broadcast(nn))
+      .withColumn("t", expr("(rk + 1 + (doc_id % (n - 1))) % n"))
+      .groupBy(col("rk").as("s"), col("t"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** WEIGHTED DOMAIN LINK GRAPH — (src, dst, n_links) in names: the
+    * doc→domain aggregation every downstream graph op iterates on.
+    * ≤ n·(n-1) rows regardless of corpus size. */
+  def linkGraph(spark: SparkSession, dir: String): DataFrame = {
+    val rk = srcRanks(spark, dir)
+    domainEdges(spark, dir)
+      .join(broadcast(rk.select(col("source").as("src"), col("rk").as("s"))), "s")
+      .join(broadcast(rk.select(col("source").as("dst"), col("rk").as("t"))), "t")
+      .select(col("src"), col("dst"), col("w").as("n_links"))
+  }
+
+  /** Final integer PageRank over the domain graph: (node rk, r). The
+    * edge+outdegree relation and node list are localCheckpointed ONCE
+    * so the iteration plan never re-derives the doc scan, and each of
+    * the [[Iters]] rounds is a join + partial agg over the tiny graph.
+    * r'(v) = (3·S) div (20·n) + (17 · Σ_u (r(u)·w(u,v)) div out(u)) div 20
+    * — all truncating integer ops, bit-identical in both engines. */
+  private[graft] def rankIters(spark: SparkSession, dir: String): DataFrame = {
+    val rk = srcRanks(spark, dir)
+    val e = domainEdges(spark, dir)
+    val ew = e.join(
+        e.groupBy(col("s")).agg(sum(col("w")).as("ow")), "s")
+      .localCheckpoint(true)
+    val nodes = rk.select(col("rk").as("node"))
+      .crossJoin(broadcast(rk.agg(count(lit(1)).as("n"))))
+      .localCheckpoint(true)
+    var r = nodes.select(col("node"), expr(s"$Scale div n").as("r"))
+    for (_ <- 1 to Iters) {
+      // name-resolved join condition: `node` exists only on the rank
+      // side, `s` only on the edge side — dataset-qualified refs would
+      // trip DetectAmbiguousSelfJoin once ew sits in both lineages
+      val contrib = r.join(ew, col("node") === col("s"))
+        .select(col("t"), expr("(r * w) div ow").as("c"))
+        .groupBy(col("t").as("node")).agg(sum(col("c")).as("cs"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), expr(
+          s"((3 * $Scale) div (20 * n)) + ((17 * coalesce(cs, 0)) div 20)")
+          .as("r"))
+    }
+    r
+  }
+
+  /** DOMAIN AUTHORITY — integer PageRank per source: (source, rank_u).
+    * Hubs that the doc_id cycle favors rank measurably above leaves;
+    * Σ rank_u ≈ [[Scale]] minus deterministic truncation loss. */
+  def pageRank(spark: SparkSession, dir: String): DataFrame =
+    rankIters(spark, dir)
+      .join(broadcast(srcRanks(spark, dir)), col("node") === col("rk"))
+      .select(col("source"), col("r").as("rank_u"))
+
+  /** RECIPROCAL-LINK CENSUS — the link-farm signal: per source, out/in
+    * degree and weight, and the count/weight of RECIPROCATED edges
+    * (u→v where v→u exists; reciprocal weight is Σ least(w_uv, w_vu)).
+    * A domain whose links are mostly mutual with its targets is the
+    * classic spam-farm shape. One self-join of the ≤n² domain graph. */
+  def linkReciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val rk = srcRanks(spark, dir)
+    val e = domainEdges(spark, dir).localCheckpoint(true)
+    val out = e.groupBy(col("s").as("node"))
+      .agg(count(lit(1)).as("n_out"), sum(col("w")).as("out_w"))
+    val in = e.groupBy(col("t").as("node"))
+      .agg(count(lit(1)).as("n_in"), sum(col("w")).as("in_w"))
+    val b = e.select(col("s").as("bs"), col("t").as("bt"), col("w").as("bw"))
+    val recip = e.join(b, col("s") === col("bt") && col("t") === col("bs"))
+      .groupBy(col("s").as("node"))
+      .agg(count(lit(1)).as("n_recip"),
+        sum(least(col("w"), col("bw"))).as("recip_w"))
+    out.join(in, Seq("node"), "full")
+      .join(recip, Seq("node"), "left")
+      .join(broadcast(rk), col("node") === col("rk"))
+      .select(col("source"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"),
+        coalesce(col("out_w"), lit(0L)).as("out_w"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"),
+        coalesce(col("n_recip"), lit(0L)).as("n_recip"),
+        coalesce(col("recip_w"), lit(0L)).as("recip_w"))
+  }
+
+  /** AUTHORITY-WEIGHTED SAMPLING QUOTA — the op the family feeds
+    * [[CurationOps]] with: each source's integer share of
+    * [[QuotaBudget]] proportional to its PageRank
+    * (`(rank_u · budget) div Σ rank`), next to its doc count so the
+    * mixture planner can cap at availability. */
+  def authorityQuota(spark: SparkSession, dir: String): DataFrame = {
+    val pr = pageRank(spark, dir).localCheckpoint(true)
+    val tot = pr.agg(sum(col("rank_u")).as("tot"))
+    val nDocs = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    pr.crossJoin(broadcast(tot))
+      .withColumn("quota", expr(s"(rank_u * $QuotaBudget) div tot"))
+      .join(nDocs, "source")
+      .select(col("source"), col("n_docs"), col("quota"))
+  }
+
+  // ------------------------------------------------------------------
+  // driver contract
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_link_graph" -> (linkGraph(_, _)),
+    "q_pagerank" -> (pageRank(_, _)),
+    "q_link_reciprocity" -> (linkReciprocity(_, _)),
+    "q_authority_quota" -> (authorityQuota(_, _)))
+
+  /** Shared oracle CTE prologue: node ranks, n, the synthetic doc
+    * edges, and the weighted domain graph — the `//` twin of the Scala
+    * expressions above, kept in lockstep. */
+  private def baseCtes: String =
+    s"""rk AS (SELECT source, CAST(dense_rank() OVER (ORDER BY source) - 1 AS BIGINT) AS rk
+       |       FROM (SELECT DISTINCT source FROM documents)),
+       |nn AS (SELECT count(*) AS n FROM rk),
+       |ed AS (SELECT r.rk AS s,
+       |              ((r.rk + 1 + (d.doc_id % ((SELECT n FROM nn) - 1)))
+       |               % (SELECT n FROM nn)) AS t
+       |       FROM documents d JOIN rk r ON d.source = r.source),
+       |e AS (SELECT s, t, count(*) AS w FROM ed GROUP BY 1, 2)""".stripMargin
+
+  /** r0..r[[Iters]] unrolled as chained CTEs — the same integer
+    * recurrence, `//` for `div`. */
+  private def rankCtes: String = {
+    val iters = (1 to Iters).map { i =>
+      s"""c$i AS (SELECT ew.t AS node, CAST(sum((p.r * ew.w) // ew.ow) AS BIGINT) AS cs
+         |        FROM r${i - 1} p JOIN ew ON p.rk = ew.s GROUP BY 1),
+         |r$i AS (SELECT rk.rk,
+         |          ((3 * $Scale) // (20 * (SELECT n FROM nn)))
+         |          + ((17 * coalesce(c$i.cs, 0)) // 20) AS r
+         |        FROM rk LEFT JOIN c$i ON rk.rk = c$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""ow AS (SELECT s, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+       |ew AS (SELECT e.s, e.t, e.w, ow.ow FROM e JOIN ow ON e.s = ow.s),
+       |r0 AS (SELECT rk, ($Scale // (SELECT n FROM nn)) AS r FROM rk),
+       |$iters""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q_link_graph" ->
+      s"""WITH $baseCtes
+         |SELECT s.source AS src, t.source AS dst, CAST(e.w AS BIGINT) AS n_links
+         |FROM e JOIN rk s ON e.s = s.rk JOIN rk t ON e.t = t.rk
+         |""".stripMargin,
+    "q_pagerank" ->
+      s"""WITH $baseCtes,
+         |$rankCtes
+         |SELECT rk.source, r$Iters.r AS rank_u
+         |FROM r$Iters JOIN rk ON r$Iters.rk = rk.rk
+         |""".stripMargin,
+    "q_link_reciprocity" ->
+      s"""WITH $baseCtes,
+         |o AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS n_out,
+         |             CAST(sum(w) AS BIGINT) AS out_w FROM e GROUP BY 1),
+         |i AS (SELECT t AS node, CAST(count(*) AS BIGINT) AS n_in,
+         |             CAST(sum(w) AS BIGINT) AS in_w FROM e GROUP BY 1),
+         |rc AS (SELECT a.s AS node, CAST(count(*) AS BIGINT) AS n_recip,
+         |              CAST(sum(least(a.w, b.w)) AS BIGINT) AS recip_w
+         |       FROM e a JOIN e b ON a.s = b.t AND a.t = b.s GROUP BY 1)
+         |SELECT rk.source,
+         |       coalesce(o.n_out, 0) AS n_out, coalesce(o.out_w, 0) AS out_w,
+         |       coalesce(i.n_in, 0) AS n_in, coalesce(i.in_w, 0) AS in_w,
+         |       coalesce(rc.n_recip, 0) AS n_recip,
+         |       coalesce(rc.recip_w, 0) AS recip_w
+         |FROM rk LEFT JOIN o ON rk.rk = o.node
+         |        LEFT JOIN i ON rk.rk = i.node
+         |        LEFT JOIN rc ON rk.rk = rc.node
+         |""".stripMargin,
+    "q_authority_quota" ->
+      s"""WITH $baseCtes,
+         |$rankCtes,
+         |pr AS (SELECT rk.source, r$Iters.r AS rank_u
+         |       FROM r$Iters JOIN rk ON r$Iters.rk = rk.rk),
+         |tot AS (SELECT CAST(sum(rank_u) AS BIGINT) AS tot FROM pr),
+         |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+         |SELECT pr.source, nd.n_docs,
+         |       (pr.rank_u * $QuotaBudget) // (SELECT tot FROM tot) AS quota
+         |FROM pr JOIN nd ON pr.source = nd.source
+         |""".stripMargin)
+}

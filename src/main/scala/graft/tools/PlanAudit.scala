@@ -148,6 +148,10 @@ object PlanAudit {
     "q_zorder_incremental" -> "OPTIMIZE-on-append maintenance: three per-phase box censuses over one keyed derivation (base tiles, base + arrival-ordered append stripes, projected rewrite), histogram windows over <=256-row tile tables only; the trigger compares measured candidate-file counts",
     "q_pdf_extract" -> "real PDF kernel (stream discovery + BT/ET text-operator walk) in a map-only Dataset.map over column-synthesized containers — zero exchanges before the final projection",
     "q_retrieval_eval" -> "planted-qrels eval: per-query real-BM25 stats+score passes (1-row stats broadcast each), one dense scan with broadcast one-hot probes through dot_long, rank windows over planted-sparse candidate sets, constant-size metric aggregates",
+    "q_link_graph" -> "doc->domain edge aggregation: ONE shuffle over docs to the weighted |domains|^2-bounded graph; rank dim broadcast both ways",
+    "q_pagerank" -> "integer PageRank: checkpointed domain graph (doc scan runs once), 5 chained join+partial-agg rounds over the TINY graph — nothing corpus-sized iterates",
+    "q_link_reciprocity" -> "link-farm census: checkpointed domain graph self-joined on reversed keys, degree aggs + least() reciprocal mass, full-outer assembled on the node dim",
+    "q_authority_quota" -> "authority-weighted sampling quota: checkpointed pagerank relation + 1-row total broadcast, integer share per source joined to the per-source doc census",
     "q_cdc_dedup" -> "content-defined chunking: posexplode + per-doc running boundary-count window (sessionize discipline), per-chunk fp aggregate, then the chunk-dedup owner hash-agg + join back",
     "q_json_parse" -> "schema-declared from_json in a map-only projection — the Jackson parse rides inside the scan's codegen span; zero exchanges",
     "q_fuzzy_pairs" -> "deletion-neighborhood blocking: len+1 keys per record exploded, key equi-join (complete dist<=1 candidates, never all-pairs), distinct, levenshtein verify on candidates only",

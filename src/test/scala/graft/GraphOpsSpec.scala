@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphOps
+
+/** [[graft.operators.GraphOps]] — link-graph domain authority. The
+  * oracled rows are q_link_graph / q_pagerank / q_link_reciprocity /
+  * q_authority_quota; this pins the graph-construction invariants and
+  * the integer-PageRank conservation properties the oracle match
+  * rests on. */
+class GraphOpsSpec extends SparkSpec {
+
+  test("link graph: no self-loops, every source has out-edges") {
+    val g = GraphOps.linkGraph(spark, sfDir)
+    assert(g.where(col("src") === col("dst")).isEmpty,
+      "edge synthesis must never target the origin domain")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nSrc = docs.select("source").distinct().count()
+    assert(g.select("src").distinct().count() == nSrc)
+    // edge weights recompose to the doc count: one edge per doc
+    val totW = g.agg(sum(col("n_links"))).head().getLong(0)
+    assert(totW == docs.count())
+  }
+
+  test("pagerank: mass conservation and teleport floor, exact ints") {
+    val pr = GraphOps.pageRank(spark, sfDir)
+    val n = pr.count()
+    val floor = (3L * GraphOps.Scale) / (20L * n)
+    assert(pr.where(col("rank_u") < floor).isEmpty,
+      "every node keeps at least the teleport share")
+    val tot = pr.agg(sum(col("rank_u"))).head().getLong(0)
+    // truncating division loses < 1 unit per node per div site per
+    // iteration: the total stays within a tiny slack of Scale
+    assert(tot <= GraphOps.Scale)
+    assert(tot > GraphOps.Scale - (GraphOps.Iters + 1) * 3 * n,
+      s"mass $tot drifted too far from ${GraphOps.Scale}")
+    // the cycle construction must separate ranks (not a uniform fixpoint)
+    assert(pr.select("rank_u").distinct().count() > 1)
+  }
+
+  test("reciprocity: bounded by degree, weights by out mass") {
+    val rc = GraphOps.linkReciprocity(spark, sfDir)
+    assert(rc.where(col("n_recip") > col("n_out")).isEmpty)
+    assert(rc.where(col("recip_w") > col("out_w")).isEmpty)
+    assert(rc.where(col("n_in") === 0 && col("n_out") === 0).isEmpty,
+      "every domain participates in the synthetic graph")
+  }
+
+  test("authority quota: integer shares sum within budget") {
+    val q = GraphOps.authorityQuota(spark, sfDir)
+    val tot = q.agg(sum(col("quota"))).head().getLong(0)
+    assert(tot <= GraphOps.QuotaBudget)
+    assert(tot > GraphOps.QuotaBudget - q.count(),
+      "truncation loses < 1 unit per source")
+    assert(q.where(col("quota") <= 0).isEmpty,
+      "positive ranks must earn positive quotas")
+  }
+}
