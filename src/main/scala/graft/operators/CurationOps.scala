@@ -620,6 +620,85 @@ object CurationOps {
         col("floor_q10k"), col("n_admitted"))
   }
 
+  // --- release-risk privacy census: k-anonymity / l-diversity ---------
+
+  /** k-anonymity bar: a quasi-identifier class smaller than this many
+    * documents is re-identification risk. */
+  val KAnonK = 5
+
+  /** Generalization ladder for [[kGeneralize]]: length-bucket widths,
+    * finest first — each coarsening merges classes and monotonically
+    * shrinks the at-risk population (spec-pinned; measured at sf0.01:
+    * 493 → 325 → 158 docs at risk). */
+  val KAnonWidths: Seq[Int] = Seq(50, 250, 1000)
+
+  /** Quasi-identifier class keys at a given length-bucket width: the
+    * released columns an adversary can join on — (lang, source,
+    * n_chars bucket). Pure map-side projection. */
+  private def quasiIds(spark: SparkSession, dir: String,
+      width: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr(s"n_chars div $width").as("len_b"))
+
+  /** K-ANONYMITY CENSUS — the release-risk audit a privacy review runs
+    * before a corpus ships: group the corpus by its quasi-identifier
+    * tuple (the columns released ALONGSIDE the text: lang, source,
+    * length bucket) and flag every equivalence class smaller than
+    * [[KAnonK]] — a document alone (or nearly alone) in its class is
+    * re-identifiable from metadata even after [[TextOps.redactedDocs]]
+    * scrubs the content (Sweeney 2002, public model). One hash
+    * aggregate with map-side combine; class count bounded by
+    * |langs|·|sources|·|buckets|, never corpus-sized. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    quasiIds(spark, dir, KAnonWidths.head)
+      .groupBy(col("lang"), col("source"), col("len_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("at_risk", col("n_docs") < KAnonK)
+
+  /** GENERALIZATION LADDER — the remediation measurement: re-census the
+    * classes at each coarser length bucket of [[KAnonWidths]] and
+    * report (width, n_classes, n_at_risk_classes, n_docs_at_risk).
+    * Coarsening only merges classes, so the at-risk population is
+    * monotone non-increasing down the ladder — the measured basis for
+    * choosing the release granularity (the Z-order "skipping payoff"
+    * discipline applied to privacy). One aggregate per rung over the
+    * same scan; 3 output rows. */
+  def kGeneralize(spark: SparkSession, dir: String): DataFrame =
+    KAnonWidths.map { w =>
+      quasiIds(spark, dir, w)
+        .groupBy(col("lang"), col("source"), col("len_b"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("n") < KAnonK, 1L).otherwise(0L))
+            .as("n_at_risk_classes"),
+          sum(when(col("n") < KAnonK, col("n")).otherwise(0L))
+            .as("n_docs_at_risk"))
+        .select(lit(w.toLong).as("width"), col("n_classes"),
+          col("n_at_risk_classes"), col("n_docs_at_risk"))
+    }.reduce(_ unionAll _)
+
+  /** L-DIVERSITY — the attribute-disclosure complement: within each
+    * quasi-identifier class, how many DISTINCT sensitive values appear
+    * (Machanavajjhala 2007, public model)? The sensitive attribute here
+    * is the document's PII class (email > phone > ip > none, the
+    * [[TextOps.piiScanCore]] patterns at fixed precedence): a class
+    * where l = 1 discloses its members' sensitive value to anyone who
+    * can place a target in the class — flagged even when k-anonymity
+    * passes. Same single-aggregate shape with a count_distinct arm. */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        expr(s"n_chars div ${KAnonWidths.head}").as("len_b"),
+        when(regexp_count(col("text"), lit(TextOps.PiiEmailRe)) > 0, "email")
+          .when(regexp_count(col("text"), lit(TextOps.PiiPhoneRe)) > 0, "phone")
+          .when(regexp_count(col("text"), lit(TextOps.PiiIpRe)) > 0, "ip")
+          .otherwise("none").as("sensitive"))
+      .groupBy(col("lang"), col("source"), col("len_b"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("sensitive")).as("l"))
+      .withColumn("disclosure", col("l") === 1)
+
   /** Chunk geometry for [[chunkDocs]]: fixed token windows with overlap
     * (the shape an embedding/retrieval pass feeds its encoder). Stride =
     * tokens − overlap; a chunk starts at every stride multiple below the
@@ -1539,6 +1618,9 @@ object CurationOps {
     "q_rrf_fusion" -> rrfFusion _,
     "q_retrieval_eval" -> retrievalEval _,
     "q_hard_negatives" -> hardNegatives _,
+    "q_k_anonymity" -> kAnonymity _,
+    "q_k_generalize" -> kGeneralize _,
+    "q_l_diversity" -> lDiversity _,
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -1653,6 +1735,37 @@ object CurationOps {
        |  FROM ch)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_k_anonymity" ->
+      s"""SELECT lang, source, n_chars // ${KAnonWidths.head} AS len_b,
+         |  count(*) AS n_docs, count(*) < $KAnonK AS at_risk
+         |FROM documents GROUP BY 1, 2, 3""".stripMargin,
+    "q_k_generalize" ->
+      KAnonWidths.map { w =>
+        s"""SELECT CAST($w AS BIGINT) AS width,
+           |  CAST(count(*) AS BIGINT) AS n_classes,
+           |  CAST(sum(CASE WHEN n < $KAnonK THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_at_risk_classes,
+           |  CAST(sum(CASE WHEN n < $KAnonK THEN n ELSE 0 END) AS BIGINT)
+           |    AS n_docs_at_risk
+           |FROM (SELECT count(*) AS n FROM documents
+           |      GROUP BY lang, source, n_chars // $w)""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+    "q_l_diversity" ->
+      s"""WITH sens AS (SELECT lang, source,
+         |    n_chars // ${KAnonWidths.head} AS len_b,
+         |    CASE
+         |      WHEN length(regexp_extract_all(text, '${TextOps.PiiEmailRe}')) > 0
+         |        THEN 'email'
+         |      WHEN length(regexp_extract_all(text, '${TextOps.PiiPhoneRe}')) > 0
+         |        THEN 'phone'
+         |      WHEN length(regexp_extract_all(text, '${TextOps.PiiIpRe}')) > 0
+         |        THEN 'ip'
+         |      ELSE 'none' END AS sensitive
+         |  FROM documents)
+         |SELECT lang, source, len_b, count(*) AS n_docs,
+         |  CAST(count(DISTINCT sensitive) AS BIGINT) AS l,
+         |  count(DISTINCT sensitive) = 1 AS disclosure
+         |FROM sens GROUP BY 1, 2, 3""".stripMargin,
     // canonical rebuilt from the PLANTED fields (first token + the
     // UrlNoIdMod residue), never by normalizing the messy string —
     // grades canonicalizeUrl end-to-end through every variant axis
