@@ -1152,6 +1152,100 @@ object MultimodalOps {
   def imageDHashNearDup(spark: SparkSession, dir: String): DataFrame =
     bandedHamming64(imageDHash(spark, dir), "dhash")
 
+  // --- perceptual image near-dup #2: 64-bit spectral (WHT) hash ------
+
+  /** Spectral grid: 8×8 luminance cells → 64 Walsh–Hadamard
+    * coefficients → 64 sign bits. */
+  val WHashN = 8
+
+  /** DC-bit threshold: coefficient (0,0) is the plain cell sum, so
+    * `> 64·127` is "mean luminance above mid-gray". */
+  val WHashDcBar: Long = (WHashN * WHashN * 127).toLong
+
+  /** 64-bit SPECTRAL HASH — the pHash idea (sign of the low-frequency
+    * spectrum) with the Walsh–Hadamard transform in place of the DCT so
+    * every step is EXACT INTEGER arithmetic (WHT basis values are ±1 —
+    * Walsh 1923, public): the luminance plane is area-averaged onto an
+    * 8×8 grid (floor boundaries, truncating means — the [[dHash64]]
+    * discipline), coefficient C(u,v) = Σ cell(r,c)·(−1)^(popcount(r&u)
+    * + popcount(c&v)) (natural-ordered Hadamard), bit (u,v) = 1 iff
+    * C > 0 (DC: iff C > [[WHashDcBar]]). Complements [[dHash64]]:
+    * dHash reads LOCAL gradients (a localized edit flips its bits),
+    * the spectrum is GLOBAL (a single-cell perturbation δ moves every
+    * coefficient by at most δ, flipping only signs already within δ of
+    * zero) — and every AC bit is exactly invariant to a uniform
+    * brightness shift (the ± signs cancel), which only the DC bit
+    * records. None when the frame is smaller than the grid. */
+  private[graft] def wHash64(img: java.awt.image.BufferedImage)
+      : Option[String] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w < WHashN || h < WHashN) return None
+    val lum = ImageIoCodec.lumaRaw(img)
+    val cell = Array.ofDim[Long](WHashN, WHashN)
+    var r = 0
+    while (r < WHashN) {
+      var c = 0
+      while (c < WHashN) {
+        val r0 = r * h / WHashN; val r1 = (r + 1) * h / WHashN
+        val c0 = c * w / WHashN; val c1 = (c + 1) * w / WHashN
+        var s = 0L; var n = 0L
+        var y = r0
+        while (y < r1) {
+          var x = c0
+          while (x < c1) { s += lum(y * w + x); n += 1; x += 1 }
+          y += 1
+        }
+        cell(r)(c) = s / n
+        c += 1
+      }
+      r += 1
+    }
+    val sb = new StringBuilder(64)
+    var u = 0
+    while (u < WHashN) {
+      var v = 0
+      while (v < WHashN) {
+        var cv = 0L
+        var rr = 0
+        while (rr < WHashN) {
+          var cc = 0
+          while (cc < WHashN) {
+            val neg = (Integer.bitCount(rr & u) + Integer.bitCount(cc & v)) % 2
+            cv += (if (neg == 1) -cell(rr)(cc) else cell(rr)(cc))
+            cc += 1
+          }
+          rr += 1
+        }
+        val bit = if (u == 0 && v == 0) cv > WHashDcBar else cv > 0L
+        sb.append(if (bit) '1' else '0')
+        v += 1
+      }
+      u += 1
+    }
+    Some(sb.toString)
+  }
+
+  /** ORACLED REAL IMAGE DECODE → spectral hash — the [[imageDHash]]
+    * kernel shape over the same synthesized BMPs, hashed by
+    * [[wHash64]]; the grayscale palette makes the cell grid (and so
+    * every WHT coefficient) recomputable from `ord()` in the oracle. */
+  def imageWHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bmpFromDocuments(spark, dir).mapPartitions { it =>
+      it.flatMap { m =>
+        ImageIoCodec.readCapped(m.content).flatMap(wHash64)
+          .map(wh => (m.media_id, wh))
+      }
+    }.toDF("media_id", "whash")
+  }
+
+  /** Spectral near-dup — the SAME banded-Hamming matcher over the WHT
+    * signatures (one matching discipline, three perceptual kernels):
+    * catches noise-speckled copies whose local gradients (dHash bits)
+    * flipped but whose global spectrum signs held. */
+  def imageWHashNearDup(spark: SparkSession, dir: String): DataFrame =
+    bandedHamming64(imageWHash(spark, dir), "whash")
+
   /** Shared banded-Hamming matcher over any 64-bit '0'/'1'-string
     * signature column — [[DHashBands]] exact 16-bit band equi-join as
     * the ONLY pair producer, full-width Hamming verify ≤
@@ -1476,6 +1570,8 @@ object MultimodalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_image_dhash" -> imageDHash _,
     "q_image_dhash_neardup" -> imageDHashNearDup _,
+    "q_image_whash" -> imageWHash _,
+    "q_image_whash_neardup" -> imageWHashNearDup _,
     "q_video_dhash" -> videoDHashFrames _,
     "q_video_dhash_neardup" -> videoDHashNearDup _,
     "q_audio_fp" -> audioFingerprint _,
@@ -1506,6 +1602,38 @@ object MultimodalOps {
        |  FROM dimg, range($DHashH) rr(r), range(${DHashW - 1}) cc(c)),
        |dsigs AS (SELECT doc_id, string_agg(b, '' ORDER BY i) AS dhash
        |          FROM dbits GROUP BY doc_id)""".stripMargin
+
+  /** Shared spectral-hash CTE chain (ends in `wsigs(doc_id, whash)`) —
+    * same synthesized BMPs as [[dhashSigsCtes]]; the 8×8 cell grid over
+    * the 9-pixel-wide image is single pixels for c < 7 and the
+    * truncating 2-pixel mean at c = 7 (floor boundaries c·9/8), and
+    * every WHT coefficient is an exact ±1-signed integer sum the
+    * engine recomputes from `ord()`. */
+  private lazy val whashSigsCtes: String =
+    s"""wimg AS (SELECT doc_id, substr(text, 1, ${DHashW * DHashH}) AS t
+       |         FROM documents
+       |         WHERE length(text) >= ${DHashW * DHashH}),
+       |wcells AS (
+       |  SELECT doc_id, r, c,
+       |    CASE WHEN c < ${WHashN - 1}
+       |      THEN ord(substr(t, CAST(r * $DHashW + c + 1 AS INT), 1))
+       |      ELSE (ord(substr(t, CAST(r * $DHashW + ${DHashW - 1} AS INT), 1))
+       |          + ord(substr(t, CAST(r * $DHashW + $DHashW AS INT), 1))) // 2
+       |    END AS lum
+       |  FROM wimg, range($WHashN) rr(r), range($WHashN) cc(c)),
+       |wcoef AS (
+       |  SELECT doc_id, u, v,
+       |    CAST(sum(CASE WHEN (bit_count(r & u) + bit_count(c & v)) % 2 = 0
+       |             THEN lum ELSE -lum END) AS BIGINT) AS cv
+       |  FROM wcells, range($WHashN) uu(u), range($WHashN) vv(v)
+       |  GROUP BY 1, 2, 3),
+       |wsigs AS (
+       |  SELECT doc_id, string_agg(
+       |    CASE WHEN u = 0 AND v = 0
+       |      THEN CASE WHEN cv > $WHashDcBar THEN '1' ELSE '0' END
+       |      ELSE CASE WHEN cv > 0 THEN '1' ELSE '0' END END,
+       |    '' ORDER BY u * $WHashN + v) AS whash
+       |  FROM wcoef GROUP BY doc_id)""".stripMargin
 
   /** Shared per-frame video-dHash CTE chain (ends in
     * `vsigs(doc_id, f, fhash)`) — frame f of the synthesized AVI is the
@@ -1638,6 +1766,40 @@ object MultimodalOps {
          |      AS BIGINT) AS hamming
          |  FROM dcand, range(64) t(i) GROUP BY 1, 2)
          |SELECT id_a, id_b, hamming FROM dham
+         |WHERE hamming <= $DHashHammingBar""".stripMargin,
+    // the spectral twin through the SAME real decode: every WHT
+    // coefficient recomputes as an exact signed integer sum over ord()
+    "q_image_whash" ->
+      s"""WITH $whashSigsCtes
+         |SELECT doc_id AS media_id, whash FROM wsigs""".stripMargin,
+    // banded-Hamming verify over the spectral signatures — identical
+    // matcher SQL to the dHash form, wsigs swapped in
+    "q_image_whash_neardup" ->
+      s"""WITH $whashSigsCtes,
+         |wtot AS (SELECT CAST(count(*) AS BIGINT) AS n_media FROM wsigs),
+         |wbands AS (
+         |  SELECT doc_id, whash, b,
+         |    substr(whash, CAST(b * $DHashBandBits + 1 AS INT),
+         |           $DHashBandBits) AS bv
+         |  FROM wsigs, range($DHashBands) t(b)),
+         |wdfs AS (SELECT b, bv, CAST(count(*) AS BIGINT) AS df
+         |         FROM wbands GROUP BY 1, 2),
+         |wcapped AS (
+         |  SELECT s.doc_id, s.whash, s.b, s.bv
+         |  FROM wbands s JOIN wdfs USING (b, bv), wtot
+         |  WHERE df <= greatest(100, n_media // 20)),
+         |wcand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.whash AS ha, b.whash AS hb
+         |  FROM wcapped a JOIN wcapped b
+         |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |wham AS (
+         |  SELECT id_a, id_b,
+         |    CAST(sum(CASE WHEN substr(ha, CAST(i + 1 AS INT), 1)
+         |         <> substr(hb, CAST(i + 1 AS INT), 1) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS hamming
+         |  FROM wcand, range(64) t(i) GROUP BY 1, 2)
+         |SELECT id_a, id_b, hamming FROM wham
          |WHERE hamming <= $DHashHammingBar""".stripMargin,
     // REAL RIFF walk + REAL per-frame decode, oracled: frame f's dHash
     // bits are ord() compares at text offset f*72

@@ -148,6 +148,7 @@ object PlanAudit {
     "q_zorder_incremental" -> "OPTIMIZE-on-append maintenance: three per-phase box censuses over one keyed derivation (base tiles, base + arrival-ordered append stripes, projected rewrite), histogram windows over <=256-row tile tables only; the trigger compares measured candidate-file counts",
     "q_pdf_extract" -> "real PDF kernel (stream discovery + BT/ET text-operator walk) in a map-only Dataset.map over column-synthesized containers — zero exchanges before the final projection",
     "q_retrieval_eval" -> "planted-qrels eval: per-query real-BM25 stats+score passes (1-row stats broadcast each), one dense scan with broadcast one-hot probes through dot_long, rank windows over planted-sparse candidate sets, constant-size metric aggregates",
+    "q_image_whash_neardup" -> "spectral (WHT) near-dup: checkpointed single-decode signature relation, df-capped band equi-join, codegen'd xor+bit_count verify — the dHash matcher discipline over the integer spectrum",
     "q_k_anonymity" -> "release-risk census: one hash-agg over the quasi-identifier tuple with map-side combine; class count bounded by |langs|x|sources|x|buckets|",
     "q_k_generalize" -> "generalization ladder: one aggregate per rung over the same scan, 3 rows out; at-risk population monotone down the ladder",
     "q_l_diversity" -> "attribute-disclosure census: PII-class CASE inside the scan projection (codegen'd regex), one hash-agg with a count_distinct arm",

@@ -417,6 +417,55 @@ class MultimodalSpec extends SparkSpec {
       "unrelated doc matches nothing")
   }
 
+  test("spectral whash: AC bits brightness-invariant, noise within the bar") {
+    val base = (i: Int) => (i * 37 + (i / 9) * 11) % 200
+    val img = grayImage(9, 8, base)
+    val wh = MultimodalOps.wHash64(img).get
+    assert(wh.length == 64 && wh.forall(c => c == '0' || c == '1'))
+    // uniform +20 brightness: every AC coefficient's ±1 signs cancel the
+    // shift exactly — only the DC bit (index 0) may record it
+    val bright = grayImage(9, 8, i => base(i) + 20)
+    val whB = MultimodalOps.wHash64(bright).get
+    assert(wh.substring(1) == whB.substring(1),
+      "AC spectrum signs must be exactly invariant to uniform brightness")
+    // single-pixel noise: each coefficient moves by at most the delta,
+    // so only signs already near zero flip — the GLOBAL robustness the
+    // local-gradient dHash lacks
+    val noisy = grayImage(9, 8, i => if (i == 30) base(30) + 40 else base(i))
+    val whN = MultimodalOps.wHash64(noisy).get
+    val ham = wh.zip(whN).count { case (a, b) => a != b }
+    assert(ham <= MultimodalOps.DHashHammingBar,
+      s"single-pixel noise must stay within the bar, got $ham")
+    // a genuinely different image separates
+    val other = MultimodalOps.wHash64(grayImage(9, 8, i => base(71 - i))).get
+    assert(wh.zip(other).count { case (a, b) => a != b } >
+      MultimodalOps.DHashHammingBar)
+    // below the 8x8 grid there is no spectrum
+    assert(MultimodalOps.wHash64(grayImage(4, 4, base)).isEmpty)
+  }
+
+  test("whash near-dup: synthesis round-trips, banded match finds copies") {
+    val prefix = ('a' to 'z').mkString * 3 // 78 chars
+    val rows = Seq(
+      (1L, prefix, "en", "web"),
+      (2L, prefix + " trailing bytes beyond the grid are ignored", "en", "web"),
+      (3L, "The quick brown fox jumps over the lazy dog. " * 3, "en", "web"),
+      (4L, "too short", "en", "web"))
+    val dir = "/tmp/graft_whash_spec"
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sigs = MultimodalOps.imageWHash(spark, dir).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[String]("whash")).toMap
+    assert(sigs.keySet == Set(1L, 2L, 3L), "short doc drops, rest hash")
+    assert(sigs(1L) == sigs(2L), "same first 72 bytes -> same whash")
+    val pairs = MultimodalOps.imageWHashNearDup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc matches nothing")
+  }
+
   test("audio fingerprint: gain-scaled copy collides, through a real decode") {
     val need = (MultimodalOps.AfpBits + 1) * MultimodalOps.AfpWindow
     // amplitude codes with deviations in [-50, 50] so a 2x gain never

@@ -304,7 +304,8 @@ class PlanAssertionsSpec extends SparkSpec {
   }
 
   test("perceptual neardup siblings: df cap + single decode in plan") {
-    for (q <- Seq("q_audio_fp_neardup", "q_video_dhash_neardup")) {
+    for (q <- Seq("q_audio_fp_neardup", "q_video_dhash_neardup",
+        "q_image_whash_neardup")) {
       val p = plan(q)
       assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
         s"$q must never go all-pairs:\n$p")
