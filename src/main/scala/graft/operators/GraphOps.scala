@@ -63,19 +63,26 @@ object GraphOps {
         (dense_rank().over(Window.orderBy(col("source"))) - 1)
           .cast("bigint"))
 
-  /** Doc-level synthetic edges aggregated to the weighted domain graph
-    * (s, t, w) in rank space — the ONE pass over the doc table. */
-  private[graft] def domainEdges(spark: SparkSession,
-      dir: String): DataFrame = {
-    val rk = srcRanks(spark, dir)
-    val nn = rk.agg(count(lit(1)).as("n"))
-    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-      .join(broadcast(rk), "source")
+  /** Doc-level synthetic edges of `docs` under a given domain REGISTRY
+    * (the ranked node dimension — fixed so batch folds and one-shot
+    * derivations agree), aggregated to the weighted graph (s, t, w) in
+    * rank space — ONE pass over the docs. */
+  private[graft] def domainEdgesOf(docs: DataFrame,
+      registry: DataFrame): DataFrame = {
+    val nn = registry.agg(count(lit(1)).as("n"))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(registry), "source")
       .crossJoin(broadcast(nn))
       .withColumn("t", expr("(rk + 1 + (doc_id % (n - 1))) % n"))
       .groupBy(col("rk").as("s"), col("t"))
       .agg(count(lit(1)).as("w"))
   }
+
+  /** [[domainEdgesOf]] over the corpus with its own source list as the
+    * registry. */
+  private[graft] def domainEdges(spark: SparkSession,
+      dir: String): DataFrame =
+    domainEdgesOf(Tables.documents(spark, dir), srcRanks(spark, dir))
 
   /** WEIGHTED DOMAIN LINK GRAPH — (src, dst, n_links) in names: the
     * doc→domain aggregation every downstream graph op iterates on.
@@ -94,14 +101,20 @@ object GraphOps {
     * the [[Iters]] rounds is a join + partial agg over the tiny graph.
     * r'(v) = (3·S) div (20·n) + (17 · Σ_u (r(u)·w(u,v)) div out(u)) div 20
     * — all truncating integer ops, bit-identical in both engines. */
-  private[graft] def rankIters(spark: SparkSession, dir: String): DataFrame = {
-    val rk = srcRanks(spark, dir)
-    val e = domainEdges(spark, dir)
+  private[graft] def rankIters(spark: SparkSession, dir: String): DataFrame =
+    rankItersFrom(domainEdges(spark, dir), srcRanks(spark, dir))
+
+  /** The iteration core over ANY (s, t, w) edge relation and node
+    * registry — shared by the one-shot queries and the streaming
+    * maintained-graph serving path
+    * ([[graft.streaming.StreamingAnalytics.authorityFromLinkGraph]]). */
+  private[graft] def rankItersFrom(e: DataFrame,
+      registry: DataFrame): DataFrame = {
     val ew = e.join(
         e.groupBy(col("s")).agg(sum(col("w")).as("ow")), "s")
       .localCheckpoint(true)
-    val nodes = rk.select(col("rk").as("node"))
-      .crossJoin(broadcast(rk.agg(count(lit(1)).as("n"))))
+    val nodes = registry.select(col("rk").as("node"))
+      .crossJoin(broadcast(registry.agg(count(lit(1)).as("n"))))
       .localCheckpoint(true)
     var r = nodes.select(col("node"), expr(s"$Scale div n").as("r"))
     for (_ <- 1 to Iters) {

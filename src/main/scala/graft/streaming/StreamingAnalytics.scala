@@ -1433,4 +1433,79 @@ object StreamingAnalytics {
       corpusBuckets: DataFrame): DataFrame =
     graft.operators.TextOps.tvDistanceByOf(corpusBuckets,
       graft.operators.TextOps.tokenBucketsBy(batch, "source"), "source")
+
+  private val LinkGraphSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("s",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("t",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("w",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("last_batch",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Fold one micro-batch of documents into the MAINTAINED weighted
+    * link graph at `dir/link_graph` — the streaming half of
+    * [[graft.operators.GraphOps]]'s scale story. The node dimension is
+    * a FIXED `registry` (source, rk) — the domain-registry posture a
+    * real crawl keeps (the benchmark-gram-set discipline): batch edge
+    * extraction must not depend on corpus state, or a fold and a
+    * one-shot would disagree. The batch pays one
+    * [[graft.operators.GraphOps.domainEdgesOf]] aggregate over ITS OWN
+    * docs; the stored graph merges by per-(s, t) weight ADD — edge
+    * weights are counts, so the maintained graph equals the one-shot
+    * graph over everything ever folded, identically (spec-pinned).
+    *
+    * Idempotence: addition is not idempotent, so the
+    * [[updateTokenSketch]] guard applies — every stored row carries
+    * `last_batch`; a batch id ≤ the stored max is a no-op. Crash-safety
+    * is the same rename-swap. State is ≤ |domains|² tiny rows; serving
+    * ([[authorityFromLinkGraph]]) recomputes PageRank from the
+    * maintained graph on demand — iteration over the aggregated graph
+    * is cheap precisely because the corpus never iterates. */
+  def updateLinkGraph(batch: DataFrame, registry: DataFrame, dir: String,
+      batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val live = new Path(s"$dir/link_graph")
+    val tmp = new Path(s"$dir/link_graph_tmp")
+    val old = new Path(s"$dir/link_graph_old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(old))
+      require(fs.rename(old, live), s"restore of orphaned $old failed")
+    val stored = parquetOrEmpty(spark, live.toString, LinkGraphSchema)
+      .localCheckpoint(true) // the rewrite below reads the live dir
+    val maxBatch = stored.agg(max(col("last_batch"))).head()
+    if (maxBatch.isNullAt(0) || maxBatch.getLong(0) < batchId) {
+      val batchEdges = graft.operators.GraphOps
+        .domainEdgesOf(batch, registry)
+      val merged = stored.select(col("s"), col("t"), col("w"))
+        .unionAll(batchEdges)
+        .groupBy(col("s"), col("t")).agg(sum(col("w")).as("w"))
+        .withColumn("last_batch", lit(batchId))
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(old, true)
+      if (fs.exists(live))
+        require(fs.rename(live, old), s"swap-out of $live failed")
+      require(fs.rename(tmp, live), s"swap-in of $tmp failed")
+      fs.delete(old, true)
+    }
+  }
+
+  /** Read-back of the maintained link graph (empty-safe). */
+  def loadLinkGraph(spark: SparkSession, dir: String): DataFrame =
+    parquetOrEmpty(spark, s"$dir/link_graph", LinkGraphSchema)
+      .select(col("s"), col("t"), col("w"))
+
+  /** DOMAIN AUTHORITY SERVED FROM THE MAINTAINED GRAPH — PageRank
+    * recomputed on demand from the ≤|domains|² stored rows under the
+    * same fixed registry: equals
+    * [[graft.operators.GraphOps.pageRank]] over every document ever
+    * folded (spec-pinned), without re-reading one of them. */
+  def authorityFromLinkGraph(spark: SparkSession, dir: String,
+      registry: DataFrame): DataFrame =
+    graft.operators.GraphOps
+      .rankItersFrom(loadLinkGraph(spark, dir), registry)
+      .join(broadcast(registry), col("node") === col("rk"))
+      .select(col("source"), col("r").as("rank_u"))
 }

@@ -702,6 +702,45 @@ class StreamingAnalyticsSpec extends SparkSpec {
     cbk.unpersist(); csh.unpersist(); ()
   }
 
+  test("maintained link graph: fold == one-shot, replay no-op, " +
+      "served authority == batch pagerank") {
+    import graft.operators.GraphOps
+    val dir = java.nio.file.Files.createTempDirectory("linkgraph").toString
+    // fixed domain registry (sorted-source ranks), the crawl's dimension
+    val registry = Seq(("sa", 0L), ("sb", 1L), ("sc", 2L))
+      .toDF("source", "rk")
+    val b1 = Seq((0L, "sa"), (1L, "sb"), (2L, "sc"), (3L, "sa"))
+      .toDF("doc_id", "source")
+    val b2 = Seq((4L, "sb"), (5L, "sc"), (6L, "sa"), (1000L, "sb"))
+      .toDF("doc_id", "source")
+    StreamingAnalytics.updateLinkGraph(b1, registry, dir, batchId = 0L)
+    StreamingAnalytics.updateLinkGraph(b2, registry, dir, batchId = 1L)
+    // edge weights merge by ADD → maintained graph equals the one-shot
+    // aggregation over everything folded, row for row
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val folded = edgeSet(StreamingAnalytics.loadLinkGraph(spark, dir))
+    val oneShot = edgeSet(GraphOps.domainEdgesOf(b1.unionAll(b2), registry))
+    assert(folded == oneShot, s"maintained $folded vs one-shot $oneShot")
+    // at-least-once replay: addition is not idempotent, the guard is
+    StreamingAnalytics.updateLinkGraph(b2, registry, dir, batchId = 1L)
+    assert(edgeSet(StreamingAnalytics.loadLinkGraph(spark, dir)) == folded,
+      "replay double-counted edge weights")
+    // authority served from the maintained graph == the batch operator
+    // over a corpus dir holding the same documents
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("linkgraph_corpus").toString
+    b1.unionAll(b2).withColumn("text", lit("x"))
+      .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    val served = StreamingAnalytics
+      .authorityFromLinkGraph(spark, dir, registry)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = GraphOps.pageRank(spark, corpusDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(served == batch,
+      s"served authority $served diverged from batch pagerank $batch")
+  }
+
   test("maintained token sketch: incremental fold == one-shot exactly, " +
       "replay is a no-op, crash swap recovers") {
     val dir = java.nio.file.Files.createTempDirectory("toksketch").toString
