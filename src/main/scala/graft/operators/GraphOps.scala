@@ -54,14 +54,29 @@ object GraphOps {
   /** Authority-quota budget: quotas are integer shares of this. */
   val QuotaBudget = 100000L
 
-  /** Distinct sources ranked 0..n-1 by name — the node relation. The
-    * global window is over the ≤|domains| distinct list (the ≤256-row
+  /** Per-source census — the ONE corpus aggregate the whole family
+    * derives its node dimension from, eagerly checkpointed so ranks,
+    * registry joins, and doc counts all reuse it WITHOUT re-scanning
+    * the doc table (the multimodal single-decode discipline applied to
+    * scans: before this, q_authority_quota paid five corpus passes
+    * where two suffice — one census + one edge pass). */
+  private[graft] def srcCensus(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true)
+
+  /** Sources ranked 0..n-1 by name over a census — the node relation.
+    * The global window runs over the ≤|domains| census (the ≤256-row
     * histogram discipline), never the doc table. */
-  private[graft] def srcRanks(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(col("source")).distinct()
+  private[graft] def ranksFrom(census: DataFrame): DataFrame =
+    census.select(col("source"))
       .withColumn("rk",
         (dense_rank().over(Window.orderBy(col("source"))) - 1)
           .cast("bigint"))
+
+  /** Ranked sources straight from the corpus (one census pass). */
+  private[graft] def srcRanks(spark: SparkSession, dir: String): DataFrame =
+    ranksFrom(srcCensus(spark, dir))
 
   /** Doc-level synthetic edges of `docs` under a given domain REGISTRY
     * (the ranked node dimension — fixed so batch folds and one-shot
@@ -78,36 +93,27 @@ object GraphOps {
       .agg(count(lit(1)).as("w"))
   }
 
-  /** [[domainEdgesOf]] over the corpus with its own source list as the
-    * registry. */
-  private[graft] def domainEdges(spark: SparkSession,
-      dir: String): DataFrame =
-    domainEdgesOf(Tables.documents(spark, dir), srcRanks(spark, dir))
-
   /** WEIGHTED DOMAIN LINK GRAPH — (src, dst, n_links) in names: the
     * doc→domain aggregation every downstream graph op iterates on.
     * ≤ n·(n-1) rows regardless of corpus size. */
   def linkGraph(spark: SparkSession, dir: String): DataFrame = {
     val rk = srcRanks(spark, dir)
-    domainEdges(spark, dir)
+    domainEdgesOf(Tables.documents(spark, dir), rk)
       .join(broadcast(rk.select(col("source").as("src"), col("rk").as("s"))), "s")
       .join(broadcast(rk.select(col("source").as("dst"), col("rk").as("t"))), "t")
       .select(col("src"), col("dst"), col("w").as("n_links"))
   }
 
-  /** Final integer PageRank over the domain graph: (node rk, r). The
-    * edge+outdegree relation and node list are localCheckpointed ONCE
-    * so the iteration plan never re-derives the doc scan, and each of
-    * the [[Iters]] rounds is a join + partial agg over the tiny graph.
-    * r'(v) = (3·S) div (20·n) + (17 · Σ_u (r(u)·w(u,v)) div out(u)) div 20
-    * — all truncating integer ops, bit-identical in both engines. */
-  private[graft] def rankIters(spark: SparkSession, dir: String): DataFrame =
-    rankItersFrom(domainEdges(spark, dir), srcRanks(spark, dir))
-
   /** The iteration core over ANY (s, t, w) edge relation and node
     * registry — shared by the one-shot queries and the streaming
     * maintained-graph serving path
-    * ([[graft.streaming.StreamingAnalytics.authorityFromLinkGraph]]). */
+    * ([[graft.streaming.StreamingAnalytics.authorityFromLinkGraph]]).
+    * The edge+outdegree relation and node list are localCheckpointed
+    * ONCE so the iteration plan never re-derives its inputs, and each
+    * of the [[Iters]] rounds is a join + partial agg over the tiny
+    * graph. r'(v) = (3·S) div (20·n) +
+    * (17 · Σ_u (r(u)·w(u,v)) div out(u)) div 20 — all truncating
+    * integer ops, bit-identical in both engines. */
   private[graft] def rankItersFrom(e: DataFrame,
       registry: DataFrame): DataFrame = {
     val ew = e.join(
@@ -135,10 +141,12 @@ object GraphOps {
   /** DOMAIN AUTHORITY — integer PageRank per source: (source, rank_u).
     * Hubs that the doc_id cycle favors rank measurably above leaves;
     * Σ rank_u ≈ [[Scale]] minus deterministic truncation loss. */
-  def pageRank(spark: SparkSession, dir: String): DataFrame =
-    rankIters(spark, dir)
-      .join(broadcast(srcRanks(spark, dir)), col("node") === col("rk"))
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val rk = srcRanks(spark, dir)
+    rankItersFrom(domainEdgesOf(Tables.documents(spark, dir), rk), rk)
+      .join(broadcast(rk), col("node") === col("rk"))
       .select(col("source"), col("r").as("rank_u"))
+  }
 
   /** RECIPROCAL-LINK CENSUS — the link-farm signal: per source, out/in
     * degree and weight, and the count/weight of RECIPROCATED edges
@@ -147,7 +155,8 @@ object GraphOps {
     * classic spam-farm shape. One self-join of the ≤n² domain graph. */
   def linkReciprocity(spark: SparkSession, dir: String): DataFrame = {
     val rk = srcRanks(spark, dir)
-    val e = domainEdges(spark, dir).localCheckpoint(true)
+    val e = domainEdgesOf(Tables.documents(spark, dir), rk)
+      .localCheckpoint(true)
     val out = e.groupBy(col("s").as("node"))
       .agg(count(lit(1)).as("n_out"), sum(col("w")).as("out_w"))
     val in = e.groupBy(col("t").as("node"))
@@ -175,13 +184,16 @@ object GraphOps {
     * (`(rank_u · budget) div Σ rank`), next to its doc count so the
     * mixture planner can cap at availability. */
   def authorityQuota(spark: SparkSession, dir: String): DataFrame = {
-    val pr = pageRank(spark, dir).localCheckpoint(true)
+    val census = srcCensus(spark, dir)
+    val rk = ranksFrom(census)
+    val pr = rankItersFrom(domainEdgesOf(Tables.documents(spark, dir), rk), rk)
+      .join(broadcast(rk), col("node") === col("rk"))
+      .select(col("source"), col("r").as("rank_u"))
+      .localCheckpoint(true)
     val tot = pr.agg(sum(col("rank_u")).as("tot"))
-    val nDocs = Tables.documents(spark, dir)
-      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     pr.crossJoin(broadcast(tot))
       .withColumn("quota", expr(s"(rank_u * $QuotaBudget) div tot"))
-      .join(nDocs, "source")
+      .join(broadcast(census), "source")
       .select(col("source"), col("n_docs"), col("quota"))
   }
 
