@@ -662,13 +662,24 @@ object CurationOps {
     * Coarsening only merges classes, so the at-risk population is
     * monotone non-increasing down the ladder — the measured basis for
     * choosing the release granularity (the Z-order "skipping payoff"
-    * discipline applied to privacy). One aggregate per rung over the
-    * same scan; 3 output rows. */
-  def kGeneralize(spark: SparkSession, dir: String): DataFrame =
+    * discipline applied to privacy).
+    *
+    * Scale shape: the widths are NESTED MULTIPLES (50 | 250 | 1000), so
+    * the corpus is scanned ONCE for the finest class census
+    * (checkpointed, ≤ key-product rows) and every coarser rung is a
+    * rollup of that tiny relation — `len_b(w) = len_b(50) div (w/50)`
+    * holds exactly because each width divides the next (the histogram-
+    * trick discipline: re-aggregate the histogram, never the corpus). */
+  def kGeneralize(spark: SparkSession, dir: String): DataFrame = {
+    val fine = quasiIds(spark, dir, KAnonWidths.head)
+      .groupBy(col("lang"), col("source"), col("len_b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     KAnonWidths.map { w =>
-      quasiIds(spark, dir, w)
-        .groupBy(col("lang"), col("source"), col("len_b"))
-        .agg(count(lit(1)).as("n"))
+      fine
+        .groupBy(col("lang"), col("source"),
+          expr(s"len_b div ${w / KAnonWidths.head}").as("len_bw"))
+        .agg(sum(col("n")).as("n"))
         .agg(count(lit(1)).as("n_classes"),
           sum(when(col("n") < KAnonK, 1L).otherwise(0L))
             .as("n_at_risk_classes"),
@@ -677,6 +688,7 @@ object CurationOps {
         .select(lit(w.toLong).as("width"), col("n_classes"),
           col("n_at_risk_classes"), col("n_docs_at_risk"))
     }.reduce(_ unionAll _)
+  }
 
   /** L-DIVERSITY — the attribute-disclosure complement: within each
     * quasi-identifier class, how many DISTINCT sensitive values appear

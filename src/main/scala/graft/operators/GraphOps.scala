@@ -115,14 +115,22 @@ object GraphOps {
     * (17 · Σ_u (r(u)·w(u,v)) div out(u)) div 20 — all truncating
     * integer ops, bit-identical in both engines. */
   private[graft] def rankItersFrom(e: DataFrame,
-      registry: DataFrame): DataFrame = {
+      registry: DataFrame): DataFrame =
+    rankLoop(e, registry.select(col("rk").as("node"))
+      .crossJoin(broadcast(registry.agg(count(lit(1)).as("n"))))
+      .select(col("node"), expr(s"$Scale div n").as("r0"),
+        expr(s"(3 * $Scale) div (20 * n)").as("tel")))
+
+  /** The damped iteration over ANY teleport vector: `nodes` carries
+    * (node, r0, tel) — uniform for [[pageRank]], seed-restricted for
+    * [[pageRankSeeded]] — and each round is
+    * r'(v) = tel(v) + (17 · Σ contrib) div 20. */
+  private def rankLoop(e: DataFrame, nodesIn: DataFrame): DataFrame = {
     val ew = e.join(
         e.groupBy(col("s")).agg(sum(col("w")).as("ow")), "s")
       .localCheckpoint(true)
-    val nodes = registry.select(col("rk").as("node"))
-      .crossJoin(broadcast(registry.agg(count(lit(1)).as("n"))))
-      .localCheckpoint(true)
-    var r = nodes.select(col("node"), expr(s"$Scale div n").as("r"))
+    val nodes = nodesIn.localCheckpoint(true)
+    var r = nodes.select(col("node"), col("r0").as("r"))
     for (_ <- 1 to Iters) {
       // name-resolved join condition: `node` exists only on the rank
       // side, `s` only on the edge side — dataset-qualified refs would
@@ -131,9 +139,8 @@ object GraphOps {
         .select(col("t"), expr("(r * w) div ow").as("c"))
         .groupBy(col("t").as("node")).agg(sum(col("c")).as("cs"))
       r = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"), expr(
-          s"((3 * $Scale) div (20 * n)) + ((17 * coalesce(cs, 0)) div 20)")
-          .as("r"))
+        .select(col("node"),
+          expr("tel + ((17 * coalesce(cs, 0)) div 20)").as("r"))
     }
     r
   }
@@ -146,6 +153,39 @@ object GraphOps {
     rankItersFrom(domainEdgesOf(Tables.documents(spark, dir), rk), rk)
       .join(broadcast(rk), col("node") === col("rk"))
       .select(col("source"), col("r").as("rank_u"))
+  }
+
+  /** SEEDED (PERSONALIZED) PAGERANK — topic-conditioned authority: the
+    * teleport mass lands ONLY on a SEED set of domains (here: sources
+    * whose docs are majority-'en' — the "build me a medical/code/
+    * English corpus" personalization, seeds derived from data the
+    * engine already has), so rank measures proximity to the topic
+    * through the link structure (Page et al. 1999's personalization
+    * vector, public). Same exact-integer recurrence with
+    * tel(v) = seed(v) ? (3·S) div (20·|seed|) : 0 and the matching r0;
+    * `greatest(|seed|, 1)` keeps an empty seed set engine-identical
+    * (all-zero ranks) instead of a divide-by-zero. One corpus census
+    * pass + one edge pass, like the uniform form. */
+  def pageRankSeeded(spark: SparkSession, dir: String): DataFrame = {
+    val census = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      .localCheckpoint(true)
+    val rk = ranksFrom(census)
+    val seeded = rk.join(broadcast(census), "source")
+      .select(col("source"), col("rk"),
+        (col("n_en") * 2 > col("n_docs")).as("seed"))
+    val ns = seeded.agg(greatest(
+      sum(when(col("seed"), 1L).otherwise(0L)), lit(1L)).as("ns"))
+    val nodes = seeded.crossJoin(broadcast(ns))
+      .select(col("rk").as("node"),
+        expr(s"CASE WHEN seed THEN $Scale div ns ELSE 0 END").as("r0"),
+        expr(s"CASE WHEN seed THEN (3 * $Scale) div (20 * ns) ELSE 0 END")
+          .as("tel"))
+    rankLoop(domainEdgesOf(Tables.documents(spark, dir), rk), nodes)
+      .join(broadcast(seeded), col("node") === col("rk"))
+      .select(col("source"), col("seed"), col("r").as("rank_u"))
   }
 
   /** RECIPROCAL-LINK CENSUS — the link-farm signal: per source, out/in
@@ -204,6 +244,7 @@ object GraphOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_link_graph" -> (linkGraph(_, _)),
     "q_pagerank" -> (pageRank(_, _)),
+    "q_pagerank_seeded" -> (pageRankSeeded(_, _)),
     "q_link_reciprocity" -> (linkReciprocity(_, _)),
     "q_authority_quota" -> (authorityQuota(_, _)))
 
@@ -237,7 +278,44 @@ object GraphOps {
        |$iters""".stripMargin
   }
 
+  /** Seeded twin of [[rankCtes]]: the teleport lands only on the
+    * majority-'en' seed flags of `sd`, `greatest(ns, 1)` guarding the
+    * empty-seed case exactly like the Scala side. */
+  private def seededRankCtes: String = {
+    val iters = (1 to Iters).map { i =>
+      s"""sc$i AS (SELECT ew.t AS node, CAST(sum((p.r * ew.w) // ew.ow) AS BIGINT) AS cs
+         |         FROM sr${i - 1} p JOIN ew ON p.rk = ew.s GROUP BY 1),
+         |sr$i AS (SELECT sd.rk,
+         |           (CASE WHEN sd.seed
+         |              THEN (3 * $Scale) // (20 * (SELECT ns FROM nsd))
+         |              ELSE 0 END)
+         |           + ((17 * coalesce(sc$i.cs, 0)) // 20) AS r
+         |         FROM sd LEFT JOIN sc$i ON sd.rk = sc$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""scn AS (SELECT source, count(*) AS n_docs,
+       |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_en
+       |        FROM documents GROUP BY 1),
+       |sd AS (SELECT rk.source, rk.rk, (scn.n_en * 2 > scn.n_docs) AS seed
+       |       FROM rk JOIN scn ON rk.source = scn.source),
+       |nsd AS (SELECT greatest(
+       |          CAST(sum(CASE WHEN seed THEN 1 ELSE 0 END) AS BIGINT), 1)
+       |          AS ns FROM sd),
+       |ow AS (SELECT s, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+       |ew AS (SELECT e.s, e.t, e.w, ow.ow FROM e JOIN ow ON e.s = ow.s),
+       |sr0 AS (SELECT rk, CASE WHEN seed
+       |          THEN $Scale // (SELECT ns FROM nsd) ELSE 0 END AS r
+       |        FROM sd),
+       |$iters""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_pagerank_seeded" ->
+      s"""WITH $baseCtes,
+         |$seededRankCtes
+         |SELECT sd.source, sd.seed, sr$Iters.r AS rank_u
+         |FROM sr$Iters JOIN sd ON sr$Iters.rk = sd.rk
+         |""".stripMargin,
     "q_link_graph" ->
       s"""WITH $baseCtes
          |SELECT s.source AS src, t.source AS dst, CAST(e.w AS BIGINT) AS n_links

@@ -154,6 +154,7 @@ object PlanAudit {
     "q_l_diversity" -> "attribute-disclosure census: PII-class CASE inside the scan projection (codegen'd regex), one hash-agg with a count_distinct arm",
     "q_link_graph" -> "doc->domain edge aggregation: ONE shuffle over docs to the weighted |domains|^2-bounded graph; rank dim broadcast both ways",
     "q_pagerank" -> "integer PageRank: checkpointed domain graph (doc scan runs once), 5 chained join+partial-agg rounds over the TINY graph — nothing corpus-sized iterates",
+    "q_pagerank_seeded" -> "personalized PageRank: same checkpointed-graph loop with the teleport restricted to the majority-en seed flags; one census + one edge pass",
     "q_link_reciprocity" -> "link-farm census: checkpointed domain graph self-joined on reversed keys, degree aggs + least() reciprocal mass, full-outer assembled on the node dim",
     "q_authority_quota" -> "authority-weighted sampling quota: checkpointed pagerank relation + 1-row total broadcast, integer share per source joined to the per-source doc census",
     "q_cdc_dedup" -> "content-defined chunking: posexplode + per-doc running boundary-count window (sessionize discipline), per-chunk fp aggregate, then the chunk-dedup owner hash-agg + join back",

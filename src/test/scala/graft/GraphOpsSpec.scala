@@ -38,6 +38,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(pr.select("rank_u").distinct().count() > 1)
   }
 
+  test("seeded pagerank: teleport mass lands only on seeds, topical tilt") {
+    val pr = GraphOps.pageRankSeeded(spark, sfDir)
+    val n = pr.count()
+    val seeds = pr.where(col("seed")).count()
+    assert(seeds > 0 && seeds < n, "fixture needs a proper seed subset")
+    // a non-seed node earns rank ONLY through in-links (tel = 0)
+    val floor = (3L * GraphOps.Scale) / (20L * seeds)
+    assert(pr.where(col("seed") && col("rank_u") < floor).isEmpty,
+      "every seed keeps at least its teleport share")
+    // seeds hold a disproportionate rank share vs their population share
+    val agg = pr.agg(
+      sum(when(col("seed"), col("rank_u")).otherwise(0L)),
+      sum(col("rank_u"))).head()
+    val (seedMass, total) = (agg.getLong(0), agg.getLong(1))
+    assert(seedMass * n > total * seeds,
+      s"seed mass $seedMass/$total must exceed population share $seeds/$n")
+    assert(total <= GraphOps.Scale)
+  }
+
   test("reciprocity: bounded by degree, weights by out mass") {
     val rc = GraphOps.linkReciprocity(spark, sfDir)
     assert(rc.where(col("n_recip") > col("n_out")).isEmpty)
