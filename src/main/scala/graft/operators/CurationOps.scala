@@ -711,6 +711,44 @@ object CurationOps {
         countDistinct(col("sensitive")).as("l"))
       .withColumn("disclosure", col("l") === 1)
 
+  /** RELEASE-RISK AUDIT OF THE ADMITTED CORPUS — [[kAnonymity]]
+    * composed onto the funnel: k-anonymity applies to what SHIPS, so
+    * the quasi-identifier census runs over the stage-8 (admitted)
+    * population, per language: admitted docs, docs in classes below
+    * [[KAnonK]] among the admitted, and the exact risk share in ppm.
+    * The funnel can admit a document into a class the full corpus kept
+    * populated but the admitted slice leaves near-empty — this is the
+    * number a release review signs off on. Derives entirely from the
+    * admitted class census (≤ key-product rows); the funnel stage pass
+    * is the only corpus-sized work. */
+  def releaseRisk(spark: SparkSession, dir: String): DataFrame = {
+    val groups = DedupOps.textDedupGroups(spark, dir)
+    val keep = DedupOps.canonicalDocsFrom(groups,
+      TextOps.qualityScore(spark, dir).select(col("doc_id"), col("quality")))
+    releaseRiskFrom(spark, dir,
+      curationStagesFrom(spark, dir, DedupOps.dropList(groups, keep)))
+  }
+
+  /** [[releaseRisk]] over a precomputed stages relation — the
+    * production form ([[curationRun]] materializes stages once). */
+  def releaseRiskFrom(spark: SparkSession, dir: String,
+      stages: DataFrame): DataFrame = {
+    val adm = stages.where(col("stage") === "8_admitted")
+      .select(col("doc_id"))
+    val cls = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr(s"n_chars div ${KAnonWidths.head}").as("len_b"))
+      .join(adm, "doc_id")
+      .groupBy(col("lang"), col("source"), col("len_b"))
+      .agg(count(lit(1)).as("n"))
+    cls.groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_admitted"),
+        sum(when(col("n") < KAnonK, col("n")).otherwise(0L))
+          .as("n_at_risk"))
+      .withColumn("risk_ppm",
+        expr("(n_at_risk * 1000000) div n_admitted"))
+  }
+
   /** Chunk geometry for [[chunkDocs]]: fixed token windows with overlap
     * (the shape an embedding/retrieval pass feeds its encoder). Stride =
     * tokens − overlap; a chunk starts at every stride multiple below the
@@ -1633,6 +1671,7 @@ object CurationOps {
     "q_k_anonymity" -> kAnonymity _,
     "q_k_generalize" -> kGeneralize _,
     "q_l_diversity" -> lDiversity _,
+    "q_release_risk" -> releaseRisk _,
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -1745,6 +1784,133 @@ object CurationOps {
        |  CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY chunk_fp)
        |    THEN 1 ELSE 0 END AS is_dup
        |  FROM ch)""".stripMargin
+
+  /** Funnel stage derivation as a reusable CTE chain (ends in
+    * `fstages(doc_id, lang, stage)`) — ONE definition shared by the
+    * funnel aggregate, its prod twin, and the release-risk audit, so
+    * the stage precedence can never drift between them. Callers prefix
+    * `WITH RECURSIVE `. */
+  private lazy val funnelStagesCtes: String =
+    s"""${DedupOps.textGroupsCtes},
+         |groups AS (
+         |  SELECT id AS doc_id, min(comp) AS rep_id FROM walk GROUP BY id),
+         |qual AS (${TextOps.quality10kSql}),
+         |rankedg AS (
+         |  SELECT g.doc_id,
+         |    row_number() OVER (PARTITION BY g.rep_id
+         |      ORDER BY q.q10k DESC, g.doc_id) AS rn
+         |  FROM groups g JOIN qual q ON q.doc_id = g.doc_id),
+         |dropped AS (SELECT doc_id FROM rankedg WHERE rn <> 1),
+         |bench AS (SELECT doc_id AS bench_id, n_tok AS n_b, tok
+         |          FROM ex WHERE doc_id < ${DedupOps.BenchmarkMaxId}),
+         |contam AS (
+         |  SELECT DISTINCT c.doc_id
+         |  FROM (SELECT doc_id, tok FROM ex
+         |        WHERE doc_id >= ${DedupOps.BenchmarkMaxId}) c
+         |  JOIN bench b ON b.tok = c.tok
+         |  GROUP BY c.doc_id, b.bench_id, b.n_b
+         |  HAVING CAST(count(*) AS DOUBLE) / b.n_b
+         |    >= ${DedupOps.ContaminationBar}),
+         |toksrc AS (SELECT doc_id, lang, $toksSql AS toks,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
+         |    CAST(length(regexp_extract_all(text,
+         |      '\\b(the|a|of|and|in|to)\\b')) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |shaperule AS (
+         |  SELECT doc_id,
+         |    NOT (len(toks) >= ${TextOps.GopherMinTok}
+         |     AND len(toks) <= ${TextOps.GopherMaxTok}
+         |     AND chars >= ${TextOps.GopherMinAvgLen} * len(toks)
+         |     AND chars <= ${TextOps.GopherMaxAvgLen} * len(toks)
+         |     AND len(toks) > 0
+         |     AND n_stop >= ${TextOps.GopherMinStop}) AS rule_fail
+         |  FROM toksrc),
+         |freq AS (SELECT doc_id, tok2, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(toks) AS tok2 FROM toksrc)
+         |  GROUP BY 1, 2),
+         |top AS (SELECT doc_id, max(c) AS top_cnt FROM freq GROUP BY 1),
+         |rep AS (
+         |  SELECT t.doc_id,
+         |    (coalesce(tp.top_cnt, 0) * 10000
+         |       // greatest(len(t.toks), 1) > ${TextOps.TopWordBar10k}
+         |     OR (len(g2) - len(list_distinct(g2))) * 10000
+         |       // greatest(len(g2), 1) > ${TextOps.Dup2gramBar10k})
+         |      AS repetitive
+         |  FROM (SELECT doc_id, toks,
+         |      CASE WHEN len(toks) >= 2
+         |        THEN list_transform(range(1, len(toks)),
+         |               i -> toks[i] || ' ' || toks[i+1])
+         |        ELSE CAST([] AS VARCHAR[]) END AS g2
+         |    FROM toksrc) t
+         |  LEFT JOIN top tp ON tp.doc_id = t.doc_id),
+         |boilset AS (
+         |  SELECT tok FROM ex GROUP BY tok
+         |  HAVING count(*) > greatest(${TextOps.BoilerplateDocBar},
+         |    (SELECT count(*) FROM documents) // ${TextOps.BoilerplateFracDiv})),
+         |boil AS (
+         |  SELECT e.doc_id,
+         |    count(b.tok) * 10000 // greatest(any_value(e.n_tok), 1)
+         |      > ${TextOps.BoilerplateHeavyBar10k} AS heavy
+         |  FROM ex e LEFT JOIN boilset b ON b.tok = e.tok
+         |  GROUP BY e.doc_id),
+         |$chunksCtes, $chunkDupCte,
+         |chdup AS (
+         |  SELECT doc_id FROM chr GROUP BY doc_id
+         |  HAVING 2 * sum(is_dup) >= count(*)),
+         |bfp AS (SELECT DISTINCT chunk_fp FROM ch
+         |        WHERE doc_id < ${DedupOps.BenchmarkMaxId}),
+         |chcont AS (
+         |  SELECT c.doc_id
+         |  FROM (SELECT doc_id, chunk_fp FROM ch
+         |        WHERE doc_id >= ${DedupOps.BenchmarkMaxId}) c
+         |  LEFT JOIN bfp b ON b.chunk_fp = c.chunk_fp
+         |  GROUP BY c.doc_id
+         |  HAVING sum(CASE WHEN b.chunk_fp IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 10000 >= count(*) * $ChunkContainBar10k),
+         |ngg AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(toks) >= ${DedupOps.ContamNgram}
+         |      THEN list_transform(
+         |             range(1, len(toks) - ${DedupOps.ContamNgram - 2}),
+         |             i -> array_to_string(
+         |               toks[i:i + ${DedupOps.ContamNgram - 1}], ' '))
+         |      ELSE [] END)) AS gram FROM toksrc),
+         |ngb AS (SELECT DISTINCT gram FROM ngg
+         |        WHERE doc_id < ${DedupOps.BenchmarkMaxId}),
+         |ngc AS (SELECT DISTINCT g.doc_id FROM ngg g JOIN ngb USING (gram)
+         |        WHERE g.doc_id >= ${DedupOps.BenchmarkMaxId}),
+         |ucanon AS (SELECT doc_id,
+         |    'http://example.com/' || toks[1] ||
+         |    CASE WHEN doc_id % $UrlNoIdMod <> 0
+         |      THEN '?id=' || doc_id ELSE '' END AS cu
+         |  FROM toksrc),
+         |udrop AS (SELECT u.doc_id FROM ucanon u
+         |  JOIN (SELECT cu, min(doc_id) AS keep_id FROM ucanon GROUP BY cu)
+         |    k ON k.cu = u.cu
+         |  WHERE u.doc_id <> k.keep_id),
+         |fstages AS (
+         |SELECT d.doc_id, d.lang,
+         |  CASE WHEN ud.doc_id IS NOT NULL THEN '0_url_dup'
+         |       WHEN dr.doc_id IS NOT NULL THEN '1_dup_dropped'
+         |       WHEN ct.doc_id IS NOT NULL OR cc2.doc_id IS NOT NULL
+         |         OR ng.doc_id IS NOT NULL
+         |         THEN '2_contaminated'
+         |       WHEN cd.doc_id IS NOT NULL THEN '3_chunk_dup'
+         |       WHEN rep.repetitive THEN '4_repetitive'
+         |       WHEN coalesce(bo.heavy, FALSE) THEN '5_boilerplate'
+         |       WHEN sr.rule_fail THEN '6_rule_filtered'
+         |       WHEN q.q10k < $FunnelMinQuality10k THEN '7_low_quality'
+         |       ELSE '8_admitted' END AS stage
+         |FROM documents d
+         |LEFT JOIN udrop ud ON ud.doc_id = d.doc_id
+         |LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+         |LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+         |LEFT JOIN chcont cc2 ON cc2.doc_id = d.doc_id
+         |LEFT JOIN ngc ng ON ng.doc_id = d.doc_id
+         |LEFT JOIN chdup cd ON cd.doc_id = d.doc_id
+         |JOIN rep ON rep.doc_id = d.doc_id
+         |LEFT JOIN boil bo ON bo.doc_id = d.doc_id
+         |JOIN shaperule sr ON sr.doc_id = d.doc_id
+         |JOIN qual q ON q.doc_id = d.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_k_anonymity" ->
@@ -1966,127 +2132,25 @@ object CurationOps {
     // the per-row signals in one precedence CASE — same shape as the
     // Spark plan
     "q_curation_funnel" ->
-      s"""WITH RECURSIVE ${DedupOps.textGroupsCtes},
-         |groups AS (
-         |  SELECT id AS doc_id, min(comp) AS rep_id FROM walk GROUP BY id),
-         |qual AS (${TextOps.quality10kSql}),
-         |rankedg AS (
-         |  SELECT g.doc_id,
-         |    row_number() OVER (PARTITION BY g.rep_id
-         |      ORDER BY q.q10k DESC, g.doc_id) AS rn
-         |  FROM groups g JOIN qual q ON q.doc_id = g.doc_id),
-         |dropped AS (SELECT doc_id FROM rankedg WHERE rn <> 1),
-         |bench AS (SELECT doc_id AS bench_id, n_tok AS n_b, tok
-         |          FROM ex WHERE doc_id < ${DedupOps.BenchmarkMaxId}),
-         |contam AS (
-         |  SELECT DISTINCT c.doc_id
-         |  FROM (SELECT doc_id, tok FROM ex
-         |        WHERE doc_id >= ${DedupOps.BenchmarkMaxId}) c
-         |  JOIN bench b ON b.tok = c.tok
-         |  GROUP BY c.doc_id, b.bench_id, b.n_b
-         |  HAVING CAST(count(*) AS DOUBLE) / b.n_b
-         |    >= ${DedupOps.ContaminationBar}),
-         |toksrc AS (SELECT doc_id, lang, $toksSql AS toks,
-         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
-         |    CAST(length(regexp_extract_all(text,
-         |      '\\b(the|a|of|and|in|to)\\b')) AS BIGINT) AS n_stop
-         |  FROM documents),
-         |shaperule AS (
-         |  SELECT doc_id,
-         |    NOT (len(toks) >= ${TextOps.GopherMinTok}
-         |     AND len(toks) <= ${TextOps.GopherMaxTok}
-         |     AND chars >= ${TextOps.GopherMinAvgLen} * len(toks)
-         |     AND chars <= ${TextOps.GopherMaxAvgLen} * len(toks)
-         |     AND len(toks) > 0
-         |     AND n_stop >= ${TextOps.GopherMinStop}) AS rule_fail
-         |  FROM toksrc),
-         |freq AS (SELECT doc_id, tok2, count(*) AS c
-         |  FROM (SELECT doc_id, unnest(toks) AS tok2 FROM toksrc)
-         |  GROUP BY 1, 2),
-         |top AS (SELECT doc_id, max(c) AS top_cnt FROM freq GROUP BY 1),
-         |rep AS (
-         |  SELECT t.doc_id,
-         |    (coalesce(tp.top_cnt, 0) * 10000
-         |       // greatest(len(t.toks), 1) > ${TextOps.TopWordBar10k}
-         |     OR (len(g2) - len(list_distinct(g2))) * 10000
-         |       // greatest(len(g2), 1) > ${TextOps.Dup2gramBar10k})
-         |      AS repetitive
-         |  FROM (SELECT doc_id, toks,
-         |      CASE WHEN len(toks) >= 2
-         |        THEN list_transform(range(1, len(toks)),
-         |               i -> toks[i] || ' ' || toks[i+1])
-         |        ELSE CAST([] AS VARCHAR[]) END AS g2
-         |    FROM toksrc) t
-         |  LEFT JOIN top tp ON tp.doc_id = t.doc_id),
-         |boilset AS (
-         |  SELECT tok FROM ex GROUP BY tok
-         |  HAVING count(*) > greatest(${TextOps.BoilerplateDocBar},
-         |    (SELECT count(*) FROM documents) // ${TextOps.BoilerplateFracDiv})),
-         |boil AS (
-         |  SELECT e.doc_id,
-         |    count(b.tok) * 10000 // greatest(any_value(e.n_tok), 1)
-         |      > ${TextOps.BoilerplateHeavyBar10k} AS heavy
-         |  FROM ex e LEFT JOIN boilset b ON b.tok = e.tok
-         |  GROUP BY e.doc_id),
-         |$chunksCtes, $chunkDupCte,
-         |chdup AS (
-         |  SELECT doc_id FROM chr GROUP BY doc_id
-         |  HAVING 2 * sum(is_dup) >= count(*)),
-         |bfp AS (SELECT DISTINCT chunk_fp FROM ch
-         |        WHERE doc_id < ${DedupOps.BenchmarkMaxId}),
-         |chcont AS (
-         |  SELECT c.doc_id
-         |  FROM (SELECT doc_id, chunk_fp FROM ch
-         |        WHERE doc_id >= ${DedupOps.BenchmarkMaxId}) c
-         |  LEFT JOIN bfp b ON b.chunk_fp = c.chunk_fp
-         |  GROUP BY c.doc_id
-         |  HAVING sum(CASE WHEN b.chunk_fp IS NOT NULL THEN 1 ELSE 0 END)
-         |    * 10000 >= count(*) * $ChunkContainBar10k),
-         |ngg AS (SELECT doc_id, unnest(list_distinct(
-         |    CASE WHEN len(toks) >= ${DedupOps.ContamNgram}
-         |      THEN list_transform(
-         |             range(1, len(toks) - ${DedupOps.ContamNgram - 2}),
-         |             i -> array_to_string(
-         |               toks[i:i + ${DedupOps.ContamNgram - 1}], ' '))
-         |      ELSE [] END)) AS gram FROM toksrc),
-         |ngb AS (SELECT DISTINCT gram FROM ngg
-         |        WHERE doc_id < ${DedupOps.BenchmarkMaxId}),
-         |ngc AS (SELECT DISTINCT g.doc_id FROM ngg g JOIN ngb USING (gram)
-         |        WHERE g.doc_id >= ${DedupOps.BenchmarkMaxId}),
-         |ucanon AS (SELECT doc_id,
-         |    'http://example.com/' || toks[1] ||
-         |    CASE WHEN doc_id % $UrlNoIdMod <> 0
-         |      THEN '?id=' || doc_id ELSE '' END AS cu
-         |  FROM toksrc),
-         |udrop AS (SELECT u.doc_id FROM ucanon u
-         |  JOIN (SELECT cu, min(doc_id) AS keep_id FROM ucanon GROUP BY cu)
-         |    k ON k.cu = u.cu
-         |  WHERE u.doc_id <> k.keep_id)
-         |SELECT d.lang,
-         |  CASE WHEN ud.doc_id IS NOT NULL THEN '0_url_dup'
-         |       WHEN dr.doc_id IS NOT NULL THEN '1_dup_dropped'
-         |       WHEN ct.doc_id IS NOT NULL OR cc2.doc_id IS NOT NULL
-         |         OR ng.doc_id IS NOT NULL
-         |         THEN '2_contaminated'
-         |       WHEN cd.doc_id IS NOT NULL THEN '3_chunk_dup'
-         |       WHEN rep.repetitive THEN '4_repetitive'
-         |       WHEN coalesce(bo.heavy, FALSE) THEN '5_boilerplate'
-         |       WHEN sr.rule_fail THEN '6_rule_filtered'
-         |       WHEN q.q10k < $FunnelMinQuality10k THEN '7_low_quality'
-         |       ELSE '8_admitted' END AS stage,
-         |  count(*) AS n_docs
-         |FROM documents d
-         |LEFT JOIN udrop ud ON ud.doc_id = d.doc_id
-         |LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
-         |LEFT JOIN contam ct ON ct.doc_id = d.doc_id
-         |LEFT JOIN chcont cc2 ON cc2.doc_id = d.doc_id
-         |LEFT JOIN ngc ng ON ng.doc_id = d.doc_id
-         |LEFT JOIN chdup cd ON cd.doc_id = d.doc_id
-         |JOIN rep ON rep.doc_id = d.doc_id
-         |LEFT JOIN boil bo ON bo.doc_id = d.doc_id
-         |JOIN shaperule sr ON sr.doc_id = d.doc_id
-         |JOIN qual q ON q.doc_id = d.doc_id
-         |GROUP BY 1, 2""".stripMargin,
+      s"""WITH RECURSIVE $funnelStagesCtes
+         |SELECT lang, stage, count(*) AS n_docs
+         |FROM fstages GROUP BY 1, 2""".stripMargin,
+    // the release audit recomputes the WHOLE stage derivation, then
+    // censuses quasi-identifier classes among the admitted slice only
+    "q_release_risk" ->
+      s"""WITH RECURSIVE $funnelStagesCtes,
+         |adm AS (SELECT f.doc_id, f.lang, d2.source,
+         |    d2.n_chars // ${KAnonWidths.head} AS len_b
+         |  FROM fstages f JOIN documents d2 ON d2.doc_id = f.doc_id
+         |  WHERE f.stage = '8_admitted'),
+         |acls AS (SELECT lang, source, len_b, count(*) AS n
+         |         FROM adm GROUP BY 1, 2, 3)
+         |SELECT lang, CAST(sum(n) AS BIGINT) AS n_admitted,
+         |  CAST(sum(CASE WHEN n < $KAnonK THEN n ELSE 0 END) AS BIGINT)
+         |    AS n_at_risk,
+         |  (CAST(sum(CASE WHEN n < $KAnonK THEN n ELSE 0 END) AS BIGINT)
+         |    * 1000000) // CAST(sum(n) AS BIGINT) AS risk_ppm
+         |FROM acls GROUP BY 1""".stripMargin,
     "q_source_profile" ->
       s"""WITH q AS (${TextOps.qualityScoreSql}),
          |d AS (SELECT doc_id, source, ${TextOps.contentFpSql} AS fp,

@@ -152,6 +152,7 @@ object PlanAudit {
     "q_k_anonymity" -> "release-risk census: one hash-agg over the quasi-identifier tuple with map-side combine; class count bounded by |langs|x|sources|x|buckets|",
     "q_k_generalize" -> "generalization ladder: one aggregate per rung over the same scan, 3 rows out; at-risk population monotone down the ladder",
     "q_l_diversity" -> "attribute-disclosure census: PII-class CASE inside the scan projection (codegen'd regex), one hash-agg with a count_distinct arm",
+    "q_release_risk" -> "k-anonymity over what SHIPS: funnel stage pass -> admitted semi-join -> quasi-class census -> per-lang exact ppm; everything past the stage pass is class-table-sized",
     "q_link_graph" -> "doc->domain edge aggregation: ONE shuffle over docs to the weighted |domains|^2-bounded graph; rank dim broadcast both ways",
     "q_pagerank" -> "integer PageRank: checkpointed domain graph (doc scan runs once), 5 chained join+partial-agg rounds over the TINY graph — nothing corpus-sized iterates",
     "q_pagerank_seeded" -> "personalized PageRank: same checkpointed-graph loop with the teleport restricted to the majority-en seed flags; one census + one edge pass",

@@ -31,6 +31,24 @@ class PrivacySpec extends SparkSpec {
       "coarsening only merges classes")
   }
 
+  test("release risk: audits exactly the admitted population, exact ppm") {
+    val rr = CurationOps.releaseRisk(spark, sfDir).collect()
+    val funnel = CurationOps.curationFunnel(spark, sfDir)
+      .where(col("stage") === "8_admitted")
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_docs"))
+      .toMap
+    assert(rr.nonEmpty)
+    rr.foreach { r =>
+      val (lang, adm, risk, ppm) = (r.getAs[String]("lang"),
+        r.getAs[Long]("n_admitted"), r.getAs[Long]("n_at_risk"),
+        r.getAs[Long]("risk_ppm"))
+      assert(adm == funnel(lang),
+        s"$lang: audit population $adm != funnel admitted ${funnel(lang)}")
+      assert(risk <= adm)
+      assert(ppm == risk * 1000000L / adm, "ppm must be the exact share")
+    }
+  }
+
   test("l-diversity: l bounded by class size and sensitive domain") {
     val ld = CurationOps.lDiversity(spark, sfDir)
     assert(ld.where(col("l") > col("n_docs")).isEmpty)
