@@ -2548,27 +2548,38 @@ object CurationOps {
     * Result-identical to [[curationFunnel]] (each stage verdict is a
     * pure function of the same inputs), so it reuses that query's
     * oracle — the green row grades the production plan itself. */
-  def prodCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val path =
-      graft.functions.MaterializeCache.getOrWrite("prod_stages", dir) { out =>
-        val groups = DedupOps.materializedGroups(spark, dir)
-        val keep = DedupOps.canonicalDocsFrom(groups,
-          TextOps.qualityScore(spark, dir)
-            .select(col("doc_id"), col("quality")))
-        chunkDocs(spark, dir).write.mode("overwrite")
-          .parquet(s"$out/chunks")
-        curationStagesFrom(spark, dir, DedupOps.dropList(groups, keep),
-            Some(spark.read.parquet(s"$out/chunks")))
-          .write.mode("overwrite").parquet(s"$out/stages")
-      }
-    spark.read.parquet(s"$path/stages")
+  /** Materialize-once home of the prod stages table — shared by the
+    * prod funnel and the prod release audit, whichever runs first. */
+  private def prodStagesPath(spark: SparkSession, dir: String): String =
+    graft.functions.MaterializeCache.getOrWrite("prod_stages", dir) { out =>
+      val groups = DedupOps.materializedGroups(spark, dir)
+      val keep = DedupOps.canonicalDocsFrom(groups,
+        TextOps.qualityScore(spark, dir)
+          .select(col("doc_id"), col("quality")))
+      chunkDocs(spark, dir).write.mode("overwrite")
+        .parquet(s"$out/chunks")
+      curationStagesFrom(spark, dir, DedupOps.dropList(groups, keep),
+          Some(spark.read.parquet(s"$out/chunks")))
+        .write.mode("overwrite").parquet(s"$out/stages")
+    }
+
+  def prodCurationFunnel(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${prodStagesPath(spark, dir)}/stages")
       .groupBy(col("lang"), col("stage"))
       .agg(count(lit(1)).as("n_docs"))
-  }
+
+  /** [[releaseRisk]] from the SAME materialized stages table the prod
+    * funnel reads — the release review runs against the run's artifact,
+    * never a recompute that could drift from what actually shipped. */
+  def prodReleaseRisk(spark: SparkSession, dir: String): DataFrame =
+    releaseRiskFrom(spark, dir,
+      spark.read.parquet(s"${prodStagesPath(spark, dir)}/stages"))
 
   val prodQueries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_prod_curation_funnel" -> prodCurationFunnel _)
+    Map("q_prod_curation_funnel" -> prodCurationFunnel _,
+      "q_prod_release_risk" -> prodReleaseRisk _)
 
   val prodOracles: Map[String, String] =
-    Map("q_prod_curation_funnel" -> oracles("q_curation_funnel"))
+    Map("q_prod_curation_funnel" -> oracles("q_curation_funnel"),
+      "q_prod_release_risk" -> oracles("q_release_risk"))
 }
