@@ -671,6 +671,8 @@ object CurationOps {
     * holds exactly because each width divides the next (the histogram-
     * trick discipline: re-aggregate the histogram, never the corpus). */
   def kGeneralize(spark: SparkSession, dir: String): DataFrame = {
+    require(KAnonWidths.forall(_ % KAnonWidths.head == 0),
+      s"ladder widths must be multiples of the finest: $KAnonWidths")
     val fine = quasiIds(spark, dir, KAnonWidths.head)
       .groupBy(col("lang"), col("source"), col("len_b"))
       .agg(count(lit(1)).as("n"))

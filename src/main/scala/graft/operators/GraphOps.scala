@@ -88,7 +88,11 @@ object GraphOps {
     docs.select(col("doc_id"), col("source"))
       .join(broadcast(registry), "source")
       .crossJoin(broadcast(nn))
-      .withColumn("t", expr("(rk + 1 + (doc_id % (n - 1))) % n"))
+      // greatest(n-1, 1): a single-domain registry degenerates to a
+      // self-loop in BOTH engines instead of Spark nulling the % 0 and
+      // DuckDB erroring on it — engine-identical even when degenerate
+      .withColumn("t",
+        expr("(rk + 1 + (doc_id % greatest(n - 1, 1))) % n"))
       .groupBy(col("rk").as("s"), col("t"))
       .agg(count(lit(1)).as("w"))
   }
@@ -256,7 +260,7 @@ object GraphOps {
        |       FROM (SELECT DISTINCT source FROM documents)),
        |nn AS (SELECT count(*) AS n FROM rk),
        |ed AS (SELECT r.rk AS s,
-       |              ((r.rk + 1 + (d.doc_id % ((SELECT n FROM nn) - 1)))
+       |              ((r.rk + 1 + (d.doc_id % greatest((SELECT n FROM nn) - 1, 1)))
        |               % (SELECT n FROM nn)) AS t
        |       FROM documents d JOIN rk r ON d.source = r.source),
        |e AS (SELECT s, t, count(*) AS w FROM ed GROUP BY 1, 2)""".stripMargin
