@@ -1458,13 +1458,28 @@ object StreamingAnalytics {
     *
     * Idempotence: addition is not idempotent, so the
     * [[updateTokenSketch]] guard applies — every stored row carries
-    * `last_batch`; a batch id ≤ the stored max is a no-op. Crash-safety
-    * is the same rename-swap. State is ≤ |domains|² tiny rows; serving
-    * ([[authorityFromLinkGraph]]) recomputes PageRank from the
-    * maintained graph on demand — iteration over the aggregated graph
-    * is cheap precisely because the corpus never iterates. */
+    * `last_batch`; a REPLAY of the stored max batch id is a no-op,
+    * and a batch id strictly BELOW the stored max fails loudly
+    * (IllegalStateException): foreachBatch ids are monotone and a
+    * restart only ever re-delivers the LAST possibly-uncommitted
+    * batch, so a lower id is never a legitimate replay — silently
+    * skipping it would drop a batch's edges with no signal (ADVICE
+    * r15). Crash-safety is the same rename-swap. State is ≤ |domains|²
+    * tiny rows; serving ([[authorityFromLinkGraph]]) recomputes
+    * PageRank from the maintained graph on demand — iteration over the
+    * aggregated graph is cheap precisely because the corpus never
+    * iterates.
+    *
+    * Returns the count of batch docs whose `source` is ABSENT from the
+    * fixed registry: [[graft.operators.GraphOps.domainEdgesOf]]
+    * inner-joins the registry, so such docs contribute no edges — a
+    * crawl discovering a new domain must see that loss, not infer it
+    * (ADVICE r15). Callers alert/update the registry on nonzero; the
+    * fold itself stays registry-fixed so maintained == one-shot holds
+    * per registry version. Replay/skip paths return 0 (nothing newly
+    * dropped). */
   def updateLinkGraph(batch: DataFrame, registry: DataFrame, dir: String,
-      batchId: Long): Unit = {
+      batchId: Long): Long = {
     import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
     val live = new Path(s"$dir/link_graph")
@@ -1476,7 +1491,25 @@ object StreamingAnalytics {
     val stored = parquetOrEmpty(spark, live.toString, LinkGraphSchema)
       .localCheckpoint(true) // the rewrite below reads the live dir
     val maxBatch = stored.agg(max(col("last_batch"))).head()
+    if (!maxBatch.isNullAt(0) && batchId < maxBatch.getLong(0))
+      throw new IllegalStateException(
+        s"link-graph fold saw batch $batchId below stored max " +
+          s"${maxBatch.getLong(0)} — ids must be monotone; a silent " +
+          "skip would lose the batch's edges")
     if (maxBatch.isNullAt(0) || maxBatch.getLong(0) < batchId) {
+      // the loss census: per-source batch counts left-joined to the
+      // broadcast registry — docs whose source the registry lacks
+      // produce no edges below, so their count IS the drop signal
+      val unregistered = batch.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .join(broadcast(registry.select(col("source"),
+          lit(true).as("reg"))), Seq("source"), "left")
+        .where(col("reg").isNull)
+        .agg(coalesce(sum(col("n_docs")), lit(0L))).head().getLong(0)
+      if (unregistered > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"link-graph batch $batchId: $unregistered docs from " +
+            "unregistered domains dropped from the maintained graph")
       val batchEdges = graft.operators.GraphOps
         .domainEdgesOf(batch, registry)
       val merged = stored.select(col("s"), col("t"), col("w"))
@@ -1489,7 +1522,8 @@ object StreamingAnalytics {
         require(fs.rename(live, old), s"swap-out of $live failed")
       require(fs.rename(tmp, live), s"swap-in of $tmp failed")
       fs.delete(old, true)
-    }
+      unregistered
+    } else 0L
   }
 
   /** Read-back of the maintained link graph (empty-safe). */

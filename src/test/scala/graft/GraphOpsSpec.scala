@@ -29,11 +29,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(pr.where(col("rank_u") < floor).isEmpty,
       "every node keeps at least the teleport share")
     val tot = pr.agg(sum(col("rank_u"))).head().getLong(0)
-    // truncating division loses < 1 unit per node per div site per
-    // iteration: the total stays within a tiny slack of Scale
+    // truncation loss per iteration: < 1 unit per EDGE at the
+    // (r*w) div ow contribution, plus < 1 per node at each of the
+    // tel and 17·cs div 20 sites; the initial r0 = Scale div n loses
+    // < 1 per node. Slack derived from the ACTUAL graph size, not the
+    // fixture's edge shape (ADVICE r15: the old (Iters+1)·3·n bound
+    // under-counted per-edge loss)
+    val m = GraphOps.linkGraph(spark, sfDir).count()
     assert(tot <= GraphOps.Scale)
-    assert(tot > GraphOps.Scale - (GraphOps.Iters + 1) * 3 * n,
-      s"mass $tot drifted too far from ${GraphOps.Scale}")
+    assert(tot > GraphOps.Scale - (n + GraphOps.Iters * (m + 2 * n)),
+      s"mass $tot drifted too far from ${GraphOps.Scale} " +
+        s"(n=$n, edges=$m)")
     // the cycle construction must separate ranks (not a uniform fixpoint)
     assert(pr.select("rank_u").distinct().count() > 1)
   }
@@ -63,6 +69,20 @@ class GraphOpsSpec extends SparkSpec {
     assert(rc.where(col("recip_w") > col("out_w")).isEmpty)
     assert(rc.where(col("n_in") === 0 && col("n_out") === 0).isEmpty,
       "every domain participates in the synthetic graph")
+  }
+
+  test("two-phase registry rank == dense_rank, 0..n-1 dense") {
+    // the distributed ranksFrom must reproduce the single-window
+    // dense_rank EXACTLY — ranks dense from 0 with no gaps, ordered
+    // by source name — or every rank-space edge the family synthesizes
+    // shifts
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val rk = GraphOps.srcRanks(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = docs.select("source").distinct()
+      .collect().map(_.getString(0)).sorted.zipWithIndex
+      .map { case (s, i) => s -> i.toLong }.toMap
+    assert(rk == expected, s"two-phase ranks diverged: $rk")
   }
 
   test("authority quota: integer shares sum within budget") {

@@ -93,6 +93,20 @@ class PlanAssertionsSpec extends SparkSpec {
           w.partitionSpec.size
       }
 
+  test("graph family: no partition-less window over the registry") {
+    // ranksFrom used to plan dense_rank over Window.orderBy(source) —
+    // ONE task sorting the whole domain registry (VERDICT r15 item 1).
+    // The two-phase rewrite buckets on the order-consistent name
+    // prefix; every Window in all five graph plans (and the streaming
+    // authority path that shares ranksFrom) must carry a partition key.
+    for (q <- Seq("q_link_graph", "q_pagerank", "q_pagerank_seeded",
+        "q_link_reciprocity", "q_authority_quota")) {
+      val zero = windowKeyCounts(q).count(_ == 0)
+      assert(zero == 0,
+        s"$q plans $zero partition-less Window(s) — registry sort funnel")
+    }
+  }
+
   test("q_docids_per_lang: no per-lang window funnel (two-phase top-k)") {
     // lang has ~5 values: a Window partitioned by lang alone routes every
     // doc of a language through ONE task (VERDICT r3/r4 item 1). The

@@ -713,8 +713,10 @@ class StreamingAnalyticsSpec extends SparkSpec {
       .toDF("doc_id", "source")
     val b2 = Seq((4L, "sb"), (5L, "sc"), (6L, "sa"), (1000L, "sb"))
       .toDF("doc_id", "source")
-    StreamingAnalytics.updateLinkGraph(b1, registry, dir, batchId = 0L)
-    StreamingAnalytics.updateLinkGraph(b2, registry, dir, batchId = 1L)
+    assert(StreamingAnalytics
+      .updateLinkGraph(b1, registry, dir, batchId = 0L) == 0L)
+    assert(StreamingAnalytics
+      .updateLinkGraph(b2, registry, dir, batchId = 1L) == 0L)
     // edge weights merge by ADD → maintained graph equals the one-shot
     // aggregation over everything folded, row for row
     def edgeSet(df: org.apache.spark.sql.DataFrame) = df
@@ -726,11 +728,31 @@ class StreamingAnalyticsSpec extends SparkSpec {
     StreamingAnalytics.updateLinkGraph(b2, registry, dir, batchId = 1L)
     assert(edgeSet(StreamingAnalytics.loadLinkGraph(spark, dir)) == folded,
       "replay double-counted edge weights")
+    // a batch id BELOW the stored max is never a legitimate replay
+    // (foreachBatch ids are monotone): fail loudly, not a silent skip
+    intercept[IllegalStateException] {
+      StreamingAnalytics.updateLinkGraph(b1, registry, dir, batchId = 0L)
+    }
+    // docs from a domain the registry lacks produce no edges — the
+    // fold must RETURN that loss, and leave the graph untouched by
+    // the unregistered rows
+    val b3 = Seq((7L, "sa"), (8L, "zz_new"), (9L, "zz_new"))
+      .toDF("doc_id", "source")
+    assert(StreamingAnalytics
+      .updateLinkGraph(b3, registry, dir, batchId = 2L) == 2L,
+      "unregistered-source docs must be counted and surfaced")
+    val afterB3 = edgeSet(StreamingAnalytics.loadLinkGraph(spark, dir))
+    val oneShot3 = edgeSet(GraphOps.domainEdgesOf(
+      b1.unionAll(b2).unionAll(b3.where(col("source") =!= "zz_new")),
+      registry))
+    assert(afterB3 == oneShot3, "registered rows of a mixed batch fold")
     // authority served from the maintained graph == the batch operator
-    // over a corpus dir holding the same documents
+    // over a corpus dir holding the same documents (the registered
+    // ones — zz_new folded no edges, so the one-shot corpus omits it)
     val corpusDir = java.nio.file.Files
       .createTempDirectory("linkgraph_corpus").toString
-    b1.unionAll(b2).withColumn("text", lit("x"))
+    b1.unionAll(b2).unionAll(b3.where(col("source") =!= "zz_new"))
+      .withColumn("text", lit("x"))
       .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
     val served = StreamingAnalytics
       .authorityFromLinkGraph(spark, dir, registry)
