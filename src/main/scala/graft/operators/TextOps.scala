@@ -2820,6 +2820,73 @@ object TextOps {
         (col("n_raw") > 1).as("caught_fold_only"))
   }
 
+  // --- encoding repair (mojibake unwind) ---
+
+  /** Planted clean suffix and its once/twice-mangled renderings —
+    * accents, an em-dash and a Windows-1252 special (€, byte 0x80)
+    * so the repair must traverse BOTH the Latin-1 range and the
+    * 0x80-0x9F table (the twice-mangled form even contains the sloppy
+    * C1 control U+009D). The mangles were derived OFFLINE with
+    * Python's cp1252 codec, never [[graft.plans.EncodingRepair]]
+    * itself, and the SQL twins assemble the same strings from chr()
+    * codepoints — two independent implementations on both the mangle
+    * and the repair side. */
+  private[graft] val MojiClean =
+    " caf\u00e9 fran\u00e7ais \u2014 na\u00efve \u20acstore"
+  private[graft] val MojiOnce =
+    " caf\u00c3\u00a9 fran\u00c3\u00a7ais \u00e2\u20ac\u201d " +
+      "na\u00c3\u00afve \u00e2\u201a\u00acstore"
+  private[graft] val MojiTwice =
+    " caf\u00c3\u0192\u00c2\u00a9 fran\u00c3\u0192\u00c2" +
+      "\u00a7ais \u00c3\u00a2\u00e2\u201a\u00ac\u00e2\u20ac" +
+      "\u009d na\u00c3\u0192\u00c2\u00afve \u00c3\u00a2\u00e2" +
+      "\u20ac\u0161\u00c2\u00acstore"
+  private val mojiCleanSql =
+    "' caf' || chr(233) || ' fran' || chr(231) || 'ais ' || " +
+      "chr(8212) || ' na' || chr(239) || 've ' || chr(8364) || 'store'"
+  private val mojiOnceSql =
+    "' caf' || chr(195) || chr(169) || ' fran' || chr(195) || " +
+      "chr(167) || 'ais ' || chr(226) || chr(8364) || chr(8221) || " +
+      "' na' || chr(195) || chr(175) || 've ' || chr(226) || " +
+      "chr(8218) || chr(172) || 'store'"
+  private val mojiTwiceSql =
+    "' caf' || chr(195) || chr(402) || chr(194) || chr(169) || " +
+      "' fran' || chr(195) || chr(402) || chr(194) || chr(167) || " +
+      "'ais ' || chr(195) || chr(162) || chr(226) || chr(8218) || " +
+      "chr(172) || chr(226) || chr(8364) || chr(157) || ' na' || " +
+      "chr(195) || chr(402) || chr(194) || chr(175) || 've ' || " +
+      "chr(195) || chr(162) || chr(226) || chr(8364) || chr(353) || " +
+      "chr(194) || chr(172) || 'store'"
+
+  /** ORACLED ENCODING REPAIR — the [[graft.plans.FixMojibake]] kernel
+    * over a planted mixed-health corpus: doc_id % 3 picks a
+    * once-mangled (0), twice-mangled (1) or clean (2) suffix on an
+    * ASCII prefix. Per doc: the raw fingerprint (graded against
+    * DuckDB's independently chr()-assembled mangle — pins that the
+    * fixture really is mojibake), the repaired fingerprint (must equal
+    * the chr()-assembled CLEAN text — pins that the unwind restored
+    * the original bytes, double mangles included), whether the kernel
+    * fired, and the char shrink.
+    *
+    * Scale shape: pure map — one codegen'd projection over the scan,
+    * no shuffle; clean rows cost one refused round-trip, ASCII rows
+    * nothing ([[graft.plans.EncodingRepair.fix]] fast path). */
+  def encodingRepair(spark: SparkSession, dir: String): DataFrame = {
+    val fixf = graft.plans.EncodingRepair.fixCol(spark) _
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(substring(col("text"), 1, 40),
+          when(col("doc_id") % 3 === 0, lit(MojiOnce))
+            .when(col("doc_id") % 3 === 1, lit(MojiTwice))
+            .otherwise(lit(MojiClean))).as("v"))
+      .withColumn("f", fixf(col("v")))
+      .select(col("doc_id"),
+        md5(col("v").cast("binary")).as("raw_fp"),
+        md5(col("f").cast("binary")).as("fixed_fp"),
+        (col("f") =!= col("v")).as("repaired"),
+        (length(col("v")) - length(col("f"))).cast("int").as("cp_shrink"))
+  }
+
   // --- multi-pattern keyword tagging (Aho-Corasick kernel) ---
 
   /** Demonstration blocklist: corpus words, multi-word phrases, and
@@ -3117,6 +3184,7 @@ object TextOps {
     "q_vocab_drift"    -> vocabDrift _,
     "q_snapshot_diff"  -> snapshotDiff _,
     "q_unicode_norm"   -> unicodeNorm _,
+    "q_encoding_repair" -> encodingRepair _,
     "q_norm_dedup"     -> normDedup _,
     "q_keyword_hits"   -> keywordHits _,
     "q_keyword_tag"    -> keywordTag _,
@@ -3625,6 +3693,18 @@ object TextOps {
          |  md5(strip_accents(v)) AS ascii_fp,
          |  CAST(length(v) - length(nfc_normalize(v)) AS INT) AS cp_shrink
          |FROM v""".stripMargin,
+    "q_encoding_repair" ->
+      s"""WITH mv AS (SELECT doc_id,
+         |    substr(text, 1, 40) ||
+         |      CASE doc_id % 3 WHEN 0 THEN $mojiOnceSql
+         |                      WHEN 1 THEN $mojiTwiceSql
+         |                      ELSE $mojiCleanSql END AS v,
+         |    substr(text, 1, 40) || $mojiCleanSql AS f
+         |  FROM documents)
+         |SELECT doc_id, md5(v) AS raw_fp, md5(f) AS fixed_fp,
+         |  (doc_id % 3) < 2 AS repaired,
+         |  CAST(length(v) - length(f) AS INT) AS cp_shrink
+         |FROM mv""".stripMargin,
     "q_norm_dedup" ->
       s"""WITH $normVariantCte,
          |corpus AS (
