@@ -19,7 +19,7 @@ object SparkEntry {
       VectorOps.queries ++ DedupOps.queries ++ IngestOps.queries ++
       MultimodalOps.queries ++ MonitorOps.queries ++ CurationOps.queries ++
       ChatOps.queries ++ LayoutOps.queries ++ JsonOps.queries ++
-      FuzzyOps.queries ++ GraphOps.queries ++
+      FuzzyOps.queries ++ GraphOps.queries ++ UrlOps.queries ++
       DedupOps.prodQueries ++ CurationOps.prodQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,6 +29,6 @@ object SparkEntry {
       VectorOps.oracles ++ DedupOps.oracles ++ IngestOps.oracles ++
       MultimodalOps.oracles ++ MonitorOps.oracles ++ CurationOps.oracles ++
       ChatOps.oracles ++ LayoutOps.oracles ++ JsonOps.oracles ++
-      FuzzyOps.oracles ++ GraphOps.oracles ++
+      FuzzyOps.oracles ++ GraphOps.oracles ++ UrlOps.oracles ++
       DedupOps.prodOracles ++ CurationOps.prodOracles
 }

@@ -54,14 +54,32 @@ object GraphOps {
   /** Authority-quota budget: quotas are integer shares of this. */
   val QuotaBudget = 100000L
 
-  /** Per-source census — the ONE corpus aggregate the whole family
+  /** The corpus with its `source` column replaced by the DOMAIN NODE
+    * id: the canonical host of the doc's (synthesized) URL, through
+    * the real [[UrlOps]] pipeline — scheme/case/port/`www.` junk all
+    * folds before the graph ever sees a node name (VERDICT r15
+    * item 4: the link-graph family now stands on a URL surface, not a
+    * bare label). Oracles run the same regex chain in DuckDB. */
+  private[graft] def docsWithDomain(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("source",
+        UrlOps.canonicalHost(UrlOps.synthUrl(col("doc_id"), col("source"))))
+
+  /** SQL twin of [[docsWithDomain]] as a CTE body. */
+  private val gdocSql: String =
+    "SELECT doc_id, lang, " +
+      UrlOps.canonicalHostSqlOf("(" + UrlOps.synthUrlSql + ")") +
+      " AS source FROM documents"
+
+  /** Per-domain census — the ONE corpus aggregate the whole family
     * derives its node dimension from, eagerly checkpointed so ranks,
     * registry joins, and doc counts all reuse it WITHOUT re-scanning
     * the doc table (the multimodal single-decode discipline applied to
     * scans: before this, q_authority_quota paid five corpus passes
     * where two suffice — one census + one edge pass). */
   private[graft] def srcCensus(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    docsWithDomain(spark, dir)
       .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
       .localCheckpoint(true)
 
@@ -129,7 +147,7 @@ object GraphOps {
     * ≤ n·(n-1) rows regardless of corpus size. */
   def linkGraph(spark: SparkSession, dir: String): DataFrame = {
     val rk = srcRanks(spark, dir)
-    domainEdgesOf(Tables.documents(spark, dir), rk)
+    domainEdgesOf(docsWithDomain(spark, dir), rk)
       .join(broadcast(rk.select(col("source").as("src"), col("rk").as("s"))), "s")
       .join(broadcast(rk.select(col("source").as("dst"), col("rk").as("t"))), "t")
       .select(col("src"), col("dst"), col("w").as("n_links"))
@@ -190,7 +208,7 @@ object GraphOps {
     * Σ rank_u ≈ [[Scale]] minus deterministic truncation loss. */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     val rk = srcRanks(spark, dir)
-    rankItersFrom(domainEdgesOf(Tables.documents(spark, dir), rk), rk)
+    rankItersFrom(domainEdgesOf(docsWithDomain(spark, dir), rk), rk)
       .join(broadcast(rk), col("node") === col("rk"))
       .select(col("source"), col("r").as("rank_u"))
   }
@@ -207,7 +225,7 @@ object GraphOps {
     * (all-zero ranks) instead of a divide-by-zero. One corpus census
     * pass + one edge pass, like the uniform form. */
   def pageRankSeeded(spark: SparkSession, dir: String): DataFrame = {
-    val census = Tables.documents(spark, dir)
+    val census = docsWithDomain(spark, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
@@ -223,7 +241,7 @@ object GraphOps {
         expr(s"CASE WHEN seed THEN $Scale div ns ELSE 0 END").as("r0"),
         expr(s"CASE WHEN seed THEN (3 * $Scale) div (20 * ns) ELSE 0 END")
           .as("tel"))
-    rankLoop(domainEdgesOf(Tables.documents(spark, dir), rk), nodes)
+    rankLoop(domainEdgesOf(docsWithDomain(spark, dir), rk), nodes)
       .join(broadcast(seeded), col("node") === col("rk"))
       .select(col("source"), col("seed"), col("r").as("rank_u"))
   }
@@ -235,7 +253,7 @@ object GraphOps {
     * classic spam-farm shape. One self-join of the ≤n² domain graph. */
   def linkReciprocity(spark: SparkSession, dir: String): DataFrame = {
     val rk = srcRanks(spark, dir)
-    val e = domainEdgesOf(Tables.documents(spark, dir), rk)
+    val e = domainEdgesOf(docsWithDomain(spark, dir), rk)
       .localCheckpoint(true)
     val out = e.groupBy(col("s").as("node"))
       .agg(count(lit(1)).as("n_out"), sum(col("w")).as("out_w"))
@@ -266,7 +284,7 @@ object GraphOps {
   def authorityQuota(spark: SparkSession, dir: String): DataFrame = {
     val census = srcCensus(spark, dir)
     val rk = ranksFrom(census)
-    val pr = rankItersFrom(domainEdgesOf(Tables.documents(spark, dir), rk), rk)
+    val pr = rankItersFrom(domainEdgesOf(docsWithDomain(spark, dir), rk), rk)
       .join(broadcast(rk), col("node") === col("rk"))
       .select(col("source"), col("r").as("rank_u"))
       .localCheckpoint(true)
@@ -292,13 +310,14 @@ object GraphOps {
     * edges, and the weighted domain graph — the `//` twin of the Scala
     * expressions above, kept in lockstep. */
   private def baseCtes: String =
-    s"""rk AS (SELECT source, CAST(dense_rank() OVER (ORDER BY source) - 1 AS BIGINT) AS rk
-       |       FROM (SELECT DISTINCT source FROM documents)),
+    s"""gdoc AS ($gdocSql),
+       |rk AS (SELECT source, CAST(dense_rank() OVER (ORDER BY source) - 1 AS BIGINT) AS rk
+       |       FROM (SELECT DISTINCT source FROM gdoc)),
        |nn AS (SELECT count(*) AS n FROM rk),
        |ed AS (SELECT r.rk AS s,
        |              ((r.rk + 1 + (d.doc_id % greatest((SELECT n FROM nn) - 1, 1)))
        |               % (SELECT n FROM nn)) AS t
-       |       FROM documents d JOIN rk r ON d.source = r.source),
+       |       FROM gdoc d JOIN rk r ON d.source = r.source),
        |e AS (SELECT s, t, count(*) AS w FROM ed GROUP BY 1, 2)""".stripMargin
 
   /** r0..r[[Iters]] unrolled as chained CTEs — the same integer
@@ -335,7 +354,7 @@ object GraphOps {
     s"""scn AS (SELECT source, count(*) AS n_docs,
        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
        |           AS n_en
-       |        FROM documents GROUP BY 1),
+       |        FROM gdoc GROUP BY 1),
        |sd AS (SELECT rk.source, rk.rk, (scn.n_en * 2 > scn.n_docs) AS seed
        |       FROM rk JOIN scn ON rk.source = scn.source),
        |nsd AS (SELECT greatest(
@@ -391,7 +410,7 @@ object GraphOps {
          |pr AS (SELECT rk.source, r$Iters.r AS rank_u
          |       FROM r$Iters JOIN rk ON r$Iters.rk = rk.rk),
          |tot AS (SELECT CAST(sum(rank_u) AS BIGINT) AS tot FROM pr),
-         |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+         |nd AS (SELECT source, count(*) AS n_docs FROM gdoc GROUP BY 1)
          |SELECT pr.source, nd.n_docs,
          |       (pr.rank_u * $QuotaBudget) // (SELECT tot FROM tot) AS quota
          |FROM pr JOIN nd ON pr.source = nd.source

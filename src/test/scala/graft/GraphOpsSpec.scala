@@ -79,8 +79,9 @@ class GraphOpsSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val rk = GraphOps.srcRanks(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // node ids are canonical hosts of the synthesized URL surface
     val expected = docs.select("source").distinct()
-      .collect().map(_.getString(0)).sorted.zipWithIndex
+      .collect().map(_.getString(0) + ".example.org").sorted.zipWithIndex
       .map { case (s, i) => s -> i.toLong }.toMap
     assert(rk == expected, s"two-phase ranks diverged: $rk")
   }
