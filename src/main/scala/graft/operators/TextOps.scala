@@ -574,6 +574,218 @@ object TextOps {
       .limit(BpeSymbolTopK)
   }
 
+  // --- unigram-LM (SentencePiece-style) tokenizer ---
+
+  /** Longest candidate piece the unigram trainer considers. */
+  val UniMaxPiece = 4
+
+  /** Multi-char candidates the SEED vocabulary keeps (plus every
+    * single character, which is never pruned — segmentability). */
+  val UniSeedK = 48
+
+  /** Multi-char pieces each EM round's M-step keeps. */
+  val UniVocabTarget = 32
+
+  /** Words are truncated to this many chars before the DP — bounds the
+    * unrolled oracle and the kernel alike (a real corpus caps token
+    * length anyway; this fixture's longest word is 8). */
+  val UniMaxWordLen = 16
+
+  /** EM (segment → re-estimate → prune) rounds after seeding. */
+  val UniEmRounds = 2
+
+  /** Driver-side twin of [[log2x8]] — same minimal-binary-string read,
+    * byte-identical (`Long.toBinaryString` IS `bin()`), so costs
+    * computed on the collected vocab match the engines' column math. */
+  private[graft] def log2x8Long(x: Long): Long = {
+    val s = java.lang.Long.toBinaryString(x)
+    val f = (s.substring(1) + "000").substring(0, 3)
+    (s.length - 1) * 8L + (f.charAt(0) - '0') * 4 +
+      (f.charAt(1) - '0') * 2 + (f.charAt(2) - '0')
+  }
+
+  /** The frequency-weighted (truncated) word relation — the unigram
+    * family's ONE corpus reduction, exactly [[sentinelVocab]]'s scale
+    * shape without the sentinel encoding. */
+  private def uniWords(docs: DataFrame): DataFrame =
+    docs.select(explode(toks(col("text"))).as("t"))
+      .select(substring(col("t"), 1, UniMaxWordLen).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+
+  /** Corpus-weighted counts of every substring of length
+    * 1..[[UniMaxPiece]] — the seed statistic (the practical stand-in
+    * for SentencePiece's suffix-array candidate enumeration; public
+    * algorithm, Kudo 2018). Vocabulary-sized input, ≤ len·4 rows per
+    * word out, one hash agg. */
+  private def uniSubCounts(words: DataFrame): DataFrame =
+    words.select(col("tok"), col("cnt"),
+        explode(sequence(lit(1), length(col("tok")))).as("st"))
+      .select(col("tok"), col("cnt"), col("st"),
+        explode(sequence(lit(1), lit(UniMaxPiece))).as("l"))
+      .where(col("st") + col("l") - 1 <= length(col("tok")))
+      .select(expr("substring(tok, st, l)").as("piece"), col("cnt"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("n"))
+
+  /** Integer piece costs from a collected (piece, uses) vocabulary:
+    * cost(p) = log2x8(Σ(uses+1)) − log2x8(uses(p)+1) — a fixed-point
+    * −log prob with Laplace smoothing (kept single chars may have zero
+    * uses). Non-negative, monotone-decreasing in frequency, and
+    * bit-identical to the SQL twin's column math. */
+  private def uniCosts(rows: Seq[(String, Long)]): Map[String, Long] = {
+    val lt = log2x8Long(rows.iterator.map(_._2 + 1).sum)
+    rows.iterator.map { case (p, n) => p -> (lt - log2x8Long(n + 1)) }
+      .toMap
+  }
+
+  /** Viterbi segmentation of one (truncated) word under additive
+    * integer piece costs — the E-step kernel. DP key at position j:
+    * min over piece length l of
+    * `(best(j−l) + cost) · 8 + (UniMaxPiece − l)` — the low bits make
+    * ties resolve to the LONGEST piece deterministically, and the SQL
+    * twin's plain `MIN` over the same encoded key picks the identical
+    * path. Single chars are always in the vocabulary, so every
+    * position is reachable. */
+  private[graft] def uniViterbi(tok: String,
+      cost: scala.collection.Map[String, Long]): List[String] = {
+    val n = tok.length
+    val best = new Array[Long](n + 1)
+    val choice = new Array[Int](n + 1)
+    var j = 1
+    while (j <= n) {
+      var bkey = Long.MaxValue
+      var l = 1
+      val lMax = math.min(UniMaxPiece, j)
+      while (l <= lMax) {
+        cost.get(tok.substring(j - l, j)) match {
+          case Some(c) =>
+            val key = (best(j - l) + c) * 8 + (UniMaxPiece - l)
+            if (key < bkey) bkey = key
+          case None =>
+        }
+        l += 1
+      }
+      require(bkey != Long.MaxValue,
+        s"unigram vocab lost a single char of <$tok> — unsegmentable")
+      best(j) = bkey / 8
+      choice(j) = UniMaxPiece - (bkey % 8).toInt
+      j += 1
+    }
+    var pos = n
+    var out = List.empty[String]
+    while (pos > 0) {
+      val l = choice(pos)
+      out = tok.substring(pos - l, pos) :: out
+      pos -= l
+    }
+    out
+  }
+
+  /** Distributed E-step: one map over the word relation with the
+    * BROADCAST cost table (vocab-sized by construction) — the
+    * [[graft.functions.FitsHeader]] kernel shape; no shuffle beyond
+    * the usage re-aggregation the caller adds. */
+  private def uniSegments(words: DataFrame,
+      cost: Map[String, Long]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cost)
+    words.select(col("tok"), col("cnt")).as[(String, Long)]
+      .map { case (tok, cnt) => (tok, cnt, uniViterbi(tok, bc.value)) }
+      .toDF("tok", "cnt", "pieces")
+  }
+
+  /** UNIGRAM-LM TRAINER (SentencePiece-style hard-EM, Kudo 2018, in
+    * exact integer fixed-point): seed with frequent substrings + all
+    * single chars, then [[UniEmRounds]] rounds of Viterbi-segment →
+    * count usage → keep top-[[UniVocabTarget]] multi-char pieces (+
+    * chars) → re-score. Deterministic end to end: total orders on
+    * every cut, [[log2x8]] costs, tie-broken DP — the DuckDB oracle
+    * unrolls the same rounds as chained CTEs and must match hashes.
+    *
+    * Scale shape: the corpus is touched ONCE ([[uniWords]]); each EM
+    * round is one vocab-broadcast map over the distinct-word relation
+    * plus one usage hash-agg, with a vocab-sized driver collect for
+    * the cost table (the [[bpeMergesBatched]] one-job-per-round
+    * discipline — rounds are fixed at 2, not vocab-sized). Returns the
+    * final vocabulary (piece, uses) and its cost table. */
+  private[graft] def uniTrain(spark: SparkSession, docs: DataFrame)
+      : (DataFrame, Map[String, Long]) = {
+    import spark.implicits._
+    val words = uniWords(docs).localCheckpoint(true)
+    val chars = words
+      .select(explode(split(col("tok"), "")).as("piece")).distinct()
+      .localCheckpoint(true)
+    val sub = uniSubCounts(words).localCheckpoint(true)
+    var vocab = sub.where(length(col("piece")) > 1)
+      .orderBy(col("n").desc, col("piece")).limit(UniSeedK)
+      .unionAll(sub.join(chars, Seq("piece")))
+    var cost = uniCosts(vocab.as[(String, Long)].collect().toSeq)
+    for (_ <- 1 to UniEmRounds) {
+      val usage = uniSegments(words, cost)
+        .select(explode(col("pieces")).as("piece"), col("cnt"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("n"))
+        .localCheckpoint(true)
+      vocab = usage.where(length(col("piece")) > 1)
+        .orderBy(col("n").desc, col("piece")).limit(UniVocabTarget)
+        .unionAll(chars.join(usage, Seq("piece"), "left")
+          .select(col("piece"), coalesce(col("n"), lit(0L)).as("n")))
+      cost = uniCosts(vocab.as[(String, Long)].collect().toSeq)
+    }
+    (vocab, cost)
+  }
+
+  /** ORACLED UNIGRAM VOCABULARY — the trained piece table: (piece,
+    * n_uses, cost8), the artifact a unigram trainer ships (the other
+    * mainstream tokenizer family next to [[bpeMerges]]' BPE). */
+  def unigramVocab(spark: SparkSession, dir: String): DataFrame = {
+    val (vocab, _) = uniTrain(spark, Tables.documents(spark, dir))
+    val tot = vocab.agg(sum(col("n") + 1).as("tot"))
+    vocab.crossJoin(broadcast(tot))
+      .select(col("piece"), col("n").as("n_uses"),
+        (log2x8(col("tot")) - log2x8(col("n") + 1)).as("cost8"))
+  }
+
+  /** ORACLED UNIGRAM ENCODE — the frozen-tokenizer apply: every
+    * distinct (truncated) word Viterbi-segmented under the final
+    * costs: (tok, cnt, pieces, n_pieces). */
+  def unigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (_, cost) = uniTrain(spark, docs)
+    uniSegments(uniWords(docs), cost)
+      .select(col("tok"), col("cnt"),
+        array_join(col("pieces"), " ").as("pieces"),
+        size(col("pieces")).as("n_pieces"))
+  }
+
+  /** TOKENIZER COMPARISON CARD — [[bpeFertility]]'s per-language
+    * fertility for BOTH trained families side by side: BPE merges vs
+    * the unigram-LM vocabulary over the same corpus. The signal a
+    * multilingual tokenizer bake-off reads: whichever scheme costs
+    * fewer tokens per word on a language serves it better. Integer
+    * 1e-2 units throughout. */
+  def tokenizerCompare(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (_, cost) = uniTrain(spark, docs)
+    val useg = uniSegments(uniWords(docs), cost)
+      .select(col("tok").as("utok"), size(col("pieces")).as("n_uni"))
+    // the returned plan READS the loop's vocabulary — leave the base
+    // frame cached (the bpeFertility contract; harness clears caches)
+    val (_, words, _) = bpeLoop(spark, dir)
+    val bseg = words.select(col("tok").as("btok"),
+      size(split(trim(col("w")), "  ")).as("n_bpe"))
+    docs.select(col("lang"), explode(toks(col("text"))).as("w0"))
+      .join(bseg, col("w0") === col("btok"))
+      .join(useg, substring(col("w0"), 1, UniMaxWordLen) === col("utok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_bpe")).as("n_bpe_tokens"),
+        sum(col("n_uni").cast("long")).as("n_uni_tokens"))
+      .withColumn("bpe_fertility_100",
+        expr("n_bpe_tokens * 100 div n_words"))
+      .withColumn("uni_fertility_100",
+        expr("n_uni_tokens * 100 div n_words"))
+  }
+
   /** BPE-ish token estimate: regex word pieces + the chars/4 heuristic. */
   def tokenEstimate(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -3146,6 +3358,9 @@ object TextOps {
     "q_vocab"          -> vocab _,
     "q_bpe_pairs"      -> bpePairs _,
     "q_bpe_merges"     -> bpeMerges _,
+    "q_unigram_vocab"  -> unigramVocab _,
+    "q_unigram_encode" -> unigramEncode _,
+    "q_tokenizer_compare" -> tokenizerCompare _,
     "q_bpe_batched"    -> ((s: SparkSession, d: String) =>
       bpeMergesBatched(s, d)),
     "q_bpe_segmented"  -> bpeSegmented _,
@@ -3400,6 +3615,156 @@ object TextOps {
        |    // CAST(sum(s.n_symbols) AS BIGINT) AS chars_per_token_100
        |FROM (SELECT lang, unnest($toksSql) AS tok FROM documents) d
        |JOIN seg s USING (tok)
+       |GROUP BY d.lang""".stripMargin
+
+  // --- unigram-LM oracle (the EM rounds unrolled as chained CTEs) ---
+
+  /** DuckDB 1.x INLINES single-reference CTEs — in this unrolled DP
+    * chain each level references up to 4 prior levels, so inlining is
+    * EXPONENTIAL (and each leaf re-opens the parquet: "too many open
+    * files" before the planner even finishes). Force materialization
+    * per CTE; each is at most vocabulary-sized. */
+  private def uniMat(ctes: String): String =
+    ctes.replace(" AS (", " AS MATERIALIZED (")
+
+
+  /** Prologue: truncated word relation, char alphabet, substring seed
+    * counts, the seed vocabulary `uv0` — the `//`-twin of [[uniWords]]
+    * / [[uniSubCounts]] / the seed cut in [[uniTrain]]. */
+  private def uniBaseSql: String =
+    s"""uw AS (SELECT substr(tok, 1, $UniMaxWordLen) AS tok,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |       FROM (SELECT unnest($toksSql) AS tok FROM documents)
+       |       GROUP BY 1),
+       |uch AS (SELECT DISTINCT substr(tok, st, 1) AS piece
+       |        FROM (SELECT tok,
+       |                CAST(unnest(range(1, length(tok) + 1)) AS INT) AS st
+       |              FROM uw)),
+       |upos AS (SELECT tok, cnt,
+       |           CAST(unnest(range(1, length(tok) + 1)) AS INT) AS st
+       |         FROM uw),
+       |upl AS (SELECT tok, cnt, st,
+       |          CAST(unnest(range(1, ${UniMaxPiece + 1})) AS INT) AS l
+       |        FROM upos),
+       |usub AS (SELECT substr(tok, st, l) AS piece,
+       |           CAST(SUM(cnt) AS BIGINT) AS n
+       |         FROM upl WHERE st + l - 1 <= length(tok) GROUP BY 1),
+       |uv0 AS (SELECT piece, n FROM (
+       |          SELECT piece, n FROM usub WHERE length(piece) > 1
+       |          ORDER BY n DESC, piece LIMIT $UniSeedK)
+       |        UNION ALL
+       |        SELECT s.piece, s.n FROM usub s
+       |        JOIN uch c ON s.piece = c.piece),
+       |${uniCostSql(0)}""".stripMargin
+
+  /** Cost CTEs `ut$v`/`uc$v` over vocabulary `uv$v` — the Laplace
+    * fixed-point scoring of [[uniCosts]]. */
+  private def uniCostSql(v: Int): String =
+    s"""ut$v AS (SELECT CAST(SUM(n + 1) AS BIGINT) AS tot FROM uv$v),
+       |uc$v AS (SELECT piece,
+       |  ${log2x8Sql(s"(SELECT tot FROM ut$v)")}
+       |    - ${log2x8Sql("n + 1")} AS cost FROM uv$v)""".stripMargin
+
+  /** One unrolled E-step `r` (costs `uc${r - 1}`): forward Viterbi
+    * levels `uf${r}_j` (the MIN over the same
+    * `(best + cost)·8 + (max − l)` key the kernel uses), the level
+    * union `udp$r`, the backward path walk `ug${r}_j`, emitted pieces
+    * `upu$r`, and usage counts `uus$r`. */
+  private def uniRoundSql(r: Int): String = {
+    val c = s"uc${r - 1}"
+    val fwd = (1 to UniMaxWordLen).map { j =>
+      val prevs = (math.max(0, j - UniMaxPiece) until j)
+        .map(p => s"SELECT * FROM uf${r}_$p").mkString(" UNION ALL ")
+      s"""uf${r}_$j AS (
+         |  SELECT w.tok, CAST($j AS INT) AS pos,
+         |    MIN((p.bkey // 8 + c.cost) * 8
+         |        + ($UniMaxPiece - ($j - p.pos))) AS bkey
+         |  FROM uw w
+         |  JOIN ($prevs) p ON p.tok = w.tok
+         |  JOIN $c c ON c.piece = substr(w.tok, p.pos + 1, $j - p.pos)
+         |  WHERE length(w.tok) >= $j
+         |  GROUP BY w.tok)""".stripMargin
+    }.mkString(",\n")
+    val bwd = (1 to UniMaxWordLen).map { j =>
+      s"""ug${r}_$j AS (
+         |  SELECT g.tok, g.cnt,
+         |    CAST(g.pos - ($UniMaxPiece - CAST(d.bkey % 8 AS INT))
+         |      AS INT) AS pos,
+         |    substr(g.tok,
+         |      g.pos - ($UniMaxPiece - CAST(d.bkey % 8 AS INT)) + 1,
+         |      $UniMaxPiece - CAST(d.bkey % 8 AS INT)) AS piece
+         |  FROM ug${r}_${j - 1} g
+         |  JOIN udp$r d ON d.tok = g.tok AND d.pos = g.pos
+         |  WHERE g.pos > 0)""".stripMargin
+    }.mkString(",\n")
+    s"""uf${r}_0 AS (SELECT tok, CAST(0 AS INT) AS pos,
+       |  CAST(0 AS BIGINT) AS bkey FROM uw),
+       |$fwd,
+       |udp$r AS (${(1 to UniMaxWordLen)
+        .map(j => s"SELECT tok, pos, bkey FROM uf${r}_$j")
+        .mkString(" UNION ALL ")}),
+       |ug${r}_0 AS (SELECT tok, cnt, CAST(length(tok) AS INT) AS pos
+       |  FROM uw),
+       |$bwd,
+       |upu$r AS (${(1 to UniMaxWordLen)
+        .map(j => s"SELECT tok, cnt, piece, pos FROM ug${r}_$j")
+        .mkString(" UNION ALL ")}),
+       |uus$r AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n
+       |  FROM upu$r GROUP BY 1)""".stripMargin
+  }
+
+  /** M-step `r`: vocabulary `uv$r` (top multi-char pieces + the full
+    * alphabet with 0-coalesced usage) and its costs. */
+  private def uniPruneSql(r: Int): String =
+    s"""uv$r AS (SELECT piece, n FROM (
+       |          SELECT piece, n FROM uus$r WHERE length(piece) > 1
+       |          ORDER BY n DESC, piece LIMIT $UniVocabTarget)
+       |        UNION ALL
+       |        SELECT c.piece, CAST(coalesce(u.n, 0) AS BIGINT) AS n
+       |        FROM uch c LEFT JOIN uus$r u ON u.piece = c.piece),
+       |${uniCostSql(r)}""".stripMargin
+
+  /** Seed + both EM rounds — shared chain of all three unigram
+    * oracles (CTE list only; callers prepend WITH or splice). */
+  private def uniTrainSql: String = uniMat(
+    s"""$uniBaseSql,
+       |${uniRoundSql(1)},
+       |${uniPruneSql(1)},
+       |${uniRoundSql(2)},
+       |${uniPruneSql(2)}""".stripMargin)
+
+  private def unigramVocabSql: String =
+    s"""WITH $uniTrainSql
+       |SELECT v.piece, v.n AS n_uses, c.cost AS cost8
+       |FROM uv$UniEmRounds v JOIN uc$UniEmRounds c USING (piece)
+       |""".stripMargin
+
+  private def unigramEncodeSql: String =
+    s"""WITH $uniTrainSql,
+       |${uniMat(uniRoundSql(3))}
+       |SELECT tok, cnt, string_agg(piece, ' ' ORDER BY pos) AS pieces,
+       |  CAST(count(*) AS INT) AS n_pieces
+       |FROM upu3 GROUP BY tok, cnt
+       |""".stripMargin
+
+  private def tokenizerCompareSql: String =
+    s"""$bpeLevelsSql,
+       |$uniTrainSql,
+       |${uniMat(uniRoundSql(3))},
+       |useg AS (SELECT tok, CAST(count(*) AS INT) AS n_uni
+       |         FROM upu3 GROUP BY tok),
+       |bseg AS (SELECT tok, len(string_split(trim(w), '  ')) AS n_bpe
+       |         FROM w$BpeMergeIters)
+       |SELECT d.lang, count(*) AS n_words,
+       |  CAST(sum(b.n_bpe) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(u.n_uni) AS BIGINT) AS n_uni_tokens,
+       |  CAST(sum(b.n_bpe) AS BIGINT) * 100 // count(*)
+       |    AS bpe_fertility_100,
+       |  CAST(sum(u.n_uni) AS BIGINT) * 100 // count(*)
+       |    AS uni_fertility_100
+       |FROM (SELECT lang, unnest($toksSql) AS tok FROM documents) d
+       |JOIN bseg b ON b.tok = d.tok
+       |JOIN useg u ON u.tok = substr(d.tok, 1, $UniMaxWordLen)
        |GROUP BY d.lang""".stripMargin
 
   private val bpeSymbolVocabSql: String =
@@ -3754,6 +4119,9 @@ object TextOps {
          |ORDER BY n_pairs DESC, pair
          |LIMIT $BpeTopK""".stripMargin,
     "q_bpe_merges" -> bpeMergesSql,
+    "q_unigram_vocab" -> unigramVocabSql,
+    "q_unigram_encode" -> unigramEncodeSql,
+    "q_tokenizer_compare" -> tokenizerCompareSql,
     // the batched trainer must reproduce the sequential greedy order on
     // this corpus — same oracle as q_bpe_merges, different engine path
     "q_bpe_batched" -> bpeMergesSql,
