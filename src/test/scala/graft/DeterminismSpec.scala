@@ -1,0 +1,50 @@
+package graft
+
+/** Shuffle-perturbation determinism (VERDICT r15 item 6): the
+  * integer-exact families claim their results are insensitive to
+  * partitioning — partial-agg tree shape, join order inside a stage,
+  * AQE coalescing. Pin it: run each query at three different
+  * `spark.sql.shuffle.partitions` settings and require the full
+  * sorted result set to be IDENTICAL (not just equal-ish) — exactly
+  * what the DuckDB hash compare assumes when the driver runs one
+  * configuration and the production cluster another. */
+class DeterminismSpec extends SparkSpec {
+
+  /** Canonical fingerprint: every row rendered, sorted, joined. */
+  private def fingerprint(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect().map(_.toString).sorted.mkString("\n")
+  }
+
+  private def pinned(name: String): Unit = {
+    val parts = Seq("3", "7", "13")
+    val base = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val fps = parts.map { p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        fingerprint(name)
+      }
+      assert(fps.distinct.size == 1,
+        s"$name diverged across shuffle.partitions=$parts")
+      assert(fps.head.nonEmpty, s"$name returned no rows")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", base)
+  }
+
+  test("q_pagerank is partitioning-invariant") { pinned("q_pagerank") }
+
+  test("q_release_risk is partitioning-invariant") {
+    pinned("q_release_risk")
+  }
+
+  test("q_countmin_deep is partitioning-invariant") {
+    pinned("q_countmin_deep")
+  }
+
+  test("q_merge_groups is partitioning-invariant") {
+    pinned("q_merge_groups")
+  }
+
+  test("q_unigram_vocab is partitioning-invariant") {
+    pinned("q_unigram_vocab")
+  }
+}
