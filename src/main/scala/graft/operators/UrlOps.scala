@@ -4,15 +4,18 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
-/** [EXT] URL canonicalization — the FIRST stage of every public
-  * web-corpus recipe (CC-Net / RefinedWeb lineage): the same page is
+/** [EXT] URL DEDUP-KEY canonicalization — the aggressive second level
+  * of the URL story: [[CurationOps.canonicalizeUrl]] is the
+  * DISPLAY-canonical form (scheme preserved — `http://x` and
+  * `https://x` stay distinct URLs), used by the funnel's crawl-dedup
+  * stage; THIS module derives the DEDUP KEY, where the same page
   * crawled as `http://` and `https://`, with and without `www.`, with
   * default ports, trailing slashes, tracking parameters (`utm_*`,
-  * `ref`, `fbclid`, `gclid`) and fragments — so URL-keyed dedup and
-  * the domain link-graph family ([[GraphOps]]) are meaningless until
-  * URLs collapse to a canonical form. The reference's closest surface
-  * is path templating (`${var}` expansion); this is its inverse —
-  * reducing a messy identifier to its canonical key.
+  * `ref`, `fbclid`, `gclid`) and fragments must all COLLAPSE — the key
+  * URL-keyed dedup and the domain link-graph family ([[GraphOps]])
+  * stand on. The reference's closest surface is path templating
+  * (`${var}` expansion); this is its inverse — reducing a messy
+  * identifier to its canonical key.
   *
   * Everything here is PURE built-in column expressions (regexp over
   * the RFC 3986 delimiters, split / filter / array_join over the query
@@ -35,7 +38,7 @@ import graft.sources.Tables
   * regime the dedup query grades.
   *
   * Scale shape: canonicalization is a pure map riding in the scan's
-  * codegen'd projection; [[urlDedup]] is the standard fingerprint
+  * codegen'd projection; [[urlKeyDedup]] is the standard fingerprint
   * hash-groupBy on the canonical key — at 100 TB this is exact dedup's
   * shuffle with a canonical key instead of a raw one. */
 object UrlOps {
@@ -160,7 +163,7 @@ object UrlOps {
     *
     * Scale shape: hash-groupBy on the canonical key (the exact-dedup
     * shuffle); the canonicalization rides in the scan projection. */
-  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+  def urlKeyDedup(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"))
     // variant classes whose canonical form carries no query string —
@@ -185,7 +188,7 @@ object UrlOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_url_canonical" -> (urlCanonical(_, _)),
-    "q_url_dedup" -> (urlDedup(_, _)))
+    "q_url_key_dedup" -> (urlKeyDedup(_, _)))
 
   private val clsSql =
     "CASE WHEN %s IN (0, 1, 2) THEN %s ELSE 5 END"
@@ -197,7 +200,7 @@ object UrlOps {
          |  ${canonicalUrlSqlOf("url")} AS canon_url,
          |  ${canonicalHostSqlOf("url")} AS host
          |FROM u""".stripMargin,
-    "q_url_dedup" ->
+    "q_url_key_dedup" ->
       s"""WITH corpus AS (
          |  SELECT doc_id * 2 AS id,
          |    ${variantUrlSql(clsSql.format(

@@ -158,6 +158,12 @@ object PlanAudit {
     "q_pagerank_seeded" -> "personalized PageRank: same checkpointed-graph loop with the teleport restricted to the majority-en seed flags; one census + one edge pass",
     "q_link_reciprocity" -> "link-farm census: checkpointed domain graph self-joined on reversed keys, degree aggs + least() reciprocal mass, full-outer assembled on the node dim",
     "q_authority_quota" -> "authority-weighted sampling quota: checkpointed pagerank relation + 1-row total broadcast, integer share per source joined to the per-source doc census",
+    "q_encoding_repair" -> "mojibake repair: the graft_fix_mojibake kernel rides inside the scan's codegen span — pure map, zero exchanges",
+    "q_url_canonical" -> "URL canonicalization: regexp/list built-ins only, one codegen'd projection over the scan — zero exchanges",
+    "q_url_key_dedup" -> "URL-key dedup: dedup-key canonicalization in the scan projection, one hash-groupBy on the canonical key (exact dedup's shuffle with a canonical key)",
+    "q_unigram_vocab" -> "unigram-LM trainer: one corpus reduction to the distinct-word relation, then per-EM-round one broadcast-cost kernel map + one usage hash-agg; final costs from a 1-row total broadcast",
+    "q_unigram_encode" -> "frozen-vocab unigram encode: Viterbi kernel map over the word relation with the broadcast cost table — vocabulary-sized, one shuffle (word census)",
+    "q_tokenizer_compare" -> "BPE vs unigram fertility: both trained segmentations joined onto one corpus token explode (both vocab-sized, broadcastable), re-grouped to |langs| rows",
     "q_cdc_dedup" -> "content-defined chunking: posexplode + per-doc running boundary-count window (sessionize discipline), per-chunk fp aggregate, then the chunk-dedup owner hash-agg + join back",
     "q_json_parse" -> "schema-declared from_json in a map-only projection — the Jackson parse rides inside the scan's codegen span; zero exchanges",
     "q_fuzzy_pairs" -> "deletion-neighborhood blocking: len+1 keys per record exploded, key equi-join (complete dist<=1 candidates, never all-pairs), distinct, levenshtein verify on candidates only",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.UrlOps
 
 /** [[graft.operators.UrlOps]] — URL canonicalization. The oracled rows
-  * are q_url_canonical / q_url_dedup (both engines canonicalize
+  * are q_url_canonical / q_url_key_dedup (both engines canonicalize
   * independently); this pins the rule edges the planted variants don't
   * reach. */
 class UrlOpsSpec extends SparkSpec {
@@ -38,7 +38,7 @@ class UrlOpsSpec extends SparkSpec {
   }
 
   test("planted twins collapse: every dedup group is a caught pair") {
-    val d = graft.operators.UrlOps.urlDedup(spark, sfDir)
+    val d = graft.operators.UrlOps.urlKeyDedup(spark, sfDir)
     assert(d.where(col("n_members") =!= 2 || col("n_raw") =!= 2).isEmpty,
       "each doc's two junk variants must fold to one canonical row")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
