@@ -757,8 +757,14 @@ class StreamingAnalyticsSpec extends SparkSpec {
     val served = StreamingAnalytics
       .authorityFromLinkGraph(spark, dir, registry)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the batch operator names nodes by the CANONICAL HOST of the doc's
+    // URL surface (source + ".example.org"); the streaming path serves
+    // under the caller-supplied registry names — rank VALUES must match
+    // under that bijection
     val batch = GraphOps.pageRank(spark, corpusDir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect()
+      .map(r => r.getString(0).stripSuffix(".example.org") -> r.getLong(1))
+      .toMap
     assert(served == batch,
       s"served authority $served diverged from batch pagerank $batch")
   }
