@@ -295,6 +295,39 @@ object GraphOps {
       .select(col("source"), col("n_docs"), col("quota"))
   }
 
+  /** DOMAIN SCORECARD — the one-row-per-domain card a curation run
+    * reads before setting mixture quotas: doc count and language
+    * spread from the census, integer PageRank and its quota share,
+    * and in/out link mass from the graph — every signal the family
+    * computes, assembled on the ≤|domains| node dimension. ONE corpus
+    * census + ONE edge pass (both checkpointed and reused); everything
+    * else is node- or graph-sized. */
+  def domainCard(spark: SparkSession, dir: String): DataFrame = {
+    val census = docsWithDomain(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"))
+      .localCheckpoint(true)
+    val rk = ranksFrom(census)
+    val e = domainEdgesOf(docsWithDomain(spark, dir), rk)
+      .localCheckpoint(true)
+    val pr = rankItersFrom(e, rk)
+      .localCheckpoint(true)
+    val tot = pr.agg(sum(col("r")).as("tot"))
+    val out = e.groupBy(col("s").as("node")).agg(sum(col("w")).as("out_w"))
+    val in = e.groupBy(col("t").as("node")).agg(sum(col("w")).as("in_w"))
+    pr.crossJoin(broadcast(tot))
+      .withColumn("quota", expr(s"(r * $QuotaBudget) div tot"))
+      .join(out, Seq("node"), "left")
+      .join(in, Seq("node"), "left")
+      .join(broadcast(rk), col("node") === col("rk"))
+      .join(broadcast(census), "source")
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("r").as("rank_u"), col("quota"),
+        coalesce(col("out_w"), lit(0L)).as("out_w"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"))
+  }
+
   // ------------------------------------------------------------------
   // driver contract
   // ------------------------------------------------------------------
@@ -304,7 +337,8 @@ object GraphOps {
     "q_pagerank" -> (pageRank(_, _)),
     "q_pagerank_seeded" -> (pageRankSeeded(_, _)),
     "q_link_reciprocity" -> (linkReciprocity(_, _)),
-    "q_authority_quota" -> (authorityQuota(_, _)))
+    "q_authority_quota" -> (authorityQuota(_, _)),
+    "q_domain_card" -> (domainCard(_, _)))
 
   /** Shared oracle CTE prologue: node ranks, n, the synthetic doc
     * edges, and the weighted domain graph — the `//` twin of the Scala
@@ -414,5 +448,26 @@ object GraphOps {
          |SELECT pr.source, nd.n_docs,
          |       (pr.rank_u * $QuotaBudget) // (SELECT tot FROM tot) AS quota
          |FROM pr JOIN nd ON pr.source = nd.source
+         |""".stripMargin,
+    "q_domain_card" ->
+      s"""WITH $baseCtes,
+         |$rankCtes,
+         |pr AS (SELECT rk.rk, rk.source, r$Iters.r AS rank_u
+         |       FROM r$Iters JOIN rk ON r$Iters.rk = rk.rk),
+         |tot AS (SELECT CAST(sum(rank_u) AS BIGINT) AS tot FROM pr),
+         |cns AS (SELECT source, count(*) AS n_docs,
+         |          CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |        FROM gdoc GROUP BY 1),
+         |outw AS (SELECT s AS node, CAST(sum(w) AS BIGINT) AS out_w
+         |         FROM e GROUP BY 1),
+         |inw AS (SELECT t AS node, CAST(sum(w) AS BIGINT) AS in_w
+         |        FROM e GROUP BY 1)
+         |SELECT pr.source, cns.n_docs, cns.n_langs, pr.rank_u,
+         |       (pr.rank_u * $QuotaBudget) // (SELECT tot FROM tot) AS quota,
+         |       coalesce(outw.out_w, 0) AS out_w,
+         |       coalesce(inw.in_w, 0) AS in_w
+         |FROM pr JOIN cns ON pr.source = cns.source
+         |LEFT JOIN outw ON pr.rk = outw.node
+         |LEFT JOIN inw ON pr.rk = inw.node
          |""".stripMargin)
 }

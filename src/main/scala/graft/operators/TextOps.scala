@@ -786,6 +786,32 @@ object TextOps {
         expr("n_uni_tokens * 100 div n_words"))
   }
 
+  /** UNIGRAM COVERAGE CARD — the OOV-pressure signal a tokenizer
+    * evaluation reads next to fertility: per language, how much of the
+    * encoded stream falls back to SINGLE-CHAR pieces (the unigram
+    * analogue of byte-fallback rate — a language whose words the
+    * learned pieces don't cover burns sequence length on characters).
+    * Integer 1e-2 units: char_piece_rate_100 = char-pieces·100 div
+    * pieces. Same scale shape as [[tokenizerCompare]] minus the BPE
+    * arm. */
+  def unigramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (_, cost) = uniTrain(spark, docs)
+    val useg = uniSegments(uniWords(docs), cost)
+      .select(col("tok").as("utok"),
+        size(col("pieces")).as("n_uni"),
+        size(filter(col("pieces"), p => length(p) === 1))
+          .as("n_char_pieces"))
+    docs.select(col("lang"), explode(toks(col("text"))).as("w0"))
+      .join(useg, substring(col("w0"), 1, UniMaxWordLen) === col("utok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_uni").cast("long")).as("n_pieces"),
+        sum(col("n_char_pieces").cast("long")).as("n_char_pieces"))
+      .withColumn("char_piece_rate_100",
+        expr("n_char_pieces * 100 div n_pieces"))
+  }
+
   /** BPE-ish token estimate: regex word pieces + the chars/4 heuristic. */
   def tokenEstimate(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -3361,6 +3387,7 @@ object TextOps {
     "q_unigram_vocab"  -> unigramVocab _,
     "q_unigram_encode" -> unigramEncode _,
     "q_tokenizer_compare" -> tokenizerCompare _,
+    "q_unigram_coverage" -> unigramCoverage _,
     "q_bpe_batched"    -> ((s: SparkSession, d: String) =>
       bpeMergesBatched(s, d)),
     "q_bpe_segmented"  -> bpeSegmented _,
@@ -3747,6 +3774,22 @@ object TextOps {
        |FROM upu3 GROUP BY tok, cnt
        |""".stripMargin
 
+  private def unigramCoverageSql: String =
+    s"""WITH $uniTrainSql,
+       |${uniMat(uniRoundSql(3))},
+       |useg AS (SELECT tok, CAST(count(*) AS INT) AS n_uni,
+       |           CAST(sum(CASE WHEN length(piece) = 1 THEN 1 ELSE 0 END)
+       |             AS INT) AS n_char_pieces
+       |         FROM upu3 GROUP BY tok)
+       |SELECT d.lang, count(*) AS n_words,
+       |  CAST(sum(u.n_uni) AS BIGINT) AS n_pieces,
+       |  CAST(sum(u.n_char_pieces) AS BIGINT) AS n_char_pieces,
+       |  CAST(sum(u.n_char_pieces) AS BIGINT) * 100
+       |    // CAST(sum(u.n_uni) AS BIGINT) AS char_piece_rate_100
+       |FROM (SELECT lang, unnest($toksSql) AS tok FROM documents) d
+       |JOIN useg u ON u.tok = substr(d.tok, 1, $UniMaxWordLen)
+       |GROUP BY d.lang""".stripMargin
+
   private def tokenizerCompareSql: String =
     s"""$bpeLevelsSql,
        |$uniTrainSql,
@@ -4122,6 +4165,7 @@ object TextOps {
     "q_unigram_vocab" -> unigramVocabSql,
     "q_unigram_encode" -> unigramEncodeSql,
     "q_tokenizer_compare" -> tokenizerCompareSql,
+    "q_unigram_coverage" -> unigramCoverageSql,
     // the batched trainer must reproduce the sequential greedy order on
     // this corpus — same oracle as q_bpe_merges, different engine path
     "q_bpe_batched" -> bpeMergesSql,
