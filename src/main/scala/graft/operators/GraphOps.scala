@@ -117,6 +117,11 @@ object GraphOps {
     within.join(broadcast(off), "bkt")
       .select(col("source"),
         (col("off") + col("rn") - 1).cast("bigint").as("rk"))
+      // every graph query references the registry 4-5 times (edge join,
+      // node dim, teleport sizing, name join-backs) — materialize the
+      // ≤|domains| relation ONCE or the two-phase subplan re-executes
+      // per reference (measured 3× on the whole family at sf0.01)
+      .localCheckpoint(true)
   }
 
   /** Ranked sources straight from the corpus (one census pass). */

@@ -1100,15 +1100,27 @@ object MultimodalOps {
 
   /** Hex of a complete BMP whose top-down pixel (r, c) is the text byte
     * at `base + r·DHashW + c` (1-indexed substring arithmetic inside).
-    * Stored bottom-up with 4-byte row padding, per the format. */
+    * Stored bottom-up with 4-byte row padding, per the format.
+    *
+    * Built as ONE higher-order transform/array_join expression rather
+    * than DHashH·DHashW unrolled per-pixel subtrees: the unrolled form,
+    * concatenated 3× for the AVI frames, generated a >64 KB consume
+    * method — janino refuses and the WHOLE synthesis stage fell back
+    * to interpreted execution (ERROR CodeGenerator in every video
+    * query). The HOF body is interpreted per element either way, but
+    * the projection's generated code stays tiny so the surrounding
+    * stage keeps whole-stage codegen. Values are byte-identical (same
+    * row order, same pixel arithmetic). */
   private def bmpHexAt(base: Int): Column = {
     val padHex = "00" * (BmpStride - DHashW)
-    concat(lit(BmpHeaderHex) +: (0 until DHashH).reverse.flatMap { r =>
-      (0 until DHashW).map { c =>
-        lpad(hex(ascii1(
-          substring(col("text"), base + r * DHashW + c + 1, 1))), 2, "0")
-      } :+ lit(padHex)
-    }: _*)
+    val rows = transform(
+      sequence(lit(DHashH - 1), lit(0), lit(-1)),
+      r => concat(array_join(transform(
+          sequence(lit(0), lit(DHashW - 1)),
+          c => lpad(hex(ascii1(col("text").substr(
+            lit(base + 1) + r * DHashW + c, lit(1)))), 2, "0")), ""),
+        lit(padHex)))
+    concat(lit(BmpHeaderHex), array_join(rows, ""))
   }
 
   def bmpFromDocuments(spark: SparkSession, dir: String): Dataset[MediaFile] = {
