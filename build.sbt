@@ -29,4 +29,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 16g measured best for the bench workload: at 48g, G1 pause times blow
   // up (random 30-40s stalls mid-query); at 8g the LSH queries GC-thrash.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 268 queries × 3-5 reps each compile FRESH generated classes (new
+  // expr ids → new codegen source every rep): the JDK-17 default
+  // 240 MB code cache fills late in the suite and HotSpot stops
+  // JIT-compiling — late map-only queries then run their kernels
+  // INTERPRETED (q_encoding_repair measured 2.1 s in-suite vs 0.3 s
+  // in a subset run on identical code). 512 MB keeps the tail JIT'd.
+  "-XX:ReservedCodeCacheSize=512m",
 )

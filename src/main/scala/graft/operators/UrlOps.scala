@@ -105,12 +105,14 @@ object UrlOps {
       split(regexp_extract(url, "^[^?#]*\\?([^#]*)", 1), "&"),
       x => !(x.rlike(TrackingParams)) && x =!= ""), "&")
 
-  /** The full canonical URL. */
-  def canonicalUrl(url: Column): Column = {
-    val kept = keptQuery(url)
+  /** The full canonical URL. The query-string arm references the
+    * (interpreted, lambda-filtered) [[keptQuery]] exactly ONCE —
+    * `nullif(concat("?", kept), "?")` folds the empty case without a
+    * second evaluation the CASE form would pay. */
+  def canonicalUrl(url: Column): Column =
     concat(lit("https://"), canonicalHost(url), canonicalPath(url),
-      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
-  }
+      coalesce(nullif(concat(lit("?"), keptQuery(url)), lit("?")),
+        lit("")))
 
   /** SQL twin of [[canonicalHost]] over a URL expression. */
   def canonicalHostSqlOf(url: String): String =
