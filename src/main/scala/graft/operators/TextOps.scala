@@ -3125,6 +3125,60 @@ object TextOps {
         (length(col("v")) - length(col("f"))).cast("int").as("cp_shrink"))
   }
 
+  /** Decomposed (NFD) twin of [[MojiClean]] and ITS mangles — the
+    * clean-pipeline fixture where repair and normalization both have
+    * real work on the same rows. Derived offline like the composed
+    * set; raw NFD REFUSES repair (combining marks are outside the
+    * sloppy-cp1252 image), which is exactly the planted %3==2 arm. */
+  private[graft] val MojiNfd =
+    " cafe\u0301 franc\u0327ais \u2014 nai\u0308ve \u20acstor" +
+      "e"
+  private[graft] val MojiNfdOnce =
+    " cafe\u00cc\u0081 franc\u00cc\u00a7ais \u00e2\u20ac" +
+      "\u201d nai\u00cc\u02c6ve \u00e2\u201a\u00acstore"
+  private[graft] val MojiNfdTwice =
+    " cafe\u00c3\u0152\u00c2\u0081 franc\u00c3\u0152\u00c2" +
+      "\u00a7ais \u00c3\u00a2\u00e2\u201a\u00ac\u00e2\u20ac" +
+      "\u009d nai\u00c3\u0152\u00cb\u2020ve \u00c3\u00a2\u00e2" +
+      "\u20ac\u0161\u00c2\u00acstore"
+
+  /** ORACLED CLEANING PIPELINE — the first-stage text-cleaning pass a
+    * 100 TB corpus actually runs, COMPOSED in one codegen'd
+    * projection: mojibake repair ([[graft.plans.FixMojibake]]) → NFC
+    * ([[graft.plans.NfcNormalize]]) → homoglyph fold (built-in
+    * translate) — zero shuffles, zero extra scans. Planted dirt per
+    * doc: doc_id % 3 picks a once-/twice-mangled or raw DECOMPOSED
+    * suffix (repair unwinds the first two, refuses the third — NFD's
+    * combining marks are outside the sloppy-cp1252 image), and the
+    * unmangled rows with odd ids get a Cyrillic-spoofed prefix (only
+    * they — a spoofed prefix would make the repair refuse the whole
+    * string, which is the kernel's documented conservatism). Every
+    * row converges to the SAME canonical bytes: prefix + the composed
+    * clean suffix — md5-pinned by the oracle, per-stage fire flags
+    * recomputed from the planted residues. */
+  def cleanPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val fixf = graft.plans.EncodingRepair.fixCol(spark) _
+    val nfc = graft.plans.UnicodeNormalize.nfcCol(spark) _
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 1,
+            translate(substring(col("text"), 1, 40),
+              HomoglyphLat, HomoglyphCyr))
+            .otherwise(substring(col("text"), 1, 40)),
+          when(col("doc_id") % 3 === 0, lit(MojiNfdOnce))
+            .when(col("doc_id") % 3 === 1, lit(MojiNfdTwice))
+            .otherwise(lit(MojiNfd))).as("v"))
+      .withColumn("f", fixf(col("v")))
+      .withColumn("nrm", nfc(col("f")))
+      .withColumn("folded", translate(col("nrm"), HomoglyphCyr, HomoglyphLat))
+      .select(col("doc_id"),
+        (col("f") =!= col("v")).as("repaired"),
+        (col("nrm") =!= col("f")).as("renormalized"),
+        (col("folded") =!= col("nrm")).as("refolded"),
+        md5(col("folded").cast("binary")).as("clean_fp"))
+  }
+
   // --- multi-pattern keyword tagging (Aho-Corasick kernel) ---
 
   /** Demonstration blocklist: corpus words, multi-word phrases, and
@@ -3427,6 +3481,7 @@ object TextOps {
     "q_snapshot_diff"  -> snapshotDiff _,
     "q_unicode_norm"   -> unicodeNorm _,
     "q_encoding_repair" -> encodingRepair _,
+    "q_clean_pipeline" -> cleanPipeline _,
     "q_norm_dedup"     -> normDedup _,
     "q_keyword_hits"   -> keywordHits _,
     "q_keyword_tag"    -> keywordTag _,
@@ -4113,6 +4168,15 @@ object TextOps {
          |  (doc_id % 3) < 2 AS repaired,
          |  CAST(length(v) - length(f) AS INT) AS cp_shrink
          |FROM mv""".stripMargin,
+    "q_clean_pipeline" ->
+      s"""SELECT doc_id,
+         |  (doc_id % 3) < 2 AS repaired,
+         |  TRUE AS renormalized,
+         |  (doc_id % 3 = 2 AND doc_id % 2 = 1
+         |   AND regexp_matches(substr(text, 1, 40), '[aeopcx]'))
+         |    AS refolded,
+         |  md5(substr(text, 1, 40) || $mojiCleanSql) AS clean_fp
+         |FROM documents""".stripMargin,
     "q_norm_dedup" ->
       s"""WITH $normVariantCte,
          |corpus AS (
