@@ -1474,10 +1474,11 @@ object StreamingAnalytics {
     * fixed registry: [[graft.operators.GraphOps.domainEdgesOf]]
     * inner-joins the registry, so such docs contribute no edges — a
     * crawl discovering a new domain must see that loss, not infer it
-    * (ADVICE r15). Callers alert/update the registry on nonzero; the
-    * fold itself stays registry-fixed so maintained == one-shot holds
-    * per registry version. Replay/skip paths return 0 (nothing newly
-    * dropped). */
+    * (ADVICE r15). Callers grow the node dimension with
+    * [[updateDomainRegistry]] on nonzero (and re-fold the batch under
+    * the grown registry); the fold itself stays registry-fixed so
+    * maintained == one-shot holds per registry version. Replay/skip
+    * paths return 0 (nothing newly dropped). */
   def updateLinkGraph(batch: DataFrame, registry: DataFrame, dir: String,
       batchId: Long): Long = {
     import org.apache.hadoop.fs.Path
@@ -1530,6 +1531,86 @@ object StreamingAnalytics {
   def loadLinkGraph(spark: SparkSession, dir: String): DataFrame =
     parquetOrEmpty(spark, s"$dir/link_graph", LinkGraphSchema)
       .select(col("s"), col("t"), col("w"))
+
+  private val RegistrySchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("source",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("rk",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("last_batch",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Fold one micro-batch's NEWLY-SEEN domains into the MAINTAINED
+    * registry at `dir/domain_registry` — the action
+    * [[updateLinkGraph]]'s unregistered-doc signal calls for: a crawl
+    * that discovers a domain grows the node dimension instead of
+    * silently shedding edges forever. New domains get the NEXT dense
+    * ranks (max rk + 1 ..), assigned by name order within the batch
+    * through [[graft.operators.GraphOps.ranksFrom]] (the same
+    * two-phase distributed rank — no partition-less window even on
+    * the delta), so the registry stays a dense 0..n−1 rank space and
+    * every EXISTING rank is untouched — edges already folded keep
+    * their keys. The maintained registry is therefore
+    * ARRIVAL-ordered, not name-ordered like the one-shot
+    * [[graft.operators.GraphOps.srcRanks]]; the graph semantics only
+    * need distinct dense ranks. Note the edge synthesis's `mod n`
+    * depends on |registry|, so maintained ≡ one-shot holds PER
+    * REGISTRY VERSION (the [[updateLinkGraph]] contract) — growth
+    * starts a new version going forward, it does not rewrite folded
+    * history.
+    *
+    * Same idempotence/ordering posture as the graph fold: replay of
+    * the stored max batch id is a no-op, a lower id fails loudly,
+    * crash-safety is the rename-swap. Returns the number of domains
+    * registered by this batch. */
+  def updateDomainRegistry(batch: DataFrame, dir: String,
+      batchId: Long): Long = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val live = new Path(s"$dir/domain_registry")
+    val tmp = new Path(s"$dir/domain_registry_tmp")
+    val old = new Path(s"$dir/domain_registry_old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(old))
+      require(fs.rename(old, live), s"restore of orphaned $old failed")
+    val stored = parquetOrEmpty(spark, live.toString, RegistrySchema)
+      .localCheckpoint(true)
+    val maxBatch = stored.agg(max(col("last_batch"))).head()
+    if (!maxBatch.isNullAt(0) && batchId < maxBatch.getLong(0))
+      throw new IllegalStateException(
+        s"registry fold saw batch $batchId below stored max " +
+          s"${maxBatch.getLong(0)} — ids must be monotone")
+    if (!maxBatch.isNullAt(0) && maxBatch.getLong(0) == batchId) return 0L
+    val fresh = batch.select(col("source")).distinct()
+      .join(stored.select(col("source")), Seq("source"), "left_anti")
+      .localCheckpoint(true)
+    val nFresh = fresh.count()
+    if (nFresh > 0 || maxBatch.isNullAt(0)) {
+      val base = stored.agg(
+        coalesce(max(col("rk")) + 1, lit(0L)).as("base"))
+      val added = graft.operators.GraphOps
+        .ranksFrom(fresh)
+        .crossJoin(broadcast(base))
+        .select(col("source"), (col("rk") + col("base")).as("rk"))
+      val merged = stored.select(col("source"), col("rk"))
+        .unionAll(added)
+        .withColumn("last_batch", lit(batchId))
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(old, true)
+      if (fs.exists(live))
+        require(fs.rename(live, old), s"swap-out of $live failed")
+      require(fs.rename(tmp, live), s"swap-in of $tmp failed")
+      fs.delete(old, true)
+    }
+    nFresh
+  }
+
+  /** Read-back of the maintained domain registry (empty-safe):
+    * (source, rk) — the node dimension [[updateLinkGraph]] and
+    * [[authorityFromLinkGraph]] consume. */
+  def loadDomainRegistry(spark: SparkSession, dir: String): DataFrame =
+    parquetOrEmpty(spark, s"$dir/domain_registry", RegistrySchema)
+      .select(col("source"), col("rk"))
 
   /** DOMAIN AUTHORITY SERVED FROM THE MAINTAINED GRAPH — PageRank
     * recomputed on demand from the ≤|domains|² stored rows under the

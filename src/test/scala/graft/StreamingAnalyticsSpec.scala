@@ -769,6 +769,44 @@ class StreamingAnalyticsSpec extends SparkSpec {
       s"served authority $served diverged from batch pagerank $batch")
   }
 
+  test("maintained domain registry: discovery grows dense ranks, " +
+      "existing ranks untouched, replay no-op, regrown fold sees all") {
+    import graft.operators.GraphOps
+    val dir = java.nio.file.Files.createTempDirectory("registry").toString
+    val b1 = Seq((0L, "sb"), (1L, "sa"), (2L, "sb")).toDF("doc_id", "source")
+    // bootstrap: batch domains become ranks 0..n-1 by name
+    assert(StreamingAnalytics.updateDomainRegistry(b1, dir, 0L) == 2L)
+    val r1 = StreamingAnalytics.loadDomainRegistry(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == Map("sa" -> 0L, "sb" -> 1L), s"$r1")
+    // replay is a no-op; a lower id fails loudly
+    assert(StreamingAnalytics.updateDomainRegistry(b1, dir, 0L) == 0L)
+    // discovery: new domains get the NEXT ranks, old ranks untouched
+    val b2 = Seq((3L, "sa"), (4L, "zz"), (5L, "aa")).toDF("doc_id", "source")
+    assert(StreamingAnalytics.updateDomainRegistry(b2, dir, 1L) == 2L)
+    val r2 = StreamingAnalytics.loadDomainRegistry(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r2 == Map("sa" -> 0L, "sb" -> 1L, "aa" -> 2L, "zz" -> 3L),
+      s"arrival-ordered dense growth expected: $r2")
+    intercept[IllegalStateException] {
+      StreamingAnalytics.updateDomainRegistry(b2, dir, 0L)
+    }
+    // the unregistered-doc loop closes: a fold that dropped docs
+    // reports them, the registry grows, and the RE-FOLD under the
+    // grown registry drops nothing
+    val reg2 = StreamingAnalytics.loadDomainRegistry(spark, dir)
+    assert(StreamingAnalytics.updateLinkGraph(b2, reg2, dir, 0L) == 0L)
+    val folded = StreamingAnalytics.loadLinkGraph(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("w")).head().getLong(0)
+    assert(folded == 3L, "every b2 doc folds under the grown registry")
+    // the one-shot aggregation under the SAME registry agrees
+    val oneShot = GraphOps.domainEdgesOf(b2, reg2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stored = StreamingAnalytics.loadLinkGraph(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stored == oneShot)
+  }
+
   test("maintained token sketch: incremental fold == one-shot exactly, " +
       "replay is a no-op, crash swap recovers") {
     val dir = java.nio.file.Files.createTempDirectory("toksketch").toString
