@@ -333,6 +333,51 @@ object GraphOps {
         coalesce(col("in_w"), lit(0L)).as("in_w"))
   }
 
+  /** Docs the authority-weighted sampler targets overall. */
+  val SampleTarget = 2000L
+
+  /** AUTHORITY-WEIGHTED SAMPLING — the op that makes the rank table
+    * ACT on the corpus (the CC-Net-style "sample by domain
+    * reputation" pass): each domain's target doc count is its integer
+    * PageRank share of [[SampleTarget]], converted to a 24-bit keep
+    * rate against the domain's availability, and every doc draws the
+    * deterministic md5 coin ([[CurationOps.stratifiedSample]]'s
+    * determinism contract — stable under retries/replays/engines).
+    * Output: per domain, availability, target and the docs actually
+    * kept (binomial around the target — the oracle recomputes the
+    * identical coins, so the match is exact, not statistical).
+    *
+    * Scale shape: the rank table and rates are node-sized (broadcast);
+    * the corpus pays ONE scan with the coin in the projection and one
+    * per-domain rollup — the stratified-sample shuffle with an
+    * authority-derived rate column. */
+  def authoritySample(spark: SparkSession, dir: String): DataFrame = {
+    val census = srcCensus(spark, dir)
+    val rk = ranksFrom(census)
+    val pr = rankItersFrom(domainEdgesOf(docsWithDomain(spark, dir), rk), rk)
+      .join(broadcast(rk), col("node") === col("rk"))
+      .select(col("source"), col("r").as("rank_u"))
+      .localCheckpoint(true)
+    val tot = pr.agg(sum(col("rank_u")).as("tot"))
+    val rates = pr.crossJoin(broadcast(tot))
+      .join(broadcast(census), "source")
+      .withColumn("target_docs",
+        expr(s"(rank_u * $SampleTarget) div tot"))
+      .withColumn("rate24",
+        least(expr("(target_docs * 16777216) div n_docs"),
+          lit(16777216L)))
+      .select(col("source"), col("n_docs"), col("target_docs"),
+        col("rate24"))
+    docsWithDomain(spark, dir).select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .withColumn("coin24", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10)" +
+          " as bigint)"))
+      .groupBy(col("source"), col("n_docs"), col("target_docs"))
+      .agg(sum(when(col("coin24") < col("rate24"), 1L).otherwise(0L))
+        .as("n_kept"))
+  }
+
   // ------------------------------------------------------------------
   // driver contract
   // ------------------------------------------------------------------
@@ -343,7 +388,8 @@ object GraphOps {
     "q_pagerank_seeded" -> (pageRankSeeded(_, _)),
     "q_link_reciprocity" -> (linkReciprocity(_, _)),
     "q_authority_quota" -> (authorityQuota(_, _)),
-    "q_domain_card" -> (domainCard(_, _)))
+    "q_domain_card" -> (domainCard(_, _)),
+    "q_authority_sample" -> (authoritySample(_, _)))
 
   /** Shared oracle CTE prologue: node ranks, n, the synthetic doc
     * edges, and the weighted domain graph — the `//` twin of the Scala
@@ -474,5 +520,27 @@ object GraphOps {
          |FROM pr JOIN cns ON pr.source = cns.source
          |LEFT JOIN outw ON pr.rk = outw.node
          |LEFT JOIN inw ON pr.rk = inw.node
+         |""".stripMargin,
+    "q_authority_sample" ->
+      s"""WITH $baseCtes,
+         |$rankCtes,
+         |pr AS (SELECT rk.source, r$Iters.r AS rank_u
+         |       FROM r$Iters JOIN rk ON r$Iters.rk = rk.rk),
+         |tot AS (SELECT CAST(sum(rank_u) AS BIGINT) AS tot FROM pr),
+         |cns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |        FROM gdoc GROUP BY 1),
+         |rates AS (SELECT pr.source, cns.n_docs,
+         |    (pr.rank_u * $SampleTarget) // (SELECT tot FROM tot)
+         |      AS target_docs,
+         |    least(((pr.rank_u * $SampleTarget) // (SELECT tot FROM tot))
+         |      * 16777216 // cns.n_docs, 16777216) AS rate24
+         |  FROM pr JOIN cns ON pr.source = cns.source)
+         |SELECT rt.source, rt.n_docs, rt.target_docs,
+         |  CAST(sum(CASE WHEN
+         |    CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+         |      AS BIGINT) < rt.rate24 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept
+         |FROM gdoc d JOIN rates rt ON d.source = rt.source
+         |GROUP BY 1, 2, 3
          |""".stripMargin)
 }

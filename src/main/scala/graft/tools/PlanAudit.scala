@@ -165,6 +165,7 @@ object PlanAudit {
     "q_unigram_encode" -> "frozen-vocab unigram encode: Viterbi kernel map over the word relation with the broadcast cost table — vocabulary-sized, one shuffle (word census)",
     "q_tokenizer_compare" -> "BPE vs unigram fertility: both trained segmentations joined onto one corpus token explode (both vocab-sized, broadcastable), re-grouped to |langs| rows",
     "q_clean_pipeline" -> "composed cleaning pass: repair -> NFC -> homoglyph fold in ONE codegen'd projection over the scan — zero shuffles, zero extra scans",
+    "q_authority_sample" -> "authority-weighted sampling: node-sized rank/rate tables broadcast onto ONE corpus scan with the md5 coin in the projection; per-domain rollup",
     "q_domain_card" -> "domain scorecard: one checkpointed census + one checkpointed edge pass; rank loop, quota, degrees and language spread all assembled node-sized",
     "q_unigram_coverage" -> "unigram OOV card: trained segmentation broadcast onto one corpus token explode, re-grouped to |langs| rows",
     "q_cdc_dedup" -> "content-defined chunking: posexplode + per-doc running boundary-count window (sessionize discipline), per-chunk fp aggregate, then the chunk-dedup owner hash-agg + join back",
