@@ -47,4 +47,8 @@ class DeterminismSpec extends SparkSpec {
   test("q_unigram_vocab is partitioning-invariant") {
     pinned("q_unigram_vocab")
   }
+
+  test("q_authority_sample is partitioning-invariant") {
+    pinned("q_authority_sample")
+  }
 }
