@@ -757,6 +757,40 @@ object TextOps {
         size(col("pieces")).as("n_pieces"))
   }
 
+  /** Materialize-once home of the TRAINED unigram vocabulary — the
+    * tokenizer build/search split (the persisted-ANN-index
+    * discipline): a production pipeline trains ONCE, ships the
+    * (piece, uses, cost8) table, and every shard encodes from the
+    * stored artifact without retraining. */
+  private def prodUnigramPath(spark: SparkSession, dir: String): String =
+    graft.functions.MaterializeCache.getOrWrite("prod_unigram", dir) {
+      out =>
+        val (vocab, _) = uniTrain(spark, Tables.documents(spark, dir))
+        val tot = vocab.agg(sum(col("n") + 1).as("tot"))
+        vocab.crossJoin(broadcast(tot))
+          .select(col("piece"), col("n").as("n_uses"),
+            (log2x8(col("tot")) - log2x8(col("n") + 1)).as("cost8"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$out/unigram_vocab")
+    }
+
+  /** PRODUCTION unigram encode — the frozen-tokenizer apply a real run
+    * executes: Viterbi over the STORED vocabulary table (trained and
+    * materialized once), never the training chain. Result-identical
+    * to [[unigramEncode]] (the stored costs ARE the trained costs), so
+    * it reuses that query's oracle — the green row grades the
+    * serve-from-artifact plan itself. */
+  def prodUnigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    val stored = spark.read
+      .parquet(s"${prodUnigramPath(spark, dir)}/unigram_vocab")
+    val cost = stored.select(col("piece"), col("cost8"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    uniSegments(uniWords(Tables.documents(spark, dir)), cost)
+      .select(col("tok"), col("cnt"),
+        array_join(col("pieces"), " ").as("pieces"),
+        size(col("pieces")).as("n_pieces"))
+  }
+
   /** TOKENIZER COMPARISON CARD — [[bpeFertility]]'s per-language
     * fertility for BOTH trained families side by side: BPE merges vs
     * the unigram-LM vocabulary over the same corpus. The signal a
@@ -3440,6 +3474,7 @@ object TextOps {
     "q_bpe_merges"     -> bpeMerges _,
     "q_unigram_vocab"  -> unigramVocab _,
     "q_unigram_encode" -> unigramEncode _,
+    "q_prod_unigram_encode" -> prodUnigramEncode _,
     "q_tokenizer_compare" -> tokenizerCompare _,
     "q_unigram_coverage" -> unigramCoverage _,
     "q_bpe_batched"    -> ((s: SparkSession, d: String) =>
@@ -4228,6 +4263,7 @@ object TextOps {
     "q_bpe_merges" -> bpeMergesSql,
     "q_unigram_vocab" -> unigramVocabSql,
     "q_unigram_encode" -> unigramEncodeSql,
+    "q_prod_unigram_encode" -> unigramEncodeSql,
     "q_tokenizer_compare" -> tokenizerCompareSql,
     "q_unigram_coverage" -> unigramCoverageSql,
     // the batched trainer must reproduce the sequential greedy order on
