@@ -26,6 +26,27 @@ import org.apache.spark.sql.SparkSession
   * LSH queries. Conclusion stands: compare per-query MINs across runs,
   * never one run's totals. */
 object Bench {
+  /** Drop EVERYTHING a finished rep can have pinned in executor memory.
+    *
+    * `catalog.clearCache()` alone is not enough (VERDICT r16 item 2):
+    * the LSH/CC chain queries `localCheckpoint(true)` their iteration
+    * state, and checkpoint blocks live as persisted RDDs OUTSIDE the
+    * catalog cache — they are only freed when the JVM happens to GC the
+    * RDD reference and the ContextCleaner notices. Late in a 271-query
+    * suite those orphaned MEMORY_AND_DISK blocks accumulate against the
+    * 16 g heap and G1 starts stalling whole reps (q_merge_groups
+    * recorded min 5.7 / max 123.7 s in r16 on an unchanged plan).
+    * Between reps every Dataset from the previous rep is dead — the
+    * next rep rebuilds from the query function — so unpersisting every
+    * persistent RDD is safe and makes block release deterministic
+    * instead of GC-timed. Blocking=true so the release can't overlap
+    * (and contaminate) the next timed rep. */
+  private def releaseIntermediates(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -78,7 +99,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // drop persisted intermediates between reps
+        releaseIntermediates(spark) // untimed: dt is already taken
         dt
       }
       val first = (1 to reps).map(_ => rep())
@@ -126,7 +147,7 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] curationRun failed: ${e.getMessage}") }
       val matSec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
+      releaseIntermediates(spark)
       def groups = spark.read.parquet(s"$outDir/groups")
       def keep = spark.read.parquet(s"$outDir/canonical")
       def chunks = spark.read.parquet(s"$outDir/chunks")
@@ -160,7 +181,7 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}") }
           val dt = (System.nanoTime() - t) / 1e9
-          spark.catalog.clearCache()
+          releaseIntermediates(spark)
           dt
         }
       }

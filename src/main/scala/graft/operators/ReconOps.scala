@@ -460,13 +460,16 @@ object ReconOps {
     * (StreamingAnalytics) — and the groupBy reuses the window's
     * hashpartitioning(user_id), so the whole thing is ONE shuffle
     * (user_id is a prefix of the grouping key — plan-guarded). */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeOf(Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id")))
+
+  private[graft] def sessionizeOf(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
-      .select(col("user_id"), unix_micros(col("ts")).as("us"),
-        col("event_id"))
+    ev
       .withColumn("prev", lag(col("us"), 1).over(w))
       .withColumn("ns",
         when(col("prev").isNull || col("us") - col("prev") > SessionGapUs,
@@ -544,6 +547,121 @@ object ReconOps {
       .agg(count(lit(1)).as("n_events"),
         (max(col("us")) - min(col("us"))).as("span_us"))
   }
+
+  // ------------------------------------------------------------------
+  // Skew-diagnosis → salted-plan AUTO cutover (VERDICT r16 item 3):
+  // q_skew_profile computes the diagnosis and the salted twins exist,
+  // but until now nothing CONNECTED them — a user had to read the
+  // census and hand-pick the salted entry point. These entry points
+  // close that loop the way jaccardBestAuto / annSearchAuto do for
+  // their families: measure, then dispatch, with BOTH branches oracled.
+  // ------------------------------------------------------------------
+
+  /** Skew ratio (×100 — [[RelationalOps.skewProfile]]'s `skew_x100`
+    * unit) at or above which the AUTO entry points pick the salted
+    * decomposition: hottest key ≥ 8× the average key's row count.
+    * Below it the plain single-window form wins (the salted form pays
+    * an extra summary aggregate + co-partitioned join — measured ~2×
+    * wall on unskewed data, README skew note); above it the hot key's
+    * single-partition sort is the serialization the salted form exists
+    * to break. The testdata's natural events.user_id sits at ~129–148
+    * (sf0.01/sf0.1) → plain branch; the declared hot fixture folds all
+    * even users onto one id (skew_x100 ~3756/37874) → salted branch,
+    * so both sides of the dispatch carry green CORRECTNESS rows. */
+  val SkewAutoCutoverX100 = 800L
+
+  /** Driver-side key-skew census: `max_cnt*100*n_keys div n_rows` over
+    * the non-null keys — the exact `skew_x100` statistic
+    * [[RelationalOps.skewProfile]] publishes, computed on the relation
+    * the operator is ABOUT to shuffle. One partial-aggregated pass (the
+    * exchange carries ~distinct keys; 1-row result to the driver). At
+    * 100 TB a deployment stores the census beside the table and passes
+    * the stored figure through the `cutoverX100`-parameterized cores;
+    * the inline census keeps the declared queries self-contained and
+    * costs far less than the windowed operator it steers. Empty or
+    * all-null input → 0 (plain branch). */
+  private[graft] def keySkewX100(df: DataFrame, key: String): Long = {
+    val r = df.where(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .agg(expr("CAST(max(cnt) * 100 * count(*) div sum(cnt) AS BIGINT)")
+        .as("skew_x100"))
+      .head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** AUTO sessionization: census the window key, then dispatch —
+    * [[sessionizeOf]] under the cutover, [[sessionizeSaltedOf]] at or
+    * above it. Result-identical on both branches (the salted scan
+    * decomposition is equality-pinned by spec + shared oracle), so the
+    * dispatch can never change an answer, only a plan. */
+  private[graft] def sessionizeAutoOf(ev: DataFrame,
+      cutoverX100: Long = SkewAutoCutoverX100): DataFrame =
+    if (keySkewX100(ev, "user_id") >= cutoverX100)
+      sessionizeSaltedOf(ev, AsofSaltBucketUs)
+    else sessionizeOf(ev)
+
+  /** Declared auto sessionization over the natural events table —
+    * skew_x100 ~129–148 → the PLAIN branch (plan-guarded); shares
+    * [[sessionize]]'s oracle. */
+  def sessionizeAuto(spark: SparkSession, dir: String): DataFrame =
+    sessionizeAutoOf(Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id")))
+
+  /** Hot-key fixture remap, shared by the `_hot` declared queries and
+    * their oracles: every even user folds onto id 0, concentrating
+    * ~half of all rows on one key (skew_x100 ~3756 at sf0.01) — the
+    * bot/device regime the salted plans exist for, derived
+    * deterministically from the standard table so DuckDB renders the
+    * identical relation. */
+  private val HotUidSql =
+    "CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END"
+
+  /** Declared auto sessionization over the hot-key remap — trips the
+    * census (≥ [[SkewAutoCutoverX100]]) → the SALTED branch
+    * (plan-guarded); oracle is the plain sessionize SQL over the same
+    * remapped relation. */
+  def sessionizeAutoHot(spark: SparkSession, dir: String): DataFrame =
+    sessionizeAutoOf(Tables.events(spark, dir)
+      .select(expr(HotUidSql).as("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id")))
+
+  /** AUTO as-of: census the union of both sides' key columns (exactly
+    * the distribution the as-of window sorts), then dispatch —
+    * [[asofJoinCore]] under the cutover, [[asofJoinSaltedCore]] at or
+    * above it. */
+  private[graft] def asofJoinAutoCore(left: DataFrame, right: DataFrame,
+      key: String, t: String, tie: String,
+      cutoverX100: Long = SkewAutoCutoverX100): DataFrame =
+    if (keySkewX100(left.select(col(key))
+          .unionAll(right.select(col(key))), key) >= cutoverX100)
+      asofJoinSaltedCore(left, right, key, t, tie)
+    else asofJoinCore(left, right, key, t, tie)
+
+  private def asofAutoOf(ev: DataFrame): DataFrame = {
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    asofJoinAutoCore(clicks, purchases, "user_id", "ts", "p_event_id")
+      .select(col("event_id"), col("user_id"),
+        col("matched.p_event_id").as("p_event_id"),
+        col("matched.p_value").as("p_value"))
+  }
+
+  /** Declared auto as-of over the natural events table — plain branch
+    * (plan-guarded); shares [[asofJoin]]'s native-ASOF oracle. */
+  def asofAuto(spark: SparkSession, dir: String): DataFrame =
+    asofAutoOf(Tables.events(spark, dir))
+
+  /** Declared auto as-of over the hot-key remap — salted branch
+    * (plan-guarded); oracle is DuckDB's native ASOF over the same
+    * remapped relation (no (key, ts) purchase ties under the remap —
+    * verified at sf0.01/sf0.1 — so the match is deterministic). */
+  def asofAutoHot(spark: SparkSession, dir: String): DataFrame =
+    asofAutoOf(Tables.events(spark, dir)
+      .withColumn("user_id", expr(HotUidSql)))
 
   /** MARKOV TRANSITION MATRIX over per-user event sequences — the
     * product-analytics staple "after doing X, what do users do next":
@@ -1084,6 +1202,8 @@ object ReconOps {
     "q_nite_list"       -> niteList _,
     "q_asof_join"       -> asofJoin _,
     "q_asof_salted"     -> asofSalted _,
+    "q_asof_auto"       -> asofAuto _,
+    "q_asof_auto_hot"   -> asofAutoHot _,
     "q_asof_tolerance"  -> asofTolerance _,
     "q_asof_forward"    -> asofForward _,
     "q_conversion_latency" -> conversionLatency _,
@@ -1091,6 +1211,8 @@ object ReconOps {
     "q_sessionize"      -> sessionize _,
     "q_sessionize_salted" ->
       ((s: SparkSession, d: String) => sessionizeSalted(s, d)),
+    "q_sessionize_auto" -> sessionizeAuto _,
+    "q_sessionize_auto_hot" -> sessionizeAutoHot _,
     "q_event_transitions" -> eventTransitions _,
     "q_event_funnel"    -> eventFunnel _,
     "q_event_funnel_n"  -> ((s: SparkSession, d: String) =>
@@ -1139,8 +1261,10 @@ object ReconOps {
        |  TRUE AS wau_within_bounds
        |FROM w GROUP BY 1""".stripMargin
 
-  private lazy val sessionizeSql: String =
-    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
+  /** Sessionize oracle over any uid rendering — `user_id` for the
+    * natural queries, [[HotUidSql]] for the hot-fixture auto branch. */
+  private def sessionizeSqlOver(uid: String): String =
+    s"""WITH e AS (SELECT $uid AS user_id, epoch_us(ts) AS us, event_id
        |           FROM events),
        |f AS (SELECT user_id, us, event_id,
        |        CASE WHEN lag(us) OVER w IS NULL
@@ -1157,14 +1281,20 @@ object ReconOps {
        |  count(*) AS n_events, CAST(max(us) - min(us) AS BIGINT) AS span_us
        |FROM s GROUP BY 1, 2""".stripMargin
 
-  private lazy val asofJoinSql: String =
-    """WITH l AS (SELECT user_id, ts, event_id FROM events
-      |           WHERE event_type = 'click'),
-      |r AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value
-      |      FROM events WHERE event_type = 'purchase')
-      |SELECT l.event_id, l.user_id, r.p_event_id, r.p_value
-      |FROM l ASOF LEFT JOIN r
-      |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
+  private lazy val sessionizeSql: String = sessionizeSqlOver("user_id")
+
+  /** As-of oracle over any uid rendering (see [[sessionizeSqlOver]]). */
+  private def asofJoinSqlOver(uid: String): String =
+    s"""WITH l AS (SELECT $uid AS user_id, ts, event_id FROM events
+       |           WHERE event_type = 'click'),
+       |r AS (SELECT $uid AS user_id, ts, event_id AS p_event_id,
+       |             value AS p_value
+       |      FROM events WHERE event_type = 'purchase')
+       |SELECT l.event_id, l.user_id, r.p_event_id, r.p_value
+       |FROM l ASOF LEFT JOIN r
+       |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
+
+  private lazy val asofJoinSql: String = asofJoinSqlOver("user_id")
 
   val oracles: Map[String, String] = Map(
     // native session_window semantics: HALF-OPEN windows, so the new-
@@ -1347,6 +1477,8 @@ object ReconOps {
     // salted two-phase plan must produce the identical result — one
     // oracle serves both
     "q_asof_join" -> asofJoinSql,
+    "q_asof_auto" -> asofJoinSql,
+    "q_asof_auto_hot" -> asofJoinSqlOver(HotUidSql),
     "q_asof_salted" -> asofJoinSql,
     "q_asof_tolerance" ->
       s"""WITH l AS (SELECT user_id, ts, event_id FROM events
@@ -1424,6 +1556,8 @@ object ReconOps {
         |  TRUE AS p99_within_bounds
         |FROM k GROUP BY 1""".stripMargin,
     "q_sessionize" -> sessionizeSql,
+    "q_sessionize_auto" -> sessionizeSql,
+    "q_sessionize_auto_hot" -> sessionizeSqlOver(HotUidSql),
     // the salted twin is result-identical by the segmented-scan
     // decomposition, so it shares the native oracle — the green row
     // grades the skew plan itself (the q_asof_salted convention)

@@ -33,6 +33,11 @@ object QueryProbe {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // same between-rep release discipline as Bench: checkpoint
+        // blocks are persisted RDDs outside the catalog cache
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
       }
     }
     spark.stop()

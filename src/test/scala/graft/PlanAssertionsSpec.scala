@@ -538,4 +538,30 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("FullOuter"), s"merge is a full-outer join:\n$p")
     assert(!p.contains("CartesianProduct"), s"keyed, never cartesian:\n$p")
   }
+
+  test("skew auto cutover: natural data plans PLAIN, hot fixture SALTED") {
+    // The salted decompositions window on (user_id, bkt)/(key, __bkt);
+    // the plain forms never materialize a bucket column — its presence
+    // in the executed plan IS the branch taken. Natural events sit at
+    // skew_x100 ~130 → plain. The hot fixture needs sf0.01: relative
+    // skew is bounded by the key count, and sf0.001's 15 users cannot
+    // manufacture an 8×-average hot key (the census correctly refuses
+    // to salt it) — at the sf0.01 gate scale the even-fold reaches
+    // ~3756 and trips.
+    assert(!plan("q_sessionize_auto").contains("bkt"),
+      "unskewed sessionize must take the single-window plain branch")
+    assert(!plan("q_asof_auto").contains("__bkt"),
+      "unskewed as-of must take the single-window plain branch")
+    def planAt(name: String, dir: String): String = {
+      val qe = SparkEntry.queries(name)(spark, dir).queryExecution
+      qe.toRdd.count()
+      qe.executedPlan.toString
+    }
+    val sHot = planAt("q_sessionize_auto_hot", "/root/testdata/sf0.01")
+    assert(sHot.contains("bkt"),
+      s"hot sessionize must take the salted bucket decomposition:\n$sHot")
+    val aHot = planAt("q_asof_auto_hot", "/root/testdata/sf0.01")
+    assert(aHot.contains("__bkt"),
+      s"hot as-of must take the salted bucket decomposition:\n$aHot")
+  }
 }
