@@ -3816,9 +3816,19 @@ object TextOps {
     * chain each level references up to 4 prior levels, so inlining is
     * EXPONENTIAL (and each leaf re-opens the parquet: "too many open
     * files" before the planner even finishes). Force materialization
-    * per CTE; each is at most vocabulary-sized. */
+    * per CTE; each is at most vocabulary-sized.
+    *
+    * The rewrite is anchored to CTE HEADS of this chain's `u…` naming
+    * convention (ADVICE r16: a blanket `" AS ("` replace would
+    * silently mangle any future spliced fragment that aliases a
+    * column before a parenthesized expression) — every CTE in the
+    * unigram chain starts with `u` and nothing else in the spliced
+    * text matches `<u-identifier> AS (`. */
+  private val UniCteHead = "\\b(u[a-z0-9_]*) AS \\(".r
   private def uniMat(ctes: String): String =
-    ctes.replace(" AS (", " AS MATERIALIZED (")
+    UniCteHead.replaceAllIn(ctes,
+      m => java.util.regex.Matcher.quoteReplacement(
+        m.group(1) + " AS MATERIALIZED ("))
 
 
   /** Prologue: truncated word relation, char alphabet, substring seed

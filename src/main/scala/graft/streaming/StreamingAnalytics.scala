@@ -1474,11 +1474,17 @@ object StreamingAnalytics {
     * fixed registry: [[graft.operators.GraphOps.domainEdgesOf]]
     * inner-joins the registry, so such docs contribute no edges — a
     * crawl discovering a new domain must see that loss, not infer it
-    * (ADVICE r15). Callers grow the node dimension with
-    * [[updateDomainRegistry]] on nonzero (and re-fold the batch under
-    * the grown registry); the fold itself stays registry-fixed so
-    * maintained == one-shot holds per registry version. Replay/skip
-    * paths return 0 (nothing newly dropped). */
+    * (ADVICE r15). On nonzero, callers grow the node dimension with
+    * [[updateDomainRegistry]] and RE-QUEUE exactly the unregistered
+    * rows as a LATER batch id ([[foldWithDiscovery]] composes the
+    * protocol). A same-id re-fold of the whole batch is impossible by
+    * design (the replay guard no-ops it), and a whole-batch re-fold
+    * under a new id would double-add the registered rows' edges — the
+    * unregistered rows alone contributed NOTHING under this fold
+    * (the inner join dropped them), so re-queuing only them is
+    * lossless and add-once (ADVICE r16). The fold itself stays
+    * registry-fixed so maintained == one-shot holds per registry
+    * version. Replay/skip paths return 0 (nothing newly dropped). */
   def updateLinkGraph(batch: DataFrame, registry: DataFrame, dir: String,
       batchId: Long): Long = {
     import org.apache.hadoop.fs.Path
@@ -1532,12 +1538,19 @@ object StreamingAnalytics {
     parquetOrEmpty(spark, s"$dir/link_graph", LinkGraphSchema)
       .select(col("s"), col("t"), col("w"))
 
+  /** `last_batch` is the STORE-level replay stamp (every row carries
+    * the latest folded id — the monotone guard reads its max);
+    * `reg_batch` is per-ROW provenance: the id of the batch that
+    * REGISTERED the domain, which [[foldWithDiscovery]] reads to
+    * re-derive a crash-lost re-queue set. */
   private val RegistrySchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("source",
       org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("rk",
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("last_batch",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("reg_batch",
       org.apache.spark.sql.types.LongType)))
 
   /** Fold one micro-batch's NEWLY-SEEN domains into the MAINTAINED
@@ -1591,10 +1604,14 @@ object StreamingAnalytics {
       val added = graft.operators.GraphOps
         .ranksFrom(fresh)
         .crossJoin(broadcast(base))
-        .select(col("source"), (col("rk") + col("base")).as("rk"))
-      val merged = stored.select(col("source"), col("rk"))
+        .select(col("source"), (col("rk") + col("base")).as("rk"),
+          lit(batchId).as("reg_batch"))
+      val merged = stored.select(col("source"), col("rk"),
+          col("reg_batch"))
         .unionAll(added)
         .withColumn("last_batch", lit(batchId))
+        .select(col("source"), col("rk"), col("last_batch"),
+          col("reg_batch"))
       merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       fs.delete(old, true)
       if (fs.exists(live))
@@ -1611,6 +1628,72 @@ object StreamingAnalytics {
   def loadDomainRegistry(spark: SparkSession, dir: String): DataFrame =
     parquetOrEmpty(spark, s"$dir/domain_registry", RegistrySchema)
       .select(col("source"), col("rk"))
+
+  /** THE DISCOVERY LOOP, COMPOSED (VERDICT r16 item 5): one batch
+    * through the full grow-and-requeue protocol —
+    *
+    *  1. fold the batch into the link graph under the CURRENT registry
+    *     version (`foldId`); the return value counts docs from
+    *     unregistered domains, whose edges the version-fixed fold
+    *     correctly refused;
+    *  2. on nonzero: grow the registry from the batch's fresh domains
+    *     (existing ranks untouched — folded history keeps its keys);
+    *  3. re-queue EXACTLY the previously-unregistered rows as
+    *     `requeueId` under the grown registry. Those rows contributed
+    *     nothing in step 1, so this adds their edges exactly once;
+    *     the registered rows are NOT re-folded (a whole-batch re-fold
+    *     would double-add — the [[updateLinkGraph]] contract).
+    *
+    * Returns (dropped-at-fold, re-queued docs). CRASH-SAFE at every
+    * boundary: a foreachBatch redelivery re-runs all three steps, and
+    * each is individually idempotent at its id — the graph fold
+    * no-ops a replayed `foldId`, the registry fold no-ops a replayed
+    * `foldId`, and the re-queue SET is re-derived from the registry
+    * itself (the rows whose domains carry `reg_batch == foldId` are
+    * exactly the ones step 1 refused) rather than from step 1's
+    * return value, so a crash between the graph fold and the re-queue
+    * cannot lose the discovering batch's edges. Both state stores
+    * keep their monotone batch-id guards, so a foreachBatch caller
+    * maps its micro-batch id `b` to `foldId = 2*b,
+    * requeueId = 2*b + 1` — monotone in `b`, and the guards only need
+    * monotonicity, not density. */
+  def foldWithDiscovery(batch: DataFrame, dir: String, foldId: Long,
+      requeueId: Long): (Long, Long) = {
+    require(requeueId > foldId,
+      s"requeueId $requeueId must exceed foldId $foldId")
+    val spark = batch.sparkSession
+    // composed-step replay detection: the graph's monotone guard sees
+    // TWO ids per composed step, so a redelivery after the re-queue
+    // committed would present foldId below the stored max (= the
+    // requeue id) and trip it. If the store already holds requeueId,
+    // every sub-step committed — the whole composed step is a no-op.
+    val graphMaxRow = parquetOrEmpty(spark, s"$dir/link_graph",
+      LinkGraphSchema).agg(max(col("last_batch"))).head()
+    if (!graphMaxRow.isNullAt(0) && graphMaxRow.getLong(0) >= requeueId)
+      return (0L, 0L)
+    val regV1 = loadDomainRegistry(spark, dir).localCheckpoint(true)
+    val dropped = updateLinkGraph(batch, regV1, dir, foldId)
+    // unconditional: with nothing unregistered this is a no-op, and on
+    // a redelivery after a crash between the two folds it MUST run
+    updateDomainRegistry(batch, dir, foldId)
+    // replay-derivable re-queue set: the domains THIS batch registered
+    val addedByThis = parquetOrEmpty(spark, s"$dir/domain_registry",
+      RegistrySchema)
+      .where(col("reg_batch") === foldId)
+      .select(col("source"))
+      .localCheckpoint(true)
+    if (addedByThis.isEmpty) (dropped, 0L)
+    else {
+      val requeue = batch.join(broadcast(addedByThis), Seq("source"),
+        "left_semi")
+      val n = requeue.count()
+      val stillDropped = updateLinkGraph(requeue,
+        loadDomainRegistry(spark, dir), dir, requeueId)
+      require(stillDropped == 0L,
+        s"re-queue under the grown registry still dropped $stillDropped")
+      (dropped, n)
+    }
+  }
 
   /** DOMAIN AUTHORITY SERVED FROM THE MAINTAINED GRAPH — PageRank
     * recomputed on demand from the ≤|domains|² stored rows under the

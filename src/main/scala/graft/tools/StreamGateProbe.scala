@@ -15,7 +15,68 @@ import graft.streaming.StreamingAnalytics
   *   sbt "runMain graft.tools.StreamGateProbe /tmp/sf01x64stream"
   */
 object StreamGateProbe {
+
+  /** Discovery-loop scenario (VERDICT r16 item 5):
+    *   sbt "runMain graft.tools.StreamGateProbe --discovery [sfDir]"
+    * Drives [[StreamingAnalytics.foldWithDiscovery]] over 4 waves of
+    * the documents table in which each wave INTRODUCES new domains
+    * (hash-assigned introduction wave per source) alongside docs from
+    * already-registered ones — the crawl regime the grow-and-requeue
+    * protocol exists for. Per wave: docs, dropped-at-fold, re-queued,
+    * registry size, wall. End invariants printed as PASS/FAIL:
+    * every doc contributes exactly one edge unit (sum(w) == docs
+    * folded — the loop is lossless across growth boundaries), and the
+    * authority serve ranks every registered domain. */
+  private def discoveryScenario(spark: SparkSession, sfDir: String): Unit = {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files
+      .createTempDirectory("discovery_probe").toString
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("wave", pmod(xxhash64(col("source")), lit(4)))
+      .localCheckpoint(true)
+    var folded = 0L
+    (0 to 3).foreach { k =>
+      val batch = docs.where(col("wave") === k ||
+        (col("wave") < k && pmod(col("doc_id"), lit(4)) === k))
+        .select(col("doc_id"), col("source"))
+      val n = batch.count(); folded += n
+      val t0 = System.nanoTime()
+      val (dropped, requeued) = StreamingAnalytics
+        .foldWithDiscovery(batch, dir, 2L * k, 2L * k + 1)
+      val regN = StreamingAnalytics.loadDomainRegistry(spark, dir).count()
+      println(f"[probe] wave $k: $n%6d docs, dropped $dropped%5d, " +
+        f"requeued $requeued%5d, registry $regN%4d domains, " +
+        f"${(System.nanoTime() - t0) / 1e9}%5.2f s")
+    }
+    val w = StreamingAnalytics.loadLinkGraph(spark, dir)
+      .agg(sum(col("w"))).head().getLong(0)
+    val reg = StreamingAnalytics.loadDomainRegistry(spark, dir)
+      .localCheckpoint(true)
+    val ranked = StreamingAnalytics
+      .authorityFromLinkGraph(spark, dir, reg).count()
+    val ok = w == folded && ranked == reg.count()
+    println(s"[probe] lossless: sum(w)=$w vs docs=$folded; " +
+      s"authority ranks $ranked/${reg.count()} domains — " +
+      (if (ok) "PASS" else "FAIL"))
+    if (!ok) sys.exit(1)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--discovery")) {
+      val spark = SparkSession.builder()
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      discoveryScenario(spark,
+        args.lift(1).getOrElse("/root/testdata/sf0.01"))
+      spark.stop()
+      return
+    }
     val inDir = args.headOption.getOrElse("/tmp/sf01x64stream")
     val compactEvery = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()

@@ -79,4 +79,22 @@ class EncodingRepairSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("*(1)"),
       "FixMojibake must not break the codegen span")
   }
+
+  test("fixture contract: the 40-char corpus prefix is pure ASCII at every gate SF") {
+    // The q_encoding_repair / q_clean_pipeline oracles hard-code
+    // repaired = (doc_id % 3) < 2, which holds ONLY while every doc's
+    // 40-char prefix is ASCII — one non-ASCII prefix char makes the
+    // whole-string round-trip refuse and the Spark result diverge
+    // from the oracle as an opaque hash mismatch (ADVICE r16). Pin
+    // the contract here so a corpus regeneration fails with THIS
+    // message instead.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val bad = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .where(!substring(col("text"), 1, 40).rlike("^[\\x00-\\x7F]*$"))
+        .count()
+      assert(bad == 0L,
+        s"$sf: $bad documents carry a non-ASCII 40-char prefix — " +
+          "the encoding-repair fixture oracles assume ASCII prefixes")
+    }
+  }
 }

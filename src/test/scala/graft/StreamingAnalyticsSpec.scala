@@ -807,6 +807,88 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(stored == oneShot)
   }
 
+  test("discovery loop composed: grow-and-requeue is lossless, " +
+      "maintained == one-shot per registry version, replay-safe") {
+    import graft.operators.GraphOps
+    val dir = java.nio.file.Files.createTempDirectory("discovery").toString
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def oneShotSum(parts: Seq[org.apache.spark.sql.DataFrame]) =
+      edgeSet(parts.reduce(_ unionAll _)
+        .groupBy(col("s"), col("t"))
+        .agg(org.apache.spark.sql.functions.sum(col("w")).as("w")))
+    // bootstrap: empty registry — EVERY doc is unregistered, the loop
+    // grows the registry and re-queues the whole batch
+    val b0 = Seq((0L, "sa"), (1L, "sb"), (2L, "sa"), (3L, "sb"))
+      .toDF("doc_id", "source")
+    val (d0, r0) = StreamingAnalytics.foldWithDiscovery(b0, dir,
+      foldId = 0L, requeueId = 1L)
+    assert(d0 == 4L && r0 == 4L, s"bootstrap: ($d0, $r0)")
+    val regV1 = StreamingAnalytics.loadDomainRegistry(spark, dir)
+      .localCheckpoint(true)
+    assert(edgeSet(StreamingAnalytics.loadLinkGraph(spark, dir)) ==
+      edgeSet(GraphOps.domainEdgesOf(b0, regV1)),
+      "bootstrap batch must fold under the grown registry, losslessly")
+    // growth event: a mixed batch — registered rows fold under V1,
+    // the zz discovery grows V2 and ONLY the zz rows re-queue
+    val b1 = Seq((4L, "sa"), (5L, "zz"), (6L, "zz"), (7L, "sb"))
+      .toDF("doc_id", "source")
+    val (d1, r1) = StreamingAnalytics.foldWithDiscovery(b1, dir,
+      foldId = 2L, requeueId = 3L)
+    assert(d1 == 2L && r1 == 2L, s"growth event: ($d1, $r1)")
+    val regV2 = StreamingAnalytics.loadDomainRegistry(spark, dir)
+      .localCheckpoint(true)
+    // maintained == one-shot PER REGISTRY VERSION, summed across the
+    // growth boundary: b0 and b1's registered rows under V1, the
+    // discovering rows under V2
+    val expect = oneShotSum(Seq(
+      GraphOps.domainEdgesOf(b0, regV1),
+      GraphOps.domainEdgesOf(b1.where(col("source") =!= "zz"), regV1),
+      GraphOps.domainEdgesOf(b1.where(col("source") === "zz"), regV2)))
+    assert(edgeSet(StreamingAnalytics.loadLinkGraph(spark, dir)) == expect,
+      "maintained graph diverged from the per-version one-shot sum")
+    // authority serves across the growth boundary: every domain,
+    // including the discovered one, gets a rank from the same iteration
+    // core over the maintained graph
+    val served = StreamingAnalytics
+      .authorityFromLinkGraph(spark, dir, regV2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(served.keySet == Set("sa", "sb", "zz"), s"$served")
+    val direct = GraphOps.rankItersFrom(
+      StreamingAnalytics.loadLinkGraph(spark, dir), regV2)
+      .join(regV2, col("node") === col("rk"))
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("r")).toMap
+    assert(served == direct, "serve path diverged from the rank core")
+    // redelivery of the whole composed step is a no-op (all three
+    // sub-steps are idempotent at their ids; the re-queue set is
+    // re-derived from the registry, not from the fold's return)
+    val (d1r, _) = StreamingAnalytics.foldWithDiscovery(b1, dir,
+      foldId = 2L, requeueId = 3L)
+    assert(d1r == 0L)
+    assert(edgeSet(StreamingAnalytics.loadLinkGraph(spark, dir)) == expect,
+      "replayed discovery loop changed the graph")
+    // crash BETWEEN the graph fold and the registry fold: step 1 ran
+    // alone (the yy docs' edges refused), then the redelivered
+    // composed step must still grow the registry and recover exactly
+    // the refused rows from the registry's per-row reg_batch stamp
+    val b2 = Seq((8L, "yy"), (9L, "sa")).toDF("doc_id", "source")
+    assert(StreamingAnalytics.updateLinkGraph(b2, regV2, dir, 4L) == 1L)
+    val (d2, r2) = StreamingAnalytics.foldWithDiscovery(b2, dir,
+      foldId = 4L, requeueId = 5L)
+    assert(d2 == 0L && r2 == 1L, s"crash recovery: ($d2, $r2)")
+    val regV3 = StreamingAnalytics.loadDomainRegistry(spark, dir)
+      .localCheckpoint(true)
+    val expect2 = oneShotSum(Seq(
+      GraphOps.domainEdgesOf(b0, regV1),
+      GraphOps.domainEdgesOf(b1.where(col("source") =!= "zz"), regV1),
+      GraphOps.domainEdgesOf(b1.where(col("source") === "zz"), regV2),
+      GraphOps.domainEdgesOf(b2.where(col("source") =!= "yy"), regV2),
+      GraphOps.domainEdgesOf(b2.where(col("source") === "yy"), regV3)))
+    assert(edgeSet(StreamingAnalytics.loadLinkGraph(spark, dir)) == expect2,
+      "crash-recovered fold lost or double-added the discovering rows")
+  }
+
   test("maintained token sketch: incremental fold == one-shot exactly, " +
       "replay is a no-op, crash swap recovers") {
     val dir = java.nio.file.Files.createTempDirectory("toksketch").toString
