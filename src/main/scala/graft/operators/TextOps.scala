@@ -780,16 +780,49 @@ object TextOps {
     * to [[unigramEncode]] (the stored costs ARE the trained costs), so
     * it reuses that query's oracle — the green row grades the
     * serve-from-artifact plan itself. */
-  def prodUnigramEncode(spark: SparkSession, dir: String): DataFrame = {
-    val stored = spark.read
+  /** The frozen tokenizer artifact's cost table, loaded once from the
+    * materialized vocabulary — (piece → cost8), [[UniVocabTarget]]-
+    * bounded, broadcast by every consumer. */
+  private[graft] def prodUnigramCosts(spark: SparkSession,
+      dir: String): Map[String, Long] =
+    spark.read
       .parquet(s"${prodUnigramPath(spark, dir)}/unigram_vocab")
-    val cost = stored.select(col("piece"), col("cost8"))
+      .select(col("piece"), col("cost8"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  def prodUnigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    val cost = prodUnigramCosts(spark, dir)
     uniSegments(uniWords(Tables.documents(spark, dir)), cost)
       .select(col("tok"), col("cnt"),
         array_join(col("pieces"), " ").as("pieces"),
         size(col("pieces")).as("n_pieces"))
   }
+
+  /** FERTILITY CENSUS of any documents relation under a FROZEN cost
+    * table — one row: word occurrences, pieces emitted, single-char
+    * (byte-fallback-analogue) pieces. The per-batch statistic the
+    * streaming tokenizer-drift monitor folds
+    * ([[graft.streaming.StreamingAnalytics.updateTokenizerFertility]]):
+    * corpus-weighted via the distinct-word relation (sum of cnt·pieces
+    * — the corpus never re-explodes), so the batch pays one
+    * vocabulary-sized Viterbi pass exactly like the production encode. */
+  private[graft] def uniFertilityOf(docs: DataFrame,
+      cost: Map[String, Long]): DataFrame =
+    uniSegments(uniWords(docs), cost)
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * size(col("pieces"))).as("n_pieces"),
+        sum(col("cnt") *
+          size(filter(col("pieces"), p => length(p) === 1)))
+          .as("n_char_pieces"))
+
+  /** TRAINING-CORPUS TOKENIZER CARD served from the stored artifact —
+    * the baseline the streaming drift monitor alarms against: the
+    * corpus the tokenizer was trained on, scored under its own frozen
+    * costs. Ships beside the vocabulary; refreshed only when the
+    * tokenizer retrains (the benchmark-gram-set discipline). */
+  def unigramTrainingCard(spark: SparkSession, dir: String): DataFrame =
+    uniFertilityOf(Tables.documents(spark, dir),
+      prodUnigramCosts(spark, dir))
 
   /** TOKENIZER COMPARISON CARD — [[bpeFertility]]'s per-language
     * fertility for BOTH trained families side by side: BPE merges vs

@@ -1434,6 +1434,80 @@ object StreamingAnalytics {
     graft.operators.TextOps.tvDistanceByOf(corpusBuckets,
       graft.operators.TextOps.tokenBucketsBy(batch, "source"), "source")
 
+  // ===== tokenizer drift monitor (VERDICT r16 item 7) =====
+
+  /** Fertility / char-piece-rate deviation (integer 1e-2 units — 25 =
+    * 0.25 tokens per word) beyond which a batch's encoding behavior
+    * under the FROZEN tokenizer has drifted from the training-corpus
+    * card: new vocabulary the stored pieces don't cover burns sequence
+    * length on single-char fallbacks, the signal a pipeline reads to
+    * schedule a tokenizer retrain. */
+  val TokenizerDriftBarX100 = 25L
+
+  private val TokenizerFertilitySchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_words",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_pieces",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_char_pieces",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Fold one admitted micro-batch's fertility census UNDER THE STORED
+    * unigram artifact into the maintained table at
+    * `dir/tokenizer_fertility` — the vocab-drift discipline applied to
+    * the tokenizer artifact: the batch pays one vocabulary-sized
+    * Viterbi pass ([[graft.operators.TextOps]]'s production-encode
+    * path, frozen costs broadcast), and its one census row lands in a
+    * batch-id-keyed directory written `overwrite` (the
+    * [[runJsonIngest]] exactly-once shape: a replayed batch rewrites
+    * its own row byte-identically instead of double-appending). */
+  def updateTokenizerFertility(batch: DataFrame,
+      cost: Map[String, Long], dir: String, batchId: Long): Unit =
+    graft.operators.TextOps.uniFertilityOf(batch, cost)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/tokenizer_fertility/batch=$batchId")
+
+  /** Read-back of [[updateTokenizerFertility]] (empty-safe): one row
+    * per folded batch. */
+  def loadTokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    parquetOrEmpty(spark, s"$dir/tokenizer_fertility",
+      TokenizerFertilitySchema)
+
+  /** THE DRIFT ROWS for the gate report: every folded batch's
+    * fertility and char-piece (byte-fallback-analogue) rate under the
+    * frozen tokenizer, against the TRAINING-CORPUS card
+    * ([[graft.operators.TextOps.unigramTrainingCard]] — one broadcast
+    * row), with `alarm` set when either statistic deviates beyond
+    * [[TokenizerDriftBarX100]]. All integer 1e-2 units, truncating
+    * division on non-negative operands — deterministic across
+    * partitionings like every gate statistic. */
+  def tokenizerDriftRows(spark: SparkSession, dir: String,
+      baseCard: DataFrame): DataFrame =
+    loadTokenizerFertility(spark, dir)
+      .crossJoin(broadcast(baseCard.select(
+        col("n_words").as("base_words"),
+        col("n_pieces").as("base_pieces"),
+        col("n_char_pieces").as("base_chars"))))
+      .select(col("batch").cast("long").as("batch"), col("n_words"),
+        expr("n_pieces * 100 div greatest(n_words, 1)")
+          .as("fertility_100"),
+        expr("base_pieces * 100 div greatest(base_words, 1)")
+          .as("base_fertility_100"),
+        expr("n_char_pieces * 100 div greatest(n_pieces, 1)")
+          .as("char_piece_rate_100"),
+        expr("base_chars * 100 div greatest(base_pieces, 1)")
+          .as("base_char_rate_100"))
+      .withColumn("drift_100",
+        abs(col("fertility_100") - col("base_fertility_100")))
+      .withColumn("char_drift_100",
+        abs(col("char_piece_rate_100") - col("base_char_rate_100")))
+      .withColumn("alarm",
+        col("drift_100") > TokenizerDriftBarX100 ||
+          col("char_drift_100") > TokenizerDriftBarX100)
+
   private val LinkGraphSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("s",
       org.apache.spark.sql.types.LongType),

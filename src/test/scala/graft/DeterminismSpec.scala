@@ -51,4 +51,28 @@ class DeterminismSpec extends SparkSpec {
   test("q_authority_sample is partitioning-invariant") {
     pinned("q_authority_sample")
   }
+
+  // --- dedup spine (VERDICT r16 item 6): min-label CC and the
+  // ordered-edge triangle joins claim order-insensitivity — pin it
+  // like the r16 five
+
+  test("q_text_dedup_groups is partitioning-invariant") {
+    pinned("q_text_dedup_groups")
+  }
+
+  test("q_dup_triangles is partitioning-invariant") {
+    pinned("q_dup_triangles")
+  }
+
+  // --- skew auto cutover (r17): the salted scan decompositions claim
+  // result-identity with the plain single-window forms at ANY
+  // partitioning; the census dispatch must also be stable
+
+  test("q_sessionize_auto_hot is partitioning-invariant") {
+    pinned("q_sessionize_auto_hot")
+  }
+
+  test("q_asof_auto_hot is partitioning-invariant") {
+    pinned("q_asof_auto_hot")
+  }
 }

@@ -889,6 +889,49 @@ class StreamingAnalyticsSpec extends SparkSpec {
       "crash-recovered fold lost or double-added the discovering rows")
   }
 
+  test("tokenizer drift monitor: maintained fold == one-shot, replay " +
+      "rewrites, calm batch quiet, shifted batch alarms") {
+    import graft.operators.TextOps
+    val dir = java.nio.file.Files.createTempDirectory("tokdrift").toString
+    // a frozen toy artifact: two learned pieces + full char alphabet at
+    // equal per-piece cost, so "ab"/"cd" always beat their char splits
+    val cost = Map("ab" -> 8L, "cd" -> 8L, "a" -> 8L, "b" -> 8L,
+      "c" -> 8L, "d" -> 8L, "x" -> 8L, "y" -> 8L, "z" -> 8L)
+    // training corpus: every word covered by the learned pieces —
+    // fertility 2 pieces/word, zero char fallbacks
+    val trainDocs = Seq("abab cdcd abcd", "cdab abab").toDF("text")
+    val baseCard = TextOps.uniFertilityOf(trainDocs, cost)
+      .localCheckpoint(true)
+    assert(baseCard.collect().head.toSeq == Seq(5L, 10L, 0L))
+    // batch 0: same regime as training → quiet; batch 1: novel
+    // vocabulary the pieces don't cover → char fallbacks → alarm
+    val calm = Seq("abab cdcd", "abcd").toDF("text")
+    val shifted = Seq("xyzxyz zyx", "xyz zzz").toDF("text")
+    StreamingAnalytics.updateTokenizerFertility(calm, cost, dir, 0L)
+    StreamingAnalytics.updateTokenizerFertility(shifted, cost, dir, 1L)
+    // maintained fold == one-shot census over everything folded
+    val folded = StreamingAnalytics.loadTokenizerFertility(spark, dir)
+      .agg(sum(col("n_words")), sum(col("n_pieces")),
+        sum(col("n_char_pieces"))).collect().head.toSeq
+    val oneShot = TextOps.uniFertilityOf(calm.unionAll(shifted), cost)
+      .collect().head.toSeq
+    assert(folded == oneShot,
+      s"maintained $folded diverged from one-shot $oneShot")
+    // replay rewrites the batch's own row instead of double-appending
+    StreamingAnalytics.updateTokenizerFertility(shifted, cost, dir, 1L)
+    assert(StreamingAnalytics.loadTokenizerFertility(spark, dir)
+      .count() == 2L, "replay must rewrite, not append")
+    // the gate report's drift rows: calm quiet, shifted alarmed
+    val rows = StreamingAnalytics.tokenizerDriftRows(spark, dir, baseCard)
+      .collect().map(r => r.getAs[Long]("batch") ->
+        (r.getAs[Long]("fertility_100"), r.getAs[Long]("char_drift_100"),
+          r.getAs[Boolean]("alarm"))).toMap
+    assert(rows(0L)._1 == 200L && !rows(0L)._3, s"calm batch: $rows")
+    // shifted words segment to single chars: fertility 6/word on
+    // "xyzxyz", all pieces single-char → char rate 100 vs base 0
+    assert(rows(1L)._2 == 100L && rows(1L)._3, s"shifted batch: $rows")
+  }
+
   test("maintained token sketch: incremental fold == one-shot exactly, " +
       "replay is a no-op, crash swap recovers") {
     val dir = java.nio.file.Files.createTempDirectory("toksketch").toString
