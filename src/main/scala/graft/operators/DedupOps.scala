@@ -1148,6 +1148,28 @@ object DedupOps {
     } finally eRdds.foreach(_.unpersist(false))
   }
 
+  /** AUTO CC (r17) — the skew-census dispatch
+    * ([[graft.operators.ReconOps.sessionizeAuto]]'s discipline) applied
+    * to the min-label loop's per-iteration join key: the DEGREE
+    * distribution of the undirected adjacency. A hub at ≥ 8× the
+    * average degree ([[graft.operators.ReconOps.SkewAutoCutoverX100]])
+    * serializes its whole adjacency into one reducer every iteration —
+    * dispatch to [[connectedComponentsSalted]]; below it the plain
+    * loop avoids the saltFactor× label re-shuffle. Result-identical on
+    * both branches (spec-pinned above), so the dispatch can only
+    * change the plan. One census pass over the edge endpoints, far
+    * below one CC iteration. */
+  def connectedComponentsAuto(edges: DataFrame, maxIters: Int = 50,
+      cutoverX100: Long =
+        graft.operators.ReconOps.SkewAutoCutoverX100): DataFrame = {
+    val degreeKeys = edges.select(col("id_a").as("k"))
+      .unionAll(edges.select(col("id_b").as("k")))
+    if (graft.operators.ReconOps.keySkewX100(degreeKeys, "k")
+        >= cutoverX100)
+      connectedComponentsSalted(edges, maxIters)
+    else connectedComponents(edges, maxIters)
+  }
+
   /** Incremental dup-group maintenance — the batch chain
     * ([[textDedupGroups]]) recomputes components from scratch, but a
     * streaming ingest already knows exactly which edges are NEW (the

@@ -3572,6 +3572,34 @@ object TextOps {
         md5(col("extracted").cast("binary")).as("extracted_fp"))
   }
 
+  /** DIRECTORY-LEVEL WARC INGEST — the production plumbing upstream of
+    * [[warcExtract]]'s per-file kernel: a `binaryFile` scan over a
+    * directory of `.warc` / `.warc.gz` files (one task per file — the
+    * crawl convention of ~1 GB files keeps tasks balanced; at 100 TB
+    * the scan parallelizes by file like every binaryFile source),
+    * flat-mapped through [[graft.functions.WarcRecords.split]] to one
+    * row per record with its container path and stream offset — the
+    * relation the extract/census funnel starts from. Spec-pinned
+    * (multi-record gzip-member files round-trip; no DuckDB rendering
+    * for a binary directory scan — the S1 binaryFile posture). */
+  def warcRecordsFromDir(spark: SparkSession,
+      warcDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .load(warcDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        graft.functions.WarcRecords.split(bytes).map { r =>
+          (path, r.offset, r.warcType, r.targetUri, r.contentType,
+            r.declaredLength, r.payload, r.truncated)
+        }
+      }
+      .toDF("path", "offset", "warc_type", "target_uri",
+        "content_type", "declared_length", "payload", "truncated")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"     -> textStats _,
     "q_html_extract"   -> htmlExtract _,

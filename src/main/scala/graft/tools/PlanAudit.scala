@@ -183,6 +183,11 @@ object PlanAudit {
     "q_psi_drift" -> "PSI: one quality pass -> 21-key hash aggregate; spine join and totals constant-size, logs fixed-point in the projection",
     "q_dq_checks" -> "expectations gate: one partial-aggregated arm per rule, unioned — one scan per distinct relation",
     "q_dup_triangles" -> "triangle census: persisted ordered pair relation, wedge self-join at the smallest vertex + one closing equi-join (each triangle once, never all-pairs), degree-census wedges, 1-row sealed output",
+    "q_sessionize_auto" -> "skew-census dispatch, PLAIN branch (natural skew ~130 < 800): one partial-aggregated key census on the driver, then sessionize's single (user)-window + shuffle-reusing aggregate",
+    "q_sessionize_auto_hot" -> "skew-census dispatch, SALTED branch (even-user fold, skew ~3756): (user, time-bucket) local windows + buckets-sized carry window restore global session ids — the hot key's sort spreads across its time range",
+    "q_asof_auto" -> "skew-census dispatch over the union of both key columns, PLAIN branch: asof's single union + running-last window",
+    "q_asof_auto_hot" -> "skew-census dispatch, SALTED branch: per-(key, bucket) running-last + FILTER'd per-bucket argmax summaries + carry window, matched = coalesce(local, carry)",
+    "q_warc_extract" -> "WARC ingest: column-synthesized 3-record files -> map-only record-split + HTTP-unwrap + HTML-extract kernel chain — zero exchanges before the final projection",
   )
 
   def main(args: Array[String]): Unit = {

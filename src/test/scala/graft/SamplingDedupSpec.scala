@@ -217,6 +217,25 @@ class SamplingDedupSpec extends SparkSpec {
           == labeling(DedupOps.connectedComponents(df)), s"seed $seed")
       }
     }
+    // AUTO dispatch (r17): the star's hub holds 31/62 endpoint slots
+    // over ~300 nodes (degree skew far beyond 8x average) -> salted;
+    // a uniform chain graph stays plain. Both labelings equal plain's
+    // by the equality above; here pin the DECISION itself.
+    import graft.operators.ReconOps
+    val starKeys = star.select(col("id_a").as("k"))
+      .unionAll(star.select(col("id_b").as("k")))
+    assert(ReconOps.keySkewX100(starKeys, "k") >=
+      ReconOps.SkewAutoCutoverX100, "star fixture must trip the census")
+    val chainDf = chains.toDF("id_a", "id_b")
+    val chainKeys = chainDf.select(col("id_a").as("k"))
+      .unionAll(chainDf.select(col("id_b").as("k")))
+    assert(ReconOps.keySkewX100(chainKeys, "k") <
+      ReconOps.SkewAutoCutoverX100, "uniform chains must stay plain")
+    assert(labeling(DedupOps.connectedComponentsAuto(star)) == plain,
+      "auto (salted branch) must produce the plain labeling")
+    assert(labeling(DedupOps.connectedComponentsAuto(chainDf)) ==
+      labeling(DedupOps.connectedComponents(chainDf)),
+      "auto (plain branch) must produce the plain labeling")
   }
 
   test("connectedComponents: checkpoint blocks freed (no storage leak)") {

@@ -8,7 +8,7 @@ import graft.functions.WarcRecords
   * gzip member path and the hostile-input posture the oracle can't
   * reach: truncated payloads, bad Content-Length, garbage prefixes,
   * caps. */
-class WarcRecordsSpec extends org.scalatest.funsuite.AnyFunSuite {
+class WarcRecordsSpec extends SparkSpec {
 
   private def bytes(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -120,6 +120,36 @@ class WarcRecordsSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("record cap bounds a hostile many-record file") {
     val many = rec("metadata", "p") * (WarcRecords.MaxRecords + 10)
     assert(WarcRecords.split(bytes(many)).size == WarcRecords.MaxRecords)
+  }
+
+  test("directory scan: binaryFile over multi-record warc.gz files " +
+      "splits one row per record") {
+    val dir = java.nio.file.Files.createTempDirectory("warcdir")
+    val f1 = gzip(rec("warcinfo", "software: graft") +
+      rec("response", "HTTP/1.1 200 OK\r\n\r\n<p>one</p>",
+        extra = "WARC-Target-URI: http://e.com/1\r\n"))
+    val f2 = gzip(rec("response", "HTTP/1.1 200 OK\r\n\r\n<p>two</p>",
+      extra = "WARC-Target-URI: http://e.com/2\r\n")) ++
+      gzip(rec("metadata", "fetchTimeMs: 7"))
+    java.nio.file.Files.write(dir.resolve("a.warc.gz"), f1)
+    java.nio.file.Files.write(dir.resolve("b.warc.gz"), f2)
+    java.nio.file.Files.write(dir.resolve("ignore.txt"), bytes("x"))
+    val rows = graft.operators.TextOps
+      .warcRecordsFromDir(spark, dir.toString)
+      .collect()
+    assert(rows.length == 4, rows.mkString(", "))
+    val byUri = rows.filter(_.getAs[String]("warc_type") == "response")
+      .map(r => r.getAs[String]("target_uri") ->
+        new String(WarcRecords.httpBody(
+          r.getAs[Array[Byte]]("payload"))._2)).toMap
+    assert(byUri == Map("http://e.com/1" -> "<p>one</p>",
+      "http://e.com/2" -> "<p>two</p>"))
+    assert(rows.forall(!_.getAs[Boolean]("truncated")))
+    // per-record offsets are post-gunzip stream positions: record 2 of
+    // file b starts after record 1's full rendering
+    val metaOff = rows.find(_.getAs[String]("warc_type") == "metadata")
+      .get.getAs[Long]("offset")
+    assert(metaOff > 0L)
   }
 
   test("httpBody: status + body; CRLF and LF header terminators") {
