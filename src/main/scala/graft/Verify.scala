@@ -30,7 +30,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache() // queries that persist() must not leak across the suite
+      // queries that persist()/localCheckpoint() must not leak across
+      // the suite — checkpoint blocks live OUTSIDE the catalog cache
+      // (the Bench release discipline, r17)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
