@@ -53,12 +53,14 @@ object WarcRecords {
 
   /** One record: stream offset of its version line (post-gunzip),
     * lowercased WARC-Type ("" if absent), target URI, content type,
-    * declared Content-Length (-1 if missing/invalid), the payload
-    * bytes actually present (≤ [[MaxPayload]]), and whether the
-    * payload is incomplete (short file, bad length, or cap hit). */
+    * the declared WARC-Payload-Digest ("" if absent — the header a
+    * crawl-level dedup keys on), declared Content-Length (-1 if
+    * missing/invalid), the payload bytes actually present
+    * (≤ [[MaxPayload]]), and whether the payload is incomplete (short
+    * file, bad length, or cap hit). */
   final case class WarcRecord(offset: Long, warcType: String,
-      targetUri: String, contentType: String, declaredLength: Long,
-      payload: Array[Byte], truncated: Boolean)
+      targetUri: String, contentType: String, payloadDigest: String,
+      declaredLength: Long, payload: Array[Byte], truncated: Boolean)
 
   /** Total function over untrusted bytes — never throws. */
   def split(bytes: Array[Byte]): Seq[WarcRecord] = {
@@ -100,7 +102,7 @@ object WarcRecords {
       val eol = lineEnd(s, i)
       // headers: Name: value lines up to the first empty line
       var j = skipEol(s, eol)
-      var warcType = ""; var uri = ""; var ctype = ""
+      var warcType = ""; var uri = ""; var ctype = ""; var digest = ""
       var declared = -1L
       var headersDone = false
       while (!headersDone && j < s.length) {
@@ -115,6 +117,7 @@ object WarcRecords {
             name match {
               case "warc-type" => warcType = value.toLowerCase
               case "warc-target-uri" => uri = value
+              case "warc-payload-digest" => digest = value
               case "content-type" => ctype = value
               case "content-length" =>
                 declared = try {
@@ -132,7 +135,8 @@ object WarcRecords {
         val avail = s.length - bodyStart
         val take = math.min(math.min(declared, avail.toLong),
           MaxPayload.toLong).toInt
-        out += WarcRecord(i.toLong, warcType, uri, ctype, declared,
+        out += WarcRecord(i.toLong, warcType, uri, ctype, digest,
+          declared,
           java.util.Arrays.copyOfRange(bytes, bodyStart, bodyStart + take),
           truncated = avail < declared || declared > MaxPayload)
         // skip the CRLF CRLF separator; a malformed tail just rescans
@@ -144,7 +148,7 @@ object WarcRecords {
         val next = nextVersionLine(s, bodyStart)
         val end = if (next >= 0) next else s.length
         val take = math.min(end - bodyStart, MaxPayload)
-        out += WarcRecord(i.toLong, warcType, uri, ctype, -1L,
+        out += WarcRecord(i.toLong, warcType, uri, ctype, digest, -1L,
           java.util.Arrays.copyOfRange(bytes, bodyStart, bodyStart + take),
           truncated = true)
         i = next
@@ -172,6 +176,52 @@ object WarcRecords {
       if (i + 1 < s.length && s.charAt(i + 1) == '\n') i + 2 else i + 1
     else if (i < s.length && s.charAt(i) == '\n') i + 1
     else i
+
+  /** Verify a record's declared payload digest against the bytes
+    * actually present: `None` when there is nothing to check (no
+    * digest header, unknown algorithm, or a truncated payload — a
+    * short read is a transfer problem, not a corruption verdict);
+    * `Some(matches)` otherwise. Accepts the `algo:value` convention
+    * with md5/sha1/sha256 in hex, plus sha1 in RFC-4648 base32 — the
+    * CommonCrawl convention (`sha1:<32 base32 chars>`). A dedup that
+    * trusts the header skips this; an ingest that re-verifies calls it
+    * per kept record (one digest pass over bytes already in hand). */
+  def verifyDigest(r: WarcRecord): Option[Boolean] = {
+    if (r == null || r.payloadDigest.isEmpty || r.truncated) return None
+    val colon = r.payloadDigest.indexOf(':')
+    if (colon <= 0) return None
+    val algo = r.payloadDigest.substring(0, colon).toLowerCase match {
+      case "md5" => "MD5"
+      case "sha1" => "SHA-1"
+      case "sha256" => "SHA-256"
+      case _ => return None
+    }
+    val declared = r.payloadDigest.substring(colon + 1)
+    val dg = try java.security.MessageDigest.getInstance(algo)
+      .digest(r.payload)
+    catch { case _: Throwable => return None }
+    val hex = dg.map("%02x".format(_)).mkString
+    if (declared.equalsIgnoreCase(hex)) Some(true)
+    else if (algo == "SHA-1" && declared.length == 32)
+      Some(declared.equalsIgnoreCase(base32(dg)))
+    else Some(false)
+  }
+
+  /** RFC-4648 base32 (no padding needed: 20 sha1 bytes → 32 chars). */
+  private def base32(bytes: Array[Byte]): String = {
+    val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new java.lang.StringBuilder((bytes.length * 8 + 4) / 5)
+    var buf = 0L; var nbits = 0
+    bytes.foreach { b =>
+      buf = (buf << 8) | (b & 0xffL); nbits += 8
+      while (nbits >= 5) {
+        nbits -= 5
+        sb.append(alpha(((buf >> nbits) & 31L).toInt))
+      }
+    }
+    if (nbits > 0) sb.append(alpha(((buf << (5 - nbits)) & 31L).toInt))
+    sb.toString
+  }
 
   /** Unwrap an HTTP message payload: (status, body). Non-HTTP payloads
     * pass through as (-1, payload) — the caller decides; an HTTP head

@@ -3528,6 +3528,13 @@ object TextOps {
       rec(concat(lit("WARC-Type: response\r\n" +
         "WARC-Target-URI: http://example.com/doc/"),
         col("doc_id").cast("string"),
+        // the crawl-dedup key: consecutive doc pairs declare the SAME
+        // payload digest (a re-crawl twin), so the digest-keyed dedup
+        // has real duplicate classes to find; assembled column-wise in
+        // both engines (md5 of the pair key's decimal rendering)
+        lit("\r\nWARC-Payload-Digest: md5:"),
+        md5((col("doc_id") - col("doc_id") % 2).cast("string")
+          .cast("binary")),
         lit("\r\nContent-Type: application/http;msgtype=response\r\n")),
         httpPayload),
       rec(lit("WARC-Type: metadata\r\n" +
@@ -3572,6 +3579,35 @@ object TextOps {
         md5(col("extracted").cast("binary")).as("extracted_fp"))
   }
 
+  /** DIGEST-KEYED CRAWL DEDUP — the container-level exact dedup a web
+    * pipeline runs BEFORE any decode (the CommonCrawl discipline:
+    * response records carry `WARC-Payload-Digest`, and re-crawls of
+    * unchanged pages share it — dedup trusts the header and never
+    * hashes a payload): split the synthesized files, key the response
+    * records on their declared digest, one hash-groupBy. The fixture
+    * plants pair-shared digests (doc 2k and 2k+1 declare the same),
+    * so every duplicate class is predicted by the oracle from the
+    * same arithmetic — a header mis-parse, a dropped record, or a
+    * wrong winner breaks the row set. Scale shape: map-only split +
+    * one partial-aggregated exchange on the digest — exact dedup's
+    * plan one container level up. The verify seam
+    * ([[graft.functions.WarcRecords.verifyDigest]] — md5/sha1/sha256
+    * hex + CommonCrawl sha1-base32) is spec-pinned; this query models
+    * the trust-the-header fast path. */
+  def warcDigestDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    warcDocs(Tables.documents(spark, dir))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (_, warc) =>
+        graft.functions.WarcRecords.split(warc)
+          .filter(_.warcType == "response")
+          .map(r => (r.payloadDigest, r.targetUri))
+      }
+      .toDF("digest", "uri")
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_copies"), min(col("uri")).as("first_uri"))
+  }
+
   /** DIRECTORY-LEVEL WARC INGEST — the production plumbing upstream of
     * [[warcExtract]]'s per-file kernel: a `binaryFile` scan over a
     * directory of `.warc` / `.warc.gz` files (one task per file — the
@@ -3604,6 +3640,7 @@ object TextOps {
     "q_text_stats"     -> textStats _,
     "q_html_extract"   -> htmlExtract _,
     "q_warc_extract"   -> warcExtract _,
+    "q_warc_digest_dedup" -> warcDigestDedup _,
     "q_pdf_extract"    -> pdfExtract _,
     "q_token_estimate" -> tokenEstimate _,
     "q_vocab"          -> vocab _,
@@ -4274,6 +4311,15 @@ object TextOps {
         |  CAST(coalesce(length(a.txt), 0) AS INT) AS n_chars,
         |  coalesce(md5(a.txt), md5('')) AS extracted_fp
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+    // digest classes predicted from the same pair arithmetic the
+    // synthesis plants; first_uri is a pure string min in both engines
+    "q_warc_digest_dedup" ->
+      """SELECT 'md5:' || md5(CAST(doc_id - doc_id % 2 AS VARCHAR))
+        |    AS digest,
+        |  count(*) AS n_copies,
+        |  min('http://example.com/doc/' || CAST(doc_id AS VARCHAR))
+        |    AS first_uri
+        |FROM documents GROUP BY 1""".stripMargin,
     // extraction round-trip: chunking and string escaping are
     // extraction-invariant, so the expected text IS the doc text; one
     // show op per chunk (the TJ array counts once)

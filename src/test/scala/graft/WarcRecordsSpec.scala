@@ -152,6 +152,39 @@ class WarcRecordsSpec extends SparkSpec {
     assert(metaOff > 0L)
   }
 
+  test("digest capture + verify seam: hex algos, CommonCrawl " +
+      "sha1-base32, and the nothing-to-check cases") {
+    def md = java.security.MessageDigest.getInstance(_: String)
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    val payload = "the payload bytes"
+    val md5hex = hex(md("MD5").digest(bytes(payload)))
+    val ok = WarcRecords.split(bytes(rec("response", payload,
+      extra = s"WARC-Payload-Digest: md5:$md5hex\r\n"))).head
+    assert(ok.payloadDigest == s"md5:$md5hex")
+    assert(WarcRecords.verifyDigest(ok).contains(true))
+    val bad = ok.copy(payloadDigest = "md5:" + ("0" * 32))
+    assert(WarcRecords.verifyDigest(bad).contains(false))
+    // CommonCrawl convention: sha1 rendered base32 (32 chars, RFC 4648)
+    val sha1 = md("SHA-1").digest(bytes(payload))
+    val b32 = {
+      val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+      val bits = sha1.flatMap(b =>
+        (7 to 0 by -1).map(i => (b >> i) & 1))
+      bits.grouped(5).map(g =>
+        alpha(g.foldLeft(0)((a, x) => (a << 1) | x))).mkString
+    }
+    assert(b32.length == 32)
+    val cc = ok.copy(payloadDigest = s"sha1:$b32")
+    assert(WarcRecords.verifyDigest(cc).contains(true))
+    assert(WarcRecords.verifyDigest(
+      ok.copy(payloadDigest = s"sha1:${hex(sha1)}")).contains(true))
+    // nothing-to-check: no digest, unknown algo, truncated payload
+    assert(WarcRecords.verifyDigest(ok.copy(payloadDigest = "")).isEmpty)
+    assert(WarcRecords.verifyDigest(
+      ok.copy(payloadDigest = "blake3:aa")).isEmpty)
+    assert(WarcRecords.verifyDigest(ok.copy(truncated = true)).isEmpty)
+  }
+
   test("httpBody: status + body; CRLF and LF header terminators") {
     val (s1, b1) = WarcRecords.httpBody(
       bytes("HTTP/1.1 404 Not Found\r\nX: y\r\n\r\nbody"))
