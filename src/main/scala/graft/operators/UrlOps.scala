@@ -99,16 +99,32 @@ object UrlOps {
     regexp_replace(regexp_extract(rest(url), "^[^/?#]+([^?#]*)", 1),
       "/$", "")
 
-  /** Query string with tracking parameters dropped, order preserved. */
+  /** Query string with tracking parameters dropped, order preserved.
+    *
+    * Pure regexp surgery (r17 — replaces the lambda `filter`, whose
+    * HOF predicate never codegens and evaluated its child tree
+    * interpreted): pad the query with `&` sentinels, then one global
+    * replace removes every `&` that introduces a tracking segment OR
+    * an empty segment — the `(?=&)` lookahead leaves the next
+    * boundary in place so consecutive dropped segments collapse in a
+    * single pass — and a final trim strips the sentinel boundary `&`s.
+    * Segment-name semantics are [[TrackingParams]]' exactly (`utm_*`,
+    * `ref`, `fbclid`, `gclid`, name-anchored, with or without a
+    * value); the DuckDB oracle keeps its independent `list_filter`
+    * formulation, so the gate re-proves the equivalence on every
+    * fixture variant. */
   private def keptQuery(url: Column): Column =
-    array_join(filter(
-      split(regexp_extract(url, "^[^?#]*\\?([^#]*)", 1), "&"),
-      x => !(x.rlike(TrackingParams)) && x =!= ""), "&")
+    regexp_replace(
+      regexp_replace(
+        concat(lit("&"),
+          regexp_extract(url, "^[^?#]*\\?([^#]*)", 1), lit("&")),
+        "&(?:(?:utm_[^=&]*|ref|fbclid|gclid)(?:=[^&]*)?)?(?=&)", ""),
+      "^&+|&+$", "")
 
-  /** The full canonical URL. The query-string arm references the
-    * (interpreted, lambda-filtered) [[keptQuery]] exactly ONCE —
-    * `nullif(concat("?", kept), "?")` folds the empty case without a
-    * second evaluation the CASE form would pay. */
+  /** The full canonical URL. The query-string arm references
+    * [[keptQuery]] exactly ONCE — `nullif(concat("?", kept), "?")`
+    * folds the empty case without a second evaluation the CASE form
+    * would pay. */
   def canonicalUrl(url: Column): Column =
     concat(lit("https://"), canonicalHost(url), canonicalPath(url),
       coalesce(nullif(concat(lit("?"), keptQuery(url)), lit("?")),
