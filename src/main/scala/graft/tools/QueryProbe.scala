@@ -7,6 +7,16 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.tools.QueryProbe <sfDir> [--explain] q1 q2 ...
   */
 object QueryProbe {
+  /** The `_hot` fixture relation (every even user folds onto id 0). */
+  private def hotEvents(s: SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables.events(s, d)
+      .select(expr("CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END")
+        .as("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val explain = args.contains("--explain")
@@ -25,7 +35,16 @@ object QueryProbe {
     val extras: Map[String, (SparkSession, String) =>
         org.apache.spark.sql.DataFrame] = Map(
       "x_hubness_auto" -> ((s, d) => graft.operators.VectorOps.hubnessAuto(s, d)),
-      "x_semdedup_auto" -> ((s, d) => graft.operators.DedupOps.semDedupAuto(s, d)))
+      "x_semdedup_auto" -> ((s, d) => graft.operators.DedupOps.semDedupAuto(s, d)),
+      // plain-vs-salted A/B on the HOT-KEY remap — measures the salted
+      // decomposition's payoff in the regime it exists for (the auto
+      // queries only ever run ONE branch, so the loser is otherwise
+      // never timed on skewed data)
+      "x_sessionize_hot_plain" -> ((s, d) =>
+        graft.operators.ReconOps.sessionizeOf(hotEvents(s, d))),
+      "x_sessionize_hot_salted" -> ((s, d) =>
+        graft.operators.ReconOps.sessionizeSaltedOf(hotEvents(s, d),
+          graft.operators.ReconOps.AsofSaltBucketUs)))
     names.foreach { name =>
       val fn = graft.SparkEntry.queries.getOrElse(name, extras(name))
       if (explain) fn(spark, sfDir).explain("formatted")
