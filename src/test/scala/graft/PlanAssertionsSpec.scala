@@ -539,6 +539,17 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"keyed, never cartesian:\n$p")
   }
 
+  test("warc family: extract is map-only; digest dedup pays ONE exchange") {
+    val pe = plan("q_warc_extract")
+    assert(!pe.contains("Exchange") && !pe.contains("Join"),
+      s"warc extract is kernel-chain map-only:\n$pe")
+    val pd = plan("q_warc_digest_dedup")
+    assert(pd.contains("partial_count") || pd.contains("partial"),
+      s"digest dedup must combine map-side:\n$pd")
+    assert(!pd.contains("Join") && !pd.contains("CartesianProduct"),
+      s"digest dedup is one groupBy, never a join:\n$pd")
+  }
+
   test("skew auto cutover: natural data plans PLAIN, hot fixture SALTED") {
     // The salted decompositions window on (user_id, bkt)/(key, __bkt);
     // the plain forms never materialize a bucket column — its presence
