@@ -614,7 +614,7 @@ object ReconOps {
     * bot/device regime the salted plans exist for, derived
     * deterministically from the standard table so DuckDB renders the
     * identical relation. */
-  private val HotUidSql =
+  private[graft] val HotUidSql =
     "CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END"
 
   /** Declared auto sessionization over the hot-key remap — trips the

@@ -12,8 +12,7 @@ object QueryProbe {
       d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     graft.sources.Tables.events(s, d)
-      .select(expr("CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END")
-        .as("user_id"),
+      .select(expr(graft.operators.ReconOps.HotUidSql).as("user_id"),
         unix_micros(col("ts")).as("us"), col("event_id"))
   }
 
