@@ -54,12 +54,15 @@ object WarcRecords {
   /** One record: stream offset of its version line (post-gunzip),
     * lowercased WARC-Type ("" if absent), target URI, content type,
     * the declared WARC-Payload-Digest ("" if absent — the header a
-    * crawl-level dedup keys on), declared Content-Length (-1 if
-    * missing/invalid), the payload bytes actually present
-    * (≤ [[MaxPayload]]), and whether the payload is incomplete (short
-    * file, bad length, or cap hit). */
+    * crawl-level dedup keys on), WARC-Record-ID and
+    * WARC-Concurrent-To (angle brackets stripped; "" if absent — the
+    * pair of headers request↔response pairing joins on), declared
+    * Content-Length (-1 if missing/invalid), the payload bytes
+    * actually present (≤ [[MaxPayload]]), and whether the payload is
+    * incomplete (short file, bad length, or cap hit). */
   final case class WarcRecord(offset: Long, warcType: String,
       targetUri: String, contentType: String, payloadDigest: String,
+      recordId: String, concurrentTo: String,
       declaredLength: Long, payload: Array[Byte], truncated: Boolean)
 
   /** Total function over untrusted bytes — never throws. */
@@ -103,6 +106,7 @@ object WarcRecords {
       // headers: Name: value lines up to the first empty line
       var j = skipEol(s, eol)
       var warcType = ""; var uri = ""; var ctype = ""; var digest = ""
+      var recId = ""; var concTo = ""
       var declared = -1L
       var headersDone = false
       while (!headersDone && j < s.length) {
@@ -118,6 +122,8 @@ object WarcRecords {
               case "warc-type" => warcType = value.toLowerCase
               case "warc-target-uri" => uri = value
               case "warc-payload-digest" => digest = value
+              case "warc-record-id" => recId = stripAngles(value)
+              case "warc-concurrent-to" => concTo = stripAngles(value)
               case "content-type" => ctype = value
               case "content-length" =>
                 declared = try {
@@ -136,7 +142,7 @@ object WarcRecords {
         val take = math.min(math.min(declared, avail.toLong),
           MaxPayload.toLong).toInt
         out += WarcRecord(i.toLong, warcType, uri, ctype, digest,
-          declared,
+          recId, concTo, declared,
           java.util.Arrays.copyOfRange(bytes, bodyStart, bodyStart + take),
           truncated = avail < declared || declared > MaxPayload)
         // skip the CRLF CRLF separator; a malformed tail just rescans
@@ -148,7 +154,8 @@ object WarcRecords {
         val next = nextVersionLine(s, bodyStart)
         val end = if (next >= 0) next else s.length
         val take = math.min(end - bodyStart, MaxPayload)
-        out += WarcRecord(i.toLong, warcType, uri, ctype, digest, -1L,
+        out += WarcRecord(i.toLong, warcType, uri, ctype, digest,
+          recId, concTo, -1L,
           java.util.Arrays.copyOfRange(bytes, bodyStart, bodyStart + take),
           truncated = true)
         i = next
@@ -156,6 +163,14 @@ object WarcRecords {
     }
     out.toSeq
   }
+
+  /** Record ids conventionally render as `<urn:uuid:…>` — strip the
+    * angle brackets so ids and `WARC-Concurrent-To` references compare
+    * equal whether or not a writer bracketed them. */
+  private def stripAngles(v: String): String =
+    if (v.length >= 2 && v.charAt(0) == '<' &&
+        v.charAt(v.length - 1) == '>') v.substring(1, v.length - 1)
+    else v
 
   /** Index of the next `WARC/` at line start, at or after `from`. */
   private def nextVersionLine(s: String, from: Int): Int = {

@@ -3522,12 +3522,24 @@ object TextOps {
     val meta = concat(lit("fetchTimeMs: "),
       (col("doc_id") % 1000).cast("string"))
     val info = lit("software: graft\r\nformat: WARC File Format 1.0")
+    val did = col("doc_id").cast("string")
+    // a request record precedes its response and references it by
+    // WARC-Concurrent-To — the crawl convention the pairing query
+    // joins on (wayback-style indexing); record ids embed the doc id
+    // so both engines predict the join result from arithmetic
+    val requestPayload = concat(lit("GET /docs/"), did,
+      lit(" HTTP/1.1\r\nHost: example.com\r\n\r\n"))
     htmlDocs(docs).select(col("doc_id"), concat(
       rec(lit("WARC-Type: warcinfo\r\n" +
         "Content-Type: application/warc-fields\r\n"), info),
+      rec(concat(lit("WARC-Type: request\r\n" +
+        "WARC-Record-ID: <urn:uuid:req-"), did,
+        lit(">\r\nWARC-Concurrent-To: <urn:uuid:resp-"), did,
+        lit(">\r\nContent-Type: application/http;msgtype=request\r\n")),
+        requestPayload),
       rec(concat(lit("WARC-Type: response\r\n" +
-        "WARC-Target-URI: http://example.com/doc/"),
-        col("doc_id").cast("string"),
+        "WARC-Record-ID: <urn:uuid:resp-"), did,
+        lit(">\r\nWARC-Target-URI: http://example.com/doc/"), did,
         // the crawl-dedup key: consecutive doc pairs declare the SAME
         // payload digest (a re-crawl twin), so the digest-keyed dedup
         // has real duplicate classes to find; assembled column-wise in
@@ -3608,6 +3620,51 @@ object TextOps {
       .agg(count(lit(1)).as("n_copies"), min(col("uri")).as("first_uri"))
   }
 
+  /** REQUEST↔RESPONSE PAIRING — the crawl-level twin of the
+    * reference's notify↔payload pairing (S3): a request record names
+    * its response via `WARC-Concurrent-To`, and wayback-style
+    * indexing joins the two to attach the fetch context (verb,
+    * request headers) to the payload. Split both relations out of the
+    * container, then ONE equi-join on the referenced record id —
+    * record ids are globally unique, so at 100 TB this is a plain
+    * key-partitioned shuffle join (both sides derive from the same
+    * map-only split; no window, no skew — ids are unique by
+    * construction). The fixture's planted ids make every pair
+    * predictable from doc_id arithmetic in both engines. */
+  def warcPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val recs = warcDocs(Tables.documents(spark, dir))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (_, warc) =>
+        graft.functions.WarcRecords.split(warc).map { r =>
+          val status =
+            if (r.warcType == "response")
+              graft.functions.WarcRecords.httpBody(r.payload)._1
+            else -1
+          val verb =
+            if (r.warcType == "request") {
+              val s = new String(r.payload,
+                java.nio.charset.StandardCharsets.ISO_8859_1)
+              val sp = s.indexOf(' ')
+              if (sp > 0) s.substring(0, sp) else ""
+            } else ""
+          (r.warcType, r.recordId, r.concurrentTo, r.targetUri,
+            status, verb)
+        }
+      }
+      .toDF("warc_type", "record_id", "concurrent_to", "uri",
+        "status", "verb")
+    val requests = recs.where(col("warc_type") === "request")
+      .select(col("record_id").as("req_id"),
+        col("concurrent_to").as("resp_ref"), col("verb"))
+    val responses = recs.where(col("warc_type") === "response")
+      .select(col("record_id").as("resp_id"), col("uri"),
+        col("status").as("http_status"))
+    requests.join(responses, col("resp_ref") === col("resp_id"))
+      .select(col("req_id"), col("resp_id"), col("verb"), col("uri"),
+        col("http_status"))
+  }
+
   /** DIRECTORY-LEVEL WARC INGEST — the production plumbing upstream of
     * [[warcExtract]]'s per-file kernel: a `binaryFile` scan over a
     * directory of `.warc` / `.warc.gz` files (one task per file — the
@@ -3641,6 +3698,7 @@ object TextOps {
     "q_html_extract"   -> htmlExtract _,
     "q_warc_extract"   -> warcExtract _,
     "q_warc_digest_dedup" -> warcDigestDedup _,
+    "q_warc_pairs"     -> warcPairs _,
     "q_pdf_extract"    -> pdfExtract _,
     "q_token_estimate" -> tokenEstimate _,
     "q_vocab"          -> vocab _,
@@ -4303,7 +4361,7 @@ object TextOps {
     // shared fingerprint
     "q_warc_extract" ->
       s"""WITH $htmlAggCte
-        |SELECT d.doc_id, 3 AS n_records, 1 AS n_response,
+        |SELECT d.doc_id, 4 AS n_records, 1 AS n_response,
         |  200 AS http_status,
         |  CAST(13 + length(CAST(d.doc_id % 1000 AS VARCHAR)) AS BIGINT)
         |    AS meta_len,
@@ -4320,6 +4378,14 @@ object TextOps {
         |  min('http://example.com/doc/' || CAST(doc_id AS VARCHAR))
         |    AS first_uri
         |FROM documents GROUP BY 1""".stripMargin,
+    // every planted pair predicted from doc_id arithmetic
+    "q_warc_pairs" ->
+      """SELECT 'urn:uuid:req-' || CAST(doc_id AS VARCHAR) AS req_id,
+        |  'urn:uuid:resp-' || CAST(doc_id AS VARCHAR) AS resp_id,
+        |  'GET' AS verb,
+        |  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        |  200 AS http_status
+        |FROM documents""".stripMargin,
     // extraction round-trip: chunking and string escaping are
     // extraction-invariant, so the expected text IS the doc text; one
     // show op per chunk (the TJ array counts once)

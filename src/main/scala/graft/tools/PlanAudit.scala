@@ -189,6 +189,7 @@ object PlanAudit {
     "q_asof_auto_hot" -> "skew-census dispatch, SALTED branch: per-(key, bucket) running-last + FILTER'd per-bucket argmax summaries + carry window, matched = coalesce(local, carry)",
     "q_warc_extract" -> "WARC ingest: column-synthesized 3-record files -> map-only record-split + HTTP-unwrap + HTML-extract kernel chain — zero exchanges before the final projection",
     "q_warc_digest_dedup" -> "crawl-level exact dedup: map-only record split, then ONE partial-aggregated exchange on the declared payload digest — no payload ever hashed or compared",
+    "q_warc_pairs" -> "request<->response pairing: one split pass feeds both filtered relations, one equi-join on the globally-unique WARC-Concurrent-To reference — key-partitioned, no window",
   )
 
   def main(args: Array[String]): Unit = {
