@@ -72,7 +72,22 @@ object HtmlText {
 
   /** Extract visible text from HTML per the rules above. Total-function:
     * never throws on malformed input. */
-  def extract(html: String): String = {
+  def extract(html: String): String = run(html, null)
+
+  /** [[extract]] plus the OUTLINKS: the `href` value of every `<a>`
+    * open tag OUTSIDE dropped subtrees (a nav/footer/script anchor is
+    * boilerplate — the same scope the link-density rule already walks),
+    * in document order, entities decoded, duplicates kept (edge weights
+    * count them). The walker was already visiting every anchor for the
+    * link-density census; this keeps the hrefs instead of discarding
+    * them — the relation a content-derived link graph
+    * ([[graft.operators.GraphOps]]) aggregates. */
+  def extractWithLinks(html: String): (String, Seq[String]) = {
+    val links = ArrayBuffer.empty[String]
+    (run(html, links), links.toSeq)
+  }
+
+  private def run(html: String, links: ArrayBuffer[String]): String = {
     val s = Option(html).getOrElse("")
     val lines = ArrayBuffer.empty[String]
     val buf = new java.lang.StringBuilder(64)
@@ -127,7 +142,12 @@ object HtmlText {
                 if (BlockTags(name)) flush()
                 else if (name == "a") {
                   if (closing) anchorDepth = math.max(0, anchorDepth - 1)
-                  else { anchors += 1; anchorDepth += 1 }
+                  else {
+                    anchors += 1; anchorDepth += 1
+                    if (links != null)
+                      attrValue(inner, "href")
+                        .foreach(v => links += decodeEntities(v))
+                  }
                 }
               }
             }
@@ -157,6 +177,65 @@ object HtmlText {
     }
     flush()
     lines.mkString("\n")
+  }
+
+  /** Value of the first `attr` attribute in a tag body (the text
+    * between `<` and `>`): a proper forward attribute scan — skip the
+    * tag name, then walk `name [= value]` sections with quoted or bare
+    * values — so `data-href` never matches `href` and an `href=` inside
+    * another attribute's quoted VALUE is never mistaken for the
+    * attribute (the failure modes of a substring search). None for a
+    * missing attribute or a valueless one (`<a href>`). */
+  private[graft] def attrValue(tagBody: String, attr: String): Option[String] = {
+    val n = tagBody.length
+    var i = 0
+    // tag name ends at whitespace OR '/' (HTML treats `<a/href=x>` as
+    // a solidus-separated attribute, not part of the name)
+    while (i < n && !Character.isWhitespace(tagBody.charAt(i)) &&
+      tagBody.charAt(i) != '/') i += 1
+    while (i < n) {
+      while (i < n && (Character.isWhitespace(tagBody.charAt(i)) ||
+        tagBody.charAt(i) == '/')) i += 1
+      if (i >= n) return None
+      val ns = i
+      while (i < n && !Character.isWhitespace(tagBody.charAt(i)) &&
+        tagBody.charAt(i) != '=' && tagBody.charAt(i) != '/') i += 1
+      val name = tagBody.substring(ns, i)
+      while (i < n && Character.isWhitespace(tagBody.charAt(i))) i += 1
+      var value: String = null
+      if (i < n && tagBody.charAt(i) == '=') {
+        i += 1
+        while (i < n && Character.isWhitespace(tagBody.charAt(i))) i += 1
+        if (i < n && (tagBody.charAt(i) == '"' || tagBody.charAt(i) == '\'')) {
+          val q = tagBody.charAt(i)
+          val e = tagBody.indexOf(q, i + 1)
+          if (e < 0) { value = tagBody.substring(i + 1); i = n }
+          else { value = tagBody.substring(i + 1, e); i = e + 1 }
+        } else {
+          val vs = i
+          while (i < n && !Character.isWhitespace(tagBody.charAt(i))) i += 1
+          value = tagBody.substring(vs, i)
+        }
+      }
+      if (name.equalsIgnoreCase(attr)) return Option(value)
+    }
+    None
+  }
+
+  /** Entity-decode an attribute value (`?a=1&amp;b=2` carries its `&`
+    * as an entity in conforming markup) — the same [[entity]] rules as
+    * text content. */
+  private def decodeEntities(v: String): String = {
+    if (v.indexOf('&') < 0) return v
+    val sb = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      if (v.charAt(i) == '&') {
+        val (decoded, next) = entity(v, i)
+        sb.append(decoded); i = next
+      } else { sb.append(v.charAt(i)); i += 1 }
+    }
+    sb.toString
   }
 
   /** Index of the tag-closing '>' at/after `from`, skipping quoted

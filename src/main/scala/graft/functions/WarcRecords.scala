@@ -42,8 +42,12 @@ import scala.collection.mutable.ArrayBuffer
   * capped at [[MaxRecords]]; total function — never throws. */
 object WarcRecords {
 
-  /** Records walked per file (cap, not a truncation on real files). */
-  val MaxRecords = 4096
+  /** Records walked per file. Real CommonCrawl WARCs carry ~100k
+    * records per ~1 GB file, so the cap sits above that; a file that
+    * still hits it surfaces the loss through [[splitCapped]]'s flag
+    * (and `cap_hit` in the directory scan) rather than silently
+    * shortening downstream dedup classes and pair counts. */
+  val MaxRecords = 1 << 18
 
   /** Per-record payload bytes retained (hostile-length guard). */
   val MaxPayload = 1 << 22
@@ -66,23 +70,32 @@ object WarcRecords {
       declaredLength: Long, payload: Array[Byte], truncated: Boolean)
 
   /** Total function over untrusted bytes — never throws. */
-  def split(bytes: Array[Byte]): Seq[WarcRecord] = {
-    if (bytes == null || bytes.length == 0) return Nil
+  def split(bytes: Array[Byte]): Seq[WarcRecord] = splitCapped(bytes)._1
+
+  /** [[split]] plus a cap-hit flag: true when the walk stopped at
+    * [[MaxRecords]] with more record boundaries remaining — the signal
+    * directory-scale ingest needs to detect (and quarantine) a file
+    * whose tail was not walked, instead of under-counting silently. */
+  def splitCapped(bytes: Array[Byte]): (Seq[WarcRecord], Boolean) = {
+    if (bytes == null || bytes.length == 0) return (Nil, false)
     try {
       val raw =
         if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
             (bytes(1) & 0xff) == 0x8b) gunzipCapped(bytes)
         else bytes
       walk(raw)
-    } catch { case _: Throwable => Nil }
+    } catch { case _: Throwable => (Nil, false) }
   }
 
   private def gunzipCapped(bytes: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(bytes))
+    // Long math: `bytes.length * 4 + 64` overflows Int past ~512 MB
+    // input (the conventional ~1 GB .warc.gz), which would throw in
+    // the constructor and silently zero out the whole file.
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(bytes.length.toLong * 4 + 64, MaxInflate.toLong).toInt)
     try {
-      val out = new java.io.ByteArrayOutputStream(
-        math.min(bytes.length * 4 + 64, MaxInflate))
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n > 0 && out.size() < MaxInflate) {
@@ -91,12 +104,13 @@ object WarcRecords {
       }
       out.toByteArray
     } catch {
-      // a torn trailing member still yields everything read so far
-      case _: java.io.IOException => Array.emptyByteArray
+      // a torn/corrupt member still yields everything read so far —
+      // `out` lives outside the try so prior members are kept
+      case _: java.io.IOException => out.toByteArray
     } finally in.close()
   }
 
-  private def walk(bytes: Array[Byte]): Seq[WarcRecord] = {
+  private def walk(bytes: Array[Byte]): (Seq[WarcRecord], Boolean) = {
     // byte-faithful view for scanning (ISO-8859-1: byte <-> char)
     val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     val out = ArrayBuffer.empty[WarcRecord]
@@ -161,7 +175,7 @@ object WarcRecords {
         i = next
       }
     }
-    out.toSeq
+    (out.toSeq, i >= 0 && out.size >= MaxRecords)
   }
 
   /** Record ids conventionally render as `<urn:uuid:…>` — strip the

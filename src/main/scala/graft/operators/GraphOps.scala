@@ -333,6 +333,95 @@ object GraphOps {
         coalesce(col("in_w"), lit(0L)).as("in_w"))
   }
 
+  // ------------------------------------------------------------------
+  // content-derived edges (VERDICT r17 item 1): the graph PARSED out of
+  // real HTML bytes instead of synthesized from arithmetic
+  // ------------------------------------------------------------------
+
+  /** The corpus as REAL HTML pages with a PLANTED CONTENT OUTLINK: each
+    * doc's [[TextOps.htmlDocs]] page (nav, link farm, relative anchors
+    * and all) gains one absolute `<a href>` whose target domain is the
+    * exact `(rk + 1 + doc_id % (n-1)) % n` arithmetic the synthetic
+    * edge list uses — so the graph PARSED from the markup must equal
+    * the graph PREDICTED from the math (the q_html_extract discipline:
+    * DuckDB derives the edge set from planted arithmetic while Spark
+    * walks the bytes; a walker that misses the anchor, mis-scans the
+    * href attribute, skips the `&amp;` entity in its query string, or
+    * leaks a relative/boilerplate link breaks the row set). The target
+    * host is planted `www.`-prefixed with a tracking-free query so the
+    * [[UrlOps.canonicalHost]] fold is genuinely exercised. */
+  private[graft] def linkedPages(spark: SparkSession, dir: String,
+      rk: DataFrame): DataFrame = {
+    val nn = rk.agg(count(lit(1)).as("n"))
+    val tgt = rk.select(col("rk").as("t_rk"), col("source").as("t_host"))
+    val docs = docsWithDomain(spark, dir)
+      .join(broadcast(rk), "source")
+      .crossJoin(broadcast(nn))
+      .withColumn("t_rk",
+        expr("(rk + 1 + (doc_id % greatest(n - 1, 1))) % n"))
+      .join(broadcast(tgt), "t_rk")
+    TextOps.htmlDocs(docs, extra = concat(
+      lit("<div class=\"refs\"><a href=\"https://www."), col("t_host"),
+      lit("/ref?id="), col("doc_id").cast("string"),
+      lit("&amp;s=1\">source</a></div>")), keep = Seq("source"))
+  }
+
+  /** Content-derived weighted edges (s, t, w) in rank space: walk every
+    * page with the real [[graft.functions.HtmlText]] extractor (hrefs
+    * kept — map-only, the same pass boilerplate removal already pays),
+    * keep absolute links only (relative nav/farm anchors address the
+    * SAME site — no edge), fold each target through
+    * [[UrlOps.canonicalHost]], and aggregate under the registry.
+    * Identical plan shape to [[domainEdgesOf]]: one doc scan →
+    * ≤|domains|² rows; hosts absent from the registry drop at the
+    * broadcast join (none here — targets are planted registry
+    * members). */
+  private[graft] def contentEdges(spark: SparkSession, dir: String,
+      rk: DataFrame): DataFrame = {
+    import spark.implicits._
+    linkedPages(spark, dir, rk)
+      .select(col("source"), col("html")).as[(String, String)]
+      .flatMap { case (src, html) =>
+        graft.functions.HtmlText.extractWithLinks(html)._2.iterator
+          .filter { h =>
+            val l = h.toLowerCase
+            l.startsWith("http://") || l.startsWith("https://")
+          }
+          .map(h => (src, h))
+      }
+      .toDF("source", "href")
+      .withColumn("t_host", UrlOps.canonicalHost(col("href")))
+      .join(broadcast(rk), "source")
+      .join(broadcast(rk.select(col("source").as("th"), col("rk").as("t"))),
+        col("t_host") === col("th"))
+      .groupBy(col("rk").as("s"), col("t"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** CONTENT-DERIVED LINK GRAPH — (src, dst, n_links) parsed from the
+    * HTML: the [[linkGraph]] row set rebuilt from bytes. The oracle is
+    * the synthetic edge SQL verbatim — two genuinely independent
+    * derivations of the same graph. */
+  def linkGraphContent(spark: SparkSession, dir: String): DataFrame = {
+    val rk = srcRanks(spark, dir)
+    contentEdges(spark, dir, rk)
+      .join(broadcast(rk.select(col("source").as("src"), col("rk").as("s"))), "s")
+      .join(broadcast(rk.select(col("source").as("dst"), col("rk").as("t"))), "t")
+      .select(col("src"), col("dst"), col("w").as("n_links"))
+  }
+
+  /** PAGERANK OVER CONTENT-DERIVED EDGES — the authority family run on
+    * the graph parsed out of the markup (the production shape: a crawl
+    * has no planted arithmetic, only bytes). Same [[rankItersFrom]]
+    * core, same integer recurrence, oracled against the synthetic
+    * PageRank SQL. */
+  def pageRankContent(spark: SparkSession, dir: String): DataFrame = {
+    val rk = srcRanks(spark, dir)
+    rankItersFrom(contentEdges(spark, dir, rk), rk)
+      .join(broadcast(rk), col("node") === col("rk"))
+      .select(col("source"), col("r").as("rank_u"))
+  }
+
   /** Docs the authority-weighted sampler targets overall. */
   val SampleTarget = 2000L
 
@@ -384,7 +473,9 @@ object GraphOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_link_graph" -> (linkGraph(_, _)),
+    "q_link_graph_content" -> (linkGraphContent(_, _)),
     "q_pagerank" -> (pageRank(_, _)),
+    "q_pagerank_content" -> (pageRankContent(_, _)),
     "q_pagerank_seeded" -> (pageRankSeeded(_, _)),
     "q_link_reciprocity" -> (linkReciprocity(_, _)),
     "q_authority_quota" -> (authorityQuota(_, _)),
@@ -465,7 +556,21 @@ object GraphOps {
          |SELECT s.source AS src, t.source AS dst, CAST(e.w AS BIGINT) AS n_links
          |FROM e JOIN rk s ON e.s = s.rk JOIN rk t ON e.t = t.rk
          |""".stripMargin,
+    // the content twin's oracle IS the synthetic edge SQL: DuckDB
+    // predicts the edge set from the planted arithmetic while Spark
+    // parses it out of the HTML bytes — two independent derivations
+    "q_link_graph_content" ->
+      s"""WITH $baseCtes
+         |SELECT s.source AS src, t.source AS dst, CAST(e.w AS BIGINT) AS n_links
+         |FROM e JOIN rk s ON e.s = s.rk JOIN rk t ON e.t = t.rk
+         |""".stripMargin,
     "q_pagerank" ->
+      s"""WITH $baseCtes,
+         |$rankCtes
+         |SELECT rk.source, r$Iters.r AS rank_u
+         |FROM r$Iters JOIN rk ON r$Iters.rk = rk.rk
+         |""".stripMargin,
+    "q_pagerank_content" ->
       s"""WITH $baseCtes,
          |$rankCtes
          |SELECT rk.source, r$Iters.r AS rank_u

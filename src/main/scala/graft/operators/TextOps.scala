@@ -809,10 +809,14 @@ object TextOps {
   private[graft] def uniFertilityOf(docs: DataFrame,
       cost: Map[String, Long]): DataFrame =
     uniSegments(uniWords(docs), cost)
-      .agg(sum(col("cnt")).as("n_words"),
-        sum(col("cnt") * size(col("pieces"))).as("n_pieces"),
-        sum(col("cnt") *
-          size(filter(col("pieces"), p => length(p) === 1)))
+      // coalesce(…, 0): an EMPTY batch's ungrouped sums are null, which
+      // would make the drift monitor's fertility/alarm columns null —
+      // a zero census row keeps the gate row well-typed (ADVICE r17)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_words"),
+        coalesce(sum(col("cnt") * size(col("pieces"))), lit(0L))
+          .as("n_pieces"),
+        coalesce(sum(col("cnt") *
+          size(filter(col("pieces"), p => length(p) === 1))), lit(0L))
           .as("n_char_pieces"))
 
   /** TRAINING-CORPUS TOKENIZER CARD served from the stored artifact —
@@ -3368,8 +3372,13 @@ object TextOps {
     * details" — 1 anchor, must be KEPT) and 10-token paragraphs (first
     * token wrapped in `&quot;`) are the content it must keep, entities
     * decoded. The corpus is ASCII with no `&<>"` (probed), so planted
-    * tags/entities are the only markup. */
-  private[operators] def htmlDocs(docs: DataFrame): DataFrame = {
+    * tags/entities are the only markup. `extra` (default: empty —
+    * existing fixtures stay byte-identical) is appended between the
+    * link-farm div and the footer: the seam [[GraphOps]]'s
+    * content-link fixture plants its outlink anchors through; `keep`
+    * names input columns to carry through beside (doc_id, html). */
+  private[operators] def htmlDocs(docs: DataFrame,
+      extra: Column = lit(""), keep: Seq[String] = Nil): DataFrame = {
     // guarded: sequence(0, nP-1) would DESCEND for nP = 0 (docs of ≤ 5
     // tokens — absent from this corpus, but the guard keeps the
     // synthesis total); CaseWhen branches evaluate lazily
@@ -3382,7 +3391,7 @@ object TextOps {
         lit("</p>"))), "")).otherwise(lit(""))
     docs
       .withColumn("w", filter(split(col("text"), " "), t => t =!= ""))
-      .select(col("doc_id"), concat(
+      .select(col("doc_id") +: keep.map(col) :+ concat(
         lit("<html><head><title>t</title><script type=\"text/javascript\">" +
           "var s = \""),
         array_join(slice(col("w"), 1, 2), " "),
@@ -3394,8 +3403,9 @@ object TextOps {
         lit("</a> for details</p>"),
         paras,
         lit("<div><a href=\"/m\">more</a> <a href=\"/l\">links</a> " +
-          "<a href=\"/r\">related</a></div>" +
-          "<footer>(c) 2026 corp</footer></body></html>")).as("html"))
+          "<a href=\"/r\">related</a></div>"),
+        extra,
+        lit("<footer>(c) 2026 corp</footer></body></html>")).as("html"): _*)
   }
 
   /** ORACLED extraction over the synthesized pages: the real
@@ -3684,13 +3694,19 @@ object TextOps {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        graft.functions.WarcRecords.split(bytes).map { r =>
+        // splitCapped: a file that hits the record cap marks every
+        // surfaced row cap_hit so directory-scale counts (dedup
+        // classes, pairs) can detect — and quarantine — the loss
+        val (recs, capped) =
+          graft.functions.WarcRecords.splitCapped(bytes)
+        recs.map { r =>
           (path, r.offset, r.warcType, r.targetUri, r.contentType,
-            r.declaredLength, r.payload, r.truncated)
+            r.declaredLength, r.payload, r.truncated, capped)
         }
       }
       .toDF("path", "offset", "warc_type", "target_uri",
-        "content_type", "declared_length", "payload", "truncated")
+        "content_type", "declared_length", "payload", "truncated",
+        "cap_hit")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

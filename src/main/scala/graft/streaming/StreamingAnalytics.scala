@@ -1730,7 +1730,17 @@ object StreamingAnalytics {
     * keep their monotone batch-id guards, so a foreachBatch caller
     * maps its micro-batch id `b` to `foldId = 2*b,
     * requeueId = 2*b + 1` — monotone in `b`, and the guards only need
-    * monotonicity, not density. */
+    * monotonicity, not density.
+    *
+    * Driver-cost contract (100 TB operator note): beyond the two
+    * folds, a DISCOVERING batch pays two extra driver-blocking jobs —
+    * `addedByThis.isEmpty` over the registry delta (bounded by the
+    * number of domains this one batch registered, typically a handful
+    * of rows; a non-discovering batch pays only this probe over an
+    * empty frame) and `requeue.count()` over the re-queued rows
+    * (bounded by the batch's own unregistered-domain docs, ≤ one
+    * micro-batch). Both are required by the return contract and never
+    * scale with corpus or graph size. */
   def foldWithDiscovery(batch: DataFrame, dir: String, foldId: Long,
       requeueId: Long): (Long, Long) = {
     require(requeueId > foldId,

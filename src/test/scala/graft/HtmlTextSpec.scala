@@ -109,6 +109,40 @@ class HtmlTextSpec extends SparkSpec {
     assert(extract("plain text, no markup") == "plain text, no markup")
   }
 
+  test("extractWithLinks: hrefs kept in order, entities decoded, " +
+      "boilerplate anchors excluded, text identical to extract") {
+    val html = "<html><head><script>var a='<a href=\"/fake\">';</script>" +
+      "</head><body><nav><a href=\"/nav\">n</a></nav>" +
+      "<p>see <a href=\"https://a.example/x?p=1&amp;q=2\">one</a> and " +
+      "<a href='//proto-rel'>two</a> and <a href=/bare>three</a></p>" +
+      "<div><a href=\"https://b.example/y\">four</a> " +
+      "<a data-href=\"https://decoy.example\">five</a> <a>six</a></div>" +
+      "<footer><a href=\"/legal\">l</a></footer></body></html>"
+    val (text, links) = graft.functions.HtmlText.extractWithLinks(html)
+    assert(text == extract(html))
+    // nav/footer (dropped subtrees) and the script string never emit;
+    // data-href is not href; a bare <a> has no href
+    assert(links == Seq("https://a.example/x?p=1&q=2", "//proto-rel",
+      "/bare", "https://b.example/y"))
+  }
+
+  test("attrValue: proper attribute scan, quoted/bare/valueless, " +
+      "href inside another value never matches") {
+    import graft.functions.HtmlText.attrValue
+    assert(attrValue("a href=\"u\"", "href").contains("u"))
+    assert(attrValue("a class='c' HREF='u'", "href").contains("u"))
+    assert(attrValue("a href=bare rel=x", "href").contains("bare"))
+    assert(attrValue("a href = 'sp' ", "href").contains("sp"))
+    assert(attrValue("a data-href='d'", "href").isEmpty)
+    assert(attrValue("a title=\"href=trap\" href='real'", "href")
+      .contains("real"))
+    assert(attrValue("a href", "href").isEmpty) // valueless
+    assert(attrValue("a href='unterminated", "href")
+      .contains("unterminated"))
+    assert(attrValue("a/href='x'", "href").contains("x"))
+    assert(attrValue("img src='s'/", "src").contains("s"))
+  }
+
   test("extraction feeds text analysis: stats over extracted text") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

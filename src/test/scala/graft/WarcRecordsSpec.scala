@@ -117,9 +117,22 @@ class WarcRecordsSpec extends SparkSpec {
     assert(WarcRecords.split(gzip(rec("m", "x")).take(5)).isEmpty)
   }
 
-  test("record cap bounds a hostile many-record file") {
+  test("record cap bounds a hostile many-record file and flags the hit") {
     val many = rec("metadata", "p") * (WarcRecords.MaxRecords + 10)
-    assert(WarcRecords.split(bytes(many)).size == WarcRecords.MaxRecords)
+    val (rs, capped) = WarcRecords.splitCapped(bytes(many))
+    assert(rs.size == WarcRecords.MaxRecords && capped)
+    // an uncapped file never flags
+    assert(!WarcRecords.splitCapped(bytes(rec("metadata", "p")))._2)
+  }
+
+  test("gunzip sizing survives large inputs; torn member keeps prior members") {
+    // a corrupt SECOND gzip member must not discard the first member's
+    // records (the documented torn-trailing-member posture)
+    val good = gzip(rec("warcinfo", "kept"))
+    val torn = gzip(rec("metadata", "lost")).dropRight(6)
+    val rs = WarcRecords.split(good ++ torn)
+    assert(rs.nonEmpty && rs.head.warcType == "warcinfo")
+    assert(new String(rs.head.payload) == "kept")
   }
 
   test("directory scan: binaryFile over multi-record warc.gz files " +
