@@ -215,19 +215,28 @@ object WarcRecords {
     * CommonCrawl convention (`sha1:<32 base32 chars>`). A dedup that
     * trusts the header skips this; an ingest that re-verifies calls it
     * per kept record (one digest pass over bytes already in hand). */
-  def verifyDigest(r: WarcRecord): Option[Boolean] = {
-    if (r == null || r.payloadDigest.isEmpty || r.truncated) return None
-    val colon = r.payloadDigest.indexOf(':')
+  def verifyDigest(r: WarcRecord): Option[Boolean] =
+    if (r == null) None
+    else verifyDigest(r.payloadDigest, r.payload, r.truncated)
+
+  /** Column-shaped overload of [[verifyDigest]] — the form a relation
+    * of already-split records (payload_digest, payload, truncated)
+    * feeds without rebuilding [[WarcRecord]]s. */
+  def verifyDigest(payloadDigest: String, payload: Array[Byte],
+      truncated: Boolean): Option[Boolean] = {
+    if (payloadDigest == null || payloadDigest.isEmpty || truncated)
+      return None
+    val colon = payloadDigest.indexOf(':')
     if (colon <= 0) return None
-    val algo = r.payloadDigest.substring(0, colon).toLowerCase match {
+    val algo = payloadDigest.substring(0, colon).toLowerCase match {
       case "md5" => "MD5"
       case "sha1" => "SHA-1"
       case "sha256" => "SHA-256"
       case _ => return None
     }
-    val declared = r.payloadDigest.substring(colon + 1)
+    val declared = payloadDigest.substring(colon + 1)
     val dg = try java.security.MessageDigest.getInstance(algo)
-      .digest(r.payload)
+      .digest(if (payload == null) Array.emptyByteArray else payload)
     catch { case _: Throwable => return None }
     val hex = dg.map("%02x".format(_)).mkString
     if (declared.equalsIgnoreCase(hex)) Some(true)

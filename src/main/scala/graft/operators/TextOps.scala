@@ -3630,6 +3630,81 @@ object TextOps {
       .agg(count(lit(1)).as("n_copies"), min(col("uri")).as("first_uri"))
   }
 
+  /** Deterministic fixture for the DIGEST RE-VERIFY path: 2-record
+    * files (warcinfo + response) whose response declares
+    * `WARC-Payload-Digest: md5:<md5(clean payload)>` — but on the
+    * planted stride `doc_id % 7 == 3` the WRITTEN payload is the clean
+    * one plus a corruption suffix (Content-Length matches the written
+    * bytes, so the record parses clean and only the DIGEST disagrees —
+    * exactly a bit-rot / torn-transfer signature). Assembled entirely
+    * with column expressions, so DuckDB synthesizes the identical
+    * bytes and recomputes BOTH digests with its own native md5 — the
+    * two-independent-implementations oracle. */
+  private[operators] def warcVerifyDocs(docs: DataFrame): DataFrame = {
+    def rec(headers: Column, payload: Column): Column =
+      concat(lit("WARC/1.0\r\n"), headers,
+        lit("Content-Length: "), length(payload).cast("string"),
+        lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+    val clean = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+      col("html"))
+    val written = when(col("doc_id") % 7 === 3,
+      concat(clean, lit(" CORRUPTED"))).otherwise(clean)
+    val did = col("doc_id").cast("string")
+    htmlDocs(docs).select(col("doc_id"), concat(
+      rec(lit("WARC-Type: warcinfo\r\n" +
+        "Content-Type: application/warc-fields\r\n"),
+        lit("software: graft")),
+      rec(concat(lit("WARC-Type: response\r\n" +
+        "WARC-Record-ID: <urn:uuid:resp-"), did,
+        lit(">\r\nWARC-Target-URI: http://example.com/doc/"), did,
+        lit("\r\nWARC-Payload-Digest: md5:"),
+        md5(clean.cast("binary")),
+        lit("\r\nContent-Type: application/http;msgtype=response\r\n")),
+        written))
+      .cast("binary").as("warc"))
+  }
+
+  /** DIGEST RE-VERIFICATION AS A DECLARED QUERY (VERDICT r17 item 2) —
+    * the ingest-side twin of the reference's md5-verify routing (P3)
+    * one container level up: re-compute each kept response record's
+    * payload digest with the real
+    * [[graft.functions.WarcRecords.verifyDigest]] seam and ROUTE —
+    * `ok` folds into the corpus, `quarantine` is the bit-rot/
+    * torn-transfer route (the planted `doc_id % 7 == 3` corruption
+    * stride). The output carries both the declared and the recomputed
+    * digest so the oracle checks the HASHES THEMSELVES, not just the
+    * verdict: DuckDB rebuilds the same payload bytes from the planted
+    * arithmetic and runs its own native md5 over them — if either
+    * engine's digest, the splitter's payload boundary, or the verdict
+    * logic drifts, the row set breaks. Scale shape: map-only over the
+    * container scan (one digest pass per kept record — bytes already
+    * in hand), no shuffle at all. */
+  def warcDigestVerify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    warcVerifyDocs(Tables.documents(spark, dir))
+      .as[(Long, Array[Byte])]
+      .map { case (id, warc) =>
+        val recs = graft.functions.WarcRecords.split(warc)
+        val resp = recs.find(_.warcType == "response")
+        val verdict = resp.map { r =>
+          graft.functions.WarcRecords.verifyDigest(r) match {
+            case Some(true) => "ok"
+            case Some(false) => "quarantine"
+            case None => "unchecked"
+          }
+        }.getOrElse("missing")
+        val recomputed = resp.map { r =>
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(r.payload).map("%02x".format(_)).mkString
+        }.getOrElse("")
+        (id, recs.size, verdict,
+          resp.map(_.payloadDigest).getOrElse(""), recomputed)
+      }
+      .toDF("doc_id", "n_records", "verdict", "declared_digest",
+        "recomputed_md5")
+  }
+
   /** REQUEST↔RESPONSE PAIRING — the crawl-level twin of the
     * reference's notify↔payload pairing (S3): a request record names
     * its response via `WARC-Concurrent-To`, and wayback-style
@@ -3701,12 +3776,13 @@ object TextOps {
           graft.functions.WarcRecords.splitCapped(bytes)
         recs.map { r =>
           (path, r.offset, r.warcType, r.targetUri, r.contentType,
-            r.declaredLength, r.payload, r.truncated, capped)
+            r.payloadDigest, r.declaredLength, r.payload, r.truncated,
+            capped)
         }
       }
       .toDF("path", "offset", "warc_type", "target_uri",
-        "content_type", "declared_length", "payload", "truncated",
-        "cap_hit")
+        "content_type", "payload_digest", "declared_length", "payload",
+        "truncated", "cap_hit")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3714,6 +3790,7 @@ object TextOps {
     "q_html_extract"   -> htmlExtract _,
     "q_warc_extract"   -> warcExtract _,
     "q_warc_digest_dedup" -> warcDigestDedup _,
+    "q_warc_digest_verify" -> warcDigestVerify _,
     "q_warc_pairs"     -> warcPairs _,
     "q_pdf_extract"    -> pdfExtract _,
     "q_token_estimate" -> tokenEstimate _,
@@ -4394,6 +4471,46 @@ object TextOps {
         |  min('http://example.com/doc/' || CAST(doc_id AS VARCHAR))
         |    AS first_uri
         |FROM documents GROUP BY 1""".stripMargin,
+    // the RAW page synthesis twin (byte-exact, unlike htmlAggCte's
+    // extraction view) so DuckDB's native md5 recomputes BOTH digests
+    // over the same payload bytes the Spark fixture wrote — declared
+    // over the clean payload, recomputed over the written (possibly
+    // corruption-suffixed) one
+    "q_warc_digest_verify" ->
+      """WITH wtok AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |wbase AS (SELECT doc_id, t, len(t) AS n FROM wtok),
+        |wpp AS (SELECT doc_id, t, unnest(range((n + 4) // 10)) AS p
+        |        FROM wbase WHERE n > 5),
+        |wpar AS (SELECT doc_id, string_agg(
+        |    '<p>&quot;' || list_extract(t, p * 10 + 6) || '&quot; ' ||
+        |    coalesce(array_to_string(
+        |      list_slice(t, p * 10 + 7, p * 10 + 15), ' '), '') ||
+        |    '</p>', '' ORDER BY p) AS paras
+        |  FROM wpp GROUP BY doc_id),
+        |whtml AS (SELECT b.doc_id,
+        |    '<html><head><title>t</title><script type="text/javascript">var s = "'
+        |    || coalesce(array_to_string(list_slice(b.t, 1, 2), ' '), '')
+        |    || '";</script><style>.x{color:red}</style></head><body><nav><a href="/">home</a> <a href="/about">about</a></nav><h1>'
+        |    || coalesce(array_to_string(list_slice(b.t, 1, 5), ' &amp; '), '')
+        |    || '</h1><p>see <a href="/d">' || list_extract(b.t, 1)
+        |    || '</a> for details</p>' || coalesce(wp.paras, '')
+        |    || '<div><a href="/m">more</a> <a href="/l">links</a> <a href="/r">related</a></div><footer>(c) 2026 corp</footer></body></html>'
+        |      AS html
+        |  FROM wbase b LEFT JOIN wpar wp ON wp.doc_id = b.doc_id),
+        |wv AS (SELECT doc_id,
+        |    'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+        |    'Content-Type: text/html' || chr(13) || chr(10) ||
+        |    chr(13) || chr(10) || html AS clean
+        |  FROM whtml)
+        |SELECT doc_id, 2 AS n_records,
+        |  CASE WHEN doc_id % 7 = 3 THEN 'quarantine' ELSE 'ok' END
+        |    AS verdict,
+        |  'md5:' || md5(clean) AS declared_digest,
+        |  md5(CASE WHEN doc_id % 7 = 3 THEN clean || ' CORRUPTED'
+        |      ELSE clean END) AS recomputed_md5
+        |FROM wv""".stripMargin,
     // every planted pair predicted from doc_id arithmetic
     "q_warc_pairs" ->
       """SELECT 'urn:uuid:req-' || CAST(doc_id AS VARCHAR) AS req_id,

@@ -198,6 +198,38 @@ class WarcRecordsSpec extends SparkSpec {
     assert(WarcRecords.verifyDigest(ok.copy(truncated = true)).isEmpty)
   }
 
+  test("quarantine route: directory scan + verifyDigest re-verify " +
+      "splits kept from corrupted records") {
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(bytes(s)).map("%02x".format(_)).mkString
+    val dir = java.nio.file.Files.createTempDirectory("warcverify")
+    val good = rec("response", "clean-payload",
+      extra = "WARC-Target-URI: http://e.com/ok\r\n" +
+        s"WARC-Payload-Digest: md5:${md5hex("clean-payload")}\r\n")
+    // declared digest of the CLEAN bytes, rotted bytes written —
+    // Content-Length matches, so only the digest disagrees
+    val rotted = rec("response", "rotted-payload",
+      extra = "WARC-Target-URI: http://e.com/bad\r\n" +
+        s"WARC-Payload-Digest: md5:${md5hex("clean-payload")}\r\n")
+    java.nio.file.Files.write(dir.resolve("a.warc"), bytes(good + rotted))
+    val rows = graft.operators.TextOps
+      .warcRecordsFromDir(spark, dir.toString)
+      .collect()
+      .map { r =>
+        val verdict = WarcRecords.verifyDigest(
+          r.getAs[String]("payload_digest"),
+          r.getAs[Array[Byte]]("payload"),
+          r.getAs[Boolean]("truncated")) match {
+          case Some(true) => "ok"
+          case Some(false) => "quarantine"
+          case None => "unchecked"
+        }
+        r.getAs[String]("target_uri") -> verdict
+      }.toMap
+    assert(rows == Map("http://e.com/ok" -> "ok",
+      "http://e.com/bad" -> "quarantine"))
+  }
+
   test("httpBody: status + body; CRLF and LF header terminators") {
     val (s1, b1) = WarcRecords.httpBody(
       bytes("HTTP/1.1 404 Not Found\r\nX: y\r\n\r\nbody"))
