@@ -296,29 +296,44 @@ object ReconOps {
     * Cost: one extra small aggregation + a co-partitioned join vs the
     * plain form's single window — measured ~2× wall at sf0.1×8 local
     * (README skew note), which is why the plain form stays the default
-    * and this is the documented hot-key escape hatch. */
+    * and this is the documented hot-key escape hatch.
+    *
+    * `forward = true` mirrors [[asofJoinCore]]'s direction flip under
+    * the same decomposition: the local window reverses its (t, tie)
+    * order, the bucket summary becomes the right row that would win at
+    * bucket START looking forward (`min_by` over (t, tie)), and the
+    * carry runs over STRICTLY LATER buckets (bucket order desc) — any
+    * right row in a nearer later bucket beats every row in a farther
+    * one, so coalesce(local, carry) is again the exact match. */
   private[graft] def asofJoinSaltedCore(left: DataFrame, right: DataFrame,
       key: String, t: String, tie: String,
-      bucketWidthUs: Long = AsofSaltBucketUs): DataFrame = {
+      bucketWidthUs: Long = AsofSaltBucketUs,
+      forward: Boolean = false): DataFrame = {
     val u = asofShaped(left, right, key, t, tie)
       .withColumn("__bkt",
         expr(s"floor(unix_micros($t) / ${bucketWidthUs}L)"))
+    val (tOrd, tieOrd) =
+      if (forward) (col(t).desc, col("__tie").desc)
+      else (col(t).asc, col("__tie").asc)
     val wLoc = Window.partitionBy(col(key), col("__bkt"))
-      .orderBy(col(t).asc, col("__side").asc, col("__tie").asc)
+      .orderBy(tOrd, col("__side").asc, tieOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = u.withColumn("__loc",
       last(col("__r"), ignoreNulls = true).over(wLoc))
-    val wCarry = Window.partitionBy(col(key)).orderBy(col("__bkt").asc)
+    val wCarry = Window.partitionBy(col(key))
+      .orderBy(if (forward) col("__bkt").desc else col("__bkt").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     // summaries must cover EVERY (key, bucket) a left row occupies —
     // a bucket with no right rows still needs its carry — so the
     // aggregation runs over the full union with a FILTER'd argmax
     // (null summary where the bucket holds no right row; the carry
     // window's ignoreNulls skips those)
+    val summaryAgg =
+      if (forward) s"min_by(__r, struct($t, __tie)) FILTER (WHERE __side = 0)"
+      else s"max_by(__r, struct($t, __tie)) FILTER (WHERE __side = 0)"
     val carries = u
       .groupBy(col(key), col("__bkt"))
-      .agg(expr(s"max_by(__r, struct($t, __tie)) FILTER (WHERE __side = 0)")
-        .as("__last_r"))
+      .agg(expr(summaryAgg).as("__last_r"))
       .withColumn("__carry",
         last(col("__last_r"), ignoreNulls = true).over(wCarry))
       .select(col(key), col("__bkt"), col("__carry"))
@@ -340,14 +355,21 @@ object ReconOps {
         col("matched.p_value").as("p_value"))
 
   private def asofClicks(spark: SparkSession, dir: String,
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false, auto: Boolean = false,
+      uidExpr: String = "user_id"): DataFrame = {
     val ev = Tables.events(spark, dir)
+      .withColumn("user_id", expr(uidExpr))
     val clicks = ev.where(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id"))
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"),
         col("event_id").as("p_event_id"), col("value").as("p_value"))
-    asofJoinCore(clicks, purchases, "user_id", "ts", "p_event_id", forward)
+    if (auto)
+      asofJoinAutoCore(clicks, purchases, "user_id", "ts", "p_event_id",
+        forward = forward)
+    else
+      asofJoinCore(clicks, purchases, "user_id", "ts", "p_event_id",
+        forward)
   }
 
   /** Declared salted as-of — [[asofJoin]]'s enrichment through
@@ -370,14 +392,27 @@ object ReconOps {
   /** Forward as-of: each click joined to the user's NEXT purchase
     * at-or-after it — conversion latency in whole seconds (integer
     * division of a non-negative µs delta, so Spark `div` and DuckDB
-    * `//` agree). Same single-shuffle plan as [[asofJoin]], reversed
-    * window order. */
-  def asofForward(spark: SparkSession, dir: String): DataFrame =
-    asofClicks(spark, dir, forward = true)
+    * `//` agree). Routed through the auto dispatch (VERDICT r17
+    * item 8): the natural table's census lands the plain branch —
+    * same single-shuffle plan as [[asofJoin]], reversed window order —
+    * and the hot-key twin exercises the salted-forward decomposition
+    * under the same native-ASOF oracle family. */
+  private def asofForwardOver(spark: SparkSession, dir: String,
+      uidExpr: String): DataFrame =
+    asofClicks(spark, dir, forward = true, auto = true, uidExpr = uidExpr)
       .select(col("event_id"), col("user_id"),
         col("matched.p_event_id").as("p_event_id"),
         expr("(unix_micros(matched.ts) - unix_micros(ts)) div 1000000")
           .as("latency_sec"))
+
+  def asofForward(spark: SparkSession, dir: String): DataFrame =
+    asofForwardOver(spark, dir, "user_id")
+
+  /** Hot-key twin of [[asofForward]] — trips the census → the
+    * salted-FORWARD branch (plan-guarded); oracle is DuckDB's native
+    * forward ASOF over the same remapped relation. */
+  def asofForwardHot(spark: SparkSession, dir: String): DataFrame =
+    asofForwardOver(spark, dir, HotUidSql)
 
   /** Tolerance window for [[asofTolerance]] (days): a match older than
     * this is no match. As-of returns the MOST RECENT prior row, so if
@@ -391,15 +426,27 @@ object ReconOps {
   /** As-of join with a staleness bound: same single-shuffle plan, the
     * matched struct nulled when older than [[AsofToleranceDays]].
     * Integer-microsecond compare on both engines — no interval
-    * arithmetic can round differently. */
-  def asofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    * arithmetic can round differently. Routed through the auto
+    * dispatch (VERDICT r17 item 8): the tolerance is a post-filter on
+    * the single match, so it composes with EITHER branch unchanged. */
+  private def asofToleranceOver(spark: SparkSession, dir: String,
+      uidExpr: String): DataFrame = {
     val fresh = unix_micros(col("matched.ts")) >=
       unix_micros(col("ts")) - lit(AsofToleranceUs)
-    asofClicks(spark, dir)
+    asofClicks(spark, dir, auto = true, uidExpr = uidExpr)
       .select(col("event_id"), col("user_id"),
         when(fresh, col("matched.p_event_id")).as("p_event_id"),
         when(fresh, col("matched.p_value")).as("p_value"))
   }
+
+  def asofTolerance(spark: SparkSession, dir: String): DataFrame =
+    asofToleranceOver(spark, dir, "user_id")
+
+  /** Hot-key twin of [[asofTolerance]] — salted branch
+    * (plan-guarded), same staleness post-filter, native-ASOF oracle
+    * over the remapped relation. */
+  def asofToleranceHot(spark: SparkSession, dir: String): DataFrame =
+    asofToleranceOver(spark, dir, HotUidSql)
 
   /** CONVERSION-LATENCY QUANTILES — "how long from click to the next
     * purchase", the growth metric the forward as-of exists to feed:
@@ -632,11 +679,13 @@ object ReconOps {
     * above it. */
   private[graft] def asofJoinAutoCore(left: DataFrame, right: DataFrame,
       key: String, t: String, tie: String,
-      cutoverX100: Long = SkewAutoCutoverX100): DataFrame =
+      cutoverX100: Long = SkewAutoCutoverX100,
+      forward: Boolean = false): DataFrame =
     if (keySkewX100(left.select(col(key))
           .unionAll(right.select(col(key))), key) >= cutoverX100)
-      asofJoinSaltedCore(left, right, key, t, tie)
-    else asofJoinCore(left, right, key, t, tie)
+      asofJoinSaltedCore(left, right, key, t, tie,
+        forward = forward)
+    else asofJoinCore(left, right, key, t, tie, forward)
 
   private def asofAutoOf(ev: DataFrame): DataFrame = {
     val clicks = ev.where(col("event_type") === "click")
@@ -1205,7 +1254,9 @@ object ReconOps {
     "q_asof_auto"       -> asofAuto _,
     "q_asof_auto_hot"   -> asofAutoHot _,
     "q_asof_tolerance"  -> asofTolerance _,
+    "q_asof_tolerance_hot" -> asofToleranceHot _,
     "q_asof_forward"    -> asofForward _,
+    "q_asof_forward_hot" -> asofForwardHot _,
     "q_conversion_latency" -> conversionLatency _,
     "q_approx_quantiles" -> approxQuantiles _,
     "q_sessionize"      -> sessionize _,
@@ -1295,6 +1346,35 @@ object ReconOps {
        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
 
   private lazy val asofJoinSql: String = asofJoinSqlOver("user_id")
+
+  /** Tolerance twin of [[asofJoinSqlOver]] — the staleness CASE over
+    * the native-ASOF match, parameterized by the uid remap so the hot
+    * twin shares it. */
+  private def asofToleranceSqlOver(uid: String): String =
+    s"""WITH l AS (SELECT $uid AS user_id, ts, event_id FROM events
+       |           WHERE event_type = 'click'),
+       |r AS (SELECT $uid AS user_id, ts, event_id AS p_event_id,
+       |             value AS p_value
+       |      FROM events WHERE event_type = 'purchase')
+       |SELECT l.event_id, l.user_id,
+       |  CASE WHEN epoch_us(r.ts) >= epoch_us(l.ts) - $AsofToleranceUs
+       |       THEN r.p_event_id END AS p_event_id,
+       |  CASE WHEN epoch_us(r.ts) >= epoch_us(l.ts) - $AsofToleranceUs
+       |       THEN r.p_value END AS p_value
+       |FROM l ASOF LEFT JOIN r
+       |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
+
+  /** Forward twin — DuckDB's native ASOF with the inequality flipped
+    * (earliest right row at-or-after), parameterized like the others. */
+  private def asofForwardSqlOver(uid: String): String =
+    s"""WITH l AS (SELECT $uid AS user_id, ts, event_id FROM events
+       |           WHERE event_type = 'click'),
+       |r AS (SELECT $uid AS user_id, ts, event_id AS p_event_id
+       |      FROM events WHERE event_type = 'purchase')
+       |SELECT l.event_id, l.user_id, r.p_event_id,
+       |  (epoch_us(r.ts) - epoch_us(l.ts)) // 1000000 AS latency_sec
+       |FROM l ASOF LEFT JOIN r
+       |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // native session_window semantics: HALF-OPEN windows, so the new-
@@ -1480,18 +1560,8 @@ object ReconOps {
     "q_asof_auto" -> asofJoinSql,
     "q_asof_auto_hot" -> asofJoinSqlOver(HotUidSql),
     "q_asof_salted" -> asofJoinSql,
-    "q_asof_tolerance" ->
-      s"""WITH l AS (SELECT user_id, ts, event_id FROM events
-         |           WHERE event_type = 'click'),
-         |r AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value
-         |      FROM events WHERE event_type = 'purchase')
-         |SELECT l.event_id, l.user_id,
-         |  CASE WHEN epoch_us(r.ts) >= epoch_us(l.ts) - $AsofToleranceUs
-         |       THEN r.p_event_id END AS p_event_id,
-         |  CASE WHEN epoch_us(r.ts) >= epoch_us(l.ts) - $AsofToleranceUs
-         |       THEN r.p_value END AS p_value
-         |FROM l ASOF LEFT JOIN r
-         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q_asof_tolerance" -> asofToleranceSqlOver("user_id"),
+    "q_asof_tolerance_hot" -> asofToleranceSqlOver(HotUidSql),
     // quantiles over the native-ASOF latencies; sketch estimates are
     // engine-specific, so the oracle pins exact picks + TRUE booleans
     "q_conversion_latency" ->
@@ -1526,15 +1596,8 @@ object ReconOps {
          |  TRUE AS p50_within_bounds,
          |  TRUE AS p90_within_bounds
          |FROM c, e""".stripMargin,
-    "q_asof_forward" ->
-      """WITH l AS (SELECT user_id, ts, event_id FROM events
-        |           WHERE event_type = 'click'),
-        |r AS (SELECT user_id, ts, event_id AS p_event_id
-        |      FROM events WHERE event_type = 'purchase')
-        |SELECT l.event_id, l.user_id, r.p_event_id,
-        |  (epoch_us(r.ts) - epoch_us(l.ts)) // 1000000 AS latency_sec
-        |FROM l ASOF LEFT JOIN r
-        |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+    "q_asof_forward" -> asofForwardSqlOver("user_id"),
+    "q_asof_forward_hot" -> asofForwardSqlOver(HotUidSql),
     // exact quantiles via the histogram trick; the sketch estimates are
     // engine-specific, so the oracle asserts the rank-bound booleans
     "q_approx_quantiles" ->

@@ -151,6 +151,43 @@ class EventAnalyticsSpec extends SparkSpec {
       asofMap(ReconOps.asofJoin(spark, dir)))
   }
 
+  test("salted FORWARD as-of: min_by/desc mirror equals the plain " +
+      "forward form (tiny buckets force carries, randomized)") {
+    def sides(dir: String) = {
+      val ev = graft.sources.Tables.events(spark, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      (clicks, purchases)
+    }
+    def fwdMap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"),
+          col("matched.p_event_id").as("p_event_id"))
+        .collect().map(r => r.getLong(0) ->
+          Option(r.getAs[java.lang.Long]("p_event_id")).map(_.toLong))
+        .toMap
+    // randomized: equal-ts ties, empty buckets, users w/o purchases
+    val rnd = new scala.util.Random(11)
+    val rndDir = eventsDir("saltfwd", (1L to 500L).map { i =>
+      (i, ts(rnd.nextInt((30 * Day).toInt).toLong),
+        rnd.nextInt(5).toLong + 1,
+        if (rnd.nextBoolean()) "click" else "purchase",
+        rnd.nextInt(100) / 10.0)
+    })
+    for (dir <- Seq(asofDir, rndDir)) {
+      val (clicks, purchases) = sides(dir)
+      val plain = fwdMap(ReconOps.asofJoinCore(clicks, purchases,
+        "user_id", "ts", "p_event_id", forward = true))
+      val salted = fwdMap(ReconOps.asofJoinSaltedCore(clicks, purchases,
+        "user_id", "ts", "p_event_id", bucketWidthUs = Day * 1000000L,
+        forward = true))
+      assert(salted == plain,
+        s"forward carries must reproduce the plain matches in $dir")
+    }
+  }
+
   test("sessionize: strict-gap boundary — 48h stays, over 48h splits") {
     val dir = eventsDir("sess", Seq(
       // u1: gaps 47h59m then 49h → sessions (2 events, 1 event)

@@ -574,5 +574,18 @@ class PlanAssertionsSpec extends SparkSpec {
     val aHot = planAt("q_asof_auto_hot", "/root/testdata/sf0.01")
     assert(aHot.contains("__bkt"),
       s"hot as-of must take the salted bucket decomposition:\n$aHot")
+    // the tolerance/forward variants route through the same dispatch
+    // (r18): natural data plain, hot fixture salted — in BOTH as-of
+    // directions (forward is the salted core's min_by/desc mirror)
+    assert(!plan("q_asof_tolerance").contains("__bkt"),
+      "unskewed tolerance as-of must take the plain branch")
+    assert(!plan("q_asof_forward").contains("__bkt"),
+      "unskewed forward as-of must take the plain branch")
+    val tHot = planAt("q_asof_tolerance_hot", "/root/testdata/sf0.01")
+    assert(tHot.contains("__bkt"),
+      s"hot tolerance as-of must take the salted decomposition:\n$tHot")
+    val fHot = planAt("q_asof_forward_hot", "/root/testdata/sf0.01")
+    assert(fHot.contains("__bkt"),
+      s"hot forward as-of must take the salted decomposition:\n$fHot")
   }
 }
