@@ -261,6 +261,66 @@ object WarcRecords {
     sb.toString
   }
 
+  /** The charset declared in an HTTP payload's `Content-Type` header
+    * (lowercased, quotes stripped), or "" when the payload is not
+    * HTTP, carries no Content-Type, or declares no `charset=`
+    * parameter. A real crawl carries charset-declared bodies; decoding
+    * everything as UTF-8 garbles every cp1252/latin-1 page (the
+    * mojibake the EncodingRepair family exists to undo downstream —
+    * honoring the declaration avoids MAKING it at ingest). */
+  def httpCharset(payload: Array[Byte]): String = {
+    if (payload == null || payload.length == 0) return ""
+    val s = new String(payload,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!s.startsWith("HTTP/")) return ""
+    // head section only: never read a charset out of the body
+    val sep = s.indexOf("\r\n\r\n")
+    val sepLf = s.indexOf("\n\n")
+    val headEnd =
+      if (sep >= 0 && (sepLf < 0 || sep <= sepLf)) sep
+      else if (sepLf >= 0) sepLf
+      else s.length
+    var i = 0
+    while (i < headEnd) {
+      val eol = lineEnd(s, i)
+      val line = s.substring(i, math.min(eol, headEnd))
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+          line.substring(0, colon).trim.equalsIgnoreCase("content-type")) {
+        val v = line.substring(colon + 1).toLowerCase
+        val at = v.indexOf("charset=")
+        if (at < 0) return ""
+        var j = at + 8
+        val sb = new java.lang.StringBuilder(12)
+        while (j < v.length && v.charAt(j) != ';' &&
+            !Character.isWhitespace(v.charAt(j))) {
+          val c = v.charAt(j)
+          if (c != '"' && c != '\'') sb.append(c)
+          j += 1
+        }
+        return sb.toString
+      }
+      i = skipEol(s, eol)
+    }
+    ""
+  }
+
+  /** Decode body bytes under a declared charset name — total: unknown,
+    * unsupported, or empty names fall back to UTF-8, malformed byte
+    * sequences decode to U+FFFD (never a throw). */
+  def decode(body: Array[Byte], charset: String): String = {
+    if (body == null || body.length == 0) return ""
+    val cs =
+      try {
+        if (charset == null || charset.isEmpty)
+          java.nio.charset.StandardCharsets.UTF_8
+        else java.nio.charset.Charset.forName(charset)
+      } catch {
+        case _: Exception => java.nio.charset.StandardCharsets.UTF_8
+      }
+    new String(body, cs)
+  }
+
   /** Unwrap an HTTP message payload: (status, body). Non-HTTP payloads
     * pass through as (-1, payload) — the caller decides; an HTTP head
     * with no blank-line terminator yields (status, empty). */

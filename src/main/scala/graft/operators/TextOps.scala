@@ -3521,7 +3521,7 @@ object TextOps {
     * path is spec-exercised (a column expression cannot deflate; the
     * record walk after gunzip is identical — the [[pdfDocs]]
     * FlateDecode precedent). */
-  private[operators] def warcDocs(docs: DataFrame): DataFrame = {
+  private[graft] def warcDocs(docs: DataFrame): DataFrame = {
     def rec(headers: Column, payload: Column): Column =
       concat(lit("WARC/1.0\r\n"), headers,
         lit("Content-Length: "), length(payload).cast("string"),
@@ -3588,8 +3588,13 @@ object TextOps {
           .getOrElse((-1, Array.emptyByteArray))
         val metaLen = recs.find(_.warcType == "metadata")
           .map(_.declaredLength).getOrElse(-1L)
-        val text = graft.functions.HtmlText.extract(new String(body,
-          java.nio.charset.StandardCharsets.UTF_8))
+        // honor the declared Content-Type charset (r18 — this fixture
+        // declares none → UTF-8, byte-identical to before; the planted
+        // charset regime is q_warc_charset's)
+        val cs = resp.map(r =>
+          graft.functions.WarcRecords.httpCharset(r.payload)).getOrElse("")
+        val text = graft.functions.HtmlText.extract(
+          graft.functions.WarcRecords.decode(body, cs))
         (id, recs.size, recs.count(_.warcType == "response"), status,
           metaLen, recs.count(_.truncated), text)
       }
@@ -3705,6 +3710,74 @@ object TextOps {
         "recomputed_md5")
   }
 
+  /** CHARSET-DECLARED fixture (VERDICT r17 item 6): one response
+    * record per doc whose HTTP head declares — by `doc_id % 3` —
+    * `charset=windows-1252` (body bytes cp1252: curly quotes 0x93/
+    * 0x94), `charset=utf-8`, or NO charset parameter (both with UTF-8
+    * bytes E2 80 9C / E2 80 9D). All three strides carry the SAME
+    * logical text, so a decoder that honors the declaration extracts
+    * identical characters everywhere, while unconditional UTF-8
+    * garbles every cp1252 row (0x93 is an invalid UTF-8 byte →
+    * U+FFFD). Assembled as BINARY column expressions (`unhex` for the
+    * non-ASCII bytes), so Content-Lengths count octets exactly and
+    * DuckDB predicts the decoded text from the same arithmetic. */
+  private[operators] def warcCharsetDocs(docs: DataFrame): DataFrame = {
+    def bin(c: Column): Column = c.cast("binary")
+    val stride = col("doc_id") % 3
+    val qL = when(stride === 0, unhex(lit("93")))
+      .otherwise(unhex(lit("E2809C")))
+    val qR = when(stride === 0, unhex(lit("94")))
+      .otherwise(unhex(lit("E2809D")))
+    val csDecl = when(stride === 0, lit("; charset=windows-1252"))
+      .when(stride === 1, lit("; charset=utf-8"))
+      .otherwise(lit(""))
+    val tok1 = element_at(
+      filter(split(col("text"), " "), t => t =!= ""), 1)
+    val body = concat(bin(lit("<p>")), bin(tok1), bin(lit(" ")),
+      qL, bin(lit("quoted")), qR, bin(lit("</p>")))
+    val payload = concat(
+      bin(concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html"),
+        csDecl, lit("\r\n\r\n"))), body)
+    docs.select(col("doc_id"), concat(
+      bin(concat(lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "Content-Type: application/http;msgtype=response\r\n" +
+        "Content-Length: "), length(payload).cast("string"),
+        lit("\r\n\r\n"))),
+      payload, bin(lit("\r\n\r\n"))).as("warc"))
+  }
+
+  /** CHARSET-AWARE EXTRACTION — the q_warc_extract chain with the
+    * declared-charset decode in the loop: split → unwrap → read the
+    * `Content-Type` charset ([[graft.functions.WarcRecords
+    * .httpCharset]]) → decode → extract. Every stride must land the
+    * IDENTICAL extracted characters (the planted cp1252 curly quotes
+    * decode to U+201C/U+201D exactly like the UTF-8 rows), which the
+    * oracle pins per row: same fingerprint across strides, charset
+    * echoed so the parse itself is graded. Map-only like every decode
+    * kernel. */
+  def warcCharset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    warcCharsetDocs(Tables.documents(spark, dir))
+      .as[(Long, Array[Byte])]
+      .map { case (id, warc) =>
+        val resp = graft.functions.WarcRecords.split(warc)
+          .find(_.warcType == "response")
+        val cs = resp.map(r =>
+          graft.functions.WarcRecords.httpCharset(r.payload))
+          .getOrElse("")
+        val body = resp
+          .map(r => graft.functions.WarcRecords.httpBody(r.payload)._2)
+          .getOrElse(Array.emptyByteArray)
+        val text = graft.functions.HtmlText.extract(
+          graft.functions.WarcRecords.decode(body, cs))
+        (id, cs, text)
+      }
+      .toDF("doc_id", "charset", "extracted")
+      .select(col("doc_id"), col("charset"),
+        length(col("extracted")).cast("int").as("n_chars"),
+        md5(col("extracted").cast("binary")).as("extracted_fp"))
+  }
+
   /** REQUEST↔RESPONSE PAIRING — the crawl-level twin of the
     * reference's notify↔payload pairing (S3): a request record names
     * its response via `WARC-Concurrent-To`, and wayback-style
@@ -3791,6 +3864,7 @@ object TextOps {
     "q_warc_extract"   -> warcExtract _,
     "q_warc_digest_dedup" -> warcDigestDedup _,
     "q_warc_digest_verify" -> warcDigestVerify _,
+    "q_warc_charset"   -> warcCharset _,
     "q_warc_pairs"     -> warcPairs _,
     "q_pdf_extract"    -> pdfExtract _,
     "q_token_estimate" -> tokenEstimate _,
@@ -4511,6 +4585,22 @@ object TextOps {
         |  md5(CASE WHEN doc_id % 7 = 3 THEN clean || ' CORRUPTED'
         |      ELSE clean END) AS recomputed_md5
         |FROM wv""".stripMargin,
+    // all three charset strides must extract the IDENTICAL characters
+    // (chr(8220)/chr(8221) = the curly quotes the cp1252 bytes decode
+    // to); the charset echo pins the Content-Type parameter parse
+    "q_warc_charset" ->
+      """WITH ct AS (SELECT doc_id,
+        |    list_extract(list_filter(string_split(text, ' '),
+        |      x -> x <> ''), 1) AS tok
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'windows-1252'
+        |       WHEN 1 THEN 'utf-8' ELSE '' END AS charset,
+        |  CAST(length(tok || ' ' || chr(8220) || 'quoted' || chr(8221))
+        |    AS INT) AS n_chars,
+        |  md5(tok || ' ' || chr(8220) || 'quoted' || chr(8221))
+        |    AS extracted_fp
+        |FROM ct""".stripMargin,
     // every planted pair predicted from doc_id arithmetic
     "q_warc_pairs" ->
       """SELECT 'urn:uuid:req-' || CAST(doc_id AS VARCHAR) AS req_id,

@@ -1200,6 +1200,20 @@ object StreamingAnalytics {
       onVerdicts: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     runPerBatch(stream, checkpoint) { (batch, id) =>
+      curatedIngestStep(batch, idxDir, id, bar, minQuality10k,
+        compactEveryBatches)(onVerdicts)
+    }
+
+  /** One curated-ingest micro-batch, factored out of [[runCuratedIngest]]
+    * so compositions that PRODUCE the document batch differently (the
+    * WARC container drive, a backfill loop) run the identical gate,
+    * index append, group-edge delta, metrics, sketch and compaction —
+    * byte-for-byte the same maintained state as the JSON-shaped loop. */
+  private[graft] def curatedIngestStep(batch: DataFrame, idxDir: String,
+      id: Long, bar: Double = graft.operators.DedupOps.TextDupJaccard,
+      minQuality10k: Long = AdmitMinQuality10k,
+      compactEveryBatches: Int = 0)(
+      onVerdicts: (DataFrame, Long) => Unit): Unit = {
       val spark = batch.sparkSession
       // OrEmpty: a fresh pipeline has no seeded index yet — the first
       // batch bootstraps it (its own append creates the tables)
@@ -1246,6 +1260,84 @@ object StreamingAnalytics {
         admitted.unpersist(false)
         ckptRdds.foreach(_.unpersist(false))
       }
+    }
+
+  /** One micro-batch of WARC container files → document rows: split
+    * every file with the real [[graft.functions.WarcRecords]] kernel
+    * (cap-flagged), keep HTTP 200 `response` records, decode under the
+    * DECLARED Content-Type charset, extract text with
+    * [[graft.functions.HtmlText]] — the q_warc_extract chain shaped
+    * for the admission gate. `doc_id` is the xxhash64 of the record's
+    * identity (WARC-Record-ID when present, else target URI + stream
+    * offset) — deterministic across replays, so the batch-keyed
+    * overwrite discipline composes to exactly-once content. Map-only:
+    * the whole derivation rides the binaryFile scan. */
+  private[graft] def warcBatchDocs(batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    batch.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val (recs, capped) =
+          graft.functions.WarcRecords.splitCapped(bytes)
+        recs.iterator
+          .filter(r => r.warcType == "response" && !r.truncated)
+          .flatMap { r =>
+            val (status, body) =
+              graft.functions.WarcRecords.httpBody(r.payload)
+            if (status != 200) None
+            else {
+              val cs = graft.functions.WarcRecords.httpCharset(r.payload)
+              val text = graft.functions.HtmlText.extract(
+                graft.functions.WarcRecords.decode(body, cs))
+              val ident =
+                if (r.recordId.nonEmpty) r.recordId
+                else s"${r.targetUri}#${r.offset}"
+              Some((ident, path, r.targetUri, status, capped, text))
+            }
+          }
+      }
+      .toDF("ident", "warc_path", "uri", "http_status", "cap_hit", "text")
+      .select(xxhash64(col("ident")).as("doc_id"), col("warc_path"),
+        col("uri"), col("http_status"), col("cap_hit"), col("text"))
+  }
+
+  /** STREAMING WARC COMPOSITION (VERDICT r17 item 3) — the crawl drive
+    * end-to-end as ONE stream: a binaryFile stream of `.warc`/`.warc.gz`
+    * files → [[warcBatchDocs]] (split → HTTP unwrap → charset decode →
+    * extract) → a WET-style extracted-text materialization per batch
+    * (`dir/wet/batch=<id>`, the CommonCrawl convention of shipping the
+    * extraction beside the crawl — batch-keyed `overwrite`, the
+    * [[runJsonIngest]] exactly-once shape) → the FULL curated-ingest
+    * step ([[curatedIngestStep]]: dedup/quality/repetition verdicts
+    * against the maintained corpus index, index append, group-edge
+    * delta, metrics, token sketch, compaction cadence). Replaying a
+    * batch rewrites its own WET directory byte-identically and no-ops
+    * the maintained stores through their existing replay guards — the
+    * maintained corpus is the one-shot corpus of everything ever
+    * driven (spec-pinned). Verdict rows join back to (uri, path) via
+    * doc_id in `onVerdicts` if the caller needs crawl-level routing. */
+  def runWarcIngest(stream: DataFrame, idxDir: String, dir: String,
+      checkpoint: String,
+      bar: Double = graft.operators.DedupOps.TextDupJaccard,
+      minQuality10k: Long = AdmitMinQuality10k,
+      compactEveryBatches: Int = 0)(
+      onVerdicts: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    runPerBatch(stream, checkpoint) { (raw, id) =>
+      // one derivation, two consumers (WET write + gate): checkpoint
+      // so the kernel chain runs once, freed after the step
+      val docs = warcBatchDocs(raw).localCheckpoint(true)
+      val ckptRdds = docs.queryExecution.logical.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+      try {
+        docs.select(col("doc_id"), col("uri"), col("http_status"),
+            col("cap_hit"),
+            length(col("text")).cast("int").as("n_chars"), col("text"))
+          .write.mode("overwrite").parquet(s"$dir/wet/batch=$id")
+        curatedIngestStep(docs.select(col("doc_id"), col("text")),
+          idxDir, id, bar, minQuality10k, compactEveryBatches)(onVerdicts)
+      } finally ckptRdds.foreach(_.unpersist(false))
     }
 
   /** Streaming wrapper for the ingest gate: AvailableNow foreachBatch —

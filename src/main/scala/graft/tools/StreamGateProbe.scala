@@ -62,7 +62,94 @@ object StreamGateProbe {
     if (!ok) sys.exit(1)
   }
 
+  /** Streaming WARC composition scenario (VERDICT r17 item 3):
+    *   sbt "runMain graft.tools.StreamGateProbe --warc [sfDir]"
+    * Synthesizes real multi-record `.warc.gz` container files from the
+    * documents table (~50 response records per container, gzip members
+    * per doc — the CommonCrawl shape), then drives
+    * [[StreamingAnalytics.runWarcIngest]] over them as a binaryFile
+    * stream: split → HTTP unwrap → charset decode → extract → WET
+    * materialization per batch → curated admission verdicts. Prints
+    * per-batch docs/s + verdict mix; end invariants PASS/FAIL: one WET
+    * row and one verdict per planted response record. */
+  private def warcScenario(spark: SparkSession, sfDir: String): Unit = {
+    val warcDir = java.nio.file.Files
+      .createTempDirectory("warcprobe_in")
+    val docs = graft.operators.TextOps
+      .warcDocs(graft.sources.Tables.documents(spark, sfDir))
+      .withColumn("grp", expr("doc_id div 50"))
+      .collect()
+    var nDocs = 0L
+    docs.groupBy(_.getAs[Long]("grp")).foreach { case (grp, rows) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(r.getAs[Array[Byte]]("warc")); g.finish(); g.close()
+        nDocs += 1
+      }
+      java.nio.file.Files.write(
+        warcDir.resolve(s"crawl-$grp.warc.gz"), bos.toByteArray)
+    }
+    val idxDir = java.nio.file.Files.createTempDirectory("warcprobe_idx")
+      .toString + "/idx"
+    val outDir = java.nio.file.Files.createTempDirectory("warcprobe_out")
+      .toString
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    var verdictRows = 0L
+    val t0 = System.nanoTime()
+    var last = t0
+    val q = StreamingAnalytics.runWarcIngest(
+      spark.readStream.format("binaryFile").schema(binSchema)
+        .option("pathGlobFilter", "*.warc*")
+        .option("maxFilesPerTrigger", "2").load(warcDir.toString),
+      idxDir, outDir,
+      java.nio.file.Files.createTempDirectory("warcprobe_ck").toString,
+      compactEveryBatches = 4) { (verdicts, id) =>
+      val mix = verdicts.groupBy(col("verdict")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = mix.values.sum
+      verdictRows += n
+      val now = System.nanoTime()
+      println(f"[probe] warc batch $id%2d: $n%5d docs in " +
+        f"${(now - last) / 1e9}%5.2f s " +
+        f"admit=${mix.getOrElse("admit", 0L)}%5d " +
+        f"dup=${mix.getOrElse("dup", 0L)}%4d " +
+        f"low_q=${mix.getOrElse("low_quality", 0L)}%4d " +
+        f"rep=${mix.getOrElse("repetitive", 0L)}%4d")
+      last = now
+    }
+    q.awaitTermination()
+    val wetRows = spark.read.parquet(s"$outDir/wet").count()
+    val total = (System.nanoTime() - t0) / 1e9
+    val ok = wetRows == nDocs && verdictRows == nDocs
+    println(f"[probe] TOTAL: $nDocs docs in $total%.1f s = " +
+      f"${nDocs / total}%.0f docs/s; WET rows $wetRows, " +
+      s"verdicts $verdictRows — " + (if (ok) "PASS" else "FAIL"))
+    if (!ok) sys.exit(1)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--warc")) {
+      val spark = SparkSession.builder()
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      warcScenario(spark, args.lift(1).getOrElse("/root/testdata/sf0.01"))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("--discovery")) {
       val spark = SparkSession.builder()
         .master("local[32]")

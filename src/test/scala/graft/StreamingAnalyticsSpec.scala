@@ -205,6 +205,94 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(buf.count(_._1 == 9101L) == 1)
   }
 
+  test("warc ingest stream: split → charset decode → extract → WET per " +
+      "batch, gate verdicts, replay-idempotent") {
+    def rec(id: String, uri: String, payload: String): String =
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <$id>\r\n" +
+        s"WARC-Target-URI: $uri\r\nContent-Length: ${payload.length}" +
+        s"\r\n\r\n$payload\r\n\r\n"
+    def http(html: String, cs: String = "") =
+      s"HTTP/1.1 200 OK\r\nContent-Type: text/html$cs\r\n\r\n$html"
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      g.close(); bos.toByteArray
+    }
+    val novel = "a genuinely fresh walrus umbrella paragraph with many " +
+      "distinct readable words and the usual connective tissue of an " +
+      "honest document"
+    val other = "completely different prose describing quantum chess " +
+      "strategies and the many openings that tournament players have " +
+      "favored over the long history of the game"
+    val inDir = java.nio.file.Files.createTempDirectory("warcin")
+    // batch 1: one novel page; batch 2: a COPY under a new record id
+    // (must flag dup of the batch-1 admission) + a cp1252-declared page
+    // whose curly-quote byte 0x93 must decode to U+201C
+    java.nio.file.Files.write(inDir.resolve("a.warc.gz"), gz(
+      rec("urn:uuid:w-1", "http://w.example/1",
+        http(s"<html><body><p>$novel</p></body></html>"))))
+    Thread.sleep(1100) // distinct mtimes → deterministic batch order
+    java.nio.file.Files.write(inDir.resolve("b.warc.gz"), gz(
+      rec("urn:uuid:w-2", "http://w.example/2",
+        http(s"<html><body><p>$novel</p></body></html>")) +
+        rec("urn:uuid:w-3", "http://w.example/3",
+          http(s"<html><body><p>$other \u0093q\u0094</p></body></html>",
+            cs = "; charset=windows-1252"))))
+    val idxDir = java.nio.file.Files.createTempDirectory("warcidx")
+      .toString + "/never_written"
+    val outDir = java.nio.file.Files.createTempDirectory("warcout").toString
+    val binSchema = StructType(Seq(StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    def drive(ckpt: String): Seq[(Long, String, Any)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Any)]
+      val q = StreamingAnalytics.runWarcIngest(
+        spark.readStream.format("binaryFile").schema(binSchema)
+          .option("pathGlobFilter", "*.warc*")
+          .option("maxFilesPerTrigger", "1").load(inDir.toString),
+        idxDir, outDir,
+        java.nio.file.Files.createTempDirectory(ckpt).toString) {
+        (verdicts, _) =>
+          buf ++= verdicts.collect().map(r =>
+            (r.getLong(0), r.getAs[String]("verdict"), r.get(2)))
+      }
+      q.awaitTermination()
+      buf.toSeq
+    }
+    val first = drive("warcck1")
+    def did(ident: String): Long =
+      spark.range(1).select(xxhash64(lit(ident))).head().getLong(0)
+    val byId = first.map(t => t._1 -> t).toMap
+    assert(byId(did("urn:uuid:w-1"))._2 == "admit", s"w-1 admits: $first")
+    assert(byId(did("urn:uuid:w-2"))._2 == "dup" &&
+      byId(did("urn:uuid:w-2"))._3 == did("urn:uuid:w-1"),
+      s"the copy must flag against the batch-1 admission: $first")
+    assert(byId(did("urn:uuid:w-3"))._2 == "admit", s"w-3 admits: $first")
+    // WET materialization: one row per kept record, charset honored
+    val wet = spark.read.option("basePath", s"$outDir/wet")
+      .parquet(s"$outDir/wet")
+      .select(col("uri"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(wet.size == 3)
+    assert(wet("http://w.example/1").startsWith("a genuinely fresh"))
+    assert(wet("http://w.example/3").contains('“') &&
+      wet("http://w.example/3").contains('”'),
+      s"cp1252 quotes must decode via the declared charset: " +
+        s"${wet("http://w.example/3").takeRight(20)}")
+    // replay with a FRESH checkpoint over the populated stores: same
+    // verdicts (self-id exclusion keeps admits; the dup still flags its
+    // original rep), WET partitions rewritten byte-identically
+    val second = drive("warcck2")
+    assert(second.toSet == first.toSet,
+      s"replay must re-emit the same verdicts:\n$first\n$second")
+    val wet2 = spark.read.parquet(s"$outDir/wet")
+      .select(col("uri"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(wet2 == wet)
+  }
+
   test("semantic gate: batch-2 embedding duplicating an admitted " +
       "batch-1 doc is rejected sem_dup") {
     // the later-batches-see-earlier-admissions contract on the EMBEDDING
