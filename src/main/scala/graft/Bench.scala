@@ -52,6 +52,47 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
+  /** Contamination threshold: a query whose best-of-reps min still
+    * exceeds this multiple of the committed record's min (on code that
+    * may not even have changed) is flagged as a host-contamination
+    * victim rather than silently recorded as a regression. */
+  val ContamRatio = 3.0
+
+  /** Reference mins below this are ignored by the contamination check —
+    * sub-50 ms figures are inside scheduler jitter. */
+  val ContamFloorSec = 0.05
+
+  /** The COMMITTED record's per-query mins, read BEFORE this run
+    * overwrites BENCH_FULL.json — the self-adjudication baseline
+    * (VERDICT r17 item 4: the r17 driver artifact read 47% over the
+    * committed record purely from host state, and nothing in the JSON
+    * said so; now a contaminated run names its own victims). */
+  private def committedMins(sfDir: String): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(java.nio.file.Files.readAllBytes(p))
+        // apples-to-apples only: a record taken at another scale factor
+        // says nothing about this run's host state
+        val refSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
+        if (refSf.split('/').last != sfDir.split('/').last)
+          return Map.empty
+        val m = root.get("mins")
+        if (m == null) Map.empty
+        else {
+          val b = Map.newBuilder[String, Double]
+          val it = m.fields()
+          while (it.hasNext) {
+            val e = it.next()
+            b += e.getKey -> e.getValue.asDouble()
+          }
+          b.result()
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -63,6 +104,7 @@ object Bench {
     val unknown = only.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty,
       s"unknown query name(s): ${unknown.mkString(", ")}")
+    val refMins = committedMins(sfDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -120,9 +162,25 @@ object Bench {
       // or where adjudication rounds are costlier than the ~4 minutes
       // of reps (slow queries) — this is the third such round (r9, r11,
       // r12).
-      val times =
+      val times0 =
         if (first.size < 5) first ++ (first.size until 5).map(_ => rep())
         else first
+      // self-adjudication re-reps (VERDICT r17 item 4): when even the
+      // best of 5 reps sits ContamRatio above the committed record's
+      // min, give the host up to 3 bounded extra chances to produce an
+      // honest figure before recording — a transient stall clears, a
+      // sustained contamination window stays flagged
+      val times = refMins.get(name) match {
+        case Some(rm) if rm > ContamFloorSec &&
+            times0.min > ContamRatio * rm =>
+          var ts = times0
+          var extra = 0
+          while (extra < 3 && ts.min > ContamRatio * rm) {
+            ts = ts :+ rep(); extra += 1
+          }
+          ts
+        case _ => times0
+      }
       name -> times
     }
     // headline excludes the demo twins; they report in their own group
@@ -210,6 +268,23 @@ object Bench {
       "\"" + k + "\":{\"min\":" + ts.min + ",\"median\":" + median(ts) +
         ",\"max\":" + ts.max + ",\"n\":" + ts.size + "}"
     }.mkString("{", ",", "}")
+    // contamination verdict: queries whose best min (after the bounded
+    // re-reps) STILL exceeds ContamRatio × the committed record — the
+    // run-level flag a consumer must read before treating this
+    // artifact's totals as a performance record
+    val flagged = results.flatMap { case (k, ts) =>
+      refMins.get(k) match {
+        case Some(rm) if rm > ContamFloorSec &&
+            ts.min > ContamRatio * rm => Some((k, ts.min, rm))
+        case _ => None
+      }
+    }
+    val contamJson = "{\"n_flagged\":" + flagged.size +
+      ",\"ref_queries\":" + results.count(r => refMins.contains(r._1)) +
+      ",\"ratio_bar\":" + ContamRatio +
+      ",\"flagged\":" + flagged.map { case (k, mn, rm) =>
+        "\"" + k + "\":{\"min\":" + mn + ",\"committed_min\":" + rm + "}"
+      }.mkString("{", ",", "}") + "}"
     val total = results.map(r => median(r._2)).sum
     // sum-of-mins rides beside the median total (VERDICT r11 item 1):
     // on a host whose stalls are one-sided noise, min is the honest
@@ -238,7 +313,7 @@ object Bench {
     // Values are rounded to 2 decimals (the host's rep-to-rep variance
     // is far above 10 ms, so nothing real is lost).
     val fullRec =
-      s"""{"metric":"total_full","value":$total,"total_min":$totalMin,"total_with_demo":$totalWithDemo,"total_min_with_demo":$totalMinWithDemo,"unit":"sec","queries":$qs,"mins":$mins,"triples":$triples,"prod":$prodJson,"prod_total":$prodTotal,"demo":$demoJson,"demo_total":$demoTotal,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":$total,"total_min":$totalMin,"total_with_demo":$totalWithDemo,"total_min_with_demo":$totalMinWithDemo,"unit":"sec","queries":$qs,"mins":$mins,"triples":$triples,"prod":$prodJson,"prod_total":$prodTotal,"demo":$demoJson,"demo_total":$demoTotal,"contamination":$contamJson,"reps":$reps,"sf":"$sfDir"}"""
     val fullPath =
       if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
@@ -256,7 +331,7 @@ object Bench {
     // digits plus a 4-digit-second total could otherwise overrun the
     // capture window the budget exists to fit
     val suffix0 =
-      s"""},"rest_n":${results.size},"rest_sum":${r2(total)},"total_min":${r2(totalMin)},"total_with_demo":${r2(totalWithDemo)},"prod_total":${r2(prodTotal)},"full":"$fullPath","reps":$reps,"sf":"$sfName"}"""
+      s"""},"rest_n":${results.size},"rest_sum":${r2(total)},"total_min":${r2(totalMin)},"total_with_demo":${r2(totalWithDemo)},"prod_total":${r2(prodTotal)},"contam_n":${flagged.size},"full":"$fullPath","reps":$reps,"sf":"$sfName"}"""
     val prefix = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":{"""
     var used = prefix.length + suffix0.length
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
@@ -271,7 +346,7 @@ object Bench {
     val keptJson = kept.sortBy(_._1)
       .map { case (k, m) => "\"" + k + "\":" + r2(m) }.mkString(",")
     println(prefix + keptJson +
-      s"""},"rest_n":$restN,"rest_sum":${r2(restSum)},"total_min":${r2(totalMin)},"total_with_demo":${r2(totalWithDemo)},"prod_total":${r2(prodTotal)},"full":"$fullPath","reps":$reps,"sf":"$sfName"}""")
+      s"""},"rest_n":$restN,"rest_sum":${r2(restSum)},"total_min":${r2(totalMin)},"total_with_demo":${r2(totalWithDemo)},"prod_total":${r2(prodTotal)},"contam_n":${flagged.size},"full":"$fullPath","reps":$reps,"sf":"$sfName"}""")
     spark.stop()
   }
 }
