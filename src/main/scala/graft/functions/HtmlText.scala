@@ -82,12 +82,25 @@ object HtmlText {
     * link-density census; this keeps the hrefs instead of discarding
     * them — the relation a content-derived link graph
     * ([[graft.operators.GraphOps]]) aggregates. */
-  def extractWithLinks(html: String): (String, Seq[String]) = {
-    val links = ArrayBuffer.empty[String]
-    (run(html, links), links.toSeq)
+  def extractWithLinks(html: String): (String, Seq[String]) =
+    extractWithAnchors(html) match { case (t, as) => (t, as.map(_._1)) }
+
+  /** [[extractWithLinks]] with each link's ANCHOR TEXT beside it —
+    * (href, visible text inside the `<a>…</a>`, whitespace-collapsed,
+    * entities decoded; "" for an empty or image-only anchor). Anchor
+    * text is the classic web-IR description of the TARGET (how the
+    * rest of the web names a page), the signal
+    * [[graft.operators.GraphOps]] aggregates per target domain. A
+    * valueless/href-less anchor still contributes to link density but
+    * emits no pair; an unclosed anchor flushes at EOF; a nested `<a>`
+    * (illegal HTML) closes the open pair first, like browsers do. */
+  def extractWithAnchors(html: String): (String, Seq[(String, String)]) = {
+    val anchors = ArrayBuffer.empty[(String, String)]
+    (run(html, anchors), anchors.toSeq)
   }
 
-  private def run(html: String, links: ArrayBuffer[String]): String = {
+  private def run(html: String,
+      links: ArrayBuffer[(String, String)]): String = {
     val s = Option(html).getOrElse("")
     val lines = ArrayBuffer.empty[String]
     val buf = new java.lang.StringBuilder(64)
@@ -97,6 +110,16 @@ object HtmlText {
     var anchorDepth = 0
     var dropDepth = 0 // >0 → inside a dropped subtree
     val dropStack = ArrayBuffer.empty[String]
+    // the open anchor pair under construction (anchor collection only)
+    var openHref: String = null
+    val anchorBuf = new java.lang.StringBuilder(32)
+
+    def flushAnchor(): Unit = {
+      if (links != null && openHref != null)
+        links += ((openHref, collapseWs(anchorBuf.toString)))
+      openHref = null
+      anchorBuf.setLength(0)
+    }
 
     def flush(): Unit = {
       val collapsed = collapseWs(buf.toString)
@@ -141,12 +164,15 @@ object HtmlText {
               } else if (dropDepth == 0) {
                 if (BlockTags(name)) flush()
                 else if (name == "a") {
-                  if (closing) anchorDepth = math.max(0, anchorDepth - 1)
-                  else {
+                  if (closing) {
+                    anchorDepth = math.max(0, anchorDepth - 1)
+                    flushAnchor()
+                  } else {
                     anchors += 1; anchorDepth += 1
+                    flushAnchor() // nested <a>: close the open pair first
                     if (links != null)
-                      attrValue(inner, "href")
-                        .foreach(v => links += decodeEntities(v))
+                      openHref = attrValue(inner, "href")
+                        .map(decodeEntities).orNull
                   }
                 }
               }
@@ -158,6 +184,7 @@ object HtmlText {
         val (decoded, next) = entity(s, i)
         decoded.foreach { d =>
           buf.append(d)
+          if (openHref != null) anchorBuf.append(d)
           if (!Character.isWhitespace(d)) {
             totalChars += 1
             if (anchorDepth > 0) anchorChars += 1
@@ -167,6 +194,7 @@ object HtmlText {
       } else {
         if (dropDepth == 0) {
           buf.append(c)
+          if (openHref != null) anchorBuf.append(c)
           if (!Character.isWhitespace(c)) {
             totalChars += 1
             if (anchorDepth > 0) anchorChars += 1
@@ -175,6 +203,7 @@ object HtmlText {
         i += 1
       }
     }
+    flushAnchor() // an unclosed anchor still yields its pair
     flush()
     lines.mkString("\n")
   }

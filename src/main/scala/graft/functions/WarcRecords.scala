@@ -66,7 +66,7 @@ object WarcRecords {
     * incomplete (short file, bad length, or cap hit). */
   final case class WarcRecord(offset: Long, warcType: String,
       targetUri: String, contentType: String, payloadDigest: String,
-      recordId: String, concurrentTo: String,
+      recordId: String, concurrentTo: String, refersTo: String,
       declaredLength: Long, payload: Array[Byte], truncated: Boolean)
 
   /** Total function over untrusted bytes — never throws. */
@@ -120,7 +120,7 @@ object WarcRecords {
       // headers: Name: value lines up to the first empty line
       var j = skipEol(s, eol)
       var warcType = ""; var uri = ""; var ctype = ""; var digest = ""
-      var recId = ""; var concTo = ""
+      var recId = ""; var concTo = ""; var refTo = ""
       var declared = -1L
       var headersDone = false
       while (!headersDone && j < s.length) {
@@ -138,6 +138,7 @@ object WarcRecords {
               case "warc-payload-digest" => digest = value
               case "warc-record-id" => recId = stripAngles(value)
               case "warc-concurrent-to" => concTo = stripAngles(value)
+              case "warc-refers-to" => refTo = stripAngles(value)
               case "content-type" => ctype = value
               case "content-length" =>
                 declared = try {
@@ -156,7 +157,7 @@ object WarcRecords {
         val take = math.min(math.min(declared, avail.toLong),
           MaxPayload.toLong).toInt
         out += WarcRecord(i.toLong, warcType, uri, ctype, digest,
-          recId, concTo, declared,
+          recId, concTo, refTo, declared,
           java.util.Arrays.copyOfRange(bytes, bodyStart, bodyStart + take),
           truncated = avail < declared || declared > MaxPayload)
         // skip the CRLF CRLF separator; a malformed tail just rescans
@@ -169,7 +170,7 @@ object WarcRecords {
         val end = if (next >= 0) next else s.length
         val take = math.min(end - bodyStart, MaxPayload)
         out += WarcRecord(i.toLong, warcType, uri, ctype, digest,
-          recId, concTo, -1L,
+          recId, concTo, refTo, -1L,
           java.util.Arrays.copyOfRange(bytes, bodyStart, bodyStart + take),
           truncated = true)
         i = next

@@ -363,7 +363,10 @@ object GraphOps {
     TextOps.htmlDocs(docs, extra = concat(
       lit("<div class=\"refs\"><a href=\"https://www."), col("t_host"),
       lit("/ref?id="), col("doc_id").cast("string"),
-      lit("&amp;s=1\">source</a></div>")), keep = Seq("source"))
+      // anchor TEXT is planted from the same arithmetic (ref<id%7>),
+      // so the anchor-text aggregation is predictable per target too
+      lit("&amp;s=1\">ref"), (col("doc_id") % 7).cast("string"),
+      lit("</a></div>")), keep = Seq("source"))
   }
 
   /** Content-derived weighted edges (s, t, w) in rank space: walk every
@@ -422,6 +425,38 @@ object GraphOps {
       .select(col("source"), col("r").as("rank_u"))
   }
 
+  /** ANCHOR-TEXT AGGREGATION — the classic web-IR target description
+    * (how the rest of the web NAMES a page; the signal search engines
+    * index beside the page's own text, and a crawl-curation pipeline
+    * uses as a domain-topic prior): per target domain, the anchor
+    * terms of every content outlink pointing at it, with counts. The
+    * walker emits (href, anchor text) pairs in the same pass the
+    * extraction already pays; the target folds through
+    * [[UrlOps.canonicalHost]]; one hash aggregate on (dst, term).
+    * The fixture plants both sides from doc_id arithmetic, so DuckDB
+    * predicts every (target, term, n) row without parsing markup.
+    * Scale shape: map-only parse + ONE partial-aggregated exchange
+    * over ≤|domains|·|terms| groups. */
+  def anchorText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rk = srcRanks(spark, dir)
+    linkedPages(spark, dir, rk)
+      .select(col("html")).as[String]
+      .flatMap { html =>
+        graft.functions.HtmlText.extractWithAnchors(html)._2.iterator
+          .filter { case (h, _) =>
+            val l = h.toLowerCase
+            l.startsWith("http://") || l.startsWith("https://")
+          }
+      }
+      .toDF("href", "term")
+      .withColumn("t_host", UrlOps.canonicalHost(col("href")))
+      .join(broadcast(rk.select(col("source").as("dst"))),
+        col("t_host") === col("dst"))
+      .groupBy(col("dst"), col("term"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Docs the authority-weighted sampler targets overall. */
   val SampleTarget = 2000L
 
@@ -476,6 +511,7 @@ object GraphOps {
     "q_link_graph_content" -> (linkGraphContent(_, _)),
     "q_pagerank" -> (pageRank(_, _)),
     "q_pagerank_content" -> (pageRankContent(_, _)),
+    "q_anchor_text" -> (anchorText(_, _)),
     "q_pagerank_seeded" -> (pageRankSeeded(_, _)),
     "q_link_reciprocity" -> (linkReciprocity(_, _)),
     "q_authority_quota" -> (authorityQuota(_, _)),
@@ -575,6 +611,21 @@ object GraphOps {
          |$rankCtes
          |SELECT rk.source, r$Iters.r AS rank_u
          |FROM r$Iters JOIN rk ON r$Iters.rk = rk.rk
+         |""".stripMargin,
+    // anchor-text rows predicted from the same planted arithmetic the
+    // Spark side PARSES out of the markup: target = the edge target,
+    // term = 'ref' || doc_id % 7
+    "q_anchor_text" ->
+      s"""WITH $baseCtes,
+         |ed2 AS (SELECT d.doc_id,
+         |          ((r.rk + 1 + (d.doc_id % greatest((SELECT n FROM nn) - 1, 1)))
+         |           % (SELECT n FROM nn)) AS t
+         |        FROM gdoc d JOIN rk r ON d.source = r.source)
+         |SELECT tk.source AS dst,
+         |  'ref' || CAST(e2.doc_id % 7 AS VARCHAR) AS term,
+         |  count(*) AS n
+         |FROM ed2 e2 JOIN rk tk ON e2.t = tk.rk
+         |GROUP BY 1, 2
          |""".stripMargin,
     "q_link_reciprocity" ->
       s"""WITH $baseCtes,

@@ -3521,11 +3521,17 @@ object TextOps {
     * path is spec-exercised (a column expression cannot deflate; the
     * record walk after gunzip is identical — the [[pdfDocs]]
     * FlateDecode precedent). */
+  /** One synthesized WARC record as a column expression: version line,
+    * headers, Content-Length computed from the payload itself, body,
+    * CRLF CRLF separator — shared by every WARC fixture. */
+  private def warcRec(headers: Column, payload: Column): Column =
+    concat(lit("WARC/1.0\r\n"), headers,
+      lit("Content-Length: "), length(payload).cast("string"),
+      lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+
   private[graft] def warcDocs(docs: DataFrame): DataFrame = {
     def rec(headers: Column, payload: Column): Column =
-      concat(lit("WARC/1.0\r\n"), headers,
-        lit("Content-Length: "), length(payload).cast("string"),
-        lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+      warcRec(headers, payload)
     val httpPayload = concat(
       lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
       col("html"))
@@ -3710,6 +3716,74 @@ object TextOps {
         "recomputed_md5")
   }
 
+  /** REVISIT fixture — the CommonCrawl crawl-side dedup convention:
+    * an unchanged re-crawl is written as a `revisit` record that
+    * carries NO payload, only `WARC-Refers-To` naming the original
+    * response record and the shared payload digest. Planted: even
+    * docs are full responses, odd docs are revisits referring to
+    * `resp-(doc_id - 1)` — so every reference resolves and both
+    * engines predict the join from arithmetic. */
+  private[operators] def warcRevisitFiles(docs: DataFrame): DataFrame = {
+    val clean = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+      col("html"))
+    val did = col("doc_id").cast("string")
+    val refId = (col("doc_id") - 1).cast("string")
+    val record = when(col("doc_id") % 2 === 0,
+      warcRec(concat(lit("WARC-Type: response\r\n" +
+        "WARC-Record-ID: <urn:uuid:resp-"), did,
+        lit(">\r\nWARC-Target-URI: http://example.com/doc/"), did,
+        lit("\r\nWARC-Payload-Digest: md5:"), md5(clean.cast("binary")),
+        lit("\r\nContent-Type: application/http;msgtype=response\r\n")),
+        clean))
+      .otherwise(
+        warcRec(concat(lit("WARC-Type: revisit\r\n" +
+          "WARC-Record-ID: <urn:uuid:rev-"), did,
+          lit(">\r\nWARC-Refers-To: <urn:uuid:resp-"), refId,
+          lit(">\r\nWARC-Target-URI: http://example.com/doc/"), did,
+          lit("\r\nWARC-Profile: http://netpreserve.org/warc/1.0/" +
+            "revisit/identical-payload-digest\r\n")),
+          lit("")))
+    htmlDocs(docs).select(col("doc_id"),
+      record.cast("binary").as("warc"))
+  }
+
+  /** REVISIT RESOLUTION (r18) — the ingest join a CommonCrawl-style
+    * consumer runs to re-materialize deduplicated content: `revisit`
+    * records carry no payload, so their content comes from the
+    * referenced original (`WARC-Refers-To` → `WARC-Record-ID`, a
+    * globally-unique equi-key — the q_warc_pairs plan shape: two
+    * relations out of one map-only split, ONE key-partitioned join,
+    * no window, no skew). Output pins the resolved payload's md5 per
+    * revisit, which DuckDB recomputes by building the ORIGINAL's
+    * payload from the same planted arithmetic — a resolution that
+    * joins the wrong record, or a splitter that corrupts the original
+    * payload, breaks the hash. */
+  def warcRevisit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val recs = warcRevisitFiles(Tables.documents(spark, dir))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (_, warc) =>
+        graft.functions.WarcRecords.split(warc).map { r =>
+          val payloadMd5 =
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(r.payload).map("%02x".format(_)).mkString
+          (r.warcType, r.recordId, r.refersTo, r.targetUri, payloadMd5)
+        }
+      }
+      .toDF("warc_type", "record_id", "refers_to", "uri", "payload_md5")
+    val originals = recs.where(col("warc_type") === "response")
+      .select(col("record_id").as("orig_id"),
+        col("uri").as("orig_uri"),
+        col("payload_md5").as("resolved_md5"))
+    recs.where(col("warc_type") === "revisit")
+      .select(col("record_id").as("revisit_id"), col("refers_to"),
+        col("uri").as("revisit_uri"))
+      .join(originals, col("refers_to") === col("orig_id"))
+      .select(col("revisit_id"), col("revisit_uri"),
+        col("orig_uri"), col("resolved_md5"))
+  }
+
   /** CHARSET-DECLARED fixture (VERDICT r17 item 6): one response
     * record per doc whose HTTP head declares — by `doc_id % 3` —
     * `charset=windows-1252` (body bytes cp1252: curly quotes 0x93/
@@ -3865,6 +3939,7 @@ object TextOps {
     "q_warc_digest_dedup" -> warcDigestDedup _,
     "q_warc_digest_verify" -> warcDigestVerify _,
     "q_warc_charset"   -> warcCharset _,
+    "q_warc_revisit"   -> warcRevisit _,
     "q_warc_pairs"     -> warcPairs _,
     "q_pdf_extract"    -> pdfExtract _,
     "q_token_estimate" -> tokenEstimate _,
@@ -4448,6 +4523,40 @@ object TextOps {
        |       ELSE $normSufComposedSql END AS v
        |FROM documents)""".stripMargin
 
+  /** RAW page + HTTP payload synthesis twin of [[htmlDocs]] (byte-exact,
+    * unlike [[htmlAggCte]]'s extraction view) ending in
+    * `wv(doc_id, clean)` — the clean response payload string both
+    * digest oracles hash with DuckDB's native md5. Must stay in
+    * lockstep with the Spark synthesis character for character. */
+  private val warcPayloadCtes =
+    """wtok AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |wbase AS (SELECT doc_id, t, len(t) AS n FROM wtok),
+      |wpp AS (SELECT doc_id, t, unnest(range((n + 4) // 10)) AS p
+      |        FROM wbase WHERE n > 5),
+      |wpar AS (SELECT doc_id, string_agg(
+      |    '<p>&quot;' || list_extract(t, p * 10 + 6) || '&quot; ' ||
+      |    coalesce(array_to_string(
+      |      list_slice(t, p * 10 + 7, p * 10 + 15), ' '), '') ||
+      |    '</p>', '' ORDER BY p) AS paras
+      |  FROM wpp GROUP BY doc_id),
+      |whtml AS (SELECT b.doc_id,
+      |    '<html><head><title>t</title><script type="text/javascript">var s = "' ||
+      |    coalesce(array_to_string(list_slice(b.t, 1, 2), ' '), '') ||
+      |    '";</script><style>.x{color:red}</style></head><body><nav><a href="/">home</a> <a href="/about">about</a></nav><h1>' ||
+      |    coalesce(array_to_string(list_slice(b.t, 1, 5), ' &amp; '), '') ||
+      |    '</h1><p>see <a href="/d">' || list_extract(b.t, 1) ||
+      |    '</a> for details</p>' || coalesce(wp.paras, '') ||
+      |    '<div><a href="/m">more</a> <a href="/l">links</a> <a href="/r">related</a></div><footer>(c) 2026 corp</footer></body></html>'
+      |      AS html
+      |  FROM wbase b LEFT JOIN wpar wp ON wp.doc_id = b.doc_id),
+      |wv AS (SELECT doc_id,
+      |    'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+      |    'Content-Type: text/html' || chr(13) || chr(10) ||
+      |    chr(13) || chr(10) || html AS clean
+      |  FROM whtml)""".stripMargin
+
   /** Shared expected-extraction chain for the [[htmlDocs]] synthesis —
     * rebuilds the kept lines (h1, inline-anchor paragraph, body
     * paragraphs) from the SAME token arithmetic the Spark synthesis
@@ -4551,33 +4660,7 @@ object TextOps {
     // over the clean payload, recomputed over the written (possibly
     // corruption-suffixed) one
     "q_warc_digest_verify" ->
-      """WITH wtok AS (SELECT doc_id,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents),
-        |wbase AS (SELECT doc_id, t, len(t) AS n FROM wtok),
-        |wpp AS (SELECT doc_id, t, unnest(range((n + 4) // 10)) AS p
-        |        FROM wbase WHERE n > 5),
-        |wpar AS (SELECT doc_id, string_agg(
-        |    '<p>&quot;' || list_extract(t, p * 10 + 6) || '&quot; ' ||
-        |    coalesce(array_to_string(
-        |      list_slice(t, p * 10 + 7, p * 10 + 15), ' '), '') ||
-        |    '</p>', '' ORDER BY p) AS paras
-        |  FROM wpp GROUP BY doc_id),
-        |whtml AS (SELECT b.doc_id,
-        |    '<html><head><title>t</title><script type="text/javascript">var s = "'
-        |    || coalesce(array_to_string(list_slice(b.t, 1, 2), ' '), '')
-        |    || '";</script><style>.x{color:red}</style></head><body><nav><a href="/">home</a> <a href="/about">about</a></nav><h1>'
-        |    || coalesce(array_to_string(list_slice(b.t, 1, 5), ' &amp; '), '')
-        |    || '</h1><p>see <a href="/d">' || list_extract(b.t, 1)
-        |    || '</a> for details</p>' || coalesce(wp.paras, '')
-        |    || '<div><a href="/m">more</a> <a href="/l">links</a> <a href="/r">related</a></div><footer>(c) 2026 corp</footer></body></html>'
-        |      AS html
-        |  FROM wbase b LEFT JOIN wpar wp ON wp.doc_id = b.doc_id),
-        |wv AS (SELECT doc_id,
-        |    'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
-        |    'Content-Type: text/html' || chr(13) || chr(10) ||
-        |    chr(13) || chr(10) || html AS clean
-        |  FROM whtml)
+      s"""WITH $warcPayloadCtes
         |SELECT doc_id, 2 AS n_records,
         |  CASE WHEN doc_id % 7 = 3 THEN 'quarantine' ELSE 'ok' END
         |    AS verdict,
@@ -4585,6 +4668,20 @@ object TextOps {
         |  md5(CASE WHEN doc_id % 7 = 3 THEN clean || ' CORRUPTED'
         |      ELSE clean END) AS recomputed_md5
         |FROM wv""".stripMargin,
+    // revisit resolution predicted from the pairing arithmetic: odd
+    // docs revisit doc_id - 1; the resolved payload md5 is DuckDB's
+    // own md5 over the ORIGINAL's synthesized payload bytes
+    "q_warc_revisit" ->
+      s"""WITH $warcPayloadCtes
+        |SELECT 'urn:uuid:rev-' || CAST(r.doc_id AS VARCHAR)
+        |    AS revisit_id,
+        |  'http://example.com/doc/' || CAST(r.doc_id AS VARCHAR)
+        |    AS revisit_uri,
+        |  'http://example.com/doc/' || CAST(r.doc_id - 1 AS VARCHAR)
+        |    AS orig_uri,
+        |  md5(o.clean) AS resolved_md5
+        |FROM documents r JOIN wv o ON o.doc_id = r.doc_id - 1
+        |WHERE r.doc_id % 2 = 1""".stripMargin,
     // all three charset strides must extract the IDENTICAL characters
     // (chr(8220)/chr(8221) = the curly quotes the cp1252 bytes decode
     // to); the charset echo pins the Content-Type parameter parse

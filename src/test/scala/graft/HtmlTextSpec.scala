@@ -126,6 +126,25 @@ class HtmlTextSpec extends SparkSpec {
       "/bare", "https://b.example/y"))
   }
 
+  test("extractWithAnchors: anchor text collapsed beside its href; " +
+      "nested/unclosed anchors; text identical to extract") {
+    val html = "<p>see <a href=\"https://a.example/\">the  first\nlink</a>" +
+      " and <a href=\"https://b.example/\">b <b>bold</b> tail</a>" +
+      " then <a>no href</a>" +
+      " <a href=\"https://c.example/\">outer <a href=\"https://d.example/\">" +
+      "inner</a></p><div><a href=\"https://e.example/\">unclosed tail"
+    val (text, pairs) = graft.functions.HtmlText.extractWithAnchors(html)
+    assert(text == extract(html))
+    assert(pairs == Seq(
+      "https://a.example/" -> "the first link",
+      "https://b.example/" -> "b bold tail",
+      // nested <a> closes the open pair first (browser behavior)
+      "https://c.example/" -> "outer",
+      "https://d.example/" -> "inner",
+      // unclosed anchor flushes at EOF
+      "https://e.example/" -> "unclosed tail"), pairs.toString)
+  }
+
   test("attrValue: proper attribute scan, quoted/bare/valueless, " +
       "href inside another value never matches") {
     import graft.functions.HtmlText.attrValue

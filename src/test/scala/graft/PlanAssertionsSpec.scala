@@ -548,6 +548,31 @@ class PlanAssertionsSpec extends SparkSpec {
       s"digest dedup must combine map-side:\n$pd")
     assert(!pd.contains("Join") && !pd.contains("CartesianProduct"),
       s"digest dedup is one groupBy, never a join:\n$pd")
+    // the r18 additions keep the decode-kernel shape: pure map chains
+    for (q <- Seq("q_warc_digest_verify", "q_warc_charset")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange") && !p.contains("Join"),
+        s"$q is kernel-chain map-only:\n$p")
+    }
+  }
+
+  test("content link graph: parsed edges keep the synthetic family's " +
+      "shape — broadcast registry joins, no cartesian") {
+    for (q <- Seq("q_link_graph_content", "q_pagerank_content",
+        "q_anchor_text")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must never go cartesian:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q resolves hosts against the broadcast registry:\n$p")
+    }
+    // the edge-derivation queries (no rank iteration) never need a
+    // shuffle join at all — every join is a node-sized broadcast
+    for (q <- Seq("q_link_graph_content", "q_anchor_text")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"),
+        s"$q's registry joins are node-sized broadcasts:\n$p")
+    }
   }
 
   test("skew auto cutover: natural data plans PLAIN, hot fixture SALTED") {

@@ -230,6 +230,42 @@ class WarcRecordsSpec extends SparkSpec {
       "http://e.com/bad" -> "quarantine"))
   }
 
+  test("httpCharset + decode: declared charset honored, quoted and " +
+      "parameterized forms, body never scanned, unknown falls back") {
+    import WarcRecords.{httpCharset, decode}
+    assert(httpCharset(bytes("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=windows-1252\r\n\r\nbody"))
+      == "windows-1252")
+    assert(httpCharset(bytes("HTTP/1.1 200 OK\r\n" +
+      "content-type: text/html;charset=\"UTF-8\"; q=1\r\n\r\n"))
+      == "utf-8")
+    assert(httpCharset(bytes("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html\r\n\r\ncharset=sneaky-in-body")) == "")
+    assert(httpCharset(bytes("not http")) == "")
+    assert(httpCharset(null) == "")
+    // cp1252 curly quote: 0x93 decodes to U+201C under the declaration,
+    // U+FFFD under the UTF-8 fallback
+    val b = Array[Byte]('a'.toByte, 0x93.toByte, 'b'.toByte)
+    assert(decode(b, "windows-1252") == "a“b")
+    assert(decode(b, "") == "a�b")
+    assert(decode(b, "no-such-charset") == "a�b")
+    assert(decode(null, "utf-8") == "")
+  }
+
+  test("revisit headers parse: refers-to angle-stripped, empty payload") {
+    val file = "WARC/1.0\r\nWARC-Type: revisit\r\n" +
+      "WARC-Record-ID: <urn:uuid:rev-9>\r\n" +
+      "WARC-Refers-To: <urn:uuid:resp-8>\r\n" +
+      "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/" +
+      "identical-payload-digest\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    val rs = WarcRecords.split(bytes(file))
+    assert(rs.size == 1)
+    assert(rs.head.warcType == "revisit" && !rs.head.truncated)
+    assert(rs.head.recordId == "urn:uuid:rev-9")
+    assert(rs.head.refersTo == "urn:uuid:resp-8")
+    assert(rs.head.payload.isEmpty)
+  }
+
   test("httpBody: status + body; CRLF and LF header terminators") {
     val (s1, b1) = WarcRecords.httpBody(
       bytes("HTTP/1.1 404 Not Found\r\nX: y\r\n\r\nbody"))
