@@ -171,6 +171,32 @@ class PlanAssertionsSpec extends SparkSpec {
       s"row-per-media metadata parse must stay map-only:\n$p")
   }
 
+  test("q_robots_filter: verdicts ride the doc scan — broadcast join, " +
+      "no doc-side shuffle") {
+    val p = plan("q_robots_filter")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastHashJoin"),
+      s"the per-host rule arrays must broadcast onto the doc scan:\n$p")
+    // the ONE allowed exchange (plan text names it twice: final +
+    // initial) is the ≤|domains| DISTINCT that derives the robots
+    // registry — the document side itself must not shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"robots verdicts must not shuffle the document side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a registry-sized dimension must never sort-merge:\n$p")
+  }
+
+  test("q_etld1: PSL lookup is broadcast joins over the doc scan — " +
+      "no shuffle") {
+    val p = plan("q_etld1")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastHashJoin"),
+      s"the suffix rule dim must broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the eTLD+1 derivation must not shuffle the document side:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim joins must hash:\n$p")
+  }
+
   test("q_source_cap: partial group limit truncates before the exchange") {
     // the per-source cap must shuffle O(sources·cap) rows, not the
     // corpus: the rank filter plans a PARTIAL WindowGroupLimit below

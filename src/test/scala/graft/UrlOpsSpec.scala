@@ -44,4 +44,28 @@ class UrlOpsSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     assert(d.count() == docs)
   }
+
+  test("eTLD+1: exception beats wildcard, suffix-hosts have no " +
+      "registrable, subdomain shapes fold") {
+    val rows = UrlOps.etld1(spark, sfDir).collect()
+    val byHost = rows.map(r => (r.getString(1), r)).toMap
+    // !except.wild.test cancels *.wild.test: suffix falls back to
+    // wild.test and the host IS registrable
+    val ex = byHost("except.wild.test")
+    assert(ex.getInt(3) == 2 && ex.getString(4) == "wild.test"
+      && ex.getString(5) == "except.wild.test")
+    // the wildcard makes site<k>.wild.test itself the public suffix
+    val wc = rows.find(_.getString(1).startsWith("deep.site")).get
+    assert(wc.getInt(3) == 3 && wc.getString(5) == wc.getString(1))
+    // a host that IS a public suffix has no eTLD+1
+    assert(byHost("co.test").isNullAt(5))
+    // default '*' rule: nothing deeper than the TLD matched => len 1
+    val plain = byHost.get("site0.org").orElse(byHost.get("site1.org")).get
+    assert(plain.getInt(3) == 1)
+    // the fold: bare + www. + a.b. land in ONE registrable group
+    val g = UrlOps.etld1Group(spark, sfDir).collect()
+    assert(g.exists(r => r.getString(0).matches("site\\d\\.org")
+      && r.getLong(1) == 3),
+      "three host shapes must collapse onto one site<k>.org registrable")
+  }
 }
