@@ -374,6 +374,125 @@ object UrlOps {
         (col("n_allowed") * greatest(col("delay"), lit(1L)))
           .as("crawl_seconds"))
 
+  // --- sitemaps: discovery feed (sitemaps.org protocol) ---------------
+
+  /** Bloom geometry for the discovery gate — the
+    * [[DedupOps.BloomDeclBits]] census discipline applied to the URL
+    * frontier (declared size, deterministic chained-md5 positions, so
+    * the oracle recomputes every verdict including false positives). */
+  val SitemapBloomBits = 1 << 16
+  val SitemapBloomHashes = 3
+
+  /** One `<url>` entry, assembled column-wise so DuckDB predicts the
+    * parsed fields from the same arithmetic. */
+  private def sitemapEntry(src: Column, id: Column): Column =
+    concat(lit("<url><loc>https://"), src, lit(".example.org/docs/"),
+      id.cast("string"),
+      lit("</loc><lastmod>2026-01-"),
+      lpad(((id % 28) + 1).cast("string"), 2, "0"),
+      lit("</lastmod><changefreq>"),
+      when(id % 3 === 0, lit("daily"))
+        .when(id % 3 === 1, lit("weekly")).otherwise(lit("monthly")),
+      lit("</changefreq><priority>0."), (id % 10).cast("string"),
+      lit("</priority></url>"))
+
+  /** Deterministic sitemap synthesis per domain (the sitemaps.org
+    * `<urlset>` convention the robots `Sitemap:` line points at): ten
+    * entries for KNOWN pages (ids `d + 20j` — exactly the domain's
+    * docs) plus `d%4 + 1` entries for pages the corpus has never seen
+    * (ids offset to 50M — outside every replica range), each with
+    * planted lastmod/changefreq/priority. The discovery queries grade
+    * exactly this known/new split. */
+  private[graft] def sitemapDocs(docs: DataFrame): DataFrame = {
+    val d = domInt
+    val existing = transform(sequence(lit(0), lit(9)),
+      j => sitemapEntry(col("source"), d + j * 20))
+    val fresh = transform(sequence(lit(0), d % 4),
+      k => sitemapEntry(col("source"), k + d * 100 + lit(50000000)))
+    docs.select(col("source")).distinct()
+      .select(col("source"), concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+        array_join(concat(existing, fresh), "\n"),
+        lit("\n</urlset>\n")).as("sitemap"))
+  }
+
+  /** ORACLED SITEMAP PARSE — pure built-in regexes over the XML (the
+    * q_url_canonical discipline: codegen'd expressions, no kernel —
+    * sitemaps are machine-generated, so the regex-over-entry walk is
+    * the standard treatment; hostile containers go through the WARC
+    * kernel path instead). Per entry: loc, lastmod, changefreq,
+    * priority ×10 — every field predicted by DuckDB from the planted
+    * arithmetic, so an entry-boundary error, a greedy regex, or a
+    * dropped field breaks the row set. The entry explode is map-side;
+    * nothing shuffles. */
+  def sitemapParse(spark: SparkSession, dir: String): DataFrame =
+    sitemapDocs(Tables.documents(spark, dir))
+      .select(col("source"),
+        explode(expr(
+          "regexp_extract_all(sitemap, '<url>(.*?)</url>', 1)"))
+          .as("entry"))
+      .select(col("source"),
+        regexp_extract(col("entry"), "<loc>([^<]*)</loc>", 1).as("loc"),
+        regexp_extract(col("entry"), "<lastmod>([^<]*)</lastmod>", 1)
+          .as("lastmod"),
+        regexp_extract(col("entry"),
+          "<changefreq>([^<]*)</changefreq>", 1).as("changefreq"),
+        regexp_extract(col("entry"),
+          "<priority>0\\.([0-9])</priority>", 1).cast("int")
+          .as("priority_x10"))
+
+  /** ORACLED FRONTIER DISCOVERY — which sitemap URLs are NEW to the
+    * corpus, answered the way a 100 TB frontier must: a NATIVE bloom
+    * filter over the known-URL fingerprints (one partial-aggregated
+    * pass, 8 KiB of bits) probed per listed URL through the codegen'd
+    * membership expression — `definitely_new` needs NO join at all
+    * (the no-false-negative contract), and only the `might_contain`
+    * residue would go to an exact verify. The exact `is_known` column
+    * is the grading aid (the [[DedupOps.bloomProbe]] shape), and the
+    * oracle recomputes the bloom POSITIONS from the same chained-md5
+    * idiom — false positives are graded exactly, not bounded. */
+  def sitemapDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val known = docs.select(concat(lit("https://"), col("source"),
+        lit(".example.org/docs/"), col("doc_id").cast("string"))
+        .as("loc"))
+      .select(col("loc"), md5(col("loc")).as("fp"))
+    val words = known.agg(graft.plans.BloomFilter.bloomAgg(spark)(
+      col("fp"), SitemapBloomBits, SitemapBloomHashes))
+      .head().getSeq[Long](0).toArray
+    sitemapParse(spark, dir)
+      .select(col("source"), col("loc"), md5(col("loc")).as("fp"))
+      .withColumn("might_contain",
+        graft.plans.BloomFilter.bloomContains(spark)(
+          typedLit(words), col("fp"), SitemapBloomHashes))
+      .join(known.select(col("fp"), lit(true).as("present")).distinct(),
+        Seq("fp"), "left")
+      .select(col("source"), col("loc"), col("might_contain"),
+        coalesce(col("present"), lit(false)).as("is_known"),
+        (!col("might_contain")).as("definitely_new"))
+  }
+
+  /** ORACLED FRONTIER RANKING — the crawl-scheduling rollup: per host,
+    * listed/new counts and a politeness-adjusted priority
+    * (`n_new · 1000 div max(crawl_delay, 1)` — hosts with much
+    * undiscovered content and permissive delays first; integer
+    * truncating division so both engines agree bit-for-bit).
+    * Composes the sitemap discovery verdicts with the robots
+    * crawl-delay — three families in one plan, all exchanges
+    * domain-sized. */
+  def frontierRank(spark: SparkSession, dir: String): DataFrame = {
+    val disc = sitemapDiscovery(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_listed"),
+        sum(when(!col("might_contain"), 1L).otherwise(0L)).as("n_new"))
+    val pol = crawlPoliteness(spark, dir)
+      .select(col("source"), col("delay"))
+    disc.join(pol, Seq("source"))
+      .select(col("source"), col("n_listed"), col("n_new"), col("delay"),
+        expr("n_new * 1000 div greatest(delay, 1)").as("priority"))
+  }
+
   // --- eTLD+1: public-suffix registrable domain -----------------------
 
   /** The planted public-suffix list — the Mozilla-PSL rule grammar in
@@ -510,6 +629,9 @@ object UrlOps {
     "q_robots_census" -> (robotsCensus(_, _)),
     "q_robots_filter" -> (robotsFilter(_, _)),
     "q_crawl_politeness" -> (crawlPoliteness(_, _)),
+    "q_sitemap_parse" -> (sitemapParse(_, _)),
+    "q_sitemap_discovery" -> (sitemapDiscovery(_, _)),
+    "q_frontier_rank" -> (frontierRank(_, _)),
     "q_etld1" -> (etld1(_, _)),
     "q_etld1_group" -> (etld1Group(_, _)))
 
@@ -564,6 +686,49 @@ object UrlOps {
        |        WHEN 3 THEN c3 WHEN 4 THEN c4 END
        |    END AS registrable
        |  FROM scored)""".stripMargin
+  }
+
+  /** Shared oracle CTEs for the sitemap family: the planted listed
+    * rows (known + new ids per domain) and their rendered fields —
+    * DuckDB predicts what Spark must PARSE back out of the XML. */
+  private val sitemapEntryCtes: String =
+    """listed AS (
+      |  SELECT source, d + 20 * j AS id
+      |  FROM (SELECT source, d, unnest(range(0, 10)) AS j FROM doms) t1
+      |  UNION ALL
+      |  SELECT source, 50000000 + d * 100 + k AS id
+      |  FROM (SELECT source, d, unnest(range(0, d % 4 + 1)) AS k
+      |        FROM doms) t2),
+      |entries AS (
+      |  SELECT source,
+      |    'https://' || source || '.example.org/docs/' ||
+      |      CAST(id AS VARCHAR) AS loc,
+      |    '2026-01-' || lpad(CAST(id % 28 + 1 AS VARCHAR), 2, '0')
+      |      AS lastmod,
+      |    CASE CAST(id % 3 AS INT) WHEN 0 THEN 'daily'
+      |      WHEN 1 THEN 'weekly' ELSE 'monthly' END AS changefreq,
+      |    CAST(id % 10 AS INT) AS priority_x10
+      |  FROM listed)""".stripMargin
+
+  /** Bloom verdict CTEs over the sitemap rows — the q_bloom_probe
+    * idiom: known-URL fingerprints, their chained-md5 positions, and
+    * per-listed-URL membership recomputed exactly (FPs included). */
+  private val sitemapVerdictCtes: String = {
+    val arms = (0 until SitemapBloomHashes).map(i =>
+      graft.plans.CountMinSketch.bucketSql(i, "fp", SitemapBloomBits))
+    val contained = arms.map(a => s"($a) IN (SELECT pos FROM bpos)")
+      .mkString(" AND ")
+    s"""kfp AS (
+       |  SELECT md5('https://' || source || '.example.org/docs/' ||
+       |    CAST(doc_id AS VARCHAR)) AS fp
+       |  FROM documents),
+       |bpos AS (SELECT DISTINCT pos
+       |  FROM kfp, unnest([${arms.mkString(", ")}]) AS u(pos)),
+       |lfp AS (SELECT source, loc, md5(loc) AS fp FROM entries),
+       |verd AS (
+       |  SELECT source, loc, $contained AS might_contain,
+       |    fp IN (SELECT fp FROM kfp) AS is_known
+       |  FROM lfp)""".stripMargin
   }
 
   /** Shared oracle CTE: the domain relation with its planted integer. */
@@ -716,6 +881,31 @@ object UrlOps {
          |  CAST(sum(CASE WHEN allowed_any THEN 1 ELSE 0 END)
          |    * greatest(min(d % 7), 1) AS BIGINT) AS crawl_seconds
          |FROM verd GROUP BY 1""".stripMargin,
+    "q_sitemap_parse" ->
+      s"""WITH $robotsDomsCte,
+         |$sitemapEntryCtes
+         |SELECT source, loc, lastmod, changefreq, priority_x10
+         |FROM entries""".stripMargin,
+    "q_sitemap_discovery" ->
+      s"""WITH $robotsDomsCte,
+         |$sitemapEntryCtes,
+         |$sitemapVerdictCtes
+         |SELECT source, loc, might_contain, is_known,
+         |  NOT might_contain AS definitely_new
+         |FROM verd""".stripMargin,
+    "q_frontier_rank" ->
+      s"""WITH $robotsDomsCte,
+         |$sitemapEntryCtes,
+         |$sitemapVerdictCtes
+         |SELECT v.source, CAST(count(*) AS BIGINT) AS n_listed,
+         |  CAST(sum(CASE WHEN NOT might_contain THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_new,
+         |  CAST(min(dd.d % 7) AS BIGINT) AS delay,
+         |  CAST(sum(CASE WHEN NOT might_contain THEN 1 ELSE 0 END)
+         |    * 1000 // greatest(min(dd.d % 7), 1) AS BIGINT) AS priority
+         |FROM verd v
+         |JOIN doms dd ON v.source = dd.source
+         |GROUP BY 1""".stripMargin,
     "q_etld1" ->
       s"""WITH $etld1Ctes
          |SELECT doc_id, host, n_labels, psl_len, public_suffix,

@@ -45,6 +45,30 @@ class UrlOpsSpec extends SparkSpec {
     assert(d.count() == docs)
   }
 
+  test("sitemap discovery: no false negatives; frontier priority " +
+      "composes politeness") {
+    val d = UrlOps.sitemapDiscovery(spark, sfDir).collect()
+    assert(d.nonEmpty)
+    d.foreach { r =>
+      val (might, known, defNew) =
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))
+      assert(!known || might,
+        "a known URL must answer might_contain (no false negatives)")
+      assert(defNew == !might)
+      assert(!defNew || !known,
+        "definitely_new may never hit a known URL")
+    }
+    // both planted classes appear: known pages and undiscovered ones
+    assert(d.exists(_.getBoolean(3)) && d.exists(!_.getBoolean(3)))
+    val f = UrlOps.frontierRank(spark, sfDir).collect()
+    f.foreach { r =>
+      assert(r.getLong(4) ==
+        r.getLong(2) * 1000 / math.max(r.getLong(3), 1L),
+        "priority must be the politeness-adjusted integer ratio")
+    }
+    assert(f.exists(_.getLong(2) > 0), "some host must have new URLs")
+  }
+
   test("eTLD+1: exception beats wildcard, suffix-hosts have no " +
       "registrable, subdomain shapes fold") {
     val rows = UrlOps.etld1(spark, sfDir).collect()
