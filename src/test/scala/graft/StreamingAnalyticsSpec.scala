@@ -293,6 +293,80 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(wet2 == wet)
   }
 
+  test("warc ingest stream: robots admission quarantines disallowed " +
+      "records before WET and the gate, replay-idempotent") {
+    def rec(id: String, uri: String, payload: String): String =
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <$id>\r\n" +
+        s"WARC-Target-URI: $uri\r\nContent-Length: ${payload.length}" +
+        s"\r\n\r\n$payload\r\n\r\n"
+    def http(html: String) =
+      s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html"
+    val novel = "an original essay about deep sea cartography with " +
+      "plenty of distinct readable words and the usual connective " +
+      "tissue of an honest document"
+    val other = "a different long discussion of alpine beekeeping " +
+      "practices with many varied words and the usual connective " +
+      "tissue of an honest document"
+    val banned = "content that must never reach the corpus because " +
+      "its path is disallowed by the host robots rules entirely"
+    val inDir = java.nio.file.Files.createTempDirectory("robin")
+    java.nio.file.Files.write(inDir.resolve("a.warc"),
+      (rec("urn:uuid:r-1", "http://w.example/1",
+        http(s"<html><body><p>$novel</p></body></html>")) +
+        rec("urn:uuid:r-2", "http://WWW.w.example:80/2?x=1",
+          http(s"<html><body><p>$banned</p></body></html>")) +
+        rec("urn:uuid:r-3", "http://w.example/3",
+          http(s"<html><body><p>$other</p></body></html>")))
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val idxDir = java.nio.file.Files.createTempDirectory("robidx")
+      .toString + "/never_written"
+    val outDir = java.nio.file.Files.createTempDirectory("robout").toString
+    val binSchema = StructType(Seq(StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    import spark.implicits._
+    // the host disallows /2 (and the record's messy www./port/query
+    // form must still resolve to it); /1 and /3 carry no matching rule
+    val robots = Seq(("w.example", Seq((false, "/2"))))
+      .toDF("host", "rules")
+    def drive(ckpt: String): Seq[(Long, String)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val q = StreamingAnalytics.runWarcIngest(
+        spark.readStream.format("binaryFile").schema(binSchema)
+          .option("pathGlobFilter", "*.warc*").load(inDir.toString),
+        idxDir, outDir,
+        java.nio.file.Files.createTempDirectory(ckpt).toString,
+        robots = Some(robots)) { (verdicts, _) =>
+        buf ++= verdicts.collect().map(r =>
+          (r.getLong(0), r.getAs[String]("verdict")))
+      }
+      q.awaitTermination()
+      buf.toSeq
+    }
+    val first = drive("robck1")
+    def did(ident: String): Long =
+      spark.range(1).select(xxhash64(lit(ident))).head().getLong(0)
+    assert(first.map(_._1).toSet ==
+      Set(did("urn:uuid:r-1"), did("urn:uuid:r-3")),
+      s"the disallowed record must never reach the gate: $first")
+    assert(first.forall(_._2 == "admit"))
+    val denied = spark.read.parquet(s"$outDir/robots_denied")
+      .select(col("uri")).collect().map(_.getString(0)).toSet
+    assert(denied == Set("http://WWW.w.example:80/2?x=1"),
+      s"denied quarantine must carry exactly the disallowed capture: " +
+        s"$denied")
+    val wet = spark.read.parquet(s"$outDir/wet")
+      .select(col("uri")).collect().map(_.getString(0)).toSet
+    assert(wet == Set("http://w.example/1", "http://w.example/3"),
+      s"WET must carry only admitted captures: $wet")
+    // replay over the populated stores: same verdicts, same routing
+    val second = drive("robck2")
+    assert(second.toSet == first.toSet)
+    assert(spark.read.parquet(s"$outDir/robots_denied")
+      .select(col("uri")).collect().map(_.getString(0)).toSet == denied)
+  }
+
   test("semantic gate: batch-2 embedding duplicating an admitted " +
       "batch-1 doc is rejected sem_dup") {
     // the later-batches-see-earlier-admissions contract on the EMBEDDING
