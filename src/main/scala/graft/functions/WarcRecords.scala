@@ -306,6 +306,35 @@ object WarcRecords {
     ""
   }
 
+  /** A named header's value from an HTTP payload's head section
+    * (case-insensitive, trimmed; "" when the payload is not HTTP or
+    * the header is absent) — the generic sibling of [[httpCharset]],
+    * used for `Location` in redirect-chain resolution. Never reads
+    * past the first blank line. */
+  def httpHeaderValue(payload: Array[Byte], name: String): String = {
+    if (payload == null || payload.length == 0 || name == null) return ""
+    val s = new String(payload,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!s.startsWith("HTTP/")) return ""
+    val sep = s.indexOf("\r\n\r\n")
+    val sepLf = s.indexOf("\n\n")
+    val headEnd =
+      if (sep >= 0 && (sepLf < 0 || sep <= sepLf)) sep
+      else if (sepLf >= 0) sepLf
+      else s.length
+    var i = 0
+    while (i < headEnd) {
+      val eol = lineEnd(s, i)
+      val line = s.substring(i, math.min(eol, headEnd))
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+          line.substring(0, colon).trim.equalsIgnoreCase(name))
+        return line.substring(colon + 1).trim
+      i = skipEol(s, eol)
+    }
+    ""
+  }
+
   /** Decode body bytes under a declared charset name — total: unknown,
     * unsupported, or empty names fall back to UTF-8, malformed byte
     * sequences decode to U+FFFD (never a throw). */

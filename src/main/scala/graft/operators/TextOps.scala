@@ -3897,6 +3897,85 @@ object TextOps {
         col("http_status"))
   }
 
+  /** Deterministic REDIRECT-CHAIN fixture: one response record per doc
+    * at `http://example.com/doc/<id>`. Ids on the `% 5 == 0` stride
+    * answer 200 with a body; every other id redirects (301 on even
+    * ids, 302 on odd) to `id - 1` — chains of up to 4 hops down to the
+    * stride terminal — EXCEPT the `% 9 == 7` stride, whose `Location`
+    * points at ITSELF (the crawler-trap loop the resolver must refuse
+    * to follow). Assembled column-wise, so DuckDB derives the same
+    * (uri, status, location) relation from arithmetic and resolves it
+    * with its own engine. */
+  private[operators] def warcRedirectDocs(docs: DataFrame): DataFrame = {
+    val did = col("doc_id")
+    def uriOf(c: Column): Column =
+      concat(lit("http://example.com/doc/"), c.cast("string"))
+    val target = when(did % 9 === 7, did).otherwise(did - 1)
+    val payload = when(did % 5 === 0,
+      concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        "<html>ok "), did.cast("string"), lit("</html>")))
+      .otherwise(concat(
+        when(did % 2 === 0, lit("HTTP/1.1 301 Moved Permanently\r\n"))
+          .otherwise(lit("HTTP/1.1 302 Found\r\n")),
+        lit("Location: "), uriOf(target), lit("\r\n\r\n")))
+    docs.select(col("doc_id"), warcRec(concat(
+      lit("WARC-Type: response\r\nWARC-Target-URI: "), uriOf(did),
+      lit("\r\nContent-Type: application/http;msgtype=response\r\n")),
+      payload).cast("binary").as("warc"))
+  }
+
+  /** ORACLED REDIRECT RESOLUTION — the crawl-processing step between
+    * capture and link/dedup analysis: follow each capture's
+    * 301/302 `Location` chain to its terminal (bounded at 4 hops — the
+    * crawler convention), refusing self-loops (a hop that lands on the
+    * uri it left never advances). The kernel side parses status and
+    * `Location` out of the real HTTP heads
+    * ([[graft.functions.WarcRecords.httpHeaderValue]]); resolution is
+    * 4 chained equi-joins over the checkpointed capture relation (the
+    * bounded-iteration discipline — each hop shuffles on the uri key,
+    * nothing quadratic). DuckDB resolves INDEPENDENTLY: a recursive
+    * CTE walk over the same arithmetic-derived relation with the same
+    * loop guard — two different resolution engines must land on the
+    * same terminals, hop counts and stall states. */
+  def warcRedirects(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val recs = warcRedirectDocs(Tables.documents(spark, dir))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (_, warc) =>
+        graft.functions.WarcRecords.split(warc)
+          .filter(_.warcType == "response")
+          .map { r =>
+            val (status, _) =
+              graft.functions.WarcRecords.httpBody(r.payload)
+            (r.targetUri, status,
+              graft.functions.WarcRecords.httpHeaderValue(
+                r.payload, "location"))
+          }
+      }
+      .toDF("uri", "status", "loc")
+      .localCheckpoint(true)
+    val hop = recs.select(col("uri").as("r_uri"),
+      col("status").as("r_status"), col("loc").as("r_loc"))
+    var cur = recs.select(col("uri").as("start_uri"),
+      col("uri").as("cur"), col("status"), col("loc"),
+      lit(0).as("n_hops"))
+    for (_ <- 1 to 4) {
+      cur = cur
+        .join(hop, col("loc") === col("r_uri") &&
+          col("status").isin(301, 302) && col("r_uri") =!= col("cur"),
+          "left")
+        .select(col("start_uri"),
+          coalesce(col("r_uri"), col("cur")).as("cur"),
+          coalesce(col("r_status"), col("status")).as("status"),
+          coalesce(col("r_loc"), col("loc")).as("loc"),
+          (col("n_hops") +
+            when(col("r_uri").isNotNull, 1).otherwise(0)).as("n_hops"))
+    }
+    cur.select(col("start_uri"), col("cur").as("final_uri"),
+      col("n_hops"), col("status").as("final_status"),
+      (col("status") === 200).as("resolved"))
+  }
+
   /** DIRECTORY-LEVEL WARC INGEST — the production plumbing upstream of
     * [[warcExtract]]'s per-file kernel: a `binaryFile` scan over a
     * directory of `.warc` / `.warc.gz` files (one task per file — the
@@ -3941,6 +4020,7 @@ object TextOps {
     "q_warc_charset"   -> warcCharset _,
     "q_warc_revisit"   -> warcRevisit _,
     "q_warc_pairs"     -> warcPairs _,
+    "q_warc_redirects" -> warcRedirects _,
     "q_pdf_extract"    -> pdfExtract _,
     "q_token_estimate" -> tokenEstimate _,
     "q_vocab"          -> vocab _,
@@ -4635,6 +4715,35 @@ object TextOps {
     // agg chain as q_html_extract — a split boundary error (off-by-one
     // Content-Length, leaked CRLF, unstripped HTTP header) breaks the
     // shared fingerprint
+    // redirect resolution re-implemented INDEPENDENTLY: a recursive
+    // walk over the arithmetic-derived (uri, status, location)
+    // relation with the same self-loop guard and 4-hop bound — two
+    // resolution engines must agree on terminals, hop counts, stalls
+    "q_warc_redirects" ->
+      """WITH RECURSIVE recs AS (
+        |  SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR)
+        |      AS uri,
+        |    CASE WHEN doc_id % 5 = 0 THEN 200
+        |         WHEN doc_id % 2 = 0 THEN 301 ELSE 302 END AS status,
+        |    CASE WHEN doc_id % 5 = 0 THEN ''
+        |         ELSE 'http://example.com/doc/' ||
+        |           CAST(CASE WHEN doc_id % 9 = 7 THEN doc_id
+        |                ELSE doc_id - 1 END AS VARCHAR) END AS loc
+        |  FROM documents),
+        |walk AS (
+        |  SELECT uri AS start_uri, uri AS cur, status, loc,
+        |    0 AS n_hops
+        |  FROM recs
+        |  UNION ALL
+        |  SELECT w.start_uri, r.uri, r.status, r.loc, w.n_hops + 1
+        |  FROM walk w JOIN recs r ON w.loc = r.uri
+        |  WHERE w.status IN (301, 302) AND r.uri <> w.cur
+        |    AND w.n_hops < 4)
+        |SELECT start_uri, arg_max(cur, n_hops) AS final_uri,
+        |  CAST(max(n_hops) AS INT) AS n_hops,
+        |  arg_max(status, n_hops) AS final_status,
+        |  arg_max(status, n_hops) = 200 AS resolved
+        |FROM walk GROUP BY 1""".stripMargin,
     "q_warc_extract" ->
       s"""WITH $htmlAggCte
         |SELECT d.doc_id, 4 AS n_records, 1 AS n_response,

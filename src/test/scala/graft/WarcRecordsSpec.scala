@@ -283,4 +283,18 @@ class WarcRecordsSpec extends SparkSpec {
     assert(s5 == -1)
     assert(WarcRecords.httpBody(null)._1 == -1)
   }
+
+  test("httpHeaderValue: case-insensitive, trimmed, head-only, total") {
+    val p = bytes("HTTP/1.1 301 Moved\r\nLOCATION:  http://e.com/next " +
+      "\r\nX-Other: z\r\n\r\nLocation: http://body-leak/")
+    assert(WarcRecords.httpHeaderValue(p, "location")
+      == "http://e.com/next")
+    assert(WarcRecords.httpHeaderValue(p, "x-other") == "z")
+    // absent header, body occurrences never read
+    assert(WarcRecords.httpHeaderValue(p, "retry-after") == "")
+    // non-HTTP payloads and nulls answer empty, never throw
+    assert(WarcRecords.httpHeaderValue(bytes("plain"), "location") == "")
+    assert(WarcRecords.httpHeaderValue(null, "location") == "")
+    assert(WarcRecords.httpHeaderValue(p, null) == "")
+  }
 }
