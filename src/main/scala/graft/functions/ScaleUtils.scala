@@ -216,6 +216,37 @@ object ScaleUtils {
     }.sum
   }
 
+  /** Fan a narrow-parallelism scan out to the session's cores before
+    * per-row-HEAVY work (optimization guide §2.5 "input skew: one huge
+    * unsplittable file ... repartition immediately after the read").
+    *
+    * Why it exists: parquet parallelism is bounded by ROW GROUPS, not
+    * bytes — a table written as one row group (this repo's testdata
+    * files; at production scale a mis-compacted shard or one giant gzip
+    * member) scans as ONE task, serializing every downstream map-side
+    * pass (shingle hashing, media decode, regex censuses) on a single
+    * core while the rest of the cluster idles. Measured on the dedup
+    * spine at sf0.1: the signature pass ran 1-way for ~1.5 s of pure
+    * per-row compute with 31 cores idle.
+    *
+    * Scale posture: when the frame's physical partition count already
+    * reaches the session's default parallelism — ANY real multi-shard
+    * table at 100 TB, where input splits outnumber cores by construction
+    * — this is the IDENTITY and adds no exchange to the plan. It only
+    * fires when the scan is narrower than the machine, exactly the
+    * regime where the re-shuffled bytes are small. The repartition
+    * hashes a caller-provided high-cardinality key (deterministic
+    * row→partition mapping — retry-safe, and skips round-robin's
+    * sort-before-repartition); every consumer in this repo is
+    * partitioning-invariant (aggregations, equi-joins, per-row
+    * projections), so results are identical either way
+    * (DeterminismSpec's contract). */
+  def fanOutScan(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, key)
+  }
+
   /** Repartition a fact table by its dominant join/group key with a
     * partition count sized from data volume (bytes per partition target),
     * so downstream joins/aggs on that key reuse the partitioning without

@@ -28,12 +28,17 @@ object DedupOps {
   /** doc_id, lang, tok (distinct 3-gram shingles — see
     * [[TextOps.shingles3]]; word-level sets degenerate on small
     * vocabularies and defeat LSH pruning). */
-  private def exploded(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def exploded(spark: SparkSession, dir: String): DataFrame =
     explodedDocs(Tables.documents(spark, dir))
 
-  /** [[exploded]] over any (doc_id, lang, text) relation. */
-  private def explodedDocs(docs: DataFrame): DataFrame =
-    docs
+  /** [[exploded]] over any (doc_id, lang, text) relation. The input is
+    * fanned out to the session's cores first
+    * ([[graft.functions.ScaleUtils.fanOutScan]]): the shingle + md5
+    * signature work downstream is the spine's dominant per-row cost, and
+    * a single-row-group scan would serialize it on one task (identity at
+    * scale — see the helper's scaladoc). */
+  private[graft] def explodedDocs(docs: DataFrame): DataFrame =
+    graft.functions.ScaleUtils.fanOutScan(docs, col("doc_id"))
       .select(col("doc_id"), col("lang"),
         TextOps.shingles3(col("text")).as("tset"))
       .withColumn("n_tok", size(col("tset")))
@@ -76,7 +81,7 @@ object DedupOps {
     * identical to the SQL oracle: per-seed lexicographic min over an
     * 8-hex slice (min over a uniform hash is order-statistics-equivalent
     * at any width). */
-  private def bandKeys(spark: SparkSession, ex: DataFrame): DataFrame = {
+  private[graft] def bandKeys(spark: SparkSession, ex: DataFrame): DataFrame = {
     val withH = HashPrefixes.zipWithIndex.foldLeft(ex) { case (df, (p, i)) =>
       df.withColumn(s"h$i", md5(concat(lit(p), col("tok")).cast("binary")))
     }
@@ -1386,7 +1391,7 @@ object DedupOps {
   /** LSH candidate pairs with their exact-Jaccard ingredients
     * (id_a, id_b, shared, n_a, n_b) — the relation [[textDupPairs]]
     * thresholds and [[dupThresholdSweep]] histograms. */
-  private def textCandidateScores(spark: SparkSession, dir: String)
+  private[graft] def textCandidateScores(spark: SparkSession, dir: String)
       : DataFrame = {
     // not persisted — see minhashLsh: ReuseExchange + cheap recompute
     val ex = exploded(spark, dir)
