@@ -36,14 +36,25 @@ object DedupOps {
     * ([[graft.functions.ScaleUtils.fanOutScan]]): the shingle + md5
     * signature work downstream is the spine's dominant per-row cost, and
     * a single-row-group scan would serialize it on one task (identity at
-    * scale — see the helper's scaladoc). */
+    * scale — see the helper's scaladoc).
+    *
+    * `explode_outer`, not `explode` (r18, guide §1.2/§4.4 analog): plain
+    * explode makes Catalyst insert a pruning Filter
+    * `size(tset) > 0 AND isnotnull(tset)` that (a) re-evaluates the whole
+    * interpreted shingles3 HOF tree per row — Catalyst inlines the alias
+    * into the pushed predicate, so the spine paid the shingle assembly
+    * TWICE — and (b) gets pushed below the fan-out Exchange, serializing
+    * that duplicate pass on the narrow scan. [[TextOps.shingles3]] is
+    * total: it returns a 1-element array (the whole-text join) for docs
+    * under 3 tokens, so the array is NEVER null or empty and the outer
+    * explode emits row-identical output with no filter in the plan. */
   private[graft] def explodedDocs(docs: DataFrame): DataFrame =
     graft.functions.ScaleUtils.fanOutScan(docs, col("doc_id"))
       .select(col("doc_id"), col("lang"),
         TextOps.shingles3(col("text")).as("tset"))
       .withColumn("n_tok", size(col("tset")))
       .select(col("doc_id"), col("lang"), col("n_tok"),
-        explode(col("tset")).as("tok"))
+        explode_outer(col("tset")).as("tok"))
 
   /** Digest-family prefix for family `f`: family f hashes
     * md5(prefix(f) | tok). Families 0-2 keep their historical prefixes
@@ -1686,8 +1697,12 @@ object DedupOps {
     * (source, shingle) relation, and a stored sketch table supports
     * any-pair overlap queries later without touching the corpus. */
   def sourceShingleSketches(docs: DataFrame): DataFrame =
+    // explode_outer: shingles3 is total (never null/empty), so this is
+    // row-identical to explode but plants no pruning Filter that would
+    // re-evaluate the whole interpreted shingle tree per row (see
+    // [[explodedDocs]])
     docs.select(col("source"),
-        explode(TextOps.shingles3(col("text"))).as("sh"))
+        explode_outer(TextOps.shingles3(col("text"))).as("sh"))
       .groupBy(col("source"))
       .agg(hll_sketch_agg(col("sh"), SketchLgK).as("sk"))
 
@@ -1754,7 +1769,8 @@ object DedupOps {
       est: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val dsh = docs.select(col("source"),
-        explode(TextOps.shingles3(col("text"))).as("sh"))
+        // explode_outer: shingles3 is total — see [[explodedDocs]]
+        explode_outer(TextOps.shingles3(col("text"))).as("sh"))
       .distinct()
     val pc = dsh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val ov = dsh.as("x").join(dsh.as("y"),
@@ -1842,10 +1858,12 @@ object DedupOps {
     * division — bit-identical cross-engine). */
   private[graft] def contaminationCore(bench: DataFrame, corpus: DataFrame,
       bar: Double): DataFrame = {
+    // explode_outer: shingles3 is total — see [[explodedDocs]]
     def ex(df: DataFrame): DataFrame = df
       .select(col("doc_id"), TextOps.shingles3(col("text")).as("tset"))
       .withColumn("n_tok", size(col("tset")))
-      .select(col("doc_id"), col("n_tok"), explode(col("tset")).as("tok"))
+      .select(col("doc_id"), col("n_tok"),
+        explode_outer(col("tset")).as("tok"))
     val b = ex(bench).select(col("doc_id").as("bench_id"),
       col("n_tok").as("n_b"), col("tok"))
     val c = ex(corpus).select(col("doc_id"), col("tok"))
@@ -1913,13 +1931,21 @@ object DedupOps {
     * same string everywhere. */
   private[graft] def ngramsRel(docs: DataFrame,
       n: Int = ContamNgram): DataFrame =
+    // explode_outer + null-drop on the OUTPUT column: the gram array CAN
+    // be empty (docs under n tokens), and plain explode would plant a
+    // pruning Filter that re-evaluates the whole gram tree per row below
+    // any exchange (see [[explodedDocs]]). Gram elements are array_join
+    // results (never null), so `gram IS NULL` marks exactly the padded
+    // row explode_outer emits for an empty array — dropping it is
+    // row-identical to explode, and the filter is a cheap column ref.
     docs
       .select(col("doc_id"), TextOps.toks(col("text")).as("t"))
-      .select(col("doc_id"), explode(array_distinct(
+      .select(col("doc_id"), explode_outer(array_distinct(
         when(size(col("t")) >= n,
           transform(sequence(lit(1), size(col("t")) - (n - 1)),
             i => array_join(slice(col("t"), i, lit(n)), " ")))
           .otherwise(array().cast("array<string>")))).as("gram"))
+      .where(col("gram").isNotNull)
 
   /** The distinct benchmark-split n-gram set — the (small, broadcast)
     * reference relation every decontamination pass joins against; a

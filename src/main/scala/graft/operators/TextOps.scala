@@ -2139,9 +2139,12 @@ object TextOps {
     * the corpus size arriving as a broadcast 1-row aggregate — never a
     * driver-side count job. */
   def boilerplateCore(docs: DataFrame, docBar: Long): DataFrame = {
+    // explode_outer: shingles3 is total (never null/empty) — row-identical
+    // to explode, but no pruning Filter re-evaluating the shingle tree
+    // per row (see DedupOps.explodedDocs)
     val ex = docs
       .select(col("doc_id"), col("lang"),
-        explode(shingles3(col("text"))).as("sh"))
+        explode_outer(shingles3(col("text"))).as("sh"))
     val total = docs.agg(count(lit(1)).as("n_total"))
     // shingles3 is array_distinct: one row per (doc, shingle) pair, so
     // count(1) IS the document frequency
@@ -2177,9 +2180,10 @@ object TextOps {
     * joined back on the same key, then one per-doc re-aggregation;
     * fractions are integer-exact 1e-4 truncations. */
   def shingleNovelty(spark: SparkSession, dir: String): DataFrame = {
+    // explode_outer: shingles3 is total — see DedupOps.explodedDocs
     val ex = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        explode(shingles3(col("text"))).as("sh"))
+        explode_outer(shingles3(col("text"))).as("sh"))
     val owners = ex.groupBy(col("sh")).agg(min(col("doc_id")).as("owner_id"))
     ex.join(owners, Seq("sh"))
       .groupBy(col("doc_id"), col("lang"))
@@ -2588,8 +2592,9 @@ object TextOps {
     // expression) — measured within host noise of caching locally, and
     // recompute-from-scan beats materializing a ~10x exploded relation
     // at 100 TB; no CacheManager entry can leak in a long-lived session.
+    // explode_outer: shingles3 is total — see DedupOps.explodedDocs
     val exploded = docs.select(col("doc_id"), col("lang"), col("n_tok"),
-      explode(col("tset")).as("tok"))
+      explode_outer(col("tset")).as("tok"))
     val a = exploded.select(col("doc_id").as("id_a"), col("lang"),
       col("n_tok").as("n_a"), col("tok"))
     val b = exploded.select(col("doc_id").as("id_b"), col("lang"),
