@@ -401,9 +401,8 @@ object CurationOps {
   /** [[dsirWeights]] over any (doc_id, lang, text) relation — split out
     * so specs can plant a target domain with a distinct vocabulary. */
   private[graft] def dsirWeightsCore(docs: DataFrame): DataFrame = {
-    val ex = docs
-      .select(col("doc_id"), col("lang"),
-        explode(TextOps.toks(col("text"))).as("tok"))
+    val ex = TextOps.explodeNN(docs, TextOps.toks(col("text")), "tok",
+        col("doc_id"), col("lang"))
       .withColumn("bucket",
         substring(md5(col("tok").cast("binary")), 1, DsirBucketHex))
     val raw = ex.groupBy(col("bucket")).agg(count(lit(1)).as("r_cnt"))
@@ -790,12 +789,20 @@ object CurationOps {
     * ([[graft.operators.DedupOps.chunkSemDedup]]) consumes directly. */
   private[graft] def chunkedToks(docs: DataFrame): DataFrame = {
     val toksCol = filter(split(col("text"), " "), t => t =!= "")
-    docs
-      .select(col("doc_id"), col("lang"), toksCol.as("toks"))
-      .withColumn("n", size(col("toks")))
-      .where(col("n") > 0)
-      .select(col("doc_id"), col("lang"), col("toks"), col("n"),
-        explode(sequence(lit(0), col("n") - 1, lit(ChunkStride))).as("start"))
+    // explodeNN replaces both the explicit `n > 0` filter and plain
+    // explode's pruning filter: a zero-token doc takes the when()'s null
+    // branch (sequence itself would throw on 0 to -1), outer-explode
+    // pads the null array with a null start, and the IS-NOT-NULL drop
+    // removes exactly those rows — row-identical, and the tokenize tree
+    // is no longer re-evaluated inside a pushed predicate (see
+    // TextOps.explodeNN)
+    TextOps.explodeNN(
+        docs
+          .select(col("doc_id"), col("lang"), toksCol.as("toks"))
+          .withColumn("n", size(col("toks"))),
+        when(col("n") > 0,
+          sequence(lit(0), col("n") - 1, lit(ChunkStride))), "start",
+        col("doc_id"), col("lang"), col("toks"), col("n"))
       .where(col("start") === 0 || col("start") + ChunkOverlap < col("n"))
       .select(col("doc_id"), col("lang"),
         (col("start") / ChunkStride).cast("int").as("chunk_id"),

@@ -21,6 +21,24 @@ object TextOps {
   private[graft] def toks(c: Column): Column =
     filter(split(c, " "), t => t =!= "")
 
+  /** Explode an expensive array EXPRESSION without paying for it twice
+    * (r18, guide §1.2): plain `explode(arr)` makes Catalyst insert the
+    * Generate pruning filter `size(arr) > 0 AND isnotnull(arr)`, and
+    * predicate pushdown inlines the whole array tree into that Filter —
+    * interpreted HOFs like [[toks]]/[[shingles3]] then evaluate per row
+    * TWICE, with the duplicate pass pushed below any exchange (measured
+    * on the dedup spine: bandKeys 1.89 → 0.68 s at sf0.1). When the
+    * array's ELEMENTS are provably non-null (split/concat/array_join/md5
+    * results — every tokenizer in this file), `explode_outer` + a cheap
+    * IS-NOT-NULL filter on the OUTPUT column is row-identical: the only
+    * padded row outer-explode adds comes from an empty/null array, and
+    * its output is null exactly then. The filter sits ABOVE the Generate
+    * as a column ref — nothing re-evaluates the array. */
+  private[graft] def explodeNN(df: DataFrame, arr: Column, alias: String,
+      keep: Column*): DataFrame =
+    df.select(keep :+ explode_outer(arr).as(alias): _*)
+      .where(col(alias).isNotNull)
+
   /** chars/4 token estimate — the ONE definition every token-accounting
     * query shares (tokenEstimate, seq packing, source profile); the SQL
     * twin below must stay in lockstep. */
@@ -98,8 +116,8 @@ object TextOps {
     * TakeOrderedAndProject (k rows per partition shuffle, never a global
     * sort). */
   def vocab(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    explodeNN(Tables.documents(spark, dir), toks(col("text")), "token",
+      col("doc_id"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n_occurrences"),
         count_distinct(col("doc_id")).as("n_docs"))
@@ -125,13 +143,13 @@ object TextOps {
     * side: identical on this corpus (ASCII); a multilingual deployment
     * pins a byte-level alphabet first (standard byte-level BPE). */
   def bpePairs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(explode(toks(col("text"))).as("tok"))
-      .select(explode(filter(
+    explodeNN(
+      explodeNN(Tables.documents(spark, dir), toks(col("text")), "tok"),
+      filter(
         zip_with(split(col("tok"), ""),
           slice(split(col("tok"), ""), 2, Int.MaxValue - 8),
           (a, b) => concat(a, lit(" "), b)),
-        p => p.isNotNull)).as("pair"))
+        p => p.isNotNull), "pair")
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("n_pairs").desc, col("pair"))
@@ -192,8 +210,7 @@ object TextOps {
     * relation of both the TRAIN path ([[bpeLoop]]) and the APPLY path
     * ([[bpeEncode]]). */
   private def sentinelVocab(docs: DataFrame): DataFrame =
-    docs
-      .select(explode(toks(col("text"))).as("tok"))
+    explodeNN(docs, toks(col("text")), "tok")
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .select(col("tok"),
         concat(lit(" "), array_join(split(col("tok"), ""), "  "),
@@ -259,11 +276,10 @@ object TextOps {
     var exhausted = false
     while (rank <= iters && !exhausted) {
       val syms = split(trim(col("w")), "  ")
-      val top = words
-        .select(explode(filter(
+      val top = explodeNN(words, filter(
           zip_with(syms, slice(syms, 2, Int.MaxValue - 8),
             (a, b) => concat(a, lit(" "), b)),
-          p => p.isNotNull)).as("pair"), col("cnt"))
+          p => p.isNotNull), "pair", col("cnt"))
         .groupBy(col("pair")).agg(sum(col("cnt")).as("n_occ"))
         .orderBy(col("n_occ").desc, col("pair"))
         .limit(1)
@@ -369,11 +385,10 @@ object TextOps {
     var pending = 0
     while (rank <= nMerges && !exhausted) {
       val syms = split(trim(col("w")), "  ")
-      val top = words
-        .select(explode(filter(
+      val top = explodeNN(words, filter(
           zip_with(syms, slice(syms, 2, Int.MaxValue - 8),
             (a, b) => concat(a, lit(" "), b)),
-          p => p.isNotNull)).as("pair"), col("cnt"))
+          p => p.isNotNull), "pair", col("cnt"))
         .groupBy(col("pair")).agg(sum(col("cnt")).as("n_occ"))
         .orderBy(col("n_occ").desc, col("pair"))
         .limit(batchCap + 1)
@@ -510,8 +525,8 @@ object TextOps {
     val (_, words, _) = bpeLoop(spark, dir)
     val seg = words.select(col("tok"),
       size(split(trim(col("w")), "  ")).as("n_symbols"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    explodeNN(Tables.documents(spark, dir), toks(col("text")), "tok",
+        col("doc_id"))
       .join(seg, Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n_symbols")).as("n_bpe_tokens"))
@@ -544,8 +559,7 @@ object TextOps {
       : DataFrame = {
     val seg = words.select(col("tok"),
       size(split(trim(col("w")), "  ")).as("n_symbols"))
-    docs
-      .select(col("lang"), explode(toks(col("text"))).as("tok"))
+    explodeNN(docs, toks(col("text")), "tok", col("lang"))
       .join(seg, Seq("tok"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_words"),
@@ -608,7 +622,7 @@ object TextOps {
     * family's ONE corpus reduction, exactly [[sentinelVocab]]'s scale
     * shape without the sentinel encoding. */
   private def uniWords(docs: DataFrame): DataFrame =
-    docs.select(explode(toks(col("text"))).as("t"))
+    explodeNN(docs, toks(col("text")), "t")
       .select(substring(col("t"), 1, UniMaxWordLen).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
 
@@ -844,7 +858,7 @@ object TextOps {
     val (_, words, _) = bpeLoop(spark, dir)
     val bseg = words.select(col("tok").as("btok"),
       size(split(trim(col("w")), "  ")).as("n_bpe"))
-    docs.select(col("lang"), explode(toks(col("text"))).as("w0"))
+    explodeNN(docs, toks(col("text")), "w0", col("lang"))
       .join(bseg, col("w0") === col("btok"))
       .join(useg, substring(col("w0"), 1, UniMaxWordLen) === col("utok"))
       .groupBy(col("lang"))
@@ -873,7 +887,7 @@ object TextOps {
         size(col("pieces")).as("n_uni"),
         size(filter(col("pieces"), p => length(p) === 1))
           .as("n_char_pieces"))
-    docs.select(col("lang"), explode(toks(col("text"))).as("w0"))
+    explodeNN(docs, toks(col("text")), "w0", col("lang"))
       .join(useg, substring(col("w0"), 1, UniMaxWordLen) === col("utok"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_words"),
@@ -1124,8 +1138,8 @@ object TextOps {
   /** [[lmScore]] over any (doc_id, lang, text) relation — split out so
     * specs can hand-compute the scores on a planted corpus. */
   private[graft] def lmScoreCore(docs: DataFrame): DataFrame = {
-    val ex = docs
-      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tok"))
+    val ex = explodeNN(docs, toks(col("text")), "tok",
+      col("doc_id"), col("lang"))
     val counts = ex.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
     val probs = counts.crossJoin(broadcast(total))
@@ -1209,7 +1223,7 @@ object TextOps {
     * derives from the stored model instead of re-training per use. */
   def nbTrain(docs: DataFrame): (DataFrame, DataFrame) = {
     val labeled = nbLabeled(docs)
-    val ex = labeled.select(col("pos"), explode(toks(col("text"))).as("tok"))
+    val ex = explodeNN(labeled, toks(col("text")), "tok", col("pos"))
     val cnts = ex.groupBy(col("tok")).agg(
       sum(col("pos")).as("cnt_pos"),
       sum(lit(1L) - col("pos")).as("cnt_neg"))
@@ -1235,9 +1249,8 @@ object TextOps {
     * weight 0 for unseen tokens). */
   def nbScoreFrom(docs: DataFrame, weights: DataFrame,
       prior: DataFrame): DataFrame =
-    nbLabeled(docs)
-      .select(col("doc_id"), col("lang"), col("pos"),
-        explode(toks(col("text"))).as("tok"))
+    explodeNN(nbLabeled(docs), toks(col("text")), "tok",
+        col("doc_id"), col("lang"), col("pos"))
       .join(weights, Seq("tok"))
       .groupBy(col("doc_id"), col("lang"), col("pos"))
       .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("w_sum"))
@@ -1328,8 +1341,7 @@ object TextOps {
 
   /** [[freqSpectrum]] over any (doc_id, lang, text) relation. */
   private[graft] def freqSpectrumCore(docs: DataFrame): DataFrame = {
-    val counts = docs
-      .select(explode(toks(col("text"))).as("tok"))
+    val counts = explodeNN(docs, toks(col("text")), "tok")
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
     counts
@@ -1376,12 +1388,12 @@ object TextOps {
   private def bigramRel(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("lang"),
       toks(col("text")).as("t"))
-    base
-      .select(col("doc_id"), col("lang"),
-        explode(filter(
+    explodeNN(base,
+        filter(
           zip_with(col("t"), slice(col("t"), 2, Int.MaxValue - 8),
             (x, y) => concat(x, lit(" "), y)),
-          g => g.isNotNull)).as("bg"))
+          g => g.isNotNull), "bg",
+        col("doc_id"), col("lang"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
   }
 
@@ -1578,8 +1590,8 @@ object TextOps {
     * alone — that asymmetry is the operator's point). */
   def sketchBounds(spark: SparkSession, dir: String): DataFrame = {
     val mg = graft.plans.MisraGriesTopK.mgTopK(spark) _
-    val ex = Tables.documents(spark, dir)
-      .select(col("lang"), explode(toks(col("text"))).as("tok"))
+    val ex = explodeNN(Tables.documents(spark, dir), toks(col("text")),
+      "tok", col("lang"))
     val sk = ex.groupBy(col("lang"))
       .agg(mg(col("tok"), SketchK).as("sketch"))
       .select(col("lang"), explode(col("sketch")).as("e"))
@@ -1651,8 +1663,7 @@ object TextOps {
   private def cmTableAtDepth(spark: SparkSession, dir: String,
       depth: Int): DataFrame = {
     val cm = graft.plans.CountMinSketch.countMin(spark) _
-    Tables.documents(spark, dir)
-      .select(explode(toks(col("text"))).as("tok"))
+    explodeNN(Tables.documents(spark, dir), toks(col("text")), "tok")
       .agg(cm(col("tok"), depth, CmWidth).as("sk"))
       .select(posexplode(col("sk")).as(Seq("pos", "cnt")))
       .where(col("cnt") > 0)
@@ -1674,8 +1685,8 @@ object TextOps {
   def countMinEst(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cm = graft.plans.CountMinSketch.countMin(spark) _
-    val ex = Tables.documents(spark, dir)
-      .select(explode(toks(col("text"))).as("tok"))
+    val ex = explodeNN(Tables.documents(spark, dir), toks(col("text")),
+      "tok")
     val sk = ex.agg(cm(col("tok"), CmDepth, CmWidth).as("sk"))
     val probes = (Bm25Query :+ CmUnseenToken).toDF("tok")
     val est = least((0 until CmDepth).map { i =>
@@ -1715,9 +1726,9 @@ object TextOps {
     val cm = graft.plans.CountMinSketch.countMin(spark) _
     val dot = graft.plans.DotProductLong.dotLong(spark) _
     val isHeld = col("doc_id") % KnHeldMod === 0
-    def toksOf(held: Boolean) = Tables.documents(spark, dir)
-      .where(if (held) isHeld else !isHeld)
-      .select(explode(toks(col("text"))).as("tok"))
+    def toksOf(held: Boolean) = explodeNN(
+      Tables.documents(spark, dir).where(if (held) isHeld else !isHeld),
+      toks(col("text")), "tok")
     val skA = toksOf(held = false)
       .agg(cm(col("tok"), CmDepth, CmWidth).as("sk_a"))
     val skB = toksOf(held = true)
@@ -1817,8 +1828,8 @@ object TextOps {
   /** [[tfidfKeywords]] over any (doc_id, lang, text) relation — split
     * out so specs can hand-score a planted corpus. */
   private[graft] def tfidfKeywordsCore(docs: DataFrame): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tok"))
+    val tf = explodeNN(docs, toks(col("text")), "tok",
+        col("doc_id"), col("lang"))
       .groupBy(col("doc_id"), col("lang"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -2663,8 +2674,7 @@ object TextOps {
 
   /** [[vocabCard]] over any (lang, text) relation. */
   private[graft] def vocabCardCore(docs: DataFrame): DataFrame =
-    docs
-      .select(col("lang"), explode(toks(col("text"))).as("tok"))
+    explodeNN(docs, toks(col("text")), "tok", col("lang"))
       .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("lang"))
       .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
@@ -2687,9 +2697,8 @@ object TextOps {
 
   /** [[vocabDrift]] over any (doc_id, text) relation. */
   private[graft] def vocabDriftCore(docs: DataFrame): DataFrame =
-    tvOfBucketCounts(docs
-      .select(pmod(col("doc_id"), lit(2)).as("split"),
-        explode(toks(col("text"))).as("tok"))
+    tvOfBucketCounts(explodeNN(docs, toks(col("text")), "tok",
+        pmod(col("doc_id"), lit(2)).as("split"))
       .withColumn("bucket", substring(md5(col("tok").cast("binary")), 1, 2))
       .groupBy(col("bucket"))
       .agg(sum(when(col("split") === 0, 1L).otherwise(0L)).as("p_cnt"),
@@ -2744,16 +2753,14 @@ object TextOps {
     * 256-row distribution summary [[vocabDrift]] compares and the
     * streaming drift monitor persists per batch. */
   private[graft] def tokenBuckets(docs: DataFrame): DataFrame =
-    docs
-      .select(explode(toks(col("text"))).as("tok"))
+    explodeNN(docs, toks(col("text")), "tok")
       .select(substring(md5(col("tok").cast("binary")), 1, 2).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
 
   /** [[tokenBuckets]] grouped by a key column — (key, bucket, cnt),
     * each key's counts its own distribution. */
   private[graft] def tokenBucketsBy(docs: DataFrame, key: String): DataFrame =
-    docs
-      .select(col(key), explode(toks(col("text"))).as("tok"))
+    explodeNN(docs, toks(col("text")), "tok", col(key))
       .select(col(key),
         substring(md5(col("tok").cast("binary")), 1, 2).as("bucket"))
       .groupBy(col(key), col("bucket")).agg(count(lit(1)).as("cnt"))

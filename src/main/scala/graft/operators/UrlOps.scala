@@ -427,11 +427,15 @@ object UrlOps {
     * dropped field breaks the row set. The entry explode is map-side;
     * nothing shuffles. */
   def sitemapParse(spark: SparkSession, dir: String): DataFrame =
+    // explode_outer + null-drop: avoids the Generate pruning filter
+    // re-running the regexp walk over the synthesized sitemap per row
+    // (see TextOps.explodeNN; extracted entries are never null)
     sitemapDocs(Tables.documents(spark, dir))
       .select(col("source"),
-        explode(expr(
+        explode_outer(expr(
           "regexp_extract_all(sitemap, '<url>(.*?)</url>', 1)"))
           .as("entry"))
+      .where(col("entry").isNotNull)
       .select(col("source"),
         regexp_extract(col("entry"), "<loc>([^<]*)</loc>", 1).as("loc"),
         regexp_extract(col("entry"), "<lastmod>([^<]*)</lastmod>", 1)

@@ -67,8 +67,11 @@ object VectorOps {
     * one map-assembly aggregation per vec_id — linear, no join. Input:
     * (vec_id, toks). */
   private[graft] def hashEmbedOf(toksFrame: DataFrame): DataFrame =
-    toksFrame
-      .select(col("vec_id"), explode(col("toks")).as("tok"))
+    // explodeNN: the toks column is usually an unmaterialized expression
+    // chain (e.g. chunk slices) that a plain explode's pruning filter
+    // would re-evaluate per row — see TextOps.explodeNN
+    graft.operators.TextOps.explodeNN(toksFrame, col("toks"), "tok",
+        col("vec_id"))
       .withColumn("h", md5(col("tok").cast("binary")))
       .select(col("vec_id"), substring(col("h"), 1, 1).as("b"),
         when(substring(col("h"), 2, 1) < "8", 1L).otherwise(-1L).as("s"))
@@ -1006,8 +1009,8 @@ object VectorOps {
     val docs = Tables.documents(spark, dir)
     val assigned = kmeansAssign(spark, dir)
       .select(col("vec_id").as("doc_id"), col("cluster"))
-    val perDoc = docs
-      .select(col("doc_id"), explode(TextOps.toks(col("text"))).as("tok"))
+    val perDoc = TextOps.explodeNN(docs, TextOps.toks(col("text")), "tok",
+        col("doc_id"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = perDoc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val ctf = perDoc.join(assigned, Seq("doc_id"))
