@@ -108,6 +108,17 @@ object DedupOps {
       md5(concat_ws(",", slice: _*).cast("binary")).as(s"bk$b")
     }
     val stackArgs = (0 until nBands).map(b => s"$b, bk$b").mkString(", ")
+    // Deliberately NO trailing repartition on the self-join key (r18,
+    // measured): forcing both self-join sides through one
+    // repartition(band, band_key) exchange does let the signature pass
+    // run once, but the interleaved A/B (tools/BandJoinAbProbe) read
+    // 0.81 s for the shared-exchange form vs 0.54 s for the planner's
+    // broadcast choice at sf0.1 — the exchange's materialization barrier
+    // + per-side sort costs more than the (explode_outer-cheapened)
+    // second signature pass. At scale the planner picks sort-merge here
+    // on its own, and THOSE per-side exchanges are identical subtrees
+    // that ReuseExchange already collapses — so the rewrite would only
+    // ever fire where it loses.
     mh.select(col("doc_id") +: col("lang") +: bandCols: _*)
       .select(col("doc_id"), col("lang"),
         expr(s"stack($nBands, $stackArgs) as (band, band_key)"))
@@ -1045,7 +1056,16 @@ object DedupOps {
     * diameter; duplicate clusters are shallow (pairs/triples, diameter
     * ≤ ~3) so convergence is fast — `maxIters` is a loud upper bound, not
     * a truncation: non-convergence throws rather than returning a wrong
-    * fixpoint. Emits (id, rep) for every node that appears in an edge. */
+    * fixpoint. Emits (id, rep) for every node that appears in an edge.
+    *
+    * Kept as the two-join step (r18, measured): folding the node's own
+    * label into the neighbor aggregation as a tagged union row (one
+    * grouped pass per iteration instead of join+agg+join) computes the
+    * identical fixpoint but measured SLOWER on the interleaved A/B
+    * (tools/CcAbProbe: min 2.95 vs 2.35 s over the dup-edge graph) —
+    * the planner broadcasts the tiny label/nbrMin sides here, so the
+    * "extra" join is exchange-free while the union form pays a second
+    * shuffle leg into the aggregation. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
     // eager localCheckpoint persists an internal RDD that CacheManager
     // does not track — without explicit cleanup, every superseded
