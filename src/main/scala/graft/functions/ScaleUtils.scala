@@ -242,6 +242,7 @@ object ScaleUtils {
     * projections), so results are identical either way
     * (DeterminismSpec's contract). */
   def fanOutScan(df: DataFrame, key: Column): DataFrame = {
+    if (df.isStreaming) return df // .rdd is illegal on streaming plans
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target, key)

@@ -95,7 +95,10 @@ object IngestOps {
       filter(array(req.zipWithIndex.map { case (k, i) =>
         when(substring(h, i + 1, 1) === "0", lit(k))
       }: _*), x => x.isNotNull)
-    Tables.events(spark, dir).select(col("event_id"))
+    // fan-out before the per-row hash + keyword-probe arrays — identity
+    // at scale (see ScaleUtils.fanOutScan)
+    graft.functions.ScaleUtils.fanOutScan(
+        Tables.events(spark, dir).select(col("event_id")), col("event_id"))
       .withColumn("h0", hduHash(0))
       .withColumn("h1", hduHash(1))
       .withColumn("h2", hduHash(2))

@@ -944,7 +944,8 @@ object MultimodalOps {
       lit("000000D8" + "6D6F6F76"), mvhdHex,
       lit("00000064" + "7472616B"), tkhdHex,
       mdatHex)
-    Tables.documents(spark, dir)
+    graft.functions.ScaleUtils.fanOutScan(
+        Tables.documents(spark, dir), col("doc_id"))
       .where(length(col("text")) > 0)
       .select(col("doc_id").as("media_id"), lit("video").as("kind"),
         unhex(fileHex).as("content"),
@@ -1125,7 +1126,8 @@ object MultimodalOps {
 
   def bmpFromDocuments(spark: SparkSession, dir: String): Dataset[MediaFile] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    graft.functions.ScaleUtils.fanOutScan(
+        Tables.documents(spark, dir), col("doc_id"))
       .where(length(col("text")) >= DHashW * DHashH)
       .select(col("doc_id").as("media_id"), lit("image").as("kind"),
         unhex(bmpHexAt(0)).as("content"),
@@ -1346,7 +1348,8 @@ object MultimodalOps {
       lit("52494646") +: lit(bmpLe32(riffPayload)) +: lit("41564920") +:
       lit("4C495354") +: lit(bmpLe32(moviPayload)) +: lit("6D6F7669") +:
       frames: _*)
-    Tables.documents(spark, dir)
+    graft.functions.ScaleUtils.fanOutScan(
+        Tables.documents(spark, dir), col("doc_id"))
       .where(length(col("text")) >= SceneFrames * nPix)
       .select(col("doc_id").as("media_id"), lit("video").as("kind"),
         unhex(fileHex).as("content"),

@@ -913,7 +913,9 @@ object TextOps {
     val de = regexp_count(col("text"), lit("\\b(der|die|das|und)\\b"))
     val es = regexp_count(col("text"), lit("\\b(el|la|los|que)\\b"))
     val fr = regexp_count(col("text"), lit("\\b(le|les|des|est)\\b"))
-    Tables.documents(spark, dir)
+    // fan-out before the 4 per-row regex censuses — identity at scale
+    graft.functions.ScaleUtils.fanOutScan(
+        Tables.documents(spark, dir), col("doc_id"))
       .withColumn("lang_pred",
         when(en >= de && en >= es && en >= fr && en > 0, "en")
           .when(de >= es && de >= fr && de > 0, "de")
@@ -1059,7 +1061,9 @@ object TextOps {
     * units, so both engines binary-agree (same trick as
     * [[qualityScore]]). */
   def repetition(spark: SparkSession, dir: String): DataFrame =
-    repetitionCore(Tables.documents(spark, dir))
+    // fan-out before the per-row run-length work — identity at scale
+    repetitionCore(graft.functions.ScaleUtils.fanOutScan(
+      Tables.documents(spark, dir), col("doc_id")))
 
   /** Top-token fraction in 1e-4 units as one per-row expression: max run
     * length over the SORTED tokens = count of the most frequent token.
@@ -2085,7 +2089,9 @@ object TextOps {
     * mean word length compares exact integers (3n ≤ chars ≤ 10n), never
     * a float ratio. Linear, fully codegen'd. */
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
-    gopherRulesCore(Tables.documents(spark, dir))
+    // fan-out before the per-row rule expressions — identity at scale
+    gopherRulesCore(graft.functions.ScaleUtils.fanOutScan(
+      Tables.documents(spark, dir), col("doc_id")))
 
   /** [[gopherRules]] over any (doc_id, lang, text) relation — split out
     * so specs can plant documents that trip each rule separately. */
@@ -2858,7 +2864,9 @@ object TextOps {
     * replacement chain. One projection, codegen'd regex — linear at
     * any scale, no shuffle. */
   def piiScan(spark: SparkSession, dir: String): DataFrame =
-    piiScanCore(Tables.documents(spark, dir))
+    // fan-out before the per-row regex census — identity at scale
+    piiScanCore(graft.functions.ScaleUtils.fanOutScan(
+      Tables.documents(spark, dir), col("doc_id")))
 
   /** The redaction projection itself — typed placeholders, longest
     * pattern first; shared by [[piiScanCore]]'s fingerprint and
@@ -3541,7 +3549,18 @@ object TextOps {
       lit("Content-Length: "), length(payload).cast("string"),
       lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
 
-  private[graft] def warcDocs(docs: DataFrame): DataFrame = {
+  private[graft] def warcDocs(docsIn: DataFrame,
+      fanOut: Boolean = true): DataFrame = {
+    // fan-out before per-row container synthesis + kernel walk —
+    // identity at scale (see ScaleUtils.fanOutScan). warcDigestDedup
+    // opts out: its whole post-scan stage is one cheap header pick
+    // before a partial aggregation, and the extra AQE stage measured
+    // 0.30 -> 0.72 s there while the map-only consumers measured
+    // 0.6-0.8x WITH the fan-out.
+    val docs =
+      if (fanOut)
+        graft.functions.ScaleUtils.fanOutScan(docsIn, col("doc_id"))
+      else docsIn
     def rec(headers: Column, payload: Column): Column =
       warcRec(headers, payload)
     val httpPayload = concat(
@@ -3641,7 +3660,7 @@ object TextOps {
     * the trust-the-header fast path. */
   def warcDigestDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    warcDocs(Tables.documents(spark, dir))
+    warcDocs(Tables.documents(spark, dir), fanOut = false)
       .as[(Long, Array[Byte])]
       .flatMap { case (_, warc) =>
         graft.functions.WarcRecords.split(warc)
@@ -3663,7 +3682,10 @@ object TextOps {
     * with column expressions, so DuckDB synthesizes the identical
     * bytes and recomputes BOTH digests with its own native md5 — the
     * two-independent-implementations oracle. */
-  private[operators] def warcVerifyDocs(docs: DataFrame): DataFrame = {
+  private[operators] def warcVerifyDocs(docsIn: DataFrame): DataFrame = {
+    // fan-out before per-row container synthesis + kernel walk —
+    // identity at scale (see ScaleUtils.fanOutScan)
+    val docs = graft.functions.ScaleUtils.fanOutScan(docsIn, col("doc_id"))
     def rec(headers: Column, payload: Column): Column =
       concat(lit("WARC/1.0\r\n"), headers,
         lit("Content-Length: "), length(payload).cast("string"),
@@ -3735,7 +3757,10 @@ object TextOps {
     * docs are full responses, odd docs are revisits referring to
     * `resp-(doc_id - 1)` — so every reference resolves and both
     * engines predict the join from arithmetic. */
-  private[operators] def warcRevisitFiles(docs: DataFrame): DataFrame = {
+  private[operators] def warcRevisitFiles(docsIn: DataFrame): DataFrame = {
+    // fan-out before per-row container synthesis + kernel walk —
+    // identity at scale (see ScaleUtils.fanOutScan)
+    val docs = graft.functions.ScaleUtils.fanOutScan(docsIn, col("doc_id"))
     val clean = concat(
       lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
       col("html"))
@@ -3807,7 +3832,10 @@ object TextOps {
     * U+FFFD). Assembled as BINARY column expressions (`unhex` for the
     * non-ASCII bytes), so Content-Lengths count octets exactly and
     * DuckDB predicts the decoded text from the same arithmetic. */
-  private[operators] def warcCharsetDocs(docs: DataFrame): DataFrame = {
+  private[operators] def warcCharsetDocs(docsIn: DataFrame): DataFrame = {
+    // fan-out before per-row container synthesis + kernel walk —
+    // identity at scale (see ScaleUtils.fanOutScan)
+    val docs = graft.functions.ScaleUtils.fanOutScan(docsIn, col("doc_id"))
     def bin(c: Column): Column = c.cast("binary")
     val stride = col("doc_id") % 3
     val qL = when(stride === 0, unhex(lit("93")))
