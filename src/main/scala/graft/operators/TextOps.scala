@@ -2280,7 +2280,10 @@ object TextOps {
   /** [[winnowFingerprint]] over any (doc_id, lang, text) relation,
     * KEEPING the exploded-ready `fps` array column — specs assert the
     * shared-run guarantee on it, and an overlap join explodes it. */
-  private[graft] def winnowFingerprintCore(docs: DataFrame): DataFrame = {
+  private[graft] def winnowFingerprintCore(docsIn: DataFrame): DataFrame = {
+    // fan-out before the per-row gram-hash + window-min walk (O(len*W)
+    // interpreted HOFs) — identity at scale (see ScaleUtils.fanOutScan)
+    val docs = graft.functions.ScaleUtils.fanOutScan(docsIn, col("doc_id"))
     val t = toks(col("text"))
     val s1 = slice(t, 2, Int.MaxValue - 8)
     val s2 = slice(t, 3, Int.MaxValue - 8)
@@ -2394,8 +2397,11 @@ object TextOps {
     * ([[sharedSpansCore]]) and the scrub action ([[spanScrubCore]])
     * consume, so "what was measured" and "what gets removed" can never
     * disagree. */
-  private def spanRunsCore(spark: SparkSession, docs: DataFrame,
+  private def spanRunsCore(spark: SparkSession, docsIn: DataFrame,
       barTokens: Int, candidates: Option[DataFrame]): DataFrame = {
+    // fan-out before the per-row positional-gram md5 walk the checkpoint
+    // materializes — identity at scale (see ScaleUtils.fanOutScan)
+    val docs = graft.functions.ScaleUtils.fanOutScan(docsIn, col("doc_id"))
     val t = toks(col("text"))
     val s1 = slice(t, 2, Int.MaxValue - 8)
     val s2 = slice(t, 3, Int.MaxValue - 8)
@@ -2923,11 +2929,13 @@ object TextOps {
     repeatScrubCore(Tables.documents(spark, dir))
 
   /** [[repeatScrub]] over any (doc_id, text) relation. */
-  private[graft] def repeatScrubCore(docs: DataFrame): DataFrame = {
+  private[graft] def repeatScrubCore(docsIn: DataFrame): DataFrame = {
+    // fan-out before the per-row gram assembly — identity at scale
+    val docs = graft.functions.ScaleUtils.fanOutScan(docsIn, col("doc_id"))
     val toksed = docs.select(col("doc_id"), toks(col("text")).as("t"))
       .where(size(col("t")) > 0)
-    val pos = toksed.select(col("doc_id"),
-      posexplode(col("t"))).withColumnRenamed("col", "tok")
+    val pos = toksed.select(col("doc_id"), posexplode_outer(col("t")))
+      .where(col("col").isNotNull).withColumnRenamed("col", "tok")
     // positional 3-grams via the zip-shift pattern (shingles3's O(L)
     // shape) — a transform(sequence, i -> slice(t, i, n)) would slice
     // per POSITION in the interpreted HOF path: O(L²) per doc
@@ -2935,8 +2943,12 @@ object TextOps {
       (a, b) => concat(a, lit(" "), b))
     val g3 = filter(zip_with(g2, slice(col("t"), 3, Int.MaxValue - 8),
       (a, b) => concat(a, lit(" "), b)), x => x.isNotNull)
+    // posexplode_outer + null-drop: plain posexplode plants a pruning
+    // Filter that re-evaluates the whole zip_with gram chain per row
+    // (see explodeNN); gram elements are concat results (never null)
     val grams = toksed.where(size(col("t")) >= RepeatGramN)
-      .select(col("doc_id"), posexplode(g3))
+      .select(col("doc_id"), posexplode_outer(g3))
+      .where(col("col").isNotNull)
       .select(col("doc_id"), col("pos").as("s"), col("col").as("g"))
     val first = grams.groupBy(col("doc_id"), col("g"))
       .agg(min(col("s")).as("s0"))
@@ -2984,18 +2996,22 @@ object TextOps {
     crossDocScrubCore(Tables.documents(spark, dir), BoilerplateDocBar)
 
   /** [[crossDocScrub]] over any (doc_id, text) relation. */
-  private[graft] def crossDocScrubCore(docs: DataFrame,
+  private[graft] def crossDocScrubCore(docsIn: DataFrame,
       docBar: Long): DataFrame = {
+    // fan-out before the per-row gram assembly — identity at scale
+    val docs = graft.functions.ScaleUtils.fanOutScan(docsIn, col("doc_id"))
     val toksed = docs.select(col("doc_id"), toks(col("text")).as("t"))
       .where(size(col("t")) > 0)
-    val pos = toksed.select(col("doc_id"),
-      posexplode(col("t"))).withColumnRenamed("col", "tok")
+    val pos = toksed.select(col("doc_id"), posexplode_outer(col("t")))
+      .where(col("col").isNotNull).withColumnRenamed("col", "tok")
     val g2 = zip_with(col("t"), slice(col("t"), 2, Int.MaxValue - 8),
       (a, b) => concat(a, lit(" "), b))
     val g3 = filter(zip_with(g2, slice(col("t"), 3, Int.MaxValue - 8),
       (a, b) => concat(a, lit(" "), b)), x => x.isNotNull)
+    // posexplode_outer + null-drop — see repeatScrubCore
     val grams = toksed.where(size(col("t")) >= RepeatGramN)
-      .select(col("doc_id"), posexplode(g3))
+      .select(col("doc_id"), posexplode_outer(g3))
+      .where(col("col").isNotNull)
       .select(col("doc_id"), col("pos").as("s"), col("col").as("g"))
     val total = docs.agg(count(lit(1)).as("n_total"))
     val common = grams.select(col("doc_id"), col("g")).distinct()
