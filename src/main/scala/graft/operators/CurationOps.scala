@@ -700,7 +700,9 @@ object CurationOps {
     * can place a target in the class — flagged even when k-anonymity
     * passes. Same single-aggregate shape with a count_distinct arm. */
   def lDiversity(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // fan-out before the per-row PII regexes — identity at scale
+    graft.functions.ScaleUtils.fanOutScan(
+        Tables.documents(spark, dir), col("doc_id"))
       .select(col("lang"), col("source"),
         expr(s"n_chars div ${KAnonWidths.head}").as("len_b"),
         when(regexp_count(col("text"), lit(TextOps.PiiEmailRe)) > 0, "email")
@@ -1053,6 +1055,9 @@ object CurationOps {
     * div), not round(double, 4) — round() half-ties split between
     * engines (see [[TextOps.qualityScore]]'s sf0.1 war story). */
   def sourceProfile(spark: SparkSession, dir: String): DataFrame =
+    // NO fan-out here (r18, measured): the per-row work is one md5 + a
+    // length estimate and the quality join's side is already fanned —
+    // the extra stage read 1.2-1.6x on an 0.89x control window
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         TextOps.contentFp(col("text")).as("fp"),
@@ -1128,7 +1133,9 @@ object CurationOps {
     * directly (never by normalizing the messy string), so the green row
     * grades [[canonicalizeUrl]] end-to-end. */
   private[operators] def urlDocs(docs: DataFrame): DataFrame =
-    docs
+    // fan-out before the URL synthesis + downstream canonicalization
+    // regexes — identity at scale
+    graft.functions.ScaleUtils.fanOutScan(docs, col("doc_id"))
       .withColumn("w", filter(split(col("text"), " "), t => t =!= ""))
       .select(col("doc_id"), concat(
         when(col("doc_id") % 2 === 0, "HTTP").otherwise("http"),
@@ -1253,7 +1260,9 @@ object CurationOps {
       .select(col("doc_id"), col("boiler_heavy"))
     val urlDropped = urlDupDrops(spark, dir)
       .withColumn("url_dropped", lit(true))
-    Tables.documents(spark, dir)
+    // fan-out before the three per-row regex signals — identity at scale
+    graft.functions.ScaleUtils.fanOutScan(
+        Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), col("lang"),
         TextOps.repetitiveFlag(col("text")).as("repetitive"),
         TextOps.gopherShapeFail(col("text")).as("rule_fail"),

@@ -1878,8 +1878,10 @@ object DedupOps {
     * division — bit-identical cross-engine). */
   private[graft] def contaminationCore(bench: DataFrame, corpus: DataFrame,
       bar: Double): DataFrame = {
-    // explode_outer: shingles3 is total — see [[explodedDocs]]
-    def ex(df: DataFrame): DataFrame = df
+    // explode_outer: shingles3 is total — see [[explodedDocs]];
+    // fan-out before the shingle pass (identity at scale, and on the
+    // tiny bench side it just spreads 25 rows)
+    def ex(df: DataFrame): DataFrame = graft.functions.ScaleUtils.fanOutScan(df, col("doc_id"))
       .select(col("doc_id"), TextOps.shingles3(col("text")).as("tset"))
       .withColumn("n_tok", size(col("tset")))
       .select(col("doc_id"), col("n_tok"),
@@ -1958,7 +1960,7 @@ object DedupOps {
     // results (never null), so `gram IS NULL` marks exactly the padded
     // row explode_outer emits for an empty array — dropping it is
     // row-identical to explode, and the filter is a cheap column ref.
-    docs
+    graft.functions.ScaleUtils.fanOutScan(docs, col("doc_id"))
       .select(col("doc_id"), TextOps.toks(col("text")).as("t"))
       .select(col("doc_id"), explode_outer(array_distinct(
         when(size(col("t")) >= n,

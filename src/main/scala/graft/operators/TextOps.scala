@@ -999,7 +999,9 @@ object TextOps {
   /** Quality score: length saturation, lexical diversity, punctuation and
     * stopword ratios folded into one [0,1]-ish score with buckets. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // fan-out before the per-row quality regexes — identity at scale
+    graft.functions.ScaleUtils.fanOutScan(
+        Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), quality10k(col("text")).as("q10k"))
       .select(col("doc_id"),
         (col("q10k").cast("double") / 10000.0).as("quality"),
@@ -2156,6 +2158,9 @@ object TextOps {
     * the corpus size arriving as a broadcast 1-row aggregate — never a
     * driver-side count job. */
   def boilerplateCore(docs: DataFrame, docBar: Long): DataFrame = {
+    // NO fan-out here (r18, measured): both shingle consumers sit above
+    // the same groupBy/join exchange (ReuseExchange), so the added
+    // repartition stage read 1.05-1.25x against flat controls
     // explode_outer: shingles3 is total (never null/empty) — row-identical
     // to explode, but no pruning Filter re-evaluating the shingle tree
     // per row (see DedupOps.explodedDocs)
@@ -2197,8 +2202,9 @@ object TextOps {
     * joined back on the same key, then one per-doc re-aggregation;
     * fractions are integer-exact 1e-4 truncations. */
   def shingleNovelty(spark: SparkSession, dir: String): DataFrame = {
-    // explode_outer: shingles3 is total — see DedupOps.explodedDocs
-    val ex = Tables.documents(spark, dir)
+    // explode_outer: shingles3 is total — see DedupOps.explodedDocs;
+    // fan-out before the shingle pass — identity at scale
+    val ex = graft.functions.ScaleUtils.fanOutScan(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), col("lang"),
         explode_outer(shingles3(col("text"))).as("sh"))
     val owners = ex.groupBy(col("sh")).agg(min(col("doc_id")).as("owner_id"))
@@ -3413,8 +3419,11 @@ object TextOps {
     * link-farm div and the footer: the seam [[GraphOps]]'s
     * content-link fixture plants its outlink anchors through; `keep`
     * names input columns to carry through beside (doc_id, html). */
-  private[operators] def htmlDocs(docs: DataFrame,
+  private[operators] def htmlDocs(docsIn: DataFrame,
       extra: Column = lit(""), keep: Seq[String] = Nil): DataFrame = {
+    // fan-out before the per-row HTML synthesis + walker — identity at
+    // scale (see ScaleUtils.fanOutScan)
+    val docs = graft.functions.ScaleUtils.fanOutScan(docsIn, col("doc_id"))
     // guarded: sequence(0, nP-1) would DESCEND for nP = 0 (docs of ≤ 5
     // tokens — absent from this corpus, but the guard keeps the
     // synthesis total); CaseWhen branches evaluate lazily
