@@ -1507,13 +1507,16 @@ object CurationOps {
   def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
     val dot = DotProductLong.dotLong(spark) _
     val ed = evalDocs(Tables.documents(spark, dir))
-    // lexical arm: real BM25, one planted term per query
-    val lexScored = (0 until EvalQueries).map { q =>
-      TextOps.bm25Scored(ed, Seq(s"zq$q"))
-        .where(col("bm25_x8") > 0)
-        .select(lit(q).as("q"), col("doc_id"),
-          col("bm25_x8").as("score"))
-    }.reduce(_.unionByName(_))
+    // lexical arm: real BM25, one planted term per query. One multi-term
+    // stats+score pass (TextOps.bm25ScoredPerTerm) replaces the previous
+    // 5-way union of single-term bm25Scored calls — 10 scans of the
+    // salted corpus down to 2, score-identical per term (r19, guide
+    // §1.2; measured in OPTIMIZATION_r19.md).
+    val lexScored = TextOps.bm25ScoredPerTerm(ed,
+        (0 until EvalQueries).map(q => s"zq$q"))
+      .where(col("bm25_x8") > 0)
+      .select(col("term_idx").as("q"), col("doc_id"),
+        col("bm25_x8").as("score"))
     // dense arm: one-hot probes through the real dot-product kernel
     val probes = spark.range(EvalQueries).select(col("id").cast("int")
         .as("q"), transform(sequence(lit(0), lit(EvalQueries - 1)),

@@ -721,9 +721,15 @@ object TextOps {
     * plus one usage hash-agg, with a vocab-sized driver collect for
     * the cost table (the [[bpeMergesBatched]] one-job-per-round
     * discipline — rounds are fixed at 2, not vocab-sized). Returns the
-    * final vocabulary (piece, uses) and its cost table. */
+    * final vocabulary (piece, uses), its cost table, and the
+    * CHECKPOINTED word relation training segmented — consumers that
+    * segment the same corpus under the trained costs (encode,
+    * fertility/coverage cards) read the checkpoint instead of
+    * re-deriving [[uniWords]]'s explode+agg pass (r19, guide §1.2;
+    * blocks are released by the harness clearCache/unpersist contract
+    * between reps). */
   private[graft] def uniTrain(spark: SparkSession, docs: DataFrame)
-      : (DataFrame, Map[String, Long]) = {
+      : (DataFrame, Map[String, Long], DataFrame) = {
     import spark.implicits._
     val words = uniWords(docs).localCheckpoint(true)
     val chars = words
@@ -745,14 +751,14 @@ object TextOps {
           .select(col("piece"), coalesce(col("n"), lit(0L)).as("n")))
       cost = uniCosts(vocab.as[(String, Long)].collect().toSeq)
     }
-    (vocab, cost)
+    (vocab, cost, words)
   }
 
   /** ORACLED UNIGRAM VOCABULARY — the trained piece table: (piece,
     * n_uses, cost8), the artifact a unigram trainer ships (the other
     * mainstream tokenizer family next to [[bpeMerges]]' BPE). */
   def unigramVocab(spark: SparkSession, dir: String): DataFrame = {
-    val (vocab, _) = uniTrain(spark, Tables.documents(spark, dir))
+    val (vocab, _, _) = uniTrain(spark, Tables.documents(spark, dir))
     val tot = vocab.agg(sum(col("n") + 1).as("tot"))
     vocab.crossJoin(broadcast(tot))
       .select(col("piece"), col("n").as("n_uses"),
@@ -764,8 +770,8 @@ object TextOps {
     * costs: (tok, cnt, pieces, n_pieces). */
   def unigramEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val (_, cost) = uniTrain(spark, docs)
-    uniSegments(uniWords(docs), cost)
+    val (_, cost, words) = uniTrain(spark, docs)
+    uniSegments(words, cost)
       .select(col("tok"), col("cnt"),
         array_join(col("pieces"), " ").as("pieces"),
         size(col("pieces")).as("n_pieces"))
@@ -779,7 +785,7 @@ object TextOps {
   private def prodUnigramPath(spark: SparkSession, dir: String): String =
     graft.functions.MaterializeCache.getOrWrite("prod_unigram", dir) {
       out =>
-        val (vocab, _) = uniTrain(spark, Tables.documents(spark, dir))
+        val (vocab, _, _) = uniTrain(spark, Tables.documents(spark, dir))
         val tot = vocab.agg(sum(col("n") + 1).as("tot"))
         vocab.crossJoin(broadcast(tot))
           .select(col("piece"), col("n").as("n_uses"),
@@ -850,8 +856,8 @@ object TextOps {
     * 1e-2 units throughout. */
   def tokenizerCompare(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val (_, cost) = uniTrain(spark, docs)
-    val useg = uniSegments(uniWords(docs), cost)
+    val (_, cost, uwords) = uniTrain(spark, docs)
+    val useg = uniSegments(uwords, cost)
       .select(col("tok").as("utok"), size(col("pieces")).as("n_uni"))
     // the returned plan READS the loop's vocabulary — leave the base
     // frame cached (the bpeFertility contract; harness clears caches)
@@ -881,8 +887,8 @@ object TextOps {
     * arm. */
   def unigramCoverage(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val (_, cost) = uniTrain(spark, docs)
-    val useg = uniSegments(uniWords(docs), cost)
+    val (_, cost, uwords) = uniTrain(spark, docs)
+    val useg = uniSegments(uwords, cost)
       .select(col("tok").as("utok"),
         size(col("pieces")).as("n_uni"),
         size(filter(col("pieces"), p => length(p) === 1))
@@ -1916,6 +1922,47 @@ object TextOps {
     }
     val stats = tk.agg(count(lit(1)).cast("long").as("n_docs"), dfCols: _*)
     bm25ScoredWith(tk, stats, terms)
+  }
+
+  /** Every document scored against EACH term SEPARATELY — one stats pass
+    * and one scoring pass for the whole term set, emitting (term_idx,
+    * doc_id, lang, dl, bm25_x8) with bm25_x8 identical to
+    * `bm25Scored(docs, Seq(term))` for that term alone: per-term df/tf
+    * enter the same all-long formula, and n_docs/s_tok/avgdl do not
+    * depend on the term set. Replaces a per-term caller loop's
+    * 2·|terms| corpus passes with 2 (guide §1.2 "remove unnecessary
+    * passes") — [[graft.operators.CurationOps.retrievalEval]]'s lexical
+    * arms were 10 scans of the salted corpus as a 5-way union. The
+    * unpivot is one `stack` generator over the scored row (terms×rows
+    * output, no shuffle). */
+  private[graft] def bm25ScoredPerTerm(docs: DataFrame,
+      terms: Seq[String]): DataFrame = {
+    val tk = bm25Tokenized(docs)
+    val dfCols = sum(col("dl")).as("s_tok") +: terms.zipWithIndex.map {
+      case (t, i) =>
+        sum(when(array_contains(col("tk"), lit(t)), 1L).otherwise(0L))
+          .as(s"df_$i")
+    }
+    val stats = tk.agg(count(lit(1)).cast("long").as("n_docs"), dfCols: _*)
+    val withTf = terms.zipWithIndex.foldLeft(
+      tk.crossJoin(broadcast(stats))
+        .withColumn("avgdl", expr("s_tok div n_docs"))) {
+      case (d, (t, i)) =>
+        d.withColumn(s"tf_$i",
+            size(filter(col("tk"), x => x === lit(t))).cast("long"))
+          .withColumn(s"idf8_$i",
+            log2x8(expr(
+              s"(2 * n_docs + 2) * $Bm25FpScale div (2 * df_$i + 1)"))
+              - lit(Bm25FpLog))
+    }
+    val stackArgs = terms.indices.map { i =>
+      s"""$i, CAST((CASE WHEN tf_$i > 0
+         |  THEN (idf8_$i * 22 * avgdl * tf_$i)
+         |       div (10 * avgdl * tf_$i + 3 * avgdl + 9 * dl)
+         |  ELSE 0 END) AS BIGINT)""".stripMargin
+    }.mkString(", ")
+    withTf.select(col("doc_id"), col("lang"), col("dl"),
+      expr(s"stack(${terms.size}, $stackArgs) as (term_idx, bm25_x8)"))
   }
 
   /** (doc_id, lang, tk, dl) — the scoring scan both BM25 forms share. */

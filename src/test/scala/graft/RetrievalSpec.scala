@@ -68,6 +68,33 @@ class RetrievalSpec extends SparkSpec {
       s"tf=10 must score above tf=1 but sublinearly: $got")
   }
 
+  test("bm25ScoredPerTerm: per-term rows equal single-term bm25Scored") {
+    // the r19 retrievalEval rewrite rests on this equivalence: one
+    // multi-term stats+score pass must emit, per term, exactly the
+    // single-term bm25Scored scores (same n_docs/s_tok/avgdl, per-term
+    // df/tf/idf8 through the same all-long formula)
+    val docs = Seq(
+      (1L, "en", "aa bb cc"),
+      (2L, "en", "aa aa aa dd"),
+      (3L, "en", "bb bb ee ff gg"),
+      (4L, "en", "hh ii jj kk")).toDF("doc_id", "lang", "text")
+    val terms = Seq("aa", "bb", "zz")
+    val multi = TextOps.bm25ScoredPerTerm(docs, terms)
+      .collect()
+      .map(r => (r.getAs[Int]("term_idx"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("bm25_x8")).toMap
+    terms.zipWithIndex.foreach { case (t, i) =>
+      val single = TextOps.bm25Scored(docs, Seq(t))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Long]("bm25_x8")).toMap
+      single.foreach { case (d, sc) =>
+        assert(multi((i, d)) === sc,
+          s"term $t doc $d: multi ${multi((i, d))} != single $sc")
+      }
+    }
+    assert(multi.size === terms.size * 4, "one row per (term, doc)")
+  }
+
   test("rrf fusion: formula, rank bounds, and arm agreement on sf0.001") {
     val rows = CurationOps.rrfFusion(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= CurationOps.RrfTopK)
