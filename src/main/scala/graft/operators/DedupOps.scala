@@ -1066,7 +1066,55 @@ object DedupOps {
     * the planner broadcasts the tiny label/nbrMin sides here, so the
     * "extra" join is exchange-free while the union form pays a second
     * shuffle leg into the aggregation. */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+  /** Edge-count bound under which [[connectedComponents]] resolves the
+    * labeling on the DRIVER with union-find instead of the distributed
+    * min-label loop. 2²⁰ edges ≈ 16 MB collected — the same order as a
+    * routine broadcast-join build side (well under the 8 GB broadcast
+    * cap and trivially inside driver memory), while the distributed
+    * loop below it costs `diameter × (join + agg + join + materialize)`
+    * Spark jobs for a graph that fits in one task's memory. A 100 TB
+    * corpus' dup graph exceeds the bound and takes the loop unchanged;
+    * the probe that decides is a bounded `limit(n+1)` read of the
+    * already-checkpointed edge list, not a second chain pass. */
+  val CcDriverMaxEdges: Int = 1 << 20
+
+  /** Driver-side union-find over a collected (id_a, id_b) edge array —
+    * union by MIN root with path compression, so a component's root IS
+    * its minimum id (the invariant the min-label fixpoint converges
+    * to). Emits (id, comp) for every node appearing in an edge —
+    * row-identical to the distributed loop (parity spec-pinned on
+    * planted + randomized graphs, and cross-checked against the salted
+    * variant's randomized parity suite). */
+  private def ccDriver(spark: SparkSession,
+      edgeRows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var r = x0
+      while (parent(r) != r) r = parent(r)
+      var c = x0
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edgeRows.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      // attach the LARGER root under the smaller: roots stay component
+      // minima by induction (both sides' roots were their sets' minima)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    // materialize the key set BEFORE the final find pass: find path-
+    // compresses (writes), and mutating a LongMap mid-iteration is UB
+    val ids = parent.keysIterator.toArray
+    val out = ids.map(id => (id, find(id))).toSeq
+    import spark.implicits._
+    out.toDF("id", "comp")
+  }
+
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50,
+      driverMaxEdges: Int = CcDriverMaxEdges): DataFrame = {
     // eager localCheckpoint persists an internal RDD that CacheManager
     // does not track — without explicit cleanup, every superseded
     // iteration's blocks sit in executor storage until driver GC. The
@@ -1082,6 +1130,21 @@ object DedupOps {
     }
     val (e, eRdds) = checkpointed(edges.select(col("id_a"), col("id_b")))
     try {
+      // SMALL-GRAPH CUTOVER (r19, guide §3.1's broadcast reasoning
+      // applied to the iterative loop): when the (long, long) edge list
+      // fits the driver bound, collect it from the checkpoint and
+      // union-find locally — the distributed loop pays ~2 jobs per
+      // diameter step plus a checkpoint materialization each, which
+      // dominates CC cost whenever the graph is small (interleaved A/B
+      // in tools/CcDriverAbProbe). The limit probe reads the LOCAL
+      // checkpoint blocks (first wave almost always decides), never the
+      // upstream chain.
+      if (driverMaxEdges > 0 && e.schema.fields.forall(
+          _.dataType == org.apache.spark.sql.types.LongType)) {
+        val probe = e.limit(driverMaxEdges + 1).collect()
+        if (probe.length <= driverMaxEdges)
+          return ccDriver(e.sparkSession, probe)
+      }
       val adj = e.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(e.select(col("id_b").as("src"), col("id_a").as("dst")))
       var labels = adj.select(col("src").as("id")).distinct()

@@ -133,7 +133,9 @@ class SamplingDedupSpec extends SparkSpec {
     // an iteration bound below the diameter must throw, never return a
     // half-propagated labeling
     intercept[IllegalStateException] {
-      DedupOps.connectedComponents(edges, maxIters = 2)
+      // driverMaxEdges = 0 forces the distributed loop — the iteration
+      // bound is its contract (driver union-find always converges)
+      DedupOps.connectedComponents(edges, maxIters = 2, driverMaxEdges = 0)
     }
     // real-table groups: every rep is a member of its own group and the
     // minimum of the members mapped to it
@@ -183,6 +185,40 @@ class SamplingDedupSpec extends SparkSpec {
         assert(got == want, s"seed $seed: $got vs $want")
       }
     }
+  }
+
+  test("connectedComponents: driver union-find equals the distributed " +
+      "loop on planted and randomized graphs") {
+    import spark.implicits._
+    def labeling(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // planted: a diameter-4 path (propagation order matters), a pair,
+    // and a triangle whose min arrives via the later edge
+    val planted = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L),
+      (10L, 11L), (21L, 22L), (22L, 20L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    assert(labeling(DedupOps.connectedComponents(planted)) ==
+      labeling(DedupOps.connectedComponents(planted, driverMaxEdges = 0)),
+      "driver path must equal the distributed loop on the planted graph")
+    for (seed <- 11 to 14) {
+      val rnd = new scala.util.Random(seed)
+      val n = 10 + rnd.nextInt(12)
+      val edges = Seq.fill(8 + rnd.nextInt(14))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val df = edges.toDF("id_a", "id_b")
+        assert(labeling(DedupOps.connectedComponents(df)) ==
+          labeling(DedupOps.connectedComponents(df, driverMaxEdges = 0)),
+          s"seed $seed")
+      }
+    }
+    // a just-over-the-bound edge list takes the distributed loop (the
+    // probe reads bound+1 rows): exercise the dispatch edge itself
+    val three = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    assert(labeling(DedupOps.connectedComponents(three, driverMaxEdges = 2))
+      == labeling(DedupOps.connectedComponents(three)),
+      "bound+1 edges must dispatch to the loop and still agree")
   }
 
   test("connectedComponentsSalted: identical to plain on a planted " +
