@@ -169,21 +169,92 @@ object GraphOps {
     * (17 · Σ_u (r(u)·w(u,v)) div out(u)) div 20 — all truncating
     * integer ops, bit-identical in both engines. */
   private[graft] def rankItersFrom(e: DataFrame,
-      registry: DataFrame): DataFrame =
+      registry: DataFrame,
+      driverMaxRows: Int = RankDriverMaxRows): DataFrame =
     rankLoop(e, registry.select(col("rk").as("node"))
       .crossJoin(broadcast(registry.agg(count(lit(1)).as("n"))))
       .select(col("node"), expr(s"$Scale div n").as("r0"),
-        expr(s"(3 * $Scale) div (20 * n)").as("tel")))
+        expr(s"(3 * $Scale) div (20 * n)").as("tel")), driverMaxRows)
+
+  /** Graph bound under which [[rankLoop]] iterates on the DRIVER — the
+    * [[graft.operators.DedupOps.CcDriverMaxEdges]] reasoning applied to
+    * the damped-rank recurrence: 2²⁰ collected (s, t, w, ow) rows
+    * ≈ 32 MB, broadcast-scale, while the distributed loop pays
+    * [[Iters]] join+agg rounds for a graph that fits in one task. A
+    * domain graph is ≤ |domains|² by construction, so real corpora sit
+    * far below this at any corpus size; the distributed loop remains
+    * for registries past ~1k domains with dense linkage. */
+  val RankDriverMaxRows: Int = 1 << 20
+
+  /** Driver-side [[rankLoop]] over collected (s, t, w, ow) edges and
+    * (node, r0, tel) rows — the IDENTICAL integer recurrence
+    * (divide-before-multiply contribution, truncating 17/20 damping;
+    * Long sums are order-exact), parity spec-pinned in GraphOpsSpec. */
+  private def rankLoopDriver(spark: SparkSession,
+      edgeRows: Array[org.apache.spark.sql.Row],
+      nodeRows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val nodesArr = nodeRows.map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2)))
+    var r = scala.collection.mutable.LongMap.empty[Long]
+    nodesArr.foreach { case (n, r0, _) => r(n) = r0 }
+    for (_ <- 1 to Iters) {
+      val cs = scala.collection.mutable.LongMap.empty[Long]
+      edgeRows.foreach { row =>
+        val s = row.getLong(0); val t = row.getLong(1)
+        val w = row.getLong(2); val ow = row.getLong(3)
+        // inner-join semantics: an edge whose source is not a registry
+        // node contributes nothing
+        r.get(s).foreach { rs =>
+          val c = (rs / ow) * w + ((rs % ow) * w) / ow
+          cs(t) = cs.getOrElse(t, 0L) + c
+        }
+      }
+      val r2 = scala.collection.mutable.LongMap.empty[Long]
+      nodesArr.foreach { case (n, _, tel) =>
+        r2(n) = tel + (17L * cs.getOrElse(n, 0L)) / 20L
+      }
+      r = r2
+    }
+    import spark.implicits._
+    nodesArr.map { case (n, _, _) => (n, r(n)) }.toSeq.toDF("node", "r")
+  }
 
   /** The damped iteration over ANY teleport vector: `nodes` carries
     * (node, r0, tel) — uniform for [[pageRank]], seed-restricted for
     * [[pageRankSeeded]] — and each round is
     * r'(v) = tel(v) + (17 · Σ contrib) div 20. */
-  private def rankLoop(e: DataFrame, nodesIn: DataFrame): DataFrame = {
+  private def rankLoop(e: DataFrame, nodesIn: DataFrame,
+      driverMaxRows: Int = RankDriverMaxRows): DataFrame = {
+    def ckptRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd }
     val ew = e.join(
         e.groupBy(col("s")).agg(sum(col("w")).as("ow")), "s")
       .localCheckpoint(true)
     val nodes = nodesIn.localCheckpoint(true)
+    // SMALL-GRAPH CUTOVER (r19): when the checkpointed edge and node
+    // relations fit the driver bound (and are the all-Long shape every
+    // caller passes), collect them and run the identical integer
+    // recurrence locally — the bounded limit probes read the LOCAL
+    // checkpoint blocks, never the upstream chain. Interleaved A/B in
+    // tools/RankAbProbe; the checkpoints are freed here since the
+    // returned local frame no longer reads them.
+    val allLong = (ew.select(col("s"), col("t"), col("w"), col("ow"))
+        .schema.fields ++ nodes.schema.fields)
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (allLong && driverMaxRows > 0) {
+      val eProbe = ew.select(col("s"), col("t"), col("w"), col("ow"))
+        .limit(driverMaxRows + 1).collect()
+      if (eProbe.length <= driverMaxRows) {
+        val nProbe = nodes.select(col("node"), col("r0"), col("tel"))
+          .limit(driverMaxRows + 1).collect()
+        if (nProbe.length <= driverMaxRows) {
+          val out = rankLoopDriver(e.sparkSession, eProbe, nProbe)
+          (ckptRdds(ew) ++ ckptRdds(nodes)).foreach(_.unpersist(false))
+          return out
+        }
+      }
+    }
     var r = nodes.select(col("node"), col("r0").as("r"))
     for (_ <- 1 to Iters) {
       // name-resolved join condition: `node` exists only on the rank

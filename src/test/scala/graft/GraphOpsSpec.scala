@@ -22,6 +22,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(totW == docs.count())
   }
 
+  test("rank loop: driver cutover equals the distributed iteration") {
+    // the r19 small-graph cutover (GraphOps.rankLoopDriver) must produce
+    // the bit-identical integer ranks the distributed loop computes —
+    // driverMaxRows = 0 forces the loop on the same inputs
+    val rk = GraphOps.srcRanks(spark, sfDir)
+    val e = GraphOps.domainEdgesOf(GraphOps.docsWithDomain(spark, sfDir), rk)
+    def ranks(driverMaxRows: Int) =
+      GraphOps.rankItersFrom(e, rk, driverMaxRows)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = ranks(GraphOps.RankDriverMaxRows)
+    val dist = ranks(0)
+    assert(driver == dist,
+      s"driver union of ${driver.size} ranks must equal distributed")
+  }
+
   test("pagerank: mass conservation and teleport floor, exact ints") {
     val pr = GraphOps.pageRank(spark, sfDir)
     val n = pr.count()
