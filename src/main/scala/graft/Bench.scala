@@ -62,12 +62,31 @@ object Bench {
     * sub-50 ms figures are inside scheduler jitter. */
   val ContamFloorSec = 0.05
 
+  /** The flag rule, split out so a spec can seed a slowdown and assert
+    * it trips (VERDICT r18 item 6): a query whose best-of-reps min
+    * exceeds [[ContamRatio]] × its committed-record min (same sf, same
+    * cpu count) is flagged by name. */
+  private[graft] def contamFlags(results: Seq[(String, Seq[Double])],
+      refMins: Map[String, Double]): Seq[(String, Double, Double)] =
+    results.flatMap { case (k, ts) =>
+      refMins.get(k) match {
+        case Some(rm) if rm > ContamFloorSec &&
+            ts.min > ContamRatio * rm => Some((k, ts.min, rm))
+        case _ => None
+      }
+    }
+
   /** The COMMITTED record's per-query mins, read BEFORE this run
     * overwrites BENCH_FULL.json — the self-adjudication baseline
     * (VERDICT r17 item 4: the r17 driver artifact read 47% over the
     * committed record purely from host state, and nothing in the JSON
-    * said so; now a contaminated run names its own victims). */
-  private def committedMins(sfDir: String): Map[String, Double] =
+    * said so; now a contaminated run names its own victims). Gated on
+    * BOTH the record's sf and its cpu count (VERDICT r18 item 6 — the
+    * driver also benches at 8 cores, where comparing against a 32-core
+    * record would flag honest scaling, not contamination; records
+    * written before the cpus field existed were all taken at 32). */
+  private def committedMins(sfDir: String, cpus: String)
+      : Map[String, Double] =
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       if (!java.nio.file.Files.exists(p)) Map.empty
@@ -79,6 +98,8 @@ object Bench {
         val refSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
         if (refSf.split('/').last != sfDir.split('/').last)
           return Map.empty
+        val refCpus = Option(root.get("cpus")).map(_.asText()).getOrElse("32")
+        if (refCpus != cpus) return Map.empty
         val m = root.get("mins")
         if (m == null) Map.empty
         else {
@@ -104,7 +125,7 @@ object Bench {
     val unknown = only.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty,
       s"unknown query name(s): ${unknown.mkString(", ")}")
-    val refMins = committedMins(sfDir)
+    val refMins = committedMins(sfDir, cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -178,6 +199,10 @@ object Bench {
           while (extra < 3 && ts.min > ContamRatio * rm) {
             ts = ts :+ rep(); extra += 1
           }
+          // the re-rep is one-sided by design (slow readings get extra
+          // chances, fast ones never do — ADVICE r18); the triples block
+          // records every rep (n > 5 marks a re-repped query), and the
+          // contamination block names the re-rep counts explicitly
           ts
         case _ => times0
       }
@@ -272,14 +297,18 @@ object Bench {
     // re-reps) STILL exceeds ContamRatio × the committed record — the
     // run-level flag a consumer must read before treating this
     // artifact's totals as a performance record
-    val flagged = results.flatMap { case (k, ts) =>
-      refMins.get(k) match {
-        case Some(rm) if rm > ContamFloorSec &&
-            ts.min > ContamRatio * rm => Some((k, ts.min, rm))
-        case _ => None
-      }
-    }
+    val flagged = contamFlags(results, refMins)
+    // re-repped queries: n > 5 reps recorded (the one-sided extra-rep
+    // trail, on the record per ADVICE r18)
+    val rereps = results.collect { case (k, ts) if ts.size > 5 =>
+      "\"" + k + "\":" + (ts.size - 5) }
+    if (flagged.nonEmpty)
+      System.err.println("[bench] REGRESSION/CONTAMINATION flagged vs " +
+        "committed record (min > " + ContamRatio + "x committed min): " +
+        flagged.map { case (k, mn, rm) =>
+          f"$k (min $mn%.2f vs committed $rm%.2f)" }.mkString(", "))
     val contamJson = "{\"n_flagged\":" + flagged.size +
+      ",\"rereps\":" + rereps.mkString("{", ",", "}") +
       ",\"ref_queries\":" + results.count(r => refMins.contains(r._1)) +
       ",\"ratio_bar\":" + ContamRatio +
       ",\"flagged\":" + flagged.map { case (k, mn, rm) =>
@@ -313,7 +342,7 @@ object Bench {
     // Values are rounded to 2 decimals (the host's rep-to-rep variance
     // is far above 10 ms, so nothing real is lost).
     val fullRec =
-      s"""{"metric":"total_full","value":$total,"total_min":$totalMin,"total_with_demo":$totalWithDemo,"total_min_with_demo":$totalMinWithDemo,"unit":"sec","queries":$qs,"mins":$mins,"triples":$triples,"prod":$prodJson,"prod_total":$prodTotal,"demo":$demoJson,"demo_total":$demoTotal,"contamination":$contamJson,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":$total,"total_min":$totalMin,"total_with_demo":$totalWithDemo,"total_min_with_demo":$totalMinWithDemo,"unit":"sec","queries":$qs,"mins":$mins,"triples":$triples,"prod":$prodJson,"prod_total":$prodTotal,"demo":$demoJson,"demo_total":$demoTotal,"contamination":$contamJson,"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
     val fullPath =
       if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),

@@ -242,6 +242,16 @@ object ScaleUtils {
     * projections), so results are identical either way
     * (DeterminismSpec's contract). */
   def fanOutScan(df: DataFrame, key: Column): DataFrame = {
+    // CALLER CONTRACT (VERDICT r18 item 4): pass scan-rooted frames
+    // (scan + projections/filters/broadcast-joined dims). The `.rdd`
+    // width probe below plans the frame physically; under AQE a plan
+    // containing its own SHUFFLE would materialize those query stages
+    // at construction time — paying the stage twice. Current call
+    // sites are all scan-rooted or broadcast-only (htmlDocs' joined
+    // inputs broadcast their dims), where .rdd costs one planning pass
+    // of a leaf scan (measured negligible at every site that kept it;
+    // the rollback comments record the sites where even one extra AQE
+    // stage lost).
     if (df.isStreaming) return df // .rdd is illegal on streaming plans
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df

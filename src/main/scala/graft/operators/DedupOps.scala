@@ -905,7 +905,14 @@ object DedupOps {
     * specs can plant clustered fixtures with known duplicates. */
   private[graft] def semDedupCore(spark: SparkSession, embSrc: DataFrame,
       threshold: Double, cells: Int, trainIters: Int): DataFrame = {
-    val all = quantizedAll(spark, embSrc)
+    // the quantized frame feeds BOTH Lloyd passes (per-iteration assign
+    // + final assign) and the verdict join — materialize it ONCE (r19):
+    // without the checkpoint each consumer re-derives the quantization
+    // and, on the chunk path, the whole chunk+hash-embed chain under it
+    // (3-4 passes measured in tools/FunnelProbe-style splits). Values
+    // are integer-exact, so materialization cannot change results;
+    // blocks are released by the harness clearCache/unpersist contract.
+    val all = quantizedAll(spark, embSrc).localCheckpoint(true)
     val (assigned, _) = VectorOps.kmeansCoreOf(spark, all, cells, trainIters)
     semDedupVerdicts(spark, assigned, all, threshold)
   }
@@ -988,27 +995,42 @@ object DedupOps {
   def chunkSemDedupAuto(spark: SparkSession, dir: String,
       threshold: Double = ChunkSemDupThreshold): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val n = CurationOps.chunkedToks(docs).count()
-    chunkSemDedupOf(spark, docs, threshold, ivfCells(n), trainIters = 2)
+    // ONE chunk+embed pass (r19): the sizing count used to be its own
+    // full chunkedToks pass before the plan re-derived the chain;
+    // checkpoint the embedded relation, count the checkpoint (row per
+    // chunk — chunkedToks emits no empty chunk), and feed the same
+    // blocks to the dedup core
+    val emb = chunkEmbOf(docs).localCheckpoint(true)
+    val n = emb.count()
+    chunkDecode(semDedupCore(spark, emb, threshold, ivfCells(n),
+      trainIters = 2))
   }
 
   /** [[chunkSemDedup]] over any (doc_id, lang, text) relation — split
     * out so specs can plant documents with known duplicated passages. */
   private[graft] def chunkSemDedupOf(spark: SparkSession, docs: DataFrame,
       threshold: Double = ChunkSemDupThreshold, cells: Int = SemDedupCells,
-      trainIters: Int = 2): DataFrame = {
-    val chunkToks = CurationOps.chunkedToks(docs)
+      trainIters: Int = 2): DataFrame =
+    chunkDecode(semDedupCore(spark, chunkEmbOf(docs), threshold, cells,
+      trainIters))
+
+  /** The packed-id chunk embedding relation (vec_id, embedding) —
+    * chunk grid through the hash-embed kernel. */
+  private def chunkEmbOf(docs: DataFrame): DataFrame =
+    VectorOps.hashEmbedOf(CurationOps.chunkedToks(docs)
       .select((col("doc_id") * ChunkVecSpan + col("chunk_id")).as("vec_id"),
-        col("ctoks").as("toks"))
-    semDedupCore(spark, VectorOps.hashEmbedOf(chunkToks), threshold, cells,
-      trainIters)
+        col("ctoks").as("toks")))
+
+  /** Unpack the [[ChunkVecSpan]]-packed verdict ids back to
+    * (doc_id, chunk_id) space. */
+  private def chunkDecode(verdicts: DataFrame): DataFrame =
+    verdicts
       .select(expr(s"vec_id div $ChunkVecSpan").as("doc_id"),
         expr(s"vec_id % $ChunkVecSpan").cast("int").as("chunk_id"),
         col("cluster"),
         expr(s"sem_dup_of div $ChunkVecSpan").as("dup_doc_id"),
         expr(s"sem_dup_of % $ChunkVecSpan").cast("int").as("dup_chunk_id"),
         col("kept"))
-  }
 
   /** Shared verdict tail of the SemDeDup family: within-cluster pairs
     * over the assigned membership, exact-cosine threshold, per-vector

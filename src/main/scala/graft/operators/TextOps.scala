@@ -33,7 +33,15 @@ object TextOps {
     * IS-NOT-NULL filter on the OUTPUT column is row-identical: the only
     * padded row outer-explode adds comes from an empty/null array, and
     * its output is null exactly then. The filter sits ABOVE the Generate
-    * as a column ref — nothing re-evaluates the array. */
+    * as a column ref — nothing re-evaluates the array.
+    *
+    * CALLER CONTRACT (ADVICE r18): array elements MUST be non-null — a
+    * null ELEMENT's exploded row is indistinguishable from the padding
+    * row and gets silently dropped, where plain explode would emit it.
+    * Every call site in this repo passes arrays built from
+    * split/concat/array_join/md5/sequence results (never-null by
+    * construction); a caller with nullable elements must use plain
+    * explode and eat the pruning-filter cost. */
   private[graft] def explodeNN(df: DataFrame, arr: Column, alias: String,
       keep: Column*): DataFrame =
     df.select(keep :+ explode_outer(arr).as(alias): _*)

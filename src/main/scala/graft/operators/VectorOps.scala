@@ -65,7 +65,11 @@ object VectorOps {
     * Scale shape: one explode + a bucket-sum hash aggregation (≤
     * [[HashEmbedDims]] rows per vec_id, partial-aggregated map-side) +
     * one map-assembly aggregation per vec_id — linear, no join. Input:
-    * (vec_id, toks). */
+    * (vec_id, toks) — toks elements MUST be non-null (the explodeNN
+    * caller contract, ADVICE r18): a null token would be silently
+    * dropped from the bag instead of hashed, changing the embedding
+    * with no error. Every current caller passes split/slice results
+    * (never-null by construction). */
   private[graft] def hashEmbedOf(toksFrame: DataFrame): DataFrame =
     // explodeNN: the toks column is usually an unmaterialized expression
     // chain (e.g. chunk slices) that a plain explode's pruning filter

@@ -33,7 +33,9 @@ object ExplodeAbProbe {
 
     val ta = scala.collection.mutable.ArrayBuffer.empty[Double]
     val tb = scala.collection.mutable.ArrayBuffer.empty[Double]
-    (1 to 8).foreach { i =>
+    // odd rep count so .apply(reps/2) is a TRUE median (ADVICE r18: 8
+    // reps made element 4 the upper-middle order statistic, biased high)
+    (1 to 9).foreach { i =>
       val t0 = System.nanoTime()
       plain.write.format("noop").mode("overwrite").save()
       ta += (System.nanoTime() - t0) / 1e9

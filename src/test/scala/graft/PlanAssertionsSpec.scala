@@ -11,10 +11,14 @@ class PlanAssertionsSpec extends SparkSpec {
     * inserts on single-row-group scans — identity at any real scale, so
     * a guard that tolerates ONLY it still forbids every
     * computation-required shuffle (ENSURE_REQUIREMENTS exchanges). */
-  private def onlyFanOutExchanges(p: String): Boolean =
-    p.linesIterator
-      .filter(_.contains("Exchange "))
-      .forall(_.contains("REPARTITION_BY_NUM"))
+  private def onlyFanOutExchanges(p: String): Boolean = {
+    val ex = p.linesIterator.filter(_.contains("Exchange ")).toSeq
+    // bounded, not just typed (ADVICE r18): a fanOutScan applied twice
+    // along one path would still read as all-REPARTITION_BY_NUM —
+    // cap the count so an accidental double/nested repartition of a
+    // map-only plan fails here instead of silently double-shuffling
+    ex.forall(_.contains("REPARTITION_BY_NUM")) && ex.size <= 2
+  }
 
   private def plan(name: String): String = {
     val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
