@@ -203,11 +203,7 @@ object TextOps {
     * in the merge order; the statistic itself is always distributed. */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (merges, _, base) = bpeLoop(spark, dir)
-    // the heavy lifting happened in the per-iteration jobs inside the
-    // loop; the result itself is the N-row merge table, independent of
-    // the vocab frame — free it now
-    base.unpersist(false)
+    val (merges, _) = bpeLoop(spark, dir)
     merges.toDF("merge_rank", "pair", "n_occ").orderBy(col("merge_rank"))
   }
 
@@ -257,21 +253,32 @@ object TextOps {
     }
   }
 
-  /** Shared core of the BPE family: the merge loop over the persisted
-    * frequency-weighted vocabulary. Returns (ranked merges, the
-    * post-loop vocabulary still in sentinel-space encoding with its
-    * original `tok` column, the persisted base frame — callers that
-    * return a plan READING the vocabulary leave it cached under the
-    * harness clearCache contract; [[bpeMerges]] frees it eagerly). */
+  /** Shared core of the BPE family: the merge loop over the
+    * materialized frequency-weighted vocabulary. Returns (ranked
+    * merges, the post-loop vocabulary still in sentinel-space encoding
+    * with its original `tok` column — callers that return a plan
+    * READING the vocabulary rely on its internal checkpoint under the
+    * harness clearCache contract).
+    *
+    * SERVED BY THE STRICT-BATCHED TRAINER (r19): the per-merge
+    * sequential loop paid one driver round-trip per merge; the strict
+    * batched walk admits every disjoint prefix pair per round and is
+    * EXACTLY the sequential table ([[bpeMergesBatched]]'s strict
+    * contract, BpeBatchedSpec whole-corpus equality, and the
+    * q_bpe_merges oracle still pins the sequential SQL unroll), with
+    * the final vocabulary state definitionally identical (same
+    * replaces, same rank order). Measured (tools/BpeStrictAbProbe,
+    * interleaved, sf0.1): 4 rounds vs 8 jobs, loop med 1.275 → 0.558 s;
+    * table equality asserted in the same probe run. */
   private def bpeLoop(spark: SparkSession, dir: String)
-      : (Seq[(Long, String, Long)], DataFrame, DataFrame) =
+      : (Seq[(Long, String, Long)], DataFrame) =
     bpeLoopOver(spark, Tables.documents(spark, dir))
 
   /** [[bpeLoop]] over any (text) relation — split out so the encode
     * path can TRAIN on one split and APPLY to another. */
   private def bpeLoopOver(spark: SparkSession, docs: DataFrame)
-      : (Seq[(Long, String, Long)], DataFrame, DataFrame) =
-    bpeLoopOverN(spark, docs, BpeMergeIters)
+      : (Seq[(Long, String, Long)], DataFrame) =
+    bpeLoopBatchedState(docs, BpeMergeIters, BpeBatchCap, strict = true)
 
   /** [[bpeLoopOver]] with a caller-chosen merge budget — the sequential
     * reference the batched trainer's spec pins against. */
@@ -466,7 +473,7 @@ object TextOps {
     * corpus with a trained merge table is the same projection with the
     * merges supplied instead of trained. */
   def bpeSegmented(spark: SparkSession, dir: String): DataFrame = {
-    val (_, words, _) = bpeLoop(spark, dir)
+    val (_, words) = bpeLoop(spark, dir)
     // symbols rendered space-joined (symbols never contain spaces —
     // [[toks]] split on them), the oracle-comparable flat form the other
     // set-valued queries use
@@ -509,8 +516,7 @@ object TextOps {
     * it reproduces [[bpeSegmented]] exactly. */
   private[graft] def bpeEncodeWith(spark: SparkSession, trainDocs: DataFrame,
       applyDocs: DataFrame): DataFrame = {
-    val (merges, _, base) = bpeLoopOver(spark, trainDocs)
-    base.unpersist(false)
+    val (merges, _) = bpeLoopOver(spark, trainDocs)
     applyMerges(sentinelVocab(applyDocs), merges.map(_._2))
       .select(col("tok"), col("cnt"),
         array_join(split(trim(col("w")), "  "), " ").as("symbols"),
@@ -530,7 +536,7 @@ object TextOps {
     * shapes) + per-doc re-aggregation. The est/actual pair in one row
     * makes the estimator's bias measurable per doc. */
   def bpeTokenCount(spark: SparkSession, dir: String): DataFrame = {
-    val (_, words, _) = bpeLoop(spark, dir)
+    val (_, words) = bpeLoop(spark, dir)
     val seg = words.select(col("tok"),
       size(split(trim(col("w")), "  ")).as("n_symbols"))
     explodeNN(Tables.documents(spark, dir), toks(col("text")), "tok",
@@ -555,7 +561,7 @@ object TextOps {
     * to the ~handful of languages — one extra hash agg over the same
     * scan. */
   def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
-    val (_, words, _) = bpeLoop(spark, dir)
+    val (_, words) = bpeLoop(spark, dir)
     bpeFertilityOf(Tables.documents(spark, dir), words)
   }
 
@@ -588,7 +594,7 @@ object TextOps {
     * table a trainer inspects to judge whether N merges bought
     * compression). Top-[[BpeSymbolTopK]] by a total order. */
   def bpeSymbolVocab(spark: SparkSession, dir: String): DataFrame = {
-    val (_, words, _) = bpeLoop(spark, dir)
+    val (_, words) = bpeLoop(spark, dir)
     words.select(explode(split(trim(col("w")), "  ")).as("symbol"),
         col("cnt"))
       .groupBy(col("symbol")).agg(sum(col("cnt")).as("n_occ"))
@@ -869,7 +875,7 @@ object TextOps {
       .select(col("tok").as("utok"), size(col("pieces")).as("n_uni"))
     // the returned plan READS the loop's vocabulary — leave the base
     // frame cached (the bpeFertility contract; harness clears caches)
-    val (_, words, _) = bpeLoop(spark, dir)
+    val (_, words) = bpeLoop(spark, dir)
     val bseg = words.select(col("tok").as("btok"),
       size(split(trim(col("w")), "  ")).as("n_bpe"))
     explodeNN(docs, toks(col("text")), "w0", col("lang"))
