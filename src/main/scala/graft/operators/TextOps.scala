@@ -635,7 +635,7 @@ object TextOps {
   /** The frequency-weighted (truncated) word relation — the unigram
     * family's ONE corpus reduction, exactly [[sentinelVocab]]'s scale
     * shape without the sentinel encoding. */
-  private def uniWords(docs: DataFrame): DataFrame =
+  private[graft] def uniWords(docs: DataFrame): DataFrame =
     explodeNN(docs, toks(col("text")), "t")
       .select(substring(col("t"), 1, UniMaxWordLen).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
@@ -746,6 +746,34 @@ object TextOps {
       : (DataFrame, Map[String, Long], DataFrame) = {
     import spark.implicits._
     val words = uniWords(docs).localCheckpoint(true)
+    // SMALL-VOCABULARY CUTOVER (r19, the CcDriverMaxEdges reasoning):
+    // every trainer relation after uniWords is VOCABULARY-sized (the
+    // corpus was already collapsed to distinct truncated words), yet
+    // the distributed rounds pay ~6 checkpoint/collect jobs. Below the
+    // bound, collect the word table once from its checkpoint and run
+    // the identical integer EM locally — same substring enumeration,
+    // same uniViterbi kernel, same (n desc, piece asc) total orders
+    // (piece compared as unsigned UTF-8 bytes, Spark's string order).
+    // Parity spec-pinned (UnigramSpec); driverMaxWords = 0 forces the
+    // distributed rounds. A 100 TB corpus's distinct-word relation
+    // exceeds the bound and trains distributed, unchanged.
+    val probe = words.limit(UniDriverMaxWords + 1).collect()
+    if (probe.length <= UniDriverMaxWords)
+      return uniTrainDriver(spark,
+        probe.map(r => (r.getString(0), r.getLong(1))), words)
+    uniTrainDistributed(spark, words)
+  }
+
+  /** Word-table bound for [[uniTrain]]'s driver cutover: 2²⁰ distinct
+    * truncated words ≈ 24 MB collected — broadcast-build-side scale
+    * (the cost table derived from it is broadcast anyway). */
+  private[graft] val UniDriverMaxWords: Int = 1 << 20
+
+  /** The distributed EM rounds over a checkpointed word relation — the
+    * at-scale path, and the parity reference for the driver cutover. */
+  private[graft] def uniTrainDistributed(spark: SparkSession,
+      words: DataFrame): (DataFrame, Map[String, Long], DataFrame) = {
+    import spark.implicits._
     val chars = words
       .select(explode(split(col("tok"), "")).as("piece")).distinct()
       .localCheckpoint(true)
@@ -766,6 +794,81 @@ object TextOps {
       cost = uniCosts(vocab.as[(String, Long)].collect().toSeq)
     }
     (vocab, cost, words)
+  }
+
+  /** Spark's string sort order (UTF8String: unsigned byte comparison of
+    * the UTF-8 encoding) — the driver-side twin, so local top-K picks
+    * the identical rows. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-side [[uniTrainDistributed]] over a collected word table —
+    * identical integer EM (substring seed census, [[uniViterbi]]
+    * E-step, (n desc, piece asc) prune with [[utf8Lt]] as the piece
+    * order). Long sums are order-exact; [[uniCosts]] was always
+    * driver-side. */
+  private def uniTrainDriver(spark: SparkSession,
+      w: Array[(String, Long)], words: DataFrame)
+      : (DataFrame, Map[String, Long], DataFrame) = {
+    import spark.implicits._
+    val ord: Ordering[(String, Long)] = new Ordering[(String, Long)] {
+      def compare(a: (String, Long), b: (String, Long)): Int =
+        if (a._2 != b._2) java.lang.Long.compare(b._2, a._2)
+        else if (a._1 == b._1) 0
+        else if (utf8Lt(a._1, b._1)) -1 else 1
+    }
+    val chars: Seq[String] =
+      w.iterator.flatMap(_._1.split("").iterator.filter(_.nonEmpty))
+        .toSet.toSeq
+    def topPlusChars(counts: scala.collection.Map[String, Long], k: Int,
+        charN: String => Long): Seq[(String, Long)] =
+      counts.iterator.filter(_._1.length > 1).toSeq.sorted(ord).take(k) ++
+        chars.map(c => c -> charN(c))
+    // substring seed census (uniSubCounts' enumeration, locally)
+    val sub = scala.collection.mutable.HashMap.empty[String, Long]
+    w.foreach { case (tok, cnt) =>
+      var st = 0
+      while (st < tok.length) {
+        var l = 1
+        val lMax = math.min(UniMaxPiece, tok.length - st)
+        while (l <= lMax) {
+          val p = tok.substring(st, st + l)
+          sub(p) = sub.getOrElse(p, 0L) + cnt
+          l += 1
+        }
+        st += 1
+      }
+    }
+    // seed: top-UniSeedK multi-char substrings + chars AT their
+    // substring counts. The distributed form is an INNER join of sub
+    // with chars — every char of a word IS one of its length-1
+    // substrings, so the filter below never actually drops (kept for
+    // strict join faithfulness)
+    var vocab = sub.iterator.filter(_._1.length > 1).toSeq.sorted(ord)
+      .take(UniSeedK) ++
+      chars.filter(sub.contains).map(c => c -> sub(c))
+    var cost = uniCosts(vocab)
+    for (_ <- 1 to UniEmRounds) {
+      val usage = scala.collection.mutable.HashMap.empty[String, Long]
+      w.foreach { case (tok, cnt) =>
+        uniViterbi(tok, cost).foreach { p =>
+          usage(p) = usage.getOrElse(p, 0L) + cnt
+        }
+      }
+      vocab = topPlusChars(usage, UniVocabTarget,
+        c => usage.getOrElse(c, 0L))
+      cost = uniCosts(vocab)
+    }
+    (vocab.toDF("piece", "n"), cost, words)
   }
 
   /** ORACLED UNIGRAM VOCABULARY — the trained piece table: (piece,

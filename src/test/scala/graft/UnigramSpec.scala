@@ -9,6 +9,23 @@ import graft.operators.TextOps
   * invariants the hash match rests on. */
 class UnigramSpec extends SparkSpec {
 
+  test("uniTrain: driver cutover equals the distributed EM rounds") {
+    // the r19 small-vocabulary cutover must reproduce the distributed
+    // trainer bit-for-bit: same vocab rows, same cost table — on the
+    // real corpus fixture (whose words exercise the substring census,
+    // both EM rounds and the char fallback)
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val (vd, cd, _) = TextOps.uniTrain(spark, docs) // driver path (small)
+    val (vx, cx, _) = TextOps.uniTrainDistributed(spark,
+      TextOps.uniWords(docs).localCheckpoint(true))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("piece"), col("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    assert(rows(vd) == rows(vx), "vocab rows must match")
+    assert(cd == cx, "cost tables must match")
+  }
+
   test("viterbi kernel: tie resolves to the longest piece, greedily") {
     val cost = Map("a" -> 10L, "b" -> 10L, "ab" -> 20L, "abab" -> 40L)
     // "abab": single-char path, 2-piece path and 1-piece path all cost
