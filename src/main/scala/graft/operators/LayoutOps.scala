@@ -71,7 +71,7 @@ object LayoutOps {
     * — `z` is the interleave, `lin` the time-major lexicographic key
     * (`y·B + x`, the ORDER BY ts, user_id layout a naive writer
     * produces). */
-  private[operators] def keyedEvents(spark: SparkSession,
+  private[graft] def keyedEvents(spark: SparkSession,
       dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),
@@ -220,7 +220,13 @@ object LayoutOps {
     * untouched — maintenance cost is proportional to the APPEND, and
     * the rewrite only runs when the measured payoff says so. */
   def zorderIncremental(spark: SparkSession, dir: String): DataFrame =
-    zorderIncrementalOf(keyedEvents(spark, dir))
+    // keyed is eagerly checkpointed HERE (r19, measured): this query
+    // consumes it ~10 times (4 boxes calls, their fileOf histograms,
+    // the matched census) and each re-derivation pays the events scan
+    // + min/max census. Interleaved A/B (tools/ZorderAbProbe, 9 reps):
+    // re-derive med 2.462 s vs checkpoint-once 1.811. zorderLayout (2
+    // consumers) keeps the measured recompute decision in its comment.
+    zorderIncrementalOf(keyedEvents(spark, dir).localCheckpoint(true))
 
   /** [[zorderIncremental]] over any (event_id, x, y, z, lin) relation —
     * split out so specs plant append-degradation fixtures. */
